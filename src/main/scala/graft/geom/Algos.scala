@@ -1,0 +1,523 @@
+package graft.geom
+
+/**
+ * Pure-Scala geometry algorithms — the compute kernels behind every st_*
+ * expression. Semantics pinned to the reference's documented behavior:
+ *  - area: unsigned, CRS units (reference geoseries.rs:14-16)
+ *  - length: cartesian; polygon => exterior ring only (geoseries.rs:35-41)
+ *  - centroid: may fall outside the geometry (geoseries.rs:18-21)
+ *  - convex hull: degrades to LineString/Point below 3 distinct points
+ *    (python docstring georust/geoseries.py:76-90)
+ *  - is_ring: closed == first coord equals last (geoseries.rs:78-83)
+ *  - simplify: Douglas-Peucker, endpoints preserved (geoseries.rs:109-116)
+ */
+object Algos {
+
+  // ------------------------------------------------------------------ area
+
+  /** Signed shoelace area of one packed ring (positive = CCW). */
+  def signedRingArea(r: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = r.length
+    while (i + 3 < n) {
+      s += r(i) * r(i + 3) - r(i + 2) * r(i + 1)
+      i += 2
+    }
+    s / 2.0
+  }
+
+  /** Unsigned area. Points/lines => 0. Holes subtracted. */
+  def area(g: Geometry): Double = g match {
+    case p: Polygon =>
+      if (p.isEmpty) 0.0
+      else {
+        var a = math.abs(signedRingArea(p.rings(0)))
+        var i = 1
+        while (i < p.rings.length) { a -= math.abs(signedRingArea(p.rings(i))); i += 1 }
+        a
+      }
+    case m: MultiPolygon => m.geoms.foldLeft(0.0)(_ + area(_))
+    case c: GeometryCollection => c.geoms.foldLeft(0.0)(_ + area(_))
+    case _ => 0.0
+  }
+
+  // ---------------------------------------------------------------- length
+
+  private def coordsLength(cs: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < cs.length) {
+      val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 2
+    }
+    s
+  }
+
+  /** Cartesian length; polygon => exterior ring length; points => 0. */
+  def length(g: Geometry): Double = g match {
+    case l: LineString => coordsLength(l.coords)
+    case p: Polygon    => if (p.isEmpty) 0.0 else coordsLength(p.rings(0))
+    case m: MultiLineString => m.geoms.foldLeft(0.0)(_ + length(_))
+    case m: MultiPolygon    => m.geoms.foldLeft(0.0)(_ + length(_))
+    case c: GeometryCollection => c.geoms.foldLeft(0.0)(_ + length(_))
+    case _ => 0.0
+  }
+
+  /** Full-boundary perimeter (all rings) — used by quality checks, not the st_length surface. */
+  def perimeter(p: Polygon): Double = p.rings.foldLeft(0.0)((s, r) => s + coordsLength(r))
+
+  // -------------------------------------------------------------- centroid
+
+  /** (weightedX, weightedY, weight, dimension) */
+  private def centroidAcc(g: Geometry): (Double, Double, Double, Int) = g match {
+    case p: Point if !p.isEmpty => (p.x, p.y, 1.0, 0)
+    case l: LineString if !l.isEmpty =>
+      val cs = l.coords
+      if (cs.length == 2) (cs(0), cs(1), 1.0, 0)
+      else {
+        var sx = 0.0; var sy = 0.0; var w = 0.0
+        var i = 0
+        while (i + 3 < cs.length) {
+          val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+          val seg = math.sqrt(dx * dx + dy * dy)
+          sx += (cs(i) + cs(i + 2)) / 2 * seg
+          sy += (cs(i + 1) + cs(i + 3)) / 2 * seg
+          w += seg
+          i += 2
+        }
+        if (w == 0) (cs(0), cs(1), 1.0, 0) else (sx, sy, w, 1)
+      }
+    case p: Polygon if !p.isEmpty =>
+      var sx = 0.0; var sy = 0.0; var w = 0.0
+      var j = 0
+      while (j < p.rings.length) {
+        val r = p.rings(j)
+        val sign = if (j == 0) 1.0 else -1.0
+        var a = 0.0; var cx = 0.0; var cy = 0.0
+        var i = 0
+        while (i + 3 < r.length) {
+          val cross = r(i) * r(i + 3) - r(i + 2) * r(i + 1)
+          a += cross
+          cx += (r(i) + r(i + 2)) * cross
+          cy += (r(i + 1) + r(i + 3)) * cross
+          i += 2
+        }
+        // ring centroid weight = |ring area|; orientation-independent
+        val ringArea = a / 2.0
+        if (ringArea != 0) {
+          val f = sign * math.abs(ringArea)
+          sx += cx / (6.0 * ringArea) * f
+          sy += cy / (6.0 * ringArea) * f
+          w += f
+        }
+        j += 1
+      }
+      if (w == 0) { // degenerate polygon: fall back to boundary length centroid
+        centroidAcc(LineString(p.rings(0)))
+      } else (sx, sy, w, 2)
+    case m: GeometryCollectionLike =>
+      val accs = m.geoms.map(centroidAcc).filter(_._3 > 0)
+      if (accs.isEmpty) (0, 0, 0, -1)
+      else {
+        val maxDim = accs.map(_._4).max
+        val keep = accs.filter(_._4 == maxDim)
+        (keep.map(_._1).sum, keep.map(_._2).sum, keep.map(_._3).sum, maxDim)
+      }
+    case _ => (0, 0, 0, -1)
+  }
+
+  /** Centroid; empty geometry => empty Point. Mixed collections use the
+    * highest-dimension components (georust Centroid behavior). */
+  def centroid(g: Geometry): Point = {
+    val (sx, sy, w, _) = centroidAcc(g)
+    if (w == 0) Point.empty else Point(sx / w, sy / w)
+  }
+
+  // -------------------------------------------------------------- envelope
+
+  /** Envelope as a geometry: Polygon box; degenerate => Point / 2-point LineString. */
+  def envelopeGeom(g: Geometry): Geometry = {
+    val e = g.envelope
+    if (e.isEmpty) Polygon(Array.empty)
+    else if (e.minX == e.maxX && e.minY == e.maxY) Point(e.minX, e.minY)
+    else if (e.minX == e.maxX || e.minY == e.maxY)
+      LineString(Array(e.minX, e.minY, e.maxX, e.maxY))
+    else
+      Polygon(Array(Array(e.minX, e.minY, e.maxX, e.minY, e.maxX, e.maxY, e.minX, e.maxY, e.minX, e.minY)))
+  }
+
+  // ----------------------------------------------------------- convex hull
+
+  /** Andrew's monotone chain. Output CCW Polygon; degrades to LineString (2
+    * distinct pts) or Point (1). */
+  def convexHull(g: Geometry): Geometry = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    g.foreachCoord((x, y) => buf += ((x, y)))
+    val pts = buf.distinct.sorted.toArray
+    if (pts.length == 0) return Polygon(Array.empty)
+    if (pts.length == 1) return Point(pts(0)._1, pts(0)._2)
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val hull = new Array[(Double, Double)](2 * pts.length)
+    var k = 0
+    var i = 0
+    while (i < pts.length) { // lower hull
+      while (k >= 2 && cross(hull(k - 2), hull(k - 1), pts(i)) <= 0) k -= 1
+      hull(k) = pts(i); k += 1; i += 1
+    }
+    val lower = k + 1
+    i = pts.length - 2
+    while (i >= 0) { // upper hull
+      while (k >= lower && cross(hull(k - 2), hull(k - 1), pts(i)) <= 0) k -= 1
+      hull(k) = pts(i); k += 1; i -= 1
+    }
+    val ring = hull.take(k - 1) // last point == first
+    if (ring.length == 2)
+      LineString(Array(ring(0)._1, ring(0)._2, ring(1)._1, ring(1)._2))
+    else {
+      val packed = new Array[Double]((ring.length + 1) * 2)
+      var j = 0
+      while (j < ring.length) { packed(2 * j) = ring(j)._1; packed(2 * j + 1) = ring(j)._2; j += 1 }
+      packed(2 * ring.length) = ring(0)._1; packed(2 * ring.length + 1) = ring(0)._2
+      Polygon(Array(packed))
+    }
+  }
+
+  // ---------------------------------------------------------------- rings
+
+  /** Exterior ring of a Polygon as a closed LineString; null otherwise
+    * (reference geoseries.rs:43-47: None for non-polygons). */
+  def exteriorRing(g: Geometry): Geometry = g match {
+    case p: Polygon if !p.isEmpty => LineString(p.rings(0))
+    case _ => null
+  }
+
+  def isRing(g: Geometry): Boolean = g match {
+    case l: LineString => l.isClosed
+    case _: Polygon    => true
+    case _             => false
+  }
+
+  // ------------------------------------------------------------- simplify
+
+  /** Douglas-Peucker on one packed line; keeps endpoints. */
+  def simplifyCoords(cs: Array[Double], tol: Double): Array[Double] = {
+    val n = cs.length / 2
+    if (n <= 2) return cs
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    // iterative stack to avoid deep recursion on long lines
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((0, n - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.pop()
+      if (hi - lo >= 2) {
+        val x1 = cs(2 * lo); val y1 = cs(2 * lo + 1)
+        val x2 = cs(2 * hi); val y2 = cs(2 * hi + 1)
+        val dx = x2 - x1; val dy = y2 - y1
+        val segLen = math.sqrt(dx * dx + dy * dy)
+        var maxD = -1.0; var maxI = -1
+        var i = lo + 1
+        while (i < hi) {
+          val px = cs(2 * i); val py = cs(2 * i + 1)
+          val d =
+            if (segLen == 0) math.sqrt((px - x1) * (px - x1) + (py - y1) * (py - y1))
+            else math.abs(dy * px - dx * py + x2 * y1 - y2 * x1) / segLen
+          if (d > maxD) { maxD = d; maxI = i }
+          i += 1
+        }
+        if (maxD > tol) {
+          keep(maxI) = true
+          stack.push((lo, maxI)); stack.push((maxI, hi))
+        }
+      }
+    }
+    val kept = (0 until n).count(keep)
+    val out = new Array[Double](kept * 2)
+    var j = 0; var i = 0
+    while (i < n) {
+      if (keep(i)) { out(2 * j) = cs(2 * i); out(2 * j + 1) = cs(2 * i + 1); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def simplify(g: Geometry, tol: Double): Geometry = g match {
+    case l: LineString => LineString(simplifyCoords(l.coords, tol))
+    case p: Polygon =>
+      Polygon(p.rings.map { r =>
+        val s = simplifyCoords(r, tol)
+        if (s.length >= 8) s else r // keep ring valid (>=4 coords incl. closure)
+      })
+    case m: MultiLineString => MultiLineString(m.geoms.map(simplify(_, tol).asInstanceOf[LineString]))
+    case m: MultiPolygon    => MultiPolygon(m.geoms.map(simplify(_, tol).asInstanceOf[Polygon]))
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(simplify(_, tol)))
+    case other => other
+  }
+
+  // ------------------------------------------------------------- distance
+
+  private def ptSegDistSq(px: Double, py: Double, x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val dx = x2 - x1; val dy = y2 - y1
+    val lenSq = dx * dx + dy * dy
+    val t = if (lenSq == 0) 0.0 else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / lenSq))
+    val cx = x1 + t * dx; val cy = y1 + t * dy
+    (px - cx) * (px - cx) + (py - cy) * (py - cy)
+  }
+
+  private def segsIntersect(ax1: Double, ay1: Double, ax2: Double, ay2: Double,
+                            bx1: Double, by1: Double, bx2: Double, by2: Double): Boolean = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    val d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    val d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    val d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) && ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else {
+      def onSeg(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Boolean =
+        math.min(ox, px) <= qx && qx <= math.max(ox, px) && math.min(oy, py) <= qy && qy <= math.max(oy, py)
+      (d1 == 0 && onSeg(bx1, by1, bx2, by2, ax1, ay1)) ||
+      (d2 == 0 && onSeg(bx1, by1, bx2, by2, ax2, ay2)) ||
+      (d3 == 0 && onSeg(ax1, ay1, ax2, ay2, bx1, by1)) ||
+      (d4 == 0 && onSeg(ax1, ay1, ax2, ay2, bx2, by2))
+    }
+  }
+
+  /** Decompose into segment list (packed x1,y1,x2,y2 per segment) + isolated points. */
+  private def segments(g: Geometry): (Array[Double], Array[Double]) = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def addLine(cs: Array[Double]): Unit = {
+      if (cs.length == 2) { pts += cs(0); pts += cs(1) }
+      var i = 0
+      while (i + 3 < cs.length) {
+        segs += cs(i); segs += cs(i + 1); segs += cs(i + 2); segs += cs(i + 3)
+        i += 2
+      }
+    }
+    def go(g: Geometry): Unit = g match {
+      case p: Point if !p.isEmpty => pts += p.x; pts += p.y
+      case l: LineString => addLine(l.coords)
+      case p: Polygon    => p.rings.foreach(addLine)
+      case m: GeometryCollectionLike => m.geoms.foreach(go)
+      case _ =>
+    }
+    go(g)
+    (segs.toArray, pts.toArray)
+  }
+
+  /** 0 = outside, 1 = on boundary, 2 = strictly inside — ray casting w/ boundary test. */
+  def pointInRing(px: Double, py: Double, r: Array[Double]): Int = {
+    var inside = false
+    var i = 0
+    while (i + 3 < r.length) {
+      val x1 = r(i); val y1 = r(i + 1); val x2 = r(i + 2); val y2 = r(i + 3)
+      // boundary?
+      if (ptSegDistSq(px, py, x1, y1, x2, y2) == 0.0) return 1
+      if ((y1 > py) != (y2 > py)) {
+        val xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        if (px < xint) inside = !inside
+      }
+      i += 2
+    }
+    if (inside) 2 else 0
+  }
+
+  /** 0/1/2 point-vs-polygon (holes respected). */
+  def pointInPolygon(px: Double, py: Double, p: Polygon): Int = {
+    if (p.isEmpty || !p.envelope.contains(px, py)) return 0
+    val ext = pointInRing(px, py, p.rings(0))
+    if (ext == 0) return 0
+    if (ext == 1) return 1
+    var i = 1
+    while (i < p.rings.length) {
+      val h = pointInRing(px, py, p.rings(i))
+      if (h == 2) return 0
+      if (h == 1) return 1
+      i += 1
+    }
+    2
+  }
+
+  /** Location of a point in a geometry: 0 outside, 1 boundary, 2 interior. */
+  private def locate(px: Double, py: Double, g: Geometry): Int = g match {
+    case p: Polygon => pointInPolygon(px, py, p)
+    case m: MultiPolygon =>
+      var best = 0
+      for (p <- m.geoms) { val l = pointInPolygon(px, py, p); if (l > best) best = l }
+      best
+    case l: LineString =>
+      val cs = l.coords
+      var i = 0
+      while (i + 3 < cs.length) {
+        if (ptSegDistSq(px, py, cs(i), cs(i + 1), cs(i + 2), cs(i + 3)) == 0.0) return 1
+        i += 2
+      }
+      0
+    case m: MultiLineString =>
+      if (m.geoms.exists(locate(px, py, _) > 0)) 1 else 0
+    case p: Point => if (!p.isEmpty && p.x == px && p.y == py) 2 else 0
+    case m: MultiPoint => if (m.geoms.exists(q => !q.isEmpty && q.x == px && q.y == py)) 2 else 0
+    case c: GeometryCollection =>
+      var best = 0
+      for (g2 <- c.geoms) { val l = locate(px, py, g2); if (l > best) best = l }
+      best
+    case _ => 0
+  }
+
+  /** Exact `intersects` — boundary contact counts (DE-9IM "not disjoint"). */
+  def intersects(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    if (!a.envelope.intersects(b.envelope)) return false
+    val (sa, pa) = segments(a)
+    val (sb, pb) = segments(b)
+    // any segment-segment intersection
+    var i = 0
+    while (i < sa.length) {
+      var j = 0
+      while (j < sb.length) {
+        if (segsIntersect(sa(i), sa(i + 1), sa(i + 2), sa(i + 3), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)))
+          return true
+        j += 4
+      }
+      i += 4
+    }
+    // point containment either way (covers polygon-contains-polygon, point-on-line, etc.)
+    i = 0
+    while (i < pa.length) { if (locate(pa(i), pa(i + 1), b) > 0) return true; i += 2 }
+    i = 0
+    while (i < pb.length) { if (locate(pb(i), pb(i + 1), a) > 0) return true; i += 2 }
+    // a fully inside b or b fully inside a (no boundary contact): test one vertex
+    var ax = Double.NaN; var ay = Double.NaN
+    a.foreachCoord((x, y) => if (ax.isNaN) { ax = x; ay = y })
+    if (!ax.isNaN && locate(ax, ay, b) > 0) return true
+    var bx = Double.NaN; var by = Double.NaN
+    b.foreachCoord((x, y) => if (bx.isNaN) { bx = x; by = y })
+    if (!bx.isNaN && locate(bx, by, a) > 0) return true
+    false
+  }
+
+  /**
+   * `contains(a, b)`: b lies in a's closure with at least one interior point
+   * (GEOS/georust semantics: a point on the boundary only is NOT contained).
+   * Supported pair matrix mirrors the reference spatial join refinement
+   * (spatial_index.rs:89-137); general cases handled conservatively.
+   */
+  def contains(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    if (!a.envelope.contains(b.envelope)) return false
+    a match {
+      case _: Polygon | _: MultiPolygon =>
+        // all of b's vertices must be inside-or-boundary, at least one strictly inside,
+        // and no segment of b may properly cross a's boundary.
+        var anyInterior = false
+        var allIn = true
+        b.foreachCoord { (x, y) =>
+          val l = locate(x, y, a)
+          if (l == 0) allIn = false
+          if (l == 2) anyInterior = true
+        }
+        if (!allIn) return false
+        val (sa, _) = segments(a)
+        val (sb, _) = segments(b)
+        var i = 0
+        while (i < sb.length) {
+          // midpoint test catches chords that exit and re-enter through vertices
+          val mx = (sb(i) + sb(i + 2)) / 2; val my = (sb(i + 1) + sb(i + 3)) / 2
+          val lm = locate(mx, my, a)
+          if (lm == 0) return false
+          if (lm == 2) anyInterior = true
+          var j = 0
+          while (j < sa.length) {
+            if (properCross(sb(i), sb(i + 1), sb(i + 2), sb(i + 3), sa(j), sa(j + 1), sa(j + 2), sa(j + 3)))
+              return false
+            j += 4
+          }
+          i += 4
+        }
+        anyInterior
+      case line: LineString =>
+        b match {
+          case p: Point => !p.isEmpty && {
+            // on the line but not an endpoint-only touch
+            val cs = line.coords
+            if (locate(p.x, p.y, line) == 0) false
+            else if (line.isClosed) true
+            else !((p.x == cs(0) && p.y == cs(1)) ||
+                   (p.x == cs(cs.length - 2) && p.y == cs(cs.length - 1)))
+          }
+          case _ => false // line-contains-line not in the reference matrix
+        }
+      case p: Point =>
+        b match { case q: Point => p.x == q.x && p.y == q.y; case _ => false }
+      case m: MultiPoint =>
+        b match {
+          case q: Point => m.geoms.exists(p => p.x == q.x && p.y == q.y)
+          case _ => false
+        }
+      case m: MultiLineString => m.geoms.exists(contains(_, b))
+      case c: GeometryCollection => c.geoms.exists(contains(_, b))
+      case _ => false
+    }
+  }
+
+  private def properCross(ax1: Double, ay1: Double, ax2: Double, ay2: Double,
+                          bx1: Double, by1: Double, bx2: Double, by2: Double): Boolean = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    val d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    val d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    val d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) && ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  /** Min cartesian distance between two geometries (0 when intersecting). */
+  def distance(a: Geometry, b: Geometry): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return Double.NaN
+    if (intersects(a, b)) return 0.0
+    val (sa, pa) = segments(a)
+    val (sb, pb) = segments(b)
+    var best = Double.PositiveInfinity
+    def segSegDistSq(i: Int, j: Int): Double = {
+      // neither segment intersects (checked above) -> min of endpoint-to-segment distances
+      math.min(
+        math.min(ptSegDistSq(sa(i), sa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)),
+                 ptSegDistSq(sa(i + 2), sa(i + 3), sb(j), sb(j + 1), sb(j + 2), sb(j + 3))),
+        math.min(ptSegDistSq(sb(j), sb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3)),
+                 ptSegDistSq(sb(j + 2), sb(j + 3), sa(i), sa(i + 1), sa(i + 2), sa(i + 3))))
+    }
+    var i = 0
+    while (i < sa.length) {
+      var j = 0
+      while (j < sb.length) { val d = segSegDistSq(i, j); if (d < best) best = d; j += 4 }
+      j = 0
+      while (j < pb.length) {
+        val d = ptSegDistSq(pb(j), pb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3))
+        if (d < best) best = d
+        j += 2
+      }
+      i += 4
+    }
+    i = 0
+    while (i < pa.length) {
+      var j = 0
+      while (j < sb.length) {
+        val d = ptSegDistSq(pa(i), pa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3))
+        if (d < best) best = d
+        j += 4
+      }
+      j = 0
+      while (j < pb.length) {
+        val dx = pa(i) - pb(j); val dy = pa(i + 1) - pb(j + 1)
+        val d = dx * dx + dy * dy
+        if (d < best) best = d
+        j += 2
+      }
+      i += 2
+    }
+    math.sqrt(best)
+  }
+}
