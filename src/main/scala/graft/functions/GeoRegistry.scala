@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Registers every st_* expression in the session FunctionRegistry so the
+ * whole surface is callable from SQL (`selectExpr("st_area(geometry)")`) and
+ * from the DSL via `functions.call_function` (see [[st]]).
+ *
+ * Spark analog of the reference's module registration
+ * (py-geopolars/src/api.rs:13-37, one add_function per kernel).
+ */
+object GeoRegistry {
+
+  private[functions] def builderFor(name: String): Seq[Expression] => Expression = {
+    if (GeomKernels.unary.contains(name)) { exprs =>
+      require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+      GeomUnaryExpr(name, exprs.head)
+    } else if (GeomKernels.binary.contains(name)) { exprs =>
+      require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+      GeomBinaryExpr(name, exprs.head, exprs(1))
+    } else if (GeomKernels.withArgs.contains(name)) { exprs =>
+      val ar = GeomKernels.withArgs(name).arities
+      require(exprs.nonEmpty && ar.contains(exprs.length - 1),
+        s"$name expects geometry + ${ar.mkString("/")} args, got ${exprs.length}")
+      GeomArgsExpr(name, exprs)
+    } else { exprs =>
+      val ar = GeomKernels.constructors(name).arities
+      require(ar.contains(exprs.length), s"$name expects ${ar.mkString("/")} args, got ${exprs.length}")
+      GeomConstructorExpr(name, exprs)
+    }
+  }
+
+  /** Imperative registration on an existing session (tests, Verify, Bench). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    GeomKernels.allNames.foreach { name =>
+      registry.createOrReplaceTempFunction(name, builderFor(name), "built-in")
+    }
+  }
+}
+
+/**
+ * `spark.sql.extensions`-pluggable variant:
+ * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GeomKernels.allNames.foreach { name =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeomKernels", null, name),
+        GeoRegistry.builderFor(name)))
+    }
+  }
+}

@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geom.{Geometry => Geom, _}
+
+/**
+ * st_* scalar kernels over WKB `BinaryType` columns.
+ *
+ * This is the Spark re-expression of the reference's per-op kernel registry
+ * (reference: py-geopolars/src/api.rs:16-33 registers one pyfunction per
+ * GeoSeries op; trait surface geopolars-geo/src/geoseries.rs:10-181). Instead
+ * of Arrow-FFI'd Rust functions we register Catalyst `Expression`s so every
+ * op is usable from both the DataFrame DSL (`graft.functions.st`) and SQL
+ * (`selectExpr("st_area(geometry)")`), runs on executors with no FFI, and
+ * participates in Catalyst optimization (constant folding, null propagation,
+ * filter pushdown around them).
+ *
+ * All kernels are pure and stateless, hence streaming-safe (SURVEY §2.10).
+ * Invalid WKB evaluates to NULL (SQL-friendly analog of the reference's
+ * GeopolarsError, geopolars-geo/src/error.rs:8-50).
+ */
+object GeomKernels {
+  private def wkb(g: Geom): Array[Byte] = WKB.write(g)
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Unary geometry op: decoded geometry => Catalyst-internal value. */
+  final case class U(out: DataType, fn: Geom => Any)
+
+  // Semantics pinned to the reference (citations per entry in SURVEY §2.2).
+  val unary: Map[String, U] = Map(
+    "st_area"         -> U(DoubleType, g => Algos.area(g)),
+    "st_length"       -> U(DoubleType, g => Algos.length(g)),
+    "st_centroid"     -> U(BinaryType, g => wkb(Algos.centroid(g))),
+    "st_convexhull"   -> U(BinaryType, g => wkb(Algos.convexHull(g))),
+    "st_envelope"     -> U(BinaryType, g => wkb(Algos.envelopeGeom(g))),
+    "st_exteriorring" -> U(BinaryType, g => Algos.exteriorRing(g) match {
+      case null => null
+      case r    => wkb(r)
+    }),
+    "st_x"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.x; case _ => null }),
+    "st_y"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.y; case _ => null }),
+    "st_isempty"      -> U(BooleanType, g => g.isEmpty),
+    "st_isring"       -> U(BooleanType, g => Algos.isRing(g)),
+    "st_geometrytype" -> U(StringType, g => utf8(g.typeName)),
+    "st_geomtypeid"   -> U(IntegerType, g => g.typeId),
+    "st_numpoints"    -> U(IntegerType, g => g.numPoints),
+    "st_xmin"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.minX }),
+    "st_ymin"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.minY }),
+    "st_xmax"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.maxX }),
+    "st_ymax"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.maxY }),
+    "st_astext"       -> U(StringType, g => utf8(WKT.write(g))),
+    // st_dump: multi-part => parts, single => itself (reference explode,
+    // geoseries.rs:49-50); pair with Spark's built-in explode() for rows.
+    "st_dump"         -> U(ArrayType(BinaryType, containsNull = false),
+                           g => new GenericArrayData(Geom.parts(g).map(p => wkb(p): Any)))
+  )
+
+  /** Binary geometry op (row-aligned two-column semantics, geoseries.rs:141-146). */
+  final case class B(out: DataType, fn: (Geom, Geom) => Any)
+
+  val binary: Map[String, B] = Map(
+    "st_distance"   -> B(DoubleType, (a, b) => Algos.distance(a, b)),
+    "st_intersects" -> B(BooleanType, (a, b) => Algos.intersects(a, b)),
+    "st_contains"   -> B(BooleanType, (a, b) => Algos.contains(a, b)),
+    "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a))
+  )
+
+  private def d(v: Any): Double = v.asInstanceOf[Double]
+  private def s(v: Any): String = v.toString
+  private def origin(args: IndexedSeq[Any], i: Int): TransformOrigin =
+    if (args.length <= i || args(i) == null) TransformOrigin.Center
+    else TransformOrigin.parse(s(args(i)))
+
+  /**
+   * Geom + scalar-argument op. `arities` = accepted scalar-arg counts
+   * (beyond the leading geometry child).
+   */
+  final case class W(out: DataType, arities: Set[Int], fn: (Geom, IndexedSeq[Any]) => Any)
+
+  val withArgs: Map[String, W] = Map(
+    "st_simplify" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.simplify(g, d(a(0))))),
+    "st_geodesiclength" -> W(DoubleType, Set(0, 1), (g, a) => {
+      val m = if (a.isEmpty || a(0) == null) Geodesy.Method.Geodesic else Geodesy.Method.parse(s(a(0)))
+      Geodesy.geodesicLength(g, m)
+    }),
+    "st_transform" -> W(BinaryType, Set(2), (g, a) => wkb(CRS.transform(g, s(a(0)), s(a(1))))),
+    "st_affine" -> W(BinaryType, Set(6), (g, a) =>
+      wkb(AffineOps.affine(g, AffineMatrix(d(a(0)), d(a(1)), d(a(2)), d(a(3)), d(a(4)), d(a(5)))))),
+    "st_translate" -> W(BinaryType, Set(2), (g, a) => wkb(AffineOps.translate(g, d(a(0)), d(a(1))))),
+    "st_rotate" -> W(BinaryType, Set(1, 2), (g, a) => wkb(AffineOps.rotate(g, d(a(0)), origin(a, 1)))),
+    "st_scale" -> W(BinaryType, Set(2, 3), (g, a) => wkb(AffineOps.scale(g, d(a(0)), d(a(1)), origin(a, 2)))),
+    "st_skew" -> W(BinaryType, Set(2, 3), (g, a) => wkb(AffineOps.skew(g, d(a(0)), d(a(1)), origin(a, 2)))),
+    "st_dwithin" -> W(BooleanType, Set(2), (g, a) => {
+      // (geomA, geomB-wkb, dist) — geomB arrives as raw WKB bytes
+      val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
+      if (b == null) null else Algos.distance(g, b) <= d(a(1))
+    })
+  )
+
+  /** Constructors: plain scalars => WKB geometry. */
+  final case class C(out: DataType, arities: Set[Int], fn: IndexedSeq[Any] => Any)
+
+  val constructors: Map[String, C] = Map(
+    "st_point" -> C(BinaryType, Set(2), a => wkb(Point(d(a(0)), d(a(1))))),
+    "st_geomfromtext" -> C(BinaryType, Set(1), a => WKT.readOrNull(s(a(0))) match {
+      case null => null
+      case g    => wkb(g)
+    }),
+    "st_makeenvelope" -> C(BinaryType, Set(4), a => {
+      val (x0, y0, x1, y1) = (d(a(0)), d(a(1)), d(a(2)), d(a(3)))
+      wkb(Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))))
+    })
+  )
+
+  val allNames: Seq[String] =
+    (unary.keys ++ binary.keys ++ withArgs.keys ++ constructors.keys).toSeq.sorted
+}
+
+/** Unary st_* expression: WKB child, kernel looked up by name (stable plan equality). */
+case class GeomUnaryExpr(name: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val kernel = GeomKernels.unary(name)
+  override def dataType: DataType = kernel.out
+  override def nullable: Boolean = true
+  override def prettyName: String = name
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$name expects WKB BinaryType, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any = {
+    val g = WKB.readOrNull(input.asInstanceOf[Array[Byte]])
+    if (g == null) null else kernel.fn(g)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GeomUnaryExpr =
+    copy(child = newChild)
+}
+
+/** Binary st_* expression over two WKB columns (row-aligned, like the reference's distance). */
+case class GeomBinaryExpr(name: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  @transient private lazy val kernel = GeomKernels.binary(name)
+  override def dataType: DataType = kernel.out
+  override def nullable: Boolean = true
+  override def prettyName: String = name
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = WKB.readOrNull(l.asInstanceOf[Array[Byte]])
+    val b = WKB.readOrNull(r.asInstanceOf[Array[Byte]])
+    if (a == null || b == null) null else kernel.fn(a, b)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeomBinaryExpr =
+    copy(left = l, right = r)
+}
+
+/** Geom-plus-scalar-args st_* expression (simplify, affine family, transform, ...). */
+case class GeomArgsExpr(name: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  @transient private lazy val kernel = GeomKernels.withArgs(name)
+  override def dataType: DataType = kernel.out
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = name
+  override def eval(input: InternalRow): Any = {
+    val geomBytes = children.head.eval(input)
+    if (geomBytes == null) return null
+    val g = WKB.readOrNull(geomBytes.asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    val args = children.tail.map(_.eval(input)).toIndexedSeq
+    if (args.exists(_ == null)) return null
+    kernel.fn(g, args.map {
+      case u: UTF8String => u.toString
+      case i: Integer    => i.doubleValue(): Any
+      case l: java.lang.Long => l.doubleValue(): Any
+      case f: java.lang.Float => f.doubleValue(): Any
+      case dec: Decimal  => dec.toDouble: Any
+      case other         => other
+    })
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): GeomArgsExpr =
+    copy(children = cs)
+}
+
+/** Scalar-only constructors (st_point, st_geomfromtext, st_makeenvelope). */
+case class GeomConstructorExpr(name: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  @transient private lazy val kernel = GeomKernels.constructors(name)
+  override def dataType: DataType = kernel.out
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = name
+  override def eval(input: InternalRow): Any = {
+    val args = children.map(_.eval(input)).toIndexedSeq
+    if (args.exists(_ == null)) return null
+    kernel.fn(args.map {
+      case u: UTF8String => u.toString
+      case i: Integer    => i.doubleValue(): Any
+      case l: java.lang.Long => l.doubleValue(): Any
+      case f: java.lang.Float => f.doubleValue(): Any
+      case dec: Decimal  => dec.toDouble: Any
+      case other         => other
+    })
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): GeomConstructorExpr =
+    copy(children = cs)
+}

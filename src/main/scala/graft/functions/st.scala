@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{call_function, lit}
+
+/**
+ * Typed Scala facade over the registered st_* functions — the DSL analog of
+ * the reference's Python GeoSeries methods
+ * (python/geopolars/internals/georust/geoseries.py). Requires
+ * `GeoRegistry.register(spark)` (or GraftExtensions) on the session.
+ *
+ * Built on `call_function` so it stays agnostic to Column internals and the
+ * plans are identical to the SQL surface.
+ */
+object st {
+  // accessors
+  def area(g: Column): Column         = call_function("st_area", g)
+  def length(g: Column): Column       = call_function("st_length", g)
+  def centroid(g: Column): Column     = call_function("st_centroid", g)
+  def convexHull(g: Column): Column   = call_function("st_convexhull", g)
+  def envelope(g: Column): Column     = call_function("st_envelope", g)
+  def exteriorRing(g: Column): Column = call_function("st_exteriorring", g)
+  def x(g: Column): Column            = call_function("st_x", g)
+  def y(g: Column): Column            = call_function("st_y", g)
+  def isEmpty(g: Column): Column      = call_function("st_isempty", g)
+  def isRing(g: Column): Column       = call_function("st_isring", g)
+  def geometryType(g: Column): Column = call_function("st_geometrytype", g)
+  def geomTypeId(g: Column): Column   = call_function("st_geomtypeid", g)
+  def numPoints(g: Column): Column    = call_function("st_numpoints", g)
+  def xMin(g: Column): Column         = call_function("st_xmin", g)
+  def yMin(g: Column): Column         = call_function("st_ymin", g)
+  def xMax(g: Column): Column         = call_function("st_xmax", g)
+  def yMax(g: Column): Column         = call_function("st_ymax", g)
+  def asText(g: Column): Column       = call_function("st_astext", g)
+  def dump(g: Column): Column         = call_function("st_dump", g)
+
+  // binary predicates / measures (row-aligned, geoseries.rs:141-146)
+  def distance(a: Column, b: Column): Column   = call_function("st_distance", a, b)
+  def intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def contains(a: Column, b: Column): Column   = call_function("st_contains", a, b)
+  def within(a: Column, b: Column): Column     = call_function("st_within", a, b)
+  def dWithin(a: Column, b: Column, dist: Column): Column =
+    call_function("st_dwithin", a, b, dist)
+
+  // transforms
+  def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  def geodesicLength(g: Column): Column = call_function("st_geodesiclength", g)
+  def geodesicLength(g: Column, method: String): Column =
+    call_function("st_geodesiclength", g, lit(method))
+  def transform(g: Column, from: String, to: String): Column =
+    call_function("st_transform", g, lit(from), lit(to))
+  def affine(g: Column, a: Double, b: Double, d: Double, e: Double, xoff: Double, yoff: Double): Column =
+    call_function("st_affine", g, lit(a), lit(b), lit(d), lit(e), lit(xoff), lit(yoff))
+  def translate(g: Column, dx: Column, dy: Column): Column = call_function("st_translate", g, dx, dy)
+  def rotate(g: Column, deg: Column): Column = call_function("st_rotate", g, deg)
+  def rotate(g: Column, deg: Column, origin: String): Column =
+    call_function("st_rotate", g, deg, lit(origin))
+  def scale(g: Column, xf: Column, yf: Column): Column = call_function("st_scale", g, xf, yf)
+  def scale(g: Column, xf: Column, yf: Column, origin: String): Column =
+    call_function("st_scale", g, xf, yf, lit(origin))
+  def skew(g: Column, xs: Column, ys: Column): Column = call_function("st_skew", g, xs, ys)
+  def skew(g: Column, xs: Column, ys: Column, origin: String): Column =
+    call_function("st_skew", g, xs, ys, lit(origin))
+
+  // constructors
+  def point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def geomFromText(wkt: Column): Column   = call_function("st_geomfromtext", wkt)
+  def makeEnvelope(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    call_function("st_makeenvelope", x0, y0, x1, y1)
+}

@@ -31,8 +31,8 @@ class GeomKernelSpec extends AnyFunSuite {
     for (w <- fixtures) {
       val g = pg(w)
       val rt = WKB.read(WKB.write(g))
-      assert(rt == g, s"roundtrip failed for $w")
-      assert(WKT.write(rt) == WKT.write(g))
+      // case-class == fails on NaN coords (empty points); WKT text is canonical
+      assert(WKT.write(rt) == WKT.write(g), s"roundtrip failed for $w")
     }
   }
 
@@ -270,7 +270,7 @@ class GeomKernelSpec extends AnyFunSuite {
 
   test("CRS: WebMercator round-trip and known values") {
     val (x, y) = CRS.lonLatToWebMercator(0, 0)
-    assert(x == 0.0 && y == 0.0)
+    assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6)
     val (x2, _) = CRS.lonLatToWebMercator(180, 0)
     assert(math.abs(x2 - 20037508.34) < 0.01)
     props(100) { rnd =>
