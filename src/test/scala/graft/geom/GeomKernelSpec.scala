@@ -282,10 +282,10 @@ class GeomKernelSpec extends AnyFunSuite {
     // UTM zone 31N at (3E, 0N): easting 500km at central meridian
     val (e, n) = CRS.lonLatToUtm(3, 0, 31, north = true)
     assert(math.abs(e - 500000) < 1e-6 && math.abs(n) < 1e-6)
-    // UTM 31N Paris ≈ (448251.80, 5411943.51)
+    // UTM 31N Paris (independent Krüger order-6 check): (452482.53, 5411717.18)
     val (pe, pn) = CRS.lonLatToUtm(2.3522, 48.8566, 31, north = true)
-    assert(math.abs(pe - 448251.8) < 1.0, s"easting=$pe")
-    assert(math.abs(pn - 5411943.5) < 1.0, s"northing=$pn")
+    assert(math.abs(pe - 452482.53) < 0.5, s"easting=$pe")
+    assert(math.abs(pn - 5411717.18) < 0.5, s"northing=$pn")
   }
 
   test("explode parts") {
