@@ -1,0 +1,110 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.geom._
+
+/**
+ * Join semantics transliterated from the reference's only executable golden
+ * joins (geopolars/src/spatial_index.rs:432-556; FIXTURES.md §3):
+ * 9 points x 1 polygon => inner shape (2,4), left shape (9,4), suffixes.
+ */
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pt(x: Double, y: Double) = WKB.write(Point(x, y))
+
+  private lazy val pointsDf = Seq(
+    (pt(0, 10), 1.0), (pt(1, 1), 2.0), (pt(10, 1), 3.0), (pt(1, -1), 4.0),
+    (pt(0, -10), 5.0), (pt(-1, -1), 6.0), (pt(-10, 0), 7.0), (pt(-1, 1), 8.0),
+    (pt(0, 10), 9.0)
+  ).toDF("geometry", "point_values")
+
+  private lazy val polygonDf = Seq(
+    (WKB.write(Polygon(Array(Array(0.0, 0, 20, 0, 20, 20, 0, 20, 0, 0)))), "test")
+  ).toDF("geometry", "string_col")
+
+  test("STRtree envelope query matches indices {0,1,2,8} (spatial_index.rs:361-395)") {
+    val pts = Array((0.0, 10.0), (1.0, 1.0), (10.0, 1.0), (1.0, -1.0), (0.0, -10.0),
+      (-1.0, -1.0), (-10.0, 0.0), (-1.0, 1.0), (0.0, 10.0))
+    val tree = STRtree.build(pts.map { case (x, y) => Envelope(x, y, x, y) })
+    val hits = tree.queryToBuffer(Envelope(0, 0, 20, 20)).sorted
+    assert(hits == Seq(0, 1, 2, 8))
+  }
+
+  test("STRtree polygon envelopes: box query matches only quadrant +x+y (spatial_index.rs:397-430)") {
+    val tree = STRtree.build(Array(Envelope(0, 0, 10, 10), Envelope(-10, -10, 0, 0)))
+    // strictly inside the +x+y polygon, away from the shared corner (0,0)
+    assert(tree.queryToBuffer(Envelope(5, 5, 6, 6)).sorted == Seq(0))
+  }
+
+  test("inner join: shape (2,4) with _left/_right suffixes (spatial_index.rs:479-480)") {
+    val out = SpatialJoin.join(pointsDf, polygonDf, SpatialJoin.Predicate.Intersects, "inner")
+    assert(out.columns.toSeq ==
+      Seq("geometry_left", "point_values_left", "geometry_right", "string_col_right"))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getDouble(1)).sorted.toSeq == Seq(2.0, 3.0)) // (1,1), (10,1)
+    assert(rows.forall(_.getString(3) == "test"))
+  }
+
+  test("left join: shape (9,4), unmatched rows null-completed (spatial_index.rs:535-552)") {
+    val out = SpatialJoin.join(pointsDf, polygonDf, SpatialJoin.Predicate.Intersects, "left")
+    val rows = out.collect()
+    assert(rows.length == 9)
+    assert(rows.count(!_.isNullAt(3)) == 2)
+    assert(rows.count(_.isNullAt(3)) == 7)
+  }
+
+  test("contains: polygon side contains point side") {
+    val out = SpatialJoin.join(polygonDf, pointsDf, SpatialJoin.Predicate.Contains, "inner",
+      lSuffix = "_l", rSuffix = "_r")
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("geometry_l", "string_col_l", "geometry_r", "point_values_r"))
+  }
+
+  test("custom suffixes (spatial_index.rs suffix test)") {
+    val out = SpatialJoin.join(pointsDf, polygonDf, SpatialJoin.Predicate.Intersects, "inner",
+      lSuffix = "_a", rSuffix = "_b")
+    assert(out.columns.toSeq == Seq("geometry_a", "point_values_a", "geometry_b", "string_col_b"))
+  }
+
+  test("gridJoin matches broadcast join results") {
+    val bcast = SpatialJoin.join(pointsDf, polygonDf, SpatialJoin.Predicate.Intersects, "inner")
+      .select("point_values_left").as[Double].collect().sorted.toSeq
+    val grid = SpatialJoin.gridJoin(pointsDf, polygonDf, cellSize = 7.0,
+      predicate = SpatialJoin.Predicate.Intersects, joinType = "inner")
+      .select("point_values_left").as[Double].collect().sorted.toSeq
+    assert(grid == bcast)
+    // left-join parity too
+    val gl = SpatialJoin.gridJoin(pointsDf, polygonDf, cellSize = 7.0,
+      predicate = SpatialJoin.Predicate.Intersects, joinType = "left")
+    assert(gl.count() == 9)
+  }
+
+  test("larger randomized parity: broadcast vs grid vs brute force") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(i => (WKB.write(Point(rnd.nextDouble() * 100, rnd.nextDouble() * 100)), i))
+    val polys = (1 to 20).map { j =>
+      val x = rnd.nextDouble() * 90; val y = rnd.nextDouble() * 90
+      val w = rnd.nextDouble() * 10 + 1; val h = rnd.nextDouble() * 10 + 1
+      (WKB.write(Polygon(Array(Array(x, y, x + w, y, x + w, y + h, x, y + h, x, y)))), j)
+    }
+    val pdf = pts.toDF("geometry", "pid")
+    val gdf = polys.toDF("geometry", "gid")
+    // brute force oracle
+    val expected = (for {
+      (pw, pid) <- pts
+      (gw, gid) <- polys
+      if SpatialJoin.refine(SpatialJoin.Predicate.Intersects, WKB.read(pw), WKB.read(gw))
+    } yield (pid, gid)).sorted
+    val bcast = SpatialJoin.join(pdf, gdf, SpatialJoin.Predicate.Intersects, "inner")
+      .select("pid_left", "gid_right").as[(Int, Int)].collect().sorted.toSeq
+    val grid = SpatialJoin.gridJoin(pdf, gdf, cellSize = 13.0)
+      .select("pid_left", "gid_right").as[(Int, Int)].collect().sorted.toSeq
+    assert(bcast == expected)
+    assert(grid == expected)
+  }
+}
