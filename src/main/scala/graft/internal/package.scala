@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.GraftColumnBridge
+
+/** Bridges between Catalyst Expressions and the Spark 4 Column API. */
+package object internal {
+  def exprColumn(e: Expression): Column = GraftColumnBridge.column(e)
+  def columnExpr(c: Column): Expression = GraftColumnBridge.expression(c)
+}

@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.internal.{columnExpr, exprColumn}
+
+/**
+ * Distributed deduplication operators for training-data pipelines
+ * (BASELINE.json capability extension; no reference counterpart).
+ *
+ * Every operator is a declarative DataFrame pipeline — shuffles happen only
+ * on the grouping keys Catalyst sees (hash of content, LSH band buckets),
+ * map-side partial aggregation applies, and nothing is collected to the
+ * driver, so each scales to 100 TB inputs given enough executors:
+ *  - exact: one shuffle on the content hash.
+ *  - minhashLsh: explode to (band, bucket) keys — self-join happens only
+ *    WITHIN tiny buckets (the LSH guarantee), never a cross join.
+ *  - simhashDup: 4x16-bit chunk bucketing => candidate pairs at Hamming
+ *    distance <= 3 are guaranteed to share >= 1 chunk (pigeonhole).
+ */
+object Dedup {
+
+  /**
+   * Exact dedup on a content column: keeps the row with the smallest `idCol`
+   * per distinct content (deterministic representative).
+   */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Group-by summary of exact duplicates: content hash -> group size + representative. */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("representative"))
+
+  /**
+   * MinHash + LSH near-duplicate pairs.
+   *
+   * numHashes = bands * rowsPerBand. Two docs collide in a band iff their
+   * signatures agree on all rowsPerBand hashes of that band; collision
+   * probability is the classic S-curve 1-(1-s^r)^b over true Jaccard s.
+   * Candidates are verified with exact n-gram Jaccard >= `threshold`.
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per near-dup pair.
+   */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+
+    val sig = df.select(
+      col(idCol).cast("long").as("id"),
+      col(textCol).as("text"),
+      exprColumn(MinHashSig(Seq(columnExpr(col(textCol)), columnExpr(lit(numHashes)),
+        columnExpr(lit(shingleSize))))).as("sig"))
+
+    // band bucket = hash of the band's slice of the signature
+    val banded = sig.select(
+      col("id"), col("text"),
+      posexplode(
+        // array of band-slices: transform over band indices
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+             s"xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band", "bucket")))
+
+    // self-join within (band, bucket) — LSH keeps buckets tiny
+    val a = banded.select($"band", $"bucket", $"id".as("id_a"), $"text".as("text_a"))
+    val b = banded.select($"band", $"bucket", $"id".as("id_b"), $"text".as("text_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"text_a", $"text_b")
+      .distinct()
+
+    candidates
+      .withColumn("jaccard",
+        exprColumn(NgramJaccard(Seq(columnExpr($"text_a"), columnExpr($"text_b"),
+          columnExpr(lit(shingleSize))))))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit simhash, bucketed by each of four 16-bit
+   * chunks; pairs sharing a chunk are verified by exact Hamming distance.
+   */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sim = df.select(
+      col(idCol).cast("long").as("id"),
+      exprColumn(SimHash64(columnExpr(col(textCol)))).as("sim"))
+
+    val chunked = sim.select(
+      $"id", $"sim",
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (shiftright(sim, c * 16) & 65535))"))
+        .as(Seq("chunk", "bucket")))
+
+    val a = chunked.select($"chunk", $"bucket", $"id".as("id_a"), $"sim".as("sim_a"))
+    val b = chunked.select($"chunk", $"bucket", $"id".as("id_b"), $"sim".as("sim_b"))
+    a.join(b, Seq("chunk", "bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sim_a", $"sim_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  /**
+   * Word-set Jaccard similarity of all pairs above a threshold, via a
+   * shared-token inverted index (no cross join): rare tokens key the
+   * candidate generation. `maxDf` drops tokens appearing in more than that
+   * many docs (stop-token guard — without it the index degenerates).
+   * Built entirely from codegen'd built-ins.
+   */
+  def tokenJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxDf: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(
+      col(idCol).cast("long").as("id"),
+      array_distinct(split(trim(col(textCol)), "\\s+")).as("tokens"))
+
+    val posting = docs.select($"id", explode($"tokens").as("token"))
+    val rare = posting.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf && $"df" >= 2)
+    val filtered = posting.join(broadcast(rare), "token")
+
+    val cand = filtered.as("x").join(filtered.as("y"), "token")
+      .filter($"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"))
+      .distinct()
+
+    cand.join(docs.select($"id".as("id_a"), $"tokens".as("tok_a")), "id_a")
+      .join(docs.select($"id".as("id_b"), $"tokens".as("tok_b")), "id_b")
+      .withColumn("inter", size(array_intersect($"tok_a", $"tok_b")))
+      .withColumn("uni", size($"tok_a") + size($"tok_b") - $"inter")
+      .withColumn("jaccard", $"inter" / $"uni")
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /**
+   * Embedding near-duplicate pairs: random-hyperplane LSH buckets (sign bits
+   * of `planes` fixed pseudo-random projections), verify cosine >= threshold
+   * inside buckets. Deterministic planes from a seeded hash so results are
+   * reproducible.
+   */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 12,
+      threshold: Double = 0.95): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planeMat: Array[Array[Double]] = Array.tabulate(planes, dim) { (p, d) =>
+      // deterministic pseudo-gaussian from the stable kernel hash
+      val h = TextKernels.hash64(s"$p:$d", 42)
+      (h.toDouble / Long.MaxValue)
+    }
+    val bcPlanes = spark.sparkContext.broadcast(planeMat)
+
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val ps = bcPlanes.value
+      var sig = 0L
+      var p = 0
+      while (p < ps.length) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * ps(p)(i); i += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", sigUdf($"vec"))
+
+    val a = withSig.select($"bucket", $"id".as("id_a"), $"vec".as("vec_a"))
+    val b = withSig.select($"bucket", $"id".as("id_b"), $"vec".as("vec_b"))
+    val cosUdf = udf { (x: Seq[Float], y: Seq[Float]) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    a.join(b, Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cosine", cosUdf($"vec_a", $"vec_b"))
+      .filter($"cosine" >= threshold)
+      .select($"id_a", $"id_b", $"cosine")
+  }
+}

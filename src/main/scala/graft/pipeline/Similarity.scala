@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`), BASELINE.json capability extension.
+ *
+ * Two paths:
+ *  - bruteForceTopK: exact cosine top-k. The dot product is a codegen'd
+ *    higher-order `aggregate(zip_with(...))` — no UDF, no shuffle until the
+ *    final k-row TakeOrdered. Scan-dominated: at 100 TB this is one pass.
+ *  - lshTopK: random-hyperplane bucket index; probes only rows whose bucket
+ *    is within `maxProbeHamming` of the query bucket — trades recall for a
+ *    large scan reduction. At scale, combine with bucket-partitioned storage
+ *    so probing prunes files (the bucket column becomes a partition key).
+ */
+object Similarity {
+
+  /** Cosine similarity column between an array<float/double> col and a literal query vector. */
+  def cosineCol(vecCol: String, query: Array[Double]) = {
+    val q = typedLit(query)
+    val dot = aggregate(zip_with(col(vecCol), q, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+    val nv = sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x))
+    val nq = math.sqrt(query.map(x => x * x).sum)
+    dot / (nv * lit(nq))
+  }
+
+  /** Exact cosine top-k against one query vector. Output: (id, cosine) desc. */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int): DataFrame =
+    df.select(col(idCol), cosineCol(vecCol, query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** Deterministic hyperplanes shared with Dedup.embeddingNearDupPairs. */
+  private[pipeline] def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      TextKernels.hash64(s"$p:$d", 42).toDouble / Long.MaxValue
+    }
+
+  private def bucketOf(v: Array[Double], ps: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < ps.length) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * ps(p)(i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /**
+   * LSH-bucketed ANN top-k: restrict the exact scoring to rows whose
+   * hyperplane bucket is within `maxProbeHamming` bits of the query's.
+   */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      numPlanes: Int = 12,
+      maxProbeHamming: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ps = planes(numPlanes, df.selectExpr(s"size($vecCol)").head.getInt(0))
+    val bcPlanes = spark.sparkContext.broadcast(ps)
+    val qBucket = bucketOf(query, ps)
+
+    val bucketUdf = udf { (v: Seq[Float]) =>
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { arr(i) = v(i); i += 1 }
+      bucketOf(arr, bcPlanes.value)
+    }
+    df.withColumn("__bucket", bucketUdf(col(vecCol)))
+      .filter(expr(s"bit_count(__bucket ^ ${qBucket}L) <= $maxProbeHamming"))
+      .select(col(idCol), cosineCol(vecCol, query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * All-pairs top-k per probe row against a broadcast-sized query set
+   * (k-NN join): crossJoin(broadcast(queries)) + windowed rank. The big side
+   * streams; the query side must be small (it is broadcast).
+   */
+  def knnJoin(
+      data: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int): DataFrame = {
+    val dotCol = aggregate(
+      zip_with(col(vecCol), col(qVecCol), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+    val nData = sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x))
+    val nQ = sqrt(aggregate(col(qVecCol), lit(0.0d), (acc, x) => acc + x * x))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cosine"), col(idCol))
+    data.crossJoin(broadcast(queries))
+      .withColumn("cosine", dotCol / (nData * nQ))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+}

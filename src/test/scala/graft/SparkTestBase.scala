@@ -14,6 +14,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GeoRegistry.register(s)
+    graft.pipeline.TextRegistry.register(s)
     s
   }
 }
