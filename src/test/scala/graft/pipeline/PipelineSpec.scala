@@ -113,12 +113,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(dec.columns.contains("decoded_width") && dec.count() == 2)
     assert(dec.filter($"media_id" === 2).head.getAs[Int]("decoded_width") == 0)
     val feat = Multimodal.extractFeatures(media, "payload", dim = 8)
-    assert(feat.head.getAs[Seq[Float]]("features").length == 8)
+    assert(feat.head.getAs[scala.collection.Seq[Float]]("features").length == 8)
     // determinism: same payload -> same features
     val f1 = Multimodal.extractFeatures(media, "payload", 8).filter($"media_id" === 1)
-      .head.getAs[Seq[Float]]("features")
+      .head.getAs[scala.collection.Seq[Float]]("features")
     val f2 = Multimodal.extractFeatures(media, "payload", 8).filter($"media_id" === 1)
-      .head.getAs[Seq[Float]]("features")
+      .head.getAs[scala.collection.Seq[Float]]("features")
     assert(f1 == f2)
     val frames = Multimodal.sampleFrames(media, "duration_ms", 400L)
     assert(frames.filter($"media_id" === 1).count() == 3) // 0,400,800
