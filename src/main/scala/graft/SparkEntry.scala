@@ -1,13 +1,598 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoRegistry
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, TextRegistry}
+import graft.spatial.SpatialJoin
+
+/**
+ * Driver contract: one entry per implemented operator (SURVEY.md §2 + the
+ * BASELINE.json pipeline extensions), with a DuckDB-runnable oracle where the
+ * semantics are ANSI-SQL-expressible.
+ *
+ * Oracle design notes (no DuckDB spatial extension is available offline):
+ * geometry inputs are synthesized DETERMINISTICALLY from integer keys
+ * (FIXTURES.md §6), so every st_* result is analytically computable in plain
+ * SQL — both engines then produce bit-identical doubles (integer-derived
+ * doubles are exact; sqrt/trig are correctly-rounded or tolerance-rounded via
+ * round()). Aggregated currency uses decimal casts so sums are
+ * order-independent and exact on both engines.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def init(spark: SparkSession): SparkSession = {
+    GeoRegistry.register(spark)
+    TextRegistry.register(spark)
+    spark
+  }
+
+  private def view(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach { n =>
+      val df = spark.read.parquet(s"$dir/$n.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+      // rejects; Verify/Bench set spark.sql.legacy.parquet.nanosAsLong so it
+      // arrives as a long we convert back to a timestamp (micro precision).
+      val fixed =
+        if (n == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df
+      fixed.createOrReplaceTempView(n)
+    }
+
+  /** Deterministic 64-dim query vector shared by Spark + oracle. */
+  private[graft] val queryVec: Array[Double] =
+    Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+  private def queryVecSql: String = queryVec.mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship: spatial join (customer points in region boxes) + aggregation
+    * on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q20_spatial_join")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------- catalog
+
+  /** Customer point synthesis (shared Spark-side SQL fragment). */
+  private val custPt =
+    "st_point(cast(c_custkey % 360 - 180 as double), cast((c_custkey * 7) % 160 - 80 as double))"
+  private val custX = "cast(c_custkey % 360 - 180 as double)"
+  private val custY = "cast((c_custkey * 7) % 160 - 80 as double)"
+  // square polygon: corner (x, y), side s = custkey % 10 + 1
+  private val custSide = "cast(c_custkey % 10 + 1 as double)"
+
+  private def sqlQuery(tables: Seq[String], text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { init(s); view(s, dir, tables: _*); s.sql(text) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== relational surface (inherited ops: scan/filter/agg/join/window/sort/setop)
+
+    "q1_agg" -> sqlQuery(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(20,2))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(20,2))) as double) AS sum_price,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q2_join_agg" -> sqlQuery(Seq("orders", "customer", "nation"),
+      """SELECT n.n_name AS nation,
+        |  cast(sum(cast(o.o_totalprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin),
+
+    "q3_window" -> sqlQuery(Seq("orders"),
+      """SELECT o_custkey, o_orderkey, cast(o_orderdate as date) AS od
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin),
+
+    "q4_sort_limit" -> sqlQuery(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin),
+
+    "q5_setop" -> sqlQuery(Seq("orders", "customer"),
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q6_filter_prune" -> sqlQuery(Seq("lineitem"),
+      """SELECT
+        |  cast(sum(cast(l_extendedprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    "q7_events_agg" -> sqlQuery(Seq("events"),
+      """SELECT event_type, cast(ts as date) AS day,
+        |  cast(count(*) as bigint) AS n_events,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total_value,
+        |  cast(count(DISTINCT user_id) as bigint) AS users
+        |FROM events
+        |GROUP BY event_type, cast(ts as date)
+        |ORDER BY event_type, day""".stripMargin),
+
+    "q8_topk_per_group" -> sqlQuery(Seq("supplier", "nation"),
+      """SELECT n_name, s_suppkey, s_acctbal, rnk FROM (
+        |  SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |                       ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin),
+
+    // ===== st_* scalar surface over synthesized geometry (SURVEY §2.2-2.3)
+
+    "q10_geo_accessors" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_x($custPt) AS px, st_y($custPt) AS py,
+         |  st_geomtypeid($custPt) AS tid,
+         |  st_numpoints($custPt) AS npts,
+         |  st_isempty($custPt) AS empty
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q11_geo_translate" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_x(st_translate($custPt, 1.5, 2.5)) AS tx,
+         |  st_y(st_translate($custPt, 1.5, 2.5)) AS ty,
+         |  st_x(st_affine($custPt, 2.0, 0.0, 0.0, 2.0, 10.0, 0.0)) AS ax
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q12_geo_area_length" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_area(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS area,
+         |  st_length(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS perimeter
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q13_geo_distance" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_distance($custPt, st_point(0.0, 0.0)) AS dist_origin
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q14_geo_centroid" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_x(st_centroid(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS cx,
+         |  st_y(st_centroid(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS cy
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q15_geo_envelope" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_xmin(e) AS exmin, st_ymin(e) AS eymin, st_xmax(e) AS exmax, st_ymax(e) AS eymax,
+         |  st_numpoints(st_convexhull(e)) AS hull_pts,
+         |  st_area(st_convexhull(e)) AS hull_area
+         |FROM (SELECT c_custkey,
+         |        st_envelope(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS e
+         |      FROM customer)
+         |ORDER BY c_custkey""".stripMargin),
+
+    "q16_geo_contains" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_contains(st_makeenvelope(-90.0, -45.0, 90.0, 45.0), $custPt) AS in_box,
+         |  st_within($custPt, st_makeenvelope(-90.0, -45.0, 90.0, 45.0)) AS within_box,
+         |  st_intersects($custPt, $custPt) AS self_isect
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q17_geo_geodesic" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_geodesiclength(st_geomfromtext(
+         |    concat('LINESTRING (0 0, ', $custX / 2.0, ' ', $custY / 2.0, ')')), 'haversine'), 2) AS hav_m
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q18_geo_transform" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_x(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) AS mercator_x,
+         |  round(st_y(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) AS mercator_y
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q19_geo_rotate_scale" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_x(st_rotate($custPt, 90.0, '0,0')), 6) AS rx,
+         |  round(st_y(st_rotate($custPt, 90.0, '0,0')), 6) AS ry,
+         |  st_x(st_scale($custPt, 3.0, 2.0, '0,0')) AS sx,
+         |  round(st_x(st_skew($custPt, 45.0, 0.0, '0,0')), 6) AS kx
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // ===== spatial join operator (SURVEY §2.4)
+
+    "q20_spatial_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", s"$custPt AS geometry")
+      val boxes = s.range(5).selectExpr(
+        "cast(id as int) AS box_id",
+        "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS geometry")
+      SpatialJoin.join(cust, boxes, SpatialJoin.Predicate.Intersects, "inner")
+        .groupBy(col("box_id_right").as("box_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("c_custkey_left")).as("key_sum"))
+        .orderBy("box_id")
+    }),
+
+    "q21_spatial_join_left" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", s"$custPt AS geometry")
+      val box = s.range(1).selectExpr(
+        "st_makeenvelope(-90.0, -45.0, 90.0, 45.0) AS geometry", "'inner_box' AS tag")
+      SpatialJoin.join(cust, box, SpatialJoin.Predicate.Intersects, "left")
+        .selectExpr("c_custkey_left AS c_custkey",
+          "CASE WHEN tag_right IS NULL THEN 0 ELSE 1 END AS matched")
+        .orderBy("c_custkey")
+    }),
+
+    // ===== explode / st_dump (SURVEY §2.4 explode)
+
+    "q22_geo_dump_explode" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey, st_x(part) AS part_x, st_y(part) AS part_y
+         |FROM (
+         |  SELECT c_custkey, explode(st_dump(st_geomfromtext(
+         |    concat('MULTIPOINT ((', $custX, ' ', $custY, '), (', $custX + 10.0, ' ', $custY, '))')))) AS part
+         |  FROM customer)
+         |ORDER BY c_custkey, part_x""".stripMargin),
+
+    "q23_geo_simplify" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_numpoints(st_simplify(st_geomfromtext(concat(
+         |    'LINESTRING (', $custX, ' 0, ', $custX + 1.0, ' 0.01, ', $custX + 2.0, ' 0)')), 0.5)) AS pts_loose,
+         |  st_numpoints(st_simplify(st_geomfromtext(concat(
+         |    'LINESTRING (', $custX, ' 0, ', $custX + 1.0, ' 0.01, ', $custX + 2.0, ' 0)')), 0.001)) AS pts_tight
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // ===== text-analysis pipeline ops
+
+    "q30_doc_tokens" -> sqlQuery(Seq("documents"),
+      """SELECT doc_id,
+        |  size(regexp_extract_all(text, '\\S+', 0)) AS n_tokens,
+        |  size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_subwords,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q31_doc_quality" -> ((s: SparkSession, dir: String) => {
+      init(s); view(s, dir, "documents")
+      s.table("documents")
+        .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q32_dedup_prefix_groups" -> sqlQuery(Seq("documents"),
+      """SELECT substring(text, 1, 30) AS prefix,
+        |  cast(count(*) as bigint) AS dup_count,
+        |  min(doc_id) AS representative
+        |FROM documents
+        |GROUP BY substring(text, 1, 30)
+        |HAVING count(*) > 1
+        |ORDER BY prefix""".stripMargin),
+
+    "q33_dedup_exact_count" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "substring(text, 1, 30) AS content")
+      Dedup.exact(docs, "doc_id", "content")
+        .agg(count(lit(1)).as("distinct_docs"))
+    }),
+
+    "q34_token_jaccard" -> sqlQuery(Seq("documents"),
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(cast(size(array_intersect(a.toks, b.toks)) as double) /
+        |        cast(size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks)) as double), 6) AS jaccard
+        |FROM
+        |  (SELECT doc_id, array_distinct(split(trim(text), '\\s+')) AS toks FROM documents WHERE doc_id < 60) a
+        |  JOIN
+        |  (SELECT doc_id, array_distinct(split(trim(text), '\\s+')) AS toks FROM documents WHERE doc_id < 60) b
+        |  ON a.doc_id < b.doc_id
+        |WHERE cast(size(array_intersect(a.toks, b.toks)) as double) /
+        |      cast(size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks)) as double) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q35_minhash_lsh" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q36_simhash" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q37_fingerprint_langid" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.analyze(docs, "doc_id", "text")
+        .select("doc_id", "n_tokens", "lang_pred", "fingerprint")
+        .orderBy("doc_id")
+    }),
+
+    // ===== embedding similarity ops
+
+    "q40_emb_cosine" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 100)
+      emb.select(col("vec_id"),
+          round(Similarity.cosineCol("embedding", queryVec), 6).as("cosine"))
+        .orderBy("vec_id")
+    }),
+
+    "q41_emb_topk" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q42_emb_neardup" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+        planes = 6, threshold = 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q43_emb_knn" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+        .selectExpr("vec_id AS q_id", "embedding AS q_vec")
+      Similarity.knnJoin(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 5)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Haversine formula matching graft.geom.Geodesy.haversine (R=6371008.8). */
+  private def havSql(x: String, y: String): String =
+    s"""round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+       |  sin(radians($y) / 2) * sin(radians($y) / 2) +
+       |  cos(0.0) * cos(radians($y)) * sin(radians($x) / 2) * sin(radians($x) / 2)
+       |))), 2)""".stripMargin
+
+  private val oCustX = "cast(c_custkey % 360 - 180 as double)"
+  private val oCustY = "cast((c_custkey * 7) % 160 - 80 as double)"
+  private val oSide = "cast(c_custkey % 10 + 1 as double)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(20,2))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(20,2))) as double) AS sum_price,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT n.n_name AS nation,
+        |  cast(sum(cast(o.o_totalprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
+    "q3_window" ->
+      """SELECT o_custkey, o_orderkey, cast(o_orderdate as date) AS od
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q4_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q5_setop" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_filter_prune" ->
+      """SELECT
+        |  cast(sum(cast(l_extendedprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_events_agg" ->
+      """SELECT event_type, cast(ts as date) AS day,
+        |  cast(count(*) as bigint) AS n_events,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total_value,
+        |  cast(count(DISTINCT user_id) as bigint) AS users
+        |FROM events
+        |GROUP BY event_type, cast(ts as date)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q8_topk_per_group" ->
+      """SELECT n_name, s_suppkey, s_acctbal, rnk FROM (
+        |  SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |                       ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+
+    "q10_geo_accessors" ->
+      s"""SELECT c_custkey,
+         |  $oCustX AS px, $oCustY AS py,
+         |  0 AS tid, 1 AS npts, false AS empty
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q11_geo_translate" ->
+      s"""SELECT c_custkey,
+         |  $oCustX + 1.5 AS tx,
+         |  $oCustY + 2.5 AS ty,
+         |  2.0 * $oCustX + 10.0 AS ax
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q12_geo_area_length" ->
+      s"""SELECT c_custkey,
+         |  $oSide * $oSide AS area,
+         |  4.0 * $oSide AS perimeter
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q13_geo_distance" ->
+      s"""SELECT c_custkey,
+         |  sqrt($oCustX * $oCustX + $oCustY * $oCustY) AS dist_origin
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q14_geo_centroid" ->
+      s"""SELECT c_custkey,
+         |  $oCustX + $oSide / 2.0 AS cx,
+         |  $oCustY + $oSide / 2.0 AS cy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q15_geo_envelope" ->
+      s"""SELECT c_custkey,
+         |  $oCustX AS exmin, $oCustY AS eymin,
+         |  $oCustX + $oSide AS exmax, $oCustY + $oSide AS eymax,
+         |  5 AS hull_pts,
+         |  $oSide * $oSide AS hull_area
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q16_geo_contains" ->
+      s"""SELECT c_custkey,
+         |  ($oCustX > -90 AND $oCustX < 90 AND $oCustY > -45 AND $oCustY < 45) AS in_box,
+         |  ($oCustX > -90 AND $oCustX < 90 AND $oCustY > -45 AND $oCustY < 45) AS within_box,
+         |  true AS self_isect
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q17_geo_geodesic" ->
+      s"""SELECT c_custkey,
+         |  ${havSql(s"$oCustX / 2.0", s"$oCustY / 2.0")} AS hav_m
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q18_geo_transform" ->
+      s"""SELECT c_custkey,
+         |  round(6378137.0 * radians($oCustX), 2) AS mercator_x,
+         |  round(6378137.0 * ln(tan(pi() / 4 + radians($oCustY) / 2)), 2) AS mercator_y
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q19_geo_rotate_scale" ->
+      s"""SELECT c_custkey,
+         |  round(cos(radians(90)) * $oCustX - sin(radians(90)) * $oCustY, 6) AS rx,
+         |  round(sin(radians(90)) * $oCustX + cos(radians(90)) * $oCustY, 6) AS ry,
+         |  3.0 * $oCustX AS sx,
+         |  round($oCustX + tan(radians(45)) * $oCustY, 6) AS kx
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q20_spatial_join" ->
+      s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
+         |  cast(count(*) as bigint) AS n_points,
+         |  cast(sum(c_custkey) as bigint) AS key_sum
+         |FROM customer
+         |WHERE (($oCustX + 180) % 72) <> 0 AND $oCustY > -80
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_spatial_join_left" ->
+      s"""SELECT c_custkey,
+         |  CASE WHEN $oCustX > -90 AND $oCustX < 90 AND $oCustY > -45 AND $oCustY < 45
+         |       THEN 1 ELSE 0 END AS matched
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q22_geo_dump_explode" ->
+      s"""SELECT c_custkey, $oCustX + d.off AS part_x, $oCustY AS part_y
+         |FROM customer, (SELECT unnest([0.0, 10.0]) AS off) d
+         |ORDER BY c_custkey, part_x""".stripMargin,
+
+    "q23_geo_simplify" ->
+      """SELECT c_custkey, 2 AS pts_loose, 3 AS pts_tight
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q30_doc_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_doc_quality" ->
+      """SELECT doc_id, round(cast(
+        |  (CASE WHEN words >= 50 AND words <= 100000 THEN 1.0
+        |        WHEN words >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |  (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |  (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |  (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.2 as double), 6) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    cast(len(regexp_extract_all(text, '\S+')) as double) AS words,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |         THEN cast(length(text) as double) / len(regexp_extract_all(text, '\S+'))
+        |         ELSE 0.0 END AS mwl,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[.,;:!?]')) as double) / length(text)
+        |         ELSE 0.0 END AS pr,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text)
+        |         ELSE 0.0 END AS ur
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q32_dedup_prefix_groups" ->
+      """SELECT substring(text, 1, 30) AS prefix,
+        |  cast(count(*) as bigint) AS dup_count,
+        |  min(doc_id) AS representative
+        |FROM documents
+        |GROUP BY substring(text, 1, 30)
+        |HAVING count(*) > 1
+        |ORDER BY prefix""".stripMargin,
+
+    "q33_dedup_exact_count" ->
+      """SELECT cast(count(DISTINCT substring(text, 1, 30)) as bigint) AS distinct_docs
+        |FROM documents""".stripMargin,
+
+    "q34_token_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(cast(len(list_intersect(a.toks, b.toks)) as double) /
+        |        cast(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) as double), 6) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE cast(len(list_intersect(a.toks, b.toks)) as double) /
+        |      cast(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) as double) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q40_emb_cosine" ->
+      s"""SELECT vec_id,
+         |  round(list_dot_product(cast(embedding as double[]), $queryVecSql) /
+         |        (sqrt(list_dot_product(cast(embedding as double[]), cast(embedding as double[]))) *
+         |         sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cosine
+         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+    // q35/q36/q37, q41/q42/q43 are hash/heuristic/top-k ops => rows-only check
+  )
 }

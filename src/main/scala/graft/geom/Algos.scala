@@ -258,6 +258,17 @@ object Algos {
 
   // ------------------------------------------------------------- distance
 
+  /** Exact point-on-segment test (cross product == 0 + bbox), no projection
+    * rounding — a point with coordinates equal to an axis-parallel edge's must
+    * register as boundary (ptSegDistSq can return ~1e-29 there). */
+  @inline private[geom] def onSegment(px: Double, py: Double,
+                                      x1: Double, y1: Double, x2: Double, y2: Double): Boolean = {
+    val cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    cross == 0.0 &&
+      px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+      py >= math.min(y1, y2) && py <= math.max(y1, y2)
+  }
+
   private def ptSegDistSq(px: Double, py: Double, x1: Double, y1: Double, x2: Double, y2: Double): Double = {
     val dx = x2 - x1; val dy = y2 - y1
     val lenSq = dx * dx + dy * dy
@@ -315,7 +326,7 @@ object Algos {
     while (i + 3 < r.length) {
       val x1 = r(i); val y1 = r(i + 1); val x2 = r(i + 2); val y2 = r(i + 3)
       // boundary?
-      if (ptSegDistSq(px, py, x1, y1, x2, y2) == 0.0) return 1
+      if (onSegment(px, py, x1, y1, x2, y2)) return 1
       if ((y1 > py) != (y2 > py)) {
         val xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
         if (px < xint) inside = !inside
@@ -352,7 +363,7 @@ object Algos {
       val cs = l.coords
       var i = 0
       while (i + 3 < cs.length) {
-        if (ptSegDistSq(px, py, cs(i), cs(i + 1), cs(i + 2), cs(i + 3)) == 0.0) return 1
+        if (onSegment(px, py, cs(i), cs(i + 1), cs(i + 2), cs(i + 3))) return 1
         i += 2
       }
       0
