@@ -256,6 +256,32 @@ object SparkEntry {
          |    'LINESTRING (', $custX, ' 0, ', $custX + 1.0, ' 0.01, ', $custX + 2.0, ' 0)')), 0.001)) AS pts_tight
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // ===== geometry aggregates (SURVEY §2.5)
+
+    "q24_envelope_agg" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_nationkey,
+         |  st_xmin(e) AS bx0, st_ymin(e) AS by0, st_xmax(e) AS bx1, st_ymax(e) AS by1
+         |FROM (SELECT c_nationkey, st_envelope_agg($custPt) AS e
+         |      FROM customer GROUP BY c_nationkey)
+         |ORDER BY c_nationkey""".stripMargin),
+
+    "q25_collect_agg" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_nationkey,
+         |  st_numpoints(st_collect($custPt)) AS n_pts,
+         |  st_geomtypeid(st_collect($custPt)) AS tid
+         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    // overlapping unit-height boxes chained along x at 0.5 steps: the
+    // dissolved area is analytically (max step - min step) * 0.5 + 1 per group
+    "q26_union_agg" -> sqlQuery(Seq("customer"),
+      """SELECT g, round(st_area(u), 6) AS union_area FROM (
+        |  SELECT c_custkey % 20 AS g,
+        |    st_union_agg(st_makeenvelope(
+        |      cast((c_custkey div 20) * 0.5 as double), 0.0,
+        |      cast((c_custkey div 20) * 0.5 + 1.0 as double), 1.0)) AS u
+        |  FROM customer GROUP BY c_custkey % 20)
+        |ORDER BY g""".stripMargin),
+
     // ===== text-analysis pipeline ops
 
     "q30_doc_tokens" -> sqlQuery(Seq("documents"),
@@ -532,6 +558,22 @@ object SparkEntry {
     "q23_geo_simplify" ->
       """SELECT c_custkey, 2 AS pts_loose, 3 AS pts_tight
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q24_envelope_agg" ->
+      s"""SELECT c_nationkey,
+         |  min($oCustX) AS bx0, min($oCustY) AS by0,
+         |  max($oCustX) AS bx1, max($oCustY) AS by1
+         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q25_collect_agg" ->
+      """SELECT c_nationkey,
+        |  cast(count(*) as int) AS n_pts, 4 AS tid
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q26_union_agg" ->
+      """SELECT c_custkey % 20 AS g,
+        |  round((max(c_custkey // 20) - min(c_custkey // 20)) * 0.5 + 1.0, 6) AS union_area
+        |FROM customer GROUP BY c_custkey % 20 ORDER BY g""".stripMargin,
 
     "q30_doc_tokens" ->
       """SELECT doc_id,

@@ -39,6 +39,9 @@ object GeoRegistry {
     GeomKernels.allNames.foreach { name =>
       registry.createOrReplaceTempFunction(name, builderFor(name), "built-in")
     }
+    GeomAggregates.names.foreach { name =>
+      registry.createOrReplaceTempFunction(name, GeomAggregates.builderFor(name), "built-in")
+    }
   }
 }
 
@@ -52,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GeomKernels", null, name),
         GeoRegistry.builderFor(name)))
+    }
+    GeomAggregates.names.foreach { name =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeomAggregates", null, name),
+        GeomAggregates.builderFor(name)))
     }
   }
 }

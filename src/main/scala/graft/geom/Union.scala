@@ -1,0 +1,276 @@
+package graft.geom
+
+import scala.collection.mutable
+
+/**
+ * Cascaded geometry union — the dissolve kernel behind `st_union_agg`.
+ *
+ * The reference reserves `unary_union` in its docs but never implements it
+ * (reference: py-geopolars/docs/source/reference/geoseries.rst:104-112,
+ * commented out); this is the capability the docs declare, built for the
+ * Spark aggregate path (SURVEY §2.5).
+ *
+ * Polygon dissolve uses a planar-overlay ("edge fragment") method:
+ *
+ *   1. group polygons into connected overlap components (envelope prefilter +
+ *      exact intersects, union-find) — disjoint components never interact,
+ *      which is what makes the aggregate's merge cheap;
+ *   2. within a component, split every ring edge at every intersection with
+ *      the other polygons' edges;
+ *   3. keep a fragment iff it lies on the union's boundary: sample the two
+ *      points offset ± from the fragment midpoint along its normal — exactly
+ *      one side must be inside the union (this single rule handles overlap
+ *      interiors, shared edges between adjacent polygons, and holes);
+ *   4. de-duplicate coincident fragments (shared borders survive once);
+ *   5. stitch fragments into closed rings, taking the most-counterclockwise
+ *      outgoing fragment at junction vertices;
+ *   6. classify rings shell/hole by containment parity and nest holes under
+ *      their smallest containing shell.
+ *
+ * Points union = distinct; lines union = concatenation (no noding needed for
+ * the declared surface); mixed types → GeometryCollection.
+ */
+object Union {
+
+  private val SnapGrid = 1e9 // 1e-9 coordinate snap for vertex keys
+
+  private def key(x: Double, y: Double): (Long, Long) =
+    (math.rint(x * SnapGrid).toLong, math.rint(y * SnapGrid).toLong)
+
+  /** One directed boundary piece between consecutive split points. */
+  private final case class Frag(x1: Double, y1: Double, x2: Double, y2: Double) {
+    def canonicalKey: ((Long, Long), (Long, Long)) = {
+      val a = key(x1, y1); val b = key(x2, y2)
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) (a, b) else (b, a)
+    }
+  }
+
+  def union(inputs: Seq[Geometry]): Geometry = {
+    val polys = mutable.ArrayBuffer[Polygon]()
+    val points = mutable.ArrayBuffer[Point]()
+    val lines = mutable.ArrayBuffer[LineString]()
+    def flatten(g: Geometry): Unit = g match {
+      case null                 => ()
+      case p: Point             => if (!p.isEmpty) points += p
+      case l: LineString        => if (!l.isEmpty) lines += l
+      case p: Polygon           => if (!p.isEmpty) polys += p
+      case m: GeometryCollectionLike => m.geoms.foreach(flatten)
+    }
+    inputs.foreach(flatten)
+
+    val distinctPts: Array[Point] = {
+      val seen = mutable.LinkedHashMap[(Long, Long), Point]()
+      points.foreach(p => seen.getOrElseUpdate(key(p.x, p.y), p))
+      seen.values.toArray
+    }
+    val dissolved: Array[Polygon] = if (polys.isEmpty) Array.empty else dissolve(polys.toArray)
+
+    val outGeoms = mutable.ArrayBuffer[Geometry]()
+    if (dissolved.length == 1) outGeoms += dissolved(0)
+    else if (dissolved.length > 1) outGeoms += MultiPolygon(dissolved)
+    if (lines.length == 1) outGeoms += lines(0)
+    else if (lines.length > 1) outGeoms += MultiLineString(lines.toArray)
+    // points already covered by a polygon/line dissolve into the surface
+    val freePts = distinctPts.filter(p =>
+      !dissolved.exists(pl => Algos.pointInPolygon(p.x, p.y, pl) > 0) &&
+      !lines.exists(l => Algos.contains(l, p)))
+    if (outGeoms.isEmpty) {
+      if (freePts.length == 1) return freePts(0)
+      if (freePts.length > 1) return MultiPoint(freePts)
+      return GeometryCollection(Array.empty)
+    }
+    if (freePts.length == 1) outGeoms += freePts(0)
+    else if (freePts.length > 1) outGeoms += MultiPoint(freePts)
+    if (outGeoms.length == 1) outGeoms(0) else GeometryCollection(outGeoms.toArray)
+  }
+
+  // ------------------------------------------------------------ polygons
+
+  private def dissolve(ps: Array[Polygon]): Array[Polygon] = {
+    // union-find over the overlap graph (envelope prefilter, exact refine)
+    val parent = Array.tabulate(ps.length)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); parent(i) = r; r }
+    val envs = ps.map(_.envelope)
+    for (i <- ps.indices; j <- (i + 1) until ps.length)
+      if (envs(i).intersects(envs(j)) && Algos.intersects(ps(i), ps(j))) {
+        val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(ri) = rj
+      }
+    val groups = ps.indices.groupBy(find).values
+    groups.flatMap { idxs =>
+      if (idxs.length == 1) Array(ps(idxs.head))
+      else overlayUnion(idxs.map(ps).toArray)
+    }.toArray.sortBy(p => { val e = p.envelope; (e.minX, e.minY) })
+  }
+
+  /** Intersection parameters of segment (ax1,ay1)-(ax2,ay2) with (bx1..by2),
+    * as t values along A in (0,1); includes endpoints of B lying on A and
+    * collinear-overlap projections. */
+  private def splitParams(ax1: Double, ay1: Double, ax2: Double, ay2: Double,
+                          bx1: Double, by1: Double, bx2: Double, by2: Double,
+                          out: mutable.ArrayBuffer[Double]): Unit = {
+    val rX = ax2 - ax1; val rY = ay2 - ay1
+    val sX = bx2 - bx1; val sY = by2 - by1
+    val denom = rX * sY - rY * sX
+    val qpX = bx1 - ax1; val qpY = by1 - ay1
+    if (math.abs(denom) > 1e-14) {
+      val t = (qpX * sY - qpY * sX) / denom
+      val u = (qpX * rY - qpY * rX) / denom
+      if (t > 1e-12 && t < 1 - 1e-12 && u >= -1e-12 && u <= 1 + 1e-12) out += t
+    } else {
+      // parallel: project B's endpoints onto A when collinear
+      val cross = qpX * rY - qpY * rX
+      if (math.abs(cross) < 1e-9) {
+        val len2 = rX * rX + rY * rY
+        if (len2 > 0) {
+          val t1 = (qpX * rX + qpY * rY) / len2
+          val t2 = ((bx2 - ax1) * rX + (by2 - ay1) * rY) / len2
+          if (t1 > 1e-12 && t1 < 1 - 1e-12) out += t1
+          if (t2 > 1e-12 && t2 < 1 - 1e-12) out += t2
+        }
+      }
+    }
+  }
+
+  /** True if (x,y) is strictly inside any polygon of the group
+    * (Algos.pointInPolygon: 0 = outside, 1 = boundary, 2 = interior). */
+  private def insideUnion(x: Double, y: Double, group: Array[Polygon]): Boolean = {
+    var i = 0
+    while (i < group.length) {
+      if (Algos.pointInPolygon(x, y, group(i)) == 2) return true
+      i += 1
+    }
+    false
+  }
+
+  private def overlayUnion(group: Array[Polygon]): Array[Polygon] = {
+    // 1-2. collect ring edges, split at intersections with OTHER polygons
+    val frags = mutable.ArrayBuffer[Frag]()
+    for (pi <- group.indices; ring <- group(pi).rings) {
+      var i = 0
+      while (i + 3 < ring.length) {
+        val (x1, y1, x2, y2) = (ring(i), ring(i + 1), ring(i + 2), ring(i + 3))
+        if (x1 != x2 || y1 != y2) {
+          val ts = mutable.ArrayBuffer[Double]()
+          for (pj <- group.indices if pj != pi; r2 <- group(pj).rings) {
+            var j = 0
+            while (j + 3 < r2.length) {
+              splitParams(x1, y1, x2, y2, r2(j), r2(j + 1), r2(j + 2), r2(j + 3), ts)
+              j += 2
+            }
+          }
+          val cuts = (0.0 +: ts.distinct.sorted :+ 1.0).toArray
+          var c = 0
+          while (c + 1 < cuts.length) {
+            val (t0, t1) = (cuts(c), cuts(c + 1))
+            if (t1 - t0 > 1e-12)
+              frags += Frag(x1 + t0 * (x2 - x1), y1 + t0 * (y2 - y1),
+                            x1 + t1 * (x2 - x1), y1 + t1 * (y2 - y1))
+            c += 1
+          }
+        }
+        i += 2
+      }
+    }
+
+    // 3. boundary classification by side sampling: exactly one side inside
+    val scale = {
+      val e = group.foldLeft(Envelope.empty)((acc, p) => acc.expand(p.envelope))
+      math.max(math.max(math.abs(e.width), math.abs(e.height)), 1.0)
+    }
+    val eps = scale * 1e-7
+    val kept = frags.filter { f =>
+      val mx = (f.x1 + f.x2) / 2; val my = (f.y1 + f.y2) / 2
+      val dx = f.x2 - f.x1; val dy = f.y2 - f.y1
+      val len = math.hypot(dx, dy)
+      if (len < 1e-12) false
+      else {
+        val nx = -dy / len * eps; val ny = dx / len * eps
+        val leftIn = insideUnion(mx + nx, my + ny, group)
+        val rightIn = insideUnion(mx - nx, my - ny, group)
+        leftIn != rightIn
+      }
+    }
+
+    // 4. dedupe coincident fragments; orient so the union interior is on the
+    //    LEFT (standard shell-CCW/hole-CW convention falls out of this).
+    val canon = mutable.LinkedHashMap[((Long, Long), (Long, Long)), Frag]()
+    kept.foreach { f =>
+      val mx = (f.x1 + f.x2) / 2; val my = (f.y1 + f.y2) / 2
+      val dx = f.x2 - f.x1; val dy = f.y2 - f.y1
+      val len = math.hypot(dx, dy)
+      val nx = -dy / len * eps; val ny = dx / len * eps
+      val oriented =
+        if (insideUnion(mx + nx, my + ny, group)) f
+        else Frag(f.x2, f.y2, f.x1, f.y1)
+      canon.getOrElseUpdate(f.canonicalKey, oriented)
+    }
+
+    // 5. stitch into rings: follow fragments; at junctions take the most
+    //    counterclockwise turn relative to the incoming direction
+    val outgoing = mutable.HashMap[(Long, Long), mutable.ArrayBuffer[Frag]]()
+    canon.values.foreach { f =>
+      outgoing.getOrElseUpdate(key(f.x1, f.y1), mutable.ArrayBuffer()) += f
+    }
+    val used = mutable.HashSet[Frag]()
+    val rings = mutable.ArrayBuffer[Array[Double]]()
+    canon.values.foreach { start =>
+      if (!used.contains(start)) {
+        val pts = mutable.ArrayBuffer[Double](start.x1, start.y1)
+        var cur = start
+        var guard = 0
+        val maxSteps = canon.size + 2
+        var closed = false
+        while (!closed && guard < maxSteps) {
+          used += cur
+          pts += cur.x2; pts += cur.y2
+          if (key(cur.x2, cur.y2) == key(start.x1, start.y1)) closed = true
+          else {
+            val nexts = outgoing.getOrElse(key(cur.x2, cur.y2), mutable.ArrayBuffer())
+              .filterNot(used.contains)
+            if (nexts.isEmpty) { guard = maxSteps } // dead end — drop open chain
+            else {
+              val inAng = math.atan2(cur.y2 - cur.y1, cur.x2 - cur.x1)
+              cur = nexts.maxBy { n =>
+                val outAng = math.atan2(n.y2 - n.y1, n.x2 - n.x1)
+                // turn angle in (-pi, pi]; most CCW = largest
+                var d = outAng - inAng + math.Pi
+                while (d <= -math.Pi) d += 2 * math.Pi
+                while (d > math.Pi) d -= 2 * math.Pi
+                d
+              }
+            }
+          }
+          guard += 1
+        }
+        if (closed && pts.length >= 8) rings += pts.toArray
+      }
+    }
+
+    // 6. shells vs holes by containment parity; holes nest in smallest shell
+    val ringArr = rings.toArray
+    def ringContains(outer: Array[Double], inner: Array[Double]): Boolean = {
+      // representative inner vertex strictly inside outer; vertices ON the
+      // outer boundary (touch points) are inconclusive — keep scanning
+      var i = 0
+      while (i + 1 < inner.length) {
+        val r = Algos.pointInRing(inner(i), inner(i + 1), outer)
+        if (r == 2) return true
+        if (r == 0) return false
+        i += 2
+      }
+      false
+    }
+    val depth = ringArr.map(r => ringArr.count(o => !(o eq r) && ringContains(o, r)))
+    val shells = ringArr.indices.filter(i => depth(i) % 2 == 0)
+    val holes = ringArr.indices.filter(i => depth(i) % 2 == 1)
+    shells.map { si =>
+      val myHoles = holes.filter { hi =>
+        ringContains(ringArr(si), ringArr(hi)) &&
+          // immediate parent: no other shell between
+          !shells.exists(s2 => s2 != si && ringContains(ringArr(si), ringArr(s2)) &&
+            ringContains(ringArr(s2), ringArr(hi)))
+      }
+      Polygon((ringArr(si) +: myHoles.map(ringArr(_))).toArray)
+    }.toArray
+  }
+}

@@ -1,0 +1,70 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnionSpec extends AnyFunSuite {
+
+  private def box(x0: Double, y0: Double, x1: Double, y1: Double): Polygon =
+    Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)))
+
+  private val tol = 1e-9
+
+  test("union of two overlapping squares: area = sum - overlap") {
+    val u = Union.union(Seq(box(0, 0, 2, 2), box(1, 1, 3, 3)))
+    assert(u.isInstanceOf[Polygon])
+    assert(math.abs(Algos.area(u) - (4 + 4 - 1)) < tol)
+  }
+
+  test("union of adjacent squares dissolves the shared edge") {
+    val u = Union.union(Seq(box(0, 0, 1, 1), box(1, 0, 2, 1)))
+    assert(u.isInstanceOf[Polygon])
+    assert(math.abs(Algos.area(u) - 2.0) < tol)
+    // dissolved rectangle boundary: perimeter 6, not 8
+    assert(math.abs(Algos.length(u) - 6.0) < tol)
+  }
+
+  test("union of disjoint squares is a MultiPolygon") {
+    val u = Union.union(Seq(box(0, 0, 1, 1), box(5, 5, 6, 6)))
+    assert(u.isInstanceOf[MultiPolygon])
+    assert(math.abs(Algos.area(u) - 2.0) < tol)
+  }
+
+  test("contained polygon is absorbed") {
+    val u = Union.union(Seq(box(0, 0, 10, 10), box(2, 2, 3, 3)))
+    assert(u.isInstanceOf[Polygon])
+    assert(math.abs(Algos.area(u) - 100.0) < tol)
+  }
+
+  test("3x3 grid minus center forms a hole") {
+    val cells = for {
+      i <- 0 until 3; j <- 0 until 3 if !(i == 1 && j == 1)
+    } yield box(i, j, i + 1, j + 1)
+    val u = Union.union(cells)
+    val p = u match {
+      case p: Polygon => p
+      case other      => fail(s"expected Polygon, got ${other.typeName}")
+    }
+    assert(p.rings.length == 2, "exterior + one hole")
+    assert(math.abs(Algos.area(p) - 8.0) < tol)
+  }
+
+  test("many-way overlap chain") {
+    // 5 unit squares stepping by 0.5: union area = 1 + 4*0.5*1 = 3
+    val chain = (0 until 5).map(i => box(i * 0.5, 0, i * 0.5 + 1, 1))
+    val u = Union.union(chain)
+    assert(math.abs(Algos.area(u) - 3.0) < tol)
+  }
+
+  test("points: distinct, absorbed by polygons") {
+    val u = Union.union(Seq(Point(1, 1), Point(1, 1), Point(9, 9)))
+    assert(u == MultiPoint(Array(Point(1, 1), Point(9, 9))))
+    val mixed = Union.union(Seq(box(0, 0, 2, 2), Point(1, 1), Point(9, 9)))
+    val gc = mixed.asInstanceOf[GeometryCollection]
+    assert(gc.geoms.exists(_.isInstanceOf[Polygon]))
+    assert(gc.geoms.collect { case p: Point => p }.toSeq == Seq(Point(9, 9)))
+  }
+
+  test("empty input") {
+    assert(Union.union(Nil).isEmpty)
+  }
+}
