@@ -238,6 +238,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // SQL `JOIN ON st_contains(...)` planned by SpatialJoinStrategy as a
+    // broadcast R-tree index join (SURVEY §4) — same semantics as q20 but
+    // through Catalyst's planner rather than the Dataset-level operator.
+    "q27_sql_spatial_join" -> ((s: SparkSession, dir: String) => {
+      init(s); view(s, dir, "customer")
+      s.range(5).selectExpr(
+        "cast(id as int) AS box_id",
+        "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS bgeom")
+        .createOrReplaceTempView("boxes")
+      s.sql(
+        s"""SELECT box_id,
+           |  cast(count(*) as bigint) AS n_points,
+           |  cast(sum(c_custkey) as bigint) AS key_sum
+           |FROM customer JOIN boxes ON st_contains(bgeom, $custPt)
+           |GROUP BY box_id ORDER BY box_id""".stripMargin)
+    }),
+
     // ===== explode / st_dump (SURVEY §2.4 explode)
 
     "q22_geo_dump_explode" -> sqlQuery(Seq("customer"),
@@ -549,6 +566,14 @@ object SparkEntry {
          |  CASE WHEN $oCustX > -90 AND $oCustX < 90 AND $oCustY > -45 AND $oCustY < 45
          |       THEN 1 ELSE 0 END AS matched
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q27_sql_spatial_join" ->
+      s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
+         |  cast(count(*) as bigint) AS n_points,
+         |  cast(sum(c_custkey) as bigint) AS key_sum
+         |FROM customer
+         |WHERE (($oCustX + 180) % 72) <> 0 AND $oCustY > -80
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q22_geo_dump_explode" ->
       s"""SELECT c_custkey, $oCustX + d.off AS part_x, $oCustY AS part_y

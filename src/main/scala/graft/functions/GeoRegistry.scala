@@ -42,6 +42,9 @@ object GeoRegistry {
     GeomAggregates.names.foreach { name =>
       registry.createOrReplaceTempFunction(name, GeomAggregates.builderFor(name), "built-in")
     }
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.SpatialJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new graft.plans.SpatialJoinStrategy(spark)
   }
 }
 
@@ -61,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.GeomAggregates", null, name),
         GeomAggregates.builderFor(name)))
     }
+    // spatial join planning: Join(cond = st_intersects|st_contains|st_within|
+    // st_dwithin) => broadcast R-tree index join instead of BNLJ (SURVEY §4)
+    ext.injectPlannerStrategy(session => new graft.plans.SpatialJoinStrategy(session))
   }
 }
