@@ -45,6 +45,9 @@ object GeoRegistry {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.SpatialJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new graft.plans.SpatialJoinStrategy(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BboxPruningRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.BboxPruningRule
   }
 }
 
@@ -67,5 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spatial join planning: Join(cond = st_intersects|st_contains|st_within|
     // st_dwithin) => broadcast R-tree index join instead of BNLJ (SURVEY §4)
     ext.injectPlannerStrategy(session => new graft.plans.SpatialJoinStrategy(session))
+    // spatial row-group pruning over GeoParquet bbox covering columns
+    ext.injectOptimizerRule(_ => new graft.plans.BboxPruningRule)
   }
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * GeoParquet-style IO helpers (SURVEY §2.1 / §4).
+ *
+ * The reference reads/writes geometry tables through its host's columnar IO
+ * with GeoParquet-style `geo` metadata (reference: data/cities.arrow schema
+ * metadata; io/file.py:15-119 pushes columns/where/bbox into the scanner).
+ * Spark's parquet source already gives us column pruning + predicate
+ * pushdown; what it cannot do is prune row groups by a SPATIAL predicate,
+ * because min/max statistics on a WKB binary column are meaningless.
+ *
+ * The GeoParquet 1.1 answer is a "covering" bbox column: write a sibling
+ * struct column `<geom>_bbox{xmin, ymin, xmax, ymax}`. Parquet keeps min/max
+ * stats per row group for those doubles, so a filter like
+ * `bbox.xmax >= qxmin AND bbox.xmin <= qxmax AND ...` skips every row group
+ * whose extent cannot intersect the query window — that filter is derived
+ * automatically from `st_intersects`/`st_contains`/`st_within` predicates by
+ * [[graft.plans.BboxPruningRule]]. At 100 TB this is the difference between
+ * scanning the world and scanning the tiles the query touches.
+ *
+ * Sorting by a space-filling-curve key before write (`sortWithinPartitions`
+ * on [[hilbertSortKey]]) makes row-group extents tight, which is what makes
+ * the stats selective.
+ */
+object GeoParquet {
+
+  /** Name convention for the covering column of `geomCol`. */
+  def bboxColName(geomCol: String): String = s"${geomCol}_bbox"
+
+  /** Add the GeoParquet 1.1 covering bbox struct for `geomCol`. */
+  def withBboxCovering(df: DataFrame, geomCol: String = "geometry"): DataFrame =
+    df.withColumn(
+      bboxColName(geomCol),
+      struct(
+        expr(s"st_xmin($geomCol)").as("xmin"),
+        expr(s"st_ymin($geomCol)").as("ymin"),
+        expr(s"st_xmax($geomCol)").as("xmax"),
+        expr(s"st_ymax($geomCol)").as("ymax")))
+
+  /**
+   * Write `df` as parquet with a bbox covering column, spatially clustered
+   * within partitions so the covering stats prune effectively.
+   */
+  def write(df: DataFrame, path: String, geomCol: String = "geometry",
+            mode: String = "overwrite"): Unit = {
+    val covered = withBboxCovering(df, geomCol)
+    covered
+      .sortWithinPartitions(col(bboxColName(geomCol) + ".xmin"), col(bboxColName(geomCol) + ".ymin"))
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Read a geo parquet table (covering column, if present, stays visible
+    * for the pruning rule; drop it with `.drop(bboxColName(...))` if unwanted). */
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}
