@@ -54,7 +54,7 @@ object SpatialJoin {
    * of the requested predicate; polygon-family pairs honor the predicate;
    * unsupported combinations are false.
    */
-  private[spatial] def refine(pred: Predicate, l: Geom, r: Geom): Boolean = (l, r) match {
+  private[graft] def refine(pred: Predicate, l: Geom, r: Geom): Boolean = (l, r) match {
     case (p: Point, g: Polygon)           => Algos.contains(g, p)
     case (g: Polygon, p: Point)           => Algos.contains(g, p)
     case (p: Point, g: MultiPolygon)      => Algos.contains(g, p)

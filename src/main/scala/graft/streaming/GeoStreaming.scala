@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+import graft.geom.{Geometry => Geom, _}
+import graft.spatial.STRtree
+
+/**
+ * Structured Streaming surface (SURVEY §2.10 — capability extension; the
+ * reference is batch-only).
+ *
+ * Every st_* expression is stateless, so the whole scalar surface already
+ * works unchanged in `readStream.select/filter(...)`. This module adds the
+ * pieces that need streaming-specific shape:
+ *
+ *  - [[streamStaticSpatialJoin]]: the streaming analog of the broadcast
+ *    spatial join — the static side is indexed ONCE into a broadcast R-tree,
+ *    each micro-batch probes it with a stateless mapPartitions; no state
+ *    store, no watermark requirement, arbitrarily long-running.
+ *  - [[windowedCount]]: tumbling/sliding event-time windows with a
+ *    watermark (late data dropped after `delay`).
+ *  - [[runningEnvelope]]: per-key streaming geometry state via
+ *    mapGroupsWithState — maintains the bbox-union of everything seen per
+ *    key, the streaming twin of st_envelope_agg.
+ */
+object GeoStreaming {
+
+  /**
+   * Stream-static spatial join (inner | left). The static side is collected
+   * and indexed at query definition; output columns are the stream columns
+   * plus the static columns suffixed `staticSuffix` on name collision.
+   */
+  def streamStaticSpatialJoin(
+      stream: DataFrame,
+      static: DataFrame,
+      predicate: graft.spatial.SpatialJoin.Predicate = graft.spatial.SpatialJoin.Predicate.Intersects,
+      joinType: String = "inner",
+      streamGeom: String = "geometry",
+      staticGeom: String = "geometry",
+      staticSuffix: String = "_static"): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"inner|left only, got $joinType")
+    val spark = stream.sparkSession
+
+    val staticRows: Array[Row] = static.collect()
+    val staticIdx = static.schema.fieldIndex(staticGeom)
+    val geoms = staticRows.map { r =>
+      val b = r.get(staticIdx)
+      if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+    }
+    val envs = geoms.map(g => if (g == null) Envelope.empty else g.envelope)
+    val bc = spark.sparkContext.broadcast((STRtree.build(envs), geoms, staticRows))
+
+    val streamNames = stream.schema.fieldNames.toSet
+    val staticOutFields = static.schema.fields.map { f =>
+      if (streamNames.contains(f.name)) f.copy(name = f.name + staticSuffix, nullable = true)
+      else f.copy(nullable = true)
+    }
+    val outSchema = StructType(stream.schema.fields ++ staticOutFields)
+    val gIdx = stream.schema.fieldIndex(streamGeom)
+    val pred = predicate
+    val leftJoin = joinType == "left"
+    val nStatic = staticOutFields.length
+
+    stream.mapPartitions { it =>
+      val (tree, gs, rows) = bc.value
+      it.flatMap { row =>
+        val b = row.get(gIdx)
+        val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+        val out = scala.collection.mutable.ArrayBuffer[Row]()
+        if (g != null) {
+          tree.query(g.envelope) { j =>
+            if (gs(j) != null && graft.spatial.SpatialJoin.refine(pred, g, gs(j)))
+              out += Row.fromSeq(row.toSeq ++ rows(j).toSeq)
+          }
+        }
+        if (out.nonEmpty) out.iterator
+        else if (leftJoin) Iterator(Row.fromSeq(row.toSeq ++ Seq.fill(nStatic)(null)))
+        else Iterator.empty
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Watermarked tumbling/sliding window counts per key:
+   * `windowedCount(events, "ts", "10 minutes", "5 minutes", $"event_type")`.
+   */
+  def windowedCount(
+      stream: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      keys: Column*): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: keys): _*)
+      .agg(count(lit(1)).as("n"))
+
+  private val envSchema = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+    StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+
+  /**
+   * Streaming per-key envelope union (st_envelope_agg over an unbounded
+   * stream): emits the updated (key, xmin, ymin, xmax, ymax) whenever a key
+   * sees new data. State per key is 4 doubles — O(distinct keys) total.
+   */
+  def runningEnvelope(stream: DataFrame, keyCol: String, geomCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val kIdx = stream.schema.fieldIndex(keyCol)
+    val gIdx = stream.schema.fieldIndex(geomCol)
+
+    stream
+      .groupByKey(_.getString(kIdx))
+      .mapGroupsWithState[(Double, Double, Double, Double), (String, Double, Double, Double, Double)] {
+        (key: String, rows: Iterator[Row], state: GroupState[(Double, Double, Double, Double)]) =>
+          var env = state.getOption
+            .map { case (x0, y0, x1, y1) => Envelope(x0, y0, x1, y1) }
+            .getOrElse(Envelope.empty)
+          rows.foreach { r =>
+            val b = r.get(gIdx)
+            val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+            if (g != null) env = env.expand(g.envelope)
+          }
+          state.update((env.minX, env.minY, env.maxX, env.maxY))
+          (key, env.minX, env.minY, env.maxX, env.maxY)
+      }
+      .toDF(keyCol, "xmin", "ymin", "xmax", "ymax")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GeoStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stream-static spatial join over micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Double)]
+    val stream = input.toDF().toDF("id", "x", "y")
+      .selectExpr("id", "st_point(x, y) AS geometry")
+    val boxes = spark.range(2).selectExpr(
+      "id AS box_id",
+      "st_makeenvelope(cast(id * 100 as double), 0.0, cast(id * 100 + 50 as double), 50.0) AS geometry")
+
+    val joined = GeoStreaming.streamStaticSpatialJoin(stream, boxes)
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      input.addData((1L, 10.0, 10.0), (2L, 110.0, 10.0), (3L, 75.0, 10.0))
+      q.processAllAvailable()
+      input.addData((4L, 25.0, 25.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").selectExpr("id", "box_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // id 3 (x=75) falls in no box; ids 1,4 in box 0; id 2 in box 1
+      assert(rows == Seq((1L, 0L), (2L, 1L), (4L, 0L)))
+    } finally q.stop()
+  }
+
+  test("stream-static left join keeps unmatched stream rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("id", "x").selectExpr("id", "st_point(x, 0.0) AS geometry")
+    val box = spark.sql("SELECT st_makeenvelope(-1.0, -1.0, 1.0, 1.0) AS geometry, 'hit' AS tag")
+    val joined = GeoStreaming.streamStaticSpatialJoin(stream, box, joinType = "left")
+    val q = joined.writeStream.format("memory").queryName("ssjl").outputMode("append").start()
+    try {
+      input.addData((1L, 0.0), (2L, 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjl").selectExpr("id", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq((1L, "hit"), (2L, null)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "kind")
+    val counts = GeoStreaming.windowedCount(stream, "ts", "10 minutes", "5 minutes",
+      org.apache.spark.sql.functions.col("kind"))
+    val q = counts.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), "a"), (t(3), "a"), (t(12), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .selectExpr("window.start", "kind", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(rows.contains(("2024-01-01 10:00:00.0", "a", 2L)))
+      assert(rows.contains(("2024-01-01 10:10:00.0", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("runningEnvelope accumulates per-key bbox across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Double)]
+    val stream = input.toDF().toDF("k", "x", "y").selectExpr("k", "st_point(x, y) AS geometry")
+    val env = GeoStreaming.runningEnvelope(stream, "k", "geometry")
+    val q = env.writeStream.format("memory").queryName("re").outputMode("update").start()
+    try {
+      input.addData(("a", 0.0, 0.0), ("a", 5.0, 2.0))
+      q.processAllAvailable()
+      input.addData(("a", -3.0, 7.0), ("b", 1.0, 1.0))
+      q.processAllAvailable()
+      val last = spark.table("re").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (k, vs) => vs.last }.toSeq.sortBy(_._1)
+      assert(last == Seq(("a", -3.0, 0.0, 5.0, 7.0), ("b", 1.0, 1.0, 1.0, 1.0)))
+    } finally q.stop()
+  }
+}
