@@ -255,6 +255,13 @@ object SparkEntry {
            |GROUP BY box_id ORDER BY box_id""".stripMargin)
     }),
 
+    // GeoJSON codec round-trip (SURVEY §2.1 read_file GeoJSON slice)
+    "q28_geojson" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_x(st_geomfromgeojson(concat('{"type":"Point","coordinates":[', $custX, ',', $custY, ']}'))) AS gx,
+         |  st_y(st_geomfromgeojson(st_asgeojson($custPt))) AS gy
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // ===== explode / st_dump (SURVEY §2.4 explode)
 
     "q22_geo_dump_explode" -> sqlQuery(Seq("customer"),
@@ -574,6 +581,10 @@ object SparkEntry {
          |FROM customer
          |WHERE (($oCustX + 180) % 72) <> 0 AND $oCustY > -80
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q28_geojson" ->
+      s"""SELECT c_custkey, $oCustX AS gx, $oCustY AS gy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q22_geo_dump_explode" ->
       s"""SELECT c_custkey, $oCustX + d.off AS part_x, $oCustY AS part_y

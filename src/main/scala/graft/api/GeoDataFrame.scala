@@ -1,0 +1,175 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+
+import graft.spatial.SpatialJoin
+
+/**
+ * GeoDataFrame: a DataFrame with one designated geometry column.
+ *
+ * Parity with the reference's `GeoDataFrame(pl.DataFrame)` (reference:
+ * python/geopolars/internals/geodataframe.py:12-83): default geometry column
+ * name "geometry", `.geometry` accessor, all host-DataFrame methods reachable
+ * through `.df`. Where the reference is blocked on Polars extension types
+ * and threads `_geom_type` through Python (README.md:37-46), Spark column
+ * `Metadata` carries the geometry marker + CRS natively, surviving
+ * select/join/write.
+ */
+final case class GeoDataFrame(df: DataFrame, geometryColumn: String = GeoDataFrame.DefaultGeometry) {
+
+  require(df.columns.contains(geometryColumn),
+    s"geometry column '$geometryColumn' not in ${df.columns.mkString("[", ", ", "]")}")
+
+  /** The geometry column (reference: geodataframe.py:28-65 `.geometry`). */
+  def geometry: Column = df(geometryColumn)
+
+  /** CRS recorded in column metadata, if any. */
+  def crs: Option[String] = {
+    val md = df.schema(geometryColumn).metadata
+    if (md.contains(GeoDataFrame.CrsKey)) Some(md.getString(GeoDataFrame.CrsKey)) else None
+  }
+
+  /** Attach/replace the CRS marker on the geometry column's metadata. */
+  def withCrs(crsId: String): GeoDataFrame = {
+    val md: Metadata = new MetadataBuilder()
+      .withMetadata(df.schema(geometryColumn).metadata)
+      .putBoolean(GeoDataFrame.GeometryKey, true)
+      .putString(GeoDataFrame.CrsKey, crsId)
+      .build()
+    GeoDataFrame(df.withColumn(geometryColumn, df(geometryColumn).as(geometryColumn, md)), geometryColumn)
+  }
+
+  /** Reproject the geometry column (reference to_crs, geoseries.rs:148-161). */
+  def toCrs(from: String, to: String): GeoDataFrame =
+    GeoDataFrame(
+      df.withColumn(geometryColumn, expr(s"st_transform($geometryColumn, '$from', '$to')")),
+      geometryColumn).withCrs(to)
+
+  /** Spatial join (reference spatial_join, spatial_index.rs:37-204). */
+  def spatialJoin(
+      other: GeoDataFrame,
+      predicate: String = "intersects",
+      joinType: String = "inner",
+      lSuffix: String = "_left",
+      rSuffix: String = "_right"): DataFrame =
+    SpatialJoin.join(df, other.df, SpatialJoin.Predicate.parse(predicate), joinType,
+      geometryColumn, other.geometryColumn, lSuffix, rSuffix)
+
+  /** Explode multi-part geometries to one row per part (reference explode). */
+  def explodeParts(): GeoDataFrame = {
+    val others = df.columns.filter(_ != geometryColumn).map(col)
+    GeoDataFrame(
+      df.select(others :+ explode(expr(s"st_dump($geometryColumn)")).as(geometryColumn): _*),
+      geometryColumn)
+  }
+
+  /** Write as GeoParquet with a bbox covering column. */
+  def writeGeoParquet(path: String, mode: String = "overwrite"): Unit =
+    graft.sources.GeoParquet.write(df, path, geometryColumn, mode)
+}
+
+object GeoDataFrame {
+  val DefaultGeometry = "geometry"
+  val GeometryKey = "graft.geometry"
+  val CrsKey = "graft.crs"
+
+  /** Wrap a DataFrame, detecting the geometry column by metadata marker
+    * first, then by the conventional name (reference: name convention,
+    * geodataframe.py:12 + file `geo` metadata, io/file.py:112-119). */
+  def apply(df: DataFrame): GeoDataFrame = {
+    val byMeta = df.schema.fields.find(f =>
+      f.metadata.contains(GeometryKey) && f.metadata.getBoolean(GeometryKey))
+    val name = byMeta.map(_.name).getOrElse(DefaultGeometry)
+    GeoDataFrame(df, name)
+  }
+
+  object implicits {
+    implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
+      /** `df.geo` — the reference's `.geo` backend accessor analog. */
+      def geo: GeoDataFrame = GeoDataFrame(df)
+    }
+  }
+}
+
+/**
+ * IO entry points paralleling the reference's readers
+ * (python/geopolars/io/file.py, convert.py, datasets/__init__.py).
+ */
+object GeoIO {
+
+  /**
+   * Read GeoJSON into a GeoDataFrame. Handles both newline-delimited
+   * Feature-per-line files and whole FeatureCollection documents.
+   *
+   * Distributed shape: features are re-emitted as property JSON with the
+   * WKB injected base64-encoded, then `spark.read.json` infers the
+   * property schema — pushdown/pruning then work as for any json source.
+   */
+  def readGeoJson(spark: SparkSession, path: String): GeoDataFrame = {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = spark.read.option("wholetext", true).text(path).as[String]
+    val propJson: org.apache.spark.sql.Dataset[String] = raw.flatMap { doc =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def featureToJson(f: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
+        val geomNode = f.get("geometry")
+        val props = Option(f.get("properties"))
+          .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+          .getOrElse(m.createObjectNode())
+        // null-geometry features keep their row (geometry column is null)
+        if (geomNode != null && !geomNode.isNull) {
+          val g = graft.geom.GeoJSON.read(geomNode)
+          props.put("__geometry_b64",
+            java.util.Base64.getEncoder.encodeToString(graft.geom.WKB.write(g)))
+        }
+        Some(m.writeValueAsString(props))
+      }
+      val root = m.readTree(doc)
+      root.get("type").asText() match {
+        case "FeatureCollection" =>
+          val it = root.get("features").elements()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).flatMap(featureToJson)
+        case "Feature" => featureToJson(root).iterator
+        case _ => // bare geometry document
+          val g = graft.geom.GeoJSON.read(root)
+          val o = m.createObjectNode()
+          o.put("__geometry_b64", java.util.Base64.getEncoder.encodeToString(graft.geom.WKB.write(g)))
+          Iterator(m.writeValueAsString(o))
+      }
+    }
+    val parsed = spark.read.json(propJson)
+    val withGeom = parsed
+      .withColumn(GeoDataFrame.DefaultGeometry, unbase64(org.apache.spark.sql.functions.col("__geometry_b64")))
+      .drop("__geometry_b64")
+    GeoDataFrame(withGeom, GeoDataFrame.DefaultGeometry)
+  }
+
+  /** Read (Geo)Parquet; geometry column by metadata/name convention. */
+  def readParquet(spark: SparkSession, path: String): GeoDataFrame =
+    GeoDataFrame(spark.read.parquet(path))
+}
+
+/**
+ * Bundled example datasets, paralleling `geopolars.datasets.read_dataset`
+ * (reference: python/geopolars/datasets/__init__.py:11-42 — IPC files of
+ * `name: utf8, geometry: binary(WKB Point)`). The files themselves are not
+ * redistributable here, so the same SHAPE is synthesized deterministically:
+ * 202 named WKB points, mirroring the cities fixture schema and row count
+ * (reference: data/cities.arrow, FIXTURES.md §1).
+ */
+object Datasets {
+  val names: Seq[String] = Seq("cities")
+
+  def readDataset(spark: SparkSession, name: String): GeoDataFrame = name match {
+    case "cities" =>
+      val df = spark.range(202).selectExpr(
+        "concat('city_', id) AS name",
+        // deterministic lon/lat spread, same value domain as the fixture
+        "st_point(cast((id * 97) % 360 - 180 + 0.22 as double), cast((id * 31) % 128 - 64 + 0.15 as double)) AS geometry")
+      GeoDataFrame(df).withCrs("EPSG:4326")
+    case other =>
+      throw new IllegalArgumentException(s"unknown dataset '$other'; available: ${names.mkString(", ")}")
+  }
+}

@@ -56,6 +56,7 @@ object GeomKernels {
     "st_xmax"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.maxX }),
     "st_ymax"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.maxY }),
     "st_astext"       -> U(StringType, g => utf8(WKT.write(g))),
+    "st_asgeojson"    -> U(StringType, g => utf8(GeoJSON.write(g))),
     // st_dump: multi-part => parts, single => itself (reference explode,
     // geoseries.rs:49-50); pair with Spark's built-in explode() for rows.
     "st_dump"         -> U(ArrayType(BinaryType, containsNull = false),
@@ -110,6 +111,10 @@ object GeomKernels {
   val constructors: Map[String, C] = Map(
     "st_point" -> C(BinaryType, Set(2), a => wkb(Point(d(a(0)), d(a(1))))),
     "st_geomfromtext" -> C(BinaryType, Set(1), a => WKT.readOrNull(s(a(0))) match {
+      case null => null
+      case g    => wkb(g)
+    }),
+    "st_geomfromgeojson" -> C(BinaryType, Set(1), a => GeoJSON.readOrNull(s(a(0))) match {
       case null => null
       case g    => wkb(g)
     }),
