@@ -140,6 +140,13 @@ object SparkEntry {
         |WHERE rnk <= 3
         |ORDER BY n_name, rnk""".stripMargin),
 
+    "q9_semi_anti" -> sqlQuery(Seq("customer", "orders"),
+      """SELECT
+        |  (SELECT cast(count(*) as bigint) FROM customer c
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT cast(count(*) as bigint) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin),
+
     // ===== st_* scalar surface over synthesized geometry (SURVEY §2.2-2.3)
 
     "q10_geo_accessors" -> sqlQuery(Seq("customer"),
@@ -238,6 +245,21 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Large-large grid-partitioned join path (no broadcast, shuffle on grid
+    // cells) — same semantics/oracle as q20, different physical plan.
+    "q44_grid_spatial_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", s"$custPt AS geometry")
+      val boxes = s.range(5).selectExpr(
+        "cast(id as int) AS box_id",
+        "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS geometry")
+      SpatialJoin.gridJoin(cust, boxes, cellSize = 45.0, SpatialJoin.Predicate.Intersects, "inner")
+        .groupBy(col("box_id_right").as("box_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("c_custkey_left")).as("key_sum"))
+        .orderBy("box_id")
+    }),
+
     // SQL `JOIN ON st_contains(...)` planned by SpatialJoinStrategy as a
     // broadcast R-tree index join (SURVEY §4) — same semantics as q20 but
     // through Catalyst's planner rather than the Dataset-level operator.
@@ -254,6 +276,11 @@ object SparkEntry {
            |FROM customer JOIN boxes ON st_contains(bgeom, $custPt)
            |GROUP BY box_id ORDER BY box_id""".stripMargin)
     }),
+
+    "q29_dwithin" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_dwithin($custPt, st_point(0.0, 0.0), 90.0) AS near_origin
+         |FROM customer ORDER BY c_custkey""".stripMargin),
 
     // GeoJSON codec round-trip (SURVEY §2.1 read_file GeoJSON slice)
     "q28_geojson" -> sqlQuery(Seq("customer"),
@@ -496,6 +523,18 @@ object SparkEntry {
         |WHERE rnk <= 3
         |ORDER BY n_name, rnk""".stripMargin,
 
+    "q9_semi_anti" ->
+      """SELECT
+        |  (SELECT cast(count(*) as bigint) FROM customer c
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT cast(count(*) as bigint) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+
+    "q29_dwithin" ->
+      s"""SELECT c_custkey,
+         |  (sqrt($oCustX * $oCustX + $oCustY * $oCustY) <= 90.0) AS near_origin
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q10_geo_accessors" ->
       s"""SELECT c_custkey,
          |  $oCustX AS px, $oCustY AS py,
@@ -561,6 +600,14 @@ object SparkEntry {
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q20_spatial_join" ->
+      s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
+         |  cast(count(*) as bigint) AS n_points,
+         |  cast(sum(c_custkey) as bigint) AS key_sum
+         |FROM customer
+         |WHERE (($oCustX + 180) % 72) <> 0 AND $oCustY > -80
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_grid_spatial_join" ->
       s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
          |  cast(count(*) as bigint) AS n_points,
          |  cast(sum(c_custkey) as bigint) AS key_sum

@@ -84,6 +84,34 @@ object Union {
     if (outGeoms.length == 1) outGeoms(0) else GeometryCollection(outGeoms.toArray)
   }
 
+  /** Remove collinear interior vertices from a closed ring (first==last). */
+  private def dropCollinear(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2 - 1 // distinct vertices (last repeats first)
+    if (n < 4) return r
+    val keep = new Array[Boolean](n)
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      val (px, py) = (r(2 * ((i + n - 1) % n)), r(2 * ((i + n - 1) % n) + 1))
+      val (cx, cy) = (r(2 * i), r(2 * i + 1))
+      val (nx, ny) = (r(2 * ((i + 1) % n)), r(2 * ((i + 1) % n) + 1))
+      val cross = (cx - px) * (ny - py) - (cy - py) * (nx - px)
+      keep(i) = math.abs(cross) > 1e-12
+      if (keep(i)) kept += 1
+      i += 1
+    }
+    if (kept == n || kept < 3) return r
+    val out = new Array[Double]((kept + 1) * 2)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (keep(i)) { out(2 * j) = r(2 * i); out(2 * j + 1) = r(2 * i + 1); j += 1 }
+      i += 1
+    }
+    out(2 * kept) = out(0); out(2 * kept + 1) = out(1)
+    out
+  }
+
   // ------------------------------------------------------------ polygons
 
   private def dissolve(ps: Array[Polygon]): Array[Polygon] = {
@@ -242,11 +270,17 @@ object Union {
           }
           guard += 1
         }
-        if (closed && pts.length >= 8) rings += pts.toArray
+        if (closed && pts.length >= 8) {
+          val cleaned = dropCollinear(pts.toArray)
+          if (cleaned.length >= 8) rings += cleaned
+        }
       }
     }
 
     // 6. shells vs holes by containment parity; holes nest in smallest shell
+    //    (rings were collinear-cleaned above: repeated dissolves otherwise
+    //    accumulate split vertices and make the next overlay quadratic in
+    //    them — this keeps the aggregate's compact() amortized cost flat)
     val ringArr = rings.toArray
     def ringContains(outer: Array[Double], inner: Array[Double]): Boolean = {
       // representative inner vertex strictly inside outer; vertices ON the
