@@ -71,14 +71,14 @@ object SpatialJoin {
     case _ => false
   }
 
-  /** Entry in the broadcast index: right-side row id + its geometry. */
-  private final case class IndexedGeoms(tree: STRtree, ids: Array[Long], geoms: Array[Geom])
-
   /**
-   * Broadcast filter-refine join. `right` must be broadcast-sized (its
-   * geometry column is collected; attribute columns are NOT collected — they
-   * rejoin by id afterwards, so wide right sides are fine as long as row
-   * count is broadcastable).
+   * Broadcast filter-refine join. `right` must be broadcast-sized: its full
+   * rows are collected once, indexed into an STR-tree, and broadcast; the
+   * left side streams through a single stateless mapPartitions emitting the
+   * joined (suffixed) rows directly — one pass, no pair table, no stitch
+   * shuffles. (The reference materializes an index-pair frame and re-joins
+   * through its host, spatial_index.rs:145-203; Spark lets us skip that
+   * because the probe already holds both rows.)
    */
   def join(
       left: DataFrame,
@@ -92,49 +92,47 @@ object SpatialJoin {
     require(joinType == "inner" || joinType == "left",
       s"spatial join supports inner|left (spatial_index.rs:187-203), got $joinType")
     val spark = left.sparkSession
-    import spark.implicits._
 
-    val lId = "__graft_lid"
-    val rId = "__graft_rid"
-    val leftW = left.withColumn(lId, monotonically_increasing_id())
-    val rightW = right.withColumn(rId, monotonically_increasing_id())
-
-    // Collect only (id, wkb) of the right side; build the R-tree once on the
-    // driver, broadcast the packed arrays (cheap: flat primitive arrays).
-    val rightGeoms: Array[(Long, Array[Byte])] = rightW
-      .select(col(rId), col(rightGeom)).as[(Long, Array[Byte])].collect()
-    val ids = new Array[Long](rightGeoms.length)
-    val geoms = new Array[Geom](rightGeoms.length)
-    val envs = new Array[Envelope](rightGeoms.length)
+    val rightRows: Array[org.apache.spark.sql.Row] = right.collect()
+    val rgIdx = right.schema.fieldIndex(rightGeom)
+    val geoms = new Array[Geom](rightRows.length)
+    val envs = new Array[Envelope](rightRows.length)
     var i = 0
-    while (i < rightGeoms.length) {
-      ids(i) = rightGeoms(i)._1
-      geoms(i) = if (rightGeoms(i)._2 == null) null else WKB.readOrNull(rightGeoms(i)._2)
+    while (i < rightRows.length) {
+      val b = rightRows(i).get(rgIdx)
+      geoms(i) = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
       envs(i) = if (geoms(i) == null) Envelope.empty else geoms(i).envelope
       i += 1
     }
-    val bc = spark.sparkContext.broadcast(IndexedGeoms(STRtree.build(envs), ids, geoms))
+    val bc = spark.sparkContext.broadcast((STRtree.build(envs), geoms, rightRows))
 
+    // every output column suffixed, both sides (spatial_index.rs:164-184)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      left.schema.fields.map(f => f.copy(name = f.name + lSuffix)) ++
+      right.schema.fields.map(f => f.copy(name = f.name + rSuffix, nullable = true)))
+    val lgIdx = left.schema.fieldIndex(leftGeom)
     val pred = predicate
-    val pairs: DataFrame = leftW.select(col(lId), col(leftGeom))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val idx = bc.value
-        it.flatMap { case (lid, wkb) =>
-          val g = if (wkb == null) null else WKB.readOrNull(wkb)
-          if (g == null) Iterator.empty
-          else {
-            val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-            idx.tree.query(g.envelope) { j =>
-              if (idx.geoms(j) != null && refine(pred, g, idx.geoms(j)))
-                out += ((lid, idx.ids(j)))
-            }
-            out.iterator
+    val leftJoin = joinType == "left"
+    val nRight = right.schema.fields.length
+
+    left.mapPartitions { it =>
+      val (tree, gs, rows) = bc.value
+      it.flatMap { lRow =>
+        val b = lRow.get(lgIdx)
+        val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        if (g != null) {
+          tree.query(g.envelope) { j =>
+            if (gs(j) != null && refine(pred, g, gs(j)))
+              out += org.apache.spark.sql.Row.fromSeq(lRow.toSeq ++ rows(j).toSeq)
           }
         }
-      }.toDF(lId, rId + "_p")
-
-    stitch(leftW, rightW, pairs, joinType, lId, rId, lSuffix, rSuffix)
+        if (out.nonEmpty) out.iterator
+        else if (leftJoin)
+          Iterator(org.apache.spark.sql.Row.fromSeq(lRow.toSeq ++ Seq.fill(nRight)(null)))
+        else Iterator.empty
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**
