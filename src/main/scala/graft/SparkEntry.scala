@@ -277,6 +277,16 @@ object SparkEntry {
            |GROUP BY box_id ORDER BY box_id""".stripMargin)
     }),
 
+    // equatorial geodesics have the closed form a * radians(dLon), making
+    // Vincenty and Karney oracle-checkable exactly
+    "q45_geodesic_methods" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_geodesiclength(st_geomfromtext(
+         |    concat('LINESTRING (0 0, ', $custX / 4.0, ' 0)')), 'vincenty'), 2) AS vin_m,
+         |  round(st_geodesiclength(st_geomfromtext(
+         |    concat('LINESTRING (0 0, ', $custX / 4.0, ' 0)')), 'geodesic'), 2) AS geo_m
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     "q29_dwithin" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
          |  st_dwithin($custPt, st_point(0.0, 0.0), 90.0) AS near_origin
@@ -529,6 +539,12 @@ object SparkEntry {
         |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
         |  (SELECT cast(count(*) as bigint) FROM customer c
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+
+    "q45_geodesic_methods" ->
+      s"""SELECT c_custkey,
+         |  round(6378137.0 * radians(abs($oCustX / 4.0)), 2) AS vin_m,
+         |  round(6378137.0 * radians(abs($oCustX / 4.0)), 2) AS geo_m
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q29_dwithin" ->
       s"""SELECT c_custkey,

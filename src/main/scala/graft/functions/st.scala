@@ -67,4 +67,11 @@ object st {
   def geomFromText(wkt: Column): Column   = call_function("st_geomfromtext", wkt)
   def makeEnvelope(x0: Column, y0: Column, x1: Column, y1: Column): Column =
     call_function("st_makeenvelope", x0, y0, x1, y1)
+  def geomFromGeoJson(json: Column): Column = call_function("st_geomfromgeojson", json)
+  def asGeoJson(g: Column): Column          = call_function("st_asgeojson", g)
+
+  // aggregates (SURVEY §2.5)
+  def envelopeAgg(g: Column): Column = call_function("st_envelope_agg", g)
+  def collect(g: Column): Column     = call_function("st_collect", g)
+  def unionAgg(g: Column): Column    = call_function("st_union_agg", g)
 }
