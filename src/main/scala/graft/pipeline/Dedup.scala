@@ -66,9 +66,12 @@ object Dedup {
       exprColumn(MinHashSig(Seq(columnExpr(col(textCol)), columnExpr(lit(numHashes)),
         columnExpr(lit(shingleSize))))).as("sig"))
 
-    // band bucket = hash of the band's slice of the signature
+    // band bucket = hash of the band's slice of the signature. Only (id,
+    // band, bucket) rides the LSH shuffle — replicating document text
+    // x bands through the explode would make text bytes the dominant
+    // shuffle cost at scale; text joins back once per side, candidates only.
     val banded = sig.select(
-      col("id"), col("text"),
+      col("id"),
       posexplode(
         // array of band-slices: transform over band indices
         expr(s"transform(sequence(0, ${bands - 1}), b -> " +
@@ -76,14 +79,17 @@ object Dedup {
         .as(Seq("band", "bucket")))
 
     // self-join within (band, bucket) — LSH keeps buckets tiny
-    val a = banded.select($"band", $"bucket", $"id".as("id_a"), $"text".as("text_a"))
-    val b = banded.select($"band", $"bucket", $"id".as("id_b"), $"text".as("text_b"))
+    val a = banded.select($"band", $"bucket", $"id".as("id_a"))
+    val b = banded.select($"band", $"bucket", $"id".as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"text_a", $"text_b")
+      .select($"id_a", $"id_b")
       .distinct()
 
+    val texts = sig.select($"id", $"text")
     candidates
+      .join(texts.select($"id".as("id_a"), $"text".as("text_a")), "id_a")
+      .join(texts.select($"id".as("id_b"), $"text".as("text_b")), "id_b")
       .withColumn("jaccard",
         exprColumn(NgramJaccard(Seq(columnExpr($"text_a"), columnExpr($"text_b"),
           columnExpr(lit(shingleSize))))))
