@@ -147,6 +147,29 @@ object SparkEntry {
         |  (SELECT cast(count(*) as bigint) FROM customer c
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin),
 
+    // tumbling time windows in batch (same window() used by streaming §2.10)
+    "q46_time_window" -> sqlQuery(Seq("events"),
+      """SELECT window.start AS ws, event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total
+        |FROM events
+        |GROUP BY window(ts, '6 hours'), event_type
+        |ORDER BY ws, event_type""".stripMargin),
+
+    "q47_part_region_join" -> sqlQuery(Seq("lineitem", "part", "orders", "customer", "nation", "region"),
+      """SELECT r.r_name AS region, p.p_brand AS brand,
+        |  cast(sum(cast(l.l_extendedprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE p.p_size <= 10
+        |GROUP BY r.r_name, p.p_brand
+        |ORDER BY region, brand""".stripMargin),
+
     // ===== st_* scalar surface over synthesized geometry (SURVEY §2.2-2.3)
 
     "q10_geo_accessors" -> sqlQuery(Seq("customer"),
@@ -539,6 +562,27 @@ object SparkEntry {
         |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
         |  (SELECT cast(count(*) as bigint) FROM customer c
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+
+    "q46_time_window" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "q47_part_region_join" ->
+      """SELECT r.r_name AS region, p.p_brand AS brand,
+        |  cast(sum(cast(l.l_extendedprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE p.p_size <= 10
+        |GROUP BY r.r_name, p.p_brand
+        |ORDER BY region, brand""".stripMargin,
 
     "q45_geodesic_methods" ->
       s"""SELECT c_custkey,
