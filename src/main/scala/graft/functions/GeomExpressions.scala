@@ -128,9 +128,122 @@ object GeomKernels {
     (unary.keys ++ binary.keys ++ withArgs.keys ++ constructors.keys).toSeq.sorted
 }
 
-/** Unary st_* expression: WKB child, kernel looked up by name (stable plan equality). */
-case class GeomUnaryExpr(name: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/**
+ * Static row-level kernels invoked from generated code. Whole-stage codegen
+ * calls these directly on the column values — no InternalRow
+ * materialization, no expression-tree walk per row (the cost
+ * CodegenFallback pays).
+ */
+object GeomRowEval {
+  def unary(k: GeomKernels.U, wkb: Array[Byte]): Any = {
+    val g = WKB.readOrNull(wkb)
+    if (g == null) null else k.fn(g)
+  }
+  def binary(k: GeomKernels.B, a: Array[Byte], b: Array[Byte]): Any = {
+    val ga = WKB.readOrNull(a)
+    if (ga == null) return null
+    val gb = WKB.readOrNull(b)
+    if (gb == null) null else k.fn(ga, gb)
+  }
+  def point(x: Double, y: Double): Array[Byte] = WKB.write(Point(x, y))
+
+  /** Catalyst-internal scalar => the kernel-facing representation. */
+  def normalize(v: Any): Any = v match {
+    case u: UTF8String      => u.toString
+    case i: Integer         => i.doubleValue(): Any
+    case l: java.lang.Long  => l.doubleValue(): Any
+    case f: java.lang.Float => f.doubleValue(): Any
+    case dec: Decimal       => dec.toDouble: Any
+    case other              => other
+  }
+
+  def constructor(k: GeomKernels.C, args: Array[Any]): Any = {
+    var i = 0
+    while (i < args.length) { if (args(i) == null) return null; i += 1 }
+    k.fn(args.map(normalize).toIndexedSeq)
+  }
+
+  def withArgs(k: GeomKernels.W, geomBytes: Array[Byte], args: Array[Any]): Any = {
+    val g = WKB.readOrNull(geomBytes)
+    if (g == null) return null
+    var i = 0
+    while (i < args.length) { if (args(i) == null) return null; i += 1 }
+    k.fn(g, args.map(normalize).toIndexedSeq)
+  }
+}
+
+/** Shared unboxing snippet for generated code: `Object` kernel result => typed slot. */
+private[functions] object GeomCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+
+  def assignResult(dataType: DataType, resultVar: String, ev: ExprCode): String = {
+    val unbox = dataType match {
+      case DoubleType  => s"((java.lang.Double) $resultVar).doubleValue()"
+      case IntegerType => s"((java.lang.Integer) $resultVar).intValue()"
+      case BooleanType => s"((java.lang.Boolean) $resultVar).booleanValue()"
+      case _           => s"(${CodeGenerator.javaType(dataType)}) $resultVar"
+    }
+    s"""
+       |if ($resultVar == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = $unbox;
+       |}""".stripMargin
+  }
+
+  /** Explicit boxing for Janino (no reliable autoboxing in generated code). */
+  def boxValue(dataType: DataType, v: String): String = dataType match {
+    case DoubleType | IntegerType | BooleanType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType =>
+      s"${CodeGenerator.boxedType(dataType)}.valueOf($v)"
+    case _ => v
+  }
+
+  /**
+   * Generic n-ary codegen: evaluate children, box non-geometry args into an
+   * Object[], call `callTarget(argsVar)`; any null child => null result
+   * (matching the interpreted eval of GeomArgsExpr/GeomConstructorExpr).
+   */
+  def nAryCall(
+      ctx: CodegenContext,
+      ev: ExprCode,
+      boxedChildren: Seq[(Expression, Int)],   // (child, slot in Object[])
+      prefixChildren: Seq[Expression],          // evaluated, passed positionally
+      arity: Int,
+      dataType: DataType,
+      call: (Seq[ExprCode], String) => String): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val prefixCodes = prefixChildren.map(_.genCode(ctx))
+    val argCodes = boxedChildren.map { case (c, _) => c.genCode(ctx) }
+    val arr = ctx.freshName("geomArgs")
+    val res = ctx.freshName("geomRes")
+    val fills = boxedChildren.zip(argCodes).map { case ((c, slot), code) =>
+      s"""if (${code.isNull}) { ${ev.isNull} = true; } else { $arr[$slot] = ${boxValue(c.dataType, code.value.toString)}; }"""
+    }.mkString("\n")
+    val prefixNullChecks =
+      prefixCodes.map(c => s"if (${c.isNull}) { ${ev.isNull} = true; }").mkString("\n")
+    ev.copy(code =
+      code"""
+         |${prefixCodes.map(_.code).mkString("\n")}
+         |${argCodes.map(_.code).mkString("\n")}
+         |boolean ${ev.isNull} = false;
+         |${CodeGenerator.javaType(dataType)} ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+         |Object[] $arr = new Object[$arity];
+         |$prefixNullChecks
+         |$fills
+         |if (!${ev.isNull}) {
+         |  Object $res = ${call(prefixCodes, arr)};
+         |  ${assignResult(dataType, res, ev)}
+         |}""".stripMargin)
+  }
+}
+
+/** Unary st_* expression: WKB child, kernel looked up by name (stable plan equality).
+  * doGenCode calls the static kernel on the column value directly, so the
+  * expression stays inside whole-stage codegen without the
+  * CodegenFallback row-materialization detour. */
+case class GeomUnaryExpr(name: String, child: Expression) extends UnaryExpression {
   @transient private lazy val kernel = GeomKernels.unary(name)
   override def dataType: DataType = kernel.out
   override def nullable: Boolean = true
@@ -138,9 +251,19 @@ case class GeomUnaryExpr(name: String, child: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$name expects WKB BinaryType, got ${child.dataType}")
-  override protected def nullSafeEval(input: Any): Any = {
-    val g = WKB.readOrNull(input.asInstanceOf[Array[Byte]])
-    if (g == null) null else kernel.fn(g)
+  override protected def nullSafeEval(input: Any): Any =
+    GeomRowEval.unary(kernel, input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kRef = ctx.addReferenceObj("kernel", kernel, classOf[GeomKernels.U].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("geomRes")
+      s"""
+         |Object $res = graft.functions.GeomRowEval.unary($kRef, $c);
+         |${GeomCodegen.assignResult(dataType, res, ev)}""".stripMargin
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): GeomUnaryExpr =
     copy(child = newChild)
@@ -148,23 +271,31 @@ case class GeomUnaryExpr(name: String, child: Expression)
 
 /** Binary st_* expression over two WKB columns (row-aligned, like the reference's distance). */
 case class GeomBinaryExpr(name: String, left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   @transient private lazy val kernel = GeomKernels.binary(name)
   override def dataType: DataType = kernel.out
   override def nullable: Boolean = true
   override def prettyName: String = name
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = WKB.readOrNull(l.asInstanceOf[Array[Byte]])
-    val b = WKB.readOrNull(r.asInstanceOf[Array[Byte]])
-    if (a == null || b == null) null else kernel.fn(a, b)
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GeomRowEval.binary(kernel, l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kRef = ctx.addReferenceObj("kernel", kernel, classOf[GeomKernels.B].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("geomRes")
+      s"""
+         |Object $res = graft.functions.GeomRowEval.binary($kRef, $l, $r);
+         |${GeomCodegen.assignResult(dataType, res, ev)}""".stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GeomBinaryExpr =
     copy(left = l, right = r)
 }
 
 /** Geom-plus-scalar-args st_* expression (simplify, affine family, transform, ...). */
-case class GeomArgsExpr(name: String, children: Seq[Expression])
-    extends Expression with CodegenFallback {
+case class GeomArgsExpr(name: String, children: Seq[Expression]) extends Expression {
   @transient private lazy val kernel = GeomKernels.withArgs(name)
   override def dataType: DataType = kernel.out
   override def nullable: Boolean = true
@@ -173,43 +304,57 @@ case class GeomArgsExpr(name: String, children: Seq[Expression])
   override def eval(input: InternalRow): Any = {
     val geomBytes = children.head.eval(input)
     if (geomBytes == null) return null
-    val g = WKB.readOrNull(geomBytes.asInstanceOf[Array[Byte]])
-    if (g == null) return null
-    val args = children.tail.map(_.eval(input)).toIndexedSeq
-    if (args.exists(_ == null)) return null
-    kernel.fn(g, args.map {
-      case u: UTF8String => u.toString
-      case i: Integer    => i.doubleValue(): Any
-      case l: java.lang.Long => l.doubleValue(): Any
-      case f: java.lang.Float => f.doubleValue(): Any
-      case dec: Decimal  => dec.toDouble: Any
-      case other         => other
-    })
+    val args = children.tail.map(_.eval(input)).toArray
+    GeomRowEval.withArgs(kernel, geomBytes.asInstanceOf[Array[Byte]], args)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kRef = ctx.addReferenceObj("kernel", kernel, classOf[GeomKernels.W].getName)
+    GeomCodegen.nAryCall(ctx, ev, children.tail.zipWithIndex, Seq(children.head),
+      children.length - 1, dataType,
+      (prefix, arr) => s"graft.functions.GeomRowEval.withArgs($kRef, ${prefix.head.value}, $arr)")
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): GeomArgsExpr =
     copy(children = cs)
 }
 
-/** Scalar-only constructors (st_point, st_geomfromtext, st_makeenvelope). */
-case class GeomConstructorExpr(name: String, children: Seq[Expression])
-    extends Expression with CodegenFallback {
+/** Scalar-only constructors (st_point, st_geomfromtext, st_makeenvelope, ...).
+  * st_point — the hot synthesized-geometry path — gets a direct two-double
+  * call; the rest go through the generic boxed-args codegen. */
+case class GeomConstructorExpr(name: String, children: Seq[Expression]) extends Expression {
   @transient private lazy val kernel = GeomKernels.constructors(name)
   override def dataType: DataType = kernel.out
   override def nullable: Boolean = true
   override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = name
-  override def eval(input: InternalRow): Any = {
-    val args = children.map(_.eval(input)).toIndexedSeq
-    if (args.exists(_ == null)) return null
-    kernel.fn(args.map {
-      case u: UTF8String => u.toString
-      case i: Integer    => i.doubleValue(): Any
-      case l: java.lang.Long => l.doubleValue(): Any
-      case f: java.lang.Float => f.doubleValue(): Any
-      case dec: Decimal  => dec.toDouble: Any
-      case other         => other
-    })
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    if (name == "st_point" && children.length == 2 &&
+        children.forall(_.dataType == DoubleType)) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val xCode = children(0).genCode(ctx)
+      val yCode = children(1).genCode(ctx)
+      ev.copy(code =
+        code"""
+           |${xCode.code}
+           |${yCode.code}
+           |boolean ${ev.isNull} = ${xCode.isNull} || ${yCode.isNull};
+           |byte[] ${ev.value} = null;
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = graft.functions.GeomRowEval.point(${xCode.value}, ${yCode.value});
+           |}""".stripMargin)
+    } else {
+      val kRef = ctx.addReferenceObj("kernel", kernel, classOf[GeomKernels.C].getName)
+      GeomCodegen.nAryCall(ctx, ev, children.zipWithIndex, Nil, children.length, dataType,
+        (_, arr) => s"graft.functions.GeomRowEval.constructor($kRef, $arr)")
+    }
   }
+  override def eval(input: InternalRow): Any =
+    GeomRowEval.constructor(kernel, children.map(_.eval(input)).toArray)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): GeomConstructorExpr =
     copy(children = cs)
 }
