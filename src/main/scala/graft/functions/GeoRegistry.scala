@@ -29,7 +29,14 @@ object GeoRegistry {
     } else { exprs =>
       val ar = GeomKernels.constructors(name).arities
       require(ar.contains(exprs.length), s"$name expects ${ar.mkString("/")} args, got ${exprs.length}")
-      GeomConstructorExpr(name, exprs)
+      // numeric constructors take doubles: insert casts at registration so
+      // SQL integer/decimal literals hit the unboxed codegen fast path
+      val cast =
+        if (name == "st_point" || name == "st_makeenvelope")
+          exprs.map(e => if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+                         else org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType))
+        else exprs
+      GeomConstructorExpr(name, cast)
     }
   }
 
