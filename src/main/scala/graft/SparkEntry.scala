@@ -435,6 +435,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal plumbing over binary payloads (stubbed codec, real schema/
+    // partitioning — rows-only check: FakeCodec output is engine-specific)
+    "q48_multimodal" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "cast(text as binary) AS payload")
+      val decoded = graft.pipeline.Multimodal.decodeImages(docs, "payload")
+      val feats = graft.pipeline.Multimodal.extractFeatures(decoded, "payload", dim = 8)
+      feats.selectExpr("doc_id", "decoded_width", "decoded_height",
+          "round(mean_luma, 3) AS mean_luma", "size(features) AS feat_dim")
+        .orderBy("doc_id")
+    }),
+
     // ===== embedding similarity ops
 
     "q40_emb_cosine" -> ((s: SparkSession, dir: String) => {
