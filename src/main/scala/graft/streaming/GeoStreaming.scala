@@ -98,6 +98,62 @@ object GeoStreaming {
       .groupBy((window(col(tsCol), windowDuration) +: keys): _*)
       .agg(count(lit(1)).as("n"))
 
+  /**
+   * Stream-stream spatial join (inner), the windowed extension SURVEY §2.10
+   * deferred: rows from the two streams pair when their geometries'
+   * envelopes share a grid cell, their event times are within
+   * `timeConstraintSecs`, and the exact predicate holds.
+   *
+   * Scalable shape: each side is exploded to the grid cells its envelope
+   * covers, so the join key is (cell) equality plus the event-time range —
+   * exactly what Spark's watermarked symmetric stream-stream join needs to
+   * bound state. Pairs that meet in several cells are deduped downstream by
+   * the caller if needed (each emitted row carries both ids).
+   */
+  def streamStreamSpatialJoin(
+      left: DataFrame,
+      right: DataFrame,
+      cellSize: Double,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String,
+      timeConstraintSecs: Long,
+      predicate: graft.spatial.SpatialJoin.Predicate = graft.spatial.SpatialJoin.Predicate.Intersects,
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry"): DataFrame = {
+    def cells(df: DataFrame, geom: String, side: String): DataFrame = {
+      val cellExpr =
+        s"""flatten(transform(
+           |  sequence(cast(floor(st_xmin($geom) / $cellSize) as long),
+           |           cast(floor(st_xmax($geom) / $cellSize) as long)),
+           |  cx -> transform(
+           |    sequence(cast(floor(st_ymin($geom) / $cellSize) as long),
+           |             cast(floor(st_ymax($geom) / $cellSize) as long)),
+           |    cy -> cx * 4294967296L + (cy & 4294967295L))))""".stripMargin
+      df.withColumn(s"__cell_$side", explode(expr(cellExpr)))
+    }
+    val pred = predicate
+    // general st_* predicate semantics (not the reference's join-refine
+    // matrix, which has no point-point row): intersects/contains via Algos
+    val refineUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val ga = WKB.readOrNull(a); val gb = WKB.readOrNull(b)
+      ga != null && gb != null && (pred match {
+        case graft.spatial.SpatialJoin.Predicate.Intersects => Algos.intersects(ga, gb)
+        case graft.spatial.SpatialJoin.Predicate.Contains   => Algos.contains(ga, gb)
+      })
+    }
+    val l = cells(left.withWatermark(leftTs, watermarkDelay), leftGeom, "l")
+    val r = cells(right.withWatermark(rightTs, watermarkDelay), rightGeom, "r")
+    l.join(r,
+      col("__cell_l") === col("__cell_r") &&
+      col(rightTs).between(
+        col(leftTs) - expr(s"INTERVAL $timeConstraintSecs SECONDS"),
+        col(leftTs) + expr(s"INTERVAL $timeConstraintSecs SECONDS")) &&
+      refineUdf(l(leftGeom), r(rightGeom)),
+      "inner")
+      .drop("__cell_l", "__cell_r")
+  }
+
   private val envSchema = StructType(Seq(
     StructField("xmin", DoubleType), StructField("ymin", DoubleType),
     StructField("xmax", DoubleType), StructField("ymax", DoubleType)))

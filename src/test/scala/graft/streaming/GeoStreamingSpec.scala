@@ -72,6 +72,37 @@ class GeoStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream spatial join pairs co-located, time-close events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val lIn = MemoryStream[(Long, Double, Double, Timestamp)]
+    val rIn = MemoryStream[(Long, Double, Double, Timestamp)]
+    val l = lIn.toDF().toDF("l_id", "x", "y", "l_ts")
+      .selectExpr("l_id", "st_point(x, y) AS geometry", "l_ts")
+    val r = rIn.toDF().toDF("r_id", "x", "y", "r_ts")
+      .selectExpr("r_id", "st_point(x, y) AS rgeom", "r_ts")
+    val joined = GeoStreaming.streamStreamSpatialJoin(
+      l, r, cellSize = 10.0, "l_ts", "r_ts", "10 minutes",
+      timeConstraintSecs = 120,
+      predicate = graft.spatial.SpatialJoin.Predicate.Intersects,
+      leftGeom = "geometry", rightGeom = "rgeom")
+    val q = joined.writeStream.format("memory").queryName("sss").outputMode("append").start()
+    try {
+      // (1,1) and (1.5,1): same cell, 1 min apart => pair.
+      // (50,50) vs (1,1): different cells => no pair.
+      // (2,2) at 10:30 vs (1,1) at 10:01: same cell, 29 min apart => no pair
+      //   (time constraint) — and points never st_intersect unless equal, so
+      //   use equal coordinates for the positive case.
+      lIn.addData((1L, 1.0, 1.0, t(1)), (2L, 50.0, 50.0, t(1)))
+      rIn.addData((10L, 1.0, 1.0, t(2)), (11L, 1.0, 1.0, t(30)))
+      q.processAllAvailable()
+      val rows = spark.table("sss").selectExpr("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(rows == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("runningEnvelope accumulates per-key bbox across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
