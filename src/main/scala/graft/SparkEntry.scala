@@ -340,6 +340,17 @@ object SparkEntry {
          |    'LINESTRING (', $custX, ' 0, ', $custX + 1.0, ' 0.01, ', $custX + 2.0, ' 0)')), 0.001)) AS pts_tight
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // scalar two-geometry union: overlapping squares, analytic dissolved area
+    "q49_union_scalar" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_area(st_union(
+         |    st_makeenvelope($custX, $custY, $custX + 2.0, $custY + 2.0),
+         |    st_makeenvelope($custX + 1.0, $custY + 1.0, $custX + 3.0, $custY + 3.0))) AS union_area,
+         |  st_area(st_union(
+         |    st_makeenvelope($custX, $custY, $custX + 1.0, $custY + 1.0),
+         |    st_makeenvelope($custX + 5.0, $custY, $custX + 6.0, $custY + 1.0))) AS disjoint_area
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // ===== geometry aggregates (SURVEY §2.5)
 
     "q24_envelope_agg" -> sqlQuery(Seq("customer"),
@@ -713,6 +724,10 @@ object SparkEntry {
 
     "q23_geo_simplify" ->
       """SELECT c_custkey, 2 AS pts_loose, 3 AS pts_tight
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q49_union_scalar" ->
+      """SELECT c_custkey, 7.0 AS union_area, 2.0 AS disjoint_area
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q24_envelope_agg" ->

@@ -70,7 +70,9 @@ object GeomKernels {
     "st_distance"   -> B(DoubleType, (a, b) => Algos.distance(a, b)),
     "st_intersects" -> B(BooleanType, (a, b) => Algos.intersects(a, b)),
     "st_contains"   -> B(BooleanType, (a, b) => Algos.contains(a, b)),
-    "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a))
+    "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a)),
+    // two-geometry dissolve via the same planar-overlay kernel as st_union_agg
+    "st_union"      -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b))))
   )
 
   private def d(v: Any): Double = v.asInstanceOf[Double]

@@ -67,4 +67,49 @@ class UnionSpec extends AnyFunSuite {
   test("empty input") {
     assert(Union.union(Nil).isEmpty)
   }
+
+  // deterministic pseudo-property tests (same pattern as GeomKernelSpec)
+  test("property: random box pairs obey inclusion-exclusion") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      def rb() = {
+        val x = rnd.nextDouble() * 10; val y = rnd.nextDouble() * 10
+        val w = rnd.nextDouble() * 5 + 0.1; val h = rnd.nextDouble() * 5 + 0.1
+        box(x, y, x + w, y + h)
+      }
+      val (a, b) = (rb(), rb())
+      val (ea, eb) = (a.envelope, b.envelope)
+      val ix = math.max(0.0, math.min(ea.maxX, eb.maxX) - math.max(ea.minX, eb.minX))
+      val iy = math.max(0.0, math.min(ea.maxY, eb.maxY) - math.max(ea.minY, eb.minY))
+      val expected = ea.area + eb.area - ix * iy
+      val got = Algos.area(Union.union(Seq(a, b)))
+      assert(math.abs(got - expected) < 1e-6, s"a=$ea b=$eb got=$got expected=$expected")
+    }
+  }
+
+  test("property: random box sets — monotone bounds, idempotence, vertex coverage") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 40) {
+      val boxes = Seq.fill(2 + rnd.nextInt(6)) {
+        val x = rnd.nextDouble() * 8; val y = rnd.nextDouble() * 8
+        box(x, y, x + rnd.nextDouble() * 4 + 0.1, y + rnd.nextDouble() * 4 + 0.1)
+      }
+      val u = Union.union(boxes)
+      val area = Algos.area(u)
+      val maxIn = boxes.map(Algos.area(_)).max
+      val sumIn = boxes.map(Algos.area(_)).sum
+      assert(area >= maxIn - 1e-9 && area <= sumIn + 1e-9, s"area=$area not in [$maxIn, $sumIn]")
+      // idempotence: dissolving the dissolved result changes nothing
+      assert(math.abs(Algos.area(Union.union(Seq(u))) - area) < 1e-9)
+      // every input corner lies in or on the union
+      val polys = u match {
+        case p: Polygon       => Seq(p)
+        case m: MultiPolygon  => m.geoms.toSeq
+        case other            => fail(s"unexpected ${other.typeName}")
+      }
+      boxes.foreach(_.foreachCoord { (x, y) =>
+        assert(polys.exists(p => Algos.pointInPolygon(x, y, p) > 0), s"corner ($x,$y) escaped the union")
+      })
+    }
+  }
 }
