@@ -351,6 +351,18 @@ object SparkEntry {
          |    st_makeenvelope($custX + 5.0, $custY, $custX + 6.0, $custY + 1.0))) AS disjoint_area
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // boolean overlay ops: ∩ and − areas have analytic values for the
+    // offset-square construction (1x1 overlap => inter 1, diff side²-1)
+    "q50_overlay_ops" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_area(st_intersection(
+         |    st_makeenvelope($custX, $custY, $custX + 2.0, $custY + 2.0),
+         |    st_makeenvelope($custX + 1.0, $custY + 1.0, $custX + 3.0, $custY + 3.0))) AS inter_area,
+         |  st_area(st_difference(
+         |    st_makeenvelope($custX, $custY, $custX + 2.0, $custY + 2.0),
+         |    st_makeenvelope($custX + 1.0, $custY + 1.0, $custX + 3.0, $custY + 3.0))) AS diff_area
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // ===== geometry aggregates (SURVEY §2.5)
 
     "q24_envelope_agg" -> sqlQuery(Seq("customer"),
@@ -728,6 +740,10 @@ object SparkEntry {
 
     "q49_union_scalar" ->
       """SELECT c_custkey, 7.0 AS union_area, 2.0 AS disjoint_area
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q50_overlay_ops" ->
+      """SELECT c_custkey, 1.0 AS inter_area, 3.0 AS diff_area
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q24_envelope_agg" ->

@@ -71,8 +71,10 @@ object GeomKernels {
     "st_intersects" -> B(BooleanType, (a, b) => Algos.intersects(a, b)),
     "st_contains"   -> B(BooleanType, (a, b) => Algos.contains(a, b)),
     "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a)),
-    // two-geometry dissolve via the same planar-overlay kernel as st_union_agg
-    "st_union"      -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b))))
+    // boolean overlay ops on the shared planar-overlay kernel
+    "st_union"        -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
+    "st_intersection" -> B(BinaryType, (a, b) => wkb(Union.intersection(a, b))),
+    "st_difference"   -> B(BinaryType, (a, b) => wkb(Union.difference(a, b)))
   )
 
   private def d(v: Any): Double = v.asInstanceOf[Double]

@@ -112,6 +112,45 @@ object Union {
     out
   }
 
+  private def polysOf(g: Geometry): Array[Polygon] = g match {
+    case p: Polygon if !p.isEmpty => Array(p)
+    case m: MultiPolygon          => m.geoms.filterNot(_.isEmpty)
+    case gc: GeometryCollection   => gc.geoms.flatMap(polysOf)
+    case _                        => Array.empty
+  }
+
+  private def wrap(ps: Array[Polygon]): Geometry =
+    if (ps.isEmpty) GeometryCollection(Array.empty)
+    else if (ps.length == 1) ps(0)
+    else MultiPolygon(ps)
+
+  /**
+   * Binary intersection. Point vs area uses containment; area vs area runs
+   * the overlay with membership `a && b`. Line operands are unsupported
+   * (null at the SQL layer).
+   */
+  def intersection(a: Geometry, b: Geometry): Geometry = (a, b) match {
+    case (p: Point, g) => if (Algos.intersects(g, p)) p else GeometryCollection(Array.empty)
+    case (g, p: Point) => if (Algos.intersects(g, p)) p else GeometryCollection(Array.empty)
+    case _ =>
+      val (pa, pb) = (polysOf(a), polysOf(b))
+      if (pa.isEmpty || pb.isEmpty) GeometryCollection(Array.empty)
+      else if (!pa.exists(x => pb.exists(y => x.envelope.intersects(y.envelope))))
+        GeometryCollection(Array.empty)
+      else wrap(overlayBinary(pa, pb, _ && _))
+  }
+
+  /** Binary difference a − b (area operands; point minuend handled directly). */
+  def difference(a: Geometry, b: Geometry): Geometry = (a, b) match {
+    case (p: Point, g) => if (Algos.intersects(g, p)) GeometryCollection(Array.empty) else p
+    case _ =>
+      val (pa, pb) = (polysOf(a), polysOf(b))
+      if (pa.isEmpty) GeometryCollection(Array.empty)
+      else if (pb.isEmpty ||
+               !pa.exists(x => pb.exists(y => x.envelope.intersects(y.envelope)))) wrap(pa)
+      else wrap(overlayBinary(pa, pb, (ia, ib) => ia && !ib))
+  }
+
   // ------------------------------------------------------------ polygons
 
   private def dissolve(ps: Array[Polygon]): Array[Polygon] = {
@@ -170,16 +209,17 @@ object Union {
     false
   }
 
-  private def overlayUnion(group: Array[Polygon]): Array[Polygon] = {
-    // 1-2. collect ring edges, split at intersections with OTHER polygons
-    val frags = mutable.ArrayBuffer[Frag]()
-    for (pi <- group.indices; ring <- group(pi).rings) {
+  /** Split one ring's edges at intersections with `others`' edges into frags. */
+  private def splitRings(
+      polys: Array[Polygon], others: Int => Iterator[Array[Double]],
+      frags: mutable.ArrayBuffer[Frag]): Unit = {
+    for (pi <- polys.indices; ring <- polys(pi).rings) {
       var i = 0
       while (i + 3 < ring.length) {
         val (x1, y1, x2, y2) = (ring(i), ring(i + 1), ring(i + 2), ring(i + 3))
         if (x1 != x2 || y1 != y2) {
           val ts = mutable.ArrayBuffer[Double]()
-          for (pj <- group.indices if pj != pi; r2 <- group(pj).rings) {
+          others(pi).foreach { r2 =>
             var j = 0
             while (j + 3 < r2.length) {
               splitParams(x1, y1, x2, y2, r2(j), r2(j + 1), r2(j + 2), r2(j + 3), ts)
@@ -199,13 +239,44 @@ object Union {
         i += 2
       }
     }
+  }
 
+  private def overlayUnion(group: Array[Polygon]): Array[Polygon] = {
+    // 1-2. collect ring edges, split at intersections with OTHER polygons
+    val frags = mutable.ArrayBuffer[Frag]()
+    splitRings(group,
+      pi => group.indices.iterator.filter(_ != pi).flatMap(group(_).rings.iterator), frags)
+    val eps = epsFor(group)
+    overlayCore(frags, (x, y) => insideUnion(x, y, group), eps)
+  }
+
+  /**
+   * Binary region overlay: result boundary = fragments of either side's
+   * rings where `member(insideA, insideB)` flips across the fragment.
+   * member = (a,b) => a||b gives union; a&&b intersection; a&&!b difference.
+   */
+  private[geom] def overlayBinary(
+      aPolys: Array[Polygon], bPolys: Array[Polygon],
+      member: (Boolean, Boolean) => Boolean): Array[Polygon] = {
+    val frags = mutable.ArrayBuffer[Frag]()
+    splitRings(aPolys, _ => bPolys.iterator.flatMap(_.rings.iterator), frags)
+    splitRings(bPolys, _ => aPolys.iterator.flatMap(_.rings.iterator), frags)
+    val eps = epsFor(aPolys ++ bPolys)
+    overlayCore(frags,
+      (x, y) => member(insideUnion(x, y, aPolys), insideUnion(x, y, bPolys)), eps)
+  }
+
+  private def epsFor(polys: Array[Polygon]): Double = {
+    val e = polys.foldLeft(Envelope.empty)((acc, p) => acc.expand(p.envelope))
+    math.max(math.max(math.abs(e.width), math.abs(e.height)), 1.0) * 1e-7
+  }
+
+  /** Classify + stitch + nest: shared tail of every overlay operation. */
+  private def overlayCore(
+      frags: mutable.ArrayBuffer[Frag],
+      inRegion: (Double, Double) => Boolean,
+      eps: Double): Array[Polygon] = {
     // 3. boundary classification by side sampling: exactly one side inside
-    val scale = {
-      val e = group.foldLeft(Envelope.empty)((acc, p) => acc.expand(p.envelope))
-      math.max(math.max(math.abs(e.width), math.abs(e.height)), 1.0)
-    }
-    val eps = scale * 1e-7
     val kept = frags.filter { f =>
       val mx = (f.x1 + f.x2) / 2; val my = (f.y1 + f.y2) / 2
       val dx = f.x2 - f.x1; val dy = f.y2 - f.y1
@@ -213,13 +284,13 @@ object Union {
       if (len < 1e-12) false
       else {
         val nx = -dy / len * eps; val ny = dx / len * eps
-        val leftIn = insideUnion(mx + nx, my + ny, group)
-        val rightIn = insideUnion(mx - nx, my - ny, group)
+        val leftIn = inRegion(mx + nx, my + ny)
+        val rightIn = inRegion(mx - nx, my - ny)
         leftIn != rightIn
       }
     }
 
-    // 4. dedupe coincident fragments; orient so the union interior is on the
+    // 4. dedupe coincident fragments; orient so the region interior is on the
     //    LEFT (standard shell-CCW/hole-CW convention falls out of this).
     val canon = mutable.LinkedHashMap[((Long, Long), (Long, Long)), Frag]()
     kept.foreach { f =>
@@ -228,7 +299,7 @@ object Union {
       val len = math.hypot(dx, dy)
       val nx = -dy / len * eps; val ny = dx / len * eps
       val oriented =
-        if (insideUnion(mx + nx, my + ny, group)) f
+        if (inRegion(mx + nx, my + ny)) f
         else Frag(f.x2, f.y2, f.x1, f.y1)
       canon.getOrElseUpdate(f.canonicalKey, oriented)
     }

@@ -68,6 +68,42 @@ class UnionSpec extends AnyFunSuite {
     assert(Union.union(Nil).isEmpty)
   }
 
+  test("intersection: overlap, containment, disjoint, point operands") {
+    val i1 = Union.intersection(box(0, 0, 2, 2), box(1, 1, 3, 3))
+    assert(math.abs(Algos.area(i1) - 1.0) < tol)
+    val i2 = Union.intersection(box(0, 0, 10, 10), box(2, 2, 3, 3)) // contained
+    assert(math.abs(Algos.area(i2) - 1.0) < tol)
+    assert(Union.intersection(box(0, 0, 1, 1), box(5, 5, 6, 6)).isEmpty)
+    assert(Union.intersection(Point(1, 1), box(0, 0, 2, 2)) == Point(1, 1))
+    assert(Union.intersection(Point(9, 9), box(0, 0, 2, 2)).isEmpty)
+  }
+
+  test("difference: notch, hole punch, disjoint, full erase") {
+    val d1 = Union.difference(box(0, 0, 2, 2), box(1, 1, 3, 3)) // corner notch
+    assert(math.abs(Algos.area(d1) - 3.0) < tol)
+    val d2 = Union.difference(box(0, 0, 10, 10), box(4, 4, 6, 6)) // hole punch
+    val p2 = d2.asInstanceOf[Polygon]
+    assert(p2.rings.length == 2 && math.abs(Algos.area(p2) - 96.0) < tol)
+    val d3 = Union.difference(box(0, 0, 1, 1), box(5, 5, 6, 6)) // disjoint
+    assert(math.abs(Algos.area(d3) - 1.0) < tol)
+    assert(Union.difference(box(2, 2, 3, 3), box(0, 0, 10, 10)).isEmpty) // erased
+  }
+
+  test("property: intersection + difference partition the minuend") {
+    val rnd = new scala.util.Random(97)
+    for (_ <- 1 to 100) {
+      def rb() = {
+        val x = rnd.nextDouble() * 10; val y = rnd.nextDouble() * 10
+        box(x, y, x + rnd.nextDouble() * 5 + 0.1, y + rnd.nextDouble() * 5 + 0.1)
+      }
+      val (a, b) = (rb(), rb())
+      val inter = Algos.area(Union.intersection(a, b))
+      val diff = Algos.area(Union.difference(a, b))
+      assert(math.abs(inter + diff - Algos.area(a)) < 1e-6,
+        s"area(a∩b)=$inter + area(a-b)=$diff != area(a)=${Algos.area(a)}")
+    }
+  }
+
   // deterministic pseudo-property tests (same pattern as GeomKernelSpec)
   test("property: random box pairs obey inclusion-exclusion") {
     val rnd = new scala.util.Random(7)
