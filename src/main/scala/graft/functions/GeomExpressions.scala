@@ -73,8 +73,9 @@ object GeomKernels {
     "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a)),
     // boolean overlay ops on the shared planar-overlay kernel
     "st_union"        -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
-    "st_intersection" -> B(BinaryType, (a, b) => wkb(Union.intersection(a, b))),
-    "st_difference"   -> B(BinaryType, (a, b) => wkb(Union.difference(a, b)))
+    "st_intersection"   -> B(BinaryType, (a, b) => wkb(Union.intersection(a, b))),
+    "st_difference"     -> B(BinaryType, (a, b) => wkb(Union.difference(a, b))),
+    "st_symdifference"  -> B(BinaryType, (a, b) => wkb(Union.symDifference(a, b)))
   )
 
   private def d(v: Any): Double = v.asInstanceOf[Double]

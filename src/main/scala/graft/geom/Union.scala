@@ -140,6 +140,16 @@ object Union {
       else wrap(overlayBinary(pa, pb, _ && _))
   }
 
+  /** Symmetric difference (XOR membership over the two areas). */
+  def symDifference(a: Geometry, b: Geometry): Geometry = {
+    val (pa, pb) = (polysOf(a), polysOf(b))
+    if (pa.isEmpty) wrap(pb)
+    else if (pb.isEmpty) wrap(pa)
+    else if (!pa.exists(x => pb.exists(y => x.envelope.intersects(y.envelope))))
+      wrap(pa ++ pb)
+    else wrap(overlayBinary(pa, pb, _ != _))
+  }
+
   /** Binary difference a − b (area operands; point minuend handled directly). */
   def difference(a: Geometry, b: Geometry): Geometry = (a, b) match {
     case (p: Point, g) => if (Algos.intersects(g, p)) GeometryCollection(Array.empty) else p

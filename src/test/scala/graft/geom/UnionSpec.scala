@@ -89,6 +89,14 @@ class UnionSpec extends AnyFunSuite {
     assert(Union.difference(box(2, 2, 3, 3), box(0, 0, 10, 10)).isEmpty) // erased
   }
 
+  test("symDifference: XOR region; union minus intersection") {
+    val s = Union.symDifference(box(0, 0, 2, 2), box(1, 1, 3, 3))
+    assert(math.abs(Algos.area(s) - 6.0) < tol) // 4 + 4 - 2*1
+    val disjoint = Union.symDifference(box(0, 0, 1, 1), box(5, 5, 6, 6))
+    assert(math.abs(Algos.area(disjoint) - 2.0) < tol)
+    assert(Union.symDifference(box(1, 1, 2, 2), box(1, 1, 2, 2)).isEmpty) // a xor a = empty
+  }
+
   test("property: intersection + difference partition the minuend") {
     val rnd = new scala.util.Random(97)
     for (_ <- 1 to 100) {
