@@ -109,7 +109,6 @@ object GeoIO {
    */
   def readGeoJson(spark: SparkSession, path: String): GeoDataFrame = {
     import spark.implicits._
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val raw = spark.read.option("wholetext", true).text(path).as[String]
     val propJson: org.apache.spark.sql.Dataset[String] = raw.flatMap { doc =>
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -126,17 +125,25 @@ object GeoIO {
         }
         Some(m.writeValueAsString(props))
       }
+      def one(root: com.fasterxml.jackson.databind.JsonNode): Iterator[String] =
+        root.get("type").asText() match {
+          case "FeatureCollection" =>
+            val it = root.get("features").elements()
+            Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).flatMap(featureToJson)
+          case "Feature" => featureToJson(root).iterator
+          case _ => // bare geometry document
+            val g = graft.geom.GeoJSON.read(root)
+            val o = m.createObjectNode()
+            o.put("__geometry_b64", java.util.Base64.getEncoder.encodeToString(graft.geom.WKB.write(g)))
+            Iterator(m.writeValueAsString(o))
+        }
       val root = m.readTree(doc)
-      root.get("type").asText() match {
-        case "FeatureCollection" =>
-          val it = root.get("features").elements()
-          Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).flatMap(featureToJson)
-        case "Feature" => featureToJson(root).iterator
-        case _ => // bare geometry document
-          val g = graft.geom.GeoJSON.read(root)
-          val o = m.createObjectNode()
-          o.put("__geometry_b64", java.util.Base64.getEncoder.encodeToString(graft.geom.WKB.write(g)))
-          Iterator(m.writeValueAsString(o))
+      if (root.get("type").asText() == "FeatureCollection") one(root)
+      else {
+        // newline-delimited (one Feature/geometry per line): Jackson's
+        // readTree parses only the first value, so split explicitly —
+        // otherwise trailing lines would be silently dropped
+        doc.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap(l => one(m.readTree(l)))
       }
     }
     val parsed = spark.read.json(propJson)

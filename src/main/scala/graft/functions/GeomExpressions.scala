@@ -71,11 +71,12 @@ object GeomKernels {
     "st_intersects" -> B(BooleanType, (a, b) => Algos.intersects(a, b)),
     "st_contains"   -> B(BooleanType, (a, b) => Algos.contains(a, b)),
     "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a)),
-    // boolean overlay ops on the shared planar-overlay kernel
-    "st_union"        -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
-    "st_intersection"   -> B(BinaryType, (a, b) => wkb(Union.intersection(a, b))),
-    "st_difference"     -> B(BinaryType, (a, b) => wkb(Union.difference(a, b))),
-    "st_symdifference"  -> B(BinaryType, (a, b) => wkb(Union.symDifference(a, b)))
+    // boolean overlay ops on the shared planar-overlay kernel; unsupported
+    // operand combinations (lines) come back null => SQL NULL
+    "st_union"          -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
+    "st_intersection"   -> B(BinaryType, (a, b) => Option(Union.intersection(a, b)).map(wkb).orNull),
+    "st_difference"     -> B(BinaryType, (a, b) => Option(Union.difference(a, b)).map(wkb).orNull),
+    "st_symdifference"  -> B(BinaryType, (a, b) => Option(Union.symDifference(a, b)).map(wkb).orNull)
   )
 
   private def d(v: Any): Double = v.asInstanceOf[Double]

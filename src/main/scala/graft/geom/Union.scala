@@ -124,12 +124,19 @@ object Union {
     else if (ps.length == 1) ps(0)
     else MultiPolygon(ps)
 
+  private def hasLines(g: Geometry): Boolean = g match {
+    case _: LineString | _: MultiLineString => true
+    case gc: GeometryCollectionLike         => gc.geoms.exists(hasLines)
+    case _                                  => false
+  }
+
   /**
    * Binary intersection. Point vs area uses containment; area vs area runs
-   * the overlay with membership `a && b`. Line operands are unsupported
-   * (null at the SQL layer).
+   * the overlay with membership `a && b`. Line operands are unsupported —
+   * returns null, which surfaces as SQL NULL.
    */
   def intersection(a: Geometry, b: Geometry): Geometry = (a, b) match {
+    case _ if hasLines(a) || hasLines(b) => null
     case (p: Point, g) => if (Algos.intersects(g, p)) p else GeometryCollection(Array.empty)
     case (g, p: Point) => if (Algos.intersects(g, p)) p else GeometryCollection(Array.empty)
     case _ =>
@@ -140,18 +147,31 @@ object Union {
       else wrap(overlayBinary(pa, pb, _ && _))
   }
 
-  /** Symmetric difference (XOR membership over the two areas). */
-  def symDifference(a: Geometry, b: Geometry): Geometry = {
-    val (pa, pb) = (polysOf(a), polysOf(b))
-    if (pa.isEmpty) wrap(pb)
-    else if (pb.isEmpty) wrap(pa)
-    else if (!pa.exists(x => pb.exists(y => x.envelope.intersects(y.envelope))))
-      wrap(pa ++ pb)
-    else wrap(overlayBinary(pa, pb, _ != _))
+  /** Symmetric difference (XOR membership; point operands keep union's
+    * absorbed-if-inside semantics). Line operands => null (SQL NULL). */
+  def symDifference(a: Geometry, b: Geometry): Geometry = (a, b) match {
+    case _ if hasLines(a) || hasLines(b) => null
+    case (p: Point, q: Point) =>
+      if (p == q) GeometryCollection(Array.empty) else MultiPoint(Array(p, q))
+    case (p: Point, g) => symDiffPointArea(p, g)
+    case (g, p: Point) => symDiffPointArea(p, g)
+    case _ =>
+      val (pa, pb) = (polysOf(a), polysOf(b))
+      if (pa.isEmpty) wrap(pb)
+      else if (pb.isEmpty) wrap(pa)
+      else if (!pa.exists(x => pb.exists(y => x.envelope.intersects(y.envelope))))
+        wrap(pa ++ pb)
+      else wrap(overlayBinary(pa, pb, _ != _))
   }
 
-  /** Binary difference a − b (area operands; point minuend handled directly). */
+  private def symDiffPointArea(p: Point, g: Geometry): Geometry =
+    if (Algos.intersects(g, p)) g // point has measure zero inside the area
+    else GeometryCollection(Array(g, p))
+
+  /** Binary difference a − b (area operands; point minuend handled directly).
+    * Line operands => null (SQL NULL). */
   def difference(a: Geometry, b: Geometry): Geometry = (a, b) match {
+    case _ if hasLines(a) || hasLines(b) => null
     case (p: Point, g) => if (Algos.intersects(g, p)) GeometryCollection(Array.empty) else p
     case _ =>
       val (pa, pb) = (polysOf(a), polysOf(b))
@@ -276,9 +296,26 @@ object Union {
       (x, y) => member(insideUnion(x, y, aPolys), insideUnion(x, y, bPolys)), eps)
   }
 
+  /**
+   * Side-sampling offset budget: must stay below the thinnest input
+   * polygon's smaller envelope dimension (sampling further than a region is
+   * thick steps OVER it — a 1e8-wide, 1-tall rectangle classified with a
+   * global-extent eps loses its own long edges), with a floating-point floor
+   * tied to the coordinate magnitude.
+   */
   private def epsFor(polys: Array[Polygon]): Double = {
-    val e = polys.foldLeft(Envelope.empty)((acc, p) => acc.expand(p.envelope))
-    math.max(math.max(math.abs(e.width), math.abs(e.height)), 1.0) * 1e-7
+    var minDim = Double.PositiveInfinity
+    var maxDim = 1.0
+    polys.foreach { p =>
+      val e = p.envelope
+      if (!e.isEmpty) {
+        val d = math.min(e.width, e.height)
+        if (d > 0 && d < minDim) minDim = d
+        maxDim = math.max(maxDim, math.max(e.width, e.height))
+      }
+    }
+    if (minDim == Double.PositiveInfinity) maxDim * 1e-7
+    else math.max(minDim * 1e-7, maxDim * 1e-12)
   }
 
   /** Classify + stitch + nest: shared tail of every overlay operation. */
@@ -286,14 +323,18 @@ object Union {
       frags: mutable.ArrayBuffer[Frag],
       inRegion: (Double, Double) => Boolean,
       eps: Double): Array[Polygon] = {
-    // 3. boundary classification by side sampling: exactly one side inside
+    // 3. boundary classification by side sampling: exactly one side inside.
+    // Offset is capped by the fragment's own length so small features mixed
+    // with a large extent aren't sampled past their neighborhood.
+    def offsetFor(len: Double): Double = math.min(eps, len * 0.1)
     val kept = frags.filter { f =>
       val mx = (f.x1 + f.x2) / 2; val my = (f.y1 + f.y2) / 2
       val dx = f.x2 - f.x1; val dy = f.y2 - f.y1
       val len = math.hypot(dx, dy)
       if (len < 1e-12) false
       else {
-        val nx = -dy / len * eps; val ny = dx / len * eps
+        val off = offsetFor(len)
+        val nx = -dy / len * off; val ny = dx / len * off
         val leftIn = inRegion(mx + nx, my + ny)
         val rightIn = inRegion(mx - nx, my - ny)
         leftIn != rightIn
@@ -307,7 +348,8 @@ object Union {
       val mx = (f.x1 + f.x2) / 2; val my = (f.y1 + f.y2) / 2
       val dx = f.x2 - f.x1; val dy = f.y2 - f.y1
       val len = math.hypot(dx, dy)
-      val nx = -dy / len * eps; val ny = dx / len * eps
+      val off = offsetFor(len)
+      val nx = -dy / len * off; val ny = dx / len * off
       val oriented =
         if (inRegion(mx + nx, my + ny)) f
         else Frag(f.x2, f.y2, f.x1, f.y1)

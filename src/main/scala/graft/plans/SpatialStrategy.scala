@@ -155,7 +155,13 @@ case class SpatialIndexJoinExec(
     val p = pred
     val jt = joinType
     val leftOut = left.output
-    val rightOut = right.output
+    // LeftOuter null-fills the right side, so the projection must treat the
+    // right attributes as nullable even when the child declares them not-null
+    // (a non-nullable projection reads the all-null row as 0/garbage).
+    val rightOut = joinType match {
+      case LeftOuter => right.output.map(_.withNullability(true))
+      case _         => right.output
+    }
     val outAttrs = output
 
     left.execute().mapPartitions ({ iter =>

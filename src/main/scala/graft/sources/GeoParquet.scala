@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
  * [[graft.plans.BboxPruningRule]]. At 100 TB this is the difference between
  * scanning the world and scanning the tiles the query touches.
  *
- * Sorting by a space-filling-curve key before write (`sortWithinPartitions`
- * on [[hilbertSortKey]]) makes row-group extents tight, which is what makes
- * the stats selective.
+ * `write` sorts within partitions by (bbox.xmin, bbox.ymin), which keeps
+ * row-group extents reasonably tight; a space-filling-curve sort key would
+ * tighten the y-extent further and is a straightforward upgrade.
  */
 object GeoParquet {
 

@@ -71,6 +71,23 @@ class GeoApiSpec extends AnyFunSuite {
       Seq(("alpha", 10L, "Point"), ("beta", 20L, "Polygon")))
   }
 
+  test("GeoJSON reader: newline-delimited features all survive") {
+    val dir = Files.createTempDirectory("ndjson").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "features.geojsonl")
+    val fw = new java.io.FileWriter(f)
+    fw.write(
+      """{"type": "Feature", "properties": {"n": 1}, "geometry": {"type": "Point", "coordinates": [1, 1]}}
+        |{"type": "Feature", "properties": {"n": 2}, "geometry": {"type": "Point", "coordinates": [2, 2]}}
+        |{"type": "Feature", "properties": {"n": 3}, "geometry": {"type": "Point", "coordinates": [3, 3]}}
+        |""".stripMargin)
+    fw.close()
+    val g = GeoIO.readGeoJson(spark, f.getAbsolutePath)
+    val rows = g.df.selectExpr("n", "st_x(geometry)").orderBy("n").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("datasets loader: cities fixture shape (202 rows, name + WKB point)") {
     val g = Datasets.readDataset(spark, "cities")
     assert(g.crs.contains("EPSG:4326"))

@@ -97,6 +97,28 @@ class UnionSpec extends AnyFunSuite {
     assert(Union.symDifference(box(1, 1, 2, 2), box(1, 1, 2, 2)).isEmpty) // a xor a = empty
   }
 
+  test("overlay operand edge cases: lines null, symdiff keeps outside points") {
+    val line = LineString(Array(0.0, 0.0, 5.0, 5.0))
+    assert(Union.intersection(line, box(0, 0, 2, 2)) == null)
+    assert(Union.difference(box(0, 0, 2, 2), line) == null)
+    assert(Union.symDifference(line, line) == null)
+    val sd = Union.symDifference(Point(9, 9), box(0, 0, 1, 1))
+    val gc = sd.asInstanceOf[GeometryCollection]
+    assert(gc.geoms.exists(_ == Point(9, 9)) && gc.geoms.exists(_.isInstanceOf[Polygon]))
+    assert(Union.symDifference(Point(0.5, 0.5), box(0, 0, 1, 1)) == box(0, 0, 1, 1))
+    assert(Union.symDifference(Point(1, 1), Point(1, 1)).isEmpty)
+  }
+
+  test("scale mix: tiny feature against a huge extent survives the union") {
+    // thin huge rectangle keeps the area exactly representable (1e8 + 1),
+    // while the global extent (1e8) would give eps = 10 >> the 1x1 feature —
+    // the per-fragment offset cap is what keeps the protrusion classified
+    val huge = box(0, 0, 1e8, 1)
+    val tiny = box(1e8 - 1, 0, 1e8 + 1, 1) // pokes 1 unit out of the huge box
+    val u = Union.union(Seq(huge, tiny))
+    assert(math.abs(Algos.area(u) - (1e8 + 1.0)) < 1e-6, s"area=${Algos.area(u)}")
+  }
+
   test("property: intersection + difference partition the minuend") {
     val rnd = new scala.util.Random(97)
     for (_ <- 1 to 100) {

@@ -51,6 +51,20 @@ class SpatialStrategySpec extends AnyFunSuite {
     assert(rows.count(_.getAs[String]("string_col") == null) == 7)
   }
 
+  test("left outer null-fills non-nullable right columns as NULL (not 0)") {
+    // Seq[Long].toDF gives a non-nullable long: without nullability widening
+    // in the projection, unmatched rows would read the null row as id 0
+    val boxes = Seq(7L).toDF("box_id")
+      .selectExpr("box_id", "st_makeenvelope(0.0, 0.0, 2.0, 2.0) AS pgeom")
+    val joined = pointsDf.join(boxes,
+      org.apache.spark.sql.functions.expr("st_contains(pgeom, geometry)"), "left")
+    assert(hasSpatialExec(joined))
+    val rows = joined.selectExpr("point_values", "box_id").collect()
+    assert(rows.length == 9)
+    assert(rows.count(r => r.isNullAt(1)) == 8, rows.mkString(";"))
+    assert(rows.filter(!_.isNullAt(1)).map(_.getLong(1)).toSeq == Seq(7L))
+  }
+
   test("st_within / argument flip normalizes correctly") {
     val j1 = pointsDf.join(polyDf, org.apache.spark.sql.functions.expr("st_within(geometry, pgeom)"))
     assert(hasSpatialExec(j1))
