@@ -80,6 +80,52 @@ object SpatialJoin {
    * through its host, spatial_index.rs:145-203; Spark lets us skip that
    * because the probe already holds both rows.)
    */
+  /** Broadcast-side index shared by this batch join and the streaming
+    * stream-static join: full rows + decoded geometries + STR-tree. */
+  private[graft] final case class RowIndex(
+      tree: STRtree, geoms: Array[Geom], rows: Array[org.apache.spark.sql.Row])
+      extends Serializable
+
+  private[graft] def buildRowIndex(df: DataFrame, geomCol: String): RowIndex = {
+    val rows = df.collect()
+    val gIdx = df.schema.fieldIndex(geomCol)
+    val geoms = new Array[Geom](rows.length)
+    val envs = new Array[Envelope](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val b = rows(i).get(gIdx)
+      geoms(i) = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+      envs(i) = if (geoms(i) == null) Envelope.empty else geoms(i).envelope
+      i += 1
+    }
+    RowIndex(STRtree.build(envs), geoms, rows)
+  }
+
+  /** Probe one streamed row against the broadcast index, emitting joined
+    * rows; left joins null-fill when nothing matches. */
+  private[graft] def probeRow(
+      lRow: org.apache.spark.sql.Row, gIdx: Int, idx: RowIndex,
+      hit: (Geom, Geom) => Boolean, leftJoin: Boolean,
+      nRight: Int): Iterator[org.apache.spark.sql.Row] = {
+    val b = lRow.get(gIdx)
+    val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    if (g != null) {
+      idx.tree.query(g.envelope) { j =>
+        if (idx.geoms(j) != null && hit(g, idx.geoms(j)))
+          out += org.apache.spark.sql.Row.fromSeq(lRow.toSeq ++ idx.rows(j).toSeq)
+      }
+    }
+    if (out.nonEmpty) out.iterator
+    else if (leftJoin)
+      Iterator(org.apache.spark.sql.Row.fromSeq(lRow.toSeq ++ Seq.fill(nRight)(null)))
+    else Iterator.empty
+  }
+
+  /** Grid-cell id for a (cx, cy) pair — shared by gridJoin and the
+    * stream-stream join's cell expression. */
+  private[graft] def cellId(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
+
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -92,19 +138,7 @@ object SpatialJoin {
     require(joinType == "inner" || joinType == "left",
       s"spatial join supports inner|left (spatial_index.rs:187-203), got $joinType")
     val spark = left.sparkSession
-
-    val rightRows: Array[org.apache.spark.sql.Row] = right.collect()
-    val rgIdx = right.schema.fieldIndex(rightGeom)
-    val geoms = new Array[Geom](rightRows.length)
-    val envs = new Array[Envelope](rightRows.length)
-    var i = 0
-    while (i < rightRows.length) {
-      val b = rightRows(i).get(rgIdx)
-      geoms(i) = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
-      envs(i) = if (geoms(i) == null) Envelope.empty else geoms(i).envelope
-      i += 1
-    }
-    val bc = spark.sparkContext.broadcast((STRtree.build(envs), geoms, rightRows))
+    val bc = spark.sparkContext.broadcast(buildRowIndex(right, rightGeom))
 
     // every output column suffixed, both sides (spatial_index.rs:164-184)
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -116,22 +150,8 @@ object SpatialJoin {
     val nRight = right.schema.fields.length
 
     left.mapPartitions { it =>
-      val (tree, gs, rows) = bc.value
-      it.flatMap { lRow =>
-        val b = lRow.get(lgIdx)
-        val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
-        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-        if (g != null) {
-          tree.query(g.envelope) { j =>
-            if (gs(j) != null && refine(pred, g, gs(j)))
-              out += org.apache.spark.sql.Row.fromSeq(lRow.toSeq ++ rows(j).toSeq)
-          }
-        }
-        if (out.nonEmpty) out.iterator
-        else if (leftJoin)
-          Iterator(org.apache.spark.sql.Row.fromSeq(lRow.toSeq ++ Seq.fill(nRight)(null)))
-        else Iterator.empty
-      }
+      val idx = bc.value
+      it.flatMap(probeRow(_, lgIdx, idx, refine(pred, _, _), leftJoin, nRight))
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 

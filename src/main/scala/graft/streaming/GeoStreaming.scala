@@ -43,15 +43,8 @@ object GeoStreaming {
       staticSuffix: String = "_static"): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"inner|left only, got $joinType")
     val spark = stream.sparkSession
-
-    val staticRows: Array[Row] = static.collect()
-    val staticIdx = static.schema.fieldIndex(staticGeom)
-    val geoms = staticRows.map { r =>
-      val b = r.get(staticIdx)
-      if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
-    }
-    val envs = geoms.map(g => if (g == null) Envelope.empty else g.envelope)
-    val bc = spark.sparkContext.broadcast((STRtree.build(envs), geoms, staticRows))
+    val bc = spark.sparkContext.broadcast(
+      graft.spatial.SpatialJoin.buildRowIndex(static, staticGeom))
 
     val streamNames = stream.schema.fieldNames.toSet
     val staticOutFields = static.schema.fields.map { f =>
@@ -65,21 +58,9 @@ object GeoStreaming {
     val nStatic = staticOutFields.length
 
     stream.mapPartitions { it =>
-      val (tree, gs, rows) = bc.value
-      it.flatMap { row =>
-        val b = row.get(gIdx)
-        val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
-        val out = scala.collection.mutable.ArrayBuffer[Row]()
-        if (g != null) {
-          tree.query(g.envelope) { j =>
-            if (gs(j) != null && graft.spatial.SpatialJoin.refine(pred, g, gs(j)))
-              out += Row.fromSeq(row.toSeq ++ rows(j).toSeq)
-          }
-        }
-        if (out.nonEmpty) out.iterator
-        else if (leftJoin) Iterator(Row.fromSeq(row.toSeq ++ Seq.fill(nStatic)(null)))
-        else Iterator.empty
-      }
+      val idx = bc.value
+      it.flatMap(graft.spatial.SpatialJoin.probeRow(
+        _, gIdx, idx, graft.spatial.SpatialJoin.refine(pred, _, _), leftJoin, nStatic))
     }(Encoders.row(outSchema))
   }
 
