@@ -227,18 +227,20 @@ object SparkEntry {
          |    concat('LINESTRING (0 0, ', $custX / 2.0, ' ', $custY / 2.0, ')')), 'haversine'), 2) AS hav_m
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // `+ 0.0` canonicalizes IEEE -0.0 (round() of a tiny negative) to +0.0
+    // on both engines — the driver's hash compare is representation-sensitive
     "q18_geo_transform" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
-         |  round(st_x(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) AS mercator_x,
-         |  round(st_y(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) AS mercator_y
+         |  round(st_x(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) + 0.0 AS mercator_x,
+         |  round(st_y(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) + 0.0 AS mercator_y
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
     "q19_geo_rotate_scale" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
-         |  round(st_x(st_rotate($custPt, 90.0, '0,0')), 6) AS rx,
-         |  round(st_y(st_rotate($custPt, 90.0, '0,0')), 6) AS ry,
-         |  st_x(st_scale($custPt, 3.0, 2.0, '0,0')) AS sx,
-         |  round(st_x(st_skew($custPt, 45.0, 0.0, '0,0')), 6) AS kx
+         |  round(st_x(st_rotate($custPt, 90.0, '0,0')), 6) + 0.0 AS rx,
+         |  round(st_y(st_rotate($custPt, 90.0, '0,0')), 6) + 0.0 AS ry,
+         |  st_x(st_scale($custPt, 3.0, 2.0, '0,0')) + 0.0 AS sx,
+         |  round(st_x(st_skew($custPt, 45.0, 0.0, '0,0')), 6) + 0.0 AS kx
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
     // ===== spatial join operator (SURVEY §2.4)
@@ -277,7 +279,8 @@ object SparkEntry {
       val boxes = s.range(5).selectExpr(
         "cast(id as int) AS box_id",
         "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS geometry")
-      SpatialJoin.gridJoin(cust, boxes, cellSize = 45.0, SpatialJoin.Predicate.Intersects, "inner")
+      SpatialJoin.gridJoin(cust, boxes, cellSize = 45.0, SpatialJoin.Predicate.Intersects, "inner",
+        leftIdCol = Some("c_custkey"), rightIdCol = Some("box_id"))
         .groupBy(col("box_id_right").as("box_id"))
         .agg(count(lit(1)).as("n_points"), sum(col("c_custkey_left")).as("key_sum"))
         .orderBy("box_id")
@@ -391,12 +394,13 @@ object SparkEntry {
 
     // ===== text-analysis pipeline ops
 
+    // text_stats computes all counts in one scan; semantics pinned to the
+    // oracle's regexes (\S+ runs / [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])
     "q30_doc_tokens" -> sqlQuery(Seq("documents"),
-      """SELECT doc_id,
-        |  size(regexp_extract_all(text, '\\S+', 0)) AS n_tokens,
-        |  size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_subwords,
+      """SELECT doc_id, ts.n_tokens AS n_tokens, ts.n_subwords AS n_subwords,
         |  length(text) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin),
+        |FROM (SELECT doc_id, text, text_stats(text) AS ts FROM documents)
+        |ORDER BY doc_id""".stripMargin),
 
     "q31_doc_quality" -> ((s: SparkSession, dir: String) => {
       init(s); view(s, dir, "documents")
@@ -683,16 +687,16 @@ object SparkEntry {
 
     "q18_geo_transform" ->
       s"""SELECT c_custkey,
-         |  round(6378137.0 * radians($oCustX), 2) AS mercator_x,
-         |  round(6378137.0 * ln(tan(pi() / 4 + radians($oCustY) / 2)), 2) AS mercator_y
+         |  round(6378137.0 * radians($oCustX), 2) + 0.0 AS mercator_x,
+         |  round(6378137.0 * ln(tan(pi() / 4 + radians($oCustY) / 2)), 2) + 0.0 AS mercator_y
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q19_geo_rotate_scale" ->
       s"""SELECT c_custkey,
-         |  round(cos(radians(90)) * $oCustX - sin(radians(90)) * $oCustY, 6) AS rx,
-         |  round(sin(radians(90)) * $oCustX + cos(radians(90)) * $oCustY, 6) AS ry,
-         |  3.0 * $oCustX AS sx,
-         |  round($oCustX + tan(radians(45)) * $oCustY, 6) AS kx
+         |  round(cos(radians(90)) * $oCustX - sin(radians(90)) * $oCustY, 6) + 0.0 AS rx,
+         |  round(sin(radians(90)) * $oCustX + cos(radians(90)) * $oCustY, 6) + 0.0 AS ry,
+         |  3.0 * $oCustX + 0.0 AS sx,
+         |  round($oCustX + tan(radians(45)) * $oCustY, 6) + 0.0 AS kx
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q20_spatial_join" ->

@@ -109,9 +109,9 @@ object GeoIO {
    */
   def readGeoJson(spark: SparkSession, path: String): GeoDataFrame = {
     import spark.implicits._
-    val raw = spark.read.option("wholetext", true).text(path).as[String]
-    val propJson: org.apache.spark.sql.Dataset[String] = raw.flatMap { doc =>
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def featureJsons(root: com.fasterxml.jackson.databind.JsonNode,
+                     m: com.fasterxml.jackson.databind.ObjectMapper): Iterator[String] = {
       def featureToJson(f: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
         val geomNode = f.get("geometry")
         val props = Option(f.get("properties"))
@@ -125,27 +125,45 @@ object GeoIO {
         }
         Some(m.writeValueAsString(props))
       }
-      def one(root: com.fasterxml.jackson.databind.JsonNode): Iterator[String] =
-        root.get("type").asText() match {
-          case "FeatureCollection" =>
-            val it = root.get("features").elements()
-            Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).flatMap(featureToJson)
-          case "Feature" => featureToJson(root).iterator
-          case _ => // bare geometry document
-            val g = graft.geom.GeoJSON.read(root)
-            val o = m.createObjectNode()
-            o.put("__geometry_b64", java.util.Base64.getEncoder.encodeToString(graft.geom.WKB.write(g)))
-            Iterator(m.writeValueAsString(o))
-        }
-      val root = m.readTree(doc)
-      if (root.get("type").asText() == "FeatureCollection") one(root)
-      else {
-        // newline-delimited (one Feature/geometry per line): Jackson's
-        // readTree parses only the first value, so split explicitly —
-        // otherwise trailing lines would be silently dropped
-        doc.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap(l => one(m.readTree(l)))
+      root.get("type").asText() match {
+        case "FeatureCollection" =>
+          val it = root.get("features").elements()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).flatMap(featureToJson)
+        case "Feature" => featureToJson(root).iterator
+        case _ => // bare geometry document
+          val g = graft.geom.GeoJSON.read(root)
+          val o = m.createObjectNode()
+          o.put("__geometry_b64", java.util.Base64.getEncoder.encodeToString(graft.geom.WKB.write(g)))
+          Iterator(m.writeValueAsString(o))
       }
     }
+
+    // NDJSON (one Feature/geometry per line) parses line-per-row, fully
+    // parallel across file splits. Only a whole-document FeatureCollection —
+    // detected by probing the first line, which then fails to parse on its
+    // own or declares the collection type — falls back to wholetext, where
+    // one task must hold the document (inherent to the format).
+    val firstLine = spark.read.text(path).limit(1).as[String].collect().headOption.getOrElse("")
+    val isNdjson =
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)
+        n != null && n.isObject && n.get("type") != null &&
+          n.get("type").asText() != "FeatureCollection"
+      } catch { case _: Throwable => false }
+
+    val propJson: org.apache.spark.sql.Dataset[String] =
+      if (isNdjson)
+        spark.read.text(path).as[String]
+          .filter((l: String) => l.trim.nonEmpty)
+          .mapPartitions { lines =>
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            lines.flatMap(l => featureJsons(m.readTree(l), m))
+          }
+      else
+        spark.read.option("wholetext", true).text(path).as[String].flatMap { doc =>
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          featureJsons(m.readTree(doc), m)
+        }
     val parsed = spark.read.json(propJson)
     val withGeom = parsed
       .withColumn(GeoDataFrame.DefaultGeometry, unbase64(org.apache.spark.sql.functions.col("__geometry_b64")))

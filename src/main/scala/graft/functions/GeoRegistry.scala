@@ -40,13 +40,17 @@ object GeoRegistry {
     }
   }
 
-  /** Imperative registration on an existing session (tests, Verify, Bench). */
+  /** Imperative registration on an existing session (tests, Verify, Bench).
+    * Idempotent per session: re-registering would only emit a WARN per
+    * function per call (Bench calls this once per query). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    GeomKernels.allNames.foreach { name =>
+    def missing(name: String): Boolean =
+      !registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    GeomKernels.allNames.filter(missing).foreach { name =>
       registry.createOrReplaceTempFunction(name, builderFor(name), "built-in")
     }
-    GeomAggregates.names.foreach { name =>
+    GeomAggregates.names.filter(missing).foreach { name =>
       registry.createOrReplaceTempFunction(name, GeomAggregates.builderFor(name), "built-in")
     }
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.SpatialJoinStrategy]))

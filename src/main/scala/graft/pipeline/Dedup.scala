@@ -182,40 +182,20 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // deterministic pseudo-gaussian planes from the stable kernel hash;
+    // shared shape with Similarity.planes
     val planeMat: Array[Array[Double]] = Array.tabulate(planes, dim) { (p, d) =>
-      // deterministic pseudo-gaussian from the stable kernel hash
       val h = TextKernels.hash64(s"$p:$d", 42)
       (h.toDouble / Long.MaxValue)
     }
-    val bcPlanes = spark.sparkContext.broadcast(planeMat)
-
-    val sigUdf = udf { (v: Seq[Float]) =>
-      val ps = bcPlanes.value
-      var sig = 0L
-      var p = 0
-      while (p < ps.length) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) { dot += v(i) * ps(p)(i); i += 1 }
-        if (dot >= 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
     val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", sigUdf($"vec"))
+      .withColumn("bucket", exprColumn(LshBucket(columnExpr($"vec"), planeMat)))
 
     val a = withSig.select($"bucket", $"id".as("id_a"), $"vec".as("vec_a"))
     val b = withSig.select($"bucket", $"id".as("id_b"), $"vec".as("vec_b"))
-    val cosUdf = udf { (x: Seq[Float], y: Seq[Float]) =>
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
-      if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
-    }
     a.join(b, Seq("bucket"))
       .filter($"id_a" < $"id_b")
-      .withColumn("cosine", cosUdf($"vec_a", $"vec_b"))
+      .withColumn("cosine", exprColumn(CosineSim(columnExpr($"vec_a"), columnExpr($"vec_b"))))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
   }

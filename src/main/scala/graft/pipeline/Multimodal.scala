@@ -99,8 +99,11 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: one output row per sampled frame offset (row-multiplying). */
+  /** Frame sampling: one output row per sampled frame offset (row-multiplying).
+    * duration <= 0 yields no frames, matching FakeCodec.frameOffsets. */
   def sampleFrames(df: DataFrame, durationCol: String, stepMs: Long): DataFrame =
     df.withColumn("frame_ms",
-      explode(sequence(lit(0L), greatest(col(durationCol) - 1, lit(0L)), lit(stepMs))))
+        explode(when(col(durationCol) > 0,
+            sequence(lit(0L), col(durationCol) - 1, lit(stepMs)))
+          .otherwise(array().cast("array<bigint>"))))
 }

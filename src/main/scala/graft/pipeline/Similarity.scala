@@ -1,17 +1,20 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.internal.{columnExpr, exprColumn}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
  * (`array<float>`), BASELINE.json capability extension.
  *
  * Two paths:
- *  - bruteForceTopK: exact cosine top-k. The dot product is a codegen'd
- *    higher-order `aggregate(zip_with(...))` — no UDF, no shuffle until the
- *    final k-row TakeOrdered. Scan-dominated: at 100 TB this is one pass.
+ *  - bruteForceTopK: exact cosine top-k. The dot product is the codegen'd
+ *    CosineSim expression (one allocation-free loop per row) — no UDF, no
+ *    shuffle until the final k-row TakeOrdered. Scan-dominated: at 100 TB
+ *    this is one pass.
  *  - lshTopK: random-hyperplane bucket index; probes only rows whose bucket
  *    is within `maxProbeHamming` of the query bucket — trades recall for a
  *    large scan reduction. At scale, combine with bucket-partitioned storage
@@ -20,13 +23,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity column between an array<float/double> col and a literal query vector. */
-  def cosineCol(vecCol: String, query: Array[Double]) = {
-    val q = typedLit(query)
-    val dot = aggregate(zip_with(col(vecCol), q, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
-    val nv = sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x))
-    val nq = math.sqrt(query.map(x => x * x).sum)
-    dot / (nv * lit(nq))
-  }
+  def cosineCol(vecCol: String, query: Array[Double]): Column =
+    cosineCols(col(vecCol), typedLit(query))
+
+  /** Cosine similarity between two array<float/double> columns (codegen'd kernel). */
+  def cosineCols(a: Column, b: Column): Column =
+    exprColumn(CosineSim(columnExpr(a), columnExpr(b)))
 
   /** Exact cosine top-k against one query vector. Output: (id, cosine) desc. */
   def bruteForceTopK(
@@ -70,18 +72,10 @@ object Similarity {
       k: Int,
       numPlanes: Int = 12,
       maxProbeHamming: Int = 2): DataFrame = {
-    val spark = df.sparkSession
     val ps = planes(numPlanes, df.selectExpr(s"size($vecCol)").head.getInt(0))
-    val bcPlanes = spark.sparkContext.broadcast(ps)
     val qBucket = bucketOf(query, ps)
 
-    val bucketUdf = udf { (v: Seq[Float]) =>
-      val arr = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { arr(i) = v(i); i += 1 }
-      bucketOf(arr, bcPlanes.value)
-    }
-    df.withColumn("__bucket", bucketUdf(col(vecCol)))
+    df.withColumn("__bucket", exprColumn(LshBucket(columnExpr(col(vecCol)), ps)))
       .filter(expr(s"bit_count(__bucket ^ ${qBucket}L) <= $maxProbeHamming"))
       .select(col(idCol), cosineCol(vecCol, query).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
@@ -101,13 +95,9 @@ object Similarity {
       qIdCol: String,
       qVecCol: String,
       k: Int): DataFrame = {
-    val dotCol = aggregate(
-      zip_with(col(vecCol), col(qVecCol), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
-    val nData = sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x))
-    val nQ = sqrt(aggregate(col(qVecCol), lit(0.0d), (acc, x) => acc + x * x))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cosine"), col(idCol))
     data.crossJoin(broadcast(queries))
-      .withColumn("cosine", dotCol / (nData * nQ))
+      .withColumn("cosine", cosineCols(col(vecCol), col(qVecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))

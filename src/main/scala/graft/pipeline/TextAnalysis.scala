@@ -14,13 +14,18 @@ import graft.internal.{columnExpr, exprColumn}
  */
 object TextAnalysis {
 
+  /** All regex-equivalent counts in one scan (struct<n_tokens, n_subwords,
+    * n_punct, n_upper>); repeated field reads collapse via codegen
+    * common-subexpression elimination, so a projection using several counts
+    * still scans each document once. */
+  def stats(text: Column): Column = exprColumn(TextStats(columnExpr(text)))
+
   /** Whitespace token count — count of \S+ runs (codegen'd, SQL-parity). */
-  def tokenCount(text: Column): Column = size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish subword count: splits on whitespace AND punctuation/letter-digit
     * boundaries; proxy for tokenizer load without a vocab. */
-  def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def subwordCount(text: Column): Column = stats(text).getField("n_subwords")
 
   /**
    * Heuristic quality score in [0,1] from public-knowledge signals
@@ -29,12 +34,13 @@ object TextAnalysis {
    * SQL-expressible on both engines.
    */
   def qualityScore(text: Column): Column = {
+    val st = stats(text)
     val nChars = length(text).cast("double")
-    val words = tokenCount(text).cast("double")
+    val words = st.getField("n_tokens").cast("double")
     val meanWordLen = when(words > 0, nChars / words).otherwise(lit(0.0))
-    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double")
+    val punct = st.getField("n_punct").cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
-    val upper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+    val upper = st.getField("n_upper").cast("double")
     val upperRatio = when(nChars > 0, upper / nChars).otherwise(lit(0.0))
 
     val wordScore = when(words >= 50 && words <= 100000, lit(1.0))

@@ -38,6 +38,52 @@ object TextKernels {
     if (text == null || text.isEmpty) Array.empty
     else text.split("\\s+").filter(_.nonEmpty)
 
+  /** Java-regex \s (the ASCII set) — the class all SQL-side counts use. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isAl(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDg(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /**
+   * One-pass replacement for the regex-count stack
+   * (`size(regexp_extract_all(...))` built each metric from its own full
+   * regex scan; five scans per document dominated the text-analysis
+   * queries). Semantics are pinned to the original patterns:
+   *   tokens   = runs of \S+
+   *   subwords = matches of [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]
+   *   punct    = matches of [.,;:!?]
+   *   upper    = matches of [A-Z]
+   * Returns {tokens, subwords, punct, upper}.
+   */
+  def textCounts(s: String): Array[Int] = {
+    var tokens = 0; var subwords = 0; var punct = 0; var upper = 0
+    var i = 0
+    var prev = 0 // 0 = ws, 1 = letter-run, 2 = digit-run, 3 = other
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) prev = 0
+      else {
+        if (prev == 0) tokens += 1
+        if (isAl(c)) {
+          if (prev != 1) subwords += 1
+          prev = 1
+          if (c <= 'Z' && c >= 'A') upper += 1
+        } else if (isDg(c)) {
+          if (prev != 2) subwords += 1
+          prev = 2
+        } else {
+          subwords += 1 // each non-alnum-non-ws char is its own match
+          prev = 3
+          if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') punct += 1
+        }
+      }
+      i += 1
+    }
+    Array(tokens, subwords, punct, upper)
+  }
+
   /** Word n-gram shingles ("w1 w2 ... wn"). */
   def wordShingles(text: String, n: Int): Array[String] = {
     val toks = whitespaceTokens(text)
@@ -52,15 +98,30 @@ object TextKernels {
     else Array.tabulate(t.length - n + 1)(i => t.substring(i, i + n))
   }
 
-  /** MinHash signature: k independent min-hashes over the shingle set. */
+  /** splitmix64 finalizer — full-avalanche mix of a 64-bit state. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * MinHash signature: k min-hashes over the shingle set. Each shingle is
+   * string-hashed ONCE; the k "permutations" are splitmix64 mixes of that
+   * base value (h_j = mix(base + j·golden)) — the standard one-hash +
+   * k-derived-permutations construction, k× cheaper than hashing the string
+   * k times while keeping the per-permutation independence the LSH S-curve
+   * needs.
+   */
   def minHash(shingles: Array[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < shingles.length) {
-      val s = shingles(i)
+      val base = hash64(shingles(i), 0)
       var j = 0
       while (j < k) {
-        val h = hash64(s, j)
+        val h = mix64(base + j * 0x9e3779b97f4a7c15L)
         if (h < sig(j)) sig(j) = h
         j += 1
       }
@@ -88,13 +149,29 @@ object TextKernels {
     out
   }
 
-  /** Winnowing document fingerprint: min rolling hash over windows of w shingles. */
+  /** Winnowing document fingerprint: min hash over all char shingles.
+    * Hashes each window in place over the lowercased chars — no per-shingle
+    * substring allocation (same values as hash64(substring, 1)). */
   def fingerprint(text: String, shingleSize: Int): Long = {
-    val sh = charShingles(text, shingleSize)
-    if (sh.isEmpty) return 0L
+    val t = text.toLowerCase
+    if (t.isEmpty) return 0L
+    val n = t.length
+    val w = if (n < shingleSize) n else shingleSize
     var min = Long.MaxValue
     var i = 0
-    while (i < sh.length) { val h = hash64(sh(i), 1); if (h < min) min = h; i += 1 }
+    val last = n - w
+    while (i <= last) {
+      // inline hash64(t.substring(i, i+w), 1)
+      var h = 0xcbf29ce484222325L ^ (1L * 0x9e3779b97f4a7c15L)
+      var j = i
+      val end = i + w
+      while (j < end) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      if (h < min) min = h
+      i += 1
+    }
     min
   }
 
@@ -121,102 +198,196 @@ object TextKernels {
     "it" -> Set("il", "di", "che", "la", "e", "un", "per", "in", "una", "del", "con", "non")
   )
 
+  // fixed evaluation order (argmax tie-break must not depend on Map order)
+  private val profileOrder: Array[(String, Set[String])] =
+    Array("en", "es", "fr", "de", "pt", "it").map(l => l -> profiles(l))
+
+  /** BMP Han ranges (URO + ext-A + compatibility) — covers the script check
+    * without a per-char UnicodeScript binary search. */
+  @inline private def isHan(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF) ||
+    (c >= 0xF900 && c <= 0xFAFF)
+
   /** Heuristic language id: highest stopword hit-ratio; "und" (undetermined) below floor. */
   def langId(text: String): String = {
+    // CJK quick check: any han characters => zh
+    var ci = 0
+    while (ci < text.length) { if (isHan(text.charAt(ci))) return "zh"; ci += 1 }
     val toks = whitespaceTokens(text.toLowerCase)
     if (toks.isEmpty) return "und"
-    // CJK quick check: any han characters => zh
-    if (text.exists(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)) return "zh"
     var best = "und"; var bestScore = 0.0
-    profiles.foreach { case (lang, words) =>
+    var p = 0
+    while (p < profileOrder.length) {
+      val words = profileOrder(p)._2
       var hits = 0
       var i = 0
       while (i < toks.length) { if (words.contains(toks(i))) hits += 1; i += 1 }
       val score = hits.toDouble / toks.length
-      if (score > bestScore) { best = lang; bestScore = score }
+      if (score > bestScore) { best = profileOrder(p)._1; bestScore = score }
+      p += 1
     }
     if (bestScore < 0.02) "und" else best
   }
 }
 
+/**
+ * Static per-row entry points for codegen: every text expression's generated
+ * code is one call here, so the expressions stay inside whole-stage codegen
+ * (CodegenFallback would evict the whole enclosing Project from WSCG).
+ */
+object TextRowEval {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def minhashSig(t: UTF8String, k: Int, n: Int): ArrayData =
+    new GenericArrayData(TextKernels.minHash(TextKernels.wordShingles(t.toString, n), k))
+  def simhash(t: UTF8String): Long =
+    TextKernels.simHash(TextKernels.whitespaceTokens(t.toString))
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
+    TextKernels.ngramJaccard(a.toString, b.toString, n)
+  def langId(t: UTF8String): UTF8String =
+    UTF8String.fromString(TextKernels.langId(t.toString))
+  def fingerprint(t: UTF8String, n: Int): Long =
+    TextKernels.fingerprint(t.toString, n)
+  def hash64(t: UTF8String, seed: Long): Long =
+    TextKernels.hash64(t.toString, seed)
+  def textStats(t: UTF8String): InternalRow =
+    new GenericInternalRow(TextKernels.textCounts(t.toString).map(_.asInstanceOf[Any]))
+}
+
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
-case class MinHashSig(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
-  override def eval(input: InternalRow): Any = {
-    val t = children.head.eval(input)
-    if (t == null) return null
-    val k = children(1).eval(input).asInstanceOf[Number].intValue()
-    val n = children(2).eval(input).asInstanceOf[Number].intValue()
-    val sig = TextKernels.minHash(TextKernels.wordShingles(t.toString, n), k)
-    new GenericArrayData(sig)
-  }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MinHashSig = copy(cs)
+  override protected def nullSafeEval(t: Any, k: Any, n: Any): Any =
+    TextRowEval.minhashSig(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Number].intValue(), n.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, k, n) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.minhashSig($t, (int)$k, (int)$n);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinHashSig = copy(f, s, t)
+}
+object MinHashSig {
+  def apply(children: Seq[Expression]): MinHashSig =
+    MinHashSig(children(0), children(1), children(2))
 }
 
 /** simhash64(text) -> bigint. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(t: Any): Any =
-    TextKernels.simHash(TextKernels.whitespaceTokens(t.toString))
+    TextRowEval.simhash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.simhash($t);")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
 /** ngram_jaccard(a, b, n) -> double. */
-case class NgramJaccard(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class NgramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "ngram_jaccard"
-  override def eval(input: InternalRow): Any = {
-    val a = children.head.eval(input); val b = children(1).eval(input)
-    if (a == null || b == null) return null
-    val n = children(2).eval(input).asInstanceOf[Number].intValue()
-    TextKernels.ngramJaccard(a.toString, b.toString, n)
-  }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): NgramJaccard = copy(cs)
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextRowEval.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b, n) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.ngramJaccard($a, $b, (int)$n);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NgramJaccard = copy(f, s, t)
+}
+object NgramJaccard {
+  def apply(children: Seq[Expression]): NgramJaccard =
+    NgramJaccard(children(0), children(1), children(2))
 }
 
 /** lang_id(text) -> string. */
-case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
   override protected def nullSafeEval(t: Any): Any =
-    UTF8String.fromString(TextKernels.langId(t.toString))
+    TextRowEval.langId(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.langId($t);")
   override protected def withNewChildInternal(c: Expression): LangId = copy(c)
 }
 
 /** doc_fingerprint(text, shingleSize) -> bigint. */
-case class DocFingerprint(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class DocFingerprint(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "doc_fingerprint"
   override protected def nullSafeEval(t: Any, n: Any): Any =
-    TextKernels.fingerprint(t.toString, n.asInstanceOf[Number].intValue())
+    TextRowEval.fingerprint(t.asInstanceOf[UTF8String], n.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.fingerprint($t, (int)$n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DocFingerprint =
     copy(l, r)
 }
 
 /** hash64(text, seed) -> bigint — the pipeline's stable string hash. */
-case class Hash64(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class Hash64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "hash64"
   override protected def nullSafeEval(t: Any, s: Any): Any =
-    TextKernels.hash64(t.toString, s.asInstanceOf[Number].longValue())
+    TextRowEval.hash64(t.asInstanceOf[UTF8String], s.asInstanceOf[Number].longValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.hash64($t, (long)$s);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hash64 =
     copy(l, r)
 }
 
+/** text_stats(text) -> struct<n_tokens:int, n_subwords:int, n_punct:int,
+  * n_upper:int> — all regex-equivalent counts in one pass (see
+  * TextKernels.textCounts). */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  override protected def nullSafeEval(t: Any): Any =
+    TextRowEval.textStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.textStats($t);")
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(c)
+}
+
 object TextRegistry {
+  /** Idempotent per session (avoids a WARN per function per re-register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("minhash_sig", exprs => MinHashSig(exprs), "built-in")
-    r.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("ngram_jaccard", exprs => NgramJaccard(exprs), "built-in")
-    r.createOrReplaceTempFunction("lang_id", exprs => LangId(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("doc_fingerprint", exprs => DocFingerprint(exprs.head, exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("hash64", exprs => Hash64(exprs.head, exprs(1)), "built-in")
+    def reg(name: String, b: Seq[Expression] => Expression): Unit =
+      if (!r.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        r.createOrReplaceTempFunction(name, b, "built-in")
+    reg("minhash_sig", exprs => MinHashSig(exprs))
+    reg("simhash64", exprs => SimHash64(exprs.head))
+    reg("ngram_jaccard", exprs => NgramJaccard(exprs))
+    reg("lang_id", exprs => LangId(exprs.head))
+    reg("doc_fingerprint", exprs => DocFingerprint(exprs.head, exprs(1)))
+    reg("hash64", exprs => Hash64(exprs.head, exprs(1)))
+    reg("text_stats", exprs => TextStats(exprs.head))
+    reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
+    reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
   }
 }

