@@ -37,10 +37,15 @@ object Bench {
     // best of two runs per query: the first run pays Janino/JIT compilation
     // of that query's generated code plus any ambient GC pause; the min is
     // the steady-state figure a warmed cluster would see.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = once(name, fn); val t2 = once(name, fn)
-      System.err.println(f"[bench] $name run1=$t1%.2f run2=$t2%.2f")
-      name -> math.min(t1, t2)
+    // optional args: restrict to the named queries (debug/profiling aid)
+    val selected = if (args.isEmpty) SparkEntry.queries
+                   else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = Seq.fill(runs)(once(name, fn))
+      System.err.println(s"[bench] $name " +
+        ts.zipWithIndex.map { case (t, i) => f"run${i + 1}=$t%.2f" }.mkString(" "))
+      name -> ts.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

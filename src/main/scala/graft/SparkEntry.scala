@@ -325,6 +325,22 @@ object SparkEntry {
          |  st_y(st_geomfromgeojson(st_asgeojson($custPt))) AS gy
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // type/ring accessors (exteriorring/isring/geometrytype) end-to-end
+    "q38_geo_type_ring" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_numpoints(st_exteriorring(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS ring_pts,
+         |  st_isring(st_exteriorring(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS ring_closed,
+         |  st_geometrytype(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS gtype,
+         |  st_geometrytype($custPt) AS ptype
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // WKT writer/reader round-trip; integral coords print without decimals
+    "q39_geo_wkt" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_astext($custPt) AS wkt,
+         |  st_x(st_geomfromtext(st_astext($custPt))) AS rx
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // ===== explode / st_dump (SURVEY §2.4 explode)
 
     "q22_geo_dump_explode" -> sqlQuery(Seq("customer"),
@@ -439,11 +455,15 @@ object SparkEntry {
         |      cast(size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks)) as double) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // 32 bands x 4 rows: recall at the 0.5 threshold's S-curve knee is
+    // 1-(1-s^4)^32 — ~1-5e-8 at s=0.8 (the lowest true-pair similarity in
+    // the corpus), so the emitted set equals the exact-jaccard oracle set;
+    // candidates are still verified with exact n-gram jaccard.
     "q35_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       init(s)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleSize = 3, bands = 8, rowsPerBand = 8, threshold = 0.5)
+        shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -509,6 +529,28 @@ object SparkEntry {
       Similarity.knnJoin(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 5)
         .select(col("q_id"), col("vec_id"), col("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // IVF ANN: deterministic Lloyd-trained coarse cells, probe the nProbe
+    // nearest (approximate by design: recall ~0.9 on this isotropic corpus
+    // at 6/8 probes => rows-only check, exact counterpart is q41). At scale
+    // the cell id becomes the storage partition key so probes prune files.
+    "q52_emb_ivf" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", cents, queryVec, k = 10, nProbe = 6)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // exact all-pairs near-dup (oracle-checkable verification path; q42 is
+    // the LSH-bucketed scale path over the same semantics)
+    "q51_emb_neardup_exact" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -738,6 +780,18 @@ object SparkEntry {
          |FROM customer, (SELECT unnest([0.0, 10.0]) AS off) d
          |ORDER BY c_custkey, part_x""".stripMargin,
 
+    "q38_geo_type_ring" ->
+      """SELECT c_custkey, 5 AS ring_pts, true AS ring_closed,
+        |  'Polygon' AS gtype, 'Point' AS ptype
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q39_geo_wkt" ->
+      """SELECT c_custkey,
+        |  'POINT (' || cast(c_custkey % 360 - 180 as varchar) || ' ' ||
+        |    cast((c_custkey * 7) % 160 - 80 as varchar) || ')' AS wkt,
+        |  cast(c_custkey % 360 - 180 as double) AS rx
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q23_geo_simplify" ->
       """SELECT c_custkey, 2 AS pts_loose, 3 AS pts_tight
         |FROM customer ORDER BY c_custkey""".stripMargin,
@@ -825,7 +879,59 @@ object SparkEntry {
          |  round(list_dot_product(cast(embedding as double[]), $queryVecSql) /
          |        (sqrt(list_dot_product(cast(embedding as double[]), cast(embedding as double[]))) *
          |         sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cosine
-         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
-    // q35/q36/q37, q41/q42/q43 are hash/heuristic/top-k ops => rows-only check
+         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    // Exact-jaccard ground truth for the minhash-LSH pair set: every emitted
+    // candidate is verified with exact trigram jaccard, and 32x4 banding puts
+    // recall at ~1-5e-8 for the corpus's lowest true-pair similarity (0.8),
+    // so the LSH output equals the all-pairs answer. CosineSim accumulates
+    // dot/norms exactly like list_dot_product => bit-identical doubles.
+    "q35_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |             ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |        END AS sh
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT cast(a.doc_id as bigint) AS id_a, cast(b.doc_id as bigint) AS id_b,
+        |  cast(len(list_intersect(a.sh, b.sh)) as double) /
+        |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q41_emb_topk" ->
+      s"""SELECT vec_id, round(c, 6) AS cosine FROM (
+         |  SELECT e.vec_id,
+         |    list_dot_product(cast(e.embedding as double[]), $queryVecSql) /
+         |    (sqrt(list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))) *
+         |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS c
+         |  FROM embeddings e)
+         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q43_emb_knn" ->
+      """SELECT q_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(cast(e.embedding as double[]), cast(q.embedding as double[])) /
+        |      (sqrt(list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))) *
+        |       sqrt(list_dot_product(cast(q.embedding as double[]), cast(q.embedding as double[])))) DESC,
+        |      e.vec_id) AS rank
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q51_emb_neardup_exact" ->
+      """SELECT cast(a.vec_id as bigint) AS id_a, cast(b.vec_id as bigint) AS id_b,
+        |  round(list_dot_product(cast(a.embedding as double[]), cast(b.embedding as double[])) /
+        |        (sqrt(list_dot_product(cast(a.embedding as double[]), cast(a.embedding as double[]))) *
+        |         sqrt(list_dot_product(cast(b.embedding as double[]), cast(b.embedding as double[])))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(cast(a.embedding as double[]), cast(b.embedding as double[])) /
+        |      (sqrt(list_dot_product(cast(a.embedding as double[]), cast(a.embedding as double[]))) *
+        |       sqrt(list_dot_product(cast(b.embedding as double[]), cast(b.embedding as double[])))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    // q36/q37, q42, q48 are custom-hash/heuristic/LSH-recall ops => rows-only check
   )
 }

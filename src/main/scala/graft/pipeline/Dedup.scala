@@ -168,6 +168,26 @@ object Dedup {
   }
 
   /**
+   * Exact embedding near-duplicate pairs: all-pairs cosine >= threshold.
+   * O(n²) refine — the small-side/verification path (one side is broadcast;
+   * Spark plans the non-equi join as a broadcast nested-loop). For corpora
+   * where both sides are huge use embeddingNearDupPairs (LSH-bucketed, one
+   * shuffle on the bucket key) and accept its recall trade.
+   */
+  def embeddingNearDupExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", exprColumn(CosineSim(columnExpr(col("__va")), columnExpr(col("__vb")))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: random-hyperplane LSH buckets (sign bits
    * of `planes` fixed pseudo-random projections), verify cosine >= threshold
    * inside buckets. Deterministic planes from a seeded hash so results are

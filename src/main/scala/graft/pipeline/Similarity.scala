@@ -83,6 +83,73 @@ object Similarity {
   }
 
   /**
+   * Deterministic Lloyd k-means coarse quantizer for IVF: init = the k
+   * vectors with the smallest ids (stable across runs), then `iters`
+   * assign/average rounds. Each round is one distributed pass: assignment is
+   * the codegen'd NearestCentroid expression, the new centroids come from a
+   * posexplode + groupBy((cluster, dim)) average — only k*dim doubles ever
+   * reach the driver, so training scales to any corpus size.
+   */
+  def trainIvfCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = df.select(
+        exprColumn(NearestCentroid(columnExpr(col(vecCol)), cents)).as("__cluster"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      val rows = assigned.groupBy("__cluster", "__dim")
+        .agg(avg(col("__v")).as("__m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /**
+   * IVF top-k: score only rows whose coarse cell is one of the `nProbe`
+   * cells nearest the query. At scale the cell id becomes a storage
+   * partition key, so probing prunes files instead of filtering a full scan.
+   */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      query: Array[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.indices
+      .sortBy(c => (-cos(query, centroids(c)), c))
+      .take(nProbe)
+    df.filter(exprColumn(NearestCentroid(columnExpr(col(vecCol)), centroids))
+        .isin(probes: _*))
+      .select(col(idCol), cosineCol(vecCol, query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /**
    * All-pairs top-k per probe row against a broadcast-sized query set
    * (k-NN join): crossJoin(broadcast(queries)) + windowed rank. The big side
    * streams; the query side must be small (it is broadcast).

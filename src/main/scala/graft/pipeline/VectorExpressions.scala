@@ -68,6 +68,28 @@ object VectorKernels {
     sig
   }
 
+  /** Argmax-cosine centroid index (ties -> lowest index). */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]], vFloat: Boolean): Int = {
+    var best = 0
+    var bestCos = -2.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * cent(i); nv += x * x; nc += cent(i) * cent(i)
+        i += 1
+      }
+      val cos = if (nv == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(nv) * math.sqrt(nc))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
   def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -119,6 +141,25 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"${ev.value} = graft.pipeline.VectorKernels.dot($a, $b, $aF, $bF);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(l, r)
+}
+
+/** nearest_centroid(vec) -> int: IVF coarse-quantizer cell id; the centroid
+  * matrix is baked into the expression (plan-shipped constant). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkVec(prettyName, child.dataType)
+  private def vF = VectorKernels.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids, vF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.pipeline.VectorKernels.nearestCentroid($v, $cRef, $vF);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
 }
 
 /** Hyperplane-LSH bucket of a vector column; the plane matrix is baked into

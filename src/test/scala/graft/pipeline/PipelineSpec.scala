@@ -123,5 +123,76 @@ class PipelineSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, "duration_ms", 400L)
     assert(frames.filter($"media_id" === 1).count() == 3) // 0,400,800
     assert(frames.filter($"media_id" === 2).count() == 7) // 0..2400 step 400
+    // duration <= 0 emits no frames (FakeCodec.frameOffsets parity)
+    val zero = Seq((3L, Array[Byte](1), 0L), (4L, Array[Byte](1), -5L))
+      .toDF("media_id", "payload", "duration_ms")
+    assert(Multimodal.sampleFrames(zero, "duration_ms", 400L).count() == 0)
+  }
+
+  test("text_stats matches the regex semantics it replaced") {
+    val rows = Seq(
+      (1L, "Hello, World! 42 abc42x"),
+      (2L, "  leading  and   trailing  "),
+      (3L, ""),
+      (4L, "a.b,c;d:e!f?g")
+    ).toDF("id", "t")
+    TextRegistry.register(spark)
+    val got = rows.selectExpr("id",
+        "text_stats(t) AS ts",
+        "size(regexp_extract_all(t, '\\\\S+', 0)) AS rt",
+        "size(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS rs",
+        "size(regexp_extract_all(t, '[.,;:!?]', 0)) AS rp",
+        "size(regexp_extract_all(t, '[A-Z]', 0)) AS ru")
+      .collect()
+    got.foreach { r =>
+      val ts = r.getStruct(1)
+      assert(ts.getInt(0) == r.getInt(2), s"tokens id=${r.getLong(0)}")
+      assert(ts.getInt(1) == r.getInt(3), s"subwords id=${r.getLong(0)}")
+      assert(ts.getInt(2) == r.getInt(4), s"punct id=${r.getLong(0)}")
+      assert(ts.getInt(3) == r.getInt(5), s"upper id=${r.getLong(0)}")
+    }
+  }
+
+  test("cosine_sim expression equals scala reference and handles zero vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    TextRegistry.register(spark)
+    val out = vecs.selectExpr("id", "cosine_sim(a, b) AS c").as[(Long, Double)].collect().toMap
+    val expect = (4.0 + 10.0 + 18.0) / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(out(1L) - expect) < 1e-12)
+    assert(out(2L) == 0.0)
+  }
+
+  test("ivf: train + probe-all equals brute force; fewer probes stays subset-consistent") {
+    val vecs = (0 until 60).map { i =>
+      val base = i % 3 match {
+        case 0 => Array(1.0f, 0f, 0f, 0f)
+        case 1 => Array(0f, 1.0f, 0f, 0f)
+        case _ => Array(0f, 0f, 1.0f, 0f)
+      }
+      (i.toLong, base.map(v => v + (i % 5) * 0.02f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    assert(cents.length == 3 && cents.forall(_.length == 4))
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val all = Similarity.ivfTopK(vecs, "vec_id", "embedding", cents, q, 5, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == exact) // probing every cell is exhaustive
+    val one = Similarity.ivfTopK(vecs, "vec_id", "embedding", cents, q, 5, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(one == exact) // clustered data: the query's own cell holds the top-k
+  }
+
+  test("exact embedding near-dup pairs match threshold semantics") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
   }
 }
