@@ -467,18 +467,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // md5-based 60-bit simhash: the token hash is reproducible in DuckDB
+    // ('0x'||substr(md5(tok),1,15)), and maxHamming=3 with four 15-bit chunk
+    // buckets makes candidate recall EXACT by pigeonhole — so the emitted
+    // pair set provably equals the all-pairs oracle.
     "q36_simhash" -> ((s: SparkSession, dir: String) => {
       init(s)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      Dedup.simhashPairsMd5(docs, "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
+    // language-ID is a closed-form stopword-ratio argmax => SQL-expressible
+    // oracle; the custom-hash fingerprint lives in q53 (rows-only)
     "q37_fingerprint_langid" -> ((s: SparkSession, dir: String) => {
       init(s)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.analyze(docs, "doc_id", "text")
-        .select("doc_id", "n_tokens", "lang_pred", "fingerprint")
+        .select("doc_id", "n_tokens", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
+    "q53_doc_fingerprint" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.analyze(docs, "doc_id", "text")
+        .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     }),
 
@@ -902,6 +916,47 @@ object SparkEntry {
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // all-pairs 60-bit md5-simhash at hamming <= 3 (see q36 query comment:
+    // candidate recall is exact by pigeonhole, so sets match)
+    "q36_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |              FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |         FROM th, (SELECT unnest(range(60)) AS b) bs GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, cast(sum(CASE WHEN acc > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sim
+        |       FROM bits GROUP BY doc_id)
+        |SELECT cast(a.doc_id as bigint) AS id_a, cast(b.doc_id as bigint) AS id_b,
+        |  cast(bit_count(xor(a.sim, b.sim)) as int) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // stopword-ratio argmax with the kernel's exact tie order (en,es,fr,de,
+    // pt,it), 0.02 floor, and BMP-Han fast path
+    "q37_fingerprint_langid" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','was','with'], x))) as double) / len(toks) END AS s_en,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','los','del','se','las','por'], x))) as double) / len(toks) END AS s_es,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est'], x))) as double) / len(toks) END AS s_fr,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des','im','ein'], x))) as double) / len(toks) END AS s_de,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['o','a','de','que','e','do','da','em','um','para','com','os'], x))) as double) / len(toks) END AS s_pt,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['il','di','che','la','e','un','per','in','una','del','con','non'], x))) as double) / len(toks) END AS s_it
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}\x{f900}-\x{faff}]') THEN 'zh'
+        |       WHEN n_tokens = 0 THEN 'und'
+        |       WHEN greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) < 0.02 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'fr'
+        |       WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'de'
+        |       WHEN s_pt = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'pt'
+        |       ELSE 'it' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q41_emb_topk" ->
       s"""SELECT vec_id, round(c, 6) AS cosine FROM (
          |  SELECT e.vec_id,
@@ -932,6 +987,7 @@ object SparkEntry {
         |      (sqrt(list_dot_product(cast(a.embedding as double[]), cast(a.embedding as double[]))) *
         |       sqrt(list_dot_product(cast(b.embedding as double[]), cast(b.embedding as double[])))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin
-    // q36/q37, q42, q48 are custom-hash/heuristic/LSH-recall ops => rows-only check
+    // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
+    // fingerprint) are approximate/engine-specific => rows-only check
   )
 }

@@ -105,17 +105,39 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsImpl(df, idCol, textCol, maxHamming,
+      c => SimHash64(c), chunkBits = 16)
+
+  /** simhashPairs over the 60-bit md5 token hash (DuckDB-reproducible:
+    * four 15-bit chunk buckets; same pigeonhole guarantee for hamming <= 3). */
+  def simhashPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsImpl(df, idCol, textCol, maxHamming,
+      c => SimHashMd5(c), chunkBits = 15)
+
+  private def simhashPairsImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      mkSim: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+      chunkBits: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val mask = (1 << chunkBits) - 1
     val sim = df.select(
       col(idCol).cast("long").as("id"),
-      exprColumn(SimHash64(columnExpr(col(textCol)))).as("sim"))
+      exprColumn(mkSim(columnExpr(col(textCol)))).as("sim"))
 
     val chunked = sim.select(
       $"id", $"sim",
       posexplode(expr(
-        "transform(sequence(0, 3), c -> (shiftright(sim, c * 16) & 65535))"))
+        s"transform(sequence(0, 3), c -> (shiftright(sim, c * $chunkBits) & $mask))"))
         .as(Seq("chunk", "bucket")))
 
     val a = chunked.select($"chunk", $"bucket", $"id".as("id_a"), $"sim".as("sim_a"))

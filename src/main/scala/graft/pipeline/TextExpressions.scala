@@ -130,6 +130,43 @@ object TextKernels {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 (= the value DuckDB parses from
+    * `'0x' || substr(md5(s), 1, 15)`), the cross-engine token hash that makes
+    * md5-simhash oracle-checkable. */
+  def md5Hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** 60-bit SimHash over tokens with the cross-engine md5 token hash. */
+  def simHashMd5(tokens: Array[String]): Long = {
+    val acc = new Array[Int](60)
+    var i = 0
+    while (i < tokens.length) {
+      val h = md5Hash60(tokens(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** 64-bit SimHash over tokens. */
   def simHash(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)
@@ -242,6 +279,8 @@ object TextRowEval {
     new GenericArrayData(TextKernels.minHash(TextKernels.wordShingles(t.toString, n), k))
   def simhash(t: UTF8String): Long =
     TextKernels.simHash(TextKernels.whitespaceTokens(t.toString))
+  def simhashMd5(t: UTF8String): Long =
+    TextKernels.simHashMd5(TextKernels.whitespaceTokens(t.toString))
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
     TextKernels.ngramJaccard(a.toString, b.toString, n)
   def langId(t: UTF8String): UTF8String =
@@ -309,6 +348,20 @@ case class NgramJaccard(first: Expression, second: Expression, third: Expression
 object NgramJaccard {
   def apply(children: Seq[Expression]): NgramJaccard =
     NgramJaccard(children(0), children(1), children(2))
+}
+
+/** simhash_md5(text) -> bigint: 60-bit simhash over the md5-derived token
+  * hash shared bit-for-bit with SQL engines (DuckDB-oracle-checkable). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+  override protected def nullSafeEval(t: Any): Any =
+    TextRowEval.simhashMd5(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.simhashMd5($t);")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(c)
 }
 
 /** lang_id(text) -> string. */
@@ -382,6 +435,7 @@ object TextRegistry {
         r.createOrReplaceTempFunction(name, b, "built-in")
     reg("minhash_sig", exprs => MinHashSig(exprs))
     reg("simhash64", exprs => SimHash64(exprs.head))
+    reg("simhash_md5", exprs => SimHashMd5(exprs.head))
     reg("ngram_jaccard", exprs => NgramJaccard(exprs))
     reg("lang_id", exprs => LangId(exprs.head))
     reg("doc_fingerprint", exprs => DocFingerprint(exprs.head, exprs(1)))

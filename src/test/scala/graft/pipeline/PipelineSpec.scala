@@ -129,6 +129,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(zero, "duration_ms", 400L).count() == 0)
   }
 
+  test("md5Hash60 equals DuckDB's ('0x' || substr(md5(s),1,15))::BIGINT") {
+    // md5('abc') = 900150983cd24fb0... => 0x900150983cd24fb
+    assert(TextKernels.md5Hash60("abc") == 648541476951500027L)
+    assert(TextKernels.md5Hash60("") == 0xd41d8cd98f00b20L) // md5('') = d41d8cd98f00b204...
+  }
+
+  test("simhashPairsMd5 finds exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairsMd5(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("text_stats matches the regex semantics it replaced") {
     val rows = Seq(
       (1L, "Hello, World! 42 abc42x"),
