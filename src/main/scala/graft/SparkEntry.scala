@@ -557,6 +557,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // GeoParquet write -> read round-trip with a spatial filter: exercises
+    // the bbox covering column + spatial sort on write and the
+    // BboxPruningRule rewrite (st_intersects over the covering stats) on
+    // read — the §2.1 IO path end-to-end, not just in specs. Box edges sit
+    // at x=0.5 so integer point coords never touch the boundary.
+    "q54_geoparquet_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q54_geoparquet").getAbsolutePath
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", s"$custPt AS geometry")
+      graft.sources.GeoParquet.write(cust, tmp, "geometry")
+      graft.api.GeoIO.readParquet(s, tmp).df
+        .filter(expr("st_intersects(geometry, st_makeenvelope(0.5, -90.0, 180.0, 90.0))"))
+        .selectExpr("cast(count(*) as bigint) AS n_east",
+          "cast(sum(c_custkey) as bigint) AS key_sum")
+    }),
+
     // exact all-pairs near-dup (oracle-checkable verification path; q42 is
     // the LSH-bucketed scale path over the same semantics)
     "q51_emb_neardup_exact" -> ((s: SparkSession, dir: String) => {
@@ -976,6 +994,10 @@ object SparkEntry {
         |      e.vec_id) AS rank
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q54_geoparquet_roundtrip" ->
+      s"""SELECT cast(count(*) as bigint) AS n_east, cast(sum(c_custkey) as bigint) AS key_sum
+         |FROM customer WHERE $oCustX >= 1""".stripMargin,
 
     "q51_emb_neardup_exact" ->
       """SELECT cast(a.vec_id as bigint) AS id_a, cast(b.vec_id as bigint) AS id_b,
