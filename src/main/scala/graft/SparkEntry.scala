@@ -235,12 +235,17 @@ object SparkEntry {
          |  round(st_y(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) + 0.0 AS mercator_y
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // c90x/s2cx pin the TransformOrigin 'center'/'centroid' paths: a square
+    // rotated 90° about its bbox center keeps its envelope; doubling about
+    // the centroid moves xmin to x - s/2
     "q19_geo_rotate_scale" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
          |  round(st_x(st_rotate($custPt, 90.0, '0,0')), 6) + 0.0 AS rx,
          |  round(st_y(st_rotate($custPt, 90.0, '0,0')), 6) + 0.0 AS ry,
          |  st_x(st_scale($custPt, 3.0, 2.0, '0,0')) + 0.0 AS sx,
-         |  round(st_x(st_skew($custPt, 45.0, 0.0, '0,0')), 6) + 0.0 AS kx
+         |  round(st_x(st_skew($custPt, 45.0, 0.0, '0,0')), 6) + 0.0 AS kx,
+         |  round(st_xmin(st_rotate(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), 90.0, 'center')), 6) + 0.0 AS c90x,
+         |  round(st_xmin(st_scale(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), 2.0, 2.0, 'centroid')), 6) + 0.0 AS s2cx
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
     // ===== spatial join operator (SURVEY §2.4)
@@ -770,7 +775,9 @@ object SparkEntry {
          |  round(cos(radians(90)) * $oCustX - sin(radians(90)) * $oCustY, 6) + 0.0 AS rx,
          |  round(sin(radians(90)) * $oCustX + cos(radians(90)) * $oCustY, 6) + 0.0 AS ry,
          |  3.0 * $oCustX + 0.0 AS sx,
-         |  round($oCustX + tan(radians(45)) * $oCustY, 6) + 0.0 AS kx
+         |  round($oCustX + tan(radians(45)) * $oCustY, 6) + 0.0 AS kx,
+         |  round($oCustX, 6) + 0.0 AS c90x,
+         |  round($oCustX - $oSide / 2.0, 6) + 0.0 AS s2cx
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q20_spatial_join" ->

@@ -142,6 +142,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("textCounts equals the java-regex reference on randomized strings") {
+    // deterministic pseudo-property test (no scalatest-scalacheck bridge
+    // offline): 500 random strings over a char set that stresses every
+    // class boundary, compared against the regexes the kernel replaced
+    val rnd = new scala.util.Random(42)
+    val alphabet =
+      "aZ09 .,;:!?\t\n\f\r-_#é丁" // letters, digits, ws, punct, other, non-ascii
+    def randomString(): String =
+      Array.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val tokRe = "\\S+".r
+    val subRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val punctRe = "[.,;:!?]".r
+    val upperRe = "[A-Z]".r
+    (0 until 500).foreach { _ =>
+      val s = randomString()
+      val got = TextKernels.textCounts(s)
+      assert(got(0) == tokRe.findAllIn(s).length, s"tokens for ${s.take(40)}")
+      assert(got(1) == subRe.findAllIn(s).length, s"subwords for ${s.take(40)}")
+      assert(got(2) == punctRe.findAllIn(s).length, s"punct for ${s.take(40)}")
+      assert(got(3) == upperRe.findAllIn(s).length, s"upper for ${s.take(40)}")
+    }
+  }
+
   test("text_stats matches the regex semantics it replaced") {
     val rows = Seq(
       (1L, "Hello, World! 42 abc42x"),

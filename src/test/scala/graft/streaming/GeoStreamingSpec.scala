@@ -72,6 +72,25 @@ class GeoStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline expressions are streaming-safe in a stateless select") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.pipeline.TextRegistry.register(spark)
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("id", "text")
+      .selectExpr("id", "text_stats(text).n_tokens AS n", "lang_id(text) AS lang",
+        "cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
+    val q = out.writeStream.format("memory").queryName("pipe").outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox is in the house"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("pipe").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).sortBy(_._1)
+      assert(rows(0) == ((1L, 8, "en", 1.0)))
+      assert(rows(1)._2 == 0 && rows(1)._3 == "und")
+    } finally q.stop()
+  }
+
   test("stream-stream spatial join pairs co-located, time-close events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
