@@ -580,6 +580,24 @@ object SparkEntry {
           "cast(sum(c_custkey) as bigint) AS key_sum")
     }),
 
+    // GeoJSON NDJSON write -> readGeoJson round-trip: one Feature per line,
+    // parsed line-per-row in parallel (wholetext only for FeatureCollection
+    // docs), properties schema inferred, geometry decoded to WKB
+    "q55_geojson_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q55_geojson").getAbsolutePath
+      s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr(
+          s"""concat('{"type":"Feature","geometry":', st_asgeojson($custPt),
+             |',"properties":{"c_custkey":', c_custkey, '}}') AS line""".stripMargin)
+        .write.mode("overwrite").text(tmp)
+      graft.api.GeoIO.readGeoJson(s, tmp).df
+        .selectExpr("cast(c_custkey as bigint) AS c_custkey",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
+    }),
+
     // exact all-pairs near-dup (oracle-checkable verification path; q42 is
     // the LSH-bucketed scale path over the same semantics)
     "q51_emb_neardup_exact" -> ((s: SparkSession, dir: String) => {
@@ -1005,6 +1023,10 @@ object SparkEntry {
     "q54_geoparquet_roundtrip" ->
       s"""SELECT cast(count(*) as bigint) AS n_east, cast(sum(c_custkey) as bigint) AS key_sum
          |FROM customer WHERE $oCustX >= 1""".stripMargin,
+
+    "q55_geojson_roundtrip" ->
+      s"""SELECT cast(c_custkey as bigint) AS c_custkey, $oCustX AS gx, $oCustY AS gy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q51_emb_neardup_exact" ->
       """SELECT cast(a.vec_id as bigint) AS id_a, cast(b.vec_id as bigint) AS id_b,

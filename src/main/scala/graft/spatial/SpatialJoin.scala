@@ -219,14 +219,26 @@ object SpatialJoin {
     val lc = cells(leftW, lId, leftGeom)
     val rc = cells(rightW, rId, rightGeom)
     val pred = predicate
-    val refineUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val cs = cellSize
+    // Reference-point dedup: a pair whose envelopes both touch k cells meets
+    // k times after the cell equi-join; instead of a distinct() (a second
+    // full shuffle of the pair table), emit the pair only in the ONE cell
+    // holding the min corner of the envelope intersection — that corner lies
+    // in both envelopes, so both rows were replicated there, and it belongs
+    // to exactly one cell.
+    val refineUdf = udf { (cell: Long, a: Array[Byte], b: Array[Byte]) =>
       val ga = WKB.readOrNull(a); val gb = WKB.readOrNull(b)
-      ga != null && gb != null && refine(pred, ga, gb)
+      ga != null && gb != null && {
+        val ea = ga.envelope; val eb = gb.envelope
+        val refCell = cellId(
+          math.floor(math.max(ea.minX, eb.minX) / cs).toLong,
+          math.floor(math.max(ea.minY, eb.minY) / cs).toLong)
+        refCell == cell && refine(pred, ga, gb)
+      }
     }
     val pairs = lc.join(rc, "__cell")
-      .filter(refineUdf(lc("__wkb"), rc("__wkb")))
+      .filter(refineUdf(col("__cell"), lc("__wkb"), rc("__wkb")))
       .select(col(lId), col(rId).as(rId + "_p"))
-      .distinct()
 
     stitch(leftW, rightW, pairs, joinType, lId, rId, lSuffix, rSuffix)
   }
