@@ -308,6 +308,30 @@ object SparkEntry {
            |GROUP BY box_id ORDER BY box_id""".stripMargin)
     }),
 
+    // Same join as q27, planned through GridJoinRule's large-large rewrite:
+    // broadcast disabled while the plan materializes, so the logical join
+    // becomes the grid-cell SortMergeJoin (no BNLJ, no broadcast R-tree)
+    "q56_sql_grid_join" -> ((s: SparkSession, dir: String) => {
+      init(s); view(s, dir, "customer")
+      s.range(5).selectExpr(
+        "cast(id as int) AS box_id",
+        "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS bgeom")
+        .createOrReplaceTempView("boxes56")
+      val oldThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.grid.cellSize", "45.0")
+      try {
+        val df = s.sql(
+          s"""SELECT box_id,
+             |  cast(count(*) as bigint) AS n_points,
+             |  cast(sum(c_custkey) as bigint) AS key_sum
+             |FROM customer JOIN boxes56 ON st_contains(bgeom, $custPt)
+             |GROUP BY box_id ORDER BY box_id""".stripMargin)
+        df.queryExecution.executedPlan // pin the grid plan before conf restore
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+    }),
+
     // equatorial geodesics have the closed form a * radians(dLon), making
     // Vincenty and Karney oracle-checkable exactly
     "q45_geodesic_methods" -> sqlQuery(Seq("customer"),
@@ -821,6 +845,14 @@ object SparkEntry {
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q27_sql_spatial_join" ->
+      s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
+         |  cast(count(*) as bigint) AS n_points,
+         |  cast(sum(c_custkey) as bigint) AS key_sum
+         |FROM customer
+         |WHERE (($oCustX + 180) % 72) <> 0 AND $oCustY > -80
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_sql_grid_join" ->
       s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
          |  cast(count(*) as bigint) AS n_points,
          |  cast(sum(c_custkey) as bigint) AS key_sum

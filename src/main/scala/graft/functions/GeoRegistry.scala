@@ -59,6 +59,9 @@ object GeoRegistry {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BboxPruningRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new graft.plans.BboxPruningRule
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.GridJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.GridJoinRule
   }
 }
 
@@ -83,5 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(session => new graft.plans.SpatialJoinStrategy(session))
     // spatial row-group pruning over GeoParquet bbox covering columns
     ext.injectOptimizerRule(_ => new graft.plans.BboxPruningRule)
+    // large-large spatial joins: grid-cell equi-join rewrite instead of BNLJ
+    ext.injectOptimizerRule(_ => new graft.plans.GridJoinRule)
   }
 }

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+import graft.geom.WKB
+import graft.spatial.SpatialJoin
+
+/**
+ * Large-large spatial join planning (SURVEY §2.4 "100 TB design point").
+ *
+ * [[SpatialJoinStrategy]] handles `JOIN ON st_intersects/contains/within/
+ * dwithin` when one side is broadcast-sized; with BOTH sides over the
+ * broadcast threshold Catalyst's only native plan is
+ * BroadcastNestedLoopJoin — O(|L|·|R|). This optimizer rule instead
+ * rewrites the logical join into a grid-cell equi-join:
+ *
+ *   Join(L, R, st_pred(lg, rg) [AND residual])
+ *   => Project(L.out ++ R.out,
+ *        Join(Generate(explode(grid_cells(lg)), L) with cell cl,
+ *             Generate(explode(grid_cells(rg)), R) with cell cr,
+ *             cl = cr AND grid_ref_cell(lg, rg) = cl AND <original cond>))
+ *
+ * Catalyst extracts `cl = cr` as the equi key => shuffle co-partitioned
+ * SortMergeJoin/ShuffledHashJoin; rows replicate only to the cells their
+ * envelope touches; `grid_ref_cell = cl` keeps exactly one copy of each
+ * matched pair (the cell holding the min corner of the two envelopes'
+ * intersection — reference-point dedup, no distinct shuffle); the original
+ * condition stays as the exact refinement, so results equal the BNLJ plan
+ * for Inner joins. st_dwithin pads the left side's cells and the reference
+ * point by the distance.
+ *
+ * Cell size comes from `spark.graft.grid.cellSize` (default 1.0, in
+ * coordinate units): pick ~the median geometry extent so most rows land in
+ * O(1) cells; AQE's skew-join split handles residual hot cells.
+ */
+class GridJoinRule extends Rule[LogicalPlan] {
+
+  import SpatialJoinStrategy.{extractSpatial, splitConjuncts, SpatialPred}
+
+  private def cellSize: Double =
+    SQLConf.get.getConfString("spark.graft.grid.cellSize", "1.0").toDouble
+
+  private def bothLarge(j: Join): Boolean = {
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    threshold <= 0 ||
+      (j.left.stats.sizeInBytes > threshold && j.right.stats.sizeInBytes > threshold)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !cond.references.exists(_.name.startsWith("__graft_cell")) && bothLarge(j) =>
+      val spatial = splitConjuncts(cond).iterator
+        .map(c => extractSpatial(c, left, right)).collectFirst { case Some(s) => s }
+      spatial match {
+        case Some((lKey, rKey, pred)) =>
+          val cs = cellSize
+          val pad = pred match {
+            case SpatialPred.DWithin(d) => math.abs(d)
+            case _                      => 0.0
+          }
+          val cellL = AttributeReference("__graft_cell_l", LongType, nullable = false)()
+          val cellR = AttributeReference("__graft_cell_r", LongType, nullable = false)()
+          val lGen = Generate(Explode(GridCells(lKey, cs, pad)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(cellL), child = left)
+          val rGen = Generate(Explode(GridCells(rKey, cs, 0.0)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(cellR), child = right)
+          val newCond = And(
+            And(EqualTo(cellL, cellR), EqualTo(GridRefCell(lKey, rKey, cs, pad), cellL)),
+            cond)
+          Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
+        case None => j
+      }
+  }
+}
+
+object GridJoinRule {
+
+  /** Cells covered by the (padded) envelope; null for null/invalid/empty
+    * geometry — explode(null) then drops the row, matching the false
+    * predicate a BNLJ would evaluate. */
+  def cells(wkb: Array[Byte], cellSize: Double, pad: Double): ArrayData = {
+    val g = WKB.readOrNull(wkb)
+    if (g == null) return null
+    val e = g.envelope
+    if (e.isEmpty) return null
+    val x0 = math.floor((e.minX - pad) / cellSize).toLong
+    val x1 = math.floor((e.maxX + pad) / cellSize).toLong
+    val y0 = math.floor((e.minY - pad) / cellSize).toLong
+    val y1 = math.floor((e.maxY + pad) / cellSize).toLong
+    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var cx = x0
+    while (cx <= x1) {
+      var cy = y0
+      while (cy <= y1) { out(i) = SpatialJoin.cellId(cx, cy); i += 1; cy += 1 }
+      cx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cell of the min corner of the two (left-padded) envelopes'
+    * intersection; null when either geometry is null/invalid/empty. */
+  def refCell(a: Array[Byte], b: Array[Byte], cellSize: Double, pad: Double): java.lang.Long = {
+    val ga = WKB.readOrNull(a)
+    val gb = WKB.readOrNull(b)
+    if (ga == null || gb == null) return null
+    val ea = ga.envelope
+    val eb = gb.envelope
+    if (ea.isEmpty || eb.isEmpty) return null
+    val rx = math.max(ea.minX - pad, eb.minX)
+    val ry = math.max(ea.minY - pad, eb.minY)
+    java.lang.Long.valueOf(SpatialJoin.cellId(
+      math.floor(rx / cellSize).toLong, math.floor(ry / cellSize).toLong))
+  }
+}
+
+/** grid_cells(geom) -> array<bigint> of covered cell ids (internal to
+  * GridJoinRule's rewrite). */
+case class GridCells(child: Expression, cellSize: Double, pad: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "grid_cells"
+  override protected def nullSafeEval(v: Any): Any =
+    GridJoinRule.cells(v.asInstanceOf[Array[Byte]], cellSize, pad)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.plans.GridJoinRule.cells($c, ${cellSize}D, ${pad}D);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): GridCells = copy(child = c)
+}
+
+/** grid_ref_cell(a, b) -> bigint dedup reference cell (internal to
+  * GridJoinRule's rewrite). */
+case class GridRefCell(left: Expression, right: Expression, cellSize: Double, pad: Double)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "grid_ref_cell"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GridJoinRule.refCell(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      cellSize, pad)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("refCell")
+      s"""
+         |java.lang.Long $tmp = graft.plans.GridJoinRule.refCell($a, $b, ${cellSize}D, ${pad}D);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GridRefCell =
+    copy(l, r)
+}

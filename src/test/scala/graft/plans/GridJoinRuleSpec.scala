@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.GeoRegistry
+
+/** Large-large spatial join rewrite (GridJoinRule): plan shape + parity
+  * with the broadcast/BNLJ answer. */
+class GridJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def setupViews(): Unit = {
+    GeoRegistry.register(spark)
+    // 2000 points spread over [-100, 100] x [-50, 50]
+    spark.range(2000).selectExpr(
+      "id AS pid",
+      "st_point(cast(id % 200 - 100 as double), cast((id * 13) % 100 - 50 as double)) AS pgeom")
+      .createOrReplaceTempView("pts")
+    // 40 boxes, 9x9 => spans many unit cells
+    spark.range(40).selectExpr(
+      "id AS bid",
+      "st_makeenvelope(cast(id * 5 - 100 as double), cast((id * 7) % 80 - 40 as double), " +
+        "cast(id * 5 - 91 as double), cast((id * 7) % 80 - 31 as double)) AS bgeom")
+      .createOrReplaceTempView("boxes")
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("both-sides-large st_contains join plans as grid equi-join, same answer") {
+    setupViews()
+    val sql =
+      """SELECT cast(count(*) as bigint) AS n, cast(sum(pid * bid) as bigint) AS s
+        |FROM pts JOIN boxes ON st_contains(bgeom, pgeom)""".stripMargin
+    val reference = spark.sql(sql).collect().head // broadcast-size path
+    val (plan, grid) = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.grid.cellSize" -> "4.0") {
+      val df = spark.sql(sql)
+      (df.queryExecution.executedPlan.toString, df.collect().head)
+    }
+    assert(!plan.contains("BroadcastNestedLoop"), s"BNLJ still present:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"no shuffled equi-join in:\n$plan")
+    assert(grid == reference)
+    assert(grid.getLong(0) > 0)
+  }
+
+  test("multi-cell replication dedups via reference point (tiny cells)") {
+    setupViews()
+    val sql =
+      """SELECT cast(count(*) as bigint) AS n
+        |FROM pts JOIN boxes ON st_intersects(pgeom, bgeom)""".stripMargin
+    val reference = spark.sql(sql).collect().head.getLong(0)
+    val grid = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.grid.cellSize" -> "2.5") { // 9x9 boxes cover ~16 cells each
+      spark.sql(sql).collect().head.getLong(0)
+    }
+    assert(grid == reference)
+  }
+
+  test("st_dwithin pads the probe side; same answer as broadcast path") {
+    setupViews()
+    val sql =
+      """SELECT cast(count(*) as bigint) AS n
+        |FROM pts a JOIN boxes b ON st_dwithin(pgeom, bgeom, 3.0)""".stripMargin
+    val reference = spark.sql(sql).collect().head.getLong(0)
+    val grid = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.grid.cellSize" -> "5.0") {
+      spark.sql(sql).collect().head.getLong(0)
+    }
+    assert(grid == reference && grid > 0)
+  }
+
+  test("residual conjuncts survive the rewrite") {
+    setupViews()
+    val sql =
+      """SELECT cast(count(*) as bigint) AS n
+        |FROM pts JOIN boxes ON st_contains(bgeom, pgeom) AND pid % 2 = 0 AND bid > 5""".stripMargin
+    val reference = spark.sql(sql).collect().head.getLong(0)
+    val grid = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql(sql).collect().head.getLong(0)
+    }
+    assert(grid == reference)
+  }
+}
