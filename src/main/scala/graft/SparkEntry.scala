@@ -517,6 +517,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // composed corpus-prep pipeline: quality floor + language allowlist +
+    // exact dedup — every stage is SQL-expressible, so the whole composite
+    // is oracle-checked end-to-end
+    "q57_corpus_clean" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Corpus.clean(docs, "doc_id", "text", minQuality = 0.9, langs = Seq("en"))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q53_doc_fingerprint" -> ((s: SparkSession, dir: String) => {
       init(s)
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1031,6 +1042,51 @@ object SparkEntry {
         |       WHEN s_pt = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'pt'
         |       ELSE 'it' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // composes the q31 quality formula, the q37 language argmax, and
+    // min-id-per-text dedup — the full Corpus.clean semantics in SQL
+    "q57_corpus_clean" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    cast(len(regexp_extract_all(text, '\S+')) as double) AS words,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |         THEN cast(length(text) as double) / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END AS mwl,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[.,;:!?]')) as double) / length(text) ELSE 0.0 END AS pr,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text) ELSE 0.0 END AS ur,
+        |    regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, toks,
+        |    (CASE WHEN words >= 50 AND words <= 100000 THEN 1.0 WHEN words >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','was','with'], x))) as double) / len(toks) END AS s_en,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','los','del','se','las','por'], x))) as double) / len(toks) END AS s_es,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est'], x))) as double) / len(toks) END AS s_fr,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des','im','ein'], x))) as double) / len(toks) END AS s_de,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['o','a','de','que','e','do','da','em','um','para','com','os'], x))) as double) / len(toks) END AS s_pt,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['il','di','che','la','e','un','per','in','una','del','con','non'], x))) as double) / len(toks) END AS s_it
+        |  FROM m),
+        |l AS (
+        |  SELECT doc_id, text, quality,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}\x{f900}-\x{faff}]') THEN 'zh'
+        |         WHEN len(toks) = 0 THEN 'und'
+        |         WHEN greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) < 0.02 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'fr'
+        |         WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'de'
+        |         WHEN s_pt = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'pt'
+        |         ELSE 'it' END AS lang
+        |  FROM s),
+        |f AS (SELECT doc_id, text FROM l WHERE quality >= 0.9 AND lang IN ('en')),
+        |d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+        |SELECT d.doc_id, len(regexp_extract_all(doc.text, '\S+')) AS n_tokens
+        |FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q41_emb_topk" ->
       s"""SELECT vec_id, round(c, 6) AS cosine FROM (

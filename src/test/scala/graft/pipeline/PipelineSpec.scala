@@ -223,6 +223,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(one == exact) // clustered data: the query's own cell holds the top-k
   }
 
+  test("Corpus.clean composes quality floor, lang filter, exact dedup") {
+    val corpus = Seq(
+      (1L, ("the quick brown fox is in the house and it was fine " * 5).trim), // en, long
+      (2L, ("the quick brown fox is in the house and it was fine " * 5).trim), // exact dup
+      (3L, "zz qq ww"),                                                        // und
+      (4L, "the fox")                                                          // en but too short
+    ).toDF("doc_id", "text")
+    val out = Corpus.clean(corpus, "doc_id", "text", minQuality = 0.9, langs = Seq("en"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("exact embedding near-dup pairs match threshold semantics") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
