@@ -174,6 +174,12 @@ object GeoIO {
   /** Read (Geo)Parquet; geometry column by metadata/name convention. */
   def readParquet(spark: SparkSession, path: String): GeoDataFrame =
     GeoDataFrame(spark.read.parquet(path))
+
+  /** Read ESRI Shapefile(s) — .shp geometry + .dbf attributes (the
+    * reference reaches these through GDAL; here a pure-Scala parser,
+    * one task per file). */
+  def readShapefile(spark: SparkSession, path: String): GeoDataFrame =
+    GeoDataFrame(graft.sources.Shapefile.read(spark, path))
 }
 
 /**
