@@ -126,6 +126,40 @@ object SpatialJoin {
     * stream-stream join's cell expression. */
   private[graft] def cellId(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
 
+  /**
+   * Reusable prebuilt broadcast index over one side of a spatial join —
+   * parity with the reference's caller-provided `Arc<SpatialIndex>`
+   * (spatial_index.rs:20-21, 48-71): build once, pass to any number of
+   * joins against the same (unchanged) indexed side, skipping the collect +
+   * tree build + broadcast per query.
+   */
+  final class BroadcastIndex private[spatial] (
+      private[spatial] val bc: org.apache.spark.broadcast.Broadcast[RowIndex],
+      private[spatial] val schema: org.apache.spark.sql.types.StructType,
+      val geomCol: String) extends Serializable {
+    def unpersist(): Unit = bc.unpersist()
+  }
+
+  /** Build a reusable broadcast STR-tree index over `df` (the future right
+    * side of [[joinWithIndex]]). */
+  def buildIndex(df: DataFrame, geomCol: String = "geometry"): BroadcastIndex =
+    new BroadcastIndex(
+      df.sparkSession.sparkContext.broadcast(buildRowIndex(df, geomCol)),
+      df.schema, geomCol)
+
+  /** Broadcast filter-refine join against a prebuilt [[BroadcastIndex]]
+    * (reference: precomputed-index reuse test, spatial_index.rs:558-625). */
+  def joinWithIndex(
+      left: DataFrame,
+      rightIndex: BroadcastIndex,
+      predicate: Predicate = Predicate.Intersects,
+      joinType: String = "inner",
+      leftGeom: String = "geometry",
+      lSuffix: String = "_left",
+      rSuffix: String = "_right"): DataFrame =
+    joinImpl(left, rightIndex.bc, rightIndex.schema, predicate, joinType,
+      leftGeom, lSuffix, rSuffix)
+
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -135,19 +169,31 @@ object SpatialJoin {
       rightGeom: String = "geometry",
       lSuffix: String = "_left",
       rSuffix: String = "_right"): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"spatial join supports inner|left (spatial_index.rs:187-203), got $joinType")
     val spark = left.sparkSession
     val bc = spark.sparkContext.broadcast(buildRowIndex(right, rightGeom))
+    joinImpl(left, bc, right.schema, predicate, joinType, leftGeom, lSuffix, rSuffix)
+  }
+
+  private def joinImpl(
+      left: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[RowIndex],
+      rightSchema: org.apache.spark.sql.types.StructType,
+      predicate: Predicate,
+      joinType: String,
+      leftGeom: String,
+      lSuffix: String,
+      rSuffix: String): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"spatial join supports inner|left (spatial_index.rs:187-203), got $joinType")
 
     // every output column suffixed, both sides (spatial_index.rs:164-184)
     val outSchema = org.apache.spark.sql.types.StructType(
       left.schema.fields.map(f => f.copy(name = f.name + lSuffix)) ++
-      right.schema.fields.map(f => f.copy(name = f.name + rSuffix, nullable = true)))
+      rightSchema.fields.map(f => f.copy(name = f.name + rSuffix, nullable = true)))
     val lgIdx = left.schema.fieldIndex(leftGeom)
     val pred = predicate
     val leftJoin = joinType == "left"
-    val nRight = right.schema.fields.length
+    val nRight = rightSchema.fields.length
 
     left.mapPartitions { it =>
       val idx = bc.value

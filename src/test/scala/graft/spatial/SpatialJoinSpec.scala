@@ -107,4 +107,18 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(bcast == expected)
     assert(grid == expected)
   }
+
+  test("prebuilt broadcast index reuse matches direct join (spatial_index.rs:558-625)") {
+    val idx = SpatialJoin.buildIndex(polygonDf, "geometry")
+    try {
+      val direct = SpatialJoin.join(pointsDf, polygonDf, SpatialJoin.Predicate.Intersects, "inner")
+        .select("point_values_left").as[Double].collect().toSet
+      val viaIndex = SpatialJoin.joinWithIndex(pointsDf, idx, SpatialJoin.Predicate.Intersects, "inner")
+        .select("point_values_left").as[Double].collect().toSet
+      assert(viaIndex == direct)
+      // second reuse, different join type: left shape (9, 4)
+      val leftJoin = SpatialJoin.joinWithIndex(pointsDf, idx, SpatialJoin.Predicate.Intersects, "left")
+      assert(leftJoin.count() == 9 && leftJoin.columns.length == 4)
+    } finally idx.unpersist()
+  }
 }
