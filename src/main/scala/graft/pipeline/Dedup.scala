@@ -33,6 +33,23 @@ object Dedup {
       .drop("__rn")
   }
 
+  /**
+   * Streaming exact dedup for ingest pipelines: drops rows whose content
+   * hash was already seen, with state BOUNDED by the event-time watermark
+   * (dropDuplicatesWithinWatermark) — the state store holds one 64-bit hash
+   * per distinct document inside the watermark horizon, so the stream runs
+   * indefinitely at any rate.
+   */
+  def exactStreaming(
+      df: DataFrame,
+      contentCol: String,
+      eventTimeCol: String,
+      delay: String): DataFrame =
+    df.withColumn("__content_hash", xxhash64(col(contentCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** Group-by summary of exact duplicates: content hash -> group size + representative. */
   def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(xxhash64(col(contentCol)).as("content_hash"))

@@ -96,7 +96,14 @@ object GridJoinRule {
     val x1 = math.floor((e.maxX + pad) / cellSize).toLong
     val y0 = math.floor((e.minY - pad) / cellSize).toLong
     val y1 = math.floor((e.maxY + pad) / cellSize).toLong
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val count = (x1 - x0 + 1) * (y1 - y0 + 1)
+    // a geometry covering this many cells means the configured cell size is
+    // far below the data's extent — fail with the knob to turn rather than
+    // exploding one row into millions (or overflowing the array size)
+    require(count <= (1L << 24),
+      s"geometry envelope covers $count grid cells at cellSize=$cellSize; " +
+        "raise spark.graft.grid.cellSize")
+    val out = new Array[Long](count.toInt)
     var i = 0
     var cx = x0
     while (cx <= x1) {

@@ -82,6 +82,24 @@ class GridJoinRuleSpec extends AnyFunSuite {
     assert(grid == reference && grid > 0)
   }
 
+  test("null geometries drop from the inner join, matching BNLJ semantics") {
+    setupViews()
+    GeoRegistry.register(spark)
+    spark.range(20).selectExpr(
+      "id AS pid",
+      "CASE WHEN id % 4 = 0 THEN cast(null as binary) " +
+        "ELSE st_point(cast(id as double), cast(id as double)) END AS pgeom")
+      .createOrReplaceTempView("pts_null")
+    val sql =
+      """SELECT cast(count(*) as bigint) AS n
+        |FROM pts_null JOIN boxes ON st_intersects(pgeom, bgeom)""".stripMargin
+    val reference = spark.sql(sql).collect().head.getLong(0)
+    val grid = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql(sql).collect().head.getLong(0)
+    }
+    assert(grid == reference)
+  }
+
   test("residual conjuncts survive the rewrite") {
     setupViews()
     val sql =

@@ -91,6 +91,24 @@ class GeoStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeats within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "id", "text")
+    val out = graft.pipeline.Dedup.exactStreaming(stream, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), 1L, "doc a"), (t(2), 2L, "doc b"), (t(3), 3L, "doc a"))
+      q.processAllAvailable()
+      input.addData((t(4), 4L, "doc a"), (t(5), 5L, "doc c"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 5L)) // 3 and 4 are dup content within watermark
+    } finally q.stop()
+  }
+
   test("stream-stream spatial join pairs co-located, time-close events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
