@@ -318,6 +318,7 @@ object SparkEntry {
         "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS bgeom")
         .createOrReplaceTempView("boxes56")
       val oldThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldCell = s.conf.getOption("spark.graft.grid.cellSize")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.graft.grid.cellSize", "45.0")
       try {
@@ -327,9 +328,20 @@ object SparkEntry {
              |  cast(sum(c_custkey) as bigint) AS key_sum
              |FROM customer JOIN boxes56 ON st_contains(bgeom, $custPt)
              |GROUP BY box_id ORDER BY box_id""".stripMargin)
-        df.queryExecution.executedPlan // pin the grid plan before conf restore
+        // Downstream .write re-plans with a fresh QueryExecution AFTER the
+        // confs are restored, which would silently fall back to the
+        // broadcast path; persist + count executes the grid plan NOW, and
+        // the re-planned write then reads the cached result of this plan.
+        df.persist()
+        df.count()
         df
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+        oldCell match {
+          case Some(v) => s.conf.set("spark.graft.grid.cellSize", v)
+          case None    => s.conf.unset("spark.graft.grid.cellSize")
+        }
+      }
     }),
 
     // equatorial geodesics have the closed form a * radians(dLon), making

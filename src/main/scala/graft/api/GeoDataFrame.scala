@@ -140,10 +140,15 @@ object GeoIO {
 
     // NDJSON (one Feature/geometry per line) parses line-per-row, fully
     // parallel across file splits. Only a whole-document FeatureCollection —
-    // detected by probing the first line, which then fails to parse on its
-    // own or declares the collection type — falls back to wholetext, where
-    // one task must hold the document (inherent to the format).
-    val firstLine = spark.read.text(path).limit(1).as[String].collect().headOption.getOrElse("")
+    // detected by probing the first non-empty line, which then fails to
+    // parse on its own or declares the collection type — falls back to
+    // wholetext, where one task must hold the document (inherent to the
+    // format). The wholetext branch still splits non-FeatureCollection
+    // documents per line (Jackson's readTree parses only the first JSON
+    // value, so a misclassified NDJSON file would otherwise silently keep
+    // one feature).
+    val firstLine = spark.read.text(path).as[String]
+      .filter((l: String) => l.trim.nonEmpty).limit(1).collect().headOption.getOrElse("")
     val isNdjson =
       try {
         val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)
@@ -162,7 +167,13 @@ object GeoIO {
       else
         spark.read.option("wholetext", true).text(path).as[String].flatMap { doc =>
           val m = new com.fasterxml.jackson.databind.ObjectMapper()
-          featureJsons(m.readTree(doc), m)
+          val root = m.readTree(doc)
+          if (root != null && root.isObject && root.get("type") != null &&
+              root.get("type").asText() == "FeatureCollection")
+            featureJsons(root, m)
+          else
+            doc.linesIterator.map(_.trim).filter(_.nonEmpty)
+              .flatMap(l => featureJsons(m.readTree(l), m))
         }
     val parsed = spark.read.json(propJson)
     val withGeom = parsed

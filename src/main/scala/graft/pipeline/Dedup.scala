@@ -35,20 +35,19 @@ object Dedup {
 
   /**
    * Streaming exact dedup for ingest pipelines: drops rows whose content
-   * hash was already seen, with state BOUNDED by the event-time watermark
-   * (dropDuplicatesWithinWatermark) — the state store holds one 64-bit hash
-   * per distinct document inside the watermark horizon, so the stream runs
-   * indefinitely at any rate.
+   * was already seen, with state BOUNDED by the event-time watermark
+   * (dropDuplicatesWithinWatermark). Keys on the content itself — same
+   * exactness as batch [[exact]]; a hash key would make a 64-bit collision
+   * silently drop a distinct document. State holds one content copy per
+   * distinct document inside the watermark horizon.
    */
   def exactStreaming(
       df: DataFrame,
       contentCol: String,
       eventTimeCol: String,
       delay: String): DataFrame =
-    df.withColumn("__content_hash", xxhash64(col(contentCol)))
-      .withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark("__content_hash")
-      .drop("__content_hash")
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(contentCol)
 
   /** Group-by summary of exact duplicates: content hash -> group size + representative. */
   def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =

@@ -74,9 +74,13 @@ object TextKernels {
           if (prev != 2) subwords += 1
           prev = 2
         } else {
-          subwords += 1 // each non-alnum-non-ws char is its own match
+          subwords += 1 // each non-alnum-non-ws CODE POINT is its own match
           prev = 3
           if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') punct += 1
+          // a supplementary code point (surrogate pair) is ONE regex match:
+          // consume the low surrogate so it isn't counted again
+          if (Character.isHighSurrogate(c) && i + 1 < n &&
+              Character.isLowSurrogate(s.charAt(i + 1))) i += 1
         }
       }
       i += 1

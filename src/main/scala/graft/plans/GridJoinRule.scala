@@ -96,14 +96,16 @@ object GridJoinRule {
     val x1 = math.floor((e.maxX + pad) / cellSize).toLong
     val y0 = math.floor((e.minY - pad) / cellSize).toLong
     val y1 = math.floor((e.maxY + pad) / cellSize).toLong
-    val count = (x1 - x0 + 1) * (y1 - y0 + 1)
     // a geometry covering this many cells means the configured cell size is
     // far below the data's extent — fail with the knob to turn rather than
-    // exploding one row into millions (or overflowing the array size)
-    require(count <= (1L << 24),
-      s"geometry envelope covers $count grid cells at cellSize=$cellSize; " +
+    // exploding one row into millions (each span is checked BEFORE the
+    // product so extreme envelopes can't overflow Long past the guard)
+    val xs = x1 - x0 + 1
+    val ys = y1 - y0 + 1
+    require(xs <= (1L << 24) && ys <= (1L << 24) && xs * ys <= (1L << 24),
+      s"geometry envelope covers ${xs}x$ys grid cells at cellSize=$cellSize; " +
         "raise spark.graft.grid.cellSize")
-    val out = new Array[Long](count.toInt)
+    val out = new Array[Long]((xs * ys).toInt)
     var i = 0
     var cx = x0
     while (cx <= x1) {

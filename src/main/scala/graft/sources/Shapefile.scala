@@ -99,9 +99,8 @@ object Shapefile {
     if (outers.length == 1) return Polygon(outers ++ holes)
     val assigned = Array.fill(outers.length)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
     holes.foreach { h =>
-      val p = Point(h(0), h(1))
       val idx = outers.indexWhere(o => Algos.pointInRing(h(0), h(1), o) != 0)
-      assigned(math.max(idx, 0)) += h
+      if (idx >= 0) assigned(idx) += h // orphan holes (malformed input) are dropped
     }
     MultiPolygon(outers.zipWithIndex.map { case (o, i) =>
       Polygon(Array(o) ++ assigned(i))
@@ -168,9 +167,15 @@ object Shapefile {
       .select("path", "content")
       .as[(String, Array[Byte])]
 
+    // session Hadoop conf (spark.hadoop.* settings, credentials, schemes)
+    // must also govern the executor-side .dbf sibling reads
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+
     // schema from the first file's .dbf (driver-side peek, one small file)
     val firstPath = shpFiles.select("path").as[String].head()
-    val firstDbf = readSibling(spark, firstPath)
+    val firstDbf = readSiblingBytes(firstPath, hadoopConf)
     val fields = firstDbf.map(d => parseDbf(d)._1).getOrElse(Seq.empty)
     val schema = StructType(
       fields.map(f => StructField(f.name, dbfDataType(f), nullable = true)) :+
@@ -180,7 +185,7 @@ object Shapefile {
     val rows = shpFiles.flatMap { case (p, shpBytes) =>
       val geoms = parseShp(shpBytes)
       val attrs: Seq[Array[String]] =
-        readSiblingBytes(p).map(d => parseDbf(d)._2).getOrElse(Seq.empty)
+        readSiblingBytes(p, confBc.value.value).map(d => parseDbf(d)._2).getOrElse(Seq.empty)
       val fs = fieldsBc.value
       geoms.zipWithIndex.map { case (g, i) =>
         val attrVals: Seq[Any] =
@@ -192,14 +197,13 @@ object Shapefile {
     rows.toDF()
   }
 
-  private def readSibling(spark: SparkSession, shpPath: String): Option[Array[Byte]] =
-    readSiblingBytes(shpPath)
-
-  /** Load the .dbf next to a .shp through the Hadoop FS API (works for any
-    * scheme the session can read). */
-  private def readSiblingBytes(shpPath: String): Option[Array[Byte]] = {
+  /** Load the .dbf next to a .shp through the Hadoop FS API with the
+    * session's configuration. */
+  private def readSiblingBytes(
+      shpPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Array[Byte]] = {
     val dbf = new org.apache.hadoop.fs.Path(shpPath.replaceAll("\\.shp$", ".dbf"))
-    val fs = dbf.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = dbf.getFileSystem(conf)
     if (!fs.exists(dbf)) None
     else {
       val in = fs.open(dbf)

@@ -231,12 +231,12 @@ object SpatialJoin {
     // nondeterministic, so recomputation between branches could mis-stitch:
     // use a caller-supplied stable unique key when available (free, fully
     // deterministic — the 100 TB path, where inputs carry primary keys),
-    // otherwise pin the generated ids by persisting the tagged frame.
+    // otherwise pin the generated ids with an eager localCheckpoint (blocks
+    // are ContextCleaner-released once the frame is unreachable, unlike a
+    // persist() nothing ever unpersists).
     def tag(df: DataFrame, id: String, stable: Option[String]): DataFrame = stable match {
       case Some(c) => df.withColumn(id, col(c).cast("long"))
-      case None =>
-        df.withColumn(id, monotonically_increasing_id())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None    => df.withColumn(id, monotonically_increasing_id()).localCheckpoint()
     }
     val leftW = tag(left, lId, leftIdCol)
     val rightW = tag(right, rId, rightIdCol)

@@ -148,7 +148,7 @@ class PipelineSpec extends AnyFunSuite {
     // class boundary, compared against the regexes the kernel replaced
     val rnd = new scala.util.Random(42)
     val alphabet =
-      "aZ09 .,;:!?\t\n\f\r-_#é丁" // letters, digits, ws, punct, other, non-ascii
+      "aZ09 .,;:!?\t\n\f\r-_#é丁" + "\uD83D\uDE00" // + surrogate halves: adjacency forms pairs AND lone surrogates
     def randomString(): String =
       Array.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
     val tokRe = "\\S+".r
