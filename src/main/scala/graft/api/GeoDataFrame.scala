@@ -182,6 +182,25 @@ object GeoIO {
     GeoDataFrame(withGeom, GeoDataFrame.DefaultGeometry)
   }
 
+  /**
+   * Write a GeoDataFrame as newline-delimited GeoJSON Features (one per
+   * line) — the format readGeoJson parses fully in parallel. Distributed
+   * text write; null geometries produce `"geometry": null` features.
+   */
+  def writeGeoJson(gdf: GeoDataFrame, path: String, mode: String = "overwrite"): Unit = {
+    val spark = gdf.df.sparkSession
+    graft.functions.GeoRegistry.register(spark)
+    val geom = gdf.geometryColumn
+    val props = gdf.df.columns.filter(_ != geom)
+    gdf.df.select(concat(
+        lit("""{"type":"Feature","geometry":"""),
+        when(col(geom).isNull, lit("null")).otherwise(expr(s"st_asgeojson(`$geom`)")),
+        lit(""","properties":"""),
+        to_json(struct(props.map(col): _*)),
+        lit("}")).as("value"))
+      .write.mode(mode).text(path)
+  }
+
   /** Read (Geo)Parquet; geometry column by metadata/name convention. */
   def readParquet(spark: SparkSession, path: String): GeoDataFrame =
     GeoDataFrame(spark.read.parquet(path))

@@ -88,6 +88,39 @@ class GeoApiSpec extends AnyFunSuite {
       Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("GeoJSON reader: blank leading lines don't break NDJSON detection") {
+    val dir = Files.createTempDirectory("ndjson_blank").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "features.geojsonl")
+    val fw = new java.io.FileWriter(f)
+    fw.write(
+      "\n\n" + // leading blank lines: the probe must skip them
+        """{"type": "Feature", "properties": {"n": 1}, "geometry": {"type": "Point", "coordinates": [1, 1]}}
+          |
+          |{"type": "Feature", "properties": {"n": 2}, "geometry": {"type": "Point", "coordinates": [2, 2]}}
+          |""".stripMargin)
+    fw.close()
+    val g = GeoIO.readGeoJson(spark, f.getAbsolutePath)
+    assert(g.df.count() == 2)
+  }
+
+  test("GeoJSON writer: NDJSON features round-trip through the reader") {
+    graft.functions.GeoRegistry.register(spark)
+    val dir = Files.createTempDirectory("geojson_write").toString + "/out"
+    val src = spark.range(5).selectExpr(
+      "id AS fid",
+      "concat('f', id) AS tag",
+      "CASE WHEN id = 3 THEN cast(null as binary) " +
+        "ELSE st_point(cast(id as double), cast(id * 2 as double)) END AS geometry")
+    GeoIO.writeGeoJson(GeoDataFrame(src), dir)
+    val back = GeoIO.readGeoJson(spark, dir).df
+    val rows = back.selectExpr("fid", "tag", "st_x(geometry) AS x").orderBy("fid").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(1)).toSeq == Seq("f0", "f1", "f2", "f3", "f4"))
+    assert(rows(2).getDouble(2) == 2.0)
+    assert(rows(3).isNullAt(2)) // null geometry survives the round trip
+  }
+
   test("datasets loader: cities fixture shape (202 rows, name + WKB point)") {
     val g = Datasets.readDataset(spark, "cities")
     assert(g.crs.contains("EPSG:4326"))
