@@ -653,6 +653,22 @@ object SparkEntry {
       Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // connected-components canonical assignment over the exact token-jaccard
+    // pair set (q34's edges): alternating large-star/small-star, O(log n)
+    // rounds of two shuffles each — the clustering step that turns near-dup
+    // PAIRS into one representative per duplicate cluster. maxDf(100) > the
+    // 60-doc corpus means inverted-index candidate recall is exact, so the
+    // component structure is fully oracled via a recursive CTE in DuckDB.
+    "q58_dedup_components" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 60)
+      val pairs = Dedup.tokenJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxDf = 100)
+      Dedup.assignComponents(docs, "doc_id", pairs)
+        .orderBy("doc_id")
     })
   )
 
@@ -1137,7 +1153,26 @@ object SparkEntry {
         |WHERE list_dot_product(cast(a.embedding as double[]), cast(b.embedding as double[])) /
         |      (sqrt(list_dot_product(cast(a.embedding as double[]), cast(a.embedding as double[]))) *
         |       sqrt(list_dot_product(cast(b.embedding as double[]), cast(b.embedding as double[])))) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // min-label reachability via recursive CTE == min id per connected
+    // component; seeds every node with itself so isolated docs self-label,
+    // matching assignComponents' left-join-coalesce
+    "q58_dedup_components" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
+        |      FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE cast(len(list_intersect(a.toks, b.toks)) as double) /
+        |            cast(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) as double) >= 0.8),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |cc(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+        |)
+        |SELECT cast(id as bigint) AS doc_id, cast(min(lbl) as bigint) AS component
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

@@ -168,6 +168,132 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-duplicate pair list, via alternating
+   * large-star / small-star (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC '14). Each round is two shuffles (a
+   * min-per-key aggregate and a distinct) over the shrinking edge set;
+   * convergence is O(log n) rounds, so a 100 TB pair list needs ~a dozen
+   * passes with no driver-side graph state. Lineage is truncated per round
+   * with an eager localCheckpoint (swap for a reliable checkpoint dir on a
+   * real cluster — the loop shape is unchanged).
+   *
+   * Returns one row per node that appears in `pairs`: (id, component),
+   * where component is the smallest node id in the node's component.
+   * Nodes absent from every pair are their own component — callers join
+   * the full node list (see [[assignComponents]]).
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edge set: lo < hi, no self-loops, no dups
+    var edges = pairs
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
+      .select(least($"a", $"b").as("lo"), greatest($"a", $"b").as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Once the (shrinking) edge set fits in the driver, a path-compressed
+    // union-find finishes in one collect — star contraction halves the
+    // graph per round, so this always triggers after O(log n) rounds, and
+    // for post-LSH dedup graphs (small cliques) usually immediately.
+    val localThreshold = spark.conf.getOption("spark.graft.cc.localThreshold")
+      .map(_.toLong).getOrElse(4000000L)
+
+    var result: Option[DataFrame] = None
+    var it = 0
+    while (result.isEmpty && it < maxIter) {
+      val n = edges.count() // cheap: edges is materialized by the checkpoint
+      if (n <= localThreshold) {
+        result = Some(localUnionFind(edges))
+      } else {
+        // large-star: every node attaches its strictly-larger neighbors to
+        // the min of its closed neighborhood (m <= ctr < nbr keeps lo < hi)
+        val sym = edges.select($"lo".as("ctr"), $"hi".as("nbr"))
+          .union(edges.select($"hi".as("ctr"), $"lo".as("nbr")))
+        val mins = sym.groupBy("ctr").agg(min($"nbr").as("mn"))
+          .select($"ctr", least($"ctr", $"mn").as("m"))
+        val large = sym.join(mins, "ctr")
+          .filter($"nbr" > $"ctr")
+          .select($"m".as("lo"), $"nbr".as("hi"))
+          .distinct()
+
+        // small-star: every node attaches its smaller neighbors (and
+        // itself) to the minimum of those neighbors
+        val minsS = large.groupBy("hi").agg(min($"lo").as("m"))
+        val joined = large.join(minsS, "hi")
+        val next = joined.filter($"lo" =!= $"m")
+          .select($"m".as("lo"), $"lo".as("hi"))
+          .union(joined.select($"m".as("lo"), $"hi".as("hi")))
+          .distinct()
+          .localCheckpoint(true)
+
+        // fixpoint (star form reached): labels read straight off the edges
+        val same = next.count() == n &&
+          next.exceptAll(edges).isEmpty
+        if (same) {
+          result = Some(
+            edges.select($"hi".as("id"), $"lo".as("component"))
+              .union(edges.select($"lo".as("id"), $"lo".as("component")))
+              .distinct())
+        }
+        edges = next
+      }
+      it += 1
+    }
+    result.getOrElse(localUnionFind(edges))
+  }
+
+  /** Driver-local DSU over a collected canonical edge list; component = min id. */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("lo"), col("hi")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min keeps the root = smallest id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+    spark.createDataset(labels).toDF("id", "component")
+  }
+
+  /**
+   * Component id for EVERY node in `df` (nodes untouched by any pair are
+   * their own component) — the canonical-document assignment step of a
+   * near-dup pipeline: generate pairs (minhash/simhash/token-jaccard),
+   * cluster them, keep `id === component` as the representatives.
+   */
+  def assignComponents(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, srcCol, dstCol)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /**
    * Word-set Jaccard similarity of all pairs above a threshold, via a
    * shared-token inverted index (no cross join): rare tokens key the
    * candidate generation. `maxDf` drops tokens appearing in more than that

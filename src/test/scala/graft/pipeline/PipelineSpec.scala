@@ -243,4 +243,41 @@ class PipelineSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("connected components: chain, clique, and singleton clusters") {
+    // chain 1-2-3-4 (transitive closure), pair 10-11, triangle 20-21-22
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (5L, 5L) // self-loop must be ignored
+    ).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    assert(!labels.contains(5L)) // self-loop-only node never entered the graph
+  }
+
+  test("connected components: deep path converges (log-round contraction)") {
+    // a 64-node path is the adversarial case for star contraction; force the
+    // distributed loop (localThreshold=0) so the large-star/small-star
+    // rounds — not the driver union-find — do the collapsing to min-id 0
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try {
+      val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = Dedup.connectedComponents(path, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 64 && labels.values.forall(_ == 0L))
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
+  test("assignComponents labels isolated nodes as their own component") {
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.assignComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
+  }
 }
