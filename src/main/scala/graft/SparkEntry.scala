@@ -669,6 +669,24 @@ object SparkEntry {
         threshold = 0.8, maxDf = 100)
       Dedup.assignComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
+    }),
+
+    // Arrow IPC write -> read round-trip — the reference's NATIVE format
+    // (cities.arrow bench input, bundled datasets, from_arrow). Carries a
+    // list<float> embedding column plus int64/int32 attributes through the
+    // IPC encode/decode (one file per partition, one read task per file)
+    // and back into the codegen cosine kernel.
+    "q59_arrow_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q59_arrow").getAbsolutePath
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+      graft.sources.ArrowIPC.write(emb, tmp)
+      graft.sources.ArrowIPC.read(s, tmp)
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosineCol("embedding", queryVec), 6).as("cosine"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1172,7 +1190,14 @@ object SparkEntry {
         |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
         |)
         |SELECT cast(id as bigint) AS doc_id, cast(min(lbl) as bigint) AS component
-        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q59_arrow_roundtrip" ->
+      s"""SELECT vec_id, label,
+         |  round(list_dot_product(cast(embedding as double[]), $queryVecSql) /
+         |        (sqrt(list_dot_product(cast(embedding as double[]), cast(embedding as double[]))) *
+         |         sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cosine
+         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

@@ -210,6 +210,18 @@ object GeoIO {
     * one task per file). */
   def readShapefile(spark: SparkSession, path: String): GeoDataFrame =
     GeoDataFrame(graft.sources.Shapefile.read(spark, path))
+
+  /** Read Arrow IPC file(s) — the reference's native columnar format
+    * (its datasets and bench inputs are `.arrow` files, and `from_arrow`
+    * builds frames from Arrow tables; reference: convert.py:33-56,
+    * benches/affine.rs:8-22). One task per file; WKB binary columns pass
+    * through as geometry. */
+  def readArrow(spark: SparkSession, path: String): GeoDataFrame =
+    GeoDataFrame(graft.sources.ArrowIPC.read(spark, path))
+
+  /** Write as Arrow IPC file format, one file per partition. */
+  def writeArrow(gdf: GeoDataFrame, path: String): Unit =
+    graft.sources.ArrowIPC.write(gdf.df, path)
 }
 
 /**
