@@ -687,6 +687,26 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           round(Similarity.cosineCol("embedding", queryVec), 6).as("cosine"))
         .orderBy("vec_id")
+    }),
+
+    // GeoPackage write -> read round-trip: customer points ride through the
+    // pure-Scala SQLite b-tree writer (GP geometry blobs, interior pages at
+    // this row count) and come back via the per-file reader; attributes and
+    // WKB must survive bit-exact. fid = write-order rowid, checked via sum.
+    "q60_geopackage_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q60_gpkg")
+      tmpDir.mkdirs()
+      val file = new java.io.File(tmpDir, "cust.gpkg").getAbsolutePath
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", "c_name", "c_acctbal", s"$custPt AS geometry")
+        .orderBy("c_custkey")
+      graft.sources.GeoPackage.write(cust, file, "geometry", tableName = "customers")
+      graft.api.GeoIO.readGeoPackage(s, tmpDir.getAbsolutePath).df
+        .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name",
+          "c_acctbal", "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
     })
   )
 
@@ -1197,7 +1217,12 @@ object SparkEntry {
          |  round(list_dot_product(cast(embedding as double[]), $queryVecSql) /
          |        (sqrt(list_dot_product(cast(embedding as double[]), cast(embedding as double[]))) *
          |         sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cosine
-         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
+         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+
+    "q60_geopackage_roundtrip" ->
+      s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name, c_acctbal,
+         |  $oCustX AS gx, $oCustY AS gy
+         |FROM customer ORDER BY c_custkey""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

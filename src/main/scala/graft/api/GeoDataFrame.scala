@@ -211,6 +211,21 @@ object GeoIO {
   def readShapefile(spark: SparkSession, path: String): GeoDataFrame =
     GeoDataFrame(graft.sources.Shapefile.read(spark, path))
 
+  /** Read GeoPackage feature layer(s) — pure-Scala SQLite b-tree + OGC
+    * geometry-BLOB parser, one task per .gpkg file (the reference reaches
+    * GeoPackage through GDAL; reference: python/geopolars/io/file.py:15-119). */
+  def readGeoPackage(spark: SparkSession, path: String, layer: Option[String] = None): GeoDataFrame = {
+    val df = graft.sources.GeoPackage.read(spark, path, layer)
+    val geomCol = df.schema.fields.find(f =>
+        f.metadata.contains("graft.geometry") && f.metadata.getBoolean("graft.geometry"))
+      .map(_.name).getOrElse(GeoDataFrame.DefaultGeometry)
+    GeoDataFrame(df, geomCol)
+  }
+
+  /** Write a single-file GeoPackage export (driver-side; results, not raw inputs). */
+  def writeGeoPackage(gdf: GeoDataFrame, path: String, tableName: String = "features"): Unit =
+    graft.sources.GeoPackage.write(gdf.df, path, gdf.geometryColumn, tableName)
+
   /** Read Arrow IPC file(s) — the reference's native columnar format
     * (its datasets and bench inputs are `.arrow` files, and `from_arrow`
     * builds frames from Arrow tables; reference: convert.py:33-56,
