@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoRegistry
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, TextRegistry}
+import graft.pipeline.{Corpus, Dedup, Similarity, TextAnalysis, TextRegistry}
 import graft.spatial.SpatialJoin
 
 /**
@@ -707,6 +707,31 @@ object SparkEntry {
         .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name",
           "c_acctbal", "st_x(geometry) AS gx", "st_y(geometry) AS gy")
         .orderBy("c_custkey")
+    }),
+
+    // deterministic source-weighted mixture sampling: an md5-bucket filter
+    // (no shuffle, no RNG state — the same rows are kept on every rerun and
+    // in every engine), weights per source. The curation step that
+    // assembles a training mixture from a mixed corpus in one scan.
+    "q61_corpus_mixture" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Corpus.mixture(docs, "doc_id", "source",
+        Map("src0" -> 0.8, "src1" -> 0.25, "src2" -> 0.5))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus composition report: per-source doc/token/char totals + mean
+    // quality in one partial-aggregating codegen scan
+    "q62_corpus_stats" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Corpus.stats(docs, "source", "text")
+        .select(col("source"), col("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"), col("n_chars"),
+          round(col("avg_quality"), 6).as("avg_quality"))
+        .orderBy("source")
     })
   )
 
@@ -1222,7 +1247,41 @@ object SparkEntry {
     "q60_geopackage_roundtrip" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name, c_acctbal,
          |  $oCustX AS gx, $oCustY AS gy
-         |FROM customer ORDER BY c_custkey""".stripMargin
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // same md5 bucket (first 15 hex chars as 60-bit int, mod 1000) on both
+    // engines makes the sample set exactly reproducible
+    "q61_corpus_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 1000 <
+        |  CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 250
+        |              WHEN 'src2' THEN 500 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q62_corpus_stats" ->
+      """SELECT source, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(len(regexp_extract_all(text, '\S+'))) as bigint) AS n_tokens,
+        |  cast(sum(length(text)) as bigint) AS n_chars,
+        |  round(avg(
+        |    (CASE WHEN words >= 50 AND words <= 100000 THEN 1.0
+        |          WHEN words >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.2), 6) AS avg_quality
+        |FROM (
+        |  SELECT source, text,
+        |    cast(len(regexp_extract_all(text, '\S+')) as double) AS words,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |         THEN cast(length(text) as double) / len(regexp_extract_all(text, '\S+'))
+        |         ELSE 0.0 END AS mwl,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[.,;:!?]')) as double) / length(text)
+        |         ELSE 0.0 END AS pr,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text)
+        |         ELSE 0.0 END AS ur
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

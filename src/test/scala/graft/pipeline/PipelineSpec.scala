@@ -273,6 +273,38 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cc.localThreshold")
   }
 
+  test("deterministic sampling: stable across reruns and repartitioning") {
+    val ids = spark.range(1000).toDF("id")
+    val a = Corpus.sampleDeterministic(ids, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val b = Corpus.sampleDeterministic(ids.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // same rows regardless of physical layout
+    assert(math.abs(a.size - 300) < 60) // rate holds statistically
+    // monotone: a higher rate strictly contains a lower one
+    val c = Corpus.sampleDeterministic(ids, "id", 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("mixture sampling: absent sources drop, weights apply per source") {
+    val df = spark.range(600).selectExpr(
+      "id", "CASE WHEN id % 3 = 0 THEN 'web' WHEN id % 3 = 1 THEN 'books' ELSE 'junk' END AS src")
+    val out = Corpus.mixture(df, "id", "src", Map("web" -> 1.0, "books" -> 0.5))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out("web") == 200) // rate 1.0 keeps everything
+    assert(out.get("junk").isEmpty) // unlisted source dropped entirely
+    assert(out("books") > 50 && out("books") < 150)
+  }
+
+  test("corpus stats aggregates docs/tokens/chars per group") {
+    val out = Corpus.stats(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).head()
+    assert(out.getAs[Long]("n_docs") == 1L)
+    assert(out.getAs[Long]("n_tokens") == 9L)
+    assert(out.getAs[Long]("n_chars") == 43L)
+  }
+
   test("assignComponents labels isolated nodes as their own component") {
     val nodes = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
