@@ -732,6 +732,55 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"), col("n_chars"),
           round(col("avg_quality"), 6).as("avg_quality"))
         .orderBy("source")
+    }),
+
+    // as-of join (union + ordered-window rewrite, ONE shuffle on the key):
+    // each event aligns to the latest order of the same customer at or
+    // before the event time — the feature/label temporal-alignment
+    // primitive. Spark has no native as-of join; the naive inequality-join
+    // formulation is O(events x orders) per key.
+    "q63_asof_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val events = s.table("events")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      graft.relational.AsOfJoin.join(events, orders,
+          leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = Some("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_totalprice").as("asof_price"))
+        .orderBy("event_id")
+    }),
+
+    // time-proximity self join via 1-D bin rewrite (RangeJoin): pairs of
+    // events within 1 s of each other. A timestamp self-join has no equi
+    // key, so Spark would plan a BroadcastNestedLoopJoin — the bin key
+    // turns it into a plain shuffle equi-join with a x3 replication on one
+    // side only.
+    "q64_range_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val e = s.table("events").select(col("event_id"), col("event_type"), col("ts"))
+      graft.relational.RangeJoin
+        .selfProximity(e, "event_id", unix_micros(col("ts")), 1000000L)
+        .select(col("event_id_a"), col("event_id_b"),
+          col("event_type_a"), col("event_type_b"),
+          abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))).as("dt_us"))
+        .orderBy("event_id_a", "event_id_b")
+    }),
+
+    // repeated word-5-gram statistics per document (Lee et al. 2021 style
+    // duplicated-text measure): explode grams once, count distinct docs
+    // per gram, join back, re-aggregate per doc. Fully oracled — the gram
+    // construction is deterministic on both engines.
+    "q65_ngram_dedup" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramDupStats(docs, "doc_id", "text", n = 5)
+        .orderBy("doc_id")
     })
   )
 
@@ -1281,7 +1330,43 @@ object SparkEntry {
         |         THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text)
         |         ELSE 0.0 END AS ur
         |  FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // as-of semantics in portable SQL: per event, the latest order at or
+    // before ts, ties broken by max orderkey (same tie-break as the Spark
+    // window ordering)
+    "q63_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_price
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q64_range_join" ->
+      """SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |  a.event_type AS event_type_a, b.event_type AS event_type_b,
+        |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+        |ORDER BY event_id_a, event_id_b""".stripMargin,
+
+    "q65_ngram_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM toks WHERE len(w) >= 5)),
+        |gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  cast(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup,
+        |  round(cast(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) as double)
+        |        / count(*), 6) + 0.0 AS dup_frac
+        |FROM grams g JOIN gd USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

@@ -383,4 +383,47 @@ object Dedup {
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
   }
+
+  /**
+   * Per-document repeated-n-gram statistics — the corpus-level duplicated
+   * text measure used by large-scale training-data curation (the word-level
+   * approximation of substring dedup a la "Deduplicating Training Data
+   * Makes Language Models Better", Lee et al. 2021): a word n-gram is
+   * "duplicated" when it occurs in >= `minDocs` distinct documents; each
+   * document reports what fraction of its n-gram occurrences are
+   * duplicated.
+   *
+   * Tokenization: trim, split on whitespace runs (empty tokens dropped,
+   * case-sensitive — same convention as [[tokenJaccardPairs]]); documents
+   * with fewer than n tokens produce no row.
+   *
+   * Distributed shape: explode to (doc, gram) once, ONE shuffle to count
+   * distinct docs per gram (map-side partial aggregation applies), one
+   * shuffle join of the gram occurrences back to those counts, one shuffle
+   * to re-aggregate per doc. No driver materialization; gram cardinality
+   * scales out across executors.
+   */
+  def ngramDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    val toks = df.select(
+        col(idCol).as("doc_id"),
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("w"))
+      .filter(size(col("w")) >= n)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("w")) - n),
+        i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("gram"))
+    val gramDocs = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    grams.join(gramDocs, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 6) + lit(0.0))
+  }
 }

@@ -1,0 +1,116 @@
+package graft.relational
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * As-of and range joins checked against brute-force formulations of the
+ * same semantics on deterministic pseudo-random data (LCG, fixed seed).
+ */
+class RelationalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // deterministic LCG so the suite never flakes
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  private lazy val rightRows: Seq[(Long, Long, Long, Double)] = { // key, t, id, v
+    val r = lcg(7).map(x => math.floorMod(x, 1000L))
+    (1L to 300L).map(i => (r.next() % 5, r.next(), i, r.next() / 7.0))
+  }
+  private lazy val leftRows: Seq[(Long, Long, Long)] = { // key, t, id
+    val r = lcg(99).map(x => math.floorMod(x, 1000L))
+    (1L to 200L).map(i => (r.next() % 6, r.next(), i))
+  }
+
+  test("asof backward matches brute force (latest right.t <= left.t, max id tie-break)") {
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "rt", "rid", "v")
+    val got = AsOfJoin.join(left, right,
+        leftKeys = Seq("k"), rightKeys = Seq("k"), leftTime = "t", rightTime = "rt",
+        payloadCols = Seq("rid", "v"), tieBreak = Some("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+
+    val expected = leftRows.map { case (k, t, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("asof forward + inner + tolerance matches brute force") {
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "rt", "rid", "v")
+    val tol = 50L
+    val got = AsOfJoin.join(left, right,
+        leftKeys = Seq("k"), rightKeys = Seq("k"), leftTime = "t", rightTime = "rt",
+        payloadCols = Seq("rid"), tieBreak = Some("rid"),
+        tolerance = Some(lit(tol)), direction = AsOfJoin.Forward, joinType = "inner")
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+
+    val expected = leftRows.flatMap { case (k, t, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 >= t && r._2 - t <= tol)
+      if (cands.isEmpty) None
+      else Some(lid -> cands.minBy(r => (r._2, -r._3))._3)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("asof left join keeps unmatched left rows with null payload") {
+    val left = Seq((1L, 10L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 20L, 5L, 0.0)).toDF("k", "rt", "rid", "v") // only later
+    val out = AsOfJoin.join(left, right, Seq("k"), Seq("k"), "t", "rt", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, None)))
+  }
+
+  test("pointInInterval matches brute force across bin boundaries") {
+    val points = leftRows.toDF("k", "pt", "lid")
+    val ivals = rightRows.map { case (k, t, id, _) => (k, t, t + (id % 70), id) }
+      .toDF("ik", "lo", "hi", "iid")
+    val got = RangeJoin.pointInInterval(points, col("pt"), ivals, col("lo"), col("hi"), 64L)
+      .select("lid", "iid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (k, t, lid) <- leftRows
+      (ik, lo, iid2, _) <- rightRows
+      hi = lo + (iid2 % 70)
+      if t >= lo && t <= hi
+    } yield (lid, iid2)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("pointInInterval plans as an equi join, not BroadcastNestedLoopJoin") {
+    val points = leftRows.toDF("k", "pt", "lid")
+    val ivals = rightRows.map { case (k, t, id, _) => (k, t, t + 10, id) }
+      .toDF("ik", "lo", "hi", "iid")
+    val plan = RangeJoin.pointInInterval(points, col("pt"), ivals, col("lo"), col("hi"), 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("selfProximity matches brute force (pairs within tolerance, once each)") {
+    val df = leftRows.toDF("k", "t", "id")
+    val tol = 37L
+    val got = RangeJoin.selfProximity(df, "id", col("t"), tol)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val expected = (for {
+      (_, ta, ia) <- leftRows
+      (_, tb, ib) <- leftRows
+      if ia < ib && math.abs(ta - tb) <= tol
+    } yield (ia, ib)).toSet
+    assert(got.toSet == expected)
+    assert(got.length == expected.size, "each pair must appear exactly once")
+  }
+
+  test("selfProximity handles negative times (floor-division bins)") {
+    val df = Seq((-5L, 1L), (-3L, 2L), (4L, 3L), (100L, 4L)).toDF("t", "id")
+    val got = RangeJoin.selfProximity(df, "id", col("t"), 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
