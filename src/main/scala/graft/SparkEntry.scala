@@ -781,6 +781,21 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.ngramDupStats(docs, "doc_id", "text", n = 5)
         .orderBy("doc_id")
+    }),
+
+    // geohash cell ids (st_geohash codegen expression): the shuffle-free
+    // spatial bucketing primitive — a prefix IS a grid cell, so groupBy /
+    // partitionBy on prefixes clusters 100 TB spatially with no index.
+    // cell4_count demonstrates prefix aggregation (window over the 4-char
+    // cell).
+    "q66_geohash" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      s.sql(
+        s"""SELECT c_custkey, gh8, substring(gh8, 1, 4) AS gh4,
+           |  cast(count(*) OVER (PARTITION BY substring(gh8, 1, 4)) as bigint) AS cell4_count
+           |FROM (SELECT c_custkey, st_geohash($custPt, 8) AS gh8 FROM customer)
+           |ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -1366,7 +1381,32 @@ object SparkEntry {
         |  round(cast(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) as double)
         |        / count(*), 6) + 0.0 AS dup_frac
         |FROM grams g JOIN gd USING (gram)
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // closed-form geohash in portable SQL: scale lon/lat to 20-bit cell
+    // indices, bit-interleave (lon first), emit 8 base32 chars — provably
+    // identical to the canonical interval-halving algorithm
+    "q66_geohash" ->
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    least(cast(floor(($oCustX + 180.0) / 360.0 * 1048576) as bigint), 1048575) AS lonIdx,
+         |    least(cast(floor(($oCustY + 90.0) / 180.0 * 1048576) as bigint), 1048575) AS latIdx
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey,
+         |    cast(list_sum(list_transform(range(0, 20), i ->
+         |      ((lonIdx >> (19 - i)) & 1) * (1::BIGINT << (39 - 2*i)) +
+         |      ((latIdx >> (19 - i)) & 1) * (1::BIGINT << (38 - 2*i)))) as bigint) AS bits
+         |  FROM pts),
+         |g AS (
+         |  SELECT c_custkey,
+         |    array_to_string(list_transform(range(0, 8), j ->
+         |      substr('0123456789bcdefghjkmnpqrstuvwxyz',
+         |             cast(((bits >> (35 - 5*j)) & 31) as int) + 1, 1)), '') AS gh8
+         |  FROM b)
+         |SELECT c_custkey, gh8, substr(gh8, 1, 4) AS gh4,
+         |  cast(count(*) OVER (PARTITION BY substr(gh8, 1, 4)) as bigint) AS cell4_count
+         |FROM g ORDER BY c_custkey""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

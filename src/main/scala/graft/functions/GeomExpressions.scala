@@ -108,6 +108,16 @@ object GeomKernels {
       // (geomA, geomB-wkb, dist) — geomB arrives as raw WKB bytes
       val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
       if (b == null) null else Algos.distance(g, b) <= d(a(1))
+    }),
+    // spatial bucketing: base32 cell id of a POINT (prefix = grid cell);
+    // non-point or out-of-range input => null
+    "st_geohash" -> W(StringType, Set(1), (g, a) => g match {
+      case p: Point if !p.isEmpty =>
+        Geohash.encode(p.x, p.y, d(a(0)).toInt) match {
+          case null => null
+          case h    => utf8(h)
+        }
+      case _ => null
     })
   )
 

@@ -135,4 +135,87 @@ object AsOfJoin {
 
   private def structType(df: DataFrame) =
     org.apache.spark.sql.types.StructType(df.schema.fields)
+
+  /**
+   * Broadcast as-of LOOKUP — the streaming-safe variant of [[join]] for a
+   * SMALL right side (a dimension/feature snapshot table, the broadcast
+   * join regime).
+   *
+   * The right side is collected once into per-key time-sorted arrays and
+   * broadcast; each left row resolves its match with an executor-local
+   * binary search (latest right time <= left time, ties by the largest
+   * tieBreak), then a broadcast equi-join on the matched row id attaches
+   * the payload columns. Completely STATELESS per row — no shuffle, no
+   * window, no streaming state — so the same call enriches a Structured
+   * Streaming DataFrame (stream-static as-of) or a batch one.
+   *
+   * Key and time columns must be integral/timestamp-free on the caller
+   * side: pass LONG expressions (cast timestamps with unix_micros).
+   */
+  def broadcastLookup(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      payloadCols: Seq[String],
+      tieBreak: Option[String] = None): DataFrame = {
+    val spark = right.sparkSession
+
+    // Collect (key, time, tie, payload) ONCE and derive both the search
+    // index and the rid->payload table from the same driver-side array —
+    // recomputing ids in a second Spark action could order duplicate sort
+    // keys differently between actions.
+    val tieCol = tieBreak.map(col).getOrElse(lit(0L)).cast("long")
+    val prepared = right
+      .withColumn("__k", rightKey.cast("long"))
+      .withColumn("__rt", rightTime.cast("long"))
+      .withColumn("__tb", tieCol)
+    val collected = prepared
+      .select(col("__k"), col("__rt"), col("__tb"),
+        struct(payloadCols.map(col): _*).as("__p"))
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // per key: times ascending (ties already ordered by tieBreak),
+    // rid = position in the global sorted array
+    val index: Map[Long, (Array[Long], Array[Long])] =
+      collected.zipWithIndex
+        .groupBy { case (r, _) => r.getLong(0) }
+        .map { case (k, grp) =>
+          k -> (grp.map(_._1.getLong(1)), grp.map(_._2.toLong))
+        }
+    val bc = spark.sparkContext.broadcast(index)
+
+    val lookup = udf { (k: java.lang.Long, t: java.lang.Long) =>
+      if (k == null || t == null) null
+      else bc.value.get(k) match {
+        case None => null
+        case Some((times, rids)) =>
+          // last slot with times(i) <= t (ties sorted tieBreak-ascending,
+          // so the last qualifying slot carries the max tieBreak)
+          var lo = 0; var hi = times.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (ans < 0) null else java.lang.Long.valueOf(rids(ans))
+      }
+    }
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val payloadSchema = StructType(payloadCols.map(n => prepared.schema(n)))
+    val ridRows: Seq[Row] = collected.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(i.toLong +: r.getStruct(3).toSeq)
+    }.toSeq
+    val ridToPayload = spark.createDataFrame(
+      spark.sparkContext.parallelize(ridRows, 1),
+      StructType(StructField("__rid", LongType, nullable = false) +: payloadSchema.fields))
+
+    left.withColumn("__rid", lookup(leftKey.cast("long"), leftTime.cast("long")))
+      .join(broadcast(ridToPayload), Seq("__rid"), "left")
+      .drop("__rid")
+  }
 }

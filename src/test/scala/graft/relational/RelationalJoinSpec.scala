@@ -113,4 +113,39 @@ class RelationalJoinSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("broadcastLookup agrees with the shuffle as-of join") {
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "rt", "rid", "v")
+    val viaShuffle = AsOfJoin.join(left, right,
+        Seq("k"), Seq("k"), "t", "rt", Seq("rid", "v"), tieBreak = Some("rid"))
+      .select("lid", "rid", "v").as[(Long, Option[Long], Option[Double])]
+      .collect().toSet
+    val viaLookup = AsOfJoin.broadcastLookup(left, right,
+        col("k"), col("k"), col("t"), col("rt"), Seq("rid", "v"), tieBreak = Some("rid"))
+      .select("lid", "rid", "v").as[(Long, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(viaLookup == viaShuffle)
+  }
+
+  test("broadcastLookup enriches a stream (stateless stream-static as-of)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long, Long)] // key, t, id
+    val stream = input.toDF().toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 500L))
+      .toDF("k", "rt", "rid")
+    val out = AsOfJoin.broadcastLookup(stream, right,
+      col("k"), col("k"), col("t"), col("rt"), Seq("rid"))
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 15L, 1L), (1L, 25L, 2L), (2L, 1L, 3L), (3L, 9L, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").select("lid", "rid")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(rows == Map(1L -> Some(100L), 2L -> Some(200L),
+        3L -> None, 4L -> None))
+    } finally q.stop()
+  }
 }
