@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoRegistry
-import graft.pipeline.{Corpus, Dedup, Similarity, TextAnalysis, TextRegistry}
+import graft.pipeline.{Corpus, Dedup, Sessionize, Similarity, TextAnalysis, TextRegistry}
 import graft.spatial.SpatialJoin
 
 /**
@@ -796,6 +796,42 @@ object SparkEntry {
            |  cast(count(*) OVER (PARTITION BY substring(gh8, 1, 4)) as bigint) AS cell4_count
            |FROM (SELECT c_custkey, st_geohash($custPt, 8) AS gh8 FROM customer)
            |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // per-source top-5 tokens (heavy hitters): explode once, two-phase
+    // count aggregation (map-side partials on (source, token)), then a
+    // per-source window top-k — the vocabulary-analysis pattern that scales
+    // by keeping the explode and count fully distributed and only the
+    // k survivors per group past the window.
+    "q67_top_tokens" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      s.sql(
+        """SELECT source, token, cnt, rank FROM (
+          |  SELECT source, token, cnt,
+          |    cast(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) as int) AS rank
+          |  FROM (
+          |    SELECT source, token, cast(count(*) as bigint) AS cnt
+          |    FROM (SELECT source, explode(split(trim(text), '\\s+')) AS token
+          |          FROM documents)
+          |    WHERE token != ''
+          |    GROUP BY source, token))
+          |WHERE rank <= 5
+          |ORDER BY source, rank""".stripMargin)
+    }),
+
+    // gap sessionization via native session_window (6 h gap): ONE shuffle
+    // on (user, merged-window); the same call sessionizes a watermarked
+    // stream. Oracle reproduces the boundaries with the portable
+    // lag + cumulative-sum formulation (new session when the gap EXCEEDS
+    // 6 h — session_window merges inclusively at the boundary).
+    "q68_sessionize" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      Sessionize.sessionAggregate(s.table("events"), Seq("user_id"), "ts", "6 hours")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("first_event"), col("last_event"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -1406,7 +1442,40 @@ object SparkEntry {
          |  FROM b)
          |SELECT c_custkey, gh8, substr(gh8, 1, 4) AS gh4,
          |  cast(count(*) OVER (PARTITION BY substr(gh8, 1, 4)) as bigint) AS cell4_count
-         |FROM g ORDER BY c_custkey""".stripMargin
+         |FROM g ORDER BY c_custkey""".stripMargin,
+
+    "q67_top_tokens" ->
+      """SELECT source, token, cnt, rank FROM (
+        |  SELECT source, token, cnt,
+        |    cast(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) as int) AS rank
+        |  FROM (
+        |    SELECT source, token, cast(count(*) as bigint) AS cnt
+        |    FROM (SELECT source, unnest(regexp_extract_all(trim(text), '\S+')) AS token
+        |          FROM documents)
+        |    GROUP BY source, token))
+        |WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+
+    // session boundaries: new session when the inter-event gap is
+    // strictly greater than 6 h (session_window merges inclusively at
+    // exactly-gap); session_end = last event + gap
+    "q68_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 21600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 6 HOUR AS session_end,
+        |  cast(count(*) as bigint) AS n_events,
+        |  min(ts) AS first_event, max(ts) AS last_event
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )
