@@ -343,7 +343,13 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    // The inequality join is a BroadcastNestedLoopJoin; its parallelism is
+    // the STREAMED side's partition count, and a small parquet input is one
+    // partition => one task computing all O(n^2) pairs. Repartition the
+    // streamed side so every core gets a slice of the pair matrix.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val a = df.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__va"))
+      .repartition(parts)
     val b = df.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", exprColumn(CosineSim(columnExpr(col("__va")), columnExpr(col("__vb")))))
@@ -397,11 +403,12 @@ object Dedup {
    * case-sensitive — same convention as [[tokenJaccardPairs]]); documents
    * with fewer than n tokens produce no row.
    *
-   * Distributed shape: explode to (doc, gram) once, ONE shuffle to count
-   * distinct docs per gram (map-side partial aggregation applies), one
-   * shuffle join of the gram occurrences back to those counts, one shuffle
-   * to re-aggregate per doc. No driver materialization; gram cardinality
-   * scales out across executors.
+   * Distributed shape: explode to (doc, gram) once, aggregate to
+   * (gram, doc, occurrences) — map-side partials shrink repeated grams
+   * before the shuffle — then a count-over-gram window supplies the
+   * distinct-doc count WITHOUT joining the full occurrence set back to a
+   * counts table, and one final shuffle re-aggregates per doc. No driver
+   * materialization; gram cardinality scales out across executors.
    */
   def ngramDupStats(
       df: DataFrame,
@@ -417,12 +424,13 @@ object Dedup {
     val grams = toks.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("w")) - n),
         i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("gram"))
-    val gramDocs = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    grams.join(gramDocs, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+    val perDoc = grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
+    // rows per gram == distinct docs containing it (post-aggregation)
+    val withNd = perDoc.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    withNd.groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("nd") >= minDocs, col("occ")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams"), 6) + lit(0.0))
   }
