@@ -832,6 +832,38 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("first_event"), col("last_event"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // exact distribution report: per-source document-length percentiles
+    // (linear-interpolated, the same definition DuckDB's quantile_cont
+    // uses) — single two-phase aggregation, no driver collect
+    "q69_percentiles" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      s.sql(
+        """SELECT source,
+          |  round(percentile(length(text), 0.5), 6) + 0.0 AS p50,
+          |  round(percentile(length(text), 0.9), 6) + 0.0 AS p90,
+          |  round(percentile(length(text), 0.99), 6) + 0.0 AS p99,
+          |  cast(count(*) as bigint) AS n_docs
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
+    // geohash decode round-trip: the precision-8 cell polygon of each
+    // customer point contains the point, and its bounds equal the
+    // closed-form cell arithmetic (oracled exactly — successive halving
+    // is dyadic, so both engines produce identical doubles)
+    "q70_geohash_decode" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      s.sql(
+        s"""SELECT c_custkey,
+           |  st_xmin(cell) AS cx0, st_ymin(cell) AS cy0,
+           |  st_xmax(cell) AS cx1, st_ymax(cell) AS cy1,
+           |  st_intersects(cell, $custPt) AS holds
+           |FROM (SELECT c_custkey, st_geomfromgeohash(st_geohash($custPt, 8)) AS cell
+           |      FROM customer)
+           |ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -1475,7 +1507,32 @@ object SparkEntry {
         |  cast(count(*) as bigint) AS n_events,
         |  min(ts) AS first_event, max(ts) AS last_event
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q69_percentiles" ->
+      """SELECT source,
+        |  round(quantile_cont(length(text), 0.5), 6) + 0.0 AS p50,
+        |  round(quantile_cont(length(text), 0.9), 6) + 0.0 AS p90,
+        |  round(quantile_cont(length(text), 0.99), 6) + 0.0 AS p99,
+        |  cast(count(*) as bigint) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // cell bounds via closed-form index arithmetic (dyadic => exactly the
+    // doubles the halving decoder produces); a point always intersects
+    // its own cell (boundary-inclusive predicate)
+    "q70_geohash_decode" ->
+      s"""SELECT c_custkey,
+         |  lonIdx * 360.0 / 1048576 - 180.0 AS cx0,
+         |  latIdx * 180.0 / 1048576 - 90.0 AS cy0,
+         |  (lonIdx + 1) * 360.0 / 1048576 - 180.0 AS cx1,
+         |  (latIdx + 1) * 180.0 / 1048576 - 90.0 AS cy1,
+         |  true AS holds
+         |FROM (
+         |  SELECT c_custkey,
+         |    least(cast(floor(($oCustX + 180.0) / 360.0 * 1048576) as bigint), 1048575) AS lonIdx,
+         |    least(cast(floor(($oCustY + 90.0) / 180.0 * 1048576) as bigint), 1048575) AS latIdx
+         |  FROM customer)
+         |ORDER BY c_custkey""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

@@ -137,6 +137,12 @@ object GeomKernels {
     "st_makeenvelope" -> C(BinaryType, Set(4), a => {
       val (x0, y0, x1, y1) = (d(a(0)), d(a(1)), d(a(2)), d(a(3)))
       wkb(Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))))
+    }),
+    // geohash cell => its envelope polygon (PostGIS ST_GeomFromGeoHash)
+    "st_geomfromgeohash" -> C(BinaryType, Set(1), a => Geohash.decodeBounds(s(a(0))) match {
+      case null => null
+      case b =>
+        wkb(Polygon(Array(Array(b(0), b(1), b(2), b(1), b(2), b(3), b(0), b(3), b(0), b(1)))))
     })
   )
 

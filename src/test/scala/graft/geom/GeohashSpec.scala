@@ -47,8 +47,23 @@ class GeohashSpec extends AnyFunSuite {
   }
 
   test("invalid decode input => null") {
-    assert(Geohash.decodeBounds("abc!") == null) // 'a' not in alphabet? 'a' IS absent
+    assert(Geohash.decodeBounds("abc!") == null) // '!' and 'a' not in the alphabet
     assert(Geohash.decodeBounds("") == null)
     assert(Geohash.decodeBounds(null) == null)
+  }
+
+  test("st_geohash / st_geomfromgeohash SQL round-trip") {
+    val spark = graft.TestSpark.spark
+    val r = spark.sql(
+      """SELECT st_geohash(st_point(10.40744d, 57.64911d), 6) AS gh,
+        |  st_astext(st_geomfromgeohash('u4pruy')) AS cell,
+        |  st_intersects(st_geomfromgeohash(st_geohash(st_point(1.5d, 2.5d), 8)),
+        |                st_point(1.5d, 2.5d)) AS holds,
+        |  st_geohash(st_point(200.0d, 0.0d), 6) AS bad,
+        |  st_geomfromgeohash('not a hash') AS badcell""".stripMargin).head()
+    assert(r.getString(0) == "u4pruy")
+    assert(r.getString(1).startsWith("POLYGON"))
+    assert(r.getBoolean(2))
+    assert(r.isNullAt(3) && r.isNullAt(4))
   }
 }
