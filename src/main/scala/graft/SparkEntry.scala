@@ -864,6 +864,32 @@ object SparkEntry {
            |FROM (SELECT c_custkey, st_geomfromgeohash(st_geohash($custPt, 8)) AS cell
            |      FROM customer)
            |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // per-document top-3 TF-IDF terms: explode once, (doc, term) counts
+    // with map-side partials, df and doc-length via windows (no join
+    // against a df table), rank on the ROUNDED score so ordering is
+    // engine-reproducible
+    "q71_tfidf" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // skew-salted equi-join: orders fan across (custkey, salt-of-orderkey)
+    // reducers, customers replicate x8 — result provably identical to the
+    // plain join (the oracle IS the plain join)
+    "q72_salted_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      graft.relational.SkewJoin
+        .saltedJoin(orders, cust, Seq("o_custkey"), Seq("c_custkey"), "o_orderkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -1532,7 +1558,30 @@ object SparkEntry {
          |    least(cast(floor(($oCustX + 180.0) / 360.0 * 1048576) as bigint), 1048575) AS lonIdx,
          |    least(cast(floor(($oCustY + 90.0) / 180.0 * 1048576) as bigint), 1048575) AS latIdx
          |  FROM customer)
-         |ORDER BY c_custkey""".stripMargin
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q71_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS occ FROM terms GROUP BY doc_id, term),
+        |st AS (SELECT doc_id, term, occ,
+        |         count(*) OVER (PARTITION BY term) AS df,
+        |         sum(occ) OVER (PARTITION BY doc_id) AS doc_len FROM tc),
+        |sc AS (SELECT doc_id, term,
+        |         round((occ::DOUBLE / doc_len) *
+        |               ln((SELECT count(*) FROM documents)::DOUBLE / df), 6) + 0.0 AS tfidf
+        |       FROM st)
+        |SELECT doc_id, term, tfidf,
+        |  cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) as int) AS rank
+        |FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q72_salted_join" ->
+      """SELECT c_mktsegment,
+        |  cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

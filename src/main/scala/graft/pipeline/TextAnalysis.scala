@@ -59,6 +59,47 @@ object TextAnalysis {
     exprColumn(DocFingerprint(columnExpr(text), columnExpr(lit(shingleSize))))
 
   /** Per-document analysis frame: one call producing all text metrics. */
+  /**
+   * Per-document top-k terms by TF-IDF.
+   *
+   * tf = term occurrences / document token count; idf = ln(N / df) with
+   * N = corpus size and df = number of documents containing the term.
+   * Ranking happens on the score ROUNDED to 6 decimals (ties broken by
+   * term) so the ordering is reproducible across engines and libm
+   * implementations.
+   *
+   * Distributed shape: one explode; (doc, term) counts with map-side
+   * partials; df via a count-over-term window (no join against a df
+   * table); doc length via a window over the doc — then one top-k window.
+   * Four narrow shuffles, no driver materialization, term cardinality
+   * scales out. Tokenization matches [[Dedup.ngramDupStats]] (trim,
+   * whitespace split, case-sensitive).
+   */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val terms = df.select(
+        col(idCol).as("doc_id"),
+        explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("occ"))
+    val withStats = terms
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("doc_len", sum(col("occ")).over(Window.partitionBy(col("doc_id"))))
+    val scored = withStats.withColumn("tfidf",
+      round((col("occ").cast("double") / col("doc_len")) *
+        log(lit(n.toDouble) / col("df")), 6) + lit(0.0))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
+
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),

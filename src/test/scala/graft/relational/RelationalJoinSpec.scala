@@ -128,6 +128,27 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(viaLookup == viaShuffle)
   }
 
+  test("saltedJoin result multiset is identical to the plain equi-join") {
+    // 80% of left rows share ONE hot key
+    val skewed = (1L to 500L).map(i => (if (i % 5 == 0) i % 7 else 42L, i))
+      .toDF("k", "lid")
+    val other = (0L to 60L).map(k => (k, s"v$k")).toDF("rk", "v")
+    val plain = skewed.join(other, skewed("k") === other("rk"))
+      .select("lid", "v").as[(Long, String)].collect().sorted.toSeq
+    val salted = SkewJoin.saltedJoin(skewed, other, Seq("k"), Seq("rk"), "lid", 8)
+      .select("lid", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("saltedJoin shuffles on (key, salt), spreading a hot key") {
+    val skewed = (1L to 100L).map(i => (42L, i)).toDF("k", "lid")
+    val other = Seq((42L, "x")).toDF("rk", "v")
+    val plan = SkewJoin.saltedJoin(skewed, other, Seq("k"), Seq("rk"), "lid", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+
   test("broadcastLookup enriches a stream (stateless stream-static as-of)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
