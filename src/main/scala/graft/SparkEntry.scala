@@ -890,6 +890,23 @@ object SparkEntry {
         .agg(sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
+    }),
+
+    // geohash-cell Hive-partitioned spatial layout: write one directory
+    // per precision-1 cell, read back with a cell predicate that prunes
+    // DIRECTORIES (PartitionFilters — files of other cells are never
+    // listed), stacking with bbox row-group pruning inside each file
+    "q73_cell_partition" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q73_cells").getAbsolutePath
+      val pts = s.sql(s"SELECT c_custkey, $custPt AS geometry FROM customer")
+      graft.sources.GeoParquet.writeCellPartitioned(pts, tmp, "geometry", precision = 1)
+      graft.sources.GeoParquet.read(s, tmp)
+        .filter(col("geometry_cell") < "8")
+        .selectExpr("c_custkey", "cast(geometry_cell as string) AS cell")
+        .orderBy("c_custkey")
     })
   )
 
@@ -1581,7 +1598,22 @@ object SparkEntry {
         |  cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS revenue,
         |  cast(count(*) as bigint) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // precision-1 geohash: 3 lon bits + 2 lat bits, one base32 char
+    "q73_cell_partition" ->
+      s"""SELECT c_custkey, cell FROM (
+         |  SELECT c_custkey,
+         |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+         |      cast(((lonIdx // 4) % 2) * 16 + ((latIdx // 2) % 2) * 8 +
+         |           ((lonIdx // 2) % 2) * 4 + (latIdx % 2) * 2 + (lonIdx % 2) as int) + 1,
+         |      1) AS cell
+         |  FROM (
+         |    SELECT c_custkey,
+         |      least(cast(floor(($oCustX + 180.0) / 360.0 * 8) as bigint), 7) AS lonIdx,
+         |      least(cast(floor(($oCustY + 90.0) / 180.0 * 4) as bigint), 3) AS latIdx
+         |    FROM customer))
+         |WHERE cell < '8' ORDER BY c_custkey""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

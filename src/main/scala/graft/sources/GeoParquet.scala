@@ -56,4 +56,34 @@ object GeoParquet {
   /** Read a geo parquet table (covering column, if present, stays visible
     * for the pruning rule; drop it with `.drop(bboxColName(...))` if unwanted). */
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Name convention for the geohash partition column of `geomCol`. */
+  def cellColName(geomCol: String): String = s"${geomCol}_cell"
+
+  /**
+   * Write a HIVE-PARTITIONED spatial layout: one directory per geohash
+   * cell of the geometry's centroid (`<geom>_cell=<hash>/...`), with the
+   * bbox covering column inside each file.
+   *
+   * This stacks three pruning layers for a 100 TB table:
+   *   1. directory (partition) pruning — a predicate on the cell column
+   *      never LISTS, let alone reads, other cells' files;
+   *   2. parquet row-group pruning via the bbox covering stats;
+   *   3. ordinary column pruning / predicate pushdown.
+   * Pick `precision` so cells hold ~one file's worth of rows
+   * (1 char = 32 world cells ... 4 chars = ~1M).
+   */
+  def writeCellPartitioned(
+      df: DataFrame,
+      path: String,
+      geomCol: String = "geometry",
+      precision: Int = 2,
+      mode: String = "overwrite"): Unit = {
+    val cell = cellColName(geomCol)
+    withBboxCovering(df, geomCol)
+      .withColumn(cell, expr(s"st_geohash(st_centroid($geomCol), $precision)"))
+      .repartition(col(cell))
+      .sortWithinPartitions(col(bboxColName(geomCol) + ".xmin"), col(bboxColName(geomCol) + ".ymin"))
+      .write.mode(mode).partitionBy(cell).parquet(path)
+  }
 }
