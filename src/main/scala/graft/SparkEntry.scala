@@ -907,6 +907,23 @@ object SparkEntry {
         .filter(col("geometry_cell") < "8")
         .selectExpr("c_custkey", "cast(geometry_cell as string) AS cell")
         .orderBy("c_custkey")
+    }),
+
+    // spatial k-nearest-neighbor join (PostGIS `<->`): 3 nearest of the 5
+    // q20 boxes per customer point via broadcast STR-tree best-first
+    // descent — no shuffle of the probe side, O(log n) per row, ties
+    // resolved toward the smaller box id on both engines
+    "q74_spatial_knn" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val cust = s.sql(s"SELECT c_custkey, $custPt AS geometry FROM customer")
+      val boxes = s.range(5).selectExpr(
+        "cast(id as int) AS box_id",
+        "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS geometry")
+      SpatialJoin.knnJoin(cust, boxes, 3, "box_id")
+        .selectExpr("c_custkey_left AS c_custkey", "box_id_right AS box_id",
+          "round(knn_dist, 6) AS dist", "knn_rank AS rank")
+        .orderBy("c_custkey", "rank")
     })
   )
 
@@ -1613,7 +1630,21 @@ object SparkEntry {
          |      least(cast(floor(($oCustX + 180.0) / 360.0 * 8) as bigint), 7) AS lonIdx,
          |      least(cast(floor(($oCustY + 90.0) / 180.0 * 4) as bigint), 3) AS latIdx
          |    FROM customer))
-         |WHERE cell < '8' ORDER BY c_custkey""".stripMargin
+         |WHERE cell < '8' ORDER BY c_custkey""".stripMargin,
+
+    // point-to-box distance: customer y always falls inside the boxes'
+    // y-span, so distance reduces to the exact x-axis clamp (pure integer
+    // subtraction — identical doubles in both engines); ties by box_id
+    "q74_spatial_knn" ->
+      s"""SELECT c_custkey, cast(box_id as int) AS box_id,
+         |  round(dist, 6) AS dist,
+         |  cast(row_number() OVER (PARTITION BY c_custkey ORDER BY dist, box_id) as int) AS rank
+         |FROM (
+         |  SELECT c_custkey, box_id,
+         |    greatest(0.0, (box_id * 72 - 180) - px, px - (box_id * 72 - 108)) AS dist
+         |  FROM (SELECT c_custkey, $oCustX AS px FROM customer),
+         |       (SELECT unnest(range(5)) AS box_id))
+         |QUALIFY rank <= 3 ORDER BY c_custkey, rank""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

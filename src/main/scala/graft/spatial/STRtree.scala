@@ -63,6 +63,72 @@ final class STRtree private (
     query(q)(buf += _)
     buf
   }
+
+  /** Min distance between `q` and the envelope at `off` in `arr` (0 when
+    * they overlap). */
+  private def envDist(arr: Array[Double], off: Int, q: Envelope): Double = {
+    val dx = math.max(0.0, math.max(arr(off) - q.maxX, q.minX - arr(off + 2)))
+    val dy = math.max(0.0, math.max(arr(off + 1) - q.maxY, q.minY - arr(off + 3)))
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  /**
+   * k nearest payloads to `q` by `exactDist`, best-first branch-and-bound:
+   * a priority queue ordered by (distance, payload) holds tree nodes and
+   * entries at their envelope LOWER-BOUND distance; a popped entry is
+   * re-queued at its exact distance, and a popped EXACT entry is final
+   * (everything still queued has a bound >= it). Ties are resolved toward
+   * the smaller payload index, so results are deterministic when several
+   * candidates are equidistant. Entries with empty envelopes (null/invalid
+   * geometries) never qualify. Returns (payload, exactDist) ascending.
+   *
+   * `exactDist` must never be below the envelope distance (true for any
+   * geometry metric over these envelopes); NaN disqualifies the entry.
+   */
+  def nearestK(q: Envelope, k: Int)(exactDist: Int => Double): Array[(Int, Double)] = {
+    if (size == 0 || k <= 0 || q.isEmpty) return Array.empty
+    // kind: 0 = internal/leaf node (id = node), 1 = entry at lower bound
+    // (id = entry slot), 2 = entry at exact distance (id = entry slot)
+    final case class Item(dist: Double, payload: Int, kind: Int, id: Int)
+    val pq = new java.util.PriorityQueue[Item](32, (a: Item, b: Item) => {
+      val c = java.lang.Double.compare(a.dist, b.dist)
+      if (c != 0) c
+      else {
+        // nodes (payload -1) expand before entries at the same distance
+        val p = Integer.compare(a.payload, b.payload)
+        if (p != 0) p else Integer.compare(a.kind, b.kind)
+      }
+    })
+    pq.add(Item(envDist(bounds, root * 4, q), -1, 0, root))
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Double)](k)
+    while (out.length < k && !pq.isEmpty) {
+      val it = pq.poll()
+      it.kind match {
+        case 0 =>
+          val n = it.id
+          if (childOffset(n) < 0) {
+            var i = entryStart(n)
+            val end = i + childCount(n)
+            while (i < end) {
+              val eb = i * 4
+              if (entryBounds(eb) <= entryBounds(eb + 2)) // skip empty envelopes
+                pq.add(Item(envDist(entryBounds, eb, q), entryIdx(i), 1, i))
+              i += 1
+            }
+          } else {
+            var c = childOffset(n)
+            val end = c + childCount(n)
+            while (c < end) { pq.add(Item(envDist(bounds, c * 4, q), -1, 0, c)); c += 1 }
+          }
+        case 1 =>
+          val d = exactDist(it.payload)
+          if (!d.isNaN) pq.add(Item(math.max(d, it.dist), it.payload, 2, it.id))
+        case 2 =>
+          out += ((it.payload, it.dist))
+      }
+    }
+    out.toArray
+  }
 }
 
 object STRtree {

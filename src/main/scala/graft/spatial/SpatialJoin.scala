@@ -202,6 +202,63 @@ object SpatialJoin {
   }
 
   /**
+   * k-nearest-neighbor spatial join (PostGIS `<->` / Sedona KNN-join
+   * analog): for every left row, the `k` right rows nearest by
+   * `Algos.distance`, with `knn_rank` (1-based) and `knn_dist` appended.
+   *
+   * Physical plan: broadcast STR-tree over the right side, one stateless
+   * mapPartitions pass over the left side running a best-first
+   * branch-and-bound descent per row ([[STRtree.nearestK]]) — O(log n +
+   * candidates) probes instead of scanning all right rows, no shuffle of
+   * the left side at all. Determinism: the right side is sorted by
+   * `rightOrderCol` before indexing, and equidistant candidates resolve
+   * toward the smaller index, so ties ALWAYS break toward the smaller
+   * `rightOrderCol` value. Left rows with null/invalid geometry emit
+   * nothing (inner semantics).
+   */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      k: Int,
+      rightOrderCol: String,
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      lSuffix: String = "_left",
+      rSuffix: String = "_right"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = left.sparkSession
+    val rightSorted = right.orderBy(rightOrderCol)
+    val bc = spark.sparkContext.broadcast(buildRowIndex(rightSorted, rightGeom))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      left.schema.fields.map(f => f.copy(name = f.name + lSuffix)) ++
+      right.schema.fields.map(f => f.copy(name = f.name + rSuffix, nullable = true)) ++
+      Seq(org.apache.spark.sql.types.StructField("knn_rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("knn_dist", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val lgIdx = left.schema.fieldIndex(leftGeom)
+    val kk = k
+
+    left.mapPartitions { it =>
+      val idx = bc.value
+      it.flatMap { lRow =>
+        val b = lRow.get(lgIdx)
+        val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+        if (g == null || g.isEmpty) Iterator.empty
+        else {
+          val hits = idx.tree.nearestK(g.envelope, kk) { j =>
+            val rg = idx.geoms(j)
+            if (rg == null || rg.isEmpty) Double.NaN else Algos.distance(g, rg)
+          }
+          hits.iterator.zipWithIndex.map { case ((j, d), r) =>
+            // Seq[Any]: Seq(int, double) would weak-lub both to Double
+            org.apache.spark.sql.Row.fromSeq(
+              lRow.toSeq ++ idx.rows(j).toSeq ++ Seq[Any](r + 1, d))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
    * Grid-partitioned join for two large sides: no driver materialization, no
    * broadcast. `cellSize` fixes the grid; rows are replicated to every cell
    * their envelope touches, the equi-join on cell co-partitions the work,

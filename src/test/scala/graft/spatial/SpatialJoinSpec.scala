@@ -108,6 +108,48 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(grid == expected)
   }
 
+  test("STRtree.nearestK matches brute force with deterministic tie-break") {
+    val rnd = new scala.util.Random(3)
+    val envs = Array.fill(300) {
+      val x = rnd.nextInt(100).toDouble; val y = rnd.nextInt(100).toDouble
+      Envelope(x, y, x + rnd.nextInt(5), y + rnd.nextInt(5))
+    }
+    val tree = STRtree.build(envs)
+    def envDistTo(e: Envelope, q: Envelope): Double = {
+      val dx = math.max(0.0, math.max(e.minX - q.maxX, q.minX - e.maxX))
+      val dy = math.max(0.0, math.max(e.minY - q.maxY, q.minY - e.maxY))
+      math.sqrt(dx * dx + dy * dy)
+    }
+    for (_ <- 1 to 50) {
+      val q = { val x = rnd.nextInt(120).toDouble - 10; val y = rnd.nextInt(120).toDouble - 10
+        Envelope(x, y, x, y) }
+      val got = tree.nearestK(q, 7)(j => envDistTo(envs(j), q)).toSeq
+      val expected = envs.zipWithIndex
+        .map { case (e, j) => (j, envDistTo(e, q)) }
+        .sortBy { case (j, d) => (d, j) }.take(7).toSeq
+      assert(got == expected, s"query $q")
+    }
+  }
+
+  test("knnJoin emits k nearest with rank, ties toward smaller order col") {
+    val cust = Seq((-72.0, 1L), (-150.0, 2L), (0.0, 3L)).map { case (x, id) =>
+      (WKB.write(Point(x, 0.0)), id)
+    }.toDF("geometry", "cid")
+    val boxes = spark.range(5).selectExpr(
+      "cast(id as int) AS box_id",
+      "st_makeenvelope(cast(id * 72 - 180 as double), -80.0, cast(id * 72 - 108 as double), 80.0) AS geometry")
+    val out = SpatialJoin.knnJoin(cust, boxes, 3, "box_id")
+      .select("cid_left", "box_id_right", "knn_rank", "knn_dist")
+      .as[(Long, Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (c, rs) => c -> rs.sortBy(_._3).map(r => (r._2, r._4)).toSeq }
+    // cid 2 at x=-150 sits in box 0; next boxes 1 (dist 42), 2 (dist 114)
+    assert(out(2L) == Seq((0, 0.0), (1, 42.0), (2, 114.0)))
+    // cid 1 at x=-72 is in box 1, EQUIDISTANT (36) to boxes 0 and 2 -> id order
+    assert(out(1L) == Seq((1, 0.0), (0, 36.0), (2, 36.0)))
+    // cid 3 at x=0 is in box 2, equidistant (36) to boxes 1 and 3
+    assert(out(3L) == Seq((2, 0.0), (1, 36.0), (3, 36.0)))
+  }
+
   test("prebuilt broadcast index reuse matches direct join (spatial_index.rs:558-625)") {
     val idx = SpatialJoin.buildIndex(polygonDf, "geometry")
     try {
