@@ -34,4 +34,22 @@ class GeoParquetCellSpec extends AnyFunSuite {
     val scan = filtered.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("geometry_cell"))
   }
+
+  test("hilbertIndex is a proper Hilbert walk: distinct, and consecutive cells are adjacent") {
+    // 32x32 coarse grid at cell centers; the order-16 index restricted to
+    // this granularity must be the order-5 Hilbert curve: all distinct,
+    // every consecutive pair of cells grid-adjacent (Manhattan distance 1)
+    val k = 32
+    val cells = for (i <- 0 until k; j <- 0 until k) yield {
+      val lon = (i + 0.5) / k * 360.0 - 180.0
+      val lat = (j + 0.5) / k * 180.0 - 90.0
+      (i, j, GeoParquet.hilbertIndex(lon, lat))
+    }
+    assert(cells.map(_._3).distinct.size == k * k)
+    val walk = cells.sortBy(_._3)
+    walk.sliding(2).foreach { case Seq((i1, j1, _), (i2, j2, _)) =>
+      assert(math.abs(i1 - i2) + math.abs(j1 - j2) == 1,
+        s"non-adjacent step ($i1,$j1)->($i2,$j2)")
+    }
+  }
 }
