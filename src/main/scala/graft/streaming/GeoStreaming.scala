@@ -135,6 +135,43 @@ object GeoStreaming {
       .drop("__cell_l", "__cell_r")
   }
 
+  /**
+   * Stream-stream TEMPORAL proximity join: all pairs with
+   * |left.ts - right.ts| <= toleranceSecs (plus optional equi keys).
+   *
+   * Same 1-D bin rewrite as the batch `RangeJoin.selfProximity`: both
+   * sides carry a time-bin equi key (bin width = tolerance; the right
+   * side replicates into {bin-1, bin, bin+1}), so the stateful join
+   * co-partitions on the bin instead of holding a cross-product, and the
+   * watermark + BETWEEN constraint bound the symmetric state. A
+   * within-tolerance pair shares EXACTLY one bin key (left keeps a single
+   * bin), so no post-join dedup is needed.
+   */
+  def streamProximityJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      toleranceSecs: Long,
+      watermarkDelay: String,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(toleranceSecs > 0, "tolerance must be positive")
+    val binL = expr(s"floor(unix_micros($leftTs) / ${toleranceSecs * 1000000L})")
+    val binR = expr(s"floor(unix_micros($rightTs) / ${toleranceSecs * 1000000L})")
+    val l = left.withWatermark(leftTs, watermarkDelay).withColumn("__bin_l", binL)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+      .withColumn("__bin_r", explode(array(binR - 1, binR, binR + 1)))
+    val keyCond = extraKeys.map { case (a, b) => l(a) === r(b) }
+      .foldLeft(col("__bin_l") === col("__bin_r"))(_ && _)
+    l.join(r,
+      keyCond &&
+      col(rightTs).between(
+        col(leftTs) - expr(s"INTERVAL $toleranceSecs SECONDS"),
+        col(leftTs) + expr(s"INTERVAL $toleranceSecs SECONDS")),
+      "inner")
+      .drop("__bin_l", "__bin_r")
+  }
+
   private val envSchema = StructType(Seq(
     StructField("xmin", DoubleType), StructField("ymin", DoubleType),
     StructField("xmax", DoubleType), StructField("ymax", DoubleType)))

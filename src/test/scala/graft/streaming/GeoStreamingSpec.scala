@@ -52,6 +52,29 @@ class GeoStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream temporal proximity join pairs within tolerance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val inA = MemoryStream[(Long, Timestamp)]
+    val inB = MemoryStream[(Long, Timestamp)]
+    val a = inA.toDF().toDF("aid", "ats")
+    val b = inB.toDF().toDF("bid", "bts")
+    val joined = GeoStreaming.streamProximityJoin(a, b, "ats", "bts",
+      toleranceSecs = 10, watermarkDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("sspj")
+      .outputMode("append").start()
+    try {
+      inA.addData((1L, ts(100)), (2L, ts(200)), (3L, ts(305)))
+      inB.addData((10L, ts(105)), (20L, ts(290)), (30L, ts(310)), (40L, ts(99)))
+      q.processAllAvailable()
+      val got = spark.table("sspj").select("aid", "bid")
+        .as[(Long, Long)].collect().toSet
+      // |dt|<=10: (1,10) dt=5, (1,40) dt=1, (3,30) dt=5; (2,20) dt=90 no
+      assert(got == Set((1L, 10L), (1L, 40L), (3L, 30L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
