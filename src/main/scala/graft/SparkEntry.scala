@@ -924,6 +924,40 @@ object SparkEntry {
         .selectExpr("c_custkey_left AS c_custkey", "box_id_right AS box_id",
           "round(knn_dist, 6) AS dist", "knn_rank AS rank")
         .orderBy("c_custkey", "rank")
+    }),
+
+    // the broadcast-lookup physical path for the SAME as-of semantics as
+    // q63 (shared oracle shape): binary-search enrichment against a
+    // broadcast index — the stream-static/feature-store regime
+    "q75_asof_lookup" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val events = s.table("events")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      graft.relational.AsOfJoin.broadcastLookup(events, orders,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = unix_micros(col("ts")),
+          // orders parquet reads as TIMESTAMP_NTZ; session TZ is UTC so the
+          // cast is the identity instant
+          rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = Some("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_totalprice").as("asof_price"))
+        .orderBy("event_id")
+    }),
+
+    // per-ROW session ids (the shape session_window cannot give): lag +
+    // running sum, one shuffle; ids are 0-based per user in (ts, event)
+    // order
+    "q76_session_ids" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      Sessionize.assignIds(s.table("events"), Seq("user_id"), "ts",
+          gapMicros = 21600000000L, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy("event_id")
     })
   )
 
@@ -1644,7 +1678,29 @@ object SparkEntry {
          |    greatest(0.0, (box_id * 72 - 180) - px, px - (box_id * 72 - 108)) AS dist
          |  FROM (SELECT c_custkey, $oCustX AS px FROM customer),
          |       (SELECT unnest(range(5)) AS box_id))
-         |QUALIFY rank <= 3 ORDER BY c_custkey, rank""".stripMargin
+         |QUALIFY rank <= 3 ORDER BY c_custkey, rank""".stripMargin,
+
+    // identical semantics to q63 — different physical path on the Spark side
+    "q75_asof_lookup" ->
+      """SELECT e.event_id, e.user_id,
+        |  o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_price
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q76_session_ids" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 21600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) - 1 as bigint) AS session_idx
+        |FROM marked ORDER BY event_id""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )
