@@ -405,9 +405,11 @@ object Dedup {
    *
    * Distributed shape: explode to (doc, gram) once, aggregate to
    * (gram, doc, occurrences) — map-side partials shrink repeated grams
-   * before the shuffle — then a count-over-gram window supplies the
-   * distinct-doc count WITHOUT joining the full occurrence set back to a
-   * counts table, and one final shuffle re-aggregates per doc. No driver
+   * before the shuffle — then the distinct-doc count per gram comes from
+   * a second aggregation over that DEDUPED set joined back to it (NOT a
+   * count-over-gram window: a window funnels every row of a hot gram
+   * into one unsplittable task, while AQE can skew-split a join
+   * partition), and one final shuffle re-aggregates per doc. No driver
    * materialization; gram cardinality scales out across executors.
    */
   def ngramDupStats(
@@ -425,12 +427,17 @@ object Dedup {
       explode(transform(sequence(lit(0), size(col("w")) - n),
         i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("gram"))
     val perDoc = grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
-    // rows per gram == distinct docs containing it (post-aggregation)
-    val withNd = perDoc.withColumn("nd",
-      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // rows per gram == distinct docs containing it (post-aggregation);
+    // only grams reaching minDocs matter downstream, and that set is a
+    // small fraction of the vocabulary in a real corpus — filtering
+    // BEFORE the join keeps the build side broadcast-small
+    val dupGrams = perDoc.groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val withNd = perDoc.join(dupGrams.withColumn("__dup", lit(1)), Seq("gram"), "left")
     withNd.groupBy("doc_id")
       .agg(sum(col("occ")).as("n_grams"),
-        sum(when(col("nd") >= minDocs, col("occ")).otherwise(0L)).as("n_dup"))
+        sum(when(col("__dup").isNotNull, col("occ")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams"), 6) + lit(0.0))
   }

@@ -69,11 +69,14 @@ object TextAnalysis {
    * implementations.
    *
    * Distributed shape: one explode; (doc, term) counts with map-side
-   * partials; df via a count-over-term window (no join against a df
-   * table); doc length via a window over the doc — then one top-k window.
-   * Four narrow shuffles, no driver materialization, term cardinality
-   * scales out. Tokenization matches [[Dedup.ngramDupStats]] (trim,
-   * whitespace split, case-sensitive).
+   * partials; document frequency via a second aggregation over the
+   * deduped (doc, term) set joined back (a count-over-term window would
+   * funnel a stopword-like hot term into ONE unsplittable task — a join
+   * partition AQE can skew-split); doc length via a window over the doc
+   * (document size is bounded); then one top-k window. No driver
+   * materialization — the corpus size N enters the plan as a broadcast
+   * scalar, not an eager count. Tokenization matches
+   * [[Dedup.ngramDupStats]] (trim, whitespace split, case-sensitive).
    */
   def tfIdfTopTerms(
       df: DataFrame,
@@ -81,17 +84,18 @@ object TextAnalysis {
       textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
+    val nDocs = broadcast(df.select(count(lit(1)).cast("double").as("__N")))
     val terms = df.select(
         col(idCol).as("doc_id"),
         explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("occ"))
-    val withStats = terms
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val termDf = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val withStats = terms.join(termDf, Seq("term"))
       .withColumn("doc_len", sum(col("occ")).over(Window.partitionBy(col("doc_id"))))
+      .crossJoin(nDocs)
     val scored = withStats.withColumn("tfidf",
       round((col("occ").cast("double") / col("doc_len")) *
-        log(lit(n.toDouble) / col("df")), 6) + lit(0.0))
+        log(col("__N") / col("df")), 6) + lit(0.0))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))

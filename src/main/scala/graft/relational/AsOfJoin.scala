@@ -80,14 +80,18 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val keyNames = leftKeys.indices.map(i => s"__k$i")
 
-    // Right side: keys + time + tie + payload struct.
+    // Right side: keys + time + tie + payload struct. SQL equi-join
+    // semantics: a NULL key or NULL time can never match, so those right
+    // rows are dropped up front (otherwise Window.partitionBy would group
+    // null keys together and hand them to null-key left rows).
     val rightSlim = right.select(
       rightKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
         Seq(col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
-          tieBreak.map(col).getOrElse(lit(0L)).as("__tie"),
+          coalesce(tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)), lit(Long.MinValue)).as("__tie"),
           struct(col(rightTime).as("__rt") +: payloadCols.map(col): _*).as("__payload"),
           lit(0).as("__tag"),
           lit(null).cast(structType(left)).as("__row")): _*)
+      .filter(keyNames.map(col(_).isNotNull).reduce(_ && _) && col("__t").isNotNull)
 
     val leftSlim = left.select(
       leftKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
@@ -102,9 +106,11 @@ object AsOfJoin {
     // Backward: ascending scan, right rows (tag 0) sort before left rows at
     // equal time, so an exact-time right row IS visible to the left row.
     // Forward: descending scan, same tag order keeps exact-time matches.
+    // Null left times sort FIRST in both scans (before any right row), so
+    // a NULL time never matches — mirroring SQL comparison semantics.
     val ordering: Seq[Column] = direction match {
-      case Backward => Seq(col("__t").asc, col("__tag").asc, col("__tie").asc)
-      case Forward  => Seq(col("__t").desc, col("__tag").asc, col("__tie").asc)
+      case Backward => Seq(col("__t").asc_nulls_first, col("__tag").asc, col("__tie").asc)
+      case Forward  => Seq(col("__t").desc_nulls_first, col("__tag").asc, col("__tie").asc)
     }
     val w = Window.partitionBy(keyNames.map(col): _*)
       .orderBy(ordering: _*)
@@ -167,11 +173,14 @@ object AsOfJoin {
     // index and the rid->payload table from the same driver-side array —
     // recomputing ids in a second Spark action could order duplicate sort
     // keys differently between actions.
-    val tieCol = tieBreak.map(col).getOrElse(lit(0L)).cast("long")
+    // Null keys/times can never match (SQL semantics) and would NPE the
+    // driver-side getLong sort: drop them; null tie-breaks lose ties.
+    val tieCol = coalesce(tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)), lit(Long.MinValue))
     val prepared = right
       .withColumn("__k", rightKey.cast("long"))
       .withColumn("__rt", rightTime.cast("long"))
       .withColumn("__tb", tieCol)
+      .filter(col("__k").isNotNull && col("__rt").isNotNull)
     val collected = prepared
       .select(col("__k"), col("__rt"), col("__tb"),
         struct(payloadCols.map(col): _*).as("__p"))

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
  */
 object RangeJoin {
 
-  /** Exact floor division in long arithmetic (no double rounding; correct
-    * for negative values, unlike integer `div` which truncates toward 0). */
+  /** Exact floor division in long arithmetic, correct for negative values
+    * (unlike integer `div`, which truncates toward 0) AND for the full
+    * long range: the exact multiple `c - pmod(c, b)` is divided as
+    * DECIMAL, not double, so quotients stay exact beyond 2^53. */
   private def floorDiv(c: Column, b: Long): Column =
-    ((c - pmod(c, lit(b))) / b).cast("long")
+    ((c.cast("decimal(38,0)") - pmod(c, lit(b))) / lit(b)).cast("long")
 
   /**
    * Join point rows to interval rows: pointExpr in [startExpr, endExpr]

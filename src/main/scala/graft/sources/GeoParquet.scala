@@ -78,24 +78,42 @@ object GeoParquet {
    * never part of a query loop.)
    */
   def write(df: DataFrame, path: String, geomCol: String = "geometry",
-            mode: String = "overwrite"): Unit = {
-    val covered = withBboxCovering(df, geomCol)
-    val hilbert = udf((xmin: java.lang.Double, ymin: java.lang.Double,
-                       xmax: java.lang.Double, ymax: java.lang.Double) =>
-      if (xmin == null || ymin == null || xmax == null || ymax == null) 0L
-      else hilbertIndex((xmin + xmax) / 2, (ymin + ymax) / 2))
-    val bb = bboxColName(geomCol)
-    covered
-      .withColumn("__hilbert", hilbert(
-        col(s"$bb.xmin"), col(s"$bb.ymin"), col(s"$bb.xmax"), col(s"$bb.ymax")))
+            mode: String = "overwrite"): Unit =
+    withHilbert(withBboxCovering(df, geomCol), geomCol)
       .sortWithinPartitions(col("__hilbert"))
       .drop("__hilbert")
       .write.mode(mode).parquet(path)
-  }
 
   /** Read a geo parquet table (covering column, if present, stays visible
-    * for the pruning rule; drop it with `.drop(bboxColName(...))` if unwanted). */
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+    * for the pruning rule; drop it with `.drop(bboxColName(...))` if
+    * unwanted). Partition-column type inference is pinned OFF for the
+    * read: an all-digit geohash cell directory set (cells '0'-'9' are
+    * valid base32) would otherwise come back as INT, breaking string
+    * cell predicates and zero-padded round-trips. Schema resolution is
+    * eager, so restoring the conf afterwards is safe. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Order-16 Hilbert key of the bbox center (null-guarded) — shared by
+    * both write paths. */
+  private val hilbertUdf = udf((xmin: java.lang.Double, ymin: java.lang.Double,
+                                xmax: java.lang.Double, ymax: java.lang.Double) =>
+    if (xmin == null || ymin == null || xmax == null || ymax == null) 0L
+    else hilbertIndex((xmin + xmax) / 2, (ymin + ymax) / 2))
+
+  private def withHilbert(df: DataFrame, geomCol: String): DataFrame = {
+    val bb = bboxColName(geomCol)
+    df.withColumn("__hilbert", hilbertUdf(
+      col(s"$bb.xmin"), col(s"$bb.ymin"), col(s"$bb.xmax"), col(s"$bb.ymax")))
+  }
 
   /** Name convention for the geohash partition column of `geomCol`. */
   def cellColName(geomCol: String): String = s"${geomCol}_cell"
@@ -120,16 +138,11 @@ object GeoParquet {
       precision: Int = 2,
       mode: String = "overwrite"): Unit = {
     val cell = cellColName(geomCol)
-    val bb = bboxColName(geomCol)
-    val hilbert = udf((xmin: java.lang.Double, ymin: java.lang.Double,
-                       xmax: java.lang.Double, ymax: java.lang.Double) =>
-      if (xmin == null || ymin == null || xmax == null || ymax == null) 0L
-      else hilbertIndex((xmin + xmax) / 2, (ymin + ymax) / 2))
-    withBboxCovering(df, geomCol)
-      .withColumn(cell, expr(s"st_geohash(st_centroid($geomCol), $precision)"))
-      .repartition(col(cell))
-      .withColumn("__hilbert", hilbert(
-        col(s"$bb.xmin"), col(s"$bb.ymin"), col(s"$bb.xmax"), col(s"$bb.ymax")))
+    withHilbert(
+      withBboxCovering(df, geomCol)
+        .withColumn(cell, expr(s"st_geohash(st_centroid($geomCol), $precision)"))
+        .repartition(col(cell)),
+      geomCol)
       .sortWithinPartitions(col("__hilbert"))
       .drop("__hilbert")
       .write.mode(mode).partitionBy(cell).parquet(path)

@@ -128,6 +128,31 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(viaLookup == viaShuffle)
   }
 
+  test("asof join: NULL keys and NULL times never match (SQL equi-join semantics)") {
+    val left = Seq(
+      (Option(1L), Option(10L), 1L),   // normal match
+      (Option.empty[Long], Option(10L), 2L), // null key
+      (Option(1L), Option.empty[Long], 3L)   // null time
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (Option(1L), Option(5L), 100L),
+      (Option.empty[Long], Option(1L), 200L), // null right key must never match
+      (Option(1L), Option.empty[Long], 300L)  // null right time must never match
+    ).toDF("k", "rt", "rid")
+    for (dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward)) {
+      val got = AsOfJoin.join(left, right, Seq("k"), Seq("k"), "t", "rt",
+          Seq("rid"), tieBreak = Some("rid"), direction = dir)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val expectMatch = if (dir == AsOfJoin.Backward) Some(100L) else None
+      assert(got == Map(1L -> expectMatch, 2L -> None, 3L -> None), s"dir=$dir")
+    }
+    // broadcastLookup: same inputs must not NPE and must agree on nulls
+    val viaLookup = AsOfJoin.broadcastLookup(left, right,
+        col("k"), col("k"), col("t"), col("rt"), Seq("rid"), tieBreak = Some("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(viaLookup == Map(1L -> Some(100L), 2L -> None, 3L -> None))
+  }
+
   test("saltedJoin result multiset is identical to the plain equi-join") {
     // 80% of left rows share ONE hot key
     val skewed = (1L to 500L).map(i => (if (i % 5 == 0) i % 7 else 42L, i))
