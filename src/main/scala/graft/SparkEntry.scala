@@ -958,7 +958,22 @@ object SparkEntry {
           gapMicros = 21600000000L, tieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("session_idx"))
         .orderBy("event_id")
-    })
+    }),
+
+    // GeoArrow typed-column encoding (reference §1.2 ragged arrays /
+    // shapely.to_ragged_array): point -> struct<x,y> and back in pure
+    // codegen SQL; st_coorddump gives the ragged vertex view of the
+    // envelope ring (5 closed-ring coords, third vertex = far corner)
+    "q77_geoarrow" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey, ga.x AS gx, ga.y AS gy,
+         |  st_x(st_point(ga.x, ga.y)) AS rx,
+         |  size(st_coorddump(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS n_coords,
+         |  st_coorddump(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))[2].x AS cx,
+         |  st_coorddump(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))[2].y AS cy
+         |FROM (SELECT c_custkey,
+         |        struct(st_x($custPt) AS x, st_y($custPt) AS y) AS ga
+         |      FROM customer)
+         |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1700,7 +1715,13 @@ object SparkEntry {
         |SELECT event_id, user_id,
         |  cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) - 1 as bigint) AS session_idx
-        |FROM marked ORDER BY event_id""".stripMargin
+        |FROM marked ORDER BY event_id""".stripMargin,
+
+    "q77_geoarrow" ->
+      s"""SELECT c_custkey, $oCustX AS gx, $oCustY AS gy, $oCustX AS rx,
+         |  5 AS n_coords,
+         |  $oCustX + $oSide AS cx, $oCustY + $oSide AS cy
+         |FROM customer ORDER BY c_custkey""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

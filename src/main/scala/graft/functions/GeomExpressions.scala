@@ -60,7 +60,21 @@ object GeomKernels {
     // st_dump: multi-part => parts, single => itself (reference explode,
     // geoseries.rs:49-50); pair with Spark's built-in explode() for rows.
     "st_dump"         -> U(ArrayType(BinaryType, containsNull = false),
-                           g => new GenericArrayData(Geom.parts(g).map(p => wkb(p): Any)))
+                           g => new GenericArrayData(Geom.parts(g).map(p => wkb(p): Any))),
+    // GeoArrow-style ragged coordinate view (reference §1.2 struct
+    // encoding; shapely.to_ragged_array parity): every vertex in
+    // traversal order as struct<x, y>. Pair with transform()/struct SQL
+    // to build typed GeoArrow columns without leaving codegen.
+    "st_coorddump"    -> U(
+      ArrayType(StructType(Seq(StructField("x", DoubleType, nullable = false),
+        StructField("y", DoubleType, nullable = false))), containsNull = false),
+      g => {
+        val buf = scala.collection.mutable.ArrayBuffer[Any]()
+        g.foreachCoord((x, y) =>
+          buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](x, y)))
+        new GenericArrayData(buf.toArray)
+      })
   )
 
   /** Binary geometry op (row-aligned two-column semantics, geoseries.rs:141-146). */

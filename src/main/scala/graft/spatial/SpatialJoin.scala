@@ -264,6 +264,38 @@ object SpatialJoin {
    * their envelope touches, the equi-join on cell co-partitions the work,
    * and duplicate pair hits are removed with a distinct on (lid, rid).
    */
+  /**
+   * Size-dispatching spatial join: broadcasts + STR-tree-probes when the
+   * RIGHT side's optimizer size estimate fits under
+   * `spark.sql.autoBroadcastJoinThreshold`, otherwise falls back to the
+   * grid-partitioned shuffle join — the same decision Spark itself makes
+   * between BroadcastHashJoin and SortMergeJoin, applied to the spatial
+   * operator. Semantics are identical on both paths (SpatialJoinSpec pins
+   * parity), so callers can "just join" and keep working when the dim
+   * table grows past memory.
+   */
+  def autoJoin(
+      left: DataFrame,
+      right: DataFrame,
+      cellSize: Double,
+      predicate: Predicate = Predicate.Intersects,
+      joinType: String = "inner",
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      lSuffix: String = "_left",
+      rSuffix: String = "_right",
+      leftIdCol: Option[String] = None,
+      rightIdCol: Option[String] = None): DataFrame = {
+    val threshold = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val rightSmall = threshold > 0 &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    if (rightSmall)
+      join(left, right, predicate, joinType, leftGeom, rightGeom, lSuffix, rSuffix)
+    else
+      gridJoin(left, right, cellSize, predicate, joinType, leftGeom, rightGeom,
+        lSuffix, rSuffix, leftIdCol, rightIdCol)
+  }
+
   def gridJoin(
       left: DataFrame,
       right: DataFrame,

@@ -150,6 +150,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(out(3L) == Seq((2, 0.0), (1, 36.0), (3, 36.0)))
   }
 
+  test("autoJoin dispatches on the broadcast threshold with identical results") {
+    val inner = SpatialJoin.join(pointsDf, polygonDf, SpatialJoin.Predicate.Intersects, "inner")
+      .select("point_values_left").as[Double].collect().toSet
+    // default threshold: tiny right side => broadcast path
+    val auto = SpatialJoin.autoJoin(pointsDf, polygonDf, cellSize = 30.0)
+      .select("point_values_left").as[Double].collect().toSet
+    assert(auto == inner)
+    // threshold disabled => grid path, same rows
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gridded = SpatialJoin.autoJoin(pointsDf, polygonDf, cellSize = 30.0,
+        leftIdCol = Some("point_values"))
+      val plan = gridded.queryExecution.executedPlan // pin BEFORE conf restore
+      val rows = gridded.select("point_values_left").as[Double].collect().toSet
+      assert(rows == inner)
+      assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("prebuilt broadcast index reuse matches direct join (spatial_index.rs:558-625)") {
     val idx = SpatialJoin.buildIndex(polygonDf, "geometry")
     try {
