@@ -973,7 +973,22 @@ object SparkEntry {
          |FROM (SELECT c_custkey,
          |        struct(st_x($custPt) AS x, st_y($custPt) AS y) AS ga
          |      FROM customer)
-         |ORDER BY c_custkey""".stripMargin)
+         |ORDER BY c_custkey""".stripMargin),
+
+    // multimodal frame sampling with an EXACT oracle (unlike q48's
+    // hash-stubbed codec): synthetic per-order video durations explode to
+    // one row per 250 ms frame; the closed-form count/last-offset
+    // arithmetic pins the row-multiplying plumbing on both engines.
+    // Zero/negative durations must produce NO rows.
+    "q78_frame_sample" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("duration_ms", (col("o_orderkey") % 10000).cast("long"))
+      graft.pipeline.Multimodal.sampleFrames(orders, "duration_ms", 250L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_frame"))
+        .orderBy("o_orderkey")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1721,7 +1736,16 @@ object SparkEntry {
       s"""SELECT c_custkey, $oCustX AS gx, $oCustY AS gy, $oCustX AS rx,
          |  5 AS n_coords,
          |  $oCustX + $oSide AS cx, $oCustY + $oSide AS cy
-         |FROM customer ORDER BY c_custkey""".stripMargin
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // frames = {0, 250, ..., last < d}: count = floor((d-1)/250)+1,
+    // last = 250*floor((d-1)/250); d <= 0 contributes no row
+    "q78_frame_sample" ->
+      """SELECT o_orderkey,
+        |  cast((d - 1) // 250 + 1 as bigint) AS n_frames,
+        |  cast(250 * ((d - 1) // 250) as bigint) AS last_frame
+        |FROM (SELECT o_orderkey, o_orderkey % 10000 AS d FROM orders)
+        |WHERE d > 0 ORDER BY o_orderkey""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

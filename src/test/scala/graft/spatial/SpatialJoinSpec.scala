@@ -131,6 +131,33 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestK with exact distance ABOVE the envelope bound (diagonal segments)") {
+    // entries are diagonal segments: envelope min-distance is a strict
+    // lower bound of the true point-to-segment distance, exercising the
+    // re-queue-at-exact branch of the best-first search
+    val rnd = new scala.util.Random(11)
+    val segs = Array.fill(200) {
+      val x = rnd.nextInt(100).toDouble; val y = rnd.nextInt(100).toDouble
+      (x, y, x + 1 + rnd.nextInt(8), y + 1 + rnd.nextInt(8))
+    }
+    val envs = segs.map { case (x0, y0, x1, y1) =>
+      Envelope(math.min(x0, x1), math.min(y0, y1), math.max(x0, x1), math.max(y0, y1))
+    }
+    val tree = STRtree.build(envs)
+    def segDist(j: Int, px: Double, py: Double): Double = {
+      val (x0, y0, x1, y1) = segs(j)
+      Algos.distance(Point(px, py), LineString(Array(x0, y0, x1, y1)))
+    }
+    for (_ <- 1 to 40) {
+      val px = rnd.nextInt(110).toDouble - 5; val py = rnd.nextInt(110).toDouble - 5
+      val got = tree.nearestK(Envelope(px, py, px, py), 5)(j => segDist(j, px, py)).toSeq
+      val expected = segs.indices
+        .map(j => (j, segDist(j, px, py)))
+        .sortBy { case (j, d) => (d, j) }.take(5).toSeq
+      assert(got == expected, s"query ($px,$py)")
+    }
+  }
+
   test("knnJoin emits k nearest with rank, ties toward smaller order col") {
     val cust = Seq((-72.0, 1L), (-150.0, 2L), (0.0, 3L)).map { case (x, id) =>
       (WKB.write(Point(x, 0.0)), id)
