@@ -988,6 +988,23 @@ object SparkEntry {
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_frame"))
         .orderBy("o_orderkey")
+    }),
+
+    // HyperLogLog distinct-user sketch per event type with a
+    // deterministic md5 hash layout — the estimate itself is
+    // bit-reproducible cross-engine (hash-exact oracle for an
+    // APPROXIMATE sketch), shown next to the exact distinct count
+    "q79_hll_sketch" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val events = s.table("events")
+      val hll = graft.pipeline.Sketch.hllDistinct(events, "user_id", Seq("event_type"))
+      val exact = events.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      hll.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("hll_estimate"), col("n_buckets_used"),
+          col("exact_distinct"))
+        .orderBy("event_type")
     })
   )
 
@@ -1745,7 +1762,16 @@ object SparkEntry {
         |  cast((d - 1) // 250 + 1 as bigint) AS n_frames,
         |  cast(250 * ((d - 1) // 250) as bigint) AS last_frame
         |FROM (SELECT o_orderkey, o_orderkey % 10000 AS d FROM orders)
-        |WHERE d > 0 ORDER BY o_orderkey""".stripMargin
+        |WHERE d > 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q79_hll_sketch" -> {
+      val hll = graft.pipeline.Sketch.hllSql("events", "user_id", "event_type")
+      s"""SELECT h.event_type, h.hll_estimate, h.n_buckets_used, e.exact_distinct
+         |FROM ($hll) h
+         |JOIN (SELECT event_type, cast(count(DISTINCT user_id) as bigint) AS exact_distinct
+         |      FROM events GROUP BY event_type) e USING (event_type)
+         |ORDER BY h.event_type""".stripMargin
+    }
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )
