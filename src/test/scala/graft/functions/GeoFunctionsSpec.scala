@@ -150,6 +150,26 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(math.abs(x - 20037508.34) < 0.01)
   }
 
+  test("CRS registry is pluggable: a custom projection works through SQL st_transform") {
+    // register a spherical sinusoidal projection (ops/proj.rs 'CRS passed
+    // explicitly' analog: any caller-supplied transform plugs in)
+    val R = 6371008.8
+    graft.geom.CRS.register("EPSG:4326", "CUSTOM:SINU", { case (lon, lat) =>
+      (R * math.toRadians(lon) * math.cos(math.toRadians(lat)), R * math.toRadians(lat))
+    })
+    val df = Seq(wkbOf("POINT (90 60)")).toDF("g")
+    val r = df.selectExpr(
+      "st_x(st_transform(g, 'EPSG:4326', 'CUSTOM:SINU')) AS x",
+      "st_y(st_transform(g, 'EPSG:4326', 'CUSTOM:SINU')) AS y").head
+    assert(math.abs(r.getDouble(0) - R * (math.Pi / 2) * 0.5) < 1e-6)
+    assert(math.abs(r.getDouble(1) - R * (math.Pi / 3)) < 1e-6)
+    // unregistered pair still fails loudly
+    val err = intercept[Exception](
+      df.selectExpr("st_transform(g, 'EPSG:4326', 'CUSTOM:NOPE')").collect())
+    assert(err.getMessage.contains("no CRS transform") ||
+      Option(err.getCause).exists(_.getMessage.contains("no CRS transform")))
+  }
+
   test("constructors: st_point / st_geomfromtext / st_makeenvelope") {
     val df = spark.range(1)
     assert(df.selectExpr("st_astext(st_point(1.5, 2.5))").head.getString(0) == "POINT (1.5 2.5)")
