@@ -1005,6 +1005,44 @@ object SparkEntry {
         .select(col("event_type"), col("hll_estimate"), col("n_buckets_used"),
           col("exact_distinct"))
         .orderBy("event_type")
+    }),
+
+    // Count-Min frequency sketch over event user_ids (4x256 counters,
+    // one map-side-combinable aggregation — NO per-key shuffle at build
+    // time), probed for the 20 smallest user ids next to their exact
+    // counts. md5 hash layout => the estimate is bit-reproducible
+    // cross-engine; CMS error is one-sided (estimate >= exact).
+    "q80_cms_freq" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val events = s.table("events")
+      val cms = graft.pipeline.Sketch.cmsTable(events, "user_id")
+      val cands = events.select(col("user_id")).filter(col("user_id") < 20).distinct()
+      val est = graft.pipeline.Sketch.cmsEstimate(cands, cms, "user_id")
+      val exact = events.filter(col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("cms_estimate"), col("exact_cnt"))
+        .orderBy("user_id")
+    }),
+
+    // Equi-width-histogram quantile sketch: p50/p95 of extendedprice per
+    // returnflag from 128 bin counters (two scans, fixed state) instead
+    // of the full per-group sort an exact percentile needs (q69).
+    // Closed-form interpolation => hash-exact oracle for an APPROXIMATE
+    // estimator; exact percentile alongside shows the error stays inside
+    // one bin width.
+    "q81_hist_quantiles" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "lineitem")
+      val li = s.table("lineitem")
+      val est = graft.pipeline.Sketch.histQuantiles(
+        li, "l_extendedprice", Seq("l_returnflag"), Seq(0.5, 0.95))
+      val exact = li.groupBy("l_returnflag").agg(
+        (round(expr("percentile(l_extendedprice, 0.5)"), 4) + lit(0.0)).as("exact_q50"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("est_q50"), col("est_q95"), col("exact_q50"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1771,6 +1809,28 @@ object SparkEntry {
          |JOIN (SELECT event_type, cast(count(DISTINCT user_id) as bigint) AS exact_distinct
          |      FROM events GROUP BY event_type) e USING (event_type)
          |ORDER BY h.event_type""".stripMargin
+    },
+
+    "q80_cms_freq" -> {
+      val cms = graft.pipeline.Sketch.cmsSql(
+        "events", "user_id",
+        "SELECT DISTINCT user_id FROM events WHERE user_id < 20")
+      s"""SELECT c.user_id, c.cms_estimate, e.exact_cnt
+         |FROM ($cms) c
+         |JOIN (SELECT user_id, cast(count(*) as bigint) AS exact_cnt
+         |      FROM events WHERE user_id < 20 GROUP BY user_id) e USING (user_id)
+         |ORDER BY c.user_id""".stripMargin
+    },
+
+    "q81_hist_quantiles" -> {
+      val est = graft.pipeline.Sketch.histQuantilesSql(
+        "lineitem", "l_extendedprice", "l_returnflag", Seq(0.5, 0.95))
+      s"""SELECT h.l_returnflag, h.est_q50, h.est_q95, e.exact_q50
+         |FROM ($est) h
+         |JOIN (SELECT l_returnflag,
+         |        round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 AS exact_q50
+         |      FROM lineitem GROUP BY l_returnflag) e USING (l_returnflag)
+         |ORDER BY h.l_returnflag""".stripMargin
     }
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -84,4 +85,144 @@ object Sketch {
        |        FROM $table))
        |    GROUP BY $groupCol, bucket)
        |  GROUP BY $groupCol)""".stripMargin
+
+  // ---------------------------------------------------------- Count-Min
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Depth-row hash: 2 md5 hex digits per row (positions 1,3,5,7) → bucket
+    * 0..255. Deterministic and engine-portable like the HLL layout. */
+  private def cmsBucket(key: Column, depth: Int): Column =
+    conv(substring(md5(key.cast("string")), 1 + 2 * depth, 2), 16, 10).cast("int")
+
+  /**
+   * Count-Min sketch (Cormode & Muthukrishnan 2005) frequency table:
+   * `CmsDepth` x `CmsWidth` counters built in ONE map-side-combinable
+   * aggregation over the raw rows — the shuffle moves at most
+   * depth*width rows per partition regardless of input size or key
+   * cardinality, which is the whole point at 100 TB: frequency estimates
+   * without a per-key shuffle. Returns (depth, bucket, cnt).
+   */
+  def cmsTable(df: DataFrame, keyCol: String): DataFrame = {
+    val stacked = (0 until CmsDepth).map { d =>
+      df.select(lit(d).as("depth"), cmsBucket(col(keyCol), d).as("bucket"))
+    }.reduce(_.unionAll(_))
+    stacked.groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-estimate the frequency of each row of `candidates` (small —
+   * distinct keys to interrogate) against a CMS table: min over the
+   * depth rows of the key's bucket counter. The sketch side is tiny
+   * (depth*width rows) and broadcasts; estimates are one-sided
+   * (estimate >= true count, over-count bounded by ~2n/width w.h.p.).
+   */
+  def cmsEstimate(candidates: DataFrame, cms: DataFrame, keyCol: String): DataFrame = {
+    val probes = (0 until CmsDepth).map { d =>
+      candidates.select(col(keyCol), lit(d).as("depth"),
+        cmsBucket(col(keyCol), d).as("bucket"))
+    }.reduce(_.unionAll(_))
+    probes.join(broadcast(cms), Seq("depth", "bucket"))
+      .groupBy(keyCol)
+      .agg(min(col("cnt")).as("cms_estimate"))
+  }
+
+  /** The CMS estimate per candidate key as portable SQL (tests/oracles).
+    * `candSql` must select one column named `keyCol`. */
+  def cmsSql(table: String, keyCol: String, candSql: String): String = {
+    def bucketSql(d: Int) =
+      s"cast(('0x' || substr(md5(cast($keyCol as varchar)), ${1 + 2 * d}, 2))::BIGINT as int)"
+    val stack = (0 until CmsDepth)
+      .map(d => s"SELECT $d AS depth, ${bucketSql(d)} AS bucket FROM $table")
+      .mkString("\nUNION ALL\n")
+    val probes = (0 until CmsDepth)
+      .map(d => s"SELECT $keyCol, $d AS depth, ${bucketSql(d)} AS bucket FROM ($candSql)")
+      .mkString("\nUNION ALL\n")
+    s"""SELECT $keyCol, min(cnt) AS cms_estimate
+       |FROM ($probes) p
+       |JOIN (SELECT depth, bucket, count(*) AS cnt FROM ($stack) GROUP BY depth, bucket) s
+       |USING (depth, bucket)
+       |GROUP BY $keyCol""".stripMargin
+  }
+
+  // ------------------------------------------------- histogram quantiles
+
+  /**
+   * Mergeable equi-width-histogram quantile estimate: two scans (min/max
+   * + bin counts), `nBins` longs of state per group — vs the full sort or
+   * per-group memory a rank-exact percentile needs (q69). The estimate
+   * interpolates uniformly inside the quantile's bin, so error is bounded
+   * by one bin width. Deterministic closed-form arithmetic → the same
+   * doubles on any engine (hash-exact oracle for an APPROXIMATE sketch).
+   *
+   * Output: one row per group with `est_q<NN>` per requested quantile.
+   */
+  def histQuantiles(
+      df: DataFrame,
+      valCol: String,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      nBins: Int = 128): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = df.groupBy(g: _*).agg(
+      min(col(valCol)).cast("double").as("__lo"),
+      max(col(valCol)).cast("double").as("__hi"),
+      count(lit(1)).as("__n"))
+    val w = (col("__hi") - col("__lo")) / nBins
+    val bin = when(col("__hi") > col("__lo"),
+        least(floor((col(valCol).cast("double") - col("__lo")) / w).cast("int"), lit(nBins - 1)))
+      .otherwise(lit(0))
+    val withStats =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    val hist = withStats
+      .withColumn("__b", bin)
+      .groupBy(g ++ Seq(col("__b"), col("__lo"), col("__hi"), col("__n")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(g: _*).orderBy(col("__b"))))
+    // the quantile's bin is the unique one with cumBefore < q*n <= cum
+    val ests = qs.map { q =>
+      val target = lit(q) * col("__n")
+      val interp = col("__lo") + ((col("__hi") - col("__lo")) / nBins) *
+        (col("__b") + (target - (col("__cum") - col("__c"))) / col("__c"))
+      val hit = (col("__cum") - col("__c") < target) && (target <= col("__cum"))
+      (round(max(when(hit, interp)), 4) + lit(0.0))
+        .as(s"est_q${math.round(q * 100)}")
+    }
+    cum.groupBy(g: _*).agg(ests.head, ests.tail: _*)
+  }
+
+  /** The same computation as portable SQL (shared by tests/oracles). */
+  def histQuantilesSql(
+      table: String,
+      valCol: String,
+      groupCol: String,
+      qs: Seq[Double],
+      nBins: Int = 128): String = {
+    val ests = qs.map { q =>
+      s"""round(max(CASE WHEN cum - c < $q * n AND $q * n <= cum
+         |  THEN lo + ((hi - lo) / $nBins) * (b + ($q * n - (cum - c)) / c) END), 4) + 0.0
+         |  AS est_q${math.round(q * 100)}""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT $groupCol, $ests
+       |FROM (
+       |  SELECT *, sum(c) OVER (PARTITION BY $groupCol ORDER BY b) AS cum
+       |  FROM (
+       |    SELECT $groupCol, b, lo, hi, n, count(*) AS c
+       |    FROM (
+       |      SELECT t.$groupCol,
+       |        CASE WHEN hi > lo
+       |             THEN least(cast(floor((cast($valCol as double) - lo) / ((hi - lo) / $nBins)) as int), ${nBins - 1})
+       |             ELSE 0 END AS b,
+       |        lo, hi, n
+       |      FROM $table t
+       |      JOIN (SELECT $groupCol, cast(min($valCol) as double) AS lo,
+       |                   cast(max($valCol) as double) AS hi, count(*) AS n
+       |            FROM $table GROUP BY $groupCol) s
+       |      USING ($groupCol))
+       |    GROUP BY $groupCol, b, lo, hi, n))
+       |GROUP BY $groupCol""".stripMargin
+  }
 }

@@ -30,4 +30,49 @@ class SketchSpec extends AnyFunSuite {
     val b = Sketch.hllDistinct(df, "k", Seq("g")).select("hll_estimate").as[Double].head()
     assert(a == b)
   }
+
+  test("CMS estimate is one-sided and tight for skewed keys") {
+    // zipf-ish: key i appears 2000/i times for i in 1..20, plus 2k noise keys
+    val rows = (1 to 20).flatMap(i => Seq.fill(2000 / i)(i.toLong)) ++
+      (1000L to 3000L)
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cands = (1L to 20L).toDF("k")
+    val est = Sketch.cmsEstimate(cands, Sketch.cmsTable(df, "k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    (1L to 20L).foreach { k =>
+      assert(est(k) >= exact(k), s"CMS under-counted key $k: ${est(k)} < ${exact(k)}")
+      // standard guarantee: overcount <= 2n/width with prob 1 - 2^-depth;
+      // allow 3x slack for the fixed seedless layout
+      assert(est(k) - exact(k) <= 3 * 2 * n / 256,
+        s"CMS overcount for $k too large: ${est(k)} vs ${exact(k)}")
+    }
+  }
+
+  test("histogram quantiles interpolate within one bin width of exact") {
+    val vals = (1 to 10000).map(i => ("g", (i * 7919 % 10007).toDouble))
+    val df = vals.toDF("g", "v")
+    val row = Sketch.histQuantiles(df, "v", Seq("g"), Seq(0.5, 0.95))
+      .select("est_q50", "est_q95").as[(Double, Double)].head()
+    val sorted = vals.map(_._2).sorted
+    val binW = (sorted.last - sorted.head) / 128
+    def exact(q: Double) = sorted((q * (sorted.size - 1)).toInt)
+    assert(math.abs(row._1 - exact(0.5)) <= binW, s"p50 ${row._1} vs ${exact(0.5)}")
+    assert(math.abs(row._2 - exact(0.95)) <= binW, s"p95 ${row._2} vs ${exact(0.95)}")
+  }
+
+  test("histogram quantiles: constant column degenerates to the constant") {
+    val df = Seq.fill(100)(("g", 42.0)).toDF("g", "v")
+    val row = Sketch.histQuantiles(df, "v", Seq("g"), Seq(0.5))
+      .select("est_q50").as[Double].head()
+    assert(row == 42.0)
+  }
+
+  test("histogram quantiles: global (no group) path") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val est = Sketch.histQuantiles(df, "v", Nil, Seq(0.5))
+      .select("est_q50").as[Double].head()
+    assert(math.abs(est - 500.0) <= (999.0 / 128) + 1)
+  }
 }
