@@ -1043,6 +1043,40 @@ object SparkEntry {
       est.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("est_q50"), col("est_q95"), col("exact_q50"))
         .orderBy("l_returnflag")
+    }),
+
+    // PII scrub before training: emails/IPv4s/phone-shaped numbers ->
+    // typed placeholders, plus per-kind audit counts on the original
+    // text. A deterministic contact block synthesized from doc_id makes
+    // every document exercise all three patterns; the whole op is a
+    // codegen regexp chain (no UDF, no shuffle — one scan at any scale).
+    "q82_pii_redact" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents").withColumn("__t",
+        concat(
+          substring(col("text"), 1, 64), lit(" contact u"), col("doc_id"),
+          lit("@mail"), col("doc_id") % 7, lit(".org at 10."),
+          col("doc_id") % 256, lit(".0."), col("doc_id") % 100,
+          lit(" or +1 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      val (ne, ni, np) = graft.pipeline.Corpus.piiCounts(col("__t"))
+      docs.select(
+        col("doc_id"), ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"),
+        graft.pipeline.Corpus.redactPii(col("__t")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // exact-n deterministic stratified sample (40 docs per source by
+    // smallest md5(doc_id)): reproducible across runs, partitionings,
+    // and engines; the md5-bucket prefix prune keeps the per-stratum
+    // window sort at ~slack*n rows instead of the whole stratum
+    "q83_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Corpus.stratifiedSampleN(
+          s.table("documents"), "source", "doc_id", 40)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy("source", "sample_rank")
     })
   )
 
@@ -1831,7 +1865,35 @@ object SparkEntry {
          |        round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 AS exact_q50
          |      FROM lineitem GROUP BY l_returnflag) e USING (l_returnflag)
          |ORDER BY h.l_returnflag""".stripMargin
-    }
+    },
+
+    "q82_pii_redact" -> {
+      import graft.pipeline.Corpus.{EmailRe, Ipv4Re, PhoneRe}
+      s"""SELECT doc_id,
+         |  cast(len(regexp_extract_all(t, '$EmailRe')) as bigint) AS n_emails,
+         |  cast(len(regexp_extract_all(t, '$Ipv4Re')) as bigint) AS n_ips,
+         |  cast(len(regexp_extract_all(t, '$PhoneRe')) as bigint) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM (
+         |  SELECT doc_id,
+         |    substr(text, 1, 64) || ' contact u' || doc_id || '@mail' ||
+         |    (doc_id % 7) || '.org at 10.' || (doc_id % 256) || '.0.' ||
+         |    (doc_id % 100) || ' or +1 555-' ||
+         |    lpad(cast(doc_id % 10000 as varchar), 4, '0') AS t
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q83_stratified_sample" ->
+      """SELECT source, sample_rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id as varchar)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40
+        |ORDER BY source, sample_rank""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
     // fingerprint) are approximate/engine-specific => rows-only check
   )

@@ -70,4 +70,73 @@ object Corpus {
       sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"),
       sum(length(col(textCol)).cast("long")).as("n_chars"),
       avg(TextAnalysis.qualityScore(col(textCol))).as("avg_quality"))
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** Shared Java/RE2 regex subset (Spark and DuckDB agree on these). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{4}"
+
+  /**
+   * Redact PII spans (emails, then IPv4s, then phone-shaped numbers) with
+   * typed placeholders — the standard scrub step before a corpus is
+   * trainable. Pure codegen regexp_replace chain: no shuffle, no UDF; at
+   * 100 TB this is one scan fused into whatever else the pass projects.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-kind PII hit counts on the ORIGINAL text (audit columns). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    regexp_count(text, lit(EmailRe)).cast("long"),
+    regexp_count(text, lit(Ipv4Re)).cast("long"),
+    regexp_count(text, lit(PhoneRe)).cast("long"))
+
+  // --------------------------------------------------- stratified sampling
+
+  /**
+   * Exact-n deterministic stratified sample: the n rows with the smallest
+   * md5(key) per stratum (ties impossible in practice, pinned by key
+   * anyway). Reproducible across runs/partitionings/engines like
+   * sampleDeterministic, but with an exact per-stratum count.
+   *
+   * Scale shape: the numeric value of the first 15 md5 hex digits is
+   * MONOTONE in the rank key (hex chars sort lexicographically like their
+   * digits), so rows above the `slack*n/cnt` quantile of that prefix can
+   * never rank in the top n — each stratum's window sorts only ~slack*n
+   * survivor rows instead of the whole stratum. Strata whose prune
+   * retained fewer than n rows (possible only for tiny or wildly skewed
+   * strata) fall back to ranking all their rows, so the result is
+   * identical to the unpruned window in every case.
+   */
+  def stratifiedSampleN(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      n: Int,
+      slack: Int = 8): DataFrame = {
+    val outCols = df.columns.map(col).toSeq
+    val PrefixMax = 1152921504606846976L // 16^15
+    val b = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+    val thr = least(lit(PrefixMax),
+      ceil(lit(PrefixMax.toDouble) * slack * n / col("__cnt")).cast("long"))
+    val pruned = df.join(broadcast(counts), Seq(strataCol)).filter(b < thr)
+    val ok = pruned.groupBy(col(strataCol)).agg(count(lit(1)).as("__c2"))
+      .filter(col("__c2") >= n).select(col(strataCol))
+    val safe = pruned.join(broadcast(ok), Seq(strataCol)).select(outCols: _*)
+    val rest = df.join(broadcast(ok), Seq(strataCol), "left_anti").select(outCols: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    safe.unionAll(rest)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
 }

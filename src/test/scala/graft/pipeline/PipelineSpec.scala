@@ -312,4 +312,37 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
   }
+
+  test("redactPii scrubs emails, IPs, and phones; counts audit the original") {
+    val df = Seq(
+      "write bob.smith+x@corp.example.com from 192.168.1.20 or +44 020-7946",
+      "no pii here at all",
+      "two mails a@b.io c@d.org").toDF("t")
+    val out = df.select(
+      Corpus.redactPii($"t").as("r"),
+      Corpus.piiCounts($"t")._1.as("ne"),
+      Corpus.piiCounts($"t")._2.as("ni"),
+      Corpus.piiCounts($"t")._3.as("np")).as[(String, Long, Long, Long)].collect()
+    assert(out(0)._1 == "write <EMAIL> from <IP> or <PHONE>")
+    assert((out(0)._2, out(0)._3, out(0)._4) == (1L, 1L, 1L))
+    assert(out(1)._1 == "no pii here at all" && out(1)._2 == 0L)
+    assert(out(2)._1 == "two mails <EMAIL> <EMAIL>" && out(2)._2 == 2L)
+  }
+
+  test("stratifiedSampleN: exact n per stratum, prune matches unpruned window") {
+    val df = spark.range(2000).selectExpr("id", "cast(id % 3 as string) AS s")
+    val sampled = Corpus.stratifiedSampleN(df, "s", "id", 25)
+      .select("s", "sample_rank", "id").as[(String, Int, Long)].collect()
+    assert(sampled.groupBy(_._1).forall(_._2.length == 25))
+    // oracle: plain global window, no prefilter
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"s").orderBy(md5($"id".cast("string")), $"id")
+    val expect = df.withColumn("sample_rank", row_number().over(w))
+      .filter($"sample_rank" <= 25)
+      .select("s", "sample_rank", "id").as[(String, Int, Long)].collect()
+    assert(sampled.sortBy(r => (r._1, r._2)).toSeq == expect.sortBy(r => (r._1, r._2)).toSeq)
+    // under-filled strata (fewer rows than n) keep everything, ranked
+    val tiny = spark.range(10).selectExpr("id", "'only' AS s")
+    assert(Corpus.stratifiedSampleN(tiny, "s", "id", 25).count() == 10)
+  }
 }
