@@ -1077,6 +1077,25 @@ object SparkEntry {
           s.table("documents"), "source", "doc_id", 40)
         .select(col("source"), col("sample_rank"), col("doc_id"))
         .orderBy("source", "sample_rank")
+    }),
+
+    // product-quantization ANN: 64-dim float vectors -> 8 one-byte codes
+    // (32x compression); top-10 by asymmetric distance computed from the
+    // codes ALONE (m lookup-table reads per row — the vector column is
+    // never scanned at query time). Exact cosine joined back for the
+    // survivors only. Approximate => rows-only driver check; PqSpec pins
+    // ADC == cosine-of-reconstruction and recall against brute force.
+    "q84_pq_ann" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+      val coded = emb.select(col("vec_id"),
+        Similarity.pqEncodeCol(col("embedding"), books).as("pq_code"))
+      val top = Similarity.pqAdcTopK(coded, "vec_id", "pq_code", books, queryVec, 10)
+      top.join(emb, Seq("vec_id"))
+        .select(col("vec_id"), round(col("adc_cosine"), 6).as("adc_cosine"),
+          round(Similarity.cosineCol("embedding", queryVec), 6).as("exact_cosine"))
+        .orderBy(desc("adc_cosine"), col("vec_id"))
     })
   )
 
@@ -1895,6 +1914,7 @@ object SparkEntry {
         |WHERE sample_rank <= 40
         |ORDER BY source, sample_rank""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
-    // fingerprint) are approximate/engine-specific => rows-only check
+    // fingerprint), q84 (PQ ANN) are approximate/engine-specific =>
+    // rows-only check
   )
 }

@@ -149,6 +149,83 @@ object Similarity {
       .limit(k)
   }
 
+  // -------------------------------------------------- product quantization
+
+  /**
+   * Train PQ codebooks (Jégou et al. 2011): split the vector into `m`
+   * contiguous subspaces and run the deterministic Lloyd quantizer
+   * (trainIvfCentroids) independently in each. Returns m x k x (dim/m)
+   * centroids; only m*k*(dim/m) = dim*k doubles ever reach the driver.
+   */
+  def trainPqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = df.selectExpr(s"size($vecCol)").head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val sliced = df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sub"))
+      trainIvfCentroids(sliced, idCol, "__sub", k, iters)
+    }
+  }
+
+  /** Per-row PQ code: array<int> of the nearest centroid id per subspace.
+    * This is the column you PERSIST at scale — 64 floats become m bytes
+    * (32x smaller at m=8/dim=64), so candidate scans read codes, not
+    * vectors. */
+  def pqEncodeCol(vecCol: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val codes = (0 until m).map { j =>
+      exprColumn(NearestCentroid(columnExpr(slice(vecCol, j * sub + 1, sub)), codebooks(j)))
+    }
+    array(codes: _*)
+  }
+
+  /**
+   * Asymmetric-distance top-k over PQ codes alone: the query's per-
+   * subspace dot/norm lookup tables (m x k doubles, computed on the
+   * driver) turn scoring into m array lookups + adds per row — the
+   * original vector column is never read. approx_cosine =
+   * sum_j dot(q_j, cent_j[code_j]) / (|q| * sqrt(sum_j |cent_j[code_j]|^2)).
+   */
+  def pqAdcTopK(
+      coded: DataFrame,
+      idCol: String,
+      codeCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      query: Array[Double],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def dotLut(j: Int): Array[Double] = codebooks(j).map { c =>
+      var d = 0.0; var i = 0
+      while (i < sub) { d += c(i) * query(j * sub + i); i += 1 }
+      d
+    }
+    def normLut(j: Int): Array[Double] = codebooks(j).map { c =>
+      var d = 0.0; var i = 0
+      while (i < sub) { d += c(i) * c(i); i += 1 }
+      d
+    }
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val dotSum = (0 until m).map { j =>
+      element_at(typedLit(dotLut(j)), col(codeCol).getItem(j) + 1)
+    }.reduce(_ + _)
+    val normSum = (0 until m).map { j =>
+      element_at(typedLit(normLut(j)), col(codeCol).getItem(j) + 1)
+    }.reduce(_ + _)
+    val score = when(normSum > 0 && lit(qNorm) > 0,
+      dotSum / (lit(qNorm) * sqrt(normSum))).otherwise(lit(0.0))
+    coded.select(col(idCol), score.as("adc_cosine"))
+      .orderBy(desc("adc_cosine"), col(idCol))
+      .limit(k)
+  }
+
   /**
    * All-pairs top-k per probe row against a broadcast-sized query set
    * (k-NN join): crossJoin(broadcast(queries)) + windowed rank. The big side

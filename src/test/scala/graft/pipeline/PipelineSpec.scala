@@ -345,4 +345,53 @@ class PipelineSpec extends AnyFunSuite {
     val tiny = spark.range(10).selectExpr("id", "'only' AS s")
     assert(Corpus.stratifiedSampleN(tiny, "s", "id", 25).count() == 10)
   }
+
+  test("PQ: ADC score equals cosine of the reconstructed vector") {
+    val dim = 16
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d => ((i * 31 + d * 17) % 23 - 11).toFloat / 7f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = Array.tabulate(dim)(d => ((d * 13) % 9 - 4) / 5.0)
+    val books = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    val coded = df.select($"vec_id", Similarity.pqEncodeCol($"embedding", books).as("pq_code"))
+    val top = Similarity.pqAdcTopK(coded, "vec_id", "pq_code", books, query, 200)
+      .as[(Long, Double)].collect().toMap
+    val codes = coded.as[(Long, Seq[Int])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    vecs.take(50).foreach { case (id, _) =>
+      val recon = codes(id).zipWithIndex.flatMap { case (c, j) => books(j)(c) }.toArray
+      assert(math.abs(top(id) - cos(query, recon)) < 1e-9,
+        s"ADC ${top(id)} != reconstruction cosine ${cos(query, recon)} for $id")
+    }
+  }
+
+  test("PQ: top-k recall against brute force is usable and encode is layout-stable") {
+    val dim = 16
+    // 8 well-separated cluster centers + small deterministic jitter
+    val vecs = (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(dim)(d =>
+        (if (d % 8 == c) 10f else 0f) + ((i * 7 + d) % 5).toFloat / 10f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = Array.tabulate(dim)(d => if (d % 8 == 3) 10.0 else 0.1)
+    val books = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    val coded = df.select($"vec_id", Similarity.pqEncodeCol($"embedding", books).as("pq_code"))
+    val adc = Similarity.pqAdcTopK(coded, "vec_id", "pq_code", books, query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(adc.intersect(exact).size >= 10,
+      s"PQ recall too low: ${adc.intersect(exact).size}/20")
+    // codes don't depend on physical layout
+    val again = df.repartition(7)
+      .select($"vec_id", Similarity.pqEncodeCol($"embedding", books).as("pq_code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(coded.as[(Long, Seq[Int])].collect().toMap == again)
+  }
 }
