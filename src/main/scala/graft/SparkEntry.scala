@@ -1096,6 +1096,32 @@ object SparkEntry {
         .select(col("vec_id"), round(col("adc_cosine"), 6).as("adc_cosine"),
           round(Similarity.cosineCol("embedding", queryVec), 6).as("exact_cosine"))
         .orderBy(desc("adc_cosine"), col("vec_id"))
+    }),
+
+    // Bloom-filter semi-join pruning: 16384-bit deterministic md5 bloom
+    // of the high-value order keys, probed as a pure codegen bit test on
+    // the lineitem side — the 100 TB pattern for filtering a huge fact
+    // scan against a key set without shuffling it. Exact semi-join
+    // alongside counts the false positives the later exact join removes;
+    // the md5 layout makes even the FP set bit-reproducible cross-engine.
+    "q85_bloom_prune" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "orders", "lineitem")
+      val keys = s.table("orders")
+        .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+      val words = graft.pipeline.Sketch.bloomBits(keys, "o_orderkey")
+      val probe = s.table("lineitem").select(col("l_orderkey")).distinct()
+      probe
+        .withColumn("bloom_pass",
+          graft.pipeline.Sketch.bloomContains(col("l_orderkey"), words))
+        .join(keys.withColumn("in_set", lit(1)),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_probe_keys"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when(col("in_set").isNotNull, 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("bloom_pass") && col("in_set").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
     })
   )
 
@@ -1903,6 +1929,22 @@ object SparkEntry {
          |    lpad(cast(doc_id % 10000 as varchar), 4, '0') AS t
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q85_bloom_prune" -> {
+      val member = graft.pipeline.Sketch.bloomSql(
+        "SELECT DISTINCT l_orderkey FROM lineitem", "l_orderkey",
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0", "o_orderkey")
+      s"""SELECT cast(count(*) as bigint) AS n_probe_keys,
+         |  cast(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) as bigint) AS n_bloom_pass,
+         |  cast(sum(CASE WHEN in_set THEN 1 ELSE 0 END) as bigint) AS n_members,
+         |  cast(sum(CASE WHEN bloom_pass AND NOT in_set THEN 1 ELSE 0 END) as bigint) AS n_false_pos
+         |FROM (
+         |  SELECT m.l_orderkey, m.bloom_pass,
+         |    EXISTS (SELECT 1 FROM orders o
+         |            WHERE o.o_orderkey = m.l_orderkey
+         |              AND o.o_totalprice > 400000.0) AS in_set
+         |  FROM ($member) m)""".stripMargin
     },
 
     "q83_stratified_sample" ->

@@ -146,6 +146,72 @@ object Sketch {
        |GROUP BY $keyCol""".stripMargin
   }
 
+  // ----------------------------------------------------------- Bloom
+
+  val BloomBits = 16384 // 2^14 => 256 longs
+  val BloomHashes = 4
+
+  /** Hash row i of key -> bit position: 4 md5 hex digits per hash
+    * (disjoint slices), mod m. Deterministic/portable like HLL + CMS. */
+  private def bloomPos(key: Column, i: Int): Column =
+    conv(substring(md5(key.cast("string")), 1 + 4 * i, 4), 16, 10)
+      .cast("int") % BloomBits
+
+  /**
+   * Build the filter's bit words on the driver: one distinct-positions
+   * aggregation over the KEY side (at most k*|keys| rows, at most m
+   * distinct, so <= 2 KB of longs comes back at m=16384). The key set
+   * can itself be arbitrarily large — saturation degrades the FP rate,
+   * never correctness.
+   */
+  def bloomBits(keys: DataFrame, keyCol: String): Array[Long] = {
+    val positions = (0 until BloomHashes).map { i =>
+      keys.select(bloomPos(col(keyCol), i).as("pos"))
+    }.reduce(_.unionAll(_)).distinct()
+    val words = new Array[Long](BloomBits / 64)
+    positions.collect().foreach { r =>
+      val p = r.getInt(0)
+      words(p / 64) |= (1L << (p % 64))
+    }
+    words
+  }
+
+  /**
+   * Membership test column against driver-built words — a pure codegen
+   * bit probe (k array reads + masks per row, no join, no shuffle). The
+   * 100 TB semi-join pattern: bloom-prune the probe scan down to ~FP%
+   * before the exact join ever shuffles anything; false positives are
+   * possible (the later exact join removes them), false negatives are
+   * not.
+   */
+  def bloomContains(key: Column, words: Array[Long]): Column =
+    (0 until BloomHashes).map { i =>
+      val p = bloomPos(key, i)
+      call_function("shiftright",
+        element_at(typedLit(words), (p / 64).cast("int") + 1), (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+
+  /** Bloom membership per probe key as portable SQL (tests/oracles):
+    * rebuilds the bit set relationally — a probe key passes iff all k of
+    * its positions appear in the key side's position set. `keysSql` must
+    * select one column named `keyCol`; emits (key, bloom_pass). */
+  def bloomSql(probeSql: String, probeKey: String, keysSql: String, keyCol: String): String = {
+    def posSql(c: String, i: Int) =
+      s"(('0x' || substr(md5(cast($c as varchar)), ${1 + 4 * i}, 4))::BIGINT % $BloomBits)"
+    val bits = (0 until BloomHashes)
+      .map(i => s"SELECT ${posSql(keyCol, i)} AS pos FROM ($keysSql)")
+      .mkString(" UNION ")
+    val probes = (0 until BloomHashes)
+      .map(i => s"SELECT $probeKey, ${posSql(probeKey, i)} AS pos FROM ($probeSql)")
+      .mkString(" UNION ALL ")
+    s"""SELECT $probeKey,
+       |  (sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0) AS bloom_pass
+       |FROM ($probes) p
+       |LEFT JOIN ($bits) b USING (pos)
+       |GROUP BY $probeKey""".stripMargin
+  }
+
   // ------------------------------------------------- histogram quantiles
 
   /**

@@ -69,6 +69,23 @@ class SketchSpec extends AnyFunSuite {
     assert(row == 42.0)
   }
 
+  test("bloom filter: no false negatives, usable FP rate, layout-stable") {
+    val keys = (0L until 500L).map(_ * 3 + 1).toDF("k")
+    val words = Sketch.bloomBits(keys, "k")
+    val probe = (0L until 4000L).toDF("k")
+    val passed = probe.filter(Sketch.bloomContains($"k", words))
+      .as[Long].collect().toSet
+    val members = (0L until 500L).map(_ * 3 + 1).toSet
+    assert(members.subsetOf(passed), "bloom dropped a true member")
+    // 500 keys * 4 hashes in 16384 bits => FP rate ~ (1-e^-0.122)^4 ~ 1.7e-4;
+    // allow a generous margin
+    val fps = passed -- members
+    assert(fps.size <= 40, s"FP rate too high: ${fps.size} of ${4000 - 500}")
+    // physical layout must not change the filter
+    val words2 = Sketch.bloomBits(keys.repartition(13), "k")
+    assert(words.toSeq == words2.toSeq)
+  }
+
   test("histogram quantiles: global (no group) path") {
     val df = (1 to 1000).map(_.toDouble).toDF("v")
     val est = Sketch.histQuantiles(df, "v", Nil, Seq(0.5))
