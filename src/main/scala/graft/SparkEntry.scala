@@ -1122,6 +1122,26 @@ object SparkEntry {
           sum(when(col("in_set").isNotNull, 1L).otherwise(0L)).as("n_members"),
           sum(when(col("bloom_pass") && col("in_set").isNull, 1L).otherwise(0L))
             .as("n_false_pos"))
+    }),
+
+    // boilerplate-line removal (CCNet-style): synthesize multi-line docs
+    // with template footers injected into 1/3 and 1/2 of them, then drop
+    // every line whose document frequency exceeds 20% and reassemble in
+    // original order. Content lines survive, injected chrome disappears,
+    // all-boilerplate docs come back empty rather than dropped.
+    "q86_boilerplate" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents").select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 80),
+          when(col("doc_id") % 3 === 0, lit("copyright footer example corp")),
+          substring(col("text"), 81, 80),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")))
+          .as("t"))
+      graft.pipeline.Corpus.stripBoilerplate(docs, "doc_id", "t", 0.2)
+        .withColumn("n_clean_chars", length(col("clean_text")).cast("bigint"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1946,6 +1966,30 @@ object SparkEntry {
          |              AND o.o_totalprice > 400000.0) AS in_set
          |  FROM ($member) m)""".stripMargin
     },
+
+    "q86_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 80),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'copyright footer example corp' END,
+        |    substr(text, 81, 80),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM docs)),
+        |boiler AS (
+        |  SELECT line FROM lines WHERE trim(line) <> ''
+        |  GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 0.2 * (SELECT count(*) FROM docs)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  cast(len(coalesce(r.clean_text, '')) as bigint) AS n_clean_chars
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q83_stratified_sample" ->
       """SELECT source, sample_rank, doc_id FROM (

@@ -97,6 +97,47 @@ object Corpus {
     regexp_count(text, lit(Ipv4Re)).cast("long"),
     regexp_count(text, lit(PhoneRe)).cast("long"))
 
+  // ------------------------------------------------- boilerplate removal
+
+  /**
+   * Remove boilerplate lines (CCNet-style curation): a line that appears
+   * in more than `maxDocFrac` of documents is template chrome (footers,
+   * nav, cookie banners), not content — drop it everywhere and reassemble
+   * the documents in original line order. Blank lines are never counted
+   * as boilerplate (they carry structure, not duplication).
+   *
+   * Scale shape: explode once; the line document-frequency aggregation
+   * map-side combines; the boilerplate set is inherently small (at most
+   * totalLines/(maxDocFrac*nDocs) distinct lines qualify) so the removal
+   * join broadcasts; one final shuffle on the doc id rebuilds the text.
+   * Docs whose every line was boilerplate come back as empty strings,
+   * not dropped rows.
+   */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrac: Double,
+      outCol: String = "clean_text"): DataFrame = {
+    val id = col(idCol)
+    val lines = df.select(id,
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val boiler = lines.filter(trim(col("__line")) =!= "")
+      .groupBy(col("__line")).agg(countDistinct(id).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") > col("__n") * maxDocFrac)
+      .select(col("__line"))
+    val kept = lines.join(broadcast(boiler), Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(id).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        "\n").as(outCol))
+    df.select(id).join(rebuilt, Seq(idCol), "left").na.fill("", Seq(outCol))
+  }
+
   // --------------------------------------------------- stratified sampling
 
   /**

@@ -346,6 +346,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Corpus.stratifiedSampleN(tiny, "s", "id", 25).count() == 10)
   }
 
+  test("stripBoilerplate drops frequent lines, keeps order, empties all-chrome docs") {
+    val df = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "COOKIE BANNER\nunique gamma"),
+      (3L, "unique delta\nCOOKIE BANNER"),
+      (4L, "COOKIE BANNER"), // nothing but chrome
+      (5L, "unique epsilon\n\nunique zeta") // blank line is never boilerplate
+    ).toDF("doc_id", "t")
+    val out = Corpus.stripBoilerplate(df, "doc_id", "t", 0.5)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == "unique alpha\nunique beta")
+    assert(out(1)._2 == "unique gamma")
+    assert(out(2)._2 == "unique delta")
+    assert(out(3)._2 == "") // present, empty — not dropped
+    assert(out(4)._2 == "unique epsilon\n\nunique zeta")
+    // under the threshold nothing is removed
+    val loose = Corpus.stripBoilerplate(df, "doc_id", "t", 0.9)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(loose(0)._2 == "unique alpha\nCOOKIE BANNER\nunique beta")
+  }
+
   test("PQ: ADC score equals cosine of the reconstructed vector") {
     val dim = 16
     val vecs = (0L until 200L).map { i =>
