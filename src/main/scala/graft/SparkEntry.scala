@@ -1142,6 +1142,18 @@ object SparkEntry {
       graft.pipeline.Corpus.stripBoilerplate(docs, "doc_id", "t", 0.2)
         .withColumn("n_clean_chars", length(col("clean_text")).cast("bigint"))
         .orderBy("doc_id")
+    }),
+
+    // unigram LM quality scoring (the perplexity-filter shape): corpus
+    // unigram counts -> per-doc mean token log-probability. Per-term
+    // contributions round to 6 decimals and sum as decimal(20,6), so the
+    // fold is order-independent — an ln()-based score that still
+    // hash-matches the oracle on any partitioning.
+    "q87_unigram_lp" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      TextAnalysis.unigramLogProb(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1965,6 +1977,12 @@ object SparkEntry {
          |            WHERE o.o_orderkey = m.l_orderkey
          |              AND o.o_totalprice > 400000.0) AS in_set
          |  FROM ($member) m)""".stripMargin
+    },
+
+    "q87_unigram_lp" -> {
+      val lp = graft.pipeline.TextAnalysis.unigramLogProbSql(
+        "documents", "doc_id", "text")
+      s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
     },
 
     "q86_boilerplate" ->

@@ -58,6 +58,65 @@ object TextAnalysis {
   def fingerprint(text: Column, shingleSize: Int = 8): Column =
     exprColumn(DocFingerprint(columnExpr(text), columnExpr(lit(shingleSize))))
 
+  /**
+   * Unigram language-model quality signal (the CCNet/Gopher "perplexity
+   * filter" shape): train unigram counts on the corpus itself, then score
+   * each document by its mean token log-probability
+   * `mean_t ln(cnt(t)/N)`. Low scores = improbable token soup (spam,
+   * encoding noise); high = fluent-for-this-corpus text.
+   *
+   * Scale shape: one explode, two aggregations (token counts map-side
+   * combine; the per-doc fold shuffles on the doc id) and one join on the
+   * token — the vocabulary is Zipf-bounded so at 100 TB it broadcasts.
+   * Per-term contributions are rounded to 6 decimals and summed as
+   * decimal(20,6), so the fold is ORDER-INDEPENDENT — the same score on
+   * any partitioning or engine (oracle-exact despite the ln()).
+   *
+   * Output: (id, n_tokens, lp_mean).
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val terms = df.select(id,
+        explode(split(trim(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val tc = terms.groupBy(id, col("__tok")).agg(count(lit(1)).as("__occ"))
+    val vocab = tc.groupBy(col("__tok")).agg(sum(col("__occ")).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__n"))
+    tc.join(vocab, "__tok")
+      .groupBy(id)
+      .agg(
+        sum(round(col("__occ") * log(col("__cnt")), 6).cast("decimal(20,6)"))
+          .as("__s"),
+        sum(col("__occ")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp_mean",
+        round(col("__s").cast("double") / col("n_tokens") - log(col("__n")), 4)
+          + lit(0.0))
+      .select(id, col("n_tokens"), col("lp_mean"))
+  }
+
+  /** The same computation as portable SQL (shared by tests/oracles). */
+  def unigramLogProbSql(table: String, idCol: String, textCol: String): String =
+    s"""SELECT $idCol, n_tokens,
+       |  round(cast(s as double) / n_tokens -
+       |        ln((SELECT cast(sum(__cnt) as double) FROM (
+       |              SELECT count(*) AS __cnt FROM (
+       |                SELECT unnest(regexp_extract_all(trim($textCol), '\\S+')) AS tok
+       |                FROM $table) GROUP BY tok))), 4) + 0.0 AS lp_mean
+       |FROM (
+       |  SELECT $idCol,
+       |    sum(cast(round(occ * ln(cnt), 6) as decimal(20,6))) AS s,
+       |    cast(sum(occ) as bigint) AS n_tokens
+       |  FROM (
+       |    SELECT tc.$idCol, tc.occ, v.cnt
+       |    FROM (SELECT $idCol, tok, count(*) AS occ FROM (
+       |            SELECT $idCol, unnest(regexp_extract_all(trim($textCol), '\\S+')) AS tok
+       |            FROM $table) GROUP BY $idCol, tok) tc
+       |    JOIN (SELECT tok, count(*) AS cnt FROM (
+       |            SELECT unnest(regexp_extract_all(trim($textCol), '\\S+')) AS tok
+       |            FROM $table) GROUP BY tok) v USING (tok))
+       |  GROUP BY $idCol)""".stripMargin
+
   /** Per-document analysis frame: one call producing all text metrics. */
   /**
    * Per-document top-k terms by TF-IDF.

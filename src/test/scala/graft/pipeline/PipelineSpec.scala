@@ -367,6 +367,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(loose(0)._2 == "unique alpha\nCOOKIE BANNER\nunique beta")
   }
 
+  test("unigramLogProb ranks repetitive text above rare-token soup") {
+    val df = Seq(
+      (1L, "the the the the the the the the"), // all high-frequency
+      (2L, "the the the xylophone quux"), // mixed
+      (3L, "zzz9 qqq8 vvv7 kkk6") // all singletons
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(8L, 5L, 4L)) // token counts
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3,
+      s"LM order wrong: ${out.map(_._3).toSeq}")
+    // score is partitioning-independent (decimal fold)
+    val again = TextAnalysis.unigramLogProb(df.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("PQ: ADC score equals cosine of the reconstructed vector") {
     val dim = 16
     val vecs = (0L until 200L).map { i =>
