@@ -1154,6 +1154,31 @@ object SparkEntry {
       view(s, dir, "documents")
       TextAnalysis.unigramLogProb(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // context-window chunking: 48-token chunks, 8-token overlap — the
+    // sharding step before tokenization. Pure per-row explode, no
+    // shuffle; chunk boundaries are closed-form so the oracle is exact.
+    "q88_chunk_tokens" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Corpus.chunkTokens(s.table("documents"), "text", 48, 8)
+        .select(col("doc_id"), col("chunk_id"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // greedy next-fit sequence packing into 4096-token shards, packed
+    // independently per source (the window partitions by source, so
+    // packing parallelizes across groups instead of one global sort)
+    "q89_pack_sequences" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Corpus.packSequences(
+          s.table("documents"), "source", "doc_id", "text", 4096)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source", "shard_id")
     })
   )
 
@@ -1984,6 +2009,36 @@ object SparkEntry {
         "documents", "doc_id", "text")
       s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
     },
+
+    "q88_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, cast(floor((len(t) - 1) / 40.0) as int))) AS chunk_id,
+        |    t
+        |  FROM toks)
+        |SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+        |  cast(len(t[chunk_id * 40 + 1 : chunk_id * 40 + 48]) as bigint) AS n_chunk_tokens,
+        |  md5(array_to_string(t[chunk_id * 40 + 1 : chunk_id * 40 + 48], ' ')) AS chunk_md5
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q89_pack_sequences" ->
+      """SELECT source, shard_id,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n_tokens) as bigint) AS n_tokens
+        |FROM (
+        |  SELECT source,
+        |    cast(floor((cum - n_tokens) / 4096.0) as int) AS shard_id, n_tokens
+        |  FROM (
+        |    SELECT source, n_tokens,
+        |      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |    FROM (
+        |      SELECT source, doc_id,
+        |        cast(len(regexp_extract_all(trim(text), '\S+')) as bigint) AS n_tokens
+        |      FROM documents)))
+        |GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
 
     "q86_boilerplate" ->
       """WITH docs AS (

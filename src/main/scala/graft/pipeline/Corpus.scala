@@ -138,6 +138,58 @@ object Corpus {
     df.select(id).join(rebuilt, Seq(idCol), "left").na.fill("", Seq(outCol))
   }
 
+  // ------------------------------------------- chunking & sequence packing
+
+  /**
+   * Split documents into fixed-size token chunks with overlap (the
+   * context-window sharding step before tokenization/training): chunk k
+   * covers tokens [k*(size-overlap), k*(size-overlap)+size). One explode,
+   * no shuffle — each task chunks its own rows; emits (.., chunk_id,
+   * chunk_text, n_chunk_tokens).
+   */
+  def chunkTokens(
+      df: DataFrame,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"bad overlap $overlap for chunk size $chunkSize")
+    val stride = chunkSize - overlap
+    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .filter(trim(col(textCol)) =!= "")
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) - 1).cast("double") / stride).cast("int"))))
+      .withColumn("__slice",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .withColumn("chunk_text", array_join(col("__slice"), " "))
+      .withColumn("n_chunk_tokens", size(col("__slice")).cast("bigint"))
+      .drop("__toks", "__slice")
+  }
+
+  /**
+   * Greedy next-fit sequence packing: assign documents (in deterministic
+   * id order within each group) to consecutive fixed-token-budget shards
+   * — shard = floor(cumulativeTokensBefore / budget). The window
+   * partitions by `groupCol`, so packing parallelizes across groups
+   * (at 100 TB: pack per source/date partition, never a global sort).
+   */
+  def packSequences(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      budget: Int): DataFrame = {
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("__cum") - col("n_tokens")).cast("double") / budget).cast("int"))
+      .drop("__cum")
+  }
+
   // --------------------------------------------------- stratified sampling
 
   /**

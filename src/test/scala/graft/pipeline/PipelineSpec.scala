@@ -367,6 +367,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(loose(0)._2 == "unique alpha\nCOOKIE BANNER\nunique beta")
   }
 
+  test("chunkTokens covers every token with the right overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, "   ")).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(df, "text", 48, 8)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: 100 tokens, stride 40 => chunks at 0, 40, 80
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_._4).toSeq == Seq(48L, 48L, 20L))
+    assert(d1(0)._3.startsWith("t1 ") && d1(1)._3.startsWith("t41 "))
+    assert(d1(0)._3.endsWith(" t48") && d1(1)._3.endsWith(" t88"))
+    // consecutive chunks share the 8-token overlap
+    assert(d1(0)._3.split(" ").takeRight(8).toSeq == d1(1)._3.split(" ").take(8).toSeq)
+    // short doc => single partial chunk; whitespace-only doc => no chunks
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq(2L))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("packSequences: shards respect the budget boundary per group") {
+    val df = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (1 to 50).map(j => s"w$j").mkString(" "))).toDF("doc_id", "source", "text")
+    val out = Corpus.packSequences(df, "source", "doc_id", "text", 120)
+      .select("source", "doc_id", "shard_id").as[(String, Long, Int)].collect()
+    // 50 tokens/doc, budget 120, shard = floor(cumBefore/120):
+    // cumBefore 0,50,100 -> 0; 150,200 -> 1; 250,300,350 -> 2; ...
+    val expect = (0 until 15).map(i => (i * 50) / 120)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byDoc = rows.sortBy(_._2).map(_._3).toSeq
+      assert(byDoc == expect, s"expected $expect, got $byDoc")
+    }
+  }
+
   test("unigramLogProb ranks repetitive text above rare-token soup") {
     val df = Seq(
       (1L, "the the the the the the the the"), // all high-frequency
