@@ -41,13 +41,24 @@ object Sketch {
    * Two-phase: (group, bucket) max-rank aggregation — map-side partials —
    * then the harmonic fold per group.
    */
-  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
+    hllFromBuckets(hllBuckets(df, keyCol, groupCols), groupCols)
+
+  /** The mergeable sketch STATE: max rank per (group, bucket). A single
+    * streaming-legal aggregation — maintain it incrementally (update/
+    * complete mode) and finish with hllFromBuckets whenever an estimate
+    * is needed; max() makes merging across batches/partitions exact. */
+  def hllBuckets(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
     val (bucket, rank) = parts(col(keyCol))
     val g = groupCols.map(col)
-    val perBucket = df
-      .withColumn("__b", bucket).withColumn("__r", rank)
+    df.withColumn("__b", bucket).withColumn("__r", rank)
       .groupBy(g :+ col("__b"): _*)
       .agg(max(col("__r")).as("__rmax"))
+  }
+
+  /** Finishing fold over hllBuckets state (batch-side, tiny input). */
+  def hllFromBuckets(perBucket: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     perBucket
       .groupBy(g: _*)
       .agg(

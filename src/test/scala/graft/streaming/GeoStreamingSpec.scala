@@ -181,4 +181,52 @@ class GeoStreamingSpec extends AnyFunSuite {
       assert(last == Seq(("a", -3.0, 0.0, 5.0, 7.0), ("b", 1.0, 1.0, 1.0, 1.0)))
     } finally q.stop()
   }
+
+  test("HLL bucket state maintained on a stream finalizes to the batch estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("g", "k")
+    // hllBuckets is ONE streaming-legal aggregation; complete mode keeps
+    // the whole (small: <= groups * 256 rows) sketch state queryable
+    val state = graft.pipeline.Sketch.hllBuckets(stream, "k", Seq("g"))
+    val q = state.writeStream.format("memory").queryName("hllstate")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 800L).map(i => ("g", i * 13 % 700)): _*)
+      q.processAllAvailable()
+      input.addData((1L to 800L).map(i => ("g", i * 17 % 900)): _*)
+      q.processAllAvailable()
+      val streamed = graft.pipeline.Sketch
+        .hllFromBuckets(spark.table("hllstate"), Seq("g"))
+        .select("hll_estimate").as[Double].head()
+      val batch = graft.pipeline.Sketch.hllDistinct(
+          ((1L to 800L).map(i => ("g", i * 13 % 700)) ++
+           (1L to 800L).map(i => ("g", i * 17 % 900))).toDF("g", "k"), "k", Seq("g"))
+        .select("hll_estimate").as[Double].head()
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("CMS counter table maintained on a stream matches the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val stream = input.toDF().toDF("k")
+    val state = graft.pipeline.Sketch.cmsTable(stream, "k")
+    val q = state.writeStream.format("memory").queryName("cmsstate")
+      .outputMode("complete").start()
+    try {
+      input.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      input.addData((1L to 500L).map(_ % 50): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cmsstate")
+        .as[(Int, Int, Long)].collect().toSet
+      val batch = graft.pipeline.Sketch
+        .cmsTable(((1L to 500L) ++ (1L to 500L).map(_ % 50)).toDF("k"), "k")
+        .as[(Int, Int, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
