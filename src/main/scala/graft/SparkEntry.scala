@@ -1179,6 +1179,23 @@ object SparkEntry {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("source", "shard_id")
+    }),
+
+    // repeated-span scrubbing (substring dedup, Lee et al. 2022 shape):
+    // every 6-token window appearing in >= 3 distinct docs is masked
+    // everywhere (a template phrase is injected into 1/4 of the docs to
+    // guarantee the path fires), survivors reassemble in order
+    "q90_span_scrub" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" join our mailing list for weekly updates today")))
+          .otherwise(col("text")).as("t"))
+      graft.pipeline.Dedup.scrubRepeatedSpans(docs, "doc_id", "t", 6, 3)
+        .select(col("doc_id"), col("n_kept_tokens"),
+          md5(col("scrubbed_text")).as("scrubbed_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2009,6 +2026,41 @@ object SparkEntry {
         "documents", "doc_id", "text")
       s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
     },
+
+    "q90_span_scrub" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || ' join our mailing list for weekly updates today'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, regexp_extract_all(trim(t), '\S+') AS w FROM docs),
+        |tok AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS p, unnest(w) AS tk
+        |  FROM toks WHERE len(w) > 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(w) - 6)) AS pos,
+        |    unnest([array_to_string(w[x + 1 : x + 6], ' ')
+        |            FOR x IN generate_series(0, len(w) - 6)]) AS gram
+        |  FROM toks WHERE len(w) >= 6),
+        |freq AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+        |  GROUP BY gram HAVING count(*) >= 3),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS cp
+        |    FROM grams WHERE gram IN (SELECT gram FROM freq))),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.tk FROM tok
+        |  ANTI JOIN covered ON tok.doc_id = covered.doc_id AND tok.p = covered.cp),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS scrubbed,
+        |         cast(count(*) as bigint) AS n_kept_tokens
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.n_kept_tokens, 0) AS n_kept_tokens,
+        |  md5(coalesce(r.scrubbed, '')) AS scrubbed_md5
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q88_chunk_tokens" ->
       """WITH toks AS (

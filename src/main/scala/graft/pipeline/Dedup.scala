@@ -441,4 +441,57 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams"), 6) + lit(0.0))
   }
+
+  /**
+   * Repeated-span scrubbing (the substring-dedup curation step, Lee et
+   * al. 2022 "Deduplicating Training Data Makes Language Models Better",
+   * at token granularity): every `n`-token window whose exact text
+   * appears in at least `minDocs` distinct documents is masked out of ALL
+   * of them, and the surviving tokens are reassembled in order. Unlike
+   * whole-doc dedup this removes the template paragraph pasted into a
+   * thousand otherwise-distinct pages.
+   *
+   * Scale shape: windows explode once; the gram document-frequency
+   * aggregation map-side combines and the frequent-gram set (a tiny
+   * fraction of the vocabulary) broadcasts into the hit join; covered
+   * positions union per doc; one shuffle on the doc id rebuilds the
+   * text. Docs scrubbed to nothing come back as empty strings.
+   */
+  def scrubRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2,
+      outCol: String = "scrubbed_text"): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    val id = col(idCol)
+    val toks = df.select(id,
+      filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__w"))
+    val tokens = toks.select(id,
+      posexplode(col("__w")).as(Seq("__p", "__t")))
+    val grams = toks.filter(size(col("__w")) >= n)
+      .select(id, posexplode(
+        transform(sequence(lit(0), size(col("__w")) - n),
+          i => array_join(slice(col("__w"), i + 1, lit(n)), " ")))
+        .as(Seq("__pos", "__gram")))
+    val freq = grams.select(id, col("__gram")).distinct()
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gram"))
+    val covered = grams.join(broadcast(freq), Seq("__gram"))
+      .select(id.as("__cid"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cov"))
+      .distinct()
+    val kept = tokens.join(covered,
+      col(idCol) === col("__cid") && col("__p") === col("__cov"), "left_anti")
+    val rebuilt = kept.groupBy(id).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")),
+        " ").as(outCol),
+      count(lit(1)).as("n_kept_tokens"))
+    df.select(id).join(rebuilt, Seq(idCol), "left")
+      .na.fill("", Seq(outCol)).na.fill(0L, Seq("n_kept_tokens"))
+  }
 }

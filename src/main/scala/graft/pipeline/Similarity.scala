@@ -167,10 +167,39 @@ object Similarity {
     val dim = df.selectExpr(s"size($vecCol)").head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    Array.tabulate(m) { j =>
-      val sliced = df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sub"))
-      trainIvfCentroids(sliced, idCol, "__sub", k, iters)
+    // deterministic init: the k smallest-id vectors, sliced per subspace
+    var books: Array[Array[Array[Double]]] = {
+      val seed = df.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      Array.tabulate(m)(j => seed.map(_.slice(j * sub, (j + 1) * sub)))
     }
+    // ONE distributed pass per iteration for ALL subspaces: compute the m
+    // per-subspace assignments in a single projection, explode the vector
+    // once, and aggregate (dim, cluster-of-that-dim's-subspace) means —
+    // dim*k doubles to the driver per round, independent of m.
+    var it = 0
+    while (it < iters) {
+      val assigns = array((0 until m).map { j =>
+        exprColumn(NearestCentroid(
+          columnExpr(slice(col(vecCol), j * sub + 1, sub)), books(j)))
+      }: _*)
+      val rows = df.select(assigns.as("__a"),
+          posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        .select(col("__dim"),
+          element_at(col("__a"), (col("__dim") / sub).cast("int") + 1).as("__cl"),
+          col("__v"))
+        .groupBy("__dim", "__cl").agg(avg(col("__v")).as("__mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val d = r.getInt(0)
+        next(d / sub)(r.getInt(1))(d % sub) = r.getDouble(2)
+      }
+      books = next
+      it += 1
+    }
+    books
   }
 
   /** Per-row PQ code: array<int> of the nearest centroid id per subspace.

@@ -367,6 +367,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(loose(0)._2 == "unique alpha\nCOOKIE BANNER\nunique beta")
   }
 
+  test("scrubRepeatedSpans masks cross-doc template spans, keeps unique text") {
+    val slogan = "buy our product now it is great"  // 7 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma $slogan delta"),
+      (2L, s"epsilon $slogan zeta eta"),
+      (3L, s"theta iota $slogan"),
+      (4L, "kappa lambda mu nu xi omicron pi rho")
+    ).toDF("doc_id", "t")
+    val out = Dedup.scrubRepeatedSpans(df, "doc_id", "t", 6, 3)
+      .orderBy("doc_id")
+      .select("doc_id", "scrubbed_text", "n_kept_tokens")
+      .as[(Long, String, Long)].collect()
+    // the 7-token slogan appears in 3 docs: its two 6-gram windows cover
+    // all 7 tokens in each; unique surroundings survive in order
+    assert(out(0)._2 == "alpha beta gamma delta")
+    assert(out(1)._2 == "epsilon zeta eta")
+    assert(out(2)._2 == "theta iota")
+    assert(out(3)._2 == "kappa lambda mu nu xi omicron pi rho")
+    assert(out.map(_._3).toSeq == Seq(4L, 3L, 2L, 8L))
+    // below the doc threshold nothing is scrubbed
+    val loose = Dedup.scrubRepeatedSpans(df, "doc_id", "t", 6, 4)
+      .orderBy("doc_id").select("scrubbed_text").as[String].collect()
+    assert(loose(0) == s"alpha beta gamma $slogan delta")
+  }
+
   test("chunkTokens covers every token with the right overlap") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, text), (2L, "short doc"), (3L, "   ")).toDF("doc_id", "text")
