@@ -1196,6 +1196,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept_tokens"),
           md5(col("scrubbed_text")).as("scrubbed_md5"))
         .orderBy("doc_id")
+    }),
+
+    // out-of-vocabulary rate vs the corpus' own top-200 tokens
+    // (deterministic tie-break): the tokenizer-fit signal; the
+    // vocabulary is top-k-bounded so the membership join broadcasts
+    "q91_oov_rate" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      TextAnalysis.oovRate(s.table("documents"), "doc_id", "text", 200)
+        .orderBy("doc_id")
+    }),
+
+    // MMR diversified top-10: distributed exact top-50 prune, then the
+    // greedy maximal-marginal-relevance re-rank over the k-bounded
+    // candidate set (inherently sequential => driver-side by design).
+    // Deterministic (ties by id) but iterative => rows-only check;
+    // SimilaritySpec pins the greedy invariants.
+    "q92_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mmrTopK(emb, "vec_id", "embedding", queryVec, 10)
+        .orderBy("rank")
     })
   )
 
@@ -2027,6 +2049,24 @@ object SparkEntry {
       s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
     },
 
+    "q91_oov_rate" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM terms GROUP BY tok)
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 200),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM terms t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_tokens,
+        |  cast(sum(oov) as bigint) AS n_oov,
+        |  round(sum(oov)::DOUBLE / count(*), 6) + 0.0 AS oov_rate
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q90_span_scrub" ->
       """WITH docs AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
@@ -2125,7 +2165,7 @@ object SparkEntry {
         |WHERE sample_rank <= 40
         |ORDER BY source, sample_rank""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
-    // fingerprint), q84 (PQ ANN) are approximate/engine-specific =>
-    // rows-only check
+    // fingerprint), q84 (PQ ANN), q92 (iterative MMR) are approximate/
+    // engine-specific or not ANSI-SQL-expressible => rows-only check
   )
 }

@@ -256,6 +256,59 @@ object Similarity {
   }
 
   /**
+   * Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+   * two-stage retrieval — a DISTRIBUTED exact top-`candidates` prune,
+   * then the greedy diversity re-rank over that k-bounded set on the
+   * driver (candidates*dim doubles; the standard rerank shape — the
+   * iterative argmax is inherently sequential, so distributing it buys
+   * nothing). pick_{t} = argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s),
+   * ties by smaller id. Returns (rank, id, mmr_score, cosine).
+   */
+  def mmrTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      lambda: Double = 0.7,
+      candidates: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = df
+      .select(col(idCol).cast("long").as("id"),
+        cosineCol(vecCol, query).as("rel"), col(vecCol).as("v"))
+      .orderBy(desc("rel"), col("id"))
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Number](2).map(_.doubleValue()).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    val picked = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val maxSim = if (picked.isEmpty) 0.0 else picked.map(p => cos(v, p)).max
+        (lambda * rel - (1 - lambda) * maxSim, id, rel, v)
+      }
+      val best = scored.minBy { case (s, id, _, _) => (-s, id) }
+      selected += ((rank, best._2, best._1, best._3))
+      picked += best._4
+      remaining.remove(remaining.indexWhere(_._1 == best._2))
+      rank += 1
+    }
+    selected.toSeq
+      .toDF("rank", idCol, "mmr_score", "cosine")
+      .withColumn("mmr_score", round(col("mmr_score"), 6) + lit(0.0))
+      .withColumn("cosine", round(col("cosine"), 6) + lit(0.0))
+  }
+
+  /**
    * All-pairs top-k per probe row against a broadcast-sized query set
    * (k-NN join): crossJoin(broadcast(queries)) + windowed rank. The big side
    * streams; the query side must be small (it is broadcast).

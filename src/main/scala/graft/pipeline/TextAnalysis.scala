@@ -95,6 +95,30 @@ object TextAnalysis {
       .select(id, col("n_tokens"), col("lp_mean"))
   }
 
+  /**
+   * Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+   * tokens (ties broken by token text, so the vocabulary is
+   * deterministic): the tokenizer-fit signal — docs with high OOV under
+   * the working vocabulary are encoding noise or the wrong language.
+   * The vocabulary is top-k-bounded, so the membership join broadcasts.
+   * Output: (id, n_tokens, n_oov, oov_rate).
+   */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val id = col(idCol)
+    val terms = df.select(id,
+        explode(split(trim(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val vocab = terms.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(desc("__cnt"), col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    terms.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6) + lit(0.0))
+  }
+
   /** The same computation as portable SQL (shared by tests/oracles). */
   def unigramLogProbSql(table: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol, n_tokens,

@@ -425,6 +425,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("oovRate: frequent tokens are in-vocab, rare ones out") {
+    val df = Seq(
+      (1L, "common common common rare1"),
+      (2L, "common common rare2 rare3")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 4L, 1L, 0.25)))
+    assert(out(1) == ((2L, 4L, 2L, 0.5)))
+  }
+
+  test("MMR: first pick is max-relevance, later picks trade off diversity") {
+    val dim = 8
+    // two tight clusters near the query + scattered tail
+    def mk(seed: Int) = Array.tabulate(dim)(d => ((seed * 13 + d * 7) % 11 - 5) / 5.0)
+    val a = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.01)
+    val b = Array.tabulate(dim)(d => if (d == 1) 1.0 else 0.01)
+    val rows = Seq(
+      (1L, a), (2L, a.updated(2, 0.05)), (3L, a.updated(3, 0.08)),
+      (4L, b), (5L, b.updated(2, 0.05))) ++
+      (6L to 20L).map(i => (i, mk(i.toInt)))
+    val df = rows.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val query = a.zip(b).map { case (x, y) => x + 0.5 * y }
+    val out = Similarity.mmrTopK(df, "vec_id", "embedding", query, 4, lambda = 0.5)
+      .orderBy("rank").as[(Int, Long, Double, Double)].collect()
+    // rank 1 = plain max cosine
+    assert(out(0)._2 == 1L, s"first pick ${out(0)._2}")
+    // diversity: the b-cluster representative must appear before the
+    // a-cluster near-duplicates exhaust the list
+    val ids = out.map(_._2).toSeq
+    assert(ids.take(2).contains(4L) || ids.take(2).contains(5L),
+      s"no diverse pick in the top 2: $ids")
+    // deterministic across reruns
+    val again = Similarity.mmrTopK(df.repartition(5), "vec_id", "embedding", query, 4, lambda = 0.5)
+      .orderBy("rank").as[(Int, Long, Double, Double)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("unigramLogProb ranks repetitive text above rare-token soup") {
     val df = Seq(
       (1L, "the the the the the the the the"), // all high-frequency
