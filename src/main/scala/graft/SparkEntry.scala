@@ -1218,6 +1218,48 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.mmrTopK(emb, "vec_id", "embedding", queryVec, 10)
         .orderBy("rank")
+    }),
+
+    // IVF-PQ composed ANN (the FAISS standard, non-residual): coarse
+    // cells prune the scan to nProbe=4 of 16, PQ codes score via ADC —
+    // at scale cell id + code are persisted and the raw vector column is
+    // never read at query time. Approximate => rows-only check.
+    "q93_ivfpq_ann" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val coarse = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 16)
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+      val coded = emb.select(col("vec_id"),
+        graft.internal.exprColumn(graft.pipeline.NearestCentroid(
+          graft.internal.columnExpr(col("embedding")), coarse)).as("cell"),
+        Similarity.pqEncodeCol(col("embedding"), books).as("pq_code"))
+      Similarity.ivfPqTopK(coded, "vec_id", "cell", "pq_code",
+          coarse, books, queryVec, 10, nProbe = 4)
+        .withColumn("adc_cosine", round(col("adc_cosine"), 6) + lit(0.0))
+        .orderBy(desc("adc_cosine"), col("vec_id"))
+    }),
+
+    // corpus snapshot diff by content hash: yesterday's crawl vs today's
+    // (drops, edits, and additions synthesized deterministically from
+    // doc_id), labeled added/removed/changed/unchanged in one
+    // full-outer join on the id — incremental-ingestion bookkeeping
+    "q94_snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents")
+      val old = docs.select(col("doc_id"), col("text"))
+      val newer = docs
+        .filter(col("doc_id") % 17 =!= 0) // 1/17 removed
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .filter(col("doc_id") % 5 === 0)) // additions under new ids
+      graft.pipeline.Corpus.snapshotDiff(old, newer, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("status")
     })
   )
 
@@ -2049,6 +2091,25 @@ object SparkEntry {
       s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
     },
 
+    "q94_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id)
+        |SELECT status, cast(count(*) as bigint) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
     "q91_oov_rate" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
@@ -2165,7 +2226,8 @@ object SparkEntry {
         |WHERE sample_rank <= 40
         |ORDER BY source, sample_rank""".stripMargin
     // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
-    // fingerprint), q84 (PQ ANN), q92 (iterative MMR) are approximate/
-    // engine-specific or not ANSI-SQL-expressible => rows-only check
+    // fingerprint), q84 (PQ ANN), q92 (iterative MMR), q93 (IVF-PQ) are
+    // approximate/engine-specific or not ANSI-SQL-expressible =>
+    // rows-only check
   )
 }

@@ -190,6 +190,32 @@ object Corpus {
       .drop("__cum")
   }
 
+  // ------------------------------------------------------ snapshot diff
+
+  /**
+   * Corpus snapshot diff by content hash — the bookkeeping step of
+   * incremental ingestion (what changed between yesterday's crawl and
+   * today's): full outer join on the id, rows labeled added / removed /
+   * changed / unchanged. One shuffle on the id (or zero with both
+   * snapshots bucketed by id, the layout an incremental pipeline would
+   * persist anyway); hashes compare constant-size digests, not texts.
+   */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__oldh"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__newh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__oldh").isNull, lit("added"))
+          .when(col("__newh").isNull, lit("removed"))
+          .when(col("__oldh") =!= col("__newh"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__oldh", "__newh")
+  }
+
   // --------------------------------------------------- stratified sampling
 
   /**

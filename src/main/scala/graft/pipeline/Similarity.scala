@@ -256,6 +256,37 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ composed ANN (the standard FAISS shape, non-residual): the
+   * coarse quantizer prunes the scan to `nProbe` cells, and within them
+   * asymmetric distance scores the PQ CODES — at scale both the cell id
+   * and the code column are precomputed/persisted, so a query touches
+   * nProbe partitions of m-byte codes and never reads a raw vector.
+   */
+  def ivfPqTopK(
+      coded: DataFrame,
+      idCol: String,
+      cellCol: String,
+      codeCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      query: Array[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = coarse.indices
+      .sortBy(c => (-cos(query, coarse(c)), c))
+      .take(nProbe)
+    pqAdcTopK(coded.filter(col(cellCol).isin(probes: _*)),
+      idCol, codeCol, codebooks, query, k)
+  }
+
+  /**
    * Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
    * two-stage retrieval — a DISTRIBUTED exact top-`candidates` prune,
    * then the greedy diversity re-rank over that k-bounded set on the

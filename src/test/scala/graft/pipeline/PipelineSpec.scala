@@ -462,6 +462,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("IVF-PQ with all cells probed equals plain PQ ADC; pruned probe keeps recall") {
+    val dim = 16
+    val vecs = (0L until 300L).map { i =>
+      val c = (i % 6).toInt
+      (i, Array.tabulate(dim)(d =>
+        (if (d % 6 == c) 8f else 0f) + ((i * 11 + d) % 7).toFloat / 10f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = Array.tabulate(dim)(d => if (d % 6 == 2) 8.0 else 0.1)
+    val coarse = Similarity.trainIvfCentroids(df, "vec_id", "embedding", k = 6)
+    val books = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    val coded = df.select($"vec_id",
+      graft.internal.exprColumn(NearestCentroid(
+        graft.internal.columnExpr($"embedding"), coarse)).as("cell"),
+      Similarity.pqEncodeCol($"embedding", books).as("pq_code"))
+    val full = Similarity.ivfPqTopK(coded, "vec_id", "cell", "pq_code",
+      coarse, books, query, 10, nProbe = 6).as[(Long, Double)].collect().toSeq
+    val pq = Similarity.pqAdcTopK(coded, "vec_id", "pq_code", books, query, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == pq, "nProbe=all must equal unpruned PQ ADC")
+    val pruned = Similarity.ivfPqTopK(coded, "vec_id", "cell", "pq_code",
+      coarse, books, query, 10, nProbe = 2).select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned.intersect(exact).size >= 5, s"IVF-PQ recall too low: ${pruned.intersect(exact).size}")
+  }
+
+  test("snapshotDiff labels added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newer = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(old, newer, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+  }
+
   test("unigramLogProb ranks repetitive text above rare-token soup") {
     val df = Seq(
       (1L, "the the the the the the the the"), // all high-frequency
