@@ -194,4 +194,28 @@ class RelationalJoinSpec extends AnyFunSuite {
         3L -> None, 4L -> None))
     } finally q.stop()
   }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // the 100 TB fact-to-fact pattern: both sides written bucketed on the
+    // join key join WITHOUT any Exchange — only sorts above the scans
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_cust")
+    try {
+      (1L to 500L).map(i => (i, i % 40, i * 2.5)).toDF("oid", "ck", "amt")
+        .write.bucketBy(8, "ck").sortBy("ck").saveAsTable("bt_orders")
+      (0L to 39L).map(i => (i, s"c$i")).toDF("ck", "name")
+        .write.bucketBy(8, "ck").saveAsTable("bt_cust")
+      val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      try {
+        val joined = spark.table("bt_orders").join(spark.table("bt_cust"), "ck")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        assert(joined.count() == 500)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_orders")
+      spark.sql("DROP TABLE IF EXISTS bt_cust")
+    }
+  }
 }
