@@ -1260,6 +1260,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("status")
+    }),
+
+    // token-distribution drift per source between snapshots: KL(new||old)
+    // with add-one smoothing over the joint vocabulary; per-term
+    // contributions fold as decimal(24,8) so the ln()-based divergence
+    // hash-matches cross-engine. The monitoring alarm for "this crawl
+    // source changed character since yesterday".
+    "q95_token_drift" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents")
+      val old = docs.select(col("source"), col("text"))
+      val newer = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" breaking update coverage tonight")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.tokenDrift(old, newer, "source", "text")
+        .orderBy("source")
     })
   )
 
@@ -2090,6 +2109,42 @@ object SparkEntry {
         "documents", "doc_id", "text")
       s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
     },
+
+    "q95_token_drift" ->
+      """WITH old AS (SELECT source, text FROM documents),
+        |newer AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' breaking update coverage tonight'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |co AS (
+        |  SELECT source, tok, count(*) AS c_o FROM (
+        |    SELECT source, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |    FROM old) GROUP BY source, tok),
+        |cn AS (
+        |  SELECT source, tok, count(*) AS c_n FROM (
+        |    SELECT source, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |    FROM newer) GROUP BY source, tok),
+        |joint AS (
+        |  SELECT source, tok, coalesce(c_o, 0) AS c_o, coalesce(c_n, 0) AS c_n
+        |  FROM co FULL OUTER JOIN cn USING (source, tok)),
+        |tot AS (
+        |  SELECT source, sum(c_o) AS n_old_tokens, sum(c_n) AS n_new_tokens,
+        |         count(*) AS joint_vocab
+        |  FROM joint GROUP BY source)
+        |SELECT j.source,
+        |  cast(t.n_old_tokens as bigint) AS n_old_tokens,
+        |  cast(t.n_new_tokens as bigint) AS n_new_tokens,
+        |  cast(t.joint_vocab as bigint) AS joint_vocab,
+        |  round(cast(sum(cast(round(
+        |    ((c_n + 1)::DOUBLE / (t.n_new_tokens + t.joint_vocab)) *
+        |    ln(((c_n + 1)::DOUBLE / (t.n_new_tokens + t.joint_vocab)) /
+        |       ((c_o + 1)::DOUBLE / (t.n_old_tokens + t.joint_vocab))), 8)
+        |    as decimal(24,8))) as double), 6) + 0.0 AS kl_divergence
+        |FROM joint j JOIN tot t USING (source)
+        |GROUP BY j.source, t.n_old_tokens, t.n_new_tokens, t.joint_vocab
+        |ORDER BY j.source""".stripMargin,
 
     "q94_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),

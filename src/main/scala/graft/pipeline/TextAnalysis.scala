@@ -119,6 +119,47 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6) + lit(0.0))
   }
 
+  /**
+   * Token-distribution drift between two corpus snapshots, per group:
+   * KL(new || old) with add-one smoothing over the joint vocabulary —
+   * the monitoring signal that a source's content shifted between
+   * crawls. p(t) = (cnt(t)+1)/(N+V); per-term contributions round to 8
+   * decimals and sum as decimal(24,8) (order-independent, hash-exact
+   * cross-engine). Shuffles on (group, token) with map-side combine;
+   * output one row per group: (group, n_old_tokens, n_new_tokens,
+   * joint_vocab, kl_divergence).
+   */
+  def tokenDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, cName: String) =
+      df.select(col(groupCol), explode(split(trim(col(textCol)), "\\s+")).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .groupBy(col(groupCol), col("__tok"))
+        .agg(count(lit(1)).as(cName))
+    val joint = counts(oldDf, "__co").join(counts(newDf, "__cn"),
+        Seq(groupCol, "__tok"), "full_outer")
+      .na.fill(0L, Seq("__co", "__cn"))
+    val totals = joint.groupBy(col(groupCol)).agg(
+      sum(col("__co")).as("n_old_tokens"),
+      sum(col("__cn")).as("n_new_tokens"),
+      count(lit(1)).as("joint_vocab"))
+    joint.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__po",
+        (col("__co") + 1).cast("double") / (col("n_old_tokens") + col("joint_vocab")))
+      .withColumn("__pn",
+        (col("__cn") + 1).cast("double") / (col("n_new_tokens") + col("joint_vocab")))
+      .withColumn("__term",
+        round(col("__pn") * log(col("__pn") / col("__po")), 8).cast("decimal(24,8)"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_old_tokens")).as("n_old_tokens"),
+        first(col("n_new_tokens")).as("n_new_tokens"),
+        first(col("joint_vocab")).as("joint_vocab"),
+        (round(sum(col("__term")).cast("double"), 6) + lit(0.0)).as("kl_divergence"))
+  }
+
   /** The same computation as portable SQL (shared by tests/oracles). */
   def unigramLogProbSql(table: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol, n_tokens,

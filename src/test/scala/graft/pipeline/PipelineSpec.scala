@@ -497,6 +497,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
   }
 
+  test("tokenDrift: identical snapshots give ~0 KL, real drift is larger") {
+    val stable = Seq(("s1", "alpha beta gamma delta"), ("s1", "alpha beta epsilon"))
+      .toDF("source", "text")
+    val same = TextAnalysis.tokenDrift(stable, stable, "source", "text")
+      .select("kl_divergence").as[Double].head()
+    assert(same == 0.0, s"identical snapshots drifted: $same")
+    val drifted = Seq(("s1", "zeta eta theta iota kappa lambda"))
+      .toDF("source", "text")
+    val kl = TextAnalysis.tokenDrift(stable, drifted, "source", "text")
+      .select("kl_divergence").as[Double].head()
+    assert(kl > 0.1, s"full vocabulary swap should drift hard: $kl")
+    // partitioning-independent (decimal fold)
+    val again = TextAnalysis.tokenDrift(stable.repartition(4), drifted, "source", "text")
+      .select("kl_divergence").as[Double].head()
+    assert(kl == again)
+  }
+
   test("unigramLogProb ranks repetitive text above rare-token soup") {
     val df = Seq(
       (1L, "the the the the the the the the"), // all high-frequency
