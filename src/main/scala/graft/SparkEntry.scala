@@ -1168,9 +1168,10 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
-    // greedy next-fit sequence packing into 4096-token shards, packed
-    // independently per source (the window partitions by source, so
-    // packing parallelizes across groups instead of one global sort)
+    // contiguous token-offset sharding into 4096-token target shards
+    // (concatenate-then-split assignment: a straddling doc belongs to
+    // the shard it starts in), packed independently per source (the
+    // window partitions by source — never a global sort)
     "q89_pack_sequences" -> ((s: SparkSession, dir: String) => {
       init(s)
       view(s, dir, "documents")
@@ -2224,7 +2225,7 @@ object SparkEntry {
         |  FROM documents WHERE trim(text) <> ''),
         |chunks AS (
         |  SELECT doc_id,
-        |    unnest(generate_series(0, cast(floor((len(t) - 1) / 40.0) as int))) AS chunk_id,
+        |    unnest(generate_series(0, greatest(0, cast(floor((len(t) - 9) / 40.0) as int)))) AS chunk_id,
         |    t
         |  FROM toks)
         |SELECT doc_id, cast(chunk_id as int) AS chunk_id,

@@ -155,11 +155,16 @@ object Corpus {
     require(overlap >= 0 && overlap < chunkSize,
       s"bad overlap $overlap for chunk size $chunkSize")
     val stride = chunkSize - overlap
+    // chunk k contributes new tokens iff k*stride+overlap < n (otherwise
+    // it lies entirely inside chunk k-1 and would duplicate training
+    // text); chunk 0 always exists => maxK = max(0, ceil((n-overlap)/stride)-1)
     df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
       .filter(trim(col(textCol)) =!= "")
       .withColumn("chunk_id",
         explode(sequence(lit(0),
-          floor((size(col("__toks")) - 1).cast("double") / stride).cast("int"))))
+          greatest(lit(0),
+            floor((size(col("__toks")) - overlap - 1).cast("double") / stride)
+              .cast("int")))))
       .withColumn("__slice",
         slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
       .withColumn("chunk_text", array_join(col("__slice"), " "))
@@ -168,11 +173,15 @@ object Corpus {
   }
 
   /**
-   * Greedy next-fit sequence packing: assign documents (in deterministic
-   * id order within each group) to consecutive fixed-token-budget shards
-   * — shard = floor(cumulativeTokensBefore / budget). The window
-   * partitions by `groupCol`, so packing parallelizes across groups
-   * (at 100 TB: pack per source/date partition, never a global sort).
+   * Contiguous token-offset sharding: documents (in deterministic id
+   * order within each group) are laid out on a token axis and assigned
+   * to the shard where they START — shard = floor(cumTokensBefore /
+   * budget). This is the concatenate-then-split assignment a sequence-
+   * packing pipeline uses: a shard can run over the budget by less than
+   * one document (the straddler belongs to the shard it starts in), so
+   * budget is a target, not a hard cap. The window partitions by
+   * `groupCol`, so packing parallelizes across groups (at 100 TB: pack
+   * per source/date partition, never a global sort).
    */
   def packSequences(
       df: DataFrame,

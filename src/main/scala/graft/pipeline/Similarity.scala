@@ -22,6 +22,20 @@ import graft.internal.{columnExpr, exprColumn}
  */
 object Similarity {
 
+  /** Driver-side cosine over the shorter common prefix (shared by the
+    * probe-selection and re-ranking paths). */
+  private def cosVec(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The nProbe centroid ids nearest the query (cosine, id tie-break). */
+  private def selectProbes(
+      centroids: Array[Array[Double]], query: Array[Double], nProbe: Int): Seq[Int] =
+    centroids.indices.sortBy(c => (-cosVec(query, centroids(c)), c)).take(nProbe)
+
   /** Cosine similarity column between an array<float/double> col and a literal query vector. */
   def cosineCol(vecCol: String, query: Array[Double]): Column =
     cosineCols(col(vecCol), typedLit(query))
@@ -105,8 +119,12 @@ object Similarity {
       val assigned = df.select(
         exprColumn(NearestCentroid(columnExpr(col(vecCol)), cents)).as("__cluster"),
         posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      // decimal fold => the mean is independent of partial-aggregate
+      // combine order, so training is bit-reproducible across runs and
+      // partitionings (matching the determinism contract elsewhere)
       val rows = assigned.groupBy("__cluster", "__dim")
-        .agg(avg(col("__v")).as("__m"))
+        .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("__m"))
         .collect()
       val next = cents.map(_.clone())
       rows.foreach { r =>
@@ -131,17 +149,7 @@ object Similarity {
       query: Array[Double],
       k: Int,
       nProbe: Int): DataFrame = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = centroids.indices
-      .sortBy(c => (-cos(query, centroids(c)), c))
-      .take(nProbe)
+    val probes = selectProbes(centroids, query, nProbe)
     df.filter(exprColumn(NearestCentroid(columnExpr(col(vecCol)), centroids))
         .isin(probes: _*))
       .select(col(idCol), cosineCol(vecCol, query).as("cosine"))
@@ -189,7 +197,10 @@ object Similarity {
         .select(col("__dim"),
           element_at(col("__a"), (col("__dim") / sub).cast("int") + 1).as("__cl"),
           col("__v"))
-        .groupBy("__dim", "__cl").agg(avg(col("__v")).as("__mean"))
+        // decimal fold: order-independent means => reproducible codebooks
+        .groupBy("__dim", "__cl")
+        .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("__mean"))
         .collect()
       val next = books.map(_.map(_.clone()))
       rows.foreach { r =>
@@ -272,16 +283,7 @@ object Similarity {
       query: Array[Double],
       k: Int,
       nProbe: Int): DataFrame = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = coarse.indices
-      .sortBy(c => (-cos(query, coarse(c)), c))
-      .take(nProbe)
+    val probes = selectProbes(coarse, query, nProbe)
     pqAdcTopK(coded.filter(col(cellCol).isin(probes: _*)),
       idCol, codeCol, codebooks, query, k)
   }
@@ -313,18 +315,13 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Number](2).map(_.doubleValue()).toArray))
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
     val picked = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
     var rank = 1
     while (rank <= k && remaining.nonEmpty) {
       val scored = remaining.map { case (id, rel, v) =>
-        val maxSim = if (picked.isEmpty) 0.0 else picked.map(p => cos(v, p)).max
+        val maxSim = if (picked.isEmpty) 0.0 else picked.map(p => cosVec(v, p)).max
         (lambda * rel - (1 - lambda) * maxSim, id, rel, v)
       }
       val best = scored.minBy { case (s, id, _, _) => (-s, id) }

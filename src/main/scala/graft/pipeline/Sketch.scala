@@ -115,12 +115,12 @@ object Sketch {
    * cardinality, which is the whole point at 100 TB: frequency estimates
    * without a per-key shuffle. Returns (depth, bucket, cnt).
    */
-  def cmsTable(df: DataFrame, keyCol: String): DataFrame = {
-    val stacked = (0 until CmsDepth).map { d =>
-      df.select(lit(d).as("depth"), cmsBucket(col(keyCol), d).as("bucket"))
-    }.reduce(_.unionAll(_))
-    stacked.groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
-  }
+  def cmsTable(df: DataFrame, keyCol: String): DataFrame =
+    df.select(explode(array((0 until CmsDepth).map { d =>
+        struct(lit(d).as("depth"), cmsBucket(col(keyCol), d).as("bucket"))
+      }: _*)).as("__e"))
+      .select(col("__e.depth").as("depth"), col("__e.bucket").as("bucket"))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
 
   /**
    * Point-estimate the frequency of each row of `candidates` (small —
@@ -130,13 +130,17 @@ object Sketch {
    * (estimate >= true count, over-count bounded by ~2n/width w.h.p.).
    */
   def cmsEstimate(candidates: DataFrame, cms: DataFrame, keyCol: String): DataFrame = {
-    val probes = (0 until CmsDepth).map { d =>
-      candidates.select(col(keyCol), lit(d).as("depth"),
-        cmsBucket(col(keyCol), d).as("bucket"))
-    }.reduce(_.unionAll(_))
-    probes.join(broadcast(cms), Seq("depth", "bucket"))
+    val probes = candidates.select(col(keyCol),
+        explode(array((0 until CmsDepth).map { d =>
+          struct(lit(d).as("depth"), cmsBucket(col(keyCol), d).as("bucket"))
+        }: _*)).as("__e"))
+      .select(col(keyCol), col("__e.depth").as("depth"), col("__e.bucket").as("bucket"))
+    // LEFT join: a probe that hashes into an untouched counter cell has
+    // count 0 there, and the min must see that 0 — an inner join would
+    // silently inflate (or drop) keys absent from the sketched data
+    probes.join(broadcast(cms), Seq("depth", "bucket"), "left")
       .groupBy(keyCol)
-      .agg(min(col("cnt")).as("cms_estimate"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
   /** The CMS estimate per candidate key as portable SQL (tests/oracles).
@@ -150,9 +154,9 @@ object Sketch {
     val probes = (0 until CmsDepth)
       .map(d => s"SELECT $keyCol, $d AS depth, ${bucketSql(d)} AS bucket FROM ($candSql)")
       .mkString("\nUNION ALL\n")
-    s"""SELECT $keyCol, min(cnt) AS cms_estimate
+    s"""SELECT $keyCol, min(coalesce(cnt, 0)) AS cms_estimate
        |FROM ($probes) p
-       |JOIN (SELECT depth, bucket, count(*) AS cnt FROM ($stack) GROUP BY depth, bucket) s
+       |LEFT JOIN (SELECT depth, bucket, count(*) AS cnt FROM ($stack) GROUP BY depth, bucket) s
        |USING (depth, bucket)
        |GROUP BY $keyCol""".stripMargin
   }
@@ -176,9 +180,9 @@ object Sketch {
    * never correctness.
    */
   def bloomBits(keys: DataFrame, keyCol: String): Array[Long] = {
-    val positions = (0 until BloomHashes).map { i =>
-      keys.select(bloomPos(col(keyCol), i).as("pos"))
-    }.reduce(_.unionAll(_)).distinct()
+    val positions = keys.select(explode(array((0 until BloomHashes).map { i =>
+        bloomPos(col(keyCol), i)
+      }: _*)).as("pos")).distinct()
     val words = new Array[Long](BloomBits / 64)
     positions.collect().foreach { r =>
       val p = r.getInt(0)
@@ -236,11 +240,14 @@ object Sketch {
    * Output: one row per group with `est_q<NN>` per requested quantile.
    */
   def histQuantiles(
-      df: DataFrame,
+      dfRaw: DataFrame,
       valCol: String,
       groupCols: Seq[String],
       qs: Seq[Double],
       nBins: Int = 128): DataFrame = {
+    // null measurements are ignored, matching percentile()/quantile_cont
+    // semantics — otherwise they'd inflate __n and pollute the first bin
+    val df = dfRaw.filter(col(valCol).isNotNull)
     val g = groupCols.map(col)
     val stats = df.groupBy(g: _*).agg(
       min(col(valCol)).cast("double").as("__lo"),
@@ -294,10 +301,10 @@ object Sketch {
        |             THEN least(cast(floor((cast($valCol as double) - lo) / ((hi - lo) / $nBins)) as int), ${nBins - 1})
        |             ELSE 0 END AS b,
        |        lo, hi, n
-       |      FROM $table t
+       |      FROM (SELECT * FROM $table WHERE $valCol IS NOT NULL) t
        |      JOIN (SELECT $groupCol, cast(min($valCol) as double) AS lo,
        |                   cast(max($valCol) as double) AS hi, count(*) AS n
-       |            FROM $table GROUP BY $groupCol) s
+       |            FROM $table WHERE $valCol IS NOT NULL GROUP BY $groupCol) s
        |      USING ($groupCol))
        |    GROUP BY $groupCol, b, lo, hi, n))
        |GROUP BY $groupCol""".stripMargin

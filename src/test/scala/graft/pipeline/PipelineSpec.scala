@@ -409,9 +409,18 @@ class PipelineSpec extends AnyFunSuite {
     // short doc => single partial chunk; whitespace-only doc => no chunks
     assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq(2L))
     assert(!out.exists(_._1 == 3L))
+    // a tail shorter than the overlap must NOT produce a degenerate chunk
+    // fully contained in the previous one (88 tokens: chunk 2 would be
+    // tokens 81..88 = exactly chunk 1's overlap tail)
+    val d88 = Corpus.chunkTokens(
+        Seq((9L, (1 to 88).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+        "text", 48, 8)
+      .select("chunk_id", "n_chunk_tokens").as[(Int, Long)].collect().sortBy(_._1)
+    assert(d88.map(_._1).toSeq == Seq(0, 1), s"degenerate tail chunk: ${d88.toSeq}")
+    assert(d88.map(_._2).toSeq == Seq(48L, 48L))
   }
 
-  test("packSequences: shards respect the budget boundary per group") {
+  test("packSequences: offset sharding assigns docs to the shard they start in") {
     val df = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b",
       (1 to 50).map(j => s"w$j").mkString(" "))).toDF("doc_id", "source", "text")
     val out = Corpus.packSequences(df, "source", "doc_id", "text", 120)

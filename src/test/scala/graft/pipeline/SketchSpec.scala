@@ -69,6 +69,20 @@ class SketchSpec extends AnyFunSuite {
     assert(row == 42.0)
   }
 
+  test("CMS probes for absent keys see empty counter cells as zero") {
+    // sketch tiny data so most of the 4x256 cells stay empty; a key the
+    // sketch never saw must estimate (near) zero via its empty cells,
+    // not inherit a collision cell's count through an inner join
+    val df = (1L to 10L).toDF("k")
+    val cands = Seq(999999L, 888888L, 1L).toDF("k")
+    val est = Sketch.cmsEstimate(cands, Sketch.cmsTable(df, "k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set(999999L, 888888L, 1L), "absent keys must not vanish")
+    assert(est(999999L) == 0L && est(888888L) == 0L,
+      s"absent keys should hit an empty cell: $est")
+    assert(est(1L) >= 1L)
+  }
+
   test("bloom filter: no false negatives, usable FP rate, layout-stable") {
     val keys = (0L until 500L).map(_ * 3 + 1).toDF("k")
     val words = Sketch.bloomBits(keys, "k")
