@@ -1280,6 +1280,21 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       TextAnalysis.tokenDrift(old, newer, "source", "text")
         .orderBy("source")
+    }),
+
+    // the HLL sketch as a SQL AGGREGATE (TypedImperativeAggregate,
+    // 256-byte buffer, map-side combined): same md5 layout as q79's
+    // DataFrame op, so even through the UDAF path the APPROXIMATE
+    // estimate hash-matches the DuckDB oracle. GROUP BY lang x source
+    // exercises many small groups through the fixed-size buffers.
+    "q96_hll_sql_agg" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      s.sql(
+        """SELECT lang, source, hll_distinct(doc_id) AS hll_estimate,
+          |  cast(count(DISTINCT doc_id) as bigint) AS exact_distinct
+          |FROM documents GROUP BY lang, source
+          |ORDER BY lang, source""".stripMargin)
     })
   )
 
@@ -2109,6 +2124,16 @@ object SparkEntry {
       val lp = graft.pipeline.TextAnalysis.unigramLogProbSql(
         "documents", "doc_id", "text")
       s"SELECT doc_id, n_tokens, lp_mean FROM ($lp) ORDER BY doc_id"
+    },
+
+    "q96_hll_sql_agg" -> {
+      val hll = graft.pipeline.Sketch.hllSql("documents", "doc_id", "lang, source")
+      s"""SELECT h.lang, h.source, h.hll_estimate, e.exact_distinct
+         |FROM ($hll) h
+         |JOIN (SELECT lang, source,
+         |        cast(count(DISTINCT doc_id) as bigint) AS exact_distinct
+         |      FROM documents GROUP BY lang, source) e USING (lang, source)
+         |ORDER BY h.lang, h.source""".stripMargin
     },
 
     "q95_token_drift" ->

@@ -447,5 +447,6 @@ object TextRegistry {
     reg("text_stats", exprs => TextStats(exprs.head))
     reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
     reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
+    reg("hll_distinct", HllDistinctAgg.builder)
   }
 }

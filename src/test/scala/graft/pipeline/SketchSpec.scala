@@ -69,6 +69,22 @@ class SketchSpec extends AnyFunSuite {
     assert(row == 42.0)
   }
 
+  test("hll_distinct SQL aggregate is bit-identical to the DataFrame op") {
+    graft.pipeline.TextRegistry.register(spark)
+    val df = (1L to 20000L).map(i => (s"g${i % 3}", i % (700 + 100 * (i % 3)).max(1)))
+      .toDF("g", "k")
+    df.createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+        "SELECT g, hll_distinct(k) AS e FROM hll_in GROUP BY g ORDER BY g")
+      .as[(String, Double)].collect().toSeq
+    val viaDf = Sketch.hllDistinct(df, "k", Seq("g"))
+      .select($"g", $"hll_estimate").orderBy("g")
+      .as[(String, Double)].collect().toSeq
+    assert(viaSql == viaDf, s"$viaSql != $viaDf")
+    // estimate lands in the expected band
+    viaSql.foreach { case (_, e) => assert(e > 300 && e < 1200) }
+  }
+
   test("CMS probes for absent keys see empty counter cells as zero") {
     // sketch tiny data so most of the 4x256 cells stay empty; a key the
     // sketch never saw must estimate (near) zero via its empty cells,
