@@ -1295,6 +1295,30 @@ object SparkEntry {
           |  cast(count(DISTINCT doc_id) as bigint) AS exact_distinct
           |FROM documents GROUP BY lang, source
           |ORDER BY lang, source""".stripMargin)
+    }),
+
+    // incremental ingest dedup: an incoming batch (2/3 re-crawls of
+    // yesterday's content under new ids, 1/3 genuinely new + within-batch
+    // repeats) deduped against history — bloom prune feeds the exact
+    // digest anti-join, so false positives cost a join probe, never a
+    // wrong answer. Result = exactly the new distinct content.
+    "q97_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents")
+      val history = docs.select(col("doc_id"), col("text"))
+      val incoming = docs
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("fresh take "), col("text"))) // genuinely new content
+            .otherwise(col("text")).as("text")) // exact re-crawl
+        .unionAll(docs.filter(col("doc_id") % 10 === 0) // within-batch repeats
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(lit("fresh take "), col("text")).as("text")))
+      graft.pipeline.Dedup
+        .dedupAgainstHistory(incoming, history, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2135,6 +2159,25 @@ object SparkEntry {
          |      FROM documents GROUP BY lang, source) e USING (lang, source)
          |ORDER BY h.lang, h.source""".stripMargin
     },
+
+    "q97_incremental_dedup" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'fresh take ' || text ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, 'fresh take ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |nohist AS (
+        |  SELECT i.doc_id, i.text FROM incoming i
+        |  ANTI JOIN (SELECT DISTINCT md5(text) AS h FROM documents) hh
+        |  ON md5(i.text) = hh.h),
+        |ranked AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM nohist)
+        |SELECT doc_id, md5(text) AS text_md5 FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q95_token_drift" ->
       """WITH old AS (SELECT source, text FROM documents),

@@ -49,6 +49,55 @@ object Dedup {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(contentCol)
 
+  /**
+   * Streaming near-dup ingest filter: drops documents whose SimHash
+   * fingerprint was already seen inside the watermark horizon — catches
+   * lightly-edited re-posts that exact dedup misses (same 64-bit
+   * fingerprint <=> near-identical token multiset), with
+   * watermark-bounded state of 8 bytes + key per distinct fingerprint.
+   * Approximate by construction: a fingerprint collision drops a
+   * distinct doc with probability ~2^-64 per pair.
+   */
+  def nearDupStreaming(
+      df: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String): DataFrame =
+    df.withColumn("__fp", exprColumn(SimHash64(columnExpr(col(textCol)))))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /**
+   * Incremental ingest dedup: keep only incoming docs whose content was
+   * NOT in the historical corpus, then exact-dedup within the batch.
+   * The bloom filter of historical digests prunes the probe scan BEFORE
+   * the anti-join shuffles anything (q85's pattern in its real role);
+   * false positives survive the prune and are removed by the exact
+   * anti-join on the digest, so the result is exactly
+   * "new distinct content".
+   */
+  def dedupAgainstHistory(
+      incoming: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val hist = history.select(md5(col(contentCol)).as("__h")).distinct()
+    val words = Sketch.bloomBits(hist, "__h")
+    val inCols = incoming.columns.map(col).toSeq
+    val withH = incoming.withColumn("__h", md5(col(contentCol)))
+    // definitely-new rows (bloom miss) skip the join entirely; only
+    // possible-members join against the historical digest set. Project
+    // both branches back to the incoming schema — the using-join would
+    // otherwise reorder columns under the positional union.
+    val misses = withH
+      .filter(!Sketch.bloomContains(col("__h"), words)).select(inCols: _*)
+    val hits = withH
+      .filter(Sketch.bloomContains(col("__h"), words))
+      .join(hist, Seq("__h"), "left_anti").select(inCols: _*)
+    exact(misses.unionAll(hits), idCol, contentCol)
+  }
+
   /** Group-by summary of exact duplicates: content hash -> group size + representative. */
   def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(xxhash64(col(contentCol)).as("content_hash"))

@@ -367,6 +367,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(loose(0)._2 == "unique alpha\nCOOKIE BANNER\nunique beta")
   }
 
+  test("dedupAgainstHistory keeps exactly the new distinct content") {
+    val history = (1L to 200L).map(i => (i, s"old doc $i")).toDF("doc_id", "text")
+    val incoming = (
+      (1L to 50L).map(i => (1000 + i, s"old doc $i")) ++ // re-crawls
+      (1L to 30L).map(i => (2000 + i, s"new doc $i")) ++ // new
+      (1L to 30L).map(i => (3000 + i, s"new doc $i")) // within-batch dups
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstHistory(incoming, history, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSet == (1L to 30L).map(i => s"new doc $i").toSet)
+    assert(out.map(_._1).toSeq == (1L to 30L).map(2000 + _), "smallest id wins")
+  }
+
+  test("nearDupStreaming drops same-fingerprint re-posts within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "id", "text")
+    val out = Dedup.nearDupStreaming(stream, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        (t(1), 1L, "the quick brown fox jumps over the lazy dog"),
+        (t(2), 2L, "completely different content about spark plans"),
+        // same token multiset as doc 1 (reordered) => same SimHash
+        (t(3), 3L, "the lazy dog jumps over the quick brown fox"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_stream").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L), s"expected near-dup 3 dropped, got $ids")
+    } finally q.stop()
+  }
+
   test("scrubRepeatedSpans masks cross-doc template spans, keeps unique text") {
     val slogan = "buy our product now it is great"  // 7 tokens
     val df = Seq(
