@@ -1319,6 +1319,21 @@ object SparkEntry {
         .dedupAgainstHistory(incoming, history, "doc_id", "text")
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // deterministic shard assignment (the training-run "global shuffle"):
+    // shard = md5(doc_id) mod 64, a pure codegen projection — no sort,
+    // no shuffle, reproducible cross-engine; shard sizes come out
+    // uniform and ingest-order-free. Report = per-shard composition.
+    "q98_shard_assign" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Corpus.assignShards(s.table("documents"), "doc_id", 64)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("shard")
     })
   )
 
@@ -2159,6 +2174,13 @@ object SparkEntry {
          |      FROM documents GROUP BY lang, source) e USING (lang, source)
          |ORDER BY h.lang, h.source""".stripMargin
     },
+
+    "q98_shard_assign" ->
+      """SELECT cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 64 as int) AS shard,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS n_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q97_incremental_dedup" ->
       """WITH incoming AS (

@@ -199,6 +199,21 @@ object Corpus {
       .drop("__cum")
   }
 
+  // ------------------------------------------------------ shard assignment
+
+  /**
+   * Deterministic training-shard assignment: shard = md5 bucket of the
+   * id mod `nShards`. A pure codegen projection — no sort, no shuffle,
+   * no RNG state — yet statistically uniform and decorrelated from ingest
+   * order (the "global shuffle" a training run needs). Reproducible:
+   * the same doc lands in the same shard on every engine and rerun; at
+   * write time the column becomes `partitionBy("shard")`.
+   */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard",
+      (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % nShards).cast("int"))
+
   // ------------------------------------------------------ snapshot diff
 
   /**
