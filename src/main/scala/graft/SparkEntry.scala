@@ -1334,6 +1334,25 @@ object SparkEntry {
           sum(col("n_chars")).as("n_chars"),
           min(col("doc_id")).as("min_id"))
         .orderBy("shard")
+    }),
+
+    // Shapefile write -> read round-trip (writer counterpart of the
+    // pure-Scala reader): customer points + N/C attributes through
+    // .shp/.shx/.dbf bytes and back; coordinates and attributes must
+    // survive bit-exact (closed-form oracle, like q60's GeoPackage trip)
+    "q99_shapefile_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_q99_shp")
+      tmpDir.mkdirs()
+      val base = new java.io.File(tmpDir, "cust").getAbsolutePath
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", "c_name", s"$custPt AS geometry")
+        .orderBy("c_custkey")
+      graft.sources.Shapefile.write(cust, base, "geometry")
+      graft.api.GeoIO.readShapefile(s, tmpDir.getAbsolutePath).df
+        .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
     })
   )
 
@@ -2174,6 +2193,11 @@ object SparkEntry {
          |      FROM documents GROUP BY lang, source) e USING (lang, source)
          |ORDER BY h.lang, h.source""".stripMargin
     },
+
+    "q99_shapefile_roundtrip" ->
+      s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
+         |  $oCustX AS gx, $oCustY AS gy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q98_shard_assign" ->
       """SELECT cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 64 as int) AS shard,

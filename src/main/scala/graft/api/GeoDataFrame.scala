@@ -211,6 +211,11 @@ object GeoIO {
   def readShapefile(spark: SparkSession, path: String): GeoDataFrame =
     GeoDataFrame(graft.sources.Shapefile.read(spark, path))
 
+  /** Write one ESRI shapefile (.shp/.shx/.dbf; driver-side single-file
+    * export — results, not raw inputs). */
+  def writeShapefile(df: DataFrame, basePath: String, geomCol: String = "geometry"): Unit =
+    graft.sources.Shapefile.write(df, basePath, geomCol)
+
   /** Read GeoPackage feature layer(s) — pure-Scala SQLite b-tree + OGC
     * geometry-BLOB parser, one task per .gpkg file (the reference reaches
     * GeoPackage through GDAL; reference: python/geopolars/io/file.py:15-119). */

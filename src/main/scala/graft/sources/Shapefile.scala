@@ -197,6 +197,205 @@ object Shapefile {
     rows.toDF()
   }
 
+  // ----------------------------------------------------------------- write
+
+  /**
+   * Write the DataFrame as one ESRI shapefile (.shp + .shx + .dbf, the
+   * 1998 spec) — driver-side export like the GeoPackage writer: a
+   * shapefile is a single unsplittable file by construction (results,
+   * not raw 100 TB inputs; those belong in GeoParquet). Geometry column
+   * must be WKB; attribute columns become dBase fields (N for integral/
+   * floating, L for boolean, C otherwise). Ring orientation follows the
+   * spec: outer rings clockwise, holes counter-clockwise.
+   */
+  def write(df: DataFrame, basePath: String, geomCol: String = "geometry"): Unit = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(geomCol), s"missing geometry column $geomCol")
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val rows = df.collect()
+
+    // --- dBase field descriptors (string widths from the data, cap 254)
+    val fields = attrs.map { case (f, i) =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => DbfField(f.name.take(10), 'N', 18, 0)
+        case DoubleType | FloatType => DbfField(f.name.take(10), 'N', 24, 6)
+        case BooleanType => DbfField(f.name.take(10), 'L', 1, 0)
+        case _ =>
+          val w = math.max(1, math.min(254,
+            rows.iterator.map(r => if (r.isNullAt(i)) 0 else r.get(i).toString.length)
+              .foldLeft(0)(math.max)))
+          DbfField(f.name.take(10), 'C', w, 0)
+      }
+    }
+
+    def fmtValue(fld: DbfField, v: Any): String = {
+      val s =
+        if (v == null) ""
+        else fld.typ match {
+          case 'N' if fld.dec > 0 => s"%.${fld.dec}f".format(v match {
+            case d: Double => d; case f: Float => f.toDouble
+            case n: Number => n.doubleValue()
+          })
+          case 'N' => v.toString
+          case 'L' => if (v == true) "T" else "F"
+          case _ => v.toString.take(fld.len)
+        }
+      if (fld.typ == 'C') s.padTo(fld.len, ' ')
+      else (" " * (fld.len - s.length)) + s // numeric/logical right-justified
+    }
+
+    // --- geometry records
+    def ringArea(cs: Array[Double]): Double = {
+      var a = 0.0; var i = 0
+      while (i + 3 < cs.length) { a += cs(i) * cs(i + 3) - cs(i + 2) * cs(i + 1); i += 2 }
+      a / 2
+    }
+    def reverse(cs: Array[Double]): Array[Double] = {
+      val out = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        out(i) = cs(cs.length - 2 - i); out(i + 1) = cs(cs.length - 1 - i); i += 2
+      }
+      out
+    }
+    def bboxOf(coords: Seq[Array[Double]]): Array[Double] = {
+      var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+      var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+      coords.foreach { cs =>
+        var i = 0
+        while (i + 1 < cs.length) {
+          xmin = math.min(xmin, cs(i)); xmax = math.max(xmax, cs(i))
+          ymin = math.min(ymin, cs(i + 1)); ymax = math.max(ymax, cs(i + 1))
+          i += 2
+        }
+      }
+      Array(xmin, ymin, xmax, ymax)
+    }
+    def multiPartRecord(shapeType: Int, parts: Seq[Array[Double]]): Array[Byte] = {
+      val numPoints = parts.map(_.length / 2).sum
+      val bb = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * numPoints)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(shapeType)
+      val box = bboxOf(parts)
+      bb.putDouble(box(0)).putDouble(box(1)).putDouble(box(2)).putDouble(box(3))
+      bb.putInt(parts.length).putInt(numPoints)
+      var off = 0
+      parts.foreach { p => bb.putInt(off); off += p.length / 2 }
+      parts.foreach { p => p.foreach(bb.putDouble) }
+      bb.array()
+    }
+    def record(g: Geom): Array[Byte] = g match {
+      case null => ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(0).array()
+      case Point(x, y) =>
+        ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(1).putDouble(x).putDouble(y).array()
+      case MultiPoint(ps) =>
+        val bb = ByteBuffer.allocate(4 + 32 + 4 + 16 * ps.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(8)
+        val box = bboxOf(ps.map(p => Array(p.x, p.y)).toSeq)
+        bb.putDouble(box(0)).putDouble(box(1)).putDouble(box(2)).putDouble(box(3))
+        bb.putInt(ps.length)
+        ps.foreach(p => bb.putDouble(p.x).putDouble(p.y))
+        bb.array()
+      case LineString(cs) => multiPartRecord(3, Seq(cs))
+      case MultiLineString(ls) => multiPartRecord(3, ls.map(_.coords).toSeq)
+      case Polygon(rings) => multiPartRecord(5, orientRings(rings, ringArea, reverse))
+      case MultiPolygon(polys) =>
+        multiPartRecord(5, polys.flatMap(p => orientRings(p.rings, ringArea, reverse)).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"shapefile cannot represent ${other.getClass.getSimpleName}")
+    }
+
+    val geoms = rows.map(r =>
+      if (r.isNullAt(geomIdx)) null
+      else WKB.readOrNull(r.getAs[Array[Byte]](geomIdx)))
+    val recs = geoms.map(record)
+
+    // --- .shp / .shx assembly
+    val totalShp = 100 + recs.map(8 + _.length).sum
+    val shp = ByteBuffer.allocate(totalShp)
+    val shx = ByteBuffer.allocate(100 + 8 * recs.length)
+    def header(bb: ByteBuffer, fileLenBytes: Int): Unit = {
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(9994); bb.position(24); bb.putInt(fileLenBytes / 2)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000)
+      bb.putInt(if (geoms.forall(_ == null)) 0
+        else geoms.collectFirst { case g if g != null => shapeTypeOf(g) }.get)
+      val present = geoms.filter(_ != null)
+      val box =
+        if (present.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
+        else {
+          val es = present.map(_.envelope)
+          Array(es.map(_.minX).min, es.map(_.minY).min,
+            es.map(_.maxX).max, es.map(_.maxY).max)
+        }
+      box.foreach(bb.putDouble)
+      bb.position(100) // z/m ranges stay zero
+    }
+    header(shp, totalShp)
+    header(shx, 100 + 8 * recs.length)
+    var offWords = 50
+    recs.zipWithIndex.foreach { case (rec, i) =>
+      shx.order(ByteOrder.BIG_ENDIAN).putInt(offWords).putInt(rec.length / 2)
+      shp.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(rec.length / 2)
+      shp.put(rec)
+      offWords += 4 + rec.length / 2
+    }
+
+    // --- .dbf assembly
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_.len).sum
+    val dbf = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0x03.toByte).put(Array[Byte](124, 1, 1)) // version, Y2K-era stamp
+    dbf.putInt(rows.length)
+    dbf.putShort(headerSize.toShort).putShort(recordSize.toShort)
+    dbf.position(32)
+    fields.foreach { f =>
+      val name = f.name.getBytes("ascii").padTo(11, 0.toByte)
+      dbf.put(name).put(f.typ.toByte)
+      dbf.position(dbf.position() + 4)
+      dbf.put(f.len.toByte).put(f.dec.toByte)
+      dbf.position(dbf.position() + 14)
+    }
+    dbf.put(0x0d.toByte)
+    rows.foreach { r =>
+      dbf.put(' '.toByte)
+      fields.zip(attrs).foreach { case (f, (_, i)) =>
+        dbf.put(fmtValue(f, if (r.isNullAt(i)) null else r.get(i)).getBytes("ascii"))
+      }
+    }
+    dbf.put(0x1a.toByte)
+
+    val base = basePath.replaceAll("\\.shp$", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shp"), shp.array())
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shx"), shx.array())
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".dbf"), dbf.array())
+  }
+
+  private def shapeTypeOf(g: Geom): Int = g match {
+    case _: Point => 1
+    case _: MultiPoint => 8
+    case _: LineString | _: MultiLineString => 3
+    case _: Polygon | _: MultiPolygon => 5
+    case _ => 0
+  }
+
+  /** Outer rings clockwise (negative signed area in the y-up convention
+    * used by the reader), holes counter-clockwise. */
+  private def orientRings(
+      rings: Array[Array[Double]],
+      area: Array[Double] => Double,
+      rev: Array[Double] => Array[Double]): Seq[Array[Double]] =
+    rings.zipWithIndex.map { case (r, i) =>
+      val a = area(r)
+      if (i == 0) { if (a < 0) r else rev(r) } // outer: CW
+      else { if (a > 0) r else rev(r) } // hole: CCW
+    }.toSeq
+
   /** Load the .dbf next to a .shp through the Hadoop FS API with the
     * session's configuration. */
   private def readSiblingBytes(

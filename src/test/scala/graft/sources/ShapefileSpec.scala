@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.geom.{MultiPolygon, Point, Polygon, WKB}
+import graft.geom.{LineString, MultiLineString, MultiPolygon, Point, Polygon, WKB}
 
 /** Builds tiny .shp/.dbf files byte-by-byte per the public ESRI spec and
   * round-trips them through Shapefile.read. */
@@ -129,6 +129,57 @@ class ShapefileSpec extends AnyFunSuite {
     g match {
       case mp: MultiPolygon => assert(mp.geoms.length == 2)
       case other            => fail(s"expected MultiPolygon, got $other")
+    }
+  }
+
+  test("writer round-trip: points, lines, polygons-with-holes, attributes, nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shp_w").toString
+
+    // points + mixed attribute types (N long, N double, C string, L bool)
+    val pts = Seq(
+      (1L, 2.5, "alpha", true, graft.geom.WKB.write(Point(10.0, -5.25))),
+      (2L, -0.125, "beta", false, graft.geom.WKB.write(Point(-180.0, 90.0))),
+      (3L, 7.0, "gamma", true, null.asInstanceOf[Array[Byte]]) // null shape
+    ).toDF("id", "score", "name", "flag", "geometry")
+    Shapefile.write(pts, s"$dir/pts", "geometry")
+    val back = Shapefile.read(spark, dir).orderBy("id")
+      .select("id", "score", "name", "flag", "geometry").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back.map(_.getDouble(1)).toSeq == Seq(2.5, -0.125, 7.0))
+    assert(back.map(_.getString(2)).toSeq == Seq("alpha", "beta", "gamma"))
+    assert(back.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
+    assert(WKB.read(back(0).getAs[Array[Byte]](4)) == Point(10.0, -5.25))
+    assert(back(2).isNullAt(4)) // null shape survives as SQL NULL
+
+    // polygon with hole: orientation re-derived by the reader
+    val ring = Array(0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0, 0.0, 0.0, 0.0)
+    val hole = Array(2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0, 2.0, 2.0)
+    val dir2 = Files.createTempDirectory("graft_shp_w2").toString
+    val polys = Seq(
+      (1L, graft.geom.WKB.write(Polygon(Array(ring, hole)))),
+      (2L, graft.geom.WKB.write(MultiLineString(Array(
+        LineString(Array(0.0, 0.0, 1.0, 1.0)),
+        LineString(Array(5.0, 5.0, 6.0, 7.0))))))
+    ).toDF("id", "geometry")
+    // write polygons and lines as separate files (one shape type per file)
+    Shapefile.write(polys.filter($"id" === 1L), s"$dir2/poly", "geometry")
+    val backPoly = WKB.read(Shapefile.read(spark, s"$dir2/poly.shp")
+      .collect().head.getAs[Array[Byte]]("geometry"))
+    backPoly match {
+      case p: Polygon =>
+        assert(p.rings.length == 2)
+        assert(graft.geom.Algos.area(p) == 100.0 - 4.0)
+      case other => fail(s"expected Polygon, got $other")
+    }
+    val dir3 = Files.createTempDirectory("graft_shp_w3").toString
+    Shapefile.write(polys.filter($"id" === 2L), s"$dir3/lines", "geometry")
+    val backLines = WKB.read(Shapefile.read(spark, s"$dir3/lines.shp")
+      .collect().head.getAs[Array[Byte]]("geometry"))
+    backLines match {
+      case ml: MultiLineString => assert(ml.geoms.length == 2)
+      case other => fail(s"expected MultiLineString, got $other")
     }
   }
 }
