@@ -1353,6 +1353,28 @@ object SparkEntry {
         .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name",
           "st_x(geometry) AS gx", "st_y(geometry) AS gy")
         .orderBy("c_custkey")
+    }),
+
+    // capstone composition: the curation pipeline end to end — PII
+    // redaction -> token-count floor -> exact dedup (smallest id per
+    // distinct cleaned text) -> deterministic shard assignment ->
+    // per-shard composition report, one declarative plan under one
+    // exact oracle. Scan + two shuffles (dedup key, shard agg) at any
+    // corpus size.
+    "q100_curation_pipeline" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val cleaned = s.table("documents")
+        .select(col("doc_id"),
+          graft.pipeline.Corpus.redactPii(col("text")).as("t"))
+        .filter(TextAnalysis.tokenCount(col("t")) >= 20)
+      val deduped = graft.pipeline.Dedup.exact(cleaned, "doc_id", "t")
+      graft.pipeline.Corpus.assignShards(deduped, "doc_id", 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("t")).cast("long")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("shard")
     })
   )
 
@@ -2198,6 +2220,30 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
          |  $oCustX AS gx, $oCustY AS gy
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q100_curation_pipeline" -> {
+      import graft.pipeline.Corpus.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH cleaned AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS t
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, t FROM cleaned
+         |  WHERE len(regexp_extract_all(trim(t), '\\S+')) >= 20),
+         |deduped AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id, t,
+         |      row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1)
+         |SELECT
+         |  cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 16 as int) AS shard,
+         |  cast(count(*) as bigint) AS n_docs,
+         |  cast(sum(len(regexp_extract_all(trim(t), '\\S+'))) as bigint) AS n_tokens,
+         |  min(doc_id) AS min_id
+         |FROM deduped GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     "q98_shard_assign" ->
       """SELECT cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 64 as int) AS shard,
