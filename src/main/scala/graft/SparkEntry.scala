@@ -1342,8 +1342,9 @@ object SparkEntry {
     // survive bit-exact (closed-form oracle, like q60's GeoPackage trip)
     "q99_shapefile_roundtrip" -> ((s: SparkSession, dir: String) => {
       init(s)
-      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_q99_shp")
-      tmpDir.mkdirs()
+      // per-run temp dir: a fixed shared path would let concurrent runs
+      // interleave half-written .shp/.dbf files
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q99_shp").toFile
       val base = new java.io.File(tmpDir, "cust").getAbsolutePath
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .selectExpr("c_custkey", "c_name", s"$custPt AS geometry")

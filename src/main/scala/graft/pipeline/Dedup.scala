@@ -85,15 +85,19 @@ object Dedup {
     val hist = history.select(md5(col(contentCol)).as("__h")).distinct()
     val words = Sketch.bloomBits(hist, "__h")
     val inCols = incoming.columns.map(col).toSeq
+    // materialize ONE bloom verdict column (not two predicate copies);
+    // null content hashes to null => verdict false => the row is
+    // "not in history" and flows straight to the exact-dedup stage,
+    // matching anti-join semantics (NULL never matches history)
     val withH = incoming.withColumn("__h", md5(col(contentCol)))
+      .withColumn("__in_bloom",
+        coalesce(Sketch.bloomContains(col("__h"), words), lit(false)))
     // definitely-new rows (bloom miss) skip the join entirely; only
     // possible-members join against the historical digest set. Project
     // both branches back to the incoming schema — the using-join would
     // otherwise reorder columns under the positional union.
-    val misses = withH
-      .filter(!Sketch.bloomContains(col("__h"), words)).select(inCols: _*)
-    val hits = withH
-      .filter(Sketch.bloomContains(col("__h"), words))
+    val misses = withH.filter(!col("__in_bloom")).select(inCols: _*)
+    val hits = withH.filter(col("__in_bloom"))
       .join(hist, Seq("__h"), "left_anti").select(inCols: _*)
     exact(misses.unionAll(hits), idCol, contentCol)
   }

@@ -51,7 +51,12 @@ object Sketch {
   def hllBuckets(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
     val (bucket, rank) = parts(col(keyCol))
     val g = groupCols.map(col)
-    df.withColumn("__b", bucket).withColumn("__r", rank)
+    // null keys are ignored (count-distinct semantics; also keeps the
+    // estimate identical to the HllDistinctAgg SQL aggregate, which
+    // skips nulls) — without this a null key would occupy a phantom
+    // bucket and inflate n_buckets_used
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__b", bucket).withColumn("__r", rank)
       .groupBy(g :+ col("__b"): _*)
       .agg(max(col("__r")).as("__rmax"))
   }
@@ -73,7 +78,8 @@ object Sketch {
       .drop("__hsum", "__raw")
   }
 
-  /** The same computation as portable SQL (shared by tests/oracles). */
+  /** The same computation as portable SQL (shared by tests/oracles);
+    * null keys excluded like hllBuckets / HllDistinctAgg. */
   def hllSql(table: String, keyCol: String, groupCol: String): String =
     s"""SELECT $groupCol,
        |  round(CASE WHEN raw <= ${2.5 * M} AND n_buckets_used < $M
@@ -93,7 +99,7 @@ object Sketch {
        |      FROM (
        |        SELECT $groupCol, $keyCol,
        |          ('0x' || substr(md5(cast($keyCol as varchar)), 3, 15))::BIGINT AS chunk
-       |        FROM $table))
+       |        FROM $table WHERE $keyCol IS NOT NULL))
        |    GROUP BY $groupCol, bucket)
        |  GROUP BY $groupCol)""".stripMargin
 

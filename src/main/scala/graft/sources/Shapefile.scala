@@ -82,19 +82,23 @@ object Shapefile {
     pts.slice(start, end)
   }
 
+  /** Shoelace signed area of a packed coordinate ring (y-up convention:
+    * CCW positive, CW negative) — shared by ring assembly (read) and
+    * ring orientation (write). */
+  private def signedRingArea(cs: Array[Double]): Double = {
+    var a = 0.0
+    var i = 0
+    while (i + 3 < cs.length) {
+      a += cs(i) * cs(i + 3) - cs(i + 2) * cs(i + 1)
+      i += 2
+    }
+    a / 2
+  }
+
   /** Shapefile rings: clockwise = outer, counter-clockwise = hole; holes
     * attach to the first outer ring containing their first vertex. */
   private def assemblePolygons(rings: Array[Array[Double]]): Geom = {
-    def signedArea(cs: Array[Double]): Double = {
-      var a = 0.0
-      var i = 0
-      while (i + 3 < cs.length) {
-        a += cs(i) * cs(i + 3) - cs(i + 2) * cs(i + 1)
-        i += 2
-      }
-      a / 2
-    }
-    val (outers, holes) = rings.partition(signedArea(_) < 0) // CW => negative
+    val (outers, holes) = rings.partition(signedRingArea(_) < 0) // CW => negative
     if (outers.isEmpty) return Polygon(rings) // degenerate: treat as-is
     if (outers.length == 1) return Polygon(outers ++ holes)
     val assigned = Array.fill(outers.length)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
@@ -215,42 +219,48 @@ object Shapefile {
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
     val rows = df.collect()
 
-    // --- dBase field descriptors (string widths from the data, cap 254)
+    // raw field text, locale-pinned (de_DE would emit "2,5" and the
+    // reader would null it out) and measured in ASCII BYTES (unmappable
+    // chars become '?' bytes; char-counted widths would misalign records)
+    def rawText(dt: DataType, dec: Int, v: Any): Array[Byte] = {
+      val s =
+        if (v == null) ""
+        else dt match {
+          case DoubleType | FloatType =>
+            String.format(java.util.Locale.ROOT, s"%.${dec}f",
+              Double.box(v.asInstanceOf[Number].doubleValue()))
+          case BooleanType => if (v == true) "T" else "F"
+          case _ => v.toString
+        }
+      s.getBytes("ascii")
+    }
+
+    // dBase field descriptors: widths measured from the DATA (cap 254),
+    // so oversized numerics can never overflow their fixed-width slot
     val fields = attrs.map { case (f, i) =>
+      def maxW(dec: Int) = math.max(1, math.min(254,
+        rows.iterator.map(r => rawText(f.dataType, dec,
+          if (r.isNullAt(i)) null else r.get(i)).length).foldLeft(0)(math.max)))
       f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => DbfField(f.name.take(10), 'N', 18, 0)
-        case DoubleType | FloatType => DbfField(f.name.take(10), 'N', 24, 6)
+        case LongType | IntegerType | ShortType | ByteType =>
+          DbfField(f.name.take(10), 'N', math.max(18, maxW(0)), 0)
+        case DoubleType | FloatType =>
+          DbfField(f.name.take(10), 'N', math.max(24, maxW(6)), 6)
         case BooleanType => DbfField(f.name.take(10), 'L', 1, 0)
-        case _ =>
-          val w = math.max(1, math.min(254,
-            rows.iterator.map(r => if (r.isNullAt(i)) 0 else r.get(i).toString.length)
-              .foldLeft(0)(math.max)))
-          DbfField(f.name.take(10), 'C', w, 0)
+        case _ => DbfField(f.name.take(10), 'C', maxW(0), 0)
       }
     }
 
-    def fmtValue(fld: DbfField, v: Any): String = {
-      val s =
-        if (v == null) ""
-        else fld.typ match {
-          case 'N' if fld.dec > 0 => s"%.${fld.dec}f".format(v match {
-            case d: Double => d; case f: Float => f.toDouble
-            case n: Number => n.doubleValue()
-          })
-          case 'N' => v.toString
-          case 'L' => if (v == true) "T" else "F"
-          case _ => v.toString.take(fld.len)
-        }
-      if (fld.typ == 'C') s.padTo(fld.len, ' ')
-      else (" " * (fld.len - s.length)) + s // numeric/logical right-justified
+    def fmtBytes(fld: DbfField, dt: DataType, v: Any): Array[Byte] = {
+      val raw = rawText(dt, fld.dec, v).take(fld.len)
+      val out = new Array[Byte](fld.len)
+      java.util.Arrays.fill(out, ' '.toByte)
+      if (fld.typ == 'C') System.arraycopy(raw, 0, out, 0, raw.length)
+      else System.arraycopy(raw, 0, out, fld.len - raw.length, raw.length)
+      out
     }
 
     // --- geometry records
-    def ringArea(cs: Array[Double]): Double = {
-      var a = 0.0; var i = 0
-      while (i + 3 < cs.length) { a += cs(i) * cs(i + 3) - cs(i + 2) * cs(i + 1); i += 2 }
-      a / 2
-    }
     def reverse(cs: Array[Double]): Array[Double] = {
       val out = new Array[Double](cs.length)
       var i = 0
@@ -301,9 +311,9 @@ object Shapefile {
         bb.array()
       case LineString(cs) => multiPartRecord(3, Seq(cs))
       case MultiLineString(ls) => multiPartRecord(3, ls.map(_.coords).toSeq)
-      case Polygon(rings) => multiPartRecord(5, orientRings(rings, ringArea, reverse))
+      case Polygon(rings) => multiPartRecord(5, orientRings(rings, reverse))
       case MultiPolygon(polys) =>
-        multiPartRecord(5, polys.flatMap(p => orientRings(p.rings, ringArea, reverse)).toSeq)
+        multiPartRecord(5, polys.flatMap(p => orientRings(p.rings, reverse)).toSeq)
       case other => throw new IllegalArgumentException(
         s"shapefile cannot represent ${other.getClass.getSimpleName}")
     }
@@ -311,6 +321,11 @@ object Shapefile {
     val geoms = rows.map(r =>
       if (r.isNullAt(geomIdx)) null
       else WKB.readOrNull(r.getAs[Array[Byte]](geomIdx)))
+    // ESRI spec: ONE shape type per file (plus Null shapes) — fail fast
+    // instead of writing a header that lies about the records
+    val types = geoms.filter(_ != null).map(shapeTypeOf).distinct
+    require(types.length <= 1,
+      s"shapefile allows one shape type per file, got types $types")
     val recs = geoms.map(record)
 
     // --- .shp / .shx assembly
@@ -364,8 +379,8 @@ object Shapefile {
     dbf.put(0x0d.toByte)
     rows.foreach { r =>
       dbf.put(' '.toByte)
-      fields.zip(attrs).foreach { case (f, (_, i)) =>
-        dbf.put(fmtValue(f, if (r.isNullAt(i)) null else r.get(i)).getBytes("ascii"))
+      fields.zip(attrs).foreach { case (f, (sf, i)) =>
+        dbf.put(fmtBytes(f, sf.dataType, if (r.isNullAt(i)) null else r.get(i)))
       }
     }
     dbf.put(0x1a.toByte)
@@ -388,10 +403,9 @@ object Shapefile {
     * used by the reader), holes counter-clockwise. */
   private def orientRings(
       rings: Array[Array[Double]],
-      area: Array[Double] => Double,
       rev: Array[Double] => Array[Double]): Seq[Array[Double]] =
     rings.zipWithIndex.map { case (r, i) =>
-      val a = area(r)
+      val a = signedRingArea(r)
       if (i == 0) { if (a < 0) r else rev(r) } // outer: CW
       else { if (a > 0) r else rev(r) } // hole: CCW
     }.toSeq

@@ -378,6 +378,14 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
     assert(out.map(_._2).toSet == (1L to 30L).map(i => s"new doc $i").toSet)
     assert(out.map(_._1).toSeq == (1L to 30L).map(2000 + _), "smallest id wins")
+    // null content is never "in history" (anti-join semantics): it must
+    // survive into the batch dedup, not silently vanish in the bloom
+    val withNull = incoming.unionAll(
+      Seq((9000L, null.asInstanceOf[String]), (9001L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val outN = Dedup.dedupAgainstHistory(withNull, history, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outN.contains(9000L), s"null-content row dropped: $outN")
   }
 
   test("nearDupStreaming drops same-fingerprint re-posts within the watermark") {
