@@ -1343,9 +1343,13 @@ object SparkEntry {
     "q99_shapefile_roundtrip" -> ((s: SparkSession, dir: String) => {
       init(s)
       // per-run temp dir: a fixed shared path would let concurrent runs
-      // interleave half-written .shp/.dbf files
+      // interleave half-written .shp/.dbf files; deleteOnExit bounds the
+      // leak (the read below is lazy, so we cannot delete eagerly here)
       val tmpDir = java.nio.file.Files.createTempDirectory("graft_q99_shp").toFile
+      tmpDir.deleteOnExit()
       val base = new java.io.File(tmpDir, "cust").getAbsolutePath
+      Seq(".shp", ".shx", ".dbf").foreach(ext =>
+        new java.io.File(base + ext).deleteOnExit())
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .selectExpr("c_custkey", "c_name", s"$custPt AS geometry")
         .orderBy("c_custkey")

@@ -54,7 +54,9 @@ object Sketch {
     // null keys are ignored (count-distinct semantics; also keeps the
     // estimate identical to the HllDistinctAgg SQL aggregate, which
     // skips nulls) — without this a null key would occupy a phantom
-    // bucket and inflate n_buckets_used
+    // bucket and inflate n_buckets_used. Caveat: a group whose EVERY
+    // key is null has no surviving rows, so it is absent here, while
+    // the UDAF (groupBy semantics) emits it with estimate 0.0
     df.filter(col(keyCol).isNotNull)
       .withColumn("__b", bucket).withColumn("__r", rank)
       .groupBy(g :+ col("__b"): _*)
@@ -186,7 +188,10 @@ object Sketch {
    * never correctness.
    */
   def bloomBits(keys: DataFrame, keyCol: String): Array[Long] = {
-    val positions = keys.select(explode(array((0 until BloomHashes).map { i =>
+    // null keys can never match anything — drop them rather than NPE on
+    // the null bit positions they'd hash to
+    val positions = keys.filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until BloomHashes).map { i =>
         bloomPos(col(keyCol), i)
       }: _*)).as("pos")).distinct()
     val words = new Array[Long](BloomBits / 64)

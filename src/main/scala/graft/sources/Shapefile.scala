@@ -235,19 +235,26 @@ object Shapefile {
       s.getBytes("ascii")
     }
 
-    // dBase field descriptors: widths measured from the DATA (cap 254),
-    // so oversized numerics can never overflow their fixed-width slot
+    // dBase field descriptors: widths measured from the DATA. Strings
+    // truncate at the dBase cap (254); numerics must FIT — truncating a
+    // number silently writes a different value, so fail fast instead
     val fields = attrs.map { case (f, i) =>
-      def maxW(dec: Int) = math.max(1, math.min(254,
+      def maxW(dec: Int) = math.max(1,
         rows.iterator.map(r => rawText(f.dataType, dec,
-          if (r.isNullAt(i)) null else r.get(i)).length).foldLeft(0)(math.max)))
+          if (r.isNullAt(i)) null else r.get(i)).length).foldLeft(0)(math.max))
+      def numW(floor: Int, dec: Int): Int = {
+        val w = math.max(floor, maxW(dec))
+        require(w <= 254,
+          s"numeric column ${f.name} needs $w chars, over the dBase 254 cap")
+        w
+      }
       f.dataType match {
         case LongType | IntegerType | ShortType | ByteType =>
-          DbfField(f.name.take(10), 'N', math.max(18, maxW(0)), 0)
+          DbfField(f.name.take(10), 'N', numW(18, 0), 0)
         case DoubleType | FloatType =>
-          DbfField(f.name.take(10), 'N', math.max(24, maxW(6)), 6)
+          DbfField(f.name.take(10), 'N', numW(24, 6), 6)
         case BooleanType => DbfField(f.name.take(10), 'L', 1, 0)
-        case _ => DbfField(f.name.take(10), 'C', maxW(0), 0)
+        case _ => DbfField(f.name.take(10), 'C', math.min(254, maxW(0)), 0)
       }
     }
 
@@ -325,7 +332,7 @@ object Shapefile {
     // instead of writing a header that lies about the records
     val types = geoms.filter(_ != null).map(shapeTypeOf).distinct
     require(types.length <= 1,
-      s"shapefile allows one shape type per file, got types $types")
+      s"shapefile allows one shape type per file, got types ${types.mkString(", ")}")
     val recs = geoms.map(record)
 
     // --- .shp / .shx assembly
