@@ -1380,7 +1380,24 @@ object SparkEntry {
           sum(TextAnalysis.tokenCount(col("t")).cast("long")).as("n_tokens"),
           min(col("doc_id")).as("min_id"))
         .orderBy("shard")
-    })
+    }),
+
+    // st_buffer (point slice): 32-gon buffers; checked by closed-form
+    // invariants robust to last-ulp trig differences — vertex count,
+    // area/r^2 ratio (one rounded constant), and buffer-contains vs
+    // dwithin equivalence for strictly-inside / strictly-outside probes
+    "q101_buffer" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_numpoints(st_buffer($custPt, $custSide)) AS n_vertices,
+         |  round(st_area(st_buffer($custPt, $custSide)) / ($custSide * $custSide), 4) + 0.0
+         |    AS area_ratio,
+         |  st_contains(st_buffer($custPt, $custSide),
+         |    st_point($custX + $custSide * 0.5, $custY)) AS contains_inner,
+         |  st_contains(st_buffer($custPt, $custSide),
+         |    st_point($custX + $custSide * 2.0, $custY)) AS contains_outer,
+         |  st_dwithin($custPt, st_point($custX + $custSide * 0.5, $custY), $custSide)
+         |    AS dwithin_inner
+         |FROM customer ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2225,6 +2242,18 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
          |  $oCustX AS gx, $oCustY AS gy
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // 32-gon invariants are closed-form: 33 stored vertices (closing
+    // vertex repeats), area = 0.5*n*r^2*sin(2pi/n), probes at r/2 and 2r
+    // are strictly inside/outside (apothem = r*cos(pi/32) ~ 0.995r)
+    "q101_buffer" ->
+      """SELECT c_custkey,
+        |  33 AS n_vertices,
+        |  round(0.5 * 32 * sin(2 * pi() / 32), 4) + 0.0 AS area_ratio,
+        |  true AS contains_inner,
+        |  false AS contains_outer,
+        |  true AS dwithin_inner
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q100_curation_pipeline" -> {
       import graft.pipeline.Corpus.{EmailRe, Ipv4Re, PhoneRe}

@@ -107,6 +107,11 @@ object GeomKernels {
 
   val withArgs: Map[String, W] = Map(
     "st_simplify" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.simplify(g, d(a(0))))),
+    // point/multipoint buffer (4*quadSegs-gon); lines/polygons => null
+    "st_buffer" -> W(BinaryType, Set(1, 2), (g, a) => {
+      val segs = if (a.length > 1 && a(1) != null) d(a(1)).toInt else 8
+      Option(Algos.buffer(g, d(a(0)), segs)).map(wkb).orNull
+    }),
     "st_geodesiclength" -> W(DoubleType, Set(0, 1), (g, a) => {
       val m = if (a.isEmpty || a(0) == null) Geodesy.Method.Geodesic else Geodesy.Method.parse(s(a(0)))
       Geodesy.geodesicLength(g, m)

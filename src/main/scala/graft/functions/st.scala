@@ -44,6 +44,9 @@ object st {
 
   // transforms
   def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  def buffer(g: Column, dist: Column): Column = call_function("st_buffer", g, dist)
+  def buffer(g: Column, dist: Column, quadSegs: Column): Column =
+    call_function("st_buffer", g, dist, quadSegs)
   def geodesicLength(g: Column): Column = call_function("st_geodesiclength", g)
   def geodesicLength(g: Column, method: String): Column =
     call_function("st_geodesiclength", g, lit(method))

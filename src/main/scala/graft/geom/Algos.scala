@@ -42,6 +42,37 @@ object Algos {
     case _ => 0.0
   }
 
+  /**
+   * Point buffer: the regular 4*quadSegs-gon inscribed in the radius-r
+   * circle (PostGIS quad_segs convention). The reference declares buffer
+   * only as a future op (geoseries.rst, commented) — the point/multipoint
+   * slice is the portion its WKB data model can represent exactly;
+   * lines/polygons need a Minkowski-sum kernel => null (SQL NULL) for
+   * now, as does r <= 0.
+   */
+  def buffer(g: Geometry, r: Double, quadSegs: Int = 8): Geometry = {
+    if (r <= 0 || quadSegs < 1) return null
+    val n = 4 * quadSegs
+    def ngon(cx: Double, cy: Double): Polygon = {
+      val ring = new Array[Double]((n + 1) * 2)
+      var k = 0
+      while (k < n) {
+        val t = 2.0 * math.Pi * k / n
+        ring(2 * k) = cx + r * math.cos(t)
+        ring(2 * k + 1) = cy + r * math.sin(t)
+        k += 1
+      }
+      ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
+      Polygon(Array(ring))
+    }
+    g match {
+      case p: Point if !p.isEmpty => ngon(p.x, p.y)
+      case mp: MultiPoint if mp.geoms.nonEmpty =>
+        Union.union(mp.geoms.map(p => ngon(p.x, p.y)).toSeq)
+      case _ => null
+    }
+  }
+
   // ---------------------------------------------------------------- length
 
   private def coordsLength(cs: Array[Double]): Double = {

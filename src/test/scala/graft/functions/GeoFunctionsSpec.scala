@@ -183,4 +183,27 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(df.select(st.area($"geometry")).head.getDouble(0) == 96.0)
     assert(df.select(st.numPoints($"geometry")).head.getInt(0) == 10)
   }
+
+  test("st_buffer: point n-gon invariants, multipoint dissolve, null cases") {
+    val df = spark.range(1).toDF("id")
+    // default 8 quad segs => 32-gon; area -> pi*r^2 as segs grow
+    val a32 = df.selectExpr("st_area(st_buffer(st_point(2.0, 3.0), 10.0))").head.getDouble(0)
+    assert(math.abs(a32 - math.Pi * 100) / (math.Pi * 100) < 0.01, s"area $a32")
+    val a64 = df.selectExpr("st_area(st_buffer(st_point(2.0, 3.0), 10.0, 16.0))").head.getDouble(0)
+    assert(math.abs(a64 - math.Pi * 100) < math.abs(a32 - math.Pi * 100))
+    assert(df.selectExpr("st_numpoints(st_buffer(st_point(0.0, 0.0), 1.0))").head.getInt(0) == 33)
+    // center and near-boundary containment; dwithin agreement
+    assert(df.selectExpr(
+      "st_contains(st_buffer(st_point(2.0, 3.0), 10.0), st_point(2.0, 3.0))").head.getBoolean(0))
+    assert(!df.selectExpr(
+      "st_contains(st_buffer(st_point(2.0, 3.0), 10.0), st_point(13.0, 3.0))").head.getBoolean(0))
+    // overlapping multipoint buffers dissolve into one polygon
+    val mpArea = df.selectExpr(
+      "st_area(st_buffer(st_geomfromtext('MULTIPOINT (0 0, 1 0)'), 2.0))").head.getDouble(0)
+    assert(mpArea < 2 * (math.Pi * 4) && mpArea > math.Pi * 4, s"dissolved area $mpArea")
+    // unsupported slice and degenerate radius => SQL NULL
+    assert(df.selectExpr(
+      "st_buffer(st_geomfromtext('LINESTRING (0 0, 1 1)'), 1.0)").head.get(0) == null)
+    assert(df.selectExpr("st_buffer(st_point(0.0, 0.0), 0.0)").head.get(0) == null)
+  }
 }
