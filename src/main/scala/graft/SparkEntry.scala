@@ -1386,6 +1386,28 @@ object SparkEntry {
     // invariants robust to last-ulp trig differences — vertex count,
     // area/r^2 ratio (one rounded constant), and buffer-contains vs
     // dwithin equivalence for strictly-inside / strictly-outside probes
+    // st_boundary (OGC mod-2 semantics): polygon -> closed ring line,
+    // closed line -> empty (null), open line -> endpoint multipoint,
+    // point -> empty. WKT strings are closed-form from integer coords.
+    "q103_boundary" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_astext(st_boundary(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS env_boundary,
+         |  st_boundary(st_exteriorring(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) IS NULL AS ring_closed,
+         |  st_astext(st_boundary(st_geomfromtext(
+         |    concat('LINESTRING (0 0, ', $custX, ' ', $custY, ')')))) AS line_boundary,
+         |  st_boundary($custPt) IS NULL AS point_empty
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // per-source corpus health dashboard: volume, mean quality, majority
+    // language, exact-dup fraction — every signal an already-oracled
+    // kernel, composed into one hash-exact report
+    "q102_health_report" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      TextAnalysis.healthReport(s.table("documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     "q101_buffer" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
          |  st_numpoints(st_buffer($custPt, $custSide)) AS n_vertices,
@@ -2242,6 +2264,81 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
          |  $oCustX AS gx, $oCustY AS gy
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q103_boundary" ->
+      """SELECT c_custkey,
+        |  'LINESTRING (' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y0 || ', ' ||
+        |    x1 || ' ' || y1 || ', ' || x0 || ' ' || y1 || ', ' || x0 || ' ' || y0 || ')'
+        |    AS env_boundary,
+        |  true AS ring_closed,
+        |  'MULTIPOINT ((0 0), (' || x0 || ' ' || y0 || '))' AS line_boundary,
+        |  true AS point_empty
+        |FROM (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+        |    cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+        |    cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q102_health_report" ->
+      """WITH m AS (
+        |  SELECT source, text,
+        |    cast(len(regexp_extract_all(text, '\S+')) as double) AS words,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |         THEN cast(length(text) as double) / len(regexp_extract_all(text, '\S+'))
+        |         ELSE 0.0 END AS mwl,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[.,;:!?]')) as double) / length(text)
+        |         ELSE 0.0 END AS pr,
+        |    CASE WHEN length(text) > 0
+        |         THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text)
+        |         ELSE 0.0 END AS ur,
+        |    regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, text,
+        |    cast((CASE WHEN words >= 50 AND words <= 100000 THEN 1.0
+        |               WHEN words >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |         (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |         (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |         (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.2 as double) AS quality,
+        |    cast(len(regexp_extract_all(text, '\S+')) as bigint) AS ntok,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}\x{f900}-\x{faff}]') THEN 'zh'
+        |         WHEN len(toks) = 0 THEN 'und'
+        |         WHEN greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) < 0.02 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'fr'
+        |         WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'de'
+        |         WHEN s_pt = greatest(s_en, s_es, s_fr, s_de, s_pt, s_it) THEN 'pt'
+        |         ELSE 'it' END AS lang
+        |  FROM (
+        |    SELECT source, text, words, mwl, pr, ur, toks,
+        |      CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','was','with'], x))) as double) / len(toks) END AS s_en,
+        |      CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','los','del','se','las','por'], x))) as double) / len(toks) END AS s_es,
+        |      CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est'], x))) as double) / len(toks) END AS s_fr,
+        |      CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des','im','ein'], x))) as double) / len(toks) END AS s_de,
+        |      CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['o','a','de','que','e','do','da','em','um','para','com','os'], x))) as double) / len(toks) END AS s_pt,
+        |      CASE WHEN len(toks) = 0 THEN 0.0 ELSE cast(len(list_filter(toks, x -> list_contains(['il','di','che','la','e','un','per','in','una','del','con','non'], x))) as double) / len(toks) END AS s_it
+        |    FROM m)),
+        |base AS (
+        |  SELECT source, cast(count(*) as bigint) AS n_docs,
+        |    round(avg(quality), 6) + 0.0 AS avg_quality,
+        |    cast(sum(ntok) as bigint) AS n_tokens
+        |  FROM q GROUP BY source),
+        |top AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, count(*) AS c FROM q GROUP BY source, lang)
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) = 1),
+        |dup AS (
+        |  SELECT source,
+        |    round(1.0 - cast(count(DISTINCT text) as double) / count(*), 6) + 0.0 AS dup_frac
+        |  FROM q GROUP BY source)
+        |SELECT base.source, n_docs, avg_quality, n_tokens, top_lang, dup_frac
+        |FROM base JOIN top USING (source) JOIN dup USING (source)
+        |ORDER BY base.source""".stripMargin,
 
     // 32-gon invariants are closed-form: 33 stored vertices (closing
     // vertex repeats), area = 0.5*n*r^2*sin(2pi/n), probes at r/2 and 2r

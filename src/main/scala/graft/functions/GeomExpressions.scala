@@ -44,6 +44,10 @@ object GeomKernels {
       case null => null
       case r    => wkb(r)
     }),
+    "st_boundary"     -> U(BinaryType, g => Algos.boundary(g) match {
+      case null => null
+      case b    => wkb(b)
+    }),
     "st_x"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.x; case _ => null }),
     "st_y"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.y; case _ => null }),
     "st_isempty"      -> U(BooleanType, g => g.isEmpty),

@@ -44,6 +44,7 @@ object st {
 
   // transforms
   def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  def boundary(g: Column): Column = call_function("st_boundary", g)
   def buffer(g: Column, dist: Column): Column = call_function("st_buffer", g, dist)
   def buffer(g: Column, dist: Column, quadSegs: Column): Column =
     call_function("st_buffer", g, dist, quadSegs)

@@ -43,6 +43,42 @@ object Algos {
   }
 
   /**
+   * Topological boundary (OGC/GEOS semantics for the 2D slice):
+   * polygon -> its rings as closed LineStrings, open line -> the
+   * endpoints occurring an odd number of times (mod-2 rule), closed
+   * line / points -> empty => null (SQL NULL; the reference declares
+   * boundary commented-out only, geoseries.rst).
+   */
+  def boundary(g: Geometry): Geometry = g match {
+    case p: Polygon if !p.isEmpty =>
+      if (p.rings.length == 1) LineString(p.rings(0))
+      else MultiLineString(p.rings.map(LineString(_)))
+    case mp: MultiPolygon if mp.geoms.nonEmpty =>
+      val rings = mp.geoms.flatMap(_.rings).map(LineString(_))
+      if (rings.length == 1) rings.head else MultiLineString(rings)
+    case l: LineString if !l.isEmpty => lineEndpoints(Seq(l))
+    case ml: MultiLineString if ml.geoms.nonEmpty => lineEndpoints(ml.geoms.toSeq)
+    case _ => null
+  }
+
+  private def lineEndpoints(lines: Seq[LineString]): Geometry = {
+    val counts = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
+    lines.foreach { l =>
+      val cs = l.coords
+      if (cs.length >= 4) {
+        val a = (cs(0), cs(1))
+        val b = (cs(cs.length - 2), cs(cs.length - 1))
+        if (a == b) () // closed component contributes no boundary
+        else Seq(a, b).foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+      }
+    }
+    val odd = counts.collect { case ((x, y), c) if c % 2 == 1 => Point(x, y) }.toArray
+    if (odd.isEmpty) null
+    else if (odd.length == 1) odd.head
+    else MultiPoint(odd)
+  }
+
+  /**
    * Point buffer: the regular 4*quadSegs-gon inscribed in the radius-r
    * circle (PostGIS quad_segs convention). The reference declares buffer
    * only as a future op (geoseries.rst, commented) — the point/multipoint

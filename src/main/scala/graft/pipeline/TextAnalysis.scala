@@ -160,6 +160,31 @@ object TextAnalysis {
         (round(sum(col("__term")).cast("double"), 6) + lit(0.0)).as("kl_divergence"))
   }
 
+  /**
+   * Per-source corpus health report — the monitoring dashboard a
+   * curation pipeline publishes after every ingest: volume, mean quality
+   * score, majority language (deterministic tie-break), and exact-dup
+   * fraction, in two aggregations + one tiny argmax window. Every signal
+   * is an already-oracled kernel, so the whole report is hash-exact.
+   */
+  def healthReport(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val src = col(sourceCol)
+    val base = df.groupBy(src).agg(
+      count(lit(1)).as("n_docs"),
+      (round(avg(qualityScore(col(textCol))), 6) + lit(0.0)).as("avg_quality"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val topLang = df.groupBy(src, langId(col(textCol)).as("top_lang"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(src)
+          .orderBy(desc("__c"), col("top_lang"))))
+      .filter(col("__rn") === 1).select(src, col("top_lang"))
+    val dupFrac = df.groupBy(src).agg(
+      (round(lit(1.0) - countDistinct(col(textCol)).cast("double") / count(lit(1)), 6)
+        + lit(0.0)).as("dup_frac"))
+    base.join(topLang, Seq(sourceCol)).join(dupFrac, Seq(sourceCol))
+  }
+
   /** The same computation as portable SQL (shared by tests/oracles). */
   def unigramLogProbSql(table: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol, n_tokens,

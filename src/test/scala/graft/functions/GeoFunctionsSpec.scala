@@ -184,6 +184,24 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(df.select(st.numPoints($"geometry")).head.getInt(0) == 10)
   }
 
+  test("st_boundary: rings, mod-2 endpoints, empty cases") {
+    val df = spark.range(1).toDF("id")
+    def wkt(e: String) = df.selectExpr(s"st_astext(st_boundary($e))").head.getString(0)
+    assert(wkt("st_makeenvelope(0.0, 0.0, 2.0, 1.0)") ==
+      "LINESTRING (0 0, 2 0, 2 1, 0 1, 0 0)")
+    // two-ring polygon -> both rings
+    assert(wkt("st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')")
+      .startsWith("MULTILINESTRING"))
+    // open line -> endpoints; shared interior endpoint cancels (mod 2)
+    assert(wkt("st_geomfromtext('LINESTRING (0 0, 5 5)')") == "MULTIPOINT ((0 0), (5 5))")
+    assert(wkt("st_geomfromtext('MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))')") ==
+      "MULTIPOINT ((0 0), (2 0))")
+    // closed line and point boundaries are empty => SQL NULL
+    assert(df.selectExpr(
+      "st_boundary(st_geomfromtext('LINESTRING (0 0, 1 0, 1 1, 0 0)'))").head.get(0) == null)
+    assert(df.selectExpr("st_boundary(st_point(3.0, 4.0))").head.get(0) == null)
+  }
+
   test("st_buffer: point n-gon invariants, multipoint dissolve, null cases") {
     val df = spark.range(1).toDF("id")
     // default 8 quad segs => 32-gon; area -> pi*r^2 as segs grow
