@@ -1398,6 +1398,26 @@ object SparkEntry {
          |  st_boundary($custPt) IS NULL AS point_empty
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // representative_point: centroid for convex shapes (closed form on
+    // envelopes), always inside; validity: envelope true + literal
+    // bowtie/zero-area false; clip_by_rect: right-half clip area is
+    // side^2/2 closed-form, disjoint rect clips to nothing (null)
+    "q104_rep_valid_clip" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_x(st_representativepoint(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS rx,
+         |  st_y(st_representativepoint(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS ry,
+         |  st_contains(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide),
+         |    st_representativepoint(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide))) AS rep_inside,
+         |  st_isvalid(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS env_valid,
+         |  st_isvalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')) AS bowtie_valid,
+         |  st_isvalid(st_geomfromtext('POLYGON ((0 0, 1 1, 2 2, 0 0))')) AS flat_valid,
+         |  round(st_area(st_clipbyrect(
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide),
+         |    $custX + $custSide / 2, $custY, $custX + $custSide * 1.5, $custY + $custSide)), 6) + 0.0 AS half_area,
+         |  coalesce(st_isempty(st_clipbyrect(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide),
+         |    $custX + $custSide * 3, $custY, $custX + $custSide * 4, $custY + $custSide)), true) AS clip_empty
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // per-source corpus health dashboard: volume, mean quality, majority
     // language, exact-dup fraction — every signal an already-oracled
     // kernel, composed into one hash-exact report
@@ -2263,6 +2283,18 @@ object SparkEntry {
     "q99_shapefile_roundtrip" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
          |  $oCustX AS gx, $oCustY AS gy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q104_rep_valid_clip" ->
+      s"""SELECT c_custkey,
+         |  $oCustX + $oSide / 2 AS rx,
+         |  $oCustY + $oSide / 2 AS ry,
+         |  true AS rep_inside,
+         |  true AS env_valid,
+         |  false AS bowtie_valid,
+         |  false AS flat_valid,
+         |  round($oSide * $oSide / 2, 6) + 0.0 AS half_area,
+         |  true AS clip_empty
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q103_boundary" ->

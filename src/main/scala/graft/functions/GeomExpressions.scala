@@ -48,6 +48,11 @@ object GeomKernels {
       case null => null
       case b    => wkb(b)
     }),
+    "st_representativepoint" -> U(BinaryType, g => Algos.representativePoint(g) match {
+      case null => null
+      case p    => wkb(p)
+    }),
+    "st_isvalid"      -> U(BooleanType, g => Algos.isValid(g)),
     "st_x"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.x; case _ => null }),
     "st_y"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.y; case _ => null }),
     "st_isempty"      -> U(BooleanType, g => g.isEmpty),
@@ -111,6 +116,15 @@ object GeomKernels {
 
   val withArgs: Map[String, W] = Map(
     "st_simplify" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.simplify(g, d(a(0))))),
+    // clip by rectangle = overlay intersection with the envelope polygon
+    // (geopandas clip_by_rect, commented in the reference docs); operand
+    // combos the overlay kernel can't express (lines) => null
+    "st_clipbyrect" -> W(BinaryType, Set(4), (g, a) => {
+      val rect = Polygon(Array(Array(
+        d(a(0)), d(a(1)), d(a(2)), d(a(1)),
+        d(a(2)), d(a(3)), d(a(0)), d(a(3)), d(a(0)), d(a(1)))))
+      Option(Union.intersection(g, rect)).map(wkb).orNull
+    }),
     // point/multipoint buffer (4*quadSegs-gon); lines/polygons => null
     "st_buffer" -> W(BinaryType, Set(1, 2), (g, a) => {
       val segs = if (a.length > 1 && a(1) != null) d(a(1)).toInt else 8

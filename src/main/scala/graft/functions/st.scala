@@ -45,6 +45,10 @@ object st {
   // transforms
   def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
   def boundary(g: Column): Column = call_function("st_boundary", g)
+  def representativePoint(g: Column): Column = call_function("st_representativepoint", g)
+  def isValid(g: Column): Column = call_function("st_isvalid", g)
+  def clipByRect(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    call_function("st_clipbyrect", g, xmin, ymin, xmax, ymax)
   def buffer(g: Column, dist: Column): Column = call_function("st_buffer", g, dist)
   def buffer(g: Column, dist: Column, quadSegs: Column): Column =
     call_function("st_buffer", g, dist, quadSegs)

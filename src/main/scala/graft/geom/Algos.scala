@@ -43,6 +43,119 @@ object Algos {
   }
 
   /**
+   * A point guaranteed on/in the geometry (geopandas
+   * representative_point, commented in the reference docs): points ->
+   * themselves; lines -> a vertex; polygons -> the centroid when it is
+   * inside (always, for convex shapes), otherwise the midpoint of the
+   * widest interior run of the horizontal scanline through the bbox
+   * middle — deterministic, no iteration.
+   */
+  def representativePoint(g: Geometry): Point = g match {
+    case p: Point if !p.isEmpty => p
+    case mp: MultiPoint if mp.geoms.nonEmpty => mp.geoms.head
+    case l: LineString if !l.isEmpty =>
+      val cs = l.coords; Point(cs(cs.length / 4 * 2), cs(cs.length / 4 * 2 + 1))
+    case ml: MultiLineString if ml.geoms.nonEmpty => representativePoint(ml.geoms.head)
+    case poly: Polygon if !poly.isEmpty =>
+      val c = centroid(poly)
+      if (contains(poly, c)) c else scanlinePoint(poly)
+    case mp: MultiPolygon if mp.geoms.nonEmpty =>
+      // largest part anchors the representative point
+      representativePoint(mp.geoms.maxBy(area))
+    case gc: GeometryCollection if gc.geoms.nonEmpty =>
+      representativePoint(gc.geoms.head)
+    case _ => null
+  }
+
+  private def scanlinePoint(poly: Polygon): Point = {
+    val env = poly.envelope
+    val y = (env.minY + env.maxY) / 2
+    // crossing xs of every ring edge with the scanline
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    poly.rings.foreach { r =>
+      var i = 0
+      while (i + 3 < r.length) {
+        val (x1, y1, x2, y2) = (r(i), r(i + 1), r(i + 2), r(i + 3))
+        if ((y1 <= y && y2 > y) || (y2 <= y && y1 > y))
+          xs += x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+        i += 2
+      }
+    }
+    val sorted = xs.sorted
+    // interior runs are between even-odd crossing pairs; take the widest
+    var best = 0.0; var bx = env.minX
+    var i = 0
+    while (i + 1 < sorted.length) {
+      val w = sorted(i + 1) - sorted(i)
+      if (w > best) { best = w; bx = (sorted(i) + sorted(i + 1)) / 2 }
+      i += 2
+    }
+    Point(bx, y)
+  }
+
+  /**
+   * OGC validity for the polygon slice (the reference comments is_valid
+   * out): rings must be closed with >= 4 stored points, finite coords,
+   * non-zero area, no self-intersection within a ring, holes inside the
+   * outer ring. Points/lines are valid when non-empty with finite
+   * coords. Conservative O(n^2)-per-ring segment test — validation is a
+   * data-quality scan, not a hot path.
+   */
+  def isValid(g: Geometry): Boolean = g match {
+    case p: Point => !p.isEmpty && finite(Array(p.x, p.y))
+    case mp: MultiPoint => mp.geoms.nonEmpty && mp.geoms.forall(isValid)
+    case l: LineString => l.coords.length >= 4 && finite(l.coords)
+    case ml: MultiLineString => ml.geoms.nonEmpty && ml.geoms.forall(isValid)
+    case poly: Polygon => poly.rings.nonEmpty && poly.rings.forall(validRing) &&
+      poly.rings.drop(1).forall(h => pointInRing(h(0), h(1), poly.rings(0)) != 0)
+    case mp: MultiPolygon => mp.geoms.nonEmpty && mp.geoms.forall(isValid)
+    case gc: GeometryCollection => gc.geoms.nonEmpty && gc.geoms.forall(isValid)
+    case _ => false
+  }
+
+  private def finite(cs: Array[Double]): Boolean = {
+    var i = 0
+    while (i < cs.length) {
+      if (cs(i).isNaN || cs(i).isInfinite) return false
+      i += 1
+    }
+    true
+  }
+
+  private def validRing(r: Array[Double]): Boolean = {
+    if (r.length < 8 || !finite(r)) return false // 4 points = 8 doubles
+    if (r(0) != r(r.length - 2) || r(1) != r(r.length - 1)) return false
+    if (signedRingArea(r) == 0.0) return false
+    // proper self-intersection between non-adjacent edges
+    val m = r.length / 2 - 1 // edge count
+    var i = 0
+    while (i < m) {
+      var j = i + 2
+      while (j < m) {
+        val adjacent = j == i + 1 || (i == 0 && j == m - 1)
+        if (!adjacent && segmentsCross(
+            r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3),
+            r(2 * j), r(2 * j + 1), r(2 * j + 2), r(2 * j + 3))) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def segmentsCross(
+      ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 * o2 < 0 && o3 * o4 < 0 // proper crossing only
+  }
+
+  /**
    * Topological boundary (OGC/GEOS semantics for the 2D slice):
    * polygon -> its rings as closed LineStrings, open line -> the
    * endpoints occurring an odd number of times (mod-2 rule), closed

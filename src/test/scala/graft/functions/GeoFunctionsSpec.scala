@@ -202,6 +202,26 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(df.selectExpr("st_boundary(st_point(3.0, 4.0))").head.get(0) == null)
   }
 
+  test("st_representativepoint is inside even for concave shapes; st_isvalid; clip") {
+    val df = spark.range(1).toDF("id")
+    // U-shape whose centroid falls in the notch (outside the polygon)
+    val u = "'POLYGON ((0 0, 10 0, 10 10, 7 10, 7 2, 3 2, 3 10, 0 10, 0 0))'"
+    assert(!df.selectExpr(
+      s"st_contains(st_geomfromtext($u), st_centroid(st_geomfromtext($u)))").head.getBoolean(0),
+      "fixture centroid should be outside (else the test proves nothing)")
+    assert(df.selectExpr(
+      s"st_contains(st_geomfromtext($u), st_representativepoint(st_geomfromtext($u)))").head.getBoolean(0))
+    // validity: square with hole valid; hole outside the shell invalid
+    assert(df.selectExpr(
+      "st_isvalid(st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'))").head.getBoolean(0))
+    assert(!df.selectExpr(
+      "st_isvalid(st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (20 20, 22 20, 22 22, 20 22, 20 20))'))").head.getBoolean(0))
+    // clip keeps the overlapping part only
+    val a = df.selectExpr(
+      "st_area(st_clipbyrect(st_makeenvelope(0.0, 0.0, 10.0, 10.0), 5.0, 5.0, 20.0, 20.0))").head.getDouble(0)
+    assert(a == 25.0, s"clip area $a")
+  }
+
   test("st_buffer: point n-gon invariants, multipoint dissolve, null cases") {
     val df = spark.range(1).toDF("id")
     // default 8 quad segs => 32-gon; area -> pi*r^2 as segs grow
