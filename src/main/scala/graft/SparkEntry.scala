@@ -1439,6 +1439,70 @@ object SparkEntry {
          |    st_point($custX + $custSide * 2.0, $custY)) AS contains_outer,
          |  st_dwithin($custPt, st_point($custX + $custSide * 0.5, $custY), $custSide)
          |    AS dwithin_inner
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // st_azimuth (north-based clockwise bearing) + st_closestpoint /
+    // st_shortestline (argmin witness of st_distance). The envelope sits
+    // 2 east / off north of the probe point, so the closest point is the
+    // exact corner (clamp with integer coords — bit-exact on both engines)
+    // and the shortest-line length is sqrt(4 + off^2) closed-form.
+    "q105_azimuth_closest" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_azimuth($custPt, st_point($custX + $custSide, $custY + 2)), 6) + 0.0 AS az_east,
+         |  round(st_azimuth($custPt, st_point($custX - $custSide, $custY + 2)), 6) + 0.0 AS az_west,
+         |  st_azimuth($custPt, $custPt) IS NULL AS az_self_null,
+         |  st_x(st_closestpoint(
+         |    st_makeenvelope($custX + 2, $custY + cast(c_custkey % 3 + 3 as double),
+         |                    $custX + 2 + $custSide, $custY + cast(c_custkey % 3 + 3 as double) + $custSide),
+         |    $custPt)) AS cx,
+         |  st_y(st_closestpoint(
+         |    st_makeenvelope($custX + 2, $custY + cast(c_custkey % 3 + 3 as double),
+         |                    $custX + 2 + $custSide, $custY + cast(c_custkey % 3 + 3 as double) + $custSide),
+         |    $custPt)) AS cy,
+         |  round(st_length(st_shortestline($custPt,
+         |    st_makeenvelope($custX + 2, $custY + cast(c_custkey % 3 + 3 as double),
+         |                    $custX + 2 + $custSide, $custY + cast(c_custkey % 3 + 3 as double) + $custSide))), 6) + 0.0
+         |    AS short_len,
+         |  st_x(st_closestpoint($custPt, st_makeenvelope($custX + 2, $custY + 3,
+         |    $custX + 3, $custY + 4))) AS self_x
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // line accessors: st_startpoint / st_endpoint / st_pointn (1-based,
+    // negative from end) / st_reverse, over a 3-vertex line whose WKT both
+    // engines synthesize from the same integer strings
+    "q106_line_accessors" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_astext(st_startpoint(line)) AS sp,
+        |  st_astext(st_endpoint(line)) AS ep,
+        |  st_astext(st_pointn(line, 2)) AS p2,
+        |  st_astext(st_pointn(line, -1)) AS plast,
+        |  st_pointn(line, 4) IS NULL AS oob_null,
+        |  st_astext(st_reverse(line)) AS rev,
+        |  st_startpoint(st_point(1.0, 2.0)) IS NULL AS point_sp_null
+        |FROM (
+        |  SELECT c_custkey, st_geomfromtext(concat('LINESTRING (0 0, ', x0, ' ', y0, ', ', x1, ' ', y1, ')')) AS line
+        |  FROM (
+        |    SELECT c_custkey,
+        |      cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |      cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+        |      cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+        |      cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1
+        |    FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // st_snaptogrid (round-half-up grid), st_flipcoordinates (xy swap),
+    // st_perimeter (all rings incl. holes) — every value closed-form exact
+    "q107_snap_flip_perimeter" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  cast(st_perimeter(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) as double) AS per_env,
+         |  st_perimeter(st_geomfromtext(
+         |    'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')) AS per_hole,
+         |  st_perimeter(st_geomfromtext('LINESTRING (0 0, 3 4)')) AS per_line,
+         |  st_x(st_snaptogrid(st_translate($custPt, 0.25, -0.25), 1.0)) AS snap_x,
+         |  st_y(st_snaptogrid(st_translate($custPt, 0.25, -0.25), 1.0)) AS snap_y,
+         |  st_x(st_snaptogrid(st_translate($custPt, 0.25, 0.25), 0.5)) AS snap_half_x,
+         |  st_x(st_flipcoordinates($custPt)) AS flip_x,
+         |  st_astext(st_flipcoordinates(st_flipcoordinates($custPt))) AS flip_roundtrip
          |FROM customer ORDER BY c_custkey""".stripMargin)
   )
 
@@ -2383,6 +2447,49 @@ object SparkEntry {
         |  false AS contains_outer,
         |  true AS dwithin_inner
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q105_azimuth_closest" ->
+      s"""SELECT c_custkey,
+         |  round(atan2($oSide, 2.0), 6) + 0.0 AS az_east,
+         |  round(atan2(-$oSide, 2.0) + 2 * pi(), 6) + 0.0 AS az_west,
+         |  true AS az_self_null,
+         |  $oCustX + 2 AS cx,
+         |  $oCustY + cast(c_custkey % 3 + 3 as double) AS cy,
+         |  round(sqrt(4.0 + cast(c_custkey % 3 + 3 as double) * cast(c_custkey % 3 + 3 as double)), 6) + 0.0
+         |    AS short_len,
+         |  $oCustX AS self_x
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q106_line_accessors" ->
+      """SELECT c_custkey,
+        |  'POINT (0 0)' AS sp,
+        |  'POINT (' || x1 || ' ' || y1 || ')' AS ep,
+        |  'POINT (' || x0 || ' ' || y0 || ')' AS p2,
+        |  'POINT (' || x1 || ' ' || y1 || ')' AS plast,
+        |  true AS oob_null,
+        |  'LINESTRING (' || x1 || ' ' || y1 || ', ' || x0 || ' ' || y0 || ', 0 0)' AS rev,
+        |  true AS point_sp_null
+        |FROM (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+        |    cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+        |    cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q107_snap_flip_perimeter" ->
+      s"""SELECT c_custkey,
+         |  4 * $oSide AS per_env,
+         |  48.0 AS per_hole,
+         |  0.0 AS per_line,
+         |  $oCustX AS snap_x,
+         |  $oCustY AS snap_y,
+         |  $oCustX + 0.5 AS snap_half_x,
+         |  $oCustY AS flip_x,
+         |  'POINT (' || cast(c_custkey % 360 - 180 as bigint) || ' ' ||
+         |    cast((c_custkey * 7) % 160 - 80 as bigint) || ')' AS flip_roundtrip
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q100_curation_pipeline" -> {
       import graft.pipeline.Corpus.{EmailRe, Ipv4Re, PhoneRe}

@@ -64,6 +64,17 @@ object GeomKernels {
     "st_ymin"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.minY }),
     "st_xmax"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.maxX }),
     "st_ymax"         -> U(DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.maxY }),
+    "st_startpoint"   -> U(BinaryType, g => Algos.startPoint(g) match {
+      case null => null
+      case p    => wkb(p)
+    }),
+    "st_endpoint"     -> U(BinaryType, g => Algos.endPoint(g) match {
+      case null => null
+      case p    => wkb(p)
+    }),
+    "st_reverse"      -> U(BinaryType, g => wkb(Algos.reverse(g))),
+    "st_flipcoordinates" -> U(BinaryType, g => wkb(Algos.flipCoordinates(g))),
+    "st_perimeter"    -> U(DoubleType, g => Algos.perimeter(g)),
     "st_astext"       -> U(StringType, g => utf8(WKT.write(g))),
     "st_asgeojson"    -> U(StringType, g => utf8(GeoJSON.write(g))),
     // st_dump: multi-part => parts, single => itself (reference explode,
@@ -96,6 +107,24 @@ object GeomKernels {
     "st_within"     -> B(BooleanType, (a, b) => Algos.contains(b, a)),
     // boolean overlay ops on the shared planar-overlay kernel; unsupported
     // operand combinations (lines) come back null => SQL NULL
+    // proximity argmin pair (witness of the reference's distance,
+    // geoseries.rs:141-146): nearest point ON a to b / the connecting line
+    "st_closestpoint" -> B(BinaryType, (a, b) => Algos.closestPoints(a, b) match {
+      case null => null
+      case c    => wkb(Point(c(0), c(1)))
+    }),
+    "st_shortestline" -> B(BinaryType, (a, b) => Algos.closestPoints(a, b) match {
+      case null => null
+      case c    => wkb(LineString(Array(c(0), c(1), c(2), c(3))))
+    }),
+    // north-based clockwise bearing between two points (PostGIS ST_Azimuth);
+    // non-point input or identical points => null
+    "st_azimuth" -> B(DoubleType, (a, b) => (a, b) match {
+      case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty =>
+        val az = Algos.azimuth(p.x, p.y, q.x, q.y)
+        if (az.isNaN) null else az
+      case _ => null
+    }),
     "st_union"          -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
     "st_intersection"   -> B(BinaryType, (a, b) => Option(Union.intersection(a, b)).map(wkb).orNull),
     "st_difference"     -> B(BinaryType, (a, b) => Option(Union.difference(a, b)).map(wkb).orNull),
@@ -146,6 +175,14 @@ object GeomKernels {
       val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
       if (b == null) null else Algos.distance(g, b) <= d(a(1))
     }),
+    // n-th vertex of a LineString, 1-based, negative from the end
+    "st_pointn" -> W(BinaryType, Set(1), (g, a) =>
+      Algos.pointN(g, d(a(0)).toInt) match {
+        case null => null
+        case p    => wkb(p)
+      }),
+    // snap coordinates to a grid (round-half-up multiples of the cell size)
+    "st_snaptogrid" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.snapToGrid(g, d(a(0))))),
     // spatial bucketing: base32 cell id of a POINT (prefix = grid cell);
     // non-point or out-of-range input => null
     "st_geohash" -> W(StringType, Set(1), (g, a) => g match {

@@ -711,4 +711,197 @@ object Algos {
     }
     math.sqrt(best)
   }
+
+  // ------------------------------------------------------------- proximity
+
+  /** Nearest point on segment (x1,y1)-(x2,y2) to (px,py): clamp-projection. */
+  @inline private def ptSegClosest(px: Double, py: Double,
+                                   x1: Double, y1: Double, x2: Double, y2: Double): (Double, Double) = {
+    val dx = x2 - x1; val dy = y2 - y1
+    val lenSq = dx * dx + dy * dy
+    val t = if (lenSq == 0) 0.0 else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / lenSq))
+    (x1 + t * dx, y1 + t * dy)
+  }
+
+  /**
+   * Closest-point pair `[ax, ay, bx, by]`: the point ON `a` nearest to `b`
+   * and the matching point on `b` (PostGIS ST_ClosestPoint / ST_ShortestLine
+   * semantics; the reference exposes only the scalar distance,
+   * geoseries.rs:141-146 — this is its argmin witness). Intersecting inputs
+   * return a shared point twice; empty input => null.
+   */
+  def closestPoints(a: Geometry, b: Geometry): Array[Double] = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return null
+    if (intersects(a, b)) {
+      val w = intersectionWitness(a, b)
+      return Array(w._1, w._2, w._1, w._2)
+    }
+    val (sa, pa) = segments(a)
+    val (sb, pb) = segments(b)
+    var best = Double.PositiveInfinity
+    var bax = 0.0; var bay = 0.0; var bbx = 0.0; var bby = 0.0
+    @inline def consider(ax: Double, ay: Double, bx: Double, by: Double): Unit = {
+      val dx = ax - bx; val dy = ay - by
+      val d = dx * dx + dy * dy
+      if (d < best) { best = d; bax = ax; bay = ay; bbx = bx; bby = by }
+    }
+    var i = 0
+    while (i < sa.length) {
+      var j = 0
+      while (j < sb.length) {
+        // disjoint segments: the min is endpoint-to-segment in one direction
+        val c1 = ptSegClosest(sa(i), sa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3))
+        consider(sa(i), sa(i + 1), c1._1, c1._2)
+        val c2 = ptSegClosest(sa(i + 2), sa(i + 3), sb(j), sb(j + 1), sb(j + 2), sb(j + 3))
+        consider(sa(i + 2), sa(i + 3), c2._1, c2._2)
+        val c3 = ptSegClosest(sb(j), sb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3))
+        consider(c3._1, c3._2, sb(j), sb(j + 1))
+        val c4 = ptSegClosest(sb(j + 2), sb(j + 3), sa(i), sa(i + 1), sa(i + 2), sa(i + 3))
+        consider(c4._1, c4._2, sb(j + 2), sb(j + 3))
+        j += 4
+      }
+      j = 0
+      while (j < pb.length) {
+        val c = ptSegClosest(pb(j), pb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3))
+        consider(c._1, c._2, pb(j), pb(j + 1))
+        j += 2
+      }
+      i += 4
+    }
+    i = 0
+    while (i < pa.length) {
+      var j = 0
+      while (j < sb.length) {
+        val c = ptSegClosest(pa(i), pa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3))
+        consider(pa(i), pa(i + 1), c._1, c._2)
+        j += 4
+      }
+      j = 0
+      while (j < pb.length) { consider(pa(i), pa(i + 1), pb(j), pb(j + 1)); j += 2 }
+      i += 2
+    }
+    if (best.isInfinite) null else Array(bax, bay, bbx, bby)
+  }
+
+  /** A point shared by two intersecting geometries: a vertex of one lying on
+    * the other, else a proper segment-crossing point. */
+  private def intersectionWitness(a: Geometry, b: Geometry): (Double, Double) = {
+    var res: (Double, Double) = null
+    b.foreachCoord { (x, y) => if (res == null && locate(x, y, a) != 0) res = (x, y) }
+    if (res != null) return res
+    a.foreachCoord { (x, y) => if (res == null && locate(x, y, b) != 0) res = (x, y) }
+    if (res != null) return res
+    val (sa, _) = segments(a)
+    val (sb, _) = segments(b)
+    var i = 0
+    while (i < sa.length) {
+      var j = 0
+      while (j < sb.length) {
+        if (segsIntersect(sa(i), sa(i + 1), sa(i + 2), sa(i + 3), sb(j), sb(j + 1), sb(j + 2), sb(j + 3))) {
+          // proper crossing (no endpoint on the other segment): line-line solve
+          val d = (sa(i + 2) - sa(i)) * (sb(j + 3) - sb(j + 1)) - (sa(i + 3) - sa(i + 1)) * (sb(j + 2) - sb(j))
+          if (d != 0) {
+            val t = ((sb(j) - sa(i)) * (sb(j + 3) - sb(j + 1)) - (sb(j + 1) - sa(i + 1)) * (sb(j + 2) - sb(j))) / d
+            return (sa(i) + t * (sa(i + 2) - sa(i)), sa(i + 1) + t * (sa(i + 3) - sa(i + 1)))
+          }
+        }
+        j += 4
+      }
+      i += 4
+    }
+    // intersects() true but no witness found (collinear overlap with no shared
+    // vertex on the other's closure can't occur: overlap implies containment
+    // of an endpoint) — fall back to a's first vertex
+    var fx = Double.NaN; var fy = Double.NaN
+    a.foreachCoord((x, y) => if (fx.isNaN) { fx = x; fy = y })
+    (fx, fy)
+  }
+
+  /** North-based clockwise azimuth (radians, [0, 2π)) from point a to point b
+    * (PostGIS ST_Azimuth). NaN for identical points (kernel maps to null). */
+  def azimuth(ax: Double, ay: Double, bx: Double, by: Double): Double = {
+    if (ax == bx && ay == by) return Double.NaN
+    val az = math.atan2(bx - ax, by - ay)
+    if (az < 0) az + 2 * math.Pi else az
+  }
+
+  // -------------------------------------------------------- line accessors
+
+  /** First vertex of a LineString as a Point; null for other types (PostGIS
+    * ST_StartPoint). */
+  def startPoint(g: Geometry): Geometry = g match {
+    case l: LineString if !l.isEmpty => Point(l.coords(0), l.coords(1))
+    case _ => null
+  }
+
+  /** Last vertex of a LineString as a Point; null for other types. */
+  def endPoint(g: Geometry): Geometry = g match {
+    case l: LineString if !l.isEmpty =>
+      Point(l.coords(l.coords.length - 2), l.coords(l.coords.length - 1))
+    case _ => null
+  }
+
+  /** N-th vertex of a LineString, 1-based; negative counts from the end
+    * (PostGIS ST_PointN). Out of range or non-line => null. */
+  def pointN(g: Geometry, n: Int): Geometry = g match {
+    case l: LineString if !l.isEmpty =>
+      val count = l.numPoints
+      val idx = if (n > 0) n - 1 else count + n
+      if (idx < 0 || idx >= count) null
+      else Point(l.coords(2 * idx), l.coords(2 * idx + 1))
+    case _ => null
+  }
+
+  /** Reverse vertex order per part; part order is preserved (PostGIS ST_Reverse). */
+  def reverse(g: Geometry): Geometry = {
+    def rev(cs: Array[Double]): Array[Double] = {
+      val n = cs.length / 2
+      val out = new Array[Double](cs.length)
+      var i = 0
+      while (i < n) { out(2 * i) = cs(2 * (n - 1 - i)); out(2 * i + 1) = cs(2 * (n - 1 - i) + 1); i += 1 }
+      out
+    }
+    g match {
+      case l: LineString => LineString(rev(l.coords))
+      case p: Polygon    => Polygon(p.rings.map(rev))
+      case m: MultiLineString => MultiLineString(m.geoms.map(l => LineString(rev(l.coords))))
+      case m: MultiPolygon    => MultiPolygon(m.geoms.map(p => Polygon(p.rings.map(rev))))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(reverse))
+      case other => other
+    }
+  }
+
+  /** Snap every coordinate to a grid of the given cell size, rounding half
+    * up: floor(v/size + 0.5) * size (PostGIS ST_SnapToGrid). size <= 0 => the
+    * input unchanged. Degenerate collapsed parts are kept as-is (byte-level
+    * dedup is the caller's concern, matching WKB set-op semantics §2.6). */
+  def snapToGrid(g: Geometry, size: Double): Geometry =
+    if (size <= 0) g
+    else g.mapCoords((x, y) => (math.floor(x / size + 0.5) * size, math.floor(y / size + 0.5) * size))
+
+  /** Swap x and y of every coordinate (PostGIS ST_FlipCoordinates). */
+  def flipCoordinates(g: Geometry): Geometry = g.mapCoords((x, y) => (y, x))
+
+  /** Total boundary length of areal geometries — all rings, holes included
+    * (PostGIS ST_Perimeter). 0 for points/lines. */
+  def perimeter(g: Geometry): Double = g match {
+    case p: Polygon =>
+      var s = 0.0
+      p.rings.foreach(r => s += ringLength(r))
+      s
+    case m: MultiPolygon => m.geoms.map(perimeter).sum
+    case c: GeometryCollection => c.geoms.map(perimeter).sum
+    case _ => 0.0
+  }
+
+  private def ringLength(cs: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < cs.length) {
+      val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 2
+    }
+    s
+  }
 }

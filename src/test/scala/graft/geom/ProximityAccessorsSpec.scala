@@ -1,0 +1,147 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** st_azimuth / st_closestpoint / st_shortestline kernels plus the line
+  * accessors and coordinate utilities (q105-q107). */
+class ProximityAccessorsSpec extends AnyFunSuite {
+  private def pg(wkt: String): Geometry = WKT.read(wkt)
+  private def props(n: Int)(body: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(7); (1 to n).foreach(_ => body(rnd))
+  }
+
+  // ------------------------------------------------------------- proximity
+
+  test("azimuth: cardinal directions and quadrant wrap") {
+    assert(Algos.azimuth(0, 0, 0, 1) == 0.0)                       // north
+    assert(Algos.azimuth(0, 0, 1, 0) == math.Pi / 2)               // east
+    assert(Algos.azimuth(0, 0, 0, -1) == math.Pi)                  // south
+    assert(Algos.azimuth(0, 0, -1, 0) == 3 * math.Pi / 2)          // west
+    assert(Algos.azimuth(2, 3, 2, 3).isNaN)                        // degenerate
+    assert(math.abs(Algos.azimuth(0, 0, 1, 1) - math.Pi / 4) < 1e-15)
+  }
+
+  test("closestPoints: point to envelope clamps to nearest corner/edge") {
+    val env = pg("POLYGON ((2 3, 5 3, 5 6, 2 6, 2 3))")
+    // below-left of the box: corner
+    val c1 = Algos.closestPoints(env, Point(0, 0))
+    assert(c1(0) == 2.0 && c1(1) == 3.0 && c1(2) == 0.0 && c1(3) == 0.0)
+    // directly below: edge projection
+    val c2 = Algos.closestPoints(env, Point(4, 0))
+    assert(c2(0) == 4.0 && c2(1) == 3.0)
+    // symmetric direction: first pair element lies ON the first argument
+    val c3 = Algos.closestPoints(Point(4, 0), env)
+    assert(c3(0) == 4.0 && c3(1) == 0.0 && c3(2) == 4.0 && c3(3) == 3.0)
+  }
+
+  test("closestPoints: matches distance on random disjoint segment pairs") {
+    props(200) { rnd =>
+      def seg(dx: Double) = LineString(Array(
+        dx + rnd.nextDouble() * 4, rnd.nextDouble() * 10,
+        dx + rnd.nextDouble() * 4, rnd.nextDouble() * 10))
+      val a = seg(0); val b = seg(10) // x-ranges [0,4] vs [10,14]: disjoint
+      val c = Algos.closestPoints(a, b)
+      val d = math.hypot(c(0) - c(2), c(1) - c(3))
+      assert(math.abs(d - Algos.distance(a, b)) < 1e-9)
+    }
+  }
+
+  test("closestPoints: intersecting inputs return a shared witness") {
+    val a = pg("LINESTRING (0 0, 10 10)")
+    val b = pg("LINESTRING (0 10, 10 0)")
+    val c = Algos.closestPoints(a, b)
+    assert(c(0) == 5.0 && c(1) == 5.0 && c(2) == 5.0 && c(3) == 5.0)
+    // vertex-on-boundary witness
+    val env = pg("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val w = Algos.closestPoints(env, Point(2, 2))
+    assert(w(0) == 2.0 && w(1) == 2.0)
+    assert(Algos.closestPoints(env, Point.empty) == null)
+  }
+
+  // -------------------------------------------------------- line accessors
+
+  test("start/end/pointN on a LineString; null elsewhere") {
+    val l = pg("LINESTRING (0 0, 3 4, 10 -2)")
+    assert(Algos.startPoint(l) == Point(0, 0))
+    assert(Algos.endPoint(l) == Point(10, -2))
+    assert(Algos.pointN(l, 1) == Point(0, 0))
+    assert(Algos.pointN(l, 2) == Point(3, 4))
+    assert(Algos.pointN(l, 3) == Point(10, -2))
+    assert(Algos.pointN(l, -1) == Point(10, -2))
+    assert(Algos.pointN(l, -3) == Point(0, 0))
+    assert(Algos.pointN(l, 4) == null)
+    assert(Algos.pointN(l, -4) == null)
+    assert(Algos.pointN(l, 0) == null)
+    assert(Algos.startPoint(pg("POINT (1 2)")) == null)
+    assert(Algos.endPoint(pg("POLYGON ((0 0, 1 0, 1 1, 0 0))")) == null)
+  }
+
+  test("reverse preserves structure and reverses traversal") {
+    assert(WKT.write(Algos.reverse(pg("LINESTRING (0 0, 1 1, 2 0)"))) ==
+      "LINESTRING (2 0, 1 1, 0 0)")
+    // polygon rings reverse per ring; part order stays
+    assert(WKT.write(Algos.reverse(pg("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"))) ==
+      "MULTILINESTRING ((1 1, 0 0), (3 3, 2 2))")
+    assert(Algos.reverse(pg("POINT (1 2)")) == Point(1, 2))
+    // double reverse is identity
+    val poly = pg("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(Algos.reverse(Algos.reverse(poly)) == poly)
+    // reversing a ring flips signed orientation: area is unchanged (absolute)
+    assert(Algos.area(Algos.reverse(poly)) == Algos.area(poly))
+  }
+
+  test("snapToGrid rounds half-up; size<=0 is identity") {
+    assert(Algos.snapToGrid(Point(1.25, -1.25), 1.0) == Point(1.0, -1.0))
+    assert(Algos.snapToGrid(Point(1.5, 2.5), 1.0) == Point(2.0, 3.0))
+    assert(Algos.snapToGrid(Point(1.25, 0.3), 0.5) == Point(1.5, 0.5))
+    assert(Algos.snapToGrid(Point(1.23, 4.56), 0.0) == Point(1.23, 4.56))
+    val l = Algos.snapToGrid(pg("LINESTRING (0.1 0.9, 3.4 3.6)"), 1.0)
+    assert(WKT.write(l) == "LINESTRING (0 1, 3 4)")
+  }
+
+  test("flipCoordinates swaps axes; involution") {
+    assert(Algos.flipCoordinates(Point(3, 7)) == Point(7, 3))
+    val g = pg("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+    assert(Algos.flipCoordinates(Algos.flipCoordinates(g)) == g)
+    assert(WKT.write(Algos.flipCoordinates(pg("LINESTRING (1 2, 3 4)"))) ==
+      "LINESTRING (2 1, 4 3)")
+  }
+
+  test("perimeter sums all rings incl. holes; 0 for non-areal") {
+    assert(Algos.perimeter(pg("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")) == 16.0)
+    assert(Algos.perimeter(
+      pg("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")) == 48.0)
+    assert(Algos.perimeter(pg("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))")) == 12.0)
+    assert(Algos.perimeter(pg("LINESTRING (0 0, 3 4)")) == 0.0)
+    assert(Algos.perimeter(pg("POINT (1 2)")) == 0.0)
+  }
+
+  // ------------------------------------------------------------ SQL surface
+
+  test("new kernels evaluate through SQL with codegen") {
+    val spark = graft.TestSpark.spark
+    val row = spark.sql(
+      """SELECT
+        |  st_azimuth(st_point(0.0, 0.0), st_point(1.0, 0.0)) AS az,
+        |  st_x(st_closestpoint(st_makeenvelope(2.0, 3.0, 5.0, 6.0), st_point(0.0, 0.0))) AS cx,
+        |  st_astext(st_shortestline(st_point(0.0, 0.0), st_makeenvelope(2.0, 0.0, 4.0, 2.0))) AS sl,
+        |  st_astext(st_pointn(st_geomfromtext('LINESTRING (0 0, 3 4, 6 0)'), -2)) AS p2,
+        |  st_astext(st_reverse(st_geomfromtext('LINESTRING (0 0, 1 1)'))) AS rev,
+        |  st_astext(st_snaptogrid(st_point(1.25, 2.75), 0.5)) AS snapped,
+        |  st_perimeter(st_makeenvelope(0.0, 0.0, 3.0, 2.0)) AS per,
+        |  st_astext(st_flipcoordinates(st_point(1.0, 2.0))) AS flipped,
+        |  st_astext(st_startpoint(st_geomfromtext('LINESTRING (9 8, 7 6)'))) AS sp,
+        |  st_astext(st_endpoint(st_geomfromtext('LINESTRING (9 8, 7 6)'))) AS ep
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == math.Pi / 2)
+    assert(row.getDouble(1) == 2.0)
+    assert(row.getString(2) == "LINESTRING (0 0, 2 0)")
+    assert(row.getString(3) == "POINT (3 4)")
+    assert(row.getString(4) == "LINESTRING (1 1, 0 0)")
+    assert(row.getString(5) == "POINT (1.5 3)")
+    assert(row.getDouble(6) == 10.0)
+    assert(row.getString(7) == "POINT (2 1)")
+    assert(row.getString(8) == "POINT (9 8)")
+    assert(row.getString(9) == "POINT (7 6)")
+  }
+}
