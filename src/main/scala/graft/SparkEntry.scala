@@ -1503,7 +1503,56 @@ object SparkEntry {
          |  st_x(st_snaptogrid(st_translate($custPt, 0.25, 0.25), 0.5)) AS snap_half_x,
          |  st_x(st_flipcoordinates($custPt)) AS flip_x,
          |  st_astext(st_flipcoordinates(st_flipcoordinates($custPt))) AS flip_roundtrip
-         |FROM customer ORDER BY c_custkey""".stripMargin)
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // benchmark decontamination: training docs sharing any exact 4-token
+    // n-gram with the held-out eval slice (doc_id % 37 == 0); eval gram set
+    // broadcasts, corpus side never shuffles on the gram
+    "q108_decontaminate" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"), col("sample_gram"))
+        .orderBy("doc_id")
+    }),
+
+    // lexical diversity: token entropy (order-independent decimal fold),
+    // vocabulary, TTR, hapax count per document
+    "q109_token_entropy" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      TextAnalysis.tokenEntropy(s.table("documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("vocab").cast("long").as("vocab"), col("hapax").cast("long").as("hapax"),
+          col("ttr"), col("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source score normalization: percent_rank (exact rational) and
+    // min-max position of the quality score within each source
+    "q110_quality_norm" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val scored = s.table("documents")
+        .select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      val bySource = Window.partitionBy(col("source"))
+      scored
+        .withColumn("pr", round(percent_rank().over(w), 6) + lit(0.0))
+        .withColumn("qmin", min(col("quality")).over(bySource))
+        .withColumn("qmax", max(col("quality")).over(bySource))
+        .select(col("doc_id"), col("source"), col("quality"), col("pr"),
+          (round(when(col("qmax") === col("qmin"), 0.5)
+            .otherwise((col("quality") - col("qmin")) / (col("qmax") - col("qmin"))), 6) + lit(0.0))
+            .as("minmax"))
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -2490,6 +2539,65 @@ object SparkEntry {
          |  'POINT (' || cast(c_custkey % 360 - 180 as bigint) || ' ' ||
          |    cast((c_custkey * 7) % 160 - 80 as bigint) || ')' AS flip_roundtrip
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q108_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]) AS gram
+        |  FROM toks WHERE doc_id % 37 <> 0),
+        |eg AS (
+        |  SELECT DISTINCT
+        |    unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]) AS gram
+        |  FROM toks WHERE doc_id % 37 = 0)
+        |SELECT t.doc_id, cast(count(*) as bigint) AS n_shared, min(t.gram) AS sample_gram
+        |FROM tg t JOIN eg e USING (gram)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q109_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS t FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        |SELECT doc_id, cast(sum(c) as bigint) AS n_tokens, cast(count(*) as bigint) AS vocab,
+        |  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS hapax,
+        |  round(cast(count(*) as double) / sum(c), 6) + 0.0 AS ttr,
+        |  round(ln(cast(sum(c) as double)) -
+        |    cast(sum(cast(round(c * ln(c), 9) as decimal(38,9))) as double) / sum(c), 6) + 0.0
+        |    AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q110_quality_norm" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, round(cast(
+        |    (CASE WHEN words >= 50 AND words <= 100000 THEN 1.0
+        |          WHEN words >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.2 as double), 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      cast(len(regexp_extract_all(text, '\S+')) as double) AS words,
+        |      CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |           THEN cast(length(text) as double) / len(regexp_extract_all(text, '\S+'))
+        |           ELSE 0.0 END AS mwl,
+        |      CASE WHEN length(text) > 0
+        |           THEN cast(len(regexp_extract_all(text, '[.,;:!?]')) as double) / length(text)
+        |           ELSE 0.0 END AS pr,
+        |      CASE WHEN length(text) > 0
+        |           THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text)
+        |           ELSE 0.0 END AS ur
+        |    FROM documents))
+        |SELECT doc_id, source, quality,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) + 0.0 AS pr,
+        |  round(CASE WHEN qmax = qmin THEN 0.5
+        |             ELSE (quality - qmin) / (qmax - qmin) END, 6) + 0.0 AS minmax
+        |FROM (
+        |  SELECT doc_id, source, quality,
+        |    min(quality) OVER (PARTITION BY source) AS qmin,
+        |    max(quality) OVER (PARTITION BY source) AS qmax
+        |  FROM scored)
+        |ORDER BY doc_id""".stripMargin,
 
     "q100_curation_pipeline" -> {
       import graft.pipeline.Corpus.{EmailRe, Ipv4Re, PhoneRe}

@@ -547,4 +547,44 @@ object Dedup {
     df.select(id).join(rebuilt, Seq(idCol), "left")
       .na.fill("", Seq(outCol)).na.fill(0L, Seq("n_kept_tokens"))
   }
+
+  /**
+   * Benchmark decontamination — the eval-overlap filter run before shipping
+   * a training corpus (GPT-3 appendix C / PaLM / Llama style): flag every
+   * training document that shares at least one exact `n`-token n-gram with
+   * any document of the evaluation set. Returns one row per contaminated
+   * train doc: (doc_id, n_shared distinct overlapping grams, the
+   * lexicographically-first such gram for auditability).
+   *
+   * Tokenization: trim + whitespace-run split, case-sensitive — the same
+   * convention as [[tokenJaccardPairs]]/[[ngramDupStats]].
+   *
+   * Scale shape: both sides explode to DISTINCT (doc, gram) once with
+   * map-side combine; the eval gram set — a benchmark, orders of magnitude
+   * smaller than the corpus — is distinct'd and BROADCAST into an inner
+   * join against train grams, so the 100-TB side never shuffles on the
+   * gram. One final aggregation per train doc. If the benchmark outgrows
+   * broadcast, swap the join for the bloom-prune shape of
+   * [[dedupAgainstHistory]] (same output, probabilistic prefilter).
+   */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__w")) - n),
+          i => array_join(slice(col("__w"), i + 1, lit(n)), " "))).as("gram"))
+    val trainGrams = grams(train).distinct()
+    val evalGrams = grams(eval).select(col("gram")).distinct()
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("sample_gram"))
+  }
 }

@@ -253,6 +253,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
+  /**
+   * Per-document lexical-diversity profile: token Shannon entropy (nats),
+   * vocabulary size, type-token ratio, hapax-legomenon count — the standard
+   * repetitiveness signals a curation pipeline thresholds on (low entropy =
+   * boilerplate/spam, TTR near 0 = keyword stuffing).
+   *
+   * Exactness: entropy = ln(m) - (Σ c·ln c)/m over per-token counts c.
+   * The Σ folds ROUNDED decimal terms (round(c·ln c, 9) as decimal) so the
+   * sum is order-independent and bit-identical across engines regardless of
+   * aggregation order — the same trick as [[unigramLogProb]].
+   *
+   * Scale shape: explode to (doc, token) with map-side combine into
+   * (doc, token, c), then one aggregation per doc; no window, no driver
+   * state. Docs with zero tokens produce no row (same on the SQL oracle).
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("__t"))
+    val counts = toks.groupBy(col("doc_id"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(round(col("__c").cast("double") * log(col("__c").cast("double")), 9)
+          .cast("decimal(38,9)")).as("__fold"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("vocab"),
+        col("hapax"),
+        (round(col("vocab").cast("double") / col("n_tokens"), 6) + lit(0.0)).as("ttr"),
+        (round(log(col("n_tokens").cast("double")) -
+          col("__fold").cast("double") / col("n_tokens"), 6) + lit(0.0)).as("entropy"))
+  }
+
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),

@@ -631,4 +631,49 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Seq[Int])].collect().toMap
     assert(coded.as[(Long, Seq[Int])].collect().toMap == again)
   }
+
+  test("decontaminate flags only train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),        // shares 'alpha beta gamma' with eval
+      (2L, "one two three four five six"),           // disjoint
+      (3L, "the secret eval answer is forty two ok") // shares the long span
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma zeta"),
+      (101L, "the secret eval answer is forty two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc 1: exactly one shared 3-gram
+    assert(out(0).getAs[Long]("n_shared") == 1L &&
+      out(0).getAs[String]("sample_gram") == "alpha beta gamma")
+    // doc 3: 'the secret eval answer is forty two' has 5 3-grams, all shared
+    assert(out(1).getAs[Long]("n_shared") == 5L)
+    // n larger than any shared span: nothing flagged
+    assert(Dedup.decontaminate(train, eval, "doc_id", "text", n = 8).count() == 0)
+  }
+
+  test("tokenEntropy: uniform text hits ln(vocab), repetition lowers it") {
+    val df = Seq(
+      (1L, "a b c d"),        // uniform: entropy = ln 4, ttr 1, hapax 4
+      (2L, "x x x x"),        // degenerate: entropy 0
+      (3L, "a a b"),          // 2/3·ln(3/2) + 1/3·ln 3
+      (4L, "")                // no tokens -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("vocab") == 4 && out(0).getAs[Long]("hapax") == 4)
+    assert(math.abs(out(0).getAs[Double]("entropy") - math.log(4)) < 1e-5)
+    assert(out(0).getAs[Double]("ttr") == 1.0)
+    assert(out(1).getAs[Double]("entropy") == 0.0 && out(1).getAs[Long]("hapax") == 0)
+    val expected3 = math.log(3) - (2.0 * math.log(2.0)) / 3.0
+    assert(math.abs(out(2).getAs[Double]("entropy") - expected3) < 1e-5)
+    // order-independence: repartitioned input folds to identical bits
+    val shuffled = TextAnalysis.tokenEntropy(df.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(shuffled.map(_.getAs[Double]("entropy")).toSeq ==
+      out.map(_.getAs[Double]("entropy")).toSeq)
+  }
 }
