@@ -1552,6 +1552,61 @@ object SparkEntry {
             .otherwise((col("quality") - col("qmin")) / (col("qmax") - col("qmin"))), 6) + lit(0.0))
             .as("minmax"))
         .orderBy("doc_id")
+    }),
+
+    // linear referencing on the (0,0)->(x,y) chord: interpolate at 1/4,
+    // locate a perpendicularly-offset probe (projection kills the offset =>
+    // exactly 0.5), substring endpoints, and the distance+azimuth round-trip
+    // through st_project recovering the far endpoint
+    "q111_line_reference" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_x(st_lineinterpolatepoint(line, 0.25)), 6) + 0.0 AS ip_x,
+         |  round(st_y(st_lineinterpolatepoint(line, 0.25)), 6) + 0.0 AS ip_y,
+         |  round(st_linelocatepoint(line, st_point(x / 2 - y / 100, y / 2 + x / 100)), 6) + 0.0 AS loc_mid,
+         |  round(st_linelocatepoint(line, st_point(x * 2, y * 2)), 6) + 0.0 AS loc_past,
+         |  round(st_x(st_startpoint(st_linesubstring(line, 0.25, 0.75))), 6) + 0.0 AS sub_x0,
+         |  round(st_x(st_endpoint(st_linesubstring(line, 0.25, 0.75))), 6) + 0.0 AS sub_x1,
+         |  st_linesubstring(line, 0.75, 0.25) IS NULL AS sub_bad_null,
+         |  round(st_x(st_project(st_point(0.0, 0.0),
+         |    st_length(line), st_azimuth(st_point(0.0, 0.0), st_point(x, y)))), 6) + 0.0 AS proj_x,
+         |  round(st_y(st_project(st_point(0.0, 0.0),
+         |    st_length(line), st_azimuth(st_point(0.0, 0.0), st_point(x, y)))), 6) + 0.0 AS proj_y
+         |FROM (
+         |  SELECT c_custkey, $custX AS x, $custY AS y,
+         |    st_geomfromtext(concat('LINESTRING (0 0, ',
+         |      cast(c_custkey % 360 - 180 as bigint), ' ',
+         |      cast((c_custkey * 7) % 160 - 80 as bigint), ')')) AS line
+         |  FROM customer)
+         |ORDER BY c_custkey""".stripMargin),
+
+    // interior-ring accessors + geometry builders: makeline from points,
+    // makepolygon from a closed ring, holes counted and extracted
+    "q112_rings_makers" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_numinteriorrings(st_geomfromtext(
+         |    'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')) AS n_holes,
+         |  st_numinteriorrings(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS env_holes,
+         |  st_numinteriorrings($custPt) IS NULL AS pt_holes_null,
+         |  st_astext(st_interiorringn(st_geomfromtext(
+         |    'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'), 1)) AS hole1,
+         |  st_interiorringn(st_geomfromtext(
+         |    'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'), 2) IS NULL AS hole2_null,
+         |  st_astext(st_makeline($custPt, st_point($custX + $custSide, $custY))) AS ml,
+         |  cast(st_area(st_makepolygon(st_exteriorring(
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)))) as double) AS mp_area,
+         |  st_makepolygon(st_geomfromtext('LINESTRING (0 0, 1 1)')) IS NULL AS open_null
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // deterministic weighted sampling without replacement (A-ES keys from
+    // md5 uniforms, weight = document length): the top-20 keys are the
+    // sample, identical across engines and partitionings
+    "q113_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      Corpus.weightedSampleN(s.table("documents"), "doc_id", "n_chars", 20)
+        .select(col("doc_id"), col("n_chars"),
+          (round(col("sample_key"), 6) + lit(0.0)).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
     })
   )
 
@@ -2539,6 +2594,48 @@ object SparkEntry {
          |  'POINT (' || cast(c_custkey % 360 - 180 as bigint) || ' ' ||
          |    cast((c_custkey * 7) % 160 - 80 as bigint) || ')' AS flip_roundtrip
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q111_line_reference" ->
+      s"""SELECT c_custkey,
+         |  round($oCustX * 0.25, 6) + 0.0 AS ip_x,
+         |  round($oCustY * 0.25, 6) + 0.0 AS ip_y,
+         |  0.5 AS loc_mid,
+         |  1.0 AS loc_past,
+         |  round($oCustX * 0.25, 6) + 0.0 AS sub_x0,
+         |  round($oCustX * 0.75, 6) + 0.0 AS sub_x1,
+         |  true AS sub_bad_null,
+         |  round($oCustX, 6) + 0.0 AS proj_x,
+         |  round($oCustY, 6) + 0.0 AS proj_y
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q112_rings_makers" ->
+      s"""SELECT c_custkey,
+         |  1 AS n_holes,
+         |  0 AS env_holes,
+         |  true AS pt_holes_null,
+         |  'LINESTRING (2 2, 4 2, 4 4, 2 4, 2 2)' AS hole1,
+         |  true AS hole2_null,
+         |  'LINESTRING (' || x0 || ' ' || y0 || ', ' || x2 || ' ' || y0 || ')' AS ml,
+         |  $oSide * $oSide AS mp_area,
+         |  true AS open_null
+         |FROM (
+         |  SELECT c_custkey,
+         |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+         |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+         |    cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x2
+         |  FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q113_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  round(pow(u, 1.0 / n_chars), 6) + 0.0 AS skey
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT as double)
+        |      / 1152921504606846976 AS u
+        |  FROM documents)
+        |ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     "q108_decontaminate" ->
       """WITH toks AS (

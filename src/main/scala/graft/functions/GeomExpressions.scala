@@ -75,6 +75,14 @@ object GeomKernels {
     "st_reverse"      -> U(BinaryType, g => wkb(Algos.reverse(g))),
     "st_flipcoordinates" -> U(BinaryType, g => wkb(Algos.flipCoordinates(g))),
     "st_perimeter"    -> U(DoubleType, g => Algos.perimeter(g)),
+    "st_numinteriorrings" -> U(IntegerType, g => {
+      val n = Algos.numInteriorRings(g)
+      if (n < 0) null else n
+    }),
+    "st_makepolygon"  -> U(BinaryType, g => Algos.makePolygon(g) match {
+      case null => null
+      case p    => wkb(p)
+    }),
     "st_astext"       -> U(StringType, g => utf8(WKT.write(g))),
     "st_asgeojson"    -> U(StringType, g => utf8(GeoJSON.write(g))),
     // st_dump: multi-part => parts, single => itself (reference explode,
@@ -124,6 +132,17 @@ object GeomKernels {
         val az = Algos.azimuth(p.x, p.y, q.x, q.y)
         if (az.isNaN) null else az
       case _ => null
+    }),
+    // fraction of line a's length at the point nearest to point b
+    "st_linelocatepoint" -> B(DoubleType, (a, b) => b match {
+      case p: Point if !p.isEmpty =>
+        val f = Algos.lineLocatePoint(a, p.x, p.y)
+        if (f.isNaN) null else f
+      case _ => null
+    }),
+    "st_makeline"     -> B(BinaryType, (a, b) => Algos.makeLine(a, b) match {
+      case null => null
+      case l    => wkb(l)
     }),
     "st_union"          -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
     "st_intersection"   -> B(BinaryType, (a, b) => Option(Union.intersection(a, b)).map(wkb).orNull),
@@ -183,6 +202,27 @@ object GeomKernels {
       }),
     // snap coordinates to a grid (round-half-up multiples of the cell size)
     "st_snaptogrid" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.snapToGrid(g, d(a(0))))),
+    // linear referencing along a LineString
+    "st_lineinterpolatepoint" -> W(BinaryType, Set(1), (g, a) =>
+      Algos.lineInterpolatePoint(g, d(a(0))) match {
+        case null => null
+        case p    => wkb(p)
+      }),
+    "st_linesubstring" -> W(BinaryType, Set(2), (g, a) =>
+      Algos.lineSubstring(g, d(a(0)), d(a(1))) match {
+        case null => null
+        case l    => wkb(l)
+      }),
+    // planar destination point: distance along a north-based clockwise azimuth
+    "st_project" -> W(BinaryType, Set(2), (g, a) => g match {
+      case p: Point if !p.isEmpty => wkb(Algos.project(p.x, p.y, d(a(0)), d(a(1))))
+      case _ => null
+    }),
+    "st_interiorringn" -> W(BinaryType, Set(1), (g, a) =>
+      Algos.interiorRingN(g, d(a(0)).toInt) match {
+        case null => null
+        case r    => wkb(r)
+      }),
     // spatial bucketing: base32 cell id of a POINT (prefix = grid cell);
     // non-point or out-of-range input => null
     "st_geohash" -> W(StringType, Set(1), (g, a) => g match {

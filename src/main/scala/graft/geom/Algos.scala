@@ -904,4 +904,131 @@ object Algos {
     }
     s
   }
+
+  // ------------------------------------------------------ linear referencing
+
+  /** Point at fraction `f` (clamped to [0,1]) of a LineString's length,
+    * measured along the line (PostGIS ST_LineInterpolatePoint). Zero-length
+    * lines return their start vertex. Null for non-lines. */
+  def lineInterpolatePoint(g: Geometry, f: Double): Geometry = g match {
+    case l: LineString if !l.isEmpty =>
+      val cs = l.coords
+      if (cs.length == 2) return Point(cs(0), cs(1))
+      val frac = math.max(0.0, math.min(1.0, f))
+      val total = ringLength(cs)
+      if (total == 0) return Point(cs(0), cs(1))
+      val target = frac * total
+      var cum = 0.0
+      var i = 0
+      while (i + 3 < cs.length) {
+        val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+        val len = math.sqrt(dx * dx + dy * dy)
+        if (cum + len >= target && len > 0) {
+          val t = (target - cum) / len
+          return Point(cs(i) + t * dx, cs(i + 1) + t * dy)
+        }
+        cum += len
+        i += 2
+      }
+      Point(cs(cs.length - 2), cs(cs.length - 1))
+    case _ => null
+  }
+
+  /** Fraction of a LineString's length at the point on it closest to `p`
+    * (PostGIS ST_LineLocatePoint). NaN for non-lines/empty (kernel => null). */
+  def lineLocatePoint(g: Geometry, px: Double, py: Double): Double = g match {
+    case l: LineString if !l.isEmpty =>
+      val cs = l.coords
+      val total = ringLength(cs)
+      if (total == 0) return 0.0
+      var bestD = Double.PositiveInfinity
+      var bestLen = 0.0
+      var cum = 0.0
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = cs(i); val y1 = cs(i + 1); val x2 = cs(i + 2); val y2 = cs(i + 3)
+        val dx = x2 - x1; val dy = y2 - y1
+        val lenSq = dx * dx + dy * dy
+        val len = math.sqrt(lenSq)
+        val t = if (lenSq == 0) 0.0
+                else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / lenSq))
+        val cx = x1 + t * dx; val cy = y1 + t * dy
+        val d = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        if (d < bestD) { bestD = d; bestLen = cum + t * len }
+        cum += len
+        i += 2
+      }
+      bestLen / total
+    case _ => Double.NaN
+  }
+
+  /** Sub-line between fractions f1 < f2 of a LineString's length (PostGIS
+    * ST_LineSubstring). Fractions clamp to [0,1]; f1 >= f2 or non-line => null. */
+  def lineSubstring(g: Geometry, f1: Double, f2: Double): Geometry = g match {
+    case l: LineString if !l.isEmpty =>
+      val lo = math.max(0.0, math.min(1.0, f1))
+      val hi = math.max(0.0, math.min(1.0, f2))
+      if (lo >= hi) return null
+      val cs = l.coords
+      val total = ringLength(cs)
+      if (total == 0) return null
+      val start = lineInterpolatePoint(l, lo).asInstanceOf[Point]
+      val end = lineInterpolatePoint(l, hi).asInstanceOf[Point]
+      val buf = scala.collection.mutable.ArrayBuffer[Double](start.x, start.y)
+      // interior vertices whose cumulative length falls strictly inside (lo, hi)
+      var cum = 0.0
+      var i = 0
+      while (i + 3 < cs.length) {
+        val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+        cum += math.sqrt(dx * dx + dy * dy)
+        val frac = cum / total
+        if (frac > lo && frac < hi) { buf += cs(i + 2); buf += cs(i + 3) }
+        i += 2
+      }
+      buf += end.x; buf += end.y
+      LineString(buf.toArray)
+    case _ => null
+  }
+
+  /** Destination point from (x, y) at `dist` along north-based clockwise
+    * `azimuth` radians (planar PostGIS ST_Project). */
+  def project(x: Double, y: Double, dist: Double, azimuth: Double): Point =
+    Point(x + dist * math.sin(azimuth), y + dist * math.cos(azimuth))
+
+  // ---------------------------------------------------------- ring accessors
+
+  /** Number of interior rings (holes) of a Polygon; -1 sentinel for
+    * non-polygons (kernel maps to null). */
+  def numInteriorRings(g: Geometry): Int = g match {
+    case p: Polygon if !p.isEmpty => p.rings.length - 1
+    case _ => -1
+  }
+
+  /** N-th interior ring of a Polygon as a closed LineString, 1-based
+    * (PostGIS ST_InteriorRingN). Out of range / non-polygon => null. */
+  def interiorRingN(g: Geometry, n: Int): Geometry = g match {
+    case p: Polygon if n >= 1 && n < p.rings.length => LineString(p.rings(n))
+    case _ => null
+  }
+
+  // ------------------------------------------------------------ constructors
+
+  /** Concatenate two point/line inputs into a LineString (PostGIS
+    * ST_MakeLine binary form). Unsupported operand types => null. */
+  def makeLine(a: Geometry, b: Geometry): Geometry = {
+    def coordsOf(g: Geometry): Array[Double] = g match {
+      case p: Point if !p.isEmpty => Array(p.x, p.y)
+      case l: LineString          => l.coords
+      case _                      => null
+    }
+    val ca = coordsOf(a); val cb = coordsOf(b)
+    if (ca == null || cb == null) null else LineString(ca ++ cb)
+  }
+
+  /** Closed LineString => Polygon with that shell and no holes (PostGIS
+    * ST_MakePolygon). Open or too-short lines => null. */
+  def makePolygon(g: Geometry): Geometry = g match {
+    case l: LineString if l.isClosed && l.numPoints >= 4 => Polygon(Array(l.coords))
+    case _ => null
+  }
 }

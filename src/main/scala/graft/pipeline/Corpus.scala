@@ -61,6 +61,24 @@ object Corpus {
     df.filter(hashBucket(col(keyCol)) < round(rate * 1000).cast("long"))
   }
 
+  /**
+   * Deterministic weighted sampling without replacement (Efraimidis &
+   * Spirakis 2006 A-ES): each row gets key u^(1/w) with u an md5-derived
+   * uniform of the id — the top-n keys ARE a weighted sample, computed
+   * without RNG state so the same rows win on every engine, run, and
+   * partitioning. The top-n is a TakeOrdered (per-partition heaps + driver
+   * merge of n·P candidates), not a global sort — at 100 TB the cost is
+   * one scan.
+   */
+  def weightedSampleN(df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
+    // 2^60 is exactly representable; u = first 60 md5 bits / 2^60 in [0,1)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976L).cast("double")
+    df.withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Corpus composition report per group: doc/token/char totals and mean
     * quality — one partial-aggregating scan (the kernels are codegen
     * expressions, the agg is map-side-combined). */

@@ -116,6 +116,69 @@ class ProximityAccessorsSpec extends AnyFunSuite {
     assert(Algos.perimeter(pg("POINT (1 2)")) == 0.0)
   }
 
+  // ---------------------------------------------------- linear referencing
+
+  test("lineInterpolatePoint walks multi-segment lines by length") {
+    val l = pg("LINESTRING (0 0, 4 0, 4 4)") // total length 8
+    assert(Algos.lineInterpolatePoint(l, 0.0) == Point(0, 0))
+    assert(Algos.lineInterpolatePoint(l, 0.25) == Point(2, 0))
+    assert(Algos.lineInterpolatePoint(l, 0.5) == Point(4, 0))
+    assert(Algos.lineInterpolatePoint(l, 0.75) == Point(4, 2))
+    assert(Algos.lineInterpolatePoint(l, 1.0) == Point(4, 4))
+    assert(Algos.lineInterpolatePoint(l, -3.0) == Point(0, 0)) // clamps
+    assert(Algos.lineInterpolatePoint(l, 9.0) == Point(4, 4))
+    assert(Algos.lineInterpolatePoint(pg("POINT (1 2)"), 0.5) == null)
+  }
+
+  test("lineLocatePoint returns length fraction of the nearest on-line point") {
+    val l = pg("LINESTRING (0 0, 4 0, 4 4)")
+    assert(Algos.lineLocatePoint(l, 2, 0) == 0.25)
+    assert(Algos.lineLocatePoint(l, 4, 2) == 0.75)
+    assert(Algos.lineLocatePoint(l, 2, 1) == 0.25)   // off-line probe projects down
+    assert(Algos.lineLocatePoint(l, -5, 0) == 0.0)   // clamps to start
+    assert(Algos.lineLocatePoint(l, 4, 9) == 1.0)    // clamps to end
+    assert(Algos.lineLocatePoint(pg("POLYGON ((0 0, 1 0, 1 1, 0 0))"), 0, 0).isNaN)
+  }
+
+  test("lineSubstring keeps interior vertices, interpolates cut ends") {
+    val l = pg("LINESTRING (0 0, 4 0, 4 4)")
+    assert(WKT.write(Algos.lineSubstring(l, 0.25, 0.75)) == "LINESTRING (2 0, 4 0, 4 2)")
+    assert(WKT.write(Algos.lineSubstring(l, 0.0, 0.5)) == "LINESTRING (0 0, 4 0)")
+    assert(WKT.write(Algos.lineSubstring(l, 0.625, 1.0)) == "LINESTRING (4 1, 4 4)")
+    assert(Algos.lineSubstring(l, 0.75, 0.25) == null)
+    assert(Algos.lineSubstring(l, 0.5, 0.5) == null)
+  }
+
+  test("project: inverse of azimuth+distance") {
+    props(100) { rnd =>
+      val (x1, y1) = (rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble)
+      val (x2, y2) = (rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble)
+      if (x1 != x2 || y1 != y2) {
+        val az = Algos.azimuth(x1, y1, x2, y2)
+        val d = math.hypot(x2 - x1, y2 - y1)
+        val p = Algos.project(x1, y1, d, az)
+        assert(math.abs(p.x - x2) < 1e-9 && math.abs(p.y - y2) < 1e-9)
+      }
+    }
+  }
+
+  test("interior rings and polygon/line builders") {
+    val holed = pg("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(Algos.numInteriorRings(holed) == 1)
+    assert(Algos.numInteriorRings(pg("POLYGON ((0 0, 1 0, 1 1, 0 0))")) == 0)
+    assert(Algos.numInteriorRings(pg("POINT (1 1)")) == -1)
+    assert(WKT.write(Algos.interiorRingN(holed, 1)) == "LINESTRING (2 2, 4 2, 4 4, 2 4, 2 2)")
+    assert(Algos.interiorRingN(holed, 2) == null)
+    assert(Algos.interiorRingN(holed, 0) == null)
+    assert(WKT.write(Algos.makeLine(Point(0, 0), Point(3, 4))) == "LINESTRING (0 0, 3 4)")
+    assert(WKT.write(Algos.makeLine(pg("LINESTRING (0 0, 1 1)"), Point(2, 2))) ==
+      "LINESTRING (0 0, 1 1, 2 2)")
+    assert(Algos.makeLine(holed, Point(0, 0)) == null)
+    val ring = pg("LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+    assert(Algos.area(Algos.makePolygon(ring)) == 16.0)
+    assert(Algos.makePolygon(pg("LINESTRING (0 0, 1 1)")) == null)
+  }
+
   // ------------------------------------------------------------ SQL surface
 
   test("new kernels evaluate through SQL with codegen") {

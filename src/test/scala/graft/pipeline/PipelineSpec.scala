@@ -654,6 +654,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(train, eval, "doc_id", "text", n = 8).count() == 0)
   }
 
+  test("weightedSampleN: deterministic, partitioning-invariant, weight-sensitive") {
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 1000L else 1L)).toDF("id", "w")
+    val a = Corpus.weightedSampleN(df, "id", "w", 20).select("id").as[Long].collect().toSeq
+    val b = Corpus.weightedSampleN(df.repartition(13), "id", "w", 20)
+      .select("id").as[Long].collect().toSeq
+    assert(a == b) // same winners in the same order regardless of layout
+    // heavy weights dominate: u^(1/1000) ~ 1 beats u^(1/1) for nearly all u
+    assert(a.count(_ <= 100) >= 18, s"heavy-weight rows underrepresented: $a")
+  }
+
   test("tokenEntropy: uniform text hits ln(vocab), repetition lowers it") {
     val df = Seq(
       (1L, "a b c d"),        // uniform: entropy = ln 4, ttr 1, hapax 4
