@@ -1607,7 +1607,37 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"),
           (round(col("sample_key"), 6) + lit(0.0)).as("skey"))
         .orderBy(col("skey").desc, col("doc_id"))
-    })
+    }),
+
+    // near-dup cluster collapse: jaccard pair graph -> connected components
+    // -> keep the highest-quality doc per cluster (the canonical post-pair
+    // dedup step); exact oracle via DuckDB recursive CC + the same window
+    "q114_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val pairs = Dedup.tokenJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxDf = 100)
+      Dedup.keepBestPerCluster(docs, "doc_id", pairs, "quality")
+        .select(col("doc_id"), col("component").cast("long").as("component"),
+          col("cluster_size").cast("long").as("cluster_size"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // multi-level aggregation in one pass: ROLLUP over (returnflag,
+    // linestatus) with grouping ids — subtotals and grand total from a
+    // single shuffle (Spark expands grouping sets map-side)
+    "q115_rollup" -> sqlQuery(Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int) AS gid,
+        |  cast(sum(cast(l_quantity as decimal(20,2))) as double) AS sum_qty,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2636,6 +2666,59 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    "q114_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, text, list_distinct(regexp_extract_all(trim(text), '\S+')) AS toks
+        |      FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE cast(len(list_intersect(a.toks, b.toks)) as double) /
+        |            cast(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) as double) >= 0.8),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |cc(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+        |),
+        |comp AS (SELECT cast(id as bigint) AS doc_id, cast(min(lbl) as bigint) AS component
+        |         FROM cc GROUP BY id),
+        |q AS (
+        |  SELECT doc_id, round(cast(
+        |    (CASE WHEN words >= 50 AND words <= 100000 THEN 1.0
+        |          WHEN words >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.2 as double), 6) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      cast(len(regexp_extract_all(text, '\S+')) as double) AS words,
+        |      CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |           THEN cast(length(text) as double) / len(regexp_extract_all(text, '\S+'))
+        |           ELSE 0.0 END AS mwl,
+        |      CASE WHEN length(text) > 0
+        |           THEN cast(len(regexp_extract_all(text, '[.,;:!?]')) as double) / length(text)
+        |           ELSE 0.0 END AS pr,
+        |      CASE WHEN length(text) > 0
+        |           THEN cast(len(regexp_extract_all(text, '[A-Z]')) as double) / length(text)
+        |           ELSE 0.0 END AS ur
+        |    FROM t)),
+        |j AS (
+        |  SELECT c.doc_id, c.component, q.quality,
+        |    count(*) OVER (PARTITION BY c.component) AS cluster_size,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rk
+        |  FROM comp c JOIN q USING (doc_id))
+        |SELECT doc_id, component, cast(cluster_size as bigint) AS cluster_size, quality
+        |FROM j WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q115_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int) AS gid,
+        |  cast(sum(cast(l_quantity as decimal(20,2))) as double) AS sum_qty,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
 
     "q108_decontaminate" ->
       """WITH toks AS (

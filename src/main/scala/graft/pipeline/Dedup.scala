@@ -347,6 +347,35 @@ object Dedup {
   }
 
   /**
+   * Near-dup cluster collapse — the step AFTER pair generation in every
+   * dedup pipeline: connected components over the pair graph, then keep ONE
+   * representative per cluster — the row maximizing `scoreCol` (ties to the
+   * smallest id). Singletons survive as their own cluster. Returns the
+   * surviving rows of `df` plus (component, cluster_size).
+   *
+   * Scale shape: components come from [[connectedComponents]] (alternating
+   * star contraction, driver DSU only under a threshold); the rank-1 pick
+   * is a window over the component key — one shuffle, and near-dup
+   * components are tiny by construction so no skewed window partition.
+   */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      scoreCol: String,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val comp = assignComponents(df.select(col(idCol)), idCol, pairs, srcCol, dstCol)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(comp, Seq(idCol))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /**
    * Word-set Jaccard similarity of all pairs above a threshold, via a
    * shared-token inverted index (no cross join): rare tokens key the
    * candidate generation. `maxDf` drops tokens appearing in more than that

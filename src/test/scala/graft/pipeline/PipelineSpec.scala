@@ -654,6 +654,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(train, eval, "doc_id", "text", n = 8).count() == 0)
   }
 
+  test("keepBestPerCluster keeps the top-score doc per component, singletons survive") {
+    val scored = Seq(
+      (1L, "a", 0.5), (2L, "b", 0.9), (3L, "c", 0.9), // cluster {1,2,3}: 2 wins (score tie, lower id)
+      (4L, "d", 0.1),                                 // singleton
+      (5L, "e", 0.3), (6L, "f", 0.2)                  // cluster {5,6}: 5 wins
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(scored, "doc_id", pairs, "score")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L))
+    val sizes = out.map(r => r.getLong(0) -> r.getAs[Long]("cluster_size")).toMap
+    assert(sizes == Map(2L -> 3L, 4L -> 1L, 5L -> 2L))
+    // survivors keep their original columns
+    assert(out.find(_.getLong(0) == 2L).get.getAs[String]("text") == "b")
+  }
+
   test("weightedSampleN: deterministic, partitioning-invariant, weight-sensitive") {
     val df = (1L to 200L).map(i => (i, if (i <= 100) 1000L else 1L)).toDF("id", "w")
     val a = Corpus.weightedSampleN(df, "id", "w", 20).select("id").as[Long].collect().toSeq
