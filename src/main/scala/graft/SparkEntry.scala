@@ -1637,7 +1637,25 @@ object SparkEntry {
         |  cast(count(*) as bigint) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY rf, ls, gid""".stripMargin)
+        |ORDER BY rf, ls, gid""".stripMargin),
+
+    // DBSCAN density clustering over md5-scattered integer points: grid
+    // neighbor join (no O(n^2)), core/border/noise per classic semantics,
+    // deterministic min-label border assignment; integer coords make every
+    // distance comparison exact on both engines
+    "q116_dbscan" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val pts = s.sql(
+        """SELECT c_custkey AS id,
+          |  cast(cast(conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10) as bigint) % 80 as double) AS x,
+          |  cast(cast(conv(substring(md5(cast(c_custkey as string)), 16, 15), 16, 10) as bigint) % 80 as double) AS y
+          |FROM customer WHERE c_custkey <= 1200""".stripMargin)
+      graft.spatial.Dbscan.cluster(pts, "id", "x", "y", eps = 2.0, minPts = 3)
+        .select(col("id"), col("x"), col("y"), col("is_core"),
+          col("cluster").cast("long").as("cluster"))
+        .orderBy("id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -2719,6 +2737,37 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls, gid""".stripMargin,
+
+    "q116_dbscan" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT c_custkey AS id,
+        |  cast(('0x'||substr(md5(cast(c_custkey as varchar)),1,15))::BIGINT % 80 as double) AS x,
+        |  cast(('0x'||substr(md5(cast(c_custkey as varchar)),16,15))::BIGINT % 80 as double) AS y
+        |  FROM customer WHERE c_custkey <= 1200),
+        |pairs AS (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+        |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0),
+        |neigh AS (SELECT ia AS id, count(*) AS nc FROM pairs GROUP BY ia),
+        |core AS (SELECT id FROM neigh WHERE nc >= 3),
+        |ce AS (SELECT ia, ib FROM pairs
+        |  JOIN core a ON ia = a.id JOIN core b ON ib = b.id WHERE ia <> ib),
+        |cc(id, lbl) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT ce.ib, cc.lbl FROM cc JOIN ce ON ce.ia = cc.id),
+        |comp AS (SELECT id, cast(min(lbl) as bigint) AS cluster FROM cc GROUP BY id),
+        |border AS (
+        |  SELECT p.ia AS id, min(comp.cluster) AS cluster
+        |  FROM pairs p JOIN comp ON p.ib = comp.id
+        |  WHERE p.ia NOT IN (SELECT id FROM core) AND p.ia <> p.ib
+        |  GROUP BY p.ia)
+        |SELECT p.id, p.x, p.y,
+        |  (c.id IS NOT NULL) AS is_core,
+        |  coalesce(comp.cluster, border.cluster) AS cluster
+        |FROM pts p
+        |LEFT JOIN core c ON p.id = c.id
+        |LEFT JOIN comp ON p.id = comp.id
+        |LEFT JOIN border ON p.id = border.id
+        |ORDER BY p.id""".stripMargin,
 
     "q108_decontaminate" ->
       """WITH toks AS (
