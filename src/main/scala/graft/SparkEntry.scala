@@ -1655,6 +1655,37 @@ object SparkEntry {
         .select(col("id"), col("x"), col("y"), col("is_core"),
           col("cluster").cast("long").as("cluster"))
         .orderBy("id")
+    }),
+
+    // sliding (hopping) windows: 12h length, 6h slide — every event lands in
+    // exactly two windows; one expand + one shuffle (Spark's window()
+    // generator), the streaming-ready §2.10 shape evaluated in batch
+    "q117_sliding_window" -> sqlQuery(Seq("events"),
+      """SELECT window.start AS ws, event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total
+        |FROM events
+        |GROUP BY window(ts, '12 hours', '6 hours'), event_type
+        |ORDER BY ws, event_type""".stripMargin),
+
+    // text-delimited interchange: write WKT + attributes as CSV, read back
+    // with schema inference off (explicit schema), parse with
+    // st_geomfromtext — the OGR CSV/WKT driver path of §2.1 read_file
+    "q118_csv_wkt" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q118_csvwkt").getAbsolutePath
+      s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", s"st_astext($custPt) AS wkt", "c_acctbal")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("c_custkey LONG, wkt STRING, c_acctbal DOUBLE")
+        .option("header", "true").csv(tmp)
+        .selectExpr("c_custkey",
+          "st_x(st_geomfromtext(wkt)) AS gx",
+          "st_y(st_geomfromtext(wkt)) AS gy",
+          "c_acctbal")
+        .orderBy("c_custkey")
     })
   )
 
@@ -2737,6 +2768,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls, gid""".stripMargin,
+
+    "q117_sliding_window" ->
+      """SELECT ws, event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) - i * INTERVAL '6 hours' AS ws,
+        |    event_type, value
+        |  FROM events, unnest([0, 1]) AS u(i))
+        |GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "q118_csv_wkt" ->
+      s"""SELECT cast(c_custkey as bigint) AS c_custkey,
+         |  $oCustX AS gx, $oCustY AS gy, c_acctbal
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q116_dbscan" ->
       """WITH RECURSIVE
