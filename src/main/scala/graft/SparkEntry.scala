@@ -1686,7 +1686,36 @@ object SparkEntry {
           "st_y(st_geomfromtext(wkt)) AS gy",
           "c_acctbal")
         .orderBy("c_custkey")
-    })
+    }),
+
+    // curation text normalization: control-char strip + whitespace collapse
+    // + Unicode NFC, exercised on deterministically-dirtied text (control
+    // prefix, ragged spacing, decomposed e + U+0301 suffix); char counts
+    // audit the cleanup on both engines
+    "q119_normalize_text" -> sqlQuery(Seq("documents"),
+      "SELECT doc_id, normalize_text(noisy) AS norm, " +
+        "cast(length(noisy) as bigint) AS n_before, " +
+        "cast(length(normalize_text(noisy)) as bigint) AS n_after " +
+        "FROM (SELECT doc_id, concat('  ', text, '  café  ') AS noisy " +
+        "FROM documents) ORDER BY doc_id"),
+
+    // farthest-point pair (vertex-exact maxdistance/longestline), 3-point
+    // clockwise angle, and segmentize densification with length preserved
+    "q120_far_angle_segmentize" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_maxdistance($custPt,
+         |    st_makeenvelope($custX + 2, $custY + 3, $custX + 2 + $custSide, $custY + 3 + $custSide)), 6) + 0.0 AS md,
+         |  st_astext(st_longestline($custPt,
+         |    st_makeenvelope($custX + 2, $custY + 3, $custX + 2 + $custSide, $custY + 3 + $custSide))) AS ll,
+         |  round(st_angle(st_point($custX + $custSide, $custY), $custPt,
+         |    st_point($custX + $custSide, $custY + 2)), 6) + 0.0 AS ang,
+         |  st_angle($custPt, $custPt, st_point($custX + 1, $custY)) IS NULL AS ang_self_null,
+         |  st_numpoints(st_segmentize(st_exteriorring(
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)), 1.0)) AS seg_n,
+         |  round(st_length(st_segmentize(st_exteriorring(
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)), 1.0)), 6) + 0.0 AS seg_len,
+         |  st_x(st_pointn(st_segmentize(st_geomfromtext('LINESTRING (0 0, 8 0)'), 2.0), 2)) AS seg_pt
+         |FROM customer ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2784,6 +2813,36 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q119_normalize_text" ->
+      """SELECT doc_id,
+        |  nfc_normalize(trim(regexp_replace(regexp_replace(noisy,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g'))) AS norm,
+        |  cast(length(noisy) as bigint) AS n_before,
+        |  cast(length(nfc_normalize(trim(regexp_replace(regexp_replace(noisy,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))) as bigint) AS n_after
+        |FROM (
+        |  SELECT doc_id, chr(1) || '  ' || text || '  cafe' || chr(769) || '  ' AS noisy
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q120_far_angle_segmentize" ->
+      s"""SELECT c_custkey,
+         |  round(sqrt((2 + $oSide) * (2 + $oSide) + (3 + $oSide) * (3 + $oSide)), 6) + 0.0 AS md,
+         |  'LINESTRING (' || x0 || ' ' || y0 || ', ' || cast(x0 + 2 + s as bigint) || ' ' ||
+         |    cast(y0 + 3 + s as bigint) || ')' AS ll,
+         |  round(atan2($oSide, 2.0) - pi() / 2 + 2 * pi(), 6) + 0.0 AS ang,
+         |  true AS ang_self_null,
+         |  cast(4 * $oSide + 1 as int) AS seg_n,
+         |  round(4 * $oSide, 6) + 0.0 AS seg_len,
+         |  2.0 AS seg_pt
+         |FROM (
+         |  SELECT c_custkey,
+         |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+         |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+         |    cast(c_custkey % 10 + 1 as bigint) AS s
+         |  FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
 
     "q116_dbscan" ->
       """WITH RECURSIVE

@@ -133,6 +133,15 @@ object GeomKernels {
         if (az.isNaN) null else az
       case _ => null
     }),
+    // farthest-point duals of closestpoint/shortestline (vertex-exact)
+    "st_maxdistance" -> B(DoubleType, (a, b) => Algos.farthestPoints(a, b) match {
+      case null => null
+      case c    => math.hypot(c(0) - c(2), c(1) - c(3))
+    }),
+    "st_longestline" -> B(BinaryType, (a, b) => Algos.farthestPoints(a, b) match {
+      case null => null
+      case c    => wkb(LineString(Array(c(0), c(1), c(2), c(3))))
+    }),
     // fraction of line a's length at the point nearest to point b
     "st_linelocatepoint" -> B(DoubleType, (a, b) => b match {
       case p: Point if !p.isEmpty =>
@@ -223,6 +232,19 @@ object GeomKernels {
         case null => null
         case r    => wkb(r)
       }),
+    // clockwise angle at p2 between rays to p1 and p3 (args arrive as WKB)
+    "st_angle" -> W(DoubleType, Set(2), (p1, a) => {
+      val p2 = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
+      val p3 = WKB.readOrNull(a(1).asInstanceOf[Array[Byte]])
+      (p1, p2, p3) match {
+        case (q1: Point, q2: Point, q3: Point) if !q1.isEmpty && !q2.isEmpty && !q3.isEmpty =>
+          val ang = Algos.angle(q1.x, q1.y, q2.x, q2.y, q3.x, q3.y)
+          if (ang.isNaN) null else ang
+        case _ => null
+      }
+    }),
+    // split segments so none exceeds the given length
+    "st_segmentize" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.segmentize(g, d(a(0))))),
     // spatial bucketing: base32 cell id of a POINT (prefix = grid cell);
     // non-point or out-of-range input => null
     "st_geohash" -> W(StringType, Set(1), (g, a) => g match {

@@ -995,6 +995,74 @@ object Algos {
   def project(x: Double, y: Double, dist: Double, azimuth: Double): Point =
     Point(x + dist * math.sin(azimuth), y + dist * math.cos(azimuth))
 
+  /**
+   * Farthest-point pair `[ax, ay, bx, by]` between two geometries (PostGIS
+   * ST_MaxDistance / ST_LongestLine). Every point of a geometry is a convex
+   * combination of its vertices and distance-to-a-fixed-point is convex, so
+   * the maximum is attained at a vertex-vertex pair — an exact O(|Va|·|Vb|)
+   * scan, no approximation. Ties keep the first pair in traversal order
+   * (deterministic). Null for empty input.
+   */
+  def farthestPoints(a: Geometry, b: Geometry): Array[Double] = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return null
+    var best = -1.0
+    var bax = 0.0; var bay = 0.0; var bbx = 0.0; var bby = 0.0
+    a.foreachCoord { (ax, ay) =>
+      b.foreachCoord { (bx, by) =>
+        val dx = ax - bx; val dy = ay - by
+        val d = dx * dx + dy * dy
+        if (d > best) { best = d; bax = ax; bay = ay; bbx = bx; bby = by }
+      }
+    }
+    if (best < 0) null else Array(bax, bay, bbx, bby)
+  }
+
+  /** Clockwise angle at p2 from ray p2->p1 to ray p2->p3, in [0, 2π):
+    * (azimuth(p2,p3) - azimuth(p2,p1)) mod 2π (the 3-point PostGIS ST_Angle
+    * under our north-based-clockwise azimuth). NaN when either ray is
+    * degenerate (kernel maps to null). */
+  def angle(x1: Double, y1: Double, x2: Double, y2: Double, x3: Double, y3: Double): Double = {
+    val az1 = azimuth(x2, y2, x1, y1)
+    val az3 = azimuth(x2, y2, x3, y3)
+    if (az1.isNaN || az3.isNaN) return Double.NaN
+    val a = az3 - az1
+    if (a < 0) a + 2 * math.Pi else a
+  }
+
+  /** Insert vertices so no segment exceeds `maxLen`: each segment splits
+    * into ceil(len/maxLen) equal parts (PostGIS ST_Segmentize). maxLen <= 0
+    * returns the input unchanged. */
+  def segmentize(g: Geometry, maxLen: Double): Geometry = {
+    if (maxLen <= 0) return g
+    def seg(cs: Array[Double]): Array[Double] = {
+      if (cs.length < 4) return cs
+      val buf = scala.collection.mutable.ArrayBuffer[Double](cs(0), cs(1))
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = cs(i); val y1 = cs(i + 1); val x2 = cs(i + 2); val y2 = cs(i + 3)
+        val len = math.hypot(x2 - x1, y2 - y1)
+        val n = math.max(1, math.ceil(len / maxLen).toInt)
+        var k = 1
+        while (k < n) {
+          val t = k.toDouble / n
+          buf += x1 + t * (x2 - x1); buf += y1 + t * (y2 - y1)
+          k += 1
+        }
+        buf += x2; buf += y2
+        i += 2
+      }
+      buf.toArray
+    }
+    g match {
+      case l: LineString => LineString(seg(l.coords))
+      case p: Polygon    => Polygon(p.rings.map(seg))
+      case m: MultiLineString => MultiLineString(m.geoms.map(l => LineString(seg(l.coords))))
+      case m: MultiPolygon    => MultiPolygon(m.geoms.map(p => Polygon(p.rings.map(seg))))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(segmentize(_, maxLen)))
+      case other => other
+    }
+  }
+
   // ---------------------------------------------------------- ring accessors
 
   /** Number of interior rings (holes) of a Polygon; -1 sentinel for

@@ -38,6 +38,36 @@ object TextKernels {
     if (text == null || text.isEmpty) Array.empty
     else text.split("\\s+").filter(_.nonEmpty)
 
+  /**
+   * Curation text normalization, one pass: strip control characters (C0
+   * minus \t\n\r, plus DEL — including \x0B/\x0C, the characters where
+   * Java's and RE2's \s classes disagree), collapse whitespace runs to one
+   * space, trim, then Unicode NFC composition. SQL-oracle equivalent:
+   * nfc_normalize(trim(regexp_replace(regexp_replace(text,
+   * '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g'))).
+   */
+  def normalizeText(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isCtl = (c < 0x20 && c != '\t' && c != '\n' && c != '\r') || c == 0x7F
+      if (!isCtl) {
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+          if (started) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+          started = true
+        }
+      }
+      i += 1
+    }
+    java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
+  }
+
   /** Java-regex \s (the ASCII set) — the class all SQL-side counts use. */
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -295,6 +325,8 @@ object TextRowEval {
     TextKernels.hash64(t.toString, seed)
   def textStats(t: UTF8String): InternalRow =
     new GenericInternalRow(TextKernels.textCounts(t.toString).map(_.asInstanceOf[Any]))
+  def normalizeText(t: UTF8String): UTF8String =
+    UTF8String.fromString(TextKernels.normalizeText(t.toString))
 }
 
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
@@ -430,6 +462,20 @@ case class TextStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TextStats = copy(c)
 }
 
+/** normalize_text(text) -> string: control-strip + whitespace collapse + NFC
+  * (see TextKernels.normalizeText). */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override protected def nullSafeEval(t: Any): Any =
+    TextRowEval.normalizeText(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.normalizeText($t);")
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
+}
+
 object TextRegistry {
   /** Idempotent per session (avoids a WARN per function per re-register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -445,6 +491,7 @@ object TextRegistry {
     reg("doc_fingerprint", exprs => DocFingerprint(exprs.head, exprs(1)))
     reg("hash64", exprs => Hash64(exprs.head, exprs(1)))
     reg("text_stats", exprs => TextStats(exprs.head))
+    reg("normalize_text", exprs => NormalizeText(exprs.head))
     reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
     reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
     reg("hll_distinct", HllDistinctAgg.builder)

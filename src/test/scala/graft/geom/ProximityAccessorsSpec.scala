@@ -179,6 +179,49 @@ class ProximityAccessorsSpec extends AnyFunSuite {
     assert(Algos.makePolygon(pg("LINESTRING (0 0, 1 1)")) == null)
   }
 
+  test("farthestPoints: vertex-exact max distance; dual of closestPoints") {
+    val env = pg("POLYGON ((2 3, 5 3, 5 6, 2 6, 2 3))")
+    val f = Algos.farthestPoints(Point(0, 0), env)
+    assert(f(0) == 0.0 && f(1) == 0.0 && f(2) == 5.0 && f(3) == 6.0)
+    // max over two segments: attained at endpoints
+    val g = Algos.farthestPoints(pg("LINESTRING (0 0, 1 0)"), pg("LINESTRING (10 0, 11 0)"))
+    assert(g(0) == 0.0 && g(2) == 11.0)
+    assert(Algos.farthestPoints(Point(0, 0), Point.empty) == null)
+    // intersecting inputs still have a farthest pair (unlike distance = 0)
+    val self = Algos.farthestPoints(env, env)
+    assert(math.hypot(self(0) - self(2), self(1) - self(3)) == math.hypot(3, 3))
+  }
+
+  test("angle: clockwise at the vertex, degenerate rays are NaN") {
+    // at origin: ray to (0,1) is north (az 0), ray to (1,0) is east (az pi/2)
+    assert(Algos.angle(0, 1, 0, 0, 1, 0) == math.Pi / 2)        // north -> east
+    assert(Algos.angle(1, 0, 0, 0, 0, 1) == 3 * math.Pi / 2)    // east -> north (cw wrap)
+    assert(Algos.angle(0, 1, 0, 0, 0, -1) == math.Pi)
+    assert(Algos.angle(0, 0, 0, 0, 1, 1).isNaN)
+  }
+
+  test("segmentize densifies to <= maxLen pieces, preserves length/shape") {
+    val l = pg("LINESTRING (0 0, 8 0)")
+    assert(WKT.write(Algos.segmentize(l, 2.0)) == "LINESTRING (0 0, 2 0, 4 0, 6 0, 8 0)")
+    assert(WKT.write(Algos.segmentize(l, 3.0)) ==
+      "LINESTRING (0 0, 2.6666666666666665 0, 5.333333333333333 0, 8 0)")
+    assert(Algos.segmentize(l, 0.0) eq l)
+    val ring = Algos.segmentize(pg("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"), 1.0)
+    assert(ring.numPoints == 13) // 4 sides x 3 pieces + closure
+    assert(Algos.area(ring) == 9.0)
+    assert(Algos.perimeter(ring.asInstanceOf[Polygon]) == 12.0)
+  }
+
+  test("normalizeText strips control chars, collapses ws, composes NFC") {
+    import graft.pipeline.TextKernels.normalizeText
+    assert(normalizeText("  a \t\n b  ") == "a b")
+    assert(normalizeText("café") == "café")
+    assert(normalizeText("") == "")
+    assert(normalizeText("  ") == "")
+    // \x0B and \x0C are stripped (not collapsed): java/RE2 \s disagreement zone
+    assert(normalizeText("ab") == "ab")
+  }
+
   // ------------------------------------------------------------ SQL surface
 
   test("new kernels evaluate through SQL with codegen") {
