@@ -1715,7 +1715,18 @@ object SparkEntry {
          |  round(st_length(st_segmentize(st_exteriorring(
          |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)), 1.0)), 6) + 0.0 AS seg_len,
          |  st_x(st_pointn(st_segmentize(st_geomfromtext('LINESTRING (0 0, 8 0)'), 2.0), 2)) AS seg_pt
-         |FROM customer ORDER BY c_custkey""".stripMargin)
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // native session_window operator (the streaming-capable session
+    // aggregation; q68 is the window-lag batch formulation): sessions close
+    // at last_event + gap, so an event exactly gap later starts a new one
+    "q121_session_window" -> sqlQuery(Seq("events"),
+      """SELECT user_id, session_window.start AS ss, session_window.end AS se,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total
+        |FROM events
+        |GROUP BY session_window(ts, '6 hours'), user_id
+        |ORDER BY user_id, ss""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2813,6 +2824,23 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q121_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '6 hours'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS ss, max(ts) + INTERVAL '6 hours' AS se,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(value as decimal(20,2))) as double) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, ss""".stripMargin,
 
     "q119_normalize_text" ->
       """SELECT doc_id,
