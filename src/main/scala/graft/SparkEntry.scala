@@ -1726,7 +1726,22 @@ object SparkEntry {
         |  cast(sum(cast(value as decimal(20,2))) as double) AS total
         |FROM events
         |GROUP BY session_window(ts, '6 hours'), user_id
-        |ORDER BY user_id, ss""".stripMargin)
+        |ORDER BY user_id, ss""".stripMargin),
+
+    // SQ8 scalar quantization ANN: exact per-dimension min/max train scan,
+    // int8 codes, decoded-cosine top-k (raw vectors never read at query
+    // time) — the cheapest-train member of the quantization family
+    // (PQ q84, IVF q52, IVF-PQ q93); decode arithmetic is bit-identical
+    // on both engines so the oracle is exact
+    "q122_sq8_ann" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (mins, maxs) = Similarity.trainSqRange(emb, "embedding", 64)
+      val coded = emb.select(col("vec_id"),
+        Similarity.sqEncodeCol(col("embedding"), mins, maxs).as("sq_code"))
+      Similarity.sqTopK(coded, "vec_id", "sq_code", mins, maxs, queryVec, 10)
+        .select(col("vec_id"), (round(col("sq_cosine"), 6) + lit(0.0)).as("cosine"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -2824,6 +2839,27 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q122_sq8_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord
+         |  FROM (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings)),
+         |rng AS (SELECT ord, min(val) AS mn, max(val) AS mx FROM v GROUP BY ord),
+         |enc AS (
+         |  SELECT v.vec_id, v.ord,
+         |    CASE WHEN r.mx = r.mn THEN r.mn
+         |         ELSE r.mn + cast(round((v.val - r.mn) * 127 / (r.mx - r.mn), 0) as int)
+         |              * (r.mx - r.mn) / 127.0 END AS dv
+         |  FROM v JOIN rng r USING (ord)),
+         |dec AS (SELECT vec_id, list(dv ORDER BY ord) AS d FROM enc GROUP BY vec_id)
+         |SELECT vec_id,
+         |  round(list_dot_product(d, $queryVecSql) /
+         |        (sqrt(list_dot_product(d, d)) * sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) + 0.0
+         |    AS cosine
+         |FROM dec
+         |ORDER BY list_dot_product(d, $queryVecSql) /
+         |  (sqrt(list_dot_product(d, d)) * sqrt(list_dot_product($queryVecSql, $queryVecSql))) DESC, vec_id
+         |LIMIT 10""".stripMargin,
 
     "q121_session_window" ->
       """WITH o AS (

@@ -266,6 +266,68 @@ object Similarity {
       .limit(k)
   }
 
+  // --------------------------------------------------- scalar quantization
+
+  /**
+   * Per-dimension (min, max) ranges for int8 scalar quantization: one
+   * map-side-combined min/max aggregation scan (exact — no sampling, no
+   * summation-order sensitivity). 2·dim tiny doubles land on the driver.
+   */
+  def trainSqRange(df: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(element_at(col(vecCol), i + 1).cast("double")),
+          max(element_at(col(vecCol), i + 1).cast("double")))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (Array.tabulate(dim)(i => row.getDouble(2 * i)),
+     Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
+  }
+
+  /**
+   * SQ8 encode: per dimension, round((v - min) · 127 / (max - min)) — an
+   * int in [0, 127] (4-8x smaller than raw floats). Constant dimensions
+   * code to 0. Pure codegen HOF over the array — no UDF.
+   */
+  def sqEncodeCol(vecCol: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnL = typedLit(mins); val mxL = typedLit(maxs)
+    transform(vecCol, (v, i) => {
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(round((v.cast("double") - mn) * 127.0 / (mx - mn), 0).cast("int"))
+    })
+  }
+
+  /** SQ8 decode: min + code · (max - min) / 127, per dimension. */
+  def sqDecodeCol(codeCol: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnL = typedLit(mins); val mxL = typedLit(maxs)
+    transform(codeCol, (c, i) => {
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      mn + c.cast("double") * (mx - mn) / 127.0
+    })
+  }
+
+  /**
+   * Top-k by cosine of the DECODED codes against a query — the SQ-ADC
+   * search: the raw vector column is never read at query time; a scan of
+   * int8 codes plus a TakeOrdered. Completes the quantization family
+   * (SQ8 here, PQ/IVF/IVF-PQ above) with the highest-recall cheapest-train
+   * member.
+   */
+  def sqTopK(
+      coded: DataFrame,
+      idCol: String,
+      codeCol: String,
+      mins: Array[Double],
+      maxs: Array[Double],
+      query: Array[Double],
+      k: Int): DataFrame =
+    coded.select(col(idCol),
+        cosineCols(sqDecodeCol(col(codeCol), mins, maxs), typedLit(query)).as("sq_cosine"))
+      .orderBy(desc("sq_cosine"), col(idCol))
+      .limit(k)
+
   /**
    * IVF-PQ composed ANN (the standard FAISS shape, non-residual): the
    * coarse quantizer prunes the scan to `nProbe` cells, and within them

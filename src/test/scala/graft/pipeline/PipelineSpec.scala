@@ -632,6 +632,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(coded.as[(Long, Seq[Int])].collect().toMap == again)
   }
 
+  test("SQ8: decode error bounded by half a step, top-k recall near-exact") {
+    val dim = 16
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.tabulate(dim)(d => ((i * 31 + d * 17) % 97).toFloat / 97f - 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.trainSqRange(df, "embedding", dim)
+    assert(mins.length == dim && maxs.length == dim && mins.zip(maxs).forall { case (a, b) => a <= b })
+    val coded = df.select($"vec_id",
+      Similarity.sqEncodeCol($"embedding", mins, maxs).as("sq_code"))
+    // codes are int8-range
+    val codes = coded.select(explode($"sq_code")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c <= 127))
+    // decode error <= step/2 per dimension
+    val dec = df.select($"vec_id", $"embedding",
+      Similarity.sqDecodeCol(Similarity.sqEncodeCol($"embedding", mins, maxs), mins, maxs).as("d"))
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    for ((_, orig, d) <- dec; i <- orig.indices) {
+      val step = (maxs(i) - mins(i)) / 127.0
+      assert(math.abs(orig(i) - d(i)) <= step / 2 + 1e-9)
+    }
+    val query = Array.tabulate(dim)(d => math.sin(d + 1.0))
+    val sq = Similarity.sqTopK(coded, "vec_id", "sq_code", mins, maxs, query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sq.intersect(exact).size >= 16, s"SQ8 recall too low: ${sq.intersect(exact).size}/20")
+  }
+
   test("decontaminate flags only train docs sharing an n-gram with eval") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),        // shares 'alpha beta gamma' with eval
