@@ -1741,7 +1741,30 @@ object SparkEntry {
         Similarity.sqEncodeCol(col("embedding"), mins, maxs).as("sq_code"))
       Similarity.sqTopK(coded, "vec_id", "sq_code", mins, maxs, queryVec, 10)
         .select(col("vec_id"), (round(col("sq_cosine"), 6) + lit(0.0)).as("cosine"))
-    })
+    }),
+
+    // collection accessors: part counts, 1-based part extraction, typed
+    // collection filtering over per-row synthesized multi-geometries
+    "q123_collection_ops" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_numgeometries(mp) AS ng_mp,
+        |  st_numgeometries(st_point(1.0, 2.0)) AS ng_point,
+        |  st_astext(st_geometryn(mp, 2)) AS g2,
+        |  st_geometryn(mp, 4) IS NULL AS g_oob_null,
+        |  st_astext(st_collectionextract(gc, 1)) AS ce_points,
+        |  st_astext(st_collectionextract(gc, 2)) AS ce_lines,
+        |  st_collectionextract(gc, 3) IS NULL AS ce_poly_null
+        |FROM (
+        |  SELECT c_custkey,
+        |    st_geomfromtext(concat('MULTIPOINT ((', x0, ' ', y0, '), (0 0), (7 7))')) AS mp,
+        |    st_geomfromtext(concat('GEOMETRYCOLLECTION (POINT (', x0, ' ', y0,
+        |      '), LINESTRING (0 0, 1 1), POINT (5 5))')) AS gc
+        |  FROM (
+        |    SELECT c_custkey,
+        |      cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |      cast((c_custkey * 7) % 160 - 80 as bigint) AS y0
+        |    FROM customer))
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2839,6 +2862,22 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q123_collection_ops" ->
+      """SELECT c_custkey,
+        |  3 AS ng_mp,
+        |  1 AS ng_point,
+        |  'POINT (0 0)' AS g2,
+        |  true AS g_oob_null,
+        |  'MULTIPOINT ((' || x0 || ' ' || y0 || '), (5 5))' AS ce_points,
+        |  'MULTILINESTRING ((0 0, 1 1))' AS ce_lines,
+        |  true AS ce_poly_null
+        |FROM (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q122_sq8_ann" ->
       s"""WITH v AS (

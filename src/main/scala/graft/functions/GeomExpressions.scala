@@ -79,6 +79,8 @@ object GeomKernels {
       val n = Algos.numInteriorRings(g)
       if (n < 0) null else n
     }),
+    // collection accessors: part count (1 for atomic geometries, PostGIS)
+    "st_numgeometries" -> U(IntegerType, g => if (g.isEmpty) 0 else Geom.parts(g).length),
     "st_makepolygon"  -> U(BinaryType, g => Algos.makePolygon(g) match {
       case null => null
       case p    => wkb(p)
@@ -245,6 +247,32 @@ object GeomKernels {
     }),
     // split segments so none exceeds the given length
     "st_segmentize" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.segmentize(g, d(a(0))))),
+    // n-th part of a multi-geometry, 1-based; atomic geometries are their
+    // own single part (PostGIS ST_GeometryN); out of range => null
+    "st_geometryn" -> W(BinaryType, Set(1), (g, a) => {
+      val n = d(a(0)).toInt
+      val parts = Geom.parts(g)
+      if (g.isEmpty || n < 1 || n > parts.length) null else wkb(parts(n - 1))
+    }),
+    // keep only parts of the given type id (1=point 2=line 3=polygon, the
+    // PostGIS ST_CollectionExtract convention): multi-wrapper result, or
+    // null when nothing matches
+    "st_collectionextract" -> W(BinaryType, Set(1), (g, a) => {
+      val want = d(a(0)).toInt
+      val parts = Geom.parts(g).filter {
+        case _: Point => want == 1
+        case _: LineString => want == 2
+        case _: Polygon => want == 3
+        case _ => false
+      }
+      if (parts.isEmpty) null
+      else want match {
+        case 1 => wkb(MultiPoint(parts.map(_.asInstanceOf[Point])))
+        case 2 => wkb(MultiLineString(parts.map(_.asInstanceOf[LineString])))
+        case 3 => wkb(MultiPolygon(parts.map(_.asInstanceOf[Polygon])))
+        case _ => null
+      }
+    }),
     // spatial bucketing: base32 cell id of a POINT (prefix = grid cell);
     // non-point or out-of-range input => null
     "st_geohash" -> W(StringType, Set(1), (g, a) => g match {

@@ -616,4 +616,26 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("sample_gram"))
   }
+
+  /** The n-token grams of a text column as an array (same tokenization as
+    * [[decontaminate]]); fewer than n tokens => empty array. */
+  def gramsCol(text: Column, n: Int): Column = {
+    val w = filter(split(trim(text), "\\s+"), t => t =!= "")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Stateless contamination flag for INGEST streams: true when the text
+   * shares any n-token gram with the eval gram set (a driver-collected
+   * literal — benchmarks are small; the executor sees it once per task via
+   * the plan). Being a pure projection it runs unchanged in a Structured
+   * Streaming select/filter with no state store, unlike the aggregating
+   * batch [[decontaminate]]. Eval sets beyond literal size: swap in the
+   * Bloom prefilter shape of [[dedupAgainstHistory]] (approximate) and
+   * refine offline.
+   */
+  def contaminatedFlag(text: Column, evalGrams: Seq[String], n: Int): Column =
+    arrays_overlap(gramsCol(text, n), typedLit(evalGrams.toArray))
 }

@@ -229,4 +229,41 @@ class GeoStreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming contamination flag is stateless and matches batch decontaminate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+
+    val evalDocs = Seq((100L, "the secret eval answer is forty two"))
+      .toDF("doc_id", "text")
+    // eval gram set collected once (benchmark-sized), then a pure projection
+    val evalGrams = evalDocs
+      .select(org.apache.spark.sql.functions.explode(Dedup.gramsCol($"text", 3)).as("g"))
+      .distinct().as[String].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .withColumn("contaminated", Dedup.contaminatedFlag($"text", evalGrams, 3))
+    val q = flagged.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta"),
+        (2L, "we know the secret eval answer is forty two now"),
+        (3L, "short"))
+      q.processAllAvailable()
+      val rows = spark.table("decon").select("doc_id", "contaminated").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+      assert(rows == Seq((1L, false), (2L, true), (3L, false)))
+      // parity with the batch aggregating operator
+      val batchIds = Dedup.decontaminate(
+          Seq((1L, "alpha beta gamma delta"),
+              (2L, "we know the secret eval answer is forty two now"),
+              (3L, "short")).toDF("doc_id", "text"),
+          evalDocs, "doc_id", "text", 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchIds == Set(2L))
+    } finally q.stop()
+  }
 }
