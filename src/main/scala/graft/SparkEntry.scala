@@ -1764,7 +1764,26 @@ object SparkEntry {
         |      cast(c_custkey % 360 - 180 as bigint) AS x0,
         |      cast((c_custkey * 7) % 160 - 80 as bigint) AS y0
         |    FROM customer))
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // trajectory construction: st_makeline_agg orders each user's event
+    // points by the sort key inside a standard two-phase aggregation —
+    // partial buffers ship (key, coords) pairs, the sort happens once at
+    // final eval, so the line is deterministic under any partitioning
+    "q124_trajectory" -> sqlQuery(Seq("events"),
+      """SELECT user_id,
+        |  st_astext(st_makeline_agg(
+        |    st_point(cast(event_id % 100 as double), cast((event_id * 3) % 100 as double)),
+        |    event_id)) AS traj,
+        |  cast(count(*) as bigint) AS n,
+        |  round(st_length(st_makeline_agg(
+        |    st_point(cast(event_id % 100 as double), cast((event_id * 3) % 100 as double)),
+        |    event_id)), 6) + 0.0 AS traj_len
+        |FROM events
+        |WHERE event_id % 50 = 0
+        |GROUP BY user_id
+        |HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2862,6 +2881,25 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q124_trajectory" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    cast(event_id % 100 as bigint) AS x, cast((event_id * 3) % 100 as bigint) AS y
+        |  FROM events WHERE event_id % 50 = 0),
+        |h AS (
+        |  SELECT user_id, event_id, x, y,
+        |    lag(x) OVER (PARTITION BY user_id ORDER BY event_id) AS px,
+        |    lag(y) OVER (PARTITION BY user_id ORDER BY event_id) AS py
+        |  FROM e)
+        |SELECT user_id,
+        |  'LINESTRING (' || string_agg(x || ' ' || y, ', ' ORDER BY event_id) || ')' AS traj,
+        |  cast(count(*) as bigint) AS n,
+        |  round(sum(CASE WHEN px IS NULL THEN 0.0
+        |                 ELSE sqrt((x - px) * (x - px) + (y - py) * (y - py)) END), 6) + 0.0
+        |    AS traj_len
+        |FROM h GROUP BY user_id HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin,
 
     "q123_collection_ops" ->
       """SELECT c_custkey,

@@ -68,12 +68,16 @@ object GeomAggregates {
     }
   }
 
-  def names: Seq[String] = Seq("st_envelope_agg", "st_collect", "st_union_agg")
+  def names: Seq[String] = Seq("st_envelope_agg", "st_collect", "st_union_agg", "st_makeline_agg")
 
   def builderFor(name: String): Seq[Expression] => Expression = name match {
     case "st_envelope_agg" => exprs => EnvelopeAgg(exprs.head)
     case "st_collect"      => exprs => CollectAgg(exprs.head)
     case "st_union_agg"    => exprs => UnionAgg(exprs.head)
+    case "st_makeline_agg" => exprs => {
+      require(exprs.length == 2, "st_makeline_agg expects (geometry, sortKey)")
+      MakeLineAgg(exprs.head, exprs(1))
+    }
   }
 
   private[functions] def combineParts(parts: Seq[Geom]): Geom = {
@@ -167,6 +171,105 @@ object GeomAggregates {
     override def withNewInputAggBufferOffset(o: Int): CollectAgg = copy(inputAggBufferOffset = o)
     override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): CollectAgg =
       copy(child = cs.head)
+  }
+
+  /**
+   * Ordered path-building aggregate (PostGIS ST_MakeLine(geom ORDER BY k),
+   * the trajectory constructor GPS/event pipelines need): point and line
+   * inputs contribute their coordinates as a unit, units ordered by the
+   * numeric sort key — so the result is deterministic under Spark's
+   * nondeterministic partial-merge order (key ties break on coordinates).
+   * Fewer than 2 total vertices => null. Buffer ships (key, coords) pairs,
+   * merge is concatenation; sorting happens once at final eval.
+   */
+  case class MakeLineAgg(
+      child: Expression,
+      keyChild: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Array[Double])]] {
+    override def children: Seq[Expression] = child :: keyChild :: Nil
+    override def nullable: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_makeline_agg"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType != BinaryType && child.dataType != org.apache.spark.sql.types.NullType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects WKB BinaryType geometry, got ${child.dataType}")
+      else if (!keyChild.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a numeric sort key, got ${keyChild.dataType}")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Array[Double])] =
+      mutable.ArrayBuffer()
+    override def update(
+        b: mutable.ArrayBuffer[(Double, Array[Double])],
+        input: InternalRow): mutable.ArrayBuffer[(Double, Array[Double])] = {
+      val gv = child.eval(input)
+      val kv = keyChild.eval(input)
+      if (gv != null && kv != null) {
+        WKB.readOrNull(gv.asInstanceOf[Array[Byte]]) match {
+          case p: Point if !p.isEmpty => b += ((kv.asInstanceOf[Number].doubleValue(), Array(p.x, p.y)))
+          case l: LineString if !l.isEmpty => b += ((kv.asInstanceOf[Number].doubleValue(), l.coords))
+          case _ =>
+        }
+      }
+      b
+    }
+    override def merge(
+        b: mutable.ArrayBuffer[(Double, Array[Double])],
+        o: mutable.ArrayBuffer[(Double, Array[Double])]): mutable.ArrayBuffer[(Double, Array[Double])] = {
+      b ++= o; b
+    }
+    @transient private lazy val entryOrdering: Ordering[(Double, Array[Double])] =
+      new Ordering[(Double, Array[Double])] {
+        def compare(a: (Double, Array[Double]), b: (Double, Array[Double])): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) return c
+          val n = math.min(a._2.length, b._2.length)
+          var i = 0
+          while (i < n) {
+            val cc = java.lang.Double.compare(a._2(i), b._2(i))
+            if (cc != 0) return cc
+            i += 1
+          }
+          a._2.length - b._2.length
+        }
+      }
+    override def eval(b: mutable.ArrayBuffer[(Double, Array[Double])]): Any = {
+      if (b.isEmpty) return null
+      val coords = b.sorted(entryOrdering).toArray.flatMap(_._2)
+      if (coords.length < 4) null else WKB.write(LineString(coords))
+    }
+    override def serialize(b: mutable.ArrayBuffer[(Double, Array[Double])]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(b.length)
+      b.foreach { case (k, cs) =>
+        out.writeDouble(k); out.writeInt(cs.length)
+        cs.foreach(out.writeDouble)
+      }
+      out.flush(); bos.toByteArray
+    }
+    override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Array[Double])] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = new mutable.ArrayBuffer[(Double, Array[Double])](n)
+      var i = 0
+      while (i < n) {
+        val k = in.readDouble()
+        val len = in.readInt()
+        val cs = new Array[Double](len)
+        var j = 0
+        while (j < len) { cs(j) = in.readDouble(); j += 1 }
+        buf += ((k, cs)); i += 1
+      }
+      buf
+    }
+    override def withNewMutableAggBufferOffset(o: Int): MakeLineAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MakeLineAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MakeLineAgg =
+      copy(child = cs.head, keyChild = cs(1))
   }
 
   case class UnionAgg(

@@ -60,4 +60,33 @@ class GeoAggregatesSpec extends AnyFunSuite {
       "FROM (SELECT cast(null as binary) AS g)").collect()(0)
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
   }
+
+  test("st_makeline_agg orders by key, is partitioning-invariant, nulls under 2 points") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 3L, 30.0, 3.0), (1L, 1L, 10.0, 1.0), (1L, 2L, 20.0, 2.0),
+      (2L, 1L, 0.0, 0.0),
+      (3L, 2L, 5.0, 5.0), (3L, 1L, 4.0, 4.0)
+    ).toDF("g", "k", "x", "y")
+    pts.createOrReplaceTempView("mkline_pts")
+    val out = spark.sql(
+      """SELECT g, st_astext(st_makeline_agg(st_point(x, y), k)) AS wkt
+        |FROM mkline_pts GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(out(0).getString(1) == "LINESTRING (10 1, 20 2, 30 3)")
+    assert(out(1).isNullAt(1)) // single point -> null
+    assert(out(2).getString(1) == "LINESTRING (4 4, 5 5)")
+    // partitioning-invariant
+    pts.repartition(7).createOrReplaceTempView("mkline_pts2")
+    val out2 = spark.sql(
+      """SELECT g, st_astext(st_makeline_agg(st_point(x, y), k)) AS wkt
+        |FROM mkline_pts2 GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(out.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq ==
+      out2.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq)
+    // line inputs contribute coords as a unit
+    val lw = spark.sql(
+      """SELECT st_astext(st_makeline_agg(g, k)) AS wkt FROM (
+        |  SELECT st_geomfromtext('LINESTRING (0 0, 1 1)') AS g, 2 AS k
+        |  UNION ALL SELECT st_point(9.0, 9.0), 1)""".stripMargin).head()
+    assert(lw.getString(0) == "LINESTRING (9 9, 0 0, 1 1)")
+  }
 }
