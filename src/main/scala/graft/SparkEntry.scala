@@ -1783,7 +1783,27 @@ object SparkEntry {
         |WHERE event_id % 50 = 0
         |GROUP BY user_id
         |HAVING count(*) >= 2
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin),
+
+    // composed geo-analytics: broadcast spatial join (planner strategy, not
+    // BNLJ) x tumbling time windows x aggregation — "events near POIs per
+    // day", the canonical geospatial dashboard query. Strict-interior
+    // st_contains semantics: events on a strip boundary belong to no strip
+    "q125_events_in_regions" -> sqlQuery(Seq("events", "region"),
+      """SELECT r.r_regionkey AS box, window.start AS ws,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(e.value as decimal(20,2))) as double) AS total
+        |FROM (SELECT ts, value,
+        |        st_point(cast(event_id % 220 - 110 as double),
+        |                 cast((event_id * 7) % 160 - 80 as double)) AS pt
+        |      FROM events) e
+        |JOIN (SELECT r_regionkey,
+        |        st_makeenvelope(cast(r_regionkey * 40 - 100 as double), -50.0,
+        |                        cast(r_regionkey * 40 - 60 as double), 50.0) AS box
+        |      FROM region) r
+        |  ON st_contains(r.box, e.pt)
+        |GROUP BY r.r_regionkey, window(e.ts, '24 hours')
+        |ORDER BY box, ws""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2881,6 +2901,22 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q125_events_in_regions" ->
+      """SELECT r.r_regionkey AS box, time_bucket(INTERVAL '24 hours', e.ts) AS ws,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(e.value as decimal(20,2))) as double) AS total
+        |FROM (SELECT ts, value,
+        |        cast(event_id % 220 - 110 as double) AS px,
+        |        cast((event_id * 7) % 160 - 80 as double) AS py
+        |      FROM events) e
+        |JOIN (SELECT r_regionkey,
+        |        cast(r_regionkey * 40 - 100 as double) AS x0,
+        |        cast(r_regionkey * 40 - 60 as double) AS x1
+        |      FROM region) r
+        |  ON e.px > r.x0 AND e.px < r.x1 AND e.py > -50 AND e.py < 50
+        |GROUP BY r.r_regionkey, time_bucket(INTERVAL '24 hours', e.ts)
+        |ORDER BY box, ws""".stripMargin,
 
     "q124_trajectory" ->
       """WITH e AS (
