@@ -1803,7 +1803,56 @@ object SparkEntry {
         |      FROM region) r
         |  ON st_contains(r.box, e.pt)
         |GROUP BY r.r_regionkey, window(e.ts, '24 hours')
-        |ORDER BY box, ws""".stripMargin)
+        |ORDER BY box, ws""".stripMargin),
+
+    // window-function breadth beyond row_number (q3): ntile buckets,
+    // lag/lead neighbors, first/last frame values — one shuffle on the
+    // partition key, deterministic via the (acctbal, custkey) tie-break
+    "q126_window_breadth" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(ntile(4) OVER w as int) AS quartile,
+        |  lag(c_acctbal) OVER w AS prev_bal,
+        |  lead(c_acctbal) OVER w AS next_bal,
+        |  first_value(c_acctbal) OVER w AS min_bal,
+        |  last_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_bal,
+        |  cast(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY c_nationkey) as bigint) AS n_pos
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // FILTER-clause conditional aggregation (one scan, no self-joins):
+    // per-nation mix of balance bands and segment-restricted sums
+    "q127_filter_agg" -> sqlQuery(Seq("customer"),
+      """SELECT c_nationkey,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(count(*) FILTER (WHERE c_acctbal > 0) as bigint) AS n_pos,
+        |  cast(count(*) FILTER (WHERE c_acctbal <= 0) as bigint) AS n_nonpos,
+        |  cast(sum(cast(c_acctbal as decimal(20,2))) FILTER (WHERE c_mktsegment = 'BUILDING')
+        |    as double) AS bal_building,
+        |  cast(count(DISTINCT c_mktsegment) as bigint) AS n_segments
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin),
+
+    // square-grid tessellation generator + explode: every origin-aligned
+    // unit cell overlapping the envelope, counted and measured — the cell
+    // layer under the grid joins (q44/q56) exposed as its own operator
+    "q128_squaregrid" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  cast(count(*) as bigint) AS n_cells,
+         |  cast(sum(st_area(cell)) as double) AS area_total,
+         |  min(st_xmin(cell)) AS mnx,
+         |  max(st_xmax(cell)) AS mxx,
+         |  min(st_ymin(cell)) AS mny,
+         |  max(st_ymax(cell)) AS mxy
+         |FROM (
+         |  SELECT c_custkey, explode(st_squaregrid($custX, $custY,
+         |    $custX + $custSide, $custY + $custSide, 1.0)) AS cell
+         |  FROM customer)
+         |GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2901,6 +2950,42 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q128_squaregrid" ->
+      s"""SELECT c_custkey,
+         |  cast($oSide * $oSide as bigint) AS n_cells,
+         |  $oSide * $oSide AS area_total,
+         |  $oCustX AS mnx,
+         |  $oCustX + $oSide AS mxx,
+         |  $oCustY AS mny,
+         |  $oCustY + $oSide AS mxy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q126_window_breadth" ->
+      """SELECT c_custkey,
+        |  cast(ntile(4) OVER w as int) AS quartile,
+        |  lag(c_acctbal) OVER w AS prev_bal,
+        |  lead(c_acctbal) OVER w AS next_bal,
+        |  first_value(c_acctbal) OVER w AS min_bal,
+        |  last_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_bal,
+        |  cast(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY c_nationkey) as bigint) AS n_pos
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q127_filter_agg" ->
+      """SELECT c_nationkey,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(count(*) FILTER (WHERE c_acctbal > 0) as bigint) AS n_pos,
+        |  cast(count(*) FILTER (WHERE c_acctbal <= 0) as bigint) AS n_nonpos,
+        |  cast(sum(cast(c_acctbal as decimal(20,2))) FILTER (WHERE c_mktsegment = 'BUILDING')
+        |    as double) AS bal_building,
+        |  cast(count(DISTINCT c_mktsegment) as bigint) AS n_segments
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q125_events_in_regions" ->
       """SELECT r.r_regionkey AS box, time_bucket(INTERVAL '24 hours', e.ts) AS ws,

@@ -302,6 +302,36 @@ object GeomKernels {
       val (x0, y0, x1, y1) = (d(a(0)), d(a(1)), d(a(2)), d(a(3)))
       wkb(Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))))
     }),
+    // square tessellation of an envelope (PostGIS ST_SquareGrid): cells of
+    // the origin-aligned `size` grid whose interior overlaps the box, in
+    // row-major (y, x) order; pair with explode() for one row per cell
+    "st_squaregrid" -> C(ArrayType(BinaryType, containsNull = false), Set(5), a => {
+      val size = d(a(4))
+      val (x0, y0, x1, y1) = (d(a(0)), d(a(1)), d(a(2)), d(a(3)))
+      if (size <= 0 || x1 <= x0 || y1 <= y0) null
+      else {
+        val ix0 = math.floor(x0 / size).toLong
+        val ix1 = math.ceil(x1 / size).toLong - 1
+        val iy0 = math.floor(y0 / size).toLong
+        val iy1 = math.ceil(y1 / size).toLong - 1
+        val nx = ix1 - ix0 + 1; val ny = iy1 - iy0 + 1
+        require(nx * ny <= 1000000, s"st_squaregrid would emit ${nx * ny} cells (max 1e6)")
+        val out = new Array[Any]((nx * ny).toInt)
+        var k = 0
+        var iy = iy0
+        while (iy <= iy1) {
+          var ix = ix0
+          while (ix <= ix1) {
+            val cx0 = ix * size; val cy0 = iy * size
+            out(k) = wkb(Polygon(Array(Array(
+              cx0, cy0, cx0 + size, cy0, cx0 + size, cy0 + size, cx0, cy0 + size, cx0, cy0))))
+            k += 1; ix += 1
+          }
+          iy += 1
+        }
+        new GenericArrayData(out)
+      }
+    }),
     // geohash cell => its envelope polygon (PostGIS ST_GeomFromGeoHash)
     "st_geomfromgeohash" -> C(BinaryType, Set(1), a => Geohash.decodeBounds(s(a(0))) match {
       case null => null

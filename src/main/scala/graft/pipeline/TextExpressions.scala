@@ -492,6 +492,10 @@ object TextRegistry {
     reg("hash64", exprs => Hash64(exprs.head, exprs(1)))
     reg("text_stats", exprs => TextStats(exprs.head))
     reg("normalize_text", exprs => NormalizeText(exprs.head))
+    // §2.9 version export (reference api.rs:8-11): engine + Spark version
+    reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),
+      StringType))
     reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
     reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
     reg("hll_distinct", HllDistinctAgg.builder)

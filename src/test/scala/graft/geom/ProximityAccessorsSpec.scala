@@ -224,6 +224,25 @@ class ProximityAccessorsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ SQL surface
 
+  test("st_squaregrid tessellates origin-aligned cells; version export") {
+    val spark = graft.TestSpark.spark
+    val row = spark.sql(
+      """SELECT
+        |  size(st_squaregrid(0.0, 0.0, 3.0, 2.0, 1.0)) AS n,
+        |  st_astext(element_at(st_squaregrid(0.0, 0.0, 3.0, 2.0, 1.0), 1)) AS first_cell,
+        |  st_astext(element_at(st_squaregrid(0.0, 0.0, 3.0, 2.0, 1.0), 6)) AS last_cell,
+        |  size(st_squaregrid(0.5, 0.5, 1.5, 1.5, 1.0)) AS n_unaligned,
+        |  st_squaregrid(0.0, 0.0, 0.0, 1.0, 1.0) IS NULL AS degenerate_null,
+        |  graft_version() AS ver
+        |""".stripMargin).head()
+    assert(row.getInt(0) == 6)
+    assert(row.getString(1) == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(row.getString(2) == "POLYGON ((2 1, 3 1, 3 2, 2 2, 2 1))")
+    assert(row.getInt(3) == 4) // unaligned box straddles 2x2 cells
+    assert(row.getBoolean(4))
+    assert(row.getString(5) == graft.BuildInfo.versionString)
+  }
+
   test("new kernels evaluate through SQL with codegen") {
     val spark = graft.TestSpark.spark
     val row = spark.sql(
