@@ -1852,7 +1852,63 @@ object SparkEntry {
          |    $custX + $custSide, $custY + $custSide, 1.0)) AS cell
          |  FROM customer)
          |GROUP BY c_custkey
-         |ORDER BY c_custkey""".stripMargin)
+         |ORDER BY c_custkey""".stripMargin),
+
+    // §2.7 JSON scalar functions (inherited surface, demonstrated): extract
+    // the numeric payload from the event props JSON and aggregate it
+    "q129_json_props" -> sqlQuery(Seq("events"),
+      """SELECT event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(get_json_object(props, '$.k') as bigint)) as bigint) AS k_sum,
+        |  cast(min(cast(get_json_object(props, '$.k') as bigint)) as bigint) AS k_min,
+        |  cast(max(cast(get_json_object(props, '$.k') as bigint)) as bigint) AS k_max,
+        |  cast(count(DISTINCT cast(get_json_object(props, '$.k') as bigint)) as bigint) AS k_distinct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // §2.7 array higher-order functions (inherited surface, demonstrated):
+    // sort/distinct/slice/transform/aggregate/reverse over token arrays
+    "q130_array_breadth" -> sqlQuery(Seq("documents"),
+      """SELECT doc_id,
+        |  array_join(slice(sort_array(array_distinct(toks)), 1, 3), '|') AS first_sorted,
+        |  cast(size(array_distinct(toks)) as int) AS n_distinct,
+        |  cast(aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x) as bigint)
+        |    AS total_len,
+        |  array_contains(toks, 'the') AS has_the,
+        |  CASE WHEN size(toks) >= 2 THEN concat(element_at(toks, 1), '>', element_at(toks, 2))
+        |       ELSE NULL END AS first_bigram,
+        |  array_join(reverse(slice(toks, 1, 3)), '|') AS rev3
+        |FROM (SELECT doc_id, filter(split(trim(text), '\\s+'), t -> t != '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    // §2.7 date/time scalar breadth over order dates: trunc, extract,
+    // arithmetic, diffs — the temporal slice of the inherited surface
+    "q131_datetime_breadth" -> sqlQuery(Seq("orders"),
+      """SELECT o_orderkey,
+        |  cast(date_trunc('month', o_orderdate) as date) AS month_start,
+        |  cast(year(o_orderdate) as int) AS yr,
+        |  cast(quarter(o_orderdate) as int) AS qtr,
+        |  cast(dayofweek(o_orderdate) as int) AS dow,
+        |  cast(add_months(cast(o_orderdate as date), 3) as date) AS plus3m,
+        |  cast(datediff(cast(o_orderdate as date), DATE '1995-01-01') as int) AS days_since,
+        |  cast(last_day(o_orderdate) as date) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // §2.7 string scalar breadth: edit distance (the fuzzy-match primitive
+    // deduplication pipelines threshold on), padding, translate, repeat
+    "q132_string_breadth" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(levenshtein(c_name, 'Customer#000000001') as int) AS lev,
+        |  lpad(cast(c_custkey as string), 12, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  substring(repeat(c_mktsegment, 2), 1, 12) AS seg2,
+        |  upper(substring(c_name, 1, 8)) AS name_up,
+        |  cast(length(replace(c_name, '0', '')) as int) AS len_no_zero
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2950,6 +3006,51 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q131_datetime_breadth" ->
+      """SELECT o_orderkey,
+        |  cast(date_trunc('month', o_orderdate) as date) AS month_start,
+        |  cast(year(o_orderdate) as int) AS yr,
+        |  cast(quarter(o_orderdate) as int) AS qtr,
+        |  cast(dayofweek(o_orderdate) + 1 as int) AS dow,
+        |  cast(cast(o_orderdate as date) + INTERVAL 3 MONTH as date) AS plus3m,
+        |  cast(cast(o_orderdate as date) - DATE '1995-01-01' as int) AS days_since,
+        |  last_day(cast(o_orderdate as date)) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q132_string_breadth" ->
+      """SELECT c_custkey,
+        |  cast(levenshtein(c_name, 'Customer#000000001') as int) AS lev,
+        |  lpad(cast(c_custkey as varchar), 12, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  substring(repeat(c_mktsegment, 2), 1, 12) AS seg2,
+        |  upper(substring(c_name, 1, 8)) AS name_up,
+        |  cast(length(replace(c_name, '0', '')) as int) AS len_no_zero
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q129_json_props" ->
+      """SELECT event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(json_extract(props, 'k') as bigint)) as bigint) AS k_sum,
+        |  cast(min(cast(json_extract(props, 'k') as bigint)) as bigint) AS k_min,
+        |  cast(max(cast(json_extract(props, 'k') as bigint)) as bigint) AS k_max,
+        |  cast(count(DISTINCT cast(json_extract(props, 'k') as bigint)) as bigint) AS k_distinct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q130_array_breadth" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first_sorted,
+        |  cast(len(list_distinct(toks)) as int) AS n_distinct,
+        |  cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) as bigint) AS total_len,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CASE WHEN len(toks) >= 2 THEN toks[1] || '>' || toks[2] ELSE NULL END AS first_bigram,
+        |  array_to_string(list_reverse(toks[1:3]), '|') AS rev3
+        |FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q128_squaregrid" ->
       s"""SELECT c_custkey,
