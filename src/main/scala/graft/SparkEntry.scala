@@ -1604,9 +1604,10 @@ object SparkEntry {
       init(s)
       view(s, dir, "documents")
       Corpus.weightedSampleN(s.table("documents"), "doc_id", "n_chars", 20)
+        // order on the RAW key (matching the oracle); round only the output
+        .orderBy(col("sample_key").desc, col("doc_id"))
         .select(col("doc_id"), col("n_chars"),
           (round(col("sample_key"), 6) + lit(0.0)).as("skey"))
-        .orderBy(col("skey").desc, col("doc_id"))
     }),
 
     // near-dup cluster collapse: jaccard pair graph -> connected components

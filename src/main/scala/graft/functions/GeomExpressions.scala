@@ -255,11 +255,15 @@ object GeomKernels {
       if (g.isEmpty || n < 1 || n > parts.length) null else wkb(parts(n - 1))
     }),
     // keep only parts of the given type id (1=point 2=line 3=polygon, the
-    // PostGIS ST_CollectionExtract convention): multi-wrapper result, or
-    // null when nothing matches
+    // PostGIS ST_CollectionExtract convention, recursing through nested
+    // collections/multis): multi-wrapper result, or null when nothing matches
     "st_collectionextract" -> W(BinaryType, Set(1), (g, a) => {
       val want = d(a(0)).toInt
-      val parts = Geom.parts(g).filter {
+      def atoms(x: Geom): Array[Geom] = x match {
+        case m: GeometryCollectionLike => m.geoms.flatMap(atoms(_: Geom))
+        case other => Array(other)
+      }
+      val parts = atoms(g).filter {
         case _: Point => want == 1
         case _: LineString => want == 2
         case _: Polygon => want == 3
@@ -315,7 +319,9 @@ object GeomKernels {
         val iy0 = math.floor(y0 / size).toLong
         val iy1 = math.ceil(y1 / size).toLong - 1
         val nx = ix1 - ix0 + 1; val ny = iy1 - iy0 + 1
-        require(nx * ny <= 1000000, s"st_squaregrid would emit ${nx * ny} cells (max 1e6)")
+        // guard each factor before multiplying: nx * ny can wrap Long
+        require(nx <= 1000000 && ny <= 1000000 && nx * ny <= 1000000,
+          s"st_squaregrid would emit $nx x $ny cells (max 1e6)")
         val out = new Array[Any]((nx * ny).toInt)
         var k = 0
         var iy = iy0

@@ -68,13 +68,15 @@ object Corpus {
    * without RNG state so the same rows win on every engine, run, and
    * partitioning. The top-n is a TakeOrdered (per-partition heaps + driver
    * merge of n·P candidates), not a global sort — at 100 TB the cost is
-   * one scan.
+   * one scan. Rows with null or non-positive weights are excluded (A-ES
+   * requires w > 0; a negative w would flip the exponent and always win).
    */
   def weightedSampleN(df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
     // 2^60 is exactly representable; u = first 60 md5 bits / 2^60 in [0,1)
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("double") / lit(1152921504606846976L).cast("double")
-    df.withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(n)
   }

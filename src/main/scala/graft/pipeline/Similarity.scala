@@ -279,6 +279,8 @@ object Similarity {
           max(element_at(col(vecCol), i + 1).cast("double")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.anyNull,
+      s"trainSqRange: empty input or vectors shorter than dim=$dim (null min/max)")
     (Array.tabulate(dim)(i => row.getDouble(2 * i)),
      Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
   }

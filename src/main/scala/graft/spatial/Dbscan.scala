@@ -58,10 +58,14 @@ object Dbscan {
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select($"ia", $"xa", $"ya", ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
     val targets = home.select($"id".as("ib"), $"x".as("xb"), $"y".as("yb"), $"cx", $"cy")
+    // materialize once: neigh, coreEdges, and border all re-read the pair
+    // list, and re-deriving it would redo the 9x-replica join per branch
+    // (same eager-checkpoint pattern as Dedup.connectedComponents)
     val pairs = probes.join(targets, Seq("cx", "cy"))
       .filter(($"xa" - $"xb") * ($"xa" - $"xb") + ($"ya" - $"yb") * ($"ya" - $"yb")
         <= eps * eps)
       .select($"ia", $"ib")
+      .localCheckpoint(true)
 
     val neigh = pairs.groupBy($"ia").agg(count(lit(1)).as("__nc"))
     val core = neigh.filter($"__nc" >= minPts).select($"ia".as("id"))

@@ -224,6 +224,23 @@ class ProximityAccessorsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ SQL surface
 
+  test("st_collectionextract recurses into nested collections") {
+    val spark = graft.TestSpark.spark
+    val row = spark.sql(
+      """SELECT st_astext(st_collectionextract(st_geomfromtext(
+        |  'GEOMETRYCOLLECTION (MULTIPOINT ((1 1), (2 2)), LINESTRING (0 0, 1 1))'), 1)) AS pts
+        |""".stripMargin).head()
+    assert(row.getString(0) == "MULTIPOINT ((1 1), (2 2))")
+  }
+
+  test("st_squaregrid guards absurd cell counts without overflowing") {
+    val spark = graft.TestSpark.spark
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_squaregrid(0.0, 0.0, 1e10, 1e10, 1.0)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("st_squaregrid tessellates origin-aligned cells; version export") {
     val spark = graft.TestSpark.spark
     val row = spark.sql(

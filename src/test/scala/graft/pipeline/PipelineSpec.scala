@@ -707,6 +707,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b) // same winners in the same order regardless of layout
     // heavy weights dominate: u^(1/1000) ~ 1 beats u^(1/1) for nearly all u
     assert(a.count(_ <= 100) >= 18, s"heavy-weight rows underrepresented: $a")
+    // non-positive weights are excluded, not inverted winners
+    val mixed = Seq((1L, 10L), (2L, -5L), (3L, 0L), (4L, 10L)).toDF("id", "w")
+    val winners = Corpus.weightedSampleN(mixed, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(winners == Set(1L, 4L))
   }
 
   test("tokenEntropy: uniform text hits ln(vocab), repetition lowers it") {
