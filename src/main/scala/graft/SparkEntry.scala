@@ -1909,7 +1909,58 @@ object SparkEntry {
         |  upper(substring(c_name, 1, 8)) AS name_up,
         |  cast(length(replace(c_name, '0', '')) as int) AS len_no_zero
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // discrete Hausdorff distance: congruent-translation envelopes have
+    // H = |shift| closed-form; point-vs-box degenerates to maxdistance
+    "q133_hausdorff" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_hausdorffdistance(
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide),
+         |    st_translate(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), 2.0, 3.0)), 6) + 0.0
+         |    AS hd_shift,
+         |  round(st_hausdorffdistance($custPt,
+         |    st_makeenvelope($custX + 2, $custY + 3, $custX + 2 + $custSide, $custY + 3 + $custSide)), 6) + 0.0
+         |    AS hd_pt,
+         |  st_hausdorffdistance($custPt, $custPt) AS hd_self
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // normalization-aware dedup: whitespace-mangled re-posts collapse onto
+    // their originals once normalize_text canonicalizes them — the
+    // composition that makes q119's kernel a dedup primitive
+    "q134_normalized_dedup" -> sqlQuery(Seq("documents"),
+      """SELECT md5(norm) AS h,
+        |  cast(count(*) as bigint) AS dup_count,
+        |  min(doc_id) AS representative
+        |FROM (
+        |  SELECT doc_id, normalize_text(text) AS norm FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, concat('  ', replace(text, ' ', '   '), ' ')
+        |    FROM documents))
+        |GROUP BY md5(norm)
+        |HAVING count(*) > 1
+        |ORDER BY h""".stripMargin),
+
+    // closure containment vs interior containment: corners and edges are
+    // covered but not contained; coveredby is the converse
+    "q135_covers" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_covers(env, $custPt) AS corner_covered,
+         |  st_contains(env, $custPt) AS corner_contained,
+         |  st_covers(env, st_point($custX + $custSide / 2, $custY)) AS edge_covered,
+         |  st_contains(env, st_point($custX + $custSide / 2, $custY)) AS edge_contained,
+         |  st_covers(env, st_point($custX + $custSide / 2, $custY + $custSide / 2)) AS mid_covered,
+         |  st_covers(env, st_point($custX - 1, $custY)) AS outside_covered,
+         |  st_coveredby($custPt, env) AS corner_coveredby,
+         |  st_covers(st_geomfromtext(concat('LINESTRING (0 0, ',
+         |    cast(c_custkey % 360 - 180 as bigint), ' ',
+         |    cast((c_custkey * 7) % 160 - 80 as bigint), ')')), $custPt) AS line_covers_end
+         |FROM (
+         |  SELECT c_custkey,
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide) AS env
+         |  FROM customer)
+         |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3007,6 +3058,42 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q133_hausdorff" ->
+      s"""SELECT c_custkey,
+         |  round(sqrt(13.0), 6) + 0.0 AS hd_shift,
+         |  round(sqrt((2 + $oSide) * (2 + $oSide) + (3 + $oSide) * (3 + $oSide)), 6) + 0.0 AS hd_pt,
+         |  0.0 AS hd_self
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q134_normalized_dedup" ->
+      """SELECT md5(norm) AS h,
+        |  cast(count(*) as bigint) AS dup_count,
+        |  min(doc_id) AS representative
+        |FROM (
+        |  SELECT doc_id,
+        |    nfc_normalize(trim(regexp_replace(regexp_replace(text2,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g'))) AS norm
+        |  FROM (
+        |    SELECT doc_id, text AS text2 FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, '  ' || replace(text, ' ', '   ') || ' '
+        |    FROM documents))
+        |GROUP BY md5(norm)
+        |HAVING count(*) > 1
+        |ORDER BY h""".stripMargin,
+
+    "q135_covers" ->
+      """SELECT c_custkey,
+        |  true AS corner_covered,
+        |  false AS corner_contained,
+        |  true AS edge_covered,
+        |  false AS edge_contained,
+        |  true AS mid_covered,
+        |  false AS outside_covered,
+        |  true AS corner_coveredby,
+        |  true AS line_covers_end
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q131_datetime_breadth" ->
       """SELECT o_orderkey,

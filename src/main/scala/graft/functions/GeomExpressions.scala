@@ -155,6 +155,15 @@ object GeomKernels {
       case null => null
       case l    => wkb(l)
     }),
+    // closure containment (boundary contact suffices) vs interior-requiring
+    // contains — the PostGIS covers/contains distinction
+    "st_covers"    -> B(BooleanType, (a, b) => Algos.covers(a, b)),
+    "st_coveredby" -> B(BooleanType, (a, b) => Algos.covers(b, a)),
+    // vertex-discrete symmetric Hausdorff distance
+    "st_hausdorffdistance" -> B(DoubleType, (a, b) => {
+      val h = Algos.hausdorff(a, b)
+      if (h.isNaN) null else h
+    }),
     "st_union"          -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
     "st_intersection"   -> B(BinaryType, (a, b) => Option(Union.intersection(a, b)).map(wkb).orNull),
     "st_difference"     -> B(BinaryType, (a, b) => Option(Union.difference(a, b)).map(wkb).orNull),

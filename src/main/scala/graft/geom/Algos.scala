@@ -817,6 +817,77 @@ object Algos {
     (fx, fy)
   }
 
+  /**
+   * Discrete Hausdorff distance (PostGIS ST_HausdorffDistance convention):
+   * max over the vertices of each geometry of the exact distance to the
+   * OTHER geometry (full segments, not just vertices), symmetrized. Exact
+   * for point sets; for lines/polygons it is the standard vertex-discrete
+   * approximation (densify with [[segmentize]] first to tighten). NaN for
+   * empty input (kernel maps to null).
+   */
+  def hausdorff(a: Geometry, b: Geometry): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return Double.NaN
+    def oneWay(x: Geometry, y: Geometry): Double = {
+      var mx = 0.0
+      x.foreachCoord { (px, py) =>
+        val d = distance(Point(px, py), y)
+        if (d > mx) mx = d
+      }
+      mx
+    }
+    math.max(oneWay(a, b), oneWay(b, a))
+  }
+
+  /**
+   * `covers(a, b)`: every point of b lies in the CLOSURE of a — boundary
+   * contact is enough, unlike [[contains]] which demands an interior point
+   * (the PostGIS ST_Covers / ST_Contains distinction). Same supported pair
+   * matrix as contains.
+   */
+  def covers(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    if (!a.envelope.contains(b.envelope)) return false
+    a match {
+      case _: Polygon | _: MultiPolygon =>
+        var allIn = true
+        b.foreachCoord { (x, y) => if (locate(x, y, a) == 0) allIn = false }
+        if (!allIn) return false
+        val (sa, _) = segments(a)
+        val (sb, _) = segments(b)
+        var i = 0
+        while (i < sb.length) {
+          // midpoint catches chords that exit and re-enter through vertices
+          val mx = (sb(i) + sb(i + 2)) / 2; val my = (sb(i + 1) + sb(i + 3)) / 2
+          if (locate(mx, my, a) == 0) return false
+          var j = 0
+          while (j < sa.length) {
+            if (properCross(sb(i), sb(i + 1), sb(i + 2), sb(i + 3),
+                sa(j), sa(j + 1), sa(j + 2), sa(j + 3))) return false
+            j += 4
+          }
+          i += 4
+        }
+        true
+      case line: LineString =>
+        b match {
+          case p: Point => !p.isEmpty && locate(p.x, p.y, line) > 0
+          case _ => false
+        }
+      case p: Point =>
+        b match { case q: Point => p.x == q.x && p.y == q.y; case _ => false }
+      case m: MultiPoint =>
+        b match {
+          case q: Point => m.geoms.exists(p => !p.isEmpty && p.x == q.x && p.y == q.y)
+          case mq: MultiPoint =>
+            mq.geoms.forall(q => m.geoms.exists(p => !p.isEmpty && p.x == q.x && p.y == q.y))
+          case _ => false
+        }
+      case m: MultiLineString => m.geoms.exists(covers(_, b))
+      case c: GeometryCollection => c.geoms.exists(covers(_, b))
+      case _ => false
+    }
+  }
+
   /** North-based clockwise azimuth (radians, [0, 2π)) from point a to point b
     * (PostGIS ST_Azimuth). NaN for identical points (kernel maps to null). */
   def azimuth(ax: Double, ay: Double, bx: Double, by: Double): Double = {

@@ -224,6 +224,35 @@ class ProximityAccessorsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ SQL surface
 
+  test("covers vs contains: boundary contact suffices for covers only") {
+    val env = pg("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(Algos.covers(env, Point(0, 0)) && !Algos.contains(env, Point(0, 0)))
+    assert(Algos.covers(env, Point(2, 0)) && !Algos.contains(env, Point(2, 0)))
+    assert(Algos.covers(env, Point(2, 2)) && Algos.contains(env, Point(2, 2)))
+    assert(!Algos.covers(env, Point(5, 2)))
+    // a line lying on the boundary is covered, not contained
+    assert(Algos.covers(env, pg("LINESTRING (0 0, 4 0)")))
+    assert(!Algos.covers(env, pg("LINESTRING (0 0, 5 0)")))
+    // line covers its endpoints (contains excludes them)
+    val l = pg("LINESTRING (0 0, 3 4)")
+    assert(Algos.covers(l, Point(0, 0)) && !Algos.contains(l, Point(0, 0)))
+    assert(Algos.covers(l, Point(1.5, 2.0)))
+    assert(Algos.covers(pg("MULTIPOINT ((1 1), (2 2))"), pg("MULTIPOINT ((2 2), (1 1))")))
+  }
+
+  test("hausdorff: translation of a box is the shift norm; subsets collapse") {
+    val env = pg("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val shifted = AffineOps.translate(env, 2, 3)
+    assert(math.abs(Algos.hausdorff(env, shifted) - math.hypot(2, 3)) < 1e-12)
+    assert(Algos.hausdorff(env, env) == 0.0)
+    // point vs box: symmetric max = farthest corner
+    assert(Algos.hausdorff(Point(0, 0), pg("POLYGON ((2 3, 5 3, 5 6, 2 6, 2 3))")) ==
+      math.hypot(5, 6))
+    assert(Algos.hausdorff(Point(0, 0), Point.empty).isNaN)
+    // asymmetric sets: H is the max of both directions
+    assert(Algos.hausdorff(pg("MULTIPOINT ((0 0))"), pg("MULTIPOINT ((0 0), (10 0))")) == 10.0)
+  }
+
   test("st_collectionextract recurses into nested collections") {
     val spark = graft.TestSpark.spark
     val row = spark.sql(
