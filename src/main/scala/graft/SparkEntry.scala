@@ -1960,7 +1960,34 @@ object SparkEntry {
          |  SELECT c_custkey,
          |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide) AS env
          |  FROM customer)
-         |ORDER BY c_custkey""".stripMargin)
+         |ORDER BY c_custkey""".stripMargin),
+
+    // statistical aggregate breadth: correlation, covariance, stddev,
+    // variance per group (both engines use numerically-stable one-pass
+    // forms; round(6) absorbs the last-ulp reorder noise)
+    "q136_stats_agg" -> sqlQuery(Seq("lineitem"),
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS cov_qd,
+        |  round(stddev_samp(l_quantity), 6) + 0.0 AS sd_q,
+        |  round(var_samp(l_discount), 6) + 0.0 AS var_d,
+        |  round(avg(l_tax), 6) + 0.0 AS avg_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // unpivot (stack): wide balance columns to long (metric, value) rows —
+    // the relational reshape op, one generate, no shuffle before the sort
+    "q137_unpivot" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey, metric, val
+        |FROM (
+        |  SELECT c_custkey,
+        |    stack(3,
+        |      'acctbal', c_acctbal,
+        |      'acct2x', c_acctbal * 2,
+        |      'acct_abs', abs(c_acctbal)) AS (metric, val)
+        |  FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3058,6 +3085,26 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q136_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS cov_qd,
+        |  round(stddev_samp(l_quantity), 6) + 0.0 AS sd_q,
+        |  round(var_samp(l_discount), 6) + 0.0 AS var_d,
+        |  round(avg(l_tax), 6) + 0.0 AS avg_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q137_unpivot" ->
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'acct2x', c_acctbal * 2 FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'acct_abs', abs(c_acctbal) FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin,
 
     "q133_hausdorff" ->
       s"""SELECT c_custkey,

@@ -266,4 +266,29 @@ class GeoStreamingSpec extends AnyFunSuite {
       assert(batchIds == Set(2L))
     } finally q.stop()
   }
+
+  test("streaming session_window merges events within the gap (q121 shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.session_window
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = input.toDF().toDF("ts", "uid")
+      .groupBy(session_window($"ts", "10 minutes"), $"uid")
+      .count()
+    val q = sessions.writeStream.format("memory").queryName("sessw")
+      .outputMode("complete").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      input.addData((t(0), 1L), (t(5), 1L), (t(30), 1L), (t(2), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sessw")
+        .selectExpr("uid", "session_window.start AS s", "session_window.end AS e", "count")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).sorted.toSeq
+      assert(rows == Seq(
+        (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:15:00.0", 2L),
+        (1L, "2026-01-01 10:30:00.0", "2026-01-01 10:40:00.0", 1L),
+        (2L, "2026-01-01 10:02:00.0", "2026-01-01 10:12:00.0", 1L)))
+    } finally q.stop()
+  }
 }
