@@ -1987,7 +1987,33 @@ object SparkEntry {
         |      'acct2x', c_acctbal * 2,
         |      'acct_abs', abs(c_acctbal)) AS (metric, val)
         |  FROM customer)
-        |ORDER BY c_custkey, metric""".stripMargin)
+        |ORDER BY c_custkey, metric""".stripMargin),
+
+    // deterministic mixture UPSAMPLING (multi-epoch): weight 2.5 => every
+    // doc twice plus the md5-selected half a third time — same replicas on
+    // every engine; the epochs-per-source knob of corpus assembly
+    "q138_upsample" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      Corpus.upsample(s.table("documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.0))
+        .select(col("doc_id"), col("source"), col("copy").cast("int").as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // vocabulary construction + numericalization: deterministic top-100
+    // token vocab (count desc, token asc), docs encoded to id sequences
+    // with OOV = -1 — the tokenizer front half of a training pipeline
+    "q139_encode_ids" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val docs = s.table("documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", 100)
+      TextAnalysis.encodeIds(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), array_join(col("ids"), ",").as("ids_str"),
+          size(col("ids")).cast("int").as("n_ids"))
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -3085,6 +3111,38 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q138_upsample" ->
+      """SELECT doc_id, source, cast(copy as int) AS copy FROM (
+        |  SELECT doc_id, source, unnest(range(1, reps + 1)) AS copy FROM (
+        |    SELECT doc_id, source,
+        |      cast(floor(w) as int) +
+        |      CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 1000
+        |                < cast(round((w - floor(w)) * 1000) as bigint) THEN 1 ELSE 0 END AS reps
+        |    FROM (
+        |      SELECT doc_id, source,
+        |        CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |                    WHEN 'src2' THEN 1.0 ELSE 0.0 END AS w
+        |      FROM documents)))
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    "q139_encode_ids" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(text), '\S+')) AS token,
+        |    unnest(range(1, len(regexp_extract_all(trim(text), '\S+')) + 1)) AS pos
+        |  FROM documents),
+        |vc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token, cast(row_number() OVER (ORDER BY cnt DESC, token) as int) AS tid
+        |  FROM vc ORDER BY cnt DESC, token LIMIT 100),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.tid, -1) AS tid
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id,
+        |  array_to_string(list(tid ORDER BY pos), ',') AS ids_str,
+        |  cast(count(*) as int) AS n_ids
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q136_stats_agg" ->
       """SELECT l_returnflag,

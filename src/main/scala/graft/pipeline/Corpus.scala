@@ -81,6 +81,32 @@ object Corpus {
       .limit(n)
   }
 
+  /**
+   * Deterministic mixture UPSAMPLING: per-source weights may exceed 1 —
+   * a document with weight w appears floor(w) times plus one more for the
+   * md5-bucket fraction of docs (so expectation is exactly w, and the SAME
+   * docs get the extra epoch on every engine/run). The multi-epoch
+   * counterpart of [[mixture]] (which only downsamples): "2.5 epochs of
+   * curated, 0.5 of web" in one pass. Output = input rows replicated with
+   * a `copy` index (1-based); weight <= 0 or absent source drops the doc.
+   */
+  def upsample(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val reps = (floor(w) +
+      when(hashBucket(col(keyCol)) < round((w - floor(w)) * 1000).cast("long"), 1L)
+        .otherwise(0L)).cast("int")
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") >= 1) // sequence(1, 0) would generate DESCENDING
+      .withColumn("copy", explode(sequence(lit(1), col("__reps"))))
+      .drop("__reps")
+  }
+
   /** Corpus composition report per group: doc/token/char totals and mean
     * quality — one partial-aggregating scan (the kernels are codegen
     * expressions, the agg is map-side-combined). */

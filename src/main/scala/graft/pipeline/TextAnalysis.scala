@@ -290,6 +290,40 @@ object TextAnalysis {
           col("__fold").cast("double") / col("n_tokens"), 6) + lit(0.0)).as("entropy"))
   }
 
+  /**
+   * Deterministic top-`size` vocabulary: tokens ranked by (count DESC,
+   * token ASC), ids 1-based; the numericalization table every tokenizer
+   * pipeline needs. The heavy part (token counting) map-side combines;
+   * the final rank runs on the `size`-bounded survivor set.
+   */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // top-size via TakeOrdered, then rank the tiny survivor set
+    counts.orderBy(col("cnt").desc, col("token")).limit(size)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+  }
+
+  /**
+   * Encode documents as token-id sequences against a vocabulary
+   * (OOV => -1): explode to (doc, pos, token), broadcast-join the vocab,
+   * reassemble in position order. Returns (doc_id, ids array<int>).
+   * Docs with zero tokens produce no row.
+   */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+          .as(Seq("pos", "token")))
+    toks.join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), coalesce(col("token_id"), lit(-1)).as("tid")))),
+        x => x.getField("tid")).as("ids"))
+  }
+
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),

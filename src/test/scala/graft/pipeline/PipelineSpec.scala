@@ -683,6 +683,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(train, eval, "doc_id", "text", n = 8).count() == 0)
   }
 
+  test("upsample replicates by weight with exact expectation semantics") {
+    val df = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b")).toDF("id", "src")
+    val out = Corpus.upsample(df, "id", "src", Map("a" -> 2.5, "b" -> 0.25))
+      .select("id", "copy").as[(Long, Int)].collect()
+    val perId = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // every 'a' doc appears 2 or 3 times; copies are 1..n
+    assert((1L to 100L).forall(i => perId.getOrElse(i, 0) == 2 || perId(i) == 3))
+    // 'b' docs appear 0 or 1 times
+    assert((101L to 200L).forall(i => perId.getOrElse(i, 0) <= 1))
+    // deterministic across reruns
+    val again = Corpus.upsample(df.repartition(9), "id", "src", Map("a" -> 2.5, "b" -> 0.25))
+      .select("id", "copy").as[(Long, Int)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // unknown source drops
+    assert(Corpus.upsample(df, "id", "src", Map("zzz" -> 1.0)).count() == 0)
+  }
+
+  test("buildVocab ranks deterministically; encodeIds maps OOV to -1 in order") {
+    val docs = Seq(
+      (1L, "b b a c"),
+      (2L, "a b zebra")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", 3).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Int]("token_id")).toMap
+    // counts: b=3, a=2, c=1, zebra=1 -> top3: b(1), a(2), c(3) (tie c < zebra)
+    assert(vocab == Map("b" -> 1, "a" -> 2, "c" -> 3))
+    val enc = TextAnalysis.encodeIds(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "text", 3))
+      .orderBy("doc_id").select("ids").as[Seq[Int]].collect()
+    assert(enc(0) == Seq(1, 1, 2, 3))
+    assert(enc(1) == Seq(2, 1, -1)) // zebra is OOV
+  }
+
   test("keepBestPerCluster keeps the top-score doc per component, singletons survive") {
     val scored = Seq(
       (1L, "a", 0.5), (2L, "b", 0.9), (3L, "c", 0.9), // cluster {1,2,3}: 2 wins (score tie, lower id)
