@@ -2013,7 +2013,15 @@ object SparkEntry {
         .select(col("doc_id"), array_join(col("ids"), ",").as("ids_str"),
           size(col("ids")).cast("int").as("n_ids"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ordered pagination — the reference read_file's skip_features /
+    // max_features slice (§2.1) as LIMIT/OFFSET over a deterministic sort
+    "q140_pagination" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 50 OFFSET 100""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3111,6 +3119,12 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey,
          |  $oCustX AS gx, $oCustY AS gy, c_acctbal
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q140_pagination" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
 
     "q138_upsample" ->
       """SELECT doc_id, source, cast(copy as int) AS copy FROM (
