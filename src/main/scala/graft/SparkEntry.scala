@@ -2021,7 +2021,19 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer
         |ORDER BY c_custkey
-        |LIMIT 50 OFFSET 100""".stripMargin)
+        |LIMIT 50 OFFSET 100""".stripMargin),
+
+    // st_expand: bbox grow/shrink — the search-window builder for window
+    // queries (expand + intersects = dwithin on boxes); closed-form areas
+    "q141_expand" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  cast(st_area(st_expand(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), 2.0)) as double) AS grown,
+         |  cast(st_area(st_expand($custPt, 1.0)) as double) AS pt_box,
+         |  st_contains(st_expand(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), 2.0),
+         |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS contains_orig,
+         |  st_expand(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), -6.0) IS NULL
+         |    AS shrink_null
+         |FROM customer ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3125,6 +3137,14 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q141_expand" ->
+      s"""SELECT c_custkey,
+         |  ($oSide + 4) * ($oSide + 4) AS grown,
+         |  4.0 AS pt_box,
+         |  true AS contains_orig,
+         |  true AS shrink_null
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q138_upsample" ->
       """SELECT doc_id, source, cast(copy as int) AS copy FROM (

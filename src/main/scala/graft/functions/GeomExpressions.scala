@@ -256,6 +256,18 @@ object GeomKernels {
     }),
     // split segments so none exceeds the given length
     "st_segmentize" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.segmentize(g, d(a(0))))),
+    // grow (or shrink, negative d) the bounding box by d on every side
+    // (PostGIS ST_Expand); an emptied box => null
+    "st_expand" -> W(BinaryType, Set(1), (g, a) => {
+      val e = g.envelope
+      if (e.isEmpty) null
+      else {
+        val dd = d(a(0))
+        val (x0, y0, x1, y1) = (e.minX - dd, e.minY - dd, e.maxX + dd, e.maxY + dd)
+        if (x0 > x1 || y0 > y1) null
+        else wkb(Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))))
+      }
+    }),
     // n-th part of a multi-geometry, 1-based; atomic geometries are their
     // own single part (PostGIS ST_GeometryN); out of range => null
     "st_geometryn" -> W(BinaryType, Set(1), (g, a) => {
