@@ -2033,6 +2033,32 @@ object SparkEntry {
          |    st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS contains_orig,
          |  st_expand(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide), -6.0) IS NULL
          |    AS shrink_null
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // rolling window analytics: RANGE frame over event-time seconds (the
+    // moving-aggregate shape) with an exact decimal fold, plus cume_dist
+    "q142_rolling" -> sqlQuery(Seq("events"),
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value as decimal(20,2))) OVER (
+        |    PARTITION BY user_id ORDER BY unix_timestamp(ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as double) AS rolling_1h,
+        |  cast(count(*) OVER (
+        |    PARTITION BY user_id ORDER BY unix_timestamp(ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as bigint) AS n_1h,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) + 0.0
+        |    AS cd
+        |FROM events
+        |WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // great-circle point distance (sphere): equator/meridian arcs have
+    // closed-form haversine values shared with the q17 oracle formula
+    "q143_sphere_distance" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_distancesphere(st_point(0.0, 0.0), $custPt), 2) + 0.0 AS d_origin,
+         |  round(st_distancesphere($custPt, st_point($custX, $custY + 1)), 2) + 0.0 AS d_north1,
+         |  st_distancesphere($custPt, $custPt) AS d_self,
+         |  st_distancesphere($custPt, st_makeenvelope(0.0, 0.0, 1.0, 1.0)) IS NULL AS non_point_null
          |FROM customer ORDER BY c_custkey""".stripMargin)
   )
 
@@ -3137,6 +3163,29 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q142_rolling" ->
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value as decimal(20,2))) OVER (
+        |    PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as double) AS rolling_1h,
+        |  cast(count(*) OVER (
+        |    PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as bigint) AS n_1h,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) + 0.0
+        |    AS cd
+        |FROM (
+        |  SELECT event_id, user_id, value, cast(floor(epoch(ts)) as bigint) AS es
+        |  FROM events WHERE user_id < 50)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q143_sphere_distance" ->
+      s"""SELECT c_custkey,
+         |  ${havSql(oCustX, oCustY)} + 0.0 AS d_origin,
+         |  round(2 * 6371008.8 * asin(sin(radians(1.0) / 2)), 2) + 0.0 AS d_north1,
+         |  0.0 AS d_self,
+         |  true AS non_point_null
+         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q141_expand" ->
       s"""SELECT c_custkey,

@@ -164,6 +164,13 @@ object GeomKernels {
       val h = Algos.hausdorff(a, b)
       if (h.isNaN) null else h
     }),
+    // great-circle meters between two lon/lat points (PostGIS
+    // ST_DistanceSphere; same mean radius as st_geodesiclength's haversine)
+    "st_distancesphere" -> B(DoubleType, (a, b) => (a, b) match {
+      case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty =>
+        Geodesy.haversine(p.x, p.y, q.x, q.y)
+      case _ => null
+    }),
     "st_union"          -> B(BinaryType, (a, b) => wkb(Union.union(Seq(a, b)))),
     "st_intersection"   -> B(BinaryType, (a, b) => Option(Union.intersection(a, b)).map(wkb).orNull),
     "st_difference"     -> B(BinaryType, (a, b) => Option(Union.difference(a, b)).map(wkb).orNull),
