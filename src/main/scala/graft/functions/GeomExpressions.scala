@@ -52,6 +52,12 @@ object GeomKernels {
       case null => null
       case p    => wkb(p)
     }),
+    // PostGIS-name aliases for interop with existing SQL
+    "st_pointonsurface" -> U(BinaryType, g => Algos.representativePoint(g) match {
+      case null => null
+      case p    => wkb(p)
+    }),
+    "st_npoints"      -> U(IntegerType, g => g.numPoints),
     "st_isvalid"      -> U(BooleanType, g => Algos.isValid(g)),
     "st_x"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.x; case _ => null }),
     "st_y"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.y; case _ => null }),

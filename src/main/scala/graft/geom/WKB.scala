@@ -33,6 +33,18 @@ object WKB {
   def readOrNull(bytes: Array[Byte]): Geometry =
     try read(bytes) catch { case _: Exception => null }
 
+  /** A declared element count may not exceed what the remaining bytes could
+    * possibly hold (`perElem` = minimum bytes per element) — otherwise a
+    * corrupt blob's count (e.g. 2^31-1) would drive a giant allocation
+    * BEFORE the buffer underflows, OOMing the executor instead of decoding
+    * to SQL NULL. */
+  @inline private def checkedCount(buf: ByteBuffer, perElem: Int): Int = {
+    val n = buf.getInt()
+    if (n < 0 || n.toLong * perElem > buf.remaining())
+      throw new IllegalArgumentException(s"WKB count $n exceeds remaining ${buf.remaining()} bytes")
+    n
+  }
+
   private def readGeom(buf: ByteBuffer): Geometry = {
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -49,23 +61,23 @@ object WKB {
       case LineT  => LineString(readCoords(buf))
       case PolyT  => readPolygonBody(buf)
       case MPointT =>
-        val n = buf.getInt()
+        val n = checkedCount(buf, 21) // 1 + 4 + 16 bytes per point
         MultiPoint(Array.fill(n)(readGeom(buf).asInstanceOf[Point]))
       case MLineT =>
-        val n = buf.getInt()
+        val n = checkedCount(buf, 9) // header + count of an empty line
         MultiLineString(Array.fill(n)(readGeom(buf).asInstanceOf[LineString]))
       case MPolyT =>
-        val n = buf.getInt()
+        val n = checkedCount(buf, 9)
         MultiPolygon(Array.fill(n)(readGeom(buf).asInstanceOf[Polygon]))
       case CollT =>
-        val n = buf.getInt()
+        val n = checkedCount(buf, 9)
         GeometryCollection(Array.fill(n)(readGeom(buf)))
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
   }
 
   private def readCoords(buf: ByteBuffer): Array[Double] = {
-    val n = buf.getInt()
+    val n = checkedCount(buf, 16) // two doubles per vertex
     val out = new Array[Double](n * 2)
     var i = 0
     while (i < out.length) { out(i) = buf.getDouble(); i += 1 }
@@ -73,7 +85,7 @@ object WKB {
   }
 
   private def readPolygonBody(buf: ByteBuffer): Polygon = {
-    val nRings = buf.getInt()
+    val nRings = checkedCount(buf, 4) // ring count header per ring
     Polygon(Array.fill(nRings)(readCoords(buf)))
   }
 

@@ -224,6 +224,23 @@ class ProximityAccessorsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ SQL surface
 
+  test("WKB fuzz: corrupt bytes decode to null, never throw") {
+    val rnd = new scala.util.Random(99)
+    (1 to 2000).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+      WKB.readOrNull(bytes) // must not throw, result may be null or garbage-valid
+    }
+    // truncations of a valid geometry
+    val good = WKB.write(pg("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    (0 until good.length).foreach { n =>
+      WKB.readOrNull(java.util.Arrays.copyOf(good, n))
+    }
+    // absurd declared counts must not allocate/crash
+    val bomb = java.nio.ByteBuffer.allocate(9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bomb.put(1.toByte).putInt(5).putInt(Int.MaxValue) // multipolygon, 2^31-1 parts
+    assert(WKB.readOrNull(bomb.array()) == null)
+  }
+
   test("covers vs contains: boundary contact suffices for covers only") {
     val env = pg("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert(Algos.covers(env, Point(0, 0)) && !Algos.contains(env, Point(0, 0)))

@@ -291,4 +291,26 @@ class GeoStreamingSpec extends AnyFunSuite {
         (2L, "2026-01-01 10:02:00.0", "2026-01-01 10:12:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("geometry aggregates run on streams: per-key makeline + envelope in complete mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double, Double)]
+    input.toDF().toDF("uid", "seq", "x", "y").createOrReplaceTempView("traj_in")
+    val agg = spark.sql(
+      """SELECT uid, st_astext(st_makeline_agg(st_point(x, y), seq)) AS traj,
+        |  st_astext(st_envelope_agg(st_point(x, y))) AS bbox
+        |FROM traj_in GROUP BY uid""".stripMargin)
+    val q = agg.writeStream.format("memory").queryName("trajagg")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, 2L, 10.0, 0.0), (1L, 1L, 0.0, 0.0))
+      q.processAllAvailable()
+      input.addData((1L, 3L, 10.0, 5.0)) // late batch extends the same line
+      q.processAllAvailable()
+      val row = spark.table("trajagg").orderBy("uid").head()
+      assert(row.getString(1) == "LINESTRING (0 0, 10 0, 10 5)")
+      assert(row.getString(2) == "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))")
+    } finally q.stop()
+  }
 }
