@@ -2059,7 +2059,49 @@ object SparkEntry {
          |  round(st_distancesphere($custPt, st_point($custX, $custY + 1)), 2) + 0.0 AS d_north1,
          |  st_distancesphere($custPt, $custPt) AS d_self,
          |  st_distancesphere($custPt, st_makeenvelope(0.0, 0.0, 1.0, 1.0)) IS NULL AS non_point_null
-         |FROM customer ORDER BY c_custkey""".stripMargin)
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // dashboard composition: per-day top-3 event types by count (window
+    // agg -> rank -> filter), the windowed heavy-hitter report
+    "q144_window_topk" -> sqlQuery(Seq("events"),
+      """SELECT ws, event_type, n, rk FROM (
+        |  SELECT ws, event_type, n,
+        |    cast(row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) as int) AS rk
+        |  FROM (
+        |    SELECT window.start AS ws, event_type, cast(count(*) as bigint) AS n
+        |    FROM events GROUP BY window(ts, '24 hours'), event_type))
+        |WHERE rk <= 3
+        |ORDER BY ws, rk""".stripMargin),
+
+    // set-op multiplicity semantics: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate cardinalities (q5 covers the DISTINCT forms)
+    "q145_setop_all" -> sqlQuery(Seq("lineitem"),
+      """SELECT l_suppkey, cast(count(*) as bigint) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 10.0)
+        |GROUP BY l_suppkey
+        |UNION ALL
+        |SELECT -1 AS l_suppkey, cast(count(*) as bigint) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 10.0)
+        |ORDER BY l_suppkey, n""".stripMargin),
+
+    // null semantics: null-safe equality, NULLS FIRST/LAST ordering,
+    // coalesce/nullif/nvl2 over a column with injected nulls
+    "q146_null_semantics" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  b <=> LAG(b) OVER (ORDER BY c_custkey) AS same_as_prev,
+        |  coalesce(b, -999.0) AS b_filled,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  CASE WHEN b IS NULL THEN 'missing' ELSE 'present' END AS presence,
+        |  cast(row_number() OVER (ORDER BY b ASC NULLS FIRST, c_custkey) as int) AS rn_nf
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS b
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3163,6 +3205,43 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q144_window_topk" ->
+      """SELECT ws, event_type, n, rk FROM (
+        |  SELECT ws, event_type, n,
+        |    cast(row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) as int) AS rk
+        |  FROM (
+        |    SELECT time_bucket(INTERVAL '24 hours', ts) AS ws, event_type,
+        |      cast(count(*) as bigint) AS n
+        |    FROM events GROUP BY 1, 2))
+        |WHERE rk <= 3
+        |ORDER BY ws, rk""".stripMargin,
+
+    "q145_setop_all" ->
+      """SELECT l_suppkey, cast(count(*) as bigint) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 10.0)
+        |GROUP BY l_suppkey
+        |UNION ALL
+        |SELECT -1 AS l_suppkey, cast(count(*) as bigint) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 10.0)
+        |ORDER BY l_suppkey, n""".stripMargin,
+
+    "q146_null_semantics" ->
+      """SELECT c_custkey,
+        |  b IS NOT DISTINCT FROM LAG(b) OVER (ORDER BY c_custkey) AS same_as_prev,
+        |  coalesce(b, -999.0) AS b_filled,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  CASE WHEN b IS NULL THEN 'missing' ELSE 'present' END AS presence,
+        |  cast(row_number() OVER (ORDER BY b ASC NULLS FIRST, c_custkey) as int) AS rn_nf
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS b
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q142_rolling" ->
       """SELECT event_id, user_id,
