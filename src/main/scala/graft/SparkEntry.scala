@@ -2101,7 +2101,37 @@ object SparkEntry {
         |  SELECT c_custkey, c_mktsegment,
         |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS b
         |  FROM customer)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // one-scan column profiling: per-column non-null/distinct/min/max plus
+    // the row count, from a single wide aggregate unpivoted with stack()
+    "q147_profile" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "orders")
+      graft.relational.Profile.profile(s.table("orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
+    // CDC merge: fold an upsert/delete change stream into a snapshot with
+    // one union + one key-window shuffle (latest seq wins, delete beats
+    // upsert at equal seq) — the lakehouse ingest MERGE
+    "q148_cdc_merge" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val base = s.sql("SELECT doc_id, n_chars FROM documents")
+      val changes = s.sql(
+        """SELECT doc_id, n_chars + 1000 AS n_chars, 'U' AS op, 1L AS seq
+          |FROM documents WHERE doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id, cast(NULL as bigint), 'D', 2L
+          |FROM documents WHERE doc_id % 7 = 0
+          |UNION ALL
+          |SELECT doc_id + 500000, cast(doc_id as bigint), 'U', 1L
+          |FROM documents WHERE doc_id % 11 = 0""".stripMargin)
+      graft.relational.Cdc.applyChanges(base, changes, "doc_id", "seq", "op")
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -3205,6 +3235,40 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q147_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, cast(count(*) as bigint) AS n_rows,
+           |  cast(count($c) as bigint) AS non_null,
+           |  cast(count(DISTINCT $c) as bigint) AS n_distinct,
+           |  cast(min($c) as varchar) AS min_val,
+           |  cast(max($c) as varchar) AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q148_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, 'U' AS op, cast(-9223372036854775808 as bigint) AS seq
+        |  FROM documents),
+        |chg AS (
+        |  SELECT doc_id, n_chars + 1000 AS n_chars, 'U' AS op, cast(1 as bigint) AS seq
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, cast(NULL as bigint), 'D', 2 FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, cast(doc_id as bigint), 'U', 1
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |ranked AS (
+        |  SELECT doc_id, n_chars, op,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+        |  FROM all_rows)
+        |SELECT doc_id, n_chars FROM ranked
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
 
     "q144_window_topk" ->
       """SELECT ws, event_type, n, rk FROM (

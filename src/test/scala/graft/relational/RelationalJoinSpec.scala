@@ -218,4 +218,23 @@ class RelationalJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bt_cust")
     }
   }
+
+  test("Cdc.applyChanges: latest seq wins, delete beats upsert at equal seq, inserts appear") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", "U", 1L), (1L, "a3", "U", 5L),   // two upserts: seq 5 wins
+      (2L, null.asInstanceOf[String], "D", 1L),    // delete
+      (3L, "c2", "U", 2L), (3L, null.asInstanceOf[String], "D", 2L), // tie: delete wins
+      (9L, "new", "U", 1L)                         // insert
+    ).toDF("k", "v", "op", "seq")
+    val out = graft.relational.Cdc.applyChanges(base, changes, "k", "seq", "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a3"), (9L, "new")))
+    // no changes => identity
+    val none = changes.filter($"k" < 0)
+    assert(graft.relational.Cdc.applyChanges(base, none, "k", "seq", "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
