@@ -2131,6 +2131,34 @@ object SparkEntry {
           |FROM documents WHERE doc_id % 11 = 0""".stripMargin)
       graft.relational.Cdc.applyChanges(base, changes, "doc_id", "seq", "op")
         .orderBy("doc_id")
+    }),
+
+    // format-interop capstone: one dataset carried through Shapefile ->
+    // GeoPackage -> Arrow IPC, geometry and attributes surviving every hop
+    // bit-for-bit (the per-format roundtrips are q99/q60/q59)
+    "q149_format_chain" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q149_chain").toFile
+      tmpDir.deleteOnExit()
+      val shpBase = new java.io.File(tmpDir, "shp/cust").getAbsolutePath
+      new java.io.File(tmpDir, "shp").mkdirs()
+      val gpkg = new java.io.File(tmpDir, "cust.gpkg").getAbsolutePath
+      val arrowDir = new java.io.File(tmpDir, "arrow").getAbsolutePath
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") <= 500)
+        .selectExpr("c_custkey", "c_name", s"$custPt AS geometry")
+        .orderBy("c_custkey")
+      graft.sources.Shapefile.write(cust, shpBase, "geometry")
+      val fromShp = graft.api.GeoIO.readShapefile(s, new java.io.File(tmpDir, "shp").getAbsolutePath).df
+        .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name", "geometry")
+      graft.sources.GeoPackage.write(fromShp, gpkg, "geometry", tableName = "chain")
+      val fromGpkg = graft.api.GeoIO.readGeoPackage(s, tmpDir.getAbsolutePath).df
+        .selectExpr("c_custkey", "c_name", "geometry")
+      graft.sources.ArrowIPC.write(fromGpkg, arrowDir)
+      graft.sources.ArrowIPC.read(s, arrowDir)
+        .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
     })
   )
 
@@ -3235,6 +3263,12 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q149_format_chain" ->
+      s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
+         |  $oCustX AS gx, $oCustY AS gy
+         |FROM customer WHERE c_custkey <= 500
+         |ORDER BY c_custkey""".stripMargin,
 
     "q147_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
