@@ -2159,7 +2159,24 @@ object SparkEntry {
         .selectExpr("cast(c_custkey as bigint) AS c_custkey", "c_name",
           "st_x(geometry) AS gx", "st_y(geometry) AS gy")
         .orderBy("c_custkey")
-    })
+    }),
+
+    // geo-analytics capstone: session_window sessions x per-session event
+    // trajectories (st_makeline_agg ordered by event sequence) x planar
+    // length — movement analytics in one grouped aggregation
+    "q150_session_trajectories" -> sqlQuery(Seq("events"),
+      """SELECT user_id, session_window.start AS ss,
+        |  cast(count(*) as bigint) AS n,
+        |  st_astext(st_makeline_agg(st_point(px, py), event_id)) AS traj,
+        |  coalesce(round(st_length(st_makeline_agg(st_point(px, py), event_id)), 6) + 0.0, -1.0)
+        |    AS traj_len
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |    cast(event_id % 220 - 110 as double) AS px,
+        |    cast((event_id * 7) % 160 - 80 as double) AS py
+        |  FROM events WHERE user_id < 40)
+        |GROUP BY session_window(ts, '6 hours'), user_id
+        |ORDER BY user_id, ss""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3263,6 +3280,39 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q150_session_trajectories" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    cast(event_id % 220 - 110 as bigint) AS px,
+        |    cast((event_id * 7) % 160 - 80 as bigint) AS py
+        |  FROM events WHERE user_id < 40),
+        |o AS (
+        |  SELECT user_id, ts, event_id, px, py,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '6 hours'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, event_id, px, py,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |h AS (
+        |  SELECT user_id, sid, ts, event_id, px, py,
+        |    lag(px) OVER (PARTITION BY user_id, sid ORDER BY event_id) AS ppx,
+        |    lag(py) OVER (PARTITION BY user_id, sid ORDER BY event_id) AS ppy
+        |  FROM s)
+        |SELECT user_id, min(ts) AS ss,
+        |  cast(count(*) as bigint) AS n,
+        |  CASE WHEN count(*) >= 2
+        |       THEN 'LINESTRING (' || string_agg(px || ' ' || py, ', ' ORDER BY event_id) || ')'
+        |       ELSE NULL END AS traj,
+        |  CASE WHEN count(*) >= 2
+        |       THEN round(sum(CASE WHEN ppx IS NULL THEN 0.0
+        |                 ELSE sqrt((px - ppx) * (px - ppx) + (py - ppy) * (py - ppy)) END), 6) + 0.0
+        |       ELSE -1.0 END AS traj_len
+        |FROM h GROUP BY user_id, sid
+        |ORDER BY user_id, ss""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
