@@ -2176,7 +2176,36 @@ object SparkEntry {
         |    cast((event_id * 7) % 160 - 80 as double) AS py
         |  FROM events WHERE user_id < 40)
         |GROUP BY session_window(ts, '6 hours'), user_id
-        |ORDER BY user_id, ss""".stripMargin)
+        |ORDER BY user_id, ss""".stripMargin),
+
+    // DE-9IM predicate family over constructed configurations whose truth is
+    // decidable from c_custkey % 4 (d = m*5 shifts a box/line/point from
+    // equal -> overlapping -> edge-touching -> disjoint relative to box a)
+    "q151_de9im_predicates" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_equals(a, b) AS eq_ab,
+         |  st_overlaps(a, b) AS ov_ab,
+         |  st_touches(a, b) AS tch_ab,
+         |  st_disjoint(a, b) AS dj_ab,
+         |  st_touches(lv, a) AS tch_lva,
+         |  st_crosses(lv, a) AS cr_lva,
+         |  st_crosses(lv, lh) AS cr_lvlh,
+         |  st_overlaps(lh, lh3) AS ov_lh3,
+         |  st_equals(lh, st_reverse(lh)) AS eq_rev,
+         |  st_touches(p, a) AS tch_pa,
+         |  st_crosses(mp, a) AS cr_mpa
+         |FROM (
+         |  SELECT c_custkey,
+         |    st_makeenvelope(x, y, x + 10.0, y + 10.0) AS a,
+         |    st_makeenvelope(x + d, y, x + d + 10.0, y + 10.0) AS b,
+         |    st_geomfromtext(concat('LINESTRING (', x + d, ' ', y - 1.0, ', ', x + d, ' ', y + 11.0, ')')) AS lv,
+         |    st_geomfromtext(concat('LINESTRING (', x - 1.0, ' ', y + 5.0, ', ', x + 11.0, ' ', y + 5.0, ')')) AS lh,
+         |    st_geomfromtext(concat('LINESTRING (', x + d, ' ', y + 5.0, ', ', x + 20.0, ' ', y + 5.0, ')')) AS lh3,
+         |    st_point(x + d, y + 5.0) AS p,
+         |    st_geomfromtext(concat('MULTIPOINT ((', x + d, ' ', y + 5.0, '), (', x + 20.0, ' ', y + 20.0, '))')) AS mp
+         |  FROM (SELECT c_custkey, $custX AS x, $custY AS y,
+         |        cast(c_custkey % 4 as double) * 5.0 AS d FROM customer))
+         |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3313,6 +3342,22 @@ object SparkEntry {
         |       ELSE -1.0 END AS traj_len
         |FROM h GROUP BY user_id, sid
         |ORDER BY user_id, ss""".stripMargin,
+
+    "q151_de9im_predicates" ->
+      """SELECT c_custkey,
+        |  (m = 0) AS eq_ab,
+        |  (m = 1) AS ov_ab,
+        |  (m = 2) AS tch_ab,
+        |  (m = 3) AS dj_ab,
+        |  (m = 0 OR m = 2) AS tch_lva,
+        |  (m = 1) AS cr_lva,
+        |  (m <> 3) AS cr_lvlh,
+        |  (m <> 3) AS ov_lh3,
+        |  true AS eq_rev,
+        |  (m = 0 OR m = 2) AS tch_pa,
+        |  (m = 1) AS cr_mpa
+        |FROM (SELECT c_custkey, c_custkey % 4 AS m FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

@@ -165,6 +165,13 @@ object GeomKernels {
     // contains — the PostGIS covers/contains distinction
     "st_covers"    -> B(BooleanType, (a, b) => Algos.covers(a, b)),
     "st_coveredby" -> B(BooleanType, (a, b) => Algos.covers(b, a)),
+    // DE-9IM family completion: interiors-based predicates (Algos relate
+    // kernels); st_disjoint is exact negation of the exact intersects
+    "st_touches"   -> B(BooleanType, (a, b) => Algos.touches(a, b)),
+    "st_crosses"   -> B(BooleanType, (a, b) => Algos.crosses(a, b)),
+    "st_overlaps"  -> B(BooleanType, (a, b) => Algos.overlapsPred(a, b)),
+    "st_equals"    -> B(BooleanType, (a, b) => Algos.equalsTop(a, b)),
+    "st_disjoint"  -> B(BooleanType, (a, b) => !Algos.intersects(a, b)),
     // vertex-discrete symmetric Hausdorff distance
     "st_hausdorffdistance" -> B(DoubleType, (a, b) => {
       val h = Algos.hausdorff(a, b)

@@ -41,6 +41,11 @@ object st {
   def within(a: Column, b: Column): Column     = call_function("st_within", a, b)
   def dWithin(a: Column, b: Column, dist: Column): Column =
     call_function("st_dwithin", a, b, dist)
+  def touches(a: Column, b: Column): Column   = call_function("st_touches", a, b)
+  def crosses(a: Column, b: Column): Column   = call_function("st_crosses", a, b)
+  def overlaps(a: Column, b: Column): Column  = call_function("st_overlaps", a, b)
+  def stEquals(a: Column, b: Column): Column  = call_function("st_equals", a, b)
+  def disjoint(a: Column, b: Column): Column  = call_function("st_disjoint", a, b)
 
   // transforms
   def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)

@@ -867,6 +867,38 @@ object Algos {
           }
           i += 4
         }
+        // areal b: b's interior must not poke into a's exterior through a
+        // hole whose ring b's boundary never crosses (e.g. b exactly fills
+        // a hole of a) — sample each part's interior point, and reject any
+        // hole-ring vertex of a strictly inside b
+        if (geomDim(b) == 2) {
+          def parts(g: Geometry): Seq[Polygon] = g match {
+            case p: Polygon            => Seq(p)
+            case m: MultiPolygon       => m.geoms.toSeq
+            case c: GeometryCollection => c.geoms.toSeq.flatMap(parts)
+            case _                     => Seq.empty
+          }
+          for (p <- parts(b)) {
+            val c = representativePoint(p)
+            if (c != null && locate(c.x, c.y, a) == 0) return false
+          }
+          def holeVertexInside(g: Geometry): Boolean = g match {
+            case p: Polygon =>
+              var hi = 1; var hit = false
+              while (hi < p.rings.length && !hit) {
+                val r = p.rings(hi); var k = 0
+                while (k + 1 < r.length && !hit) {
+                  if (locate(r(k), r(k + 1), b) == 2) hit = true
+                  k += 2
+                }
+                hi += 1
+              }
+              hit
+            case m: MultiPolygon => m.geoms.exists(holeVertexInside)
+            case _               => false
+          }
+          if (holeVertexInside(a)) return false
+        }
         true
       case line: LineString =>
         b match {
@@ -1169,5 +1201,257 @@ object Algos {
   def makePolygon(g: Geometry): Geometry = g match {
     case l: LineString if l.isClosed && l.numPoints >= 4 => Polygon(Array(l.coords))
     case _ => null
+  }
+
+  // ------------------------------------------------ DE-9IM predicate family
+  // touches / crosses / overlaps / equals derived from one interior-contact
+  // detector plus the covers closure test — completing the OGC simple-feature
+  // predicate set the reference's spatial join refines with
+  // (geopolars/src/spatial_index.rs:81-137 stops at intersects/contains).
+
+  /** Topological dimension: 0 points, 1 lines, 2 polygons; collections take
+    * the max over parts (GEOS convention); -1 for empty. */
+  def geomDim(g: Geometry): Int = g match {
+    case null                  => -1
+    case p: Point              => if (p.isEmpty) -1 else 0
+    case m: MultiPoint         => if (m.geoms.isEmpty) -1 else 0
+    case l: LineString         => if (l.isEmpty) -1 else 1
+    case m: MultiLineString    => if (m.geoms.isEmpty) -1 else 1
+    case p: Polygon            => if (p.isEmpty) -1 else 2
+    case m: MultiPolygon       => if (m.geoms.isEmpty) -1 else 2
+    case c: GeometryCollection => if (c.geoms.isEmpty) -1 else c.geoms.map(geomDim).max
+  }
+
+  /** Mod-2 boundary test for 1-dim geometries: (x,y) is a boundary point iff
+    * it matches an odd number of non-closed component endpoints. */
+  private def isLineBoundaryPoint(g: Geometry, x: Double, y: Double): Boolean = {
+    var cnt = 0
+    def comp(l: LineString): Unit = {
+      val cs = l.coords
+      if (cs.length >= 4 && !l.isClosed) {
+        if (cs(0) == x && cs(1) == y) cnt += 1
+        if (cs(cs.length - 2) == x && cs(cs.length - 1) == y) cnt += 1
+      }
+    }
+    g match {
+      case l: LineString      => comp(l)
+      case m: MultiLineString => m.geoms.foreach(comp)
+      case _                  =>
+    }
+    cnt % 2 == 1
+  }
+
+  /** Is (x,y) in the topological INTERIOR of g (not boundary, not exterior)?
+    * Points are their own interior; a line's interior excludes its mod-2
+    * boundary endpoints; polygon interior excludes the rings. */
+  def pointInInterior(x: Double, y: Double, g: Geometry): Boolean = g match {
+    case _: Polygon | _: MultiPolygon | _: Point | _: MultiPoint => locate(x, y, g) == 2
+    case _: LineString | _: MultiLineString =>
+      locate(x, y, g) == 1 && !isLineBoundaryPoint(g, x, y)
+    case c: GeometryCollection => c.geoms.exists(pointInInterior(x, y, _))
+    case _                     => false
+  }
+
+  /** Ascending split parameters (incl. 0 and 1, deduped) of segment
+    * (x1,y1)-(x2,y2) at every point where it meets a segment of `sb`
+    * (packed x1,y1,x2,y2 per entry). Collinear overlaps contribute the
+    * projected overlap endpoints, so consecutive-parameter midpoints are
+    * strictly inside or strictly outside any region bounded by `sb`. */
+  private def splitParams(x1: Double, y1: Double, x2: Double, y2: Double,
+                          sb: Array[Double]): Array[Double] = {
+    val dx = x2 - x1; val dy = y2 - y1
+    val lenSq = dx * dx + dy * dy
+    if (lenSq == 0) return Array(0.0, 1.0)
+    val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+    @inline def addOnSeg(px: Double, py: Double): Unit =
+      if (onSegment(px, py, x1, y1, x2, y2))
+        ts += ((px - x1) * dx + (py - y1) * dy) / lenSq
+    var j = 0
+    while (j < sb.length) {
+      val bx1 = sb(j); val by1 = sb(j + 1); val bx2 = sb(j + 2); val by2 = sb(j + 3)
+      val d = dx * (by2 - by1) - dy * (bx2 - bx1)
+      if (d != 0) {
+        val t = ((bx1 - x1) * (by2 - by1) - (by1 - y1) * (bx2 - bx1)) / d
+        val u = ((bx1 - x1) * dy - (by1 - y1) * dx) / d
+        if (t >= 0 && t <= 1 && u >= 0 && u <= 1) ts += t
+      } else {
+        // parallel: onSegment (cross-product zero) only admits collinear points
+        addOnSeg(bx1, by1); addOnSeg(bx2, by2)
+      }
+      j += 4
+    }
+    ts.distinct.sorted.toArray
+  }
+
+  /**
+   * Interior∩interior contact: (pointContact, higherContact) — whether the
+   * shared interior contains an isolated point (dim 0) / a 1-dim-or-2-dim
+   * piece. Drives touches (neither), line-line crosses (point only),
+   * overlaps (dimension of the geometries themselves).
+   */
+  private def interiorContacts(a: Geometry, b: Geometry): (Boolean, Boolean) = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return (false, false)
+    if (!a.envelope.intersects(b.envelope)) return (false, false)
+    val da = geomDim(a); val db = geomDim(b)
+
+    // a 0-dim side: every shared point is an interior-interior contact iff
+    // it is interior to the other operand
+    if (da == 0 || db == 0) {
+      val (pts, other) = if (da == 0) (a, b) else (b, a)
+      var pt = false
+      pts.foreachCoord { (x, y) => if (!pt && pointInInterior(x, y, other)) pt = true }
+      return (pt, false)
+    }
+
+    val (sa, _) = segments(a)
+    val (sb, _) = segments(b)
+
+    if (da == 1 && db == 1) {
+      var pt = false; var hi = false
+      var i = 0
+      while (i < sa.length && !hi) {
+        val x1 = sa(i); val y1 = sa(i + 1); val x2 = sa(i + 2); val y2 = sa(i + 3)
+        val dxA = x2 - x1; val dyA = y2 - y1
+        val lenSq = dxA * dxA + dyA * dyA
+        var j = 0
+        while (j < sb.length && !hi) {
+          val bx1 = sb(j); val by1 = sb(j + 1); val bx2 = sb(j + 2); val by2 = sb(j + 3)
+          val d = dxA * (by2 - by1) - dyA * (bx2 - bx1)
+          if (d != 0) {
+            val t = ((bx1 - x1) * (by2 - by1) - (by1 - y1) * (bx2 - bx1)) / d
+            val u = ((bx1 - x1) * dyA - (by1 - y1) * dxA) / d
+            if (t >= 0 && t <= 1 && u >= 0 && u <= 1 && !pt) {
+              val px = x1 + t * dxA; val py = y1 + t * dyA
+              if (pointInInterior(px, py, a) && pointInInterior(px, py, b)) pt = true
+            }
+          } else if (lenSq > 0 &&
+                     (onSegment(bx1, by1, x1, y1, x2, y2) || onSegment(bx2, by2, x1, y1, x2, y2) ||
+                      onSegment(x1, y1, bx1, by1, bx2, by2))) {
+            // collinear: positive-length shared interval => 1-dim contact
+            val t1 = ((bx1 - x1) * dxA + (by1 - y1) * dyA) / lenSq
+            val t2 = ((bx2 - x1) * dxA + (by2 - y1) * dyA) / lenSq
+            val lo = math.max(0.0, math.min(t1, t2)); val hi2 = math.min(1.0, math.max(t1, t2))
+            if (hi2 > lo) {
+              val tm = (lo + hi2) / 2
+              val mx = x1 + tm * dxA; val my = y1 + tm * dyA
+              if (pointInInterior(mx, my, a) && pointInInterior(mx, my, b)) hi = true
+            }
+          }
+          j += 4
+        }
+        i += 4
+      }
+      return (pt, hi)
+    }
+
+    // probe sub-segment midpoints of `src` (split at every meeting with
+    // `cut`) for strict interior of `other`; interiorOfSelf additionally
+    // requires the midpoint be interior to selfG (needed for the line side)
+    def probe(src: Array[Double], cut: Array[Double], other: Geometry,
+              selfG: Geometry, checkSelf: Boolean): Boolean = {
+      var hit = false
+      var i = 0
+      while (i < src.length && !hit) {
+        val ts = splitParams(src(i), src(i + 1), src(i + 2), src(i + 3), cut)
+        var k = 0
+        while (k + 1 < ts.length && !hit) {
+          val tm = (ts(k) + ts(k + 1)) / 2
+          val mx = src(i) + tm * (src(i + 2) - src(i))
+          val my = src(i + 1) + tm * (src(i + 3) - src(i + 1))
+          if (locate(mx, my, other) == 2 &&
+              (!checkSelf || pointInInterior(mx, my, selfG))) hit = true
+          k += 1
+        }
+        i += 4
+      }
+      hit
+    }
+
+    if (da == 2 && db == 2) {
+      // identical/contained areas may share no ring crossings at all
+      if (covers(a, b) || covers(b, a)) return (false, true)
+      val hit = probe(sa, sb, b, a, checkSelf = false) ||
+                probe(sb, sa, a, b, checkSelf = false)
+      (false, hit)
+    } else {
+      // line vs polygon: a 1-dim piece of the line strictly inside the area
+      val (lineG, polyG, sl, sp) = if (da == 1) (a, b, sa, sb) else (b, a, sb, sa)
+      (false, probe(sl, sp, polyG, lineG, checkSelf = true))
+    }
+  }
+
+  /** covers for a 1-dim `a` over a 0/1-dim `b`: every point of b lies on a.
+    * Works across components (unlike per-part recursion) by splitting b's
+    * segments at every meeting with a's and midpoint-testing each piece. */
+  private def coversLine(a: Geometry, b: Geometry): Boolean = {
+    var ok = true
+    b.foreachCoord { (x, y) => if (ok && locate(x, y, a) == 0) ok = false }
+    if (!ok) return false
+    if (geomDim(b) == 0) return true
+    val (sa, _) = segments(a)
+    val (sb, _) = segments(b)
+    var i = 0
+    while (i < sb.length && ok) {
+      val ts = splitParams(sb(i), sb(i + 1), sb(i + 2), sb(i + 3), sa)
+      var k = 0
+      while (k + 1 < ts.length && ok) {
+        val tm = (ts(k) + ts(k + 1)) / 2
+        val mx = sb(i) + tm * (sb(i + 2) - sb(i))
+        val my = sb(i + 1) + tm * (sb(i + 3) - sb(i + 1))
+        if (locate(mx, my, a) == 0) ok = false
+        k += 1
+      }
+      i += 4
+    }
+    ok
+  }
+
+  /** Generalized [[covers]]: adds the 1-dim-covers-0/1-dim cases (incl.
+    * coverage spanning multiple MultiLineString components). */
+  def coversX(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    if (!a.envelope.contains(b.envelope)) return false
+    (geomDim(a), geomDim(b)) match {
+      case (1, 1) | (1, 0) => coversLine(a, b)
+      case _               => covers(a, b)
+    }
+  }
+
+  /** OGC `touches`: the geometries intersect but their interiors do not. */
+  def touches(a: Geometry, b: Geometry): Boolean = {
+    if (!intersects(a, b)) return false
+    val (pt, hi) = interiorContacts(a, b)
+    !pt && !hi
+  }
+
+  /** OGC `crosses`: interiors intersect in a lower dimension than the
+    * operands' max — line/line meeting at points, or a lower-dim geometry
+    * passing through a higher-dim one without being covered by it. */
+  def crosses(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    val da = geomDim(a); val db = geomDim(b)
+    if (da == db && da != 1) return false
+    val (pt, hi) = interiorContacts(a, b)
+    if (da == 1 && db == 1) pt && !hi
+    else (pt || hi) && !coversX(a, b) && !coversX(b, a)
+  }
+
+  /** OGC `overlaps`: same dimension, interiors share a piece of that
+    * dimension, and neither covers the other. */
+  def overlapsPred(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    val da = geomDim(a); val db = geomDim(b)
+    if (da != db) return false
+    val (pt, hi) = interiorContacts(a, b)
+    val dimMatch = if (da == 1) hi else pt || hi
+    dimMatch && !coversX(a, b) && !coversX(b, a)
+  }
+
+  /** OGC topological equality: same point set (orientation / start point /
+    * vertex redundancy insensitive) = mutual coverage at equal dimension.
+    * Empty operands => false (consistent with the other predicates here). */
+  def equalsTop(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    geomDim(a) == geomDim(b) && coversX(a, b) && coversX(b, a)
   }
 }
