@@ -2205,7 +2205,71 @@ object SparkEntry {
          |    st_geomfromtext(concat('MULTIPOINT ((', x + d, ' ', y + 5.0, '), (', x + 20.0, ' ', y + 20.0, '))')) AS mp
          |  FROM (SELECT c_custkey, $custX AS x, $custY AS y,
          |        cast(c_custkey % 4 as double) * 5.0 AS d FROM customer))
-         |ORDER BY c_custkey""".stripMargin)
+         |ORDER BY c_custkey""".stripMargin),
+
+    // exact interpolated quantiles (Spark percentile = DuckDB quantile_cont,
+    // both (n-1)*p linear interpolation) — the distributed sort-based path
+    "q152_percentiles" -> sqlQuery(Seq("lineitem"),
+      """SELECT l_returnflag,
+        |  round(percentile(l_extendedprice, 0.25), 6) + 0.0 AS p25,
+        |  round(percentile(l_extendedprice, 0.5), 6) + 0.0 AS p50,
+        |  round(percentile(l_extendedprice, 0.75), 6) + 0.0 AS p75,
+        |  round(median(l_extendedprice), 6) + 0.0 AS med,
+        |  round(percentile(l_quantity, 0.9), 6) + 0.0 AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // PII scrub pass for a training corpus: detect + redact emails, phone
+    // numbers, IPv4s (deterministically injected so the regexes are
+    // exercised on every row); md5 certifies byte-identical redaction
+    "q153_pii_scrub" -> sqlQuery(Seq("documents"),
+      """SELECT doc_id,
+        |  size(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_email,
+        |  size(regexp_extract_all(aug, '\\b555-[0-9]{4}\\b', 0)) AS n_phone,
+        |  size(regexp_extract_all(aug, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', 0)) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+        |        '\\b555-[0-9]{4}\\b', '<PHONE>'),
+        |        '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<IP>')) AS scrub_md5
+        |FROM (
+        |  SELECT doc_id, concat(substr(text, 1, 40), ' contact user', doc_id,
+        |    '@example.com or admin@test.org tel 555-01', doc_id % 90 + 10,
+        |    ' ip 10.1.', doc_id % 256, '.7 end') AS aug
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    // CUBE grouping sets + GROUPING() markers (completes ROLLUP q115)
+    "q154_cube_grouping" -> sqlQuery(Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  cast(count(*) as bigint) AS n,
+        |  round(sum(l_quantity), 6) + 0.0 AS sq
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
+
+    // TF-IDF top-3 terms per document: tokenize -> tf -> df (broadcastable
+    // term table) -> score = tf * (ln((N+1)/(df+1)) + 1), window top-k;
+    // integers (tf, df, rank) carry the exactness, score rounded to 4
+    "q155_tfidf_topterms" -> sqlQuery(Seq("documents"),
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, explode(filter(split(lower(text), '[^a-z]+'),
+        |                                  x -> length(x) >= 3)) AS term
+        |    FROM documents WHERE doc_id < 2000)),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, cast(count(distinct doc_id) as bigint) AS df
+        |       FROM tok GROUP BY term),
+        |n AS (SELECT cast(count(*) as double) AS n
+        |      FROM documents WHERE doc_id < 2000),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (log((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, rnk, round(score, 4) + 0.0 AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rnk FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3358,6 +3422,61 @@ object SparkEntry {
         |  (m = 1) AS cr_mpa
         |FROM (SELECT c_custkey, c_custkey % 4 AS m FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q152_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) + 0.0 AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) + 0.0 AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) + 0.0 AS p75,
+        |  round(median(l_extendedprice), 6) + 0.0 AS med,
+        |  round(quantile_cont(l_quantity, 0.9), 6) + 0.0 AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q153_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(aug, '\b555-[0-9]{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(aug, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |        '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS scrub_md5
+        |FROM (
+        |  SELECT doc_id, concat(text[1:40], ' contact user', doc_id,
+        |    '@example.com or admin@test.org tel 555-01', doc_id % 90 + 10,
+        |    ' ip 10.1.', doc_id % 256, '.7 end') AS aug
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q154_cube_grouping" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  cast(count(*) as bigint) AS n,
+        |  round(sum(l_quantity), 6) + 0.0 AS sq
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+
+    "q155_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE doc_id < 2000)
+        |  WHERE length(term) >= 3),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, cast(count(distinct doc_id) as bigint) AS df
+        |       FROM tok GROUP BY term),
+        |n AS (SELECT cast(count(*) as double) AS n
+        |      FROM documents WHERE doc_id < 2000),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, rnk, round(score, 4) + 0.0 AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rnk FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
