@@ -2269,7 +2269,34 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, rnk, round(score, 4) + 0.0 AS score
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term) AS rnk FROM scored)
-        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+
+    // Delaunay triangulation invariants with a closed-form oracle: n points
+    // on a parabola (strictly convex => all on hull, no cocircular quads)
+    // plus optionally one interior point. Any triangulation has
+    // 2N - 2 - hull_points triangles tiling the hull, whose area is
+    // n(n-1)(n-2)/6 scaled by the x stretch.
+    "q156_delaunay" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_numgeometries(d) AS n_tri,
+        |  round(st_area(d), 6) + 0.0 AS tri_area
+        |FROM (
+        |  SELECT c_custkey, st_delaunaytriangles(st_geomfromtext(mp)) AS d
+        |  FROM (
+        |    SELECT c_custkey,
+        |      concat('MULTIPOINT (',
+        |        array_join(transform(sequence(0, n - 1),
+        |          i -> concat('(', cast(i as double) * sx, ' ', cast(i * i as double), ')')), ', '),
+        |        CASE WHEN f = 1
+        |             THEN concat(', (', 1.25 * sx, ' ', cast(n - 2 as double), ')')
+        |             ELSE '' END,
+        |        ')') AS mp
+        |    FROM (SELECT c_custkey,
+        |            4 + c_custkey % 5 AS n,
+        |            cast(c_custkey % 2 as int) AS f,
+        |            cast(c_custkey % 3 + 1 as double) AS sx
+        |          FROM customer WHERE c_custkey <= 600)))
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3477,6 +3504,17 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term) AS rnk FROM scored)
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q156_delaunay" ->
+      """SELECT c_custkey,
+        |  cast(n - 2 + 2 * f as int) AS n_tri,
+        |  round(cast(n * (n - 1) * (n - 2) as double) / 6.0 * sx, 6) + 0.0 AS tri_area
+        |FROM (SELECT c_custkey,
+        |        4 + c_custkey % 5 AS n,
+        |        cast(c_custkey % 2 as int) AS f,
+        |        cast(c_custkey % 3 + 1 as double) AS sx
+        |      FROM customer WHERE c_custkey <= 600)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

@@ -39,6 +39,10 @@ object GeomKernels {
     "st_length"       -> U(DoubleType, g => Algos.length(g)),
     "st_centroid"     -> U(BinaryType, g => wkb(Algos.centroid(g))),
     "st_convexhull"   -> U(BinaryType, g => wkb(Algos.convexHull(g))),
+    "st_delaunaytriangles" -> U(BinaryType, g => Delaunay.triangles(g) match {
+      case null => null
+      case t    => wkb(t)
+    }),
     "st_envelope"     -> U(BinaryType, g => wkb(Algos.envelopeGeom(g))),
     "st_exteriorring" -> U(BinaryType, g => Algos.exteriorRing(g) match {
       case null => null
