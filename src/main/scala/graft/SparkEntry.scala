@@ -2296,6 +2296,23 @@ object SparkEntry {
         |            cast(c_custkey % 2 as int) AS f,
         |            cast(c_custkey % 3 + 1 as double) AS sx
         |          FROM customer WHERE c_custkey <= 600)))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Voronoi tiling invariants: k distinct in-rect sites => k cells whose
+    // areas sum to the clip rectangle exactly
+    "q157_voronoi" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_numgeometries(v) AS n_cells,
+        |  round(st_area(v), 6) + 0.0 AS cell_area
+        |FROM (
+        |  SELECT c_custkey,
+        |    st_voronoipolygons(st_geomfromtext(concat('MULTIPOINT (',
+        |      array_join(transform(sequence(0, k - 1),
+        |        i -> concat('(', cast(1 + (7 * i) % 9 as double), ' ',
+        |                    cast(1 + (5 * i) % 9 as double), ')')), ', '),
+        |      ')')), 0.0, 0.0, 10.0, 10.0) AS v
+        |  FROM (SELECT c_custkey, 3 + c_custkey % 4 AS k
+        |        FROM customer WHERE c_custkey <= 600))
         |ORDER BY c_custkey""".stripMargin)
   )
 
@@ -3514,6 +3531,13 @@ object SparkEntry {
         |        cast(c_custkey % 2 as int) AS f,
         |        cast(c_custkey % 3 + 1 as double) AS sx
         |      FROM customer WHERE c_custkey <= 600)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q157_voronoi" ->
+      """SELECT c_custkey,
+        |  cast(3 + c_custkey % 4 as int) AS n_cells,
+        |  100.0 AS cell_area
+        |FROM customer WHERE c_custkey <= 600
         |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->

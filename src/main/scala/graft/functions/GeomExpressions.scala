@@ -246,6 +246,12 @@ object GeomKernels {
       }),
     // snap coordinates to a grid (round-half-up multiples of the cell size)
     "st_snaptogrid" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.snapToGrid(g, d(a(0))))),
+    // Voronoi cells of g's distinct vertices clipped to (xmin,ymin,xmax,ymax)
+    "st_voronoipolygons" -> W(BinaryType, Set(4), (g, a) =>
+      Voronoi.polygons(g, d(a(0)), d(a(1)), d(a(2)), d(a(3))) match {
+        case null => null
+        case v    => wkb(v)
+      }),
     // linear referencing along a LineString
     "st_lineinterpolatepoint" -> W(BinaryType, Set(1), (g, a) =>
       Algos.lineInterpolatePoint(g, d(a(0))) match {
