@@ -2313,7 +2313,68 @@ object SparkEntry {
         |      ')')), 0.0, 0.0, 10.0, 10.0) AS v
         |  FROM (SELECT c_custkey, 3 + c_custkey % 4 AS k
         |        FROM customer WHERE c_custkey <= 600))
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // web-corpus URL hygiene: canonicalization (lowercase host, strip
+    // fragment + utm_* params, drop www.) and per-domain dedup stats
+    "q158_url_canon" -> sqlQuery(Seq("orders"),
+      """WITH u AS (
+        |  SELECT concat('https://',
+        |    CASE cast(o_orderkey % 4 as int) WHEN 0 THEN 'WWW.Example.COM'
+        |         WHEN 1 THEN 'docs.example.com'
+        |         WHEN 2 THEN 'Blog.Test.ORG' ELSE 'cdn.test.org' END,
+        |    '/p/', o_orderkey % 50,
+        |    CASE cast(o_orderkey % 3 as int)
+        |         WHEN 0 THEN concat('?utm_source=x&id=', o_orderkey % 7)
+        |         WHEN 1 THEN concat('?id=', o_orderkey % 7) ELSE '' END,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM orders WHERE o_orderkey <= 20000),
+        |c AS (
+        |  SELECT url, lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS host,
+        |    concat(lower(regexp_extract(url, 'https?://([^/]+)', 1)),
+        |           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1),
+        |           CASE WHEN url rlike '[?&]id=' THEN
+        |             concat('?id=', regexp_extract(url, 'id=([0-9]+)', 1)) ELSE '' END) AS canon
+        |  FROM u)
+        |SELECT regexp_replace(host, '^www\\.', '') AS domain,
+        |  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+        |  cast(count(*) as bigint) AS n_urls,
+        |  cast(count(distinct canon) as bigint) AS n_canon
+        |FROM c GROUP BY domain, reg_domain ORDER BY domain""".stripMargin),
+
+    // BM25 (k1=1.2, b=0.75) retrieval over the documents table for a fixed
+    // query; per-term contributions summed in a fixed column order so the
+    // float result is engine-stable; ranking tie-broken by doc_id
+    "q159_bm25" -> sqlQuery(Seq("documents"),
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, explode(split(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE doc_id < 2000) WHERE term != ''),
+        |dl AS (SELECT doc_id, cast(count(*) as double) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id,
+        |         cast(sum(CASE WHEN term = 'query'  THEN 1 ELSE 0 END) as double) AS tfq,
+        |         cast(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) as double) AS tfv,
+        |         cast(sum(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) as double) AS tfm
+        |       FROM tok GROUP BY doc_id),
+        |df AS (SELECT cast(sum(CASE WHEN tfq > 0 THEN 1 ELSE 0 END) as double) AS dfq,
+        |         cast(sum(CASE WHEN tfv > 0 THEN 1 ELSE 0 END) as double) AS dfv,
+        |         cast(sum(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) as double) AS dfm
+        |       FROM tf),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    log((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * tf.tfq * 2.2
+        |      / (tf.tfq + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
+        |    log((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * tf.tfv * 2.2
+        |      / (tf.tfv + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
+        |    log((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * tf.tfm * 2.2
+        |      / (tf.tfm + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score,
+        |    cast(tf.tfq as bigint) AS tfq, cast(tf.tfv as bigint) AS tfv,
+        |    cast(tf.tfm as bigint) AS tfm, cast(dl.dl as bigint) AS dl
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN df)
+        |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
+        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3539,6 +3600,62 @@ object SparkEntry {
         |  100.0 AS cell_area
         |FROM customer WHERE c_custkey <= 600
         |ORDER BY c_custkey""".stripMargin,
+
+    "q158_url_canon" ->
+      """WITH u AS (
+        |  SELECT concat('https://',
+        |    CASE cast(o_orderkey % 4 as int) WHEN 0 THEN 'WWW.Example.COM'
+        |         WHEN 1 THEN 'docs.example.com'
+        |         WHEN 2 THEN 'Blog.Test.ORG' ELSE 'cdn.test.org' END,
+        |    '/p/', o_orderkey % 50,
+        |    CASE cast(o_orderkey % 3 as int)
+        |         WHEN 0 THEN concat('?utm_source=x&id=', o_orderkey % 7)
+        |         WHEN 1 THEN concat('?id=', o_orderkey % 7) ELSE '' END,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM orders WHERE o_orderkey <= 20000),
+        |c AS (
+        |  SELECT url, lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS host,
+        |    concat(lower(regexp_extract(url, 'https?://([^/]+)', 1)),
+        |           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1),
+        |           CASE WHEN regexp_matches(url, '[?&]id=') THEN
+        |             concat('?id=', regexp_extract(url, 'id=([0-9]+)', 1)) ELSE '' END) AS canon
+        |  FROM u)
+        |SELECT regexp_replace(host, '^www\.', '') AS domain,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+        |  cast(count(*) as bigint) AS n_urls,
+        |  cast(count(distinct canon) as bigint) AS n_canon
+        |FROM c GROUP BY domain, reg_domain ORDER BY domain""".stripMargin,
+
+    "q159_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE doc_id < 2000) WHERE term != ''),
+        |dl AS (SELECT doc_id, cast(count(*) as double) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id,
+        |         cast(sum(CASE WHEN term = 'query'  THEN 1 ELSE 0 END) as double) AS tfq,
+        |         cast(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) as double) AS tfv,
+        |         cast(sum(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) as double) AS tfm
+        |       FROM tok GROUP BY doc_id),
+        |df AS (SELECT cast(sum(CASE WHEN tfq > 0 THEN 1 ELSE 0 END) as double) AS dfq,
+        |         cast(sum(CASE WHEN tfv > 0 THEN 1 ELSE 0 END) as double) AS dfv,
+        |         cast(sum(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) as double) AS dfm
+        |       FROM tf),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * tf.tfq * 2.2
+        |      / (tf.tfq + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
+        |    ln((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * tf.tfv * 2.2
+        |      / (tf.tfv + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
+        |    ln((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * tf.tfm * 2.2
+        |      / (tf.tfm + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score,
+        |    cast(tf.tfq as bigint) AS tfq, cast(tf.tfv as bigint) AS tfv,
+        |    cast(tf.tfm as bigint) AS tfm, cast(dl.dl as bigint) AS dl
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN df)
+        |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
+        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
