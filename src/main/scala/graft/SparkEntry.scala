@@ -2374,7 +2374,26 @@ object SparkEntry {
         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN df)
         |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
-        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin),
+
+    // geometry hygiene: linemerge chain reassembly (canonical orientation),
+    // fork preservation, repeated-point removal, precision reduction
+    "q160_geo_hygiene" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_astext(st_linemerge(st_geomfromtext(concat(
+        |    'MULTILINESTRING ((', d, ' 0, 0 0), (', d, ' ', d, ', ', d, ' 0), (',
+        |    d, ' ', d, ', ', 2 * d, ' ', d, '))')))) AS merged,
+        |  st_numgeometries(st_linemerge(st_geomfromtext(concat(
+        |    'MULTILINESTRING ((0 0, ', d, ' ', d, '), (', 2 * d, ' 0, ', d, ' ', d,
+        |    '), (', d, ' ', d, ', ', d, ' ', 3 * d, '))')))) AS y_parts,
+        |  st_astext(st_removerepeatedpoints(st_geomfromtext(concat(
+        |    'LINESTRING (0 0, 0 0, ', d, ' 0, ', d, ' 0, ', d, ' ', d, ')')))) AS dedup,
+        |  st_astext(st_reduceprecision(st_geomfromtext(concat(
+        |    'LINESTRING (0.25 0.75, ', d, '.25 0.75, ', d, '.25 0.75001, ',
+        |    2 * d, '.4 ', d, '.6)')), 1.0)) AS redu
+        |FROM (SELECT c_custkey, c_custkey % 5 + 1 AS d
+        |      FROM customer WHERE c_custkey <= 800)
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3656,6 +3675,16 @@ object SparkEntry {
         |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q160_geo_hygiene" ->
+      """SELECT c_custkey,
+        |  concat('LINESTRING (0 0, ', d, ' 0, ', d, ' ', d, ', ', 2 * d, ' ', d, ')') AS merged,
+        |  cast(3 as int) AS y_parts,
+        |  concat('LINESTRING (0 0, ', d, ' 0, ', d, ' ', d, ')') AS dedup,
+        |  concat('LINESTRING (0 1, ', d, ' 1, ', 2 * d, ' ', d + 1, ')') AS redu
+        |FROM (SELECT c_custkey, c_custkey % 5 + 1 AS d
+        |      FROM customer WHERE c_custkey <= 800)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

@@ -43,6 +43,12 @@ object GeomKernels {
       case null => null
       case t    => wkb(t)
     }),
+    // merge line segments through unambiguous degree-2 junctions
+    "st_linemerge" -> U(BinaryType, g => Algos.lineMerge(g) match {
+      case null => null
+      case m    => wkb(m)
+    }),
+    "st_removerepeatedpoints" -> U(BinaryType, g => wkb(Algos.removeRepeatedPoints(g, 0.0))),
     "st_envelope"     -> U(BinaryType, g => wkb(Algos.envelopeGeom(g))),
     "st_exteriorring" -> U(BinaryType, g => Algos.exteriorRing(g) match {
       case null => null
@@ -246,6 +252,10 @@ object GeomKernels {
       }),
     // snap coordinates to a grid (round-half-up multiples of the cell size)
     "st_snaptogrid" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.snapToGrid(g, d(a(0))))),
+    // PostGIS ST_ReducePrecision: snap to grid, then drop the collapsed
+    // consecutive duplicates the snap introduces
+    "st_reduceprecision" -> W(BinaryType, Set(1), (g, a) =>
+      wkb(Algos.removeRepeatedPoints(Algos.snapToGrid(g, d(a(0))), 0.0))),
     // Voronoi cells of g's distinct vertices clipped to (xmin,ymin,xmax,ymax)
     "st_voronoipolygons" -> W(BinaryType, Set(4), (g, a) =>
       Voronoi.polygons(g, d(a(0)), d(a(1)), d(a(2)), d(a(3))) match {

@@ -1,5 +1,7 @@
 package graft.geom
 
+import scala.collection.mutable.ArrayBuffer
+
 /**
  * Pure-Scala geometry algorithms — the compute kernels behind every st_*
  * expression. Semantics pinned to the reference's documented behavior:
@@ -1453,5 +1455,170 @@ object Algos {
   def equalsTop(a: Geometry, b: Geometry): Boolean = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return false
     geomDim(a) == geomDim(b) && coversX(a, b) && coversX(b, a)
+  }
+
+  // -------------------------------------------------------- geometry hygiene
+
+  /** Collapse consecutive vertices within `tol` (Euclidean, 0 = exact
+    * duplicates only) — PostGIS ST_RemoveRepeatedPoints. Lines keep their
+    * endpoints; a ring that collapses below a triangle is dropped (the
+    * polygon empties when that was the shell). */
+  def removeRepeatedPoints(g: Geometry, tol: Double): Geometry = {
+    def filt(cs: Array[Double], closed: Boolean): Array[Double] = {
+      if (cs.length <= 2) return cs
+      val out = ArrayBuffer(cs(0), cs(1))
+      var i = 2
+      while (i + 1 < cs.length) {
+        val lx = out(out.length - 2); val ly = out(out.length - 1)
+        if (math.hypot(cs(i) - lx, cs(i + 1) - ly) > tol ||
+            (!closed && i == cs.length - 2 && (cs(i) != lx || cs(i + 1) != ly))) {
+          out += cs(i); out += cs(i + 1)
+        }
+        i += 2
+      }
+      if (closed) {
+        // re-close after filtering
+        if (out.length >= 2 && (out(0) != out(out.length - 2) || out(1) != out(out.length - 1))) {
+          out += out(0); out += out(1)
+        }
+      }
+      out.toArray
+    }
+    g match {
+      case null => null
+      case p: Point => p
+      case mp: MultiPoint =>
+        val kept = ArrayBuffer.empty[Point]
+        mp.geoms.foreach { p =>
+          if (kept.isEmpty || math.hypot(p.x - kept.last.x, p.y - kept.last.y) > tol) kept += p
+        }
+        MultiPoint(kept.toArray)
+      case l: LineString =>
+        val f = filt(l.coords, closed = l.isClosed)
+        LineString(if (f.length >= 4) f else l.coords.take(2) ++ l.coords.takeRight(2))
+      case ml: MultiLineString =>
+        MultiLineString(ml.geoms.map(g2 => removeRepeatedPoints(g2, tol).asInstanceOf[LineString]))
+      case p: Polygon =>
+        if (p.rings.isEmpty) p
+        else {
+          val shell = filt(p.rings(0), closed = true)
+          if (shell.length < 8) Polygon(Array.empty)
+          else Polygon(Array(shell) ++
+            p.rings.drop(1).map(r => filt(r, closed = true)).filter(_.length >= 8))
+        }
+      case mp: MultiPolygon =>
+        MultiPolygon(mp.geoms.map(g2 => removeRepeatedPoints(g2, tol).asInstanceOf[Polygon])
+          .filter(!_.isEmpty))
+      case gc: GeometryCollection =>
+        GeometryCollection(gc.geoms.map(removeRepeatedPoints(_, tol)))
+      case other => other
+    }
+  }
+
+  /**
+   * Merge connected line segments through unambiguous (degree-2) junctions —
+   * PostGIS ST_LineMerge. Chains are emitted canonically (open chains
+   * oriented from the lexicographically smaller endpoint; closed chains
+   * rotated to start at their smallest vertex, oriented toward the smaller
+   * neighbor), so the output is deterministic regardless of input order or
+   * segment direction. Non-line input => null.
+   */
+  def lineMerge(g: Geometry): Geometry = {
+    val lines = ArrayBuffer.empty[Array[Double]]
+    def collect(x: Geometry): Boolean = x match {
+      case l: LineString if !l.isEmpty => lines += l.coords; true
+      case ml: MultiLineString         => ml.geoms.forall(collect)
+      case gc: GeometryCollection      => gc.geoms.forall(collect)
+      case _                           => false
+    }
+    if (g == null || !collect(g)) return null
+    if (lines.isEmpty) return null
+
+    type Node = (Double, Double)
+    def startOf(cs: Array[Double]): Node = (cs(0), cs(1))
+    def endOf(cs: Array[Double]): Node = (cs(cs.length - 2), cs(cs.length - 1))
+    // endpoint -> list of (lineIdx, isStart)
+    val adj = scala.collection.mutable.LinkedHashMap.empty[Node, ArrayBuffer[(Int, Boolean)]]
+    lines.indices.foreach { i =>
+      adj.getOrElseUpdate(startOf(lines(i)), ArrayBuffer.empty) += ((i, true))
+      adj.getOrElseUpdate(endOf(lines(i)), ArrayBuffer.empty) += ((i, false))
+    }
+    val used = new Array[Boolean](lines.length)
+    val merged = ArrayBuffer.empty[Array[Double]]
+
+    def degree(n: Node): Int = adj(n).length
+
+    // walk a chain from line i leaving via `node` while junctions are degree 2
+    def extend(coords: ArrayBuffer[Double], from: Node): Unit = {
+      var node = from
+      var continue = true
+      while (continue && degree(node) == 2) {
+        val next = adj(node).find { case (li, _) => !used(li) }
+        next match {
+          case Some((li, isStart)) =>
+            used(li) = true
+            val cs = if (isStart) lines(li) else reversedCoords(lines(li))
+            // skip duplicated junction vertex
+            var k = 2
+            while (k + 1 < cs.length) { coords += cs(k); coords += cs(k + 1); k += 2 }
+            node = (coords(coords.length - 2), coords(coords.length - 1))
+          case None => continue = false
+        }
+      }
+    }
+
+    lines.indices.foreach { i =>
+      if (!used(i)) {
+        used(i) = true
+        val coords = ArrayBuffer(lines(i): _*)
+        // extend forward from the end, then backward from the start
+        extend(coords, (coords(coords.length - 2), coords(coords.length - 1)))
+        val back = ArrayBuffer(reversedCoords(coords.toArray): _*)
+        extend(back, (back(back.length - 2), back(back.length - 1)))
+        merged += reversedCoords(back.toArray)
+      }
+    }
+
+    // canonical orientation / rotation
+    val canon = merged.map { cs =>
+      val closed = cs.length >= 4 && cs(0) == cs(cs.length - 2) && cs(1) == cs(cs.length - 1)
+      if (!closed) {
+        val s = (cs(0), cs(1)); val e = (cs(cs.length - 2), cs(cs.length - 1))
+        if (Ordering[Node].lteq(s, e)) cs else reversedCoords(cs)
+      } else {
+        val m = cs.length / 2 - 1 // distinct vertices
+        var best = 0
+        var bi = 1
+        while (bi < m) {
+          if (Ordering[Node].lt((cs(2 * bi), cs(2 * bi + 1)), (cs(2 * best), cs(2 * best + 1)))) best = bi
+          bi += 1
+        }
+        val rot = new Array[Double]((m + 1) * 2)
+        var k = 0
+        while (k <= m) {
+          val src = (best + k) % m
+          rot(2 * k) = cs(2 * src); rot(2 * k + 1) = cs(2 * src + 1)
+          k += 1
+        }
+        // orient toward the smaller neighbor of the start vertex
+        val fwd = (rot(2), rot(3))
+        val bwd = (rot(rot.length - 4), rot(rot.length - 3))
+        if (Ordering[Node].lteq(fwd, bwd)) rot else reversedCoords(rot)
+      }
+    }
+    val sortedChains = canon.sortBy(cs => (cs(0), cs(1), cs.length))
+    if (sortedChains.length == 1) LineString(sortedChains.head)
+    else MultiLineString(sortedChains.map(LineString(_)).toArray)
+  }
+
+  private def reversedCoords(cs: Array[Double]): Array[Double] = {
+    val out = new Array[Double](cs.length)
+    val m = cs.length / 2
+    var i = 0
+    while (i < m) {
+      out(2 * i) = cs(2 * (m - 1 - i)); out(2 * i + 1) = cs(2 * (m - 1 - i) + 1)
+      i += 1
+    }
+    out
   }
 }
