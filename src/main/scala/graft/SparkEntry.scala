@@ -2211,12 +2211,16 @@ object SparkEntry {
     // both (n-1)*p linear interpolation) — the distributed sort-based path
     "q152_percentiles" -> sqlQuery(Seq("lineitem"),
       """SELECT l_returnflag,
-        |  round(percentile(l_extendedprice, 0.25), 6) + 0.0 AS p25,
-        |  round(percentile(l_extendedprice, 0.5), 6) + 0.0 AS p50,
-        |  round(percentile(l_extendedprice, 0.75), 6) + 0.0 AS p75,
-        |  round(median(l_extendedprice), 6) + 0.0 AS med,
-        |  round(percentile(l_quantity, 0.9), 6) + 0.0 AS q90
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+        |  round(ps[0], 6) + 0.0 AS p25,
+        |  round(ps[1], 6) + 0.0 AS p50,
+        |  round(ps[2], 6) + 0.0 AS p75,
+        |  round(ps[1], 6) + 0.0 AS med,
+        |  round(q90r, 6) + 0.0 AS q90
+        |FROM (SELECT l_returnflag,
+        |        percentile(l_extendedprice, array(0.25, 0.5, 0.75)) AS ps,
+        |        percentile(l_quantity, 0.9) AS q90r
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
 
     // PII scrub pass for a training corpus: detect + redact emails, phone
     // numbers, IPv4s (deterministically injected so the regexes are
@@ -2258,8 +2262,8 @@ object SparkEntry {
         |    FROM documents WHERE doc_id < 2000)),
         |tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
         |       FROM tok GROUP BY doc_id, term),
-        |df AS (SELECT term, cast(count(distinct doc_id) as bigint) AS df
-        |       FROM tok GROUP BY term),
+        |df AS (SELECT term, cast(count(*) as bigint) AS df
+        |       FROM tf GROUP BY term),
         |n AS (SELECT cast(count(*) as double) AS n
         |      FROM documents WHERE doc_id < 2000),
         |scored AS (
@@ -2350,28 +2354,28 @@ object SparkEntry {
         |  SELECT doc_id, term FROM (
         |    SELECT doc_id, explode(split(lower(text), '[^a-z]+')) AS term
         |    FROM documents WHERE doc_id < 2000) WHERE term != ''),
-        |dl AS (SELECT doc_id, cast(count(*) as double) AS dl FROM tok GROUP BY doc_id),
-        |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id,
+        |pd AS (SELECT doc_id, cast(count(*) as double) AS dl,
         |         cast(sum(CASE WHEN term = 'query'  THEN 1 ELSE 0 END) as double) AS tfq,
         |         cast(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) as double) AS tfv,
         |         cast(sum(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) as double) AS tfm
         |       FROM tok GROUP BY doc_id),
+        |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM pd),
         |df AS (SELECT cast(sum(CASE WHEN tfq > 0 THEN 1 ELSE 0 END) as double) AS dfq,
         |         cast(sum(CASE WHEN tfv > 0 THEN 1 ELSE 0 END) as double) AS dfv,
         |         cast(sum(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) as double) AS dfm
-        |       FROM tf),
+        |       FROM pd),
         |sc AS (
-        |  SELECT tf.doc_id,
-        |    log((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * tf.tfq * 2.2
-        |      / (tf.tfq + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
-        |    log((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * tf.tfv * 2.2
-        |      / (tf.tfv + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
-        |    log((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * tf.tfm * 2.2
-        |      / (tf.tfm + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score,
-        |    cast(tf.tfq as bigint) AS tfq, cast(tf.tfv as bigint) AS tfv,
-        |    cast(tf.tfm as bigint) AS tfm, cast(dl.dl as bigint) AS dl
-        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN df)
+        |  SELECT pd.doc_id,
+        |    log((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * pd.tfq * 2.2
+        |      / (pd.tfq + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+        |    log((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * pd.tfv * 2.2
+        |      / (pd.tfv + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+        |    log((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * pd.tfm * 2.2
+        |      / (pd.tfm + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) AS score,
+        |    cast(pd.tfq as bigint) AS tfq, cast(pd.tfv as bigint) AS tfv,
+        |    cast(pd.tfm as bigint) AS tfm, cast(pd.dl as bigint) AS dl
+        |  FROM pd CROSS JOIN st CROSS JOIN df
+        |  WHERE pd.tfq + pd.tfv + pd.tfm > 0)
         |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin),
@@ -2393,7 +2397,45 @@ object SparkEntry {
         |    2 * d, '.4 ', d, '.6)')), 1.0)) AS redu
         |FROM (SELECT c_custkey, c_custkey % 5 + 1 AS d
         |      FROM customer WHERE c_custkey <= 800)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Gopher-style repetition quality signals: duplicate-token fraction and
+    // top-bigram mass per document (deterministic lexicographic tie-break)
+    "q161_repetition_signals" -> sqlQuery(Seq("documents"),
+      """WITH base AS (
+        |  SELECT doc_id, filter(split(lower(text), '[^a-z]+'), x -> x != '') AS toks
+        |  FROM documents WHERE doc_id < 3000),
+        |uni AS (
+        |  SELECT doc_id, cast(size(toks) as bigint) AS n_tok,
+        |         cast(size(array_distinct(toks)) as bigint) AS n_uniq
+        |  FROM base),
+        |big AS (
+        |  SELECT doc_id, bg, cast(count(*) as bigint) AS c
+        |  FROM (SELECT doc_id, explode(transform(sequence(0, size(toks) - 2),
+        |          i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+        |        FROM base WHERE size(toks) >= 2)
+        |  GROUP BY doc_id, bg),
+        |top AS (
+        |  SELECT doc_id, bg AS top_bigram, c,
+        |    sum(c) OVER (PARTITION BY doc_id) AS total,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+        |  FROM big)
+        |SELECT u.doc_id, u.n_tok, u.n_uniq,
+        |  round(1.0 - cast(u.n_uniq as double) / u.n_tok, 6) + 0.0 AS dup_frac,
+        |  t.top_bigram, cast(t.c as bigint) AS top_cnt,
+        |  round(cast(t.c as double) / t.total, 6) + 0.0 AS top_frac
+        |FROM uni u JOIN top t ON u.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY u.doc_id""".stripMargin),
+
+    // rank-family completion: rank / dense_rank / percent_rank (ntile, lag,
+    // lead, cume_dist covered by q126/q142)
+    "q162_rank_family" -> sqlQuery(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) + 0.0 AS prnk
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3650,28 +3692,28 @@ object SparkEntry {
         |  SELECT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
         |    FROM documents WHERE doc_id < 2000) WHERE term != ''),
-        |dl AS (SELECT doc_id, cast(count(*) as double) AS dl FROM tok GROUP BY doc_id),
-        |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id,
+        |pd AS (SELECT doc_id, cast(count(*) as double) AS dl,
         |         cast(sum(CASE WHEN term = 'query'  THEN 1 ELSE 0 END) as double) AS tfq,
         |         cast(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) as double) AS tfv,
         |         cast(sum(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) as double) AS tfm
         |       FROM tok GROUP BY doc_id),
+        |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM pd),
         |df AS (SELECT cast(sum(CASE WHEN tfq > 0 THEN 1 ELSE 0 END) as double) AS dfq,
         |         cast(sum(CASE WHEN tfv > 0 THEN 1 ELSE 0 END) as double) AS dfv,
         |         cast(sum(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) as double) AS dfm
-        |       FROM tf),
+        |       FROM pd),
         |sc AS (
-        |  SELECT tf.doc_id,
-        |    ln((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * tf.tfq * 2.2
-        |      / (tf.tfq + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
-        |    ln((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * tf.tfv * 2.2
-        |      / (tf.tfv + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) +
-        |    ln((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * tf.tfm * 2.2
-        |      / (tf.tfm + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score,
-        |    cast(tf.tfq as bigint) AS tfq, cast(tf.tfv as bigint) AS tfv,
-        |    cast(tf.tfm as bigint) AS tfm, cast(dl.dl as bigint) AS dl
-        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN df)
+        |  SELECT pd.doc_id,
+        |    ln((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * pd.tfq * 2.2
+        |      / (pd.tfq + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+        |    ln((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * pd.tfv * 2.2
+        |      / (pd.tfv + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+        |    ln((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * pd.tfm * 2.2
+        |      / (pd.tfm + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) AS score,
+        |    cast(pd.tfq as bigint) AS tfq, cast(pd.tfv as bigint) AS tfv,
+        |    cast(pd.tfm as bigint) AS tfm, cast(pd.dl as bigint) AS dl
+        |  FROM pd CROSS JOIN st CROSS JOIN df
+        |  WHERE pd.tfq + pd.tfv + pd.tfm > 0)
         |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
@@ -3685,6 +3727,41 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_custkey % 5 + 1 AS d
         |      FROM customer WHERE c_custkey <= 800)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q161_repetition_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                             x -> x != '') AS toks
+        |  FROM documents WHERE doc_id < 3000),
+        |uni AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS n_tok,
+        |         cast(len(list_distinct(toks)) as bigint) AS n_uniq
+        |  FROM base),
+        |big AS (
+        |  SELECT doc_id, bg, cast(count(*) as bigint) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+        |        FROM base WHERE len(toks) >= 2)
+        |  GROUP BY doc_id, bg),
+        |top AS (
+        |  SELECT doc_id, bg AS top_bigram, c,
+        |    sum(c) OVER (PARTITION BY doc_id) AS total,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+        |  FROM big)
+        |SELECT u.doc_id, u.n_tok, u.n_uniq,
+        |  round(1.0 - cast(u.n_uniq as double) / u.n_tok, 6) + 0.0 AS dup_frac,
+        |  t.top_bigram, cast(t.c as bigint) AS top_cnt,
+        |  round(cast(t.c as double) / t.total, 6) + 0.0 AS top_frac
+        |FROM uni u JOIN top t ON u.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "q162_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) + 0.0 AS prnk
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
