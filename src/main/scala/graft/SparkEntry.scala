@@ -2435,7 +2435,23 @@ object SparkEntry {
         |  round(percent_rank() OVER w, 6) + 0.0 AS prnk
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
-        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin),
+
+    // line/polygon buffer (capsule union): symmetric n-gon caps are halved
+    // exactly by the rectangle ends, so the area is closed-form
+    "q163_line_buffer" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_area(st_buffer(st_geomfromtext(
+        |    concat('LINESTRING (0 0, ', len, ' 0)')), r)), 4) + 0.0 AS cap_area,
+        |  round(st_area(st_buffer(st_makeenvelope(0.0, 0.0, cast(len as double),
+        |    cast(len as double)), r)), 4) + 0.0 AS poly_area,
+        |  st_covers(st_buffer(st_geomfromtext(
+        |    concat('LINESTRING (0 0, ', len, ' 0)')), r),
+        |    st_geomfromtext(concat('LINESTRING (0 0, ', len, ' 0)'))) AS covers_line
+        |FROM (SELECT c_custkey, c_custkey % 7 + 1 AS len,
+        |        cast(c_custkey % 3 + 1 as double) * 0.5 AS r
+        |      FROM customer WHERE c_custkey <= 900)
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3762,6 +3778,16 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q163_line_buffer" ->
+      """SELECT c_custkey,
+        |  round(2 * r * len + 16 * r * r * sin(pi() / 16), 4) + 0.0 AS cap_area,
+        |  round(len * len + 4 * len * r + 16 * r * r * sin(pi() / 16), 4) + 0.0 AS poly_area,
+        |  true AS covers_line
+        |FROM (SELECT c_custkey, c_custkey % 7 + 1 AS len,
+        |        cast(c_custkey % 3 + 1 as double) * 0.5 AS r
+        |      FROM customer WHERE c_custkey <= 900)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

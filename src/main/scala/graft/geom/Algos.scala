@@ -194,12 +194,12 @@ object Algos {
   }
 
   /**
-   * Point buffer: the regular 4*quadSegs-gon inscribed in the radius-r
-   * circle (PostGIS quad_segs convention). The reference declares buffer
-   * only as a future op (geoseries.rst, commented) — the point/multipoint
-   * slice is the portion its WKB data model can represent exactly;
-   * lines/polygons need a Minkowski-sum kernel => null (SQL NULL) for
-   * now, as does r <= 0.
+   * Buffer via Minkowski-sum pieces dissolved by the planar-overlay union:
+   * points get the regular 4*quadSegs-gon inscribed in the radius-r circle
+   * (PostGIS quad_segs convention); lines get per-segment rectangles plus a
+   * vertex n-gon at every vertex (round caps and joins); polygons get the
+   * area itself plus its ring buffers. The reference declares buffer only
+   * as a future op (geoseries.rst, commented). r <= 0 => null.
    */
   def buffer(g: Geometry, r: Double, quadSegs: Int = 8): Geometry = {
     if (r <= 0 || quadSegs < 1) return null
@@ -216,10 +216,36 @@ object Algos {
       ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
       Polygon(Array(ring))
     }
+    def segRect(x1: Double, y1: Double, x2: Double, y2: Double): Polygon = {
+      val len = math.hypot(x2 - x1, y2 - y1)
+      val nx = -(y2 - y1) / len * r; val ny = (x2 - x1) / len * r
+      Polygon(Array(Array(
+        x1 + nx, y1 + ny, x2 + nx, y2 + ny,
+        x2 - nx, y2 - ny, x1 - nx, y1 - ny, x1 + nx, y1 + ny)))
+    }
+    def coordPieces(cs: Array[Double]): Seq[Polygon] = {
+      val out = ArrayBuffer.empty[Polygon]
+      var i = 0
+      while (i + 1 < cs.length) {
+        out += ngon(cs(i), cs(i + 1))
+        if (i + 3 < cs.length && (cs(i) != cs(i + 2) || cs(i + 1) != cs(i + 3)))
+          out += segRect(cs(i), cs(i + 1), cs(i + 2), cs(i + 3))
+        i += 2
+      }
+      out.toSeq
+    }
     g match {
       case p: Point if !p.isEmpty => ngon(p.x, p.y)
       case mp: MultiPoint if mp.geoms.nonEmpty =>
         Union.union(mp.geoms.map(p => ngon(p.x, p.y)).toSeq)
+      case l: LineString if !l.isEmpty =>
+        Union.union(coordPieces(l.coords))
+      case ml: MultiLineString if ml.geoms.nonEmpty =>
+        Union.union(ml.geoms.toSeq.flatMap(l => coordPieces(l.coords)))
+      case p: Polygon if !p.isEmpty =>
+        Union.union(p +: p.rings.toSeq.flatMap(coordPieces))
+      case mp: MultiPolygon if mp.geoms.nonEmpty =>
+        Union.union(mp.geoms.toSeq.flatMap(p => p +: p.rings.toSeq.flatMap(coordPieces)))
       case _ => null
     }
   }
