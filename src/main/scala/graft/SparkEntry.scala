@@ -2451,6 +2451,24 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_custkey % 7 + 1 AS len,
         |        cast(c_custkey % 3 + 1 as double) * 0.5 AS r
         |      FROM customer WHERE c_custkey <= 900)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // min-area oriented envelope + min enclosing circle on rotated-rectangle
+    // corner sets: the envelope recovers w*h at any angle, the circle radius
+    // is the half diagonal (all four corners concyclic)
+    "q164_oriented_bounds" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_area(st_orientedenvelope(mp)), 4) + 0.0 AS obb_area,
+        |  round(st_minimumboundingradius(mp), 6) + 0.0 AS mbr
+        |FROM (
+        |  SELECT c_custkey, st_geomfromtext(concat('MULTIPOINT ((0 0), (',
+        |    w * cos(th), ' ', w * sin(th), '), (',
+        |    w * cos(th) - h * sin(th), ' ', w * sin(th) + h * cos(th), '), (',
+        |    -h * sin(th), ' ', h * cos(th), '))')) AS mp
+        |  FROM (SELECT c_custkey, cast(c_custkey % 5 + 2 as double) AS w,
+        |          cast(c_custkey % 3 + 1 as double) AS h,
+        |          cast(c_custkey % 6 as double) * pi() / 12.0 AS th
+        |        FROM customer WHERE c_custkey <= 700))
         |ORDER BY c_custkey""".stripMargin)
   )
 
@@ -3787,6 +3805,15 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_custkey % 7 + 1 AS len,
         |        cast(c_custkey % 3 + 1 as double) * 0.5 AS r
         |      FROM customer WHERE c_custkey <= 900)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q164_oriented_bounds" ->
+      """SELECT c_custkey,
+        |  round(w * h, 4) + 0.0 AS obb_area,
+        |  round(sqrt(w * w + h * h) / 2, 6) + 0.0 AS mbr
+        |FROM (SELECT c_custkey, cast(c_custkey % 5 + 2 as double) AS w,
+        |        cast(c_custkey % 3 + 1 as double) AS h
+        |      FROM customer WHERE c_custkey <= 700)
         |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->

@@ -49,6 +49,16 @@ object GeomKernels {
       case m    => wkb(m)
     }),
     "st_removerepeatedpoints" -> U(BinaryType, g => wkb(Algos.removeRepeatedPoints(g, 0.0))),
+    // min-area rotated rectangle of the convex hull (rotating calipers)
+    "st_orientedenvelope" -> U(BinaryType, g => Algos.orientedEnvelope(g) match {
+      case null => null
+      case e    => wkb(e)
+    }),
+    // radius of the minimum enclosing circle (ST_MinimumBoundingRadius's r)
+    "st_minimumboundingradius" -> U(DoubleType, g => Algos.minBoundingCircle(g) match {
+      case null => null
+      case c    => c(2)
+    }),
     "st_envelope"     -> U(BinaryType, g => wkb(Algos.envelopeGeom(g))),
     "st_exteriorring" -> U(BinaryType, g => Algos.exteriorRing(g) match {
       case null => null

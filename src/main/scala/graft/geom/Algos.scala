@@ -1637,6 +1637,128 @@ object Algos {
     else MultiLineString(sortedChains.map(LineString(_)).toArray)
   }
 
+  // ----------------------------------------- bounding constructions
+
+  /** Minimum enclosing circle of g's vertices: (cx, cy, r); null for
+    * null/empty. Incremental Welzl-style algorithm over lexicographically
+    * sorted distinct points (deterministic; O(n^3) worst case is fine at
+    * per-row vertex counts). */
+  def minBoundingCircle(g: Geometry): Array[Double] = {
+    if (g == null || g.isEmpty) return null
+    val buf = ArrayBuffer.empty[(Double, Double)]
+    g.foreachCoord((x, y) => buf += ((x, y)))
+    val pts = buf.distinct.sorted.toArray
+    if (pts.isEmpty) return null
+    if (pts.length == 1) return Array(pts(0)._1, pts(0)._2, 0.0)
+
+    def inside(cx: Double, cy: Double, r: Double, p: (Double, Double)): Boolean =
+      math.hypot(p._1 - cx, p._2 - cy) <= r * (1 + 1e-12) + 1e-30
+    def circ2(a: (Double, Double), b: (Double, Double)) =
+      Array((a._1 + b._1) / 2, (a._2 + b._2) / 2, math.hypot(a._1 - b._1, a._2 - b._2) / 2)
+    def circ3(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Array[Double] = {
+      val d = 2 * (a._1 * (b._2 - c._2) + b._1 * (c._2 - a._2) + c._1 * (a._2 - b._2))
+      if (d == 0) return null // collinear
+      val a2 = a._1 * a._1 + a._2 * a._2
+      val b2 = b._1 * b._1 + b._2 * b._2
+      val c2 = c._1 * c._1 + c._2 * c._2
+      val ux = (a2 * (b._2 - c._2) + b2 * (c._2 - a._2) + c2 * (a._2 - b._2)) / d
+      val uy = (a2 * (c._1 - b._1) + b2 * (a._1 - c._1) + c2 * (b._1 - a._1)) / d
+      Array(ux, uy, math.hypot(a._1 - ux, a._2 - uy))
+    }
+
+    var c = circ2(pts(0), pts(1))
+    var i = 2
+    while (i < pts.length) {
+      if (!inside(c(0), c(1), c(2), pts(i))) {
+        // recompute with pts(i) on the boundary
+        c = circ2(pts(0), pts(i))
+        var j = 1
+        while (j < i) {
+          if (!inside(c(0), c(1), c(2), pts(j))) {
+            c = circ2(pts(j), pts(i))
+            var k = 0
+            while (k < j) {
+              if (!inside(c(0), c(1), c(2), pts(k))) {
+                val c3 = circ3(pts(k), pts(j), pts(i))
+                if (c3 != null) c = c3
+              }
+              k += 1
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Minimum-area oriented rectangle of g's convex hull (rotating
+    * calipers; PostGIS ST_OrientedEnvelope). Degenerate hulls (point/
+    * line) are returned as-is. Canonical ring: starts at the lex-smallest
+    * corner, counter-clockwise. */
+  def orientedEnvelope(g: Geometry): Geometry = {
+    if (g == null || g.isEmpty) return null
+    convexHull(g) match {
+      case hull: Polygon if !hull.isEmpty =>
+        val ring = hull.rings(0)
+        val m = ring.length / 2 - 1 // distinct hull vertices
+        if (m < 3) return hull
+        var best: Array[Double] = null
+        var bestArea = Double.MaxValue
+        var e = 0
+        while (e < m) {
+          val x1 = ring(2 * e); val y1 = ring(2 * e + 1)
+          val x2 = ring(2 * (e + 1)); val y2 = ring(2 * (e + 1) + 1)
+          val len = math.hypot(x2 - x1, y2 - y1)
+          if (len > 0) {
+            val ux = (x2 - x1) / len; val uy = (y2 - y1) / len // edge dir
+            val vx = -uy; val vy = ux                          // normal
+            var loU = Double.MaxValue; var hiU = Double.MinValue
+            var loV = Double.MaxValue; var hiV = Double.MinValue
+            var k = 0
+            while (k < m) {
+              val pu = ring(2 * k) * ux + ring(2 * k + 1) * uy
+              val pv = ring(2 * k) * vx + ring(2 * k + 1) * vy
+              if (pu < loU) loU = pu; if (pu > hiU) hiU = pu
+              if (pv < loV) loV = pv; if (pv > hiV) hiV = pv
+              k += 1
+            }
+            val area = (hiU - loU) * (hiV - loV)
+            if (area < bestArea) {
+              bestArea = area
+              best = Array(
+                loU * ux + loV * vx, loU * uy + loV * vy,
+                hiU * ux + loV * vx, hiU * uy + loV * vy,
+                hiU * ux + hiV * vx, hiU * uy + hiV * vy,
+                loU * ux + hiV * vx, loU * uy + hiV * vy)
+            }
+          }
+          e += 1
+        }
+        if (best == null) return hull
+        // canonical: rotate to lex-smallest corner (ring is CCW since the
+        // hull ring is CCW and the rect basis preserves orientation)
+        var s = 0
+        var k = 1
+        while (k < 4) {
+          if (best(2 * k) < best(2 * s) ||
+              (best(2 * k) == best(2 * s) && best(2 * k + 1) < best(2 * s + 1))) s = k
+          k += 1
+        }
+        val out = new Array[Double](10)
+        k = 0
+        while (k < 4) {
+          val src = (s + k) % 4
+          out(2 * k) = best(2 * src); out(2 * k + 1) = best(2 * src + 1)
+          k += 1
+        }
+        out(8) = out(0); out(9) = out(1)
+        Polygon(Array(out))
+      case other => other
+    }
+  }
+
   private def reversedCoords(cs: Array[Double]): Array[Double] = {
     val out = new Array[Double](cs.length)
     val m = cs.length / 2
