@@ -2469,6 +2469,26 @@ object SparkEntry {
         |          cast(c_custkey % 3 + 1 as double) AS h,
         |          cast(c_custkey % 6 as double) * pi() / 12.0 AS th
         |        FROM customer WHERE c_custkey <= 700))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // alpha-shape concave hull over unit-grid L-shapes: threshold sqrt(2)
+    // keeps the grid cells (+ the notch-corner half cell); a huge threshold
+    // reduces to the convex hull, whose area is rect minus half the notch
+    "q165_concave_hull" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_area(st_concavehull(mp, 1.5)), 6) + 0.0 AS conc_area,
+        |  round(st_area(st_concavehull(mp, 1000000.0)), 6) + 0.0 AS conv_area
+        |FROM (
+        |  SELECT c_custkey, st_geomfromtext(concat('MULTIPOINT (',
+        |    array_join(transform(filter(flatten(transform(sequence(0, w), x ->
+        |      transform(sequence(0, h), y -> struct(x AS x, y AS y)))),
+        |      p -> NOT (p.x > w - nw AND p.y > h - nh)),
+        |      p -> concat('(', p.x, ' ', p.y, ')')), ', '), ')')) AS mp,
+        |    w, h, nw, nh
+        |  FROM (SELECT c_custkey,
+        |          c_custkey % 4 + 4 AS w, c_custkey % 3 + 3 AS h,
+        |          c_custkey % 3 + 1 AS nw, c_custkey % 2 + 1 AS nh
+        |        FROM customer WHERE c_custkey <= 400))
         |ORDER BY c_custkey""".stripMargin)
   )
 
@@ -3814,6 +3834,16 @@ object SparkEntry {
         |FROM (SELECT c_custkey, cast(c_custkey % 5 + 2 as double) AS w,
         |        cast(c_custkey % 3 + 1 as double) AS h
         |      FROM customer WHERE c_custkey <= 700)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q165_concave_hull" ->
+      """SELECT c_custkey,
+        |  round(cast(w * h - nw * nh as double) + 0.5, 6) + 0.0 AS conc_area,
+        |  round(w * h - nw * nh / 2.0, 6) + 0.0 AS conv_area
+        |FROM (SELECT c_custkey,
+        |        c_custkey % 4 + 4 AS w, c_custkey % 3 + 3 AS h,
+        |        c_custkey % 3 + 1 AS nw, c_custkey % 2 + 1 AS nh
+        |      FROM customer WHERE c_custkey <= 400)
         |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->

@@ -266,6 +266,13 @@ object GeomKernels {
     // consecutive duplicates the snap introduces
     "st_reduceprecision" -> W(BinaryType, Set(1), (g, a) =>
       wkb(Algos.removeRepeatedPoints(Algos.snapToGrid(g, d(a(0))), 0.0))),
+    // alpha-shape concave hull: drop Delaunay triangles with an edge
+    // longer than maxEdge, dissolve the rest
+    "st_concavehull" -> W(BinaryType, Set(1), (g, a) =>
+      Delaunay.concaveHull(g, d(a(0))) match {
+        case null => null
+        case h    => wkb(h)
+      }),
     // Voronoi cells of g's distinct vertices clipped to (xmin,ymin,xmax,ymax)
     "st_voronoipolygons" -> W(BinaryType, Set(4), (g, a) =>
       Voronoi.polygons(g, d(a(0)), d(a(1)), d(a(2)), d(a(3))) match {

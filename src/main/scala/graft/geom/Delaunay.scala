@@ -187,4 +187,26 @@ object Delaunay {
       Polygon(Array(Array(t(0), t(1), t(2), t(3), t(4), t(5), t(0), t(1)))): Geometry
     })
   }
+
+  /**
+   * Concave hull as an edge-length-filtered Delaunay union (alpha-shape
+   * variant): triangles whose longest edge exceeds `maxEdge` are dropped,
+   * the rest dissolve into the hull. maxEdge = +inf reduces to the convex
+   * hull region; small maxEdge carves concavities (and may disconnect —
+   * parts come back as a MultiPolygon). Null when no triangle survives.
+   */
+  def concaveHull(g: Geometry, maxEdge: Double): Geometry = {
+    if (g == null) return null
+    val xs = ArrayBuffer.empty[Double]; val ys = ArrayBuffer.empty[Double]
+    g.foreachCoord { (x, y) => xs += x; ys += y }
+    val kept = triangulate(xs.toArray, ys.toArray).filter { t =>
+      val e1 = math.hypot(t(2) - t(0), t(3) - t(1))
+      val e2 = math.hypot(t(4) - t(2), t(5) - t(3))
+      val e3 = math.hypot(t(0) - t(4), t(1) - t(5))
+      math.max(e1, math.max(e2, e3)) <= maxEdge
+    }
+    if (kept.isEmpty) return null
+    Union.union(kept.map(t =>
+      Polygon(Array(Array(t(0), t(1), t(2), t(3), t(4), t(5), t(0), t(1)))): Geometry).toSeq)
+  }
 }
