@@ -2489,6 +2489,19 @@ object SparkEntry {
         |          c_custkey % 4 + 4 AS w, c_custkey % 3 + 3 AS h,
         |          c_custkey % 3 + 1 AS nw, c_custkey % 2 + 1 AS nh
         |        FROM customer WHERE c_custkey <= 400))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // flat-top hexagonal tessellation (H3-style binning): cell count follows
+    // the lattice arithmetic, total area = count * (3*sqrt(3)/2) * r^2
+    "q166_hexgrid" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  size(grid) AS n_hex,
+        |  round(aggregate(grid, cast(0.0 as double), (acc, g) -> acc + st_area(g)), 4) + 0.0 AS hex_area
+        |FROM (SELECT c_custkey,
+        |        st_hexgrid(0.0, 0.0, cast(w as double), cast(h as double), r) AS grid
+        |      FROM (SELECT c_custkey, c_custkey % 5 + 5 AS w, c_custkey % 4 + 4 AS h,
+        |              cast(c_custkey % 3 + 1 as double) * 0.5 AS r
+        |            FROM customer WHERE c_custkey <= 500))
         |ORDER BY c_custkey""".stripMargin)
   )
 
@@ -3844,6 +3857,27 @@ object SparkEntry {
         |        c_custkey % 4 + 4 AS w, c_custkey % 3 + 3 AS h,
         |        c_custkey % 3 + 1 AS nw, c_custkey % 2 + 1 AS nh
         |      FROM customer WHERE c_custkey <= 400)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q166_hexgrid" ->
+      """SELECT c_custkey,
+        |  cast(n as int) AS n_hex,
+        |  round(n * 1.5 * sqrt(3.0) * r * r, 4) + 0.0 AS hex_area
+        |FROM (
+        |  SELECT c_custkey, r,
+        |    (ncols - ncols // 2) * rows_even + (ncols // 2) * rows_odd AS n
+        |  FROM (
+        |    SELECT c_custkey, r,
+        |      cast(floor(w / (1.5 * r)) as bigint) + 1 AS ncols,
+        |      cast(floor(h / (sqrt(3.0) * r)) as bigint) + 1 AS rows_even,
+        |      CASE WHEN h >= sqrt(3.0) * r / 2
+        |           THEN cast(floor((h - sqrt(3.0) * r / 2) / (sqrt(3.0) * r)) as bigint) + 1
+        |           ELSE 0 END AS rows_odd
+        |    FROM (SELECT c_custkey,
+        |            cast(c_custkey % 5 + 5 as double) AS w,
+        |            cast(c_custkey % 4 + 4 as double) AS h,
+        |            cast(c_custkey % 3 + 1 as double) * 0.5 AS r
+        |          FROM customer WHERE c_custkey <= 500)))
         |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.geom.{Geometry => Geom, _}
+import scala.collection.mutable.ArrayBuffer
 
 /**
  * st_* scalar kernels over WKB `BinaryType` columns.
@@ -414,6 +415,49 @@ object GeomKernels {
           iy += 1
         }
         new GenericArrayData(out)
+      }
+    }),
+    // flat-top hexagon lattice anchored at (xmin, ymin): cells whose CENTER
+    // lies in the rect; size = circumradius; H3-style binning companion to
+    // st_squaregrid (explode + groupBy cell for hex aggregation)
+    "st_hexgrid" -> C(ArrayType(BinaryType, containsNull = false), Set(5), a => {
+      val size = d(a(4))
+      val (x0, y0, x1, y1) = (d(a(0)), d(a(1)), d(a(2)), d(a(3)))
+      if (size <= 0 || x1 <= x0 || y1 <= y0) null
+      else {
+        val dx = 1.5 * size
+        val dy = math.sqrt(3.0) * size
+        val w = x1 - x0; val h = y1 - y0
+        val ncols = math.floor(w / dx).toLong + 1
+        require(ncols <= 1000000, s"st_hexgrid would emit $ncols columns (max 1e6)")
+        val out = ArrayBuffer.empty[Any]
+        var col = 0L
+        while (col < ncols) {
+          val cx = x0 + col * dx
+          val off = if (col % 2 == 1) dy / 2 else 0.0
+          if (off <= h) {
+            val nrows = math.floor((h - off) / dy).toLong + 1
+            require(out.length + nrows <= 1000000,
+              s"st_hexgrid would emit more than 1e6 cells")
+            var row = 0L
+            while (row < nrows) {
+              val cy = y0 + off + row * dy
+              val ring = new Array[Double](14)
+              var k = 0
+              while (k < 6) {
+                val t = math.Pi / 3.0 * k
+                ring(2 * k) = cx + size * math.cos(t)
+                ring(2 * k + 1) = cy + size * math.sin(t)
+                k += 1
+              }
+              ring(12) = ring(0); ring(13) = ring(1)
+              out += wkb(Polygon(Array(ring)))
+              row += 1
+            }
+          }
+          col += 1
+        }
+        new GenericArrayData(out.toArray)
       }
     }),
     // geohash cell => its envelope polygon (PostGIS ST_GeomFromGeoHash)
