@@ -2502,7 +2502,34 @@ object SparkEntry {
         |      FROM (SELECT c_custkey, c_custkey % 5 + 5 AS w, c_custkey % 4 + 4 AS h,
         |              cast(c_custkey % 3 + 1 as double) * 0.5 AS r
         |            FROM customer WHERE c_custkey <= 500))
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // MapType end-to-end: build a map per group from a sorted entry array
+    // (deterministic), inspect with size/element_at, explode back to rows
+    "q167_map_functions" -> sqlQuery(Seq("orders"),
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    map_from_entries(array_sort(collect_list(struct(o_orderstatus AS k, cnt AS v)))) AS mp
+        |  FROM (SELECT o_custkey, o_orderstatus, cast(count(*) as bigint) AS cnt
+        |        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey, o_orderstatus)
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, e.key AS status, e.value AS cnt,
+        |  cast(size(mp) as int) AS nkeys,
+        |  element_at(mp, 'O') AS o_cnt
+        |FROM (SELECT o_custkey, mp, explode(map_entries(mp)) AS e FROM m)
+        |ORDER BY o_custkey, status""".stripMargin),
+
+    // JSON construction + typed parse-back round-trip (to_json/from_json;
+    // extraction-only path covered by q129)
+    "q168_json_roundtrip" -> sqlQuery(Seq("orders"),
+      """SELECT o_orderkey,
+        |  to_json(struct(o_orderkey AS k, o_orderstatus AS s)) AS j,
+        |  from_json(to_json(struct(o_orderkey AS k, o_orderstatus AS s)),
+        |            'k BIGINT, s STRING').k AS k_back,
+        |  from_json(to_json(struct(o_orderkey AS k, o_orderstatus AS s)),
+        |            'k BIGINT, s STRING').s AS s_back
+        |FROM orders WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3879,6 +3906,23 @@ object SparkEntry {
         |            cast(c_custkey % 3 + 1 as double) * 0.5 AS r
         |          FROM customer WHERE c_custkey <= 500)))
         |ORDER BY c_custkey""".stripMargin,
+
+    "q167_map_functions" ->
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderstatus AS status, cast(count(*) as bigint) AS cnt
+        |  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey, o_orderstatus)
+        |SELECT o_custkey, status, cnt,
+        |  cast(count(*) OVER (PARTITION BY o_custkey) as int) AS nkeys,
+        |  max(CASE WHEN status = 'O' THEN cnt END) OVER (PARTITION BY o_custkey) AS o_cnt
+        |FROM g ORDER BY o_custkey, status""".stripMargin,
+
+    "q168_json_roundtrip" ->
+      """SELECT o_orderkey,
+        |  to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS j,
+        |  o_orderkey AS k_back,
+        |  o_orderstatus AS s_back
+        |FROM orders WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
