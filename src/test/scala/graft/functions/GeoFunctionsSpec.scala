@@ -239,9 +239,9 @@ class GeoFunctionsSpec extends AnyFunSuite {
     val mpArea = df.selectExpr(
       "st_area(st_buffer(st_geomfromtext('MULTIPOINT (0 0, 1 0)'), 2.0))").head.getDouble(0)
     assert(mpArea < 2 * (math.Pi * 4) && mpArea > math.Pi * 4, s"dissolved area $mpArea")
-    // unsupported slice and degenerate radius => SQL NULL
+    // line buffer now supported (capsule union, BufferSpec): 2-dim result
     assert(df.selectExpr(
-      "st_buffer(st_geomfromtext('LINESTRING (0 0, 1 1)'), 1.0)").head.get(0) == null)
+      "st_geomtypeid(st_buffer(st_geomfromtext('LINESTRING (0 0, 1 1)'), 1.0))").head.getInt(0) == 3)
     assert(df.selectExpr("st_buffer(st_point(0.0, 0.0), 0.0)").head.get(0) == null)
   }
 }
