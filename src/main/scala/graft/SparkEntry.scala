@@ -2529,7 +2529,23 @@ object SparkEntry {
         |  from_json(to_json(struct(o_orderkey AS k, o_orderstatus AS s)),
         |            'k BIGINT, s STRING').s AS s_back
         |FROM orders WHERE o_orderkey <= 5000
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // anti-entropy table checksums: order-independent per-bucket row-hash
+    // fold (md5-prefix -> mod-p sum), the cross-cluster data-validation
+    // primitive for 100TB replication — one scan, one tiny shuffle
+    "q169_table_checksum" -> sqlQuery(Seq("lineitem"),
+      """SELECT bucket,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(h % 1000000007) as bigint) AS checksum,
+        |  cast(max(h % 1000000007) as bigint) AS max_h
+        |FROM (
+        |  SELECT pmod(l_orderkey, 32) AS bucket,
+        |    cast(conv(substr(md5(concat(cast(l_orderkey as string), '|',
+        |      cast(l_linenumber as string), '|',
+        |      cast(cast(l_quantity as int) as string))), 1, 15), 16, 10) as bigint) AS h
+        |  FROM lineitem)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3923,6 +3939,19 @@ object SparkEntry {
         |  o_orderstatus AS s_back
         |FROM orders WHERE o_orderkey <= 5000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q169_table_checksum" ->
+      """SELECT bucket,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(h % 1000000007) as bigint) AS checksum,
+        |  cast(max(h % 1000000007) as bigint) AS max_h
+        |FROM (
+        |  SELECT l_orderkey % 32 AS bucket,
+        |    ('0x' || substr(md5(cast(l_orderkey as varchar) || '|' ||
+        |      cast(l_linenumber as varchar) || '|' ||
+        |      cast(cast(l_quantity as int) as varchar)), 1, 15))::BIGINT AS h
+        |  FROM lineitem)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
