@@ -2545,7 +2545,24 @@ object SparkEntry {
         |      cast(l_linenumber as string), '|',
         |      cast(cast(l_quantity as int) as string))), 1, 15), 16, 10) as bigint) AS h
         |  FROM lineitem)
-        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // planarize (st_node) a grid arrangement: nh horizontals x nv verticals
+    // => nh*(nv+1) + nv*(nh+1) minimal edges, total length preserved
+    "q170_node_lines" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_numgeometries(nd) AS n_edges,
+        |  round(st_length(nd), 6) + 0.0 AS total_len
+        |FROM (
+        |  SELECT c_custkey, st_node(st_geomfromtext(concat('MULTILINESTRING (',
+        |    array_join(transform(sequence(1, nh),
+        |      i -> concat('(0 ', 2 * i, ', 10 ', 2 * i, ')')), ', '), ', ',
+        |    array_join(transform(sequence(1, nv),
+        |      j -> concat('(', 2 * j, ' 0, ', 2 * j, ' 10)')), ', '),
+        |    ')'))) AS nd
+        |  FROM (SELECT c_custkey, c_custkey % 3 + 1 AS nh, c_custkey % 3 + 2 AS nv
+        |        FROM customer WHERE c_custkey <= 800))
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3952,6 +3969,14 @@ object SparkEntry {
         |      cast(cast(l_quantity as int) as varchar)), 1, 15))::BIGINT AS h
         |  FROM lineitem)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q170_node_lines" ->
+      """SELECT c_custkey,
+        |  cast(nh * (nv + 1) + nv * (nh + 1) as int) AS n_edges,
+        |  round(cast((nh + nv) * 10 as double), 6) + 0.0 AS total_len
+        |FROM (SELECT c_custkey, c_custkey % 3 + 1 AS nh, c_custkey % 3 + 2 AS nv
+        |      FROM customer WHERE c_custkey <= 800)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

@@ -49,6 +49,11 @@ object GeomKernels {
       case null => null
       case m    => wkb(m)
     }),
+    // planarize a line arrangement: split segments at every intersection
+    "st_node" -> U(BinaryType, g => Algos.nodeLines(g) match {
+      case null => null
+      case m    => wkb(m)
+    }),
     "st_removerepeatedpoints" -> U(BinaryType, g => wkb(Algos.removeRepeatedPoints(g, 0.0))),
     // min-area rotated rectangle of the convex hull (rotating calipers)
     "st_orientedenvelope" -> U(BinaryType, g => Algos.orientedEnvelope(g) match {

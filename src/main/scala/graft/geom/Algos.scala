@@ -1637,6 +1637,60 @@ object Algos {
     else MultiLineString(sortedChains.map(LineString(_)).toArray)
   }
 
+  /**
+   * Node a line arrangement (PostGIS ST_Node): split every segment at each
+   * intersection with any other segment, emit the resulting minimal edges
+   * as a canonically ordered MultiLineString (each edge smaller-endpoint
+   * first; exact duplicate edges from collinear overlaps deduplicated).
+   * Non-line input => null.
+   */
+  def nodeLines(g: Geometry): Geometry = {
+    val lines = ArrayBuffer.empty[Array[Double]]
+    def collect(x: Geometry): Boolean = x match {
+      case l: LineString if !l.isEmpty => lines += l.coords; true
+      case ml: MultiLineString         => ml.geoms.forall(collect)
+      case gc: GeometryCollection      => gc.geoms.forall(collect)
+      case _                           => false
+    }
+    if (g == null || !collect(g) || lines.isEmpty) return null
+    val segs = ArrayBuffer.empty[Double]
+    lines.foreach { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        if (cs(i) != cs(i + 2) || cs(i + 1) != cs(i + 3)) {
+          segs += cs(i); segs += cs(i + 1); segs += cs(i + 2); segs += cs(i + 3)
+        }
+        i += 2
+      }
+    }
+    val all = segs.toArray
+    val pieces = ArrayBuffer.empty[(Double, Double, Double, Double)]
+    var i = 0
+    while (i < all.length) {
+      val x1 = all(i); val y1 = all(i + 1); val x2 = all(i + 2); val y2 = all(i + 3)
+      // split against every OTHER segment
+      val others = new Array[Double](all.length - 4)
+      System.arraycopy(all, 0, others, 0, i)
+      System.arraycopy(all, i + 4, others, i, all.length - i - 4)
+      val ts = splitParams(x1, y1, x2, y2, others)
+      var k = 0
+      while (k + 1 < ts.length) {
+        val ax = x1 + ts(k) * (x2 - x1); val ay = y1 + ts(k) * (y2 - y1)
+        val bx = x1 + ts(k + 1) * (x2 - x1); val by = y1 + ts(k + 1) * (y2 - y1)
+        if (ax != bx || ay != by) {
+          // canonical: smaller endpoint first
+          if (ax < bx || (ax == bx && ay <= by)) pieces += ((ax, ay, bx, by))
+          else pieces += ((bx, by, ax, ay))
+        }
+        k += 1
+      }
+      i += 4
+    }
+    val ded = pieces.distinct.sorted.toArray
+    if (ded.isEmpty) null
+    else MultiLineString(ded.map { case (a, b, c, dd) => LineString(Array(a, b, c, dd)) })
+  }
+
   // ----------------------------------------- bounding constructions
 
   /** Minimum enclosing circle of g's vertices: (cx, cy, r); null for
