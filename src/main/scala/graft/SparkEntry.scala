@@ -2562,6 +2562,23 @@ object SparkEntry {
         |    ')'))) AS nd
         |  FROM (SELECT c_custkey, c_custkey % 3 + 1 AS nh, c_custkey % 3 + 2 AS nv
         |        FROM customer WHERE c_custkey <= 800))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // topology completion: polygonize the noded grid into its bounded faces
+    // ((nh-1)*(nv-1) cells of area spacing^2)
+    "q171_polygonize" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_numgeometries(p) AS n_faces,
+        |  round(st_area(p), 6) + 0.0 AS face_area
+        |FROM (
+        |  SELECT c_custkey, st_polygonize(st_geomfromtext(concat('MULTILINESTRING (',
+        |    array_join(transform(sequence(0, nh - 1),
+        |      i -> concat('(0 ', 2 * i, ', 10 ', 2 * i, ')')), ', '), ', ',
+        |    array_join(transform(sequence(0, nv - 1),
+        |      j -> concat('(', 2 * j, ' 0, ', 2 * j, ' 10)')), ', '),
+        |    ')'))) AS p
+        |  FROM (SELECT c_custkey, c_custkey % 3 + 2 AS nh, c_custkey % 2 + 2 AS nv
+        |        FROM customer WHERE c_custkey <= 800))
         |ORDER BY c_custkey""".stripMargin)
   )
 
@@ -3975,6 +3992,14 @@ object SparkEntry {
         |  cast(nh * (nv + 1) + nv * (nh + 1) as int) AS n_edges,
         |  round(cast((nh + nv) * 10 as double), 6) + 0.0 AS total_len
         |FROM (SELECT c_custkey, c_custkey % 3 + 1 AS nh, c_custkey % 3 + 2 AS nv
+        |      FROM customer WHERE c_custkey <= 800)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q171_polygonize" ->
+      """SELECT c_custkey,
+        |  cast((nh - 1) * (nv - 1) as int) AS n_faces,
+        |  round(cast(4 * (nh - 1) * (nv - 1) as double), 6) + 0.0 AS face_area
+        |FROM (SELECT c_custkey, c_custkey % 3 + 2 AS nh, c_custkey % 2 + 2 AS nv
         |      FROM customer WHERE c_custkey <= 800)
         |ORDER BY c_custkey""".stripMargin,
 

@@ -54,6 +54,11 @@ object GeomKernels {
       case null => null
       case m    => wkb(m)
     }),
+    // faces of the planar graph formed by the (noded) input lines
+    "st_polygonize" -> U(BinaryType, g => Algos.polygonize(g) match {
+      case null => null
+      case m    => wkb(m)
+    }),
     "st_removerepeatedpoints" -> U(BinaryType, g => wkb(Algos.removeRepeatedPoints(g, 0.0))),
     // min-area rotated rectangle of the convex hull (rotating calipers)
     "st_orientedenvelope" -> U(BinaryType, g => Algos.orientedEnvelope(g) match {

@@ -1691,6 +1691,96 @@ object Algos {
     else MultiLineString(ded.map { case (a, b, c, dd) => LineString(Array(a, b, c, dd)) })
   }
 
+  /**
+   * Polygonize a line arrangement (PostGIS ST_Polygonize): node the input,
+   * then trace minimal faces of the planar graph via half-edge walking
+   * (at each node take the clockwise neighbor of the arrival edge's
+   * reverse). Bounded faces (positive signed area) become polygons,
+   * canonically ordered; the unbounded face is dropped. Null when no
+   * bounded face exists or input is not lines.
+   */
+  def polygonize(g: Geometry): Geometry = {
+    val noded = nodeLines(g) match {
+      case m: MultiLineString => m
+      case _                  => return null
+    }
+    type Node = (Double, Double)
+    val edges = noded.geoms.map { l =>
+      val cs = l.coords
+      ((cs(0), cs(1)), (cs(2), cs(3)))
+    }
+    // adjacency: node -> outgoing neighbor nodes sorted by angle
+    val adj = scala.collection.mutable.LinkedHashMap.empty[Node, ArrayBuffer[Node]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, ArrayBuffer.empty) += v
+      adj.getOrElseUpdate(v, ArrayBuffer.empty) += u
+    }
+    val sortedAdj = adj.map { case (u, nbrs) =>
+      u -> nbrs.distinct.sortBy(n => math.atan2(n._2 - u._2, n._1 - u._1)).toArray
+    }
+    val visited = scala.collection.mutable.HashSet.empty[(Node, Node)]
+    val faces = ArrayBuffer.empty[Array[Double]]
+    for ((u0, v0) <- edges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))) {
+      if (!visited((u0, v0))) {
+        // trace a face
+        val ring = ArrayBuffer.empty[Double]
+        var u = u0; var v = v0
+        var ok = true
+        var steps = 0
+        while (ok && (ring.length < 4 || (u, v) != (u0, v0)) && steps < 100000) {
+          if (visited((u, v))) { ok = false }
+          else {
+            visited += ((u, v))
+            ring += u._1; ring += u._2
+            // at v, find reverse edge (v->u) among sorted neighbors; next
+            // neighbor clockwise from it (previous index) continues the face
+            val nbrs = sortedAdj(v)
+            val idx = nbrs.indexOf(u)
+            if (idx < 0) ok = false
+            else {
+              val next = nbrs((idx - 1 + nbrs.length) % nbrs.length)
+              u = v; v = next
+            }
+          }
+          steps += 1
+        }
+        if (ok && (u, v) == (u0, v0) && ring.length >= 6) {
+          ring += ring(0); ring += ring(1)
+          // signed area: keep CCW (bounded) faces only
+          var s = 0.0
+          var i = 0
+          while (i + 3 < ring.length) {
+            s += ring(i) * ring(i + 3) - ring(i + 2) * ring(i + 1)
+            i += 2
+          }
+          if (s > 1e-12) faces += ring.toArray
+        }
+      }
+    }
+    if (faces.isEmpty) return null
+    // canonical: rotate each ring to its lex-smallest vertex, sort faces
+    val canon = faces.map { r =>
+      val m = r.length / 2 - 1
+      var best = 0
+      var i = 1
+      while (i < m) {
+        if (r(2 * i) < r(2 * best) ||
+            (r(2 * i) == r(2 * best) && r(2 * i + 1) < r(2 * best + 1))) best = i
+        i += 1
+      }
+      val out = new Array[Double]((m + 1) * 2)
+      var k = 0
+      while (k <= m) {
+        val src = (best + k) % m
+        out(2 * k) = r(2 * src); out(2 * k + 1) = r(2 * src + 1)
+        k += 1
+      }
+      out
+    }.sortBy(r => (r(0), r(1), r(2), r(3)))
+    if (canon.length == 1) Polygon(Array(canon.head))
+    else MultiPolygon(canon.map(r => Polygon(Array(r))).toArray)
+  }
+
   // ----------------------------------------- bounding constructions
 
   /** Minimum enclosing circle of g's vertices: (cx, cy, r); null for
