@@ -2486,9 +2486,9 @@ object SparkEntry {
         |      p -> concat('(', p.x, ' ', p.y, ')')), ', '), ')')) AS mp,
         |    w, h, nw, nh
         |  FROM (SELECT c_custkey,
-        |          c_custkey % 4 + 4 AS w, c_custkey % 3 + 3 AS h,
-        |          c_custkey % 3 + 1 AS nw, c_custkey % 2 + 1 AS nh
-        |        FROM customer WHERE c_custkey <= 400))
+        |          c_custkey % 3 + 4 AS w, c_custkey % 2 + 3 AS h,
+        |          c_custkey % 2 + 1 AS nw, c_custkey % 2 + 1 AS nh
+        |        FROM customer WHERE c_custkey <= 250))
         |ORDER BY c_custkey""".stripMargin),
 
     // flat-top hexagonal tessellation (H3-style binning): cell count follows
@@ -3931,9 +3931,9 @@ object SparkEntry {
         |  round(cast(w * h - nw * nh as double) + 0.5, 6) + 0.0 AS conc_area,
         |  round(w * h - nw * nh / 2.0, 6) + 0.0 AS conv_area
         |FROM (SELECT c_custkey,
-        |        c_custkey % 4 + 4 AS w, c_custkey % 3 + 3 AS h,
-        |        c_custkey % 3 + 1 AS nw, c_custkey % 2 + 1 AS nh
-        |      FROM customer WHERE c_custkey <= 400)
+        |        c_custkey % 3 + 4 AS w, c_custkey % 2 + 3 AS h,
+        |        c_custkey % 2 + 1 AS nw, c_custkey % 2 + 1 AS nh
+        |      FROM customer WHERE c_custkey <= 250)
         |ORDER BY c_custkey""".stripMargin,
 
     "q166_hexgrid" ->

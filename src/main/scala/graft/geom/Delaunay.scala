@@ -106,10 +106,25 @@ object Delaunay {
              .subtract(bd(by).subtract(bd(ay)).multiply(bd(px).subtract(bd(ax)))).signum()
     }
 
-    /** strict in-circumcircle test for triangle t (any orientation) */
+    /** strict in-circumcircle test for triangle t (any orientation):
+      * float evaluation with a conservative relative-error filter, exact
+      * BigDecimal fallback only inside the uncertainty band */
     def inCircle(t: Tri, px: Double, py: Double): Boolean = {
       var (a, b, c) = (t.a, t.b, t.c)
       if (orientSign(vx(a), vy(a), vx(b), vy(b), vx(c), vy(c)) < 0) { val tmp = b; b = c; c = tmp }
+      val axd = vx(a) - px; val ayd = vy(a) - py
+      val bxd = vx(b) - px; val byd = vy(b) - py
+      val cxd = vx(c) - px; val cyd = vy(c) - py
+      val a2d = axd * axd + ayd * ayd
+      val b2d = bxd * bxd + byd * byd
+      val c2d = cxd * cxd + cyd * cyd
+      val t1 = a2d * (bxd * cyd - cxd * byd)
+      val t2 = b2d * (axd * cyd - cxd * ayd)
+      val t3 = c2d * (axd * byd - bxd * ayd)
+      val detd = t1 - t2 + t3
+      val mag = math.abs(t1) + math.abs(t2) + math.abs(t3)
+      if (math.abs(detd) > mag * 1e-11) return detd > 0
+      // uncertain: exact arithmetic (double inputs are exact rationals)
       val ax = bd(vx(a)).subtract(bd(px)); val ay = bd(vy(a)).subtract(bd(py))
       val bx = bd(vx(b)).subtract(bd(px)); val by = bd(vy(b)).subtract(bd(py))
       val cx = bd(vx(c)).subtract(bd(px)); val cy = bd(vy(c)).subtract(bd(py))
