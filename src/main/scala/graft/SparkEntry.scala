@@ -2579,6 +2579,38 @@ object SparkEntry {
         |    ')'))) AS p
         |  FROM (SELECT c_custkey, c_custkey % 3 + 2 AS nh, c_custkey % 2 + 2 AS nv
         |        FROM customer WHERE c_custkey <= 800))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // st_split: k vertical blades cut the horizontal line into k+1 ordered
+    // pieces, length preserved
+    "q172_split_line" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_numgeometries(sp) AS n_pieces,
+        |  round(st_length(sp), 6) + 0.0 AS total_len,
+        |  st_astext(st_geometryn(sp, 1)) AS first_piece,
+        |  st_astext(st_geometryn(sp, st_numgeometries(sp))) AS last_piece
+        |FROM (
+        |  SELECT c_custkey, st_split(
+        |    st_geomfromtext('LINESTRING (0 0, 10 0)'),
+        |    st_geomfromtext(concat('MULTILINESTRING (',
+        |      array_join(transform(sequence(1, k),
+        |        i -> concat('(', 2 * i, ' -1, ', 2 * i, ' 1)')), ', '), ')'))) AS sp
+        |  FROM (SELECT c_custkey, c_custkey % 3 + 1 AS k
+        |        FROM customer WHERE c_custkey <= 800))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // st_makevalid: scaled bowties repair into two triangles of area 25*s^2
+    "q173_makevalid" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_isvalid(bow) AS valid_before,
+        |  st_isvalid(st_makevalid(bow)) AS valid_after,
+        |  st_numgeometries(st_makevalid(bow)) AS n_parts,
+        |  round(st_area(st_makevalid(bow)), 6) + 0.0 AS fixed_area
+        |FROM (
+        |  SELECT c_custkey, st_geomfromtext(concat('POLYGON ((0 0, ',
+        |    10 * s, ' ', 10 * s, ', ', 10 * s, ' 0, 0 ', 10 * s, ', 0 0))')) AS bow
+        |  FROM (SELECT c_custkey, c_custkey % 4 + 1 AS s
+        |        FROM customer WHERE c_custkey <= 800))
         |ORDER BY c_custkey""".stripMargin)
   )
 
@@ -4000,6 +4032,26 @@ object SparkEntry {
         |  cast((nh - 1) * (nv - 1) as int) AS n_faces,
         |  round(cast(4 * (nh - 1) * (nv - 1) as double), 6) + 0.0 AS face_area
         |FROM (SELECT c_custkey, c_custkey % 3 + 2 AS nh, c_custkey % 2 + 2 AS nv
+        |      FROM customer WHERE c_custkey <= 800)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q172_split_line" ->
+      """SELECT c_custkey,
+        |  cast(k + 1 as int) AS n_pieces,
+        |  10.0 AS total_len,
+        |  'LINESTRING (0 0, 2 0)' AS first_piece,
+        |  concat('LINESTRING (', 2 * k, ' 0, 10 0)') AS last_piece
+        |FROM (SELECT c_custkey, c_custkey % 3 + 1 AS k
+        |      FROM customer WHERE c_custkey <= 800)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q173_makevalid" ->
+      """SELECT c_custkey,
+        |  false AS valid_before,
+        |  true AS valid_after,
+        |  cast(2 as int) AS n_parts,
+        |  round(50.0 * s * s, 6) + 0.0 AS fixed_area
+        |FROM (SELECT c_custkey, c_custkey % 4 + 1 AS s
         |      FROM customer WHERE c_custkey <= 800)
         |ORDER BY c_custkey""".stripMargin,
 

@@ -59,6 +59,11 @@ object GeomKernels {
       case null => null
       case m    => wkb(m)
     }),
+    // repair invalid polygons by re-assembling the noded boundary faces
+    "st_makevalid" -> U(BinaryType, g => Algos.makeValid(g) match {
+      case null => null
+      case m    => wkb(m)
+    }),
     "st_removerepeatedpoints" -> U(BinaryType, g => wkb(Algos.removeRepeatedPoints(g, 0.0))),
     // min-area rotated rectangle of the convex hull (rotating calipers)
     "st_orientedenvelope" -> U(BinaryType, g => Algos.orientedEnvelope(g) match {
@@ -203,6 +208,11 @@ object GeomKernels {
     "st_overlaps"  -> B(BooleanType, (a, b) => Algos.overlapsPred(a, b)),
     "st_equals"    -> B(BooleanType, (a, b) => Algos.equalsTop(a, b)),
     "st_disjoint"  -> B(BooleanType, (a, b) => !Algos.intersects(a, b)),
+    // cut a line at every crossing with the blade (PostGIS ST_Split slice)
+    "st_split"     -> B(BinaryType, (a, b) => Algos.splitLine(a, b) match {
+      case null => null
+      case m    => wkb(m)
+    }),
     // vertex-discrete symmetric Hausdorff distance
     "st_hausdorffdistance" -> B(DoubleType, (a, b) => {
       val h = Algos.hausdorff(a, b)

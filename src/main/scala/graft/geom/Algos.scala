@@ -1781,6 +1781,95 @@ object Algos {
     else MultiPolygon(canon.map(r => Polygon(Array(r))).toArray)
   }
 
+  /**
+   * Split a line by a blade geometry (PostGIS ST_Split, line slice): each
+   * input segment is cut at every crossing with the blade's segments (or
+   * at blade points lying on it); pieces keep their original direction and
+   * order, consecutive pieces between cuts stay merged. Returns a
+   * MultiLineString of the ordered pieces; non-line input => null.
+   */
+  def splitLine(line: Geometry, blade: Geometry): Geometry = {
+    val comps = ArrayBuffer.empty[Array[Double]]
+    def collect(x: Geometry): Boolean = x match {
+      case l: LineString if !l.isEmpty => comps += l.coords; true
+      case ml: MultiLineString         => ml.geoms.forall(collect)
+      case _                           => false
+    }
+    if (line == null || blade == null || !collect(line)) return null
+    val (bs, bp) = segments(blade)
+    val pieces = ArrayBuffer.empty[Array[Double]]
+    comps.foreach { cs =>
+      var cur = ArrayBuffer.empty[Double]
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = cs(i); val y1 = cs(i + 1); val x2 = cs(i + 2); val y2 = cs(i + 3)
+        if (cur.isEmpty) { cur += x1; cur += y1 }
+        // cut parameters: blade segments plus isolated blade points on us
+        val ts0 = splitParams(x1, y1, x2, y2, bs)
+        val extra = ArrayBuffer.empty[Double]
+        var k = 0
+        while (k + 1 < bp.length) {
+          if (onSegment(bp(k), bp(k + 1), x1, y1, x2, y2)) {
+            val dx = x2 - x1; val dy = y2 - y1
+            val l2 = dx * dx + dy * dy
+            if (l2 > 0) extra += ((bp(k) - x1) * dx + (bp(k + 1) - y1) * dy) / l2
+          }
+          k += 2
+        }
+        val ts = (ts0 ++ extra).distinct.sorted
+        var kk = 0
+        while (kk < ts.length) {
+          val t = ts(kk)
+          if (t > 0 && t < 1) {
+            val mx = x1 + t * (x2 - x1); val my = y1 + t * (y2 - y1)
+            if (mx != cur(cur.length - 2) || my != cur(cur.length - 1)) {
+              cur += mx; cur += my
+              pieces += cur.toArray
+              cur = ArrayBuffer(mx, my)
+            }
+          }
+          kk += 1
+        }
+        if (x2 != cur(cur.length - 2) || y2 != cur(cur.length - 1)) { cur += x2; cur += y2 }
+        // interior vertex that lies exactly on the blade also cuts
+        val last = i + 3 == cs.length - 1
+        val vertexCut = !last && locate(x2, y2, blade) > 0
+        if (vertexCut && cur.length >= 4) {
+          pieces += cur.toArray
+          cur = ArrayBuffer(x2, y2)
+        }
+        i += 2
+      }
+      if (cur.length >= 4) pieces += cur.toArray
+    }
+    if (pieces.isEmpty) null
+    else MultiLineString(pieces.map(LineString(_)).toArray)
+  }
+
+  /**
+   * Repair an invalid polygonal geometry (PostGIS ST_MakeValid, polygon
+   * slice): already-valid input passes through; otherwise the boundary
+   * rings are noded and the bounded faces of the resulting arrangement are
+   * re-assembled (bowtie -> two triangles, etc.). Non-polygonal input
+   * passes through unchanged.
+   */
+  def makeValid(g: Geometry): Geometry = g match {
+    case null => null
+    case p: Polygon if !isValid(p) && p.rings.nonEmpty =>
+      polygonize(MultiLineString(p.rings.map(LineString(_)))) match {
+        case null  => p
+        case fixed => fixed
+      }
+    case mp: MultiPolygon if !isValid(mp) && mp.geoms.nonEmpty =>
+      val fixed = mp.geoms.map(p => makeValid(p) match {
+        case q: Polygon       => Array(q)
+        case m: MultiPolygon  => m.geoms
+        case _                => Array(p)
+      })
+      MultiPolygon(fixed.flatten)
+    case other => other
+  }
+
   // ----------------------------------------- bounding constructions
 
   /** Minimum enclosing circle of g's vertices: (cx, cy, r); null for
