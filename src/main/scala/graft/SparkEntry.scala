@@ -2611,7 +2611,28 @@ object SparkEntry {
         |    10 * s, ' ', 10 * s, ', ', 10 * s, ' 0, 0 ', 10 * s, ', 0 0))')) AS bow
         |  FROM (SELECT c_custkey, c_custkey % 4 + 1 AS s
         |        FROM customer WHERE c_custkey <= 800))
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // join-key skew diagnostics: per-key frequency profile with median/max,
+    // skew ratio, and the salt factor a skew-mitigating rewrite would pick
+    "q174_skew_profile" -> sqlQuery(Seq("lineitem"),
+      """WITH f AS (
+        |  SELECT l_suppkey AS key, cast(count(*) as bigint) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |s AS (
+        |  SELECT cast(count(*) as bigint) AS n_keys,
+        |    cast(max(cnt) as bigint) AS max_cnt,
+        |    round(percentile(cnt, 0.5), 6) + 0.0 AS p50,
+        |    round(percentile(cnt, 0.99), 6) + 0.0 AS p99
+        |  FROM f),
+        |top AS (
+        |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn
+        |  FROM f)
+        |SELECT t.rn, t.key, t.cnt, s.n_keys, s.max_cnt, s.p50, s.p99,
+        |  round(s.max_cnt / s.p50, 6) + 0.0 AS skew_ratio,
+        |  cast(ceil(s.max_cnt / s.p50) as bigint) AS salt_factor
+        |FROM top t CROSS JOIN s WHERE t.rn <= 10
+        |ORDER BY t.rn""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4054,6 +4075,25 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_custkey % 4 + 1 AS s
         |      FROM customer WHERE c_custkey <= 800)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q174_skew_profile" ->
+      """WITH f AS (
+        |  SELECT l_suppkey AS key, cast(count(*) as bigint) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |s AS (
+        |  SELECT cast(count(*) as bigint) AS n_keys,
+        |    cast(max(cnt) as bigint) AS max_cnt,
+        |    round(quantile_cont(cnt, 0.5), 6) + 0.0 AS p50,
+        |    round(quantile_cont(cnt, 0.99), 6) + 0.0 AS p99
+        |  FROM f),
+        |top AS (
+        |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn
+        |  FROM f)
+        |SELECT t.rn, t.key, t.cnt, s.n_keys, s.max_cnt, s.p50, s.p99,
+        |  round(s.max_cnt / s.p50, 6) + 0.0 AS skew_ratio,
+        |  cast(ceil(s.max_cnt / s.p50) as bigint) AS salt_factor
+        |FROM top t CROSS JOIN s WHERE t.rn <= 10
+        |ORDER BY t.rn""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
