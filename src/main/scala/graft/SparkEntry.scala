@@ -2632,7 +2632,17 @@ object SparkEntry {
         |  round(s.max_cnt / s.p50, 6) + 0.0 AS skew_ratio,
         |  cast(ceil(s.max_cnt / s.p50) as bigint) AS salt_factor
         |FROM top t CROSS JOIN s WHERE t.rn <= 10
-        |ORDER BY t.rn""".stripMargin)
+        |ORDER BY t.rn""".stripMargin),
+
+    // great-circle polygon area: polar triangle (0,0)-(lam,0)-(0,90) has
+    // closed-form spherical area lam_radians * R^2
+    "q175_spherical_area" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_areasphere(st_geomfromtext(concat(
+        |    'POLYGON ((0 0, ', lam, ' 0, 0 90, 0 0))'))) / 1e9, 3) + 0.0 AS area_gm2
+        |FROM (SELECT c_custkey, c_custkey % 60 + 10 AS lam
+        |      FROM customer WHERE c_custkey <= 1000)
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4094,6 +4104,13 @@ object SparkEntry {
         |  cast(ceil(s.max_cnt / s.p50) as bigint) AS salt_factor
         |FROM top t CROSS JOIN s WHERE t.rn <= 10
         |ORDER BY t.rn""".stripMargin,
+
+    "q175_spherical_area" ->
+      """SELECT c_custkey,
+        |  round(radians(cast(lam as double)) * 6371008.8 * 6371008.8 / 1e9, 3) + 0.0 AS area_gm2
+        |FROM (SELECT c_custkey, c_custkey % 60 + 10 AS lam
+        |      FROM customer WHERE c_custkey <= 1000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

@@ -75,6 +75,20 @@ object GeomKernels {
       case null => null
       case c    => c(2)
     }),
+    // great-circle polygon area on the mean-Earth sphere (m^2), lon/lat
+    // degrees; the geodesic companion of st_distancesphere
+    "st_areasphere" -> U(DoubleType, g => {
+      def ringsOf(x: Geom): Double = x match {
+        case p: Polygon if !p.isEmpty      => Geodesy.sphericalArea(p.rings)
+        case mp: MultiPolygon              => mp.geoms.map(ringsOf).sum
+        case gc: GeometryCollection        => gc.geoms.map(ringsOf).sum
+        case _                             => 0.0
+      }
+      g match {
+        case _: Polygon | _: MultiPolygon | _: GeometryCollection => ringsOf(g)
+        case _ => null
+      }
+    }),
     "st_envelope"     -> U(BinaryType, g => wkb(Algos.envelopeGeom(g))),
     "st_exteriorring" -> U(BinaryType, g => Algos.exteriorRing(g) match {
       case null => null

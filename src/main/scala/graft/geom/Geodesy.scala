@@ -11,6 +11,47 @@ package graft.geom
  */
 object Geodesy {
   val MeanEarthRadius = 6371008.8
+
+  /**
+   * Area of a polygon on the mean-Earth sphere, edges as great circles,
+   * lon/lat degrees. Signed solid angle summed over the triangle fan with
+   * the Oosterom-Strackee formula (sign-correct for non-convex rings);
+   * holes subtract. Returns square meters.
+   */
+  def sphericalArea(rings: Array[Array[Double]]): Double = {
+    def unit(lonDeg: Double, latDeg: Double): Array[Double] = {
+      val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+      Array(math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
+    }
+    def ringSolidAngle(r: Array[Double]): Double = {
+      val n = r.length / 2 - 1 // closed ring
+      if (n < 3) return 0.0
+      val v0 = unit(r(0), r(1))
+      var sum = 0.0
+      var i = 1
+      while (i + 1 < n + 1) {
+        val a = unit(r(2 * i), r(2 * i + 1))
+        val b = unit(r(2 * (i + 1)), r(2 * (i + 1) + 1))
+        // signed excess of spherical triangle (v0, a, b)
+        val cx = a(1) * b(2) - a(2) * b(1)
+        val cy = a(2) * b(0) - a(0) * b(2)
+        val cz = a(0) * b(1) - a(1) * b(0)
+        val num = v0(0) * cx + v0(1) * cy + v0(2) * cz
+        val den = 1.0 +
+          (v0(0) * a(0) + v0(1) * a(1) + v0(2) * a(2)) +
+          (a(0) * b(0) + a(1) * b(1) + a(2) * b(2)) +
+          (b(0) * v0(0) + b(1) * v0(1) + b(2) * v0(2))
+        sum += 2.0 * math.atan2(num, den)
+        i += 1
+      }
+      math.abs(sum)
+    }
+    if (rings.isEmpty) return 0.0
+    var area = ringSolidAngle(rings(0))
+    var h = 1
+    while (h < rings.length) { area -= ringSolidAngle(rings(h)); h += 1 }
+    math.max(area, 0.0) * MeanEarthRadius * MeanEarthRadius
+  }
   val WGS84_A = 6378137.0
   val WGS84_F = 1.0 / 298.257223563
   val WGS84_B = WGS84_A * (1 - WGS84_F)
