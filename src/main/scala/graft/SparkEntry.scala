@@ -2642,7 +2642,37 @@ object SparkEntry {
         |    'POLYGON ((0 0, ', lam, ' 0, 0 90, 0 0))'))) / 1e9, 3) + 0.0 AS area_gm2
         |FROM (SELECT c_custkey, c_custkey % 60 + 10 AS lam
         |      FROM customer WHERE c_custkey <= 1000)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // signup -> purchase conversion funnel by signup-day cohort: first
+    // purchase strictly after signup, 7-day conversion window, median
+    // hours-to-convert among converters
+    "q176_funnel" -> sqlQuery(Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT s.user_id, min(e.ts) AS first_purchase
+        |  FROM s JOIN events e ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+        |  GROUP BY s.user_id),
+        |base AS (
+        |  SELECT s.user_id, cast(date_trunc('day', s.signup_ts) as date) AS cohort,
+        |    CASE WHEN c.first_purchase IS NOT NULL AND
+        |              cast(c.first_purchase as double) - cast(s.signup_ts as double)
+        |                <= 7 * 86400.0 THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN c.first_purchase IS NOT NULL AND
+        |              cast(c.first_purchase as double) - cast(s.signup_ts as double)
+        |                <= 7 * 86400.0
+        |         THEN (cast(c.first_purchase as double) - cast(s.signup_ts as double)) / 3600.0
+        |         END AS hours_to_convert
+        |  FROM s LEFT JOIN conv c ON s.user_id = c.user_id)
+        |SELECT cohort,
+        |  cast(count(*) as bigint) AS n_signups,
+        |  cast(sum(converted) as bigint) AS n_converted,
+        |  round(avg(cast(converted as double)), 6) + 0.0 AS conv_rate,
+        |  round(percentile(hours_to_convert, 0.5), 4) + 0.0 AS median_hours
+        |FROM base GROUP BY cohort ORDER BY cohort""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4111,6 +4141,32 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_custkey % 60 + 10 AS lam
         |      FROM customer WHERE c_custkey <= 1000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q176_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT s.user_id, min(e.ts) AS first_purchase
+        |  FROM s JOIN events e ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+        |  GROUP BY s.user_id),
+        |base AS (
+        |  SELECT s.user_id, cast(date_trunc('day', s.signup_ts) as date) AS cohort,
+        |    CASE WHEN c.first_purchase IS NOT NULL AND
+        |              epoch(c.first_purchase) - epoch(s.signup_ts) <= 7 * 86400.0
+        |         THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN c.first_purchase IS NOT NULL AND
+        |              epoch(c.first_purchase) - epoch(s.signup_ts) <= 7 * 86400.0
+        |         THEN (epoch(c.first_purchase) - epoch(s.signup_ts)) / 3600.0
+        |         END AS hours_to_convert
+        |  FROM s LEFT JOIN conv c ON s.user_id = c.user_id)
+        |SELECT cohort,
+        |  cast(count(*) as bigint) AS n_signups,
+        |  cast(sum(converted) as bigint) AS n_converted,
+        |  round(avg(cast(converted as double)), 6) + 0.0 AS conv_rate,
+        |  round(quantile_cont(hours_to_convert, 0.5), 4) + 0.0 AS median_hours
+        |FROM base GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
