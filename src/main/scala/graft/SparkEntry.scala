@@ -2672,7 +2672,60 @@ object SparkEntry {
         |  cast(sum(converted) as bigint) AS n_converted,
         |  round(avg(cast(converted as double)), 6) + 0.0 AS conv_rate,
         |  round(percentile(hours_to_convert, 0.5), 4) + 0.0 AS median_hours
-        |FROM base GROUP BY cohort ORDER BY cohort""".stripMargin)
+        |FROM base GROUP BY cohort ORDER BY cohort""".stripMargin),
+
+    // weekly retention matrix: fraction of each signup-week cohort active
+    // (any event) in week w after signup, w = 0..3
+    "q177_retention" -> sqlQuery(Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT s.user_id,
+        |    cast(floor((cast(e.ts as double) - cast(s.signup_ts as double)) / 604800.0) as int) AS w
+        |  FROM s JOIN events e ON e.user_id = s.user_id
+        |  WHERE e.ts >= s.signup_ts),
+        |coh AS (
+        |  SELECT user_id, cast(date_trunc('week', signup_ts) as date) AS cohort FROM s),
+        |sizes AS (
+        |  SELECT cohort, cast(count(*) as bigint) AS n_users FROM coh GROUP BY cohort)
+        |SELECT c.cohort, a.w,
+        |  cast(count(*) as bigint) AS n_active, z.n_users,
+        |  round(cast(count(*) as double) / z.n_users, 6) + 0.0 AS retention
+        |FROM coh c JOIN act a ON c.user_id = a.user_id
+        |JOIN sizes z ON c.cohort = z.cohort
+        |WHERE a.w BETWEEN 0 AND 3
+        |GROUP BY c.cohort, a.w, z.n_users
+        |ORDER BY c.cohort, a.w""".stripMargin),
+
+    // iterative BFS over a binary-tree edge set (Pregel-style join loop);
+    // the shortest-hop level of node n from the root is floor(log2(n))
+    "q178_bfs_levels" -> ((s: SparkSession, dir: String) => {
+      init(s); view(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val n = 4095
+      val edges = s.range(1, (n + 1) / 2)
+        .selectExpr("id AS src", "id * 2 AS dst")
+        .union(s.range(1, (n + 1) / 2).selectExpr("id AS src", "id * 2 + 1 AS dst"))
+        .where(col("dst") <= n)
+      var frontier = s.range(1, 2).toDF("node").withColumn("level", lit(0))
+      var levels = frontier
+      var i = 0
+      while (i < 12) {
+        frontier = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node"), (col("level") + 1).as("level"))
+          .join(levels.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+        levels = levels.union(frontier)
+        // tree levels double per hop; localCheckpoint keeps the plan flat
+        frontier = frontier.localCheckpoint(true)
+        levels = levels.localCheckpoint(true)
+        i += 1
+      }
+      levels.groupBy("level").agg(
+        count(lit(1)).cast("long").as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy("level")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -4167,6 +4220,36 @@ object SparkEntry {
         |  round(avg(cast(converted as double)), 6) + 0.0 AS conv_rate,
         |  round(quantile_cont(hours_to_convert, 0.5), 4) + 0.0 AS median_hours
         |FROM base GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q177_retention" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT s.user_id,
+        |    cast(floor((epoch(e.ts) - epoch(s.signup_ts)) / 604800.0) as int) AS w
+        |  FROM s JOIN events e ON e.user_id = s.user_id
+        |  WHERE e.ts >= s.signup_ts),
+        |coh AS (
+        |  SELECT user_id, cast(date_trunc('week', signup_ts) as date) AS cohort FROM s),
+        |sizes AS (
+        |  SELECT cohort, cast(count(*) as bigint) AS n_users FROM coh GROUP BY cohort)
+        |SELECT c.cohort, a.w,
+        |  cast(count(*) as bigint) AS n_active, z.n_users,
+        |  round(cast(count(*) as double) / z.n_users, 6) + 0.0 AS retention
+        |FROM coh c JOIN act a ON c.user_id = a.user_id
+        |JOIN sizes z ON c.cohort = z.cohort
+        |WHERE a.w BETWEEN 0 AND 3
+        |GROUP BY c.cohort, a.w, z.n_users
+        |ORDER BY c.cohort, a.w""".stripMargin,
+
+    "q178_bfs_levels" ->
+      """SELECT cast(l as int) AS level,
+        |  cast(1::BIGINT << l as bigint) AS n_nodes,
+        |  cast(1::BIGINT << l as bigint) AS min_node,
+        |  cast((1::BIGINT << (l + 1)) - 1 as bigint) AS max_node
+        |FROM (SELECT unnest(range(0, 12)) AS l)
+        |ORDER BY level""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
