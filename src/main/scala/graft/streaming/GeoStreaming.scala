@@ -172,6 +172,36 @@ object GeoStreaming {
       .drop("__bin_l", "__bin_r")
   }
 
+  /**
+   * Left-outer variant of [[streamProximityJoin]]: left rows with no
+   * partner within the tolerance emit null-padded once the watermark
+   * passes their join window (Spark's watermarked stream-stream outer
+   * join; the bin equi-key plus the event-time range condition satisfy
+   * the state-cleanup requirements). The exploded 3-bin right side never
+   * duplicates a left row — a pair agrees on exactly one bin value.
+   */
+  def streamProximityJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      toleranceSecs: Long,
+      watermarkDelay: String): DataFrame = {
+    require(toleranceSecs > 0, "tolerance must be positive")
+    val binL = expr(s"floor(unix_micros($leftTs) / ${toleranceSecs * 1000000L})")
+    val binR = expr(s"floor(unix_micros($rightTs) / ${toleranceSecs * 1000000L})")
+    val l = left.withWatermark(leftTs, watermarkDelay).withColumn("__bin_l", binL)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+      .withColumn("__bin_r", explode(array(binR - 1, binR, binR + 1)))
+    l.join(r,
+      col("__bin_l") === col("__bin_r") &&
+      col(rightTs).between(
+        col(leftTs) - expr(s"INTERVAL $toleranceSecs SECONDS"),
+        col(leftTs) + expr(s"INTERVAL $toleranceSecs SECONDS")),
+      "left_outer")
+      .drop("__bin_l", "__bin_r")
+  }
+
   private val envSchema = StructType(Seq(
     StructField("xmin", DoubleType), StructField("ymin", DoubleType),
     StructField("xmax", DoubleType), StructField("ymax", DoubleType)))

@@ -313,4 +313,35 @@ class GeoStreamingSpec extends AnyFunSuite {
       assert(row.getString(2) == "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER proximity join emits null-padded rows after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val inA = MemoryStream[(Long, Timestamp)]
+    val inB = MemoryStream[(Long, Timestamp)]
+    val a = inA.toDF().toDF("aid", "ats")
+    val b = inB.toDF().toDF("bid", "bts")
+    val joined = GeoStreaming.streamProximityJoinLeftOuter(a, b, "ats", "bts",
+      toleranceSecs = 10, watermarkDelay = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("ssoj")
+      .outputMode("append").start()
+    try {
+      inA.addData((1L, ts(100)), (2L, ts(200))) // 1 matches, 2 never will
+      inB.addData((10L, ts(105)))
+      q.processAllAvailable()
+      // push both watermarks far past aid=2's join window so the outer
+      // (null-padded) result for it can be finalized and emitted
+      inA.addData((9L, ts(1000)))
+      inB.addData((90L, ts(1000)))
+      q.processAllAvailable()
+      inA.addData((8L, ts(2000)))
+      inB.addData((80L, ts(2000)))
+      q.processAllAvailable()
+      val got = spark.table("ssoj").selectExpr("aid", "bid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 10L)), s"matched pair missing: $got")
+      assert(got.contains((2L, -1L)), s"outer null row for aid=2 missing: $got")
+    } finally q.stop()
+  }
 }
