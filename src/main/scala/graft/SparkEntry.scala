@@ -2708,17 +2708,22 @@ object SparkEntry {
         .selectExpr("id AS src", "id * 2 AS dst")
         .union(s.range(1, (n + 1) / 2).selectExpr("id AS src", "id * 2 + 1 AS dst"))
         .where(col("dst") <= n)
+      // acyclic graph: every node is reached exactly once, so no
+      // visited-set anti-join or per-round materialization is needed —
+      // the 12 rounds stay one lazy plan of tiny broadcast joins. (Cyclic
+      // graphs need the dedup + periodic localCheckpoint variant, as in
+      // the DBSCAN connected-components rounds.)
       var frontier = s.range(1, 2).toDF("node").withColumn("level", lit(0))
       var levels = frontier
       var i = 0
       while (i < 12) {
+        // materialize each frontier once (eager localCheckpoint) so the
+        // union of levels references 12 small cached frontiers instead of
+        // recomputing ever-deeper join chains per branch
         frontier = frontier.join(edges, frontier("node") === edges("src"))
           .select(col("dst").as("node"), (col("level") + 1).as("level"))
-          .join(levels.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+          .localCheckpoint(true)
         levels = levels.union(frontier)
-        // tree levels double per hop; localCheckpoint keeps the plan flat
-        frontier = frontier.localCheckpoint(true)
-        levels = levels.localCheckpoint(true)
         i += 1
       }
       levels.groupBy("level").agg(
