@@ -1434,14 +1434,20 @@ object Algos {
     ok
   }
 
-  /** Generalized [[covers]]: adds the 1-dim-covers-0/1-dim cases (incl.
-    * coverage spanning multiple MultiLineString components). */
+  /** Generalized [[covers]]: adds the 1-dim-covers-0/1-dim and pure
+    * point-set cases (incl. coverage spanning multiple MultiLineString
+    * components and Point-vs-MultiPoint in either direction). */
   def coversX(a: Geometry, b: Geometry): Boolean = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return false
     if (!a.envelope.contains(b.envelope)) return false
     (geomDim(a), geomDim(b)) match {
       case (1, 1) | (1, 0) => coversLine(a, b)
-      case _               => covers(a, b)
+      case (0, 0) =>
+        // every point of b is a point of a (duplicates irrelevant)
+        var ok = true
+        b.foreachCoord { (x, y) => if (ok && locate(x, y, a) == 0) ok = false }
+        ok
+      case _ => covers(a, b)
     }
   }
 

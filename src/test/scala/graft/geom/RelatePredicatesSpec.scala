@@ -185,6 +185,11 @@ class RelatePredicatesSpec extends AnyFunSuite {
     assert(Algos.equalsTop(g("POINT (3 4)"), g("POINT (3 4)")))
     assert(!Algos.equalsTop(g("POINT (3 4)"), g("POINT (3 5)")))
     assert(!Algos.equalsTop(g("POINT (3 4)"), g("LINESTRING (3 4, 3 4)")))
+    // a single-member multipoint is topologically equal to the point,
+    // including duplicate members (same point set)
+    assert(Algos.equalsTop(g("POINT (3 4)"), g("MULTIPOINT ((3 4))")))
+    assert(Algos.equalsTop(g("MULTIPOINT ((3 4), (3 4))"), g("POINT (3 4)")))
+    assert(!Algos.equalsTop(g("POINT (3 4)"), g("MULTIPOINT ((3 4), (5 6))")))
   }
 
   // ------------------------------------------------- polygons with holes
