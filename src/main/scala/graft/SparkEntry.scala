@@ -2730,7 +2730,19 @@ object SparkEntry {
         count(lit(1)).cast("long").as("n_nodes"),
         min("node").as("min_node"), max("node").as("max_node"))
         .orderBy("level")
-    })
+    }),
+
+    // first-order Markov transition matrix over per-user event sequences
+    "q179_event_transitions" -> sqlQuery(Seq("events"),
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type, next_type, cast(count(*) as bigint) AS n
+        |      FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, n,
+        |  round(cast(n as double) / sum(n) OVER (PARTITION BY event_type), 6) + 0.0 AS p
+        |FROM t ORDER BY event_type, next_type""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4255,6 +4267,17 @@ object SparkEntry {
         |  cast((1::BIGINT << (l + 1)) - 1 as bigint) AS max_node
         |FROM (SELECT unnest(range(0, 12)) AS l)
         |ORDER BY level""".stripMargin,
+
+    "q179_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type, next_type, cast(count(*) as bigint) AS n
+        |      FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, n,
+        |  round(cast(n as double) / sum(n) OVER (PARTITION BY event_type), 6) + 0.0 AS p
+        |FROM t ORDER BY event_type, next_type""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
