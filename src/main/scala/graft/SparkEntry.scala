@@ -2742,7 +2742,24 @@ object SparkEntry {
         |      FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
         |SELECT event_type, next_type, n,
         |  round(cast(n as double) / sum(n) OVER (PARTITION BY event_type), 6) + 0.0 AS p
-        |FROM t ORDER BY event_type, next_type""".stripMargin)
+        |FROM t ORDER BY event_type, next_type""".stripMargin),
+
+    // small-file compaction planning: sequential bin-packing of file sizes
+    // into 128 MB target groups via a running prior-bytes window
+    "q180_compaction_plan" -> sqlQuery(Seq("part"),
+      """WITH f AS (
+        |  SELECT p_partkey AS file_id, cast(p_retailprice * 1000 as bigint) AS bytes
+        |  FROM part),
+        |o AS (SELECT file_id, bytes,
+        |        sum(bytes) OVER (ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |      FROM f),
+        |g AS (SELECT file_id, bytes,
+        |        cast(floor(coalesce(prior, 0) / 134217728.0) as bigint) AS grp FROM o)
+        |SELECT grp, cast(count(*) as bigint) AS n_files,
+        |  cast(sum(bytes) as bigint) AS grp_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4278,6 +4295,21 @@ object SparkEntry {
         |SELECT event_type, next_type, n,
         |  round(cast(n as double) / sum(n) OVER (PARTITION BY event_type), 6) + 0.0 AS p
         |FROM t ORDER BY event_type, next_type""".stripMargin,
+
+    "q180_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT p_partkey AS file_id, cast(p_retailprice * 1000 as bigint) AS bytes
+        |  FROM part),
+        |o AS (SELECT file_id, bytes,
+        |        sum(bytes) OVER (ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |      FROM f),
+        |g AS (SELECT file_id, bytes,
+        |        cast(floor(coalesce(prior, 0) / 134217728.0) as bigint) AS grp FROM o)
+        |SELECT grp, cast(count(*) as bigint) AS n_files,
+        |  cast(sum(bytes) as bigint) AS grp_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
