@@ -64,7 +64,14 @@ object SpatialJoinStrategy {
     final case class Contains(containerIsLeft: Boolean) extends SpatialPred
     /** st_dwithin(a, b, d) with literal d. */
     final case class DWithin(dist: Double) extends SpatialPred
+    /** symmetric DE-9IM refinements: st_touches/st_overlaps/st_crosses/st_equals. */
+    final case class Symmetric(name: String) extends SpatialPred
+    /** st_covers(L, R) / st_coveredby(R, L) vs the flip (closure containment). */
+    final case class Covers(containerIsLeft: Boolean) extends SpatialPred
   }
+
+  private val symmetricNames =
+    Set("st_touches", "st_overlaps", "st_crosses", "st_equals")
 
   private[plans] def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
@@ -83,19 +90,27 @@ object SpatialJoinStrategy {
   private[plans] def extractSpatial(
       c: Expression, left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression, SpatialPred)] =
     c match {
-      case GeomBinaryExpr(name, a, b) if name == "st_intersects" || name == "st_contains" || name == "st_within" =>
+      case GeomBinaryExpr(name, a, b)
+          if name == "st_intersects" || name == "st_contains" || name == "st_within" ||
+             name == "st_covers" || name == "st_coveredby" || symmetricNames(name) =>
         (sideOf(a, left, right), sideOf(b, left, right)) match {
           case (Some(true), Some(false)) =>
             Some((a, b, name match {
               case "st_intersects" => SpatialPred.Intersects
               case "st_contains"   => SpatialPred.Contains(containerIsLeft = true)
               case "st_within"     => SpatialPred.Contains(containerIsLeft = false)
+              case "st_covers"     => SpatialPred.Covers(containerIsLeft = true)
+              case "st_coveredby"  => SpatialPred.Covers(containerIsLeft = false)
+              case sym             => SpatialPred.Symmetric(sym)
             }))
           case (Some(false), Some(true)) =>
             Some((b, a, name match {
               case "st_intersects" => SpatialPred.Intersects
               case "st_contains"   => SpatialPred.Contains(containerIsLeft = false)
               case "st_within"     => SpatialPred.Contains(containerIsLeft = true)
+              case "st_covers"     => SpatialPred.Covers(containerIsLeft = false)
+              case "st_coveredby"  => SpatialPred.Covers(containerIsLeft = true)
+              case sym             => SpatialPred.Symmetric(sym)
             }))
           case _ => None
         }
@@ -189,6 +204,14 @@ case class SpatialIndexJoinExec(
                 case SpatialPred.Contains(true)    => Algos.contains(g, rg)
                 case SpatialPred.Contains(false)   => Algos.contains(rg, g)
                 case SpatialPred.DWithin(d)        => Algos.distance(g, rg) <= d
+                case SpatialPred.Covers(true)      => Algos.coversX(g, rg)
+                case SpatialPred.Covers(false)     => Algos.coversX(rg, g)
+                case SpatialPred.Symmetric(n)      => n match {
+                  case "st_touches"  => Algos.touches(g, rg)
+                  case "st_overlaps" => Algos.overlapsPred(g, rg)
+                  case "st_crosses"  => Algos.crosses(g, rg)
+                  case _             => Algos.equalsTop(g, rg)
+                }
               }
               if (hit) {
                 joined(lRow, rows(j))

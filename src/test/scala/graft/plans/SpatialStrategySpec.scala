@@ -112,4 +112,35 @@ class SpatialStrategySpec extends AnyFunSuite {
     assert(!hasSpatialExec(j))
     assert(j.count() == 1)
   }
+
+  test("DE-9IM predicates plan through SpatialIndexJoinExec, not BNLJ") {
+    val boxes = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 5.0), (30.0, 30.0))
+      .toDF("bx", "by")
+      .selectExpr("st_makeenvelope(bx, by, bx + 10.0, by + 10.0) AS bgeom", "bx", "by")
+    val probe = Seq("p").toDF("tag")
+      .selectExpr("st_makeenvelope(0.0, 0.0, 10.0, 10.0) AS pgeom", "tag")
+
+    val touches = boxes.join(probe,
+      org.apache.spark.sql.functions.expr("st_touches(bgeom, pgeom)"))
+    assert(hasSpatialExec(touches) && !hasBnlj(touches),
+      touches.queryExecution.executedPlan.toString)
+    // edge-adjacent box at (10,0) touches; the identical box and the
+    // overlapping one share interior; (30,30) is disjoint
+    assert(touches.select("bx").collect().map(_.getDouble(0)).toSeq == Seq(10.0))
+
+    val overlaps = boxes.join(probe,
+      org.apache.spark.sql.functions.expr("st_overlaps(pgeom, bgeom)"))
+    assert(hasSpatialExec(overlaps) && !hasBnlj(overlaps))
+    assert(overlaps.select("bx").collect().map(_.getDouble(0)).toSeq == Seq(5.0))
+
+    val equalsJ = boxes.join(probe,
+      org.apache.spark.sql.functions.expr("st_equals(bgeom, pgeom)"))
+    assert(hasSpatialExec(equalsJ) && !hasBnlj(equalsJ))
+    assert(equalsJ.select("bx").collect().map(_.getDouble(0)).toSeq == Seq(0.0))
+
+    val covers = boxes.join(probe,
+      org.apache.spark.sql.functions.expr("st_coveredby(pgeom, bgeom)"))
+    assert(hasSpatialExec(covers) && !hasBnlj(covers))
+    assert(covers.select("bx").collect().map(_.getDouble(0)).toSeq == Seq(0.0))
+  }
 }
