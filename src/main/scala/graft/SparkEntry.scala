@@ -2759,7 +2759,145 @@ object SparkEntry {
         |SELECT grp, cast(count(*) as bigint) AS n_files,
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
-        |FROM g GROUP BY grp ORDER BY grp""".stripMargin)
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin),
+
+    // discrete Fréchet distance: congruent translation gives |shift|
+    // exactly; a reversed segment keeps Hausdorff 0 but Fréchet = length
+    // (the order sensitivity that distinguishes the two)
+    "q181_frechet" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_frechetdistance(lshape, st_translate(lshape, 2.0, 3.0)), 6) + 0.0 AS f_shift,
+         |  round(st_frechetdistance(seg, st_reverse(seg)), 6) + 0.0 AS f_rev,
+         |  round(st_hausdorffdistance(seg, st_reverse(seg)), 6) + 0.0 AS h_rev
+         |FROM (
+         |  SELECT c_custkey,
+         |    st_geomfromtext(concat('LINESTRING (0 0, ', s, ' 0, ', s, ' ', s, ')')) AS lshape,
+         |    st_geomfromtext(concat('LINESTRING (0 0, ', s, ' 0)')) AS seg
+         |  FROM (SELECT c_custkey, cast(c_custkey % 10 + 1 as bigint) AS s FROM customer))
+         |ORDER BY c_custkey""".stripMargin),
+
+    // Visvalingam-Whyatt: a 7-point unit zigzag of amplitude h has every
+    // interior effective area = h, so a threshold above the bbox-area bound
+    // (max possible effective area = 15) collapses it to the 2-point
+    // baseline, while h-0.5 < h keeps all vertices untouched
+    "q182_simplifyvw" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(st_npoints(st_simplifyvw(zig, 100.0)) as int) AS np_above,
+        |  round(st_length(st_simplifyvw(zig, 100.0)), 6) AS len_above,
+        |  cast(st_npoints(st_simplifyvw(zig, h - 0.5)) as int) AS np_below,
+        |  round(st_length(st_simplifyvw(zig, h - 0.5)), 6) AS len_below
+        |FROM (
+        |  SELECT c_custkey, cast(c_custkey % 5 + 1 as double) AS h,
+        |    st_geomfromtext(concat('LINESTRING (0 0, 1 ', c_custkey % 5 + 1,
+        |      ', 2 0, 3 ', c_custkey % 5 + 1, ', 4 0, 5 ', c_custkey % 5 + 1,
+        |      ', 6 0)')) AS zig
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ear-clipping triangulation of a convex integer "house" pentagon:
+    // n-2 triangles whose areas tile the polygon exactly
+    "q183_triangulate" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(st_numgeometries(tris) as int) AS n_tris,
+        |  round(st_area(tris), 6) AS tri_area,
+        |  round(st_area(house), 6) AS poly_area
+        |FROM (
+        |  SELECT c_custkey, house, st_triangulatepolygon(house) AS tris
+        |  FROM (
+        |    SELECT c_custkey, st_geomfromtext(concat('POLYGON ((0 0, ', w, ' 0, ',
+        |      w, ' ', h, ', ', w / 2.0, ' ', h + r, ', 0 ', h, ', 0 0))')) AS house
+        |    FROM (SELECT c_custkey,
+        |            cast(c_custkey % 5 + 2 as double) AS w,
+        |            cast((c_custkey * 3) % 5 + 2 as double) AS h,
+        |            cast((c_custkey * 7) % 4 + 1 as double) AS r
+        |          FROM customer)))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // minimum bounding circle of a 2-point set: the diameter circle —
+    // 32-gon with first vertex due east at (cx + r, cy)
+    "q184_minboundingcircle" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(st_npoints(circ) as int) AS np,
+        |  round(st_xmax(circ) - a / 2.0, 6) AS r_east,
+        |  round(st_ymax(circ) - b / 2.0, 6) AS r_north
+        |FROM (
+        |  SELECT c_custkey, a, b,
+        |    st_minimumboundingcircle(st_geomfromtext(
+        |      concat('MULTIPOINT (0 0, ', a, ' ', b, ')'))) AS circ
+        |  FROM (SELECT c_custkey,
+        |          cast(c_custkey % 7 + 1 as double) AS a,
+        |          cast((c_custkey * 3) % 6 + 2 as double) AS b
+        |        FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // XYZ slippy-map tile envelopes in EPSG:3857 (y counts from north)
+    "q185_tileenvelope" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey, z, tx, ty,
+        |  round(st_xmin(t), 3) + 0.0 AS xmin, round(st_ymin(t), 3) + 0.0 AS ymin,
+        |  round(st_xmax(t), 3) + 0.0 AS xmax, round(st_ymax(t), 3) + 0.0 AS ymax
+        |FROM (
+        |  SELECT c_custkey, z, tx, ty,
+        |    st_tileenvelope(cast(z as double), cast(tx as double), cast(ty as double)) AS t
+        |  FROM (SELECT c_custkey, cast(c_custkey % 8 + 1 as int) AS z,
+        |          cast(c_custkey % cast(pow(2, c_custkey % 8 + 1) as bigint) as bigint) AS tx,
+        |          cast((c_custkey * 3) % cast(pow(2, c_custkey % 8 + 1) as bigint) as bigint) AS ty
+        |        FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Chaikin corner cutting on a right-angle elbow: 1 iteration keeps the
+    // endpoints, cuts the corner — 6 points, closed-form length
+    "q186_chaikin" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(st_npoints(st_chaikinsmoothing(elbow, 1.0)) as int) AS np1,
+        |  round(st_length(st_chaikinsmoothing(elbow, 1.0)), 6) AS len1,
+        |  cast(st_npoints(st_chaikinsmoothing(elbow, 2.0)) as int) AS np2
+        |FROM (
+        |  SELECT c_custkey, st_geomfromtext(concat('LINESTRING (0 0, ', a,
+        |    ' 0, ', a, ' ', b, ')')) AS elbow
+        |  FROM (SELECT c_custkey,
+        |          cast(c_custkey % 9 + 1 as bigint) AS a,
+        |          cast((c_custkey * 5) % 8 + 1 as bigint) AS b
+        |        FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // collinear-overlap extraction: an elbow against a 2-piece blade that
+    // runs along both legs — overlap lengths are closed-form interval math
+    "q187_sharedpaths" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_length(sp), 6) AS shared_len,
+        |  cast(st_numgeometries(sp) as int) AS n_pieces
+        |FROM (
+        |  SELECT c_custkey, st_sharedpaths(
+        |    st_geomfromtext('LINESTRING (0 0, 10 0, 10 5)'),
+        |    st_geomfromtext(concat('MULTILINESTRING ((', c, ' 0, ', c + d,
+        |      ' 0), (10 1, 10 9))'))) AS sp
+        |  FROM (SELECT c_custkey,
+        |          cast(c_custkey % 6 as bigint) AS c,
+        |          cast(c_custkey % 4 + 2 as bigint) AS d
+        |        FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // envelope-halving subdivision of a densified L-shape: parts tile the
+    // polygon exactly (dyadic split coordinates), every part under the
+    // vertex cap, bbox preserved
+    "q188_subdivide" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(sum(st_area(part)), 6) AS area_sum,
+        |  cast(max(st_npoints(part)) <= 12 as boolean) AS parts_small,
+        |  round(min(st_xmin(part)), 6) AS minx,
+        |  round(max(st_ymax(part)), 6) AS maxy
+        |FROM (
+        |  SELECT c_custkey, explode(st_subdivide(st_segmentize(lshape, 1.0), 12.0)) AS part
+        |  FROM (
+        |    SELECT c_custkey, st_geomfromtext(concat('POLYGON ((0 0, ', 2 * w, ' 0, ',
+        |      2 * w, ' ', h, ', ', w, ' ', h, ', ', w, ' ', 2 * h, ', 0 ', 2 * h,
+        |      ', 0 0))')) AS lshape
+        |    FROM (SELECT c_custkey,
+        |            cast(c_custkey % 4 + 2 as bigint) AS w,
+        |            cast((c_custkey * 3) % 4 + 2 as bigint) AS h
+        |          FROM customer WHERE c_custkey <= 300)))
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4310,6 +4448,89 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q181_frechet" ->
+      """SELECT c_custkey,
+        |  round(sqrt(13.0), 6) + 0.0 AS f_shift,
+        |  round(cast(c_custkey % 10 + 1 as double), 6) + 0.0 AS f_rev,
+        |  cast(0.0 as double) AS h_rev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q182_simplifyvw" ->
+      """SELECT c_custkey,
+        |  cast(2 as int) AS np_above,
+        |  cast(6.0 as double) AS len_above,
+        |  cast(7 as int) AS np_below,
+        |  round(6.0 * sqrt(1.0 + h * h), 6) AS len_below
+        |FROM (SELECT c_custkey, cast(c_custkey % 5 + 1 as double) AS h FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q183_triangulate" ->
+      """SELECT c_custkey,
+        |  cast(3 as int) AS n_tris,
+        |  round(w * h + w * r / 2.0, 6) AS tri_area,
+        |  round(w * h + w * r / 2.0, 6) AS poly_area
+        |FROM (SELECT c_custkey,
+        |        cast(c_custkey % 5 + 2 as double) AS w,
+        |        cast((c_custkey * 3) % 5 + 2 as double) AS h,
+        |        cast((c_custkey * 7) % 4 + 1 as double) AS r
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q184_minboundingcircle" ->
+      """SELECT c_custkey,
+        |  cast(33 as int) AS np,
+        |  round(sqrt(a * a + b * b) / 2.0, 6) AS r_east,
+        |  round(sqrt(a * a + b * b) / 2.0, 6) AS r_north
+        |FROM (SELECT c_custkey,
+        |        cast(c_custkey % 7 + 1 as double) AS a,
+        |        cast((c_custkey * 3) % 6 + 2 as double) AS b
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q185_tileenvelope" ->
+      """SELECT c_custkey, z, tx, ty,
+        |  round(-20037508.342789244 + tx * sz, 3) + 0.0 AS xmin,
+        |  round((20037508.342789244 - ty * sz) - sz, 3) + 0.0 AS ymin,
+        |  round((-20037508.342789244 + tx * sz) + sz, 3) + 0.0 AS xmax,
+        |  round(20037508.342789244 - ty * sz, 3) + 0.0 AS ymax
+        |FROM (
+        |  SELECT c_custkey, z, tx, ty,
+        |    2.0 * 20037508.342789244 / cast(pow(2, z) as bigint) AS sz
+        |  FROM (SELECT c_custkey, cast(c_custkey % 8 + 1 as int) AS z,
+        |          cast(c_custkey % cast(pow(2, c_custkey % 8 + 1) as bigint) as bigint) AS tx,
+        |          cast((c_custkey * 3) % cast(pow(2, c_custkey % 8 + 1) as bigint) as bigint) AS ty
+        |        FROM customer))
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q186_chaikin" ->
+      """SELECT c_custkey,
+        |  cast(6 as int) AS np1,
+        |  round(0.75 * (a + b) + 0.25 * sqrt(a * a + b * b), 6) AS len1,
+        |  cast(12 as int) AS np2
+        |FROM (SELECT c_custkey,
+        |        cast(c_custkey % 9 + 1 as double) AS a,
+        |        cast((c_custkey * 5) % 8 + 1 as double) AS b
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q187_sharedpaths" ->
+      """SELECT c_custkey,
+        |  round(cast(c_custkey % 4 + 2 as double) + 4.0, 6) AS shared_len,
+        |  cast(2 as int) AS n_pieces
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q188_subdivide" ->
+      """SELECT c_custkey,
+        |  round(3.0 * w * h, 6) AS area_sum,
+        |  cast(true as boolean) AS parts_small,
+        |  cast(0.0 as double) AS minx,
+        |  round(2.0 * h, 6) AS maxy
+        |FROM (SELECT c_custkey,
+        |        cast(c_custkey % 4 + 2 as double) AS w,
+        |        cast((c_custkey * 3) % 4 + 2 as double) AS h
+        |      FROM customer WHERE c_custkey <= 300)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q149_format_chain" ->
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,

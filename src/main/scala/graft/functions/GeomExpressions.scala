@@ -75,6 +75,16 @@ object GeomKernels {
       case null => null
       case c    => c(2)
     }),
+    // minimum enclosing circle as geometry (32-gon; radius 0 => the point)
+    "st_minimumboundingcircle" -> U(BinaryType, g => Shape.minBoundingCircleGeom(g, 32) match {
+      case null => null
+      case c    => wkb(c)
+    }),
+    // ear-clipping triangulation of hole-free polygons (GEOS-stub surface)
+    "st_triangulatepolygon" -> U(BinaryType, g => Shape.triangulate(g) match {
+      case null => null
+      case t    => wkb(t)
+    }),
     // great-circle polygon area on the mean-Earth sphere (m^2), lon/lat
     // degrees; the geodesic companion of st_distancesphere
     "st_areasphere" -> U(DoubleType, g => {
@@ -232,6 +242,17 @@ object GeomKernels {
       val h = Algos.hausdorff(a, b)
       if (h.isNaN) null else h
     }),
+    // discrete Fréchet distance (vertex-sequence coupling DP) — the
+    // order-sensitive companion of st_hausdorffdistance
+    "st_frechetdistance" -> B(DoubleType, (a, b) => {
+      val f = Shape.frechet(a, b)
+      if (f.isNaN) null else f
+    }),
+    // collinear-overlap extraction between lineal geometries
+    "st_sharedpaths" -> B(BinaryType, (a, b) => Shape.sharedPaths(a, b) match {
+      case null => null
+      case s    => wkb(s)
+    }),
     // great-circle meters between two lon/lat points (PostGIS
     // ST_DistanceSphere; same mean radius as st_geodesiclength's haversine)
     "st_distancesphere" -> B(DoubleType, (a, b) => (a, b) match {
@@ -259,6 +280,16 @@ object GeomKernels {
 
   val withArgs: Map[String, W] = Map(
     "st_simplify" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.simplify(g, d(a(0))))),
+    // Visvalingam-Whyatt area-threshold simplification
+    "st_simplifyvw" -> W(BinaryType, Set(1), (g, a) => wkb(Shape.simplifyVW(g, d(a(0))))),
+    // Chaikin corner-cutting smoothing (default 1 iteration, capped at 5)
+    "st_chaikinsmoothing" -> W(BinaryType, Set(0, 1), (g, a) => {
+      val it = if (a.isEmpty || a(0) == null) 1 else d(a(0)).toInt
+      wkb(Shape.chaikin(g, it))
+    }),
+    // recursive envelope-halving split of areal geometry; explode() the array
+    "st_subdivide" -> W(ArrayType(BinaryType, containsNull = false), Set(1), (g, a) =>
+      new GenericArrayData(Shape.subdivide(g, d(a(0)).toInt).map(p => wkb(p): Any))),
     // clip by rectangle = overlay intersection with the envelope polygon
     // (geopandas clip_by_rect, commented in the reference docs); operand
     // combos the overlay kernel can't express (lines) => null
@@ -494,6 +525,13 @@ object GeomKernels {
         new GenericArrayData(out.toArray)
       }
     }),
+    // Web-Mercator envelope of slippy-map tile (z, x, y), OSM y-from-north
+    // convention (PostGIS ST_TileEnvelope)
+    "st_tileenvelope" -> C(BinaryType, Set(3), a =>
+      Shape.tileEnvelope(d(a(0)).toInt, d(a(1)).toLong, d(a(2)).toLong) match {
+        case null => null
+        case t    => wkb(t)
+      }),
     // geohash cell => its envelope polygon (PostGIS ST_GeomFromGeoHash)
     "st_geomfromgeohash" -> C(BinaryType, Set(1), a => Geohash.decodeBounds(s(a(0))) match {
       case null => null
