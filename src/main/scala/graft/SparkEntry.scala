@@ -2897,7 +2897,125 @@ object SparkEntry {
         |            cast((c_custkey * 3) % 4 + 2 as bigint) AS h
         |          FROM customer WHERE c_custkey <= 300)))
         |GROUP BY c_custkey
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // PIVOT: long-to-wide reshape (the inverse of q137's stack/unpivot)
+    "q189_pivot" -> sqlQuery(Seq("orders"),
+      """SELECT * FROM (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+        |         cast(o_totalprice as decimal(20,2)) AS tp
+        |  FROM orders)
+        |PIVOT (cast(sum(tp) as double) FOR st IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |ORDER BY prio""".stripMargin),
+
+    // explicit GROUPING SETS with grouping() markers — the general form of
+    // ROLLUP (q115) and CUBE (q154)
+    "q190_groupingsets" -> sqlQuery(Seq("orders"),
+      """SELECT coalesce(o_orderstatus, '@') AS st,
+        |  coalesce(o_orderpriority, '@') AS prio,
+        |  cast(grouping(o_orderstatus) as int) AS g_st,
+        |  cast(grouping(o_orderpriority) as int) AS g_prio,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_st, g_prio, st, prio""".stripMargin),
+
+    // interval-overlap join via the reference-bin rewrite (RangeJoin
+    // .intervalOverlap): order activity windows x lineitem ship windows,
+    // no BNLJ, no dedup shuffle
+    "q191_interval_overlap" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "orders", "lineitem")
+      val day = 86400000000L
+      // o_orderdate/l_shipdate are TIMESTAMP_NTZ; in the UTC session the
+      // cast to TIMESTAMP is an exact relabel
+      val us = (c: String) => unix_micros(col(c).cast("timestamp"))
+      val ord = s.table("orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          us("o_orderdate").as("o_start"),
+          (us("o_orderdate") + (col("o_orderkey") % 30 + 1) * day).as("o_end"))
+      val li = s.table("lineitem")
+        .filter(col("l_suppkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          us("l_shipdate").as("l_start"),
+          (us("l_shipdate") + (col("l_partkey") % 20 + 1) * day).as("l_end"))
+      graft.relational.RangeJoin.intervalOverlap(
+          ord, col("o_start"), col("o_end"), li, col("l_start"), col("l_end"),
+          binSize = 30L * day)
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          ((least(col("o_end"), col("l_end")) - greatest(col("o_start"), col("l_start"))) / day)
+            .cast("bigint").as("overlap_days"))
+        .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // SCD type-2 dimension build from a change log (Cdc.scd2): versioned
+    // rows with [valid_from, valid_to) + is_current, one window, one shuffle
+    "q192_scd2" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      graft.relational.Cdc.scd2(
+          s.table("events").select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          keyCol = "user_id", tsCol = "ts", orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("version"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // exact triangle counting via degree-ordered orientation (Graph
+    // .triangleCount) — wedge fan-out capped at O(sqrt(E)) per node, so
+    // power-law hubs cannot square the shuffle
+    "q193_triangles" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "orders")
+      val edges = s.table("orders").select(
+        (col("o_custkey") % 60).as("src"),
+        ((col("o_custkey") * 7 + col("o_orderkey")) % 60).as("dst"))
+      graft.relational.Graph.triangleCount(edges, "src", "dst")
+    }),
+
+    // ANSI percentile_disc + deterministic mode (count desc, value asc
+    // tie-break) — the discrete companions of q152's percentile_cont
+    "q194_disc_mode" -> sqlQuery(Seq("lineitem"),
+      """WITH r AS (SELECT l_returnflag AS flag, cast(l_quantity as double) AS q
+        |           FROM lineitem),
+        |c AS (SELECT flag, q, cume_dist() OVER (PARTITION BY flag ORDER BY q) AS cd
+        |      FROM r),
+        |m AS (SELECT flag, q, cast(count(*) as bigint) AS n FROM r GROUP BY flag, q),
+        |mm AS (SELECT flag, q AS mode_q, n,
+        |         row_number() OVER (PARTITION BY flag ORDER BY n DESC, q) AS rn
+        |       FROM m)
+        |SELECT c.flag,
+        |  min(CASE WHEN cd >= 0.5 THEN q END) AS p50_disc,
+        |  min(CASE WHEN cd >= 0.9 THEN q END) AS p90_disc,
+        |  max(mm.mode_q) AS mode_val,
+        |  max(mm.n) AS mode_n
+        |FROM c JOIN (SELECT flag, mode_q, n FROM mm WHERE rn = 1) mm
+        |  ON c.flag = mm.flag
+        |GROUP BY c.flag
+        |ORDER BY c.flag""".stripMargin),
+
+    // gap filling: forward/backward fill + nth_value with IGNORE NULLS —
+    // the sensor-data repair primitive
+    "q195_fill" -> sqlQuery(Seq("events"),
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN value < 50.0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, (v IS NULL) AS was_null,
+        |  last_value(v) IGNORE NULLS OVER w AS ffill,
+        |  first_value(v) IGNORE NULLS OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
+        |  nth_value(v, 2) IGNORE NULLS OVER w AS second_seen
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4448,6 +4566,99 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q189_pivot" ->
+      """SELECT o_orderpriority AS prio,
+        |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN cast(o_totalprice as decimal(20,2)) END) as double) AS f,
+        |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN cast(o_totalprice as decimal(20,2)) END) as double) AS o,
+        |  cast(sum(CASE WHEN o_orderstatus = 'P' THEN cast(o_totalprice as decimal(20,2)) END) as double) AS p
+        |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    "q190_groupingsets" ->
+      """SELECT coalesce(o_orderstatus, '@') AS st,
+        |  coalesce(o_orderpriority, '@') AS prio,
+        |  cast(grouping(o_orderstatus) as int) AS g_st,
+        |  cast(grouping(o_orderpriority) as int) AS g_prio,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_st, g_prio, st, prio""".stripMargin,
+
+    "q191_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, epoch_us(o_orderdate) AS o_start,
+        |    epoch_us(o_orderdate) + (o_orderkey % 30 + 1) * 86400000000 AS o_end
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |l AS (
+        |  SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS l_start,
+        |    epoch_us(l_shipdate) + (l_partkey % 20 + 1) * 86400000000 AS l_end
+        |  FROM lineitem WHERE l_suppkey % 100 = 0)
+        |SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+        |  cast((least(o.o_end, l.l_end) - greatest(o.o_start, l.l_start)) / 86400000000 as bigint)
+        |    AS overlap_days
+        |FROM o JOIN l ON o.o_start <= l.l_end AND l.l_start <= o.o_end
+        |ORDER BY o.o_orderkey, l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q192_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER w) AS valid_to_us,
+        |  cast(row_number() OVER w as int) AS version,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q193_triangles" ->
+      """WITH e0 AS (
+        |  SELECT least(o_custkey % 60, (o_custkey * 7 + o_orderkey) % 60) AS u,
+        |         greatest(o_custkey % 60, (o_custkey * 7 + o_orderkey) % 60) AS v
+        |  FROM orders),
+        |e AS (SELECT DISTINCT u, v FROM e0 WHERE u <> v)
+        |SELECT
+        |  (SELECT cast(count(DISTINCT n) as bigint) FROM
+        |    (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+        |  (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
+        |  (SELECT cast(count(*) as bigint)
+        |   FROM e a JOIN e b ON a.v = b.u JOIN e c ON c.u = a.u AND c.v = b.v)
+        |    AS n_triangles""".stripMargin,
+
+    "q194_disc_mode" ->
+      """WITH r AS (SELECT l_returnflag AS flag, cast(l_quantity as double) AS q
+        |           FROM lineitem),
+        |c AS (SELECT flag, q, cume_dist() OVER (PARTITION BY flag ORDER BY q) AS cd
+        |      FROM r),
+        |m AS (SELECT flag, q, cast(count(*) as bigint) AS n FROM r GROUP BY flag, q),
+        |mm AS (SELECT flag, q AS mode_q, n,
+        |         row_number() OVER (PARTITION BY flag ORDER BY n DESC, q) AS rn
+        |       FROM m)
+        |SELECT c.flag,
+        |  min(CASE WHEN cd >= 0.5 THEN q END) AS p50_disc,
+        |  min(CASE WHEN cd >= 0.9 THEN q END) AS p90_disc,
+        |  max(mm.mode_q) AS mode_val,
+        |  max(mm.n) AS mode_n
+        |FROM c JOIN (SELECT flag, mode_q, n FROM mm WHERE rn = 1) mm
+        |  ON c.flag = mm.flag
+        |GROUP BY c.flag
+        |ORDER BY c.flag""".stripMargin,
+
+    "q195_fill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN value < 50.0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, (v IS NULL) AS was_null,
+        |  last_value(v IGNORE NULLS) OVER w AS ffill,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
+        |  nth_value(v, 2 IGNORE NULLS) OVER w AS second_seen
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q181_frechet" ->
       """SELECT c_custkey,

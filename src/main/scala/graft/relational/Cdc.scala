@@ -44,4 +44,27 @@ object Cdc {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .select(col(keyCol) +: valueCols.map(col): _*)
   }
+
+  /**
+   * Slowly-changing-dimension type 2 from a change log: each change row
+   * becomes a version with [valid_from, valid_to) derived from the NEXT
+   * change of the same key; the open version has valid_to NULL and
+   * is_current true.
+   *
+   * Scale shape: one window over (key, order) — a single shuffle on the
+   * key, no self-join. `orderCols` must make the ordering total per key
+   * (e.g. ts + a unique id) or version boundaries would be nondeterministic.
+   */
+  def scd2(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -61,6 +61,38 @@ object RangeJoin {
   }
 
   /**
+   * Interval-overlap join: left intervals [lLo, lHi] x right intervals
+   * [rLo, rHi] that overlap (inclusive ends), as an equi shuffle join on
+   * bins. Both sides replicate across their touched bins, so each
+   * overlapping pair would meet once per shared bin; the reference-bin
+   * filter (the bin containing max(lLo, rLo) — the overlap's left edge)
+   * keeps exactly one copy WITHOUT a distinct/dedup shuffle. All interval
+   * expressions must evaluate to LONG; column names must not clash.
+   */
+  def intervalOverlap(
+      left: DataFrame,
+      lLo: Column,
+      lHi: Column,
+      right: DataFrame,
+      rLo: Column,
+      rHi: Column,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    def tag(df: DataFrame, lo: Column, hi: Column, loN: String, hiN: String): DataFrame =
+      df.withColumn(loN, lo.cast("long"))
+        .withColumn(hiN, hi.cast("long"))
+        .filter(col(loN) <= col(hiN))
+        .withColumn("__bin",
+          explode(sequence(floorDiv(col(loN), binSize), floorDiv(col(hiN), binSize))))
+    val l = tag(left, lLo, lHi, "__llo", "__lhi")
+    val r = tag(right, rLo, rHi, "__rlo", "__rhi")
+    l.join(r, Seq("__bin"))
+      .filter(col("__llo") <= col("__rhi") && col("__rlo") <= col("__lhi"))
+      .filter(floorDiv(greatest(col("__llo"), col("__rlo")), binSize) === col("__bin"))
+      .drop("__bin", "__llo", "__lhi", "__rlo", "__rhi")
+  }
+
+  /**
    * Self proximity join: all unordered pairs (a, b), a.id < b.id, with
    * |a.t - b.t| <= tolerance. With binSize = tolerance, side A keeps its
    * single bin and side B is replicated into {bin-1, bin, bin+1}; any

@@ -1,0 +1,98 @@
+package graft.relational
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-2 relational operators vs brute-force formulations on
+  * deterministic LCG data: interval-overlap join, SCD2, triangle count. */
+class GraphCdcIntervalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  test("intervalOverlap matches brute-force inequality join, exactly once per pair") {
+    val r = lcg(11).map(x => math.floorMod(x, 500L))
+    val left = (1L to 120L).map { i => val lo = r.next(); (i, lo, lo + r.next() % 60) }
+    val right = (1L to 150L).map { i => val lo = r.next(); (i, lo, lo + r.next() % 40) }
+    val got = RangeJoin.intervalOverlap(
+        left.toDF("lid", "llo", "lhi"), col("llo"), col("lhi"),
+        right.toDF("rid", "rlo", "rhi"), col("rlo"), col("rhi"),
+        binSize = 50L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expected = for {
+      (lid, llo, lhi) <- left
+      (rid, rlo, rhi) <- right
+      if llo <= rhi && rlo <= lhi
+    } yield (lid, rid)
+    assert(got.sorted == expected.sorted) // duplicates would fail here too
+  }
+
+  test("intervalOverlap with bin size far from interval lengths stays exact") {
+    val r = lcg(23).map(x => math.floorMod(x, 300L))
+    val left = (1L to 60L).map { i => val lo = r.next(); (i, lo, lo + r.next() % 100) }
+    val right = (1L to 60L).map { i => val lo = r.next(); (i, lo, lo + r.next() % 5) }
+    for (bin <- Seq(7L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(
+          left.toDF("lid", "llo", "lhi"), col("llo"), col("lhi"),
+          right.toDF("rid", "rlo", "rhi"), col("rlo"), col("rhi"), bin)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      val expected = for {
+        (lid, llo, lhi) <- left; (rid, rlo, rhi) <- right
+        if llo <= rhi && rlo <= lhi
+      } yield (lid, rid)
+      assert(got.sorted == expected.sorted, s"bin=$bin")
+    }
+  }
+
+  test("scd2 versions tile each key's timeline with one open current row") {
+    val r = lcg(37)
+    val changes = (1L to 200L).map(i =>
+      (math.floorMod(r.next(), 8L), i, math.floorMod(r.next(), 1000L)))
+    val out = Cdc.scd2(changes.toDF("k", "cid", "ts"), "k", "ts", Seq("ts", "cid"))
+      .select("k", "cid", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, Long, Long, Option[Long], Int, Boolean)].collect()
+
+    val byKey = out.groupBy(_._1)
+    for ((k, rows) <- byKey) {
+      val sorted = rows.sortBy(_._5)
+      // versions are 1..n dense
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length))
+      // exactly one current row, and it is the last version
+      assert(sorted.count(_._6) == 1 && sorted.last._6)
+      // valid_to of version i == valid_from of version i+1
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+      // ordering matches (ts, cid)
+      val expectedOrder = changes.filter(_._1 == k).sortBy(c => (c._3, c._2)).map(_._2)
+      assert(sorted.map(_._2).toSeq == expectedOrder)
+    }
+  }
+
+  test("triangleCount matches brute force on random graph, ignores dup/reversed/self edges") {
+    val r = lcg(53).map(x => math.floorMod(x, 30L))
+    val raw = (1 to 400).map(_ => (r.next(), r.next()))
+    // include reversed duplicates explicitly
+    val edges = (raw ++ raw.map(_.swap)).toDF("s", "d")
+    val row = Graph.triangleCount(edges, "s", "d")
+      .as[(Long, Long, Long)].collect().head
+
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val ns = nodes.toSeq.sorted
+    var tri = 0L
+    for {
+      i <- ns.indices; j <- (i + 1) until ns.length
+      if und(( ns(i), ns(j) ))
+      k <- (j + 1) until ns.length
+      if und((ns(i), ns(k))) && und((ns(j), ns(k)))
+    } tri += 1
+    assert(row == ((nodes.size.toLong, und.size.toLong, tri)))
+  }
+}
