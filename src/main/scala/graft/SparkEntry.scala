@@ -3015,7 +3015,106 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // C4-style line filtering (Corpus.c4CleanText): terminal punctuation +
+    // min words + chrome markers, on deterministically synthesized
+    // multi-line docs; the oracle knows which two lines survive
+    "q196_c4_clean" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val raw = s.sql(
+        """SELECT doc_id, concat_ws('\n',
+          |  concat(array_join(slice(split(concat(text, ' ', text), ' '), 1, 8), ' '), '.'),
+          |  'short line',
+          |  concat('function() { return ', cast(doc_id as string), '; }'),
+          |  concat(array_join(slice(split(concat(text, ' ', text), ' '), 9, 6), ' '), '?'),
+          |  'Enable javascript to view comments.',
+          |  'Lorem ipsum dolor sit amet.') AS raw_text
+          |FROM documents""".stripMargin)
+      raw.select(col("doc_id"),
+          graft.pipeline.Corpus.c4CleanText(col("raw_text")).as("clean"))
+        .selectExpr("doc_id",
+          "cast(size(split(clean, '\n')) as int) AS n_lines_kept",
+          "md5(clean) AS clean_md5")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher quality-filter signal set (TextAnalysis.gopherFlags): one
+    // codegen scan computing every Rae-et-al. heuristic + the pass flag
+    "q197_gopher" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val t2 = s.sql(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0
+          |         THEN concat(text, '\n- bullet a\n- bullet b\n- bullet c')
+          |       WHEN doc_id % 7 = 0 THEN concat(text, '\nto be continued...')
+          |       ELSE text END AS t2
+          |FROM documents""".stripMargin)
+      t2.select(col("doc_id"), graft.pipeline.TextAnalysis.gopherFlags(col("t2")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_frac").as("bullet_frac"),
+          col("g.ellipsis_frac").as("ellipsis_frac"),
+          col("g.stopword_hits").as("stopword_hits"),
+          col("g.alpha_frac").as("alpha_frac"),
+          col("g.pass").as("pass"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (TextAnalysis.dsirWeights): hashed-unigram
+    // log-likelihood ratio of target (src0-3) vs the raw pool, md5-bucketed
+    // so the weights hash-match cross-engine
+    "q198_dsir" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.TextAnalysis.dsirWeights(
+          s.table("documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy("doc_id")
+    }),
+
+    // binary-quantization ANN (Similarity.hammingTopK): sign-bit codes in
+    // two bigints, XOR+popcount scoring — completes the quantization
+    // family (PQ q84, IVF-PQ q93, SQ8 q122) at 1 bit/dim
+    "q199_binary_quant" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "embeddings")
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Similarity.hammingTopK(
+          s.table("embeddings"), "vec_id", "embedding", queryVec, 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("hamming"), col("vec_id"))))
+        .orderBy("rank")
+    }),
+
+    // cross-document paragraph dedup, keep-first (Corpus.paragraphDedup):
+    // re-posts with permuted paragraphs collapse onto their originals;
+    // the shared footer survives only at its globally first occurrence
+    "q200_paragraph_dedup" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val corpus = s.sql(
+        """WITH w AS (
+          |  SELECT doc_id, split(concat(text, ' ', text), ' ') AS ws FROM documents),
+          |p AS (
+          |  SELECT doc_id,
+          |    concat('p1-', cast(doc_id as string), ' ',
+          |           array_join(slice(ws, 1, 10), ' ')) AS p1,
+          |    concat('p2-', cast(doc_id as string), ' ',
+          |           array_join(slice(ws, 11, 10), ' ')) AS p2
+          |  FROM w)
+          |SELECT doc_id, concat_ws('\n\n', p1, p2, 'standard footer paragraph') AS body
+          |FROM p
+          |UNION ALL
+          |SELECT doc_id + 100000, concat_ws('\n\n', p2, p1, 'standard footer paragraph')
+          |FROM p""".stripMargin)
+      graft.pipeline.Corpus.paragraphDedup(corpus, "doc_id", "body")
+        .selectExpr("doc_id", "cast(n_kept as bigint) AS n_kept", "md5(dedup_text) AS body_md5")
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -4566,6 +4665,124 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q196_c4_clean" ->
+      """WITH w AS (SELECT doc_id, str_split(text || ' ' || text, ' ') AS ws
+        |           FROM documents),
+        |k AS (SELECT doc_id,
+        |        array_to_string(ws[1:8], ' ') || '.' || chr(10) ||
+        |        array_to_string(ws[9:14], ' ') || '?' AS clean
+        |      FROM w)
+        |SELECT doc_id, cast(2 as int) AS n_lines_kept, md5(clean) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q197_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN text || chr(10) || '- bullet a' || chr(10) || '- bullet b'
+        |                || chr(10) || '- bullet c'
+        |         WHEN doc_id % 7 = 0 THEN text || chr(10) || 'to be continued...'
+        |         ELSE text END AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t2,
+        |    list_filter(string_split_regex(trim(t2), '\s+'), w -> w <> '') AS words,
+        |    string_split(t2, chr(10)) AS lines
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id,
+        |    cast(len(words) as bigint) AS n_words,
+        |    round(cast(list_sum(list_transform(words, w -> length(w))) as double)
+        |          / len(words), 6) AS mean_word_len,
+        |    round((cast(length(t2) - length(replace(t2, '#', '')) as double) +
+        |           (length(t2) - length(replace(t2, '...', ''))) / 3.0)
+        |          / len(words), 6) AS symbol_ratio,
+        |    round(cast(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) as double)
+        |          / len(lines), 6) AS bullet_frac,
+        |    round(cast(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) as double)
+        |          / len(lines), 6) AS ellipsis_frac,
+        |    cast((CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'the') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'be') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'to') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'of') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'and') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'that') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'have') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'with') THEN 1 ELSE 0 END) as int)
+        |      AS stopword_hits,
+        |    round(cast(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) as double)
+        |          / len(words), 6) AS alpha_frac
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, stopword_hits, alpha_frac,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio < 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND stopword_hits >= 2 AND alpha_frac > 0.8) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q198_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |        FROM documents)),
+        |pd AS (SELECT doc_id, b, cast(count(*) as bigint) AS occ
+        |       FROM toks GROUP BY doc_id, b),
+        |lm AS (SELECT b, cast(sum(CASE WHEN tgt THEN 1 ELSE 0 END) as bigint) AS tc,
+        |         cast(count(*) as bigint) AS rc
+        |       FROM toks GROUP BY b),
+        |tot AS (SELECT cast(sum(tc) as bigint) AS nt, cast(sum(rc) as bigint) AS nr
+        |        FROM lm)
+        |SELECT doc_id, n_tokens,
+        |  round(cast(s as double) / n_tokens, 4) + 0.0 AS dsir_weight
+        |FROM (
+        |  SELECT pd.doc_id,
+        |    sum(cast(round(pd.occ * (ln(lm.tc + 1) - ln(tot.nt + 4096) -
+        |                             ln(lm.rc + 1) + ln(tot.nr + 4096)), 6)
+        |        as decimal(24,6))) AS s,
+        |    cast(sum(pd.occ) as bigint) AS n_tokens
+        |  FROM pd JOIN lm USING (b) CROSS JOIN tot
+        |  GROUP BY pd.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q199_binary_quant" -> {
+      def half(arr: String, off: Int) =
+        s"""cast(list_sum(list_transform(range(32), i ->
+           |  CASE WHEN ($arr)[i + ${off + 1}] >= 0 THEN (1::BIGINT << i)
+           |       ELSE 0::BIGINT END)) as bigint)""".stripMargin
+      s"""WITH c AS (SELECT vec_id, ${half("embedding", 0)} AS lo,
+         |             ${half("embedding", 32)} AS hi
+         |           FROM embeddings),
+         |q AS (SELECT ${half(queryVecSql, 0)} AS qlo, ${half(queryVecSql, 32)} AS qhi)
+         |SELECT vec_id,
+         |  cast(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) as int) AS hamming,
+         |  cast(row_number() OVER (ORDER BY
+         |    bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)), vec_id) as int) AS rank
+         |FROM c CROSS JOIN q
+         |ORDER BY hamming, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q200_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, str_split(text || ' ' || text, ' ') AS ws
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        'p1-' || cast(doc_id as varchar) || ' ' || array_to_string(ws[1:10], ' ') AS p1,
+        |        'p2-' || cast(doc_id as varchar) || ' ' || array_to_string(ws[11:20], ' ') AS p2
+        |      FROM w),
+        |mn AS (SELECT min(doc_id) AS m FROM documents),
+        |allrows AS (SELECT doc_id, p1, p2 FROM p
+        |            UNION ALL SELECT doc_id + 100000, p1, p2 FROM p)
+        |SELECT doc_id,
+        |  cast(CASE WHEN doc_id >= 100000 THEN 0
+        |            WHEN doc_id = (SELECT m FROM mn) THEN 3 ELSE 2 END as bigint) AS n_kept,
+        |  md5(CASE WHEN doc_id >= 100000 THEN ''
+        |           WHEN doc_id = (SELECT m FROM mn)
+        |             THEN p1 || chr(10) || chr(10) || p2 || chr(10) || chr(10)
+        |                  || 'standard footer paragraph'
+        |           ELSE p1 || chr(10) || chr(10) || p2 END) AS body_md5
+        |FROM allrows ORDER BY doc_id""".stripMargin,
 
     "q189_pivot" ->
       """SELECT o_orderpriority AS prio,

@@ -184,6 +184,65 @@ object Corpus {
     df.select(id).join(rebuilt, Seq(idCol), "left").na.fill("", Seq(outCol))
   }
 
+  /**
+   * C4-style line filtering (Raffel et al. 2020 §2.2, public heuristics):
+   * keep only lines that end in terminal punctuation, have at least
+   * `minWords` words, and contain none of the chrome markers ("lorem
+   * ipsum", "javascript", "{"). A pure per-row expression — split, lambda
+   * filter, rejoin — so it runs inside one codegen'd scan with no shuffle
+   * and is streaming-safe.
+   */
+  def c4CleanText(text: Column, minWords: Int = 3): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      size(filter(split(t, "\\s+"), w => w =!= "")) >= minWords &&
+        t.rlike("[.!?\"]$") &&
+        !lower(t).contains("lorem ipsum") &&
+        !lower(t).contains("javascript") &&
+        !t.contains("{")
+    })
+    array_join(kept, "\n")
+  }
+
+  /**
+   * Cross-document paragraph-level exact dedup, keep-first: a paragraph
+   * survives only at its earliest occurrence (min (id, position) over the
+   * whole corpus — also dedups repeats within a document); surviving
+   * paragraphs reassemble in original order, fully-deduped docs come back
+   * as empty strings, not dropped rows.
+   *
+   * Scale shape: one explode; one shuffle grouping on the paragraph text
+   * (map-side combinable min); winners join back on the same key (no
+   * second shuffle of the big side under AQE); one final shuffle on the
+   * doc id to rebuild. The quadratic all-pairs comparison a naive dedup
+   * implies never materializes.
+   */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      outCol: String = "dedup_text"): DataFrame = {
+    val id = col(idCol)
+    val paras = df.select(id,
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+    val winners = paras.groupBy(col("__para"))
+      .agg(min(struct(id.as("__wid"), col("__pos").as("__wpos"))).as("__w"))
+    val kept = paras.join(winners, Seq("__para"))
+      .filter(id === col("__w.__wid") && col("__pos") === col("__w.__wpos"))
+    val rebuilt = kept.groupBy(id).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        sep).as(outCol),
+      count(lit(1)).as("n_kept"))
+    df.select(id).join(rebuilt, Seq(idCol), "left")
+      .na.fill("", Seq(outCol)).na.fill(0L, Seq("n_kept"))
+  }
+
   // ------------------------------------------- chunking & sequence packing
 
   /**

@@ -401,6 +401,54 @@ object Similarity {
   }
 
   /**
+   * Sign-bit binary quantization of one 32-dim half of a vector: bit i set
+   * iff v[off+i] >= 0, packed little-endian into a BIGINT via the
+   * Horner fold (no variable shifts — pure codegen'd HOF arithmetic,
+   * reproducible as `list_sum(list_transform(range(32), ...))` in SQL
+   * engines). Two halves cover the standard 64-dim embedding in 8 bytes —
+   * a 32x compression that turns similarity into XOR+popcount.
+   */
+  def binaryHalfCol(vecCol: Column, off: Int): Column =
+    aggregate(
+      reverse(transform(sequence(lit(0), lit(31)),
+        i => when(element_at(vecCol, i + lit(off + 1)) >= 0, 1L).otherwise(0L))),
+      lit(0L), (acc, b) => acc * 2 + b)
+
+  /** Driver-side packing of a query vector for [[binaryHalfCol]] parity. */
+  def binaryHalf(v: Array[Double], off: Int): Long = {
+    var acc = 0L
+    var i = 31
+    while (i >= 0) { acc = acc * 2 + (if (v(off + i) >= 0) 1L else 0L); i -= 1 }
+    acc
+  }
+
+  /**
+   * Hamming-distance top-k over binary-quantized 64-dim vectors: the
+   * scoring loop is two XORs and two popcounts per row (codegen bitops,
+   * no arrays touched), then a TakeOrdered — the cheapest member of the
+   * quantized-search family (vs PQ/SQ8/IVF above). Ties break on id.
+   */
+  def hammingTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int): DataFrame = {
+    require(query.length >= 64, "hammingTopK packs 64 dims")
+    val qLo = binaryHalf(query, 0)
+    val qHi = binaryHalf(query, 32)
+    df.select(col(idCol),
+        binaryHalfCol(col(vecCol), 0).as("__lo"),
+        binaryHalfCol(col(vecCol), 32).as("__hi"))
+      .withColumn("hamming",
+        (bit_count(col("__lo").bitwiseXOR(lit(qLo))) +
+         bit_count(col("__hi").bitwiseXOR(lit(qHi)))).cast("int"))
+      .drop("__lo", "__hi")
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  /**
    * All-pairs top-k per probe row against a broadcast-sized query set
    * (k-NN join): crossJoin(broadcast(queries)) + windowed rank. The big side
    * streams; the query side must be small (it is broadcast).

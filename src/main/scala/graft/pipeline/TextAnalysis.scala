@@ -96,6 +96,89 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher quality-filter signals (Rae et al. 2021, Table A1 — public
+   * heuristics): word-count band, mean-word-length band, symbol-to-word
+   * ratio, bullet-line / ellipsis-line fractions, stopword presence,
+   * alphabetic-word fraction, and the combined pass flag. One pure
+   * expression tree over the text column — single codegen'd scan, no
+   * shuffle, streaming-safe, closed-form (DuckDB-reproducible). Ratios
+   * round to 6 decimals.
+   */
+  def gopherFlags(text: Column): Column = {
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val totalLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = round(totalLen.cast("double") / nWords, 6)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val symbolRatio = round((hashes + ellipses).cast("double") / nWords, 6)
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+    val bulletFrac = round(bulletLines.cast("double") / nLines, 6)
+    val ellipsisFrac = round(ellipsisLines.cast("double") / nLines, 6)
+    val lower_ = transform(words, w => lower(w))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(s => when(array_contains(lower_, s), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val alphaFrac = round(alphaWords.cast("double") / nWords, 6)
+    val pass = nWords.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      stopHits >= 2 && alphaFrac > 0.8
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), stopHits.as("stopword_hits"),
+      alphaFrac.as("alpha_frac"), pass.as("pass"))
+  }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, public formulation):
+   * per-document mean log-likelihood ratio of a target-corpus unigram LM
+   * over the raw-pool LM, with hashed-feature buckets (md5-derived, so
+   * the weights are engine-reproducible) and add-one smoothing. Documents
+   * that "look like" the target distribution score high — the importance-
+   * resampling signal for domain-targeted pretraining data selection.
+   *
+   * Scale shape: tokenize once; both LMs come from ONE aggregation over
+   * the bucketed tokens (target counts via a conditional sum) —
+   * `buckets` rows, broadcast back; per-doc contributions round to 6
+   * decimals and sum as decimal (order-independent, hash-exact).
+   */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val id = col(idCol)
+    val toks = df.select(id, isTarget.as("__tgt"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(id, col("__tgt"),
+        pmod(exprColumn(Md5Hash60(columnExpr(col("__tok")))), lit(buckets.toLong)).as("__b"))
+    val perDoc = toks.groupBy(id, col("__b")).agg(count(lit(1)).as("__occ"))
+    val lm = toks.groupBy(col("__b")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__rc"))
+    val totals = lm.agg(sum(col("__tc")).as("__nt"), sum(col("__rc")).as("__nr"))
+    perDoc.join(broadcast(lm), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(id)
+      .agg(
+        sum(round(col("__occ") *
+            (log(col("__tc") + 1) - log(col("__nt") + buckets) -
+             log(col("__rc") + 1) + log(col("__nr") + buckets)), 6)
+          .cast("decimal(24,6)")).as("__s"),
+        sum(col("__occ")).as("n_tokens"))
+      .withColumn("dsir_weight",
+        round(col("__s").cast("double") / col("n_tokens"), 4) + lit(0.0))
+      .select(id, col("n_tokens"), col("dsir_weight"))
+  }
+
+  /**
    * Out-of-vocabulary rate against the corpus' own top-`vocabSize`
    * tokens (ties broken by token text, so the vocabulary is
    * deterministic): the tokenizer-fit signal — docs with high OOV under

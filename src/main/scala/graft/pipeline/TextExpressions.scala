@@ -327,6 +327,8 @@ object TextRowEval {
     new GenericInternalRow(TextKernels.textCounts(t.toString).map(_.asInstanceOf[Any]))
   def normalizeText(t: UTF8String): UTF8String =
     UTF8String.fromString(TextKernels.normalizeText(t.toString))
+  def md5Hash60(t: UTF8String): Long =
+    TextKernels.md5Hash60(t.toString)
 }
 
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
@@ -462,6 +464,21 @@ case class TextStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TextStats = copy(c)
 }
 
+/** md5_hash60(text) -> bigint: first 60 bits of md5 — the cross-engine
+  * string hash (`('0x' || substr(md5(s), 1, 15))::BIGINT` in DuckDB), for
+  * hashed-feature bucketing that must reproduce outside the JVM. */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash60"
+  override protected def nullSafeEval(t: Any): Any =
+    TextRowEval.md5Hash60(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.md5Hash60($t);")
+  override protected def withNewChildInternal(c: Expression): Md5Hash60 = copy(c)
+}
+
 /** normalize_text(text) -> string: control-strip + whitespace collapse + NFC
   * (see TextKernels.normalizeText). */
 case class NormalizeText(child: Expression) extends UnaryExpression {
@@ -492,6 +509,7 @@ object TextRegistry {
     reg("hash64", exprs => Hash64(exprs.head, exprs(1)))
     reg("text_stats", exprs => TextStats(exprs.head))
     reg("normalize_text", exprs => NormalizeText(exprs.head))
+    reg("md5_hash60", exprs => Md5Hash60(exprs.head))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
     reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),
