@@ -3114,6 +3114,96 @@ object SparkEntry {
       graft.pipeline.Corpus.paragraphDedup(corpus, "doc_id", "body")
         .selectExpr("doc_id", "cast(n_kept as bigint) AS n_kept", "md5(dedup_text) AS body_md5")
         .orderBy("doc_id")
+    }),
+
+    // unary union: dissolve a multipolygon's own parts — two corner-
+    // overlapping squares merge (area 1.75 s^2), a remote square survives
+    "q201_unaryunion" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_area(u), 6) AS u_area,
+         |  cast(st_numgeometries(u) as int) AS n_parts,
+         |  st_isvalid(u) AS valid
+         |FROM (
+         |  SELECT c_custkey, st_unaryunion(st_geomfromtext(concat(
+         |    'MULTIPOLYGON (((0 0, ', s, ' 0, ', s, ' ', s, ', 0 ', s, ', 0 0)), ((',
+         |    s / 2, ' ', s / 2, ', ', 3 * s / 2, ' ', s / 2, ', ',
+         |    3 * s / 2, ' ', 3 * s / 2, ', ', s / 2, ' ', 3 * s / 2, ', ',
+         |    s / 2, ' ', s / 2, ')), ((',
+         |    10 * s, ' 0, ', 11 * s, ' 0, ', 11 * s, ' ', s, ', ', 10 * s,
+         |    ' ', s, ', ', 10 * s, ' 0)))'))) AS u
+         |  FROM (SELECT c_custkey, cast($custSide as double) AS s FROM customer))
+         |ORDER BY c_custkey""".stripMargin),
+
+    // canonical form: rotated/reversed rings and permuted multi-parts
+    // normalize to byte-identical text; a different square does not
+    "q202_normalize" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  st_astext(st_normalize(a)) = st_astext(st_normalize(b)) AS ring_canon_eq,
+         |  st_astext(st_normalize(a)) = st_astext(st_normalize(c)) AS other_canon_eq,
+         |  st_astext(st_normalize(mpa)) = st_astext(st_normalize(mpb)) AS mp_canon_eq,
+         |  st_equals(a, b) AS equals_pred
+         |FROM (
+         |  SELECT c_custkey,
+         |    st_geomfromtext(concat('POLYGON ((', x, ' ', y, ', ', x + s, ' ', y, ', ',
+         |      x + s, ' ', y + s, ', ', x, ' ', y + s, ', ', x, ' ', y, '))')) AS a,
+         |    st_geomfromtext(concat('POLYGON ((', x + s, ' ', y + s, ', ', x + s, ' ', y,
+         |      ', ', x, ' ', y, ', ', x, ' ', y + s, ', ', x + s, ' ', y + s, '))')) AS b,
+         |    st_geomfromtext(concat('POLYGON ((', x + 1, ' ', y, ', ', x + s + 1, ' ', y, ', ',
+         |      x + s + 1, ' ', y + s, ', ', x + 1, ' ', y + s, ', ', x + 1, ' ', y, '))')) AS c,
+         |    st_geomfromtext(concat('MULTIPOLYGON (((', x, ' ', y, ', ', x + s, ' ', y, ', ',
+         |      x + s, ' ', y + s, ', ', x, ' ', y, ')), ((', x + 20, ' ', y, ', ',
+         |      x + 20 + s, ' ', y, ', ', x + 20, ' ', y + s, ', ', x + 20, ' ', y, ')))')) AS mpa,
+         |    st_geomfromtext(concat('MULTIPOLYGON (((', x + 20, ' ', y, ', ',
+         |      x + 20 + s, ' ', y, ', ', x + 20, ' ', y + s, ', ', x + 20, ' ', y, ')), ((',
+         |      x, ' ', y, ', ', x + s, ' ', y, ', ', x + s, ' ', y + s, ', ', x, ' ', y, ')))')) AS mpb
+         |  FROM (SELECT c_custkey, cast($custX as bigint) AS x, cast($custY as bigint) AS y,
+         |          cast(c_custkey % 10 + 1 as bigint) AS s FROM customer))
+         |ORDER BY c_custkey""".stripMargin),
+
+    // seeded deterministic point generation inside areal geometry
+    "q203_generatepoints" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  cast(st_numgeometries(pts) as int) AS n_pts,
+         |  st_covers(env, pts) AS covered
+         |FROM (
+         |  SELECT c_custkey, env,
+         |    st_generatepoints(env, cast(c_custkey % 20 + 5 as double),
+         |                      cast(c_custkey as double)) AS pts
+         |  FROM (SELECT c_custkey,
+         |          st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide) AS env
+         |        FROM customer))
+         |ORDER BY c_custkey""".stripMargin),
+
+    // LATERAL VIEW posexplode — the UDTF lateral-join surface (§2.8)
+    "q204_posexplode" -> sqlQuery(Seq("documents"),
+      """SELECT doc_id, pos, tok
+        |FROM documents
+        |LATERAL VIEW posexplode(slice(split(text, ' '), 1, 5)) t AS pos, tok
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // EXACT set-similarity join via ppjoin prefix filtering
+    // (Dedup.jaccardSetJoin): word-3-shingle sets, mangled re-posts land
+    // at Jaccard >= 0.5 — complete, no stop-token loss, no all-pairs scan
+    "q205_jaccard_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val sets = s.sql(
+        """WITH base AS (
+          |  SELECT doc_id, split(trim(text), '\\s+') AS ws FROM documents),
+          |docs AS (
+          |  SELECT doc_id, transform(sequence(0, size(ws) - 3), i ->
+          |      concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2), ' ',
+          |             element_at(ws, i + 3))) AS sh
+          |  FROM base
+          |  UNION ALL
+          |  SELECT doc_id + 100000, transform(sequence(0, size(ws) - 3), i ->
+          |      concat(CASE WHEN i = 0 THEN 'XX' ELSE element_at(ws, i + 1) END, ' ',
+          |             element_at(ws, i + 2), ' ', element_at(ws, i + 3)))
+          |  FROM base)
+          |SELECT doc_id, sh FROM docs""".stripMargin)
+      graft.pipeline.Dedup.jaccardSetJoin(sets, "doc_id", "sh", 0.5)
+        .selectExpr("id_a", "id_b", "round(jaccard, 6) + 0.0 AS jaccard")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4665,6 +4755,55 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q201_unaryunion" ->
+      """SELECT c_custkey,
+        |  round(2.75 * s * s, 6) AS u_area,
+        |  cast(2 as int) AS n_parts,
+        |  cast(true as boolean) AS valid
+        |FROM (SELECT c_custkey, cast(c_custkey % 10 + 1 as double) AS s FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q202_normalize" ->
+      """SELECT c_custkey,
+        |  cast(true as boolean) AS ring_canon_eq,
+        |  cast(false as boolean) AS other_canon_eq,
+        |  cast(true as boolean) AS mp_canon_eq,
+        |  cast(true as boolean) AS equals_pred
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q203_generatepoints" ->
+      """SELECT c_custkey,
+        |  cast(c_custkey % 20 + 5 as int) AS n_pts,
+        |  cast(true as boolean) AS covered
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q204_posexplode" ->
+      """WITH w AS (SELECT doc_id, (str_split(text, ' '))[1:5] AS ws FROM documents)
+        |SELECT doc_id, cast(unnest(range(5)) as int) AS pos, unnest(ws) AS tok
+        |FROM w ORDER BY doc_id, pos""".stripMargin,
+
+    "q205_jaccard_join" ->
+      """WITH base AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws
+        |              FROM documents),
+        |docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    list_distinct(list_transform(range(len(ws) - 2),
+        |      i -> (CASE WHEN i = 0 THEN 'XX' ELSE ws[i+1] END) || ' ' ||
+        |           ws[i+2] || ' ' || ws[i+3]))
+        |  FROM base)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(cast(len(list_intersect(a.sh, b.sh)) as double) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) + 0.0
+        |    AS jaccard
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q196_c4_clean" ->
       """WITH w AS (SELECT doc_id, str_split(text || ' ' || text, ' ') AS ws

@@ -85,6 +85,16 @@ object GeomKernels {
       case null => null
       case t    => wkb(t)
     }),
+    // dissolve the parts of ONE areal (multi)geometry (PostGIS
+    // ST_UnaryUnion slice) on the planar-overlay kernel
+    "st_unaryunion" -> U(BinaryType, g => g match {
+      case _: Polygon | _: MultiPolygon | _: GeometryCollection =>
+        Option(Union.union(Geom.parts(g).toSeq)).map(wkb).orNull
+      case _ => null
+    }),
+    // canonical form: identical bytes for geometrically identical inputs
+    // (ring rotation/orientation/part order factored out)
+    "st_normalize" -> U(BinaryType, g => wkb(Shape.normalize(g))),
     // great-circle polygon area on the mean-Earth sphere (m^2), lon/lat
     // degrees; the geodesic companion of st_distancesphere
     "st_areasphere" -> U(DoubleType, g => {
@@ -290,6 +300,14 @@ object GeomKernels {
     // recursive envelope-halving split of areal geometry; explode() the array
     "st_subdivide" -> W(ArrayType(BinaryType, containsNull = false), Set(1), (g, a) =>
       new GenericArrayData(Shape.subdivide(g, d(a(0)).toInt).map(p => wkb(p): Any))),
+    // n deterministic points covered by the areal geometry (seeded)
+    "st_generatepoints" -> W(BinaryType, Set(1, 2), (g, a) => {
+      val seed = if (a.length > 1 && a(1) != null) d(a(1)).toLong else 0L
+      Shape.generatePoints(g, d(a(0)).toInt, seed) match {
+        case null => null
+        case pts  => wkb(pts)
+      }
+    }),
     // clip by rectangle = overlay intersection with the envelope polygon
     // (geopandas clip_by_rect, commented in the reference docs); operand
     // combos the overlay kernel can't express (lines) => null

@@ -455,6 +455,140 @@ object Shape {
     }
   }
 
+  // ----------------------------------------------------------- normalize
+
+  private def cmpCoord(ax: Double, ay: Double, bx: Double, by: Double): Int =
+    if (ax < bx) -1 else if (ax > bx) 1
+    else if (ay < by) -1 else if (ay > by) 1 else 0
+
+  private def lexLess(a: Array[Double], b: Array[Double]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i) < b(i)) return true
+      if (a(i) > b(i)) return false
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def reversedCoords(cs: Array[Double]): Array[Double] = {
+    val n = cs.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = cs(n - i - 2); out(i + 1) = cs(n - i - 1); i += 2 }
+    out
+  }
+
+  /** Canonical closed ring: requested orientation (ccw=true for exteriors),
+    * start rotated to the lexicographically smallest vertex. */
+  private def canonRing(ring: Array[Double], ccw: Boolean): Array[Double] = {
+    val n = ring.length / 2 - 1
+    if (n < 3) return ring
+    val oriented =
+      if ((Algos.signedRingArea(ring) > 0) == ccw) ring else reversedCoords(ring)
+    var mi = 0
+    var i = 1
+    while (i < n) {
+      if (cmpCoord(oriented(2 * i), oriented(2 * i + 1),
+                   oriented(2 * mi), oriented(2 * mi + 1)) < 0) mi = i
+      i += 1
+    }
+    if (mi == 0) return oriented
+    val out = new Array[Double](ring.length)
+    i = 0
+    while (i < n) {
+      val src = (mi + i) % n
+      out(2 * i) = oriented(2 * src); out(2 * i + 1) = oriented(2 * src + 1)
+      i += 1
+    }
+    out(2 * n) = out(0); out(2 * n + 1) = out(1)
+    out
+  }
+
+  /**
+   * Canonical form: byte-identical representations for geometrically
+   * identical inputs (modulo ring rotation / orientation / part order) —
+   * the equality-by-hash primitive for dedup and anti-entropy checks.
+   * Exterior rings CCW, holes CW, every ring starts at its smallest
+   * vertex, holes and multi-parts sort by their coordinate arrays, open
+   * lines point from their smaller endpoint.
+   */
+  def normalize(g: Geometry): Geometry = g match {
+    case l: LineString if !l.isEmpty =>
+      val c = l.coords
+      if (l.isClosed && l.numPoints > 3) LineString(canonRing(c, ccw = true))
+      else if (cmpCoord(c(0), c(1), c(c.length - 2), c(c.length - 1)) > 0)
+        LineString(reversedCoords(c))
+      else l
+    case p: Polygon if !p.isEmpty =>
+      val ext = canonRing(p.rings(0), ccw = true)
+      val holes = p.rings.drop(1).map(r => canonRing(r, ccw = false)).sortWith(lexLess)
+      Polygon(ext +: holes)
+    case m: MultiPoint =>
+      MultiPoint(m.geoms.sortWith((a, b) => cmpCoord(a.x, a.y, b.x, b.y) < 0))
+    case m: MultiLineString =>
+      MultiLineString(m.geoms.map(l => normalize(l).asInstanceOf[LineString])
+        .sortWith((a, b) => lexLess(a.coords, b.coords)))
+    case m: MultiPolygon =>
+      MultiPolygon(m.geoms.map(p => normalize(p).asInstanceOf[Polygon])
+        .sortWith((a, b) => lexLess(a.rings(0), b.rings(0))))
+    case gc: GeometryCollection =>
+      val parts = gc.geoms.map(normalize)
+      val keyed = parts.map(p => (p, coordsOf(p)))
+      GeometryCollection(keyed.sortWith((a, b) =>
+        if (a._1.typeId != b._1.typeId) a._1.typeId < b._1.typeId
+        else lexLess(a._2, b._2)).map(_._1))
+    case other => other
+  }
+
+  // ------------------------------------------------------ generate points
+
+  @inline private def mix64(z0: Long): Long = {
+    // splitmix64 finalizer (public domain, Steele et al.)
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def u01(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+
+  private def coveredByAreal(x: Double, y: Double, g: Geometry): Boolean = g match {
+    case p: Polygon => Algos.pointInPolygon(x, y, p) >= 0
+    case m: MultiPolygon => m.geoms.exists(p => Algos.pointInPolygon(x, y, p) >= 0)
+    case gc: GeometryCollection => gc.geoms.exists(coveredByAreal(x, y, _))
+    case _ => false
+  }
+
+  /**
+   * `n` deterministic pseudo-random points covered by the areal geometry
+   * (PostGIS ST_GeneratePoints with an explicit seed): splitmix64-driven
+   * rejection sampling over the envelope — same (geometry, n, seed) always
+   * yields the same MultiPoint, on any executor. Degenerate inputs whose
+   * area is a vanishing fraction of their envelope give up after 4096
+   * attempts per point and return the points found.
+   */
+  def generatePoints(g: Geometry, n: Int, seed: Long): Geometry = {
+    g match {
+      case _: Polygon | _: MultiPolygon | _: GeometryCollection =>
+        if (n <= 0) return MultiPoint(Array.empty)
+        val e = g.envelope
+        if (e.isEmpty) return null
+        val pts = ArrayBuffer.empty[Point]
+        var attempt = 0L
+        val maxAttempts = 4096L * n
+        while (pts.length < n && attempt < maxAttempts) {
+          val x = e.minX + u01(mix64(seed * 0x5851f42dL + 2 * attempt)) * e.width
+          val y = e.minY + u01(mix64(seed * 0x5851f42dL + 2 * attempt + 1)) * e.height
+          if (coveredByAreal(x, y, g)) pts += Point(x, y)
+          attempt += 1
+        }
+        MultiPoint(pts.toArray)
+      case _ => null
+    }
+  }
+
   // ----------------------------------------------------------- XYZ tiles
 
   private val WebMercOrigin = 20037508.342789244

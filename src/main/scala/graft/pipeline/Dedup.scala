@@ -414,6 +414,58 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity join via ppjoin-style prefix filtering (Xiao et
+   * al. 2008, public formulation): all pairs with Jaccard(setA, setB) >=
+   * threshold, guaranteed complete — unlike [[tokenJaccardPairs]], whose
+   * maxDf stop-token guard can drop pairs whose shared tokens are all
+   * frequent. Tokens order globally by ascending document frequency (ties
+   * by token text); a set of size s keeps only its first
+   * s - ceil(t*s) + 1 tokens as join keys — any pair at Jaccard >= t
+   * provably shares a prefix token, and because prefixes hold the RAREST
+   * tokens, candidate fan-out stays near the true-pair count instead of
+   * the posting-list square a naive shared-token join pays on hot tokens.
+   *
+   * Scale shape: one shuffle to count df; one windowed rank per set (keyed
+   * by the set id); the candidate equi-join shuffles only prefix tokens;
+   * exact vérification joins the two bounded set arrays back by id.
+   *
+   * @param setCol array column (the set; deduped internally)
+   * @return (id_a, id_b, jaccard) with id_a < id_b
+   */
+  def jaccardSetJoin(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        array_distinct(col(setCol)).as("toks"))
+      .filter(size($"toks") > 0)
+
+    val posting = docs.select($"id", size($"toks").as("sz"), explode($"toks").as("token"))
+    val dfreq = posting.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"id").orderBy($"df", $"token")
+    val prefix = posting.join(dfreq, "token")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
+      .select($"token", $"id")
+
+    val cand = prefix.as("x").join(prefix.as("y"), "token")
+      .filter($"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"))
+      .distinct()
+
+    cand.join(docs.select($"id".as("id_a"), $"toks".as("tok_a")), "id_a")
+      .join(docs.select($"id".as("id_b"), $"toks".as("tok_b")), "id_b")
+      .withColumn("inter", size(array_intersect($"tok_a", $"tok_b")))
+      .withColumn("jaccard", $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /**
    * Exact embedding near-duplicate pairs: all-pairs cosine >= threshold.
    * O(n²) refine — the small-side/verification path (one side is broadcast;
    * Spark plans the non-equi join as a broadcast nested-loop). For corpora

@@ -75,6 +75,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ("", 0L))
   }
 
+  test("jaccardSetJoin (prefix filter) is complete vs brute force, incl. hot-token pairs") {
+    val r = new scala.util.Random(13)
+    // sets over a small universe so overlaps are common AND every token is
+    // frequent — the regime where the maxDf-guarded variant loses pairs
+    val universe = (1 to 30).map(i => s"t$i")
+    val rows = (1L to 80L).map { i =>
+      (i, r.shuffle(universe).take(5 + r.nextInt(10)).toArray)
+    }
+    val got = Dedup.jaccardSetJoin(rows.toDF("id", "s"), "id", "s", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      uni = sa.toSet.union(sb.toSet).size
+      if inter.toDouble / uni >= 0.6
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // fixture actually exercises the join
+  }
+
   test("hammingTopK matches brute force") {
     val r = new scala.util.Random(7)
     val vecs = (1L to 200L).map(i => (i, Array.fill(64)(r.nextGaussian())))
