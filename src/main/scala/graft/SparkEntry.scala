@@ -3182,25 +3182,23 @@ object SparkEntry {
         |ORDER BY doc_id, pos""".stripMargin),
 
     // EXACT set-similarity join via ppjoin prefix filtering
-    // (Dedup.jaccardSetJoin): word-3-shingle sets, mangled re-posts land
-    // at Jaccard >= 0.5 — complete, no stop-token loss, no all-pairs scan
+    // (Dedup.jaccardSetJoin): word-5-shingle sets (5-grams are near-unique
+    // on this vocabulary, so prefix candidates ~ true pairs; 3-grams would
+    // collide and square the verify stage), mangled re-posts land at
+    // Jaccard >= 0.5 — complete, no stop-token loss, no all-pairs scan
     "q205_jaccard_join" -> ((s: SparkSession, dir: String) => {
       init(s)
       view(s, dir, "documents")
+      // word_shingles builds each 5-gram set in ONE tokenizer pass (a
+      // split+transform SQL formulation re-evaluates the split per
+      // element_at — 8x slower at sf0.1); mangling rewrites the first
+      // TOKEN, which perturbs exactly the first shingle
       val sets = s.sql(
-        """WITH base AS (
-          |  SELECT doc_id, split(trim(text), '\\s+') AS ws FROM documents),
-          |docs AS (
-          |  SELECT doc_id, transform(sequence(0, size(ws) - 3), i ->
-          |      concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2), ' ',
-          |             element_at(ws, i + 3))) AS sh
-          |  FROM base
-          |  UNION ALL
-          |  SELECT doc_id + 100000, transform(sequence(0, size(ws) - 3), i ->
-          |      concat(CASE WHEN i = 0 THEN 'XX' ELSE element_at(ws, i + 1) END, ' ',
-          |             element_at(ws, i + 2), ' ', element_at(ws, i + 3)))
-          |  FROM base)
-          |SELECT doc_id, sh FROM docs""".stripMargin)
+        """SELECT doc_id, word_shingles(text, 5) AS sh FROM documents
+          |UNION ALL
+          |SELECT doc_id + 100000,
+          |  word_shingles(regexp_replace(trim(text), '^\\S+', 'XX'), 5) AS sh
+          |FROM documents""".stripMargin)
       graft.pipeline.Dedup.jaccardSetJoin(sets, "doc_id", "sh", 0.5)
         .selectExpr("id_a", "id_b", "round(jaccard, 6) + 0.0 AS jaccard")
         .orderBy("id_a", "id_b")
@@ -4787,14 +4785,15 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws
         |              FROM documents),
         |docs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 4),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |         ws[i+4] || ' ' || ws[i+5])) AS sh
         |  FROM base
         |  UNION ALL
         |  SELECT doc_id + 100000,
-        |    list_distinct(list_transform(range(len(ws) - 2),
+        |    list_distinct(list_transform(range(len(ws) - 4),
         |      i -> (CASE WHEN i = 0 THEN 'XX' ELSE ws[i+1] END) || ' ' ||
-        |           ws[i+2] || ' ' || ws[i+3]))
+        |           ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]))
         |  FROM base)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(cast(len(list_intersect(a.sh, b.sh)) as double) /

@@ -440,19 +440,29 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    // The set column feeds three plan branches (posting + both verify
+    // sides); checkpoint so an expensive upstream set construction (e.g.
+    // shingling) evaluates once, not three times.
     val docs = df.select(col(idCol).cast("long").as("id"),
         array_distinct(col(setCol)).as("toks"))
       .filter(size($"toks") > 0)
+      .localCheckpoint()
 
-    val posting = docs.select($"id", size($"toks").as("sz"), explode($"toks").as("token"))
-    val dfreq = posting.groupBy("token").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy($"id").orderBy($"df", $"token")
-    val prefix = posting.join(dfreq, "token")
+    // Candidate generation runs entirely on 8-byte token hashes: df
+    // counting, the global order, and the prefix equi-join never shuffle
+    // the token strings. A hash collision can only ADD a candidate (equal
+    // tokens always hash equal), so completeness is preserved and the
+    // exact string-array verification below removes any extras.
+    val posting = docs.select($"id", size($"toks").as("sz"),
+      explode(transform($"toks", t => xxhash64(t))).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"id").orderBy($"df", $"h")
+    val prefix = posting.join(dfreq, "h")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
-      .select($"token", $"id")
+      .select($"h", $"id")
 
-    val cand = prefix.as("x").join(prefix.as("y"), "token")
+    val cand = prefix.as("x").join(prefix.as("y"), "h")
       .filter($"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
       .distinct()

@@ -329,6 +329,9 @@ object TextRowEval {
     UTF8String.fromString(TextKernels.normalizeText(t.toString))
   def md5Hash60(t: UTF8String): Long =
     TextKernels.md5Hash60(t.toString)
+  def wordShingles(t: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(TextKernels.wordShingles(t.toString, n)
+      .map(s => UTF8String.fromString(s): Any))
 }
 
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
@@ -479,6 +482,23 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Md5Hash60 = copy(c)
 }
 
+/** word_shingles(text, n) -> array<string>: space-joined word n-grams in one
+  * tokenizer pass (the set-construction front end of minhash/jaccard dedup;
+  * a split+transform SQL formulation re-tokenizes per shingle element). */
+case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextRowEval.wordShingles(t.asInstanceOf[UTF8String], n.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.wordShingles($t, (int)$n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(l, r)
+}
+
 /** normalize_text(text) -> string: control-strip + whitespace collapse + NFC
   * (see TextKernels.normalizeText). */
 case class NormalizeText(child: Expression) extends UnaryExpression {
@@ -510,6 +530,7 @@ object TextRegistry {
     reg("text_stats", exprs => TextStats(exprs.head))
     reg("normalize_text", exprs => NormalizeText(exprs.head))
     reg("md5_hash60", exprs => Md5Hash60(exprs.head))
+    reg("word_shingles", exprs => WordShingles(exprs.head, exprs(1)))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
     reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),
