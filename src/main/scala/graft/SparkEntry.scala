@@ -2979,25 +2979,31 @@ object SparkEntry {
     }),
 
     // ANSI percentile_disc + deterministic mode (count desc, value asc
-    // tie-break) — the discrete companions of q152's percentile_cont
+    // tie-break) — the discrete companions of q152's percentile_cont.
+    // percentile_disc works over per-VALUE counts (a ~50-row window per
+    // group) instead of a per-row cume_dist window, which would funnel
+    // each group's 200k rows into one unsplittable window task; the
+    // cume_dist >= p test becomes exact integer arithmetic (10*cum >= 9*tot)
     "q194_disc_mode" -> sqlQuery(Seq("lineitem"),
       """WITH r AS (SELECT l_returnflag AS flag, cast(l_quantity as double) AS q
         |           FROM lineitem),
-        |c AS (SELECT flag, q, cume_dist() OVER (PARTITION BY flag ORDER BY q) AS cd
-        |      FROM r),
         |m AS (SELECT flag, q, cast(count(*) as bigint) AS n FROM r GROUP BY flag, q),
+        |o AS (SELECT flag, q, n,
+        |        sum(n) OVER (PARTITION BY flag ORDER BY q) AS cum,
+        |        sum(n) OVER (PARTITION BY flag) AS tot
+        |      FROM m),
         |mm AS (SELECT flag, q AS mode_q, n,
         |         row_number() OVER (PARTITION BY flag ORDER BY n DESC, q) AS rn
         |       FROM m)
-        |SELECT c.flag,
-        |  min(CASE WHEN cd >= 0.5 THEN q END) AS p50_disc,
-        |  min(CASE WHEN cd >= 0.9 THEN q END) AS p90_disc,
+        |SELECT o.flag,
+        |  min(CASE WHEN 2 * cum >= tot THEN q END) AS p50_disc,
+        |  min(CASE WHEN 10 * cum >= 9 * tot THEN q END) AS p90_disc,
         |  max(mm.mode_q) AS mode_val,
         |  max(mm.n) AS mode_n
-        |FROM c JOIN (SELECT flag, mode_q, n FROM mm WHERE rn = 1) mm
-        |  ON c.flag = mm.flag
-        |GROUP BY c.flag
-        |ORDER BY c.flag""".stripMargin),
+        |FROM o JOIN (SELECT flag, mode_q, n FROM mm WHERE rn = 1) mm
+        |  ON o.flag = mm.flag
+        |GROUP BY o.flag
+        |ORDER BY o.flag""".stripMargin),
 
     // gap filling: forward/backward fill + nth_value with IGNORE NULLS —
     // the sensor-data repair primitive
@@ -3202,7 +3208,101 @@ object SparkEntry {
       graft.pipeline.Dedup.jaccardSetJoin(sets, "doc_id", "sh", 0.5)
         .selectExpr("id_a", "id_b", "round(jaccard, 6) + 0.0 AS jaccard")
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // TPC-H Q7-shape volume shipping: two fact-dimension join chains meet
+    // on lineitem; revenue in exact decimals so the sum is order-free
+    "q206_volume_shipping" -> sqlQuery(
+      Seq("lineitem", "orders", "customer", "supplier", "nation"),
+      """SELECT supp_nation, cust_nation, yr,
+        |  cast(sum(volume) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l.l_shipdate) AS yr,
+        |    cast(l.l_extendedprice as decimal(20,2)) *
+        |      cast(1.0 - l.l_discount as decimal(4,2)) AS volume
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin),
+
+    // TPC-H Q8-shape market share: one supplier nation's share of revenue
+    // to a region's customers, by order year
+    "q207_market_share" -> sqlQuery(
+      Seq("lineitem", "orders", "customer", "supplier", "nation", "region"),
+      """SELECT yr,
+        |  round(cast(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+        |                      ELSE cast(0 as decimal(22,4)) END) as double) /
+        |        cast(sum(volume) as double), 6) + 0.0 AS share,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM (
+        |  SELECT year(o.o_orderdate) AS yr, n1.n_name AS supp_nation,
+        |    cast(l.l_extendedprice as decimal(20,2)) *
+        |      cast(1.0 - l.l_discount as decimal(4,2)) AS volume
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  WHERE r.r_name = 'ASIA')
+        |GROUP BY yr
+        |ORDER BY yr""".stripMargin),
+
+    // TPC-H Q9-shape product profit: revenue minus a retail-price-based
+    // cost proxy (no partsupp table in this schema), by supplier nation
+    // and year, parts filtered by name
+    "q208_product_profit" -> sqlQuery(
+      Seq("lineitem", "orders", "supplier", "nation", "part"),
+      """SELECT nation, yr,
+        |  cast(sum(amount) as double) AS profit,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM (
+        |  SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+        |    cast(l.l_extendedprice as decimal(20,2)) *
+        |      cast(1.0 - l.l_discount as decimal(4,2)) -
+        |    cast(p.p_retailprice as decimal(20,2)) *
+        |      cast(l.l_quantity as decimal(10,2)) * cast(0.1 as decimal(3,1)) AS amount
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%red%')
+        |GROUP BY nation, yr
+        |ORDER BY nation, yr""".stripMargin),
+
+    // correlated scalar subqueries (Catalyst decorrelates both into
+    // aggregated left joins — no per-row re-execution)
+    "q209_correlated" -> sqlQuery(Seq("customer", "orders"),
+      """SELECT c.c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+        |  (SELECT cast(count(*) as bigint) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O') AS n_open
+        |FROM customer c
+        |ORDER BY c.c_custkey""".stripMargin),
+
+    // regexp scalar breadth: group extraction, extract-all counting,
+    // backreference rewrite
+    "q210_regexp" -> sqlQuery(Seq("documents"),
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  cast(size(regexp_extract_all(text, 'ta[a-z]+', 0)) as int) AS n_ta,
+        |  (text rlike 'key.*value') AS has_kv,
+        |  md5(regexp_replace(text, '^(\\S+) (\\S+)', '$2 $1')) AS swapped_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4754,6 +4854,86 @@ object SparkEntry {
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
 
+    "q206_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |  cast(sum(volume) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l.l_shipdate) AS yr,
+        |    cast(l.l_extendedprice as decimal(20,2)) *
+        |      cast(1.0 - l.l_discount as decimal(4,2)) AS volume
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    "q207_market_share" ->
+      """SELECT yr,
+        |  round(cast(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+        |                      ELSE cast(0 as decimal(22,4)) END) as double) /
+        |        cast(sum(volume) as double), 6) + 0.0 AS share,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM (
+        |  SELECT year(o.o_orderdate) AS yr, n1.n_name AS supp_nation,
+        |    cast(l.l_extendedprice as decimal(20,2)) *
+        |      cast(1.0 - l.l_discount as decimal(4,2)) AS volume
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  WHERE r.r_name = 'ASIA')
+        |GROUP BY yr
+        |ORDER BY yr""".stripMargin,
+
+    "q208_product_profit" ->
+      """SELECT nation, yr,
+        |  cast(sum(amount) as double) AS profit,
+        |  cast(count(*) as bigint) AS n_items
+        |FROM (
+        |  SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+        |    cast(l.l_extendedprice as decimal(20,2)) *
+        |      cast(1.0 - l.l_discount as decimal(4,2)) -
+        |    cast(p.p_retailprice as decimal(20,2)) *
+        |      cast(l.l_quantity as decimal(10,2)) * cast(0.1 as decimal(3,1)) AS amount
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%red%')
+        |GROUP BY nation, yr
+        |ORDER BY nation, yr""".stripMargin,
+
+    "q209_correlated" ->
+      """SELECT c.c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+        |  (SELECT cast(count(*) as bigint) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O') AS n_open
+        |FROM customer c
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q210_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  cast(len(regexp_extract_all(text, 'ta[a-z]+')) as int) AS n_ta,
+        |  regexp_matches(text, 'key.*value') AS has_kv,
+        |  md5(regexp_replace(text, '^(\S+) (\S+)', '\2 \1')) AS swapped_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "q201_unaryunion" ->
       """SELECT c_custkey,
         |  round(2.75 * s * s, 6) AS u_area,
@@ -4983,21 +5163,23 @@ object SparkEntry {
     "q194_disc_mode" ->
       """WITH r AS (SELECT l_returnflag AS flag, cast(l_quantity as double) AS q
         |           FROM lineitem),
-        |c AS (SELECT flag, q, cume_dist() OVER (PARTITION BY flag ORDER BY q) AS cd
-        |      FROM r),
         |m AS (SELECT flag, q, cast(count(*) as bigint) AS n FROM r GROUP BY flag, q),
+        |o AS (SELECT flag, q, n,
+        |        sum(n) OVER (PARTITION BY flag ORDER BY q) AS cum,
+        |        sum(n) OVER (PARTITION BY flag) AS tot
+        |      FROM m),
         |mm AS (SELECT flag, q AS mode_q, n,
         |         row_number() OVER (PARTITION BY flag ORDER BY n DESC, q) AS rn
         |       FROM m)
-        |SELECT c.flag,
-        |  min(CASE WHEN cd >= 0.5 THEN q END) AS p50_disc,
-        |  min(CASE WHEN cd >= 0.9 THEN q END) AS p90_disc,
+        |SELECT o.flag,
+        |  min(CASE WHEN 2 * cum >= tot THEN q END) AS p50_disc,
+        |  min(CASE WHEN 10 * cum >= 9 * tot THEN q END) AS p90_disc,
         |  max(mm.mode_q) AS mode_val,
         |  max(mm.n) AS mode_n
-        |FROM c JOIN (SELECT flag, mode_q, n FROM mm WHERE rn = 1) mm
-        |  ON c.flag = mm.flag
-        |GROUP BY c.flag
-        |ORDER BY c.flag""".stripMargin,
+        |FROM o JOIN (SELECT flag, mode_q, n FROM mm WHERE rn = 1) mm
+        |  ON o.flag = mm.flag
+        |GROUP BY o.flag
+        |ORDER BY o.flag""".stripMargin,
 
     "q195_fill" ->
       """WITH e AS (
