@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.pipeline.{Corpus, Similarity, TextAnalysis}
+
+/** The round-2 curation kernels are pure per-row expressions, so they must
+  * run unchanged inside a streaming micro-batch (stateless select — no
+  * watermark, no state store). */
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("c4 clean + gopher flags + shingles + binary quantization on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val out = docs.select(
+      col("id"),
+      Corpus.c4CleanText(col("text")).as("clean"),
+      TextAnalysis.gopherFlags(col("text")).getField("n_words").as("n_words"),
+      expr("word_shingles(text, 2)").as("sh"))
+    val q = out.writeStream.format("memory").queryName("cur_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "This line stays intact today.\nno punct"),
+                    (2L, "tiny"))
+      q.processAllAvailable()
+      val rows = spark.table("cur_stream")
+        .select("id", "clean", "n_words", "sh")
+        .as[(Long, String, Long, Seq[String])].collect().sortBy(_._1)
+      assert(rows(0)._2 == "This line stays intact today.")
+      assert(rows(0)._3 == 7L)
+      assert(rows(0)._4.contains("This line"))
+      assert(rows(1)._2 == "" && rows(1)._3 == 1L)
+    } finally q.stop()
+  }
+
+  test("sign-bit quantization streams and matches the batch packing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val v = Array.tabulate(64)(i => if (i % 3 == 0) 1.0 else -1.0)
+    val input = MemoryStream[Long]
+    val vecs = input.toDF().toDF("id").withColumn("v", typedLit(v))
+    val out = vecs.select(col("id"),
+      Similarity.binaryHalfCol(col("v"), 0).as("lo"),
+      Similarity.binaryHalfCol(col("v"), 32).as("hi"))
+    val q = out.writeStream.format("memory").queryName("bq_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(1L)
+      q.processAllAvailable()
+      val r = spark.table("bq_stream").as[(Long, Long, Long)].collect().head
+      assert(r._2 == Similarity.binaryHalf(v, 0))
+      assert(r._3 == Similarity.binaryHalf(v, 32))
+    } finally q.stop()
+  }
+}
