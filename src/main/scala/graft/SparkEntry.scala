@@ -3302,7 +3302,99 @@ object SparkEntry {
         |  (text rlike 'key.*value') AS has_kv,
         |  md5(regexp_replace(text, '^(\\S+) (\\S+)', '$2 $1')) AS swapped_md5
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Matryoshka-style truncated retrieval: rank on the first 16 dims
+    // (renormalized), report the full-width cosine alongside — the
+    // dimension-adaptive search pattern; ordering on ROUNDED scores so the
+    // rank is engine-stable
+    "q211_matryoshka" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "embeddings")
+      import org.apache.spark.sql.expressions.Window
+      val q16 = queryVec.take(16)
+      val scored = s.table("embeddings").select(col("vec_id"),
+        (round(graft.pipeline.Similarity.cosineCols(
+          slice(col("embedding"), 1, 16), typedLit(q16)), 6) + lit(0.0)).as("cos16"),
+        (round(graft.pipeline.Similarity.cosineCols(
+          col("embedding"), typedLit(queryVec)), 6) + lit(0.0)).as("cos_full"))
+      scored
+        .withColumn("rank", row_number().over(Window.orderBy(desc("cos16"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .orderBy("rank")
+    }),
+
+    // per-label embedding statistics: centroid head + mean norm with the
+    // order-independent decimal fold (float sums are order-sensitive in
+    // doubles; rounding each element first makes the sum exact)
+    "q212_embedding_stats" -> sqlQuery(Seq("embeddings"),
+      """SELECT label,
+        |  cast(count(*) as bigint) AS n,
+        |  round(cast(sum(cast(round(cast(embedding[0] as double), 7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS c0,
+        |  round(cast(sum(cast(round(cast(embedding[1] as double), 7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS c1,
+        |  round(cast(sum(cast(round(cast(embedding[2] as double), 7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS c2,
+        |  round(cast(sum(cast(round(
+        |    sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))),
+        |    7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS mean_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin),
+
+    // line vertex editing + multi-wrap (PostGIS ST_AddPoint/RemovePoint/
+    // SetPoint/Multi) — closed-form WKT oracles
+    "q213_line_edit" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  st_astext(st_addpoint(line, st_point(9.0, 9.0))) AS add_end,
+        |  st_astext(st_addpoint(line, st_point(5.0, 5.0), 1.0)) AS add_mid,
+        |  st_astext(st_removepoint(line, 1.0)) AS rm_mid,
+        |  st_astext(st_setpoint(line, -1.0, st_point(7.0, 7.0))) AS set_last,
+        |  st_removepoint(st_geomfromtext('LINESTRING (0 0, 1 1)'), 0.0) IS NULL AS rm_guard,
+        |  st_astext(st_multi(st_point(cast(x0 as double), cast(y0 as double)))) AS multi_pt
+        |FROM (
+        |  SELECT c_custkey, x0, y0,
+        |    st_geomfromtext(concat('LINESTRING (0 0, ', x0, ' ', y0, ', ',
+        |      x1, ' ', y1, ')')) AS line
+        |  FROM (
+        |    SELECT c_custkey,
+        |      cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |      cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+        |      cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+        |      cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1
+        |    FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // gaps-and-islands: maximal runs of consecutive active days per user
+    // (the day-number minus row-number grouping trick — one window, one
+    // aggregation, no self-join)
+    "q214_islands" -> sqlQuery(Seq("events"),
+      """WITH d AS (SELECT DISTINCT user_id, cast(ts as date) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        datediff(day, DATE '1970-01-01') AS dn,
+        |        datediff(day, DATE '1970-01-01') -
+        |          row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  cast(count(*) as bigint) AS n_days
+        |FROM r GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin),
+
+    // HLL sketch algebra: per-group sketch states merge (bucket-wise max)
+    // into EXACTLY the sketch of the union — the property that makes the
+    // estimate incrementally maintainable across partitions/batches
+    "q215_hll_merge" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val events = s.table("events")
+      val perType = graft.pipeline.Sketch.hllBuckets(events, "user_id", Seq("event_type"))
+      val merged = graft.pipeline.Sketch.hllFromBuckets(
+        perType.groupBy(col("__b")).agg(max(col("__rmax")).as("__rmax")), Seq())
+        .select(col("hll_estimate").as("merged_estimate"))
+      val direct = graft.pipeline.Sketch.hllDistinct(events, "user_id", Seq())
+        .select(col("hll_estimate").as("direct_estimate"))
+      val exact = events.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      merged.crossJoin(direct).crossJoin(exact)
+        .withColumn("merge_lossless", col("merged_estimate") === col("direct_estimate"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -4853,6 +4945,75 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q211_matryoshka" -> {
+      def cosSql(arr: String, q: String) =
+        s"""round(list_dot_product(cast($arr as double[]), $q) /
+           |  (sqrt(list_dot_product(cast($arr as double[]), cast($arr as double[]))) *
+           |   sqrt(list_dot_product($q, $q))), 6) + 0.0""".stripMargin
+      val q16 = queryVec.take(16).mkString("[", ", ", "]")
+      s"""SELECT vec_id, cos16, cos_full,
+         |  cast(row_number() OVER (ORDER BY cos16 DESC, vec_id) as int) AS rank
+         |FROM (
+         |  SELECT vec_id,
+         |    ${cosSql("embedding[1:16]", q16)} AS cos16,
+         |    ${cosSql("embedding", queryVecSql)} AS cos_full
+         |  FROM embeddings)
+         |ORDER BY cos16 DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q212_embedding_stats" ->
+      """SELECT label,
+        |  cast(count(*) as bigint) AS n,
+        |  round(cast(sum(cast(round(cast(embedding[1] as double), 7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS c0,
+        |  round(cast(sum(cast(round(cast(embedding[2] as double), 7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS c1,
+        |  round(cast(sum(cast(round(cast(embedding[3] as double), 7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS c2,
+        |  round(cast(sum(cast(round(
+        |    sqrt(list_dot_product(cast(embedding as double[]), cast(embedding as double[]))),
+        |    7) as decimal(20,7))) as double) / count(*), 6) + 0.0 AS mean_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
+
+    "q213_line_edit" ->
+      """SELECT c_custkey,
+        |  'LINESTRING (0 0, ' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y1 || ', 9 9)' AS add_end,
+        |  'LINESTRING (0 0, 5 5, ' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y1 || ')' AS add_mid,
+        |  'LINESTRING (0 0, ' || x1 || ' ' || y1 || ')' AS rm_mid,
+        |  'LINESTRING (0 0, ' || x0 || ' ' || y0 || ', 7 7)' AS set_last,
+        |  true AS rm_guard,
+        |  'MULTIPOINT ((' || x0 || ' ' || y0 || '))' AS multi_pt
+        |FROM (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+        |    cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+        |    cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q214_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, cast(ts as date) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        (day - DATE '1970-01-01') -
+        |          row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  cast(count(*) as bigint) AS n_days
+        |FROM r GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "q215_hll_merge" -> {
+      val hll = graft.pipeline.Sketch.hllSql(
+        "(SELECT 'all' AS grp, user_id FROM events) tsub", "user_id", "grp")
+      s"""SELECT h.hll_estimate AS merged_estimate,
+         |  h.hll_estimate AS direct_estimate,
+         |  cast(true as boolean) AS merge_lossless,
+         |  e.exact_distinct
+         |FROM ($hll) h
+         |CROSS JOIN (SELECT cast(count(DISTINCT user_id) as bigint) AS exact_distinct
+         |            FROM events) e""".stripMargin
+    },
 
     "q206_volume_shipping" ->
       """SELECT supp_nation, cust_nation, yr,

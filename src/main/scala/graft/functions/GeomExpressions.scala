@@ -95,6 +95,8 @@ object GeomKernels {
     // canonical form: identical bytes for geometrically identical inputs
     // (ring rotation/orientation/part order factored out)
     "st_normalize" -> U(BinaryType, g => wkb(Shape.normalize(g))),
+    // wrap atomic geometry in its multi-type (PostGIS ST_Multi)
+    "st_multi" -> U(BinaryType, g => wkb(Shape.asMulti(g))),
     // great-circle polygon area on the mean-Earth sphere (m^2), lon/lat
     // degrees; the geodesic companion of st_distancesphere
     "st_areasphere" -> U(DoubleType, g => {
@@ -300,6 +302,20 @@ object GeomKernels {
     // recursive envelope-halving split of areal geometry; explode() the array
     "st_subdivide" -> W(ArrayType(BinaryType, containsNull = false), Set(1), (g, a) =>
       new GenericArrayData(Shape.subdivide(g, d(a(0)).toInt).map(p => wkb(p): Any))),
+    // line vertex editing (PostGIS ST_AddPoint/ST_RemovePoint/ST_SetPoint)
+    "st_addpoint" -> W(BinaryType, Set(1, 2), (g, a) => {
+      val p = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
+      val pos = if (a.length > 1 && a(1) != null) d(a(1)).toInt else -1
+      if (p == null) null
+      else Shape.addPoint(g, p, pos) match { case null => null; case l => wkb(l) }
+    }),
+    "st_removepoint" -> W(BinaryType, Set(1), (g, a) =>
+      Shape.removePoint(g, d(a(0)).toInt) match { case null => null; case l => wkb(l) }),
+    "st_setpoint" -> W(BinaryType, Set(2), (g, a) => {
+      val p = WKB.readOrNull(a(1).asInstanceOf[Array[Byte]])
+      if (p == null) null
+      else Shape.setPoint(g, d(a(0)).toInt, p) match { case null => null; case l => wkb(l) }
+    }),
     // n deterministic points covered by the areal geometry (seeded)
     "st_generatepoints" -> W(BinaryType, Set(1, 2), (g, a) => {
       val seed = if (a.length > 1 && a(1) != null) d(a(1)).toLong else 0L

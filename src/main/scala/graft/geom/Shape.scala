@@ -542,6 +542,64 @@ object Shape {
     case other => other
   }
 
+  // --------------------------------------------------------- line editing
+
+  /** Insert a vertex: pos -1 appends, pos in [0, n] inserts before that
+    * 0-based index (PostGIS ST_AddPoint convention); otherwise null. */
+  def addPoint(g: Geometry, p: Geometry, pos: Int): Geometry = (g, p) match {
+    case (l: LineString, pt: Point) if !pt.isEmpty =>
+      val n = l.numPoints
+      val at = if (pos == -1) n else pos
+      if (at < 0 || at > n) null
+      else {
+        val out = new Array[Double](l.coords.length + 2)
+        System.arraycopy(l.coords, 0, out, 0, 2 * at)
+        out(2 * at) = pt.x; out(2 * at + 1) = pt.y
+        System.arraycopy(l.coords, 2 * at, out, 2 * at + 2, l.coords.length - 2 * at)
+        LineString(out)
+      }
+    case _ => null
+  }
+
+  /** Remove the 0-based vertex; null if out of range or the result would
+    * drop under 2 points (PostGIS ST_RemovePoint). */
+  def removePoint(g: Geometry, pos: Int): Geometry = g match {
+    case l: LineString =>
+      val n = l.numPoints
+      if (pos < 0 || pos >= n || n <= 2) null
+      else {
+        val out = new Array[Double](l.coords.length - 2)
+        System.arraycopy(l.coords, 0, out, 0, 2 * pos)
+        System.arraycopy(l.coords, 2 * pos + 2, out, 2 * pos, l.coords.length - 2 * pos - 2)
+        LineString(out)
+      }
+    case _ => null
+  }
+
+  /** Replace the vertex at the 0-based index (negative counts from the
+    * end, PostGIS ST_SetPoint); out of range => null. */
+  def setPoint(g: Geometry, pos: Int, p: Geometry): Geometry = (g, p) match {
+    case (l: LineString, pt: Point) if !pt.isEmpty =>
+      val n = l.numPoints
+      val at = if (pos < 0) n + pos else pos
+      if (at < 0 || at >= n) null
+      else {
+        val out = l.coords.clone()
+        out(2 * at) = pt.x; out(2 * at + 1) = pt.y
+        LineString(out)
+      }
+    case _ => null
+  }
+
+  /** Wrap an atomic geometry in its multi-type (PostGIS ST_Multi); multi
+    * and collection inputs pass through unchanged. */
+  def asMulti(g: Geometry): Geometry = g match {
+    case p: Point      => MultiPoint(Array(p))
+    case l: LineString => MultiLineString(Array(l))
+    case p: Polygon    => MultiPolygon(Array(p))
+    case other         => other
+  }
+
   // ------------------------------------------------------ generate points
 
   @inline private def mix64(z0: Long): Long = {
