@@ -3394,6 +3394,60 @@ object SparkEntry {
       val exact = events.agg(countDistinct(col("user_id")).as("exact_distinct"))
       merged.crossJoin(direct).crossJoin(exact)
         .withColumn("merge_lossless", col("merged_estimate") === col("direct_estimate"))
+    }),
+
+    // parallel offset with miter joins: a right-angle elbow offsets to
+    // closed-form coordinates on both sides
+    "q216_offsetcurve" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  cast(st_npoints(lo) as int) AS np,
+        |  round(st_x(st_pointn(lo, 2)), 6) + 0.0 AS left_mx,
+        |  round(st_y(st_pointn(lo, 2)), 6) + 0.0 AS left_my,
+        |  round(st_length(lo), 6) + 0.0 AS left_len,
+        |  round(st_x(st_pointn(ro, 2)), 6) + 0.0 AS right_mx,
+        |  round(st_y(st_pointn(ro, 2)), 6) + 0.0 AS right_my,
+        |  round(st_length(ro), 6) + 0.0 AS right_len
+        |FROM (
+        |  SELECT c_custkey,
+        |    st_offsetcurve(elbow, cast(dd as double)) AS lo,
+        |    st_offsetcurve(elbow, cast(-dd as double)) AS ro
+        |  FROM (
+        |    SELECT c_custkey, cast(c_custkey % 3 + 1 as bigint) AS dd,
+        |      st_geomfromtext(concat('LINESTRING (0 0, ', c_custkey % 9 + 4,
+        |        ' 0, ', c_custkey % 9 + 4, ' ', (c_custkey * 5) % 8 + 4, ')')) AS elbow
+        |    FROM customer))
+        |ORDER BY c_custkey""".stripMargin),
+
+    // time-weighted average value per user (TWAP): interval weights from
+    // the next event, contributions decimal-folded so the sum is
+    // order-independent
+    "q217_twap" -> sqlQuery(Seq("events"),
+      """WITH e AS (
+        |  SELECT user_id, value, unix_micros(ts) AS us,
+        |    lead(unix_micros(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id,
+        |  cast(count(*) as bigint) AS n_intervals,
+        |  cast(sum(next_us - us) as bigint) AS total_us,
+        |  round(cast(sum(cast(round(value * (next_us - us), 4) as decimal(30,4))) as double)
+        |        / sum(next_us - us), 6) + 0.0 AS twap
+        |FROM e WHERE next_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
+
+    // PageRank power iteration (Graph.pageRank): decimal-folded per-edge
+    // contributions make 6 iterations bit-identical cross-engine — the
+    // iterative-compute companion of BFS q178
+    "q218_pagerank" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 60 AS src, (c_custkey + 13) % 60 AS dst FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer""".stripMargin)
+      graft.relational.Graph.pageRank(edges, "src", "dst", iters = 6)
+        .orderBy("node")
     })
   )
 
@@ -4945,6 +4999,61 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q216_offsetcurve" ->
+      """SELECT c_custkey,
+        |  cast(3 as int) AS np,
+        |  round(a - dd, 6) + 0.0 AS left_mx,
+        |  round(dd, 6) + 0.0 AS left_my,
+        |  round(a + b - 2 * dd, 6) + 0.0 AS left_len,
+        |  round(a + dd, 6) + 0.0 AS right_mx,
+        |  round(-dd, 6) + 0.0 AS right_my,
+        |  round(a + b + 2 * dd, 6) + 0.0 AS right_len
+        |FROM (SELECT c_custkey,
+        |        cast(c_custkey % 9 + 4 as double) AS a,
+        |        cast((c_custkey * 5) % 8 + 4 as double) AS b,
+        |        cast(c_custkey % 3 + 1 as double) AS dd
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q217_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id,
+        |  cast(count(*) as bigint) AS n_intervals,
+        |  cast(sum(next_us - us) as bigint) AS total_us,
+        |  round(cast(sum(cast(round(value * (next_us - us), 4) as decimal(30,4))) as double)
+        |        / sum(next_us - us), 6) + 0.0 AS twap
+        |FROM e WHERE next_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q218_pagerank" -> {
+      val iterCtes = (1 to 6).map { k =>
+        s"""c$k AS (SELECT e.v AS node,
+           |  sum(cast(round(cast(t${k - 1}.r as double) / deg.deg, 9) as decimal(28,9))) AS m
+           |  FROM e JOIN t${k - 1} ON e.s = t${k - 1}.node JOIN deg ON deg.s = e.s
+           |  GROUP BY e.v),
+           |t$k AS (SELECT nodes.node,
+           |  cast(round(0.0025 + 0.85 * cast(coalesce(c$k.m, 0) as double), 9)
+           |    as decimal(28,9)) AS r
+           |  FROM nodes LEFT JOIN c$k USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eraw AS (
+         |  SELECT c_custkey % 60 AS s, (c_custkey + 13) % 60 AS v FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer),
+         |e AS (SELECT DISTINCT s, v FROM eraw WHERE s <> v),
+         |deg AS (SELECT s, cast(count(*) as bigint) AS deg FROM e GROUP BY s),
+         |nodes AS (SELECT DISTINCT s AS node FROM e
+         |          UNION SELECT DISTINCT v AS node FROM e),
+         |t0 AS (SELECT node, cast(0.016666667 as decimal(28,9)) AS r FROM nodes),
+         |$iterCtes
+         |SELECT node, cast(r as double) AS pagerank FROM t6 ORDER BY node""".stripMargin
+    },
 
     "q211_matryoshka" -> {
       def cosSql(arr: String, q: String) =

@@ -302,6 +302,9 @@ object GeomKernels {
     // recursive envelope-halving split of areal geometry; explode() the array
     "st_subdivide" -> W(ArrayType(BinaryType, containsNull = false), Set(1), (g, a) =>
       new GenericArrayData(Shape.subdivide(g, d(a(0)).toInt).map(p => wkb(p): Any))),
+    // parallel offset with miter joins (left positive, PostGIS convention)
+    "st_offsetcurve" -> W(BinaryType, Set(1), (g, a) =>
+      Shape.offsetCurve(g, d(a(0))) match { case null => null; case l => wkb(l) }),
     // line vertex editing (PostGIS ST_AddPoint/ST_RemovePoint/ST_SetPoint)
     "st_addpoint" -> W(BinaryType, Set(1, 2), (g, a) => {
       val p = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])

@@ -542,6 +542,62 @@ object Shape {
     case other => other
   }
 
+  // --------------------------------------------------------- offset curve
+
+  /**
+   * Parallel offset of a lineal geometry: positive distance offsets to the
+   * LEFT of the travel direction, negative to the right (PostGIS
+   * ST_OffsetCurve convention). Consecutive offset segments join by miter
+   * (line-line intersection); collinear runs fall back to the plain
+   * per-vertex offset. Slice semantics: no self-intersection repair and no
+   * arc joins — adequate for the gently-curved inputs this targets
+   * (route buffering, lane offsetting); null for non-lineal input.
+   */
+  def offsetCurve(g: Geometry, dist: Double): Geometry = g match {
+    case l: LineString if l.numPoints >= 2 =>
+      val dedup = Algos.removeRepeatedPoints(l, 0.0) match {
+        case ll: LineString if ll.numPoints >= 2 => ll
+        case _ => return null
+      }
+      val cs = dedup.coords
+      val n = cs.length / 2
+      // unit left-normals per segment
+      val nx = new Array[Double](n - 1); val ny = new Array[Double](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        val dx = cs(2 * i + 2) - cs(2 * i); val dy = cs(2 * i + 3) - cs(2 * i + 1)
+        val len = math.hypot(dx, dy)
+        nx(i) = -dy / len; ny(i) = dx / len
+        i += 1
+      }
+      val out = new Array[Double](2 * n)
+      out(0) = cs(0) + nx(0) * dist; out(1) = cs(1) + ny(0) * dist
+      out(2 * n - 2) = cs(2 * n - 2) + nx(n - 2) * dist
+      out(2 * n - 1) = cs(2 * n - 1) + ny(n - 2) * dist
+      i = 1
+      while (i < n - 1) {
+        // miter: intersect offset line of segment i-1 with that of segment i
+        val ax = cs(2 * i - 2) + nx(i - 1) * dist; val ay = cs(2 * i - 1) + ny(i - 1) * dist
+        val ux = cs(2 * i) - cs(2 * i - 2); val uy = cs(2 * i + 1) - cs(2 * i - 1)
+        val bx = cs(2 * i) + nx(i) * dist; val by = cs(2 * i + 1) + ny(i) * dist
+        val vx = cs(2 * i + 2) - cs(2 * i); val vy = cs(2 * i + 3) - cs(2 * i + 1)
+        val den = ux * vy - uy * vx
+        if (den == 0.0) { // collinear: plain offset of the shared vertex
+          out(2 * i) = cs(2 * i) + nx(i) * dist; out(2 * i + 1) = cs(2 * i + 1) + ny(i) * dist
+        } else {
+          val t = ((bx - ax) * vy - (by - ay) * vx) / den
+          out(2 * i) = ax + t * ux; out(2 * i + 1) = ay + t * uy
+        }
+        i += 1
+      }
+      LineString(out)
+    case m: MultiLineString =>
+      val parts = m.geoms.map(l => offsetCurve(l, dist))
+      if (parts.contains(null)) null
+      else MultiLineString(parts.map(_.asInstanceOf[LineString]))
+    case _ => null
+  }
+
   // --------------------------------------------------------- line editing
 
   /** Insert a vertex: pos -1 appends, pos in [0, n] inserts before that

@@ -58,4 +58,58 @@ object Graph {
     val es = und.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(es).crossJoin(tri)
   }
+
+  /**
+   * PageRank by power iteration over the edge list, with every arithmetic
+   * step pinned for cross-engine reproducibility: per-edge contributions
+   * round to 9 decimals and sum as decimal (order-independent regardless
+   * of partitioning), and each iteration's rank is itself re-rounded —
+   * so the same graph gives bit-identical ranks on ANY engine that
+   * implements the same recurrence (the distributed analog of the q87/q198
+   * decimal-fold convention).
+   *
+   * Per iteration: one shuffle (the contribution aggregation on dst) plus
+   * a broadcast-sized join of ranks to edges keyed by src; ranks are
+   * localCheckpointed each round so the lineage stays flat (the same
+   * eager-iteration shape as the BFS loop, q178). Dangling nodes (no
+   * out-edges) leak their mass — callers wanting strict stochastic
+   * semantics should add self-loops.
+   *
+   * r_{t+1}(v) = round9((1-damping) * r0 + damping * S(v)),
+   * S(v) = Sigma_{u->v} round9(r_t(u) / outdeg(u)).
+   */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("v"))
+      .filter(col("s").isNotNull && col("v").isNotNull && col("s") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy("s").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("s").as("node")).unionAll(e.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val r0 = math.rint(1.0 / n * 1e9) / 1e9
+    val base = math.rint((1.0 - damping) * r0 * 1e9) / 1e9
+    var rank = nodes.withColumn("r", round(lit(r0), 9).cast("decimal(28,9)"))
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(rank.select(col("node").as("s"), col("r")), Seq("s"))
+        .join(outDeg, Seq("s"))
+        .select(col("v").as("node"),
+          round(col("r").cast("double") / col("deg"), 9).cast("decimal(28,9)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0)).cast("double"), 9)
+            .cast("decimal(28,9)").as("r"))
+        .localCheckpoint()
+      it += 1
+    }
+    rank.select(col("node"), col("r").cast("double").as("pagerank"))
+  }
 }

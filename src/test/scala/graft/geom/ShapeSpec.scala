@@ -158,6 +158,37 @@ class ShapeSpec extends AnyFunSuite {
     assert(math.abs(parts.map(Algos.area).sum - 64.0) < 1e-9)
   }
 
+  // ------------------------------------------------------- offset curve
+
+  test("offsetCurve: elbow miter on both sides; straight line stays parallel") {
+    val elbow = g("LINESTRING (0 0, 10 0, 10 6)")
+    val left = Shape.offsetCurve(elbow, 2.0).asInstanceOf[LineString]
+    assert(left.coords.map(x => math.rint(x * 1e9) / 1e9).toSeq ==
+      Seq(0.0, 2.0, 8.0, 2.0, 8.0, 6.0))
+    val right = Shape.offsetCurve(elbow, -2.0).asInstanceOf[LineString]
+    assert(right.coords.map(x => math.rint(x * 1e9) / 1e9).toSeq ==
+      Seq(0.0, -2.0, 12.0, -2.0, 12.0, 6.0))
+    val straight = Shape.offsetCurve(g("LINESTRING (0 0, 4 0, 9 0)"), 1.5)
+      .asInstanceOf[LineString]
+    assert(straight == g("LINESTRING (0 1.5, 4 1.5, 9 1.5)"))
+    assert(Shape.offsetCurve(g("POINT (1 1)"), 1.0) == null)
+  }
+
+  // ------------------------------------------------------- line editing
+
+  test("add/remove/set point and st_multi semantics") {
+    val l = g("LINESTRING (0 0, 5 0, 5 5)")
+    assert(Shape.addPoint(l, Point(9, 9), -1) == g("LINESTRING (0 0, 5 0, 5 5, 9 9)"))
+    assert(Shape.addPoint(l, Point(1, 1), 1) == g("LINESTRING (0 0, 1 1, 5 0, 5 5)"))
+    assert(Shape.addPoint(l, Point(1, 1), 4) == null)
+    assert(Shape.removePoint(l, 1) == g("LINESTRING (0 0, 5 5)"))
+    assert(Shape.removePoint(g("LINESTRING (0 0, 1 1)"), 0) == null)
+    assert(Shape.setPoint(l, -1, Point(7, 7)) == g("LINESTRING (0 0, 5 0, 7 7)"))
+    assert(Shape.setPoint(l, 3, Point(7, 7)) == null)
+    assert(Shape.asMulti(Point(1, 2)) == MultiPoint(Array(Point(1, 2))))
+    assert(Shape.asMulti(g("MULTIPOINT ((1 2))")) == g("MULTIPOINT ((1 2))"))
+  }
+
   // -------------------------------------------------------------- tiles
 
   test("tileEnvelope: z=0 is the whole world; z=1 quadrants; bad input null") {

@@ -74,6 +74,21 @@ class GraphCdcIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: mass conservation on a regular graph, hubs rank higher on a star") {
+    // 2-regular ring: every node identical by symmetry -> uniform ranks
+    val ring = (0L until 20L).flatMap(i => Seq((i, (i + 1) % 20), (i, (i + 2) % 20)))
+    val pr = Graph.pageRank(ring.toDF("s", "d"), "s", "d", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.values.toSet.size == 1) // exactly uniform (decimal-pinned arithmetic)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    // star + return edges: the hub collects 0.85 of the leaves' mass
+    val star = (1L to 10L).flatMap(i => Seq((i, 0L), (0L, i)))
+    val pr2 = Graph.pageRank(star.toDF("s", "d"), "s", "d", iters = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(pr2(0L) > 5 * pr2(1L))
+    assert((1L to 10L).map(pr2).toSet.size == 1) // leaves symmetric
+  }
+
   test("triangleCount matches brute force on random graph, ignores dup/reversed/self edges") {
     val r = lcg(53).map(x => math.floorMod(x, 30L))
     val raw = (1 to 400).map(_ => (r.next(), r.next()))
