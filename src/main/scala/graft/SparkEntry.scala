@@ -3448,7 +3448,42 @@ object SparkEntry {
           |SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer""".stripMargin)
       graft.relational.Graph.pageRank(edges, "src", "dst", iters = 6)
         .orderBy("node")
-    })
+    }),
+
+    // chat-transcript flattening: conversation JSON -> typed turns via
+    // from_json + posexplode — the instruction-data preparation shape
+    // (schema'd parse, per-turn filtering, per-role token accounting)
+    "q219_chat_turns" -> sqlQuery(Seq("documents"),
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    concat('[{"role":"user","content":"', array_join(slice(ws, 1, 5), ' '),
+        |      '"},{"role":"assistant","content":"', array_join(slice(ws, 6, 5), ' '),
+        |      '"}]') AS convo
+        |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)),
+        |t AS (
+        |  SELECT doc_id, pos, turn.role AS role, turn.content AS content
+        |  FROM c
+        |  LATERAL VIEW posexplode(from_json(convo,
+        |    'array<struct<role:string,content:string>>')) x AS pos, turn)
+        |SELECT doc_id, cast(pos as int) AS pos, role, md5(content) AS content_md5,
+        |  cast(size(split(content, ' ')) as int) AS n_tokens
+        |FROM t
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // argmin/argmax + conditional aggregate breadth: max_by/min_by with a
+    // uniqueness-keyed ordering (ties would be engine-lottery otherwise),
+    // count_if, bool_and/bool_or
+    "q220_argminmax" -> sqlQuery(Seq("customer"),
+      """SELECT c_nationkey,
+        |  max_by(c_name, c_acctbal * 100000 + c_custkey) AS richest,
+        |  min_by(c_name, c_acctbal * 100000 + c_custkey) AS poorest,
+        |  cast(count_if(c_acctbal > 5000.0) as bigint) AS n_rich,
+        |  bool_and(c_acctbal >= 0.0 OR c_mktsegment IS NOT NULL) AS all_ok,
+        |  bool_or(c_acctbal < 0.0) AS any_negative,
+        |  round(cast(max(c_acctbal) as double), 2) AS max_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4999,6 +5034,30 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q219_chat_turns" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, cast(0 as int) AS pos, 'user' AS role,
+        |  md5(array_to_string(ws[1:5], ' ')) AS content_md5,
+        |  cast(5 as int) AS n_tokens
+        |FROM w
+        |UNION ALL
+        |SELECT doc_id, cast(1 as int), 'assistant',
+        |  md5(array_to_string(ws[6:10], ' ')), cast(5 as int)
+        |FROM w
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q220_argminmax" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_name, c_acctbal * 100000 + c_custkey) AS richest,
+        |  arg_min(c_name, c_acctbal * 100000 + c_custkey) AS poorest,
+        |  cast(count(*) FILTER (WHERE c_acctbal > 5000.0) as bigint) AS n_rich,
+        |  bool_and(c_acctbal >= 0.0 OR c_mktsegment IS NOT NULL) AS all_ok,
+        |  bool_or(c_acctbal < 0.0) AS any_negative,
+        |  round(cast(max(c_acctbal) as double), 2) AS max_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q216_offsetcurve" ->
       """SELECT c_custkey,
