@@ -3483,7 +3483,74 @@ object SparkEntry {
         |  round(cast(max(c_acctbal) as double), 2) AS max_bal
         |FROM customer
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin)
+        |ORDER BY c_nationkey""".stripMargin),
+
+    // planar k-means clustering (KMeans.cluster): deterministic seeding,
+    // decimal-pinned centroid updates — 4 Lloyd iterations reproduce
+    // bit-identically in the chained-CTE oracle
+    "q221_kmeans" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val pts = s.sql(
+        s"""SELECT c_custkey, $custX AS px, $custY AS py
+           |FROM customer WHERE c_custkey <= 600""".stripMargin)
+      graft.spatial.KMeans.cluster(pts, "c_custkey", "px", "py", k = 4, iters = 4)
+        .orderBy("c_custkey")
+    }),
+
+    // RFM segmentation: recency/frequency/monetary quartiles with
+    // unique-key tie-breaks so every ntile boundary is deterministic
+    "q222_rfm" -> sqlQuery(Seq("orders"),
+      """WITH m AS (
+        |  SELECT o_custkey AS cust,
+        |    max(o_orderdate) AS last_order,
+        |    cast(count(*) as bigint) AS freq,
+        |    cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT cust,
+        |    ntile(4) OVER (ORDER BY last_order, cust) AS r_bucket,
+        |    ntile(4) OVER (ORDER BY freq, cust) AS f_bucket,
+        |    ntile(4) OVER (ORDER BY monetary, cust) AS m_bucket
+        |  FROM m)
+        |SELECT concat(r_bucket, f_bucket, m_bucket) AS segment,
+        |  cast(count(*) as bigint) AS n_customers,
+        |  min(cust) AS first_cust
+        |FROM b GROUP BY r_bucket, f_bucket, m_bucket
+        |ORDER BY segment""".stripMargin),
+
+    // proximity clustering (ST_ClusterWithin-shape): pairs within D via
+    // 2-D cell replication (each pair meets on exactly one key — the
+    // unreplicated side's cell), then connected components; squared
+    // distances compare in exact integer arithmetic
+    "q223_clusterwithin" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val dd = 8.0
+      val pts = s.sql(
+        s"""SELECT c_custkey AS id, $custX AS x, $custY AS y
+           |FROM customer WHERE c_custkey <= 300""".stripMargin)
+        .localCheckpoint()
+      val cellX = floor(col("x") / dd).cast("long")
+      val cellY = floor(col("y") / dd).cast("long")
+      val left = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        cellX.as("cx"), cellY.as("cy"))
+      val right = pts
+        .withColumn("cx", explode(array(cellX - 1, cellX, cellX + 1)))
+        .withColumn("cy", explode(array(cellY - 1, cellY, cellY + 1)))
+        .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+          col("cx"), col("cy"))
+      val pairs = left.join(right, Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(dd * dd))
+        .select("id_a", "id_b")
+      graft.pipeline.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .join(pts.select(col("id")), Seq("id"), "right")
+        .select(col("id").as("c_custkey"),
+          coalesce(col("component"), col("id")).as("cluster"))
+        .orderBy("c_custkey")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -5034,6 +5101,73 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q221_kmeans" -> {
+      val iterCtes = (1 to 4).map { k =>
+        s"""a$k AS (SELECT id, x, y, cid FROM (
+           |  SELECT p.id, p.x, p.y, c.cid,
+           |    row_number() OVER (PARTITION BY p.id
+           |      ORDER BY (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy),
+           |               c.cid) AS rn
+           |  FROM p CROSS JOIN c${k - 1} c) WHERE rn = 1),
+           |m$k AS (SELECT cid,
+           |  round(cast(sum(cast(x as decimal(28,9))) as double) / count(*), 9) AS cx,
+           |  round(cast(sum(cast(y as decimal(28,9))) as double) / count(*), 9) AS cy
+           |  FROM a$k GROUP BY cid),
+           |c$k AS (SELECT c.cid, coalesce(m.cx, c.cx) AS cx, coalesce(m.cy, c.cy) AS cy
+           |  FROM c${k - 1} c LEFT JOIN m$k m USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT c_custkey AS id,
+         |    cast(c_custkey % 360 - 180 as double) AS x,
+         |    cast((c_custkey * 7) % 160 - 80 as double) AS y
+         |  FROM customer WHERE c_custkey <= 600),
+         |c0 AS (SELECT cast(row_number() OVER (ORDER BY id) - 1 as int) AS cid,
+         |    x AS cx, y AS cy
+         |  FROM (SELECT id, x, y FROM p ORDER BY id LIMIT 4)),
+         |$iterCtes
+         |SELECT id AS c_custkey, cast(cid as int) AS cluster FROM (
+         |  SELECT p.id, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy),
+         |               c.cid) AS rn
+         |  FROM p CROSS JOIN c4 c) WHERE rn = 1
+         |ORDER BY c_custkey""".stripMargin
+    },
+
+    "q222_rfm" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS cust,
+        |    max(o_orderdate) AS last_order,
+        |    cast(count(*) as bigint) AS freq,
+        |    cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT cust,
+        |    ntile(4) OVER (ORDER BY last_order, cust) AS r_bucket,
+        |    ntile(4) OVER (ORDER BY freq, cust) AS f_bucket,
+        |    ntile(4) OVER (ORDER BY monetary, cust) AS m_bucket
+        |  FROM m)
+        |SELECT concat(r_bucket, f_bucket, m_bucket) AS segment,
+        |  cast(count(*) as bigint) AS n_customers,
+        |  min(cust) AS first_cust
+        |FROM b GROUP BY r_bucket, f_bucket, m_bucket
+        |ORDER BY segment""".stripMargin,
+
+    "q223_clusterwithin" ->
+      """WITH RECURSIVE
+        |p AS (SELECT c_custkey AS id,
+        |        cast(c_custkey % 360 - 180 as double) AS x,
+        |        cast((c_custkey * 7) % 160 - 80 as double) AS y
+        |      FROM customer WHERE c_custkey <= 300),
+        |pr AS (SELECT a.id AS src, b.id AS dst FROM p a JOIN p b ON a.id < b.id
+        |       WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 64.0),
+        |e AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+        |cc(id, lbl) AS (
+        |  SELECT id, id FROM p
+        |  UNION
+        |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)
+        |SELECT cast(id as bigint) AS c_custkey, cast(min(lbl) as bigint) AS cluster
+        |FROM cc GROUP BY id ORDER BY c_custkey""".stripMargin,
 
     "q219_chat_turns" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
