@@ -3550,7 +3550,41 @@ object SparkEntry {
         .select(col("id").as("c_custkey"),
           coalesce(col("component"), col("id")).as("cluster"))
         .orderBy("c_custkey")
-    })
+    }),
+
+    // multimodal decode, oracle-verified: binary payload column through the
+    // partition-wise mapPartitions batch (the mapInPandas shape), with the
+    // md5-layout FakeCodec so DuckDB recomputes width/height/luma exactly
+    "q224_image_decode" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val payloads = s.sql(
+        """SELECT doc_id, source,
+          |  cast(concat('IMG:', cast(doc_id as string), ':', text) as binary) AS payload
+          |FROM documents""".stripMargin)
+      graft.pipeline.Multimodal.decodeImagesMd5(payloads, "payload")
+        .selectExpr("doc_id", "decoded_width", "decoded_height", "mean_luma")
+        .orderBy("doc_id")
+    }),
+
+    // image near-dup fingerprinting: tiled average-hash (image_ahash) —
+    // an 8-char overlay perturbs only the tiles it covers, so the mangled
+    // twin sits at small Hamming distance while unrelated images do not;
+    // every hash bit recomputes in SQL (md5 tile arithmetic)
+    "q225_image_ahash" -> sqlQuery(Seq("documents"),
+      """WITH s AS (SELECT doc_id, concat('IMG:', text) AS s FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    image_ahash(cast(s as binary)) AS ah,
+        |    image_ahash(cast(concat(
+        |      substring(s, 1, cast(floor(length(s) / 2) as int)), 'XXXXXXXX',
+        |      substring(s, cast(floor(length(s) / 2) as int) + 9)) as binary)) AS ah_twin
+        |  FROM s)
+        |SELECT a.doc_id,
+        |  cast(bit_count(a.ah ^ a.ah_twin) as int) AS h_twin,
+        |  cast(bit_count(a.ah ^ b.ah) as int) AS h_next
+        |FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5101,6 +5135,41 @@ object SparkEntry {
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q224_image_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 'IMG:' || cast(doc_id as varchar) || ':' || text AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(64 + ('0x' || substr(md5(s), 1, 4))::BIGINT % 448 as int) AS decoded_width,
+        |  cast(64 + ('0x' || substr(md5(s), 5, 4))::BIGINT % 448 as int) AS decoded_height,
+        |  cast(('0x' || substr(md5(s), 9, 4))::BIGINT % 256 as double) AS mean_luma
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q225_image_ahash" -> {
+      def lum(sCol: String) =
+        s"""list_transform(range(60), i ->
+           |   ('0x' || substr(md5(substr($sCol,
+           |       cast(i * length($sCol) // 60 as int) + 1,
+           |       cast((i + 1) * length($sCol) // 60 as int) -
+           |         cast(i * length($sCol) // 60 as int))), 1, 15))::BIGINT % 256)""".stripMargin
+      def pack(lumCol: String) =
+        s"""cast(list_sum(list_transform(range(60), i ->
+           |   CASE WHEN $lumCol[i + 1] >= list_sum($lumCol) / 60.0
+           |        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) as bigint)""".stripMargin
+      s"""WITH s AS (SELECT doc_id, 'IMG:' || text AS s1,
+         |    substr('IMG:' || text, 1, cast(floor(length('IMG:' || text) / 2) as int))
+         |      || 'XXXXXXXX' ||
+         |    substr('IMG:' || text, cast(floor(length('IMG:' || text) / 2) as int) + 9) AS s2
+         |  FROM documents),
+         |h0 AS (SELECT doc_id, ${lum("s1")} AS lum1, ${lum("s2")} AS lum2 FROM s),
+         |h AS (SELECT doc_id, ${pack("lum1")} AS ah, ${pack("lum2")} AS ah_twin FROM h0)
+         |SELECT a.doc_id,
+         |  cast(bit_count(xor(a.ah, a.ah_twin)) as int) AS h_twin,
+         |  cast(bit_count(xor(a.ah, b.ah)) as int) AS h_next
+         |FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+         |ORDER BY a.doc_id""".stripMargin
+    },
 
     "q221_kmeans" -> {
       val iterCtes = (1 to 4).map { k =>

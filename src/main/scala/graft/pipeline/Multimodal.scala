@@ -62,6 +62,23 @@ object Multimodal {
     def frameOffsets(durationMs: Long, stepMs: Long): Array[Long] =
       if (durationMs <= 0 || stepMs <= 0) Array.empty
       else (0L until durationMs by stepMs).toArray
+
+    /**
+     * md5-layout decode variant: width/height/luma from md5 hex-prefix
+     * arithmetic on the payload (`('0x'||substr(md5(s),1,4))::INT`-style),
+     * so a SQL engine can recompute the "decoded" metadata exactly —
+     * the oracle-checkable twin of [[decodeImage]].
+     */
+    def decodeImageMd5(bytes: Array[Byte]): (Int, Int, Double) = {
+      if (bytes == null || bytes.isEmpty) return (0, 0, 0.0)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val h = TextKernels.md5Hash60(s)
+      // 60-bit value = hex digits 1..15; hex[1..4] = bits 59..44, etc.
+      val w = 64 + ((h >>> 44) % 448).toInt
+      val ht = 64 + (((h >>> 28) & 0xffffL) % 448).toInt
+      val luma = (((h >>> 12) & 0xffffL) % 256).toDouble
+      (w, ht, luma)
+    }
   }
 
   /**
@@ -80,6 +97,25 @@ object Multimodal {
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val (w, h, luma) = FakeCodec.decodeImage(bytes)
+        Row.fromSeq(r.toSeq ++ Seq[Any](w, h, luma))
+      }
+    }
+  }
+
+  /** [[FakeCodec.decodeImageMd5]] over a payload column — same partition-wise
+    * batch shape as [[decodeImages]], but every decoded value is
+    * SQL-recomputable (used by the oracle-verified multimodal queries). */
+  def decodeImagesMd5(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Array(
+      StructField("decoded_width", IntegerType),
+      StructField("decoded_height", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val (w, h, luma) = FakeCodec.decodeImageMd5(bytes)
         Row.fromSeq(r.toSeq ++ Seq[Any](w, h, luma))
       }
     }

@@ -182,6 +182,38 @@ object TextKernels {
     (h << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /**
+   * Tiled average-hash of a payload string (the aHash image-fingerprint
+   * shape over a stubbed decode): split into 60 contiguous tiles
+   * (integer i*L/60 boundaries), "luma" per tile = md5Hash60(tile) % 256,
+   * bit i set iff tile i's luma >= the mean. Locality: editing a span
+   * perturbs only the tiles it covers (plus mean-adjacent flips), so
+   * near-identical payloads land at small Hamming distance. 60 bits keeps
+   * every shift unsigned-safe in SQL engines (same layout discipline as
+   * simHashMd5); every step is md5/integer arithmetic => reproducible.
+   */
+  def aHash60(s: String): Long = {
+    val lum = new Array[Long](60)
+    val L = s.length
+    var sum = 0L
+    var i = 0
+    while (i < 60) {
+      val lo = i * L / 60
+      val hi = (i + 1) * L / 60
+      lum(i) = md5Hash60(s.substring(lo, hi)) % 256
+      sum += lum(i)
+      i += 1
+    }
+    val mean = sum / 60.0
+    var bits = 0L
+    i = 0
+    while (i < 60) {
+      if (lum(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** 60-bit SimHash over tokens with the cross-engine md5 token hash. */
   def simHashMd5(tokens: Array[String]): Long = {
     val acc = new Array[Int](60)
@@ -332,6 +364,8 @@ object TextRowEval {
   def wordShingles(t: UTF8String, n: Int): ArrayData =
     new GenericArrayData(TextKernels.wordShingles(t.toString, n)
       .map(s => UTF8String.fromString(s): Any))
+  def imageAhash(bytes: Array[Byte]): Long =
+    TextKernels.aHash60(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
 }
 
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
@@ -482,6 +516,20 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Md5Hash60 = copy(c)
 }
 
+/** image_ahash(payload binary) -> bigint: tiled average-hash fingerprint of
+  * an (UTF-8-decodable) payload — see TextKernels.aHash64. */
+case class ImageAhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "image_ahash"
+  override protected def nullSafeEval(t: Any): Any =
+    TextRowEval.imageAhash(t.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = graft.pipeline.TextRowEval.imageAhash($t);")
+  override protected def withNewChildInternal(c: Expression): ImageAhash = copy(c)
+}
+
 /** word_shingles(text, n) -> array<string>: space-joined word n-grams in one
   * tokenizer pass (the set-construction front end of minhash/jaccard dedup;
   * a split+transform SQL formulation re-tokenizes per shingle element). */
@@ -531,6 +579,7 @@ object TextRegistry {
     reg("normalize_text", exprs => NormalizeText(exprs.head))
     reg("md5_hash60", exprs => Md5Hash60(exprs.head))
     reg("word_shingles", exprs => WordShingles(exprs.head, exprs(1)))
+    reg("image_ahash", exprs => ImageAhash(exprs.head))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
     reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),
