@@ -540,11 +540,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // winnowing document fingerprint, oracle-verified: min md5_hash60 over
+    // lowercased char 8-shingles (fingerprint_md5 kernel expression — one
+    // pass, no per-window substring list). The native FNV/murmur variant
+    // (doc_fingerprint, TextAnalysis.analyze) is spec-covered; this md5
+    // twin recomputes exactly in DuckDB list arithmetic.
     "q53_doc_fingerprint" -> ((s: SparkSession, dir: String) => {
       init(s)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.analyze(docs, "doc_id", "text")
-        .select("doc_id", "fingerprint")
+      docs.select(col("doc_id"),
+          expr("fingerprint_md5(text, 8)").as("fingerprint"))
         .orderBy("doc_id")
     }),
 
@@ -3929,6 +3934,20 @@ object SparkEntry {
     // recall at ~1-5e-8 for the corpus's lowest true-pair similarity (0.8),
     // so the LSH output equals the all-pairs answer. CosineSim accumulates
     // dot/norms exactly like list_dot_product => bit-identical doubles.
+    // winnowing min-md5 fingerprint recomputed per char window; window =
+    // min(8, len); empty text -> 0 (matches TextKernels.fingerprintMd5)
+    "q53_doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |w AS (SELECT doc_id, t,
+        |        CASE WHEN length(t) < 8 THEN length(t) ELSE 8 END AS w
+        |      FROM t)
+        |SELECT doc_id,
+        |  cast(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE list_min(list_transform(range(length(t) - w + 1),
+        |            i -> ('0x' || substr(md5(substr(t, i + 1, w)), 1, 15))::BIGINT))
+        |       END as bigint) AS fingerprint
+        |FROM w ORDER BY doc_id""".stripMargin,
+
     "q35_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
         |           FROM documents),

@@ -278,6 +278,29 @@ object TextKernels {
     min
   }
 
+  /**
+   * Cross-engine winnowing fingerprint: min md5Hash60 over lowercased char
+   * shingles — the oracle-checkable twin of [[fingerprint]] (same winnowing
+   * shape, md5 window hash instead of the FNV/murmur fold so a SQL engine
+   * recomputes it exactly: `list_min(list_transform(range(L-w+1), i ->
+   * ('0x'||substr(md5(substr(t,i+1,w)),1,15))::BIGINT))` in DuckDB).
+   */
+  def fingerprintMd5(text: String, shingleSize: Int): Long = {
+    val t = text.toLowerCase
+    val n = t.length
+    if (n == 0) return 0L
+    val w = if (n < shingleSize) n else shingleSize
+    var min = Long.MaxValue
+    var i = 0
+    val last = n - w
+    while (i <= last) {
+      val h = md5Hash60(t.substring(i, i + w))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
   /** Exact n-gram Jaccard between two texts (word n-grams). */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
     val sa = wordShingles(a, n).toSet
@@ -366,6 +389,8 @@ object TextRowEval {
       .map(s => UTF8String.fromString(s): Any))
   def imageAhash(bytes: Array[Byte]): Long =
     TextKernels.aHash60(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  def fingerprintMd5(t: UTF8String, n: Int): Long =
+    TextKernels.fingerprintMd5(t.toString, n)
 }
 
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
@@ -464,6 +489,23 @@ case class DocFingerprint(left: Expression, right: Expression) extends BinaryExp
     nullSafeCodeGen(ctx, ev, (t, n) =>
       s"${ev.value} = graft.pipeline.TextRowEval.fingerprint($t, (int)$n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DocFingerprint =
+    copy(l, r)
+}
+
+/** fingerprint_md5(text, shingleSize) -> bigint: cross-engine winnowing
+  * fingerprint (min md5_hash60 over lowercased char shingles) — the
+  * oracle-checkable twin of doc_fingerprint. */
+case class FingerprintMd5(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint_md5"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextRowEval.fingerprintMd5(t.asInstanceOf[UTF8String], n.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.fingerprintMd5($t, (int)$n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FingerprintMd5 =
     copy(l, r)
 }
 
@@ -580,6 +622,7 @@ object TextRegistry {
     reg("md5_hash60", exprs => Md5Hash60(exprs.head))
     reg("word_shingles", exprs => WordShingles(exprs.head, exprs(1)))
     reg("image_ahash", exprs => ImageAhash(exprs.head))
+    reg("fingerprint_md5", exprs => FingerprintMd5(exprs.head, exprs(1)))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
     reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),

@@ -110,6 +110,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("winnowing fingerprints: min-over-windows, case-insensitive, short/empty text") {
+    TextRegistry.register(spark)
+    // both variants equal an independent min-over-char-windows recompute
+    val t = "The quick brown fox jumps over the lazy dog"
+    def windows(s: String, w: Int) =
+      (0 to s.length - w).map(i => s.substring(i, i + w))
+    assert(TextKernels.fingerprint(t, 8) ==
+      windows(t.toLowerCase, 8).map(TextKernels.hash64(_, 1L)).min)
+    assert(TextKernels.fingerprintMd5(t, 8) ==
+      windows(t.toLowerCase, 8).map(TextKernels.md5Hash60).min)
+    // case-insensitive; whitespace-sensitive (char shingles, not tokens)
+    assert(TextKernels.fingerprintMd5(t.toUpperCase, 8) ==
+      TextKernels.fingerprintMd5(t, 8))
+    assert(TextKernels.fingerprintMd5(t.replace(" ", "  "), 8) !=
+      TextKernels.fingerprintMd5(t, 8))
+    // shorter than the shingle: one window of the whole text; empty: 0
+    assert(TextKernels.fingerprintMd5("abc", 8) == TextKernels.md5Hash60("abc"))
+    assert(TextKernels.fingerprintMd5("", 8) == 0L)
+    assert(TextKernels.fingerprint("", 8) == 0L)
+    // SQL registry wiring matches the kernels
+    val (sqlNative, sqlMd5) = spark.sql(
+        s"SELECT doc_fingerprint('$t', 8), fingerprint_md5('$t', 8)")
+      .as[(Long, Long)].head()
+    assert(sqlNative == TextKernels.fingerprint(t, 8))
+    assert(sqlMd5 == TextKernels.fingerprintMd5(t, 8))
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
