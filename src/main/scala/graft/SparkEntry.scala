@@ -1217,8 +1217,8 @@ object SparkEntry {
     // MMR diversified top-10: distributed exact top-50 prune, then the
     // greedy maximal-marginal-relevance re-rank over the k-bounded
     // candidate set (inherently sequential => driver-side by design).
-    // Deterministic (ties by id) but iterative => rows-only check;
-    // SimilaritySpec pins the greedy invariants.
+    // Deterministic (ties by id); oracle-checked end-to-end against the
+    // 10-pick unrolled-CTE greedy in DuckDB.
     "q92_mmr_rerank" -> ((s: SparkSession, dir: String) => {
       init(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -4069,6 +4069,48 @@ object SparkEntry {
         |      e.vec_id) AS rank
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // greedy MMR unrolled into 10 chained CTE picks (the q221 pattern for
+    // iterative algorithms): pick_t = argmax over the un-picked candidates
+    // of 0.7*rel - (1-0.7)*max cos to the picked set, ties by id. All
+    // lambda arithmetic in ::DOUBLE so (1.0-0.7) reproduces the Scala
+    // double 0.30000000000000004 exactly; cos accumulates like
+    // list_dot_product => the selection doubles are bit-identical.
+    "q92_mmr_rerank" -> {
+      def cos(a: String, b: String) =
+        s"""(CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 THEN 0.0
+           |  ELSE list_dot_product($a, $b) /
+           |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)""".stripMargin
+      val steps = (2 to 10).map { t =>
+        s"""sc$t AS (
+           |  SELECT c.id, c.rel, c.v,
+           |    0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) *
+           |      max(${cos("c.v", "s.v")}) AS score
+           |  FROM cand c CROSS JOIN sel${t - 1} s
+           |  WHERE c.id NOT IN (SELECT id FROM sel${t - 1})
+           |  GROUP BY c.id, c.rel, c.v),
+           |pick$t AS (SELECT $t AS rank, id, rel, v, score FROM sc$t
+           |           ORDER BY score DESC, id LIMIT 1),
+           |sel$t AS MATERIALIZED (
+           |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      // MATERIALIZED: each sel_t is referenced three times per later step —
+      // DuckDB's default CTE inlining re-expands the whole chain (and
+      // re-opens the parquet scan) exponentially, exhausting file handles
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT id, ${cos("v", queryVecSql)} AS rel, v FROM (
+         |    SELECT vec_id AS id, cast(embedding as double[]) AS v
+         |    FROM embeddings)
+         |  ORDER BY rel DESC, id LIMIT 50),
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1 AS rank, id, rel, v, 0.7::DOUBLE * rel AS score
+         |  FROM cand ORDER BY score DESC, id LIMIT 1),
+         |$steps
+         |SELECT cast(rank as int) AS rank, cast(id as bigint) AS vec_id,
+         |  round(score, 6) + 0.0 AS mmr_score, round(rel, 6) + 0.0 AS cosine
+         |FROM sel10 ORDER BY rank""".stripMargin
+    },
 
     "q54_geoparquet_roundtrip" ->
       s"""SELECT cast(count(*) as bigint) AS n_east, cast(sum(c_custkey) as bigint) AS key_sum
