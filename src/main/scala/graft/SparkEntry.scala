@@ -587,7 +587,7 @@ object SparkEntry {
       init(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64,
-        planes = 6, threshold = 0.25)
+        planes = 6, threshold = 0.25, md5Planes = true)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -4058,6 +4058,35 @@ object SparkEntry {
          |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS c
          |  FROM embeddings e)
          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    // random-hyperplane LSH reproduced bit-exactly: plane[p][d] =
+    // (md5Hash60(p||':'||d) - 2^59) / 2^59 (the cross-engine md5 hash,
+    // q53's parse), dot products accumulate like list_dot_product =>
+    // identical signs => identical buckets => identical candidate pair
+    // set; cosine verified at full precision before the display round.
+    "q42_emb_neardup" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    (('0x' || substr(md5(p || ':' || d), 1, 15))::BIGINT
+        |      - 576460752303423488)::DOUBLE / 576460752303423488) AS pl
+        |  FROM range(6) t(p)),
+        |v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT v.vec_id AS id,
+        |    sum(CASE WHEN list_dot_product(v.v, pl.pl) >= 0
+        |             THEN 1 << pl.p ELSE 0 END)::BIGINT AS bucket
+        |  FROM v CROSS JOIN planes pl GROUP BY v.vec_id)
+        |SELECT cast(a.id as bigint) AS id_a, cast(b.id as bigint) AS id_b,
+        |  round(list_dot_product(va.v, vb.v) /
+        |        (sqrt(list_dot_product(va.v, va.v)) *
+        |         sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+        |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+        |JOIN v va ON va.vec_id = a.id
+        |JOIN v vb ON vb.vec_id = b.id
+        |WHERE list_dot_product(va.v, vb.v) /
+        |      (sqrt(list_dot_product(va.v, va.v)) *
+        |       sqrt(list_dot_product(vb.v, vb.v))) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q43_emb_knn" ->
       """SELECT q_id, vec_id, rank FROM (

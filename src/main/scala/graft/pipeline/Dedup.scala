@@ -513,14 +513,19 @@ object Dedup {
       vecCol: String,
       dim: Int,
       planes: Int = 12,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      md5Planes: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // deterministic pseudo-gaussian planes from the stable kernel hash;
-    // shared shape with Similarity.planes
+    // deterministic pseudo-uniform planes from a stable hash; md5Planes
+    // switches the derivation to the cross-engine md5 hash, centered to
+    // [-1, 1) — `(('0x'||substr(md5(p||':'||d),1,15))::BIGINT - 2^59)
+    // / 2^59` in DuckDB — so an external engine reproduces the buckets
+    // (and therefore the emitted pair set) bit-exactly
     val planeMat: Array[Array[Double]] = Array.tabulate(planes, dim) { (p, d) =>
-      val h = TextKernels.hash64(s"$p:$d", 42)
-      (h.toDouble / Long.MaxValue)
+      if (md5Planes)
+        (TextKernels.md5Hash60(s"$p:$d") - (1L << 59)).toDouble / (1L << 59).toDouble
+      else TextKernels.hash64(s"$p:$d", 42).toDouble / Long.MaxValue
     }
     val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", exprColumn(LshBucket(columnExpr($"vec"), planeMat)))
