@@ -4088,6 +4088,52 @@ object SparkEntry {
         |       sqrt(list_dot_product(vb.v, vb.v))) >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // IVF ANN replayed exactly: training is deterministic (init = first 8
+    // vectors by id, 2 Lloyd rounds whose per-dim means go through the
+    // decimal(28,10) fold), so the oracle unrolls both rounds as chained
+    // CTEs (the q221 k-means pattern), re-derives the 6 probe cells, and
+    // re-runs the probe-filtered exact top-10. Every cosine/mean double is
+    // bit-identical (sequential list_dot_product accumulation, exact
+    // decimal sums), so bucket assignment — and therefore the approximate
+    // result set itself — reproduces exactly.
+    "q52_emb_ivf" -> {
+      def assign(out: String, cents: String) =
+        s"""$out AS (SELECT vec_id, v, c FROM (
+           |  SELECT v.vec_id, v.v, cc.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |    list_dot_product(v.v, cc.v) /
+           |    (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cc.v, cc.v))) DESC,
+           |    cc.c) AS rn
+           |  FROM v CROSS JOIN $cents cc) WHERE rn = 1)""".stripMargin
+      def lloyd(k: Int) =
+        s"""${assign(s"a$k", s"c${k - 1}")},
+           |m$k AS (SELECT a.c, d.d,
+           |    cast(sum(cast(a.v[d.d + 1] as decimal(28,10))) as double) / count(*) AS m
+           |  FROM a$k a CROSS JOIN range(64) d(d) GROUP BY a.c, d.d),
+           |c$k AS (SELECT c.c, list(coalesce(m.m, c.v[d.d + 1]) ORDER BY d.d) AS v
+           |  FROM c${k - 1} c CROSS JOIN range(64) d(d)
+           |  LEFT JOIN m$k m ON m.c = c.c AND m.d = d.d
+           |  GROUP BY c.c)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+         |       FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloyd(1)},
+         |${lloyd(2)},
+         |probes AS (SELECT c FROM (
+         |  SELECT cc.c, row_number() OVER (ORDER BY
+         |    list_dot_product($queryVecSql, cc.v) /
+         |    (sqrt(list_dot_product($queryVecSql, $queryVecSql)) *
+         |     sqrt(list_dot_product(cc.v, cc.v))) DESC, cc.c) AS rn
+         |  FROM c2 cc) WHERE rn <= 6),
+         |${assign("af", "c2")}
+         |SELECT vec_id, round(cos, 6) AS cosine FROM (
+         |  SELECT a.vec_id,
+         |    list_dot_product(a.v, $queryVecSql) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS cos
+         |  FROM af a JOIN probes USING (c))
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "q43_emb_knn" ->
       """SELECT q_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
