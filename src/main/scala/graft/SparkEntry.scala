@@ -3605,6 +3605,84 @@ object SparkEntry {
   private val oCustY = "cast((c_custkey * 7) % 160 - 80 as double)"
   private val oSide = "cast(c_custkey % 10 + 1 as double)"
 
+  // ---- shared CTE builders for the ANN oracles (q52/q84/q93): the exact
+  // SQL replay of trainIvfCentroids / trainPqCodebooks / pqAdcTopK.
+  // Requires a CTE `v(vec_id, v)` of 64-dim double lists (and `q(v)` for
+  // the ADC luts). Every double is bit-identical to the Scala kernels:
+  // sequential list_dot_product accumulation, exact decimal(28,10) mean
+  // fold, strict-argmax ties to the lowest centroid index.
+
+  /** Full-dim argmax-cosine assignment of `v` rows to centroid CTE
+    * `cents(c, v)` (NearestCentroid replay). */
+  private def annAssign(out: String, cents: String): String =
+    s"""$out AS (SELECT vec_id, v, c FROM (
+       |  SELECT v.vec_id, v.v, cc.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |    list_dot_product(v.v, cc.v) /
+       |    (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cc.v, cc.v))) DESC,
+       |    cc.c) AS rn
+       |  FROM v CROSS JOIN $cents cc) WHERE rn = 1)""".stripMargin
+
+  /** c0 init: the k smallest-id vectors, centroid index = rank. */
+  private def annInit(k: Int): String =
+    s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+       |       FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
+
+  /** One Lloyd round c{k-1} -> c{k}: assign, decimal-fold per-dim means,
+    * keep the old coordinate where a cluster got no rows. */
+  private def annLloyd(k: Int): String =
+    s"""${annAssign(s"a$k", s"c${k - 1}")},
+       |m$k AS (SELECT a.c, d.d,
+       |    cast(sum(cast(a.v[d.d + 1] as decimal(28,10))) as double) / count(*) AS m
+       |  FROM a$k a CROSS JOIN range(64) d(d) GROUP BY a.c, d.d),
+       |c$k AS (SELECT c.c, list(coalesce(m.m, c.v[d.d + 1]) ORDER BY d.d) AS v
+       |  FROM c${k - 1} c CROSS JOIN range(64) d(d)
+       |  LEFT JOIN m$k m ON m.c = c.c AND m.d = d.d
+       |  GROUP BY c.c)""".stripMargin
+
+  /** PQ codebook training (m=8 subspaces x k=16 x 8 dims, 2 Lloyd rounds)
+    * + per-subspace code assignment `enc` + ADC partial sums `adc(vec_id,
+    * dotsum, normsum)` — dl/nl folded in explicit j order so the sums add
+    * exactly like the Scala left-fold reduce. */
+  private def pqOracleCtes: String = {
+    def basg(out: String, books: String) =
+      s"""$out AS (SELECT vec_id, j, c FROM (
+         |  SELECT v.vec_id, b.j, b.c, row_number() OVER (PARTITION BY v.vec_id, b.j ORDER BY
+         |    list_dot_product(v.v[b.j * 8 + 1 : b.j * 8 + 8], b.v) /
+         |    (sqrt(list_dot_product(v.v[b.j * 8 + 1 : b.j * 8 + 8],
+         |                           v.v[b.j * 8 + 1 : b.j * 8 + 8])) *
+         |     sqrt(list_dot_product(b.v, b.v))) DESC, b.c) AS rn
+         |  FROM v CROSS JOIN $books b) WHERE rn = 1)""".stripMargin
+    def round(k: Int) =
+      s"""${basg(s"basg$k", s"books${k - 1}")},
+         |bm$k AS (SELECT d.d, a.c AS cl,
+         |    cast(sum(cast(v.v[d.d + 1] as decimal(28,10))) as double) / count(*) AS m
+         |  FROM v CROSS JOIN range(64) d(d)
+         |  JOIN basg$k a ON a.vec_id = v.vec_id AND a.j = d.d // 8
+         |  GROUP BY d.d, a.c),
+         |books$k AS (SELECT b.j, b.c, list(coalesce(m.m, b.v[i.i + 1]) ORDER BY i.i) AS v
+         |  FROM books${k - 1} b CROSS JOIN range(8) i(i)
+         |  LEFT JOIN bm$k m ON m.d = b.j * 8 + i.i AND m.cl = b.c
+         |  GROUP BY b.j, b.c)""".stripMargin
+    s"""books0 AS (SELECT j.j AS j, s.c AS c, s.v[j.j * 8 + 1 : j.j * 8 + 8] AS v
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+       |        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16)) s
+       |  CROSS JOIN range(8) j(j)),
+       |${round(1)},
+       |${round(2)},
+       |${basg("enc", "books2")},
+       |luts AS (SELECT b.j, b.c,
+       |    list_dot_product(b.v, q.v[b.j * 8 + 1 : b.j * 8 + 8]) AS dotv,
+       |    list_dot_product(b.v, b.v) AS normv
+       |  FROM books2 b CROSS JOIN q),
+       |adcarr AS (SELECT e.vec_id, list(l.dotv ORDER BY e.j) AS dl,
+       |    list(l.normv ORDER BY e.j) AS nl
+       |  FROM enc e JOIN luts l ON l.j = e.j AND l.c = e.c GROUP BY e.vec_id),
+       |adc AS (SELECT vec_id,
+       |    dl[1]+dl[2]+dl[3]+dl[4]+dl[5]+dl[6]+dl[7]+dl[8] AS dotsum,
+       |    nl[1]+nl[2]+nl[3]+nl[4]+nl[5]+nl[6]+nl[7]+nl[8] AS normsum
+       |  FROM adcarr)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4096,43 +4174,75 @@ object SparkEntry {
     // bit-identical (sequential list_dot_product accumulation, exact
     // decimal sums), so bucket assignment — and therefore the approximate
     // result set itself — reproduces exactly.
-    "q52_emb_ivf" -> {
-      def assign(out: String, cents: String) =
-        s"""$out AS (SELECT vec_id, v, c FROM (
-           |  SELECT v.vec_id, v.v, cc.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |    list_dot_product(v.v, cc.v) /
-           |    (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cc.v, cc.v))) DESC,
-           |    cc.c) AS rn
-           |  FROM v CROSS JOIN $cents cc) WHERE rn = 1)""".stripMargin
-      def lloyd(k: Int) =
-        s"""${assign(s"a$k", s"c${k - 1}")},
-           |m$k AS (SELECT a.c, d.d,
-           |    cast(sum(cast(a.v[d.d + 1] as decimal(28,10))) as double) / count(*) AS m
-           |  FROM a$k a CROSS JOIN range(64) d(d) GROUP BY a.c, d.d),
-           |c$k AS (SELECT c.c, list(coalesce(m.m, c.v[d.d + 1]) ORDER BY d.d) AS v
-           |  FROM c${k - 1} c CROSS JOIN range(64) d(d)
-           |  LEFT JOIN m$k m ON m.c = c.c AND m.d = d.d
-           |  GROUP BY c.c)""".stripMargin
+    "q52_emb_ivf" ->
       s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-         |       FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
-         |${lloyd(1)},
-         |${lloyd(2)},
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
          |probes AS (SELECT c FROM (
          |  SELECT cc.c, row_number() OVER (ORDER BY
          |    list_dot_product($queryVecSql, cc.v) /
          |    (sqrt(list_dot_product($queryVecSql, $queryVecSql)) *
          |     sqrt(list_dot_product(cc.v, cc.v))) DESC, cc.c) AS rn
          |  FROM c2 cc) WHERE rn <= 6),
-         |${assign("af", "c2")}
+         |${annAssign("af", "c2")}
          |SELECT vec_id, round(cos, 6) AS cosine FROM (
          |  SELECT a.vec_id,
          |    list_dot_product(a.v, $queryVecSql) /
          |    (sqrt(list_dot_product(a.v, a.v)) *
          |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS cos
          |  FROM af a JOIN probes USING (c))
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
-    },
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // PQ ADC replayed exactly: codebooks from the same deterministic
+    // per-subspace Lloyd (so books0..books2 unroll like q52's c0..c2 but
+    // per 8-dim slice), codes re-derived, and the ADC score rebuilt from
+    // the per-subspace dot/norm luts folded in j order — the approximate
+    // top-10 set and both cosine columns reproduce bit-exactly.
+    "q84_pq_ann" ->
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |q AS (SELECT $queryVecSql AS v),
+         |$pqOracleCtes,
+         |top AS (SELECT s.vec_id,
+         |    CASE WHEN s.normsum > 0 AND sqrt(list_dot_product(q.v, q.v)) > 0
+         |         THEN s.dotsum / (sqrt(list_dot_product(q.v, q.v)) * sqrt(s.normsum))
+         |         ELSE 0.0 END AS a
+         |  FROM adc s CROSS JOIN q ORDER BY a DESC, s.vec_id LIMIT 10)
+         |SELECT t.vec_id, round(t.a, 6) AS adc_cosine,
+         |  round(list_dot_product(v.v, q.v) /
+         |        (sqrt(list_dot_product(v.v, v.v)) *
+         |         sqrt(list_dot_product(q.v, q.v))), 6) AS exact_cosine
+         |FROM top t JOIN v ON v.vec_id = t.vec_id CROSS JOIN q
+         |ORDER BY adc_cosine DESC, t.vec_id""".stripMargin,
+
+    // IVF-PQ: coarse cells from the full-dim Lloyd (k=16), top-4 probe
+    // cells by query cosine, then the q84 ADC scoring restricted to the
+    // probed cells. round(+0.0) canonicalizes negative zero as the Scala
+    // side does.
+    "q93_ivfpq_ann" ->
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |q AS (SELECT $queryVecSql AS v),
+         |${annInit(16)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |${annAssign("cellasg", "c2")},
+         |probes AS (SELECT c FROM (
+         |  SELECT cc.c, row_number() OVER (ORDER BY
+         |    list_dot_product($queryVecSql, cc.v) /
+         |    (sqrt(list_dot_product($queryVecSql, $queryVecSql)) *
+         |     sqrt(list_dot_product(cc.v, cc.v))) DESC, cc.c) AS rn
+         |  FROM c2 cc) WHERE rn <= 4),
+         |$pqOracleCtes
+         |SELECT vec_id, round(a, 6) + 0.0 AS adc_cosine FROM (
+         |  SELECT s.vec_id,
+         |    CASE WHEN s.normsum > 0 AND sqrt(list_dot_product(q.v, q.v)) > 0
+         |         THEN s.dotsum / (sqrt(list_dot_product(q.v, q.v)) * sqrt(s.normsum))
+         |         ELSE 0.0 END AS a
+         |  FROM adc s
+         |  JOIN cellasg ca ON ca.vec_id = s.vec_id
+         |  JOIN probes p ON p.c = ca.c
+         |  CROSS JOIN q ORDER BY a DESC, s.vec_id LIMIT 10)
+         |ORDER BY adc_cosine DESC, vec_id""".stripMargin,
 
     "q43_emb_knn" ->
       """SELECT q_id, vec_id, rank FROM (
