@@ -3589,7 +3589,19 @@ object SparkEntry {
         |  cast(bit_count(a.ah ^ a.ah_twin) as int) AS h_twin,
         |  cast(bit_count(a.ah ^ b.ah) as int) AS h_next
         |FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
-        |ORDER BY a.doc_id""".stripMargin)
+        |ORDER BY a.doc_id""".stripMargin),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells over the embedding
+    // space, drop rows with an earlier cell-mate above the cosine
+    // threshold. Deterministic Lloyd cells => the kept set is exact and
+    // cross-engine reproducible.
+    "q226_semdedup" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
+        .orderBy("id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -4193,6 +4205,24 @@ object SparkEntry {
          |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS cos
          |  FROM af a JOIN probes USING (c))
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // SemDeDup replay: same unrolled Lloyd cells as q52, dup set = rows
+    // with an earlier (lower-id) cell-mate at cosine >= 0.3.
+    "q226_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |${annAssign("cellasg", "c2")},
+         |dup AS (SELECT DISTINCT b.vec_id FROM cellasg a JOIN cellasg b
+         |  ON a.c = b.c AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) *
+         |         sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+         |SELECT cast(ca.vec_id as bigint) AS id, cast(ca.c as int) AS cell,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM cellasg ca LEFT JOIN dup d ON d.vec_id = ca.vec_id
+         |ORDER BY id""".stripMargin,
 
     // PQ ADC replayed exactly: codebooks from the same deterministic
     // per-subspace Lloyd (so books0..books2 unroll like q52's c0..c2 but

@@ -540,6 +540,46 @@ object Dedup {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): partition the corpus into
+   * k-means cells over the embedding space, then inside each cell drop
+   * every row that has an EARLIER (lower-id) cell-mate with cosine >=
+   * `threshold` — the paper's upper-triangular keep-first rule. Output is
+   * length-preserving: (id, cell, kept).
+   *
+   * Pass centroids from [[Similarity.trainIvfCentroids]] (deterministic
+   * decimal-fold Lloyd) so the cell assignment — and therefore the kept
+   * set — is bit-reproducible across runs, partitionings, and engines.
+   *
+   * Distributed shape: one shuffle on the cell id for the within-cell
+   * self-join, one broadcast-able distinct dup-id set, no driver
+   * materialization. At 100 TB the cell count grows with the corpus
+   * (k ~ n/target_cell_size), which keeps per-cell pair work bounded —
+   * the same discipline as the grid spatial joins; the pair stage is the
+   * quadratic-in-cell-size part, exactly as in the reference algorithm.
+   */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withCell = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", exprColumn(NearestCentroid(columnExpr($"vec"), centroids)))
+    val a = withCell.select($"cell", $"id".as("id_a"), $"vec".as("vec_a"))
+    val b = withCell.select($"cell", $"id".as("id_b"), $"vec".as("vec_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .filter(exprColumn(CosineSim(columnExpr($"vec_a"), columnExpr($"vec_b"))) >= threshold)
+      .select($"id_b".as("dup_id")).distinct()
+    withCell.join(dups, withCell("id") === dups("dup_id"), "left_outer")
+      .select($"id", $"cell", $"dup_id".isNull.as("kept"))
+  }
+
+  /**
    * Per-document repeated-n-gram statistics — the corpus-level duplicated
    * text measure used by large-scale training-data curation (the word-level
    * approximation of substring dedup a la "Deduplicating Training Data

@@ -244,6 +244,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedup: keep-first within cells, cross-cell dups survive") {
+    // two well-separated clusters on orthogonal axes; centroids pinned
+    // on the axes so cell assignment is unambiguous
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cell 0, kept (lowest id in cell)
+      (2L, Array(0.98f, 0.05f)), // cell 0, dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f)),   // cell 1, kept (no earlier cell-mate)
+      (4L, Array(0.05f, 0.98f)), // cell 1, dup of 3 -> dropped
+      (5L, Array(0.9f, 0.44f))   // cell 0 but cos to 1/2 < 0.95 -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, threshold = 0.95)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+    // partitioning invariance: same kept set under a different layout
+    val out8 = Dedup.semanticDedup(vecs.repartition(8), "vec_id", "embedding", cents, 0.95)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out8 == out)
+  }
+
   test("connected components: chain, clique, and singleton clusters") {
     // chain 1-2-3-4 (transitive closure), pair 10-11, triangle 20-21-22
     val pairs = Seq(
