@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoRegistry
-import graft.pipeline.{Corpus, Dedup, Sessionize, Similarity, TextAnalysis, TextRegistry}
+import graft.pipeline.{Bpe, Corpus, Dedup, Sessionize, Similarity, TextAnalysis, TextRegistry}
 import graft.spatial.SpatialJoin
 
 /**
@@ -3601,6 +3601,27 @@ object SparkEntry {
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
       Dedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
         .orderBy("id")
+    }),
+
+    // BPE tokenizer training (Sennrich et al. 2016): 5 merge rounds over
+    // the corpus vocabulary; integer pair counts + lexicographic
+    // tie-break => a total order both engines reproduce exactly.
+    "q227_bpe_train" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Bpe.bpeMerges(docs, "text", rounds = 5).orderBy("round")
+    }),
+
+    // Encode with the learned merges: train on the full corpus, apply the
+    // merge chain as per-row literal replaces (no shuffle on the encode
+    // side), one row per (word position, subword symbol).
+    "q228_bpe_encode" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = Bpe.bpeMerges(docs, "text", rounds = 5)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.bpeEncode(docs.filter(col("doc_id") < 20), "doc_id", "text", merges)
+        .orderBy("doc_id", "word_pos", "sym_pos")
     })
   )
 
@@ -3693,6 +3714,33 @@ object SparkEntry {
        |    dl[1]+dl[2]+dl[3]+dl[4]+dl[5]+dl[6]+dl[7]+dl[8] AS dotsum,
        |    nl[1]+nl[2]+nl[3]+nl[4]+nl[5]+nl[6]+nl[7]+nl[8] AS normsum
        |  FROM adcarr)""".stripMargin
+  }
+
+  /** BPE training replay for the q227/q228 oracles: vocabulary reduction
+    * + `rounds` unrolled merge rounds. Each m$r is the argmax pair
+    * (weighted count desc, pair asc); each w$r applies the literal
+    * space-bounded replace exactly like [[graft.pipeline.Bpe.bpeMerges]]. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val round = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pair, cast(sum(cnt) as bigint) AS f FROM (
+         |  SELECT cnt, unnest(CASE WHEN len(s) >= 2
+         |      THEN list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])
+         |      ELSE [] END) AS pair
+         |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS s FROM w${r - 1}))
+         |  GROUP BY pair),
+         |m$r AS (SELECT pair, f FROM p$r ORDER BY f DESC, pair LIMIT 1),
+         |w$r AS (SELECT word, cnt, replace(sym, (SELECT ' ' || pair || ' ' FROM m$r),
+         |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)) AS sym
+         |  FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(trim(text), '\\S+')) AS word FROM documents)
+       |  GROUP BY word),
+       |w0 AS (SELECT word, cnt,
+       |    ' ' || array_to_string(list_transform(range(length(word)),
+       |        i -> word[i + 1 : i + 1]), ' ') || ' ' AS sym
+       |  FROM wc),
+       |$round""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4223,6 +4271,31 @@ object SparkEntry {
          |  (d.vec_id IS NULL) AS kept
          |FROM cellasg ca LEFT JOIN dup d ON d.vec_id = ca.vec_id
          |ORDER BY id""".stripMargin,
+
+    "q227_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(5)}
+         |SELECT round, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, f AS freq
+         |FROM (${(1 to 5).map(r => s"SELECT $r AS round, pair, f FROM m$r")
+        .mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin,
+
+    "q228_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(5)},
+         |e0 AS (SELECT doc_id, cast(u[2] as int) AS word_pos, u[1] AS word
+         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ws
+         |        FROM documents WHERE doc_id < 20),
+         |  unnest(list_zip(ws, range(len(ws)))) t(u)),
+         |e1 AS (SELECT doc_id, word_pos, word, string_split(trim(
+         |    ${(1 to 5).foldLeft(
+              "' ' || array_to_string(list_transform(range(length(word)), " +
+              "i -> word[i + 1 : i + 1]), ' ') || ' '") { (acc, r) =>
+              s"replace($acc,\n    (SELECT ' ' || pair || ' ' FROM m$r), " +
+              s"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r))" }}), ' ') AS ss
+         |  FROM e0)
+         |SELECT doc_id, word_pos, word, cast(u[2] as int) AS sym_pos, u[1] AS symbol
+         |FROM e1, unnest(list_zip(ss, range(len(ss)))) t(u)
+         |ORDER BY doc_id, word_pos, sym_pos""".stripMargin,
 
     // PQ ADC replayed exactly: codebooks from the same deterministic
     // per-subspace Lloyd (so books0..books2 unroll like q52's c0..c2 but

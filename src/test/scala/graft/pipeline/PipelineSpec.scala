@@ -244,6 +244,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("bpeMerges: frequency order, lexicographic ties, greedy merge application") {
+    // "ab" x3, "abc" x2 -> pair (a,b) freq 5 wins round 1; round 2 merges
+    // (ab, c) freq 2
+    val docs = Seq("ab ab abc", "ab abc").toDF("text")
+    val merges = Bpe.bpeMerges(docs, "text", rounds = 2)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a", "b", 5L), (2, "ab", "c", 2L)))
+
+    // overlapping run: the space-bounded replace consumes the shared
+    // boundary, so 'aaaa' merges to (aa, a, a) — the documented
+    // deviation from rescanning BPE, shared exactly by SQL `replace`
+    val run = Seq("aaaa aaaa").toDF("text")
+    val m1 = Bpe.bpeMerges(run, "text", rounds = 1)
+      .as[(Int, String, String, Long)].head()
+    assert(m1 == ((1, "a", "a", 6L))) // 3 adjacencies per word x 2 words
+    val enc = Bpe.bpeEncode(run.withColumn("id", lit(1L)), "id", "text",
+        Seq(("a", "a")))
+      .select("word_pos", "sym_pos", "symbol").as[(Int, Int, String)].collect().toSet
+    assert(enc == Set((0, 0, "aa"), (0, 1, "a"), (0, 2, "a"),
+      (1, 0, "aa"), (1, 1, "a"), (1, 2, "a")))
+  }
+
   test("semanticDedup: keep-first within cells, cross-cell dups survive") {
     // two well-separated clusters on orthogonal axes; centroids pinned
     // on the axes so cell assignment is unambiguous
