@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoRegistry
-import graft.pipeline.{Bpe, Corpus, Dedup, Sessionize, Similarity, TextAnalysis, TextRegistry}
+import graft.pipeline.{Bpe, Corpus, Dedup, Pca, Sessionize, Similarity, TextAnalysis, TextRegistry}
 import graft.spatial.SpatialJoin
 
 /**
@@ -3622,6 +3622,20 @@ object SparkEntry {
         .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.bpeEncode(docs.filter(col("doc_id") < 20), "doc_id", "text", merges)
         .orderBy("doc_id", "word_pos", "sym_pos")
+    }),
+
+    // PCA leading component by 3 power-iteration rounds over the
+    // decimal-fold covariance (one distributed moment pass, driver-side
+    // deterministic iteration — the codebook pattern); output = centered
+    // projections onto PC1.
+    "q229_pca_power" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (mu, v, _) = Pca.topComponent(emb, "embedding", dim = 64, iters = 3)
+      emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          (round(Pca.projectCol(col("embedding"), mu, v), 6) + lit(0.0)).as("pc1"))
+        .orderBy("vec_id")
     })
   )
 
@@ -4271,6 +4285,40 @@ object SparkEntry {
          |  (d.vec_id IS NULL) AS kept
          |FROM cellasg ca LEFT JOIN dup d ON d.vec_id = ca.vec_id
          |ORDER BY id""".stripMargin,
+
+    // PCA power iteration replayed: decimal-fold means/second moments,
+    // covariance rows as j-ordered lists, three unrolled w->normalize
+    // rounds from the exact 0.125 uniform start, then the same
+    // sequential centered-dot projection. round(+0.0) canonicalizes
+    // negative zero.
+    "q229_pca_power" -> {
+      def iter(k: Int) =
+        s"""w$k AS (SELECT c.i, list_dot_product(c.row, (SELECT vv FROM v${k - 1})) AS w
+           |  FROM cov c),
+           |wl$k AS (SELECT list(w ORDER BY i) AS wl FROM w$k),
+           |v$k AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vv
+           |  FROM wl$k)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |mu AS (SELECT d.d AS i,
+         |    cast(sum(cast(v.v[d.d + 1] as decimal(28,10))) as double) / count(*) AS mu
+         |  FROM v CROSS JOIN range(64) d(d) GROUP BY d.d),
+         |mul AS (SELECT list(mu ORDER BY i) AS m FROM mu),
+         |sxy AS (SELECT i.i, j.j,
+         |    cast(sum(cast(v.v[i.i + 1] * v.v[j.j + 1] as decimal(28,10))) as double)
+         |      / count(*) AS e
+         |  FROM v CROSS JOIN range(64) i(i) CROSS JOIN range(64) j(j) GROUP BY i.i, j.j),
+         |cov AS (SELECT s.i, list(s.e - mi.mu * mj.mu ORDER BY s.j) AS row
+         |  FROM sxy s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j GROUP BY s.i),
+         |v0 AS (SELECT list_transform(range(64), x -> cast(0.125 as double)) AS vv),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT vec_id, round(list_dot_product(
+         |    list_transform(range(64), k -> v.v[k + 1] - mul.m[k + 1]), v3.vv), 6)
+         |  + 0.0 AS pc1
+         |FROM v CROSS JOIN mul CROSS JOIN v3
+         |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+    },
 
     "q227_bpe_train" ->
       s"""WITH ${bpeTrainCtes(5)}

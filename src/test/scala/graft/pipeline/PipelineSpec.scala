@@ -244,6 +244,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("pca topComponent: dominant axis, bit-identical across partitionings") {
+    val vecs = (0 until 40).map { i =>
+      val t = (i % 21 - 10).toFloat // variance concentrated on axis 1
+      (i.toLong, Array(0.01f * (i % 3), t, 0.05f * (i % 5), 0.0f))
+    }.toDF("vec_id", "embedding")
+    val (mu, v, lambda) = Pca.topComponent(vecs, "embedding", dim = 4, iters = 5)
+    assert(math.abs(v(1)) > 0.99)
+    assert(lambda > 25.0) // ~uniform(-10..10) variance
+    assert(math.abs(mu(3)) < 1e-12)
+    val (mu2, v2, lambda2) = Pca.topComponent(vecs.repartition(7), "embedding", 4, 5)
+    assert(mu2.sameElements(mu) && v2.sameElements(v) && lambda2 == lambda)
+  }
+
   test("bpeMerges: frequency order, lexicographic ties, greedy merge application") {
     // "ab" x3, "abc" x2 -> pair (a,b) freq 5 wins round 1; round 2 merges
     // (ab, c) freq 2
