@@ -28,6 +28,7 @@ object Pca {
   def moments(df: DataFrame, vecCol: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(dim >= 1, "need dim >= 1")
     val muRows = df.select(posexplode(col(vecCol)).as(Seq("i", "xi")))
       .groupBy("i")
       .agg((sum($"xi".cast("double").cast("decimal(28,10)")).cast("double") /
