@@ -3624,6 +3624,52 @@ object SparkEntry {
         .orderBy("doc_id", "word_pos", "sym_pos")
     }),
 
+    // Hybrid retrieval: BM25 arm (the q159 scoring) + dense cosine arm,
+    // fused by reciprocal-rank fusion (Cormack et al. 2009, k=60).
+    // Ranks are integers and the fusion is two exact double divisions,
+    // so the fused ordering is engine-independent.
+    "q230_rrf_fusion" -> sqlQuery(Seq("documents", "embeddings"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, explode(split(lower(text), '[^a-z]+')) AS term
+         |    FROM documents WHERE doc_id < 2000) WHERE term != ''),
+         |pd AS (SELECT doc_id, cast(count(*) as double) AS dl,
+         |         cast(sum(CASE WHEN term = 'query'  THEN 1 ELSE 0 END) as double) AS tfq,
+         |         cast(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) as double) AS tfv,
+         |         cast(sum(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) as double) AS tfm
+         |       FROM tok GROUP BY doc_id),
+         |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM pd),
+         |df AS (SELECT cast(sum(CASE WHEN tfq > 0 THEN 1 ELSE 0 END) as double) AS dfq,
+         |         cast(sum(CASE WHEN tfv > 0 THEN 1 ELSE 0 END) as double) AS dfv,
+         |         cast(sum(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) as double) AS dfm
+         |       FROM pd),
+         |sc AS (
+         |  SELECT pd.doc_id,
+         |    log((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * pd.tfq * 2.2
+         |      / (pd.tfq + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+         |    log((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * pd.tfv * 2.2
+         |      / (pd.tfv + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+         |    log((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * pd.tfm * 2.2
+         |      / (pd.tfm + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) AS score
+         |  FROM pd CROSS JOIN st CROSS JOIN df
+         |  WHERE pd.tfq + pd.tfv + pd.tfm > 0),
+         |sparse AS (SELECT doc_id, rs FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM sc)
+         |  WHERE rs <= 50),
+         |dense AS (SELECT doc_id, rd FROM (
+         |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+         |    cosine_sim(embedding, array(${queryVec.map(v => s"${v}D").mkString(", ")}))
+         |      DESC, vec_id) AS rd
+         |  FROM embeddings) WHERE rd <= 50),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
+         |    coalesce(1.0D / (60 + s.rs), 0.0D) + coalesce(1.0D / (60 + d.rd), 0.0D) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+         |SELECT rnk, doc_id, rs, rd, round(rrf, 6) AS rrf
+         |FROM (SELECT *, cast(row_number() OVER (ORDER BY rrf DESC, doc_id) as int) AS rnk
+         |      FROM fused)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin),
+
     // PCA leading component by 3 power-iteration rounds over the
     // decimal-fold covariance (one distributed moment pass, driver-side
     // deterministic iteration — the codebook pattern); output = centered
@@ -4285,6 +4331,54 @@ object SparkEntry {
          |  (d.vec_id IS NULL) AS kept
          |FROM cellasg ca LEFT JOIN dup d ON d.vec_id = ca.vec_id
          |ORDER BY id""".stripMargin,
+
+    // RRF fusion: q159's ln-based BM25 arm, the q40-style dense cosine
+    // arm, integer ranks, exact 1/(60+r) fusion.
+    "q230_rrf_fusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+         |    FROM documents WHERE doc_id < 2000) WHERE term != ''),
+         |pd AS (SELECT doc_id, cast(count(*) as double) AS dl,
+         |         cast(sum(CASE WHEN term = 'query'  THEN 1 ELSE 0 END) as double) AS tfq,
+         |         cast(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) as double) AS tfv,
+         |         cast(sum(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) as double) AS tfm
+         |       FROM tok GROUP BY doc_id),
+         |st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM pd),
+         |df AS (SELECT cast(sum(CASE WHEN tfq > 0 THEN 1 ELSE 0 END) as double) AS dfq,
+         |         cast(sum(CASE WHEN tfv > 0 THEN 1 ELSE 0 END) as double) AS dfv,
+         |         cast(sum(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) as double) AS dfm
+         |       FROM pd),
+         |sc AS (
+         |  SELECT pd.doc_id,
+         |    ln((st.n - df.dfq + 0.5) / (df.dfq + 0.5) + 1.0) * pd.tfq * 2.2
+         |      / (pd.tfq + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+         |    ln((st.n - df.dfv + 0.5) / (df.dfv + 0.5) + 1.0) * pd.tfv * 2.2
+         |      / (pd.tfv + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) +
+         |    ln((st.n - df.dfm + 0.5) / (df.dfm + 0.5) + 1.0) * pd.tfm * 2.2
+         |      / (pd.tfm + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) AS score
+         |  FROM pd CROSS JOIN st CROSS JOIN df
+         |  WHERE pd.tfq + pd.tfv + pd.tfm > 0),
+         |sparse AS (SELECT doc_id, rs FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM sc)
+         |  WHERE rs <= 50),
+         |v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |dense AS (SELECT doc_id, rd FROM (
+         |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+         |    list_dot_product(v, $queryVecSql) /
+         |    (sqrt(list_dot_product(v, v)) *
+         |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) DESC, vec_id) AS rd
+         |  FROM v) WHERE rd <= 50),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |    cast(s.rs as int) AS rs, cast(d.rd as int) AS rd,
+         |    coalesce(cast(1.0 as double) / (60 + s.rs), cast(0.0 as double)) +
+         |    coalesce(cast(1.0 as double) / (60 + d.rd), cast(0.0 as double)) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+         |SELECT rnk, doc_id, rs, rd, round(rrf, 6) AS rrf
+         |FROM (SELECT *, cast(row_number() OVER (ORDER BY rrf DESC, doc_id) as int) AS rnk
+         |      FROM fused)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     // PCA power iteration replayed: decimal-fold means/second moments,
     // covariance rows as j-ordered lists, three unrolled w->normalize
@@ -6915,9 +7009,10 @@ object SparkEntry {
         |  FROM documents)
         |WHERE sample_rank <= 40
         |ORDER BY source, sample_rank""".stripMargin
-    // q42 (LSH recall), q48 (stub codec), q52 (ANN), q53 (custom-hash
-    // fingerprint), q84 (PQ ANN), q92 (iterative MMR), q93 (IVF-PQ) are
-    // approximate/engine-specific or not ANSI-SQL-expressible =>
-    // rows-only check
+    // q48 (deliberately non-SQL stub codec; its md5-layout twin q224 IS
+    // oracle-verified) is the one remaining rows-only entry. Former
+    // rows-only queries q42/q52/q53/q84/q92/q93 now hash-match via
+    // md5-derived planes, unrolled-Lloyd/codebook CTEs, and chained
+    // greedy-pick CTEs respectively.
   )
 }
