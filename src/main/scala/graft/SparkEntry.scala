@@ -4380,10 +4380,11 @@ object SparkEntry {
          |      FROM fused)
          |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
-    // PCA power iteration replayed: decimal-fold means/second moments,
-    // covariance rows as j-ordered lists, three unrolled w->normalize
-    // rounds from the exact 0.125 uniform start, then the same
-    // sequential centered-dot projection. round(+0.0) canonicalizes
+    // PCA power iteration replayed: truncated scaled-long moment folds
+    // (identical doubles truncate identically — no rounding-boundary
+    // sensitivity), covariance rows as j-ordered lists, three unrolled
+    // w->normalize rounds from the exact 0.125 uniform start, then the
+    // same sequential centered-dot projection. round(+0.0) canonicalizes
     // negative zero.
     "q229_pca_power" -> {
       def iter(k: Int) =
@@ -4394,12 +4395,13 @@ object SparkEntry {
            |  FROM wl$k)""".stripMargin
       s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
          |mu AS (SELECT d.d AS i,
-         |    cast(sum(cast(v.v[d.d + 1] as decimal(28,10))) as double) / count(*) AS mu
+         |    cast(sum(cast(trunc(v.v[d.d + 1] * 1e10) as bigint)) as double)
+         |      / 1e10 / count(*) AS mu
          |  FROM v CROSS JOIN range(64) d(d) GROUP BY d.d),
          |mul AS (SELECT list(mu ORDER BY i) AS m FROM mu),
          |sxy AS (SELECT i.i, j.j,
-         |    cast(sum(cast(v.v[i.i + 1] * v.v[j.j + 1] as decimal(28,10))) as double)
-         |      / count(*) AS e
+         |    cast(sum(cast(trunc((v.v[i.i + 1] * v.v[j.j + 1]) * 1e10) as bigint)) as double)
+         |      / 1e10 / count(*) AS e
          |  FROM v CROSS JOIN range(64) i(i) CROSS JOIN range(64) j(j) GROUP BY i.i, j.j),
          |cov AS (SELECT s.i, list(s.e - mi.mu * mj.mu ORDER BY s.j) AS row
          |  FROM sxy s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j GROUP BY s.i),

@@ -60,4 +60,37 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(r._3 == Similarity.binaryHalf(v, 32))
     } finally q.stop()
   }
+
+  test("bpe encode and pca projection run stateless on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val enc = graft.pipeline.Bpe.bpeEncode(docs, "id", "text",
+      Seq(("a", "b"), ("ab", "c")))
+    val q = enc.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "abc ab zz"))
+      q.processAllAvailable()
+      val syms = spark.table("bpe_stream")
+        .select("word_pos", "sym_pos", "symbol")
+        .as[(Int, Int, String)].collect().toSet
+      assert(syms == Set((0, 0, "abc"), (1, 0, "ab"), (2, 0, "z"), (2, 1, "z")))
+    } finally q.stop()
+
+    val vin = MemoryStream[Long]
+    val vecs = vin.toDF().toDF("id")
+      .withColumn("v", typedLit(Array(3.0, 4.0)))
+    val proj = vecs.select(col("id"),
+      graft.pipeline.Pca.projectCol(col("v"), Array(1.0, 0.0), Array(1.0, 0.0)).as("pc1"))
+    val q2 = proj.writeStream.format("memory").queryName("pca_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vin.addData(1L)
+      q2.processAllAvailable()
+      assert(spark.table("pca_stream").as[(Long, Double)].collect().head._2 == 2.0)
+    } finally q2.stop()
+  }
 }
