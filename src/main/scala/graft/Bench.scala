@@ -21,6 +21,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // Broadcast blocks are only released when the driver-side references
+      // are GC'd (ContextCleaner is GC-triggered); across 200+ queries in
+      // one JVM the default 30min periodic GC never fires, and accumulated
+      // broadcasts inflate later queries by seconds (q207 measured 5.4s in
+      // the full run vs 1.8s isolated). 20s keeps cleanup off the timed
+      // path but frequent enough to matter.
+      .config("spark.cleaner.periodicGC.interval", "20s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -3682,6 +3682,131 @@ object SparkEntry {
         .select(col("vec_id"),
           (round(Pca.projectCol(col("embedding"), mu, v), 6) + lit(0.0)).as("pc1"))
         .orderBy("vec_id")
+    }),
+
+    // String-similarity family for record linkage / fuzzy dedup: Spark's
+    // native levenshtein next to the graft kernels — unrestricted
+    // Damerau-Levenshtein, equal-length Hamming, distinct-byte-set
+    // Jaccard (an exact int/int double), Jaro-Winkler (0.7 boost
+    // threshold). Inputs are sentinel-prefixed printable-ASCII slices so
+    // byte and codepoint semantics coincide across engines.
+    "q231_string_sim" -> sqlQuery(Seq("documents"),
+      """WITH p AS (SELECT doc_id,
+        |  concat('#', regexp_replace(substring(text, 1, 32), '[^ -~]', '')) AS s
+        |  FROM documents)
+        |SELECT a.doc_id,
+        |  levenshtein(a.s, b.s) AS lev,
+        |  damerau_levenshtein(a.s, b.s) AS dlev,
+        |  hamming_dist(rpad(a.s, 16, '.'), rpad(b.s, 16, '.')) AS ham,
+        |  char_jaccard(a.s, b.s) AS cj,
+        |  round(jaro_winkler(a.s, b.s), 4) + 0.0 AS jw
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin),
+
+    // Bounded Bellman-Ford SSSP over a lineitem-derived weighted graph:
+    // 4 relaxation rounds = min-cost path using <= 4 hops; decimal-pinned
+    // distances make every round bit-exact cross-engine (oracle unrolls
+    // the same rounds as chained CTEs).
+    "q232_bellman_ford" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = li.select(
+        (col("l_orderkey") % 1000).as("src"),
+        (col("l_partkey") % 1000).as("dst"),
+        col("l_quantity").as("w"))
+      graft.relational.Graph.bellmanFord(edges, "src", "dst", "w", source = 0L, rounds = 4)
+        .select(col("node").cast("int").as("node"),
+          col("dist").cast("double").as("dist"))
+        .orderBy("node")
+    }),
+
+    // Constraint-suite audit (the Deequ/Great-Expectations publish gate):
+    // row rules in ONE scan of orders, plus uniqueness and two
+    // referential-integrity checks — all emitting one long-format report.
+    "q233_quality_audit" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      import graft.relational.Profile
+      Profile.audit(orders, Seq(
+          "orders_custkey_null" -> col("o_custkey").isNull,
+          "orders_nonpositive_total" -> (col("o_totalprice") <= 0),
+          "orders_bad_status" -> !col("o_orderstatus").isin("O", "F")))
+        .unionByName(Profile.uniquenessCheck(orders, Seq("o_orderkey"), "orders_pk_unique"))
+        .unionByName(Profile.referentialCheck(
+          lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk"))
+        .unionByName(Profile.referentialCheck(
+          orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk"))
+        .orderBy("check_name")
+    }),
+
+    // Blocklist-word density (the C4 badwords step): broadcast word-list
+    // join over exploded tokens — no regexp alternation, no shuffle on
+    // the token.
+    "q234_blocklist" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Corpus.blocklistStats(s.table("documents"), "doc_id", "text",
+          words = Seq("slow", "crash", "spam", "leak", "noise"), maxRatio = 0.005)
+        .orderBy("doc_id")
+    }),
+
+    // Interpolated bigram LM scoring (Jelinek-Mercer, lambda=0.7): the
+    // word-order quality signal the unigram model (q87) cannot see.
+    // Bigrams come from zipping adjacent slices of the per-row token
+    // array — no position window; ln() pinned by the round+decimal fold.
+    "q235_bigram_lm" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      TextAnalysis.bigramLogProb(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Record linkage: block on (nation, stable name prefix), score
+    // candidates with the weighted string-similarity family, keep the
+    // top match per dirty row (rounded-score ranking, key tie-break).
+    // The dirty side swaps the last two name characters, so most rows
+    // re-link to themselves but digit-palindrome collisions ('...12' ->
+    // '...21') legitimately match the OTHER real customer — the classic
+    // linkage failure mode, reproduced deterministically.
+    "q236_record_linkage" -> sqlQuery(Seq("customer"),
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key, c_nationkey AS d_nation,
+        |    concat(substring(c_name, 1, length(c_name) - 2),
+        |           substring(c_name, length(c_name), 1),
+        |           substring(c_name, length(c_name) - 1, 1)) AS d_name,
+        |    c_mktsegment AS d_seg
+        |  FROM customer),
+        |cand AS (
+        |  SELECT d.d_key, c.c_custkey,
+        |    round(0.5 * jaro_winkler(d.d_name, c.c_name) +
+        |          0.3 * (1.0 - cast(levenshtein(d.d_name, c.c_name) as double) /
+        |                 greatest(length(d.d_name), length(c.c_name))) +
+        |          0.2 * char_jaccard(d.d_seg, c.c_mktsegment), 6) AS score
+        |  FROM dirty d JOIN customer c
+        |    ON d.d_nation = c.c_nationkey
+        |   AND substring(d.d_name, 1, 16) = substring(c.c_name, 1, 16))
+        |SELECT d_key, c_custkey AS matched_key, score + 0.0 AS score,
+        |  d_key = c_custkey AS correct
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY d_key ORDER BY score DESC, c_custkey) AS rn
+        |      FROM cand)
+        |WHERE rn = 1 ORDER BY d_key""".stripMargin),
+
+    // 2-D skyline (Pareto frontier) of customers on (order count, total
+    // spend): grid-prune + one distinct-pair window — never the O(n^2)
+    // NOT EXISTS self-join the oracle states.
+    "q237_skyline" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val per = orders.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).as("__spend"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("__spend").cast("double").as("spend"))
+      graft.relational.Skyline.skyline2(per, "n_orders", "spend")
+        .orderBy("o_custkey")
     })
   )
 
@@ -4415,6 +4540,164 @@ object SparkEntry {
          |FROM v CROSS JOIN mul CROSS JOIN v3
          |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     },
+
+    // DuckDB's string metrics are byte-based; the sentinel-prefixed
+    // printable-ASCII slice makes them coincide with Spark's
+    // codepoint-based levenshtein. hamming() needs equal lengths (rpad).
+    "q231_string_sim" ->
+      """WITH p AS (SELECT doc_id,
+        |  concat('#', regexp_replace(substring(text, 1, 32), '[^ -~]', '', 'g')) AS s
+        |  FROM documents)
+        |SELECT a.doc_id,
+        |  cast(levenshtein(a.s, b.s) as int) AS lev,
+        |  cast(damerau_levenshtein(a.s, b.s) as int) AS dlev,
+        |  cast(hamming(rpad(a.s, 16, '.'), rpad(b.s, 16, '.')) as int) AS ham,
+        |  jaccard(a.s, b.s) AS cj,
+        |  round(jaro_winkler_similarity(a.s, b.s), 4) + 0.0 AS jw
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // the same 4 relaxation rounds, unrolled as chained CTEs; decimal
+    // distances make every min() and + exact
+    "q232_bellman_ford" -> {
+      def round(k: Int) =
+        s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, cast(d.dist + e.w as decimal(20,2)) AS dist
+           |  FROM d${k - 1} d JOIN e ON e.src = d.node) GROUP BY node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT src, dst, min(w) AS w FROM (
+         |    SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst,
+         |           cast(l_quantity as decimal(12,2)) AS w
+         |    FROM lineitem) WHERE src <> dst GROUP BY src, dst),
+         |d0 AS (SELECT cast(0 as bigint) AS node, cast(0 as decimal(20,2)) AS dist),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT cast(node as int) AS node, cast(dist as double) AS dist
+         |FROM d4 ORDER BY node""".stripMargin
+    },
+
+    "q233_quality_audit" ->
+      """WITH t AS (SELECT cast(count(*) as bigint) AS total FROM orders),
+        |r AS (
+        |  SELECT 'orders_custkey_null' AS check_name,
+        |    cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_total',
+        |    cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) as bigint)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_bad_status',
+        |    cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) as bigint)
+        |  FROM orders)
+        |SELECT r.check_name, r.violations, t.total, r.violations = 0 AS pass
+        |FROM r CROSS JOIN t
+        |UNION ALL
+        |SELECT 'orders_pk_unique',
+        |  cast(count(*) - count(DISTINCT o_orderkey) as bigint),
+        |  cast(count(*) as bigint),
+        |  count(*) = count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk',
+        |  cast((SELECT count(*) FROM lineitem l
+        |        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) as bigint),
+        |  cast((SELECT count(*) FROM lineitem) as bigint),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  cast((SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) as bigint),
+        |  cast((SELECT count(*) FROM orders) as bigint),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        |ORDER BY check_name""".stripMargin,
+
+    "q234_blocklist" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_tokens,
+        |  cast(sum(CASE WHEN tok IN ('slow','crash','spam','leak','noise')
+        |           THEN 1 ELSE 0 END) as bigint) AS n_flagged,
+        |  round(cast(sum(CASE WHEN tok IN ('slow','crash','spam','leak','noise')
+        |        THEN 1 ELSE 0 END) as double) / count(*), 6) + 0.0 AS flag_ratio,
+        |  round(cast(sum(CASE WHEN tok IN ('slow','crash','spam','leak','noise')
+        |        THEN 1 ELSE 0 END) as double) / count(*), 6) + 0.0 <= 0.005 AS keep
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram adjacency via array positions (LATERAL generate_series);
+    // interpolation divisions are int/int exactly-rounded IEEE ops with
+    // pinned association, ln() pinned by the round+decimal fold
+    "q235_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, arr FROM (
+        |    SELECT doc_id, list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS arr
+        |    FROM documents) WHERE len(arr) >= 2),
+        |bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) u),
+        |uni AS (SELECT tok, count(*) AS cu FROM (
+        |  SELECT unnest(arr) AS tok FROM d) GROUP BY tok),
+        |nn AS (SELECT sum(cu) AS n FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |sc AS (SELECT bg.doc_id,
+        |    cast(round(ln(0.7 * (cast(big.cb as double) / u1.cu) +
+        |                  0.3 * (cast(u2.cu as double) / nn.n)), 6)
+        |      as decimal(20,6)) AS lp
+        |  FROM bg
+        |  JOIN big ON big.w1 = bg.w1 AND big.w2 = bg.w2
+        |  JOIN uni u1 ON u1.tok = bg.w1
+        |  JOIN uni u2 ON u2.tok = bg.w2
+        |  CROSS JOIN nn)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+        |  round(cast(sum(lp) as double) / count(*), 4) + 0.0 AS lp2_mean
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q236_record_linkage" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key, c_nationkey AS d_nation,
+        |    concat(substring(c_name, 1, length(c_name) - 2),
+        |           substring(c_name, length(c_name), 1),
+        |           substring(c_name, length(c_name) - 1, 1)) AS d_name,
+        |    c_mktsegment AS d_seg
+        |  FROM customer),
+        |cand AS (
+        |  SELECT d.d_key, c.c_custkey,
+        |    round(0.5 * jaro_winkler_similarity(d.d_name, c.c_name) +
+        |          0.3 * (1.0 - cast(levenshtein(d.d_name, c.c_name) as double) /
+        |                 greatest(length(d.d_name), length(c.c_name))) +
+        |          0.2 * jaccard(d.d_seg, c.c_mktsegment), 6) AS score
+        |  FROM dirty d JOIN customer c
+        |    ON d.d_nation = c.c_nationkey
+        |   AND substring(d.d_name, 1, 16) = substring(c.c_name, 1, 16))
+        |SELECT d_key, c_custkey AS matched_key, score + 0.0 AS score,
+        |  d_key = c_custkey AS correct
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY d_key ORDER BY score DESC, c_custkey) AS rn
+        |      FROM cand)
+        |WHERE rn = 1 ORDER BY d_key""".stripMargin,
+
+    // the definitional O(n^2) NOT EXISTS dominance test the engine-side
+    // operator avoids
+    "q237_skyline" ->
+      """WITH per AS (
+        |  SELECT o_custkey, cast(count(*) as bigint) AS n_orders,
+        |    cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, spend FROM per a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM per b
+        |  WHERE b.n_orders >= a.n_orders AND b.spend >= a.spend
+        |    AND (b.n_orders > a.n_orders OR b.spend > a.spend))
+        |ORDER BY o_custkey""".stripMargin,
 
     "q227_bpe_train" ->
       s"""WITH ${bpeTrainCtes(5)}

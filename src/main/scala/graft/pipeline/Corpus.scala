@@ -387,4 +387,36 @@ object Corpus {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  /**
+   * Blocklist-word density (the C4 "bad words" filter step): per document,
+   * token count, blocklisted-token count, density, and the keep flag.
+   *
+   * Distributed shape: one tokenizing explode, then a LEFT join against
+   * the BROADCAST word list on the token — never a regexp alternation over
+   * the list (which would defeat codegen and scale linearly in list size
+   * per row) and never a shuffle of the corpus on the token. Documents
+   * with zero tokens are dropped by the tokenizer (no denominator).
+   * Tokenization matches the q230 retrieval family: lowercase, split on
+   * non-letters, empties discarded.
+   */
+  def blocklistStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      words: Seq[String],
+      maxRatio: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = broadcast(words.toDF("tok").withColumn("__flag", lit(1L)))
+    df.select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(bl, Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__flag"), lit(0L))).as("n_flagged"))
+      .withColumn("flag_ratio",
+        round(col("n_flagged").cast("double") / col("n_tokens"), 6) + lit(0.0))
+      .withColumn("keep", col("flag_ratio") <= maxRatio)
+  }
 }

@@ -96,6 +96,66 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated bigram language-model scoring (Jelinek-Mercer smoothing,
+   * the KenLM-lite quality signal): train bigram + unigram counts on the
+   * corpus, then score each document by its mean bigram log-probability
+   * `mean_i ln(lambda * c(w_{i-1} w_i)/c(w_{i-1}) + (1-lambda) * c(w_i)/N)`.
+   * Catches word-salad text the unigram model ([[unigramLogProb]]) cannot:
+   * plausible tokens in implausible order.
+   *
+   * Bigrams come from slicing the per-row token ARRAY and zipping adjacent
+   * slices — one explode per document, no position window, no shuffle to
+   * form pairs. Edge separators are trimmed before the split so the array
+   * has no empty tokens and adjacency is exact. Both interpolation
+   * divisions and the final sum are engine-pinned: int/int divisions and
+   * the fixed `a*(x) + b*(y)` association are exactly-rounded IEEE ops,
+   * ln() is rounded to 6 decimals and folded as decimal(20,6) — the score
+   * is order-independent and cross-engine exact.
+   *
+   * Scale shape: one explode into (doc, w1, w2); count tables aggregate
+   * with map-side partials; the scoring joins shuffle on the bigram/token
+   * keys (Zipf-bounded tables — broadcastable at scale). Documents with
+   * fewer than 2 tokens have no bigrams and are dropped.
+   *
+   * Output: (id, n_bigrams, lp2_mean).
+   */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val id = col(idCol)
+    val arr = split(
+      regexp_replace(lower(col(textCol)), "^[^a-z]+|[^a-z]+$", ""), "[^a-z]+")
+    val docs = df.select(id, arr.as("__arr"))
+      .filter(size(col("__arr")) >= 2 && col("__arr").getItem(0) =!= "")
+    val bigrams = docs
+      .withColumn("__a1", slice(col("__arr"), lit(1), size(col("__arr")) - 1))
+      .withColumn("__a2", slice(col("__arr"), lit(2), size(col("__arr")) - 1))
+      .select(id, explode(arrays_zip(col("__a1"), col("__a2"))).as("__z"))
+      .select(id, col("__z.__a1").as("__w1"), col("__z.__a2").as("__w2"))
+    val uni = docs.select(explode(col("__arr")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cu"))
+    val total = uni.agg(sum(col("__cu")).as("__nn"))
+    val big = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    bigrams
+      .join(big, Seq("__w1", "__w2"))
+      .join(uni.select(col("__tok").as("__w1"), col("__cu").as("__c1")), Seq("__w1"))
+      .join(uni.select(col("__tok").as("__w2"), col("__cu").as("__c2")), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(id,
+        round(log(
+          lit(lambda) * (col("__cb").cast("double") / col("__c1")) +
+          lit(1.0 - lambda) * (col("__c2").cast("double") / col("__nn"))), 6)
+          .cast("decimal(20,6)").as("__lp"))
+      .groupBy(id)
+      .agg(sum(col("__lp")).as("__s"), count(lit(1)).as("n_bigrams"))
+      .withColumn("lp2_mean",
+        round(col("__s").cast("double") / col("n_bigrams"), 4) + lit(0.0))
+      .select(id, col("n_bigrams"), col("lp2_mean"))
+  }
+
+  /**
    * Gopher quality-filter signals (Rae et al. 2021, Table A1 — public
    * heuristics): word-count band, mean-word-length band, symbol-to-word
    * ratio, bullet-line / ellipsis-line fractions, stopword presence,

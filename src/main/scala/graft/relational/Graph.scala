@@ -78,6 +78,51 @@ object Graph {
    * r_{t+1}(v) = round9((1-damping) * r0 + damping * S(v)),
    * S(v) = Sigma_{u->v} round9(r_t(u) / outdeg(u)).
    */
+  /**
+   * Bellman-Ford single-source shortest paths, bounded to `rounds`
+   * relaxation rounds (= shortest distance using at most `rounds` hops).
+   *
+   * Weights are pinned to decimal(12,2) and distances to decimal(20,2), so
+   * every `dist + w` and `min` is exact integer arithmetic — the result is
+   * bit-identical across engines, partitionings, and retry schedules.
+   *
+   * Distributed shape: parallel edges collapse to their min weight once
+   * up front; each round is ONE equi-join of the current distance frontier
+   * against the edge list (shuffle on the node key) plus a min-aggregation
+   * with map-side partials. `localCheckpoint` cuts the growing lineage so
+   * round k does not replay rounds 1..k-1 (the q178 BFS discipline). The
+   * distance table is bounded by |V|; nothing lands on the driver.
+   */
+  def bellmanFord(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      source: Long,
+      rounds: Int): DataFrame = {
+    val e = edges.select(
+        col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("decimal(12,2)").as("w"))
+      .filter(col("s").isNotNull && col("v").isNotNull && col("w").isNotNull &&
+        col("s") =!= col("v"))
+      .groupBy("s", "v").agg(min("w").as("w"))
+      .localCheckpoint()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0).cast("decimal(20,2)").as("dist"))
+    var it = 0
+    while (it < rounds) {
+      val relaxed = dist.join(e, dist("node") === e("s"))
+        .select(col("v").as("node"),
+          (col("dist") + col("w")).cast("decimal(20,2)").as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      it += 1
+    }
+    dist.select(col("node"), col("dist"))
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

@@ -29,4 +29,52 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("non_null"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  // ----------------------------------------------------------- rule audit
+
+  /**
+   * Constraint-suite audit (the Great-Expectations/Deequ-style gate a
+   * pipeline runs before publishing a table). Each rule is a (name,
+   * violation-predicate) pair; ALL rules evaluate in ONE aggregation over
+   * one scan (conditional sums with map-side partials), then unpivot to a
+   * long (check, violations, total, pass) report. Compose with
+   * [[uniquenessCheck]] / [[referentialCheck]] by unionByName — all three
+   * emit the same schema.
+   */
+  def audit(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    val aggs = rules.map { case (n, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__v_$n")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackExpr = rules.map { case (n, _) => s"'$n', __v_$n" }
+      .mkString(s"stack(${rules.size}, ", ", ", ") AS (check_name, violations)")
+    one.selectExpr("__n", stackExpr)
+      .select(col("check_name"), col("violations"), col("__n").as("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+
+  /** Duplicate-key count for a declared unique key (0 = constraint holds). */
+  def uniquenessCheck(df: DataFrame, keyCols: Seq[String], name: String): DataFrame =
+    df.agg(count(lit(1)).as("__n"),
+        countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("__d"))
+      .select(lit(name).as("check_name"), (col("__n") - col("__d")).as("violations"),
+        col("__n").as("total"), (col("__n") === col("__d")).as("pass"))
+
+  /**
+   * Referential-integrity check: child rows whose key has no parent.
+   * Distributed shape: LEFT ANTI join on the key (the parent side is its
+   * deduped key set — broadcastable for dimension tables), then a count;
+   * the child table never collects.
+   */
+  def referentialCheck(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    orphans.crossJoin(child.agg(count(lit(1)).as("total")))
+      .select(lit(name).as("check_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
 }
