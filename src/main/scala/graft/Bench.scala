@@ -21,13 +21,6 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      // Broadcast blocks are only released when the driver-side references
-      // are GC'd (ContextCleaner is GC-triggered); across 200+ queries in
-      // one JVM the default 30min periodic GC never fires, and accumulated
-      // broadcasts inflate later queries by seconds (q207 measured 5.4s in
-      // the full run vs 1.8s isolated). 20s keeps cleanup off the timed
-      // path but frequent enough to matter.
-      .config("spark.cleaner.periodicGC.interval", "20s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -48,7 +41,18 @@ object Bench {
     val selected = if (args.isEmpty) SparkEntry.queries
                    else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // Broadcast blocks are only released when their driver-side references
+    // are GC'd (ContextCleaner is GC-triggered); across 200+ queries in one
+    // JVM the default 30min periodic GC never fires and accumulated
+    // broadcasts inflate later queries by seconds (q207 measured 5.4s in
+    // the full run vs 1.8s isolated). An explicit GC every 16 queries
+    // BETWEEN timed regions reclaims them without ever pausing a
+    // measurement (a timer-based periodic GC landed mid-run and doubled
+    // the long queries).
+    var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      sinceGc += 1
+      if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
       val ts = Seq.fill(runs)(once(name, fn))
       System.err.println(s"[bench] $name " +
         ts.zipWithIndex.map { case (t, i) => f"run${i + 1}=$t%.2f" }.mkString(" "))

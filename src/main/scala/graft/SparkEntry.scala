@@ -3807,6 +3807,57 @@ object SparkEntry {
           col("__spend").cast("double").as("spend"))
       graft.relational.Skyline.skyline2(per, "n_orders", "spend")
         .orderBy("o_custkey")
+    }),
+
+    // Johnson-Lindenstrauss random-projection retrieval: md5-derived
+    // uniform planes (the q42 cross-engine derivation) project 64 dims to
+    // 16; shortlist by projected cosine, exact full-dim re-rank. The
+    // narrow-index-column ANN pattern completing the quantization family
+    // (PQ/SQ8/BQ/matryoshka).
+    "q238_jl_projection" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.jlTopK(emb, "vec_id", "embedding", dim = 64, query = queryVec,
+          proj = 16, shortlist = 50, k = 10)
+        .select(col("rnk"), col("vec_id"),
+          (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
+        .orderBy("rnk")
+    }),
+
+    // Polygon ring-orientation family (PostGIS ST_ForcePolygonCW/CCW +
+    // ST_IsPolygonCW/CCW): winding flips preserve ring starts, area is
+    // orientation-invariant, non-areal input -> null predicate.
+    "q239_ring_orientation" -> sqlQuery(Seq("customer"),
+      s"""WITH g AS (
+         |  SELECT c_custkey,
+         |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+         |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+         |    cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+         |    cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1
+         |  FROM customer),
+         |p AS (SELECT c_custkey, x0, y0,
+         |        st_makeenvelope(cast(x0 as double), cast(y0 as double),
+         |                        cast(x1 as double), cast(y1 as double)) AS poly
+         |      FROM g)
+         |SELECT c_custkey,
+         |  st_ispolygonccw(poly) AS orig_ccw,
+         |  st_ispolygoncw(poly) AS orig_cw,
+         |  st_astext(st_forcepolygoncw(poly)) AS wkt_cw,
+         |  st_ispolygoncw(st_forcepolygoncw(poly)) AS cw_after,
+         |  st_ispolygonccw(st_forcepolygonccw(st_forcepolygoncw(poly))) AS ccw_roundtrip,
+         |  round(st_area(st_forcepolygoncw(poly)), 6) + 0.0 AS area_kept,
+         |  st_ispolygoncw(st_point(cast(x0 as double), cast(y0 as double))) AS point_null
+         |FROM p ORDER BY c_custkey""".stripMargin),
+
+    // Pairwise association rules (the 2-itemset Apriori slice) over
+    // order baskets: support / confidence / lift from one basket-key
+    // self-join with map-side-combined pair counts.
+    "q240_assoc_rules" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+      graft.relational.Assoc.pairRules(li, "basket", "item", minSupport = 50L)
+        .orderBy("ante", "cons")
     })
   )
 
@@ -4684,6 +4735,81 @@ object SparkEntry {
         |        PARTITION BY d_key ORDER BY score DESC, c_custkey) AS rn
         |      FROM cand)
         |WHERE rn = 1 ORDER BY d_key""".stripMargin,
+
+    // JL projection replayed: the q42 md5 plane derivation at 16 planes,
+    // p-ordered projection lists, projected-cosine shortlist, full-dim
+    // re-rank — identical IEEE folds make the shortlist and ranking exact
+    "q238_jl_projection" ->
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(range(64), d ->
+         |    (('0x' || substr(md5(p || ':' || d), 1, 15))::BIGINT
+         |      - 576460752303423488)::DOUBLE / 576460752303423488) AS pl
+         |  FROM range(16) t(p)),
+         |v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |q AS (SELECT ${queryVecSql}::DOUBLE[] AS qv),
+         |pq AS (SELECT list(list_dot_product(pl.pl, q.qv) ORDER BY pl.p) AS pqv
+         |       FROM planes pl CROSS JOIN q GROUP BY 'x'),
+         |pv AS (SELECT v.vec_id, list(list_dot_product(v.v, pl.pl) ORDER BY pl.p) AS pv
+         |       FROM v CROSS JOIN planes pl GROUP BY v.vec_id),
+         |pc AS (SELECT pv.vec_id,
+         |    list_dot_product(pv.pv, pq.pqv) /
+         |      (sqrt(list_dot_product(pv.pv, pv.pv)) *
+         |       sqrt(list_dot_product(pq.pqv, pq.pqv))) AS pcos
+         |  FROM pv CROSS JOIN pq),
+         |short AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY pcos DESC, vec_id) AS rs
+         |  FROM pc) WHERE rs <= 50),
+         |fc AS (SELECT v.vec_id,
+         |    list_dot_product(v.v, q.qv) /
+         |      (sqrt(list_dot_product(v.v, v.v)) *
+         |       sqrt(list_dot_product(q.qv, q.qv))) AS c
+         |  FROM v JOIN short USING (vec_id) CROSS JOIN q)
+         |SELECT cast(rnk as int) AS rnk, vec_id, round(c, 6) + 0.0 AS cosine
+         |FROM (SELECT vec_id, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk
+         |      FROM fc)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    // closed-form: envelopes are built CCW (minx miny -> maxx miny ...);
+    // forcing CW reverses in place keeping the start vertex
+    "q239_ring_orientation" ->
+      """SELECT c_custkey,
+        |  true AS orig_ccw,
+        |  false AS orig_cw,
+        |  'POLYGON ((' || x0 || ' ' || y0 || ', ' || x0 || ' ' || y1 || ', ' ||
+        |    x1 || ' ' || y1 || ', ' || x1 || ' ' || y0 || ', ' ||
+        |    x0 || ' ' || y0 || '))' AS wkt_cw,
+        |  true AS cw_after,
+        |  true AS ccw_roundtrip,
+        |  round(side * side, 6) + 0.0 AS area_kept,
+        |  cast(NULL as boolean) AS point_null
+        |FROM (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as bigint) AS x0,
+        |    cast((c_custkey * 7) % 160 - 80 as bigint) AS y0,
+        |    cast(c_custkey % 360 - 180 + c_custkey % 10 + 1 as bigint) AS x1,
+        |    cast((c_custkey * 7) % 160 - 80 + c_custkey % 10 + 1 as bigint) AS y1,
+        |    cast(c_custkey % 10 + 1 as double) AS side
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q240_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
+        |nb AS (SELECT cast(count(DISTINCT b) as bigint) AS nb FROM it),
+        |ic AS (SELECT i, cast(count(*) as bigint) AS ci FROM it GROUP BY i),
+        |pr AS (SELECT a.i AS x, c.i AS y, cast(count(*) as bigint) AS cxy
+        |       FROM it a JOIN it c ON a.b = c.b AND a.i < c.i GROUP BY a.i, c.i
+        |       HAVING count(*) >= 50),
+        |dir AS (SELECT x AS ante, y AS cons, cxy FROM pr
+        |        UNION ALL SELECT y, x, cxy FROM pr)
+        |SELECT d.ante, d.cons, d.cxy AS support,
+        |  round(cast(d.cxy as double) / ca.ci, 6) + 0.0 AS confidence,
+        |  round((cast(d.cxy as double) / ca.ci) /
+        |        (cast(cc.ci as double) / nb.nb), 6) + 0.0 AS lift
+        |FROM dir d
+        |JOIN ic ca ON ca.i = d.ante
+        |JOIN ic cc ON cc.i = d.cons
+        |CROSS JOIN nb
+        |ORDER BY ante, cons""".stripMargin,
 
     // the definitional O(n^2) NOT EXISTS dominance test the engine-side
     // operator avoids

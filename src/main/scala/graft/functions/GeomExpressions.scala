@@ -95,6 +95,15 @@ object GeomKernels {
     // canonical form: identical bytes for geometrically identical inputs
     // (ring rotation/orientation/part order factored out)
     "st_normalize" -> U(BinaryType, g => wkb(Shape.normalize(g))),
+    // ring-orientation family (PostGIS ST_ForcePolygonCW/CCW + predicates):
+    // winding flips preserve ring start vertices; predicates are null for
+    // inputs with no polygon component
+    "st_forcepolygoncw"  -> U(BinaryType, g => wkb(Shape.forceOrientation(g, cwExterior = true))),
+    "st_forcepolygonccw" -> U(BinaryType, g => wkb(Shape.forceOrientation(g, cwExterior = false))),
+    "st_ispolygoncw"  -> U(BooleanType,
+      g => Shape.isPolygonOriented(g, cw = true).map(Boolean.box).orNull),
+    "st_ispolygonccw" -> U(BooleanType,
+      g => Shape.isPolygonOriented(g, cw = false).map(Boolean.box).orNull),
     // wrap atomic geometry in its multi-type (PostGIS ST_Multi)
     "st_multi" -> U(BinaryType, g => wkb(Shape.asMulti(g))),
     // great-circle polygon area on the mean-Earth sphere (m^2), lon/lat

@@ -542,6 +542,52 @@ object Shape {
     case other => other
   }
 
+  // ------------------------------------------- polygon ring orientation
+
+  /**
+   * Force polygon ring orientation (PostGIS ST_ForcePolygonCW/CCW):
+   * exterior rings to the requested winding, holes to the opposite. Ring
+   * START VERTICES are preserved (only direction flips — unlike
+   * [[normalize]], which also canonicalizes start points and part order).
+   * Non-areal geometries pass through unchanged; collections recurse.
+   */
+  def forceOrientation(g: Geometry, cwExterior: Boolean): Geometry = {
+    def ring(r: Array[Double], wantCW: Boolean): Array[Double] = {
+      val cw = Algos.signedRingArea(r) < 0
+      if (cw == wantCW) r else reversedCoords(r)
+    }
+    g match {
+      case p: Polygon if !p.isEmpty =>
+        Polygon(ring(p.rings(0), cwExterior) +:
+          p.rings.drop(1).map(ring(_, !cwExterior)))
+      case m: MultiPolygon =>
+        MultiPolygon(m.geoms.map(p => forceOrientation(p, cwExterior).asInstanceOf[Polygon]))
+      case gc: GeometryCollection =>
+        GeometryCollection(gc.geoms.map(forceOrientation(_, cwExterior)))
+      case other => other
+    }
+  }
+
+  /**
+   * True iff every polygon component has its exterior wound in the given
+   * direction and every hole opposite; null (None) when the input has no
+   * polygon component (orientation is undefined for points/lines).
+   */
+  def isPolygonOriented(g: Geometry, cw: Boolean): Option[Boolean] = {
+    def polyOk(p: Polygon): Boolean = {
+      val extCW = Algos.signedRingArea(p.rings(0)) < 0
+      extCW == cw && p.rings.drop(1).forall(r => (Algos.signedRingArea(r) < 0) == !cw)
+    }
+    g match {
+      case p: Polygon if !p.isEmpty => Some(polyOk(p))
+      case m: MultiPolygon if m.geoms.nonEmpty => Some(m.geoms.forall(polyOk))
+      case gc: GeometryCollection =>
+        val sub = gc.geoms.flatMap(isPolygonOriented(_, cw))
+        if (sub.isEmpty) None else Some(sub.forall(identity))
+      case _ => None
+    }
+  }
+
   // --------------------------------------------------------- offset curve
 
   /**

@@ -97,6 +97,59 @@ object Similarity {
   }
 
   /**
+   * Johnson-Lindenstrauss random-projection retrieval: project vectors to
+   * `proj` dimensions with md5-derived uniform planes (the cross-engine
+   * derivation shared with [[Dedup.embeddingNearDupPairs]]), shortlist by
+   * cosine in the PROJECTED space, then re-rank the shortlist at full
+   * dimension. The JL lemma bounds the distortion, so the shortlist almost
+   * always contains the true top-k — and the final ranking is exact over
+   * whatever the shortlist holds.
+   *
+   * Scale shape: the projection is a per-row codegen expression tree
+   * (`proj` VecDot kernels into one array) — the full-dim vectors are read
+   * once and only `proj` doubles per row flow into the TakeOrdered
+   * shortlist; the full-dim re-rank touches `shortlist` rows. With
+   * persisted projections this is the classic "narrow index column"
+   * pattern: query-time scans read 4x-16x fewer bytes than the raw
+   * vectors.
+   */
+  def jlTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      query: Array[Double],
+      proj: Int = 16,
+      shortlist: Int = 50,
+      k: Int = 10): DataFrame = {
+    val pm: Array[Array[Double]] = Array.tabulate(proj, dim) { (p, d) =>
+      (TextKernels.md5Hash60(s"$p:$d") - (1L << 59)).toDouble / (1L << 59).toDouble
+    }
+    // project the query with the same d-ordered fold the kernels use
+    val projQ: Array[Double] = pm.map { pl =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += pl(i) * query(i); i += 1 }
+      s
+    }
+    val projArr = array(pm.toSeq.map { pl =>
+      exprColumn(VecDot(columnExpr(col(vecCol)), columnExpr(typedLit(pl.toSeq))))
+    }: _*)
+    val short = df
+      .select(col(idCol), col(vecCol), projArr.as("__proj"))
+      .withColumn("__pcos", cosineCols(col("__proj"), typedLit(projQ.toSeq)))
+      .orderBy(desc("__pcos"), col(idCol))
+      .limit(shortlist)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cosine"), col(idCol))
+    short
+      .withColumn("cosine", cosineCol(vecCol, query))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col(idCol), col("cosine"))
+  }
+
+  /**
    * Deterministic Lloyd k-means coarse quantizer for IVF: init = the k
    * vectors with the smallest ids (stable across runs), then `iters`
    * assign/average rounds. Each round is one distributed pass: assignment is
