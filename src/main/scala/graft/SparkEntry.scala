@@ -31,12 +31,22 @@ object SparkEntry {
   private def view(spark: SparkSession, dir: String, names: String*): Unit =
     names.foreach { n =>
       val df = spark.read.parquet(s"$dir/$n.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects; Verify/Bench set spark.sql.legacy.parquet.nanosAsLong so it
-      // arrives as a long we convert back to a timestamp (micro precision).
+      // events.ts arrives differently depending on the parquet annotation:
+      //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; Verify/Bench
+      //    set spark.sql.legacy.parquet.nanosAsLong so it arrives as a long we
+      //    convert back to a timestamp (micro precision).
+      //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ,
+      //    which unix_micros()/window() reject. Sessions run with UTC session
+      //    timezone, so the NTZ->TIMESTAMP cast is wall-clock-identity and
+      //    matches DuckDB's naive-timestamp epoch_us() exactly.
       val fixed =
-        if (n == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        if (n == "events") df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
         else df
       fixed.createOrReplaceTempView(n)
     }
@@ -553,16 +563,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal plumbing over binary payloads (stubbed codec, real schema/
-    // partitioning — rows-only check: FakeCodec output is engine-specific)
+    // multimodal plumbing over binary payloads, fully oracle-verified: the
+    // md5-layout codec (q224's FakeCodec twin) decodes width/height/luma,
+    // extractFeatures carries the embedding batch shape (feat_dim checks the
+    // array contract), and sampleFrames exercises the row-multiplying frame
+    // sampler — every output recomputes in DuckDB md5/ceil arithmetic.
     "q48_multimodal" -> ((s: SparkSession, dir: String) => {
       init(s)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .selectExpr("doc_id", "cast(text as binary) AS payload")
-      val decoded = graft.pipeline.Multimodal.decodeImages(docs, "payload")
+      view(s, dir, "documents")
+      val payloads = s.sql(
+        """SELECT doc_id,
+          |  cast(concat('IMG:', cast(doc_id as string), ':', text) as binary) AS payload
+          |FROM documents""".stripMargin)
+      val decoded = graft.pipeline.Multimodal.decodeImagesMd5(payloads, "payload")
       val feats = graft.pipeline.Multimodal.extractFeatures(decoded, "payload", dim = 8)
-      feats.selectExpr("doc_id", "decoded_width", "decoded_height",
-          "round(mean_luma, 3) AS mean_luma", "size(features) AS feat_dim")
+        .withColumn("duration_ms", col("decoded_width").cast("long") * 25)
+      val frames = graft.pipeline.Multimodal.sampleFrames(feats, "duration_ms", 1000L)
+      frames.groupBy("doc_id", "decoded_width", "decoded_height", "mean_luma")
+        .agg(first(size(col("features"))).as("feat_dim"),
+          count(col("frame_ms")).as("n_frames"),
+          max(col("frame_ms")).as("last_frame_ms"))
         .orderBy("doc_id")
     }),
 
@@ -2110,10 +2130,17 @@ object SparkEntry {
 
     // one-scan column profiling: per-column non-null/distinct/min/max plus
     // the row count, from a single wide aggregate unpivoted with stack()
+    // sketch-default profiling: n_distinct is the deterministic HLL
+    // estimate (one map-side-combinable pass; no per-column expand-distinct
+    // shuffle — the shape that survives 100 TB). o_totalprice profiles
+    // through a decimal cast so the md5-hashed key strings are identical
+    // byte-for-byte in both engines.
     "q147_profile" -> ((s: SparkSession, dir: String) => {
       init(s)
       view(s, dir, "orders")
-      graft.relational.Profile.profile(s.table("orders"),
+      graft.relational.Profile.profile(
+          s.table("orders")
+            .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)")),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
         .orderBy("col_name")
     }),
@@ -3653,14 +3680,18 @@ object SparkEntry {
          |      / (pd.tfm + 1.2 * (0.25 + 0.75 * pd.dl / st.avgdl)) AS score
          |  FROM pd CROSS JOIN st CROSS JOIN df
          |  WHERE pd.tfq + pd.tfv + pd.tfm > 0),
-         |sparse AS (SELECT doc_id, rs FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM sc)
-         |  WHERE rs <= 50),
-         |dense AS (SELECT doc_id, rd FROM (
-         |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
-         |    cosine_sim(embedding, array(${queryVec.map(v => s"${v}D").mkString(", ")}))
-         |      DESC, vec_id) AS rd
-         |  FROM embeddings) WHERE rd <= 50),
+         |-- each arm's global top-50 is ORDER BY + LIMIT (planned as
+         |-- TakeOrderedAndProject: per-partition heaps, no global window
+         |-- funnel); the rank window then runs on 50 rows only
+         |sparse AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs
+         |  FROM (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
+         |dense AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rd
+         |  FROM (
+         |    SELECT vec_id AS doc_id,
+         |      cosine_sim(embedding, array(${queryVec.map(v => s"${v}D").mkString(", ")})) AS c
+         |    FROM embeddings ORDER BY c DESC, doc_id LIMIT 50)),
          |fused AS (
          |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
          |    coalesce(1.0D / (60 + s.rs), 0.0D) + coalesce(1.0D / (60 + d.rd), 0.0D) AS rrf
@@ -6721,13 +6752,15 @@ object SparkEntry {
          |ORDER BY c_custkey""".stripMargin,
 
     "q147_profile" -> {
+      def ex(c: String) =
+        if (c == "o_totalprice") "cast(o_totalprice as decimal(12,2))" else c
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       cols.map { c =>
         s"""SELECT '$c' AS col_name, cast(count(*) as bigint) AS n_rows,
-           |  cast(count($c) as bigint) AS non_null,
-           |  cast(count(DISTINCT $c) as bigint) AS n_distinct,
-           |  cast(min($c) as varchar) AS min_val,
-           |  cast(max($c) as varchar) AS max_val
+           |  cast(count(${ex(c)}) as bigint) AS non_null,
+           |  ${graft.pipeline.Sketch.hllScalarSql("orders", ex(c))} AS n_distinct,
+           |  cast(min(${ex(c)}) as varchar) AS min_val,
+           |  cast(max(${ex(c)}) as varchar) AS max_val
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
@@ -7419,11 +7452,24 @@ object SparkEntry {
         |      ORDER BY md5(cast(doc_id as varchar)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 40
-        |ORDER BY source, sample_rank""".stripMargin
-    // q48 (deliberately non-SQL stub codec; its md5-layout twin q224 IS
-    // oracle-verified) is the one remaining rows-only entry. Former
-    // rows-only queries q42/q52/q53/q84/q92/q93 now hash-match via
-    // md5-derived planes, unrolled-Lloyd/codebook CTEs, and chained
-    // greedy-pick CTEs respectively.
+        |ORDER BY source, sample_rank""".stripMargin,
+
+    // md5-layout decode (q224 codec) + closed-form frame sampling:
+    // sequence(0, dur-1, 1000) has ceil(dur/1000) elements ending at
+    // floor((dur-1)/1000)*1000; dur = width*25 > 0 always.
+    "q48_multimodal" ->
+      """WITH p AS (
+        |  SELECT doc_id, 'IMG:' || cast(doc_id as varchar) || ':' || text AS s
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  cast(64 + ('0x' || substr(md5(s), 1, 4))::BIGINT % 448 as int) AS decoded_width,
+        |  cast(64 + ('0x' || substr(md5(s), 5, 4))::BIGINT % 448 as int) AS decoded_height,
+        |  cast(('0x' || substr(md5(s), 9, 4))::BIGINT % 256 as double) AS mean_luma
+        |  FROM p)
+        |SELECT doc_id, decoded_width, decoded_height, mean_luma,
+        |  cast(8 as int) AS feat_dim,
+        |  cast(ceil(decoded_width * 25 / 1000.0) as bigint) AS n_frames,
+        |  cast((decoded_width * 25 - 1) // 1000 * 1000 as bigint) AS last_frame_ms
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

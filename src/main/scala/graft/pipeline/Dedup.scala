@@ -299,10 +299,20 @@ object Dedup {
       }
       it += 1
     }
-    result.getOrElse(localUnionFind(edges))
+    // Large-star/small-star alternation provably reaches the star fixpoint in
+    // O(log^2 n) rounds (Kiveris et al., "Connected Components in MapReduce
+    // and Beyond"), so maxIter=50 cannot be exhausted for any graph that fits
+    // on a cluster. Fail loudly rather than collect an unbounded edge set to
+    // the driver — at 100 TB a silent driver-side fallback is an OOM.
+    result.getOrElse(throw new IllegalStateException(
+      s"connectedComponents: no star fixpoint after $maxIter rounds " +
+        s"(${edges.count()} edges remain) — raise maxIter"))
   }
 
-  /** Driver-local DSU over a collected canonical edge list; component = min id. */
+  /** Driver-local DSU over a collected canonical edge list; component = min
+    * id. Only invoked once the shrinking edge set is <= localThreshold rows
+    * (default 4M canonical edges ~= 64 MB) — a bounded shortcut, not a
+    * scale fallback. */
   private def localUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

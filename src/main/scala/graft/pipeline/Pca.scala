@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
  * unit-scale rows per matrix cell. Beyond that (the 100 TB regime),
  * either shard the fold (sum per shard as long, combine shards as
  * BigInt/decimal — still order-independent) or fall back to a
- * decimal(28,10) fold. The moment pass explodes each vector to its
- * (i, j) products; at extreme scale swap the explode for per-partition
- * Gram partials (#partitions * dim^2 rows) at the cost of FP-order
- * exactness.
+ * decimal(28,10) fold.
+ *
+ * The moment pass runs as per-partition Gram partials (mapPartitions:
+ * dim^2 truncated-long accumulators per partition, reduced element-wise)
+ * rather than an (i, j) posexplode: because truncation happens PER
+ * PRODUCT before any summing, long partials commute exactly — the
+ * partial-sum-of-truncations equals the global sum-of-truncations bit
+ * for bit, so the Gram shape costs #partitions * dim^2 longs instead of
+ * n * dim^2 shuffled rows with NO exactness tradeoff.
  */
 object Pca {
 
@@ -39,22 +44,48 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     require(dim >= 1, "need dim >= 1")
-    val muRows = df.select(posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg((sum(($"xi".cast("double") * lit(1.0e10)).cast("long")).cast("double") /
-        lit(1.0e10) / count(lit(1))).as("mu"), count(lit(1)).as("n"))
-      .collect()
-    val n = muRows.head.getLong(2)
-    val mu = new Array[Double](dim)
-    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-    val e1 = df.select(posexplode(col(vecCol)).as(Seq("i", "xi")), col(vecCol).as("__v"))
-    val sRows = e1.select($"i", $"xi", posexplode($"__v").as(Seq("j", "xj")))
-      .groupBy("i", "j")
-      .agg((sum((($"xi".cast("double") * $"xj".cast("double")) * lit(1.0e10)).cast("long"))
-        .cast("double") / lit(1.0e10) / count(lit(1))).as("sxy"))
-      .collect()
-    val sxy = Array.ofDim[Double](dim, dim)
-    sRows.foreach(r => sxy(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val D = dim
+    // element-wise cast to double matches the old per-element $"xi".cast
+    val vecs = df
+      .select(col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)).as("v"))
+      .where(col("v").isNotNull)
+      .as[Seq[Double]]
+    // partial: (rows, sum_i, cnt_i, sum_ij, cnt_ij) — counts kept per cell
+    // so ragged (shorter-than-dim) vectors divide exactly like the old
+    // groupBy("i"[, "j"]) counts did
+    val (n, s1, c1, s2, c2) = vecs.rdd.mapPartitions { it =>
+      var rows = 0L
+      val s1 = new Array[Long](D); val c1 = new Array[Long](D)
+      val s2 = new Array[Long](D * D); val c2 = new Array[Long](D * D)
+      it.foreach { v =>
+        rows += 1
+        val len = math.min(v.length, D)
+        var i = 0
+        while (i < len) {
+          val xi = v(i)
+          s1(i) += (xi * 1.0e10).toLong; c1(i) += 1
+          var j = 0
+          while (j < len) {
+            s2(i * D + j) += ((xi * v(j)) * 1.0e10).toLong; c2(i * D + j) += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single((rows, s1, c1, s2, c2))
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < D) { a._2(i) += b._2(i); a._3(i) += b._3(i); i += 1 }
+      var k = 0
+      while (k < D * D) { a._4(k) += b._4(k); a._5(k) += b._5(k); k += 1 }
+      (a._1 + b._1, a._2, a._3, a._4, a._5)
+    }
+    // same division order as the old aggregate: (longSum.toDouble / 1e10) / cnt
+    val mu = Array.tabulate(D)(i =>
+      if (c1(i) == 0) 0.0 else s1(i).toDouble / 1.0e10 / c1(i))
+    val sxy = Array.tabulate(D, D)((i, j) =>
+      if (c2(i * D + j) == 0) 0.0 else s2(i * D + j).toDouble / 1.0e10 / c2(i * D + j))
     (n, mu, sxy)
   }
 

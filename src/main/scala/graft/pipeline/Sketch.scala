@@ -105,6 +105,28 @@ object Sketch {
        |    GROUP BY $groupCol, bucket)
        |  GROUP BY $groupCol)""".stripMargin
 
+  /** Ungrouped variant of [[hllSql]]: a scalar subquery computing the
+    * whole-table estimate for one key expression (oracle building block
+    * for Profile.profile's sketch-distinct default). */
+  def hllScalarSql(table: String, keyExpr: String): String =
+    s"""(SELECT round(CASE WHEN raw <= ${2.5 * M} AND n_buckets_used < $M
+       |             THEN $M.0 * ln($M.0 / ($M - n_buckets_used))
+       |             ELSE raw END, 4) + 0.0
+       |FROM (
+       |  SELECT ${Alpha * M * M} / (sum(power(2.0, -rmax)) + ($M - count(*))) AS raw,
+       |    cast(count(*) as int) AS n_buckets_used
+       |  FROM (
+       |    SELECT bucket, max(rank) AS rmax
+       |    FROM (
+       |      SELECT
+       |        cast(('0x' || substr(md5(cast(k as varchar)), 1, 2))::BIGINT as int) AS bucket,
+       |        cast(CASE WHEN chunk = 0 THEN 61
+       |             ELSE 61 - length(bin(chunk)) END as int) AS rank
+       |      FROM (
+       |        SELECT k, ('0x' || substr(md5(cast(k as varchar)), 3, 15))::BIGINT AS chunk
+       |        FROM (SELECT $keyExpr AS k FROM $table) WHERE k IS NOT NULL))
+       |    GROUP BY bucket)))""".stripMargin
+
   // ---------------------------------------------------------- Count-Min
 
   private val CmsDepth = 4

@@ -7,17 +7,31 @@ import org.apache.spark.sql.functions._
  * One-scan column profiling (the ANALYZE/data-quality report a curation
  * pipeline runs before trusting a new drop): per column — non-null count,
  * distinct count, min/max — plus the table row count, all from a single
- * aggregation over one scan (count-distincts expand map-side; no per-column
- * passes). The wide 1-row aggregate is then unpivoted with stack().
+ * aggregation over one scan. The wide 1-row aggregate is then unpivoted
+ * with stack().
+ *
+ * Distinct counts default to the deterministic HLL sketch
+ * ([[graft.pipeline.HllDistinctAgg]], 256 bytes of state per column): at
+ * 100 TB a per-column exact `count(DISTINCT)` is an expand-shuffle whose
+ * width multiplies by the column count, while the sketch keeps the whole
+ * profile one map-side-combinable pass. `exactDistinct = true` opts back
+ * into exact counts for small tables.
  */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def hllCol(c: String) = graft.internal.exprColumn(
+    graft.pipeline.HllDistinctAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        graft.internal.columnExpr(col(c)),
+        org.apache.spark.sql.types.StringType)).toAggregateExpression())
+
+  def profile(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        (if (exactDistinct) countDistinct(col(c)).cast("double") else hllCol(c))
+          .as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
