@@ -245,6 +245,30 @@ object SparkEntry {
          |  round(st_y(st_transform($custPt, 'EPSG:4326', 'EPSG:3857')), 2) + 0.0 AS mercator_y
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // conic CRS family (Lambert conformal conic 2SP + Albers equal-area,
+    // Snyder §15/§14 ellipsoidal forms): Lambert-93 (EPSG:2154) over a
+    // France-domain point and CONUS Albers (EPSG:5070) over a US-domain
+    // point, plus the inverse roundtrip back to degrees. Meters rounded to
+    // 0.1 m (the trig/pow chain is libm-dependent at the 1e-8 level);
+    // roundtrip degrees to 1e-6 (inverse converges to ~1e-12).
+    "q239_conic_crs" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_x(st_transform(pf, 'EPSG:4326', 'EPSG:2154')), 1) + 0.0 AS lcc_x,
+        |  round(st_y(st_transform(pf, 'EPSG:4326', 'EPSG:2154')), 1) + 0.0 AS lcc_y,
+        |  round(st_x(st_transform(pu, 'EPSG:4326', 'EPSG:5070')), 1) + 0.0 AS aea_x,
+        |  round(st_y(st_transform(pu, 'EPSG:4326', 'EPSG:5070')), 1) + 0.0 AS aea_y,
+        |  round(st_x(st_transform(st_transform(pf, 'EPSG:4326', 'EPSG:2154'),
+        |    'EPSG:2154', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+        |  round(st_y(st_transform(st_transform(pu, 'EPSG:4326', 'EPSG:5070'),
+        |    'EPSG:5070', 'EPSG:4326')), 6) + 0.0 AS rt_lat
+        |FROM (SELECT c_custkey,
+        |    st_point(cast(c_custkey % 140 as double) / 10.0 - 5.0,
+        |             41.0 + cast(c_custkey % 100 as double) / 10.0) AS pf,
+        |    st_point(-116.0 + cast(c_custkey % 400 as double) / 10.0,
+        |             25.0 + cast(c_custkey % 240 as double) / 10.0) AS pu
+        |  FROM customer WHERE c_custkey <= 400)
+        |ORDER BY c_custkey""".stripMargin),
+
     // c90x/s2cx pin the TransformOrigin 'center'/'centroid' paths: a square
     // rotated 90° about its bbox center keeps its envelope; doubling about
     // the centroid moves xmin to x - s/2
@@ -458,6 +482,27 @@ object SparkEntry {
         |      cast((c_custkey div 20) * 0.5 + 1.0 as double), 1.0)) AS u
         |  FROM customer GROUP BY c_custkey % 20)
         |ORDER BY g""".stripMargin),
+
+    // GLOBAL dissolve via the two-stage grid plan (Dissolve.unionAll): the
+    // whole-table unary_union never funnels raw geometry into one reducer —
+    // per-cell dissolves run in parallel, the final merge sees <= cells^2
+    // rows. Two parity strips (y 0-1 / 3-4) of chained 0.5-step boxes
+    // dissolve to exactly 2 rectangles with analytic areas.
+    "q238_global_dissolve" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val boxes = s.sql(
+        """SELECT st_makeenvelope(
+          |  cast((c_custkey div 20) * 0.5 as double),
+          |  cast(c_custkey % 2 as double) * 3.0,
+          |  cast((c_custkey div 20) * 0.5 + 1.0 as double),
+          |  cast(c_custkey % 2 as double) * 3.0 + 1.0) AS geom
+          |FROM customer""".stripMargin)
+      graft.spatial.Dissolve.unionAll(boxes, "geom", cells = 8)
+        .select(
+          (round(expr("st_area(union_geom)"), 6) + lit(0.0)).as("union_area"),
+          expr("st_numgeometries(union_geom)").as("n_parts"))
+    }),
 
     // ===== text-analysis pipeline ops
 
@@ -4186,6 +4231,54 @@ object SparkEntry {
          |  round($oCustX - $oSide / 2.0, 6) + 0.0 AS s2cx
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // Snyder §15 (LCC 2SP) / §14 (Albers 2SP) ellipsoidal forwards on GRS80,
+    // recomputed in closed form; DuckDB lateral alias reuse keeps the
+    // constant chain readable
+    "q239_conic_crs" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 140 as double) / 10.0 - 5.0 AS flon,
+        |    41.0 + cast(c_custkey % 100 as double) / 10.0 AS flat,
+        |    -116.0 + cast(c_custkey % 400 as double) / 10.0 AS ulon,
+        |    25.0 + cast(c_custkey % 240 as double) / 10.0 AS ulat
+        |  FROM customer WHERE c_custkey <= 400),
+        |k AS (
+        |  SELECT 6378137.0 AS a, 1.0/298.257222101 AS f, f*(2-f) AS es2, sqrt(f*(2-f)) AS es,
+        |    cos(radians(44.0))/sqrt(1-es2*sin(radians(44.0))*sin(radians(44.0))) AS lm1,
+        |    cos(radians(49.0))/sqrt(1-es2*sin(radians(49.0))*sin(radians(49.0))) AS lm2,
+        |    tan(pi()/4 - radians(44.0)/2)/power((1-es*sin(radians(44.0)))/(1+es*sin(radians(44.0))), es/2) AS lt1,
+        |    tan(pi()/4 - radians(49.0)/2)/power((1-es*sin(radians(49.0)))/(1+es*sin(radians(49.0))), es/2) AS lt2,
+        |    tan(pi()/4 - radians(46.5)/2)/power((1-es*sin(radians(46.5)))/(1+es*sin(radians(46.5))), es/2) AS lt0,
+        |    ln(lm1/lm2)/ln(lt1/lt2) AS ln_, lm1/(ln_*power(lt1, ln_)) AS lf,
+        |    a*lf*power(lt0, ln_) AS lrho0,
+        |    cos(radians(29.5))/sqrt(1-es2*sin(radians(29.5))*sin(radians(29.5))) AS am1,
+        |    cos(radians(45.5))/sqrt(1-es2*sin(radians(45.5))*sin(radians(45.5))) AS am2,
+        |    (1-es2)*(sin(radians(29.5))/(1-es2*sin(radians(29.5))*sin(radians(29.5)))
+        |      - 1/(2*es)*ln((1-es*sin(radians(29.5)))/(1+es*sin(radians(29.5))))) AS aq1,
+        |    (1-es2)*(sin(radians(45.5))/(1-es2*sin(radians(45.5))*sin(radians(45.5)))
+        |      - 1/(2*es)*ln((1-es*sin(radians(45.5)))/(1+es*sin(radians(45.5))))) AS aq2,
+        |    (1-es2)*(sin(radians(23.0))/(1-es2*sin(radians(23.0))*sin(radians(23.0)))
+        |      - 1/(2*es)*ln((1-es*sin(radians(23.0)))/(1+es*sin(radians(23.0))))) AS aq0,
+        |    (am1*am1 - am2*am2)/(aq2 - aq1) AS an, am1*am1 + an*aq1 AS ac,
+        |    a*sqrt(ac - an*aq0)/an AS arho0),
+        |prj AS (
+        |  SELECT c_custkey, flon, ulat,
+        |    a*lf*power(tan(pi()/4 - radians(flat)/2)
+        |      /power((1-es*sin(radians(flat)))/(1+es*sin(radians(flat))), es/2), ln_) AS lrho,
+        |    ln_*(radians(flon) - radians(3.0)) AS lth,
+        |    700000.0 + lrho*sin(lth) AS lx, 6600000.0 + lrho0 - lrho*cos(lth) AS ly,
+        |    (1-es2)*(sin(radians(ulat))/(1-es2*sin(radians(ulat))*sin(radians(ulat)))
+        |      - 1/(2*es)*ln((1-es*sin(radians(ulat)))/(1+es*sin(radians(ulat))))) AS aqq,
+        |    a*sqrt(ac - an*aqq)/an AS arho,
+        |    an*(radians(ulon) - radians(-96.0)) AS ath,
+        |    arho*sin(ath) AS ax, arho0 - arho*cos(ath) AS ay
+        |  FROM pts CROSS JOIN k)
+        |SELECT c_custkey,
+        |  round(lx, 1) + 0.0 AS lcc_x, round(ly, 1) + 0.0 AS lcc_y,
+        |  round(ax, 1) + 0.0 AS aea_x, round(ay, 1) + 0.0 AS aea_y,
+        |  round(flon, 6) + 0.0 AS rt_lon, round(ulat, 6) + 0.0 AS rt_lat
+        |FROM prj ORDER BY c_custkey""".stripMargin,
+
     "q20_spatial_join" ->
       s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
          |  cast(count(*) as bigint) AS n_points,
@@ -4272,6 +4365,15 @@ object SparkEntry {
       """SELECT c_custkey % 20 AS g,
         |  round((max(c_custkey // 20) - min(c_custkey // 20)) * 0.5 + 1.0, 6) AS union_area
         |FROM customer GROUP BY c_custkey % 20 ORDER BY g""".stripMargin,
+
+    // per parity strip: chained boxes dissolve to one rectangle of area
+    // (max step - min step) * 0.5 + 1; strips are disjoint => parts add
+    "q238_global_dissolve" ->
+      """SELECT round(sum(a), 6) + 0.0 AS union_area, cast(count(*) as int) AS n_parts
+        |FROM (
+        |  SELECT c_custkey % 2 AS par,
+        |    (max(c_custkey // 20) - min(c_custkey // 20)) * 0.5 + 1.0 AS a
+        |  FROM customer GROUP BY c_custkey % 2)""".stripMargin,
 
     "q30_doc_tokens" ->
       """SELECT doc_id,

@@ -209,12 +209,128 @@ object CRS {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
 
+  // ------------------------------------------------------------- conics
+  // Lambert conformal conic (2SP) and Albers equal-area conic (2SP),
+  // ellipsoidal forms from Snyder, "Map Projections — A Working Manual"
+  // (USGS PP 1395, 1987), §15 (eq. 15-1..15-10) and §14 (14-1..14-11).
+  // These cover the CRSs real regional data ships in (Lambert-93,
+  // CONUS/California Albers, StatsCan LCC) that the 4326/3857/UTM
+  // registry could not express.
+
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2 - f)
+    val e: Double = math.sqrt(e2)
+  }
+  /** GRS80 (NAD83 / RGF93 / ETRS89 families; treated as coincident with
+    * WGS84 at the sub-meter level, the standard null-transform assumption). */
+  val GRS80 = Ellipsoid(6378137.0, 298.257222101)
+
+  // Snyder 14-15 / 15-9 helpers
+  private def mFac(ell: Ellipsoid, phi: Double): Double =
+    math.cos(phi) / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+  private def tFac(ell: Ellipsoid, phi: Double): Double =
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - ell.e * math.sin(phi)) / (1 + ell.e * math.sin(phi)), ell.e / 2)
+  private def qFac(ell: Ellipsoid, phi: Double): Double = {
+    val s = math.sin(phi)
+    (1 - ell.e2) * (s / (1 - ell.e2 * s * s) -
+      1 / (2 * ell.e) * math.log((1 - ell.e * s) / (1 + ell.e * s)))
+  }
+
+  /** Lambert conformal conic, 2 standard parallels (Snyder §15). Angles in
+    * degrees; returns projected meters with the given false origin. */
+  final case class LambertConic(
+      ell: Ellipsoid, lat1: Double, lat2: Double, lat0: Double, lon0: Double,
+      x0: Double, y0: Double) {
+    private val p1 = math.toRadians(lat1); private val p2 = math.toRadians(lat2)
+    private val p0 = math.toRadians(lat0); private val l0 = math.toRadians(lon0)
+    private val n =
+      if (lat1 == lat2) math.sin(p1)
+      else math.log(mFac(ell, p1) / mFac(ell, p2)) / math.log(tFac(ell, p1) / tFac(ell, p2))
+    private val fF = mFac(ell, p1) / (n * math.pow(tFac(ell, p1), n))
+    private val rho0 = ell.a * fF * math.pow(tFac(ell, p0), n)
+
+    def forward(lon: Double, lat: Double): XY = {
+      val rho = ell.a * fF * math.pow(tFac(ell, math.toRadians(lat)), n)
+      val th = n * (math.toRadians(lon) - l0)
+      (x0 + rho * math.sin(th), y0 + rho0 - rho * math.cos(th))
+    }
+    def inverse(x: Double, y: Double): XY = {
+      val dx = x - x0; val dy = rho0 - (y - y0)
+      val rho = math.signum(n) * math.sqrt(dx * dx + dy * dy)
+      val th = math.atan2(math.signum(n) * dx, math.signum(n) * dy)
+      val t = math.pow(rho / (ell.a * fF), 1 / n)
+      // Snyder 7-9: fixed-point for phi from t (15 rounds, deterministic)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val es = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - es) / (1 + es), ell.e / 2))
+        i += 1
+      }
+      (math.toDegrees(th / n + l0), math.toDegrees(phi))
+    }
+  }
+
+  /** Albers equal-area conic, 2 standard parallels (Snyder §14). */
+  final case class AlbersConic(
+      ell: Ellipsoid, lat1: Double, lat2: Double, lat0: Double, lon0: Double,
+      x0: Double, y0: Double) {
+    private val p1 = math.toRadians(lat1); private val p2 = math.toRadians(lat2)
+    private val p0 = math.toRadians(lat0); private val l0 = math.toRadians(lon0)
+    private val m1 = mFac(ell, p1); private val m2 = mFac(ell, p2)
+    private val q1 = qFac(ell, p1); private val q2 = qFac(ell, p2)
+    private val n = if (lat1 == lat2) math.sin(p1) else (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val cC = m1 * m1 + n * q1
+    private val rho0 = ell.a * math.sqrt(cC - n * qFac(ell, p0)) / n
+
+    def forward(lon: Double, lat: Double): XY = {
+      val rho = ell.a * math.sqrt(cC - n * qFac(ell, math.toRadians(lat))) / n
+      val th = n * (math.toRadians(lon) - l0)
+      (x0 + rho * math.sin(th), y0 + rho0 - rho * math.cos(th))
+    }
+    def inverse(x: Double, y: Double): XY = {
+      val dx = x - x0; val dy = rho0 - (y - y0)
+      val rho = math.sqrt(dx * dx + dy * dy)
+      val q = (cC - math.pow(rho * n / ell.a, 2)) / n
+      val th = math.atan2(math.signum(n) * dx, math.signum(n) * dy)
+      // Snyder 3-16: Newton-ish fixed-point for phi from q (15 rounds)
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi); val es = ell.e * s
+        val om = 1 - ell.e2 * s * s
+        phi += om * om / (2 * math.cos(phi)) *
+          (q / (1 - ell.e2) - s / om + 1 / (2 * ell.e) * math.log((1 - es) / (1 + es)))
+        i += 1
+      }
+      (math.toDegrees(th / n + l0), math.toDegrees(phi))
+    }
+  }
+
+  /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
+    * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
+    * the EPSG registry entries for these CRSs. */
+  val Lambert93 = LambertConic(GRS80, 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+  val ConusAlbers = AlbersConic(GRS80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+  val CaliforniaAlbers = AlbersConic(GRS80, 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0)
+  val StatCanLcc = LambertConic(GRS80, 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0)
+
   /** Registry keyed by "EPSG:xxxx" pairs. Extensible via register(). */
   private val transforms = scala.collection.concurrent.TrieMap[(String, String), XY => XY](
     ("EPSG:4326", "EPSG:3857") -> { case (x, y) => lonLatToWebMercator(x, y) },
     ("EPSG:3857", "EPSG:4326") -> { case (x, y) => webMercatorToLonLat(x, y) },
     ("EPSG:4326", "EPSG:4326") -> identity,
-    ("EPSG:3857", "EPSG:3857") -> identity)
+    ("EPSG:3857", "EPSG:3857") -> identity,
+    ("EPSG:4326", "EPSG:2154") -> { case (x, y) => Lambert93.forward(x, y) },
+    ("EPSG:2154", "EPSG:4326") -> { case (x, y) => Lambert93.inverse(x, y) },
+    ("EPSG:4326", "EPSG:5070") -> { case (x, y) => ConusAlbers.forward(x, y) },
+    ("EPSG:5070", "EPSG:4326") -> { case (x, y) => ConusAlbers.inverse(x, y) },
+    ("EPSG:4326", "EPSG:3310") -> { case (x, y) => CaliforniaAlbers.forward(x, y) },
+    ("EPSG:3310", "EPSG:4326") -> { case (x, y) => CaliforniaAlbers.inverse(x, y) },
+    ("EPSG:4326", "EPSG:3347") -> { case (x, y) => StatCanLcc.forward(x, y) },
+    ("EPSG:3347", "EPSG:4326") -> { case (x, y) => StatCanLcc.inverse(x, y) })
 
   def register(from: String, to: String, fn: XY => XY): Unit = transforms((norm(from), norm(to))) = fn
 
