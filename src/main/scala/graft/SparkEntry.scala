@@ -1430,6 +1430,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // FlatGeobuf write -> indexed read round-trip: customer points +
+    // attributes through the flatbuffer codec, packed Hilbert R-tree
+    // built on write, and the bbox query READS THROUGH THE INDEX — only
+    // intersecting leaves are decoded (the cloud-native pushdown path);
+    // closed-form oracle filters the synthesized coords directly
+    "q240_flatgeobuf_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q240_fgb").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "cust.fgb").getAbsolutePath
+      new java.io.File(path).deleteOnExit()
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", "c_name", s"$custPt AS geometry")
+        .orderBy("c_custkey")
+      graft.sources.FlatGeobuf.write(cust, path, "geometry")
+      graft.sources.FlatGeobuf.read(s, tmpDir.getAbsolutePath,
+          bbox = Some((-50.0, -40.0, 50.0, 40.0)))
+        .selectExpr("c_custkey", "c_name",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
+    }),
+
     // capstone composition: the curation pipeline end to end — PII
     // redaction -> token-count floor -> exact dedup (smallest id per
     // distinct cleaned text) -> deterministic shard assignment ->
@@ -5464,6 +5486,12 @@ object SparkEntry {
       s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
          |  $oCustX AS gx, $oCustY AS gy
          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q240_flatgeobuf_roundtrip" ->
+      s"""SELECT c_custkey, c_name, $oCustX AS gx, $oCustY AS gy
+         |FROM customer
+         |WHERE $oCustX BETWEEN -50 AND 50 AND $oCustY BETWEEN -40 AND 40
+         |ORDER BY c_custkey""".stripMargin,
 
     "q104_rep_valid_clip" ->
       s"""SELECT c_custkey,

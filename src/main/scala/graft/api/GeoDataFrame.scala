@@ -231,6 +231,19 @@ object GeoIO {
   def writeGeoPackage(gdf: GeoDataFrame, path: String, tableName: String = "features"): Unit =
     graft.sources.GeoPackage.write(gdf.df, path, gdf.geometryColumn, tableName)
 
+  /** Read FlatGeobuf file(s) — the cloud-native OGR format (the reference
+    * reaches it through GDAL). With `bbox`, indexed files decode only the
+    * features whose packed-R-tree leaf intersects the box. */
+  def readFlatGeobuf(
+      spark: SparkSession, path: String,
+      bbox: Option[(Double, Double, Double, Double)] = None): GeoDataFrame =
+    GeoDataFrame(graft.sources.FlatGeobuf.read(spark, path, bbox))
+
+  /** Write one .fgb file (driver-side single-file export; Hilbert-sorted
+    * features + packed R-tree index). */
+  def writeFlatGeobuf(gdf: GeoDataFrame, path: String, indexNodeSize: Int = 16): Unit =
+    graft.sources.FlatGeobuf.write(gdf.df, path, gdf.geometryColumn, indexNodeSize)
+
   /** Read Arrow IPC file(s) — the reference's native columnar format
     * (its datasets and bench inputs are `.arrow` files, and `from_arrow`
     * builds frames from Arrow tables; reference: convert.py:33-56,

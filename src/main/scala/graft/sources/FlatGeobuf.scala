@@ -1,0 +1,550 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.geom.{Geometry => Geom, _}
+
+/**
+ * FlatGeobuf reader/writer (public spec: flatgeobuf.org, format v3) — the
+ * cloud-native OGR vector format the reference reads through GDAL
+ * (reference: py-geopolars/python/geopolars/io/file.py:15-119), re-expressed
+ * without native dependencies.
+ *
+ * Layout: 8 magic bytes (fgb\x03fgb\x00), size-prefixed Header flatbuffer,
+ * optional packed Hilbert R-tree index, then size-prefixed Feature
+ * flatbuffers. The packed R-tree stores 40-byte nodes (bbox doubles +
+ * uint64 offset), root level first, leaves last; leaf offsets address
+ * features relative to the start of the feature section — which is what
+ * makes bbox-pushdown-on-read possible: only features whose leaf node
+ * intersects the query box are ever DECODED.
+ *
+ * Distribution model mirrors [[Shapefile]]: one task per .fgb file
+ * (binaryFile source) — a directory of files fans out across executors;
+ * results (not raw 100 TB inputs) belong in single-file exports.
+ */
+object FlatGeobuf {
+
+  private val Magic = Array[Byte](0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00)
+  private val NodeBytes = 40
+
+  // FlatGeobuf GeometryType ids (match WKB ids for the 2D family)
+  private val GtPoint = 1
+  private val GtLineString = 2
+  private val GtPolygon = 3
+  private val GtMultiPoint = 4
+  private val GtMultiLineString = 5
+  private val GtMultiPolygon = 6
+  private val GtGeometryCollection = 7
+
+  // FlatGeobuf ColumnType ids
+  private val CtBool = 2
+  private val CtInt = 5
+  private val CtLong = 7
+  private val CtDouble = 10
+  private val CtString = 11
+  private val CtBinary = 14
+
+  // ----------------------------------------------------- packed Hilbert R-tree
+
+  /**
+   * Hilbert d-index on a 2^16 grid (the public-domain bit-twiddled form used
+   * by the FlatGeobuf packed R-tree). Only sort LOCALITY depends on this —
+   * search correctness depends purely on the stored bboxes.
+   */
+  private[sources] def hilbert(x: Int, y: Int): Long = {
+    var a = x ^ y
+    var b = 0xFFFF ^ a
+    var c = 0xFFFF ^ (x | y)
+    var d = x & (y ^ 0xFFFF)
+    var aa = a | (b >> 1)
+    var bb = (a >> 1) ^ a
+    var cc = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    var dd = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a = aa; b = bb; c = cc; d = dd
+    aa = (a & (a >> 2)) ^ (b & (b >> 2))
+    bb = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    cc ^= (a & (c >> 2)) ^ (b & (d >> 2))
+    dd ^= (b & (c >> 2)) ^ ((a ^ b) & (d >> 2))
+    a = aa; b = bb; c = cc; d = dd
+    aa = (a & (a >> 4)) ^ (b & (b >> 4))
+    bb = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    cc ^= (a & (c >> 4)) ^ (b & (d >> 4))
+    dd ^= (b & (c >> 4)) ^ ((a ^ b) & (d >> 4))
+    a = aa; b = bb; c = cc; d = dd
+    cc ^= (a & (c >> 8)) ^ (b & (d >> 8))
+    dd ^= (b & (c >> 8)) ^ ((a ^ b) & (d >> 8))
+    a = cc ^ (cc >> 1)
+    b = dd ^ (dd >> 1)
+    var i0 = x ^ y
+    var i1 = b | (0xFFFF ^ (i0 | a))
+    def interleave(v0: Int): Long = {
+      var v = v0.toLong & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    (interleave(i1) << 1) | interleave(i0)
+  }
+
+  /** Level sizes from leaves up; returns (start,end) node ranges with the
+    * root level first and the leaf level last (the on-disk order). */
+  private def levelBounds(numItems: Long, nodeSize: Int): Seq[(Long, Long)] = {
+    val counts = mutable.ArrayBuffer(numItems)
+    var n = numItems
+    while (n != 1) { n = (n + nodeSize - 1) / nodeSize; counts += n }
+    // counts = [leaves, ..., root]; lay out root..leaves
+    val sizes = counts.reverse // root first
+    val bounds = mutable.ArrayBuffer.empty[(Long, Long)]
+    var off = 0L
+    sizes.foreach { c => bounds += ((off, off + c)); off += c }
+    bounds.toSeq
+  }
+
+  private def numTreeNodes(numItems: Long, nodeSize: Int): Long =
+    levelBounds(numItems, nodeSize).map(b => b._2 - b._1).sum
+
+  /** Serialize the packed R-tree for Hilbert-sorted items
+    * (bbox + feature byte offset each). */
+  private def buildIndex(
+      items: Array[(Double, Double, Double, Double, Long)],
+      nodeSize: Int): Array[Byte] = {
+    val bounds = levelBounds(items.length.toLong, nodeSize)
+    val total = bounds.map(b => b._2 - b._1).sum
+    val nodes = new Array[(Double, Double, Double, Double, Long)](total.toInt)
+    val leafStart = bounds.last._1.toInt
+    items.indices.foreach(i => nodes(leafStart + i) = items(i))
+    // build parents from the leaf level up
+    var level = bounds.length - 1
+    while (level > 0) {
+      val (cs, ce) = bounds(level) // children range
+      val (ps, _) = bounds(level - 1)
+      var child = cs
+      var parent = ps
+      while (child < ce) {
+        val end = math.min(child + nodeSize, ce)
+        var (mnx, mny, mxx, mxy) =
+          (Double.PositiveInfinity, Double.PositiveInfinity,
+            Double.NegativeInfinity, Double.NegativeInfinity)
+        var i = child
+        while (i < end) {
+          val n = nodes(i.toInt)
+          mnx = math.min(mnx, n._1); mny = math.min(mny, n._2)
+          mxx = math.max(mxx, n._3); mxy = math.max(mxy, n._4)
+          i += 1
+        }
+        nodes(parent.toInt) = (mnx, mny, mxx, mxy, child)
+        child = end
+        parent += 1
+      }
+      level -= 1
+    }
+    val bb = ByteBuffer.allocate(nodes.length * NodeBytes).order(ByteOrder.LITTLE_ENDIAN)
+    nodes.foreach { case (a, b, c, d, o) =>
+      bb.putDouble(a).putDouble(b).putDouble(c).putDouble(d).putLong(o)
+    }
+    bb.array()
+  }
+
+  /** Leaf hits (feature byte offsets, ascending) for a bbox query over a
+    * serialized packed R-tree. */
+  private def searchIndex(
+      idx: ByteBuffer, idxStart: Int, numItems: Long, nodeSize: Int,
+      qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double): Seq[Long] = {
+    val bounds = levelBounds(numItems, nodeSize)
+    val leafStart = bounds.last._1
+    val out = mutable.ArrayBuffer.empty[Long]
+    val stack = mutable.Stack[(Long, Int)]((0L, 0))
+    while (stack.nonEmpty) {
+      val (nodeIndex, level) = stack.pop()
+      val end = math.min(nodeIndex + nodeSize, bounds(level)._2)
+      var pos = nodeIndex
+      while (pos < end) {
+        val base = idxStart + pos.toInt * NodeBytes
+        val minX = idx.getDouble(base); val minY = idx.getDouble(base + 8)
+        val maxX = idx.getDouble(base + 16); val maxY = idx.getDouble(base + 24)
+        if (!(maxX < qMinX || maxY < qMinY || minX > qMaxX || minY > qMaxY)) {
+          val off = idx.getLong(base + 32)
+          if (pos >= leafStart) out += off
+          else stack.push((off, level + 1))
+        }
+        pos += 1
+      }
+    }
+    out.sorted.toSeq
+  }
+
+  // ----------------------------------------------------------------- header
+
+  private final case class FgbColumn(name: String, typ: Int)
+  private final case class FgbHeader(
+      geometryType: Int, columns: Seq[FgbColumn], featuresCount: Long,
+      indexNodeSize: Int, headerEnd: Int, indexBytes: Long)
+
+  private def parseHeader(bytes: Array[Byte]): FgbHeader = {
+    require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a FlatGeobuf file (bad magic)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerLen = bb.getInt(8)
+    val hdr = new Array[Byte](headerLen)
+    System.arraycopy(bytes, 12, hdr, 0, headerLen)
+    val r = new FlatBuf.Reader(hdr)
+    val t = r.rootTable
+    val geometryType = r.getByte(t, 2, 0)
+    val cols = Option(r.getTableVector(t, 7)).getOrElse(Array.empty[Int]).map { cp =>
+      FgbColumn(r.getString(cp, 0), r.getByte(cp, 1, 0))
+    }.toSeq
+    val featuresCount = r.getLong(t, 8, 0L)
+    val indexNodeSize = r.getShort(t, 9, 16)
+    val indexBytes =
+      if (indexNodeSize == 0 || featuresCount == 0) 0L
+      else numTreeNodes(featuresCount, indexNodeSize) * NodeBytes
+    FgbHeader(geometryType, cols, featuresCount, indexNodeSize, 12 + headerLen, indexBytes)
+  }
+
+  private def columnDataType(t: Int): DataType = t match {
+    case CtBool => BooleanType
+    case 0 | 1 | 3 | 4 | CtInt | 6 => IntegerType // byte..uint widen to int
+    case CtLong | 8 => LongType
+    case 9 => FloatType
+    case CtDouble => DoubleType
+    case CtBinary => BinaryType
+    case _ => StringType // String/Json/DateTime
+  }
+
+  // --------------------------------------------------------------- geometry
+
+  private def readGeometry(r: FlatBuf.Reader, gp: Int, headerType: Int): Geom = {
+    val t = { val own = r.getByte(gp, 6, 0); if (own != 0) own else headerType }
+    def xy: Array[Double] = Option(r.getDoubleVector(gp, 1)).getOrElse(Array.empty)
+    def ends: Array[Int] = Option(r.getIntVector(gp, 0)).getOrElse(Array.empty)
+    def slices: Seq[Array[Double]] = {
+      val cs = xy
+      val es = if (ends.isEmpty) Array(cs.length / 2) else ends
+      var start = 0
+      es.map { e =>
+        val out = java.util.Arrays.copyOfRange(cs, start * 2, e * 2)
+        start = e
+        out
+      }.toSeq
+    }
+    t match {
+      case GtPoint =>
+        val cs = xy
+        if (cs.isEmpty) Point(Double.NaN, Double.NaN) else Point(cs(0), cs(1))
+      case GtLineString => LineString(xy)
+      case GtPolygon => Polygon(slices.toArray)
+      case GtMultiPoint =>
+        val cs = xy
+        MultiPoint(Array.tabulate(cs.length / 2)(i => Point(cs(2 * i), cs(2 * i + 1))))
+      case GtMultiLineString => MultiLineString(slices.map(LineString(_)).toArray)
+      case GtMultiPolygon =>
+        val parts = Option(r.getTableVector(gp, 7)).getOrElse(Array.empty[Int])
+        MultiPolygon(parts.map(p => readGeometry(r, p, GtPolygon).asInstanceOf[Polygon]))
+      case GtGeometryCollection =>
+        val parts = Option(r.getTableVector(gp, 7)).getOrElse(Array.empty[Int])
+        GeometryCollection(parts.map(p => readGeometry(r, p, 0)))
+      case _ => null
+    }
+  }
+
+  private def geometryTypeOf(g: Geom): Int = g match {
+    case _: Point => GtPoint
+    case _: LineString => GtLineString
+    case _: Polygon => GtPolygon
+    case _: MultiPoint => GtMultiPoint
+    case _: MultiLineString => GtMultiLineString
+    case _: MultiPolygon => GtMultiPolygon
+    case _ => GtGeometryCollection
+  }
+
+  private def writeGeometry(b: FlatBuf.Builder, g: Geom): Int = {
+    import FlatBuf._
+    def coordsField(cs: Array[Double]): Seq[Field] =
+      Seq(RefField(1, b.createDoubleVector(cs)))
+    def endsOf(parts: Seq[Array[Double]]): Array[Int] = {
+      var acc = 0
+      parts.map { p => acc += p.length / 2; acc }.toArray
+    }
+    val typeField = ScalarField(6, 1, geometryTypeOf(g).toLong)
+    g match {
+      case Point(x, y) => b.createTable(coordsField(Array(x, y)) :+ typeField)
+      case LineString(cs) => b.createTable(coordsField(cs) :+ typeField)
+      case Polygon(rings) =>
+        val ends = RefField(0, b.createIntVector(endsOf(rings.toSeq)))
+        b.createTable(Seq(ends) ++ coordsField(rings.flatten.toArray) :+ typeField)
+      case MultiPoint(ps) =>
+        b.createTable(coordsField(ps.flatMap(p => Array(p.x, p.y)).toArray) :+ typeField)
+      case MultiLineString(ls) =>
+        val ends = RefField(0, b.createIntVector(endsOf(ls.map(_.coords).toSeq)))
+        b.createTable(Seq(ends) ++ coordsField(ls.flatMap(_.coords).toArray) :+ typeField)
+      case MultiPolygon(ps) =>
+        val parts = ps.map(writeGeometry(b, _))
+        b.createTable(Seq(RefField(7, b.createRefVector(parts)), typeField))
+      case GeometryCollection(gs) =>
+        val parts = gs.map(writeGeometry(b, _))
+        b.createTable(Seq(RefField(7, b.createRefVector(parts)), typeField))
+      case other => throw new IllegalArgumentException(
+        s"flatgeobuf cannot represent ${other.getClass.getSimpleName}")
+    }
+  }
+
+  // ------------------------------------------------------------- properties
+
+  private def parseProperties(
+      blob: Array[Byte], cols: Seq[FgbColumn]): Array[Any] = {
+    val out = new Array[Any](cols.length)
+    if (blob == null) return out
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    while (bb.remaining() >= 2) {
+      val idx = bb.getShort() & 0xffff
+      if (idx >= cols.length) return out // malformed tail: stop
+      val v: Any = cols(idx).typ match {
+        case CtBool => bb.get() != 0
+        case 0 => bb.get().toInt
+        case 1 => bb.get() & 0xff
+        case 3 => bb.getShort().toInt
+        case 4 => bb.getShort() & 0xffff
+        case CtInt | 6 => bb.getInt()
+        case CtLong | 8 => bb.getLong()
+        case 9 => bb.getFloat()
+        case CtDouble => bb.getDouble()
+        case CtBinary =>
+          val n = bb.getInt(); val a = new Array[Byte](n); bb.get(a); a
+        case _ => // String / Json / DateTime
+          val n = bb.getInt(); val a = new Array[Byte](n); bb.get(a)
+          new String(a, "UTF-8")
+      }
+      out(idx) = v
+    }
+    out
+  }
+
+  private def writeProperties(
+      cols: Seq[(FgbColumn, Int)], row: Row): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def p16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def p32(v: Int): Unit = { p16(v & 0xffff); p16((v >>> 16) & 0xffff) }
+    def p64(v: Long): Unit = { p32((v & 0xffffffffL).toInt); p32((v >>> 32).toInt) }
+    cols.zipWithIndex.foreach { case ((c, fieldIdx), colIdx) =>
+      if (!row.isNullAt(fieldIdx)) {
+        p16(colIdx)
+        c.typ match {
+          case CtBool => bos.write(if (row.getBoolean(fieldIdx)) 1 else 0)
+          case CtInt => p32(row.getAs[Number](fieldIdx).intValue())
+          case CtLong => p64(row.getAs[Number](fieldIdx).longValue())
+          case CtDouble => p64(java.lang.Double.doubleToLongBits(
+            row.getAs[Number](fieldIdx).doubleValue()))
+          case CtBinary =>
+            val a = row.getAs[Array[Byte]](fieldIdx); p32(a.length); bos.write(a)
+          case _ =>
+            val a = row.get(fieldIdx).toString.getBytes("UTF-8")
+            p32(a.length); bos.write(a)
+        }
+      }
+    }
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /**
+   * Read `path` (a .fgb file or directory/glob of them) into a DataFrame of
+   * the declared attribute columns plus a WKB `geometry` column. With
+   * `bbox = Some((minX, minY, maxX, maxY))` and an indexed file, only
+   * features whose R-tree leaf intersects the box are decoded (the spatial
+   * pushdown the format exists for); unindexed files fall back to a full
+   * scan with an envelope post-filter.
+   */
+  def read(
+      spark: SparkSession,
+      path: String,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.fgb").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+
+    val firstBytes = files.select("content").as[Array[Byte]].head()
+    val header = parseHeader(firstBytes)
+    val schema = StructType(
+      header.columns.map(c => StructField(c.name, columnDataType(c.typ), nullable = true)) :+
+        StructField("geometry", BinaryType, nullable = true))
+    val colsBc = spark.sparkContext.broadcast(header.columns)
+    val bboxOpt = bbox
+
+    val rows = files.flatMap { case (_, bytes) =>
+      val h = parseHeader(bytes)
+      val cols = colsBc.value
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val featStart = h.headerEnd + h.indexBytes.toInt
+
+      def decodeAt(pos: Int): Row = {
+        val len = bb.getInt(pos)
+        val fb = new Array[Byte](len)
+        System.arraycopy(bytes, pos + 4, fb, 0, len)
+        val r = new FlatBuf.Reader(fb)
+        val t = r.rootTable
+        val props = parseProperties(r.getByteVector(t, 1), cols)
+        val gp = r.indirect(t, 0)
+        val geom = if (gp < 0) null else readGeometry(r, gp, h.geometryType)
+        Row.fromSeq(props.toSeq :+ (if (geom == null) null else WKB.write(geom)))
+      }
+
+      bboxOpt match {
+        case Some((qx0, qy0, qx1, qy1)) if h.indexNodeSize > 0 && h.featuresCount > 0 =>
+          searchIndex(bb, h.headerEnd, h.featuresCount, h.indexNodeSize,
+            qx0, qy0, qx1, qy1)
+            .iterator.map(off => decodeAt(featStart + off.toInt))
+        case other =>
+          val all = new mutable.ArrayBuffer[Row]()
+          var pos = featStart
+          while (pos + 4 <= bytes.length) {
+            val len = bb.getInt(pos)
+            all += decodeAt(pos)
+            pos += 4 + len
+          }
+          other match {
+            case Some((qx0, qy0, qx1, qy1)) =>
+              // no index: envelope post-filter preserves bbox semantics
+              val gi = schema.length - 1
+              all.iterator.filter { r =>
+                !r.isNullAt(gi) && {
+                  val g = WKB.readOrNull(r.getAs[Array[Byte]](gi))
+                  g != null && !g.envelope.isEmpty && {
+                    val e = g.envelope
+                    !(e.maxX < qx0 || e.maxY < qy0 || e.minX > qx1 || e.minY > qy1)
+                  }
+                }
+              }
+            case None => all.iterator
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    rows.toDF()
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /**
+   * Write the DataFrame as one .fgb file — driver-side single-file export
+   * like the Shapefile/GeoPackage writers. Features are Hilbert-sorted and
+   * a packed R-tree index is emitted unless `indexNodeSize == 0`. The
+   * geometry column must be WKB.
+   */
+  def write(
+      df: DataFrame,
+      path: String,
+      geomCol: String = "geometry",
+      indexNodeSize: Int = 16): Unit = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(geomCol), s"missing geometry column $geomCol")
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val cols = attrs.map { case (f, i) =>
+      val t = f.dataType match {
+        case BooleanType => CtBool
+        case IntegerType | ShortType | ByteType => CtInt
+        case LongType => CtLong
+        case FloatType | DoubleType => CtDouble
+        case BinaryType => CtBinary
+        case _ => CtString
+      }
+      (FgbColumn(f.name, t), i)
+    }.toSeq
+
+    val rows = df.collect()
+    val geoms = rows.map(r =>
+      if (r.isNullAt(geomIdx)) null else WKB.readOrNull(r.getAs[Array[Byte]](geomIdx)))
+
+    // global envelope + per-feature envelopes
+    var (mnx, mny, mxx, mxy) =
+      (Double.PositiveInfinity, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.NegativeInfinity)
+    val envs = geoms.map { g =>
+      if (g == null || g.envelope.isEmpty) null
+      else {
+        val e = g.envelope
+        mnx = math.min(mnx, e.minX); mny = math.min(mny, e.minY)
+        mxx = math.max(mxx, e.maxX); mxy = math.max(mxy, e.maxY)
+        e
+      }
+    }
+    val haveExtent = mnx <= mxx
+    val sx = if (haveExtent && mxx > mnx) 0xFFFF / (mxx - mnx) else 0.0
+    val sy = if (haveExtent && mxy > mny) 0xFFFF / (mxy - mny) else 0.0
+
+    // Hilbert sort (features with no geometry sort first, stable)
+    val order = rows.indices.sortBy { i =>
+      envs(i) match {
+        case null => -1L
+        case e =>
+          val hx = (((e.minX + e.maxX) / 2 - mnx) * sx).toInt
+          val hy = (((e.minY + e.maxY) / 2 - mny) * sy).toInt
+          hilbert(hx & 0xFFFF, hy & 0xFFFF)
+      }
+    }
+
+    val gTypes = geoms.filter(_ != null).map(geometryTypeOf).distinct
+    val headerGeomType = if (gTypes.length == 1) gTypes.head else 0
+
+    // features (size-prefixed), offsets relative to feature-section start
+    val featBuf = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Long](order.length)
+    val sorted = order.toArray
+    sorted.zipWithIndex.foreach { case (ri, outIdx) =>
+      val b = new FlatBuf.Builder
+      import FlatBuf._
+      val fields = mutable.ArrayBuffer.empty[Field]
+      if (geoms(ri) != null) fields += RefField(0, writeGeometry(b, geoms(ri)))
+      val props = writeProperties(cols, rows(ri))
+      if (props.nonEmpty) fields += RefField(1, b.createByteVector(props))
+      val fb = b.finish(b.createTable(fields.toSeq))
+      offsets(outIdx) = featBuf.size().toLong
+      val lenLE = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(fb.length)
+      featBuf.write(lenLE.array()); featBuf.write(fb)
+    }
+
+    // index over the sorted features
+    val withIndex = indexNodeSize > 0 && sorted.nonEmpty
+    val indexBytes: Array[Byte] =
+      if (!withIndex) Array.emptyByteArray
+      else buildIndex(sorted.zipWithIndex.map { case (ri, outIdx) =>
+        envs(ri) match {
+          case null => (0.0, 0.0, 0.0, 0.0, offsets(outIdx))
+          case e => (e.minX, e.minY, e.maxX, e.maxY, offsets(outIdx))
+        }
+      }, indexNodeSize)
+
+    // header
+    val hb = new FlatBuf.Builder()
+    import FlatBuf.{Field, RefField, ScalarField}
+    val colOffs = cols.map { case (c, _) =>
+      val n = hb.createString(c.name)
+      hb.createTable(Seq(RefField(0, n), ScalarField(1, 1, c.typ.toLong)))
+    }.toArray
+    val hFields = mutable.ArrayBuffer.empty[Field]
+    hFields += RefField(0, hb.createString("layer"))
+    if (haveExtent)
+      hFields += RefField(1, hb.createDoubleVector(Array(mnx, mny, mxx, mxy)))
+    hFields += ScalarField(2, 1, headerGeomType.toLong)
+    if (colOffs.nonEmpty) hFields += RefField(7, hb.createRefVector(colOffs))
+    hFields += ScalarField(8, 8, sorted.length.toLong)
+    hFields += ScalarField(9, 2, (if (withIndex) indexNodeSize else 0).toLong)
+    val hdr = hb.finish(hb.createTable(hFields.toSeq))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    val lenLE = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(hdr.length)
+    out.write(lenLE.array()); out.write(hdr)
+    out.write(indexBytes)
+    featBuf.writeTo(out)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
+  }
+}
