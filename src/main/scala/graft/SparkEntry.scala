@@ -203,6 +203,32 @@ object SparkEntry {
          |  st_length(st_makeenvelope($custX, $custY, $custX + $custSide, $custY + $custSide)) AS perimeter
          |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // GeoArrow nested-native twin of q11/q12/q13: encode once (struct<x,y>
+    // point, st_ringdump rings), then run the whole translate/affine/
+    // distance/area/perimeter chain as pure functions._ HOFs — one
+    // WholeStageCodegen span, zero per-op WKB decode. Hash-identical to the
+    // WKB kernels (same multiply-add order).
+    "q241_geoarrow_struct" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      import graft.functions.GeoArrow
+      val df = s.sql(
+        s"""SELECT c_custkey, $custPt AS g,
+           |  st_ringdump(st_makeenvelope($custX, $custY,
+           |    $custX + $custSide, $custY + $custSide)) AS rings
+           |FROM customer""".stripMargin)
+      val p = GeoArrow.toPointStruct(col("g"))
+      df.select(col("c_custkey"),
+          GeoArrow.translate(p, lit(1.5), lit(2.5)).getField("x").as("tx"),
+          GeoArrow.translate(p, lit(1.5), lit(2.5)).getField("y").as("ty"),
+          GeoArrow.affine(p, lit(2.0), lit(0.0), lit(0.0), lit(2.0),
+            lit(10.0), lit(0.0)).getField("x").as("ax"),
+          GeoArrow.distance(p, GeoArrow.xy(lit(0.0), lit(0.0))).as("dist_origin"),
+          GeoArrow.polygonArea(col("rings")).as("area"),
+          GeoArrow.polygonPerimeter(col("rings")).as("perimeter"))
+        .orderBy("c_custkey")
+    }),
+
     "q13_geo_distance" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
          |  st_distance($custPt, st_point(0.0, 0.0)) AS dist_origin
@@ -4209,6 +4235,14 @@ object SparkEntry {
     "q13_geo_distance" ->
       s"""SELECT c_custkey,
          |  sqrt($oCustX * $oCustX + $oCustY * $oCustY) AS dist_origin
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q241_geoarrow_struct" ->
+      s"""SELECT c_custkey,
+         |  $oCustX + 1.5 AS tx, $oCustY + 2.5 AS ty,
+         |  2.0 * $oCustX + 10.0 AS ax,
+         |  sqrt($oCustX * $oCustX + $oCustY * $oCustY) AS dist_origin,
+         |  $oSide * $oSide AS area, 4.0 * $oSide AS perimeter
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q14_geo_centroid" ->

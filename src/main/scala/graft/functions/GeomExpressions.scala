@@ -191,6 +191,30 @@ object GeomKernels {
           buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](x, y)))
         new GenericArrayData(buf.toArray)
+      }),
+    // GeoArrow nested-native polygon encoding (reference §1.2 phase-2
+    // storage: List<List<Struct{x,y}>>): rings as arrays of vertex structs
+    // (closed, exterior first; MultiPolygon flattens its parts' rings with
+    // exteriors in part order). Pair with GeoArrow.* HOF kernels to run
+    // area/perimeter/affine chains entirely inside whole-stage codegen,
+    // no per-op WKB decode (the reference's own WKB-vs-struct bench
+    // motivation, geopolars/benches/affine.rs:16-34).
+    "st_ringdump"     -> U(
+      ArrayType(ArrayType(StructType(Seq(
+        StructField("x", DoubleType, nullable = false),
+        StructField("y", DoubleType, nullable = false))), containsNull = false),
+        containsNull = false),
+      g => {
+        def ringData(r: Array[Double]): GenericArrayData =
+          new GenericArrayData(Array.tabulate[Any](r.length / 2)(i =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](r(2 * i), r(2 * i + 1)))))
+        g match {
+          case p: Polygon => new GenericArrayData(p.rings.map(ringData(_): Any))
+          case mp: MultiPolygon =>
+            new GenericArrayData(mp.geoms.flatMap(_.rings).map(ringData(_): Any))
+          case _ => null
+        }
       })
   )
 
