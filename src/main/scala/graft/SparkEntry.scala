@@ -208,7 +208,7 @@ object SparkEntry {
     // distance/area/perimeter chain as pure functions._ HOFs — one
     // WholeStageCodegen span, zero per-op WKB decode. Hash-identical to the
     // WKB kernels (same multiply-add order).
-    "q241_geoarrow_struct" -> ((s: SparkSession, dir: String) => {
+    "q245_geoarrow_struct" -> ((s: SparkSession, dir: String) => {
       init(s)
       view(s, dir, "customer")
       import graft.functions.GeoArrow
@@ -277,7 +277,7 @@ object SparkEntry {
     // point, plus the inverse roundtrip back to degrees. Meters rounded to
     // 0.1 m (the trig/pow chain is libm-dependent at the 1e-8 level);
     // roundtrip degrees to 1e-6 (inverse converges to ~1e-12).
-    "q239_conic_crs" -> sqlQuery(Seq("customer"),
+    "q243_conic_crs" -> sqlQuery(Seq("customer"),
       """SELECT c_custkey,
         |  round(st_x(st_transform(pf, 'EPSG:4326', 'EPSG:2154')), 1) + 0.0 AS lcc_x,
         |  round(st_y(st_transform(pf, 'EPSG:4326', 'EPSG:2154')), 1) + 0.0 AS lcc_y,
@@ -514,7 +514,7 @@ object SparkEntry {
     // per-cell dissolves run in parallel, the final merge sees <= cells^2
     // rows. Two parity strips (y 0-1 / 3-4) of chained 0.5-step boxes
     // dissolve to exactly 2 rectangles with analytic areas.
-    "q238_global_dissolve" -> ((s: SparkSession, dir: String) => {
+    "q242_global_dissolve" -> ((s: SparkSession, dir: String) => {
       init(s)
       view(s, dir, "customer")
       val boxes = s.sql(
@@ -1461,7 +1461,7 @@ object SparkEntry {
     // built on write, and the bbox query READS THROUGH THE INDEX — only
     // intersecting leaves are decoded (the cloud-native pushdown path);
     // closed-form oracle filters the synthesized coords directly
-    "q240_flatgeobuf_roundtrip" -> ((s: SparkSession, dir: String) => {
+    "q244_flatgeobuf_roundtrip" -> ((s: SparkSession, dir: String) => {
       init(s)
       val tmpDir = java.nio.file.Files.createTempDirectory("graft_q240_fgb").toFile
       tmpDir.deleteOnExit()
@@ -4237,7 +4237,7 @@ object SparkEntry {
          |  sqrt($oCustX * $oCustX + $oCustY * $oCustY) AS dist_origin
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    "q241_geoarrow_struct" ->
+    "q245_geoarrow_struct" ->
       s"""SELECT c_custkey,
          |  $oCustX + 1.5 AS tx, $oCustY + 2.5 AS ty,
          |  2.0 * $oCustX + 10.0 AS ax,
@@ -4290,7 +4290,7 @@ object SparkEntry {
     // Snyder §15 (LCC 2SP) / §14 (Albers 2SP) ellipsoidal forwards on GRS80,
     // recomputed in closed form; DuckDB lateral alias reuse keeps the
     // constant chain readable
-    "q239_conic_crs" ->
+    "q243_conic_crs" ->
       """WITH pts AS (
         |  SELECT c_custkey,
         |    cast(c_custkey % 140 as double) / 10.0 - 5.0 AS flon,
@@ -4424,7 +4424,7 @@ object SparkEntry {
 
     // per parity strip: chained boxes dissolve to one rectangle of area
     // (max step - min step) * 0.5 + 1; strips are disjoint => parts add
-    "q238_global_dissolve" ->
+    "q242_global_dissolve" ->
       """SELECT round(sum(a), 6) + 0.0 AS union_area, cast(count(*) as int) AS n_parts
         |FROM (
         |  SELECT c_custkey % 2 AS par,
@@ -5521,7 +5521,7 @@ object SparkEntry {
          |  $oCustX AS gx, $oCustY AS gy
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    "q240_flatgeobuf_roundtrip" ->
+    "q244_flatgeobuf_roundtrip" ->
       s"""SELECT c_custkey, c_name, $oCustX AS gx, $oCustY AS gy
          |FROM customer
          |WHERE $oCustX BETWEEN -50 AND 50 AND $oCustY BETWEEN -40 AND 40

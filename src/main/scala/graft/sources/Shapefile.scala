@@ -164,7 +164,7 @@ object Shapefile {
    * Read `path` (a .shp file, or a directory/glob of them) into a
    * DataFrame of the .dbf attribute columns plus a WKB `geometry` column.
    */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, withFid: Boolean = false): DataFrame = {
     import spark.implicits._
     val shpFiles = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.shp").load(path)
@@ -181,11 +181,15 @@ object Shapefile {
     val firstPath = shpFiles.select("path").as[String].head()
     val firstDbf = readSiblingBytes(firstPath, hadoopConf)
     val fields = firstDbf.map(d => parseDbf(d)._1).getOrElse(Seq.empty)
-    val schema = StructType(
+    val attrFields =
       fields.map(f => StructField(f.name, dbfDataType(f), nullable = true)) :+
-        StructField("geometry", BinaryType, nullable = true))
+        StructField("geometry", BinaryType, nullable = true)
+    val schema = StructType(
+      if (withFid) StructField("fid", LongType, nullable = false) +: attrFields
+      else attrFields)
 
     val fieldsBc = spark.sparkContext.broadcast(fields)
+    val emitFid = withFid
     val rows = shpFiles.flatMap { case (p, shpBytes) =>
       val geoms = parseShp(shpBytes)
       val attrs: Seq[Array[String]] =
@@ -195,7 +199,9 @@ object Shapefile {
         val attrVals: Seq[Any] =
           if (i < attrs.length) fs.zip(attrs(i)).map { case (f, s) => dbfValue(f, s) }
           else fs.map(_ => null)
-        Row.fromSeq(attrVals :+ (if (g == null) null else WKB.write(g)))
+        val base = attrVals :+ (if (g == null) null else WKB.write(g))
+        // fid = record index in file order (the shapefile record number - 1)
+        Row.fromSeq(if (emitFid) i.toLong +: base else base)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
     rows.toDF()
