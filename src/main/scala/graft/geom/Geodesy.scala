@@ -172,40 +172,11 @@ object CRS {
   def webMercatorToLonLat(x: Double, y: Double): XY =
     (math.toDegrees(x / R), math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
 
-  /** Transverse Mercator (spherical approx only used for tests; full Krüger
-    * series on WGS84 below) — UTM zone from central meridian. */
-  def lonLatToUtm(lon: Double, lat: Double, zone: Int, north: Boolean): XY = {
-    // Krüger series (order 4) on WGS84 — published formulas (Karney 2011, "Transverse
-    // Mercator with an accuracy of a few nanometers"), truncated: sub-mm in-zone.
-    val a = Geodesy.WGS84_A; val f = Geodesy.WGS84_F
-    val n = f / (2 - f)
-    val k0 = 0.9996
-    val lon0 = math.toRadians(zone * 6 - 183)
-    val phi = math.toRadians(lat)
-    val lam = math.toRadians(lon) - lon0
-    val e = math.sqrt(f * (2 - f))
-    // conformal latitude
-    val sinPhi = math.sin(phi)
-    val t = math.sinh(atanh(sinPhi) - e * atanh(e * sinPhi))
-    val xiP = math.atan2(t, math.cos(lam))
-    val etaP = atanh(math.sin(lam) / math.sqrt(1 + t * t))
-    val A1 = a / (1 + n) * (1 + n * n / 4 + n * n * n * n / 64)
-    val alpha = Array(
-      0.0,
-      n / 2 - 2.0 / 3 * n * n + 5.0 / 16 * n * n * n,
-      13.0 / 48 * n * n - 3.0 / 5 * n * n * n,
-      61.0 / 240 * n * n * n)
-    var xi = xiP; var eta = etaP
-    var j = 1
-    while (j <= 3) {
-      xi += alpha(j) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
-      eta += alpha(j) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
-      j += 1
-    }
-    val easting = 500000.0 + k0 * A1 * eta
-    val northing = (if (north) 0.0 else 10000000.0) + k0 * A1 * xi
-    (easting, northing)
-  }
+  /** UTM via the general [[TransverseMercator]] (Krüger order-4 series,
+    * Karney 2011) — zone's central meridian, k0 = 0.9996. */
+  def lonLatToUtm(lon: Double, lat: Double, zone: Int, north: Boolean): XY =
+    TransverseMercator(WGS84E, 0, zone * 6 - 183, 0.9996,
+      500000.0, if (north) 0.0 else 10000000.0).forward(lon, lat)
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
 
@@ -225,6 +196,9 @@ object CRS {
   /** GRS80 (NAD83 / RGF93 / ETRS89 families; treated as coincident with
     * WGS84 at the sub-meter level, the standard null-transform assumption). */
   val GRS80 = Ellipsoid(6378137.0, 298.257222101)
+  /** WGS84 via its defining inverse flattening (1/invF reproduces
+    * Geodesy.WGS84_F bit-exactly; never build this as 1/(1/f)). */
+  val WGS84E = Ellipsoid(6378137.0, 298.257223563)
 
   // Snyder 14-15 / 15-9 helpers
   private def mFac(ell: Ellipsoid, phi: Double): Double =
@@ -309,6 +283,79 @@ object CRS {
     }
   }
 
+  /**
+   * General Transverse Mercator (Krüger order-4 series, Karney 2011), any
+   * natural origin / scale / false origin — the state-plane-style
+   * parameterization. Forward AND inverse, sub-mm in-zone.
+   */
+  final case class TransverseMercator(
+      ell: Ellipsoid, lat0: Double, lon0: Double, k0: Double,
+      x0: Double, y0: Double) {
+    private val n = ell.f / (2 - ell.f)
+    private val a1 = ell.a / (1 + n) * (1 + n * n / 4 + n * n * n * n / 64)
+    // Krüger coefficients to n^4 (Karney 2011 eq. 35-36): the order-4 terms
+    // make forward/inverse true inverses to ~1e-7 m (order-3 pairs mismatch
+    // at the n^4 * a ~ 3e-5 m level)
+    private val alpha = Array(0.0,
+      n / 2 - 2.0 / 3 * n * n + 5.0 / 16 * n * n * n + 41.0 / 180 * n * n * n * n,
+      13.0 / 48 * n * n - 3.0 / 5 * n * n * n + 557.0 / 1440 * n * n * n * n,
+      61.0 / 240 * n * n * n - 103.0 / 140 * n * n * n * n,
+      49561.0 / 161280 * n * n * n * n)
+    private val beta = Array(0.0,
+      n / 2 - 2.0 / 3 * n * n + 37.0 / 96 * n * n * n - 1.0 / 360 * n * n * n * n,
+      1.0 / 48 * n * n + 1.0 / 15 * n * n * n - 437.0 / 1440 * n * n * n * n,
+      17.0 / 480 * n * n * n - 37.0 / 840 * n * n * n * n,
+      4397.0 / 161280 * n * n * n * n)
+    private val l0 = math.toRadians(lon0)
+
+    private def xiEta(lonR: Double, latR: Double): (Double, Double) = {
+      val sinPhi = math.sin(latR)
+      val t = math.sinh(atanh(sinPhi) - ell.e * atanh(ell.e * sinPhi))
+      val lam = lonR - l0
+      val xiP = math.atan2(t, math.cos(lam))
+      val etaP = atanh(math.sin(lam) / math.sqrt(1 + t * t))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 4) {
+        xi += alpha(j) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+        eta += alpha(j) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+        j += 1
+      }
+      (xi, eta)
+    }
+    // meridian arc (scaled by A1) at the natural-origin latitude
+    private val xi0 = if (lat0 == 0.0) 0.0 else xiEta(l0, math.toRadians(lat0))._1
+
+    def forward(lon: Double, lat: Double): XY = {
+      val (xi, eta) = xiEta(math.toRadians(lon), math.toRadians(lat))
+      (x0 + k0 * a1 * eta, y0 + k0 * a1 * (xi - xi0))
+    }
+
+    def inverse(x: Double, y: Double): XY = {
+      val xi = (y - y0) / (k0 * a1) + xi0
+      val eta = (x - x0) / (k0 * a1)
+      var xiP = xi; var etaP = eta
+      var j = 1
+      while (j <= 4) {
+        xiP -= beta(j) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etaP -= beta(j) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.max(-1.0, math.min(1.0, math.sin(xiP) / math.cosh(etaP))))
+      val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+      // conformal-latitude inverse by fixed point (15 rounds, deterministic)
+      var phi = chi
+      var i = 0
+      while (i < 15) {
+        val es = ell.e * math.sin(phi)
+        phi = 2 * math.atan(math.tan(math.Pi / 4 + chi / 2) *
+          math.pow((1 + es) / (1 - es), ell.e / 2)) - math.Pi / 2
+        i += 1
+      }
+      (math.toDegrees(lam + l0), math.toDegrees(phi))
+    }
+  }
+
   /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
     * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
     * the EPSG registry entries for these CRSs. */
@@ -334,6 +381,61 @@ object CRS {
 
   def register(from: String, to: String, fn: XY => XY): Unit = transforms((norm(from), norm(to))) = fn
 
+  /**
+   * Parse a proj4-style definition into (forward, inverse) against
+   * EPSG:4326 lon/lat — the reference accepts arbitrary PROJ strings /
+   * PROJJSON via the PROJ C library (geopolars-geo/src/ops/proj.rs:33-70,
+   * py-geopolars geoseries.py:257-261); here the common published-formula
+   * projections are implemented natively: lcc, aea, tmerc, utm, merc,
+   * longlat, with +ellps=GRS80|WGS84, +lat_0/1/2, +lon_0, +k_0/+k,
+   * +x_0/+y_0, +zone, +south.
+   */
+  def fromProj4(definition: String): (XY => XY, XY => XY) = {
+    val kv = definition.trim.split("\\s+").filter(_.startsWith("+")).map { tok =>
+      val t = tok.drop(1)
+      val i = t.indexOf('=')
+      if (i < 0) (t, "") else (t.take(i), t.drop(i + 1))
+    }.toMap
+    def d(k: String, dflt: Double) = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val ell = kv.getOrElse("ellps", kv.getOrElse("datum", "WGS84")) match {
+      case "GRS80" | "NAD83" => GRS80
+      case _ => WGS84E
+    }
+    kv.getOrElse("proj", "") match {
+      case "longlat" => (identity[XY] _, identity[XY] _)
+      case "merc" =>
+        ({ case (x, y) => lonLatToWebMercator(x, y) },
+          { case (x, y) => webMercatorToLonLat(x, y) })
+      case "lcc" =>
+        val p = LambertConic(ell, d("lat_1", 0), d("lat_2", d("lat_1", 0)),
+          d("lat_0", 0), d("lon_0", 0), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
+      case "aea" =>
+        val p = AlbersConic(ell, d("lat_1", 0), d("lat_2", d("lat_1", 0)),
+          d("lat_0", 0), d("lon_0", 0), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
+      case "tmerc" =>
+        val p = TransverseMercator(ell, d("lat_0", 0), d("lon_0", 0),
+          d("k_0", d("k", 1.0)), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
+      case "utm" =>
+        val zone = d("zone", 30).toInt
+        val south = kv.contains("south")
+        val p = TransverseMercator(ell, 0, zone * 6 - 183, 0.9996,
+          500000.0, if (south) 10000000.0 else 0.0)
+        ((p.forward _).tupled, (p.inverse _).tupled)
+      case other => throw new IllegalArgumentException(
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm)")
+    }
+  }
+
+  /** Register `tag` <-> EPSG:4326 from a proj4 definition (both directions). */
+  def registerProj4(tag: String, definition: String): Unit = {
+    val (fwd, inv) = fromProj4(definition)
+    register("EPSG:4326", tag, fwd)
+    register(tag, "EPSG:4326", inv)
+  }
+
   private def norm(s: String): String = {
     val u = s.trim.toUpperCase
     if (u.forall(_.isDigit)) s"EPSG:$u" else u
@@ -342,6 +444,14 @@ object CRS {
   def transform(g: Geometry, from: String, to: String): Geometry = {
     val key = (norm(from), norm(to))
     // UTM zones resolved dynamically: EPSG:326xx (N) / 327xx (S)
+    def utmTm(code: String): Option[TransverseMercator] =
+      if (code.startsWith("EPSG:326") && code.length == 10)
+        Some(TransverseMercator(WGS84E,
+          0, code.substring(8).toInt * 6 - 183, 0.9996, 500000.0, 0.0))
+      else if (code.startsWith("EPSG:327") && code.length == 10)
+        Some(TransverseMercator(WGS84E,
+          0, code.substring(8).toInt * 6 - 183, 0.9996, 500000.0, 10000000.0))
+      else None
     val fn = transforms.getOrElse(key, {
       val toN = key._2
       if (toN.startsWith("EPSG:326") && key._1 == "EPSG:4326") {
@@ -350,7 +460,11 @@ object CRS {
       } else if (toN.startsWith("EPSG:327") && key._1 == "EPSG:4326") {
         val zone = toN.substring(8).toInt
         (p: XY) => lonLatToUtm(p._1, p._2, zone, north = false)
-      } else throw new IllegalArgumentException(s"no CRS transform registered for ${key._1} -> ${key._2}")
+      } else utmTm(key._1).filter(_ => key._2 == "EPSG:4326") match {
+        case Some(tm) => (p: XY) => tm.inverse(p._1, p._2)
+        case None => throw new IllegalArgumentException(
+          s"no CRS transform registered for ${key._1} -> ${key._2}")
+      }
     })
     g.mapCoords((x, y) => fn((x, y)))
   }

@@ -39,6 +39,38 @@ class ConicCrsSpec extends AnyFunSuite {
       Seq(-140.0, -91.866667, -52.6), Seq(42.0, 63.4, 82.9))
   }
 
+  test("general TM matches the UTM path and roundtrips; proj4 parsing") {
+    // TM parameterized as UTM zone 31N must match lonLatToUtm exactly
+    val tm = TransverseMercator(WGS84E, 0, 3.0, 0.9996, 500000.0, 0.0)
+    for (lon <- Seq(0.5, 3.0, 5.9); lat <- Seq(-40.0, 0.0, 52.3)) {
+      val (x1, y1) = lonLatToUtm(lon, lat, 31, north = true)
+      val (x2, y2) = tm.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6, s"($lon,$lat)")
+      val (lon2, lat2) = tm.inverse(x2, y2)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+    // non-zero lat_0 (state-plane style): natural origin -> false origin
+    val sp = TransverseMercator(GRS80, 31.0, -110.166667, 0.9999, 213360.0, 0.0)
+    val (ox, oy) = sp.forward(-110.166667, 31.0)
+    assert(math.abs(ox - 213360.0) < 1e-6 && math.abs(oy) < 1e-6)
+    val (blon, blat) = sp.inverse(250000.0, 150000.0)
+    val (bx, by) = sp.forward(blon, blat)
+    assert(math.abs(bx - 250000.0) < 1e-6 && math.abs(by - 150000.0) < 1e-6)
+
+    // proj4 string -> same LCC as the built-in Lambert-93
+    val (fwd, inv) = fromProj4(
+      "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80")
+    val (px, py) = fwd((2.5, 47.0))
+    val (lx, ly) = Lambert93.forward(2.5, 47.0)
+    assert(px == lx && py == ly)
+    val (rl, rp) = inv((px, py))
+    assert(math.abs(rl - 2.5) < 1e-9 && math.abs(rp - 47.0) < 1e-9)
+    // registry round-trip through st-style transform: EPSG:326xx inverse
+    val (ux, uy) = lonLatToUtm(5.0, 50.0, 31, north = true)
+    val back = CRS.transform(Point(ux, uy), "EPSG:32631", "EPSG:4326").asInstanceOf[Point]
+    assert(math.abs(back.x - 5.0) < 1e-9 && math.abs(back.y - 50.0) < 1e-9)
+  }
+
   test("Albers preserves area; LCC preserves shape locally") {
     // small square at a standard parallel: Albers area scale = 1 (equal-area
     // everywhere), LCC scale factor = 1 ON the standard parallel
