@@ -22,14 +22,14 @@ import graft.internal.{columnExpr, exprColumn}
  *  - affine/accessor chains on struct COLLAPSE: Catalyst's
  *    SimplifyExtractValueOps folds getField(struct(...)) through the whole
  *    chain into plain arithmetic inside WholeStageCodegen — an 8-op
- *    translate chain runs 1.1x the WKB path and the gap widens with chain
- *    depth, with zero per-op WKB decode/encode.
- *  - vertex-ITERATING kernels (lineLength / ringSignedArea) ride Spark's
- *    higher-order functions, which are CodegenFallback — interpreted — so
- *    the codegen'd WKB kernels (st_area/st_perimeter via doGenCode) stay
- *    ~10x faster on polygon measurement. The hot measurement path therefore
- *    REMAINS WKB+codegen by design; this module is the interop/export
- *    encoding (GeoArrow ragged arrays) and the fast path for affine chains.
+ *    translate chain beats the WKB path (~1.1x) with zero per-op
+ *    decode/encode, and the gap widens with chain depth.
+ *  - vertex-ITERATING measurements initially rode Spark HOFs
+ *    (aggregate/transform), which are CodegenFallback — interpreted, ~10x
+ *    slower than the WKB doGenCode kernels. They now delegate to
+ *    [[NestedGeomExpr]] codegen kernels (direct ArrayData loops), which
+ *    beat even the WKB kernels (~1.1x: same loop, no WKB decode). The
+ *    struct encoding is now the fastest path for BOTH families.
  */
 object GeoArrow {
 
@@ -74,42 +74,26 @@ object GeoArrow {
     sqrt(dx * dx + dy * dy)
   }
 
-  /** Length of an array<struct<x,y>> vertex chain (sequential fold — the
-    * same accumulation order as Algos.length). Index-based transform +
-    * element_at: no slice copies, one result array per ring. */
+  // Vertex-iterating measurements delegate to the NestedGeomExpr codegen
+  // kernels (NestedGeom.scala): Spark HOFs are CodegenFallback and measured
+  // ~10x slower than direct ArrayData loops inside whole-stage codegen
+  // (tools/EncodingBench); the kernels keep the exact sequential fold order
+  // so results stay hash-identical.
+
+  /** Length of an array<struct<x,y>> vertex chain. */
   def lineLength(line: Column): Column =
-    when(size(line) < 2, lit(0.0)).otherwise(
-      aggregate(
-        transform(line, (a, i) =>
-          when(i < size(line) - 1, {
-            val b = element_at(line, i + 2) // i is 0-based, element_at 1-based
-            val dx = b.getField("x") - a.getField("x")
-            val dy = b.getField("y") - a.getField("y")
-            sqrt(dx * dx + dy * dy)
-          }).otherwise(lit(0.0))),
-        lit(0.0), (acc, d) => acc + d))
+    exprColumn(NestedGeomExpr("st_chain_length", columnExpr(line)))
 
   /** Signed shoelace area of one closed ring (array<struct<x,y>>, first
     * vertex repeated last) — CCW positive, same term order as Algos. */
   def ringSignedArea(ring: Column): Column =
-    when(size(ring) < 4, lit(0.0)).otherwise(
-      aggregate(
-        transform(ring, (a, i) =>
-          when(i < size(ring) - 1, {
-            val b = element_at(ring, i + 2)
-            a.getField("x") * b.getField("y") - b.getField("x") * a.getField("y")
-          }).otherwise(lit(0.0))),
-        lit(0.0), (acc, t) => acc + t) / 2.0)
+    exprColumn(NestedGeomExpr("st_ring_signed_area", columnExpr(ring)))
 
   /** Polygon area from st_ringdump encoding: |exterior| minus hole areas. */
   def polygonArea(rings: Column): Column =
-    when(size(rings) === 0, lit(0.0)).otherwise(
-      abs(ringSignedArea(element_at(rings, 1))) -
-        when(size(rings) < 2, lit(0.0)).otherwise(
-          aggregate(slice(rings, lit(2), size(rings) - 1), lit(0.0),
-            (acc, r) => acc + abs(ringSignedArea(r)))))
+    exprColumn(NestedGeomExpr("st_rings_area", columnExpr(rings)))
 
   /** Perimeter over all rings (closed chains). */
   def polygonPerimeter(rings: Column): Column =
-    aggregate(rings, lit(0.0), (acc, r) => acc + lineLength(r))
+    exprColumn(NestedGeomExpr("st_rings_perimeter", columnExpr(rings)))
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GeoRegistry {
 
   private[functions] def builderFor(name: String): Seq[Expression] => Expression = {
-    if (GeomKernels.unary.contains(name)) { exprs =>
+    if (NestedKernels.kernels.contains(name)) { exprs =>
+      require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+      NestedGeomExpr(name, exprs.head)
+    } else if (GeomKernels.unary.contains(name)) { exprs =>
       require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
       GeomUnaryExpr(name, exprs.head)
     } else if (GeomKernels.binary.contains(name)) { exprs =>
@@ -47,7 +50,7 @@ object GeoRegistry {
     val registry = spark.sessionState.functionRegistry
     def missing(name: String): Boolean =
       !registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
-    GeomKernels.allNames.filter(missing).foreach { name =>
+    (GeomKernels.allNames ++ NestedKernels.names).filter(missing).foreach { name =>
       registry.createOrReplaceTempFunction(name, builderFor(name), "built-in")
     }
     GeomAggregates.names.filter(missing).foreach { name =>
@@ -71,7 +74,7 @@ object GeoRegistry {
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GeomKernels.allNames.foreach { name =>
+    (GeomKernels.allNames ++ NestedKernels.names).foreach { name =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GeomKernels", null, name),
         GeoRegistry.builderFor(name)))

@@ -669,10 +669,14 @@ object Dedup {
       filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__w"))
     val tokens = toks.select(id,
       posexplode(col("__w")).as(Seq("__p", "__t")))
+    // windows ride as 64-bit xxhash keys, not 6-token strings: the
+    // distinct/aggregate/join shuffles carry 8 bytes per window instead of
+    // ~40+ chars (collision odds ~(windows^2)/2^65 — vanishing; a collision
+    // could only ever OVER-mask one extra span)
     val grams = toks.filter(size(col("__w")) >= n)
       .select(id, posexplode(
         transform(sequence(lit(0), size(col("__w")) - n),
-          i => array_join(slice(col("__w"), i + 1, lit(n)), " ")))
+          i => xxhash64(array_join(slice(col("__w"), i + 1, lit(n)), " "))))
         .as(Seq("__pos", "__gram")))
     val freq = grams.select(id, col("__gram")).distinct()
       .groupBy(col("__gram")).agg(count(lit(1)).as("__nd"))
