@@ -436,6 +436,88 @@ object CRS {
     register(tag, "EPSG:4326", inv)
   }
 
+  /**
+   * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
+   * EPSG:4326 — the other CRS spelling the reference accepts
+   * (py-geopolars geoseries.py:257-261 passes pyproj CRS -> PROJJSON).
+   * Conversion methods are matched by EPSG method code (name as fallback):
+   * 9802 LCC 2SP, 9822 Albers, 9807 Transverse Mercator, 3856/1024
+   * Popular-Web Mercator; parameters by EPSG parameter code. The ellipsoid
+   * comes from base_crs.datum.ellipsoid (semi_major_axis +
+   * inverse_flattening).
+   */
+  def fromProjJson(json: String): (XY => XY, XY => XY) = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(json)
+    val conv = root.get("conversion")
+    require(conv != null, "PROJJSON: expected a ProjectedCRS with a conversion")
+    val method = conv.get("method")
+    val methodCode =
+      Option(method.get("id")).map(_.get("code").asInt).getOrElse(-1)
+    val methodName =
+      Option(method.get("name")).map(_.asText.toLowerCase).getOrElse("")
+    val params = {
+      val it = conv.get("parameters").elements()
+      val buf = scala.collection.mutable.Map.empty[Int, Double]
+      val byName = scala.collection.mutable.Map.empty[String, Double]
+      while (it.hasNext) {
+        val p = it.next()
+        val v = p.get("value").asDouble
+        Option(p.get("id")).foreach(id => buf(id.get("code").asInt) = v)
+        Option(p.get("name")).foreach(n => byName(n.asText.toLowerCase) = v)
+      }
+      (code: Int, name: String, dflt: Double) =>
+        buf.get(code).orElse(byName.get(name.toLowerCase)).getOrElse(dflt)
+    }
+    val ell = {
+      val e = Option(root.get("base_crs"))
+        .flatMap(b => Option(b.get("datum"))).flatMap(d => Option(d.get("ellipsoid")))
+      e.map(n => Ellipsoid(n.get("semi_major_axis").asDouble,
+          n.get("inverse_flattening").asDouble))
+        .getOrElse(WGS84E)
+    }
+    def lccOrAea(isLcc: Boolean): (XY => XY, XY => XY) = {
+      val lat0 = params(8821, "latitude of false origin", 0)
+      val lon0 = params(8822, "longitude of false origin", 0)
+      val lat1 = params(8823, "latitude of 1st standard parallel", lat0)
+      val lat2 = params(8824, "latitude of 2nd standard parallel", lat1)
+      val x0 = params(8826, "easting at false origin", 0)
+      val y0 = params(8827, "northing at false origin", 0)
+      if (isLcc) {
+        val p = LambertConic(ell, lat1, lat2, lat0, lon0, x0, y0)
+        ((p.forward _).tupled, (p.inverse _).tupled)
+      } else {
+        val p = AlbersConic(ell, lat1, lat2, lat0, lon0, x0, y0)
+        ((p.forward _).tupled, (p.inverse _).tupled)
+      }
+    }
+    if (methodCode == 9802 || methodName.contains("lambert conic conformal"))
+      lccOrAea(isLcc = true)
+    else if (methodCode == 9822 || methodName.contains("albers"))
+      lccOrAea(isLcc = false)
+    else if (methodCode == 9807 || methodName.contains("transverse mercator")) {
+      val p = TransverseMercator(ell,
+        params(8801, "latitude of natural origin", 0),
+        params(8802, "longitude of natural origin", 0),
+        params(8805, "scale factor at natural origin", 1.0),
+        params(8806, "false easting", 0),
+        params(8807, "false northing", 0))
+      ((p.forward _).tupled, (p.inverse _).tupled)
+    } else if (methodCode == 1024 || methodCode == 3856 ||
+        methodName.contains("popular visualisation pseudo mercator")) {
+      ({ case (x, y) => lonLatToWebMercator(x, y) },
+        { case (x, y) => webMercatorToLonLat(x, y) })
+    } else throw new IllegalArgumentException(
+      s"unsupported PROJJSON conversion method '$methodName' (code $methodCode)")
+  }
+
+  /** Register `tag` <-> EPSG:4326 from a PROJJSON document. */
+  def registerProjJson(tag: String, json: String): Unit = {
+    val (fwd, inv) = fromProjJson(json)
+    register("EPSG:4326", tag, fwd)
+    register(tag, "EPSG:4326", inv)
+  }
+
   private def norm(s: String): String = {
     val u = s.trim.toUpperCase
     if (u.forall(_.isDigit)) s"EPSG:$u" else u

@@ -71,6 +71,53 @@ class ConicCrsSpec extends AnyFunSuite {
     assert(math.abs(back.x - 5.0) < 1e-9 && math.abs(back.y - 50.0) < 1e-9)
   }
 
+  test("PROJJSON parses to the same transforms as the built-ins") {
+    // Lambert-93 as EPSG would emit it (method/parameter ids + values)
+    val lcc2154 =
+      """{"type":"ProjectedCRS","name":"RGF93 / Lambert-93",
+        | "base_crs":{"datum":{"ellipsoid":{"name":"GRS 1980",
+        |   "semi_major_axis":6378137,"inverse_flattening":298.257222101}}},
+        | "conversion":{"name":"Lambert-93",
+        |  "method":{"name":"Lambert Conic Conformal (2SP)","id":{"authority":"EPSG","code":9802}},
+        |  "parameters":[
+        |   {"name":"Latitude of false origin","value":46.5,"id":{"authority":"EPSG","code":8821}},
+        |   {"name":"Longitude of false origin","value":3,"id":{"authority":"EPSG","code":8822}},
+        |   {"name":"Latitude of 1st standard parallel","value":44,"id":{"authority":"EPSG","code":8823}},
+        |   {"name":"Latitude of 2nd standard parallel","value":49,"id":{"authority":"EPSG","code":8824}},
+        |   {"name":"Easting at false origin","value":700000,"id":{"authority":"EPSG","code":8826}},
+        |   {"name":"Northing at false origin","value":6600000,"id":{"authority":"EPSG","code":8827}}]}}
+        |""".stripMargin
+    val (fwd, inv) = fromProjJson(lcc2154)
+    val (px, py) = fwd((2.5, 47.0))
+    val (lx, ly) = Lambert93.forward(2.5, 47.0)
+    assert(px == lx && py == ly)
+    val (rl, rp) = inv((px, py))
+    assert(math.abs(rl - 2.5) < 1e-9 && math.abs(rp - 47.0) < 1e-9)
+
+    // TM by parameter NAMES only (no ids) — the fallback path
+    val tmJson =
+      """{"type":"ProjectedCRS",
+        | "base_crs":{"datum":{"ellipsoid":{"semi_major_axis":6378137,
+        |   "inverse_flattening":298.257223563}}},
+        | "conversion":{"method":{"name":"Transverse Mercator"},
+        |  "parameters":[
+        |   {"name":"Latitude of natural origin","value":0},
+        |   {"name":"Longitude of natural origin","value":3},
+        |   {"name":"Scale factor at natural origin","value":0.9996},
+        |   {"name":"False easting","value":500000},
+        |   {"name":"False northing","value":0}]}}
+        |""".stripMargin
+    val (tf, _) = fromProjJson(tmJson)
+    val (ux, uy) = lonLatToUtm(4.2, 51.0, 31, north = true)
+    val (tx2, ty2) = tf((4.2, 51.0))
+    assert(math.abs(tx2 - ux) < 1e-9 && math.abs(ty2 - uy) < 1e-9)
+
+    // registry wiring
+    CRS.registerProjJson("TEST:L93", lcc2154)
+    val moved = CRS.transform(Point(2.5, 47.0), "EPSG:4326", "TEST:L93").asInstanceOf[Point]
+    assert(moved.x == lx && moved.y == ly)
+  }
+
   test("Albers preserves area; LCC preserves shape locally") {
     // small square at a standard parallel: Albers area scale = 1 (equal-area
     // everywhere), LCC scale factor = 1 ON the standard parallel

@@ -106,6 +106,46 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(hit2 == expected)
   }
 
+  test("randomized round-trip: 300 features, mixed types/attrs/nulls") {
+    val rnd = new scala.util.Random(20260813L)
+    def randGeom(i: Int): graft.geom.Geometry = rnd.nextInt(5) match {
+      case 0 => Point(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85)
+      case 1 =>
+        LineString(Array.fill((2 + rnd.nextInt(6)) * 2)(rnd.nextDouble() * 100))
+      case 2 =>
+        val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+        val w = 0.1 + rnd.nextDouble() * 5; val h = 0.1 + rnd.nextDouble() * 5
+        Polygon(Array(Array(x, y, x + w, y, x + w, y + h, x, y + h, x, y)))
+      case 3 => MultiPoint(Array.fill(1 + rnd.nextInt(4))(
+        Point(rnd.nextDouble() * 10, rnd.nextDouble() * 10)))
+      case _ => MultiLineString(Array.fill(1 + rnd.nextInt(3))(
+        LineString(Array.fill(4)(rnd.nextDouble() * 10))))
+    }
+    val rows = (0 until 300).map { i =>
+      Row(i.toLong,
+        if (i % 7 == 0) null else s"name_${rnd.nextInt(1000)}_é中",
+        if (i % 5 == 0) null else Double.box(rnd.nextDouble() * 1e6 - 5e5),
+        if (i % 3 == 0) null else Boolean.box(rnd.nextBoolean()),
+        if (i % 11 == 0) null else WKB.write(randGeom(i)))
+    }
+    val path = tmpFile("fuzz")
+    FlatGeobuf.write(mkDf(rows, schema), path, indexNodeSize = 5)
+    val back = FlatGeobuf.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(back.size == 300)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b = back(id)
+      assert(b.getAs[String]("name") == r.getAs[String](1), s"name @$id")
+      val s0 = r.getAs[java.lang.Double](2); val s1 = b.getAs[java.lang.Double]("score")
+      assert((s0 == null && s1 == null) || s0 == s1, s"score @$id")
+      assert(b.getAs[java.lang.Boolean]("flag") == r.getAs[java.lang.Boolean](3), s"flag @$id")
+      val g0 = Option(r.getAs[Array[Byte]](4)).map(WKB.readOrNull).orNull
+      val g1 = Option(b.getAs[Array[Byte]]("geometry")).map(WKB.readOrNull).orNull
+      assert(g0 == g1, s"geometry @$id")
+    }
+  }
+
   test("hilbert index is a permutation on a small grid") {
     val seen = (0 until 16).flatMap(x => (0 until 16).map(y =>
       FlatGeobuf.hilbert(x * 4369, y * 4369))) // spread over the 16-bit range
