@@ -622,9 +622,12 @@ object Dedup {
         col(idCol).as("doc_id"),
         filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("w"))
       .filter(size(col("w")) >= n)
+    // grams ride as 64-bit xxhash keys through both aggregations and the
+    // join (8 bytes vs the n-token string; collisions ~windows^2/2^65 — a
+    // collision could only merge two gram counts, never lose a doc)
     val grams = toks.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("w")) - n),
-        i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("gram"))
+        i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " ")))).as("gram"))
     val perDoc = grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
     // rows per gram == distinct docs containing it (post-aggregation);
     // only grams reaching minDocs matter downstream, and that set is a

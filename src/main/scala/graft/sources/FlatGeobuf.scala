@@ -469,6 +469,7 @@ object FlatGeobuf {
       (FgbColumn(f.name, t), i)
     }.toSeq
 
+    SingleFile.guard(df, "FlatGeobuf")
     val rows = df.collect()
     val geoms = rows.map(r =>
       if (r.isNullAt(geomIdx)) null else WKB.readOrNull(r.getAs[Array[Byte]](geomIdx)))

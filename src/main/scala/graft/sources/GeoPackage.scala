@@ -544,6 +544,7 @@ object GeoPackage {
 
     // feature rows stream through the driver; geometry wrapped as GP blob
     var n = 0L
+    SingleFile.guard(df, "GeoPackage")
     val featRows = df.toLocalIterator()
     val geomIdx = schema.fieldIndex(geomCol)
     val featRoot = img.buildTable(new Iterator[(Long, Array[Byte])] {

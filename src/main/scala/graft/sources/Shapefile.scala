@@ -223,6 +223,7 @@ object Shapefile {
     require(schema.fieldNames.contains(geomCol), s"missing geometry column $geomCol")
     val geomIdx = schema.fieldIndex(geomCol)
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    SingleFile.guard(df, "Shapefile")
     val rows = df.collect()
 
     // raw field text, locale-pinned (de_DE would emit "2,5" and the
