@@ -2207,7 +2207,9 @@ object SparkEntry {
         |ORDER BY l_suppkey, n""".stripMargin),
 
     // null semantics: null-safe equality, NULLS FIRST/LAST ordering,
-    // coalesce/nullif/nvl2 over a column with injected nulls
+    // coalesce/nullif/nvl2 over a column with injected nulls. The global
+    // LAG/row_number windows are the POINT of this semantics demo; a
+    // production global ordering would TakeOrdered+limit or range-partition
     "q146_null_semantics" -> sqlQuery(Seq("customer"),
       """SELECT c_custkey,
         |  b <=> LAG(b) OVER (ORDER BY c_custkey) AS same_as_prev,
@@ -2501,9 +2503,12 @@ object SparkEntry {
         |    cast(pd.tfm as bigint) AS tfm, cast(pd.dl as bigint) AS dl
         |  FROM pd CROSS JOIN st CROSS JOIN df
         |  WHERE pd.tfq + pd.tfv + pd.tfm > 0)
-        |SELECT rnk, doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
-        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
-        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin),
+        |-- global top-20 via ORDER BY + LIMIT (TakeOrderedAndProject:
+        |-- per-partition heaps), rank assigned on the 20-row set
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+        |  doc_id, tfq, tfv, tfm, dl, round(score, 4) + 0.0 AS score
+        |FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+        |ORDER BY rnk""".stripMargin),
 
     // geometry hygiene: linemerge chain reassembly (canonical orientation),
     // fork preservation, repeated-point removal, precision reduction
@@ -2751,12 +2756,14 @@ object SparkEntry {
         |    round(percentile(cnt, 0.99), 6) + 0.0 AS p99
         |  FROM f),
         |top AS (
+        |  -- top-10 hot keys via ORDER BY + LIMIT (TakeOrderedAndProject),
+        |  -- rank on the 10-row set — no global window over the key space
         |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn
-        |  FROM f)
+        |  FROM (SELECT key, cnt FROM f ORDER BY cnt DESC, key LIMIT 10))
         |SELECT t.rn, t.key, t.cnt, s.n_keys, s.max_cnt, s.p50, s.p99,
         |  round(s.max_cnt / s.p50, 6) + 0.0 AS skew_ratio,
         |  cast(ceil(s.max_cnt / s.p50) as bigint) AS salt_factor
-        |FROM top t CROSS JOIN s WHERE t.rn <= 10
+        |FROM top t CROSS JOIN s
         |ORDER BY t.rn""".stripMargin),
 
     // great-circle polygon area: polar triangle (0,0)-(lam,0)-(0,90) has
@@ -2870,7 +2877,9 @@ object SparkEntry {
         |FROM t ORDER BY event_type, next_type""".stripMargin),
 
     // small-file compaction planning: sequential bin-packing of file sizes
-    // into 128 MB target groups via a running prior-bytes window
+    // into 128 MB target groups via a running prior-bytes window. The
+    // global window runs over FILE METADATA (one row per file, ~1e5-1e6
+    // rows even at 100 TB of data), not over data rows — bounded by design
     "q180_compaction_plan" -> sqlQuery(Seq("part"),
       """WITH f AS (
         |  SELECT p_partkey AS file_id, cast(p_retailprice * 1000 as bigint) AS bytes
@@ -3624,7 +3633,11 @@ object SparkEntry {
     }),
 
     // RFM segmentation: recency/frequency/monetary quartiles with
-    // unique-key tie-breaks so every ntile boundary is deterministic
+    // unique-key tie-breaks so every ntile boundary is deterministic.
+    // Exact ntile needs a total order (one sort per dimension over the
+    // per-customer aggregate — far smaller than the fact table); the
+    // at-scale alternative is histogram-sketch thresholds (Sketch.
+    // histQuantiles) + bucket-by-comparison at the cost of exactness
     "q222_rfm" -> sqlQuery(Seq("orders"),
       """WITH m AS (
         |  SELECT o_custkey AS cust,
