@@ -523,31 +523,39 @@ object CRS {
     if (u.forall(_.isDigit)) s"EPSG:$u" else u
   }
 
+  // UTM zones resolved dynamically: EPSG:326xx (N) / 327xx (S)
+  private def utmTm(code: String): Option[TransverseMercator] =
+    if (code.startsWith("EPSG:326") && code.length == 10)
+      Some(TransverseMercator(WGS84E,
+        0, code.substring(8).toInt * 6 - 183, 0.9996, 500000.0, 0.0))
+    else if (code.startsWith("EPSG:327") && code.length == 10)
+      Some(TransverseMercator(WGS84E,
+        0, code.substring(8).toInt * 6 - 183, 0.9996, 500000.0, 10000000.0))
+    else None
+
+  /** Point transform for one normalized (from, to) pair, if expressible:
+    * a registered entry, a dynamic UTM leg, or nothing. */
+  private def resolveDirect(key: (String, String)): Option[XY => XY] =
+    transforms.get(key)
+      .orElse {
+        if (key._1 == "EPSG:4326") utmTm(key._2).map(tm => (p: XY) => tm.forward(p._1, p._2))
+        else if (key._2 == "EPSG:4326") utmTm(key._1).map(tm => (p: XY) => tm.inverse(p._1, p._2))
+        else None
+      }
+
   def transform(g: Geometry, from: String, to: String): Geometry = {
     val key = (norm(from), norm(to))
-    // UTM zones resolved dynamically: EPSG:326xx (N) / 327xx (S)
-    def utmTm(code: String): Option[TransverseMercator] =
-      if (code.startsWith("EPSG:326") && code.length == 10)
-        Some(TransverseMercator(WGS84E,
-          0, code.substring(8).toInt * 6 - 183, 0.9996, 500000.0, 0.0))
-      else if (code.startsWith("EPSG:327") && code.length == 10)
-        Some(TransverseMercator(WGS84E,
-          0, code.substring(8).toInt * 6 - 183, 0.9996, 500000.0, 10000000.0))
-      else None
-    val fn = transforms.getOrElse(key, {
-      val toN = key._2
-      if (toN.startsWith("EPSG:326") && key._1 == "EPSG:4326") {
-        val zone = toN.substring(8).toInt
-        (p: XY) => lonLatToUtm(p._1, p._2, zone, north = true)
-      } else if (toN.startsWith("EPSG:327") && key._1 == "EPSG:4326") {
-        val zone = toN.substring(8).toInt
-        (p: XY) => lonLatToUtm(p._1, p._2, zone, north = false)
-      } else utmTm(key._1).filter(_ => key._2 == "EPSG:4326") match {
-        case Some(tm) => (p: XY) => tm.inverse(p._1, p._2)
-        case None => throw new IllegalArgumentException(
-          s"no CRS transform registered for ${key._1} -> ${key._2}")
-      }
-    })
+    // direct entry first; otherwise PIVOT THROUGH EPSG:4326 (the PROJ
+    // pipeline behavior: any projected->projected pair composes via the
+    // geographic hub as long as both legs exist)
+    val fn = resolveDirect(key).orElse {
+      if (key._1 == "EPSG:4326" || key._2 == "EPSG:4326") None
+      else for {
+        toGeo <- resolveDirect((key._1, "EPSG:4326"))
+        fromGeo <- resolveDirect(("EPSG:4326", key._2))
+      } yield (p: XY) => fromGeo(toGeo(p))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no CRS transform registered for ${key._1} -> ${key._2} (directly or via EPSG:4326)"))
     g.mapCoords((x, y) => fn((x, y)))
   }
 }

@@ -116,6 +116,15 @@ class ConicCrsSpec extends AnyFunSuite {
     CRS.registerProjJson("TEST:L93", lcc2154)
     val moved = CRS.transform(Point(2.5, 47.0), "EPSG:4326", "TEST:L93").asInstanceOf[Point]
     assert(moved.x == lx && moved.y == ly)
+
+    // projected -> projected composes through the 4326 hub: 3857 -> 2154
+    val (wx, wy) = lonLatToWebMercator(2.5, 47.0)
+    val hub = CRS.transform(Point(wx, wy), "EPSG:3857", "EPSG:2154").asInstanceOf[Point]
+    assert(math.abs(hub.x - lx) < 1e-5 && math.abs(hub.y - ly) < 1e-5)
+    // and 2154 -> UTM 31N equals forward UTM of the roundtripped lon/lat
+    val (ex, ey) = lonLatToUtm(2.5, 47.0, 31, north = true)
+    val viaUtm = CRS.transform(Point(lx, ly), "EPSG:2154", "EPSG:32631").asInstanceOf[Point]
+    assert(math.abs(viaUtm.x - ex) < 1e-5 && math.abs(viaUtm.y - ey) < 1e-5)
   }
 
   test("Albers preserves area; LCC preserves shape locally") {
