@@ -1478,6 +1478,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // read_file option facade end to end: write an indexed .fgb, read it
+    // back through GeoIO.readFile with bbox (R-tree pushdown) + where
+    // (plan filter) + columns (pruning) stacked — the order-independent
+    // slice of the reference's read_file option surface in one
+    // driver-checked query (skip/max/fids ride stored file order and are
+    // spec-tested in ReadFileSpec instead)
+    "q246_readfile_options" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q246_fgb").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "cust.fgb").getAbsolutePath
+      new java.io.File(path).deleteOnExit()
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", "c_nationkey", "c_name", s"$custPt AS geometry")
+        .orderBy("c_custkey")
+      graft.sources.FlatGeobuf.write(cust, path, "geometry")
+      graft.api.GeoIO.readFile(s, path, graft.api.GeoIO.ReadOptions(
+          columns = Seq("c_custkey", "c_nationkey"),
+          where = Some("c_nationkey % 5 = 1"),
+          bbox = Some((-60.0, -50.0, 60.0, 50.0)))).df
+        .selectExpr("c_custkey", "c_nationkey",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
+    }),
+
     // capstone composition: the curation pipeline end to end — PII
     // redaction -> token-count floor -> exact dedup (smallest id per
     // distinct cleaned text) -> deterministic shard assignment ->
@@ -5538,6 +5563,13 @@ object SparkEntry {
       s"""SELECT c_custkey, c_name, $oCustX AS gx, $oCustY AS gy
          |FROM customer
          |WHERE $oCustX BETWEEN -50 AND 50 AND $oCustY BETWEEN -40 AND 40
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q246_readfile_options" ->
+      s"""SELECT c_custkey, c_nationkey, $oCustX AS gx, $oCustY AS gy
+         |FROM customer
+         |WHERE c_nationkey % 5 = 1
+         |  AND $oCustX BETWEEN -60 AND 60 AND $oCustY BETWEEN -50 AND 50
          |ORDER BY c_custkey""".stripMargin,
 
     "q104_rep_valid_clip" ->

@@ -266,6 +266,46 @@ class GeoPackageSpec extends AnyFunSuite {
       2000L * 2001 / 2)
   }
 
+  test("randomized round-trip: mixed geometry types, UTF-8 attrs, nulls") {
+    graft.functions.GeoRegistry.register(spark)
+    import graft.geom._
+    val rnd = new scala.util.Random(31337L)
+    def randGeom(): graft.geom.Geometry = rnd.nextInt(4) match {
+      case 0 => Point(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85)
+      case 1 => LineString(Array.fill((2 + rnd.nextInt(5)) * 2)(rnd.nextDouble() * 50))
+      case 2 =>
+        val x = rnd.nextDouble() * 50; val y = rnd.nextDouble() * 50
+        Polygon(Array(Array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y)))
+      case _ => MultiPoint(Array.fill(1 + rnd.nextInt(3))(
+        Point(rnd.nextDouble() * 9, rnd.nextDouble() * 9)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("geometry", org.apache.spark.sql.types.BinaryType)))
+    val rows = (0 until 250).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        if (i % 6 == 0) null else s"étiquette_中_${rnd.nextInt(100)}",
+        if (i % 9 == 0) null else WKB.write(randGeom()))
+    }
+    val src = (0 until 250).map(i => rows(i))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(src, 1), schema)
+    val d = Files.createTempDirectory("graft_gpkg_fuzz").toFile
+    d.deleteOnExit()
+    GeoPackage.write(df, new java.io.File(d, "fz.gpkg").getAbsolutePath, "geometry", "fz")
+    val back = GeoPackage.read(spark, d.getAbsolutePath).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(back.size == 250)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val b = back(k)
+      assert(b.getAs[String]("label") == r.getString(1), s"label @$k")
+      val g0 = Option(r.getAs[Array[Byte]](2)).map(WKB.readOrNull).orNull
+      val g1 = Option(b.getAs[Array[Byte]]("geometry")).map(WKB.readOrNull).orNull
+      assert(g0 == g1, s"geometry @$k")
+    }
+  }
+
   test("named layer selection and missing-layer error") {
     val b = new SqliteFixtureBuilder(1024)
     (1 to 3).foreach(_ => b.addPage())
