@@ -100,6 +100,9 @@ object Graph {
       weightCol: String,
       source: Long,
       rounds: Int): DataFrame = {
+    // edges pre-partitioned on the relax key s: the checkpointed RDD keeps
+    // its partitioning, so per-round joins re-exchange only the (small)
+    // frontier side, never the edge set
     val e = edges.select(
         col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("v"),
@@ -107,6 +110,7 @@ object Graph {
       .filter(col("s").isNotNull && col("v").isNotNull && col("w").isNotNull &&
         col("s") =!= col("v"))
       .groupBy("s", "v").agg(min("w").as("w"))
+      .repartition(col("s"))
       .localCheckpoint()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).cast("decimal(20,2)").as("dist"))
@@ -117,8 +121,11 @@ object Graph {
           (col("dist") + col("w")).cast("decimal(20,2)").as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
       it += 1
+      // lineage cut every other round: each uncut round doubles plan depth
+      // by one join+agg, so an interval of 2 keeps plans shallow while
+      // halving the materialization jobs that dominate small-graph rounds
+      if (it % 2 == 0 || it == rounds) dist = dist.localCheckpoint()
     }
     dist.select(col("node"), col("dist"))
   }
@@ -129,11 +136,15 @@ object Graph {
       dstCol: String,
       iters: Int,
       damping: Double = 0.85): DataFrame = {
+    // static sides partitioned on the contribution key s ONCE and
+    // materialized — per-iteration joins then re-exchange only the rank
+    // frontier, and outDeg is not recomputed every round
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("v"))
       .filter(col("s").isNotNull && col("v").isNotNull && col("s") =!= col("v"))
       .distinct()
+      .repartition(col("s"))
       .localCheckpoint()
-    val outDeg = e.groupBy("s").agg(count(lit(1)).as("deg"))
+    val outDeg = e.groupBy("s").agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = e.select(col("s").as("node")).unionAll(e.select(col("v").as("node")))
       .distinct()
       .localCheckpoint()
@@ -152,8 +163,9 @@ object Graph {
         .select(col("node"),
           round(lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0)).cast("double"), 9)
             .cast("decimal(28,9)").as("r"))
-        .localCheckpoint()
       it += 1
+      // lineage cut every other iteration (same rationale as bellmanFord)
+      if (it % 2 == 0 || it == iters) rank = rank.localCheckpoint()
     }
     rank.select(col("node"), col("r").cast("double").as("pagerank"))
   }
