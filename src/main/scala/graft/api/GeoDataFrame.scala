@@ -65,6 +65,17 @@ final case class GeoDataFrame(df: DataFrame, geometryColumn: String = GeoDataFra
       geometryColumn)
   }
 
+  /** Dissolve geometries per group — globally when `by` is empty — via the
+    * distributed two-stage grid plan ([[graft.spatial.Dissolve.unionAll]]:
+    * per-cell st_union_agg across the cluster, final merge bounded by the
+    * grid). The geopandas-style `dissolve(by)` / unary_union surface
+    * (reference reserves unary_union at geoseries.rst:104-112). */
+  def dissolve(by: Seq[String] = Nil, cells: Int = 16): GeoDataFrame =
+    GeoDataFrame(
+      graft.spatial.Dissolve.unionAll(df, geometryColumn, by, cells)
+        .withColumnRenamed("union_geom", geometryColumn),
+      geometryColumn)
+
   /** Write as GeoParquet with a bbox covering column. */
   def writeGeoParquet(path: String, mode: String = "overwrite"): Unit =
     graft.sources.GeoParquet.write(df, path, geometryColumn, mode)
