@@ -653,11 +653,13 @@ object Dedup {
    * whole-doc dedup this removes the template paragraph pasted into a
    * thousand otherwise-distinct pages.
    *
-   * Scale shape: windows explode once; the gram document-frequency
-   * aggregation map-side combines and the frequent-gram set (a tiny
-   * fraction of the vocabulary) broadcasts into the hit join; covered
-   * positions union per doc; one shuffle on the doc id rebuilds the
-   * text. Docs scrubbed to nothing come back as empty strings.
+   * Scale shape: windows explode once AS 64-BIT HASHES; the gram
+   * document-frequency aggregation map-side combines and the frequent-gram
+   * set (a tiny fraction of the vocabulary) broadcasts into the hit join;
+   * covered positions aggregate to one sorted array per HIT doc (the only
+   * doc-keyed shuffle — hit positions, never the token set); the rebuild
+   * is a per-doc codegen merge walk (scrub_positions) over the original
+   * token array. Docs scrubbed to nothing come back as empty strings.
    */
   def scrubRepeatedSpans(
       df: DataFrame,
@@ -670,8 +672,6 @@ object Dedup {
     val id = col(idCol)
     val toks = df.select(id,
       filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__w"))
-    val tokens = toks.select(id,
-      posexplode(col("__w")).as(Seq("__p", "__t")))
     // windows ride as 64-bit xxhash keys, not 6-token strings: the
     // distinct/aggregate/join shuffles carry 8 bytes per window instead of
     // ~40+ chars (collision odds ~(windows^2)/2^65 — vanishing; a collision
@@ -685,20 +685,23 @@ object Dedup {
       .groupBy(col("__gram")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__gram"))
-    val covered = grams.join(broadcast(freq), Seq("__gram"))
+    // covered positions aggregate to ONE sorted array per hit doc (shuffle
+    // = hit positions only); the rebuild is then a per-doc codegen merge
+    // walk (scrub_positions) over the original token array — the full
+    // token set never rides a shuffle
+    val covByDoc = grams.join(broadcast(freq), Seq("__gram"))
       .select(id.as("__cid"),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cov"))
-      .distinct()
-    val kept = tokens.join(covered,
-      col(idCol) === col("__cid") && col("__p") === col("__cov"), "left_anti")
-    val rebuilt = kept.groupBy(id).agg(
-      array_join(
-        transform(array_sort(collect_list(struct(col("__p"), col("__t")))),
-          x => x.getField("__t")),
-        " ").as(outCol),
-      count(lit(1)).as("n_kept_tokens"))
-    df.select(id).join(rebuilt, Seq(idCol), "left")
-      .na.fill("", Seq(outCol)).na.fill(0L, Seq("n_kept_tokens"))
+      .groupBy(col("__cid"))
+      .agg(sort_array(collect_set(col("__cov"))).as("__covArr"))
+    toks.join(covByDoc, id === col("__cid"), "left")
+      .select(id,
+        graft.internal.exprColumn(ScrubPositions(
+          graft.internal.columnExpr(col("__w")),
+          graft.internal.columnExpr(coalesce(col("__covArr"),
+            array().cast("array<int>"))))).as(outCol),
+        (size(col("__w")) - coalesce(size(col("__covArr")), lit(0)))
+          .cast("long").as("n_kept_tokens"))
   }
 
   /**

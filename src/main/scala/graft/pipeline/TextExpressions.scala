@@ -391,6 +391,26 @@ object TextRowEval {
     TextKernels.aHash60(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   def fingerprintMd5(t: UTF8String, n: Int): Long =
     TextKernels.fingerprintMd5(t.toString, n)
+  /** Kept tokens (positions not in the SORTED covered-index array) joined
+    * with single spaces — one merge walk, O(tokens + covered). */
+  def scrubPositions(tokens: ArrayData, covered: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val m = covered.numElements()
+    val sb = new java.lang.StringBuilder
+    var ci = 0
+    var first = true
+    var i = 0
+    while (i < n) {
+      while (ci < m && covered.getInt(ci) < i) ci += 1
+      if (!(ci < m && covered.getInt(ci) == i)) {
+        if (!first) sb.append(' ')
+        sb.append(tokens.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** minhash_sig(text, numHashes, shingleSize) -> array<bigint>. */
@@ -603,6 +623,33 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
 }
 
+/** scrub_positions(tokens array<string>, covered array<int> SORTED asc) ->
+  * string: tokens at uncovered positions joined by single spaces (the
+  * reassembly step of span scrubbing as one codegen merge walk — no
+  * token-level shuffle, no interpreted HOF). */
+case class ScrubPositions(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "scrub_positions"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, array<int>), got (${left.dataType}, ${right.dataType})")
+  }
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    TextRowEval.scrubPositions(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.scrubPositions($t, $c);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ScrubPositions =
+    copy(l, r)
+}
+
 object TextRegistry {
   /** Idempotent per session (avoids a WARN per function per re-register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -621,6 +668,7 @@ object TextRegistry {
     reg("normalize_text", exprs => NormalizeText(exprs.head))
     reg("md5_hash60", exprs => Md5Hash60(exprs.head))
     reg("word_shingles", exprs => WordShingles(exprs.head, exprs(1)))
+    reg("scrub_positions", exprs => ScrubPositions(exprs.head, exprs(1)))
     reg("image_ahash", exprs => ImageAhash(exprs.head))
     reg("fingerprint_md5", exprs => FingerprintMd5(exprs.head, exprs(1)))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
