@@ -163,30 +163,38 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = df
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
-    var it = 0
-    while (it < iters) {
-      val assigned = df.select(
-        exprColumn(NearestCentroid(columnExpr(col(vecCol)), cents)).as("__cluster"),
-        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
-      // decimal fold => the mean is independent of partial-aggregate
-      // combine order, so training is bit-reproducible across runs and
-      // partitionings (matching the determinism contract elsewhere)
-      val rows = assigned.groupBy("__cluster", "__dim")
-        .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).as("__m"))
-        .collect()
-      val next = cents.map(_.clone())
-      rows.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    // persist the (id, vec) projection for the training loop: every Lloyd
+    // round is one pass over it, and without this each round re-scans the
+    // source (MEMORY_AND_DISK — the MLlib KMeans discipline; disk-backed
+    // when the corpus outgrows executor memory)
+    val data = df.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = data
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      var it = 0
+      while (it < iters) {
+        val assigned = data.select(
+          exprColumn(NearestCentroid(columnExpr(col(vecCol)), cents)).as("__cluster"),
+          posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        // decimal fold => the mean is independent of partial-aggregate
+        // combine order, so training is bit-reproducible across runs and
+        // partitionings (matching the determinism contract elsewhere)
+        val rows = assigned.groupBy("__cluster", "__dim")
+          .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("__m"))
+          .collect()
+        val next = cents.map(_.clone())
+        rows.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = next
+        it += 1
       }
-      cents = next
-      it += 1
-    }
-    cents
+      cents
+    } finally data.unpersist(blocking = false)
   }
 
   /**
@@ -225,45 +233,50 @@ object Similarity {
       m: Int,
       k: Int,
       iters: Int = 2): Array[Array[Array[Double]]] = {
-    val dim = df.selectExpr(s"size($vecCol)").head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    // deterministic init: the k smallest-id vectors, sliced per subspace
-    var books: Array[Array[Array[Double]]] = {
-      val seed = df.orderBy(col(idCol)).limit(k)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
-      Array.tabulate(m)(j => seed.map(_.slice(j * sub, (j + 1) * sub)))
-    }
-    // ONE distributed pass per iteration for ALL subspaces: compute the m
-    // per-subspace assignments in a single projection, explode the vector
-    // once, and aggregate (dim, cluster-of-that-dim's-subspace) means —
-    // dim*k doubles to the driver per round, independent of m.
-    var it = 0
-    while (it < iters) {
-      val assigns = array((0 until m).map { j =>
-        exprColumn(NearestCentroid(
-          columnExpr(slice(col(vecCol), j * sub + 1, sub)), books(j)))
-      }: _*)
-      val rows = df.select(assigns.as("__a"),
-          posexplode(col(vecCol)).as(Seq("__dim", "__v")))
-        .select(col("__dim"),
-          element_at(col("__a"), (col("__dim") / sub).cast("int") + 1).as("__cl"),
-          col("__v"))
-        // decimal fold: order-independent means => reproducible codebooks
-        .groupBy("__dim", "__cl")
-        .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).as("__mean"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      rows.foreach { r =>
-        val d = r.getInt(0)
-        next(d / sub)(r.getInt(1))(d % sub) = r.getDouble(2)
+    // same training-loop persist discipline as trainIvfCentroids
+    val data = df.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = data.selectExpr(s"size($vecCol)").head.getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      // deterministic init: the k smallest-id vectors, sliced per subspace
+      var books: Array[Array[Array[Double]]] = {
+        val seed = data.orderBy(col(idCol)).limit(k)
+          .select(col(vecCol)).collect()
+          .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+        Array.tabulate(m)(j => seed.map(_.slice(j * sub, (j + 1) * sub)))
       }
-      books = next
-      it += 1
-    }
-    books
+      // ONE distributed pass per iteration for ALL subspaces: compute the m
+      // per-subspace assignments in a single projection, explode the vector
+      // once, and aggregate (dim, cluster-of-that-dim's-subspace) means —
+      // dim*k doubles to the driver per round, independent of m.
+      var it = 0
+      while (it < iters) {
+        val assigns = array((0 until m).map { j =>
+          exprColumn(NearestCentroid(
+            columnExpr(slice(col(vecCol), j * sub + 1, sub)), books(j)))
+        }: _*)
+        val rows = data.select(assigns.as("__a"),
+            posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+          .select(col("__dim"),
+            element_at(col("__a"), (col("__dim") / sub).cast("int") + 1).as("__cl"),
+            col("__v"))
+          // decimal fold: order-independent means => reproducible codebooks
+          .groupBy("__dim", "__cl")
+          .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("__mean"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        rows.foreach { r =>
+          val d = r.getInt(0)
+          next(d / sub)(r.getInt(1))(d % sub) = r.getDouble(2)
+        }
+        books = next
+        it += 1
+      }
+      books
+    } finally data.unpersist(blocking = false)
   }
 
   /** Per-row PQ code: array<int> of the nearest centroid id per subspace.
