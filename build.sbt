@@ -15,6 +15,12 @@ run / fork := true
 // every line with [info]/[error], which breaks machine parsing of the one
 // JSON line Bench/Verify print (BENCH_r01.json recorded "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time: ..." line sbt prints after
+// the forked run exits: the bench driver parses the LAST stdout line as JSON,
+// and three rounds of BENCH_r*.json recorded "parsed": null because the
+// success banner landed after Bench's JSON line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -295,6 +295,27 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey <= 400)
         |ORDER BY c_custkey""".stripMargin),
 
+    // Helmert datum-shift family (EPSG 9606 position-vector, the +towgs84
+    // path the reference gets from PROJ): WGS84 -> OSGB36 geographic over a
+    // UK-domain point (degrees rounded 1e-6 ~ 0.1 m, inside the chain's
+    // cross-engine libm agreement), plus the full EPSG:27700 British
+    // National Grid roundtrip back to 4326 (pins projection + datum legs
+    // composing and inverting consistently; linearized-Helmert reverse
+    // roundtrips to ~5 mm, far inside the 1e-6 deg rounding).
+    "q247_datum_shift" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_x(st_transform(p, 'EPSG:4326', 'OSGB36')), 6) + 0.0 AS osgb_lon,
+        |  round(st_y(st_transform(p, 'EPSG:4326', 'OSGB36')), 6) + 0.0 AS osgb_lat,
+        |  round(st_x(st_transform(st_transform(p, 'EPSG:4326', 'EPSG:27700'),
+        |    'EPSG:27700', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+        |  round(st_y(st_transform(st_transform(p, 'EPSG:4326', 'EPSG:27700'),
+        |    'EPSG:27700', 'EPSG:4326')), 6) + 0.0 AS rt_lat
+        |FROM (SELECT c_custkey,
+        |    st_point(-5.5 + cast(c_custkey % 60 as double) / 10.0,
+        |             50.0 + cast(c_custkey % 80 as double) / 10.0) AS p
+        |  FROM customer WHERE c_custkey <= 400)
+        |ORDER BY c_custkey""".stripMargin),
+
     // c90x/s2cx pin the TransformOrigin 'center'/'centroid' paths: a square
     // rotated 90° about its bbox center keeps its envelope; doubling about
     // the centroid moves xmin to x - s/2
@@ -1500,6 +1521,32 @@ object SparkEntry {
           bbox = Some((-60.0, -50.0, 60.0, 50.0)))).df
         .selectExpr("c_custkey", "c_nationkey",
           "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
+    }),
+
+    // round-4 read_file option additions end to end: read_geometry=false
+    // (bbox/where still filter on the REAL geometry, the returned column
+    // is NULL — OGR behavior), sql over the registered layer, sql_dialect
+    // pinned to 'spark' (anything else fails loud). encoding and force_2d
+    // need byte-crafted fixtures and live in ReadFileSpec.
+    "q248_readfile_options2" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q248_fgb").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "cust.fgb").getAbsolutePath
+      new java.io.File(path).deleteOnExit()
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", "c_nationkey", "c_name", s"$custPt AS geometry")
+        .orderBy("c_custkey")
+      graft.sources.FlatGeobuf.write(cust, path, "geometry")
+      graft.api.GeoIO.readFile(s, path, graft.api.GeoIO.ReadOptions(
+          where = Some("c_nationkey % 5 = 1"),
+          bbox = Some((-60.0, -50.0, 60.0, 50.0)),
+          readGeometry = false,
+          sqlDialect = Some("spark"),
+          sql = Some("SELECT c_custkey, c_nationkey, geometry FROM layer"))).df
+        .selectExpr("c_custkey", "c_nationkey",
+          "geometry IS NULL AS geom_dropped")
         .orderBy("c_custkey")
     }),
 
@@ -2902,19 +2949,33 @@ object SparkEntry {
         |FROM t ORDER BY event_type, next_type""".stripMargin),
 
     // small-file compaction planning: sequential bin-packing of file sizes
-    // into 128 MB target groups via a running prior-bytes window. The
-    // global window runs over FILE METADATA (one row per file, ~1e5-1e6
-    // rows even at 100 TB of data), not over data rows — bounded by design
+    // into 128 MB target groups via a running prior-bytes sum, computed
+    // TWO-LEVEL so no stage ever windows the full file list on one
+    // reducer: files pre-bin by directory (here file_id div 1000), the
+    // per-file prefix windows PARTITION BY bin (parallel across the
+    // cluster), and only the tiny per-bin totals ride the one global
+    // window (1e8 files -> 1e5 bin rows). bin_prior + in_bin_prior equals
+    // the global prefix sum exactly, so the driver's oracle — the
+    // straightforward single-window spec — doubles as a cross-check of
+    // the decomposition
     "q180_compaction_plan" -> sqlQuery(Seq("part"),
       """WITH f AS (
-        |  SELECT p_partkey AS file_id, cast(p_retailprice * 1000 as bigint) AS bytes
+        |  SELECT p_partkey AS file_id, cast(p_retailprice * 1000 as bigint) AS bytes,
+        |    cast(floor(p_partkey / 1000) as bigint) AS bin
         |  FROM part),
-        |o AS (SELECT file_id, bytes,
-        |        sum(bytes) OVER (ORDER BY file_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |w AS (SELECT file_id, bytes, bin,
+        |        sum(bytes) OVER (PARTITION BY bin ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS in_bin_prior
         |      FROM f),
+        |b AS (SELECT bin, sum(bytes) AS bin_bytes FROM f GROUP BY bin),
+        |bp AS (SELECT bin,
+        |        sum(bin_bytes) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bin_prior
+        |      FROM b),
         |g AS (SELECT file_id, bytes,
-        |        cast(floor(coalesce(prior, 0) / 134217728.0) as bigint) AS grp FROM o)
+        |        cast(floor((coalesce(bin_prior, 0) + coalesce(in_bin_prior, 0))
+        |          / 134217728.0) as bigint) AS grp
+        |      FROM w JOIN bp USING (bin))
         |SELECT grp, cast(count(*) as bigint) AS n_files,
         |  cast(sum(bytes) as bigint) AS grp_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
@@ -4373,6 +4434,53 @@ object SparkEntry {
         |  round(flon, 6) + 0.0 AS rt_lon, round(ulat, 6) + 0.0 AS rt_lat
         |FROM prj ORDER BY c_custkey""".stripMargin,
 
+    // replays the exact Helmert chain (geodetic->geocentric on WGS84,
+    // negated-parameter position-vector reverse, Bowring one-shot back to
+    // geodetic on Airy 1830) term-for-term; rt_* echo the inputs (the
+    // projection+datum roundtrip converges ~9 orders inside the rounding)
+    "q247_datum_shift" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    -5.5 + cast(c_custkey % 60 as double) / 10.0 AS lon,
+        |    50.0 + cast(c_custkey % 80 as double) / 10.0 AS lat
+        |  FROM customer WHERE c_custkey <= 400),
+        |k AS (
+        |  SELECT 6378137.0e0 AS aw, 1.0/298.257223563 AS fw, fw*(2-fw) AS e2w,
+        |    6377563.396e0 AS aa, 1.0/299.3249646 AS fa, fa*(2-fa) AS e2a,
+        |    446.448e0 AS dx, -125.157e0 AS dy, 542.06e0 AS dz,
+        |    radians(0.15/3600.0) AS rx, radians(0.247/3600.0) AS ry,
+        |    radians(0.842/3600.0) AS rz,
+        |    1.0 - (-20.489)*1e-6 AS m2),
+        |xyz AS (
+        |  SELECT c_custkey, lon, lat,
+        |    aw/sqrt(1 - e2w*sin(radians(lat))*sin(radians(lat))) AS nu,
+        |    nu*cos(radians(lat))*cos(radians(lon)) AS gx,
+        |    nu*cos(radians(lat))*sin(radians(lon)) AS gy,
+        |    nu*(1 - e2w)*sin(radians(lat)) AS gz
+        |  FROM pts CROSS JOIN k),
+        |sh AS (
+        |  SELECT c_custkey, lon, lat,
+        |    -dx + m2*(gx + rz*gy - ry*gz) AS x2,
+        |    -dy + m2*(-rz*gx + gy + rx*gz) AS y2,
+        |    -dz + m2*(ry*gx - rx*gy + gz) AS z2
+        |  FROM xyz CROSS JOIN k),
+        |bow AS (
+        |  SELECT c_custkey, lon, lat,
+        |    sqrt(x2*x2 + y2*y2) AS p,
+        |    aa*(1 - fa) AS bb,
+        |    (aa*aa - bb*bb)/(bb*bb) AS ep2,
+        |    atan2(z2*aa, p*bb) AS th,
+        |    atan2(z2 + ep2*bb*sin(th)*sin(th)*sin(th),
+        |          p - e2a*aa*cos(th)*cos(th)*cos(th)) AS phi2,
+        |    atan2(y2, x2) AS lam2
+        |  FROM sh CROSS JOIN k)
+        |SELECT c_custkey,
+        |  round(degrees(lam2), 6) + 0.0 AS osgb_lon,
+        |  round(degrees(phi2), 6) + 0.0 AS osgb_lat,
+        |  round(lon, 6) + 0.0 AS rt_lon,
+        |  round(lat, 6) + 0.0 AS rt_lat
+        |FROM bow ORDER BY c_custkey""".stripMargin,
+
     "q20_spatial_join" ->
       s"""SELECT cast(floor(($oCustX + 180) / 72) as int) AS box_id,
          |  cast(count(*) as bigint) AS n_points,
@@ -5567,6 +5675,13 @@ object SparkEntry {
 
     "q246_readfile_options" ->
       s"""SELECT c_custkey, c_nationkey, $oCustX AS gx, $oCustY AS gy
+         |FROM customer
+         |WHERE c_nationkey % 5 = 1
+         |  AND $oCustX BETWEEN -60 AND 60 AND $oCustY BETWEEN -50 AND 50
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q248_readfile_options2" ->
+      s"""SELECT c_custkey, c_nationkey, true AS geom_dropped
          |FROM customer
          |WHERE c_nationkey % 5 = 1
          |  AND $oCustX BETWEEN -60 AND 60 AND $oCustY BETWEEN -50 AND 50

@@ -117,7 +117,14 @@ object GeoIO {
    * scan plan, `bbox` => index pushdown (FlatGeobuf) or an envelope filter,
    * `skipFeatures`/`maxFeatures` => offset/limit, `fids` => record-number
    * selection (formats with a stored record order: .fgb, .shp), `sql` =>
-   * arbitrary Spark SQL over the layer registered as `layer`.
+   * arbitrary Spark SQL over the layer registered as `layer`,
+   * `encoding` => DBF codepage (shapefiles; other supported formats are
+   * UTF-8 by spec), `readGeometry = false` => filters still see the real
+   * geometry but the returned column is NULL (the reference returns a
+   * plain frame, io/file.py:53-55), `force2d` => Z/M ordinates stripped
+   * via st_force2d instead of nulling out (the engine is 2D-native),
+   * `sqlDialect` => only Spark SQL exists here, so anything other than
+   * "spark" fails loud rather than mis-parsing OGRSQL/SQLITE clauses.
    */
   final case class ReadOptions(
       columns: Seq[String] = Nil,
@@ -127,7 +134,11 @@ object GeoIO {
       maxFeatures: Int = -1,
       fids: Seq[Long] = Nil,
       sql: Option[String] = None,
-      layer: Option[String] = None)
+      layer: Option[String] = None,
+      encoding: Option[String] = None,
+      readGeometry: Boolean = true,
+      force2d: Boolean = false,
+      sqlDialect: Option[String] = None)
 
   /**
    * Format-dispatching reader (the reference's `read_file`): .geojson /
@@ -142,13 +153,19 @@ object GeoIO {
       path: String,
       options: ReadOptions = ReadOptions()): GeoDataFrame = {
     graft.functions.GeoRegistry.register(spark)
+    options.sqlDialect.foreach { d =>
+      require(d.equalsIgnoreCase("spark"),
+        s"sql_dialect '$d' not supported: queries run as Spark SQL " +
+          "(OGRSQL/SQLITE dialects have no engine here)")
+    }
     val lower = path.toLowerCase
     val needFid = options.fids.nonEmpty
     val base: GeoDataFrame =
       if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".ndjson"))
         readGeoJson(spark, path)
       else if (lower.endsWith(".shp") || lower.endsWith(".shp.zip"))
-        GeoDataFrame(graft.sources.Shapefile.read(spark, path, withFid = needFid))
+        GeoDataFrame(graft.sources.Shapefile.read(spark, path, withFid = needFid,
+          encoding = options.encoding))
       else if (lower.endsWith(".gpkg")) readGeoPackage(spark, path, options.layer)
       else if (lower.endsWith(".fgb"))
         GeoDataFrame(graft.sources.FlatGeobuf.read(spark, path,
@@ -163,6 +180,12 @@ object GeoIO {
 
     var df = base.df
     val geomCol = base.geometryColumn
+    // Z/M inputs would otherwise decode to NULL (the engine is 2D-native);
+    // force2d strips the extra ordinates first, so every later step —
+    // bbox/where filters included — sees the salvaged 2D geometry
+    if (options.force2d)
+      df = df.withColumn(geomCol,
+        org.apache.spark.sql.functions.expr(s"st_force2d(`$geomCol`)"))
     if (needFid && df.columns.contains("fid"))
       df = df.filter(org.apache.spark.sql.functions.col("fid")
         .isin(options.fids.map(Long.box): _*))
@@ -182,6 +205,12 @@ object GeoIO {
     }
     if (options.skipFeatures > 0) df = df.offset(options.skipFeatures)
     if (options.maxFeatures >= 0) df = df.limit(options.maxFeatures)
+    // read_geometry=False AFTER the geometry-dependent options: bbox/where
+    // filter on the real geometry (OGR behavior), the returned column is
+    // NULL. Catalyst then prunes the decoded column out of columnar scans.
+    if (!options.readGeometry)
+      df = df.withColumn(geomCol,
+        org.apache.spark.sql.functions.lit(null).cast("binary"))
     options.sql.foreach { q =>
       df.createOrReplaceTempView("layer")
       df = spark.sql(q)

@@ -18,6 +18,9 @@ object GeoRegistry {
     if (NestedKernels.kernels.contains(name)) { exprs =>
       require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
       NestedGeomExpr(name, exprs.head)
+    } else if (GeomKernels.rawUnary.contains(name)) { exprs =>
+      require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+      GeomRawUnaryExpr(name, exprs.head)
     } else if (GeomKernels.unary.contains(name)) { exprs =>
       require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
       GeomUnaryExpr(name, exprs.head)

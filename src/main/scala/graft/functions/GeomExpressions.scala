@@ -194,11 +194,15 @@ object GeomKernels {
       }),
     // GeoArrow nested-native polygon encoding (reference §1.2 phase-2
     // storage: List<List<Struct{x,y}>>): rings as arrays of vertex structs
-    // (closed, exterior first; MultiPolygon flattens its parts' rings with
-    // exteriors in part order). Pair with GeoArrow.* HOF kernels to run
-    // area/perimeter/affine chains entirely inside whole-stage codegen,
-    // no per-op WKB decode (the reference's own WKB-vs-struct bench
-    // motivation, geopolars/benches/affine.rs:16-34).
+    // (closed, exterior first). POLYGON ONLY — a MultiPolygon dumps to
+    // null, because this two-level encoding cannot mark part boundaries
+    // and a flattened dump would make GeoArrow.polygonArea subtract other
+    // parts' exteriors as if they were holes (GeoArrow's MultiPolygon
+    // encoding is the three-level List<List<List<Struct>>>; add that
+    // encoding before widening this dump). Pair with GeoArrow.* HOF
+    // kernels to run area/perimeter/affine chains entirely inside
+    // whole-stage codegen, no per-op WKB decode (the reference's own
+    // WKB-vs-struct bench motivation, geopolars/benches/affine.rs:16-34).
     "st_ringdump"     -> U(
       ArrayType(ArrayType(StructType(Seq(
         StructField("x", DoubleType, nullable = false),
@@ -211,8 +215,6 @@ object GeomKernels {
               Array[Any](r(2 * i), r(2 * i + 1)))))
         g match {
           case p: Polygon => new GenericArrayData(p.rings.map(ringData(_): Any))
-          case mp: MultiPolygon =>
-            new GenericArrayData(mp.geoms.flatMap(_.rings).map(ringData(_): Any))
           case _ => null
         }
       })
@@ -610,8 +612,18 @@ object GeomKernels {
     })
   )
 
+  /** Raw-WKB unary ops — no standard 2D decode first (which would NULL the
+    * very inputs these exist to handle). */
+  val rawUnary: Map[String, Array[Byte] => Array[Byte]] = Map(
+    // strip Z/M ordinates (ISO 1000-offsets and EWKB dimension flags) and
+    // re-encode 2D — read_file's force_2d (reference io/file.py:55-58);
+    // invalid WKB => NULL like every other kernel
+    "st_force2d" -> (bytes => WKB.force2dOrNull(bytes))
+  )
+
   val allNames: Seq[String] =
-    (unary.keys ++ binary.keys ++ withArgs.keys ++ constructors.keys).toSeq.sorted
+    (unary.keys ++ binary.keys ++ withArgs.keys ++ constructors.keys ++
+      rawUnary.keys).toSeq.sorted
 }
 
 /**
@@ -723,6 +735,35 @@ private[functions] object GeomCodegen {
          |  ${assignResult(dataType, res, ev)}
          |}""".stripMargin)
   }
+}
+
+/** Raw-bytes unary st_* expression (GeomKernels.rawUnary): the kernel sees
+  * the WKB bytes themselves, not a pre-decoded 2D geometry. Codegen calls
+  * the kernel function object directly, staying in whole-stage codegen. */
+case class GeomRawUnaryExpr(name: String, child: Expression) extends UnaryExpression {
+  @transient private lazy val kernel = GeomKernels.rawUnary(name)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = name
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$name expects WKB BinaryType, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kRef = ctx.addReferenceObj("kernel", kernel, "scala.Function1")
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("rawRes")
+      s"""
+         |Object $res = ((scala.Function1) $kRef).apply($c);
+         |${GeomCodegen.assignResult(dataType, res, ev)}""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): GeomRawUnaryExpr =
+    copy(child = newChild)
 }
 
 /** Unary st_* expression: WKB child, kernel looked up by name (stable plan equality).

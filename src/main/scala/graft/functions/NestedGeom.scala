@@ -57,7 +57,9 @@ object NestedKernels {
     (s + 0.0) / 2.0
   }
 
-  /** Area from a ringdump: |exterior| minus hole areas. */
+  /** Area from a ringdump: |exterior| minus hole areas. Assumes the
+    * single-polygon ring contract of st_ringdump (ring 0 exterior, rest
+    * holes) — st_ringdump enforces it by dumping MultiPolygon to null. */
   def ringsArea(rings: ArrayData): Double = {
     val n = rings.numElements()
     if (n == 0) return 0.0

@@ -140,6 +140,13 @@ object Geodesy {
    * arrangement (Karney §4), so a bracketed bisection converges
    * unconditionally — including near-antipodal pairs, where Vincenty's
    * fixed-point iteration diverges. Distance series to eps^6 (sub-mm).
+   *
+   * One documented approximation: for EXACTLY-equatorial pairs (both
+   * latitudes 0) with lam12 > (1-f)*pi the geodesic leaves the equator and
+   * the full solution needs Karney's astroid start; this sliver returns
+   * min(equatorial arc, meridional semicircumference) instead — exact at
+   * lam12 = pi, up to ~0.1% high inside the sliver. All non-equatorial
+   * pairs (any |lat| > 0) take the full series + bisection path.
    */
   def karney(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
     val a = WGS84_A; val f = WGS84_F
@@ -338,6 +345,73 @@ object CRS {
   /** WGS84 via its defining inverse flattening (1/invF reproduces
     * Geodesy.WGS84_F bit-exactly; never build this as 1/(1/f)). */
   val WGS84E = Ellipsoid(6378137.0, 298.257223563)
+  /** Airy 1830 (OSGB36 / British National Grid). */
+  val Airy1830 = Ellipsoid(6377563.396, 299.3249646)
+  /** International 1924 / Hayford (ED50, Belgian Lambert 72, ...). */
+  val Intl1924 = Ellipsoid(6378388.0, 297.0)
+  /** Bessel 1841 (DHDN, CH1903, Japanese Tokyo datum families). */
+  val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
+  /** Clarke 1880 (IGN) (NTF / Lambert zone CRSs). */
+  val Clarke1880IGN = Ellipsoid(6378249.2, 293.4660212936269)
+
+  // ------------------------------------------------------- datum shifts
+  // 7-parameter Helmert in the position-vector sign convention (EPSG
+  // method 9606; PROJ '+towgs84=dx,dy,dz,rx,ry,rz,ds'): the parameters
+  // transform geocentric coordinates FROM the local datum TO WGS84.
+  // The reference gets datum shifts from full PROJ
+  // (geopolars-geo/src/ops/proj.rs:33-70); this is the published-formula
+  // subset: single Helmert, no NTv2/OSTN grid refinement, so national
+  // grids are good to the standard single-Helmert ~2 m, not cm.
+
+  /** dx/dy/dz meters, rx/ry/rz arc-seconds, ds parts-per-million. */
+  final case class Helmert(
+      dx: Double, dy: Double, dz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double) {
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    private val m = 1.0 + dsPpm * 1e-6
+    private val m2 = 1.0 - dsPpm * 1e-6
+
+    /** local-datum geocentric -> WGS84 geocentric. */
+    def toWgs(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (dx + m * (x - rz * y + ry * z),
+        dy + m * (rz * x + y - rx * z),
+        dz + m * (-ry * x + rx * y + z))
+    /** WGS84 geocentric -> local-datum geocentric: the standard
+      * negated-parameter reverse of the linearized transform (the exact
+      * inverse differs by second-order r*dx / ds^2 terms — ~1 cm at OSGB's
+      * ds = -20.5 ppm, the same approximation PROJ documents for
+      * reversible Helmert use). */
+    def fromWgs(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (-dx + m2 * (x + rz * y - ry * z),
+        -dy + m2 * (-rz * x + y + rx * z),
+        -dz + m2 * (ry * x - rx * y + z))
+  }
+
+  /** Geodetic lon/lat degrees (h = 0) -> geocentric XYZ meters. */
+  def geodeticToGeocentric(ell: Ellipsoid, lon: Double, lat: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+    val sp = math.sin(phi)
+    val nu = ell.a / math.sqrt(1 - ell.e2 * sp * sp)
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      nu * (1 - ell.e2) * sp)
+  }
+
+  /** Geocentric XYZ -> geodetic lon/lat degrees via Bowring's one-shot
+    * formula (1976) — non-iterative (cross-engine replayable term by term),
+    * sub-micrometer for near-surface points. */
+  def geocentricToGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val p = math.sqrt(x * x + y * y)
+    val b = ell.a * (1 - ell.f)
+    val ep2 = (ell.a * ell.a - b * b) / (b * b)
+    val th = math.atan2(z * ell.a, p * b)
+    val st = math.sin(th); val ct = math.cos(th)
+    val phi = math.atan2(z + ep2 * b * st * st * st,
+      p - ell.e2 * ell.a * ct * ct * ct)
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
 
   // Snyder 14-15 / 15-9 helpers
   private def mFac(ell: Ellipsoid, phi: Double): Double =
@@ -419,6 +493,44 @@ object CRS {
         i += 1
       }
       (math.toDegrees(th / n + l0), math.toDegrees(phi))
+    }
+  }
+
+  /**
+   * Ellipsoidal Mercator (Snyder §7, eq. 7-7/7-8 forward, 7-9/7-10
+   * inverse) — the EPSG:3395 "World Mercator" family (+proj=merc on a true
+   * ellipsoid). NOT the spherical web/pseudo-mercator: on WGS84 the
+   * ellipsoidal northing differs from the spherical one by ~0.1-0.3%
+   * (kilometers at mid latitudes). Scale is pinned either by `k0` directly
+   * (EPSG method 9804, variant A) or by a true-scale latitude `latTs`
+   * (method 9805, variant B: k0 = m(latTs)). Poles diverge (y -> inf),
+   * matching PROJ.
+   */
+  final case class Mercator(
+      ell: Ellipsoid, lonNat: Double, k: Double, latTs: Double,
+      x0: Double, y0: Double) {
+    private val l0 = math.toRadians(lonNat)
+    private val k0 = if (latTs == 0.0) k else k * mFac(ell, math.toRadians(latTs))
+
+    def forward(lon: Double, lat: Double): XY = {
+      // y = -a k0 ln t with Snyder's t (15-9): ln tan(pi/4 + phi/2) equals
+      // -ln tan(pi/4 - phi/2), so eq. 7-7 folds onto the shared tFac helper
+      val phi = math.toRadians(lat)
+      (x0 + ell.a * k0 * (math.toRadians(lon) - l0),
+        y0 - ell.a * k0 * math.log(tFac(ell, phi)))
+    }
+    def inverse(x: Double, y: Double): XY = {
+      val t = math.exp(-(y - y0) / (ell.a * k0))
+      // Snyder 7-9: fixed-point for phi from t (15 rounds, deterministic —
+      // the same iteration as the LCC inverse)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val es = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - es) / (1 + es), ell.e / 2))
+        i += 1
+      }
+      (math.toDegrees((x - x0) / (ell.a * k0) + l0), math.toDegrees(phi))
     }
   }
 
@@ -538,13 +650,40 @@ object CRS {
     def d(k: String, dflt: Double) = kv.get(k).map(_.toDouble).getOrElse(dflt)
     val ell = kv.getOrElse("ellps", kv.getOrElse("datum", "WGS84")) match {
       case "GRS80" | "NAD83" => GRS80
+      case "airy" => Airy1830
+      case "intl" | "ED50" => Intl1924
+      case "bessel" => Bessel1841
+      case "clrk80ign" => Clarke1880IGN
       case _ => WGS84E
     }
-    kv.getOrElse("proj", "") match {
+    // +towgs84=dx,dy,dz[,rx,ry,rz,ds]: local datum -> WGS84 Helmert; an
+    // all-zero list is the explicit null transform
+    val helmert = kv.get("towgs84")
+      .map(_.split(",").map(_.trim.toDouble).padTo(7, 0.0))
+      .filter(_.exists(_ != 0.0))
+      .map(p => Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
+    val (projFwd, projInv): (XY => XY, XY => XY) =
+      kv.getOrElse("proj", "") match {
       case "longlat" => (identity[XY] _, identity[XY] _)
       case "merc" =>
-        ({ case (x, y) => lonLatToWebMercator(x, y) },
-          { case (x, y) => webMercatorToLonLat(x, y) })
+        // '+proj=merc' is ellipsoidal Mercator (EPSG:3395 style) unless the
+        // definition pins a sphere (+R, +a==+b, +ellps=sphere) — the
+        // web-mercator spelling. Routing every merc to the spherical
+        // formulas was silently ~0.1-0.3% wrong in northing on WGS84.
+        val sphere = kv.contains("R") || kv.get("ellps").contains("sphere") ||
+          (kv.contains("a") && kv.get("a") == kv.get("b"))
+        if (sphere) {
+          val r = kv.get("R").orElse(kv.get("a")).map(_.toDouble).getOrElse(Geodesy.WGS84_A)
+          ({ case (x, y) =>
+              val la = math.max(-85.06, math.min(85.06, y))
+              (r * math.toRadians(x), r * math.log(math.tan(math.Pi / 4 + math.toRadians(la) / 2))) },
+            { case (x, y) =>
+              (math.toDegrees(x / r), math.toDegrees(2 * math.atan(math.exp(y / r)) - math.Pi / 2)) })
+        } else {
+          val p = Mercator(ell, d("lon_0", 0), d("k_0", d("k", 1.0)),
+            d("lat_ts", 0), d("x_0", 0), d("y_0", 0))
+          ((p.forward _).tupled, (p.inverse _).tupled)
+        }
       case "lcc" =>
         val p = LambertConic(ell, d("lat_1", 0), d("lat_2", d("lat_1", 0)),
           d("lat_0", 0), d("lon_0", 0), d("x_0", 0), d("y_0", 0))
@@ -566,6 +705,24 @@ object CRS {
       case other => throw new IllegalArgumentException(
         s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm)")
     }
+    helmert match {
+      case None => (projFwd, projInv)
+      case Some(h) =>
+        // datum'd CRS: the 4326 legs pass through geocentric space —
+        // forward = WGS84 lon/lat -> local-datum lon/lat -> projected;
+        // inverse = unproject -> local-datum lon/lat -> WGS84 lon/lat
+        val wgsToLocal: XY => XY = { case (lon, lat) =>
+          val (x, y, z) = geodeticToGeocentric(WGS84E, lon, lat)
+          val (x2, y2, z2) = h.fromWgs(x, y, z)
+          geocentricToGeodetic(ell, x2, y2, z2)
+        }
+        val localToWgs: XY => XY = { case (lon, lat) =>
+          val (x, y, z) = geodeticToGeocentric(ell, lon, lat)
+          val (x2, y2, z2) = h.toWgs(x, y, z)
+          geocentricToGeodetic(WGS84E, x2, y2, z2)
+        }
+        (p => projFwd(wgsToLocal(p)), p => localToWgs(projInv(p)))
+    }
   }
 
   /** Register `tag` <-> EPSG:4326 from a proj4 definition (both directions). */
@@ -574,6 +731,20 @@ object CRS {
     register("EPSG:4326", tag, fwd)
     register(tag, "EPSG:4326", inv)
   }
+
+  // Built-in national grids on non-WGS84 datums — the first real-world CRSs
+  // a Helmert-less registry breaks on. Parameters are the published EPSG
+  // proj4 definitions; accuracy is single-Helmert (~2 m vs the OSTN/NTv2
+  // grid truth), the documented bound of [[Helmert]].
+  registerProj4("EPSG:27700", // British National Grid (OSGB36 / Airy 1830)
+    "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 " +
+      "+ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")
+  registerProj4("OSGB36", // the same datum, geographic (lon/lat on Airy)
+    "+proj=longlat +ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")
+  registerProj4("EPSG:31370", // Belgian Lambert 72 (Intl 1924)
+    "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 +lat_0=90 " +
+      "+lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438 " +
+      "+ellps=intl +towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
@@ -588,6 +759,67 @@ object CRS {
   def fromProjJson(json: String): (XY => XY, XY => XY) = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.readTree(json)
+    if (Option(root.get("type")).exists(_.asText == "BoundCRS")) {
+      // BoundCRS = source CRS + a datum transformation to WGS84 (the
+      // PROJJSON spelling of +towgs84). Supported transformation methods:
+      // Position Vector (EPSG 9606/1033) and Coordinate Frame rotation
+      // (9607/1032, opposite rotation sign), 3- or 7-parameter.
+      val src = root.get("source_crs")
+      val tr = root.get("transformation")
+      require(src != null && tr != null, "PROJJSON BoundCRS: need source_crs + transformation")
+      val (projFwd, projInv) = fromCrsNode(src)
+      val srcEll = projJsonEllipsoid(src)
+      val tm = tr.get("method")
+      val tmCode = Option(tm).flatMap(n => Option(n.get("id"))).map(_.get("code").asInt).getOrElse(-1)
+      val tmName = Option(tm).flatMap(n => Option(n.get("name"))).map(_.asText.toLowerCase).getOrElse("")
+      val coordFrame = tmCode == 9607 || tmCode == 1032 || tmName.contains("coordinate frame")
+      val tp = {
+        val it = tr.get("parameters").elements()
+        val byCode = scala.collection.mutable.Map.empty[Int, Double]
+        val byName = scala.collection.mutable.Map.empty[String, Double]
+        while (it.hasNext) {
+          val p = it.next()
+          val v = p.get("value").asDouble
+          Option(p.get("id")).foreach(id => byCode(id.get("code").asInt) = v)
+          Option(p.get("name")).foreach(n => byName(n.asText.toLowerCase) = v)
+        }
+        (code: Int, name: String) => byCode.get(code).orElse(byName.get(name)).getOrElse(0.0)
+      }
+      val sgn = if (coordFrame) -1.0 else 1.0
+      val h = Helmert(
+        tp(8605, "x-axis translation"), tp(8606, "y-axis translation"),
+        tp(8607, "z-axis translation"),
+        sgn * tp(8608, "x-axis rotation"), sgn * tp(8609, "y-axis rotation"),
+        sgn * tp(8610, "z-axis rotation"), tp(8611, "scale difference"))
+      val wgsToLocal: XY => XY = { case (lon, lat) =>
+        val (x, y, z) = geodeticToGeocentric(WGS84E, lon, lat)
+        val (x2, y2, z2) = h.fromWgs(x, y, z)
+        geocentricToGeodetic(srcEll, x2, y2, z2)
+      }
+      val localToWgs: XY => XY = { case (lon, lat) =>
+        val (x, y, z) = geodeticToGeocentric(srcEll, lon, lat)
+        val (x2, y2, z2) = h.toWgs(x, y, z)
+        geocentricToGeodetic(WGS84E, x2, y2, z2)
+      }
+      (p => projFwd(wgsToLocal(p)), p => localToWgs(projInv(p)))
+    } else fromCrsNode(root)
+  }
+
+  /** Ellipsoid of a PROJJSON CRS node: ProjectedCRS reads
+    * base_crs.datum.ellipsoid, GeographicCRS reads datum.ellipsoid;
+    * datum ensembles fall back to their members' common ellipsoid field. */
+  private def projJsonEllipsoid(node: com.fasterxml.jackson.databind.JsonNode): Ellipsoid = {
+    val base = Option(node.get("base_crs")).getOrElse(node)
+    val datum = Option(base.get("datum")).orElse(Option(base.get("datum_ensemble")))
+    datum.flatMap(d => Option(d.get("ellipsoid")))
+      .map(n => Ellipsoid(n.get("semi_major_axis").asDouble,
+        n.get("inverse_flattening").asDouble))
+      .getOrElse(WGS84E)
+  }
+
+  private def fromCrsNode(root: com.fasterxml.jackson.databind.JsonNode): (XY => XY, XY => XY) = {
+    if (Option(root.get("type")).exists(_.asText == "GeographicCRS"))
+      return (identity[XY] _, identity[XY] _)
     val conv = root.get("conversion")
     require(conv != null, "PROJJSON: expected a ProjectedCRS with a conversion")
     val method = conv.get("method")
@@ -646,6 +878,17 @@ object CRS {
         methodName.contains("popular visualisation pseudo mercator")) {
       ({ case (x, y) => lonLatToWebMercator(x, y) },
         { case (x, y) => webMercatorToLonLat(x, y) })
+    } else if (methodCode == 9804 || methodCode == 9805 ||
+        (methodName.contains("mercator") && !methodName.contains("transverse"))) {
+      // true-ellipsoid Mercator: variant A pins k0 (9804), variant B a
+      // true-scale latitude (9805)
+      val p = Mercator(ell,
+        params(8802, "longitude of natural origin", 0),
+        params(8805, "scale factor at natural origin", 1.0),
+        params(8823, "latitude of 1st standard parallel", 0),
+        params(8806, "false easting", 0),
+        params(8807, "false northing", 0))
+      ((p.forward _).tupled, (p.inverse _).tupled)
     } else throw new IllegalArgumentException(
       s"unsupported PROJJSON conversion method '$methodName' (code $methodCode)")
   }

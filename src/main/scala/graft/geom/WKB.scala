@@ -55,7 +55,13 @@ object WKB {
     if (hasSrid) buf.getInt() // skip SRID
     val base = rawType & 0xFFFF
     val t = base % 1000
-    if (base >= 1000) throw new IllegalArgumentException(s"Z/M WKB not supported: type $rawType")
+    // reject BOTH Z/M spellings: ISO 1000-offsets and the EWKB dimension
+    // flags (0x80000000 Z, 0x40000000 M) — masking the flags away and
+    // parsing 2D would interleave the extra ordinates into the coordinate
+    // stream (silent corruption for lines/polygons). st_force2d is the
+    // sanctioned path for salvaging such input.
+    if (base >= 1000 || (rawType & 0xC0000000) != 0)
+      throw new IllegalArgumentException(s"Z/M WKB not supported: type $rawType")
     t match {
       case PointT => Point(buf.getDouble(), buf.getDouble())
       case LineT  => LineString(readCoords(buf))
@@ -82,6 +88,73 @@ object WKB {
     var i = 0
     while (i < out.length) { out(i) = buf.getDouble(); i += 1 }
     out
+  }
+
+  // ------------------------------------------------------------ force_2d
+
+  /** [[readForce2D]] + 2D re-encode with SQL NULL-on-invalid semantics —
+    * the st_force2d kernel. */
+  def force2dOrNull(bytes: Array[Byte]): Array[Byte] =
+    try {
+      if (bytes == null || bytes.length < 5) null
+      else write(readGeomF(ByteBuffer.wrap(bytes)))
+    } catch { case _: Throwable => null }
+
+  /** Parse WKB ACCEPTING Z/M ordinates — ISO 1000-offset types AND EWKB
+    * dimension flags (0x80000000 Z, 0x40000000 M) — and DROP the extra
+    * ordinates: the read_file force_2d path (reference io/file.py:55-58;
+    * this engine's geometry model is strictly 2D, so Z/M input otherwise
+    * evaluates to NULL). Plain 2D input parses exactly as [[read]]. */
+  def readForce2D(bytes: Array[Byte]): Geometry = {
+    require(bytes != null && bytes.length >= 5, "WKB too short")
+    readGeomF(ByteBuffer.wrap(bytes))
+  }
+
+  private def readGeomF(buf: ByteBuffer): Geometry = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val rawType = buf.getInt()
+    if ((rawType & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
+    val base = rawType & 0xFFFF
+    val extra = (if ((rawType & 0x80000000) != 0) 1 else 0) +
+      (if ((rawType & 0x40000000) != 0) 1 else 0) +
+      (base / 1000 match { case 1 | 2 => 1; case 3 => 2; case _ => 0 })
+    def coords(): Array[Double] = {
+      val n = checkedCount(buf, 16 + 8 * extra)
+      val out = new Array[Double](n * 2)
+      var j = 0
+      while (j < n) {
+        out(2 * j) = buf.getDouble(); out(2 * j + 1) = buf.getDouble()
+        var k = 0
+        while (k < extra) { buf.getDouble(); k += 1 }
+        j += 1
+      }
+      out
+    }
+    base % 1000 match {
+      case PointT =>
+        val p = Point(buf.getDouble(), buf.getDouble())
+        var k = 0
+        while (k < extra) { buf.getDouble(); k += 1 }
+        p
+      case LineT => LineString(coords())
+      case PolyT =>
+        val nRings = checkedCount(buf, 4)
+        Polygon(Array.fill(nRings)(coords()))
+      case MPointT =>
+        val n = checkedCount(buf, 21)
+        MultiPoint(Array.fill(n)(readGeomF(buf).asInstanceOf[Point]))
+      case MLineT =>
+        val n = checkedCount(buf, 9)
+        MultiLineString(Array.fill(n)(readGeomF(buf).asInstanceOf[LineString]))
+      case MPolyT =>
+        val n = checkedCount(buf, 9)
+        MultiPolygon(Array.fill(n)(readGeomF(buf).asInstanceOf[Polygon]))
+      case CollT =>
+        val n = checkedCount(buf, 9)
+        GeometryCollection(Array.fill(n)(readGeomF(buf)))
+      case other => throw new IllegalArgumentException(s"unknown WKB type $other")
+    }
   }
 
   private def readPolygonBody(buf: ByteBuffer): Polygon = {

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,8 +42,20 @@ object Bpe {
    *
    * Returns (round, lhs, rhs, freq): merge number (1-based), the merged
    * symbol pair, and its weighted occurrence count at pick time.
+   *
+   * `batchK` (default 1) is the production-scale path: each DRIVER round
+   * collects the top candidate pairs once and greedily applies up to
+   * `batchK` of them that are symbol-disjoint (no lhs/rhs/merged symbol
+   * shared between picks — disjoint merges cannot interact, so each is
+   * applied against the same pair statistics it was ranked under). This is
+   * standard batched BPE: a 32k-merge train needs ~32k/batchK driver
+   * round-trips instead of 32k. batchK = 1 reproduces classic sequential
+   * BPE exactly (the oracle-replayable path); batched picks can diverge
+   * from sequential order when a merge would have changed the counts of a
+   * later pick in the same batch, which is the documented approximation.
    */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int,
+      batchK: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(rounds >= 1, "need rounds >= 1")
@@ -64,20 +76,55 @@ object Bpe {
         .otherwise(array().cast("array<string>"))
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    while (r <= rounds) {
-      val top = syms.select($"cnt", explode(pairsCol).as("pair"))
-        .groupBy("pair").agg(sum($"cnt").as("f"))
-        .orderBy(desc("f"), asc("pair")).limit(1)
-        .collect()
-      if (top.nonEmpty) {
-        val pair = top(0).getString(0)
-        val Array(a, b) = pair.split(" ", 2)
-        out += ((r, a, b, top(0).getLong(1)))
-        syms = syms.withColumn("sym",
-          replace($"sym", lit(s" $a $b "), lit(s" $a$b ")))
+    if (batchK <= 1) {
+      // sequential path: one driver round-trip per merge, engine-replayable
+      var r = 1
+      while (r <= rounds) {
+        val top = syms.select($"cnt", explode(pairsCol).as("pair"))
+          .groupBy("pair").agg(sum($"cnt").as("f"))
+          .orderBy(desc("f"), asc("pair")).limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          out += ((r, a, b, top(0).getLong(1)))
+          syms = syms.withColumn("sym",
+            replace($"sym", lit(s" $a $b "), lit(s" $a$b ")))
+        }
+        r += 1
       }
-      r += 1
+    } else {
+      var exhausted = false
+      while (out.length < rounds && !exhausted) {
+        val want = math.min(batchK, rounds - out.length)
+        // over-fetch: the greedy symbol-disjoint filter below discards
+        // candidates overlapping an earlier (higher-ranked) pick
+        val top = syms.select($"cnt", explode(pairsCol).as("pair"))
+          .groupBy("pair").agg(sum($"cnt").as("f"))
+          .orderBy(desc("f"), asc("pair")).limit(want * 4)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val used = scala.collection.mutable.Set.empty[String]
+          val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          val it = top.iterator
+          while (it.hasNext && picked.length < want) {
+            val row = it.next()
+            val Array(a, b) = row.getString(0).split(" ", 2)
+            if (!used(a) && !used(b) && !used(a + b)) {
+              used += a; used += b; used += (a + b)
+              picked += ((a, b, row.getLong(1)))
+            }
+          }
+          picked.foreach { case (a, b, f) => out += ((out.length + 1, a, b, f)) }
+          // one projection applies the whole batch; localCheckpoint cuts the
+          // lineage so the plan stays bounded across thousands of merges
+          val newSym = picked.foldLeft($"sym": Column) { case (c, (a, b, _)) =>
+            replace(c, lit(s" $a $b "), lit(s" $a$b "))
+          }
+          syms = syms.select($"word", $"cnt", newSym.as("sym")).localCheckpoint()
+        }
+      }
     }
     spark.createDataset(out.toSeq).toDF("round", "lhs", "rhs", "freq")
   }

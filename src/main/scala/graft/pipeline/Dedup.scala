@@ -670,8 +670,12 @@ object Dedup {
       outCol: String = "scrubbed_text"): DataFrame = {
     require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
     val id = col(idCol)
+    // NULL text folds to an empty token array up front so the rebuild emits
+    // the documented ''/0 (size(null)/ScrubPositions(null) would otherwise
+    // propagate NULL into outCol and n_kept_tokens)
     val toks = df.select(id,
-      filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__w"))
+      coalesce(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""),
+        array().cast("array<string>")).as("__w"))
     // windows ride as 64-bit xxhash keys, not 6-token strings: the
     // distinct/aggregate/join shuffles carry 8 bytes per window instead of
     // ~40+ chars (collision odds ~(windows^2)/2^65 — vanishing; a collision

@@ -157,6 +157,15 @@ object AsOfJoin {
    *
    * Key and time columns must be integral/timestamp-free on the caller
    * side: pass LONG expressions (cast timestamps with unix_micros).
+   *
+   * GUARDED: the build side is collected to the driver, so it is bounded by
+   * `maxBuildRows` (default from `graft.asof.lookupMaxRows`, 1M). A larger
+   * right side auto-dispatches to the shuffle [[join]] — same semantics
+   * (backward, left, max-tieBreak ties), one shuffle instead of a driver
+   * collect — mirroring SpatialJoin.autoJoin's broadcast/grid dispatch.
+   * Callers that need the stateless row-lookup shape regardless (stream
+   * enrichment, where a shuffle window is not an option) should size
+   * `maxBuildRows` explicitly to what the driver can hold.
    */
   def broadcastLookup(
       left: DataFrame,
@@ -166,8 +175,12 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       payloadCols: Seq[String],
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      maxBuildRows: Int = -1): DataFrame = {
     val spark = right.sparkSession
+    val buildCap =
+      if (maxBuildRows > 0) maxBuildRows
+      else spark.conf.getOption("graft.asof.lookupMaxRows").map(_.toInt).getOrElse(1000000)
 
     // Collect (key, time, tie, payload) ONCE and derive both the search
     // index and the rid->payload table from the same driver-side array —
@@ -181,10 +194,26 @@ object AsOfJoin {
       .withColumn("__rt", rightTime.cast("long"))
       .withColumn("__tb", tieCol)
       .filter(col("__k").isNotNull && col("__rt").isNotNull)
-    val collected = prepared
+    // cap+1 probe: CollectLimit pulls partitions incrementally, so an
+    // oversized build side costs one truncated scan, not a full collect
+    val probed = prepared
       .select(col("__k"), col("__rt"), col("__tb"),
         struct(payloadCols.map(col): _*).as("__p"))
+      .limit(buildCap + 1)
       .collect()
+    if (probed.length > buildCap) {
+      // too big to broadcast-index: route to the shuffle as-of join on the
+      // same cast-to-long key/time domains
+      val l2 = left
+        .withColumn("__bk", leftKey.cast("long"))
+        .withColumn("__bt", leftTime.cast("long"))
+      val r2 = right
+        .withColumn("__bk", rightKey.cast("long"))
+        .withColumn("__bt", rightTime.cast("long"))
+      return join(l2, r2, Seq("__bk"), Seq("__bk"), "__bt", "__bt",
+        payloadCols, tieBreak).drop("__bk", "__bt")
+    }
+    val collected = probed
       .sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
     // per key: times ascending (ties already ordered by tieBreak),

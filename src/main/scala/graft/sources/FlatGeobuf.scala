@@ -407,9 +407,17 @@ object FlatGeobuf {
 
       bboxOpt match {
         case Some((qx0, qy0, qx1, qy1)) if h.indexNodeSize > 0 && h.featuresCount > 0 =>
+          // null-geometry features are indexed with a (0,0,0,0) placeholder
+          // bbox (the packed R-tree must hold every feature to keep the
+          // reader's size arithmetic valid), so a query box covering the
+          // origin would surface them; drop them after decode so both bbox
+          // paths agree with the unindexed envelope post-filter, which never
+          // returns null-geometry rows
+          val gi = schema.length - 1
           searchIndex(bb, h.headerEnd, h.featuresCount, h.indexNodeSize,
             qx0, qy0, qx1, qy1)
             .iterator.map { case (fid, off) => decodeAt(fid, featStart + off.toInt) }
+            .filter(r => !r.isNullAt(gi))
         case other =>
           val all = new mutable.ArrayBuffer[Row]()
           var pos = featStart

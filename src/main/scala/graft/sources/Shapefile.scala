@@ -115,7 +115,8 @@ object Shapefile {
 
   private final case class DbfField(name: String, typ: Char, len: Int, dec: Int)
 
-  private def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Seq[Array[String]]) = {
+  private def parseDbf(bytes: Array[Byte],
+      charset: String = "ascii"): (Seq[DbfField], Seq[Array[String]]) = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = b.getInt(4)
     val headerSize = b.getShort(8) & 0xffff
@@ -134,7 +135,9 @@ object Shapefile {
       val base = headerSize + r.toLong * recordSize
       var fo = base.toInt + 1 // skip deletion flag
       fields.map { f =>
-        val v = new String(bytes, fo, f.len, "ascii").trim
+        // field widths are BYTE widths (dBase spec); decode the byte slice
+        // with the requested codepage — names above stay ascii per spec
+        val v = new String(bytes, fo, f.len, charset).trim
         fo += f.len
         v
       }.toArray
@@ -163,8 +166,13 @@ object Shapefile {
   /**
    * Read `path` (a .shp file, or a directory/glob of them) into a
    * DataFrame of the .dbf attribute columns plus a WKB `geometry` column.
+   *
+   * `encoding` pins the DBF string codepage (read_file's `encoding`,
+   * reference io/file.py:44-47); when absent, a sibling `.cpg` file is
+   * honored per-file, falling back to ascii (the historical default).
    */
-  def read(spark: SparkSession, path: String, withFid: Boolean = false): DataFrame = {
+  def read(spark: SparkSession, path: String, withFid: Boolean = false,
+      encoding: Option[String] = None): DataFrame = {
     import spark.implicits._
     val shpFiles = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.shp").load(path)
@@ -190,10 +198,15 @@ object Shapefile {
 
     val fieldsBc = spark.sparkContext.broadcast(fields)
     val emitFid = withFid
+    val enc = encoding
     val rows = shpFiles.flatMap { case (p, shpBytes) =>
       val geoms = parseShp(shpBytes)
+      val charset = enc.orElse(
+        readSiblingBytes(p, confBc.value.value, ".cpg")
+          .map(b => new String(b, "ascii").trim).filter(_.nonEmpty))
+        .getOrElse("ascii")
       val attrs: Seq[Array[String]] =
-        readSiblingBytes(p, confBc.value.value).map(d => parseDbf(d)._2).getOrElse(Seq.empty)
+        readSiblingBytes(p, confBc.value.value).map(d => parseDbf(d, charset)._2).getOrElse(Seq.empty)
       val fs = fieldsBc.value
       geoms.zipWithIndex.map { case (g, i) =>
         val attrVals: Seq[Any] =
@@ -428,8 +441,9 @@ object Shapefile {
     * session's configuration. */
   private def readSiblingBytes(
       shpPath: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[Array[Byte]] = {
-    val dbf = new org.apache.hadoop.fs.Path(shpPath.replaceAll("\\.shp$", ".dbf"))
+      conf: org.apache.hadoop.conf.Configuration,
+      ext: String = ".dbf"): Option[Array[Byte]] = {
+    val dbf = new org.apache.hadoop.fs.Path(shpPath.replaceAll("\\.shp$", ext))
     val fs = dbf.getFileSystem(conf)
     if (!fs.exists(dbf)) None
     else {

@@ -50,6 +50,19 @@ class GeoArrowSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 48.0 && r.getDouble(1) == r.getDouble(3))
   }
 
+  test("st_ringdump is Polygon-only: MultiPolygon dumps to null") {
+    setup()
+    // the two-level encoding cannot mark part boundaries; a flattened dump
+    // would make polygonArea subtract other parts' exteriors as holes
+    val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    val r = Seq(mp).toDF("w")
+      .selectExpr("st_ringdump(st_geomfromtext(w)) AS rings",
+        "st_area(st_geomfromtext(w)) AS a")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 2.0) // st_area itself still sums the parts
+  }
+
   test("lineLength on a coorddump chain matches st_length") {
     setup()
     val wkt = "LINESTRING (0 0, 3 4, 3 10)"

@@ -279,6 +279,41 @@ class PipelineSpec extends AnyFunSuite {
       (1, 0, "aa"), (1, 1, "a"), (1, 2, "a")))
   }
 
+  test("batched BPE: 256 merges in >=10x fewer driver rounds than sequential") {
+    // 256 designed-disjoint pairs over 512 distinct symbols: every round's
+    // greedy symbol-disjoint filter can take a full batch, so the loop
+    // finishes in ~256/batchK rounds (sequential BPE is 1 job per merge
+    // by construction — 256 jobs)
+    val chars = (0 until 512).map(i => (0x4E00 + i).toChar)
+    val words = (0 until 256).map { i =>
+      val a = chars(2 * i); val b = chars(2 * i + 1); s"$a$b$a$b$a$b"
+    }
+    val docs = words.grouped(16).map(_.mkString(" ")).toSeq.toDF("text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try {
+        val m = Bpe.bpeMerges(docs, "text", rounds = 256, batchK = 64)
+          .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+        // listener delivery is async: wait for the count to settle
+        val deadline = System.currentTimeMillis + 5000
+        var last = -1
+        while (System.currentTimeMillis < deadline && jobs != last) {
+          last = jobs; Thread.sleep(200)
+        }
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(merges.length == 256)
+    assert(merges.map(_._1) == (1 to 256), "merge numbering stays sequential")
+    // round 1 must pick the 256 designed (a,b) pairs first: freq 3 per word
+    assert(merges.take(64).forall(_._4 == 3L))
+    assert(jobs <= 25, s"batched path used $jobs jobs; sequential needs 256")
+  }
+
   test("semanticDedup: keep-first within cells, cross-cell dups survive") {
     // two well-separated clusters on orthogonal axes; centroids pinned
     // on the axes so cell assignment is unambiguous
@@ -488,6 +523,14 @@ class PipelineSpec extends AnyFunSuite {
     val loose = Dedup.scrubRepeatedSpans(df, "doc_id", "t", 6, 4)
       .orderBy("doc_id").select("scrubbed_text").as[String].collect()
     assert(loose(0) == s"alpha beta gamma $slogan delta")
+    // NULL / whitespace-only text follows the documented 'scrubbed to
+    // nothing' contract: empty string + 0 kept tokens, never NULL
+    val withNull = Seq((1L, Option(s"a b $slogan")), (2L, Option.empty[String]),
+        (3L, Option("   "))).toDF("doc_id", "t")
+    val nOut = Dedup.scrubRepeatedSpans(withNull, "doc_id", "t", 6, 2)
+      .orderBy("doc_id")
+      .select("scrubbed_text", "n_kept_tokens").as[(String, Long)].collect()
+    assert(nOut(1) == (("", 0L)) && nOut(2) == (("", 0L)))
   }
 
   test("chunkTokens covers every token with the right overlap") {

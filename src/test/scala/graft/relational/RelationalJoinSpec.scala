@@ -128,6 +128,24 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(viaLookup == viaShuffle)
   }
 
+  test("broadcastLookup guard: over-cap build side dispatches to the shuffle join") {
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "rt", "rid", "v")
+    def run(cap: Int) = AsOfJoin.broadcastLookup(left, right,
+        col("k"), col("k"), col("t"), col("rt"), Seq("rid", "v"),
+        tieBreak = Some("rid"), maxBuildRows = cap)
+      .select("lid", "rid", "v").as[(Long, Option[Long], Option[Double])]
+      .collect().toSet
+    // cap = 1 < |right| forces the shuffle path; results must be identical
+    // to the broadcast-index path (threshold-flip parity), and the shuffle
+    // path must preserve the left schema untouched (no __bk/__bt residue)
+    assert(run(1) == run(1000000))
+    val dispatched = AsOfJoin.broadcastLookup(left, right,
+      col("k"), col("k"), col("t"), col("rt"), Seq("rid", "v"),
+      tieBreak = Some("rid"), maxBuildRows = 1)
+    assert(dispatched.columns.toSeq == Seq("k", "t", "lid", "rid", "v"))
+  }
+
   test("asof join: NULL keys and NULL times never match (SQL equi-join semantics)") {
     val left = Seq(
       (Option(1L), Option(10L), 1L),   // normal match

@@ -106,6 +106,25 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(hit2 == expected)
   }
 
+  test("bbox read never returns null-geometry features, indexed or not") {
+    // null geometries are indexed under a (0,0,0,0) placeholder bbox; a
+    // query box covering the origin must still exclude them on both paths
+    val s2 = StructType(Seq(StructField("id", LongType),
+      StructField("geometry", BinaryType)))
+    val rows = Seq(
+      Row(1L, pt(0.0, 0.0)), Row(2L, null), Row(3L, pt(5.0, 5.0)), Row(4L, null))
+    val q = (-1.0, -1.0, 1.0, 1.0) // covers the origin placeholder
+    for (nodeSize <- Seq(4, 0)) {
+      val path = tmpFile(s"nullgeom$nodeSize")
+      FlatGeobuf.write(mkDf(rows, s2), path, indexNodeSize = nodeSize)
+      val hit = FlatGeobuf.read(spark, path, bbox = Some(q)).collect()
+        .map(_.getAs[Long]("id")).toSet
+      assert(hit == Set(1L), s"indexNodeSize=$nodeSize got $hit")
+      // no-bbox read still returns every feature, null geometries included
+      assert(FlatGeobuf.read(spark, path).count() == 4)
+    }
+  }
+
   test("randomized round-trip: 300 features, mixed types/attrs/nulls") {
     val rnd = new scala.util.Random(20260813L)
     def randGeom(i: Int): graft.geom.Geometry = rnd.nextInt(5) match {
