@@ -1550,6 +1550,96 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // KML write -> read round-trip (the OGR long-tail formats the
+    // reference reaches through GDAL; here pure-JDK StAX, one task per
+    // file). name/description map to KML fields, other columns ride
+    // ExtendedData as strings; doubles serialize via Double.toString so
+    // the round-trip is bit-exact and the oracle can recompute the
+    // values straight from customer.
+    "q249_kml_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q249_kml").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "cust.kml").getAbsolutePath
+      new java.io.File(path).deleteOnExit()
+      val cust = s.sql(
+        s"""SELECT concat('c_', c_custkey) AS name, c_custkey AS ck,
+           |  cast(c_custkey % 97 as double) / 8.0 AS score, $custPt AS geometry
+           |FROM customer WHERE c_custkey <= 600 ORDER BY c_custkey""".stripMargin)
+      graft.sources.OgcXml.writeKml(cust, path)
+      graft.api.GeoIO.readFile(s, path).df
+        .selectExpr("cast(extended['ck'] as bigint) AS c_custkey", "name",
+          "cast(extended['score'] as double) AS score",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("c_custkey")
+    }),
+
+    // GPX waypoint layer round-trip: points + ele/time through the
+    // Topografix 1.1 schema (lat/lon attributes, child ele/time/name).
+    "q250_gpx_waypoints" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q250_gpx").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "cust.gpx").getAbsolutePath
+      new java.io.File(path).deleteOnExit()
+      val cust = s.sql(
+        s"""SELECT concat('w_', c_custkey) AS name,
+           |  cast(c_custkey % 500 as double) / 4.0 AS ele,
+           |  concat('2024-01-01T00:', lpad(cast(c_custkey % 60 as string), 2, '0'), ':00Z') AS time,
+           |  $custPt AS geometry
+           |FROM customer WHERE c_custkey <= 600 ORDER BY c_custkey""".stripMargin)
+      graft.sources.OgcXml.writeGpx(cust, path)
+      graft.sources.OgcXml.readGpx(s, path, "waypoints")
+        .selectExpr("name", "ele", "time",
+          "st_x(geometry) AS gx", "st_y(geometry) AS gy")
+        .orderBy("name")
+    }),
+
+    // GML Simple Features read: a driver-authored GML3 document (bounded
+    // fixture generation, <=300 features) with mixed Point/Polygon
+    // geometries and text properties; the reader recovers fid, the
+    // properties map, and WKB geometry. Oracle recomputes every value
+    // from customer in closed form.
+    "q251_gml_read" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      import s.implicits._
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q251_gml").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "cust.gml").getAbsolutePath
+      new java.io.File(path).deleteOnExit()
+      val keys = s.table("customer").select("c_custkey")
+        .where("c_custkey <= 300").orderBy("c_custkey").as[Long].collect()
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      sb.append("<wfs:FeatureCollection xmlns:wfs=\"http://www.opengis.net/wfs\" ")
+      sb.append("xmlns:gml=\"http://www.opengis.net/gml\" xmlns:app=\"http://example.com/app\">\n")
+      keys.foreach { k =>
+        val x = (k % 360 - 180).toDouble
+        val y = ((k * 7) % 160 - 80).toDouble
+        val side = (k % 10 + 1).toDouble
+        sb.append(s"""<gml:featureMember><app:f gml:id="f_$k"><app:v>${k * 3}</app:v><app:geom>""")
+        if (k % 5 == 0)
+          sb.append(s"<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>" +
+            s"$x $y ${x + side} $y ${x + side} ${y + side} $x ${y + side} $x $y" +
+            "</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>")
+        else
+          sb.append(s"<gml:Point><gml:pos>$x $y</gml:pos></gml:Point>")
+        sb.append("</app:geom></app:f></gml:featureMember>\n")
+      }
+      sb.append("</wfs:FeatureCollection>\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.OgcXml.readGml(s, path)
+        .selectExpr("fid", "cast(properties['v'] as bigint) AS v",
+          "st_geometrytype(geometry) AS gtype",
+          "st_xmin(geometry) AS gx", "st_ymin(geometry) AS gy",
+          "st_area(geometry) AS area")
+        .orderBy("v")
+    }),
+
     // capstone composition: the curation pipeline end to end — PII
     // redaction -> token-count floor -> exact dedup (smallest id per
     // distinct cleaned text) -> deterministic shard assignment ->
@@ -5686,6 +5776,28 @@ object SparkEntry {
          |WHERE c_nationkey % 5 = 1
          |  AND $oCustX BETWEEN -60 AND 60 AND $oCustY BETWEEN -50 AND 50
          |ORDER BY c_custkey""".stripMargin,
+
+    // the KML round-trip is value-preserving (Double.toString), so the
+    // oracle simply recomputes the written values from customer
+    "q249_kml_roundtrip" ->
+      s"""SELECT c_custkey, concat('c_', c_custkey) AS name,
+         |  cast(c_custkey % 97 as double) / 8.0 AS score,
+         |  $oCustX AS gx, $oCustY AS gy
+         |FROM customer WHERE c_custkey <= 600 ORDER BY c_custkey""".stripMargin,
+
+    "q250_gpx_waypoints" ->
+      s"""SELECT concat('w_', c_custkey) AS name,
+         |  cast(c_custkey % 500 as double) / 4.0 AS ele,
+         |  concat('2024-01-01T00:', lpad(cast(c_custkey % 60 as varchar), 2, '0'), ':00Z') AS time,
+         |  $oCustX AS gx, $oCustY AS gy
+         |FROM customer WHERE c_custkey <= 600 ORDER BY name""".stripMargin,
+
+    "q251_gml_read" ->
+      s"""SELECT concat('f_', c_custkey) AS fid, c_custkey * 3 AS v,
+         |  CASE WHEN c_custkey % 5 = 0 THEN 'Polygon' ELSE 'Point' END AS gtype,
+         |  $oCustX AS gx, $oCustY AS gy,
+         |  CASE WHEN c_custkey % 5 = 0 THEN $oSide * $oSide ELSE 0.0 END AS area
+         |FROM customer WHERE c_custkey <= 300 ORDER BY v""".stripMargin,
 
     "q104_rep_valid_clip" ->
       s"""SELECT c_custkey,

@@ -173,6 +173,13 @@ object GeoIO {
       else if (lower.endsWith(".parquet")) readParquet(spark, path)
       else if (lower.endsWith(".arrow") || lower.endsWith(".ipc"))
         readArrow(spark, path)
+      else if (lower.endsWith(".kml"))
+        GeoDataFrame(graft.sources.OgcXml.readKml(spark, path, withFid = needFid))
+      else if (lower.endsWith(".gpx"))
+        GeoDataFrame(graft.sources.OgcXml.readGpx(spark, path,
+          options.layer.getOrElse("waypoints")))
+      else if (lower.endsWith(".gml"))
+        GeoDataFrame(graft.sources.OgcXml.readGml(spark, path))
       else
         // directories: sniff by contents, preferring the indexed format
         GeoDataFrame(graft.sources.FlatGeobuf.read(spark, path,
@@ -368,6 +375,28 @@ object GeoIO {
     * features + packed R-tree index). */
   def writeFlatGeobuf(gdf: GeoDataFrame, path: String, indexNodeSize: Int = 16): Unit =
     graft.sources.FlatGeobuf.write(gdf.df, path, gdf.geometryColumn, indexNodeSize)
+
+  /** Read KML (Placemarks: name/description/folder/ExtendedData + WKB
+    * geometry; the reference reaches KML through GDAL's OGR driver). */
+  def readKml(spark: SparkSession, path: String): GeoDataFrame =
+    GeoDataFrame(graft.sources.OgcXml.readKml(spark, path))
+
+  /** Write one .kml document (driver-side single-file export). */
+  def writeKml(gdf: GeoDataFrame, path: String, docName: String = "graft"): Unit =
+    graft.sources.OgcXml.writeKml(gdf.df, path, gdf.geometryColumn, docName)
+
+  /** Read a GPX layer (waypoints | routes | tracks | route_points |
+    * track_points — OGR's GPX layer model). */
+  def readGpx(spark: SparkSession, path: String, layer: String = "waypoints"): GeoDataFrame =
+    GeoDataFrame(graft.sources.OgcXml.readGpx(spark, path, layer))
+
+  /** Write one .gpx file of waypoints (driver-side single-file export). */
+  def writeGpx(gdf: GeoDataFrame, path: String): Unit =
+    graft.sources.OgcXml.writeGpx(gdf.df, path, gdf.geometryColumn)
+
+  /** Read GML Simple Features (GML2/GML3 geometries, properties map). */
+  def readGml(spark: SparkSession, path: String): GeoDataFrame =
+    GeoDataFrame(graft.sources.OgcXml.readGml(spark, path))
 
   /** Read Arrow IPC file(s) — the reference's native columnar format
     * (its datasets and bench inputs are `.arrow` files, and `from_arrow`
