@@ -316,6 +316,30 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey <= 400)
         |ORDER BY c_custkey""".stripMargin),
 
+    // Polar Stereographic family (Snyder §21 / EPSG 9829): Antarctic
+    // EPSG:3031 (south aspect) and NSIDC EPSG:3413 (north, lon_0=-45)
+    // forward legs plus the full projection round-trip back to 4326.
+    // Meters rounded 1e-4 (0.1 mm, far above cross-engine libm noise at
+    // ~4e-9 m relative); the oracle replays the Snyder forward
+    // term-for-term and the rt_* columns echo the inputs.
+    "q252_polar_stereo" -> sqlQuery(Seq("customer"),
+      """SELECT c_custkey,
+        |  round(st_x(st_transform(ps, 'EPSG:4326', 'EPSG:3031')), 4) + 0.0 AS ant_x,
+        |  round(st_y(st_transform(ps, 'EPSG:4326', 'EPSG:3031')), 4) + 0.0 AS ant_y,
+        |  round(st_x(st_transform(pn, 'EPSG:4326', 'EPSG:3413')), 4) + 0.0 AS arc_x,
+        |  round(st_y(st_transform(pn, 'EPSG:4326', 'EPSG:3413')), 4) + 0.0 AS arc_y,
+        |  round(st_x(st_transform(st_transform(ps, 'EPSG:4326', 'EPSG:3031'),
+        |    'EPSG:3031', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+        |  round(st_y(st_transform(st_transform(ps, 'EPSG:4326', 'EPSG:3031'),
+        |    'EPSG:3031', 'EPSG:4326')), 6) + 0.0 AS rt_lat
+        |FROM (SELECT c_custkey,
+        |    st_point(cast(c_custkey % 360 - 180 as double),
+        |             -60.0 - cast(c_custkey % 30 as double)) AS ps,
+        |    st_point(cast(c_custkey % 360 - 180 as double),
+        |             60.0 + cast(c_custkey % 30 as double)) AS pn
+        |  FROM customer WHERE c_custkey <= 400)
+        |ORDER BY c_custkey""".stripMargin),
+
     // c90x/s2cx pin the TransformOrigin 'center'/'centroid' paths: a square
     // rotated 90° about its bbox center keeps its envelope; doubling about
     // the centroid moves xmin to x - s/2
@@ -5791,6 +5815,50 @@ object SparkEntry {
          |  concat('2024-01-01T00:', lpad(cast(c_custkey % 60 as varchar), 2, '0'), ':00Z') AS time,
          |  $oCustX AS gx, $oCustY AS gy
          |FROM customer WHERE c_custkey <= 600 ORDER BY name""".stripMargin,
+
+    // replays the Snyder §21 ellipsoidal polar-stereographic forward
+    // term-for-term (variant B: rho = a*mF*t/tF on the standard
+    // parallel); south aspect runs on the mirrored latitude with
+    // y = +rho*cos(theta), north on the true latitude with
+    // y = -rho*cos(theta); rt_* echo the inputs (the fixed-point
+    // inverse converges ~9 orders inside the 1e-6 deg rounding)
+    "q252_polar_stereo" ->
+      """WITH k AS (
+        |  SELECT 6378137.0e0 AS a, 1.0/298.257223563 AS f,
+        |    (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
+        |    sqrt((1.0/298.257223563)*(2-1.0/298.257223563)) AS e),
+        |kk AS (
+        |  SELECT a, e2, e,
+        |    cos(radians(71.0))/sqrt(1-e2*sin(radians(71.0))*sin(radians(71.0))) AS mf71,
+        |    tan(pi()/4 - radians(71.0)/2)
+        |      / pow((1-e*sin(radians(71.0)))/(1+e*sin(radians(71.0))), e/2) AS tf71,
+        |    cos(radians(70.0))/sqrt(1-e2*sin(radians(70.0))*sin(radians(70.0))) AS mf70,
+        |    tan(pi()/4 - radians(70.0)/2)
+        |      / pow((1-e*sin(radians(70.0)))/(1+e*sin(radians(70.0))), e/2) AS tf70
+        |  FROM k),
+        |pts AS (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as double) AS lon,
+        |    -60.0 - cast(c_custkey % 30 as double) AS lats,
+        |    60.0 + cast(c_custkey % 30 as double) AS latn
+        |  FROM customer WHERE c_custkey <= 400),
+        |proj AS (
+        |  SELECT c_custkey, lon, lats, latn,
+        |    a*mf71/tf71 * (tan(pi()/4 - radians(-lats)/2)
+        |      / pow((1-e*sin(radians(-lats)))/(1+e*sin(radians(-lats))), e/2)) AS rho_s,
+        |    a*mf70/tf70 * (tan(pi()/4 - radians(latn)/2)
+        |      / pow((1-e*sin(radians(latn)))/(1+e*sin(radians(latn))), e/2)) AS rho_n,
+        |    radians(lon) AS th_s,
+        |    radians(lon) - radians(-45.0) AS th_n
+        |  FROM pts CROSS JOIN kk)
+        |SELECT c_custkey,
+        |  round(rho_s * sin(th_s), 4) + 0.0 AS ant_x,
+        |  round(rho_s * cos(th_s), 4) + 0.0 AS ant_y,
+        |  round(rho_n * sin(th_n), 4) + 0.0 AS arc_x,
+        |  round(-rho_n * cos(th_n), 4) + 0.0 AS arc_y,
+        |  round(lon, 6) + 0.0 AS rt_lon,
+        |  round(lats, 6) + 0.0 AS rt_lat
+        |FROM proj ORDER BY c_custkey""".stripMargin,
 
     "q251_gml_read" ->
       s"""SELECT concat('f_', c_custkey) AS fid, c_custkey * 3 AS v,

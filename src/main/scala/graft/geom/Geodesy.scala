@@ -607,6 +607,64 @@ object CRS {
     }
   }
 
+  /**
+   * Polar Stereographic, ellipsoidal (Snyder §21, eqs. 21-33..21-41; EPSG
+   * methods 9829 variant B / 9810 variant A) — the polar-science CRS family
+   * (EPSG:3031 Antarctic, EPSG:3413 NSIDC Arctic, EPSG:5041/5042 UPS) the
+   * conic/cylindrical projections cannot reach (both degenerate at the
+   * poles). Scale pinned by a true-scale latitude `latTs` (variant B:
+   * rho = a·m(tsAbs)·t/t(tsAbs)) or by `k0` at the pole (variant A:
+   * rho = 2·a·k0·t/sqrt((1+e)^(1+e)·(1−e)^(1−e))). South aspect runs the
+   * north formulas on the mirrored latitude with northing flipped
+   * (E = FE + rho·sinθ, N = FN + rho·cosθ — EPSG 9829 south convention).
+   */
+  final case class PolarStereographic(
+      ell: Ellipsoid, south: Boolean, latTs: Double, k: Double,
+      lon0: Double, x0: Double, y0: Double) {
+    private val l0 = math.toRadians(lon0)
+    // rho = rhoK * t in both variants
+    private val rhoK: Double = {
+      val tsAbs = math.abs(latTs)
+      if (tsAbs < 90.0 - 1e-12) {
+        val phiC = math.toRadians(tsAbs)
+        ell.a * mFac(ell, phiC) / tFac(ell, phiC)
+      } else
+        2 * ell.a * k / math.sqrt(
+          math.pow(1 + ell.e, 1 + ell.e) * math.pow(1 - ell.e, 1 - ell.e))
+    }
+
+    def forward(lon: Double, lat: Double): XY = {
+      val phi = math.toRadians(if (south) -lat else lat)
+      val rho = rhoK * tFac(ell, phi)
+      val theta = math.toRadians(lon) - l0
+      if (south) (x0 + rho * math.sin(theta), y0 + rho * math.cos(theta))
+      else (x0 + rho * math.sin(theta), y0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): XY = {
+      val dx = x - x0
+      val dy = if (south) y - y0 else -(y - y0)
+      val rho = math.hypot(dx, dy)
+      val t = rho / rhoK
+      // Snyder 7-9 fixed point for phi from t (same deterministic loop as
+      // the Mercator/LCC inverses)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val es = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - es) / (1 + es), ell.e / 2))
+        i += 1
+      }
+      val lam = if (rho == 0.0) l0 else l0 + math.atan2(dx, dy)
+      // the full longitude circle is in-domain at the poles: wrap
+      // l0 + atan2 back to [-180, 180)
+      var lonDeg = math.toDegrees(lam)
+      if (lonDeg >= 180) lonDeg -= 360
+      else if (lonDeg < -180) lonDeg += 360
+      (lonDeg, math.toDegrees(if (south) -phi else phi))
+    }
+  }
+
   /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
     * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
     * the EPSG registry entries for these CRSs. */
@@ -702,8 +760,16 @@ object CRS {
         val p = TransverseMercator(ell, 0, zone * 6 - 183, 0.9996,
           500000.0, if (south) 10000000.0 else 0.0)
         ((p.forward _).tupled, (p.inverse _).tupled)
+      case "stere" =>
+        val lat0 = d("lat_0", 90)
+        require(math.abs(math.abs(lat0) - 90) < 1e-9,
+          s"+proj=stere supported in the polar aspect only (+lat_0=+/-90), got +lat_0=$lat0")
+        val p = PolarStereographic(ell, south = lat0 < 0,
+          latTs = d("lat_ts", 90), k = d("k_0", d("k", 1.0)),
+          lon0 = d("lon_0", 0), x0 = d("x_0", 0), y0 = d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm)")
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar])")
     }
     helmert match {
       case None => (projFwd, projInv)
@@ -745,6 +811,14 @@ object CRS {
     "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 +lat_0=90 " +
       "+lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438 " +
       "+ellps=intl +towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
+  registerProj4("EPSG:3031", // Antarctic Polar Stereographic (WGS84)
+    "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+  registerProj4("EPSG:3413", // NSIDC Sea Ice Polar Stereographic North
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +ellps=WGS84")
+  registerProj4("EPSG:5041", // UPS North (variant A, k0 at the pole)
+    "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84")
+  registerProj4("EPSG:5042", // UPS South
+    "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
@@ -888,6 +962,21 @@ object CRS {
         params(8823, "latitude of 1st standard parallel", 0),
         params(8806, "false easting", 0),
         params(8807, "false northing", 0))
+      ((p.forward _).tupled, (p.inverse _).tupled)
+    } else if (methodCode == 9829 || methodCode == 9810 ||
+        methodName.contains("polar stereographic")) {
+      // variant B (9829) pins a standard parallel, variant A (9810) k0 at
+      // the pole; the aspect (north/south) follows the origin latitude's
+      // sign (variant B: standard parallel; variant A: natural origin)
+      val latTs = params(8832, "latitude of standard parallel",
+        params(8801, "latitude of natural origin", 90))
+      val lon0 = params(8833, "longitude of origin",
+        params(8802, "longitude of natural origin", 0))
+      val p = PolarStereographic(ell, south = latTs < 0, latTs = latTs,
+        k = params(8805, "scale factor at natural origin", 1.0),
+        lon0 = lon0,
+        x0 = params(8806, "false easting", 0),
+        y0 = params(8807, "false northing", 0))
       ((p.forward _).tupled, (p.inverse _).tupled)
     } else throw new IllegalArgumentException(
       s"unsupported PROJJSON conversion method '$methodName' (code $methodCode)")

@@ -38,7 +38,13 @@ import graft.spatial.SpatialJoin
  *
  * Cell size comes from `spark.graft.grid.cellSize` (default 1.0, in
  * coordinate units): pick ~the median geometry extent so most rows land in
- * O(1) cells; AQE's skew-join split handles residual hot cells.
+ * O(1) cells; AQE's skew-join split handles residual BYTE-heavy hot cells
+ * (measured: tools/SkewBench, split fires and the straggler spreads).
+ * Caveat proven by the same harness: AQE's skew detection is byte-based,
+ * so a byte-LIGHT cell with quadratic candidate work (both sides dense in
+ * one cell) will not split — for dense-core datasets size cellSize to the
+ * dense region's density, which shrinks candidate pairs quadratically
+ * (BASELINE.md round-4 skew proof: 2.7x at 20x finer cells).
  */
 class GridJoinRule extends Rule[LogicalPlan] {
 

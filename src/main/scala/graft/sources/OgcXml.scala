@@ -93,9 +93,12 @@ object OgcXml {
       .select("path", "content").as[(String, Array[Byte])]
   }
 
-  /** "lon,lat[,alt] lon,lat[,alt] ..." (KML coordinates) -> packed xy. */
+  /** "lon,lat[,alt] lon,lat[,alt] ..." (KML coordinates) -> packed xy.
+    * The spec forbids whitespace inside tuples but real-world files write
+    * "10.5, -3.25" anyway (OGR tolerates it); whitespace around commas is
+    * normalized away before tuple-splitting. */
   private[sources] def parseKmlCoords(s: String): Array[Double] = {
-    val tuples = s.trim.split("\\s+").filter(_.nonEmpty)
+    val tuples = s.trim.replaceAll("\\s*,\\s*", ",").split("\\s+").filter(_.nonEmpty)
     val out = new Array[Double](tuples.length * 2)
     var i = 0
     while (i < tuples.length) {
@@ -197,9 +200,12 @@ object OgcXml {
       }
       (data ++ simple).toMap
     }.getOrElse(Map.empty)
+    // malformed coordinates -> NULL geometry, row kept (the same
+    // invalid-input contract as the WKB/WKT codecs)
     val geom = n.children.collectFirst {
-      case c if KmlGeomNames(c.name) => kmlGeometry(c)
-    }.orNull
+      case c if KmlGeomNames(c.name) =>
+        try kmlGeometry(c) catch { case _: RuntimeException => null }
+    }.flatMap(Option(_)).orNull
     Row(
       n.childText("name").orNull,
       n.childText("description").orNull,
@@ -346,9 +352,28 @@ object OgcXml {
    */
   def readGpx(spark: SparkSession, path: String, layer: String = "waypoints"): DataFrame = {
     val files = binaryFiles(spark, path, "*.gpx")
-    def pt(n: Node): Geom =
-      Point(n.attrs("lon").toDouble, n.attrs("lat").toDouble)
-    def ele(n: Node): Any = n.childText("ele").map(_.toDouble).orNull
+    // missing/garbage lat-lon -> NULL geometry (point layers) or point
+    // skipped (line layers); garbage ele -> NULL — rows are kept, matching
+    // the invalid-input contract of the WKB/WKT codecs
+    def pt(n: Node): Geom = (n.attrs.get("lon"), n.attrs.get("lat")) match {
+      case (Some(lo), Some(la)) =>
+        try Point(lo.toDouble, la.toDouble)
+        catch { case _: NumberFormatException => null }
+      case _ => null
+    }
+    def wkbOrNull(g: Geom): Array[Byte] = if (g == null) null else WKB.write(g)
+    def lineCoords(pts: Seq[Node]): Array[Double] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Double](pts.length * 2)
+      pts.foreach { p =>
+        pt(p) match {
+          case Point(x, y) => buf += x; buf += y
+          case _ => ()
+        }
+      }
+      buf.toArray
+    }
+    def ele(n: Node): Any = n.childText("ele")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).orNull
     def time(n: Node): Any = n.childText("time").orNull
 
     layer match {
@@ -360,7 +385,7 @@ object OgcXml {
         files.flatMap { case (_, bytes) =>
           subtrees(bytes, Set("wpt")).map(w => Row(
             w.childText("name").orNull, w.childText("desc").orNull,
-            ele(w), time(w), WKB.write(pt(w))))
+            ele(w), time(w), wkbOrNull(pt(w))))
         }(org.apache.spark.sql.Encoders.row(schema)).toDF()
       case "routes" =>
         val schema = StructType(Seq(
@@ -368,11 +393,7 @@ object OgcXml {
           StructField("geometry", BinaryType)))
         files.flatMap { case (_, bytes) =>
           subtrees(bytes, Set("rte")).map { rte =>
-            val pts = rte.children.filter(_.name == "rtept")
-            val xy = new Array[Double](pts.length * 2)
-            pts.zipWithIndex.foreach { case (p, i) =>
-              xy(2 * i) = p.attrs("lon").toDouble; xy(2 * i + 1) = p.attrs("lat").toDouble
-            }
+            val xy = lineCoords(rte.children.filter(_.name == "rtept"))
             Row(rte.childText("name").orNull, rte.childText("desc").orNull,
               WKB.write(LineString(xy)))
           }
@@ -384,12 +405,7 @@ object OgcXml {
         files.flatMap { case (_, bytes) =>
           subtrees(bytes, Set("trk")).map { trk =>
             val segs = trk.children.filter(_.name == "trkseg").map { seg =>
-              val pts = seg.children.filter(_.name == "trkpt")
-              val xy = new Array[Double](pts.length * 2)
-              pts.zipWithIndex.foreach { case (p, i) =>
-                xy(2 * i) = p.attrs("lon").toDouble; xy(2 * i + 1) = p.attrs("lat").toDouble
-              }
-              LineString(xy)
+              LineString(lineCoords(seg.children.filter(_.name == "trkpt")))
             }
             Row(trk.childText("name").orNull, trk.childText("desc").orNull,
               WKB.write(MultiLineString(segs.toArray)))
@@ -404,7 +420,7 @@ object OgcXml {
         files.flatMap { case (_, bytes) =>
           subtrees(bytes, Set("rte")).zipWithIndex.flatMap { case (rte, ri) =>
             rte.children.filter(_.name == "rtept").zipWithIndex.map { case (p, pi) =>
-              Row(ri.toLong, pi.toLong, ele(p), time(p), WKB.write(pt(p)))
+              Row(ri.toLong, pi.toLong, ele(p), time(p), wkbOrNull(pt(p)))
             }
           }
         }(org.apache.spark.sql.Encoders.row(schema)).toDF()
@@ -419,7 +435,7 @@ object OgcXml {
           subtrees(bytes, Set("trk")).zipWithIndex.flatMap { case (trk, ti) =>
             trk.children.filter(_.name == "trkseg").zipWithIndex.flatMap { case (seg, si) =>
               seg.children.filter(_.name == "trkpt").zipWithIndex.map { case (p, pi) =>
-                Row(ti.toLong, si.toLong, pi.toLong, ele(p), time(p), WKB.write(pt(p)))
+                Row(ti.toLong, si.toLong, pi.toLong, ele(p), time(p), wkbOrNull(pt(p)))
               }
             }
           }

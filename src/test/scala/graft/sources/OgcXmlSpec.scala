@@ -258,6 +258,47 @@ class OgcXmlSpec extends AnyFunSuite {
       LineString(Array(0.0, 0, 1, 1)))
   }
 
+  test("KML: whitespace after commas in coordinates (real-world tolerance)") {
+    val doc =
+      """<?xml version="1.0"?><kml><Document>
+        |<Placemark><name>sp</name><LineString><coordinates>
+        |  10.5, -3.25  11.0 ,4.5
+        |  12.25 , 6.0
+        |</coordinates></LineString></Placemark>
+        |</Document></kml>""".stripMargin
+    val g = OgcXml.readKml(spark, tmpFile("sp.kml", doc)).collect()
+    assert(WKB.readOrNull(g(0).getAs[Array[Byte]]("geometry")) ==
+      LineString(Array(10.5, -3.25, 11.0, 4.5, 12.25, 6.0)))
+  }
+
+  test("malformed coordinates -> NULL geometry, rows kept (codec contract)") {
+    val badKml =
+      """<?xml version="1.0"?><kml><Document>
+        |<Placemark><name>bad</name><Point><coordinates>not,numbers</coordinates></Point></Placemark>
+        |<Placemark><name>ok</name><Point><coordinates>1,2</coordinates></Point></Placemark>
+        |</Document></kml>""".stripMargin
+    val kml = OgcXml.readKml(spark, tmpFile("bad.kml", badKml)).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Array[Byte]]("geometry")).toMap
+    assert(kml("bad") == null && kml("ok") != null)
+
+    val badGpx =
+      """<?xml version="1.0"?><gpx>
+        |<wpt lat="oops" lon="1"><name>b</name><ele>junk</ele></wpt>
+        |<wpt lat="2" lon="3"><name>g</name></wpt>
+        |<trk><name>t</name><trkseg>
+        |  <trkpt lat="0" lon="0"/><trkpt lat="zz" lon="1"/><trkpt lat="1" lon="1"/>
+        |</trkseg></trk>
+        |</gpx>""".stripMargin
+    val p = tmpFile("bad.gpx", badGpx)
+    val w = OgcXml.readGpx(spark, p).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Array[Byte]]("geometry")).toMap
+    assert(w("b") == null && w("g") != null)
+    // the unparseable trkpt is skipped, the track survives with 2 points
+    val t = OgcXml.readGpx(spark, p, "tracks").collect()
+    assert(WKB.readOrNull(t(0).getAs[Array[Byte]]("geometry")) ==
+      MultiLineString(Array(LineString(Array(0.0, 0, 1, 1)))))
+  }
+
   test("readFile facade dispatches .kml/.gpx/.gml") {
     val kml = graft.api.GeoIO.readFile(spark, tmpFile("d.kml", kmlDoc))
     assert(kml.df.count() == 5)
