@@ -216,40 +216,66 @@ object AsOfJoin {
     val collected = probed
       .sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
-    // per key: times ascending (ties already ordered by tieBreak),
-    // rid = position in the global sorted array
-    val index: Map[Long, (Array[Long], Array[Long])] =
-      collected.zipWithIndex
-        .groupBy { case (r, _) => r.getLong(0) }
-        .map { case (k, grp) =>
-          k -> (grp.map(_._1.getLong(1)), grp.map(_._2.toLong))
-        }
-    val bc = spark.sparkContext.broadcast(index)
+    // Flat primitive index: (keys, times) sorted by (key, time, tieBreak),
+    // rid = position in the sorted array. Two executor-side binary
+    // searches (key range, then time within it) replace the former
+    // Map[Long, (Array, Array)] — which cost a boxed driver groupBy plus
+    // Java-serializing ~|keys| small objects per broadcast (measured as
+    // the dominant q75 term); two long arrays serialize as 16 bytes/row.
+    val n = collected.length
+    val ks = new Array[Long](n)
+    val ts2 = new Array[Long](n)
+    var ci = 0
+    while (ci < n) {
+      ks(ci) = collected(ci).getLong(0); ts2(ci) = collected(ci).getLong(1); ci += 1
+    }
+    val bc = spark.sparkContext.broadcast((ks, ts2))
 
     val lookup = udf { (k: java.lang.Long, t: java.lang.Long) =>
       if (k == null || t == null) null
-      else bc.value.get(k) match {
-        case None => null
-        case Some((times, rids)) =>
-          // last slot with times(i) <= t (ties sorted tieBreak-ascending,
-          // so the last qualifying slot carries the max tieBreak)
-          var lo = 0; var hi = times.length - 1; var ans = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      else {
+        val (keys, times) = bc.value
+        // lower bound of k
+        var lo = 0; var hi = keys.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (keys(mid) < k) lo = mid + 1 else hi = mid
+        }
+        val start = lo
+        // upper bound of k
+        hi = keys.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (keys(mid) <= k) lo = mid + 1 else hi = mid
+        }
+        val end = lo
+        if (start >= end) null
+        else {
+          // last slot in [start, end) with times(i) <= t (ties sorted
+          // tieBreak-ascending, so the last qualifying slot carries the
+          // max tieBreak)
+          var l2 = start; var h2 = end - 1; var ans = -1
+          while (l2 <= h2) {
+            val mid = (l2 + h2) >>> 1
+            if (times(mid) <= t) { ans = mid; l2 = mid + 1 } else h2 = mid - 1
           }
-          if (ans < 0) null else java.lang.Long.valueOf(rids(ans))
+          if (ans < 0) null else java.lang.Long.valueOf(ans.toLong)
+        }
       }
     }
 
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val payloadSchema = StructType(payloadCols.map(n => prepared.schema(n)))
-    val ridRows: Seq[Row] = collected.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(i.toLong +: r.getStruct(3).toSeq)
-    }.toSeq
-    val ridToPayload = spark.createDataFrame(
-      spark.sparkContext.parallelize(ridRows, 1),
+    val ridRows: java.util.List[Row] = new java.util.ArrayList[Row](n)
+    var ri = 0
+    while (ri < n) {
+      ridRows.add(Row.fromSeq(ri.toLong +: collected(ri).getStruct(3).toSeq)); ri += 1
+    }
+    // LocalRelation (createDataFrame over a java List) plans as a
+    // LocalTableScan — no parallelize job, no 1-partition RDD round-trip
+    // before the broadcast build
+    val ridToPayload = spark.createDataFrame(ridRows,
       StructType(StructField("__rid", LongType, nullable = false) +: payloadSchema.fields))
 
     left.withColumn("__rid", lookup(leftKey.cast("long"), leftTime.cast("long")))
