@@ -340,6 +340,36 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey <= 400)
         |ORDER BY c_custkey""".stripMargin),
 
+    // Oblique (double) stereographic — RD New (EPSG:28992, EPSG method
+    // 9809). The projection-only leg (no datum) maps the defining origin
+    // to the published false origin EXACTLY (155000, 463000 — a registry
+    // constant the oracle can state literally), and the full EPSG:28992
+    // path (projection + Amersfoort Helmert both ways) round-trips to the
+    // echo of the input. Correctness of the absolute projected values is
+    // pinned by ObliqueStereoSpec against the EPSG GN 7-2 worked example.
+    "q253_rd_new" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      graft.geom.CRS.registerProj4("RD:PROJONLY",
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 " +
+          "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+      s.sql(
+        """SELECT c_custkey,
+          |  round(st_x(st_transform(st_point(5.38763888888889, 52.15616055555555),
+          |    'EPSG:4326', 'RD:PROJONLY')), 6) + 0.0 AS origin_e,
+          |  round(st_y(st_transform(st_point(5.38763888888889, 52.15616055555555),
+          |    'EPSG:4326', 'RD:PROJONLY')), 6) + 0.0 AS origin_n,
+          |  round(st_x(st_transform(st_transform(p, 'EPSG:4326', 'EPSG:28992'),
+          |    'EPSG:28992', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+          |  round(st_y(st_transform(st_transform(p, 'EPSG:4326', 'EPSG:28992'),
+          |    'EPSG:28992', 'EPSG:4326')), 6) + 0.0 AS rt_lat
+          |FROM (SELECT c_custkey,
+          |    st_point(3.5 + cast(c_custkey % 35 as double) / 10.0,
+          |             50.8 + cast(c_custkey % 25 as double) / 10.0) AS p
+          |  FROM customer WHERE c_custkey <= 400)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // c90x/s2cx pin the TransformOrigin 'center'/'centroid' paths: a square
     // rotated 90° about its bbox center keeps its envelope; doubling about
     // the centroid moves xmin to x - s/2
@@ -5859,6 +5889,16 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // the origin->false-origin identity is a defining property of the
+    // projection (EPSG registry constants); rt_* echo the inputs (the
+    // projection+datum roundtrip converges far inside the 1e-6 rounding)
+    "q253_rd_new" ->
+      """SELECT c_custkey,
+        |  155000.0 AS origin_e, 463000.0 AS origin_n,
+        |  round(3.5 + cast(c_custkey % 35 as double) / 10.0, 6) + 0.0 AS rt_lon,
+        |  round(50.8 + cast(c_custkey % 25 as double) / 10.0, 6) + 0.0 AS rt_lat
+        |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
 
     "q251_gml_read" ->
       s"""SELECT concat('f_', c_custkey) AS fid, c_custkey * 3 AS v,

@@ -665,6 +665,79 @@ object CRS {
     }
   }
 
+  /**
+   * Oblique (double) Stereographic, EPSG method 9809 (Guidance Note 7-2):
+   * ellipsoid -> conformal sphere -> stereographic — the projection behind
+   * the Dutch RD New grid (EPSG:28992), which neither the polar
+   * stereographic nor the conic family can express. Forward and inverse
+   * follow the guidance-note formulation: conformal latitude via
+   * w = c·[S1·S2^e]^n, sphere radius R = sqrt(rho0·nu0), and the
+   * closed-form g/h/i/j inverse with a Newton step back to geodetic
+   * latitude.
+   */
+  final case class ObliqueStereographic(
+      ell: Ellipsoid, lat0: Double, lon0: Double, k0: Double,
+      x0: Double, y0: Double) {
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val phi0 = math.toRadians(lat0)
+    private val l0 = math.toRadians(lon0)
+    private val s0 = math.sin(phi0)
+    private val rho0 = ell.a * (1 - e2) / math.pow(1 - e2 * s0 * s0, 1.5)
+    private val nu0 = ell.a / math.sqrt(1 - e2 * s0 * s0)
+    private val bigR = math.sqrt(rho0 * nu0)
+    private val n = math.sqrt(1 + e2 * math.pow(math.cos(phi0), 4) / (1 - e2))
+    private val (c, chi0) = {
+      val s1 = (1 + s0) / (1 - s0)
+      val s2 = (1 - e * s0) / (1 + e * s0)
+      val w1 = math.pow(s1 * math.pow(s2, e), n)
+      val sinChi00 = (w1 - 1) / (w1 + 1)
+      val cc = (n + s0) * (1 - sinChi00) / ((n - s0) * (1 + sinChi00))
+      val w2 = cc * w1
+      (cc, math.asin((w2 - 1) / (w2 + 1)))
+    }
+    private val sinChi0 = math.sin(chi0)
+    private val cosChi0 = math.cos(chi0)
+
+    def forward(lon: Double, lat: Double): XY = {
+      val phi = math.toRadians(lat)
+      val dLam = n * (math.toRadians(lon) - l0)
+      val sp = math.sin(phi)
+      val sa = (1 + sp) / (1 - sp)
+      val sb = (1 - e * sp) / (1 + e * sp)
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      val chi = math.asin((w - 1) / (w + 1))
+      val b = 1 + math.sin(chi) * sinChi0 + math.cos(chi) * cosChi0 * math.cos(dLam)
+      (x0 + 2 * bigR * k0 * math.cos(chi) * math.sin(dLam) / b,
+        y0 + 2 * bigR * k0 * (math.sin(chi) * cosChi0 - math.cos(chi) * sinChi0 * math.cos(dLam)) / b)
+    }
+
+    def inverse(x: Double, y: Double): XY = {
+      val dE = x - x0
+      val dN = y - y0
+      val g = 2 * bigR * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+      val h = 4 * bigR * k0 * math.tan(chi0) + g
+      val i = math.atan2(dE, h + dN)
+      val j = math.atan2(dE, g - dN) - i
+      val chi = chi0 + 2 * math.atan((dN - dE * math.tan(j / 2)) / (2 * bigR * k0))
+      val dLam = j + 2 * i
+      val lon = math.toDegrees(dLam / n + l0)
+      // conformal -> geodetic: Newton on the isometric latitude (GN 7-2)
+      val psi = 0.5 * math.log((1 + math.sin(chi)) / (c * (1 - math.sin(chi)))) / n
+      var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+      var it = 0
+      while (it < 15) {
+        val sp = math.sin(phi)
+        val psiI = math.log(
+          math.tan(phi / 2 + math.Pi / 4) *
+            math.pow((1 - e * sp) / (1 + e * sp), e / 2))
+        phi = phi - (psiI - psi) * math.cos(phi) * (1 - e2 * sp * sp) / (1 - e2)
+        it += 1
+      }
+      (lon, math.toDegrees(phi))
+    }
+  }
+
   /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
     * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
     * the EPSG registry entries for these CRSs. */
@@ -768,8 +841,12 @@ object CRS {
           latTs = d("lat_ts", 90), k = d("k_0", d("k", 1.0)),
           lon0 = d("lon_0", 0), x0 = d("x_0", 0), y0 = d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
+      case "sterea" =>
+        val p = ObliqueStereographic(ell, d("lat_0", 0), d("lon_0", 0),
+          d("k_0", d("k", 1.0)), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar])")
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea)")
     }
     helmert match {
       case None => (projFwd, projInv)
@@ -819,6 +896,10 @@ object CRS {
     "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84")
   registerProj4("EPSG:5042", // UPS South
     "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84")
+  registerProj4("EPSG:28992", // RD New / Amersfoort (oblique stereographic, Bessel)
+    "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 " +
+      "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel " +
+      "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
@@ -977,6 +1058,14 @@ object CRS {
         lon0 = lon0,
         x0 = params(8806, "false easting", 0),
         y0 = params(8807, "false northing", 0))
+      ((p.forward _).tupled, (p.inverse _).tupled)
+    } else if (methodCode == 9809 || methodName.contains("oblique stereographic")) {
+      val p = ObliqueStereographic(ell,
+        params(8801, "latitude of natural origin", 0),
+        params(8802, "longitude of natural origin", 0),
+        params(8805, "scale factor at natural origin", 1.0),
+        params(8806, "false easting", 0),
+        params(8807, "false northing", 0))
       ((p.forward _).tupled, (p.inverse _).tupled)
     } else throw new IllegalArgumentException(
       s"unsupported PROJJSON conversion method '$methodName' (code $methodCode)")
