@@ -76,6 +76,18 @@ object SparkEntry {
   private def sqlQuery(tables: Seq[String], text: String): (SparkSession, String) => DataFrame =
     (s, dir) => { init(s); view(s, dir, tables: _*); s.sql(text) }
 
+  // Quality-classifier (q254) shared feature/label texts: engine-portable
+  // SQL (length/replace/least/greatest, int/int division is double in both
+  // Spark and DuckDB), evaluated by Spark for training/scoring and by the
+  // DuckDB oracle CTE — identical parse trees, identical doubles.
+  private val qcFeatureSqls = Seq(
+    "least(n_chars, 2000) / 2000.0E0",
+    "(length(text) - length(replace(text, ' ', ''))) / greatest(length(text), 1)",
+    "(length(text) - length(replace(text, '.', ''))) / greatest(length(text), 1)")
+  private val qcLabelSql =
+    "CASE WHEN (length(text) - length(replace(text, ' ', ''))) >= 25 THEN 1.0E0 ELSE 0.0E0 END"
+  private val qcWhere = "text IS NOT NULL AND n_chars IS NOT NULL"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== relational surface (inherited ops: scan/filter/agg/join/window/sort/setop)
@@ -368,6 +380,26 @@ object SparkEntry {
           |             50.8 + cast(c_custkey % 25 as double) / 10.0) AS p
           |  FROM customer WHERE c_custkey <= 400)
           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Model-based quality filtering (fastText/CCNet-style): distributed
+    // logistic-regression trainer (fast-sigmoid link, truncated-scaled-long
+    // gradient fold — bit-identical across partitionings and engines), then
+    // score every document. The oracle replays the ENTIRE training as an
+    // unrolled CTE (the q52/q221 codebook pattern) — weights, scores, and
+    // predicted labels all hash-exact.
+    "q254_quality_classifier" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val base = s.table("documents").where(qcWhere)
+      val feats = qcFeatureSqls.map(expr)
+      val w = graft.pipeline.Classifier.trainLogistic(
+        base, feats, expr(qcLabelSql), lr = 0.5, iters = 3)
+      val sc = graft.pipeline.Classifier.score(w, feats)
+      base.select(col("doc_id"),
+          round(sc, 6).as("score"),
+          when(sc > lit(0.5), 1).otherwise(0).as("pred"))
+        .orderBy("doc_id")
     }),
 
     // c90x/s2cx pin the TransformOrigin 'center'/'centroid' paths: a square
@@ -5899,6 +5931,12 @@ object SparkEntry {
         |  round(3.5 + cast(c_custkey % 35 as double) / 10.0, 6) + 0.0 AS rt_lon,
         |  round(50.8 + cast(c_custkey % 25 as double) / 10.0, 6) + 0.0 AS rt_lat
         |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
+
+    "q254_quality_classifier" ->
+      graft.pipeline.Classifier.oracleSql(
+        table = "documents", idCol = "doc_id",
+        featureSqls = qcFeatureSqls, labelSql = qcLabelSql,
+        where = qcWhere, lr = 0.5, iters = 3),
 
     "q251_gml_read" ->
       s"""SELECT concat('f_', c_custkey) AS fid, c_custkey * 3 AS v,

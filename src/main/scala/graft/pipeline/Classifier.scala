@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based quality filtering for training corpora: a distributed
+ * full-batch logistic-regression trainer plus a codegen scoring
+ * expression. This is the fastText/CCNet-style "train a linear quality
+ * classifier, keep documents above a score threshold" step every
+ * large-scale pretraining pipeline runs after the heuristic filters
+ * (the reference's corpus surface stops at heuristics; this completes
+ * the standard pipeline).
+ *
+ * Determinism contract (the q52/q221 codebook pattern, see Pca.scala):
+ * every per-row quantity is pure IEEE double arithmetic evaluated from
+ * an explicit parse tree (so any engine computes the identical double),
+ * and the only aggregation is a sum of per-row TRUNCATED SCALED LONGS —
+ * floor(g * 1e9) per row, summed as exact longs. Long sums commute, so
+ * the gradient — and therefore every weight and every score — is
+ * bit-identical across partitionings and across engines. The driver
+ * holds (dim+1) doubles per iteration; each iteration is ONE
+ * map-side-combined aggregation over the feature projection
+ * (localCheckpointed once, so the loop never re-reads upstream lineage).
+ *
+ * The link is the rational "fast sigmoid" 0.5 + 0.5*z/(1+|z|) rather
+ * than 1/(1+exp(-z)): division/abs are correctly-rounded IEEE ops with
+ * identical results in every engine, while exp() is libm-dependent and
+ * can flip the floor() at truncation boundaries. It is a valid monotone
+ * link (logistic-family shape, same decision boundary structure); the
+ * trainer is gradient descent on its squared-margin surrogate.
+ *
+ * Scale bounds: the scaled gradient sums need n * 1e9 < 2^63 — ~9e9
+ * rows per executor-global sum. Beyond that, shard the fold (long
+ * partials per shard, BigInt combine) exactly as Pca documents.
+ */
+object Classifier {
+
+  /** CAST('…' AS DOUBLE) literal: string→double parses correctly-rounded
+    * in both Spark (Java parseDouble) and DuckDB (strtod), so the
+    * embedded weight is the exact driver double. */
+  private def dlit(d: Double): String = s"CAST('$d' AS DOUBLE)"
+
+  /** z = (w0*f0) + (w1*f1) + … + (b) — explicit parens pin the
+    * left-to-right addition order in both engines. */
+  private def zText(ws: Seq[String], fs: Seq[String], b: String): String =
+    (ws.zip(fs).map { case (w, f) => s"($w * $f)" } :+ s"($b)")
+      .mkString("(", " + ", ")")
+
+  /** Rational fast sigmoid; E0 suffixes force double literals in both
+    * Spark and DuckDB (plain 0.5 parses as DECIMAL in both). */
+  private def sigText(z: String): String =
+    s"(0.5E0 + ((0.5E0 * $z) / (1.0E0 + abs($z))))"
+
+  /** Per-row truncated-scaled-long gradient term for feature f. */
+  private def gradTermText(sig: String, y: String, f: String): String =
+    s"floor((($sig - $y) * $f) * 1e9)"
+
+  /**
+   * Trains logistic regression (fast-sigmoid link) by full-batch gradient
+   * descent. Returns weights ++ bias (length features.size + 1).
+   * Rows with any null feature/label are dropped.
+   */
+  def trainLogistic(
+      df: DataFrame,
+      features: Seq[Column],
+      label: Column,
+      lr: Double,
+      iters: Int): Array[Double] = {
+    val n = features.length
+    require(n >= 1 && iters >= 0 && lr > 0, "need >=1 feature, iters >= 0, lr > 0")
+    val proj = df.select(
+        features.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__f$i") } :+
+          label.cast("double").as("__y"): _*)
+      .na.drop("any")
+      .localCheckpoint()
+    val fs = (0 until n).map(i => s"__f$i")
+    val w = Array.fill(n + 1)(0.0) // last slot = bias
+    var it = 0
+    while (it < iters) {
+      val sig = sigText(zText(w.init.toSeq.map(dlit), fs, dlit(w.last)))
+      val aggs = (fs :+ "1.0E0").map(f => sum(expr(gradTermText(sig, "__y", f)))) :+
+        count(lit(1))
+      val row = proj.agg(aggs.head, aggs.tail: _*).head()
+      val cnt = row.getLong(n + 1).toDouble
+      require(cnt > 0, "no non-null training rows")
+      var j = 0
+      while (j <= n) {
+        // exact mirror of the oracle CTE: (w - lr * ((sum/1e9) / n))
+        w(j) = w(j) - lr * ((row.getLong(j).toDouble / 1e9) / cnt)
+        j += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Scoring column for trained weights over the same feature columns —
+    * the Column-tree twin of sigText/zText (identical IEEE op order, so
+    * scores match the oracle CTE bit for bit). Pure codegen arithmetic —
+    * inline in any projection. */
+  def score(weights: Array[Double], features: Seq[Column]): Column = {
+    require(weights.length == features.length + 1, "weights = features + bias")
+    val z = features.zip(weights.init).map { case (f, w) => lit(w) * f.cast("double") }
+      .reduceLeft(_ + _) + lit(weights.last)
+    lit(0.5) + ((lit(0.5) * z) / (lit(1.0) + abs(z)))
+  }
+
+  /**
+   * Unrolled-CTE oracle: the complete training + scoring recomputed in
+   * portable SQL (DuckDB-runnable). `featureSqls`/`labelSql` are
+   * expressions over `table`'s columns; must be engine-portable
+   * (length/replace/least/greatest/arithmetic).
+   */
+  def oracleSql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int): String = {
+    val n = featureSqls.length
+    val fNames = (0 until n).map(i => s"f$i")
+    val wNames = (0 until n).map(i => s"w$i")
+    val feat = s"feat AS (SELECT $idCol, " +
+      featureSqls.zip(fNames).map { case (e, a) => s"($e) AS $a" }.mkString(", ") +
+      s", ($labelSql) AS y FROM $table WHERE $where)"
+    val it0 = s"it0 AS (SELECT " +
+      (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
+    val iterCtes = (1 to iters).map { k =>
+      val sig = sigText(zText(wNames, fNames, "b"))
+      val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
+        val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
+        s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
+      }
+      s"it$k AS (SELECT ${cols.mkString(", ")} FROM feat CROSS JOIN it${k - 1} " +
+        s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
+    }
+    val sigF = sigText(zText(wNames, fNames, "b"))
+    s"WITH $feat, $it0, ${iterCtes.mkString(", ")} " +
+      s"SELECT $idCol, round($sigF, 6) AS score, " +
+      s"CASE WHEN $sigF > 0.5E0 THEN 1 ELSE 0 END AS pred " +
+      s"FROM feat CROSS JOIN it$iters ORDER BY $idCol"
+  }
+}

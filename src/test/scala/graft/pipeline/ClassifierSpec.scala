@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // linearly separable toy set: y = 1 iff f0 > 0.5
+  private lazy val toy = (1 to 400).map { i =>
+    val f0 = (i % 100) / 100.0
+    val f1 = ((i * 7) % 100) / 100.0
+    (i.toLong, f0, f1, if (f0 > 0.5) 1.0 else 0.0)
+  }.toDF("id", "f0", "f1", "y")
+
+  test("training separates a separable set (accuracy > 0.9)") {
+    val w = Classifier.trainLogistic(toy, Seq($"f0", $"f1"), $"y", lr = 2.0, iters = 50)
+    assert(w.length == 3)
+    val sc = Classifier.score(w, Seq($"f0", $"f1"))
+    val acc = toy.select(
+        when((sc > 0.5).cast("int") === $"y".cast("int"), 1.0).otherwise(0.0).as("ok"))
+      .agg(avg($"ok")).head().getDouble(0)
+    assert(acc > 0.9, s"accuracy $acc")
+    // weight on the informative feature dominates the uninformative one
+    assert(math.abs(w(0)) > math.abs(w(1)))
+  }
+
+  test("weights are bit-identical across partitionings") {
+    val a = Classifier.trainLogistic(toy.repartition(1), Seq($"f0", $"f1"), $"y", 0.5, 5)
+    val b = Classifier.trainLogistic(toy.repartition(13), Seq($"f0", $"f1"), $"y", 0.5, 5)
+    assert(a.toSeq == b.toSeq) // exact double equality, not approx
+  }
+
+  test("null features/labels are dropped, not poisoned") {
+    val withNulls = toy.union(Seq((9901L, Double.NaN, 0.0, 1.0)).toDF("id", "f0", "f1", "y")
+      .withColumn("f0", lit(null).cast("double")))
+    val w0 = Classifier.trainLogistic(toy, Seq($"f0", $"f1"), $"y", 0.5, 3)
+    val w1 = Classifier.trainLogistic(withNulls, Seq($"f0", $"f1"), $"y", 0.5, 3)
+    assert(w0.toSeq == w1.toSeq)
+  }
+
+  test("zero iterations returns zero weights and score 0.5 everywhere") {
+    val w = Classifier.trainLogistic(toy, Seq($"f0"), $"y", 0.5, 0)
+    assert(w.toSeq == Seq(0.0, 0.0))
+    val s = toy.select(Classifier.score(w, Seq($"f0")).as("s"))
+      .agg(min($"s"), max($"s")).head()
+    assert(s.getDouble(0) == 0.5 && s.getDouble(1) == 0.5)
+  }
+
+  test("oracle CTE text replays the trainer exactly (Spark-executed)") {
+    // run the generated oracle SQL in Spark itself against a temp view:
+    // same parse-tree discipline the DuckDB gate relies on.
+    val df = toy.select($"id", $"f0", $"f1", $"y")
+    df.createOrReplaceTempView("clf_toy")
+    val sql = Classifier.oracleSql(
+      table = "clf_toy", idCol = "id",
+      featureSqls = Seq("f0", "f1"), labelSql = "y",
+      where = "f0 IS NOT NULL", lr = 0.5, iters = 3)
+    val viaSql = spark.sql(sql).collect()
+    val w = Classifier.trainLogistic(df, Seq($"f0", $"f1"), $"y", 0.5, 3)
+    val sc = Classifier.score(w, Seq($"f0", $"f1"))
+    val direct = df.select($"id", round(sc, 6).as("score"),
+        when(sc > lit(0.5), 1).otherwise(0).as("pred"))
+      .orderBy("id").collect()
+    assert(viaSql.length == direct.length)
+    viaSql.zip(direct).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getDouble(1) == b.getDouble(1), s"score mismatch at id ${a.getLong(0)}")
+      assert(a.getInt(2) == b.getInt(2))
+    }
+  }
+}
