@@ -382,6 +382,28 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Spherical (Chamberlain-Duquette) polygon area — the geodesic
+    // companion of st_area. Exterior square + a hole polygon; the oracle
+    // replays the edge-term sum closed-form (axis-aligned ring => only the
+    // two horizontal edges contribute).
+    "q255_geodesic_area" -> sqlQuery(Seq("customer"),
+      s"""SELECT c_custkey,
+         |  round(st_geodesicarea(st_makeenvelope($custX, $custY,
+         |    $custX + $custSide, $custY + $custSide)) / 1e6, 3) AS ext_km2,
+         |  round(st_geodesicarea(st_geomfromtext(concat(
+         |    'POLYGON ((', $custX, ' ', $custY, ', ',
+         |    $custX + $custSide, ' ', $custY, ', ',
+         |    $custX + $custSide, ' ', $custY + $custSide, ', ',
+         |    $custX, ' ', $custY + $custSide, ', ',
+         |    $custX, ' ', $custY, '), (',
+         |    $custX + $custSide / 4.0, ' ', $custY + $custSide / 4.0, ', ',
+         |    $custX + $custSide / 4.0 + $custSide / 2.0, ' ', $custY + $custSide / 4.0, ', ',
+         |    $custX + $custSide / 4.0 + $custSide / 2.0, ' ', $custY + $custSide / 4.0 + $custSide / 2.0, ', ',
+         |    $custX + $custSide / 4.0, ' ', $custY + $custSide / 4.0 + $custSide / 2.0, ', ',
+         |    $custX + $custSide / 4.0, ' ', $custY + $custSide / 4.0, '))'))) / 1e6, 3) AS holed_km2,
+         |  st_geodesicarea(st_point($custX, $custY)) AS pt_zero
+         |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // Model-based quality filtering (fastText/CCNet-style): distributed
     // logistic-regression trainer (fast-sigmoid link, truncated-scaled-long
     // gradient fold — bit-identical across partitionings and engines), then
@@ -5931,6 +5953,25 @@ object SparkEntry {
         |  round(3.5 + cast(c_custkey % 35 as double) / 10.0, 6) + 0.0 AS rt_lon,
         |  round(50.8 + cast(c_custkey % 25 as double) / 10.0, 6) + 0.0 AS rt_lat
         |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
+
+    "q255_geodesic_area" -> {
+      // Chamberlain-Duquette ring area closed form for an axis-aligned
+      // ring (vertical edges have dLon=0 => contribute exactly 0.0);
+      // mirrors Geodesy.sphericalRingArea's edge order and |.|*R*R/2.
+      def ring(lonSpan: String, latLo: String, latHi: String): String = {
+        val t1 = s"radians($lonSpan) * (2 + sin(radians($latLo)) + sin(radians($latLo)))"
+        val t3 = s"radians(0.0 - ($lonSpan)) * (2 + sin(radians($latHi)) + sin(radians($latHi)))"
+        s"abs(($t1) + ($t3)) * 6371008.8 * 6371008.8 / 2"
+      }
+      val ext = ring(oSide, oCustY, s"$oCustY + $oSide")
+      val hole = ring(s"$oSide / 2.0", s"$oCustY + $oSide / 4.0",
+        s"$oCustY + $oSide / 4.0 + $oSide / 2.0")
+      s"""SELECT c_custkey,
+         |  round(($ext) / 1e6, 3) AS ext_km2,
+         |  round((($ext) - ($hole)) / 1e6, 3) AS holed_km2,
+         |  0.0E0 AS pt_zero
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    },
 
     "q254_quality_classifier" ->
       graft.pipeline.Classifier.oracleSql(

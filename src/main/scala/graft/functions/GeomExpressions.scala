@@ -380,6 +380,13 @@ object GeomKernels {
       val m = if (a.isEmpty || a(0) == null) Geodesy.Method.Geodesic else Geodesy.Method.parse(s(a(0)))
       Geodesy.geodesicLength(g, m)
     }),
+    // Chamberlain-Duquette polygon area in m^2 on the mean sphere with
+    // edges PLANAR IN LON/LAT (the GeoJSON/turf.js convention — lon/lat
+    // data digitized as straight segments in degree space). Contrast
+    // st_areasphere, which treats edges as great circles (exact solid
+    // angle); the two agree to ~1e-6 relative on sub-degree polygons and
+    // diverge as edges lengthen.
+    "st_geodesicarea" -> W(DoubleType, Set(0), (g, _) => Geodesy.geodesicArea(g)),
     "st_transform" -> W(BinaryType, Set(2), (g, a) => wkb(CRS.transform(g, s(a(0)), s(a(1))))),
     "st_affine" -> W(BinaryType, Set(6), (g, a) =>
       wkb(AffineOps.affine(g, AffineMatrix(d(a(0)), d(a(1)), d(a(2)), d(a(3)), d(a(4)), d(a(5)))))),

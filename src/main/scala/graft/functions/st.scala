@@ -58,6 +58,7 @@ object st {
   def buffer(g: Column, dist: Column, quadSegs: Column): Column =
     call_function("st_buffer", g, dist, quadSegs)
   def geodesicLength(g: Column): Column = call_function("st_geodesiclength", g)
+  def geodesicArea(g: Column): Column = call_function("st_geodesicarea", g)
   def geodesicLength(g: Column, method: String): Column =
     call_function("st_geodesiclength", g, lit(method))
   def transform(g: Column, from: String, to: String): Column =

@@ -280,6 +280,47 @@ object Geodesy {
       case Method.Karney    => karney(lon1, lat1, lon2, lat2)
     }
 
+  /**
+   * Signed Chamberlain–Duquette spherical ring area (m^2) on the
+   * MeanEarthRadius sphere — the published approximation PostGIS'
+   * sphere path and turf.js use (NASA JPL Publication 07-3): per edge
+   * rad(dLon) * (2 + sin(radLat1) + sin(radLat2)), total * R^2 / 2.
+   * The "2 +" term telescopes to zero over a closed ring; what remains
+   * is the trapezoid rule in the cylindrical equal-area projection —
+   * i.e. edges are treated as straight in lon/lat space (the GeoJSON
+   * convention), unlike [[sphericalArea]] whose edges are great circles.
+   * Accuracy ~0.3% vs the full ellipsoidal (Karney) area, dominated by
+   * the spherical approximation, not the trapezoid rule.
+   */
+  def sphericalRingArea(cs: Array[Double]): Double = {
+    var total = 0.0
+    var i = 0
+    while (i + 3 < cs.length) {
+      total += math.toRadians(cs(i + 2) - cs(i)) *
+        (2.0 + math.sin(math.toRadians(cs(i + 1))) + math.sin(math.toRadians(cs(i + 3))))
+      i += 2
+    }
+    total * MeanEarthRadius * MeanEarthRadius / 2
+  }
+
+  /** Geodesic (spherical) area in m^2: |exterior| minus |holes| per
+    * polygon, summed over multi-parts; non-areal geometries => 0.0.
+    * Ring orientation is irrelevant (each ring's area is |signed|). */
+  def geodesicArea(g: Geometry): Double = g match {
+    case p: Polygon =>
+      if (p.isEmpty || p.rings.isEmpty) 0.0
+      else {
+        val ext = math.abs(sphericalRingArea(p.rings(0)))
+        var holes = 0.0
+        var i = 1
+        while (i < p.rings.length) { holes += math.abs(sphericalRingArea(p.rings(i))); i += 1 }
+        math.max(ext - holes, 0.0)
+      }
+    case mp: MultiPolygon      => mp.geoms.foldLeft(0.0)(_ + geodesicArea(_))
+    case c: GeometryCollection => c.geoms.foldLeft(0.0)(_ + geodesicArea(_))
+    case _ => 0.0
+  }
+
   /** Geodesic length of a geometry in meters (coords = lon/lat degrees).
     * Polygon => exterior ring, matching euclidean_length semantics. */
   def geodesicLength(g: Geometry, m: Method): Double = {
