@@ -1263,8 +1263,13 @@ object SparkEntry {
       val li = s.table("lineitem")
       val est = graft.pipeline.Sketch.histQuantiles(
         li, "l_extendedprice", Seq("l_returnflag"), Seq(0.5, 0.95))
-      val exact = li.groupBy("l_returnflag").agg(
-        (round(expr("percentile(l_extendedprice, 0.5)"), 4) + lit(0.0)).as("exact_q50"))
+      // exact median via the scale-safe sort-rank operator (bit-identical
+      // to the built-in `percentile`, see QuantilesSpec) — the built-in's
+      // distinct-value ObjectHashAggregate state is the data itself on a
+      // near-distinct measure
+      val exact = graft.relational.Quantiles
+        .exactPercentile(li, Seq("l_returnflag"), "l_extendedprice", 0.5, "__q")
+        .select(col("l_returnflag"), (round(col("__q"), 4) + lit(0.0)).as("exact_q50"))
       est.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("est_q50"), col("est_q95"), col("exact_q50"))
         .orderBy("l_returnflag")
@@ -2606,18 +2611,28 @@ object SparkEntry {
 
     // exact interpolated quantiles (Spark percentile = DuckDB quantile_cont,
     // both (n-1)*p linear interpolation) — the distributed sort-based path
-    "q152_percentiles" -> sqlQuery(Seq("lineitem"),
-      """SELECT l_returnflag,
-        |  round(ps[0], 6) + 0.0 AS p25,
-        |  round(ps[1], 6) + 0.0 AS p50,
-        |  round(ps[2], 6) + 0.0 AS p75,
-        |  round(ps[1], 6) + 0.0 AS med,
-        |  round(q90r, 6) + 0.0 AS q90
-        |FROM (SELECT l_returnflag,
-        |        percentile(l_extendedprice, array(0.25, 0.5, 0.75)) AS ps,
-        |        percentile(l_quantity, 0.9) AS q90r
-        |      FROM lineitem GROUP BY l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin),
+    // exact grouped percentiles via relational/Quantiles (range-sort +
+    // offset ranks, bit-identical to the built-in `percentile` — see
+    // QuantilesSpec differential tests). The built-in's per-group
+    // distinct-value map state is the 100 TB OOM shape this replaces.
+    "q152_percentiles" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "lineitem")
+      val li = s.table("lineitem")
+      // one range sort for both measures: allPs = [0.25, 0.5, 0.75, 0.9]
+      val (allPs, stacked) = graft.relational.Quantiles.exactPercentilesStacked(
+        li, Seq("l_returnflag"),
+        Seq("l_extendedprice" -> Seq(0.25, 0.5, 0.75), "l_quantity" -> Seq(0.9)))
+      def pick(measure: String, p: Double): org.apache.spark.sql.Column =
+        max(when(col("__col") === measure, col(s"p${allPs.indexOf(p)}")))
+      stacked.groupBy("l_returnflag")
+        .agg((round(pick("l_extendedprice", 0.25), 6) + lit(0.0)).as("p25"),
+          (round(pick("l_extendedprice", 0.5), 6) + lit(0.0)).as("p50"),
+          (round(pick("l_extendedprice", 0.75), 6) + lit(0.0)).as("p75"),
+          (round(pick("l_extendedprice", 0.5), 6) + lit(0.0)).as("med"),
+          (round(pick("l_quantity", 0.9), 6) + lit(0.0)).as("q90"))
+        .orderBy("l_returnflag")
+    }),
 
     // PII scrub pass for a training corpus: detect + redact emails, phone
     // numbers, IPv4s (deterministically injected so the regexes are
