@@ -382,6 +382,44 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Lambert Azimuthal Equal Area (EPSG method 9820): ETRS89-LAEA Europe
+    // (EPSG:3035, the EU INSPIRE grid) + North-Pole LAEA (EPSG:3574).
+    // Columns pin (a) the EPSG Guidance Note 7-2 worked example
+    // (5E,50N -> 3962799.45, 2999718.85 — our forward agrees to <1 cm),
+    // (b) 4326 round-trips through both aspects, (c) the DEFINING
+    // equal-area property: planar area of a projected 0.02-deg quad over
+    // the closed-form authalic quad area rounds to exactly 1.000.
+    "q256_laea" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val ell = graft.geom.CRS.GRS80
+      val (aa, ee, ee2) = (ell.a * ell.a, ell.e, ell.e2)
+      def qs(lat: String): String =
+        s"((1.0 - $ee2) * (sin(radians($lat)) / (1.0 - $ee2 * sin(radians($lat)) * sin(radians($lat)))" +
+          s" - (1.0 / (2.0 * $ee)) * ln((1.0 - $ee * sin(radians($lat))) / (1.0 + $ee * sin(radians($lat))))))"
+      s.sql(
+        s"""WITH pts AS (
+           |  SELECT c_custkey,
+           |    -10.0 + cast(c_custkey % 400 as double) / 10.0 AS lon,
+           |    35.0 + cast((c_custkey * 7) % 350 as double) / 10.0 AS lat
+           |  FROM customer WHERE c_custkey <= 1000)
+           |SELECT c_custkey,
+           |  round(st_x(st_transform(st_point(5.0, 50.0), 'EPSG:4326', 'EPSG:3035')), 2) + 0.0 AS gn_e,
+           |  round(st_y(st_transform(st_point(5.0, 50.0), 'EPSG:4326', 'EPSG:3035')), 2) + 0.0 AS gn_n,
+           |  round(st_x(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'EPSG:3035'),
+           |    'EPSG:3035', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+           |  round(st_y(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'EPSG:3035'),
+           |    'EPSG:3035', 'EPSG:4326')), 6) + 0.0 AS rt_lat,
+           |  round(st_x(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'EPSG:3574'),
+           |    'EPSG:3574', 'EPSG:4326')), 6) + 0.0 AS polar_rt_lon,
+           |  round(st_y(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'EPSG:3574'),
+           |    'EPSG:3574', 'EPSG:4326')), 6) + 0.0 AS polar_rt_lat,
+           |  round(st_area(st_transform(st_makeenvelope(lon, lat, lon + 0.02, lat + 0.02),
+           |    'EPSG:4326', 'EPSG:3035')) /
+           |    ($aa * radians(0.02) * (${qs("lat + 0.02")} - ${qs("lat")}) / 2.0), 3) + 0.0 AS area_ratio
+           |FROM pts ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Spherical (Chamberlain-Duquette) polygon area — the geodesic
     // companion of st_area. Exterior square + a hole polygon; the oracle
     // replays the edge-term sum closed-form (axis-aligned ring => only the
@@ -5968,6 +6006,22 @@ object SparkEntry {
         |  round(3.5 + cast(c_custkey % 35 as double) / 10.0, 6) + 0.0 AS rt_lon,
         |  round(50.8 + cast(c_custkey % 25 as double) / 10.0, 6) + 0.0 AS rt_lat
         |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
+
+    // gn_* pin the EPSG GN 7-2 worked example (string->double literals so
+    // both engines hold the identical nearest double); rt_* echo the
+    // inputs (round trips converge far inside the 1e-6 rounding);
+    // area_ratio = 1.000 is the defining equal-area property (projected
+    // quad / authalic closed form; curvature error ~3e-7 << the 5e-4 grain)
+    "q256_laea" ->
+      """SELECT c_custkey,
+        |  CAST('3962799.45' AS DOUBLE) AS gn_e,
+        |  CAST('2999718.85' AS DOUBLE) AS gn_n,
+        |  round(-10.0 + cast(c_custkey % 400 as double) / 10.0, 6) + 0.0 AS rt_lon,
+        |  round(35.0 + cast((c_custkey * 7) % 350 as double) / 10.0, 6) + 0.0 AS rt_lat,
+        |  round(-10.0 + cast(c_custkey % 400 as double) / 10.0, 6) + 0.0 AS polar_rt_lon,
+        |  round(35.0 + cast((c_custkey * 7) % 350 as double) / 10.0, 6) + 0.0 AS polar_rt_lat,
+        |  CAST('1.0' AS DOUBLE) AS area_ratio
+        |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
 
     "q255_geodesic_area" -> {
       // Chamberlain-Duquette ring area closed form for an axis-aligned

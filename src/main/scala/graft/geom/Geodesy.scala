@@ -779,6 +779,101 @@ object CRS {
     }
   }
 
+  /**
+   * Lambert Azimuthal Equal Area, EPSG method 9820 (Snyder §24 pp.
+   * 187-190): authalic-latitude formulation on the ellipsoid — the
+   * projection behind the ETRS89-LAEA Europe grid (EPSG:3035, the EU
+   * INSPIRE standard statistical grid) and the polar LAEA family
+   * (EPSG:3571-3576 Arctic). Oblique/equatorial aspect uses the
+   * (beta0, Rq, D) construction; the polar aspects have their own
+   * closed-form rho = a*sqrt(qP -/+ q). Inverse recovers the authalic
+   * latitude, then Snyder eq. 3-16 fixed-point back to geodetic.
+   */
+  final case class LambertAzimuthalEqualArea(
+      ell: Ellipsoid, lat0: Double, lon0: Double, x0: Double, y0: Double) {
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val l0 = math.toRadians(lon0)
+    private val phi0 = math.toRadians(lat0)
+    /** Snyder 3-12: q(phi). */
+    private def q(phi: Double): Double = {
+      val sp = math.sin(phi)
+      (1 - e2) * (sp / (1 - e2 * sp * sp) -
+        (1 / (2 * e)) * math.log((1 - e * sp) / (1 + e * sp)))
+    }
+    private val qP = q(math.Pi / 2)
+    private val north = lat0 >= 90.0 - 1e-9
+    private val south = lat0 <= -90.0 + 1e-9
+    private val polar = north || south
+    // oblique-aspect constants (unused in the polar branch)
+    private val q0 = q(phi0)
+    private val beta0 = if (polar) 0.0 else math.asin(q0 / qP)
+    private val sinB0 = math.sin(beta0)
+    private val cosB0 = math.cos(beta0)
+    private val rq = ell.a * math.sqrt(qP / 2)
+    private val m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.pow(math.sin(phi0), 2))
+    private val bigD = if (polar) 1.0 else ell.a * m0 / (rq * cosB0)
+
+    def forward(lon: Double, lat: Double): XY = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon) - l0
+      val qq = q(phi)
+      if (polar) {
+        // Snyder 24-23/24-25: rho = a*sqrt(qP - q) (north), a*sqrt(qP + q) (south)
+        val rho = ell.a * math.sqrt(if (north) math.max(qP - qq, 0.0) else math.max(qP + qq, 0.0))
+        if (north) (x0 + rho * math.sin(lam), y0 - rho * math.cos(lam))
+        else (x0 + rho * math.sin(lam), y0 + rho * math.cos(lam))
+      } else {
+        val beta = math.asin(qq / qP)
+        val sb = math.sin(beta); val cb = math.cos(beta); val cl = math.cos(lam)
+        val b = rq * math.sqrt(2 / (1 + sinB0 * sb + cosB0 * cb * cl))
+        (x0 + b * bigD * cb * math.sin(lam),
+          y0 + (b / bigD) * (cosB0 * sb - sinB0 * cb * cl))
+      }
+    }
+
+    /** Snyder 3-16 fixed point: geodetic latitude from q. */
+    private def phiFromQ(qq: Double): Double = {
+      if (math.abs(qq) >= math.abs(qP) - 1e-14) return if (qq >= 0) math.Pi / 2 else -math.Pi / 2
+      var phi = math.asin(qq / 2)
+      var i = 0
+      while (i < 15) {
+        val sp = math.sin(phi)
+        val den = 1 - e2 * sp * sp
+        phi = phi + den * den / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - sp / den + (1 / (2 * e)) * math.log((1 - e * sp) / (1 + e * sp)))
+        i += 1
+      }
+      phi
+    }
+
+    def inverse(x: Double, y: Double): XY = {
+      val dx = x - x0
+      val dy = y - y0
+      if (polar) {
+        val rho = math.hypot(dx, dy)
+        val qq0 = qP - math.pow(rho / ell.a, 2)
+        val qq = if (north) qq0 else -qq0
+        val lam =
+          if (rho == 0.0) 0.0
+          else if (north) math.atan2(dx, -dy)
+          else math.atan2(dx, dy)
+        var lonDeg = math.toDegrees(l0 + lam)
+        if (lonDeg >= 180) lonDeg -= 360 else if (lonDeg < -180) lonDeg += 360
+        (lonDeg, math.toDegrees(phiFromQ(qq)))
+      } else {
+        val rho = math.hypot(dx / bigD, bigD * dy)
+        if (rho == 0.0) return (math.toDegrees(l0), math.toDegrees(phi0))
+        val ce = 2 * math.asin(math.min(1.0, rho / (2 * rq)))
+        val sc = math.sin(ce); val cc = math.cos(ce)
+        val qq = qP * (cc * sinB0 + bigD * dy * sc * cosB0 / rho)
+        val lam = math.atan2(dx * sc,
+          bigD * rho * cosB0 * cc - bigD * bigD * dy * sinB0 * sc)
+        (math.toDegrees(l0 + lam), math.toDegrees(phiFromQ(qq)))
+      }
+    }
+  }
+
   /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
     * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
     * the EPSG registry entries for these CRSs. */
@@ -886,8 +981,12 @@ object CRS {
         val p = ObliqueStereographic(ell, d("lat_0", 0), d("lon_0", 0),
           d("k_0", d("k", 1.0)), d("x_0", 0), d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
+      case "laea" =>
+        val p = LambertAzimuthalEqualArea(ell, d("lat_0", 0), d("lon_0", 0),
+          d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea)")
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea)")
     }
     helmert match {
       case None => (projFwd, projInv)
@@ -941,6 +1040,12 @@ object CRS {
     "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 " +
       "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel " +
       "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725")
+  registerProj4("EPSG:3035", // ETRS89-LAEA Europe (EU INSPIRE statistical grid)
+    "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80")
+  registerProj4("EPSG:3571", // North Pole LAEA Bering Sea (WGS84)
+    "+proj=laea +lat_0=90 +lon_0=180 +x_0=0 +y_0=0 +ellps=WGS84")
+  registerProj4("EPSG:3574", // North Pole LAEA Atlantic
+    "+proj=laea +lat_0=90 +lon_0=-40 +x_0=0 +y_0=0 +ellps=WGS84")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
@@ -1099,6 +1204,13 @@ object CRS {
         lon0 = lon0,
         x0 = params(8806, "false easting", 0),
         y0 = params(8807, "false northing", 0))
+      ((p.forward _).tupled, (p.inverse _).tupled)
+    } else if (methodCode == 9820 || methodName.contains("lambert azimuthal equal area")) {
+      val p = LambertAzimuthalEqualArea(ell,
+        params(8801, "latitude of natural origin", 0),
+        params(8802, "longitude of natural origin", 0),
+        params(8806, "false easting", 0),
+        params(8807, "false northing", 0))
       ((p.forward _).tupled, (p.inverse _).tupled)
     } else if (methodCode == 9809 || methodName.contains("oblique stereographic")) {
       val p = ObliqueStereographic(ell,
