@@ -420,6 +420,33 @@ object SparkEntry {
            |FROM pts ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Sinusoidal (MODIS land grid / ESRI:54008): world-bound constant
+    // (R*pi, replayed closed-form by the oracle), the WGS84 quarter
+    // meridian through the ellipsoidal form, world-wide round-trips, and
+    // the equal-area ratio against the spherical closed form.
+    "q257_sinusoidal" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val r = graft.geom.CRS.ModisSphereR
+      s.sql(
+        s"""WITH pts AS (
+           |  SELECT c_custkey,
+           |    cast(c_custkey % 340 - 170 as double) AS lon,
+           |    cast((c_custkey * 7) % 160 - 80 as double) AS lat
+           |  FROM customer WHERE c_custkey <= 1000)
+           |SELECT c_custkey,
+           |  round(st_x(st_transform(st_point(180.0, 0.0), 'EPSG:4326', 'MODIS')), 3) + 0.0 AS world_x,
+           |  round(st_y(st_transform(st_point(0.0, 90.0), 'EPSG:4326', 'ESRI:54008')), 1) + 0.0 AS quarter_meridian,
+           |  round(st_x(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'MODIS'),
+           |    'MODIS', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+           |  round(st_y(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'MODIS'),
+           |    'MODIS', 'EPSG:4326')), 6) + 0.0 AS rt_lat,
+           |  round(st_area(st_transform(st_makeenvelope(lon, lat, lon + 0.02, lat + 0.02),
+           |    'EPSG:4326', 'MODIS')) /
+           |    ($r * $r * radians(0.02) * (sin(radians(lat + 0.02)) - sin(radians(lat)))), 3) + 0.0 AS area_ratio
+           |FROM pts ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Spherical (Chamberlain-Duquette) polygon area — the geodesic
     // companion of st_area. Exterior square + a hole polygon; the oracle
     // replays the edge-term sum closed-form (axis-aligned ring => only the
@@ -6006,6 +6033,19 @@ object SparkEntry {
         |  round(3.5 + cast(c_custkey % 35 as double) / 10.0, 6) + 0.0 AS rt_lon,
         |  round(50.8 + cast(c_custkey % 25 as double) / 10.0, 6) + 0.0 AS rt_lat
         |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
+
+    // world_x replayed closed-form (R*pi — identical doubles both
+    // engines); quarter_meridian pinned as a literal (externally checked
+    // to <1 m vs the published WGS84 value in SinusoidalSpec); rt_* echo
+    // integer-degree inputs; area_ratio = equal-area defining property
+    "q257_sinusoidal" ->
+      """SELECT c_custkey,
+        |  round(CAST('6371007.181' AS DOUBLE) * pi(), 3) + 0.0 AS world_x,
+        |  CAST('10001965.7' AS DOUBLE) AS quarter_meridian,
+        |  round(cast(c_custkey % 340 - 170 as double), 6) + 0.0 AS rt_lon,
+        |  round(cast((c_custkey * 7) % 160 - 80 as double), 6) + 0.0 AS rt_lat,
+        |  CAST('1.0' AS DOUBLE) AS area_ratio
+        |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
 
     // gn_* pin the EPSG GN 7-2 worked example (string->double literals so
     // both engines hold the identical nearest double); rt_* echo the

@@ -874,6 +874,73 @@ object CRS {
     }
   }
 
+  /**
+   * Sinusoidal (Sanson-Flamsteed), Snyder §30 — the equal-area projection
+   * behind the MODIS land-tile grid (spherical, R = 6371007.181 authalic)
+   * and ESRI:54008 World Sinusoidal. Spherical when `sphereR` is set:
+   * x = R·dLam·cos(phi), y = R·phi. Ellipsoidal otherwise (Snyder 30-8/30-9):
+   * x = a·dLam·cos(phi)/sqrt(1-e2·sin2(phi)), y = M(phi) meridian arc
+   * (series 3-21), inverse via the rectifying-latitude series (3-26).
+   * Equal-area in both forms.
+   */
+  final case class Sinusoidal(
+      ell: Ellipsoid, sphereR: Option[Double], lon0: Double, x0: Double, y0: Double) {
+    private val l0 = math.toRadians(lon0)
+    private val e2 = ell.e2
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    // meridian-arc coefficients (Snyder 3-21)
+    private val m0c = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    private val m2c = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    private val m4c = 15 * e4 / 256 + 45 * e6 / 1024
+    private val m6c = 35 * e6 / 3072
+    private def arc(phi: Double): Double =
+      ell.a * (m0c * phi - m2c * math.sin(2 * phi) + m4c * math.sin(4 * phi) - m6c * math.sin(6 * phi))
+    // rectifying-latitude inverse coefficients (Snyder 3-24/3-26)
+    private val e1 = {
+      val s = math.sqrt(1 - e2); (1 - s) / (1 + s)
+    }
+    private def phiFromArc(m: Double): Double = {
+      val mu = m / (ell.a * m0c)
+      mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    }
+
+    def forward(lon: Double, lat: Double): XY = {
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lon) - l0
+      if (dLam > math.Pi) dLam -= 2 * math.Pi else if (dLam < -math.Pi) dLam += 2 * math.Pi
+      sphereR match {
+        case Some(r) => (x0 + r * dLam * math.cos(phi), y0 + r * phi)
+        case None =>
+          (x0 + ell.a * dLam * math.cos(phi) / math.sqrt(1 - e2 * math.pow(math.sin(phi), 2)),
+            y0 + arc(phi))
+      }
+    }
+
+    def inverse(x: Double, y: Double): XY = {
+      val dx = x - x0; val dy = y - y0
+      val (phi, dLam) = sphereR match {
+        case Some(r) =>
+          val p = dy / r
+          (p, if (math.abs(math.cos(p)) < 1e-12) 0.0 else dx / (r * math.cos(p)))
+        case None =>
+          val p = phiFromArc(dy)
+          val c = math.cos(p)
+          (p, if (math.abs(c) < 1e-12) 0.0
+              else dx * math.sqrt(1 - e2 * math.pow(math.sin(p), 2)) / (ell.a * c))
+      }
+      var lonDeg = math.toDegrees(l0 + dLam)
+      if (lonDeg > 180) lonDeg -= 360 else if (lonDeg < -180) lonDeg += 360
+      (lonDeg, math.toDegrees(phi))
+    }
+  }
+
+  /** The MODIS authalic sphere radius (meters). */
+  val ModisSphereR = 6371007.181
+
   /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
     * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
     * the EPSG registry entries for these CRSs. */
@@ -985,8 +1052,14 @@ object CRS {
         val p = LambertAzimuthalEqualArea(ell, d("lat_0", 0), d("lon_0", 0),
           d("x_0", 0), d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
+      case "sinu" =>
+        // +R pins the spherical (MODIS) form; an ellipsoid gives Snyder's
+        // ellipsoidal sinusoidal (ESRI:54008 style)
+        val p = Sinusoidal(ell, kv.get("R").map(_.toDouble),
+          d("lon_0", 0), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea)")
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea, sinu)")
     }
     helmert match {
       case None => (projFwd, projInv)
@@ -1046,6 +1119,10 @@ object CRS {
     "+proj=laea +lat_0=90 +lon_0=180 +x_0=0 +y_0=0 +ellps=WGS84")
   registerProj4("EPSG:3574", // North Pole LAEA Atlantic
     "+proj=laea +lat_0=90 +lon_0=-40 +x_0=0 +y_0=0 +ellps=WGS84")
+  registerProj4("MODIS", // the MODIS land-tile sinusoidal grid (authalic sphere)
+    "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
+  registerProj4("ESRI:54008", // World Sinusoidal (WGS84 ellipsoid)
+    "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
