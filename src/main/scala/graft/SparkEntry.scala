@@ -420,6 +420,24 @@ object SparkEntry {
            |FROM pts ORDER BY c_custkey""".stripMargin)
     }),
 
+    // XYZ/slippy tile sharding (PostGIS ST_TileEnvelope + tile indices):
+    // the standard web-scale spatial partitioning scheme. Tile ids at two
+    // zooms plus the containing z=6 tile's EPSG:3857 bounds; the oracle
+    // replays the slippy formulas (exact-rational x path, mercator-ln y
+    // path) and the tile-size arithmetic closed-form.
+    "q258_tile_shard" -> sqlQuery(Seq("customer"),
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    st_point(cast(c_custkey % 340 - 170 as double),
+         |             cast((c_custkey * 7) % 160 - 80 as double)) AS p
+         |  FROM customer WHERE c_custkey <= 1000)
+         |SELECT c_custkey,
+         |  st_tilex(p, 6) AS tx6, st_tiley(p, 6) AS ty6,
+         |  st_tilex(p, 12) AS tx12, st_tiley(p, 12) AS ty12,
+         |  round(st_xmin(st_tileenvelope(6, st_tilex(p, 6), st_tiley(p, 6))), 4) + 0.0 AS exmin,
+         |  round(st_ymax(st_tileenvelope(6, st_tilex(p, 6), st_tiley(p, 6))), 4) + 0.0 AS eymax
+         |FROM pts ORDER BY c_custkey""".stripMargin),
+
     // Sinusoidal (MODIS land grid / ESRI:54008): world-bound constant
     // (R*pi, replayed closed-form by the oracle), the WGS84 quarter
     // meridian through the ellipsoidal form, world-wide round-trips, and
@@ -6033,6 +6051,27 @@ object SparkEntry {
         |  round(3.5 + cast(c_custkey % 35 as double) / 10.0, 6) + 0.0 AS rt_lon,
         |  round(50.8 + cast(c_custkey % 25 as double) / 10.0, 6) + 0.0 AS rt_lat
         |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
+
+    // slippy formulas replayed: x-tile is exact rational arithmetic; the
+    // y-tile's ln/tan path rides the same trig-parity argument as q17
+    // (integer-degree latitudes sit far from any tile boundary); tile
+    // bounds from the same B/2^z arithmetic the kernel uses
+    "q258_tile_shard" -> {
+      val b = "CAST('20037508.342789244' AS DOUBLE)"
+      def tx(z: Int) =
+        s"greatest(0, least(cast(pow(2.0, $z) as bigint) - 1, " +
+          s"cast(floor((cast(c_custkey % 340 - 170 as double) + 180.0) / 360.0 * pow(2.0, $z)) as bigint)))"
+      def ty(z: Int) =
+        s"greatest(0, least(cast(pow(2.0, $z) as bigint) - 1, " +
+          s"cast(floor((1.0 - ln(tan(radians(cast((c_custkey * 7) % 160 - 80 as double))) + " +
+          s"1.0 / cos(radians(cast((c_custkey * 7) % 160 - 80 as double)))) / pi()) / 2.0 * pow(2.0, $z)) as bigint)))"
+      s"""SELECT c_custkey,
+         |  ${tx(6)} AS tx6, ${ty(6)} AS ty6,
+         |  ${tx(12)} AS tx12, ${ty(12)} AS ty12,
+         |  round((0.0 - $b) + ${tx(6)} * (2 * $b / pow(2.0, 6)), 4) + 0.0 AS exmin,
+         |  round($b - ${ty(6)} * (2 * $b / pow(2.0, 6)), 4) + 0.0 AS eymax
+         |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin
+    },
 
     // world_x replayed closed-form (R*pi — identical doubles both
     // engines); quarter_meridian pinned as a literal (externally checked

@@ -313,6 +313,9 @@ object GeomKernels {
     "st_symdifference"  -> B(BinaryType, (a, b) => Option(Union.symDifference(a, b)).map(wkb).orNull)
   )
 
+  /** EPSG:3857 half-world extent (R_WGS84 * pi). */
+  private[functions] val WebMercatorBound = 20037508.342789244
+
   private def d(v: Any): Double = v.asInstanceOf[Double]
   private def s(v: Any): String = v.toString
   private def origin(args: IndexedSeq[Any], i: Int): TransformOrigin =
@@ -379,6 +382,30 @@ object GeomKernels {
     "st_geodesiclength" -> W(DoubleType, Set(0, 1), (g, a) => {
       val m = if (a.isEmpty || a(0) == null) Geodesy.Method.Geodesic else Geodesy.Method.parse(s(a(0)))
       Geodesy.geodesicLength(g, m)
+    }),
+    // XYZ/slippy tile index of a Point at zoom z (x: column, y: row from
+    // the north; web-mercator clamp at +/-85.05112878). Non-points => null.
+    "st_tilex" -> W(LongType, Set(1), (g, a) => g match {
+      case p: Point if !p.x.isNaN =>
+        val z = d(a(0)).toInt
+        if (z < 0 || z > 30) null
+        else {
+          val t = math.floor((p.x + 180.0) / 360.0 * (1L << z).toDouble).toLong
+          math.max(0L, math.min((1L << z) - 1, t))
+        }
+      case _ => null
+    }),
+    "st_tiley" -> W(LongType, Set(1), (g, a) => g match {
+      case p: Point if !p.y.isNaN =>
+        val z = d(a(0)).toInt
+        if (z < 0 || z > 30) null
+        else {
+          val latR = math.toRadians(math.max(-85.05112878, math.min(85.05112878, p.y)))
+          val t = math.floor((1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 *
+            (1L << z).toDouble).toLong
+          math.max(0L, math.min((1L << z) - 1, t))
+        }
+      case _ => null
     }),
     // Chamberlain-Duquette polygon area in m^2 on the mean sphere with
     // edges PLANAR IN LON/LAT (the GeoJSON/turf.js convention — lon/lat
@@ -528,6 +555,20 @@ object GeomKernels {
     "st_makeenvelope" -> C(BinaryType, Set(4), a => {
       val (x0, y0, x1, y1) = (d(a(0)), d(a(1)), d(a(2)), d(a(3)))
       wkb(Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))))
+    }),
+    // PostGIS ST_TileEnvelope: the EPSG:3857 square of XYZ/slippy tile
+    // (z, x, y) — the standard web-scale spatial sharding scheme (pair
+    // with st_tilex/st_tiley for tile-aligned partitioning of point data)
+    "st_tileenvelope" -> C(BinaryType, Set(3), a => {
+      val z = d(a(0)).toInt; val x = d(a(1)).toLong; val y = d(a(2)).toLong
+      if (z < 0 || z > 30 || x < 0 || y < 0 || x >= (1L << z) || y >= (1L << z)) null
+      else {
+        val b = WebMercatorBound
+        val size = 2 * b / (1L << z)
+        val xmin = -b + x * size; val xmax = -b + (x + 1) * size
+        val ymax = b - y * size; val ymin = b - (y + 1) * size
+        wkb(Polygon(Array(Array(xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin))))
+      }
     }),
     // square tessellation of an envelope (PostGIS ST_SquareGrid): cells of
     // the origin-aligned `size` grid whose interior overlaps the box, in
@@ -685,6 +726,7 @@ private[functions] object GeomCodegen {
     val unbox = dataType match {
       case DoubleType  => s"((java.lang.Double) $resultVar).doubleValue()"
       case IntegerType => s"((java.lang.Integer) $resultVar).intValue()"
+      case LongType    => s"((java.lang.Long) $resultVar).longValue()"
       case BooleanType => s"((java.lang.Boolean) $resultVar).booleanValue()"
       case _           => s"(${CodeGenerator.javaType(dataType)}) $resultVar"
     }

@@ -59,6 +59,10 @@ object st {
     call_function("st_buffer", g, dist, quadSegs)
   def geodesicLength(g: Column): Column = call_function("st_geodesiclength", g)
   def geodesicArea(g: Column): Column = call_function("st_geodesicarea", g)
+  def tileX(g: Column, zoom: Column): Column = call_function("st_tilex", g, zoom)
+  def tileY(g: Column, zoom: Column): Column = call_function("st_tiley", g, zoom)
+  def tileEnvelope(zoom: Column, x: Column, y: Column): Column =
+    call_function("st_tileenvelope", zoom, x, y)
   def geodesicLength(g: Column, method: String): Column =
     call_function("st_geodesiclength", g, lit(method))
   def transform(g: Column, from: String, to: String): Column =
