@@ -93,4 +93,35 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(spark.table("pca_stream").as[(Long, Double)].collect().head._2 == 2.0)
     } finally q2.stop()
   }
+
+  test("quality-classifier scoring and tile sharding run stateless on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // train on a static batch (the normal pattern: offline train, online score)
+    val train = Seq((1L, 0.9, 1.0), (2L, 0.1, 0.0), (3L, 0.8, 1.0), (4L, 0.2, 0.0))
+      .toDF("id", "f0", "y")
+    val w = graft.pipeline.Classifier.trainLogistic(train, Seq($"f0"), $"y", 1.0, 10)
+    val input = MemoryStream[(Long, Double, Double, Double)]
+    val stream = input.toDF().toDF("id", "f0", "lon", "lat")
+    val out = stream.select(col("id"),
+      graft.pipeline.Classifier.score(w, Seq(col("f0"))).as("score"),
+      expr("st_tilex(st_point(lon, lat), 6)").as("tx"),
+      expr("st_tiley(st_point(lon, lat), 6)").as("ty"))
+    val q = out.writeStream.format("memory").queryName("clf_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 0.9, 0.0, 51.5), (2L, 0.1, -180.0, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("clf_stream")
+        .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+      assert(rows(0)._2 > 0.5 && rows(1)._2 < 0.5) // separable scores survive the stream
+      assert(rows(0)._3 == 32L && rows(1)._3 == 0L) // Greenwich / antimeridian tiles
+      // streamed scores are bit-identical to the batch projection
+      val batch = Seq((1L, 0.9), (2L, 0.1)).toDF("id", "f0")
+        .select(graft.pipeline.Classifier.score(w, Seq(col("f0"))).as("s"))
+        .as[Double].collect()
+      assert(rows.map(_._2).toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
