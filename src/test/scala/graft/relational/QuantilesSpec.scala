@@ -11,10 +11,16 @@ class QuantilesSpec extends AnyFunSuite {
 
   private val ps = Seq(0.0, 0.25, 0.5, 0.77, 0.95, 1.0)
 
+  /** Pin the range-sort path (builtin dispatch off) for the duration of `f`. */
+  private def sortPath[A](f: => A): A = {
+    spark.conf.set(Quantiles.BuiltinMaxRowsKey, "0")
+    try f finally spark.conf.unset(Quantiles.BuiltinMaxRowsKey)
+  }
+
   private def differential(rows: Seq[(String, Double)]): Unit = {
     val df = rows.toDF("k", "v")
-    val mine = Quantiles.exactPercentiles(df, Seq("k"), "v", ps)
-      .collect().map(r => r.getString(0) -> ps.indices.map(j => r.getDouble(1 + j))).toMap
+    val mine = sortPath(Quantiles.exactPercentiles(df, Seq("k"), "v", ps)
+      .collect()).map(r => r.getString(0) -> ps.indices.map(j => r.getDouble(1 + j))).toMap
     val builtin = df.groupBy("k")
       .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
@@ -44,9 +50,23 @@ class QuantilesSpec extends AnyFunSuite {
   test("nulls are ignored like the built-in") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None), ("b", Some(5.0)))
       .toDF("k", "v")
-    val mine = Quantiles.exactPercentile(df, Seq("k"), "v", 0.5, "med")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(mine == Map("a" -> 2.0, "b" -> 5.0))
+    for (pin <- Seq(true, false)) {
+      def run = Quantiles.exactPercentile(df, Seq("k"), "v", 0.5, "med")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val mine = if (pin) sortPath(run) else run
+      assert(mine == Map("a" -> 2.0, "b" -> 5.0))
+    }
+  }
+
+  test("dispatch threshold flip: builtin path and sort path agree exactly") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 3000).map(i => (s"g${i % 5}", rnd.nextDouble() * 500 - 250))
+    val df = rows.toDF("k", "v")
+    def run = Quantiles.exactPercentiles(df, Seq("k"), "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(j => r.getDouble(1 + j))).toMap
+    val viaSort = sortPath(run)
+    val viaBuiltin = run // default threshold >> 3000 rows -> builtin path
+    assert(viaSort == viaBuiltin)
   }
 
   test("constant column and two-key grouping") {
