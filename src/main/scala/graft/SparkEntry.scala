@@ -382,6 +382,30 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Z-order clustered layout (the lakehouse OPTIMIZE ZORDER BY):
+    // equi-width bucketize both clustering columns over their observed
+    // ranges, Morton-interleave the bucket bits (codegen Column bit
+    // arithmetic, relational/Layout), assign the deterministic
+    // equi-z-width file and report per-file stats — the min/max spans
+    // the parquet footers would expose for multi-dimension data skipping.
+    // One tiny min/max agg + one shuffle at any scale; the oracle replays
+    // bucketize + interleave + file assignment term for term.
+    "q259_zorder_layout" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "lineitem")
+      import graft.relational.Layout
+      val li = s.table("lineitem")
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val withZ = Layout.withZValue(li, cols, bits = 8)
+      withZ
+        .withColumn("file", Layout.deterministicFile(col("__z"), 8, 2, 16))
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          min("l_extendedprice").as("ep_min"), max("l_extendedprice").as("ep_max"),
+          min("l_quantity").as("q_min"), max("l_quantity").as("q_max"))
+        .orderBy("file")
+    }),
+
     // Lambert Azimuthal Equal Area (EPSG method 9820): ETRS89-LAEA Europe
     // (EPSG:3035, the EU INSPIRE grid) + North-Pole LAEA (EPSG:3574).
     // Columns pin (a) the EPSG Guidance Note 7-2 worked example
@@ -6041,6 +6065,36 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // bucketize/interleave/file-assignment replayed term for term: the
+    // equi-width bucket is pure double arithmetic in the identical shape
+    // ((v - mn) / (mx - mn) * 256), the Morton value is 16 unrolled
+    // shift/mask/or terms, and the file split is double-exact
+    // (z*16 < 2^21). min/max/count aggregates are order-independent.
+    "q259_zorder_layout" -> {
+      def bucket(c: String, mn: String, mx: String): String =
+        s"least(255, greatest(0, cast(floor((cast($c as double) - $mn) / ($mx - $mn) * 256.0) as bigint)))"
+      val zTerms = (for (k <- 0 until 8; j <- 0 until 2) yield
+        s"(((b$j >> $k) & 1) << ${k * 2 + j})").mkString(" | ")
+      s"""WITH r AS (
+         |  SELECT min(cast(l_extendedprice as double)) AS mn0,
+         |         max(cast(l_extendedprice as double)) AS mx0,
+         |         min(cast(l_quantity as double)) AS mn1,
+         |         max(cast(l_quantity as double)) AS mx1
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_extendedprice, l_quantity,
+         |    ${bucket("l_extendedprice", "r.mn0", "r.mx0")} AS b0,
+         |    ${bucket("l_quantity", "r.mn1", "r.mx1")} AS b1
+         |  FROM lineitem, r),
+         |z AS (
+         |  SELECT l_extendedprice, l_quantity, ($zTerms) AS zv FROM b)
+         |SELECT cast(floor(zv * 16.0 / 65536.0) as bigint) AS file,
+         |  count(*) AS n,
+         |  min(l_extendedprice) AS ep_min, max(l_extendedprice) AS ep_max,
+         |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
+         |FROM z GROUP BY 1 ORDER BY file""".stripMargin
+    },
 
     // the origin->false-origin identity is a defining property of the
     // projection (EPSG registry constants); rt_* echo the inputs (the
