@@ -382,6 +382,26 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Spatial semi/anti join (Spark leftsemi/leftanti extension over the
+    // broadcast R-tree): EXISTS / NOT EXISTS against an indexed polygon
+    // side without materializing matches — the probe short-circuits at
+    // the first refined hit. Left columns only, no suffixes.
+    "q260_spatial_semi_anti" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", s"$custPt AS geometry")
+      val boxes = s.range(2).selectExpr(
+        "cast(id as int) AS box_id",
+        "st_makeenvelope(cast(id * 144 - 180 as double), -80.0, cast(id * 144 - 108 as double), 80.0) AS geometry")
+      val semi = SpatialJoin.join(cust, boxes, SpatialJoin.Predicate.Intersects, "semi")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .select(lit("semi").as("side"), col("n"), col("key_sum"))
+      val anti = SpatialJoin.join(cust, boxes, SpatialJoin.Predicate.Intersects, "anti")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .select(lit("anti").as("side"), col("n"), col("key_sum"))
+      semi.unionAll(anti).orderBy("side")
+    }),
+
     // Z-order clustered layout (the lakehouse OPTIMIZE ZORDER BY):
     // equi-width bucketize both clustering columns over their observed
     // ranges, Morton-interleave the bucket bits (codegen Column bit
@@ -6065,6 +6085,21 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // EXISTS/NOT EXISTS closed-form: point-in-polygon is boundary-
+    // exclusive (same strict inequalities as the q21 oracle); the two
+    // boxes partition on x, y is always interior except y = -80 rows
+    "q260_spatial_semi_anti" -> {
+      val in = s"((($oCustX > -180 AND $oCustX < -108) OR ($oCustX > -36 AND $oCustX < 36))" +
+        s" AND $oCustY > -80 AND $oCustY < 80)"
+      s"""SELECT side, n, key_sum FROM (
+         |  SELECT 'semi' AS side, cast(count(*) as bigint) AS n,
+         |    cast(sum(c_custkey) as bigint) AS key_sum FROM customer WHERE $in
+         |  UNION ALL
+         |  SELECT 'anti' AS side, cast(count(*) as bigint) AS n,
+         |    cast(sum(c_custkey) as bigint) AS key_sum FROM customer WHERE NOT $in
+         |) ORDER BY side""".stripMargin
+    },
 
     // bucketize/interleave/file-assignment replayed term for term: the
     // equi-width bucket is pure double arithmetic in the identical shape

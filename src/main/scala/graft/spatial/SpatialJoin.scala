@@ -122,6 +122,23 @@ object SpatialJoin {
     else Iterator.empty
   }
 
+  /** Existence probe for semi/anti joins: true iff ANY indexed row
+    * matches — the refinement short-circuits after the first hit, so a
+    * dense region costs one hit, not its full candidate list. Null or
+    * invalid left geometry -> false (no match, SQL EXISTS semantics). */
+  private[graft] def probeExists(
+      lRow: org.apache.spark.sql.Row, gIdx: Int, idx: RowIndex,
+      hit: (Geom, Geom) => Boolean): Boolean = {
+    val b = lRow.get(gIdx)
+    val g = if (b == null) null else WKB.readOrNull(b.asInstanceOf[Array[Byte]])
+    if (g == null) return false
+    var found = false
+    idx.tree.query(g.envelope) { j =>
+      if (!found && idx.geoms(j) != null && hit(g, idx.geoms(j))) found = true
+    }
+    found
+  }
+
   /** Grid-cell id for a (cx, cy) pair — shared by gridJoin and the
     * stream-stream join's cell expression. */
   private[graft] def cellId(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
@@ -183,8 +200,24 @@ object SpatialJoin {
       leftGeom: String,
       lSuffix: String,
       rSuffix: String): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"spatial join supports inner|left (spatial_index.rs:187-203), got $joinType")
+    require(Set("inner", "left", "semi", "anti")(joinType),
+      "spatial join supports inner|left (spatial_index.rs:187-203) plus " +
+        s"semi|anti (Spark leftsemi/leftanti extension), got $joinType")
+
+    // semi/anti: left columns only, unsuffixed (Spark leftsemi/leftanti
+    // convention) — rows kept iff a match exists (semi) / none does
+    // (anti); anti keeps null/invalid-geometry left rows (NOT EXISTS).
+    // Same broadcast index, but the probe short-circuits at the first
+    // refined hit instead of materializing the candidate list.
+    if (joinType == "semi" || joinType == "anti") {
+      val lgIdx0 = left.schema.fieldIndex(leftGeom)
+      val pred0 = predicate
+      val want = joinType == "semi"
+      return left.mapPartitions { it =>
+        val idx = bc.value
+        it.filter(r => probeExists(r, lgIdx0, idx, refine(pred0, _, _)) == want)
+      }(org.apache.spark.sql.Encoders.row(left.schema))
+    }
 
     // every output column suffixed, both sides (spatial_index.rs:164-184)
     val outSchema = org.apache.spark.sql.types.StructType(

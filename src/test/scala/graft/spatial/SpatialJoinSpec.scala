@@ -58,6 +58,26 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(3)) == 7)
   }
 
+  test("semi/anti join: left columns only, complement partitions, nulls to anti") {
+    val withNull = pointsDf.union(Seq((null.asInstanceOf[Array[Byte]], 99.0))
+      .toDF("geometry", "point_values"))
+    val semi = SpatialJoin.join(withNull, polygonDf, SpatialJoin.Predicate.Intersects, "semi")
+    val anti = SpatialJoin.join(withNull, polygonDf, SpatialJoin.Predicate.Intersects, "anti")
+    assert(semi.columns.toSeq == Seq("geometry", "point_values")) // unsuffixed
+    val sVals = semi.collect().map(_.getDouble(1)).sorted.toSeq
+    val aVals = anti.collect().map(_.getDouble(1)).sorted.toSeq
+    assert(sVals == Seq(2.0, 3.0)) // same matches as the inner join
+    assert(aVals == Seq(1.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 99.0)) // null row -> NOT EXISTS
+    // parity with inner-join-derived semi on a multi-match right side
+    // (two overlapping polygons: semi must NOT duplicate left rows)
+    val poly2 = polygonDf.union(Seq(
+      (WKB.write(Polygon(Array(Array(-5.0, -5, 15, -5, 15, 15, -5, 15, -5, -5)))), "t2"))
+      .toDF("geometry", "string_col"))
+    val semi2 = SpatialJoin.join(pointsDf, poly2, SpatialJoin.Predicate.Intersects, "semi")
+    assert(semi2.collect().map(_.getDouble(1)).sorted.toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0, 9.0))
+  }
+
   test("contains: polygon side contains point side") {
     val out = SpatialJoin.join(polygonDf, pointsDf, SpatialJoin.Predicate.Contains, "inner",
       lSuffix = "_l", rSuffix = "_r")
