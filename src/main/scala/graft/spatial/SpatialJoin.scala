@@ -384,8 +384,31 @@ object SpatialJoin {
           }
         }.toDF(id, "__cell", "__wkb")
 
-    val lc = cells(leftW, lId, leftGeom)
-    val rc = cells(rightW, rId, rightGeom)
+    // distinct wkb names per side: the pruning join below merges the two
+    // lineages, so dataset-ref disambiguation (lc("__wkb")) stops working
+    val lc0 = cells(leftW, lId, leftGeom).withColumnRenamed("__wkb", "__lwkb")
+    val rc = cells(rightW, rId, rightGeom).withColumnRenamed("__wkb", "__rwkb")
+
+    // Dynamic cell pruning (the spatial analogue of dynamic partition
+    // pruning): when the right side occupies a bounded number of grid
+    // cells (limit-probed), broadcast its DISTINCT cell set and filter
+    // the left expanded table with a broadcast join BEFORE the cell
+    // shuffle. A regional right side joined against a planet-scale left
+    // then shuffles only the region's rows instead of everything; rows
+    // pruned here could never produce a pair, so inner AND left results
+    // are unchanged (left-outer null-fill happens in stitch from the
+    // full left side). Costs one narrow scan of the right side + a
+    // <=8B-per-cell broadcast; disable with graft.gridjoin.pruneMaxCells=0.
+    val pruneMax = spark.conf.getOption("graft.gridjoin.pruneMaxCells")
+      .map(_.toLong).getOrElse(4000000L)
+    val lc =
+      if (pruneMax <= 0) lc0
+      else {
+        val rCells = rc.select("__cell").distinct()
+        if (rCells.limit((pruneMax + 1).toInt).count() <= pruneMax)
+          lc0.join(broadcast(rCells), "__cell")
+        else lc0
+      }
     val pred = predicate
     val cs = cellSize
     // Reference-point dedup: a pair whose envelopes both touch k cells meets
@@ -405,7 +428,7 @@ object SpatialJoin {
       }
     }
     val pairs = lc.join(rc, "__cell")
-      .filter(refineUdf(col("__cell"), lc("__wkb"), rc("__wkb")))
+      .filter(refineUdf(col("__cell"), col("__lwkb"), col("__rwkb")))
       .select(col(lId), col(rId).as(rId + "_p"))
 
     stitch(leftW, rightW, pairs, joinType, lId, rId, lSuffix, rSuffix)

@@ -58,6 +58,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(3)) == 7)
   }
 
+  test("gridJoin dynamic cell pruning: identical results with pruning on/off") {
+    val rnd = new scala.util.Random(23)
+    // global point cloud vs a REGIONAL polygon side (occupies few cells)
+    val pts = (1 to 3000).map(i =>
+      (i.toLong, pt(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 160 - 80)))
+      .toDF("pid", "geometry")
+    val region = Seq(
+      (1L, WKB.write(Polygon(Array(Array(10.0, 10, 30, 10, 30, 30, 10, 30, 10, 10))))),
+      (2L, WKB.write(Polygon(Array(Array(25.0, 25, 45, 25, 45, 45, 25, 45, 25, 25))))))
+      .toDF("rid", "geometry")
+    def run(): Seq[(Long, Long)] =
+      SpatialJoin.gridJoin(pts, region, cellSize = 15.0,
+        SpatialJoin.Predicate.Intersects, "inner",
+        leftIdCol = Some("pid"), rightIdCol = Some("rid"))
+        .select("pid_left", "rid_right").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pruned = run() // default: pruning on
+    spark.conf.set("graft.gridjoin.pruneMaxCells", "0")
+    val full = try run() finally spark.conf.unset("graft.gridjoin.pruneMaxCells")
+    assert(pruned == full)
+    assert(pruned.nonEmpty)
+    // left join: pruned-away left rows still null-complete
+    def runLeft(max: String): Long = {
+      spark.conf.set("graft.gridjoin.pruneMaxCells", max)
+      try SpatialJoin.gridJoin(pts, region, cellSize = 15.0,
+        SpatialJoin.Predicate.Intersects, "left",
+        leftIdCol = Some("pid"), rightIdCol = Some("rid")).count()
+      finally spark.conf.unset("graft.gridjoin.pruneMaxCells")
+    }
+    assert(runLeft("4000000") == runLeft("0"))
+  }
+
   test("semi/anti join: left columns only, complement partitions, nulls to anti") {
     val withNull = pointsDf.union(Seq((null.asInstanceOf[Array[Byte]], 99.0))
       .toDF("geometry", "point_values"))
