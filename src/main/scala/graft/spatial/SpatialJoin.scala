@@ -401,13 +401,57 @@ object SpatialJoin {
     // <=8B-per-cell broadcast; disable with graft.gridjoin.pruneMaxCells=0.
     val pruneMax = spark.conf.getOption("graft.gridjoin.pruneMaxCells")
       .map(_.toLong).getOrElse(4000000L)
+    // per-cell right counts serve BOTH pruning and hot-cell detection —
+    // metadata-sized (map-side combined, <= one row per occupied cell)
+    val saltThresh = spark.conf.getOption("graft.gridjoin.hotCellPairs")
+      .map(_.toLong).getOrElse(16000000L)
+    lazy val rCnt = rc.groupBy("__cell").agg(count(lit(1)).as("__rcnt"))
     val lc =
       if (pruneMax <= 0) lc0
+      else if (rCnt.limit((pruneMax + 1).toInt).count() <= pruneMax)
+        lc0.join(broadcast(rCnt.select("__cell")), "__cell")
+      else lc0
+
+    // Hot-cell salting: a cell dense on BOTH sides is a quadratic refine
+    // bomb that byte-based AQE skew-split cannot see (the cell's bytes
+    // are tiny, its l*r candidate count is not — measured in
+    // tools/SkewBench). Detect cells whose candidate-pair product
+    // exceeds `saltThresh` from the two metadata-sized per-cell counts,
+    // then split them k ways (k = ceil(pairs/thresh), capped 64): each
+    // left row keeps ONE deterministic salt (xxhash64 of its id), the
+    // right row is replicated to all k, so every candidate pair still
+    // meets exactly once and per-task refine work is bounded. Cold cells
+    // pay nothing (salt 0 both sides via the broadcast left join).
+    // Disable with graft.gridjoin.hotCellPairs=0.
+    val (lcS, rcS, joinKeys) =
+      if (saltThresh <= 0) (lc, rc, Seq("__cell"))
       else {
-        val rCells = rc.select("__cell").distinct()
-        if (rCells.limit((pruneMax + 1).toInt).count() <= pruneMax)
-          lc0.join(broadcast(rCells), "__cell")
-        else lc0
+        val lCnt = lc.groupBy("__cell").agg(count(lit(1)).as("__lcnt"))
+        val hot = lCnt.join(rCnt, "__cell")
+          .where(col("__lcnt") * col("__rcnt") > saltThresh)
+          .select(col("__cell"),
+            least(lit(64L), ceil(col("__lcnt") * col("__rcnt") / lit(saltThresh.toDouble))
+              .cast("long")).as("__k"))
+          .limit(65537).collect()
+        require(hot.length <= 65536,
+          "more than 65536 hot grid cells — the grid is mis-sized for this " +
+            "density; shrink cellSize instead of salting everything")
+        if (hot.isEmpty) (lc, rc, Seq("__cell"))
+        else {
+          val hotDf = broadcast(
+            spark.createDataFrame(spark.sparkContext.parallelize(hot.toSeq, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__cell", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("__k", org.apache.spark.sql.types.LongType)))))
+          val l2 = lc.join(hotDf, Seq("__cell"), "left")
+            .withColumn("__salt", pmod(xxhash64(col(lId)), coalesce(col("__k"), lit(1L))))
+            .drop("__k")
+          val r2 = rc.join(hotDf, Seq("__cell"), "left")
+            .withColumn("__salt",
+              explode(sequence(lit(0L), coalesce(col("__k"), lit(1L)) - 1)))
+            .drop("__k")
+          (l2, r2, Seq("__cell", "__salt"))
+        }
       }
     val pred = predicate
     val cs = cellSize
@@ -427,7 +471,7 @@ object SpatialJoin {
         refCell == cell && refine(pred, ga, gb)
       }
     }
-    val pairs = lc.join(rc, "__cell")
+    val pairs = lcS.join(rcS, joinKeys)
       .filter(refineUdf(col("__cell"), col("__lwkb"), col("__rwkb")))
       .select(col(lId), col(rId).as(rId + "_p"))
 

@@ -90,6 +90,30 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(runLeft("4000000") == runLeft("0"))
   }
 
+  test("gridJoin hot-cell salting: forced-low threshold matches unsalted results") {
+    val rnd = new scala.util.Random(31)
+    // everything in ONE cell -> quadratic candidate count, salting engages
+    val ptsA = (1 to 400).map(i => (i.toLong, pt(rnd.nextDouble() * 5, rnd.nextDouble() * 5)))
+      .toDF("pid", "geometry")
+    val boxes = (1 to 30).map { i =>
+      val x = rnd.nextDouble() * 4; val y = rnd.nextDouble() * 4
+      (i.toLong, WKB.write(Polygon(Array(Array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y)))))
+    }.toDF("rid", "geometry")
+    def run(thresh: String): Seq[(Long, Long)] = {
+      spark.conf.set("graft.gridjoin.hotCellPairs", thresh)
+      try SpatialJoin.gridJoin(ptsA, boxes, cellSize = 10.0,
+        SpatialJoin.Predicate.Intersects, "inner",
+        leftIdCol = Some("pid"), rightIdCol = Some("rid"))
+        .select("pid_left", "rid_right").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      finally spark.conf.unset("graft.gridjoin.hotCellPairs")
+    }
+    val salted = run("100")   // 400*30 = 12000 pairs >> 100 -> k capped at 64
+    val unsalted = run("0")
+    assert(salted == unsalted)
+    assert(salted.nonEmpty)
+  }
+
   test("semi/anti join: left columns only, complement partitions, nulls to anti") {
     val withNull = pointsDf.union(Seq((null.asInstanceOf[Array[Byte]], 99.0))
       .toDF("geometry", "point_values"))
