@@ -401,16 +401,28 @@ object SpatialJoin {
     // <=8B-per-cell broadcast; disable with graft.gridjoin.pruneMaxCells=0.
     val pruneMax = spark.conf.getOption("graft.gridjoin.pruneMaxCells")
       .map(_.toLong).getOrElse(4000000L)
-    // per-cell right counts serve BOTH pruning and hot-cell detection —
-    // metadata-sized (map-side combined, <= one row per occupied cell)
+    // Hot-cell salting is OPT-IN (0 = off): its detection needs per-cell
+    // counts of BOTH sides — one extra decode pass over each cell
+    // expansion — which is worth paying when a profile (tools/SkewBench)
+    // shows quadratic cells, not on every join. Same posture as Spark's
+    // own skew-join knobs: the byte-skew case is already covered by AQE;
+    // this flag covers the byte-LIGHT quadratic case AQE cannot see.
     val saltThresh = spark.conf.getOption("graft.gridjoin.hotCellPairs")
-      .map(_.toLong).getOrElse(16000000L)
-    lazy val rCnt = rc.groupBy("__cell").agg(count(lit(1)).as("__rcnt"))
-    val lc =
-      if (pruneMax <= 0) lc0
-      else if (rCnt.limit((pruneMax + 1).toInt).count() <= pruneMax)
+      .map(_.toLong).getOrElse(0L)
+    // ONE per-cell count pass over the right side serves BOTH pruning and
+    // hot-cell detection (map-side combined, <= one row per occupied
+    // cell — bounded by a sanely-sized grid, not by the data).
+    // localCheckpoint FIRST so the probe and both consumers read the
+    // materialized metadata table instead of re-decoding the right side.
+    val rCntPinned: Option[DataFrame] =
+      if (pruneMax <= 0 && saltThresh <= 0) None
+      else Some(rc.groupBy("__cell").agg(count(lit(1)).as("__rcnt")).localCheckpoint())
+    val lc = rCntPinned match {
+      case Some(rCnt) if pruneMax > 0 &&
+          rCnt.limit((pruneMax + 1).toInt).count() <= pruneMax =>
         lc0.join(broadcast(rCnt.select("__cell")), "__cell")
-      else lc0
+      case _ => lc0
+    }
 
     // Hot-cell salting: a cell dense on BOTH sides is a quadratic refine
     // bomb that byte-based AQE skew-split cannot see (the cell's bytes
@@ -422,10 +434,11 @@ object SpatialJoin {
     // right row is replicated to all k, so every candidate pair still
     // meets exactly once and per-task refine work is bounded. Cold cells
     // pay nothing (salt 0 both sides via the broadcast left join).
-    // Disable with graft.gridjoin.hotCellPairs=0.
+    // Enable with graft.gridjoin.hotCellPairs=<max pairs per task>.
     val (lcS, rcS, joinKeys) =
       if (saltThresh <= 0) (lc, rc, Seq("__cell"))
       else {
+        val rCnt = rCntPinned.get // saltThresh > 0 forces the pinned table
         val lCnt = lc.groupBy("__cell").agg(count(lit(1)).as("__lcnt"))
         val hot = lCnt.join(rCnt, "__cell")
           .where(col("__lcnt") * col("__rcnt") > saltThresh)
@@ -443,13 +456,21 @@ object SpatialJoin {
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("__cell", org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("__k", org.apache.spark.sql.types.LongType)))))
+          // explicit repartition with a PINNED partition count: the salt
+          // buckets are byte-light by construction, so AQE's byte-based
+          // partition coalescing would merge them straight back into one
+          // task — a user-specified repartition(n, cols) is exempt from
+          // coalescing and co-partitions both sides for the join
+          val nShuffle = spark.sessionState.conf.numShufflePartitions
           val l2 = lc.join(hotDf, Seq("__cell"), "left")
             .withColumn("__salt", pmod(xxhash64(col(lId)), coalesce(col("__k"), lit(1L))))
             .drop("__k")
+            .repartition(nShuffle, col("__cell"), col("__salt"))
           val r2 = rc.join(hotDf, Seq("__cell"), "left")
             .withColumn("__salt",
               explode(sequence(lit(0L), coalesce(col("__k"), lit(1L)) - 1)))
             .drop("__k")
+            .repartition(nShuffle, col("__cell"), col("__salt"))
           (l2, r2, Seq("__cell", "__salt"))
         }
       }

@@ -113,19 +113,33 @@ object SkewBench {
       boxes(n.toLong * scale, 0, 1013), skewJoin = true, 1.0)
 
     // ---- scenario A: compute skew (both sides dense in one cell) --------
-    def aCoarse() = time(points(n, hotRows, 7), boxes(n, hotRows, 1013), skewJoin = true, 1.0)
-    def aFine() = time(points(n, hotRows, 7), boxes(n, hotRows, 1013), skewJoin = true, 0.05)
+    // three mitigations compared on the same data: none (salting off,
+    // coarse grid), WORK-level cellSize, and the hot-cell SALTING now
+    // built into gridJoin (threshold forced low so the 16M-pair cell
+    // splits k=64 ways)
+    def withSalt[A](thresh: Long)(f: => A): A = {
+      spark.conf.set("graft.gridjoin.hotCellPairs", thresh.toString)
+      try f finally spark.conf.unset("graft.gridjoin.hotCellPairs")
+    }
+    def aCoarse() = withSalt(0)(
+      time(points(n, hotRows, 7), boxes(n, hotRows, 1013), skewJoin = true, 1.0))
+    def aFine() = withSalt(0)(
+      time(points(n, hotRows, 7), boxes(n, hotRows, 1013), skewJoin = true, 0.05))
+    def aSalt() = withSalt(250000)(
+      time(points(n, hotRows, 7), boxes(n, hotRows, 1013), skewJoin = true, 1.0))
 
     // warmup every shape once, then interleaved timed rounds
-    bOn(); bOff(); aCoarse(); aFine()
-    var (tOn, tOff, tBig, tCoarse, tFine) =
-      (Double.MaxValue, Double.MaxValue, Double.MaxValue, Double.MaxValue, Double.MaxValue)
+    bOn(); bOff(); aCoarse(); aFine(); aSalt()
+    var (tOn, tOff, tBig, tCoarse, tFine, tSalt) =
+      (Double.MaxValue, Double.MaxValue, Double.MaxValue, Double.MaxValue,
+        Double.MaxValue, Double.MaxValue)
     var (splitOn, splitCoarse) = (false, false)
     (1 to rounds).foreach { _ =>
       val r1 = bOn(); tOn = math.min(tOn, r1._1); splitOn ||= r1._2
       val r2 = bOff(); tOff = math.min(tOff, r2._1)
       val r3 = aCoarse(); tCoarse = math.min(tCoarse, r3._1); splitCoarse ||= r3._2
       val r4 = aFine(); tFine = math.min(tFine, r4._1)
+      val r5 = aSalt(); tSalt = math.min(tSalt, r5._1)
       System.gc()
     }
     val rBig = bBig(); tBig = rBig._1
@@ -135,7 +149,8 @@ object SkewBench {
       f""""byte_skew":{"hot_rows":$hotB,"sec_skew_on":$tOn%.2f,"sec_skew_off":$tOff%.2f,""" +
       f""""split_fired":$splitOn,"sec_${scale}x":$tBig%.2f,"ratio_${scale}x":${tBig / tOn}%.2f},""" +
       f""""compute_skew":{"hot_rows":$hotRows,"sec_cell1":$tCoarse%.2f,"sec_cell005":$tFine%.2f,""" +
-      f""""fine_speedup":${tCoarse / tFine}%.2f,"split_fired":$splitCoarse}}""")
+      f""""fine_speedup":${tCoarse / tFine}%.2f,"sec_salted":$tSalt%.2f,""" +
+      f""""salt_speedup":${tCoarse / tSalt}%.2f,"split_fired":$splitCoarse}}""")
     spark.stop()
   }
 }
