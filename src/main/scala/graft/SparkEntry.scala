@@ -382,6 +382,18 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Interpolated Kneser-Ney bigram LM scoring (KenLM's default
+    // smoothing): absolute discount + continuation-unigram backoff —
+    // distinct-context counts instead of raw frequency, the classic fix
+    // for high-count fixed-context words. Same explode/count-table/
+    // decimal-fold shape as q235 (Jelinek-Mercer twin).
+    "q261_kneser_ney_lm" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.TextAnalysis.kneserNeyLogProb(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Spatial semi/anti join (Spark leftsemi/leftanti extension over the
     // broadcast R-tree): EXISTS / NOT EXISTS against an indexed polygon
     // side without materializing matches — the probe short-circuits at
@@ -6085,6 +6097,40 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // the KN score replayed with the same count tables as q235 plus the
+    // three continuation-type tables (each one GROUP BY over the bigram
+    // TYPE table); identical double shape (greatest/discount/backoff),
+    // ln rounded 6 -> decimal fold -> mean rounded 4
+    "q261_kneser_ney_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, arr FROM (
+        |    SELECT doc_id, list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS arr
+        |    FROM documents) WHERE len(arr) >= 2),
+        |bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) u),
+        |uni AS (SELECT tok, count(*) AS cu FROM (
+        |  SELECT unnest(arr) AS tok FROM d) GROUP BY tok),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |fert AS (SELECT w1, count(*) AS n1f FROM big GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS n1p FROM big GROUP BY w2),
+        |types AS (SELECT count(*) AS npp FROM big),
+        |sc AS (SELECT bg.doc_id,
+        |    cast(round(ln(
+        |      greatest(cast(big.cb as double) - 0.75, 0.0) / u1.cu +
+        |      (0.75 * cast(fert.n1f as double) / u1.cu) *
+        |        (cast(cont.n1p as double) / types.npp)), 6)
+        |      as decimal(20,6)) AS lp
+        |  FROM bg
+        |  JOIN big ON big.w1 = bg.w1 AND big.w2 = bg.w2
+        |  JOIN uni u1 ON u1.tok = bg.w1
+        |  JOIN fert ON fert.w1 = bg.w1
+        |  JOIN cont ON cont.w2 = bg.w2
+        |  CROSS JOIN types)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+        |  round(cast(sum(lp) as double) / count(*), 4) + 0.0 AS lpkn_mean
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // EXISTS/NOT EXISTS closed-form: point-in-polygon is boundary-
     // exclusive (same strict inequalities as the q21 oracle); the two

@@ -156,6 +156,64 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+   * Goodman 1999 — the smoothing KenLM defaults to): absolute-discount
+   * the bigram MLE and back off to the CONTINUATION unigram — how many
+   * distinct contexts a word follows, not how often it occurs — so
+   * high-count-but-fixed-context words ("francisco") stop inflating
+   * unseen-bigram mass the way Jelinek-Mercer ([[bigramLogProb]]) lets
+   * them:
+   *
+   *   p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+   *            + (D * N1+(w1,.)/c(w1)) * (N1+(.,w2)/N1+(.,.))
+   *
+   * All three N1+ tables fall out of the bigram-TYPE table `big` (one
+   * groupBy each, Zipf-bounded, broadcastable); the same decimal-fold
+   * discipline as [[bigramLogProb]] keeps the score order-independent
+   * and cross-engine exact. Output: (id, n_bigrams, lpkn_mean).
+   */
+  def kneserNeyLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val arr = split(
+      regexp_replace(lower(col(textCol)), "^[^a-z]+|[^a-z]+$", ""), "[^a-z]+")
+    val docs = df.select(id, arr.as("__arr"))
+      .filter(size(col("__arr")) >= 2 && col("__arr").getItem(0) =!= "")
+    val bigrams = docs
+      .withColumn("__a1", slice(col("__arr"), lit(1), size(col("__arr")) - 1))
+      .withColumn("__a2", slice(col("__arr"), lit(2), size(col("__arr")) - 1))
+      .select(id, explode(arrays_zip(col("__a1"), col("__a2"))).as("__z"))
+      .select(id, col("__z.__a1").as("__w1"), col("__z.__a2").as("__w2"))
+    val uni = docs.select(explode(col("__arr")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cu"))
+    val big = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    // continuation statistics: each `big` row is one bigram TYPE
+    val fert = big.groupBy("__w1").agg(count(lit(1)).as("__n1f"))   // N1+(w1,.)
+    val cont = big.groupBy("__w2").agg(count(lit(1)).as("__n1p"))   // N1+(.,w2)
+    val types = big.agg(count(lit(1)).as("__npp"))                  // N1+(.,.)
+    bigrams
+      .join(big, Seq("__w1", "__w2"))
+      .join(uni.select(col("__tok").as("__w1"), col("__cu").as("__c1")), Seq("__w1"))
+      .join(fert, Seq("__w1"))
+      .join(cont, Seq("__w2"))
+      .crossJoin(broadcast(types))
+      .select(id,
+        round(log(
+          greatest(col("__cb").cast("double") - lit(discount), lit(0.0)) / col("__c1") +
+          (lit(discount) * col("__n1f").cast("double") / col("__c1")) *
+            (col("__n1p").cast("double") / col("__npp"))), 6)
+          .cast("decimal(20,6)").as("__lp"))
+      .groupBy(id)
+      .agg(sum(col("__lp")).as("__s"), count(lit(1)).as("n_bigrams"))
+      .withColumn("lpkn_mean",
+        round(col("__s").cast("double") / col("n_bigrams"), 4) + lit(0.0))
+      .select(id, col("n_bigrams"), col("lpkn_mean"))
+  }
+
+  /**
    * Gopher quality-filter signals (Rae et al. 2021, Table A1 — public
    * heuristics): word-count band, mean-word-length band, symbol-to-word
    * ratio, bullet-line / ellipsis-line fractions, stopword presence,
