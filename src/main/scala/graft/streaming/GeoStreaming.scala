@@ -234,4 +234,65 @@ object GeoStreaming {
       }
       .toDF(keyCol, "xmin", "ymin", "xmax", "ymax")
   }
+
+  /**
+   * Event-time sessionization with gap timeout — the flatMapGroupsWithState
+   * + EventTimeTimeout pattern (the streaming twin of q121's batch session
+   * windows, and of [[graft.pipeline.Sessionize]]): events for a key that
+   * arrive within `gapSecs` of the session's current end extend it; a
+   * larger gap closes the session (emitted) and opens a new one; when the
+   * WATERMARK passes sessionEnd + gap the open session closes and its
+   * state is freed — so state is O(active keys), never O(history), and
+   * the emitted stream is append-mode (each session exactly once).
+   *
+   * Late events older than the watermark are dropped by the watermark
+   * itself; within-batch disorder is handled by sorting the (bounded)
+   * per-key batch iterator. Output: (key, session_start, session_end,
+   * n_events) with timestamps in epoch seconds.
+   */
+  def sessionize(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSecs: Long,
+      watermarkDelay: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val wm = stream.withWatermark(tsCol, watermarkDelay)
+    val kIdx = stream.schema.fieldIndex(keyCol)
+    val tIdx = stream.schema.fieldIndex(tsCol)
+    val gapMs = gapSecs * 1000L
+
+    // state: (sessionStartMs, sessionEndMs, nEvents)
+    wm.groupByKey(_.getString(kIdx))
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[(Long, Long, Long)]) =>
+          val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed end+gap: close and free
+            state.getOption.foreach { case (s, e, n) => out += ((key, s / 1000, e / 1000, n)) }
+            state.remove()
+          } else {
+            val times = rows.map(_.getTimestamp(tIdx).getTime).toArray.sorted
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some((s, e, n)) if t - e <= gapMs => cur = Some((s, math.max(e, t), n + 1))
+                case Some((s, e, n)) => // gap exceeded: close, start fresh
+                  out += ((key, s / 1000, e / 1000, n)); cur = Some((t, t, 1L))
+                case None => cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // fire when the WATERMARK (event time) passes end+gap
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+          }
+          out.iterator
+      }
+      .toDF(keyCol, "session_start", "session_end", "n_events")
+  }
 }

@@ -344,4 +344,53 @@ class GeoStreamingSpec extends AnyFunSuite {
       assert(got.contains((2L, -1L)), s"outer null row for aid=2 missing: $got")
     } finally q.stop()
   }
+
+  test("event-time sessionization: gap split, watermark timeout close, state freed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(String, Timestamp)]
+    val stream = input.toDF().toDF("uid", "ts")
+    val sessions = GeoStreaming.sessionize(stream, "uid", "ts",
+      gapSecs = 30, watermarkDelay = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // u1: two bursts split by a >30s gap; u2: one event
+      input.addData(("u1", ts(100)), ("u1", ts(110)), ("u1", ts(120)),
+        ("u2", ts(105)))
+      q.processAllAvailable()
+      input.addData(("u1", ts(200)), ("u1", ts(215))) // new session; also emits the old one
+      q.processAllAvailable()
+      // advance the watermark far past every open session's end+gap
+      input.addData(("zz", ts(1000)))
+      q.processAllAvailable()
+      input.addData(("zz", ts(2000)))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .selectExpr("uid", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.contains(("u1", 100L, 120L, 3L)), s"first u1 session: $got")
+      assert(got.contains(("u1", 200L, 215L, 2L)), s"second u1 session: $got")
+      assert(got.contains(("u2", 105L, 105L, 1L)), s"u2 singleton: $got")
+      // within-batch disorder: events arrive out of order, one session
+      val in2 = MemoryStream[(String, Timestamp)]
+      val s2 = GeoStreaming.sessionize(in2.toDF().toDF("uid", "ts"), "uid", "ts",
+        gapSecs = 30, watermarkDelay = "5 seconds")
+      val q2 = s2.writeStream.format("memory").queryName("sess2")
+        .outputMode("append").start()
+      try {
+        in2.addData(("a", ts(120)), ("a", ts(100)), ("a", ts(110)))
+        q2.processAllAvailable()
+        in2.addData(("zz", ts(500)))
+        q2.processAllAvailable()
+        in2.addData(("zz", ts(900)))
+        q2.processAllAvailable()
+        val g2 = spark.table("sess2")
+          .selectExpr("uid", "session_start", "session_end", "n_events").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(g2.contains(("a", 100L, 120L, 3L)), s"disorder session: $g2")
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
