@@ -3269,16 +3269,29 @@ object SparkEntry {
       // the 12 rounds stay one lazy plan of tiny broadcast joins. (Cyclic
       // graphs need the dedup + periodic localCheckpoint variant, as in
       // the DBSCAN connected-components rounds.)
-      var frontier = s.range(1, 2).toDF("node").withColumn("level", lit(0))
+      // broadcast the (static, small-per-round) edge side: every round is
+      // a BroadcastHashJoin, so several rounds chain inside ONE job.
+      // Checkpoint every 4th round, not every round: an eager checkpoint
+      // is a full job submission (~0.25 s of driver latency each — 12 of
+      // them dominated this query's 3.1 s), while a lineage depth of 4
+      // broadcast joins re-derives at most 4 tiny frontiers per levels
+      // branch. At large-frontier scale the per-round materialization
+      // (depth 1) remains the right setting — the knob trades driver
+      // round-trips against recomputation breadth.
+      val bEdges = broadcast(edges)
+      // ONE partition for the seed: broadcast joins preserve the probe
+      // side's partitioning, so every levels branch stays a single task
+      // instead of defaultParallelism near-empty tasks per branch (~400
+      // tiny tasks of pure scheduling overhead at local[32]). A REAL
+      // large frontier repartitions itself through the per-round
+      // materialization; the seed of a BFS is always one row.
+      var frontier = s.range(1, 2, 1, 1).toDF("node").withColumn("level", lit(0))
       var levels = frontier
       var i = 0
       while (i < 12) {
-        // materialize each frontier once (eager localCheckpoint) so the
-        // union of levels references 12 small cached frontiers instead of
-        // recomputing ever-deeper join chains per branch
-        frontier = frontier.join(edges, frontier("node") === edges("src"))
+        frontier = frontier.join(bEdges, frontier("node") === bEdges("src"))
           .select(col("dst").as("node"), (col("level") + 1).as("level"))
-          .localCheckpoint(true)
+        if (i % 4 == 3) frontier = frontier.localCheckpoint(true)
         levels = levels.union(frontier)
         i += 1
       }
