@@ -382,6 +382,51 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // KMV / theta-family distinct sketches with SET OPERATIONS (the
+    // DataSketches theta analogue HLL cannot give): bottom-256 distinct
+    // md5-hashes per set via the bounded-state kmv_sketch aggregate
+    // (TypedImperativeAggregate, 8k-byte state, map-side combined), then
+    // union (k smallest of the concat) and theta intersection (retention
+    // below min theta) as plain array expressions. Every step is
+    // deterministic and order-independent -> the oracle rebuilds the
+    // sketches and replays the estimators exactly.
+    "q262_kmv_theta" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "orders")
+      s.sql(
+        """WITH sk AS (
+          |  SELECT
+          |    kmv_sketch(CASE WHEN o_orderstatus = 'O' THEN cast(o_custkey as string) END, 256) AS a,
+          |    kmv_sketch(CASE WHEN o_orderstatus = 'F' THEN cast(o_custkey as string) END, 256) AS b
+          |  FROM orders),
+          |ops AS (
+          |  SELECT a, b,
+          |    slice(array_sort(array_distinct(concat(a, b))), 1, 256) AS u,
+          |    array_sort(array_intersect(a, b)) AS i,
+          |    CASE WHEN size(a) < 256 THEN 1152921504606846976L ELSE element_at(a, 256) END AS tha,
+          |    CASE WHEN size(b) < 256 THEN 1152921504606846976L ELSE element_at(b, 256) END AS thb
+          |  FROM sk),
+          |est AS (
+          |  SELECT
+          |    cast(size(a) as bigint) AS na, cast(size(b) as bigint) AS nb,
+          |    CASE WHEN size(a) < 256 THEN cast(size(a) as double)
+          |         ELSE round(255.0 * pow(2.0, 60) / element_at(a, 256), 2) + 0.0 END AS est_a,
+          |    CASE WHEN size(b) < 256 THEN cast(size(b) as double)
+          |         ELSE round(255.0 * pow(2.0, 60) / element_at(b, 256), 2) + 0.0 END AS est_b,
+          |    CASE WHEN size(u) < 256 THEN cast(size(u) as double)
+          |         ELSE round(255.0 * pow(2.0, 60) / element_at(u, 256), 2) + 0.0 END AS est_union,
+          |    round(cast(size(filter(i, v -> v < least(tha, thb))) as double)
+          |          * pow(2.0, 60) / least(tha, thb), 2) + 0.0 AS est_intersect
+          |  FROM ops),
+          |ex AS (
+          |  SELECT
+          |    cast(count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) as bigint) AS exact_a,
+          |    cast(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) as bigint) AS exact_b
+          |  FROM orders)
+          |SELECT na, nb, est_a, est_b, est_union, est_intersect, exact_a, exact_b
+          |FROM est CROSS JOIN ex""".stripMargin)
+    }),
+
     // Interpolated Kneser-Ney bigram LM scoring (KenLM's default
     // smoothing): absolute discount + continuation-unigram backoff —
     // distinct-context counts instead of raw frequency, the classic fix
@@ -6110,6 +6155,47 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // sketches rebuilt from scratch: the 60-bit hash is the shared
+    // md5-prefix derivation, bottom-256 per set via ORDER BY h LIMIT,
+    // union/intersection as the same list ops, estimators in the same
+    // double shapes ((k-1)*2^60/h_k; retained*2^60/min-theta)
+    "q262_kmv_theta" -> {
+      def sk(status: String) =
+        s"""(SELECT list(h ORDER BY h) FROM (
+           |  SELECT h FROM (
+           |    SELECT DISTINCT ('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15))::BIGINT AS h
+           |    FROM orders WHERE o_orderstatus = '$status')
+           |  ORDER BY h LIMIT 256))""".stripMargin
+      """WITH sk AS (SELECT SKA AS a, SKB AS b),
+        |ops AS (
+        |  SELECT a, b,
+        |    list_sort(list_distinct(list_concat(a, b)))[1:256] AS u,
+        |    list_sort(list_intersect(a, b)) AS i,
+        |    CASE WHEN len(a) < 256 THEN 1152921504606846976 ELSE a[256] END AS tha,
+        |    CASE WHEN len(b) < 256 THEN 1152921504606846976 ELSE b[256] END AS thb
+        |  FROM sk),
+        |est AS (
+        |  SELECT
+        |    cast(len(a) as bigint) AS na, cast(len(b) as bigint) AS nb,
+        |    CASE WHEN len(a) < 256 THEN cast(len(a) as double)
+        |         ELSE round(255.0 * pow(2.0, 60) / a[256], 2) + 0.0 END AS est_a,
+        |    CASE WHEN len(b) < 256 THEN cast(len(b) as double)
+        |         ELSE round(255.0 * pow(2.0, 60) / b[256], 2) + 0.0 END AS est_b,
+        |    CASE WHEN len(u) < 256 THEN cast(len(u) as double)
+        |         ELSE round(255.0 * pow(2.0, 60) / u[256], 2) + 0.0 END AS est_union,
+        |    round(cast(len(list_filter(i, v -> v < least(tha, thb))) as double)
+        |          * pow(2.0, 60) / least(tha, thb), 2) + 0.0 AS est_intersect
+        |  FROM ops),
+        |ex AS (
+        |  SELECT
+        |    cast(count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) as bigint) AS exact_a,
+        |    cast(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) as bigint) AS exact_b
+        |  FROM orders)
+        |SELECT na, nb, est_a, est_b, est_union, est_intersect, exact_a, exact_b
+        |FROM est CROSS JOIN ex""".stripMargin
+        .replace("SKA", sk("O")).replace("SKB", sk("F"))
+    },
 
     // the KN score replayed with the same count tables as q235 plus the
     // three continuation-type tables (each one GROUP BY over the bigram

@@ -104,3 +104,123 @@ object HllDistinctAgg {
   def builder(exprs: Seq[Expression]): Expression =
     HllDistinctAgg(Cast(exprs.head, StringType)).toAggregateExpression()
 }
+
+/**
+ * `kmv_sketch(key, k)` — bottom-k (KMV / theta family, the Apache
+ * DataSketches theta analogue) distinct-value sketch as a SQL aggregate:
+ * the k SMALLEST distinct md5-derived 60-bit hashes of the keys,
+ * returned as a sorted array<bigint>. Unlike HLL the sketch supports SET
+ * OPERATIONS downstream as plain array expressions (union = k smallest
+ * of the concatenation; intersection = theta retention below
+ * min(theta_a, theta_b)), and the whole pipeline — hash, sketch, and
+ * estimators — is DETERMINISTIC and order-independent, so a DuckDB
+ * oracle replays it exactly (`('0x'||substr(md5(x),1,15))::BIGINT` =
+ * Spark's `conv(substring(md5(x),1,15),16,10)`).
+ *
+ * State: a TreeSet of <= k longs (bounded, mergeable, map-side
+ * combined); serialized as 8k bytes. Estimator (applied at the call
+ * site as arithmetic, not here): distinct ~= (k-1) * 2^60 / h_k when
+ * the sketch is full, exact |sketch| otherwise. Standard error
+ * ~ 1/sqrt(k-2) (~6% at k=256).
+ */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def prettyName: String = "kmv_sketch"
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && k >= 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string key, k >= 2), got (${child.dataType}, $k)")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of md5 as a positive 60-bit long — the same
+    * derivation as conv(substring(md5(x),1,15),16,10). */
+  private def hash60(s: UTF8String): Long = {
+    val d = md5.get().digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  private def add(b: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (b.size < k) { b.add(h); () }
+    else if (h < b.last()) {
+      if (b.add(h)) { b.remove(b.last()); () }
+    }
+  }
+
+  override def update(b: java.util.TreeSet[java.lang.Long], input: InternalRow):
+      java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(b, hash60(v.asInstanceOf[UTF8String]))
+    b
+  }
+
+  override def merge(b: java.util.TreeSet[java.lang.Long], o: java.util.TreeSet[java.lang.Long]):
+      java.util.TreeSet[java.lang.Long] = {
+    val it = o.iterator()
+    while (it.hasNext) add(b, it.next())
+    b
+  }
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](b.size)
+    val it = b.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 * b.size)
+    val it = b.iterator()
+    while (it.hasNext) out.putLong(it.next())
+    out.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val s = new java.util.TreeSet[java.lang.Long]()
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    while (in.remaining() >= 8) s.add(in.getLong)
+    s
+  }
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = cs.head)
+}
+
+object KmvSketchAgg {
+  /** Registry builder: kmv_sketch(key, k) — key cast to string, k a
+    * foldable int literal. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "kmv_sketch(key, k)")
+    val k = exprs(1) match {
+      case e if e.foldable => e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException("k must be a literal")
+    }
+    KmvSketchAgg(Cast(exprs.head, StringType), k).toAggregateExpression()
+  }
+}

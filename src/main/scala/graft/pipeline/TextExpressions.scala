@@ -678,6 +678,7 @@ object TextRegistry {
     reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
     reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
     reg("hll_distinct", HllDistinctAgg.builder)
+    reg("kmv_sketch", KmvSketchAgg.builder)
     reg("damerau_levenshtein", exprs => DamerauLevenshtein(exprs.head, exprs(1)))
     reg("hamming_dist", exprs => HammingDist(exprs.head, exprs(1)))
     reg("char_jaccard", exprs => CharJaccard(exprs.head, exprs(1)))

@@ -122,4 +122,39 @@ class SketchSpec extends AnyFunSuite {
       .select("est_q50").as[Double].head()
     assert(math.abs(est - 500.0) <= (999.0 / 128) + 1)
   }
+
+  test("kmv_sketch: bottom-k parity with SQL hashes, layout invariance, estimates") {
+    val spark2 = spark
+    graft.functions.GeoRegistry.register(spark2)
+    import spark2.implicits._
+    val n = 10000
+    val df = (1 to n).map(i => s"key$i").toDF("k")
+    df.createOrReplaceTempView("kmv_in")
+    // sketch == the k smallest distinct conv(md5) hashes, exactly
+    val sketch = spark2.sql("SELECT kmv_sketch(k, 256) AS s FROM kmv_in")
+      .head().getSeq[Long](0)
+    val ref = spark2.sql(
+      """SELECT cast(conv(substring(md5(k), 1, 15), 16, 10) as bigint) AS h
+        |FROM (SELECT DISTINCT k FROM kmv_in) ORDER BY h LIMIT 256""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sketch == ref)
+    // physical layout must not change the sketch (map-side merge path)
+    val sketch13 = df.repartition(13).createOrReplaceTempView("kmv_in13")
+    val s13 = spark2.sql("SELECT kmv_sketch(k, 256) AS s FROM kmv_in13")
+      .head().getSeq[Long](0)
+    assert(s13 == sketch)
+    // duplicates do not perturb the sketch (distinct semantics)
+    val dup = ((1 to n) ++ (1 to n)).map(i => s"key$i").toDF("k")
+    dup.createOrReplaceTempView("kmv_dup")
+    assert(spark2.sql("SELECT kmv_sketch(k, 256) FROM kmv_dup")
+      .head().getSeq[Long](0) == sketch)
+    // estimator: (k-1)*2^60/h_k within ~5 sigma of the true cardinality
+    val est = 255.0 * math.pow(2.0, 60) / sketch(255)
+    assert(math.abs(est - n) < 5 * n / math.sqrt(254), s"est=$est")
+    // sub-k set: the sketch IS the distinct hash set (exact)
+    val small = (1 to 100).map(i => s"s$i").toDF("k")
+    small.createOrReplaceTempView("kmv_small")
+    assert(spark2.sql("SELECT kmv_sketch(k, 256) FROM kmv_small")
+      .head().getSeq[Long](0).length == 100)
+  }
 }
