@@ -382,6 +382,26 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // TWKB compact codec (PostGIS ST_AsTWKB/ST_GeomFromTWKB): zigzag-
+    // varint delta encoding at 10^precision — the wire format where
+    // geometry BYTES dominate. Coordinates synthesized on 1/16 fractions
+    // so precision-4 quantization is exact (x*1e4 is an integer) and the
+    // round-trip is closed-form replayable.
+    "q263_twkb" -> sqlQuery(Seq("customer"),
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    cast(c_custkey % 360 - 180 as double) + cast(c_custkey % 16 as double) / 16.0 AS x,
+         |    cast((c_custkey * 7) % 160 - 80 as double) + cast(c_custkey % 8 as double) / 16.0 AS y,
+         |    cast(c_custkey % 10 + 1 as double) AS s
+         |  FROM customer WHERE c_custkey <= 2000)
+         |SELECT c_custkey,
+         |  round(st_x(st_geomfromtwkb(st_astwkb(st_point(x, y), 4))), 4) + 0.0 AS rt_x,
+         |  round(st_y(st_geomfromtwkb(st_astwkb(st_point(x, y), 4))), 4) + 0.0 AS rt_y,
+         |  round(st_area(st_geomfromtwkb(st_astwkb(st_makeenvelope(x, y, x + s, y + s), 4))), 6) + 0.0 AS rt_area,
+         |  cast(length(st_astwkb(st_makeenvelope(x, y, x + s, y + s), 4)) <
+         |       length(st_astwkb(st_makeenvelope(x, y, x + s, y + s), 7)) as boolean) AS coarser_is_smaller
+         |FROM pts ORDER BY c_custkey""".stripMargin),
+
     // KMV / theta-family distinct sketches with SET OPERATIONS (the
     // DataSketches theta analogue HLL cannot give): bottom-256 distinct
     // md5-hashes per set via the bounded-state kmv_sketch aggregate
@@ -6155,6 +6175,23 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // round-trips echo the inputs (1/16-fraction coords are exact at
+    // precision 4); the envelope area is the exact integer-sided square;
+    // fewer quantization digits can only shrink the varints
+    "q263_twkb" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 360 - 180 as double) + cast(c_custkey % 16 as double) / 16.0 AS x,
+        |    cast((c_custkey * 7) % 160 - 80 as double) + cast(c_custkey % 8 as double) / 16.0 AS y,
+        |    cast(c_custkey % 10 + 1 as double) AS s
+        |  FROM customer WHERE c_custkey <= 2000)
+        |SELECT c_custkey,
+        |  round(x, 4) + 0.0 AS rt_x,
+        |  round(y, 4) + 0.0 AS rt_y,
+        |  round(s * s, 6) + 0.0 AS rt_area,
+        |  true AS coarser_is_smaller
+        |FROM pts ORDER BY c_custkey""".stripMargin,
 
     // sketches rebuilt from scratch: the 60-bit hash is the shared
     // md5-prefix derivation, bottom-256 per set via ORDER BY h LIMIT,

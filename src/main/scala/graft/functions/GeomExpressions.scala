@@ -434,6 +434,11 @@ object GeomKernels {
       }),
     // snap coordinates to a grid (round-half-up multiples of the cell size)
     "st_snaptogrid" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.snapToGrid(g, d(a(0))))),
+    // TWKB compact varint encoding (PostGIS ST_AsTWKB; default precision 5)
+    "st_astwkb" -> W(BinaryType, Set(0, 1), (g, a) => {
+      val prec = if (a.isEmpty || a(0) == null) 5 else d(a(0)).toInt
+      TWKB.write(g, prec)
+    }),
     // PostGIS ST_ReducePrecision: snap to grid, then drop the collapsed
     // consecutive duplicates the snap introduces
     "st_reduceprecision" -> W(BinaryType, Set(1), (g, a) =>
@@ -548,6 +553,13 @@ object GeomKernels {
       case null => null
       case g    => wkb(g)
     }),
+    // TWKB decode (PostGIS ST_GeomFromTWKB); invalid bytes -> null like
+    // the other codec entry points
+    "st_geomfromtwkb" -> C(BinaryType, Set(1), a =>
+      TWKB.readOrNull(a(0).asInstanceOf[Array[Byte]]) match {
+        case null => null
+        case g    => wkb(g)
+      }),
     "st_geomfromgeojson" -> C(BinaryType, Set(1), a => GeoJSON.readOrNull(s(a(0))) match {
       case null => null
       case g    => wkb(g)
