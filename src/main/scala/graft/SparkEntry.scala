@@ -382,6 +382,22 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Bing quadkey tile addressing: one base-4 string per point whose
+    // PREFIX property (a tile's key prefixes all descendants') turns
+    // tile-hierarchy pruning into string prefix filters — the standard
+    // join/partition key for web-map corpora alongside q258's x/y/z.
+    "q264_quadkey" -> sqlQuery(Seq("customer"),
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    st_point(cast(c_custkey % 340 - 170 as double),
+         |             cast((c_custkey * 7) % 160 - 80 as double)) AS p
+         |  FROM customer WHERE c_custkey <= 1500)
+         |SELECT c_custkey,
+         |  st_quadkey(p, 6) AS qk6,
+         |  st_quadkey(p, 12) AS qk12,
+         |  cast(startswith(st_quadkey(p, 12), st_quadkey(p, 6)) as boolean) AS prefix_ok
+         |FROM pts ORDER BY c_custkey""".stripMargin),
+
     // TWKB compact codec (PostGIS ST_AsTWKB/ST_GeomFromTWKB): zigzag-
     // varint delta encoding at 10^precision — the wire format where
     // geometry BYTES dominate. Coordinates synthesized on 1/16 fractions
@@ -6175,6 +6191,27 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // quadkeys rebuilt digit-by-digit from the q258 slippy tile indices
+    // (same exact-rational x / mercator-ln y arguments); the prefix
+    // property holds by construction
+    "q264_quadkey" -> {
+      def tx(z: Int) =
+        s"greatest(0, least(cast(pow(2.0, $z) as bigint) - 1, " +
+          s"cast(floor((cast(c_custkey % 340 - 170 as double) + 180.0) / 360.0 * pow(2.0, $z)) as bigint)))"
+      def ty(z: Int) =
+        s"greatest(0, least(cast(pow(2.0, $z) as bigint) - 1, " +
+          s"cast(floor((1.0 - ln(tan(radians(cast((c_custkey * 7) % 160 - 80 as double))) + " +
+          s"1.0 / cos(radians(cast((c_custkey * 7) % 160 - 80 as double)))) / pi()) / 2.0 * pow(2.0, $z)) as bigint)))"
+      def qk(z: Int) = (z - 1 to 0 by -1).map(k =>
+        s"cast(2 * ((ty$z >> $k) & 1) + ((tx$z >> $k) & 1) as varchar)").mkString("concat(", ", ", ")")
+      s"""WITH t AS (
+         |  SELECT c_custkey, ${tx(6)} AS tx6, ${ty(6)} AS ty6,
+         |    ${tx(12)} AS tx12, ${ty(12)} AS ty12
+         |  FROM customer WHERE c_custkey <= 1500)
+         |SELECT c_custkey, ${qk(6)} AS qk6, ${qk(12)} AS qk12, true AS prefix_ok
+         |FROM t ORDER BY c_custkey""".stripMargin
+    },
 
     // round-trips echo the inputs (1/16-fraction coords are exact at
     // precision 4); the envelope area is the exact integer-sided square;

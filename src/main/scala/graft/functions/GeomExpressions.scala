@@ -407,6 +407,32 @@ object GeomKernels {
         }
       case _ => null
     }),
+    // Bing/quadkey tile address at zoom z: base-4 digit per level,
+    // digit = 2*yBit + xBit from the top zoom down — the key property is
+    // that a tile's quadkey PREFIXES all its descendants', so prefix
+    // filters prune tile hierarchies (the Bing Maps tile system, public).
+    // Composes with st_tilex/st_tiley (identical slippy arithmetic).
+    "st_quadkey" -> W(StringType, Set(1), (g, a) => g match {
+      case p: Point if !p.x.isNaN && !p.y.isNaN =>
+        val z = d(a(0)).toInt
+        if (z < 1 || z > 30) null
+        else {
+          val n = (1L << z).toDouble
+          val tx = math.max(0L, math.min((1L << z) - 1,
+            math.floor((p.x + 180.0) / 360.0 * n).toLong))
+          val latR = math.toRadians(math.max(-85.05112878, math.min(85.05112878, p.y)))
+          val ty = math.max(0L, math.min((1L << z) - 1,
+            math.floor((1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n).toLong))
+          val sb = new java.lang.StringBuilder(z)
+          var k = z - 1
+          while (k >= 0) {
+            sb.append((2 * ((ty >> k) & 1) + ((tx >> k) & 1)).toString)
+            k -= 1
+          }
+          utf8(sb.toString)
+        }
+      case _ => null
+    }),
     // Chamberlain-Duquette polygon area in m^2 on the mean sphere with
     // edges PLANAR IN LON/LAT (the GeoJSON/turf.js convention — lon/lat
     // data digitized as straight segments in degree space). Contrast

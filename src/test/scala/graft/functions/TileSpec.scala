@@ -21,6 +21,25 @@ class TileSpec extends AnyFunSuite {
     assert(one("st_tiley(st_point(0.0, 51.5), 12)") == 1362L)
   }
 
+  test("quadkey: z1 quadrants, digit reconstruction, prefix property") {
+    // z1: digit = 2*yBit + xBit -> NW=0, NE=1, SW=2, SE=3
+    assert(one("st_quadkey(st_point(-170.0, 80.0), 1)") == "0")
+    assert(one("st_quadkey(st_point(170.0, 80.0), 1)") == "1")
+    assert(one("st_quadkey(st_point(-170.0, -80.0), 1)") == "2")
+    assert(one("st_quadkey(st_point(170.0, -80.0), 1)") == "3")
+    // digits reconstruct from the tile indices at z12 (London example)
+    val qk = one("st_quadkey(st_point(0.0, 51.5), 12)").toString
+    val (tx, ty) = (2048L, 1362L)
+    val expect = (11 to 0 by -1).map(k => 2 * ((ty >> k) & 1) + ((tx >> k) & 1)).mkString
+    assert(qk == expect)
+    // prefix property: every ancestor key prefixes the z12 key
+    for (z <- 1 to 11)
+      assert(qk.startsWith(one(s"st_quadkey(st_point(0.0, 51.5), $z)").toString))
+    // invalid: zoom 0 has no digits; non-points null
+    assert(one("st_quadkey(st_point(0.0, 0.0), 0)") == null)
+    assert(one("st_quadkey(st_makeenvelope(0.0, 0.0, 1.0, 1.0), 5)") == null)
+  }
+
   test("clamping: poles and the antimeridian stay in range") {
     for (z <- Seq(1, 6, 12)) {
       val n = (1L << z) - 1
