@@ -382,6 +382,30 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Mapbox Vector Tile build (sources/MVT): assign features to slippy
+    // tiles, ONE shuffle on the tile key, per-tile protobuf encode in
+    // mapGroups — the standard web-map tile sink. The oracle replays the
+    // tile assignment and counts closed-form; the protobuf payload is
+    // verified IN the query by decoding every tile back (rt_ok) with the
+    // independent decoder — byte-level conformance is spec-pinned in
+    // MvtSpec against the vector-tile-spec worked example.
+    "q265_mvt_tiles" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 4000)
+        .selectExpr("c_custkey", s"$custPt AS geometry")
+      val tiles = graft.sources.MVT.tileLayer(cust, "c_custkey", "geometry",
+        zoom = 3, layerName = "cust")
+      import s.implicits._
+      tiles.as[(Int, Long, Long, Long, Array[Byte])].map { case (z, x, y, n, mvt) =>
+        val l = graft.sources.MVT.decode(mvt).head
+        val ok = l.features.length == n && l.version == 2 && l.name == "cust" &&
+          l.features.forall(f =>
+            graft.sources.MVT.commandsToGeom(f.geomType, f.commands) != null)
+        (z, x, y, n, ok)
+      }.toDF("z", "x", "y", "n_features", "rt_ok").orderBy("x", "y")
+    }),
+
     // Bing quadkey tile addressing: one base-4 string per point whose
     // PREFIX property (a tile's key prefixes all descendants') turns
     // tile-hierarchy pruning into string prefix filters — the standard
@@ -6191,6 +6215,19 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // tile assignment + per-tile counts replayed closed-form (same
+    // slippy arithmetic as q258 on the standard customer point synth);
+    // rt_ok is the in-query decode verification, true by construction
+    "q265_mvt_tiles" -> {
+      val tx = "greatest(0, least(7, cast(floor((cast(c_custkey % 360 - 180 as double) + 180.0) / 360.0 * 8.0) as bigint)))"
+      val ty = "greatest(0, least(7, cast(floor((1.0 - ln(tan(radians(cast((c_custkey * 7) % 160 - 80 as double))) + " +
+        "1.0 / cos(radians(cast((c_custkey * 7) % 160 - 80 as double)))) / pi()) / 2.0 * 8.0) as bigint)))"
+      s"""SELECT cast(3 as int) AS z, x, y, cast(count(*) as bigint) AS n_features,
+         |  true AS rt_ok
+         |FROM (SELECT $tx AS x, $ty AS y FROM customer WHERE c_custkey <= 4000)
+         |GROUP BY x, y ORDER BY x, y""".stripMargin
+    },
 
     // quadkeys rebuilt digit-by-digit from the q258 slippy tile indices
     // (same exact-rational x / mercator-ln y arguments); the prefix
