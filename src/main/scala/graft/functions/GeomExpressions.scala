@@ -460,10 +460,12 @@ object GeomKernels {
       }),
     // snap coordinates to a grid (round-half-up multiples of the cell size)
     "st_snaptogrid" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.snapToGrid(g, d(a(0))))),
-    // TWKB compact varint encoding (PostGIS ST_AsTWKB; default precision 5)
+    // TWKB compact varint encoding (PostGIS ST_AsTWKB; default precision
+    // 5). Out-of-range precision -> null, matching every sibling codec
+    // and tile entry point (never a thrown job failure on bad scalars).
     "st_astwkb" -> W(BinaryType, Set(0, 1), (g, a) => {
       val prec = if (a.isEmpty || a(0) == null) 5 else d(a(0)).toInt
-      TWKB.write(g, prec)
+      if (prec < -7 || prec > 7) null else TWKB.write(g, prec)
     }),
     // PostGIS ST_ReducePrecision: snap to grid, then drop the collapsed
     // consecutive duplicates the snap introduces

@@ -24,10 +24,12 @@ object TWKB {
 
   // ------------------------------------------------------------ varints
 
-  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
-  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+  // shared with sources/MVT (same LEB128 wire primitive; GeoPackage's
+  // SQLite varint is a DIFFERENT format and keeps its own)
+  private[graft] def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private[graft] def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
-  private def writeUvarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+  private[graft] def writeUvarint(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
@@ -152,9 +154,18 @@ object TWKB {
       px += in.svarint(); py += in.svarint()
       (px / scale, py / scale)
     }
+    // every count is bounded by the remaining bytes (a vertex needs >= 2
+    // bytes, a nested item >= 1) BEFORE any allocation — corrupt counts
+    // must fail the cheap require, never reach Array.fill (an OOM would
+    // escape readOrNull's Exception catch)
+    def bounded(raw: Long, perItem: Int): Int = {
+      // divide, don't multiply — raw is attacker-controlled up to 2^63
+      require(raw >= 0 && raw <= (in.bytes.length - in.pos).toLong / perItem,
+        s"implausible count $raw")
+      raw.toInt
+    }
     def line(close: Boolean): Array[Double] = {
-      val n = in.uvarint().toInt
-      require(n >= 0 && n < (1 << 28), "implausible vertex count")
+      val n = bounded(in.uvarint(), 2)
       val cs = new Array[Double](2 * n + (if (close) 2 else 0))
       var i = 0
       while (i < n) { val (x, y) = coord(); cs(2 * i) = x; cs(2 * i + 1) = y; i += 1 }
@@ -162,7 +173,7 @@ object TWKB {
       cs
     }
     def polyBody(): Polygon = {
-      val nr = in.uvarint().toInt
+      val nr = bounded(in.uvarint(), 1)
       Polygon(Array.fill(nr)(line(close = true)))
     }
     typeId match {
@@ -170,19 +181,19 @@ object TWKB {
       case 2 => LineString(line(close = false))
       case 3 => polyBody()
       case 4 =>
-        val n = in.uvarint().toInt
+        val n = bounded(in.uvarint(), 1)
         if (hasIds) { var i = 0; while (i < n) { in.svarint(); i += 1 } }
         MultiPoint(Array.fill(n) { val (x, y) = coord(); Point(x, y) })
       case 5 =>
-        val n = in.uvarint().toInt
+        val n = bounded(in.uvarint(), 1)
         if (hasIds) { var i = 0; while (i < n) { in.svarint(); i += 1 } }
         MultiLineString(Array.fill(n)(LineString(line(close = false))))
       case 6 =>
-        val n = in.uvarint().toInt
+        val n = bounded(in.uvarint(), 1)
         if (hasIds) { var i = 0; while (i < n) { in.svarint(); i += 1 } }
         MultiPolygon(Array.fill(n)(polyBody()))
       case 7 =>
-        val n = in.uvarint().toInt
+        val n = bounded(in.uvarint(), 1)
         if (hasIds) { var i = 0; while (i < n) { in.svarint(); i += 1 } }
         GeometryCollection(Array.fill(n)(read(in)))
       case t => throw new IllegalArgumentException(s"bad TWKB type $t")

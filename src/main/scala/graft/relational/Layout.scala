@@ -82,7 +82,12 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"clustering column '${cols(i)}' has no non-null values " +
+          "(empty input or all-null column) — z-order needs an observed range")
+      (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
   }
 
   /**

@@ -33,11 +33,8 @@ object MVT {
 
   // ------------------------------------------------------------ protobuf
 
-  private def uvarint(out: ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
+  private def uvarint(out: ByteArrayOutputStream, v: Long): Unit =
+    TWKB.writeUvarint(out, v) // shared LEB128 primitive
   private def key(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
     uvarint(out, (field.toLong << 3) | wire)
   private def bytesField(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
@@ -48,17 +45,26 @@ object MVT {
   // ------------------------------------------------------- geometry cmds
 
   /** Encode one geometry as MVT command integers in tile-local coords.
-    * Returns null for unsupported shapes. Cursor deltas persist across
-    * parts per the spec. */
+    * Returns null for unsupported shapes OR when any vertex delta
+    * exceeds int32 (a geometry ~half a million tiles wide relative to
+    * its assigned tile — zigzag32 would silently wrap it into garbage
+    * coordinates; dropping the feature is the honest failure). Cursor
+    * deltas persist across parts per the spec. */
   private[sources] def commands(g: Geom): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var cx = 0L; var cy = 0L
+    var overflow = false
+    def delta(q: Long, c: Long): Long = {
+      val d = q - c
+      if (d > Int.MaxValue || d < Int.MinValue) overflow = true
+      d
+    }
     def move(xs: Array[Double], at: Int, n: Int, cmd: Int): Unit = {
       out += ((cmd & 0x7L) | (n.toLong << 3))
       var i = at
       while (i < at + n) {
         val qx = Math.round(xs(2 * i)); val qy = Math.round(xs(2 * i + 1))
-        out += zigzag32(qx - cx); out += zigzag32(qy - cy)
+        out += zigzag32(delta(qx, cx)); out += zigzag32(delta(qy, cy))
         cx = qx; cy = qy
         i += 1
       }
@@ -78,7 +84,7 @@ object MVT {
         out += (1L | (ps.length.toLong << 3))
         ps.foreach { p =>
           val qx = Math.round(p.x); val qy = Math.round(p.y)
-          out += zigzag32(qx - cx); out += zigzag32(qy - cy); cx = qx; cy = qy
+          out += zigzag32(delta(qx, cx)); out += zigzag32(delta(qy, cy)); cx = qx; cy = qy
         }
       case LineString(cs) => line(cs)
       case MultiLineString(ls) => ls.foreach(l => line(l.coords))
@@ -86,7 +92,7 @@ object MVT {
       case MultiPolygon(ps) => ps.foreach(_.rings.foreach(ring))
       case _ => return null
     }
-    if (out.isEmpty) null else out.toArray
+    if (out.isEmpty || overflow) null else out.toArray
   }
 
   private def geomType(g: Geom): Int = g match {

@@ -341,8 +341,8 @@ object SpatialJoin {
       rSuffix: String = "_right",
       leftIdCol: Option[String] = None,
       rightIdCol: Option[String] = None): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"spatial join supports inner|left, got $joinType")
+    require(Set("inner", "left", "semi", "anti")(joinType),
+      s"spatial join supports inner|left|semi|anti, got $joinType")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -417,9 +417,13 @@ object SpatialJoin {
     val rCntPinned: Option[DataFrame] =
       if (pruneMax <= 0 && saltThresh <= 0) None
       else Some(rc.groupBy("__cell").agg(count(lit(1)).as("__rcnt")).localCheckpoint())
+    // Int-range guard mirrors Quantiles.BuiltinMaxRowsKey: a huge
+    // user-set cap means "prune with a bounded probe", not an overflowed
+    // negative limit()
+    val pruneCap = math.min(pruneMax, (Int.MaxValue - 1).toLong)
     val lc = rCntPinned match {
       case Some(rCnt) if pruneMax > 0 &&
-          rCnt.limit((pruneMax + 1).toInt).count() <= pruneMax =>
+          rCnt.limit((pruneCap + 1).toInt).count() <= pruneCap =>
         lc0.join(broadcast(rCnt.select("__cell")), "__cell")
       case _ => lc0
     }
@@ -496,7 +500,13 @@ object SpatialJoin {
       .filter(refineUdf(col("__cell"), col("__lwkb"), col("__rwkb")))
       .select(col(lId), col(rId).as(rId + "_p"))
 
-    stitch(leftW, rightW, pairs, joinType, lId, rId, lSuffix, rSuffix)
+    // semi/anti on the grid path: the matched-lid set replaces the
+    // stitch — same output contract as the broadcast path (left columns
+    // only, unsuffixed), so autoJoin's dispatch stays semantics-free
+    if (joinType == "semi" || joinType == "anti")
+      leftW.join(pairs.select(lId).distinct(),
+        Seq(lId), if (joinType == "semi") "leftsemi" else "leftanti").drop(lId)
+    else stitch(leftW, rightW, pairs, joinType, lId, rId, lSuffix, rSuffix)
   }
 
   /** Reassemble full rows from the (lid, rid) pair table — two equi-joins,

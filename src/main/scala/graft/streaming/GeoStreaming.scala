@@ -238,17 +238,20 @@ object GeoStreaming {
   /**
    * Event-time sessionization with gap timeout — the flatMapGroupsWithState
    * + EventTimeTimeout pattern (the streaming twin of q121's batch session
-   * windows, and of [[graft.pipeline.Sessionize]]): events for a key that
-   * arrive within `gapSecs` of the session's current end extend it; a
-   * larger gap closes the session (emitted) and opens a new one; when the
-   * WATERMARK passes sessionEnd + gap the open session closes and its
-   * state is freed — so state is O(active keys), never O(history), and
-   * the emitted stream is append-mode (each session exactly once).
+   * windows, and of [[graft.pipeline.Sessionize]]).
    *
-   * Late events older than the watermark are dropped by the watermark
-   * itself; within-batch disorder is handled by sorting the (bounded)
-   * per-key batch iterator. Output: (key, session_start, session_end,
-   * n_events) with timestamps in epoch seconds.
+   * Correctness under reordering: a session is NEVER emitted while the
+   * watermark could still admit an event that extends (or prepends to)
+   * it. State holds ALL open sessions for the key, sorted; each event
+   * merges into any session within `gapSecs` on EITHER side (bridging
+   * events merge two sessions into one), so cross-batch disorder inside
+   * the watermark delay lands in the right session with the right
+   * boundaries. A session is emitted — exactly once, append-mode — only
+   * when the watermark passes sessionEnd + gap, at which point no
+   * admissible event (t >= watermark) can touch it. State is O(active
+   * sessions per key), bounded by watermarkDelay / gap + 1.
+   *
+   * Output: (key, session_start, session_end, n_events), epoch seconds.
    */
   def sessionize(
       stream: DataFrame,
@@ -264,34 +267,40 @@ object GeoStreaming {
     val tIdx = stream.schema.fieldIndex(tsCol)
     val gapMs = gapSecs * 1000L
 
-    // state: (sessionStartMs, sessionEndMs, nEvents)
+    // state: open sessions as sorted (startMs, endMs, nEvents)
     wm.groupByKey(_.getString(kIdx))
-      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (String, Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, rows: Iterator[Row], state: GroupState[(Long, Long, Long)]) =>
-          val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed end+gap: close and free
-            state.getOption.foreach { case (s, e, n) => out += ((key, s / 1000, e / 1000, n)) }
-            state.remove()
-          } else {
-            val times = rows.map(_.getTimestamp(tIdx).getTime).toArray.sorted
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some((s, e, n)) if t - e <= gapMs => cur = Some((s, math.max(e, t), n + 1))
-                case Some((s, e, n)) => // gap exceeded: close, start fresh
-                  out += ((key, s / 1000, e / 1000, n)); cur = Some((t, t, 1L))
-                case None => cur = Some((t, t, 1L))
-              }
+        (key: String, rows: Iterator[Row], state: GroupState[List[(Long, Long, Long)]]) =>
+          var sessions: List[(Long, Long, Long)] = state.getOption.getOrElse(Nil)
+
+          rows.foreach { r =>
+            val t = r.getTimestamp(tIdx).getTime
+            // partition into (before, touching, after) — touching = within
+            // gap on either side; a bridging event merges them all
+            val (touch, rest) = sessions.partition { case (s, e, _) =>
+              t >= s - gapMs && t <= e + gapMs
             }
-            cur.foreach { c =>
-              state.update(c)
-              // fire when the WATERMARK (event time) passes end+gap
-              state.setTimeoutTimestamp(c._2 + gapMs)
-            }
+            val merged: (Long, Long, Long) =
+              if (touch.isEmpty) (t, t, 1L)
+              else (math.min(t, touch.map(_._1).min),
+                math.max(t, touch.map(_._2).max),
+                touch.map(_._3).sum + 1L)
+            sessions = (merged :: rest).sortBy(_._1)
           }
-          out.iterator
+
+          // emit every session no admissible event can still touch
+          val wmMs = state.getCurrentWatermarkMs()
+          val (expired, open) = sessions.partition { case (_, e, _) => e + gapMs < wmMs }
+          if (open.nonEmpty) {
+            state.update(open)
+            // earliest close instant among open sessions; clamped one ms
+            // past the watermark for the e+gap == wm boundary (still open
+            // there: an event AT the watermark may touch it)
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wmMs + 1))
+          } else state.remove()
+          expired.sortBy(_._1)
+            .map { case (s, e, n) => (key, s / 1000, e / 1000, n) }.iterator
       }
       .toDF(keyCol, "session_start", "session_end", "n_events")
   }

@@ -76,6 +76,16 @@ class TwkbSpec extends AnyFunSuite {
     }
   }
 
+  test("implausible counts in corrupt bytes return null, never allocate") {
+    // MultiPoint header + huge count varint (0x7FFFFFFF): must fail the
+    // bytes-remaining bound, not reach Array.fill
+    val huge = Array[Byte](0x04, 0x00, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x07)
+    assert(TWKB.readOrNull(huge) == null)
+    // same for ring and collection counts
+    assert(TWKB.readOrNull(Array[Byte](0x03, 0x00, 0xff.toByte, 0xff.toByte, 0x7f)) == null)
+    assert(TWKB.readOrNull(Array[Byte](0x07, 0x00, 0xff.toByte, 0xff.toByte, 0x7f)) == null)
+  }
+
   test("compactness: TWKB beats WKB substantially on typical geometries") {
     val poly = Polygon(Array((0 to 64).flatMap { i =>
       val a = i * 2 * math.Pi / 64

@@ -90,6 +90,29 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(runLeft("4000000") == runLeft("0"))
   }
 
+  test("semi/anti parity across the broadcast and grid paths (autoJoin contract)") {
+    val rnd = new scala.util.Random(41)
+    val pts = (1 to 500).map(i =>
+      (i.toLong, pt(rnd.nextDouble() * 100, rnd.nextDouble() * 100)))
+      .toDF("pid", "geometry")
+    val boxes = Seq(
+      (1L, WKB.write(Polygon(Array(Array(10.0, 10, 40, 10, 40, 40, 10, 40, 10, 10))))),
+      (2L, WKB.write(Polygon(Array(Array(30.0, 30, 70, 30, 70, 70, 30, 70, 30, 30))))))
+      .toDF("rid", "geometry")
+    for (jt <- Seq("semi", "anti")) {
+      val viaBroadcast = SpatialJoin.join(pts, boxes, SpatialJoin.Predicate.Intersects, jt)
+        .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+      val viaGrid = SpatialJoin.gridJoin(pts, boxes, cellSize = 25.0,
+        SpatialJoin.Predicate.Intersects, jt,
+        leftIdCol = Some("pid"), rightIdCol = Some("rid"))
+        .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaBroadcast == viaGrid, jt)
+      assert(SpatialJoin.gridJoin(pts, boxes, 25.0, SpatialJoin.Predicate.Intersects, jt,
+        leftIdCol = Some("pid"), rightIdCol = Some("rid")).columns.toSeq ==
+        Seq("pid", "geometry"), s"$jt output contract")
+    }
+  }
+
   test("gridJoin hot-cell salting: forced-low threshold matches unsalted results") {
     val rnd = new scala.util.Random(31)
     // everything in ONE cell -> quadratic candidate count, salting engages

@@ -373,6 +373,53 @@ class GeoStreamingSpec extends AnyFunSuite {
       assert(got.contains(("u1", 100L, 120L, 3L)), s"first u1 session: $got")
       assert(got.contains(("u1", 200L, 215L, 2L)), s"second u1 session: $got")
       assert(got.contains(("u2", 105L, 105L, 1L)), s"u2 singleton: $got")
+      // cross-batch disorder: a late-but-admissible event PREPENDS to an
+      // open session from an earlier batch (correct start + count)
+      val inL = MemoryStream[(String, Timestamp)]
+      val sL = GeoStreaming.sessionize(inL.toDF().toDF("uid", "ts"), "uid", "ts",
+        gapSecs = 30, watermarkDelay = "100 seconds")
+      val qL = sL.writeStream.format("memory").queryName("sessL")
+        .outputMode("append").start()
+      try {
+        inL.addData(("A", ts(200)))
+        qL.processAllAvailable()
+        inL.addData(("A", ts(185))) // watermark = 100, admitted; within gap BEFORE start
+        qL.processAllAvailable()
+        inL.addData(("zz", ts(1000)))
+        qL.processAllAvailable()
+        inL.addData(("zz", ts(2000)))
+        qL.processAllAvailable()
+        val gL = spark.table("sessL")
+          .selectExpr("uid", "session_start", "session_end", "n_events").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(gL.contains(("A", 185L, 200L, 2L)), s"late prepend: $gL")
+      } finally qL.stop()
+
+      // bridging: an event between two open sessions merges them into one
+      val inB = MemoryStream[(String, Timestamp)]
+      val sB = GeoStreaming.sessionize(inB.toDF().toDF("uid", "ts"), "uid", "ts",
+        gapSecs = 30, watermarkDelay = "200 seconds")
+      val qB = sB.writeStream.format("memory").queryName("sessB")
+        .outputMode("append").start()
+      try {
+        inB.addData(("B", ts(100)), ("B", ts(110)))
+        qB.processAllAvailable()
+        inB.addData(("B", ts(150)), ("B", ts(160))) // 150-110=40 > gap: second session
+        qB.processAllAvailable()
+        inB.addData(("B", ts(130))) // touches both -> bridge merge
+        qB.processAllAvailable()
+        inB.addData(("zz", ts(1000)))
+        qB.processAllAvailable()
+        inB.addData(("zz", ts(2000)))
+        qB.processAllAvailable()
+        val gB = spark.table("sessB")
+          .selectExpr("uid", "session_start", "session_end", "n_events").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(gB.contains(("B", 100L, 160L, 5L)), s"bridge merge: $gB")
+        assert(!gB.exists(t => t._1 == "B" && t != ("B", 100L, 160L, 5L)),
+          s"no partial B sessions: $gB")
+      } finally qB.stop()
+
       // within-batch disorder: events arrive out of order, one session
       val in2 = MemoryStream[(String, Timestamp)]
       val s2 = GeoStreaming.sessionize(in2.toDF().toDF("uid", "ts"), "uid", "ts",
