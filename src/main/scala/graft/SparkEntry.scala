@@ -382,6 +382,26 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Classifier EVALUATION (the missing half of q254): tie-aware
+    // Mann-Whitney AUC (average ranks are exact dyadic halves -> the
+    // double sum is order-independent), confusion counts, accuracy, and
+    // the decimal-folded Brier score — the publish-gate metrics of a
+    // quality-classifier pipeline. The global rank window is the exact
+    // verification twin; at 100 TB the standard binned-AUC approximation
+    // (histogram of scores, trapezoid over bins) replaces the sort.
+    "q266_classifier_eval" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val base = s.table("documents").where(qcWhere)
+      val feats = qcFeatureSqls.map(expr)
+      val w = graft.pipeline.Classifier.trainLogistic(
+        base, feats, expr(qcLabelSql), lr = 0.5, iters = 3)
+      val sc = graft.pipeline.Classifier.score(w, feats)
+      base.select(round(sc, 6).as("score"), expr(qcLabelSql).as("y"))
+        .createOrReplaceTempView("scored")
+      s.sql(graft.pipeline.Classifier.evalSelectSql)
+    }),
+
     // Mapbox Vector Tile build (sources/MVT): assign features to slippy
     // tiles, ONE shuffle on the tile key, per-tile protobuf encode in
     // mapGroups — the standard web-map tile sink. The oracle replays the
@@ -6215,6 +6235,15 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // training replayed via the q254 CTE chain, label joined back, then
+    // the SHARED eval block (Classifier.evalSelectSql — one SQL string
+    // for both engines, so every double op has the identical shape)
+    "q266_classifier_eval" ->
+      graft.pipeline.Classifier.oracleEvalSql(
+        table = "documents", idCol = "doc_id",
+        featureSqls = qcFeatureSqls, labelSql = qcLabelSql,
+        where = qcWhere, lr = 0.5, iters = 3),
 
     // tile assignment + per-tile counts replayed closed-form (same
     // slippy arithmetic as q258 on the standard customer point synth);

@@ -143,4 +143,57 @@ object Classifier {
       s"CASE WHEN $sigF > 0.5E0 THEN 1 ELSE 0 END AS pred " +
       s"FROM feat CROSS JOIN it$iters ORDER BY $idCol"
   }
+
+  /** Evaluation metrics over a (score DOUBLE rounded 6, y DOUBLE 0/1)
+    * relation named `scored` — shared verbatim by the Spark query and
+    * the DuckDB oracle so every double op has the identical shape.
+    * AUC via the tie-aware Mann-Whitney rank statistic (average ranks
+    * are exact dyadic halves, so the double sum is order-independent);
+    * Brier through the decimal fold. */
+  val evalSelectSql: String =
+    """WITH r AS (SELECT score, y,
+      |    rank() OVER (ORDER BY score) AS rk,
+      |    count(*) OVER (PARTITION BY score) AS cs
+      |  FROM scored),
+      |agg AS (SELECT
+      |    sum(CASE WHEN y = 1.0 THEN (2 * rk + cs - 1) / 2.0 ELSE 0.0 END) AS sr,
+      |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS p,
+      |    cast(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) as bigint) AS nn,
+      |    cast(sum(CASE WHEN score > 0.5 AND y = 1.0 THEN 1 ELSE 0 END) as bigint) AS tp,
+      |    cast(sum(CASE WHEN score > 0.5 AND y = 0.0 THEN 1 ELSE 0 END) as bigint) AS fp,
+      |    cast(sum(CASE WHEN score <= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) as bigint) AS tn,
+      |    cast(sum(CASE WHEN score <= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) as bigint) AS fn,
+      |    sum(cast(round((score - y) * (score - y), 12) as decimal(27,12))) AS bs,
+      |    cast(count(*) as bigint) AS n
+      |  FROM r)
+      |SELECT
+      |  round((sr - cast(p as double) * (p + 1) / 2.0) / (cast(p as double) * nn), 6) + 0.0 AS auc,
+      |  tp, fp, tn, fn,
+      |  round((tp + tn) / cast(n as double), 6) + 0.0 AS accuracy,
+      |  round(cast(bs as double) / n, 6) + 0.0 AS brier
+      |FROM agg""".stripMargin
+
+  /** Full DuckDB oracle for classifier EVALUATION: replays training via
+    * the [[oracleSql]] CTE chain, joins the label back, then applies
+    * [[evalSelectSql]]. */
+  def oracleEvalSql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int): String = {
+    val trained = oracleSql(table, idCol, featureSqls, labelSql, where, lr, iters)
+    // strip the leading WITH and the trailing ORDER BY; reuse the CTE
+    // chain, add the label join and the shared eval block
+    val body = trained.stripPrefix("WITH ")
+    val noOrder = body.substring(0, body.lastIndexOf(" ORDER BY "))
+    val selStart = noOrder.lastIndexOf("SELECT ")
+    val ctes = noOrder.substring(0, selStart).trim.stripSuffix(",")
+    val finalSel = noOrder.substring(selStart)
+    s"WITH $ctes, sc0 AS ($finalSel), " +
+      s"scored AS (SELECT sc0.score, feat.y FROM sc0 JOIN feat ON sc0.$idCol = feat.$idCol), " +
+      evalSelectSql.stripPrefix("WITH ")
+  }
 }

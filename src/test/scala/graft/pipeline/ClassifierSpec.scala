@@ -72,4 +72,19 @@ class ClassifierSpec extends AnyFunSuite {
       assert(a.getInt(2) == b.getInt(2))
     }
   }
+
+  test("evalSelectSql: hand-computed AUC with ties, confusion, Brier") {
+    import spark.implicits._
+    // P=2, N=3; pairwise wins 3 + 1 + tie 0.5 = 4.5 -> AUC 0.75
+    Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.7, 0.0), (0.2, 0.0))
+      .toDF("score", "y").createOrReplaceTempView("scored")
+    val r = spark.sql(Classifier.evalSelectSql).head()
+    assert(r.getDouble(0) == 0.75, s"auc=${r.getDouble(0)}")
+    // threshold 0.5: tp=2 (0.9, 0.7+), fp=2 (0.8, 0.7-), tn=1 (0.2), fn=0
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 2L, 1L, 0L)))
+    assert(r.getDouble(5) == 0.6) // accuracy 3/5
+    val brier = (math.pow(0.9 - 1, 2) + math.pow(0.8, 2) + math.pow(0.7 - 1, 2) +
+      math.pow(0.7, 2) + math.pow(0.2, 2)) / 5
+    assert(math.abs(r.getDouble(6) - brier) < 1e-6, s"brier=${r.getDouble(6)}")
+  }
 }
