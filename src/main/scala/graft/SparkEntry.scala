@@ -382,6 +382,27 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // ANN RECALL@k evaluation — the metric every approximate index must
+    // report before it replaces exact search: IVF top-10 under a
+    // deliberately tight probe budget (nProbe=2 of 8 cells) against the
+    // brute-force top-10, overlap counted on ids. Deterministic end to
+    // end (trainer folds + id tie-breaks), so recall itself is
+    // hash-checkable cross-engine — not just a spec assertion.
+    "q267_ann_recall" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", cents, queryVec,
+        k = 10, nProbe = 2).select("vec_id")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 10)
+        .select("vec_id")
+      val overlap = approx.join(exact, "vec_id").agg(count(lit(1)).as("o"))
+      overlap.select(
+        lit(10L).as("k"),
+        col("o").as("n_overlap"),
+        (round(col("o").cast("double") / 10.0, 6) + lit(0.0)).as("recall"))
+    }),
+
     // Classifier EVALUATION (the missing half of q254): tie-aware
     // Mann-Whitney AUC (average ranks are exact dyadic halves -> the
     // double sum is order-independent), confusion counts, accuracy, and
@@ -6235,6 +6256,39 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // both arms replayed: the q52 unrolled-Lloyd IVF CTE at nProbe=2 and
+    // the q41 brute-force top-10; recall = id-overlap / k
+    "q267_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |probes AS (SELECT c FROM (
+         |  SELECT cc.c, row_number() OVER (ORDER BY
+         |    list_dot_product($queryVecSql, cc.v) /
+         |    (sqrt(list_dot_product($queryVecSql, $queryVecSql)) *
+         |     sqrt(list_dot_product(cc.v, cc.v))) DESC, cc.c) AS rn
+         |  FROM c2 cc) WHERE rn <= 2),
+         |${annAssign("af", "c2")},
+         |approx AS (SELECT vec_id FROM (
+         |  SELECT a.vec_id,
+         |    list_dot_product(a.v, $queryVecSql) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS cos
+         |  FROM af a JOIN probes USING (c))
+         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |exact AS (SELECT vec_id FROM (
+         |  SELECT e.vec_id,
+         |    list_dot_product(cast(e.embedding as double[]), $queryVecSql) /
+         |    (sqrt(list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))) *
+         |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS c
+         |  FROM embeddings e)
+         |  ORDER BY c DESC, vec_id LIMIT 10)
+         |SELECT cast(10 as bigint) AS k,
+         |  cast(count(*) as bigint) AS n_overlap,
+         |  round(cast(count(*) as double) / 10.0, 6) + 0.0 AS recall
+         |FROM approx JOIN exact USING (vec_id)""".stripMargin,
 
     // training replayed via the q254 CTE chain, label joined back, then
     // the SHARED eval block (Classifier.evalSelectSql — one SQL string
