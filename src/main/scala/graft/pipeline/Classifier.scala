@@ -173,6 +173,51 @@ object Classifier {
       |  round(cast(bs as double) / n, 6) + 0.0 AS brier
       |FROM agg""".stripMargin
 
+  /**
+   * Binned (histogram) AUC — the at-scale path the exact rank AUC in
+   * [[evalSelectSql]] cannot take: one map-side-combined groupBy over
+   * `bins` score buckets (no global sort, no global window), then the
+   * trapezoidal area over the cumulative TPR/FPR curve computed on the
+   * <= bins-row histogram. Error vs exact AUC is bounded by the within-
+   * bin tie mass (~1/bins for a continuous score distribution); at 4096
+   * bins on a 6-decimal score it is usually exact to 4+ decimals.
+   *
+   * Input: DataFrame with a score column in [0,1] and a 0/1 label
+   * column. Output: one row (auc double).
+   */
+  def binnedAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+                bins: Int = 4096): DataFrame = {
+    require(bins >= 2, "bins >= 2")
+    val b = least(lit(bins - 1), greatest(lit(0),
+      floor(col(scoreCol).cast("double") * bins).cast("int"))).as("__b")
+    val hist = scored.select(b, col(labelCol).cast("double").as("__y"))
+      .groupBy("__b")
+      .agg(sum(when(col("__y") === 1.0, 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y") === 1.0, 0L).otherwise(1L)).as("__n"))
+    // cumulative counts DESC by bin (high scores first), then trapezoid:
+    // sum over bins of dFPR * (TPR_prev + TPR_cur) / 2 — the window runs
+    // over <= `bins` rows, metadata-sized at any data scale
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = hist.agg(sum("__p").as("__tp"), sum("__n").as("__tn")).head()
+    val (tp, tn) = (totals.getLong(0), totals.getLong(1))
+    require(tp > 0 && tn > 0, "binned AUC needs both classes present")
+    hist
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__tpr", col("__cp").cast("double") / tp)
+      .withColumn("__fpr", col("__cn").cast("double") / tn)
+      .withColumn("__tprPrev", coalesce(
+        lag(col("__tpr"), 1).over(org.apache.spark.sql.expressions.Window.orderBy(col("__b").desc)),
+        lit(0.0)))
+      .withColumn("__fprPrev", coalesce(
+        lag(col("__fpr"), 1).over(org.apache.spark.sql.expressions.Window.orderBy(col("__b").desc)),
+        lit(0.0)))
+      .agg(sum((col("__fpr") - col("__fprPrev")) *
+        (col("__tpr") + col("__tprPrev")) / 2.0).as("auc"))
+  }
+
   /** Full DuckDB oracle for classifier EVALUATION: replays training via
     * the [[oracleSql]] CTE chain, joins the label back, then applies
     * [[evalSelectSql]]. */

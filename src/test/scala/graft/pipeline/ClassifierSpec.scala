@@ -87,4 +87,25 @@ class ClassifierSpec extends AnyFunSuite {
       math.pow(0.7, 2) + math.pow(0.2, 2)) / 5
     assert(math.abs(r.getDouble(6) - brier) < 1e-6, s"brier=${r.getDouble(6)}")
   }
+
+  test("binnedAuc converges to the exact rank AUC (no global sort)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // separable-ish: positives score higher on average
+    val rows = (1 to 20000).map { _ =>
+      val y = if (rnd.nextDouble() < 0.4) 1.0 else 0.0
+      val s = math.min(1.0, math.max(0.0,
+        rnd.nextGaussian() * 0.18 + (if (y == 1.0) 0.62 else 0.38)))
+      (s, y)
+    }
+    val df = rows.toDF("score", "y")
+    df.createOrReplaceTempView("scored")
+    val exact = spark.sql(Classifier.evalSelectSql).head().getDouble(0)
+    val binned = Classifier.binnedAuc(df, "score", "y", bins = 4096)
+      .head().getDouble(0)
+    assert(math.abs(binned - exact) < 2e-3, s"binned=$binned exact=$exact")
+    // coarse bins still in the right neighborhood
+    val coarse = Classifier.binnedAuc(df, "score", "y", bins = 64).head().getDouble(0)
+    assert(math.abs(coarse - exact) < 0.03, s"coarse=$coarse exact=$exact")
+  }
 }
