@@ -382,6 +382,39 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // MinHash ESTIMATOR accuracy — the dedup-family eval twin of q267:
+    // a 64-hash md5-derived signature (portable: the same per-(slot,
+    // shingle) hash computes in both engines) estimates Jaccard as
+    // matching-slot fraction; compared against exact shingle Jaccard on
+    // a bounded all-pairs set. mean |err| ~ 1/sqrt(64) confirms the
+    // sketch is calibrated — measured and hash-checked, not assumed.
+    // (The production LSH path q35 uses the faster xxhash signature;
+    // this md5 twin exists exactly so accuracy is cross-checkable.)
+    "q268_minhash_accuracy" -> sqlQuery(Seq("documents"),
+      """WITH t AS (SELECT doc_id, filter(split(trim(text), '\\s+'), x -> x != '') AS toks
+        |           FROM documents WHERE doc_id <= 120),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN size(toks) < 3 THEN array_distinct(array(array_join(toks, ' ')))
+        |         ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+        |                i -> array_join(slice(toks, i, 3), ' ')))
+        |    END AS sh
+        |  FROM t WHERE size(toks) > 0),
+        |g AS (SELECT doc_id, sh,
+        |    transform(sequence(0, 63), j -> array_min(transform(sh, sg ->
+        |      cast(conv(substring(md5(concat(cast(j as string), ':', sg)), 1, 15), 16, 10) as bigint)))) AS sig
+        |  FROM s),
+        |pairs AS (
+        |  SELECT
+        |    cast(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) as double) / 64.0 AS est,
+        |    cast(size(array_intersect(a.sh, b.sh)) as double) /
+        |      (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) AS exact
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT cast(count(*) as bigint) AS n_pairs,
+        |  round(cast(sum(cast(round(abs(est - exact), 6) as decimal(18,6))) as double)
+        |        / count(*), 6) + 0.0 AS mean_abs_err,
+        |  round(max(abs(est - exact)), 6) + 0.0 AS max_abs_err
+        |FROM pairs""".stripMargin),
+
     // ANN RECALL@k evaluation — the metric every approximate index must
     // report before it replaces exact search: IVF top-10 under a
     // deliberately tight probe budget (nProbe=2 of 8 cells) against the
@@ -6256,6 +6289,32 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // same signature from the same md5 hash, DuckDB list comprehensions
+    // instead of Spark HOFs; exact Jaccard as in the q35 oracle
+    "q268_minhash_accuracy" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |           FROM documents WHERE doc_id <= 120),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |             ELSE list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |        END AS sh
+        |      FROM t WHERE len(toks) > 0),
+        |g AS (SELECT doc_id, sh,
+        |    [list_min([('0x' || substr(md5(cast(j as varchar) || ':' || sg), 1, 15))::BIGINT
+        |       FOR sg IN sh]) FOR j IN range(0, 64)] AS sig
+        |  FROM s),
+        |pairs AS (
+        |  SELECT
+        |    cast(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) as double) / 64.0 AS est,
+        |    cast(len(list_intersect(a.sh, b.sh)) as double) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS exact
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT cast(count(*) as bigint) AS n_pairs,
+        |  round(cast(sum(cast(round(abs(est - exact), 6) as decimal(18,6))) as double)
+        |        / count(*), 6) + 0.0 AS mean_abs_err,
+        |  round(max(abs(est - exact)), 6) + 0.0 AS max_abs_err
+        |FROM pairs""".stripMargin,
 
     // both arms replayed: the q52 unrolled-Lloyd IVF CTE at nProbe=2 and
     // the q41 brute-force top-10; recall = id-overlap / k
