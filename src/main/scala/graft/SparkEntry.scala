@@ -382,6 +382,25 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // HLL calibration — the sketch-family member of the eval suite
+    // (q266 classifier, q267 ANN recall, q268 MinHash): per-source
+    // distinct-token estimate vs exact distinct, relative error
+    // reported as data. p=8 HLL has ~6.5% theoretical SE; the measured
+    // per-source errors are hash-checked against the oracle's replayed
+    // estimate AND its exact distinct.
+    "q269_hll_calibration" -> sqlQuery(Seq("documents"),
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, explode(filter(split(trim(text), '\\s+'), x -> x != '')) AS tok
+        |    FROM documents WHERE text IS NOT NULL)),
+        |agg AS (
+        |  SELECT source, hll_distinct(tok) AS est,
+        |    cast(count(DISTINCT tok) as bigint) AS exact
+        |  FROM toks GROUP BY source)
+        |SELECT source, est, exact,
+        |  round(abs(est - exact) / exact, 6) + 0.0 AS rel_err
+        |FROM agg ORDER BY source""".stripMargin),
+
     // MinHash ESTIMATOR accuracy — the dedup-family eval twin of q267:
     // a 64-hash md5-derived signature (portable: the same per-(slot,
     // shingle) hash computes in both engines) estimates Jaccard as
@@ -6289,6 +6308,20 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // estimate replayed by the shared md5-layout HLL SQL; exact distinct
+    // joined back; identical rel_err division shape
+    "q269_hll_calibration" -> {
+      val tokTable = "(SELECT source, unnest(regexp_extract_all(trim(text), '\\S+')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL) tt"
+      s"""WITH est AS (${graft.pipeline.Sketch.hllSql(tokTable, "tok", "source")}),
+         |ex AS (SELECT source, cast(count(DISTINCT tok) as bigint) AS exact
+         |       FROM (SELECT source, unnest(regexp_extract_all(trim(text), '\\S+')) AS tok
+         |             FROM documents WHERE text IS NOT NULL) GROUP BY source)
+         |SELECT est.source, est.hll_estimate AS est, ex.exact,
+         |  round(abs(est.hll_estimate - ex.exact) / ex.exact, 6) + 0.0 AS rel_err
+         |FROM est JOIN ex ON est.source = ex.source ORDER BY est.source""".stripMargin
+    },
 
     // same signature from the same md5 hash, DuckDB list comprehensions
     // instead of Spark HOFs; exact Jaccard as in the q35 oracle
