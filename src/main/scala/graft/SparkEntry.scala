@@ -382,6 +382,28 @@ object SparkEntry {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Geodesic buffer (PostGIS ST_Buffer(geography)): spherical AEQD
+    // about the point, planar buffer, inverse — the projection preserves
+    // distance from its center, so every ring vertex sits at EXACTLY the
+    // requested geodesic radius; the oracle pins dmin=dmax=r closed-form
+    // (haversine on the same sphere radius round-trips to < 1e-6 m) and
+    // the vertex count from the planar n-gon contract.
+    "q270_geodesic_buffer" -> sqlQuery(Seq("customer"),
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    st_point(cast(c_custkey % 340 - 170 as double),
+        |             cast((c_custkey * 7) % 120 - 60 as double)) AS p
+        |  FROM customer WHERE c_custkey <= 800),
+        |buf AS (SELECT c_custkey, p, st_geodesicbuffer(p, 100000.0) AS b FROM pts)
+        |SELECT c_custkey,
+        |  st_npoints(b) AS nv,
+        |  round(array_min(transform(st_coorddump(st_exteriorring(b)),
+        |    c -> st_distancesphere(p, st_point(c.x, c.y)))), 3) + 0.0 AS dmin,
+        |  round(array_max(transform(st_coorddump(st_exteriorring(b)),
+        |    c -> st_distancesphere(p, st_point(c.x, c.y)))), 3) + 0.0 AS dmax,
+        |  st_contains(b, p) AS ctr_inside
+        |FROM buf ORDER BY c_custkey""".stripMargin),
+
     // HLL calibration — the sketch-family member of the eval suite
     // (q266 classifier, q267 ANN recall, q268 MinHash): per-source
     // distinct-token estimate vs exact distinct, relative error
@@ -6308,6 +6330,13 @@ object SparkEntry {
         |  round(lon, 6) + 0.0 AS rt_lon,
         |  round(lats, 6) + 0.0 AS rt_lat
         |FROM proj ORDER BY c_custkey""".stripMargin,
+
+    // every vertex at exactly r by the AEQD distance-preservation
+    // property; 33 = 4*quadSegs + closing vertex; center strictly inside
+    "q270_geodesic_buffer" ->
+      """SELECT c_custkey, 33 AS nv,
+        |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
+        |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
 
     // estimate replayed by the shared md5-layout HLL SQL; exact distinct
     // joined back; identical rel_err division shape

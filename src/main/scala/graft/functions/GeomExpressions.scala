@@ -379,6 +379,12 @@ object GeomKernels {
       val segs = if (a.length > 1 && a(1) != null) d(a(1)).toInt else 8
       Option(Algos.buffer(g, d(a(0)), segs)).map(wkb).orNull
     }),
+    // geodesic buffer in METERS over lon/lat input (AEQD projection
+    // about the envelope center — PostGIS ST_Buffer(geography) strategy)
+    "st_geodesicbuffer" -> W(BinaryType, Set(1, 2), (g, a) => {
+      val segs = if (a.length > 1 && a(1) != null) d(a(1)).toInt else 8
+      Option(Algos.geodesicBuffer(g, d(a(0)), segs)).map(wkb).orNull
+    }),
     "st_geodesiclength" -> W(DoubleType, Set(0, 1), (g, a) => {
       val m = if (a.isEmpty || a(0) == null) Geodesy.Method.Geodesic else Geodesy.Method.parse(s(a(0)))
       Geodesy.geodesicLength(g, m)

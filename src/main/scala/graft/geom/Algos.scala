@@ -201,6 +201,28 @@ object Algos {
    * area itself plus its ring buffers. The reference declares buffer only
    * as a future op (geoseries.rst, commented). r <= 0 => null.
    */
+  /**
+   * Geodesic buffer in METERS via spherical azimuthal equidistant
+   * projection about the geometry's envelope center (PostGIS
+   * ST_Buffer(geography) strategy): project, planar [[buffer]], inverse.
+   * EXACT radius for points (AEQD preserves distance from its center);
+   * for extended geometries the radius distorts by O((extent/R)^2) away
+   * from the center — meter-level for city-scale inputs. Poles and the
+   * antimeridian are handled by the projection itself (no lon/lat math
+   * on the ring).
+   */
+  def geodesicBuffer(g: Geometry, rMeters: Double, quadSegs: Int = 8): Geometry = {
+    if (g == null || g.isEmpty || rMeters <= 0 || quadSegs < 1) return null
+    val e = g.envelope
+    val proj = CRS.AzimuthalEquidistant(
+      Geodesy.MeanEarthRadius, (e.minX + e.maxX) / 2, (e.minY + e.maxY) / 2)
+    val planar = g.mapCoords((x, y) => proj.forward(x, y))
+    buffer(planar, rMeters, quadSegs) match {
+      case null => null
+      case b    => b.mapCoords((x, y) => proj.inverse(x, y))
+    }
+  }
+
   def buffer(g: Geometry, r: Double, quadSegs: Int = 8): Geometry = {
     if (r <= 0 || quadSegs < 1) return null
     val n = 4 * quadSegs

@@ -941,6 +941,40 @@ object CRS {
   /** The MODIS authalic sphere radius (meters). */
   val ModisSphereR = 6371007.181
 
+  /**
+   * Spherical azimuthal equidistant, oblique aspect (Snyder §25,
+   * eq. 25-2..25-15): planar distance FROM THE PROJECTION CENTER equals
+   * great-circle distance exactly — the projection behind geodesic
+   * buffering (project, planar buffer, inverse), PostGIS's
+   * ST_Buffer(geography) strategy. R defaults to [[Geodesy.MeanEarthRadius]]
+   * so distances agree with st_distancesphere's haversine.
+   */
+  final case class AzimuthalEquidistant(R: Double, lon0: Double, lat0: Double) {
+    private val f0 = math.toRadians(lat0)
+    private val sin0 = math.sin(f0)
+    private val cos0 = math.cos(f0)
+    def forward(lon: Double, lat: Double): XY = {
+      val la = math.toRadians(lat)
+      val dl = math.toRadians(lon - lon0)
+      val cosc = sin0 * math.sin(la) + cos0 * math.cos(la) * math.cos(dl)
+      val c = math.acos(math.max(-1.0, math.min(1.0, cosc)))
+      val kp = if (c < 1e-12) 1.0 else c / math.sin(c)
+      (R * kp * math.cos(la) * math.sin(dl),
+        R * kp * (cos0 * math.sin(la) - sin0 * math.cos(la) * math.cos(dl)))
+    }
+    def inverse(x: Double, y: Double): XY = {
+      val rho = math.sqrt(x * x + y * y)
+      if (rho < 1e-9) return (lon0, lat0)
+      val c = rho / R
+      val sinc = math.sin(c); val cosc = math.cos(c)
+      val lat = math.asin(math.max(-1.0, math.min(1.0,
+        cosc * sin0 + y * sinc * cos0 / rho)))
+      val lon = math.toRadians(lon0) +
+        math.atan2(x * sinc, rho * cos0 * cosc - y * sin0 * sinc)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
   /** Lambert-93 (EPSG:2154, France), CONUS Albers (EPSG:5070), California
     * Albers (EPSG:3310), Statistics-Canada LCC (EPSG:3347) — parameters from
     * the EPSG registry entries for these CRSs. */
