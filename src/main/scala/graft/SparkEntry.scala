@@ -404,6 +404,24 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Deterministic synchronous label propagation (community detection):
+    // two planted 29-node communities; every node adopts the most frequent
+    // neighbor label, smallest label on ties — no RNG, no update-order
+    // dependence, so the oracle replays the rounds as unrolled CTEs
+    // (q218's PageRank idiom). Per round: one map-side-combined
+    // (node, label) count + a degree-bounded argmax window.
+    "q271_label_propagation" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT (c_custkey % 2) * 100 + (c_custkey % 29) AS src,
+          |       (c_custkey % 2) * 100 + ((c_custkey * 5 + 3) % 29) AS dst
+          |FROM customer""".stripMargin)
+      graft.relational.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+        .selectExpr("cast(node as bigint) AS node", "cast(label as bigint) AS label")
+        .orderBy("node")
+    }),
+
     // HLL calibration — the sketch-family member of the eval suite
     // (q266 classifier, q267 ANN recall, q268 MinHash): per-source
     // distinct-token estimate vs exact distinct, relative error
@@ -6337,6 +6355,30 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // LPA rounds unrolled as CTEs; neighbor-majority argmax replayed with
+    // the identical (count DESC, label ASC) row_number tie-break
+    "q271_label_propagation" -> {
+      val roundCtes = (1 to 4).map { k =>
+        s"""c$k AS (SELECT und.a AS node, l${k - 1}.label, count(*) AS c
+           |  FROM und JOIN l${k - 1} ON und.b = l${k - 1}.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM c$k) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eraw AS (
+         |  SELECT (c_custkey % 2) * 100 + (c_custkey % 29) AS a,
+         |         (c_custkey % 2) * 100 + ((c_custkey * 5 + 3) % 29) AS b
+         |  FROM customer),
+         |dirr AS (SELECT a, b FROM eraw WHERE a <> b),
+         |und AS (SELECT DISTINCT a, b FROM
+         |  (SELECT a, b FROM dirr UNION ALL SELECT b, a FROM dirr)),
+         |l0 AS (SELECT node, node AS label FROM (SELECT DISTINCT a AS node FROM und)),
+         |$roundCtes
+         |SELECT cast(node as bigint) AS node, cast(label as bigint) AS label
+         |FROM l4 ORDER BY node""".stripMargin
+    },
 
     // estimate replayed by the shared md5-layout HLL SQL; exact distinct
     // joined back; identical rel_err division shape

@@ -130,6 +130,56 @@ object Graph {
     dist.select(col("node"), col("dist"))
   }
 
+  /**
+   * Synchronous label propagation (community detection, Raghavan et al.
+   * 2007) made DETERMINISTIC: every node simultaneously adopts the most
+   * frequent label among its neighbors, ties broken by the smallest label —
+   * no RNG, no asynchronous update order, so the result is a pure function
+   * of the edge set and replays identically in any engine (q271 unrolls the
+   * rounds as SQL CTEs the way q218 does for PageRank).
+   *
+   * Distributed shape per round: one map-side-combined (node, label) count
+   * aggregation + a per-node argmax window over at most degree-many rows —
+   * both bounded by the adjacency size, never the graph squared. The
+   * undirected edge set is deduped, pre-partitioned on the probe key once,
+   * and the label frontier localCheckpoints every other round (same
+   * lineage discipline as [[bellmanFord]]/[[pageRank]]).
+   *
+   * @param rounds fixed synchronous rounds (LPA oscillates on bipartite
+   *               structures; a fixed budget is the deterministic contract)
+   * @return (node, label) — nodes sharing a label form a community
+   */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // undirected adjacency, deduped, partitioned once on the probe key
+    val und = dir.unionAll(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("b"))
+      .localCheckpoint()
+    var lab = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    val byNode = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("label").asc)
+    var it = 0
+    while (it < rounds) {
+      lab = und.join(lab.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a").as("node"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(byNode))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"))
+      it += 1
+      if (it % 2 == 0 || it == rounds) lab = lab.localCheckpoint()
+    }
+    lab
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

@@ -89,6 +89,35 @@ class GraphCdcIntervalSpec extends AnyFunSuite {
     assert((1L to 10L).map(pr2).toSet.size == 1) // leaves symmetric
   }
 
+  test("labelPropagation: planted communities converge to one label each; brute-force round parity") {
+    // two disjoint dense blocks (cliques of 6) + no cross edges
+    val blockA = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val blockB = for (i <- 10L to 15L; j <- (i + 1) to 15L) yield (i, j)
+    val lp = Graph.labelPropagation((blockA ++ blockB).toDF("s", "d"), "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // within a clique, neighbor-majority is all-ties -> min neighbor label;
+    // after round 2 every member of a clique agrees
+    assert((0L to 5L).map(lp).toSet.size == 1)
+    assert((10L to 15L).map(lp).toSet.size == 1)
+    assert(lp.filterKeys(_ <= 5L).values.toSet != lp.filterKeys(_ >= 10L).values.toSet)
+
+    // brute-force synchronous replay on a random graph: identical labels
+    val r = lcg(97).map(x => math.floorMod(x, 20L))
+    val raw = (1 to 120).map(_ => (r.next(), r.next())).filter(e => e._1 != e._2)
+    val und = (raw ++ raw.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.labelPropagation(raw.toDF("s", "d"), "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == lab)
+  }
+
   test("triangleCount matches brute force on random graph, ignores dup/reversed/self edges") {
     val r = lcg(53).map(x => math.floorMod(x, 30L))
     val raw = (1 to 400).map(_ => (r.next(), r.next()))
