@@ -404,6 +404,46 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Geodesic densify (PostGIS ST_Segmentize(geography)): great-circle
+    // slerp with uniform angular spacing. Meridian segments have closed-form
+    // geodesics (the meridian itself), so vertex count, per-segment length
+    // (R*2.5deg exactly), uniformity, and total-length preservation are all
+    // checkable against constants; the long east-west chord proves the path
+    // arcs poleward of its parallel (vertex latitude 59.2 > 40), which the
+    // planar segmentize can never do. Booleans computed Spark-side with
+    // tolerances; the oracle pins constants only — no cross-engine trig.
+    "q272_geodesic_segmentize" -> sqlQuery(Seq("customer"),
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 340 - 170 as double) AS lon,
+        |    cast((c_custkey * 3) % 50 - 30 as double) AS lat
+        |  FROM customer WHERE c_custkey <= 600),
+        |geo AS (
+        |  SELECT c_custkey,
+        |    st_geodesicsegmentize(st_geomfromtext(
+        |      concat('LINESTRING (', lon, ' ', lat, ', ', lon, ' ', lat + 10, ')')),
+        |      6371008.8 * 3.0 * pi() / 180) AS m,
+        |    st_geodesicsegmentize(st_geomfromtext('LINESTRING (-60 40, 60 40)'),
+        |      500000.0) AS diag
+        |  FROM src),
+        |dm AS (
+        |  SELECT c_custkey, m, diag, st_coorddump(m) AS cs FROM geo),
+        |dd AS (
+        |  SELECT c_custkey, m, diag,
+        |    zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),
+        |      (p, q) -> st_distancesphere(st_point(p.x, p.y), st_point(q.x, q.y))) AS dists,
+        |    element_at(cs, 1) AS h, element_at(cs, -1) AS t
+        |  FROM dm)
+        |SELECT c_custkey,
+        |  st_npoints(m) AS nv_m,
+        |  st_npoints(diag) AS nv_diag,
+        |  (abs(array_max(dists) - array_min(dists)) < 1e-6) AS uniform,
+        |  (abs(array_max(dists) - 6371008.8 * 2.5 * pi() / 180) < 0.001) AS seg_exact,
+        |  (abs(aggregate(dists, cast(0.0 as double), (a, x) -> a + x)
+        |     - st_distancesphere(st_point(h.x, h.y), st_point(t.x, t.y))) < 0.001) AS len_kept,
+        |  (array_max(transform(st_coorddump(diag), p -> p.y)) > 50.0) AS arcs_poleward
+        |FROM dd ORDER BY c_custkey""".stripMargin),
+
     // Deterministic synchronous label propagation (community detection):
     // two planted 29-node communities; every node adopts the most frequent
     // neighbor label, smallest label on ties — no RNG, no update-order
@@ -6355,6 +6395,15 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // meridian: d = R*10deg, maxSeg = R*3deg => n = 4 => 5 vertices at
+    // exactly R*2.5deg spacing; diagonal: 9242.7 km / 500 km => 19
+    // segments => 20 vertices, arcing to lat 59.2
+    "q272_geodesic_segmentize" ->
+      """SELECT c_custkey, 5 AS nv_m, 20 AS nv_diag,
+        |  true AS uniform, true AS seg_exact, true AS len_kept,
+        |  true AS arcs_poleward
+        |FROM customer WHERE c_custkey <= 600 ORDER BY c_custkey""".stripMargin,
 
     // LPA rounds unrolled as CTEs; neighbor-majority argmax replayed with
     // the identical (count DESC, label ASC) row_number tie-break

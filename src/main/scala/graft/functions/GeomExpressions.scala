@@ -524,6 +524,10 @@ object GeomKernels {
     }),
     // split segments so none exceeds the given length
     "st_segmentize" -> W(BinaryType, Set(1), (g, a) => wkb(Algos.segmentize(g, d(a(0))))),
+    // great-circle densify in METERS over lon/lat input (slerp; the
+    // geography twin of st_segmentize)
+    "st_geodesicsegmentize" -> W(BinaryType, Set(1), (g, a) =>
+      wkb(Algos.geodesicSegmentize(g, d(a(0))))),
     // grow (or shrink, negative d) the bounding box by d on every side
     // (PostGIS ST_Expand); an emptied box => null
     "st_expand" -> W(BinaryType, Set(1), (g, a) => {

@@ -1216,6 +1216,64 @@ object Algos {
     }
   }
 
+  /**
+   * Geodesic densify over lon/lat input (PostGIS ST_Segmentize(geography)):
+   * insert vertices ALONG THE GREAT CIRCLE (unit-sphere slerp, uniform
+   * angular spacing) until no segment exceeds `maxMeters` of spherical
+   * distance (haversine on [[Geodesy.MeanEarthRadius]], the radius every
+   * other geography function here uses). The planar [[segmentize]] is wrong
+   * for long geographic segments — a rhumb-like straight lon/lat chord can
+   * sit hundreds of km off the geodesic; this is the correct-path variant.
+   * Antimeridian/pole-safe: interpolation happens in 3-space, never on the
+   * lon/lat plane. maxMeters <= 0 returns the input unchanged.
+   */
+  def geodesicSegmentize(g: Geometry, maxMeters: Double): Geometry = {
+    if (g == null || maxMeters <= 0) return g
+    def seg(cs: Array[Double]): Array[Double] = {
+      if (cs.length < 4) return cs
+      val buf = scala.collection.mutable.ArrayBuffer[Double](cs(0), cs(1))
+      var i = 0
+      while (i + 3 < cs.length) {
+        val lo1 = cs(i); val la1 = cs(i + 1); val lo2 = cs(i + 2); val la2 = cs(i + 3)
+        val d = Geodesy.haversine(lo1, la1, lo2, la2)
+        val n = math.max(1, math.ceil(d / maxMeters).toInt)
+        if (n > 1) {
+          // unit-sphere endpoints; slerp at k/n keeps spacing exactly uniform
+          val f1 = math.toRadians(la1); val l1 = math.toRadians(lo1)
+          val f2 = math.toRadians(la2); val l2 = math.toRadians(lo2)
+          val ax = math.cos(f1) * math.cos(l1); val ay = math.cos(f1) * math.sin(l1); val az = math.sin(f1)
+          val bx = math.cos(f2) * math.cos(l2); val by = math.cos(f2) * math.sin(l2); val bz = math.sin(f2)
+          val dot = math.max(-1.0, math.min(1.0, ax * bx + ay * by + az * bz))
+          val ang = math.acos(dot)
+          val s = math.sin(ang)
+          var k = 1
+          while (k < n) {
+            val t = k.toDouble / n
+            val (wa, wb) =
+              if (s < 1e-12) (1.0 - t, t) // near-coincident: linear blend
+              else (math.sin((1.0 - t) * ang) / s, math.sin(t * ang) / s)
+            val px = wa * ax + wb * bx; val py = wa * ay + wb * by; val pz = wa * az + wb * bz
+            val nrm = math.sqrt(px * px + py * py + pz * pz)
+            buf += math.toDegrees(math.atan2(py, px))
+            buf += math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, pz / nrm))))
+            k += 1
+          }
+        }
+        buf += lo2; buf += la2
+        i += 2
+      }
+      buf.toArray
+    }
+    g match {
+      case l: LineString => LineString(seg(l.coords))
+      case p: Polygon    => Polygon(p.rings.map(seg))
+      case m: MultiLineString => MultiLineString(m.geoms.map(l => LineString(seg(l.coords))))
+      case m: MultiPolygon    => MultiPolygon(m.geoms.map(p => Polygon(p.rings.map(seg))))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(geodesicSegmentize(_, maxMeters)))
+      case other => other
+    }
+  }
+
   // ---------------------------------------------------------- ring accessors
 
   /** Number of interior rings (holes) of a Polygon; -1 sentinel for
