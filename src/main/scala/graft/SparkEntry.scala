@@ -404,6 +404,28 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Reliability curve + ECE — the calibration member of the eval suite
+    // (q266 ranks, this bins): same training replay as q266, then DECILE
+    // (equal-frequency) score bins with count, decimal-folded mean
+    // predicted score, empirical positive rate, |gap|, and the
+    // count-weighted ECE. Cuts via the exact-percentile aggregate
+    // (Quantiles' at-scale path above its probe threshold), assignment a
+    // broadcast 9-constant comparison, and the bin aggregation ONE
+    // map-side-combined groupBy over <= 10 groups.
+    "q273_reliability_curve" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val base = s.table("documents").where(qcWhere)
+      val feats = qcFeatureSqls.map(expr)
+      val w = graft.pipeline.Classifier.trainLogistic(
+        base, feats, expr(qcLabelSql), lr = 0.5, iters = 3)
+      val sc = graft.pipeline.Classifier.score(w, feats)
+      base.select(round(sc, 6).as("score"), expr(qcLabelSql).as("y"))
+        .createOrReplaceTempView("scored")
+      s.sql("WITH " + graft.pipeline.Classifier.reliabilitySelectSql(
+        graft.pipeline.Classifier.sparkCutsSelect))
+    }),
+
     // Geodesic densify (PostGIS ST_Segmentize(geography)): great-circle
     // slerp with uniform angular spacing. Meridian segments have closed-form
     // geodesics (the meridian itself), so vertex count, per-segment length
@@ -6395,6 +6417,14 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical training CTE replay as q266; calibration block shared
+    // verbatim between the engines
+    "q273_reliability_curve" ->
+      graft.pipeline.Classifier.oracleReliabilitySql(
+        table = "documents", idCol = "doc_id",
+        featureSqls = qcFeatureSqls, labelSql = qcLabelSql,
+        where = qcWhere, lr = 0.5, iters = 3),
 
     // meridian: d = R*10deg, maxSeg = R*3deg => n = 4 => 5 vertices at
     // exactly R*2.5deg spacing; diagonal: 9242.7 km / 500 km => 19

@@ -218,6 +218,51 @@ object Classifier {
         (col("__tpr") + col("__tprPrev")) / 2.0).as("auc"))
   }
 
+  /**
+   * Reliability curve (calibration diagram) + expected calibration error
+   * over the same (score rounded 6, y 0/1) `scored` relation as
+   * [[evalSelectSql]]. Equal-FREQUENCY (decile) bins — the standard
+   * reliability binning, and the one that stays informative when a
+   * lightly-trained classifier's scores cluster in a narrow band where
+   * equal-width bins collapse to one. Bin cuts are the nine interpolated
+   * deciles (`cutsSelect` supplies the engine's exact-percentile
+   * aggregate: Spark `percentile`, DuckDB `quantile_cont` — identical
+   * p*(n-1) interpolation, the q152-proven cross-engine pair); assignment
+   * is a broadcast comparison against 9 constants, and the bin aggregate
+   * is ONE map-side-combined groupBy over <= 10 groups. Per bin: count,
+   * decimal-folded mean predicted score, empirical positive rate, |gap|;
+   * ECE is the count-weighted mean gap. Everything after the cuts is
+   * shared verbatim by both engines.
+   */
+  def reliabilitySelectSql(cutsSelect: String): String = {
+    val binExpr = (1 to 9).map(j => s"(CASE WHEN score > c$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""cuts AS ($cutsSelect),
+       |b AS (SELECT cast($binExpr as int) AS bin,
+       |    cast(round(score, 6) as decimal(18,6)) AS s6, y
+       |  FROM scored CROSS JOIN cuts),
+       |g AS (SELECT bin, cast(count(*) as bigint) AS n,
+       |    sum(s6) AS ssum,
+       |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS pos
+       |  FROM b GROUP BY bin),
+       |e AS (SELECT round(sum(abs(cast(ssum as double) / n - cast(pos as double) / n) * n)
+       |    / sum(n), 6) + 0.0 AS ece FROM g)
+       |SELECT bin, n,
+       |  round(cast(ssum as double) / n, 6) + 0.0 AS mean_score,
+       |  round(cast(pos as double) / n, 6) + 0.0 AS pos_rate,
+       |  round(abs(cast(ssum as double) / n - cast(pos as double) / n), 6) + 0.0 AS gap,
+       |  e.ece AS ece
+       |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
+  }
+
+  /** Decile-cut CTE bodies for [[reliabilitySelectSql]]. */
+  val sparkCutsSelect: String =
+    (1 to 9).map(j => s"round(percentile(score, 0.${j}), 6) AS c$j")
+      .mkString("SELECT ", ", ", " FROM scored")
+  val duckdbCutsSelect: String =
+    (1 to 9).map(j => s"round(quantile_cont(score, 0.${j}), 6) AS c$j")
+      .mkString("SELECT ", ", ", " FROM scored")
+
   /** Full DuckDB oracle for classifier EVALUATION: replays training via
     * the [[oracleSql]] CTE chain, joins the label back, then applies
     * [[evalSelectSql]]. */
@@ -228,7 +273,35 @@ object Classifier {
       labelSql: String,
       where: String,
       lr: Double,
-      iters: Int): String = {
+      iters: Int): String =
+    oracleScoredSql(table, idCol, featureSqls, labelSql, where, lr, iters,
+      evalSelectSql.stripPrefix("WITH "))
+
+  /** [[oracleEvalSql]] with the [[reliabilitySelectSql]] calibration block
+    * (DuckDB decile cuts). */
+  def oracleReliabilitySql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int): String =
+    oracleScoredSql(table, idCol, featureSqls, labelSql, where, lr, iters,
+      reliabilitySelectSql(duckdbCutsSelect))
+
+  /** Replays training via the [[oracleSql]] CTE chain, joins the label
+    * back into a `scored` relation, then applies `tailSql` (a CTE-list +
+    * final SELECT with the leading WITH already stripped). */
+  private def oracleScoredSql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int,
+      tailSql: String): String = {
     val trained = oracleSql(table, idCol, featureSqls, labelSql, where, lr, iters)
     // strip the leading WITH and the trailing ORDER BY; reuse the CTE
     // chain, add the label join and the shared eval block
@@ -239,6 +312,6 @@ object Classifier {
     val finalSel = noOrder.substring(selStart)
     s"WITH $ctes, sc0 AS ($finalSel), " +
       s"scored AS (SELECT sc0.score, feat.y FROM sc0 JOIN feat ON sc0.$idCol = feat.$idCol), " +
-      evalSelectSql.stripPrefix("WITH ")
+      tailSql
   }
 }

@@ -108,4 +108,34 @@ class ClassifierSpec extends AnyFunSuite {
     val coarse = Classifier.binnedAuc(df, "score", "y", bins = 64).head().getDouble(0)
     assert(math.abs(coarse - exact) < 0.03, s"coarse=$coarse exact=$exact")
   }
+
+  test("reliability curve: decile bins partition the set; ECE is the weighted mean gap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // well-calibrated by construction: P(y=1 | score=s) = s
+    val rows = (1 to 8000).map { _ =>
+      val s = rnd.nextDouble()
+      (math.rint(s * 1e6) / 1e6, if (rnd.nextDouble() < s) 1.0 else 0.0)
+    }
+    rows.toDF("score", "y").createOrReplaceTempView("scored")
+    val out = spark.sql("WITH " +
+        Classifier.reliabilitySelectSql(Classifier.sparkCutsSelect))
+      .collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).sum == 8000L) // bins partition the rows
+    // equal-frequency: every decile within a tie-slack band of n/10
+    out.foreach(r => assert(math.abs(r.getLong(1) - 800L) <= 80, r.toString))
+    // calibrated data: per-bin |mean_score - pos_rate| is small, so is ECE
+    val ece = out.head.getDouble(5)
+    assert(ece < 0.05, s"ece=$ece")
+    val wavg = out.map(r => r.getDouble(4) * r.getLong(1)).sum / 8000.0
+    assert(math.abs(ece - math.rint(wavg * 1e6) / 1e6) < 2e-6, s"ece=$ece wavg=$wavg")
+    // badly calibrated twin: constant over-confident score -> large ECE
+    rows.map { case (_, y) => (0.95, y) }.toDF("score", "y")
+      .createOrReplaceTempView("scored")
+    val bad = spark.sql("WITH " +
+        Classifier.reliabilitySelectSql(Classifier.sparkCutsSelect))
+      .collect()
+    assert(bad.head.getDouble(5) > 0.3, s"ece=${bad.head.getDouble(5)}")
+  }
 }
