@@ -69,6 +69,76 @@ object Dedup {
       .drop("__fp")
 
   /**
+   * Streaming MinHash-LSH near-dup ALARMS: the banded S-curve detector on
+   * an unbounded document stream — catches Jaccard-similar documents with
+   * moderate edits, which [[nearDupStreaming]]'s whole-fingerprint
+   * equality cannot (SimHash equality ~ near-identical only). Emits one
+   * row per (incoming doc, colliding band) naming the bucket's first-seen
+   * doc; a doc absent from the alarm stream collided in NO band. Alarms
+   * are CANDIDATES at the LSH S-curve's precision (1-(1-s^r)^b over true
+   * Jaccard s) — route them to exact verification against the corpus;
+   * clean docs pass with zero extra cost.
+   *
+   * State: (first id, last-seen ms) per occupied (band, bucket) — bytes
+   * per bucket, map-side bounded, evicted by EventTimeTimeout once the
+   * watermark passes last-seen + `horizonSecs` (the same bounded-horizon
+   * contract as the watermarked exact dedup). Within a micro-batch,
+   * first-seen is deterministic: rows order by (event time, id).
+   */
+  def lshStreamingAlarms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String,
+      horizonSecs: Long,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val numHashes = bands * rowsPerBand
+    val banded = df.withWatermark(eventTimeCol, delay)
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(eventTimeCol).as("ts"),
+        exprColumn(MinHashSig(Seq(columnExpr(col(textCol)), columnExpr(lit(numHashes)),
+          columnExpr(lit(shingleSize))))).as("sig"))
+      .select(col("id"), col("ts"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("band", "bucket")))
+      .select(col("bucket"), col("id"), col("ts"), col("band").cast("int").as("band"))
+      .as[(Long, Long, java.sql.Timestamp, Int)]
+    val horizonMs = horizonSecs * 1000L
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state: GroupState[(Long, Long)]) =>
+          if (!rows.hasNext) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            var cur: Option[(Long, Long)] = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+            sorted.foreach { case (_, id, ts, band) =>
+              cur match {
+                case None => cur = Some((id, ts.getTime))
+                case Some((firstId, lastMs)) =>
+                  if (id != firstId) out += ((id, firstId, band, ts.getTime / 1000))
+                  cur = Some((firstId, math.max(lastMs, ts.getTime)))
+              }
+            }
+            state.update(cur.get)
+            state.setTimeoutTimestamp(
+              math.max(cur.get._2 + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("id", "first_id", "band", "ts_sec")
+  }
+
+  /**
    * Incremental ingest dedup: keep only incoming docs whose content was
    * NOT in the historical corpus, then exact-dedup within the batch.
    * The bloom filter of historical digests prunes the probe scan BEFORE

@@ -440,4 +440,38 @@ class GeoStreamingSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally q.stop()
   }
+
+  test("streaming LSH alarms: edited near-dups collide across batches, distinct docs stay silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    val edited = base.replace("lazy", "sleepy") // high-Jaccard edit
+    val other = "completely different text about databases partitioning shuffles and columnar storage"
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "id", "text")
+    val out = graft.pipeline.Dedup.lshStreamingAlarms(
+      stream, "id", "text", "ts", delay = "10 minutes", horizonSecs = 3600)
+    val q = out.writeStream.format("memory").queryName("lshal")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), 1L, base), (t(2), 2L, other))
+      q.processAllAvailable()
+      // batch 1: first sightings only — no alarms
+      assert(spark.table("lshal").count() == 0)
+      input.addData((t(3), 3L, edited), (t(4), 4L, "unrelated fresh content about geodesic buffers"))
+      q.processAllAvailable()
+      val rows = spark.table("lshal")
+        .select("id", "first_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((3L, 1L)), s"alarms: $rows") // edited doc alarms against doc 1 only
+      // exact repeat of doc 2 alarms in every band
+      input.addData((t(5), 5L, other))
+      q.processAllAvailable()
+      val n5 = spark.table("lshal").filter($"id" === 5L).count()
+      assert(n5 == 16L, s"exact repeat should collide in all 16 bands, got $n5")
+      assert(spark.table("lshal").filter($"id" === 5L)
+        .select("first_id").as[Long].collect().toSet == Set(2L))
+    } finally q.stop()
+  }
 }
