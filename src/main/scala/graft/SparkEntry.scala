@@ -404,6 +404,20 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Greedy k-center diverse-subset selection (Gonzalez): the coreset/
+    // curation primitive — k rounds, each ONE codegen VecDot scan updating
+    // the running min-distance + TakeOrdered(1); k*dim doubles to the
+    // driver (codebook discipline). Rounded-6 distances + id tie-breaks
+    // make the farthest-point ordering replay as unrolled CTEs.
+    "q274_kcenter_select" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 6)
+        .selectExpr("cast(rank as int) AS rank", "cast(id as bigint) AS vec_id",
+          "sel_dist")
+        .orderBy("rank")
+    }),
+
     // Reliability curve + ECE — the calibration member of the eval suite
     // (q266 ranks, this bins): same training replay as q266, then DECILE
     // (equal-frequency) score bins with count, decimal-folded mean
@@ -6417,6 +6431,31 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // farthest-point rounds unrolled: sK = argmax (md DESC, vec_id) over
+    // dK-1; identical round-6 squared-L2 via list_dot_product
+    "q274_kcenter_select" -> {
+      def dist(v: String, c: String) =
+        s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $c) + list_dot_product($c, $c), 6)"
+      val rounds = (2 to 6).map { j =>
+        val prev = s"d${j - 1}"
+        s"""s$j AS (SELECT vec_id, v, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1),
+           |d$j AS (SELECT $prev.vec_id, $prev.v,
+           |  least($prev.md, ${dist(s"$prev.v", s"s$j.v")}) AS md
+           |  FROM $prev CROSS JOIN s$j)""".stripMargin
+      }.mkString(",\n")
+      val sel = (2 to 6).map(j =>
+        s"UNION ALL SELECT $j AS rank, vec_id, md + 0.0 AS sel_dist FROM s$j").mkString("\n")
+      s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "s1.v")} AS md
+         |  FROM e CROSS JOIN s1),
+         |$rounds
+         |SELECT cast(rank as int) AS rank, cast(vec_id as bigint) AS vec_id, sel_dist FROM (
+         |  SELECT 1 AS rank, vec_id, cast(NULL as double) AS sel_dist FROM s1
+         |  $sel)
+         |ORDER BY rank""".stripMargin
+    },
 
     // identical training CTE replay as q266; calibration block shared
     // verbatim between the engines

@@ -534,4 +534,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
   }
+
+  /**
+   * Greedy k-center diverse-subset selection (Gonzalez 2-approximation) —
+   * the coreset/curation primitive for "pick k maximally-spread exemplars"
+   * over an embedding column. Seed = smallest id; each round picks the
+   * point FARTHEST from the selected set (squared L2, rounded to 6 before
+   * every comparison; ties by smallest id — fully deterministic, so the
+   * rounds replay as unrolled SQL CTEs in the oracle).
+   *
+   * Distributed shape: k rounds, each ONE codegen scan updating the
+   * running min-distance column (VecDot against the new center as a
+   * literal) + a TakeOrderedAndProject(1) — per-partition heaps, no global
+   * sort; only k·dim doubles ever reach the driver (the codebook
+   * discipline). The embedding projection is localCheckpointed once so
+   * the k scans never re-read the source.
+   *
+   * @return (rank 1..k, id, sel_dist) — sel_dist is the min squared L2 to
+   *         the prior selection at pick time (null for the seed); the
+   *         classic farthest-point ordering makes any prefix a k'-center
+   *         solution for k' <= k.
+   */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = df.sparkSession
+    val work = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint()
+
+    def d2To(center: Seq[Double]): Column = {
+      val c = typedLit(center)
+      round(exprColumn(VecDot(columnExpr(col("v")), columnExpr(col("v"))))
+        - lit(2.0) * exprColumn(VecDot(columnExpr(col("v")), columnExpr(c)))
+        + exprColumn(VecDot(columnExpr(c), columnExpr(c))), 6)
+    }
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] = r.get(1) match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toSeq
+    }
+
+    val seed = work.orderBy("id").limit(1).collect().head
+    var selected = List[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
+    var cur = work.withColumn("md", d2To(vecOf(seed)))
+    var r = 2
+    while (r <= k) {
+      val next = cur.orderBy(desc("md"), col("id")).limit(1).collect().head
+      selected ::= ((r, next.getLong(0), Some(next.getDouble(2))))
+      if (r < k) {
+        cur = cur.withColumn("md", least(col("md"), d2To(vecOf(next))))
+        // keep the per-round plan flat: each round otherwise stacks one
+        // more projection over the last
+        if (r % 4 == 0) cur = cur.localCheckpoint()
+      }
+      r += 1
+    }
+    import spark.implicits._
+    selected.reverse
+      .map { case (rk, id, sd) =>
+        (rk, id, sd.map(x => java.lang.Double.valueOf(x + 0.0)).orNull)
+      }
+      .toDF("rank", "id", "sel_dist")
+  }
 }

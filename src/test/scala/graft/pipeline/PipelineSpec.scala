@@ -867,4 +867,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(shuffled.map(_.getAs[Double]("entropy")).toSeq ==
       out.map(_.getAs[Double]("entropy")).toSeq)
   }
+
+  test("kCenterSelect matches brute-force greedy farthest-point; prefix property") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 80L).map(i => i -> Array.fill(8)(rnd.nextGaussian().toFloat))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var da = 0.0; var db = 0.0; var dab = 0.0
+      var i = 0
+      while (i < 8) { da += a(i).toDouble * a(i); db += b(i).toDouble * b(i); dab += a(i).toDouble * b(i); i += 1 }
+      s = da - 2 * dab + db
+      math.rint(s * 1e6) / 1e6
+    }
+    // brute-force greedy with identical rounding + tie-break
+    val byId = vecs.toMap
+    var sel = List(0L)
+    var md = vecs.map { case (i, v) => i -> d2(v, byId(0L)) }.toMap
+    var expect = List[(Int, Long, Option[Double])]((1, 0L, None))
+    for (r <- 2 to 6) {
+      val next = md.toSeq.minBy { case (i, d) => (-d, i) }
+      expect ::= ((r, next._1, Some(next._2)))
+      sel ::= next._1
+      md = md.map { case (i, d) => i -> math.min(d, d2(byId(i), byId(next._1))) }
+    }
+    val got = graft.pipeline.Similarity.kCenterSelect(df, "vec_id", "embedding", 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    assert(got == expect.reverse, s"got=$got expect=${expect.reverse}")
+    // prefix property: k=4 run equals the first 4 rows of the k=6 run
+    val got4 = graft.pipeline.Similarity.kCenterSelect(df, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(got4 == got.take(4).map(t => (t._1, t._2)))
+  }
 }
