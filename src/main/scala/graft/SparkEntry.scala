@@ -404,6 +404,32 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // ORC round-trip (inherited IO breadth beside parquet/csv/json):
+    // write a lineitem slice to ORC, read it back, and aggregate — the
+    // read pushes the l_quantity filter into the ORC scan (ORC carries
+    // the same predicate-pushdown/column-pruning machinery as parquet, so
+    // both formats are first-class at scale). The oracle aggregates the
+    // same slice straight from parquet: a lossless round-trip is exactly
+    // "the two match".
+    "q275_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q275_orc").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "li_orc").getAbsolutePath
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+          "l_shipdate")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .where(col("l_quantity") < 30.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
+
     // Greedy k-center diverse-subset selection (Gonzalez): the coreset/
     // curation primitive — k rounds, each ONE codegen VecDot scan updating
     // the running min-distance + TakeOrdered(1); k*dim doubles to the
@@ -6431,6 +6457,16 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // lossless round-trip <=> the parquet-direct aggregate matches
+    "q275_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  cast(count(*) as bigint) AS n,
+        |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+        |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_price,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem WHERE l_quantity < 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // farthest-point rounds unrolled: sK = argmax (md DESC, vec_id) over
     // dK-1; identical round-6 squared-L2 via list_dot_product
