@@ -404,6 +404,20 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Unigram-LM tokenizer trainer (SentencePiece unigram, hard-EM
+    // Viterbi variant) — the tokenizer-family companion of q227's BPE.
+    // The Viterbi argmax is RELATIONAL: bounded words make every
+    // segmentation one of 223 literal compositions, so the E-step is a
+    // join + decimal-folded score + <=223-row argmax window per word.
+    // The only corpus-sized stage is the word-count aggregation; EM
+    // rounds run on Zipf-bounded vocabulary data (Bpe's property).
+    "q276_unigram_tokenizer" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Unigram.train(s.table("documents"), "text",
+        rounds = 2, seedSize = 150, topK = 30)
+    }),
+
     // ORC round-trip (inherited IO breadth beside parquet/csv/json):
     // write a lineitem slice to ORC, read it back, and aggregate — the
     // read pushes the l_quantity filter into the ORC scan (ORC carries
@@ -6457,6 +6471,11 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical portable core behind a DuckDB word-split CTE
+    "q276_unigram_tokenizer" ->
+      graft.pipeline.Unigram.oracleSql("documents", "text",
+        rounds = 2, seedSize = 150, topK = 30),
 
     // lossless round-trip <=> the parquet-direct aggregate matches
     "q275_orc_roundtrip" ->

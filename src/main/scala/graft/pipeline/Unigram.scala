@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM tokenizer trainer (SentencePiece's unigram model, Kudo 2018)
+ * in the hard-EM (Viterbi) variant, fully relational — the tokenizer-family
+ * companion of [[Bpe]] (merge-based) covering the other of the two
+ * dominant subword algorithms.
+ *
+ * Algorithm: seed the vocabulary with the highest-frequency substrings
+ * (length <= [[MaxPieceLen]]) plus ALL single characters (feasibility
+ * floor); per EM round, segment every distinct word into the
+ * maximum-likelihood piece sequence under the current piece log-probs,
+ * then re-estimate probs from the chosen-segmentation counts (hard E-step
+ * = Viterbi argmax; unused pieces prune themselves — and every word's
+ * previous best segmentation survives into the next vocabulary, so
+ * segmentation stays feasible by induction).
+ *
+ * The Viterbi argmax is relational rather than a per-row DP: words are
+ * capped at [[MaxWordLen]] chars, so every candidate segmentation is one
+ * of the 223 compositions of 1..8 into parts of 1..4 — a LITERAL table
+ * (flattened to one row per part, [[compRows]]). Segmenting = one join
+ * from words to compositions to the vocabulary, a decimal-folded score
+ * sum, and an argmax window over <= 223 rows per word. Per-word work is a
+ * constant ~500 piece lookups; the corpus-sized stages are the word-count
+ * aggregation (map-side combined) and nothing else — distinct words are
+ * Zipf-bounded, so every EM round runs on vocabulary-scale data, the same
+ * property [[Bpe]] exploits.
+ *
+ * Determinism (the cross-engine hash contract): log-probs round to 6
+ * decimals, scores fold as decimal(20,6) (order-independent), all argmax
+ * ties break on the smallest composition id / lexicographic piece. The
+ * entire trainer after word extraction is ONE portable SQL text
+ * ([[coreSql]]) executed verbatim by Spark over a `uni_words` view and
+ * embedded in the DuckDB oracle behind an engine-specific word-split CTE
+ * (the Classifier.evalSelectSql discipline).
+ */
+object Unigram {
+  val MaxWordLen = 8
+  val MaxPieceLen = 4
+
+  /** All compositions of n into ordered parts of size 1..MaxPieceLen,
+    * enumerated first-part-ascending (the deterministic comp_id order). */
+  private def compositions(n: Int): Seq[Seq[Int]] =
+    if (n == 0) Seq(Seq.empty)
+    else (1 to math.min(MaxPieceLen, n)).flatMap(f => compositions(n - f).map(f +: _))
+
+  /** (n, comp_id, nparts, part_idx, off, len) — one row per composition part. */
+  lazy val compRows: Seq[(Int, Int, Int, Int, Int, Int)] =
+    for {
+      n <- 1 to MaxWordLen
+      (comp, ci) <- compositions(n).zipWithIndex
+      offs = comp.scanLeft(1)(_ + _)
+      (len, pi) <- comp.zipWithIndex
+    } yield (n, ci + 1, comp.length, pi + 1, offs(pi), len)
+
+  /** (n, off, len) — every substring slot of a length-n word up to MaxPieceLen. */
+  lazy val subRows: Seq[(Int, Int, Int)] =
+    for {
+      n <- 1 to MaxWordLen
+      off <- 1 to n
+      len <- 1 to math.min(MaxPieceLen, n - off + 1)
+    } yield (n, off, len)
+
+  private def valuesSql(rows: Seq[Product]): String =
+    rows.map(_.productIterator.mkString("(", ", ", ")")).mkString(", ")
+
+  /**
+   * The trainer as portable SQL (no leading WITH): expects a
+   * `uni_words(word, freq)` relation of distinct words (1..MaxWordLen
+   * chars); emits the top-`topK` vocabulary as (rank, piece, cnt, logp).
+   */
+  def coreSql(rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): String = {
+    require(rounds >= 1 && seedSize >= 1 && topK >= 1)
+    val vocab = (0 to rounds).map(k => s"t$k")
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = vocab(k - 1)
+      s"""cand$k AS (
+         |  SELECT w.word, w.freq, c.comp_id, c.nparts,
+         |    cast(count(v.lp) as int) AS nhit,
+         |    sum(cast(v.lp as decimal(20,6))) AS score
+         |  FROM uni_words w
+         |  JOIN comps c ON c.n = length(w.word)
+         |  JOIN $prev v ON v.piece = substr(w.word, c.off, c.len)
+         |  GROUP BY w.word, w.freq, c.comp_id, c.nparts),
+         |best$k AS (
+         |  SELECT word, freq, comp_id FROM (
+         |    SELECT word, freq, comp_id,
+         |      row_number() OVER (PARTITION BY word ORDER BY score DESC, comp_id) AS rk
+         |    FROM cand$k WHERE nhit = nparts) x
+         |  WHERE rk = 1),
+         |cnt$k AS (
+         |  SELECT substr(b.word, c.off, c.len) AS piece, sum(b.freq) AS cnt
+         |  FROM best$k b
+         |  JOIN comps c ON c.n = length(b.word) AND c.comp_id = b.comp_id
+         |  GROUP BY 1),
+         |t$k AS (
+         |  SELECT piece, cnt,
+         |    round(ln(cast(cnt as double) / tot.c), 6) AS lp
+         |  FROM cnt$k CROSS JOIN (SELECT cast(sum(cnt) as double) AS c FROM cnt$k) tot)""".stripMargin
+    }.mkString(",\n")
+    s"""comps AS (SELECT * FROM (VALUES ${valuesSql(compRows)})
+       |  AS t(n, comp_id, nparts, part_idx, off, len)),
+       |subs AS (SELECT * FROM (VALUES ${valuesSql(subRows)}) AS t(n, off, len)),
+       |seedraw AS (
+       |  SELECT substr(w.word, s.off, s.len) AS piece, sum(w.freq) AS cnt
+       |  FROM uni_words w JOIN subs s ON s.n = length(w.word)
+       |  GROUP BY 1),
+       |seed AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM seedraw) x
+       |  WHERE rk <= $seedSize OR length(piece) = 1),
+       |t0 AS (
+       |  SELECT piece, cnt, round(ln(cast(cnt as double) / tot.c), 6) AS lp
+       |  FROM seed CROSS JOIN (SELECT cast(sum(cnt) as double) AS c FROM seed) tot),
+       |$roundCtes
+       |SELECT cast(rk as int) AS rank, piece, cast(cnt as bigint) AS cnt,
+       |  lp + 0.0 AS logp
+       |FROM (SELECT piece, cnt, lp,
+       |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |  FROM ${vocab(rounds)}) x
+       |WHERE rk <= $topK ORDER BY rk""".stripMargin
+  }
+
+  /**
+   * Train on a text column: extract `[a-z]+` words (lowercased, length
+   * capped at [[MaxWordLen]] — longer words contribute their prefix
+   * structure through shorter siblings and are out of scope for the
+   * bounded-composition segmenter), aggregate distinct-word counts
+   * (map-side combined, the ONLY corpus-sized stage), then run
+   * [[coreSql]]. The seed/argmax windows run over Zipf-bounded
+   * vocabulary data; swap the seed window for TakeOrdered at extreme
+   * vocabulary sizes.
+   */
+  def train(df: DataFrame, textCol: String,
+            rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    df.filter(col(textCol).isNotNull)
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .createOrReplaceTempView("uni_words")
+    spark.sql("WITH " + coreSql(rounds, seedSize, topK))
+  }
+
+  /** DuckDB oracle: engine-specific word split + the identical core. */
+  def oracleSql(table: String, textCol: String,
+                rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): String =
+    s"""WITH uni_words AS (
+       |  SELECT word, cast(count(*) as bigint) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower($textCol), '[^a-z]+')) AS word
+       |    FROM $table WHERE $textCol IS NOT NULL) w
+       |  WHERE length(word) BETWEEN 1 AND $MaxWordLen
+       |  GROUP BY word),
+       |${coreSql(rounds, seedSize, topK)}""".stripMargin
+}

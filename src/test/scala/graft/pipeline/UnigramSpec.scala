@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unigram-LM tokenizer trainer: hand-computed Viterbi outcome, the
+  * composition-table invariants the relational E-step rests on, and
+  * partition-invariance of the full train. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("composition table: counts follow the 4-bounded tetranacci; offsets tile each word") {
+    val byN = Unigram.compRows.groupBy(_._1)
+    // c(n) = c(n-1)+c(n-2)+c(n-3)+c(n-4): 1,2,4,8,15,29,56,108
+    val expect = Seq(1, 2, 4, 8, 15, 29, 56, 108)
+    for (n <- 1 to 8) {
+      val comps = byN(n).groupBy(_._2)
+      assert(comps.size == expect(n - 1), s"n=$n")
+      comps.values.foreach { parts =>
+        val sorted = parts.sortBy(_._4)
+        assert(sorted.head._5 == 1)                      // first off = 1
+        assert(sorted.map(_._6).sum == n)                // parts tile the word
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(b._5 == a._5 + a._6)  // contiguous offsets
+          case _ =>
+        }
+        assert(parts.forall(p => p._6 >= 1 && p._6 <= 4))
+      }
+    }
+  }
+
+  test("hand-computed corpus: whole-word piece wins Viterbi, hard-EM prunes to it") {
+    // words "zqzq" x3: seed lp(zqzq)=ln(3/30), lp(zq)=ln(6/30);
+    // [zqzq] = -2.303 beats [zq,zq] = -3.219 => round 1 keeps only zqzq
+    // (cnt 3, lp ln(3/3)=0), and round 2 is stable on it
+    val docs = Seq("zqzq zqzq", "zqzq").toDF("text")
+    val out = Unigram.train(docs, "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "zqzq")
+    assert(out.head.getLong(2) == 3L)
+    assert(out.head.getDouble(3) == 0.0)
+  }
+
+  test("mixed corpus: vocabulary covers every word via surviving pieces; ranks deterministic") {
+    val docs = Seq(
+      "the cat sat on the mat", "the dog ran to the log",
+      "a cat and a dog met", "mats and logs and cats").toDF("text")
+    val a = Unigram.train(docs, "text", rounds = 2, seedSize = 40, topK = 25).collect()
+    val b = Unigram.train(docs.repartition(7), "text", rounds = 2, seedSize = 40, topK = 25).collect()
+    assert(a.toSeq == b.toSeq) // partition-invariant
+    assert(a.nonEmpty && a.map(_.getInt(0)).toSeq == (1 to a.length))
+    // counts non-increasing down the ranking, piece tie-break lexicographic
+    a.sliding(2).foreach {
+      case Array(x, y) =>
+        val (cx, cy) = (x.getLong(2), y.getLong(2))
+        assert(cx > cy || (cx == cy && x.getString(1) < y.getString(1)))
+      case _ =>
+    }
+    // the frequent word 'the' (4 occurrences) segments into surviving pieces:
+    // its pieces must be present with cnt >= 4 in aggregate coverage
+    val vocab = a.map(_.getString(1)).toSet
+    assert(vocab.exists(p => "the".contains(p)))
+  }
+}
