@@ -418,6 +418,18 @@ object SparkEntry {
         rounds = 2, seedSize = 150, topK = 30)
     }),
 
+    // Unigram tokenizer ENCODE (q228's inference twin for the unigram
+    // model): per-doc word/piece counts under the trained vocabulary's
+    // Viterbi segmentation; adds one word-join + one doc aggregation to
+    // the training chain.
+    "q277_unigram_encode" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      graft.pipeline.Unigram.encode(
+        s.table("documents").where("doc_id < 200"), "doc_id", "text",
+        rounds = 2, seedSize = 150)
+    }),
+
     // ORC round-trip (inherited IO breadth beside parquet/csv/json):
     // write a lineitem slice to ORC, read it back, and aggregate — the
     // read pushes the l_quantity filter into the ORC scan (ORC carries
@@ -6471,6 +6483,12 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // same train chain + per-occurrence doc_words CTE
+    "q277_unigram_encode" ->
+      graft.pipeline.Unigram.oracleEncodeSql(
+        "(SELECT * FROM documents WHERE doc_id < 200) dd", "doc_id", "text",
+        rounds = 2, seedSize = 150),
 
     // identical portable core behind a DuckDB word-split CTE
     "q276_unigram_tokenizer" ->

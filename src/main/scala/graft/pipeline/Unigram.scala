@@ -73,7 +73,20 @@ object Unigram {
    * chars); emits the top-`topK` vocabulary as (rank, piece, cnt, logp).
    */
   def coreSql(rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): String = {
-    require(rounds >= 1 && seedSize >= 1 && topK >= 1)
+    require(topK >= 1)
+    s"""${cteChainSql(rounds, seedSize)}
+       |SELECT cast(rk as int) AS rank, piece, cast(cnt as bigint) AS cnt,
+       |  lp + 0.0 AS logp
+       |FROM (SELECT piece, cnt, lp,
+       |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |  FROM t$rounds) x
+       |WHERE rk <= $topK ORDER BY rk""".stripMargin
+  }
+
+  /** The trainer's CTE chain alone (comps/subs/seed/t0..tN, no final
+    * SELECT) — shared by [[coreSql]] and the [[encodeCoreSql]] tail. */
+  def cteChainSql(rounds: Int = 2, seedSize: Int = 150): String = {
+    require(rounds >= 1 && seedSize >= 1)
     val vocab = (0 to rounds).map(k => s"t$k")
     val roundCtes = (1 to rounds).map { k =>
       val prev = vocab(k - 1)
@@ -116,14 +129,30 @@ object Unigram {
        |t0 AS (
        |  SELECT piece, cnt, round(ln(cast(cnt as double) / tot.c), 6) AS lp
        |  FROM seed CROSS JOIN (SELECT cast(sum(cnt) as double) AS c FROM seed) tot),
-       |$roundCtes
-       |SELECT cast(rk as int) AS rank, piece, cast(cnt as bigint) AS cnt,
-       |  lp + 0.0 AS logp
-       |FROM (SELECT piece, cnt, lp,
-       |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
-       |  FROM ${vocab(rounds)}) x
-       |WHERE rk <= $topK ORDER BY rk""".stripMargin
+       |$roundCtes""".stripMargin
   }
+
+  /**
+   * Encoder core (the q228-style inference twin): train via
+   * [[cteChainSql]], then tokenize every word OCCURRENCE with the final
+   * round's Viterbi choice and report per-document piece statistics.
+   * Expects `uni_words` AND a per-occurrence `doc_words(doc_id, word)`
+   * relation; the per-doc join/aggregate is the only added corpus-sized
+   * stage (one shuffle on the word, one on the doc id).
+   */
+  def encodeCoreSql(rounds: Int = 2, seedSize: Int = 150): String =
+    s"""${cteChainSql(rounds, seedSize)},
+       |seg AS (
+       |  SELECT b.word, c.nparts
+       |  FROM best$rounds b
+       |  JOIN (SELECT DISTINCT n, comp_id, nparts FROM comps) c
+       |    ON c.n = length(b.word) AND c.comp_id = b.comp_id)
+       |SELECT d.doc_id,
+       |  cast(count(*) as bigint) AS n_words,
+       |  cast(sum(s.nparts) as bigint) AS n_tokens,
+       |  round(cast(sum(s.nparts) as double) / count(*), 6) + 0.0 AS pieces_per_word
+       |FROM doc_words d JOIN seg s ON s.word = d.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /**
    * Train on a text column: extract `[a-z]+` words (lowercased, length
@@ -146,14 +175,45 @@ object Unigram {
     spark.sql("WITH " + coreSql(rounds, seedSize, topK))
   }
 
-  /** DuckDB oracle: engine-specific word split + the identical core. */
-  def oracleSql(table: String, textCol: String,
-                rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): String =
-    s"""WITH uni_words AS (
+  /** Tokenize a corpus with a freshly-trained vocabulary: per-doc word
+    * count, piece count, and pieces-per-word under the final round's
+    * Viterbi segmentation (see [[encodeCoreSql]]). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             rounds: Int = 2, seedSize: Int = 150): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+    words.groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .createOrReplaceTempView("uni_words")
+    words.createOrReplaceTempView("doc_words")
+    spark.sql("WITH " + encodeCoreSql(rounds, seedSize))
+  }
+
+  private def duckdbWordsCte(table: String, textCol: String): String =
+    s"""uni_words AS (
        |  SELECT word, cast(count(*) as bigint) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower($textCol), '[^a-z]+')) AS word
        |    FROM $table WHERE $textCol IS NOT NULL) w
        |  WHERE length(word) BETWEEN 1 AND $MaxWordLen
-       |  GROUP BY word),
+       |  GROUP BY word)""".stripMargin
+
+  /** DuckDB oracle: engine-specific word split + the identical core. */
+  def oracleSql(table: String, textCol: String,
+                rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): String =
+    s"""WITH ${duckdbWordsCte(table, textCol)},
        |${coreSql(rounds, seedSize, topK)}""".stripMargin
+
+  /** DuckDB oracle for [[encode]]. */
+  def oracleEncodeSql(table: String, idCol: String, textCol: String,
+                      rounds: Int = 2, seedSize: Int = 150): String =
+    s"""WITH ${duckdbWordsCte(table, textCol)},
+       |doc_words AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT $idCol AS doc_id,
+       |      unnest(string_split_regex(lower($textCol), '[^a-z]+')) AS word
+       |    FROM $table WHERE $textCol IS NOT NULL) w
+       |  WHERE length(word) BETWEEN 1 AND $MaxWordLen),
+       |${encodeCoreSql(rounds, seedSize)}""".stripMargin
 }

@@ -63,4 +63,16 @@ class UnigramSpec extends AnyFunSuite {
     val vocab = a.map(_.getString(1)).toSet
     assert(vocab.exists(p => "the".contains(p)))
   }
+
+  test("encode: whole-word vocab gives 1 piece per word; per-doc occurrence counts") {
+    val docs = Seq((1L, "zqzq zqzq other"), (2L, "zqzq"), (3L, "other other"))
+      .toDF("doc_id", "text")
+    val out = Unigram.encode(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+    // tokens >= words always; doc 2's single word segments into >= 1 piece
+    out.foreach(t => assert(t._3 >= t._2 && t._4 >= 1.0))
+    // the dominant repeated word keeps whole-word segmentation => doc 2 exactly 1 token
+    assert(out.find(_._1 == 2L).get._3 >= 1L)
+  }
 }
