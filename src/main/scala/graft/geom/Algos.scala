@@ -1246,7 +1246,11 @@ object Algos {
           val dot = math.max(-1.0, math.min(1.0, ax * bx + ay * by + az * bz))
           val ang = math.acos(dot)
           val s = math.sin(ang)
-          var k = 1
+          // exactly antipodal endpoints have no unique great circle and the
+          // slerp blend collapses to the zero vector — keep the raw segment
+          // rather than emit NaN vertices
+          val degenerate = s < 1e-12 && dot < 0
+          var k = if (degenerate) n else 1
           while (k < n) {
             val t = k.toDouble / n
             val (wa, wb) =

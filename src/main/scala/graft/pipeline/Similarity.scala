@@ -561,6 +561,10 @@ object Similarity {
     val work = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
       .localCheckpoint()
+    // fail loud instead of emitting repeated centers once the point set is
+    // exhausted (every remaining min-distance is 0 from then on)
+    require(work.limit(k).count() == k,
+      s"kCenterSelect: fewer than k=$k non-null vectors")
 
     def d2To(center: Seq[Double]): Column = {
       val c = typedLit(center)

@@ -46,6 +46,13 @@ class GeodesicSegmentizeSpec extends AnyFunSuite {
     cs.foreach { case (x, _) => assert(math.abs(x) >= 179.0 - 1e-9, s"lon=$x") }
   }
 
+  test("exactly antipodal endpoints: raw segment kept, no NaN vertices") {
+    val g = Algos.geodesicSegmentize(line("LINESTRING (0 0, 180 0)"), 100000.0)
+    val cs = coords(g)
+    assert(cs == Seq((0.0, 0.0), (180.0, 0.0)))
+    cs.foreach { case (x, y) => assert(!x.isNaN && !y.isNaN) }
+  }
+
   test("polygon rings densify per ring; non-positive max and points pass through") {
     val p = WKT.read("POLYGON ((0 0, 20 0, 20 20, 0 0))")
     val d = Algos.geodesicSegmentize(p, 500000.0)

@@ -899,5 +899,10 @@ class PipelineSpec extends AnyFunSuite {
     val got4 = graft.pipeline.Similarity.kCenterSelect(df, "vec_id", "embedding", 4)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toList
     assert(got4 == got.take(4).map(t => (t._1, t._2)))
+    // k beyond the point count fails loud instead of repeating centers
+    val tiny = vecs.take(3).map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.kCenterSelect(tiny, "vec_id", "embedding", 5)
+    }
   }
 }
