@@ -404,6 +404,23 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Large-large approximate k-NN JOIN on shared IVF cells — the vector
+    // analog of the grid spatial join: one shuffle per side on the cell
+    // key, nProbe-bounded probe replication, codegen cosine scoring,
+    // per-probe window over the probed cells only. Both sides here come
+    // from embeddings (every 25th vector queries the full set).
+    "q278_ivf_knn_join" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      graft.pipeline.Similarity.ivfKnnJoin(
+          queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+          kCells = 8, nProbe = 2, k = 5, iters = 2)
+        .select(col("lid").cast("long").as("lid"), col("rid").cast("long").as("rid"),
+          (round(col("cos"), 6) + 0.0).as("cosine"), col("rank").cast("int").as("rank"))
+        .orderBy("lid", "rank")
+    }),
+
     // Unigram-LM tokenizer trainer (SentencePiece unigram, hard-EM
     // Viterbi variant) — the tokenizer-family companion of q227's BPE.
     // The Viterbi argmax is RELATIONAL: bounded words make every
@@ -6483,6 +6500,32 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // q52's unrolled-Lloyd training + one-cell corpus assignment +
+    // per-probe top-nProbe cells + cell equi-join + ranked cosine
+    "q278_ivf_knn_join" -> {
+      def cosSql(a: String, b: String) =
+        s"""list_dot_product($a, $b) /
+           |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |${annAssign("af", "c2")},
+         |l AS (SELECT vec_id AS lid, v AS lv FROM v WHERE vec_id % 25 = 0),
+         |probes AS (SELECT lid, lv, c FROM (
+         |  SELECT l.lid, l.lv, cc.c, row_number() OVER (PARTITION BY l.lid ORDER BY
+         |    ${cosSql("l.lv", "cc.v")} DESC, cc.c) AS rn
+         |  FROM l CROSS JOIN c2 cc) x WHERE rn <= 2),
+         |cand AS (SELECT p.lid, a.vec_id AS rid, ${cosSql("p.lv", "a.v")} AS cos
+         |  FROM probes p JOIN af a ON a.c = p.c)
+         |SELECT cast(lid as bigint) AS lid, cast(rid as bigint) AS rid,
+         |  round(cos, 6) + 0.0 AS cosine, cast(rk as int) AS rank
+         |FROM (SELECT lid, rid, cos,
+         |    row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid) AS rk
+         |  FROM cand) x
+         |WHERE rk <= 5 ORDER BY lid, rank""".stripMargin
+    },
 
     // same train chain + per-occurrence doc_words CTE
     "q277_unigram_encode" ->

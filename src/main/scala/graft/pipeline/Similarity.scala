@@ -536,6 +536,43 @@ object Similarity {
   }
 
   /**
+   * Large-large approximate k-NN JOIN via shared IVF cells — the vector
+   * analog of the grid spatial join: train coarse centroids on the corpus
+   * side (the [[trainIvfCentroids]] codebook discipline), assign every
+   * corpus row to its ONE nearest cell (codegen [[NearestCentroid]]), give
+   * every probe row its `nProbe` nearest cells (codegen
+   * [[NearestCentroids]]), and equi-join on the cell id — candidate
+   * generation is ONE shuffle per side on the cell key, nProbe-bounded
+   * probe replication, and never a cross join. Scoring is the codegen
+   * cosine; top-k per probe is a window over the probed cells' candidates
+   * (cells-bounded, not corpus-bounded). Recall follows the IVF contract
+   * (raise nProbe/kCells to trade scan for recall — q267 measures it);
+   * [[knnJoin]] remains the exact path for broadcast-sized query sets.
+   *
+   * Fully deterministic (cosine ties break on the corpus id, cell ties on
+   * the smaller cell index), so the oracle replays training, assignment,
+   * probing, and ranking exactly (q52's unrolled-Lloyd idiom).
+   */
+  def ivfKnnJoin(
+      left: DataFrame, lId: String, lVec: String,
+      right: DataFrame, rId: String, rVec: String,
+      kCells: Int, nProbe: Int, k: Int, iters: Int = 2): DataFrame = {
+    val cents = trainIvfCentroids(right, rId, rVec, kCells, iters)
+    val corpus = right.select(col(rId).as("rid"), col(rVec).as("rv"),
+        exprColumn(NearestCentroid(columnExpr(col(rVec)), cents)).as("cell"))
+      .repartition(col("cell"))
+    val probes = left.select(col(lId).as("lid"), col(lVec).as("lv"),
+        explode(exprColumn(NearestCentroids(columnExpr(col(lVec)), cents, nProbe)))
+          .as("cell"))
+    val w = Window.partitionBy(col("lid")).orderBy(desc("cos"), col("rid"))
+    probes.join(corpus, Seq("cell"))
+      .withColumn("cos", cosineCols(col("lv"), col("rv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lid"), col("rid"), col("cos"), col("rank"))
+  }
+
+  /**
    * Greedy k-center diverse-subset selection (Gonzalez 2-approximation) —
    * the coreset/curation primitive for "pick k maximally-spread exemplars"
    * over an embedding column. Seed = smallest id; each round picks the

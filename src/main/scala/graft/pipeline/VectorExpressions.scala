@@ -90,6 +90,42 @@ object VectorKernels {
     best
   }
 
+  /** Indices of the `n` nearest centroids by cosine, best first, ties by
+    * smaller index — the multi-probe generalization of [[nearestCentroid]]
+    * (identical per-cell cosine arithmetic; insertion keeps earlier equal
+    * scores ahead, matching ORDER BY cos DESC, c). */
+  def nearestCentroids(v: ArrayData, cents: Array[Array[Double]], n: Int,
+                       vFloat: Boolean): ArrayData = {
+    val nn = math.min(n, cents.length)
+    val bestC = new Array[Int](nn)
+    val bestS = Array.fill(nn)(-2.0)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * cent(i); nv += x * x; nc += cent(i) * cent(i)
+        i += 1
+      }
+      val cos = if (nv == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(nv) * math.sqrt(nc))
+      var p = 0
+      while (p < filled && bestS(p) >= cos) p += 1
+      if (p < nn) {
+        var q = math.min(filled, nn - 1)
+        while (q > p) { bestS(q) = bestS(q - 1); bestC(q) = bestC(q - 1); q -= 1 }
+        bestS(p) = cos; bestC(p) = c
+        if (filled < nn) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestC, filled).map(Int.box))
+  }
+
   def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -160,6 +196,26 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       s"${ev.value} = graft.pipeline.VectorKernels.nearestCentroid($v, $cRef, $vF);")
   }
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** Top-`n` nearest centroid indices (cosine, best first, smaller index on
+  * ties) — the multi-probe cell assignment for IVF joins; same baked-in
+  * centroid constant discipline as [[NearestCentroid]]. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkVec(prettyName, child.dataType)
+  private def vF = VectorKernels.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroids(v.asInstanceOf[ArrayData], centroids, n, vF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.pipeline.VectorKernels.nearestCentroids($v, $cRef, $n, $vF);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
 }
 
 /** Hyperplane-LSH bucket of a vector column; the plane matrix is baked into

@@ -868,6 +868,46 @@ class PipelineSpec extends AnyFunSuite {
       out.map(_.getAs[Double]("entropy")).toSeq)
   }
 
+  test("NearestCentroids kernel: ordered multi-probe equals sort-based brute force") {
+    val rnd = new scala.util.Random(17)
+    val cents = Array.fill(10)(Array.fill(6)(rnd.nextGaussian()))
+    val vecs = (0 until 40).map(i => i.toLong -> Array.fill(6)(rnd.nextGaussian().toFloat))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+    import graft.internal.{columnExpr, exprColumn}
+    val got = df.select($"id", exprColumn(graft.pipeline.NearestCentroids(
+        columnExpr($"v"), cents, 3)).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var d = 0.0; var nv = 0.0; var nc = 0.0
+      for (i <- 0 until 6) { d += v(i).toDouble * c(i); nv += v(i).toDouble * v(i); nc += c(i) * c(i) }
+      d / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    vecs.foreach { case (i, v) =>
+      val expect = cents.indices.sortBy(c => (-cos(v, cents(c)), c)).take(3).toList
+      assert(got(i) == expect, s"id=$i")
+    }
+  }
+
+  test("ivfKnnJoin: self-match ranks first; full-probe run equals exact knnJoin") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" % 20 === 0)
+    val approx = graft.pipeline.Similarity.ivfKnnJoin(
+      queries, "vec_id", "embedding", df, "vec_id", "embedding",
+      kCells = 4, nProbe = 4, k = 3) // nProbe = kCells => every cell probed
+    val rows = approx.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // probing ALL cells recovers the exact result
+    val exact = graft.pipeline.Similarity.knnJoin(
+        df, queries.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "vec_id", "embedding", "qid", "qv", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.toSet == exact.toSet)
+    // self row is its own nearest neighbor
+    rows.filter(t => t._1 == t._2).foreach(t => assert(t._3 == 1))
+    assert(rows.count(t => t._1 == t._2) == 3)
+  }
+
   test("kCenterSelect matches brute-force greedy farthest-point; prefix property") {
     val rnd = new scala.util.Random(41)
     val vecs = (0L until 80L).map(i => i -> Array.fill(8)(rnd.nextGaussian().toFloat))
