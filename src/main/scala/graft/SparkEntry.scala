@@ -404,6 +404,39 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Areal interpolation (the GIS overlay-reapportionment op: transfer an
+    // attribute from source polygons to target zones by intersection-area
+    // share) — exercises the real planar-overlay st_intersection through
+    // the spatial-join planner, while integer-rectangle geometry keeps
+    // every overlap area closed-form for the oracle. Zone side is
+    // dimension-sized (broadcast); weights decimal-fold per zone.
+    "q279_areal_interpolation" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      s.sql(
+        """WITH src AS (
+          |  SELECT c_custkey AS sid, cast(c_custkey % 97 as double) AS pop,
+          |    st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0 + 4, ' ', y0,
+          |      ', ', x0 + 4, ' ', y0 + 3, ', ', x0, ' ', y0 + 3, ', ', x0, ' ', y0, '))')) AS g
+          |  FROM (SELECT c_custkey, c_custkey % 50 AS x0, (c_custkey * 3) % 40 AS y0
+          |        FROM customer WHERE c_custkey <= 300)),
+          |zones AS (
+          |  SELECT id AS zid,
+          |    st_geomfromtext(concat('POLYGON ((', zx, ' ', zy, ', ', zx + 10, ' ', zy,
+          |      ', ', zx + 10, ' ', zy + 10, ', ', zx, ' ', zy + 10, ', ', zx, ' ', zy, '))')) AS zg
+          |  FROM (SELECT id, (id % 6) * 10 AS zx, (id DIV 6) * 10 AS zy FROM RANGE(30))),
+          |pairs AS (
+          |  SELECT z.zid, s.pop,
+          |    st_area(st_intersection(s.g, z.zg)) / st_area(s.g) AS w
+          |  FROM src s JOIN zones z ON st_intersects(s.g, z.zg)
+          |  WHERE st_area(st_intersection(s.g, z.zg)) > 0)
+          |SELECT cast(zid as bigint) AS zid,
+          |  cast(count(*) as bigint) AS n_src,
+          |  round(cast(sum(cast(round(pop * w, 6) as decimal(20,6))) as double), 4) + 0.0
+          |    AS est_pop
+          |FROM pairs GROUP BY zid ORDER BY zid""".stripMargin)
+    }),
+
     // Large-large approximate k-NN JOIN on shared IVF cells — the vector
     // analog of the grid spatial join: one shuffle per side on the cell
     // key, nProbe-bounded probe replication, codegen cosine scoring,
@@ -6500,6 +6533,27 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // integer axis-aligned rectangles: overlap = clamped interval product,
+    // weight = overlap / 12; identical double division + decimal fold
+    "q279_areal_interpolation" ->
+      """WITH src AS (
+        |  SELECT c_custkey AS sid, cast(c_custkey % 97 as double) AS pop,
+        |    c_custkey % 50 AS x0, (c_custkey * 3) % 40 AS y0
+        |  FROM customer WHERE c_custkey <= 300),
+        |zones AS (
+        |  SELECT r.range AS zid, (r.range % 6) * 10 AS zx, (r.range // 6) * 10 AS zy
+        |  FROM range(30) r),
+        |pairs AS (
+        |  SELECT z.zid, s.pop,
+        |    greatest(0, least(s.x0 + 4, z.zx + 10) - greatest(s.x0, z.zx)) *
+        |    greatest(0, least(s.y0 + 3, z.zy + 10) - greatest(s.y0, z.zy)) AS overlap
+        |  FROM src s CROSS JOIN zones z)
+        |SELECT cast(zid as bigint) AS zid,
+        |  cast(count(*) as bigint) AS n_src,
+        |  round(cast(sum(cast(round(pop * (overlap / 12.0), 6) as decimal(20,6))) as double), 4) + 0.0
+        |    AS est_pop
+        |FROM pairs WHERE overlap > 0 GROUP BY zid ORDER BY zid""".stripMargin,
 
     // q52's unrolled-Lloyd training + one-cell corpus assignment +
     // per-probe top-nProbe cells + cell equi-join + ranked cosine
