@@ -404,6 +404,39 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Forward (direct) geodesic st_geodesicproject — twin of the inverse
+    // distance functions: due-north projection adds exactly
+    // degrees(d/R) of latitude, due-east from the equator adds it in
+    // longitude, and st_distancesphere round-trips the distance at ANY
+    // bearing (sphere direct/inverse are exact inverses). Booleans
+    // computed Spark-side with tolerances; oracle pins constants. The
+    // delta constant casts to double FIRST — Spark parses bare
+    // decimal-point literals as DECIMAL, whose division loses ~1e-9.
+    "q280_geodesic_project" -> sqlQuery(Seq("customer"),
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    cast(c_custkey % 340 - 170 as double) AS lon,
+        |    cast((c_custkey * 7) % 100 - 50 as double) AS lat,
+        |    cast((c_custkey * 37) % 360 as double) AS az
+        |  FROM customer WHERE c_custkey <= 900),
+        |pr AS (
+        |  SELECT c_custkey, lon, lat, az,
+        |    cast(100000.0 as double) / cast(6371008.8 as double) * 180.0 / pi() AS delta,
+        |    st_point(lon, lat) AS p,
+        |    st_geodesicproject(st_point(lon, lat), 0.0, 100000.0) AS north,
+        |    st_geodesicproject(st_point(lon, lat), 180.0, 100000.0) AS south,
+        |    st_geodesicproject(st_point(lon, 0.0), 90.0, 100000.0) AS east_eq,
+        |    st_geodesicproject(st_point(lon, lat), az, 250000.0) AS anyaz
+        |  FROM pts)
+        |SELECT c_custkey,
+        |  (abs(st_y(north) - (lat + delta)) < 1e-9 AND abs(st_x(north) - lon) < 1e-9)
+        |    AS north_ok,
+        |  (abs(st_y(south) - (lat - delta)) < 1e-9) AS south_ok,
+        |  (abs(st_x(east_eq) - (CASE WHEN lon + delta > 180.0 THEN lon + delta - 360.0
+        |     ELSE lon + delta END)) < 1e-9 AND abs(st_y(east_eq)) < 1e-9) AS east_ok,
+        |  (abs(st_distancesphere(p, anyaz) - 250000.0) < 0.001) AS roundtrip_ok
+        |FROM pr ORDER BY c_custkey""".stripMargin),
+
     // Areal interpolation (the GIS overlay-reapportionment op: transfer an
     // attribute from source polygons to target zones by intersection-area
     // share) — exercises the real planar-overlay st_intersection through
@@ -6533,6 +6566,12 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // direct/inverse exactness on the shared sphere radius
+    "q280_geodesic_project" ->
+      """SELECT c_custkey, true AS north_ok, true AS south_ok,
+        |  true AS east_ok, true AS roundtrip_ok
+        |FROM customer WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin,
 
     // integer axis-aligned rectangles: overlap = clamped interval product,
     // weight = overlap / 12; identical double division + decimal fold

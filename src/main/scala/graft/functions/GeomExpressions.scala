@@ -385,6 +385,14 @@ object GeomKernels {
       val segs = if (a.length > 1 && a(1) != null) d(a(1)).toInt else 8
       Option(Algos.geodesicBuffer(g, d(a(0)), segs)).map(wkb).orNull
     }),
+    // forward (direct) geodesic: the point dist METERS from a lon/lat
+    // point at the given initial bearing (degrees clockwise from north)
+    "st_geodesicproject" -> W(BinaryType, Set(2), (g, a) => g match {
+      case p: Point if !p.isEmpty =>
+        val (lo, la) = CRS.directSphere(p.x, p.y, d(a(0)), d(a(1)))
+        wkb(Point(lo, la))
+      case _ => null
+    }),
     "st_geodesiclength" -> W(DoubleType, Set(0, 1), (g, a) => {
       val m = if (a.isEmpty || a(0) == null) Geodesy.Method.Geodesic else Geodesy.Method.parse(s(a(0)))
       Geodesy.geodesicLength(g, m)

@@ -942,6 +942,33 @@ object CRS {
   val ModisSphereR = 6371007.181
 
   /**
+   * Spherical DIRECT geodesic (the forward problem, twin of the inverse
+   * distance functions in [[Geodesy]]): the point `distMeters` along the
+   * great circle leaving (lon, lat) at initial bearing `azimuthDeg`
+   * (clockwise from north), on [[Geodesy.MeanEarthRadius]] so
+   * st_distancesphere round-trips the distance exactly. Standard direct
+   * formulas; pole/antimeridian-safe (atan2, lon naturally wraps).
+   */
+  def directSphere(lon: Double, lat: Double,
+                   azimuthDeg: Double, distMeters: Double): (Double, Double) = {
+    val f1 = math.toRadians(lat)
+    val th = math.toRadians(azimuthDeg)
+    val dl = distMeters / Geodesy.MeanEarthRadius
+    val sinF2 = math.sin(f1) * math.cos(dl) + math.cos(f1) * math.sin(dl) * math.cos(th)
+    val f2 = math.asin(math.max(-1.0, math.min(1.0, sinF2)))
+    val lon2 = math.toRadians(lon) + math.atan2(
+      math.sin(th) * math.sin(dl) * math.cos(f1),
+      math.cos(dl) - math.sin(f1) * sinF2)
+    // normalize to (-180, 180]
+    val lonDeg = {
+      val x = math.toDegrees(lon2)
+      val w = ((x + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (w == -180.0) 180.0 else w
+    }
+    (lonDeg, math.toDegrees(f2))
+  }
+
+  /**
    * Spherical azimuthal equidistant, oblique aspect (Snyder §25,
    * eq. 25-2..25-15): planar distance FROM THE PROJECTION CENTER equals
    * great-circle distance exactly — the projection behind geodesic

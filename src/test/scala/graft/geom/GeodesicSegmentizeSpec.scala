@@ -46,6 +46,21 @@ class GeodesicSegmentizeSpec extends AnyFunSuite {
     cs.foreach { case (x, _) => assert(math.abs(x) >= 179.0 - 1e-9, s"lon=$x") }
   }
 
+  test("directSphere: inverse round-trip, meridian closed form, antimeridian wrap") {
+    // distance round-trips under haversine on the shared radius
+    for ((lon, lat, az, d) <- Seq((-122.4, 37.8, 63.0, 250000.0), (10.0, -45.0, 200.0, 80000.0),
+                                  (179.5, 10.0, 90.0, 120000.0))) {
+      val (lo2, la2) = CRS.directSphere(lon, lat, az, d)
+      assert(math.abs(Geodesy.haversine(lon, lat, lo2, la2) - d) < 1e-4, s"($lon,$lat,$az)")
+    }
+    // due north adds exactly degrees(d/R)
+    val (nlo, nla) = CRS.directSphere(12.0, 40.0, 0.0, 100000.0)
+    assert(nlo == 12.0 && math.abs(nla - (40.0 + math.toDegrees(100000.0 / Geodesy.MeanEarthRadius))) < 1e-12)
+    // eastbound across the antimeridian wraps into (-180, 180]
+    val (wlo, _) = CRS.directSphere(179.9, 0.0, 90.0, 100000.0)
+    assert(wlo < -179.0 && wlo >= -180.0, s"wrapped lon $wlo")
+  }
+
   test("exactly antipodal endpoints: raw segment kept, no NaN vertices") {
     val g = Algos.geodesicSegmentize(line("LINESTRING (0 0, 180 0)"), 100000.0)
     val cs = coords(g)
