@@ -404,6 +404,26 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Retention cohort matrix (the product-analytics triangle): users
+    // cohorted by first-active week, per (cohort, week-offset) active
+    // share. Week ids from integer epoch-microsecond division (exact and
+    // engine-portable, the epoch_us discipline); two map-side-combined
+    // aggregations + one broadcast-able cohort-size join.
+    "q281_retention_cohorts" -> sqlQuery(Seq("events"),
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, unix_micros(ts) div 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |coh AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+        |sz AS (SELECT cohort, cast(count(*) as bigint) AS n_cohort FROM coh GROUP BY cohort)
+        |SELECT c.cohort, cast(a.wk - c.cohort as int) AS off_wk,
+        |  cast(count(*) as bigint) AS n_active,
+        |  s.n_cohort,
+        |  round(cast(count(*) as double) / s.n_cohort, 6) + 0.0 AS retention
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |JOIN sz s ON s.cohort = c.cohort
+        |GROUP BY c.cohort, a.wk, s.n_cohort
+        |ORDER BY cohort, off_wk""".stripMargin),
+
     // Forward (direct) geodesic st_geodesicproject — twin of the inverse
     // distance functions: due-north projection adds exactly
     // degrees(d/R) of latitude, due-east from the equator adds it in
@@ -6566,6 +6586,22 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical integer week arithmetic via epoch_us //
+    "q281_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |coh AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+        |sz AS (SELECT cohort, cast(count(*) as bigint) AS n_cohort FROM coh GROUP BY cohort)
+        |SELECT c.cohort, cast(a.wk - c.cohort as int) AS off_wk,
+        |  cast(count(*) as bigint) AS n_active,
+        |  s.n_cohort,
+        |  round(cast(count(*) as double) / s.n_cohort, 6) + 0.0 AS retention
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |JOIN sz s ON s.cohort = c.cohort
+        |GROUP BY c.cohort, a.wk, s.n_cohort
+        |ORDER BY c.cohort, off_wk""".stripMargin,
 
     // direct/inverse exactness on the shared sphere radius
     "q280_geodesic_project" ->
