@@ -404,6 +404,22 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Event-type transition matrix (first-order Markov over user
+    // timelines): lag window with the (ts, event_id) deterministic order,
+    // transition counts map-side combined, row-normalized probabilities
+    // via a per-prev window over <= |event types| rows.
+    "q282_event_transitions" -> sqlQuery(Seq("events"),
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |tc AS (
+        |  SELECT prev, event_type AS cur, cast(count(*) as bigint) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT prev, cur, n,
+        |  round(cast(n as double) / sum(n) OVER (PARTITION BY prev), 6) + 0.0 AS p
+        |FROM tc ORDER BY prev, cur""".stripMargin),
+
     // Retention cohort matrix (the product-analytics triangle): users
     // cohorted by first-active week, per (cohort, week-offset) active
     // share. Week ids from integer epoch-microsecond division (exact and
@@ -6586,6 +6602,19 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical lag/window text; ties pinned by (ts, event_id)
+    "q282_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |tc AS (
+        |  SELECT prev, event_type AS cur, cast(count(*) as bigint) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT prev, cur, n,
+        |  round(cast(n as double) / sum(n) OVER (PARTITION BY prev), 6) + 0.0 AS p
+        |FROM tc ORDER BY prev, cur""".stripMargin,
 
     // identical integer week arithmetic via epoch_us //
     "q281_retention_cohorts" ->
