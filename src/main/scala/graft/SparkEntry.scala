@@ -404,6 +404,27 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // IVF with PARTITIONED storage — the at-scale layout the ANN family's
+    // scaladocs promise: embeddings written partitionBy(cell), so the
+    // probe filter prunes directories (PartitionFilters — unprobed cells'
+    // files are never listed, scanning nProbe/k of the corpus). Same
+    // result as q52's expression-filtered IVF at the same probe set.
+    "q283_ivf_partition_prune" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_q283_ivf").toFile
+      tmpDir.deleteOnExit()
+      val path = new java.io.File(tmpDir, "emb_by_cell").getAbsolutePath
+      emb.withColumn("cell", graft.internal.exprColumn(graft.pipeline.NearestCentroid(
+          graft.internal.columnExpr(col("embedding")), cents)))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      Similarity.ivfTopKPartitioned(s.read.parquet(path), "vec_id", "embedding",
+          "cell", cents, queryVec, k = 10, nProbe = 2)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          (round(col("cosine"), 6) + 0.0).as("cosine"))
+    }),
+
     // Event-type transition matrix (first-order Markov over user
     // timelines): lag window with the (ts, event_id) deterministic order,
     // transition counts map-side combined, row-normalized probabilities
@@ -6602,6 +6623,28 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // q52's unrolled-Lloyd replay at nProbe=2 — storage layout cannot
+    // change the result, only the files scanned
+    "q283_ivf_partition_prune" ->
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |probes AS (SELECT c FROM (
+         |  SELECT cc.c, row_number() OVER (ORDER BY
+         |    list_dot_product($queryVecSql, cc.v) /
+         |    (sqrt(list_dot_product($queryVecSql, $queryVecSql)) *
+         |     sqrt(list_dot_product(cc.v, cc.v))) DESC, cc.c) AS rn
+         |  FROM c2 cc) WHERE rn <= 2),
+         |${annAssign("af", "c2")}
+         |SELECT cast(vec_id as bigint) AS vec_id, round(cos, 6) + 0.0 AS cosine FROM (
+         |  SELECT a.vec_id,
+         |    list_dot_product(a.v, $queryVecSql) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product($queryVecSql, $queryVecSql))) AS cos
+         |  FROM af a JOIN probes USING (c))
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // identical lag/window text; ties pinned by (ts, event_id)
     "q282_event_transitions" ->

@@ -218,6 +218,31 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * [[ivfTopK]] over a table STORED partitioned by its cell id (the
+   * "bucket-partitioned storage" scale path: `write.partitionBy(cell)`
+   * turns the probe filter into directory-level partition pruning — files
+   * of unprobed cells are never listed, the at-scale difference between
+   * scanning 100% and nProbe/k of the corpus). The filter hits the stored
+   * partition COLUMN, so no per-row assignment runs at query time; q283
+   * demonstrates the pruned plan (`PartitionFilters: [cell IN ...]`).
+   */
+  def ivfTopKPartitioned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      centroids: Array[Array[Double]],
+      query: Array[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val probes = selectProbes(centroids, query, nProbe)
+    df.filter(col(cellCol).isin(probes: _*))
+      .select(col(idCol), cosineCol(vecCol, query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   // -------------------------------------------------- product quantization
 
   /**

@@ -908,6 +908,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(t => t._1 == t._2) == 3)
   }
 
+  test("ivfTopKPartitioned: partition pruning in the plan, result equals expression-filtered IVF") {
+    import graft.internal.{columnExpr, exprColumn}
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 120L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Similarity.trainIvfCentroids(df, "vec_id", "embedding", k = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_part_spec").toFile
+    try {
+      val path = new java.io.File(tmp, "t").getAbsolutePath
+      df.withColumn("cell", exprColumn(graft.pipeline.NearestCentroid(
+          columnExpr($"embedding"), cents)))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val q = Array.fill(8)(rnd.nextGaussian())
+      val part = graft.pipeline.Similarity.ivfTopKPartitioned(
+        spark.read.parquet(path), "vec_id", "embedding", "cell", cents, q, k = 5, nProbe = 2)
+      // the probe filter reaches the scan as a partition filter
+      val plan = part.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(800))
+      val expect = graft.pipeline.Similarity.ivfTopK(
+        df, "vec_id", "embedding", cents, q, k = 5, nProbe = 2)
+      assert(part.select("vec_id").as[Long].collect().toSeq ==
+        expect.select("vec_id").as[Long].collect().toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("kCenterSelect matches brute-force greedy farthest-point; prefix property") {
     val rnd = new scala.util.Random(41)
     val vecs = (0L until 80L).map(i => i -> Array.fill(8)(rnd.nextGaussian().toFloat))
