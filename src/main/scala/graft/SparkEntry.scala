@@ -404,6 +404,51 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // CUSUM change-point detection over the daily event series: running
+    // sum of demeaned daily counts, change point = day of max |CUSUM|
+    // (Page's statistic). Day ids by integer epoch_us division; the
+    // running window is over <= #days rows (metadata-sized), counts
+    // map-side combine — one scan at any event volume.
+    "q284_cusum_changepoint" -> sqlQuery(Seq("events"),
+      """WITH d AS (
+        |  SELECT unix_micros(ts) div 86400000000 AS day,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT cast(sum(n) as double) / count(*) AS mean FROM d),
+        |c AS (
+        |  SELECT day, n,
+        |    sum(n - m.mean) OVER (ORDER BY day) AS cusum
+        |  FROM d CROSS JOIN m)
+        |SELECT day, n, round(cusum, 6) + 0.0 AS cusum,
+        |  (abs(cusum) = max(abs(cusum)) OVER ()) AS is_changepoint
+        |FROM c ORDER BY day""".stripMargin),
+
+    // Robust outlier profile (median/MAD, the data-quality staple that
+    // survives the outliers it hunts): per event type the median, the
+    // median absolute deviation, and the count beyond 3 scaled MADs.
+    // Two grouped exact-percentile passes (q152's cross-engine pair) +
+    // one counting join — group-bounded state everywhere.
+    "q285_mad_outliers" -> sqlQuery(Seq("events"),
+      """WITH med AS (
+        |  SELECT event_type, percentile(value, cast(0.5 as double)) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, m.med,
+        |    percentile(abs(e.value - m.med), cast(0.5 as double)) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  WHERE e.value IS NOT NULL GROUP BY e.event_type, m.med)
+        |SELECT a.event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  round(a.med, 6) + 0.0 AS med,
+        |  round(a.mad, 6) + 0.0 AS mad,
+        |  cast(sum(CASE WHEN abs(e.value - a.med) >
+        |    3.0 * cast(1.4826 as double) * a.mad THEN 1 ELSE 0 END) as bigint)
+        |    AS n_outliers
+        |FROM events e JOIN mad a ON e.event_type = a.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY a.event_type, a.med, a.mad
+        |ORDER BY a.event_type""".stripMargin),
+
     // IVF with PARTITIONED storage — the at-scale layout the ANN family's
     // scaladocs promise: embeddings written partitionBy(cell), so the
     // probe filter prunes directories (PartitionFilters — unprobed cells'
@@ -6623,6 +6668,43 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical running-sum arithmetic; epoch_us // day ids
+    "q284_cusum_changepoint" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT cast(sum(n) as double) / count(*) AS mean FROM d),
+        |c AS (
+        |  SELECT day, n,
+        |    sum(n - m.mean) OVER (ORDER BY day) AS cusum
+        |  FROM d CROSS JOIN m)
+        |SELECT day, n, round(cusum, 6) + 0.0 AS cusum,
+        |  (abs(cusum) = max(abs(cusum)) OVER ()) AS is_changepoint
+        |FROM c ORDER BY day""".stripMargin,
+
+    // quantile_cont pairs with Spark percentile (q152 precedent)
+    "q285_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, m.med,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  WHERE e.value IS NOT NULL GROUP BY e.event_type, m.med)
+        |SELECT a.event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  round(a.med, 6) + 0.0 AS med,
+        |  round(a.mad, 6) + 0.0 AS mad,
+        |  cast(sum(CASE WHEN abs(e.value - a.med) >
+        |    3.0 * cast(1.4826 as double) * a.mad THEN 1 ELSE 0 END) as bigint)
+        |    AS n_outliers
+        |FROM events e JOIN mad a ON e.event_type = a.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY a.event_type, a.med, a.mad
+        |ORDER BY a.event_type""".stripMargin,
 
     // q52's unrolled-Lloyd replay at nProbe=2 — storage layout cannot
     // change the result, only the files scanned
