@@ -404,6 +404,76 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Strict ORDERED funnel (view -> click-after-view ->
+    // purchase-after-click): each stage is the min event time AFTER the
+    // previous stage's instant — sequence semantics, not mere presence
+    // (q176's cohort funnel is presence-within-window). Three grouped
+    // mins + user-keyed joins, all map-side combinable.
+    "q286_ordered_funnel" -> sqlQuery(Seq("events"),
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT cast(count(*) as bigint) FROM v) AS n_view,
+        |  (SELECT cast(count(*) as bigint) FROM c) AS n_click,
+        |  (SELECT cast(count(*) as bigint) FROM p) AS n_purchase,
+        |  round(cast((SELECT count(*) FROM c) as double) /
+        |    (SELECT count(*) FROM v), 6) + 0.0 AS view_to_click,
+        |  round(cast((SELECT count(*) FROM p) as double) /
+        |    (SELECT count(*) FROM c), 6) + 0.0 AS click_to_purchase""".stripMargin),
+
+    // Kaplan-Meier survival over signup -> first-purchase durations
+    // (right-censored at each user's last event): the S-curve estimator
+    // S(t) = prod(1 - d_i/n_i) computed as exp of the decimal-folded
+    // cumulative sum of rounded log terms — order-independent and
+    // cross-engine exact at 6 decimals. Risk-set counts via one ordered
+    // window over <= #distinct-durations rows.
+    "q287_kaplan_meier" -> sqlQuery(Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |mx AS (
+        |  SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+        |dur AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN p.t1 IS NOT NULL
+        |      THEN (unix_micros(p.t1) - unix_micros(s.t0)) div 3600000000
+        |      ELSE (unix_micros(mx.tmax) - unix_micros(s.t0)) div 3600000000 END AS hrs,
+        |    (p.t1 IS NOT NULL) AS observed
+        |  FROM s JOIN mx ON s.user_id = mx.user_id
+        |  LEFT JOIN p ON s.user_id = p.user_id),
+        |ev AS (
+        |  SELECT hrs,
+        |    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+        |    cast(count(*) as bigint) AS leaving
+        |  FROM dur GROUP BY hrs),
+        |rk AS (
+        |  SELECT hrs, d,
+        |    sum(leaving) OVER (ORDER BY hrs DESC) AS n_risk
+        |  FROM ev),
+        |km AS (
+        |  SELECT hrs, d, n_risk,
+        |    sum(CASE WHEN d > 0 AND d < n_risk
+        |      THEN cast(round(ln(1.0 - cast(d as double) / n_risk), 9) as decimal(20,9))
+        |      ELSE cast(0 as decimal(20,9)) END)
+        |      OVER (ORDER BY hrs) AS logs
+        |  FROM rk)
+        |SELECT hrs, d, cast(n_risk as bigint) AS n_risk,
+        |  round(exp(cast(logs as double)), 6) + 0.0 AS survival
+        |FROM km WHERE d > 0 ORDER BY hrs""".stripMargin),
+
     // CUSUM change-point detection over the daily event series: running
     // sum of demeaned daily counts, change point = day of max |CUSUM|
     // (Page's statistic). Day ids by integer epoch_us division; the
@@ -6668,6 +6738,68 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical stage joins; scalar-subquery counts
+    "q286_ordered_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT cast(count(*) as bigint) FROM v) AS n_view,
+        |  (SELECT cast(count(*) as bigint) FROM c) AS n_click,
+        |  (SELECT cast(count(*) as bigint) FROM p) AS n_purchase,
+        |  round(cast((SELECT count(*) FROM c) as double) /
+        |    (SELECT count(*) FROM v), 6) + 0.0 AS view_to_click,
+        |  round(cast((SELECT count(*) FROM p) as double) /
+        |    (SELECT count(*) FROM c), 6) + 0.0 AS click_to_purchase""".stripMargin,
+
+    // same risk-set window; epoch_us // hour durations; identical
+    // rounded-log decimal fold under exp
+    "q287_kaplan_meier" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |mx AS (
+        |  SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+        |dur AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN p.t1 IS NOT NULL
+        |      THEN (epoch_us(p.t1) - epoch_us(s.t0)) // 3600000000
+        |      ELSE (epoch_us(mx.tmax) - epoch_us(s.t0)) // 3600000000 END AS hrs,
+        |    (p.t1 IS NOT NULL) AS observed
+        |  FROM s JOIN mx ON s.user_id = mx.user_id
+        |  LEFT JOIN p ON s.user_id = p.user_id),
+        |ev AS (
+        |  SELECT hrs,
+        |    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+        |    cast(count(*) as bigint) AS leaving
+        |  FROM dur GROUP BY hrs),
+        |rk AS (
+        |  SELECT hrs, d,
+        |    sum(leaving) OVER (ORDER BY hrs DESC) AS n_risk
+        |  FROM ev),
+        |km AS (
+        |  SELECT hrs, d, n_risk,
+        |    sum(CASE WHEN d > 0 AND d < n_risk
+        |      THEN cast(round(ln(1.0 - cast(d as double) / n_risk), 9) as decimal(20,9))
+        |      ELSE cast(0 as decimal(20,9)) END)
+        |      OVER (ORDER BY hrs) AS logs
+        |  FROM rk)
+        |SELECT hrs, d, cast(n_risk as bigint) AS n_risk,
+        |  round(exp(cast(logs as double)), 6) + 0.0 AS survival
+        |FROM km WHERE d > 0 ORDER BY hrs""".stripMargin,
 
     // identical running-sum arithmetic; epoch_us // day ids
     "q284_cusum_changepoint" ->
