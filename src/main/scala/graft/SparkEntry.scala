@@ -404,6 +404,82 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Getis-Ord Gi* hotspot statistic over a cell grid (the spatial-stats
+    // hotspot analysis): per-cell value sums, 3x3 queen neighborhood via
+    // a 9-row offsets join (the eps-cell replica discipline — neighbor
+    // structure from arithmetic, never a distance cross join), global
+    // moments as broadcast scalars, z-scores closed-form. Products and
+    // sums on identical doubles; z rounded 6.
+    "q288_getis_ord_hotspots" -> sqlQuery(Seq("customer"),
+      """WITH pts AS (
+        |  SELECT ((cast(floor(c_acctbal) as bigint) % 20) + 20) % 20 AS cx,
+        |    ((cast(floor(c_acctbal * 7) as bigint) % 15) + 15) % 15 AS cy,
+        |    cast(c_acctbal as double) AS v
+        |  FROM customer),
+        |cells AS (
+        |  SELECT cx, cy, sum(cast(round(v, 2) as decimal(18,2))) AS vsum
+        |  FROM pts GROUP BY cx, cy),
+        |stats AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(vsum) as double) / count(*) AS xbar,
+        |    sqrt(cast(sum(cast(vsum * vsum as decimal(30,4))) as double)
+        |      / count(*)
+        |      - (cast(sum(vsum) as double) / count(*))
+        |      * (cast(sum(vsum) as double) / count(*))) AS s
+        |  FROM cells),
+        |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+        |  (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        |nb AS (
+        |  SELECT a.cx, a.cy,
+        |    cast(count(*) as bigint) AS wi,
+        |    sum(b.vsum) AS nsum
+        |  FROM cells a
+        |  JOIN offs o ON true
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  GROUP BY a.cx, a.cy)
+        |SELECT nb.cx, nb.cy, nb.wi,
+        |  round(cast(nb.nsum as double), 2) + 0.0 AS neighborhood_sum,
+        |  round((cast(nb.nsum as double) - st.xbar * nb.wi) /
+        |    (st.s * sqrt((cast(st.n as double) * nb.wi - cast(nb.wi as double) * nb.wi)
+        |      / (st.n - 1))), 6) + 0.0 AS gi_z
+        |FROM nb CROSS JOIN stats st
+        |ORDER BY nb.cx, nb.cy""".stripMargin),
+
+    // Moran's I global spatial autocorrelation on the same grid (queen
+    // weights, self excluded): pairwise deviation products decimal-folded
+    // at 6 decimals so the double sum is order-independent.
+    "q289_morans_i" -> sqlQuery(Seq("customer"),
+      """WITH pts AS (
+        |  SELECT ((cast(floor(c_acctbal) as bigint) % 20) + 20) % 20 AS cx,
+        |    ((cast(floor(c_acctbal * 7) as bigint) % 15) + 15) % 15 AS cy,
+        |    cast(c_acctbal as double) AS v
+        |  FROM customer),
+        |cells AS (
+        |  SELECT cx, cy, sum(cast(round(v, 2) as decimal(18,2))) AS vsumd
+        |  FROM pts GROUP BY cx, cy),
+        |stats AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(vsumd) as double) / count(*) AS xbar
+        |  FROM cells),
+        |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+        |  (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        |cross_t AS (
+        |  SELECT sum(cast(round((cast(a.vsumd as double) - st.xbar) *
+        |      (cast(b.vsumd as double) - st.xbar), 6) as decimal(27,6))) AS num,
+        |    cast(count(*) as bigint) AS w
+        |  FROM cells a
+        |  JOIN offs o ON true
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  CROSS JOIN stats st),
+        |denom AS (
+        |  SELECT sum(cast(round((cast(c.vsumd as double) - st.xbar) *
+        |      (cast(c.vsumd as double) - st.xbar), 6) as decimal(27,6))) AS den
+        |  FROM cells c CROSS JOIN stats st)
+        |SELECT st.n, ct.w,
+        |  round((cast(st.n as double) / ct.w) *
+        |    (cast(ct.num as double) / cast(d.den as double)), 6) + 0.0 AS moran_i
+        |FROM stats st CROSS JOIN cross_t ct CROSS JOIN denom d""".stripMargin),
+
     // Strict ORDERED funnel (view -> click-after-view ->
     // purchase-after-click): each stage is the min event time AFTER the
     // previous stage's instant — sequence semantics, not mere presence
@@ -6738,6 +6814,74 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical grid/offset arithmetic and decimal folds
+    "q288_getis_ord_hotspots" ->
+      """WITH pts AS (
+        |  SELECT ((cast(floor(c_acctbal) as bigint) % 20) + 20) % 20 AS cx,
+        |    ((cast(floor(c_acctbal * 7) as bigint) % 15) + 15) % 15 AS cy,
+        |    cast(c_acctbal as double) AS v
+        |  FROM customer),
+        |cells AS (
+        |  SELECT cx, cy, sum(cast(round(v, 2) as decimal(18,2))) AS vsum
+        |  FROM pts GROUP BY cx, cy),
+        |stats AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(vsum) as double) / count(*) AS xbar,
+        |    sqrt(cast(sum(cast(vsum * vsum as decimal(30,4))) as double)
+        |      / count(*)
+        |      - (cast(sum(vsum) as double) / count(*))
+        |      * (cast(sum(vsum) as double) / count(*))) AS s
+        |  FROM cells),
+        |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+        |  (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        |nb AS (
+        |  SELECT a.cx, a.cy,
+        |    cast(count(*) as bigint) AS wi,
+        |    sum(b.vsum) AS nsum
+        |  FROM cells a
+        |  JOIN offs o ON true
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  GROUP BY a.cx, a.cy)
+        |SELECT nb.cx, nb.cy, nb.wi,
+        |  round(cast(nb.nsum as double), 2) + 0.0 AS neighborhood_sum,
+        |  round((cast(nb.nsum as double) - st.xbar * nb.wi) /
+        |    (st.s * sqrt((cast(st.n as double) * nb.wi - cast(nb.wi as double) * nb.wi)
+        |      / (st.n - 1))), 6) + 0.0 AS gi_z
+        |FROM nb CROSS JOIN stats st
+        |ORDER BY nb.cx, nb.cy""".stripMargin,
+
+    "q289_morans_i" ->
+      """WITH pts AS (
+        |  SELECT ((cast(floor(c_acctbal) as bigint) % 20) + 20) % 20 AS cx,
+        |    ((cast(floor(c_acctbal * 7) as bigint) % 15) + 15) % 15 AS cy,
+        |    cast(c_acctbal as double) AS v
+        |  FROM customer),
+        |cells AS (
+        |  SELECT cx, cy, sum(cast(round(v, 2) as decimal(18,2))) AS vsumd
+        |  FROM pts GROUP BY cx, cy),
+        |stats AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(vsumd) as double) / count(*) AS xbar
+        |  FROM cells),
+        |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+        |  (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        |cross_t AS (
+        |  SELECT sum(cast(round((cast(a.vsumd as double) - st.xbar) *
+        |      (cast(b.vsumd as double) - st.xbar), 6) as decimal(27,6))) AS num,
+        |    cast(count(*) as bigint) AS w
+        |  FROM cells a
+        |  JOIN offs o ON true
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  CROSS JOIN stats st),
+        |denom AS (
+        |  SELECT sum(cast(round((cast(c.vsumd as double) - st.xbar) *
+        |      (cast(c.vsumd as double) - st.xbar), 6) as decimal(27,6))) AS den
+        |  FROM cells c CROSS JOIN stats st)
+        |SELECT st.n, ct.w,
+        |  round((cast(st.n as double) / ct.w) *
+        |    (cast(ct.num as double) / cast(d.den as double)), 6) + 0.0 AS moran_i
+        |FROM stats st CROSS JOIN cross_t ct CROSS JOIN denom d""".stripMargin,
 
     // identical stage joins; scalar-subquery counts
     "q286_ordered_funnel" ->
