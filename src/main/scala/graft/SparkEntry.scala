@@ -404,6 +404,34 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // k-fold cross-validated classifier evaluation — the "did we overfit"
+    // answer the eval suite (q266/q273) was missing: md5-deterministic
+    // folds, one train per fold on the OTHER folds (each = the same
+    // bounded-state distributed trainer), metrics on the held-out fold
+    // through the fold-partitioned eval block shared verbatim with the
+    // oracle's per-fold unrolled training chains.
+    "q290_cv_classifier" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val foldCol = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 3")
+      val base = s.table("documents").where(qcWhere).withColumn("fold", foldCol)
+        .localCheckpoint()
+      val feats = qcFeatureSqls.map(expr)
+      val perFold = (0 until 3).map { f =>
+        val w = graft.pipeline.Classifier.trainLogistic(
+          base.where(col("fold") =!= f), feats, expr(qcLabelSql), lr = 0.5, iters = 3)
+        val sc = graft.pipeline.Classifier.score(w, feats)
+        base.where(col("fold") === f)
+          .select(lit(f).cast("long").as("fold"), round(sc, 6).as("score"),
+            expr(qcLabelSql).as("y"))
+      }
+      perFold.reduce(_ unionAll _).createOrReplaceTempView("scored_all")
+      s.sql("WITH " + graft.pipeline.Classifier.cvEvalSelectSql)
+        .selectExpr("cast(fold as bigint) AS fold", "auc", "tp", "fp", "tn", "fn",
+          "accuracy", "brier")
+    }),
+
     // Getis-Ord Gi* hotspot statistic over a cell grid (the spatial-stats
     // hotspot analysis): per-cell value sums, 3x3 queen neighborhood via
     // a 9-row offsets join (the eps-cell replica discipline — neighbor
@@ -6814,6 +6842,19 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // per-fold unrolled training chains + shared fold-partitioned eval;
+    // fold from the md5-prefix integer (the sampling-family idiom)
+    "q290_cv_classifier" -> {
+      val cv = graft.pipeline.Classifier.oracleCvEvalSql(
+        table = "documents", idCol = "doc_id",
+        featureSqls = qcFeatureSqls, labelSql = qcLabelSql,
+        where = qcWhere, lr = 0.5, iters = 3,
+        foldSql = "('0x'||substr(md5(cast(doc_id as varchar)),1,15))::BIGINT % 3",
+        nFolds = 3)
+      s"""SELECT cast(fold as bigint) AS fold, auc, tp, fp, tn, fn, accuracy, brier
+         |FROM ($cv) t ORDER BY fold""".stripMargin
+    },
 
     // identical grid/offset arithmetic and decimal folds
     "q288_getis_ord_hotspots" ->

@@ -255,6 +255,83 @@ object Classifier {
        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
   }
 
+  /**
+   * Fold-partitioned twin of [[evalSelectSql]] for cross-validated
+   * evaluation: expects a `scored_all(fold, score, y)` relation (one row
+   * per HELD-OUT document, scored by the model trained on the other
+   * folds) and emits one metric row per fold — same tie-aware rank AUC /
+   * confusion / decimal-folded Brier, windows and groups partitioned by
+   * fold. Shared verbatim by both engines.
+   */
+  val cvEvalSelectSql: String =
+    """r AS (SELECT fold, score, y,
+      |    rank() OVER (PARTITION BY fold ORDER BY score) AS rk,
+      |    count(*) OVER (PARTITION BY fold, score) AS cs
+      |  FROM scored_all),
+      |agg AS (SELECT fold,
+      |    sum(CASE WHEN y = 1.0 THEN (2 * rk + cs - 1) / 2.0 ELSE 0.0 END) AS sr,
+      |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS p,
+      |    cast(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) as bigint) AS nn,
+      |    cast(sum(CASE WHEN score > 0.5 AND y = 1.0 THEN 1 ELSE 0 END) as bigint) AS tp,
+      |    cast(sum(CASE WHEN score > 0.5 AND y = 0.0 THEN 1 ELSE 0 END) as bigint) AS fp,
+      |    cast(sum(CASE WHEN score <= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) as bigint) AS tn,
+      |    cast(sum(CASE WHEN score <= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) as bigint) AS fn,
+      |    sum(cast(round((score - y) * (score - y), 12) as decimal(27,12))) AS bs,
+      |    cast(count(*) as bigint) AS n
+      |  FROM r GROUP BY fold)
+      |SELECT fold,
+      |  round((sr - cast(p as double) * (p + 1) / 2.0) / (cast(p as double) * nn), 6) + 0.0 AS auc,
+      |  tp, fp, tn, fn,
+      |  round((tp + tn) / cast(n as double), 6) + 0.0 AS accuracy,
+      |  round(cast(bs as double) / n, 6) + 0.0 AS brier
+      |FROM agg ORDER BY fold""".stripMargin
+
+  /**
+   * Full DuckDB oracle for k-fold CROSS-VALIDATED evaluation: one
+   * unrolled training chain per fold (each FROM the other folds), scores
+   * on the held-out fold, union into `scored_all`, then
+   * [[cvEvalSelectSql]]. `foldSql` must be an engine-portable integer
+   * expression in [0, nFolds).
+   */
+  def oracleCvEvalSql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int,
+      foldSql: String,
+      nFolds: Int): String = {
+    val n = featureSqls.length
+    val fNames = (0 until n).map(i => s"f$i")
+    val wNames = (0 until n).map(i => s"w$i")
+    val feat = s"feat AS (SELECT $idCol, ($foldSql) AS fold, " +
+      featureSqls.zip(fNames).map { case (e, a) => s"($e) AS $a" }.mkString(", ") +
+      s", ($labelSql) AS y FROM $table WHERE $where)"
+    val sigF = sigText(zText(wNames, fNames, "b"))
+    val perFold = (0 until nFolds).map { f =>
+      val it0 = s"cv${f}_it0 AS (SELECT " +
+        (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
+      val iterCtes = (1 to iters).map { k =>
+        val sig = sigText(zText(wNames, fNames, "b"))
+        val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
+          val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
+          s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
+        }
+        s"cv${f}_it$k AS (SELECT ${cols.mkString(", ")} FROM " +
+          s"(SELECT * FROM feat WHERE fold <> $f) feat CROSS JOIN cv${f}_it${k - 1} " +
+          s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
+      }
+      (s"$it0, ${iterCtes.mkString(", ")}",
+        s"SELECT $f AS fold, round($sigF, 6) AS score, y FROM " +
+          s"(SELECT * FROM feat WHERE fold = $f) feat CROSS JOIN cv${f}_it$iters")
+    }
+    val chains = perFold.map(_._1).mkString(", ")
+    val union = perFold.map(_._2).mkString(" UNION ALL ")
+    s"WITH $feat, $chains, scored_all AS ($union), " + cvEvalSelectSql
+  }
+
   /** Decile-cut CTE bodies for [[reliabilitySelectSql]]. */
   val sparkCutsSelect: String =
     (1 to 9).map(j => s"round(percentile(score, 0.${j}), 6) AS c$j")
