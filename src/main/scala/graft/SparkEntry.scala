@@ -404,6 +404,28 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Histogram-binning calibration fix — the remedy for the
+    // miscalibration q273 measures: decile-bin -> positive-rate map
+    // learned on fold 0, applied to held-out fold 1; before/after ECE and
+    // Brier on the held-out fold (ECE collapses, Brier improves). Same
+    // md5 folds as q290; map is <= 10 rows (broadcast).
+    "q291_calibration_fix" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val foldCol = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 2")
+      val base = s.table("documents").where(qcWhere).withColumn("fold", foldCol)
+        .localCheckpoint()
+      val feats = qcFeatureSqls.map(expr)
+      val w = graft.pipeline.Classifier.trainLogistic(
+        base.where(col("fold") === 0), feats, expr(qcLabelSql), lr = 0.5, iters = 3)
+      val sc = graft.pipeline.Classifier.score(w, feats)
+      base.select(col("fold").cast("long").as("fold"), round(sc, 6).as("score"),
+          expr(qcLabelSql).as("y"))
+        .createOrReplaceTempView("cal_scored")
+      s.sql("WITH " + graft.pipeline.Classifier.calibrationFixSelectSql("percentile"))
+    }),
+
     // k-fold cross-validated classifier evaluation — the "did we overfit"
     // answer the eval suite (q266/q273) was missing: md5-deterministic
     // folds, one train per fold on the OTHER folds (each = the same
@@ -6842,6 +6864,14 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // fold-0 training chain + all-rows scoring + shared calibration block
+    "q291_calibration_fix" ->
+      graft.pipeline.Classifier.oracleCalibrationFixSql(
+        table = "documents", idCol = "doc_id",
+        featureSqls = qcFeatureSqls, labelSql = qcLabelSql,
+        where = qcWhere, lr = 0.5, iters = 3,
+        foldSql = "('0x'||substr(md5(cast(doc_id as varchar)),1,15))::BIGINT % 2"),
 
     // per-fold unrolled training chains + shared fold-partitioned eval;
     // fold from the md5-prefix integer (the sampling-family idiom)

@@ -332,6 +332,89 @@ object Classifier {
     s"WITH $feat, $chains, scored_all AS ($union), " + cvEvalSelectSql
   }
 
+  /**
+   * Histogram-binning calibration FIX (Zadrozny & Elkan): learn the
+   * decile-bin -> empirical-positive-rate map on fold 0, apply it to
+   * fold 1, and report before/after ECE and Brier on the held-out fold —
+   * the remedy for the miscalibration the reliability curve (q273)
+   * measures. Expects `cal_scored(fold, score, y)`; `percentileFn` is the
+   * engine's exact-percentile aggregate (Spark `percentile`, DuckDB
+   * `quantile_cont`). Unseen bins fall back to 0.5. Everything after the
+   * cuts is shared verbatim by both engines; all folds are
+   * decimal-folded.
+   */
+  def calibrationFixSelectSql(percentileFn: String): String = {
+    val cuts = (1 to 9).map(j => s"round($percentileFn(score, cast(0.$j as double)), 6) AS c$j")
+      .mkString("SELECT ", ", ", " FROM cal_scored WHERE fold = 0")
+    val binExpr = (1 to 9).map(j => s"(CASE WHEN score > c$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""cuts AS ($cuts),
+       |binned AS (SELECT fold, cast($binExpr as int) AS bin,
+       |    cast(round(score, 6) as decimal(18,6)) AS s6, y
+       |  FROM cal_scored CROSS JOIN cuts),
+       |map0 AS (SELECT bin,
+       |    round(cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as double)
+       |      / count(*), 6) AS calib
+       |  FROM binned WHERE fold = 0 GROUP BY bin),
+       |ev AS (SELECT b.bin, b.s6, b.y,
+       |    cast(coalesce(m.calib, 0.5) as decimal(18,6)) AS cal
+       |  FROM binned b LEFT JOIN map0 m ON m.bin = b.bin
+       |  WHERE b.fold = 1),
+       |g AS (SELECT bin, cast(count(*) as bigint) AS n,
+       |    sum(s6) AS ssum, sum(cal) AS csum,
+       |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS pos,
+       |    sum(cast(round((cast(s6 as double) - y) * (cast(s6 as double) - y), 12)
+       |      as decimal(27,12))) AS bs_raw,
+       |    sum(cast(round((cast(cal as double) - y) * (cast(cal as double) - y), 12)
+       |      as decimal(27,12))) AS bs_cal
+       |  FROM ev GROUP BY bin)
+       |SELECT cast(sum(n) as bigint) AS n_eval,
+       |  round(sum(abs(cast(ssum as double) / n - cast(pos as double) / n) * n)
+       |    / sum(n), 6) + 0.0 AS ece_raw,
+       |  round(sum(abs(cast(csum as double) / n - cast(pos as double) / n) * n)
+       |    / sum(n), 6) + 0.0 AS ece_cal,
+       |  round(cast(sum(bs_raw) as double) / sum(n), 6) + 0.0 AS brier_raw,
+       |  round(cast(sum(bs_cal) as double) / sum(n), 6) + 0.0 AS brier_cal
+       |FROM g""".stripMargin
+  }
+
+  /** DuckDB oracle for the calibration fix: training chain on fold 0
+    * only, scores over ALL rows into `cal_scored`, then
+    * [[calibrationFixSelectSql]] with DuckDB's percentile aggregate. */
+  def oracleCalibrationFixSql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int,
+      foldSql: String): String = {
+    val n = featureSqls.length
+    val fNames = (0 until n).map(i => s"f$i")
+    val wNames = (0 until n).map(i => s"w$i")
+    val feat = s"feat AS (SELECT $idCol, ($foldSql) AS fold, " +
+      featureSqls.zip(fNames).map { case (e, a) => s"($e) AS $a" }.mkString(", ") +
+      s", ($labelSql) AS y FROM $table WHERE $where)"
+    val it0 = s"it0 AS (SELECT " +
+      (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
+    val iterCtes = (1 to iters).map { k =>
+      val sig = sigText(zText(wNames, fNames, "b"))
+      val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
+        val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
+        s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
+      }
+      s"it$k AS (SELECT ${cols.mkString(", ")} FROM " +
+        s"(SELECT * FROM feat WHERE fold = 0) feat CROSS JOIN it${k - 1} " +
+        s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
+    }
+    val sigF = sigText(zText(wNames, fNames, "b"))
+    s"WITH $feat, $it0, ${iterCtes.mkString(", ")}, " +
+      s"cal_scored AS (SELECT fold, round($sigF, 6) AS score, y " +
+      s"FROM feat CROSS JOIN it$iters), " +
+      calibrationFixSelectSql("quantile_cont")
+  }
+
   /** Decile-cut CTE bodies for [[reliabilitySelectSql]]. */
   val sparkCutsSelect: String =
     (1 to 9).map(j => s"round(percentile(score, 0.${j}), 6) AS c$j")
