@@ -404,6 +404,36 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Rolling 7-day distinct users via MERGED HLL states — the sketch
+    // mergeability payoff: daily 256-bucket states (one map-side-combined
+    // aggregation over the raw events), every window estimate then merges
+    // 7 tiny states by bucket-max — the raw data is scanned ONCE total,
+    // not once per window. Exact rolling distinct joined back as the
+    // calibration column (rel_err ~ the p=8 SE).
+    "q292_rolling_hll" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "events")
+      val ev = s.sql(
+        """SELECT user_id, unix_micros(ts) div 86400000000 AS day
+          |FROM events WHERE user_id IS NOT NULL""".stripMargin)
+      val daily = graft.pipeline.Sketch.hllBuckets(ev, "user_id", Seq("day"))
+      val days = ev.select(col("day")).distinct().select(col("day").as("d"))
+      val merged = days
+        .join(daily, daily("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"), col("__b")).agg(max(col("__rmax")).as("__rmax"))
+      val est = graft.pipeline.Sketch.hllFromBuckets(merged, Seq("d"))
+      val exact = days
+        .join(ev.select(col("day"), col("user_id")).distinct(),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy("d").agg(countDistinct("user_id").cast("long").as("exact_users"))
+      est.join(exact, "d")
+        .select(col("d"), col("hll_estimate"), col("n_buckets_used"),
+          col("exact_users"),
+          (round(abs(col("hll_estimate") - col("exact_users")) / col("exact_users"), 6)
+            + 0.0).as("rel_err"))
+        .orderBy("d")
+    }),
+
     // Histogram-binning calibration fix — the remedy for the
     // miscalibration q273 measures: decile-bin -> positive-rate map
     // learned on fold 0, applied to held-out fold 1; before/after ECE and
@@ -6864,6 +6894,32 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // same md5 bucket layout, same bucket-max merge over the day range
+    "q292_rolling_hll" -> {
+      val state = graft.pipeline.Sketch.hllBucketStateSql("ev", "user_id", "day")
+      val est = graft.pipeline.Sketch.hllEstimateSql("merged", "d")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events WHERE user_id IS NOT NULL),
+         |daily AS ($state),
+         |days AS (SELECT DISTINCT day AS d FROM ev),
+         |merged AS (
+         |  SELECT dd.d, b.bucket, max(b.rmax) AS rmax
+         |  FROM days dd JOIN daily b ON b.day BETWEEN dd.d - 6 AND dd.d
+         |  GROUP BY dd.d, b.bucket),
+         |est AS ($est),
+         |exact AS (
+         |  SELECT dd.d, cast(count(distinct e.user_id) as bigint) AS exact_users
+         |  FROM days dd JOIN (SELECT DISTINCT day, user_id FROM ev) e
+         |    ON e.day BETWEEN dd.d - 6 AND dd.d
+         |  GROUP BY dd.d)
+         |SELECT est.d, est.hll_estimate, est.n_buckets_used, exact.exact_users,
+         |  round(abs(est.hll_estimate - exact.exact_users) / exact.exact_users, 6) + 0.0
+         |    AS rel_err
+         |FROM est JOIN exact ON est.d = exact.d
+         |ORDER BY est.d""".stripMargin
+    },
 
     // fold-0 training chain + all-rows scoring + shared calibration block
     "q291_calibration_fix" ->

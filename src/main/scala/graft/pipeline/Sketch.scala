@@ -105,6 +105,36 @@ object Sketch {
        |    GROUP BY $groupCol, bucket)
        |  GROUP BY $groupCol)""".stripMargin
 
+  /** Oracle building block: the per-(group, bucket) max-rank state CTE
+    * body over `table` (same md5 layout as [[hllBuckets]]) — compose
+    * rolling/merged estimates from it with [[hllEstimateSql]]. */
+  def hllBucketStateSql(table: String, keyCol: String, groupCol: String): String =
+    s"""SELECT $groupCol, bucket, max(rank) AS rmax
+       |FROM (
+       |  SELECT $groupCol,
+       |    cast(('0x' || substr(md5(cast($keyCol as varchar)), 1, 2))::BIGINT as int) AS bucket,
+       |    cast(CASE WHEN chunk = 0 THEN 61 ELSE 61 - length(bin(chunk)) END as int) AS rank
+       |  FROM (
+       |    SELECT $groupCol, $keyCol,
+       |      ('0x' || substr(md5(cast($keyCol as varchar)), 3, 15))::BIGINT AS chunk
+       |    FROM $table WHERE $keyCol IS NOT NULL))
+       |GROUP BY $groupCol, bucket""".stripMargin
+
+  /** Oracle building block: the finishing estimate over a
+    * `(groupCol, bucket, rmax)` relation (twin of [[hllFromBuckets]]). */
+  def hllEstimateSql(bucketsRel: String, groupCol: String): String =
+    s"""SELECT $groupCol,
+       |  round(CASE WHEN raw <= ${2.5 * M} AND n_buckets_used < $M
+       |             THEN $M.0 * ln($M.0 / ($M - n_buckets_used))
+       |             ELSE raw END, 4) + 0.0 AS hll_estimate,
+       |  n_buckets_used
+       |FROM (
+       |  SELECT $groupCol,
+       |    ${Alpha * M * M} / (sum(power(2.0, -rmax)) + ($M - count(*))) AS raw,
+       |    cast(count(*) as int) AS n_buckets_used
+       |  FROM $bucketsRel
+       |  GROUP BY $groupCol)""".stripMargin
+
   /** Ungrouped variant of [[hllSql]]: a scalar subquery computing the
     * whole-table estimate for one key expression (oracle building block
     * for Profile.profile's sketch-distinct default). */
