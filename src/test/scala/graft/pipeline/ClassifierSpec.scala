@@ -109,6 +109,47 @@ class ClassifierSpec extends AnyFunSuite {
     assert(math.abs(coarse - exact) < 0.03, s"coarse=$coarse exact=$exact")
   }
 
+  test("cvEvalSelectSql: per-fold metrics equal single-fold evalSelectSql run fold by fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map { i =>
+      val y = if (rnd.nextDouble() < 0.5) 1.0 else 0.0
+      val s = math.rint(math.min(1, math.max(0,
+        rnd.nextGaussian() * 0.2 + (if (y == 1.0) 0.6 else 0.4))) * 1e6) / 1e6
+      (i % 3L, s, y)
+    }
+    rows.toDF("fold", "score", "y").createOrReplaceTempView("scored_all")
+    val cv = spark.sql("WITH " + Classifier.cvEvalSelectSql).collect()
+    assert(cv.length == 3)
+    for (f <- 0 until 3) {
+      rows.filter(_._1 == f).map(t => (t._2, t._3)).toDF("score", "y")
+        .createOrReplaceTempView("scored")
+      val single = spark.sql(Classifier.evalSelectSql).head()
+      val row = cv.find(_.getLong(0) == f).get
+      assert(row.getDouble(1) == single.getDouble(0), s"fold $f auc")
+      assert(row.getDouble(7) == single.getDouble(6), s"fold $f brier")
+    }
+  }
+
+  test("calibration fix: overconfident scores -> ECE collapses, Brier improves on held-out fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // true P(y=1) = 0.5 + (score-0.5)/4 but the model reports `score`
+    // (overconfident); binning recovers the empirical rate
+    val rows = (1 to 6000).map { i =>
+      val s = math.rint(rnd.nextDouble() * 1e6) / 1e6
+      val py = 0.5 + (s - 0.5) / 4
+      (i % 2L, s, if (rnd.nextDouble() < py) 1.0 else 0.0)
+    }
+    rows.toDF("fold", "score", "y").createOrReplaceTempView("cal_scored")
+    val r = spark.sql("WITH " + Classifier.calibrationFixSelectSql("percentile")).head()
+    val (eceRaw, eceCal) = (r.getDouble(1), r.getDouble(2))
+    val (brRaw, brCal) = (r.getDouble(3), r.getDouble(4))
+    assert(eceRaw > 0.1, s"raw miscalibration should be visible: $eceRaw")
+    assert(eceCal < eceRaw / 3, s"calibrated ECE should collapse: $eceCal vs $eceRaw")
+    assert(brCal < brRaw, s"Brier should improve: $brCal vs $brRaw")
+  }
+
   test("reliability curve: decile bins partition the set; ECE is the weighted mean gap") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
