@@ -404,6 +404,46 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Classical seasonal decomposition of the daily event series
+    // (STL-lite): trend = centered 7-day moving average (full windows
+    // only), seasonal = day-of-week mean of the detrended series
+    // (decimal-folded), residual z-flags at 2 sigma. Everything runs on
+    // the <= #days daily aggregate — metadata-sized windows, one raw
+    // scan. The time-series monitoring shape (decompose -> flag).
+    "q293_seasonal_decompose" -> sqlQuery(Seq("events"),
+      """WITH d AS (
+        |  SELECT unix_micros(ts) div 86400000000 AS day,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, n,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN cast(sum(n) OVER w as double) / 7.0 END AS trend
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT day, n, trend, day % 7 AS dow,
+        |    cast(round(n - trend, 6) as decimal(20,6)) AS detr
+        |  FROM tr WHERE trend IS NOT NULL),
+        |seas AS (
+        |  SELECT dow, cast(sum(detr) as double) / count(*) AS sidx
+        |  FROM det GROUP BY dow),
+        |res AS (
+        |  SELECT d.day, d.n, d.trend, s.sidx,
+        |    cast(d.detr as double) - s.sidx AS resid
+        |  FROM det d JOIN seas s ON d.dow = s.dow),
+        |sd AS (
+        |  SELECT sqrt(cast(sum(cast(round(resid * resid, 6) as decimal(27,6))) as double)
+        |    / count(*)) AS sigma
+        |  FROM res)
+        |SELECT r.day, r.n,
+        |  round(r.trend, 6) + 0.0 AS trend,
+        |  round(r.sidx, 6) + 0.0 AS seasonal,
+        |  round(r.resid, 6) + 0.0 AS resid,
+        |  (abs(r.resid) > 2.0 * sd.sigma) AS anomaly
+        |FROM res r CROSS JOIN sd
+        |ORDER BY r.day""".stripMargin),
+
     // Rolling 7-day distinct users via MERGED HLL states — the sketch
     // mergeability payoff: daily 256-bucket states (one map-side-combined
     // aggregation over the raw events), every window estimate then merges
@@ -6894,6 +6934,41 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical windows/folds; epoch_us // day ids
+    "q293_seasonal_decompose" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, n,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN cast(sum(n) OVER w as double) / 7.0 END AS trend
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT day, n, trend, day % 7 AS dow,
+        |    cast(round(n - trend, 6) as decimal(20,6)) AS detr
+        |  FROM tr WHERE trend IS NOT NULL),
+        |seas AS (
+        |  SELECT dow, cast(sum(detr) as double) / count(*) AS sidx
+        |  FROM det GROUP BY dow),
+        |res AS (
+        |  SELECT d.day, d.n, d.trend, s.sidx,
+        |    cast(d.detr as double) - s.sidx AS resid
+        |  FROM det d JOIN seas s ON d.dow = s.dow),
+        |sd AS (
+        |  SELECT sqrt(cast(sum(cast(round(resid * resid, 6) as decimal(27,6))) as double)
+        |    / count(*)) AS sigma
+        |  FROM res)
+        |SELECT r.day, r.n,
+        |  round(r.trend, 6) + 0.0 AS trend,
+        |  round(r.sidx, 6) + 0.0 AS seasonal,
+        |  round(r.resid, 6) + 0.0 AS resid,
+        |  (abs(r.resid) > 2.0 * sd.sigma) AS anomaly
+        |FROM res r CROSS JOIN sd
+        |ORDER BY r.day""".stripMargin,
 
     // same md5 bucket layout, same bucket-max merge over the day range
     "q292_rolling_hll" -> {
