@@ -404,6 +404,35 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Mollweide (ESRI:54009) — THE classic equal-area world projection,
+    // completing the cartographic family beside sinusoidal/LAEA: edge
+    // coordinates pinned closed-form (x(180,0) = 2*sqrt(2)*a, y(0,90) =
+    // sqrt(2)*a), forward-inverse round-trips at 6 decimals, and the
+    // equal-area property checked against the spherical patch area (the
+    // q257 discipline).
+    "q294_mollweide" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val a = 6378137.0
+      s.sql(
+        s"""WITH pts AS (
+           |  SELECT c_custkey,
+           |    cast(c_custkey % 340 - 170 as double) AS lon,
+           |    cast((c_custkey * 7) % 160 - 80 as double) AS lat
+           |  FROM customer WHERE c_custkey <= 1000)
+           |SELECT c_custkey,
+           |  round(st_x(st_transform(st_point(180.0, 0.0), 'EPSG:4326', 'ESRI:54009')), 1) + 0.0 AS world_x,
+           |  round(st_y(st_transform(st_point(0.0, 90.0), 'EPSG:4326', 'ESRI:54009')), 1) + 0.0 AS pole_y,
+           |  round(st_x(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'ESRI:54009'),
+           |    'ESRI:54009', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+           |  round(st_y(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'ESRI:54009'),
+           |    'ESRI:54009', 'EPSG:4326')), 6) + 0.0 AS rt_lat,
+           |  round(st_area(st_transform(st_makeenvelope(lon, lat, lon + 0.02, lat + 0.02),
+           |    'EPSG:4326', 'ESRI:54009')) /
+           |    ($a * $a * radians(0.02) * (sin(radians(lat + 0.02)) - sin(radians(lat)))), 3) + 0.0 AS area_ratio
+           |FROM pts ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Classical seasonal decomposition of the daily event series
     // (STL-lite): trend = centered 7-day moving average (full windows
     // only), seasonal = day-of-week mean of the detrended series
@@ -6934,6 +6963,17 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // ellipse edge constants closed-form (2*sqrt(2)*a, sqrt(2)*a);
+    // rt_* echo inputs; area_ratio = 1.000 is the equal-area property
+    "q294_mollweide" ->
+      """SELECT c_custkey,
+        |  round(2 * sqrt(CAST('2.0' AS DOUBLE)) * CAST('6378137.0' AS DOUBLE), 1) + 0.0 AS world_x,
+        |  round(sqrt(CAST('2.0' AS DOUBLE)) * CAST('6378137.0' AS DOUBLE), 1) + 0.0 AS pole_y,
+        |  round(cast(c_custkey % 340 - 170 as double), 6) + 0.0 AS rt_lon,
+        |  round(cast((c_custkey * 7) % 160 - 80 as double), 6) + 0.0 AS rt_lat,
+        |  CAST('1.0' AS DOUBLE) AS area_ratio
+        |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
 
     // identical windows/folds; epoch_us // day ids
     "q293_seasonal_decompose" ->

@@ -883,6 +883,54 @@ object CRS {
    * (series 3-21), inverse via the rectifying-latitude series (3-26).
    * Equal-area in both forms.
    */
+  /**
+   * Mollweide (homolographic), Snyder §31 — THE classic equal-area world
+   * projection (ESRI:54009 World Mollweide): elliptical outline, straight
+   * parallels. Spherical formulas on radius `R` (PROJ's convention uses
+   * the ellipsoid's semi-major axis as the sphere). Forward solves
+   * 2th + sin 2th = pi sin(phi) by Newton (quadratic convergence, exact
+   * poles short-circuited); inverse is closed-form.
+   */
+  final case class Mollweide(R: Double, lon0: Double, x0: Double, y0: Double) {
+    private val l0 = math.toRadians(lon0)
+    private val Sqrt2 = math.sqrt(2.0)
+    private def theta(phi: Double): Double = {
+      val target = math.Pi * math.sin(phi)
+      if (math.abs(phi) >= math.Pi / 2 - 1e-12) return math.signum(phi) * math.Pi / 2
+      var th = phi
+      var i = 0
+      while (i < 50) {
+        val f = 2 * th + math.sin(2 * th) - target
+        val d = 2 + 2 * math.cos(2 * th)
+        if (math.abs(d) < 1e-15) return th
+        val next = th - f / d
+        if (math.abs(next - th) < 1e-15) return next
+        th = next
+        i += 1
+      }
+      th
+    }
+    def forward(lon: Double, lat: Double): XY = {
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lon) - l0
+      if (dLam > math.Pi) dLam -= 2 * math.Pi else if (dLam < -math.Pi) dLam += 2 * math.Pi
+      val th = theta(phi)
+      (x0 + 2 * Sqrt2 / math.Pi * R * dLam * math.cos(th),
+        y0 + Sqrt2 * R * math.sin(th))
+    }
+    def inverse(x: Double, y: Double): XY = {
+      val sinTh = math.max(-1.0, math.min(1.0, (y - y0) / (Sqrt2 * R)))
+      val th = math.asin(sinTh)
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        (2 * th + math.sin(2 * th)) / math.Pi)))
+      val cosTh = math.cos(th)
+      val lam =
+        if (cosTh < 1e-12) l0
+        else l0 + math.Pi * (x - x0) / (2 * Sqrt2 * R * cosTh)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   final case class Sinusoidal(
       ell: Ellipsoid, sphereR: Option[Double], lon0: Double, x0: Double, y0: Double) {
     private val l0 = math.toRadians(lon0)
@@ -1119,8 +1167,14 @@ object CRS {
         val p = Sinusoidal(ell, kv.get("R").map(_.toDouble),
           d("lon_0", 0), d("x_0", 0), d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
+      case "moll" =>
+        // spherical on +R, else on the ellipsoid's semi-major axis
+        // (PROJ's Mollweide convention)
+        val p = Mollweide(kv.get("R").map(_.toDouble).getOrElse(ell.a),
+          d("lon_0", 0), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea, sinu)")
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea, sinu, moll)")
     }
     helmert match {
       case None => (projFwd, projInv)
@@ -1184,6 +1238,8 @@ object CRS {
     "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
   registerProj4("ESRI:54008", // World Sinusoidal (WGS84 ellipsoid)
     "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+  registerProj4("ESRI:54009", // World Mollweide (spherical on WGS84 a)
+    "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
