@@ -404,6 +404,33 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // k-anonymity / l-diversity privacy audit (the data-governance gate
+    // before a table leaves the platform): equivalence classes over the
+    // quasi-identifiers (segment, nation, balance bucket), risk = rows in
+    // classes smaller than k=5; l-diversity = distinct sensitive values
+    // (order priority) per class. Two map-side-combined aggregations.
+    "q295_k_anonymity" -> sqlQuery(Seq("customer", "orders"),
+      """WITH q AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg, c.c_nationkey AS nat,
+        |    cast(floor(c.c_acctbal / 1000.0) as bigint) AS bal_bucket,
+        |    o.o_orderpriority AS sensitive
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+        |cls AS (
+        |  SELECT seg, nat, bal_bucket,
+        |    cast(count(*) as bigint) AS k,
+        |    cast(count(distinct sensitive) as bigint) AS l
+        |  FROM q GROUP BY seg, nat, bal_bucket)
+        |SELECT
+        |  cast(sum(k) as bigint) AS n_rows,
+        |  cast(count(*) as bigint) AS n_classes,
+        |  min(k) AS k_min,
+        |  min(l) AS l_min,
+        |  cast(sum(CASE WHEN k < 5 THEN k ELSE 0 END) as bigint) AS rows_at_risk,
+        |  round(cast(sum(CASE WHEN k < 5 THEN k ELSE 0 END) as double)
+        |    / sum(k), 6) + 0.0 AS pct_at_risk,
+        |  cast(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) as bigint) AS homogeneous_classes
+        |FROM cls""".stripMargin),
+
     // Mollweide (ESRI:54009) — THE classic equal-area world projection,
     // completing the cartographic family beside sinusoidal/LAEA: edge
     // coordinates pinned closed-form (x(180,0) = 2*sqrt(2)*a, y(0,90) =
@@ -6963,6 +6990,29 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical class aggregation (portable SQL both engines)
+    "q295_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg, c.c_nationkey AS nat,
+        |    cast(floor(c.c_acctbal / 1000.0) as bigint) AS bal_bucket,
+        |    o.o_orderpriority AS sensitive
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+        |cls AS (
+        |  SELECT seg, nat, bal_bucket,
+        |    cast(count(*) as bigint) AS k,
+        |    cast(count(distinct sensitive) as bigint) AS l
+        |  FROM q GROUP BY seg, nat, bal_bucket)
+        |SELECT
+        |  cast(sum(k) as bigint) AS n_rows,
+        |  cast(count(*) as bigint) AS n_classes,
+        |  min(k) AS k_min,
+        |  min(l) AS l_min,
+        |  cast(sum(CASE WHEN k < 5 THEN k ELSE 0 END) as bigint) AS rows_at_risk,
+        |  round(cast(sum(CASE WHEN k < 5 THEN k ELSE 0 END) as double)
+        |    / sum(k), 6) + 0.0 AS pct_at_risk,
+        |  cast(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) as bigint) AS homogeneous_classes
+        |FROM cls""".stripMargin,
 
     // ellipse edge constants closed-form (2*sqrt(2)*a, sqrt(2)*a);
     // rt_* echo inputs; area_ratio = 1.000 is the equal-area property
