@@ -404,6 +404,36 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Incremental aggregate maintenance (the materialized-view update
+    // pattern): a persisted base aggregate + the delta's partial
+    // aggregate merge by full-outer join — counts/decimal-sums add,
+    // min/max take least/greatest — WITHOUT rescanning the base. The
+    // oracle recomputes from the full table: merged == recomputed is the
+    // correctness statement of incremental view maintenance.
+    "q296_incremental_agg" -> sqlQuery(Seq("orders"),
+      """WITH base AS (
+        |  SELECT o_orderpriority AS pri,
+        |    cast(count(*) as bigint) AS n,
+        |    sum(cast(o_totalprice as decimal(18,2))) AS total,
+        |    min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |  FROM orders WHERE o_orderkey % 10 < 8 GROUP BY o_orderpriority),
+        |delta AS (
+        |  SELECT o_orderpriority AS pri,
+        |    cast(count(*) as bigint) AS n,
+        |    sum(cast(o_totalprice as decimal(18,2))) AS total,
+        |    min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |  FROM orders WHERE o_orderkey % 10 >= 8 GROUP BY o_orderpriority),
+        |merged AS (
+        |  SELECT coalesce(b.pri, d.pri) AS pri,
+        |    coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+        |    coalesce(b.total, 0) + coalesce(d.total, 0) AS total,
+        |    least(coalesce(b.first_d, d.first_d), coalesce(d.first_d, b.first_d)) AS first_d,
+        |    greatest(coalesce(b.last_d, d.last_d), coalesce(d.last_d, b.last_d)) AS last_d
+        |  FROM base b FULL OUTER JOIN delta d ON b.pri = d.pri)
+        |SELECT pri, cast(n as bigint) AS n,
+        |  cast(total as decimal(18,2)) AS total, first_d, last_d
+        |FROM merged ORDER BY pri""".stripMargin),
+
     // k-anonymity / l-diversity privacy audit (the data-governance gate
     // before a table leaves the platform): equivalence classes over the
     // quasi-identifiers (segment, nation, balance bucket), risk = rows in
@@ -6990,6 +7020,14 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // the recomputed-from-scratch aggregate: merged partials must equal it
+    "q296_incremental_agg" ->
+      """SELECT o_orderpriority AS pri,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(18,2)) AS total,
+        |  min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin,
 
     // identical class aggregation (portable SQL both engines)
     "q295_k_anonymity" ->
