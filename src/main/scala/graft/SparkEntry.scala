@@ -404,6 +404,44 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Geodesic proximity join (geography ST_DWithin): pairs within 150 km
+    // of spherical distance via lat/lon cell binning — cells sized so the
+    // 3x3 neighborhood covers the radius up to |lat| 60 (lon cells 2x
+    // wider for meridian convergence), ONE equi-join on the cell key with
+    // 9x one-sided replication, haversine refinement after. The geography
+    // twin of the planar grid join; never a BNLJ. Haversine written as
+    // identical SQL text in both engines.
+    "q297_geodesic_dwithin" -> sqlQuery(Seq("customer"),
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    cast(cast(conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10) as bigint) % 3600 as double) / 10.0 - 180.0 AS lon,
+        |    cast(cast(conv(substring(md5(cast(c_custkey as string)), 16, 15), 16, 10) as bigint) % 1200 as double) / 10.0 - 60.0 AS lat
+        |  FROM customer WHERE c_custkey <= 1200),
+        |cells AS (
+        |  SELECT id, lon, lat,
+        |    cast(floor(lon / 3.0) as bigint) AS cx,
+        |    cast(floor(lat / 1.5) as bigint) AS cy
+        |  FROM pts),
+        |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+        |  (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        |cand AS (
+        |  SELECT a.id AS ida, b.id AS idb, a.lon AS ax, a.lat AS ay,
+        |    b.lon AS bx, b.lat AS by
+        |  FROM cells a
+        |  JOIN offs o ON true
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  WHERE a.id < b.id),
+        |withd AS (
+        |  SELECT ida, idb,
+        |    2.0 * 6371008.8 * asin(least(cast(1.0 as double),
+        |      sqrt(pow(sin((radians(by) - radians(ay)) / 2), 2)
+        |        + cos(radians(ay)) * cos(radians(by))
+        |        * pow(sin((radians(bx) - radians(ax)) / 2), 2)))) AS d
+        |  FROM cand)
+        |SELECT ida, idb, round(d / 1000.0, 2) + 0.0 AS dist_km
+        |FROM withd WHERE d <= 150000.0
+        |ORDER BY ida, idb""".stripMargin),
+
     // Incremental aggregate maintenance (the materialized-view update
     // pattern): a persisted base aggregate + the delta's partial
     // aggregate merge by full-outer join — counts/decimal-sums add,
@@ -7020,6 +7058,39 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical cells/offsets/haversine text; md5 coords via the
+    // '0x'-prefix bigint idiom
+    "q297_geodesic_dwithin" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    cast(('0x'||substr(md5(cast(c_custkey as varchar)),1,15))::BIGINT % 3600 as double) / 10.0 - 180.0 AS lon,
+        |    cast(('0x'||substr(md5(cast(c_custkey as varchar)),16,15))::BIGINT % 1200 as double) / 10.0 - 60.0 AS lat
+        |  FROM customer WHERE c_custkey <= 1200),
+        |cells AS (
+        |  SELECT id, lon, lat,
+        |    cast(floor(lon / 3.0) as bigint) AS cx,
+        |    cast(floor(lat / 1.5) as bigint) AS cy
+        |  FROM pts),
+        |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+        |  (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        |cand AS (
+        |  SELECT a.id AS ida, b.id AS idb, a.lon AS ax, a.lat AS ay,
+        |    b.lon AS bx, b.lat AS by
+        |  FROM cells a
+        |  JOIN offs o ON true
+        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  WHERE a.id < b.id),
+        |withd AS (
+        |  SELECT ida, idb,
+        |    2.0 * 6371008.8 * asin(least(cast(1.0 as double),
+        |      sqrt(pow(sin((radians(by) - radians(ay)) / 2), 2)
+        |        + cos(radians(ay)) * cos(radians(by))
+        |        * pow(sin((radians(bx) - radians(ax)) / 2), 2)))) AS d
+        |  FROM cand)
+        |SELECT ida, idb, round(d / 1000.0, 2) + 0.0 AS dist_km
+        |FROM withd WHERE d <= 150000.0
+        |ORDER BY ida, idb""".stripMargin,
 
     // the recomputed-from-scratch aggregate: merged partials must equal it
     "q296_incremental_agg" ->
