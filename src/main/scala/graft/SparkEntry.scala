@@ -404,6 +404,40 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    // ln(rank) for the top-1000 terms (slope ~ -1 on natural text), with
+    // r-squared — the corpus-statistics audit beside the quality/LM
+    // family. Word counts map-side combine; the regression runs on 1000
+    // rows of decimal-folded moments (rounded-9 logs so the folds are
+    // order-independent and engine-exact).
+    "q298_zipf_law" -> sqlQuery(Seq("documents"),
+      """WITH wc AS (
+        |  SELECT word, cast(count(*) as bigint) AS freq FROM (
+        |    SELECT explode(split(lower(text), '[^a-z]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) w
+        |  WHERE length(word) >= 1 GROUP BY word),
+        |rk AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+        |  FROM wc),
+        |pts AS (
+        |  SELECT cast(round(ln(cast(rank as double)), 9) as decimal(20,9)) AS x,
+        |    cast(round(ln(cast(freq as double)), 9) as decimal(20,9)) AS y
+        |  FROM rk WHERE rank <= 1000),
+        |m AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        |    cast(sum(cast(x * y as decimal(30,18))) as double) AS sxy,
+        |    cast(sum(cast(x * x as decimal(30,18))) as double) AS sxx,
+        |    cast(sum(cast(y * y as decimal(30,18))) as double) AS syy
+        |  FROM pts)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
+        |    AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM m""".stripMargin),
+
     // Geodesic proximity join (geography ST_DWithin): pairs within 150 km
     // of spherical distance via lat/lon cell binning — cells sized so the
     // 3x3 neighborhood covers the radius up to |lat| 60 (lon cells 2x
@@ -7058,6 +7092,35 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical regression moments; engine-specific word split only
+    "q298_zipf_law" ->
+      """WITH wc AS (
+        |  SELECT word, cast(count(*) as bigint) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) w
+        |  WHERE length(word) >= 1 GROUP BY word),
+        |rk AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+        |  FROM wc),
+        |pts AS (
+        |  SELECT cast(round(ln(cast(rank as double)), 9) as decimal(20,9)) AS x,
+        |    cast(round(ln(cast(freq as double)), 9) as decimal(20,9)) AS y
+        |  FROM rk WHERE rank <= 1000),
+        |m AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        |    cast(sum(cast(x * y as decimal(30,18))) as double) AS sxy,
+        |    cast(sum(cast(x * x as decimal(30,18))) as double) AS sxx,
+        |    cast(sum(cast(y * y as decimal(30,18))) as double) AS syy
+        |  FROM pts)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
+        |    AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM m""".stripMargin,
 
     // identical cells/offsets/haversine text; md5 coords via the
     // '0x'-prefix bigint idiom
