@@ -404,6 +404,47 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Heaps'-law vocabulary growth V(n) ~ K * n^beta: ONE pass gives each
+    // word its first document (min doc_id); cumulative vocabulary is then
+    // a running count over doc order — no per-prefix re-scans. OLS of
+    // ln V on ln n over the per-doc growth curve (q298's decimal-folded
+    // moment shape).
+    "q299_heaps_law" -> sqlQuery(Seq("documents"),
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, explode(split(lower(text), '[^a-z]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) w
+        |  WHERE length(word) >= 1),
+        |per_doc AS (
+        |  SELECT doc_id, cast(count(*) as bigint) AS n_tok FROM tok GROUP BY doc_id),
+        |firsts AS (
+        |  SELECT first_doc, cast(count(*) as bigint) AS n_new
+        |  FROM (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word) f
+        |  GROUP BY 1),
+        |curve AS (
+        |  SELECT d.doc_id,
+        |    sum(d.n_tok) OVER (ORDER BY d.doc_id) AS cum_tok,
+        |    sum(coalesce(f.n_new, 0)) OVER (ORDER BY d.doc_id) AS cum_vocab
+        |  FROM per_doc d LEFT JOIN firsts f ON f.first_doc = d.doc_id),
+        |pts AS (
+        |  SELECT cast(round(ln(cast(cum_tok as double)), 9) as decimal(20,9)) AS x,
+        |    cast(round(ln(cast(cum_vocab as double)), 9) as decimal(20,9)) AS y
+        |  FROM curve WHERE cum_vocab > 0),
+        |m AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        |    cast(sum(cast(x * y as decimal(30,18))) as double) AS sxy,
+        |    cast(sum(cast(x * x as decimal(30,18))) as double) AS sxx,
+        |    cast(sum(cast(y * y as decimal(30,18))) as double) AS syy
+        |  FROM pts)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
+        |    AS ln_k,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM m""".stripMargin),
+
     // Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
     // ln(rank) for the top-1000 terms (slope ~ -1 on natural text), with
     // r-squared — the corpus-statistics audit beside the quality/LM
@@ -7092,6 +7133,43 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // same single-pass firsts/cumulative shape; unnest word split
+    "q299_heaps_law" ->
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) w
+        |  WHERE length(word) >= 1),
+        |per_doc AS (
+        |  SELECT doc_id, cast(count(*) as bigint) AS n_tok FROM tok GROUP BY doc_id),
+        |firsts AS (
+        |  SELECT first_doc, cast(count(*) as bigint) AS n_new
+        |  FROM (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word) f
+        |  GROUP BY 1),
+        |curve AS (
+        |  SELECT d.doc_id,
+        |    sum(d.n_tok) OVER (ORDER BY d.doc_id) AS cum_tok,
+        |    sum(coalesce(f.n_new, 0)) OVER (ORDER BY d.doc_id) AS cum_vocab
+        |  FROM per_doc d LEFT JOIN firsts f ON f.first_doc = d.doc_id),
+        |pts AS (
+        |  SELECT cast(round(ln(cast(cum_tok as double)), 9) as decimal(20,9)) AS x,
+        |    cast(round(ln(cast(cum_vocab as double)), 9) as decimal(20,9)) AS y
+        |  FROM curve WHERE cum_vocab > 0),
+        |m AS (
+        |  SELECT cast(count(*) as bigint) AS n,
+        |    cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        |    cast(sum(cast(x * y as decimal(30,18))) as double) AS sxy,
+        |    cast(sum(cast(x * x as decimal(30,18))) as double) AS sxx,
+        |    cast(sum(cast(y * y as decimal(30,18))) as double) AS syy
+        |  FROM pts)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
+        |    AS ln_k,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM m""".stripMargin,
 
     // identical regression moments; engine-specific word split only
     "q298_zipf_law" ->
