@@ -404,6 +404,47 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // The corpus DATASHEET (q300): one declarative plan composing the
+    // intake audit a training-data pipeline runs on every drop — volume,
+    // exact-dup rate, token distribution, short/low-alpha shares,
+    // vocabulary, and md5-shard balance. Every metric is a
+    // map-side-combinable aggregate over ONE scan (plus the distinct
+    // passes); the whole datasheet costs two shuffles at any corpus size.
+    "q300_corpus_datasheet" -> sqlQuery(Seq("documents"),
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    cast(length(text) as bigint) AS n_chars,
+        |    cast(size(split(trim(text), '\\s+')) as bigint) AS n_tok,
+        |    cast(length(regexp_replace(text, '[^a-zA-Z]', '')) as bigint) AS n_alpha,
+        |    md5(text) AS digest,
+        |    cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 16 AS shard
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT cast(count(distinct word) as bigint) AS v FROM (
+        |    SELECT explode(split(lower(text), '[^a-z]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) w WHERE length(word) >= 1),
+        |shards AS (
+        |  SELECT max(c) AS cmax, min(c) AS cmin FROM (
+        |    SELECT shard, cast(count(*) as bigint) AS c FROM d GROUP BY shard) s),
+        |agg AS (
+        |  SELECT cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(n_chars) as bigint) AS n_chars,
+        |    cast(sum(n_tok) as bigint) AS n_tokens,
+        |    cast(count(distinct digest) as bigint) AS n_distinct,
+        |    round(cast(sum(n_tok) as double) / count(*), 6) + 0.0 AS mean_tokens,
+        |    round(cast(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) as double)
+        |      / count(*), 6) + 0.0 AS pct_short,
+        |    round(cast(sum(CASE WHEN n_alpha * 10 < n_chars * 6 THEN 1 ELSE 0 END) as double)
+        |      / count(*), 6) + 0.0 AS pct_low_alpha
+        |  FROM d)
+        |SELECT a.n_docs, a.n_chars, a.n_tokens,
+        |  round(1.0 - cast(a.n_distinct as double) / a.n_docs, 6) + 0.0 AS exact_dup_pct,
+        |  a.mean_tokens, a.pct_short, a.pct_low_alpha,
+        |  v.v AS vocab_size,
+        |  s.cmax AS shard_max, s.cmin AS shard_min,
+        |  round(cast(s.cmax as double) / s.cmin, 6) + 0.0 AS shard_skew
+        |FROM agg a CROSS JOIN vocab v CROSS JOIN shards s""".stripMargin),
+
     // Heaps'-law vocabulary growth V(n) ~ K * n^beta: ONE pass gives each
     // word its first document (min doc_id); cumulative vocabulary is then
     // a running count over doc order — no per-prefix re-scans. OLS of
@@ -7133,6 +7174,42 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // engine twins for split/regex/md5-int; identical metric arithmetic
+    "q300_corpus_datasheet" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    cast(length(text) as bigint) AS n_chars,
+        |    cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tok,
+        |    cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as bigint) AS n_alpha,
+        |    md5(text) AS digest,
+        |    ('0x'||substr(md5(cast(doc_id as varchar)),1,15))::BIGINT % 16 AS shard
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT cast(count(distinct word) as bigint) AS v FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) w WHERE length(word) >= 1),
+        |shards AS (
+        |  SELECT max(c) AS cmax, min(c) AS cmin FROM (
+        |    SELECT shard, cast(count(*) as bigint) AS c FROM d GROUP BY shard) s),
+        |agg AS (
+        |  SELECT cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(n_chars) as bigint) AS n_chars,
+        |    cast(sum(n_tok) as bigint) AS n_tokens,
+        |    cast(count(distinct digest) as bigint) AS n_distinct,
+        |    round(cast(sum(n_tok) as double) / count(*), 6) + 0.0 AS mean_tokens,
+        |    round(cast(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) as double)
+        |      / count(*), 6) + 0.0 AS pct_short,
+        |    round(cast(sum(CASE WHEN n_alpha * 10 < n_chars * 6 THEN 1 ELSE 0 END) as double)
+        |      / count(*), 6) + 0.0 AS pct_low_alpha
+        |  FROM d)
+        |SELECT a.n_docs, a.n_chars, a.n_tokens,
+        |  round(1.0 - cast(a.n_distinct as double) / a.n_docs, 6) + 0.0 AS exact_dup_pct,
+        |  a.mean_tokens, a.pct_short, a.pct_low_alpha,
+        |  v.v AS vocab_size,
+        |  s.cmax AS shard_max, s.cmin AS shard_min,
+        |  round(cast(s.cmax as double) / s.cmin, 6) + 0.0 AS shard_skew
+        |FROM agg a CROSS JOIN vocab v CROSS JOIN shards s""".stripMargin,
 
     // same single-pass firsts/cumulative shape; unnest word split
     "q299_heaps_law" ->
