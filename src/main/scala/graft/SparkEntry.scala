@@ -523,8 +523,9 @@ object SparkEntry {
     // Geodesic proximity join (geography ST_DWithin): pairs within 150 km
     // of spherical distance via lat/lon cell binning — cells sized so the
     // 3x3 neighborhood covers the radius up to |lat| 60 (lon cells 2x
-    // wider for meridian convergence), ONE equi-join on the cell key with
-    // 9x one-sided replication, haversine refinement after. The geography
+    // wider for meridian convergence), lon cells wrapping mod 120 so
+    // antimeridian-straddling pairs stay adjacent, ONE equi-join on the
+    // cell key with 9x one-sided replication, haversine refinement after. The geography
     // twin of the planar grid join; never a BNLJ. Haversine written as
     // identical SQL text in both engines.
     "q297_geodesic_dwithin" -> sqlQuery(Seq("customer"),
@@ -535,7 +536,7 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey <= 1200),
         |cells AS (
         |  SELECT id, lon, lat,
-        |    cast(floor(lon / 3.0) as bigint) AS cx,
+        |    ((cast(floor(lon / 3.0) as bigint) % 120) + 120) % 120 AS cx,
         |    cast(floor(lat / 1.5) as bigint) AS cy
         |  FROM pts),
         |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
@@ -545,7 +546,7 @@ object SparkEntry {
         |    b.lon AS bx, b.lat AS by
         |  FROM cells a
         |  JOIN offs o ON true
-        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  JOIN cells b ON b.cx = (a.cx + o.dx + 120) % 120 AND b.cy = a.cy + o.dy
         |  WHERE a.id < b.id),
         |withd AS (
         |  SELECT ida, idb,
@@ -651,10 +652,16 @@ object SparkEntry {
     // the <= #days daily aggregate — metadata-sized windows, one raw
     // scan. The time-series monitoring shape (decompose -> flag).
     "q293_seasonal_decompose" -> sqlQuery(Seq("events"),
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT unix_micros(ts) div 86400000000 AS day,
         |    cast(count(*) as bigint) AS n
         |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT explode(sequence((SELECT min(day) FROM d0),
+        |    (SELECT max(day) FROM d0))) AS day),
+        |d AS (
+        |  SELECT s.day, coalesce(d0.n, cast(0 as bigint)) AS n
+        |  FROM spine s LEFT JOIN d0 ON d0.day = s.day),
         |tr AS (
         |  SELECT day, n,
         |    CASE WHEN count(*) OVER w = 7
@@ -904,10 +911,13 @@ object SparkEntry {
         |    sum(CASE WHEN d > 0 AND d < n_risk
         |      THEN cast(round(ln(1.0 - cast(d as double) / n_risk), 9) as decimal(20,9))
         |      ELSE cast(0 as decimal(20,9)) END)
-        |      OVER (ORDER BY hrs) AS logs
+        |      OVER (ORDER BY hrs) AS logs,
+        |    max(CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY hrs) AS extinct
         |  FROM rk)
         |SELECT hrs, d, cast(n_risk as bigint) AS n_risk,
-        |  round(exp(cast(logs as double)), 6) + 0.0 AS survival
+        |  round(CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE exp(cast(logs as double)) END, 6) + 0.0 AS survival
         |FROM km WHERE d > 0 ORDER BY hrs""".stripMargin),
 
     // CUSUM change-point detection over the daily event series: running
@@ -916,10 +926,16 @@ object SparkEntry {
     // running window is over <= #days rows (metadata-sized), counts
     // map-side combine — one scan at any event volume.
     "q284_cusum_changepoint" -> sqlQuery(Seq("events"),
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT unix_micros(ts) div 86400000000 AS day,
         |    cast(count(*) as bigint) AS n
         |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT explode(sequence((SELECT min(day) FROM d0),
+        |    (SELECT max(day) FROM d0))) AS day),
+        |d AS (
+        |  SELECT s.day, coalesce(d0.n, cast(0 as bigint)) AS n
+        |  FROM spine s LEFT JOIN d0 ON d0.day = s.day),
         |m AS (SELECT cast(sum(n) as double) / count(*) AS mean FROM d),
         |c AS (
         |  SELECT day, n,
@@ -7287,7 +7303,7 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey <= 1200),
         |cells AS (
         |  SELECT id, lon, lat,
-        |    cast(floor(lon / 3.0) as bigint) AS cx,
+        |    ((cast(floor(lon / 3.0) as bigint) % 120) + 120) % 120 AS cx,
         |    cast(floor(lat / 1.5) as bigint) AS cy
         |  FROM pts),
         |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
@@ -7297,7 +7313,7 @@ object SparkEntry {
         |    b.lon AS bx, b.lat AS by
         |  FROM cells a
         |  JOIN offs o ON true
-        |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  JOIN cells b ON b.cx = (a.cx + o.dx + 120) % 120 AND b.cy = a.cy + o.dy
         |  WHERE a.id < b.id),
         |withd AS (
         |  SELECT ida, idb,
@@ -7354,10 +7370,16 @@ object SparkEntry {
 
     // identical windows/folds; epoch_us // day ids
     "q293_seasonal_decompose" ->
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,
         |    cast(count(*) as bigint) AS n
         |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(range((SELECT min(day) FROM d0),
+        |    (SELECT max(day) FROM d0) + 1)) AS day),
+        |d AS (
+        |  SELECT s.day, coalesce(d0.n, cast(0 as bigint)) AS n
+        |  FROM spine s LEFT JOIN d0 ON d0.day = s.day),
         |tr AS (
         |  SELECT day, n,
         |    CASE WHEN count(*) OVER w = 7
@@ -7558,18 +7580,27 @@ object SparkEntry {
         |    sum(CASE WHEN d > 0 AND d < n_risk
         |      THEN cast(round(ln(1.0 - cast(d as double) / n_risk), 9) as decimal(20,9))
         |      ELSE cast(0 as decimal(20,9)) END)
-        |      OVER (ORDER BY hrs) AS logs
+        |      OVER (ORDER BY hrs) AS logs,
+        |    max(CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY hrs) AS extinct
         |  FROM rk)
         |SELECT hrs, d, cast(n_risk as bigint) AS n_risk,
-        |  round(exp(cast(logs as double)), 6) + 0.0 AS survival
+        |  round(CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE exp(cast(logs as double)) END, 6) + 0.0 AS survival
         |FROM km WHERE d > 0 ORDER BY hrs""".stripMargin,
 
     // identical running-sum arithmetic; epoch_us // day ids
     "q284_cusum_changepoint" ->
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,
         |    cast(count(*) as bigint) AS n
         |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(range((SELECT min(day) FROM d0),
+        |    (SELECT max(day) FROM d0) + 1)) AS day),
+        |d AS (
+        |  SELECT s.day, coalesce(d0.n, cast(0 as bigint)) AS n
+        |  FROM spine s LEFT JOIN d0 ON d0.day = s.day),
         |m AS (SELECT cast(sum(n) as double) / count(*) AS mean FROM d),
         |c AS (
         |  SELECT day, n,

@@ -214,8 +214,19 @@ object Algos {
   def geodesicBuffer(g: Geometry, rMeters: Double, quadSegs: Int = 8): Geometry = {
     if (g == null || g.isEmpty || rMeters <= 0 || quadSegs < 1) return null
     val e = g.envelope
+    // antimeridian-crossing geometries have a lon/lat envelope spanning
+    // nearly the whole globe with a center ~180 deg from the geometry;
+    // recompute the center on shifted longitudes (negative +360) so the
+    // projection is centered ON the geometry. AEQD's forward is periodic
+    // in the lon difference, so only the center choice matters.
+    val lon0 = if (e.maxX - e.minX > 180) {
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      g.foreachCoord((x, _) => xs += (if (x < 0) x + 360 else x))
+      val c = (xs.min + xs.max) / 2
+      if (c > 180) c - 360 else c
+    } else (e.minX + e.maxX) / 2
     val proj = CRS.AzimuthalEquidistant(
-      Geodesy.MeanEarthRadius, (e.minX + e.maxX) / 2, (e.minY + e.maxY) / 2)
+      Geodesy.MeanEarthRadius, lon0, (e.minY + e.maxY) / 2)
     val planar = g.mapCoords((x, y) => proj.forward(x, y))
     buffer(planar, rMeters, quadSegs) match {
       case null => null

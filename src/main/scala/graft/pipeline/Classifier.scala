@@ -112,6 +112,32 @@ object Classifier {
    * expressions over `table`'s columns; must be engine-portable
    * (length/replace/least/greatest/arithmetic).
    */
+  /** Weight/feature column names for `n` features. */
+  private def wfNames(n: Int): (IndexedSeq[String], IndexedSeq[String]) =
+    ((0 until n).map(i => s"w$i"), (0 until n).map(i => s"f$i"))
+
+  /** The unrolled training-chain CTE text (it0..itN) shared by every
+    * oracle builder: `prefix` namespaces the CTEs (per-fold chains),
+    * `fromRel` is the training relation (e.g. a fold-filtered feat).
+    * ONE copy of the sig/grad/decimal-fold idiom — the cross-engine
+    * exactness contract lives here only. */
+  private def iterChainSql(
+      wNames: Seq[String], fNames: Seq[String],
+      lr: Double, iters: Int, prefix: String, fromRel: String): String = {
+    val it0 = s"${prefix}it0 AS (SELECT " +
+      (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
+    val iterCtes = (1 to iters).map { k =>
+      val sig = sigText(zText(wNames, fNames, "b"))
+      val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
+        val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
+        s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
+      }
+      s"${prefix}it$k AS (SELECT ${cols.mkString(", ")} FROM $fromRel CROSS JOIN ${prefix}it${k - 1} " +
+        s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
+    }
+    s"$it0, ${iterCtes.mkString(", ")}"
+  }
+
   def oracleSql(
       table: String,
       idCol: String,
@@ -120,25 +146,13 @@ object Classifier {
       where: String,
       lr: Double,
       iters: Int): String = {
-    val n = featureSqls.length
-    val fNames = (0 until n).map(i => s"f$i")
-    val wNames = (0 until n).map(i => s"w$i")
+    val (wNames, fNames) = wfNames(featureSqls.length)
     val feat = s"feat AS (SELECT $idCol, " +
       featureSqls.zip(fNames).map { case (e, a) => s"($e) AS $a" }.mkString(", ") +
       s", ($labelSql) AS y FROM $table WHERE $where)"
-    val it0 = s"it0 AS (SELECT " +
-      (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
-    val iterCtes = (1 to iters).map { k =>
-      val sig = sigText(zText(wNames, fNames, "b"))
-      val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
-        val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
-        s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
-      }
-      s"it$k AS (SELECT ${cols.mkString(", ")} FROM feat CROSS JOIN it${k - 1} " +
-        s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
-    }
+    val chain = iterChainSql(wNames, fNames, lr, iters, "", "feat")
     val sigF = sigText(zText(wNames, fNames, "b"))
-    s"WITH $feat, $it0, ${iterCtes.mkString(", ")} " +
+    s"WITH $feat, $chain " +
       s"SELECT $idCol, round($sigF, 6) AS score, " +
       s"CASE WHEN $sigF > 0.5E0 THEN 1 ELSE 0 END AS pred " +
       s"FROM feat CROSS JOIN it$iters ORDER BY $idCol"
@@ -303,27 +317,14 @@ object Classifier {
       iters: Int,
       foldSql: String,
       nFolds: Int): String = {
-    val n = featureSqls.length
-    val fNames = (0 until n).map(i => s"f$i")
-    val wNames = (0 until n).map(i => s"w$i")
+    val (wNames, fNames) = wfNames(featureSqls.length)
     val feat = s"feat AS (SELECT $idCol, ($foldSql) AS fold, " +
       featureSqls.zip(fNames).map { case (e, a) => s"($e) AS $a" }.mkString(", ") +
       s", ($labelSql) AS y FROM $table WHERE $where)"
     val sigF = sigText(zText(wNames, fNames, "b"))
     val perFold = (0 until nFolds).map { f =>
-      val it0 = s"cv${f}_it0 AS (SELECT " +
-        (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
-      val iterCtes = (1 to iters).map { k =>
-        val sig = sigText(zText(wNames, fNames, "b"))
-        val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
-          val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
-          s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
-        }
-        s"cv${f}_it$k AS (SELECT ${cols.mkString(", ")} FROM " +
-          s"(SELECT * FROM feat WHERE fold <> $f) feat CROSS JOIN cv${f}_it${k - 1} " +
-          s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
-      }
-      (s"$it0, ${iterCtes.mkString(", ")}",
+      (iterChainSql(wNames, fNames, lr, iters, s"cv${f}_",
+          s"(SELECT * FROM feat WHERE fold <> $f) feat"),
         s"SELECT $f AS fold, round($sigF, 6) AS score, y FROM " +
           s"(SELECT * FROM feat WHERE fold = $f) feat CROSS JOIN cv${f}_it$iters")
     }
@@ -390,26 +391,14 @@ object Classifier {
       lr: Double,
       iters: Int,
       foldSql: String): String = {
-    val n = featureSqls.length
-    val fNames = (0 until n).map(i => s"f$i")
-    val wNames = (0 until n).map(i => s"w$i")
+    val (wNames, fNames) = wfNames(featureSqls.length)
     val feat = s"feat AS (SELECT $idCol, ($foldSql) AS fold, " +
       featureSqls.zip(fNames).map { case (e, a) => s"($e) AS $a" }.mkString(", ") +
       s", ($labelSql) AS y FROM $table WHERE $where)"
-    val it0 = s"it0 AS (SELECT " +
-      (wNames :+ "b").map(c => s"CAST('0.0' AS DOUBLE) AS $c").mkString(", ") + ")"
-    val iterCtes = (1 to iters).map { k =>
-      val sig = sigText(zText(wNames, fNames, "b"))
-      val cols = (wNames.zip(fNames) :+ ("b" -> "1.0E0")).map { case (wn, fn) =>
-        val g = s"sum(CAST(${gradTermText(sig, "y", fn)} AS BIGINT))"
-        s"($wn - ${dlit(lr)} * ((($g / 1e9)) / count(*))) AS $wn"
-      }
-      s"it$k AS (SELECT ${cols.mkString(", ")} FROM " +
-        s"(SELECT * FROM feat WHERE fold = 0) feat CROSS JOIN it${k - 1} " +
-        s"GROUP BY ${(wNames :+ "b").mkString(", ")})"
-    }
+    val chain = iterChainSql(wNames, fNames, lr, iters, "",
+      "(SELECT * FROM feat WHERE fold = 0) feat")
     val sigF = sigText(zText(wNames, fNames, "b"))
-    s"WITH $feat, $it0, ${iterCtes.mkString(", ")}, " +
+    s"WITH $feat, $chain, " +
       s"cal_scored AS (SELECT fold, round($sigF, 6) AS score, y " +
       s"FROM feat CROSS JOIN it$iters), " +
       calibrationFixSelectSql("quantile_cont")

@@ -83,27 +83,9 @@ object Sketch {
   /** The same computation as portable SQL (shared by tests/oracles);
     * null keys excluded like hllBuckets / HllDistinctAgg. */
   def hllSql(table: String, keyCol: String, groupCol: String): String =
-    s"""SELECT $groupCol,
-       |  round(CASE WHEN raw <= ${2.5 * M} AND n_buckets_used < $M
-       |             THEN $M.0 * ln($M.0 / ($M - n_buckets_used))
-       |             ELSE raw END, 4) + 0.0 AS hll_estimate,
-       |  n_buckets_used
-       |FROM (
-       |  SELECT $groupCol,
-       |    ${Alpha * M * M} / (sum(power(2.0, -rmax)) + ($M - count(*))) AS raw,
-       |    cast(count(*) as int) AS n_buckets_used
-       |  FROM (
-       |    SELECT $groupCol, bucket, max(rank) AS rmax
-       |    FROM (
-       |      SELECT $groupCol,
-       |        cast(('0x' || substr(md5(cast($keyCol as varchar)), 1, 2))::BIGINT as int) AS bucket,
-       |        cast(CASE WHEN chunk = 0 THEN 61 ELSE 61 - length(bin(chunk)) END as int) AS rank
-       |      FROM (
-       |        SELECT $groupCol, $keyCol,
-       |          ('0x' || substr(md5(cast($keyCol as varchar)), 3, 15))::BIGINT AS chunk
-       |        FROM $table WHERE $keyCol IS NOT NULL))
-       |    GROUP BY $groupCol, bucket)
-       |  GROUP BY $groupCol)""".stripMargin
+    // recomposed from the two building blocks so the md5 layout and the
+    // bias-correction constants exist in exactly one place each
+    hllEstimateSql(s"(${hllBucketStateSql(table, keyCol, groupCol)}) hst", groupCol)
 
   /** Oracle building block: the per-(group, bucket) max-rank state CTE
     * body over `table` (same md5 layout as [[hllBuckets]]) — compose

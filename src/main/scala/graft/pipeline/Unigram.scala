@@ -72,9 +72,10 @@ object Unigram {
    * `uni_words(word, freq)` relation of distinct words (1..MaxWordLen
    * chars); emits the top-`topK` vocabulary as (rank, piece, cnt, logp).
    */
-  def coreSql(rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): String = {
+  def coreSql(rounds: Int = 2, seedSize: Int = 150, topK: Int = 30,
+              wordsRel: String = "uni_words"): String = {
     require(topK >= 1)
-    s"""${cteChainSql(rounds, seedSize)}
+    s"""${cteChainSql(rounds, seedSize, wordsRel)}
        |SELECT cast(rk as int) AS rank, piece, cast(cnt as bigint) AS cnt,
        |  lp + 0.0 AS logp
        |FROM (SELECT piece, cnt, lp,
@@ -85,7 +86,8 @@ object Unigram {
 
   /** The trainer's CTE chain alone (comps/subs/seed/t0..tN, no final
     * SELECT) — shared by [[coreSql]] and the [[encodeCoreSql]] tail. */
-  def cteChainSql(rounds: Int = 2, seedSize: Int = 150): String = {
+  def cteChainSql(rounds: Int = 2, seedSize: Int = 150,
+                  wordsRel: String = "uni_words"): String = {
     require(rounds >= 1 && seedSize >= 1)
     val vocab = (0 to rounds).map(k => s"t$k")
     val roundCtes = (1 to rounds).map { k =>
@@ -94,7 +96,7 @@ object Unigram {
          |  SELECT w.word, w.freq, c.comp_id, c.nparts,
          |    cast(count(v.lp) as int) AS nhit,
          |    sum(cast(v.lp as decimal(20,6))) AS score
-         |  FROM uni_words w
+         |  FROM $wordsRel w
          |  JOIN comps c ON c.n = length(w.word)
          |  JOIN $prev v ON v.piece = substr(w.word, c.off, c.len)
          |  GROUP BY w.word, w.freq, c.comp_id, c.nparts),
@@ -119,7 +121,7 @@ object Unigram {
        |subs AS (SELECT * FROM (VALUES ${valuesSql(subRows)}) AS t(n, off, len)),
        |seedraw AS (
        |  SELECT substr(w.word, s.off, s.len) AS piece, sum(w.freq) AS cnt
-       |  FROM uni_words w JOIN subs s ON s.n = length(w.word)
+       |  FROM $wordsRel w JOIN subs s ON s.n = length(w.word)
        |  GROUP BY 1),
        |seed AS (
        |  SELECT piece, cnt FROM (
@@ -140,8 +142,10 @@ object Unigram {
    * relation; the per-doc join/aggregate is the only added corpus-sized
    * stage (one shuffle on the word, one on the doc id).
    */
-  def encodeCoreSql(rounds: Int = 2, seedSize: Int = 150): String =
-    s"""${cteChainSql(rounds, seedSize)},
+  def encodeCoreSql(rounds: Int = 2, seedSize: Int = 150,
+                    wordsRel: String = "uni_words",
+                    docWordsRel: String = "doc_words"): String =
+    s"""${cteChainSql(rounds, seedSize, wordsRel)},
        |seg AS (
        |  SELECT b.word, c.nparts
        |  FROM best$rounds b
@@ -151,7 +155,7 @@ object Unigram {
        |  cast(count(*) as bigint) AS n_words,
        |  cast(sum(s.nparts) as bigint) AS n_tokens,
        |  round(cast(sum(s.nparts) as double) / count(*), 6) + 0.0 AS pieces_per_word
-       |FROM doc_words d JOIN seg s ON s.word = d.word
+       |FROM $docWordsRel d JOIN seg s ON s.word = d.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /**
@@ -164,15 +168,20 @@ object Unigram {
    * vocabulary data; swap the seed window for TakeOrdered at extreme
    * vocabulary sizes.
    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def train(df: DataFrame, textCol: String,
             rounds: Int = 2, seedSize: Int = 150, topK: Int = 30): DataFrame = {
     val spark = df.sparkSession
+    // per-call view name: a second train()/encode() must not rebind the
+    // relation under an earlier call's still-lazy result
+    val wordsRel = s"uni_words_${viewSeq.incrementAndGet()}"
     df.filter(col(textCol).isNotNull)
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-      .createOrReplaceTempView("uni_words")
-    spark.sql("WITH " + coreSql(rounds, seedSize, topK))
+      .createOrReplaceTempView(wordsRel)
+    spark.sql("WITH " + coreSql(rounds, seedSize, topK, wordsRel))
   }
 
   /** Tokenize a corpus with a freshly-trained vocabulary: per-doc word
@@ -181,14 +190,16 @@ object Unigram {
   def encode(df: DataFrame, idCol: String, textCol: String,
              rounds: Int = 2, seedSize: Int = 150): DataFrame = {
     val spark = df.sparkSession
+    val n = viewSeq.incrementAndGet()
+    val (wordsRel, docWordsRel) = (s"uni_words_$n", s"doc_words_$n")
     val words = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
     words.groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-      .createOrReplaceTempView("uni_words")
-    words.createOrReplaceTempView("doc_words")
-    spark.sql("WITH " + encodeCoreSql(rounds, seedSize))
+      .createOrReplaceTempView(wordsRel)
+    words.createOrReplaceTempView(docWordsRel)
+    spark.sql("WITH " + encodeCoreSql(rounds, seedSize, wordsRel, docWordsRel))
   }
 
   private def duckdbWordsCte(table: String, textCol: String): String =

@@ -78,6 +78,20 @@ class GeodesicBufferSpec extends AnyFunSuite {
     }
   }
 
+  test("antimeridian-crossing line: projection centered ON the geometry, buffer stays local") {
+    val line = WKT.read("LINESTRING (179.9 0, -179.9 0)") // ~22 km across the antimeridian
+    val b = Algos.geodesicBuffer(line, 5000.0)
+    assert(b != null)
+    // every ring vertex within ~radius + half-line-length of the crossing
+    // point (180, 0) — nothing sweeps the wrong way around the globe
+    var maxD = 0.0
+    b.foreachCoord { (x, y) =>
+      val d = sphereDist(180.0, 0.0, x, y)
+      maxD = math.max(maxD, d)
+    }
+    assert(maxD < 25000.0, s"maxD=$maxD")
+  }
+
   test("degenerate inputs: non-positive radius, empty, null") {
     assert(Algos.geodesicBuffer(pt(0, 0), 0.0) == null)
     assert(Algos.geodesicBuffer(pt(0, 0), -5.0) == null)
