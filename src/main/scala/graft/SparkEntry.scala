@@ -404,6 +404,33 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Winsorized + trimmed means per group (the robust-statistics pair
+    // beside q285's median/MAD): p05/p95 cuts via the q152-proven
+    // exact-percentile pair; winsorize = clamp to the cuts, trim = drop
+    // outside them. Cuts broadcast back; sums decimal-folded.
+    "q301_winsorized_stats" -> sqlQuery(Seq("events"),
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    percentile(value, cast(0.05 as double)) AS p05,
+        |    percentile(value, cast(0.95 as double)) AS p95
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  round(cast(sum(cast(round(e.value, 6) as decimal(20,6))) as double)
+        |    / count(*), 6) + 0.0 AS raw_mean,
+        |  round(cast(sum(cast(round(greatest(c.p05, least(c.p95, e.value)), 6)
+        |    as decimal(20,6))) as double) / count(*), 6) + 0.0 AS winsorized_mean,
+        |  round(cast(sum(CASE WHEN e.value >= c.p05 AND e.value <= c.p95
+        |      THEN cast(round(e.value, 6) as decimal(20,6))
+        |      ELSE cast(0 as decimal(20,6)) END) as double)
+        |    / sum(CASE WHEN e.value >= c.p05 AND e.value <= c.p95 THEN 1 ELSE 0 END),
+        |    6) + 0.0 AS trimmed_mean,
+        |  cast(sum(CASE WHEN e.value < c.p05 OR e.value > c.p95 THEN 1 ELSE 0 END)
+        |    as bigint) AS n_clamped
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+
     // The corpus DATASHEET (q300): one declarative plan composing the
     // intake audit a training-data pipeline runs on every drop — volume,
     // exact-dup rate, token distribution, short/low-alpha shares,
@@ -7190,6 +7217,30 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // quantile_cont cuts; identical clamp/fold arithmetic
+    "q301_winsorized_stats" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  round(cast(sum(cast(round(e.value, 6) as decimal(20,6))) as double)
+        |    / count(*), 6) + 0.0 AS raw_mean,
+        |  round(cast(sum(cast(round(greatest(c.p05, least(c.p95, e.value)), 6)
+        |    as decimal(20,6))) as double) / count(*), 6) + 0.0 AS winsorized_mean,
+        |  round(cast(sum(CASE WHEN e.value >= c.p05 AND e.value <= c.p95
+        |      THEN cast(round(e.value, 6) as decimal(20,6))
+        |      ELSE cast(0 as decimal(20,6)) END) as double)
+        |    / sum(CASE WHEN e.value >= c.p05 AND e.value <= c.p95 THEN 1 ELSE 0 END),
+        |    6) + 0.0 AS trimmed_mean,
+        |  cast(sum(CASE WHEN e.value < c.p05 OR e.value > c.p95 THEN 1 ELSE 0 END)
+        |    as bigint) AS n_clamped
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     // engine twins for split/regex/md5-int; identical metric arithmetic
     "q300_corpus_datasheet" ->
