@@ -404,6 +404,30 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Mutual-best (reciprocal nearest-neighbor) matching between two
+    // embedding populations — the deterministic entity-resolution
+    // assignment: each side's argmax partner (cosine, id tie-break), kept
+    // only when reciprocal. Two broadcast k=1 kNN joins + one equi-join;
+    // no iterative assignment, no quadratic state beyond the scored pairs.
+    "q302_mutual_best_match" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = emb.where(col("label") === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("av"))
+      val b = emb.where(col("label") === 1)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val ab = graft.pipeline.Similarity.knnJoin(
+          b, a, "bid", "bv", "aid", "av", k = 1)
+        .select(col("aid"), col("bid").as("ab_bid"), col("cosine").as("ab_cos"))
+      val ba = graft.pipeline.Similarity.knnJoin(
+          a, b, "aid", "av", "bid", "bv", k = 1)
+        .select(col("bid"), col("aid").as("ba_aid"))
+      ab.join(ba, ab("ab_bid") === ba("bid") && ab("aid") === ba("ba_aid"))
+        .select(col("aid").cast("long").as("aid"), col("bid").cast("long").as("bid"),
+          (round(col("ab_cos"), 6) + 0.0).as("cosine"))
+        .orderBy("aid")
+    }),
+
     // Winsorized + trimmed means per group (the robust-statistics pair
     // beside q285's median/MAD): p05/p95 cuts via the q152-proven
     // exact-percentile pair; winsorize = clamp to the cuts, trim = drop
@@ -7217,6 +7241,32 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // reciprocal argmax replayed with the identical (cos DESC, id)
+    // windows over the full bipartite score table
+    "q302_mutual_best_match" -> {
+      def cosSql(x: String, y: String) =
+        s"""list_dot_product($x, $y) /
+           |  (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))""".stripMargin
+      s"""WITH a AS (SELECT vec_id AS aid, cast(embedding as double[]) AS av
+         |  FROM embeddings WHERE label = 0),
+         |b AS (SELECT vec_id AS bid, cast(embedding as double[]) AS bv
+         |  FROM embeddings WHERE label = 1),
+         |sc AS (SELECT a.aid, b.bid, ${cosSql("a.av", "b.bv")} AS cos
+         |  FROM a CROSS JOIN b),
+         |ab AS (SELECT aid, bid, cos FROM (
+         |  SELECT aid, bid, cos,
+         |    row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rk
+         |  FROM sc) x WHERE rk = 1),
+         |ba AS (SELECT aid, bid FROM (
+         |  SELECT aid, bid,
+         |    row_number() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rk
+         |  FROM sc) x WHERE rk = 1)
+         |SELECT cast(ab.aid as bigint) AS aid, cast(ab.bid as bigint) AS bid,
+         |  round(ab.cos, 6) + 0.0 AS cosine
+         |FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid
+         |ORDER BY aid""".stripMargin
+    },
 
     // quantile_cont cuts; identical clamp/fold arithmetic
     "q301_winsorized_stats" ->
