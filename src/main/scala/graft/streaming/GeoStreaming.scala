@@ -253,6 +253,56 @@ object GeoStreaming {
    *
    * Output: (key, session_start, session_end, n_events), epoch seconds.
    */
+  /**
+   * Streaming per-key anomaly detection: maintain Welford running
+   * mean/variance per key via flatMapGroupsWithState and flag values more
+   * than `zThreshold` standard deviations from the mean seen SO FAR
+   * (state BEFORE the incoming value — a point can't vouch for itself).
+   * The streaming companion of the batch seasonal/z-score queries
+   * (q284/q293): constant state per key (n, mean, M2 — three doubles),
+   * no watermark requirement, emission per event in arrival order with
+   * a (ts, value) in-batch sort for determinism.
+   *
+   * First `minN` observations of a key never flag (the variance
+   * estimate is meaningless below a few points).
+   */
+  def runningZScore(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      zThreshold: Double,
+      minN: Long = 5L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val kIdx = stream.schema.fieldIndex(keyCol)
+    val tIdx = stream.schema.fieldIndex(tsCol)
+    val vIdx = stream.schema.fieldIndex(valueCol)
+    stream.groupByKey(_.getString(kIdx))
+      .flatMapGroupsWithState[(Long, Double, Double), (String, Long, Double, Double, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val sorted = rows.map(r => (r.getTimestamp(tIdx).getTime, r.getDouble(vIdx)))
+            .toSeq.sortBy(identity)
+          val out = sorted.map { case (tsMs, v) =>
+            val sd = if (n >= 2) math.sqrt(m2 / (n - 1)) else 0.0
+            val z = if (n >= minN && sd > 0) (v - mean) / sd else 0.0
+            val flag = n >= minN && sd > 0 && math.abs(z) > zThreshold
+            // Welford update AFTER scoring
+            n += 1
+            val d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            (key, tsMs / 1000, v, math.rint(z * 1e6) / 1e6, flag)
+          }
+          state.update((n, mean, m2))
+          out.iterator
+      }
+      .toDF(keyCol, "ts_sec", "value", "z", "is_anomaly")
+  }
+
   def sessionize(
       stream: DataFrame,
       keyCol: String,

@@ -441,6 +441,35 @@ class GeoStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningZScore flags outliers against prior state only; state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val stream = input.toDF().toDF("k", "ts", "v")
+    val out = graft.streaming.GeoStreaming.runningZScore(
+      stream, "k", "ts", "v", zThreshold = 3.0, minN = 5)
+    val q = out.writeStream.format("memory").queryName("zsc").outputMode("append").start()
+    try {
+      def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 10:00:${sec}%02d")
+      // batch 1: 6 calm values around 10
+      input.addData((1 to 6).map(i => ("a", t(i), 10.0 + 0.1 * (i % 3))): _*)
+      q.processAllAvailable()
+      assert(spark.table("zsc").filter($"is_anomaly").count() == 0)
+      // batch 2: a wild spike + another calm value — spike flags, calm doesn't;
+      // the spike is judged by PRIOR state (cross-batch carry)
+      input.addData(("a", t(10), 50.0), ("a", t(11), 10.1))
+      q.processAllAvailable()
+      val rows = spark.table("zsc").filter($"ts_sec" >= t(10).getTime / 1000)
+        .select("value", "is_anomaly").as[(Double, Boolean)].collect().toMap
+      assert(rows(50.0))
+      assert(!rows(10.1))
+      // a fresh key with < minN observations never flags, even wild ones
+      input.addData(("b", t(20), 0.0), ("b", t(21), 1000.0))
+      q.processAllAvailable()
+      assert(spark.table("zsc").filter($"k" === "b" && $"is_anomaly").count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming LSH alarms: edited near-dups collide across batches, distinct docs stay silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
