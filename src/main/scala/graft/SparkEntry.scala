@@ -404,6 +404,29 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Bootstrap CI for AUC — the uncertainty companion of the point
+    // estimates (q266): 20 DETERMINISTIC Poisson(1) resamples (integer
+    // weights from md5(doc, b) thresholds — reproducible on any engine,
+    // no RNG state), weighted tie-aware rank AUC per resample via an
+    // integer-exact 2x numerator, then mean and the 5/95 percentile
+    // band. Resampling costs ONE 20x weighted aggregation — the corpus
+    // is never re-materialized.
+    "q303_auc_bootstrap" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "documents")
+      val base = s.table("documents").where(qcWhere)
+      val feats = qcFeatureSqls.map(expr)
+      val w = graft.pipeline.Classifier.trainLogistic(
+        base, feats, expr(qcLabelSql), lr = 0.5, iters = 3)
+      val sc = graft.pipeline.Classifier.score(w, feats)
+      base.select(col("doc_id"), round(sc, 6).as("score"), expr(qcLabelSql).as("y"))
+        .createOrReplaceTempView("scored_id")
+      val uExpr = "cast(conv(substring(md5(concat(cast(s.doc_id as string), '|', " +
+        "cast(t.b as string))), 1, 15), 16, 10) as bigint) % 1000000"
+      s.sql("WITH " + bootstrapAucTail(uExpr,
+        (c, p) => s"percentile($c, cast($p as double))"))
+    }),
+
     // Mutual-best (reciprocal nearest-neighbor) matching between two
     // embedding populations — the deterministic entity-resolution
     // assignment: each side's argmax partner (cosine, id tie-break), kept
@@ -5595,6 +5618,49 @@ object SparkEntry {
 
   /** Full-dim argmax-cosine assignment of `v` rows to centroid CTE
     * `cents(c, v)` (NearestCentroid replay). */
+  /** Bootstrap-AUC tail over a `scored_id(doc_id, score, y)` relation:
+    * 20 deterministic Poisson(1) resamples (integer weights from the
+    * md5-uniform `uExpr` against cumulative-probability thresholds),
+    * weighted tie-aware rank AUC per resample through an integer-exact
+    * doubled numerator, then the mean and 5/95 percentile band. `uExpr`
+    * and `pctl` carry the only engine-specific spellings. */
+  private def bootstrapAucTail(uExpr: String, pctl: (String, String) => String): String = {
+    val bVals = (0 until 20).map(b => s"($b)").mkString(", ")
+    s"""boots AS (SELECT * FROM (VALUES $bVals) AS t(b)),
+       |wts AS (
+       |  SELECT doc_id, score, y, b,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 ELSE 4 END AS w
+       |  FROM (SELECT s.doc_id AS doc_id, s.score AS score, s.y AS y, t.b AS b,
+       |          $uExpr AS u
+       |        FROM scored_id s CROSS JOIN boots t) x),
+       |per_score AS (
+       |  SELECT b, score,
+       |    cast(sum(CASE WHEN y = 1.0 THEN w ELSE 0 END) as bigint) AS wp,
+       |    cast(sum(CASE WHEN y = 0.0 THEN w ELSE 0 END) as bigint) AS wn
+       |  FROM wts GROUP BY b, score),
+       |cum AS (
+       |  SELECT b, score, wp, wn,
+       |    sum(wn) OVER (PARTITION BY b ORDER BY score) - wn AS wn_below
+       |  FROM per_score),
+       |tot AS (
+       |  SELECT b, cast(sum(wp) as bigint) AS wp_t, cast(sum(wn) as bigint) AS wn_t
+       |  FROM per_score GROUP BY b),
+       |aucs AS (
+       |  SELECT b, cast(sum(cast(wp * (2 * wn_below + wn) as decimal(38,0))) as double)
+       |    AS num2
+       |  FROM cum GROUP BY b),
+       |res AS (
+       |  SELECT a.b, a.num2 / (2.0 * t.wp_t * t.wn_t) AS auc
+       |  FROM aucs a JOIN tot t ON a.b = t.b)
+       |SELECT cast(count(*) as bigint) AS n_boot,
+       |  round(cast(sum(cast(round(auc, 9) as decimal(20,9))) as double)
+       |    / count(*), 6) + 0.0 AS mean_auc,
+       |  round(${pctl("auc", "0.05")}, 6) + 0.0 AS p05,
+       |  round(${pctl("auc", "0.95")}, 6) + 0.0 AS p95
+       |FROM res""".stripMargin
+  }
+
   private def annAssign(out: String, cents: String): String =
     s"""$out AS (SELECT vec_id, v, c FROM (
        |  SELECT v.vec_id, v.v, cc.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -7241,6 +7307,18 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // training replay + identical resample/AUC tail; DuckDB md5-int and
+    // quantile_cont in place of conv/percentile
+    "q303_auc_bootstrap" -> {
+      val uExpr = "('0x'||substr(md5(concat(cast(s.doc_id as varchar), '|', " +
+        "cast(t.b as varchar))),1,15))::BIGINT % 1000000"
+      graft.pipeline.Classifier.oracleScoredIdSql(
+        table = "documents", idCol = "doc_id",
+        featureSqls = qcFeatureSqls, labelSql = qcLabelSql,
+        where = qcWhere, lr = 0.5, iters = 3,
+        tailSql = bootstrapAucTail(uExpr, (c, p) => s"quantile_cont($c, $p)"))
+    },
 
     // reciprocal argmax replayed with the identical (cos DESC, id)
     // windows over the full bipartite score table

@@ -439,6 +439,30 @@ object Classifier {
     oracleScoredSql(table, idCol, featureSqls, labelSql, where, lr, iters,
       reliabilitySelectSql(duckdbCutsSelect))
 
+  /** [[oracleScoredSql]] variant exposing the id: the tail sees a
+    * `scored_id(doc_id, score, y)` relation — for resampling/bootstrap
+    * tails that need a per-row hash key. */
+  def oracleScoredIdSql(
+      table: String,
+      idCol: String,
+      featureSqls: Seq[String],
+      labelSql: String,
+      where: String,
+      lr: Double,
+      iters: Int,
+      tailSql: String): String = {
+    val trained = oracleSql(table, idCol, featureSqls, labelSql, where, lr, iters)
+    val body = trained.stripPrefix("WITH ")
+    val noOrder = body.substring(0, body.lastIndexOf(" ORDER BY "))
+    val selStart = noOrder.lastIndexOf("SELECT ")
+    val ctes = noOrder.substring(0, selStart).trim.stripSuffix(",")
+    val finalSel = noOrder.substring(selStart)
+    s"WITH $ctes, sc0 AS ($finalSel), " +
+      s"scored_id AS (SELECT sc0.$idCol AS doc_id, sc0.score, feat.y " +
+      s"FROM sc0 JOIN feat ON sc0.$idCol = feat.$idCol), " +
+      tailSql
+  }
+
   /** Replays training via the [[oracleSql]] CTE chain, joins the label
     * back into a `scored` relation, then applies `tailSql` (a CTE-list +
     * final SELECT with the leading WITH already stripped). */
