@@ -430,8 +430,11 @@ object SparkEntry {
     // Mutual-best (reciprocal nearest-neighbor) matching between two
     // embedding populations — the deterministic entity-resolution
     // assignment: each side's argmax partner (cosine, id tie-break), kept
-    // only when reciprocal. Two broadcast k=1 kNN joins + one equi-join;
-    // no iterative assignment, no quadratic state beyond the scored pairs.
+    // only when reciprocal. Two broadcast k=1 kNN joins + one equi-join.
+    // EXACT-verification twin by design (the scored-pair table grows with
+    // the PRODUCT of the sides — 13.1x at 10x/10x, BASELINE): the at-scale
+    // path is ivfKnnJoin(k=1) in both directions + the same reciprocal
+    // filter, which bounds candidates to shared cells exactly like q278.
     "q302_mutual_best_match" -> ((s: SparkSession, dir: String) => {
       init(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
