@@ -404,6 +404,32 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Mutual-best matching AT SCALE: q302's reciprocal-NN assignment
+    // through ONE shared IVF cell space (centroids trained on the union)
+    // — both directions bound candidates to nProbe probed cells, so the
+    // pair table grows with cell occupancy, never with the product of
+    // the sides. The approximate twin whose recall the cell budget
+    // controls (q267's knob); q302 remains the exact verifier.
+    "q304_mutual_best_ivf" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val a = emb.where(col("label") === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("av"))
+      val b = emb.where(col("label") === 1)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val ab = Similarity.ivfKnnJoin(a, "aid", "av", b, "bid", "bv",
+          kCells = 8, nProbe = 2, k = 1, centroids = Some(cents))
+        .select(col("lid").as("aid"), col("rid").as("ab_bid"), col("cos").as("ab_cos"))
+      val ba = Similarity.ivfKnnJoin(b, "bid", "bv", a, "aid", "av",
+          kCells = 8, nProbe = 2, k = 1, centroids = Some(cents))
+        .select(col("lid").as("bid"), col("rid").as("ba_aid"))
+      ab.join(ba, ab("ab_bid") === ba("bid") && ab("aid") === ba("ba_aid"))
+        .select(col("aid").cast("long").as("aid"), col("bid").cast("long").as("bid"),
+          (round(col("ab_cos"), 6) + 0.0).as("cosine"))
+        .orderBy("aid")
+    }),
+
     // Bootstrap CI for AUC — the uncertainty companion of the point
     // estimates (q266): 20 DETERMINISTIC Poisson(1) resamples (integer
     // weights from md5(doc, b) thresholds — reproducible on any engine,
@@ -7310,6 +7336,45 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // one shared Lloyd chain; per-side top-2 probes; within-cell argmax
+    // both directions; reciprocal join
+    "q304_mutual_best_ivf" -> {
+      def cosSql(x: String, y: String) =
+        s"""list_dot_product($x, $y) /
+           |  (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))""".stripMargin
+      def probes(out: String, lbl: Int, idAs: String, vAs: String) =
+        s"""$out AS (SELECT vec_id AS $idAs, vv AS $vAs, c FROM (
+           |  SELECT p.vec_id, p.vv, cc.c, row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY ${cosSql("p.vv", "cc.v")} DESC, cc.c) AS rn
+           |  FROM (SELECT vec_id, v AS vv FROM v WHERE label = $lbl) p
+           |  CROSS JOIN c2 cc) x WHERE rn <= 2)""".stripMargin
+      def side(out: String, lbl: Int, idAs: String, vAs: String) =
+        s"""$out AS (SELECT af.vec_id AS $idAs, af.v AS $vAs, af.c
+           |  FROM af JOIN v vv ON vv.vec_id = af.vec_id WHERE vv.label = $lbl)""".stripMargin
+      def best(out: String, pr: String, sd: String, pid: String, pv: String,
+               sid: String, sv: String) =
+        s"""$out AS (SELECT $pid, $sid, cos FROM (
+           |  SELECT p.$pid, s.$sid, ${cosSql(s"p.$pv", s"s.$sv")} AS cos,
+           |    row_number() OVER (PARTITION BY p.$pid
+           |      ORDER BY ${cosSql(s"p.$pv", s"s.$sv")} DESC, s.$sid) AS rn
+           |  FROM $pr p JOIN $sd s ON s.c = p.c) x WHERE rn = 1)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings),
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |${annAssign("af", "c2")},
+         |${side("bf", 1, "bid", "bv")},
+         |${side("afd", 0, "aid", "av")},
+         |${probes("ap", 0, "aid", "av")},
+         |${probes("bp", 1, "bid", "bv")},
+         |${best("ab", "ap", "bf", "aid", "av", "bid", "bv")},
+         |${best("ba", "bp", "afd", "bid", "bv", "aid", "av")}
+         |SELECT cast(ab.aid as bigint) AS aid, cast(ab.bid as bigint) AS bid,
+         |  round(ab.cos, 6) + 0.0 AS cosine
+         |FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid
+         |ORDER BY aid""".stripMargin
+    },
 
     // training replay + identical resample/AUC tail; DuckDB md5-int and
     // quantile_cont in place of conv/percentile

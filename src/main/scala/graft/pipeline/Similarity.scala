@@ -581,8 +581,11 @@ object Similarity {
   def ivfKnnJoin(
       left: DataFrame, lId: String, lVec: String,
       right: DataFrame, rId: String, rVec: String,
-      kCells: Int, nProbe: Int, k: Int, iters: Int = 2): DataFrame = {
-    val cents = trainIvfCentroids(right, rId, rVec, kCells, iters)
+      kCells: Int, nProbe: Int, k: Int, iters: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // precomputed centroids let several joins share ONE cell space (e.g.
+    // the reciprocal pair of joins in mutual-best matching, q304)
+    val cents = centroids.getOrElse(trainIvfCentroids(right, rId, rVec, kCells, iters))
     val corpus = right.select(col(rId).as("rid"), col(rVec).as("rv"),
         exprColumn(NearestCentroid(columnExpr(col(rVec)), cents)).as("cell"))
       .repartition(col("cell"))
