@@ -808,13 +808,17 @@ object SparkEntry {
           |FROM events WHERE user_id IS NOT NULL""".stripMargin)
       val daily = graft.pipeline.Sketch.hllBuckets(ev, "user_id", Seq("day"))
       val days = ev.select(col("day")).distinct().select(col("day").as("d"))
-      val merged = days
-        .join(daily, daily("day").between(col("d") - 6, col("d")))
+      // window membership as a 7x EXPLODE of the tiny per-day state + one
+      // equi-join (no range BNLJ): day contributes to windows day..day+6;
+      // the join with observed days drops phantom windows past the tail
+      val merged = daily
+        .withColumn("d", explode(expr("sequence(day, day + 6)")))
+        .join(days, "d")
         .groupBy(col("d"), col("__b")).agg(max(col("__rmax")).as("__rmax"))
       val est = graft.pipeline.Sketch.hllFromBuckets(merged, Seq("d"))
-      val exact = days
-        .join(ev.select(col("day"), col("user_id")).distinct(),
-          col("day").between(col("d") - 6, col("d")))
+      val exact = ev.select(col("day"), col("user_id")).distinct()
+        .withColumn("d", explode(expr("sequence(day, day + 6)")))
+        .join(days, "d")
         .groupBy("d").agg(countDistinct("user_id").cast("long").as("exact_users"))
       est.join(exact, "d")
         .select(col("d"), col("hll_estimate"), col("n_buckets_used"),
@@ -7666,15 +7670,18 @@ object SparkEntry {
          |daily AS ($state),
          |days AS (SELECT DISTINCT day AS d FROM ev),
          |merged AS (
-         |  SELECT dd.d, b.bucket, max(b.rmax) AS rmax
-         |  FROM days dd JOIN daily b ON b.day BETWEEN dd.d - 6 AND dd.d
-         |  GROUP BY dd.d, b.bucket),
+         |  SELECT w.d, w.bucket, max(w.rmax) AS rmax
+         |  FROM (SELECT unnest(range(b.day, b.day + 7)) AS d, b.bucket, b.rmax
+         |        FROM daily b) w
+         |  JOIN days dd ON dd.d = w.d
+         |  GROUP BY w.d, w.bucket),
          |est AS ($est),
          |exact AS (
-         |  SELECT dd.d, cast(count(distinct e.user_id) as bigint) AS exact_users
-         |  FROM days dd JOIN (SELECT DISTINCT day, user_id FROM ev) e
-         |    ON e.day BETWEEN dd.d - 6 AND dd.d
-         |  GROUP BY dd.d)
+         |  SELECT w.d, cast(count(distinct w.user_id) as bigint) AS exact_users
+         |  FROM (SELECT unnest(range(e.day, e.day + 7)) AS d, e.user_id
+         |        FROM (SELECT DISTINCT day, user_id FROM ev) e) w
+         |  JOIN days dd ON dd.d = w.d
+         |  GROUP BY w.d)
          |SELECT est.d, est.hll_estimate, est.n_buckets_used, exact.exact_users,
          |  round(abs(est.hll_estimate - exact.exact_users) / exact.exact_users, 6) + 0.0
          |    AS rel_err
