@@ -404,6 +404,34 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Equal Earth (ESRI:54035) — the modern equal-area world map
+    // projection (Savric-Patterson-Jenny polynomial): edge constants
+    // pinned closed-form (x(180,0) = pi*a/(M*A1), pole y from the
+    // published polynomial at theta = asin(sqrt(3)/2)), round-trips at
+    // 6 decimals, equal-area ratio 1.000 (the q257/q294 discipline).
+    "q305_equal_earth" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val a = 6378137.0
+      s.sql(
+        s"""WITH pts AS (
+           |  SELECT c_custkey,
+           |    cast(c_custkey % 340 - 170 as double) AS lon,
+           |    cast((c_custkey * 7) % 160 - 80 as double) AS lat
+           |  FROM customer WHERE c_custkey <= 1000)
+           |SELECT c_custkey,
+           |  round(st_x(st_transform(st_point(180.0, 0.0), 'EPSG:4326', 'ESRI:54035')), 1) + 0.0 AS world_x,
+           |  round(st_y(st_transform(st_point(0.0, 90.0), 'EPSG:4326', 'ESRI:54035')), 1) + 0.0 AS pole_y,
+           |  round(st_x(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'ESRI:54035'),
+           |    'ESRI:54035', 'EPSG:4326')), 6) + 0.0 AS rt_lon,
+           |  round(st_y(st_transform(st_transform(st_point(lon, lat), 'EPSG:4326', 'ESRI:54035'),
+           |    'ESRI:54035', 'EPSG:4326')), 6) + 0.0 AS rt_lat,
+           |  round(st_area(st_transform(st_makeenvelope(lon, lat, lon + 0.02, lat + 0.02),
+           |    'EPSG:4326', 'ESRI:54035')) /
+           |    ($a * $a * radians(0.02) * (sin(radians(lat + 0.02)) - sin(radians(lat)))), 3) + 0.0 AS area_ratio
+           |FROM pts ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Mutual-best matching AT SCALE: q302's reciprocal-NN assignment
     // through ONE shared IVF cell space (centroids trained on the union)
     // — both directions bound candidates to nProbe probed cells, so the
@@ -7340,6 +7368,17 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // published-polynomial edge constants; rt_* echo inputs;
+    // area_ratio = 1.000 is the equal-area property
+    "q305_equal_earth" ->
+      """SELECT c_custkey,
+        |  CAST('17263256.8' AS DOUBLE) AS world_x,
+        |  CAST('8402320.2' AS DOUBLE) AS pole_y,
+        |  round(cast(c_custkey % 340 - 170 as double), 6) + 0.0 AS rt_lon,
+        |  round(cast((c_custkey * 7) % 160 - 80 as double), 6) + 0.0 AS rt_lat,
+        |  CAST('1.0' AS DOUBLE) AS area_ratio
+        |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
 
     // one shared Lloyd chain; per-side top-2 probes; within-cell argmax
     // both directions; reciprocal join

@@ -891,6 +891,54 @@ object CRS {
    * 2th + sin 2th = pi sin(phi) by Newton (quadratic convergence, exact
    * poles short-circuited); inverse is closed-form.
    */
+  /**
+   * Equal Earth (Savric, Patterson & Jenny 2018) — the modern equal-area
+   * world projection (ESRI:54035), a Robinson-like outline with exact
+   * equal-area property; published polynomial in the parametric latitude
+   * theta where sin(theta) = (sqrt(3)/2) sin(phi). Spherical on `R`
+   * (PROJ convention: the ellipsoid's semi-major axis). Inverse solves
+   * the y-polynomial for theta by Newton (quadratic convergence).
+   */
+  final case class EqualEarth(R: Double, lon0: Double, x0: Double, y0: Double) {
+    private val l0 = math.toRadians(lon0)
+    private val A1 = 1.340264
+    private val A2 = -0.081106
+    private val A3 = 0.000893
+    private val A4 = 0.003796
+    private val Mc = math.sqrt(3.0) / 2.0
+    private def yPoly(t: Double): Double = {
+      val t2 = t * t; val t6 = t2 * t2 * t2
+      t * (A1 + A2 * t2 + t6 * (A3 + A4 * t2))
+    }
+    private def yPolyD(t: Double): Double = {
+      val t2 = t * t; val t6 = t2 * t2 * t2
+      A1 + 3 * A2 * t2 + t6 * (7 * A3 + 9 * A4 * t2)
+    }
+    def forward(lon: Double, lat: Double): XY = {
+      val phi = math.toRadians(lat)
+      var dLam = math.toRadians(lon) - l0
+      if (dLam > math.Pi) dLam -= 2 * math.Pi else if (dLam < -math.Pi) dLam += 2 * math.Pi
+      val th = math.asin(math.max(-1.0, math.min(1.0, Mc * math.sin(phi))))
+      (x0 + R * dLam * math.cos(th) / (Mc * yPolyD(th)),
+        y0 + R * yPoly(th))
+    }
+    def inverse(x: Double, y: Double): XY = {
+      val target = (y - y0) / R
+      var th = target // good start: yPoly ~ A1*t near 0
+      var i = 0
+      while (i < 50) {
+        val next = th - (yPoly(th) - target) / yPolyD(th)
+        if (math.abs(next - th) < 1e-15) { th = next; i = 50 } else { th = next; i += 1 }
+      }
+      val phi = math.asin(math.max(-1.0, math.min(1.0, math.sin(th) / Mc)))
+      val cosTh = math.cos(th)
+      val lam =
+        if (cosTh < 1e-12) l0
+        else l0 + (x - x0) * Mc * yPolyD(th) / (R * cosTh)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   final case class Mollweide(R: Double, lon0: Double, x0: Double, y0: Double) {
     private val l0 = math.toRadians(lon0)
     private val Sqrt2 = math.sqrt(2.0)
@@ -1173,8 +1221,12 @@ object CRS {
         val p = Mollweide(kv.get("R").map(_.toDouble).getOrElse(ell.a),
           d("lon_0", 0), d("x_0", 0), d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
+      case "eqearth" =>
+        val p = EqualEarth(kv.get("R").map(_.toDouble).getOrElse(ell.a),
+          d("lon_0", 0), d("x_0", 0), d("y_0", 0))
+        ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea, sinu, moll)")
+        s"unsupported +proj=$other (supported: longlat, merc, lcc, aea, tmerc, utm, stere[polar], sterea, laea, sinu, moll, eqearth)")
     }
     helmert match {
       case None => (projFwd, projInv)
@@ -1240,6 +1292,8 @@ object CRS {
     "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
   registerProj4("ESRI:54009", // World Mollweide (spherical on WGS84 a)
     "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+  registerProj4("ESRI:54035", // Equal Earth (spherical on WGS84 a)
+    "+proj=eqearth +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
 
   /**
    * Parse a PROJJSON ProjectedCRS document into (forward, inverse) against
