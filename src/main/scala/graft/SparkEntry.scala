@@ -404,6 +404,33 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // Cross-source n-gram LEAKAGE matrix — which sources share phrasing
+    // (the between-source view of contamination, q108's within-corpus
+    // shape): distinct (source, 8-gram) sets, pair overlap by one
+    // equi-join on the gram (per-gram source lists bounded by #sources —
+    // never a corpus self-join), Jaccard-normalized. Top-20 pairs.
+    "q306_cross_source_leakage" -> sqlQuery(Seq("documents"),
+      """WITH ws AS (
+        |  SELECT source, split(trim(text), '\\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source, explode(transform(sequence(1, size(w) - 7),
+        |      i -> concat_ws(' ', slice(w, i, 8)))) AS gram
+        |    FROM ws WHERE size(w) >= 8) x),
+        |tot AS (SELECT source, cast(count(*) as bigint) AS n FROM g GROUP BY source),
+        |pair AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    cast(count(*) as bigint) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.source_a, p.source_b, p.shared,
+        |  round(cast(p.shared as double) / (ta.n + tb.n - p.shared), 6) + 0.0 AS jaccard
+        |FROM pair p
+        |JOIN tot ta ON ta.source = p.source_a
+        |JOIN tot tb ON tb.source = p.source_b
+        |ORDER BY p.shared DESC, p.source_a, p.source_b LIMIT 20""".stripMargin),
+
     // Equal Earth (ESRI:54035) — the modern equal-area world map
     // projection (Savric-Patterson-Jenny polynomial): edge constants
     // pinned closed-form (x(180,0) = pi*a/(M*A1), pole y from the
@@ -7368,6 +7395,29 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // engine twin gram construction (list_transform + inclusive slices)
+    "q306_cross_source_leakage" ->
+      """WITH ws AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(w[i : i + 7], ' '))) AS gram
+        |    FROM ws WHERE len(w) >= 8) x),
+        |tot AS (SELECT source, cast(count(*) as bigint) AS n FROM g GROUP BY source),
+        |pair AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    cast(count(*) as bigint) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.source_a, p.source_b, p.shared,
+        |  round(cast(p.shared as double) / (ta.n + tb.n - p.shared), 6) + 0.0 AS jaccard
+        |FROM pair p
+        |JOIN tot ta ON ta.source = p.source_a
+        |JOIN tot tb ON tb.source = p.source_b
+        |ORDER BY p.shared DESC, p.source_a, p.source_b LIMIT 20""".stripMargin,
 
     // published-polynomial edge constants; rt_* echo inputs;
     // area_ratio = 1.000 is the equal-area property
