@@ -432,14 +432,27 @@ object SparkEntry {
         |ORDER BY p.shared DESC, p.source_a, p.source_b LIMIT 20""".stripMargin),
 
     // Equal Earth (ESRI:54035) — the modern equal-area world map
-    // projection (Savric-Patterson-Jenny polynomial): edge constants
-    // pinned closed-form (x(180,0) = pi*a/(M*A1), pole y from the
-    // published polynomial at theta = asin(sqrt(3)/2)), round-trips at
-    // 6 decimals, equal-area ratio 1.000 (the q257/q294 discipline).
+    // projection (Savric-Patterson-Jenny polynomial) in PROJ's
+    // ELLIPSOIDAL form: beta is the authalic latitude, the scale radius
+    // is Rq = a*sqrt(qP/2), so positions match PROJ/ESRI on +ellps
+    // input. Edge constants pinned closed-form (x(180,0) =
+    // pi*Rq/(M*A1), pole y from the polynomial at theta =
+    // asin(sqrt(3)/2), both scaled by the authalic radius), round-trips
+    // at 6 decimals through the authalic inverse (Newton on q), and the
+    // equal-area ratio is 1.000 against the ELLIPSOID patch area
+    // a^2*dLam*(q(lat2)-q(lat1))/2 — the authalic mapping preserves
+    // ellipsoid surface area exactly (the q257/q294 discipline).
     "q305_equal_earth" -> ((s: SparkSession, dir: String) => {
       init(s)
       view(s, dir, "customer")
       val a = 6378137.0
+      val f = 1.0 / 298.257223563
+      val e2 = f * (2 - f)
+      val e = math.sqrt(e2)
+      // Snyder 3-12 q(phi) as a SQL fragment over a latitude expression
+      def qSql(latExpr: String): String =
+        s"((1 - $e2) * (sin(radians($latExpr)) / (1 - $e2 * pow(sin(radians($latExpr)), 2)) " +
+          s"- (1 / (2 * $e)) * ln((1 - $e * sin(radians($latExpr))) / (1 + $e * sin(radians($latExpr))))))"
       s.sql(
         s"""WITH pts AS (
            |  SELECT c_custkey,
@@ -455,7 +468,7 @@ object SparkEntry {
            |    'ESRI:54035', 'EPSG:4326')), 6) + 0.0 AS rt_lat,
            |  round(st_area(st_transform(st_makeenvelope(lon, lat, lon + 0.02, lat + 0.02),
            |    'EPSG:4326', 'ESRI:54035')) /
-           |    ($a * $a * radians(0.02) * (sin(radians(lat + 0.02)) - sin(radians(lat)))), 3) + 0.0 AS area_ratio
+           |    ($a * $a * radians(0.02) * (${qSql("lat + 0.02")} - ${qSql("lat")}) / 2), 3) + 0.0 AS area_ratio
            |FROM pts ORDER BY c_custkey""".stripMargin)
     }),
 
@@ -1311,9 +1324,13 @@ object SparkEntry {
       val tmpDir = java.nio.file.Files.createTempDirectory("graft_q275_orc").toFile
       tmpDir.deleteOnExit()
       val path = new java.io.File(tmpDir, "li_orc").getAbsolutePath
+      // l_shipdate is cast to DATE before the ORC write: ORC TIMESTAMP uses
+      // wall-clock (JVM default TZ) semantics that spark.sql.session.timeZone
+      // does NOT govern, so a timestamp round-trip shifts on a non-UTC host.
+      // ORC DATE is a plain day count — timezone-independent on every host.
       s.read.parquet(s"$dir/lineitem.parquet")
-        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
-          "l_shipdate")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate").cast("date").as("l_shipdate"))
         .write.mode("overwrite").orc(path)
       s.read.orc(path)
         .where(col("l_quantity") < 30.0)
@@ -5552,11 +5569,14 @@ object SparkEntry {
       val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
       val customer = s.read.parquet(s"$dir/customer.parquet")
       import graft.relational.Profile
+      // row rules + pk uniqueness share ONE orders scan (audit's merged
+      // agg); each FK check is one single-scan join-agg — 3 scans of
+      // orders+lineitem total instead of the former 7
       Profile.audit(orders, Seq(
           "orders_custkey_null" -> col("o_custkey").isNull,
           "orders_nonpositive_total" -> (col("o_totalprice") <= 0),
-          "orders_bad_status" -> !col("o_orderstatus").isin("O", "F")))
-        .unionByName(Profile.uniquenessCheck(orders, Seq("o_orderkey"), "orders_pk_unique"))
+          "orders_bad_status" -> !col("o_orderstatus").isin("O", "F")),
+          uniqueKeys = Seq("orders_pk_unique" -> Seq("o_orderkey")))
         .unionByName(Profile.referentialCheck(
           lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk"))
         .unionByName(Profile.referentialCheck(
@@ -7419,12 +7439,14 @@ object SparkEntry {
         |JOIN tot tb ON tb.source = p.source_b
         |ORDER BY p.shared DESC, p.source_a, p.source_b LIMIT 20""".stripMargin,
 
-    // published-polynomial edge constants; rt_* echo inputs;
-    // area_ratio = 1.000 is the equal-area property
+    // published-polynomial edge constants scaled by the WGS84 authalic
+    // radius Rq = a*sqrt(qP/2) (PROJ's ellipsoidal eqearth); rt_* echo
+    // inputs; area_ratio = 1.000 is the equal-area property against the
+    // ellipsoid patch
     "q305_equal_earth" ->
       """SELECT c_custkey,
-        |  CAST('17263256.8' AS DOUBLE) AS world_x,
-        |  CAST('8402320.2' AS DOUBLE) AS pole_y,
+        |  CAST('17243959.1' AS DOUBLE) AS world_x,
+        |  CAST('8392927.6' AS DOUBLE) AS pole_y,
         |  round(cast(c_custkey % 340 - 170 as double), 6) + 0.0 AS rt_lon,
         |  round(cast((c_custkey * 7) % 160 - 80 as double), 6) + 0.0 AS rt_lat,
         |  CAST('1.0' AS DOUBLE) AS area_ratio
@@ -8096,7 +8118,7 @@ object SparkEntry {
         |  cast(count(*) as bigint) AS n,
         |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
         |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_price,
-        |  max(l_shipdate) AS max_ship
+        |  max(cast(l_shipdate as date)) AS max_ship
         |FROM lineitem WHERE l_quantity < 30.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -895,12 +895,48 @@ object CRS {
    * Equal Earth (Savric, Patterson & Jenny 2018) — the modern equal-area
    * world projection (ESRI:54035), a Robinson-like outline with exact
    * equal-area property; published polynomial in the parametric latitude
-   * theta where sin(theta) = (sqrt(3)/2) sin(phi). Spherical on `R`
-   * (PROJ convention: the ellipsoid's semi-major axis). Inverse solves
-   * the y-polynomial for theta by Newton (quadratic convergence).
+   * theta where sin(theta) = (sqrt(3)/2) sin(beta). Ellipsoidal form
+   * matches PROJ's eqearth: beta is the AUTHALIC latitude
+   * (sin(beta) = q(phi)/qP, Snyder 3-12) and the scale radius is the
+   * authalic radius Rq = a*sqrt(qP/2), so positions agree with
+   * PROJ/ESRI output on +ellps input. `sphereR` pins the spherical form
+   * (beta = phi, radius R) for +R input. Inverse solves the
+   * y-polynomial for theta by Newton (quadratic convergence), then
+   * recovers phi from the authalic latitude by Newton on q.
    */
-  final case class EqualEarth(R: Double, lon0: Double, x0: Double, y0: Double) {
+  final case class EqualEarth(
+      ell: Ellipsoid, sphereR: Option[Double], lon0: Double, x0: Double, y0: Double) {
     private val l0 = math.toRadians(lon0)
+    private val spherical = sphereR.isDefined
+    private val e = ell.e
+    private val e2 = ell.e2
+    /** Snyder 3-12: q(phi) from sin(phi). */
+    private def qOfSin(sp: Double): Double =
+      (1 - e2) * (sp / (1 - e2 * sp * sp) -
+        (1 / (2 * e)) * math.log((1 - e * sp) / (1 + e * sp)))
+    private val qP = if (spherical) 2.0 else qOfSin(1.0)
+    private val R = sphereR.getOrElse(ell.a * math.sqrt(qP / 2))
+    /** sin of the authalic latitude (identity for the spherical form). */
+    private def sinBeta(phi: Double): Double =
+      if (spherical) math.sin(phi)
+      else math.max(-1.0, math.min(1.0, qOfSin(math.sin(phi)) / qP))
+    /** Snyder 3-16 fixed point: geodetic latitude back from sin(beta). */
+    private def phiFromSinBeta(sb: Double): Double = {
+      if (spherical) return math.asin(math.max(-1.0, math.min(1.0, sb)))
+      val qq = sb * qP
+      if (math.abs(qq) >= math.abs(qP) - 1e-14)
+        return if (qq >= 0) math.Pi / 2 else -math.Pi / 2
+      var phi = math.asin(qq / 2)
+      var i = 0
+      while (i < 15) {
+        val sp = math.sin(phi)
+        val den = 1 - e2 * sp * sp
+        phi = phi + den * den / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - sp / den + (1 / (2 * e)) * math.log((1 - e * sp) / (1 + e * sp)))
+        i += 1
+      }
+      phi
+    }
     private val A1 = 1.340264
     private val A2 = -0.081106
     private val A3 = 0.000893
@@ -918,7 +954,7 @@ object CRS {
       val phi = math.toRadians(lat)
       var dLam = math.toRadians(lon) - l0
       if (dLam > math.Pi) dLam -= 2 * math.Pi else if (dLam < -math.Pi) dLam += 2 * math.Pi
-      val th = math.asin(math.max(-1.0, math.min(1.0, Mc * math.sin(phi))))
+      val th = math.asin(math.max(-1.0, math.min(1.0, Mc * sinBeta(phi))))
       (x0 + R * dLam * math.cos(th) / (Mc * yPolyD(th)),
         y0 + R * yPoly(th))
     }
@@ -930,7 +966,7 @@ object CRS {
         val next = th - (yPoly(th) - target) / yPolyD(th)
         if (math.abs(next - th) < 1e-15) { th = next; i = 50 } else { th = next; i += 1 }
       }
-      val phi = math.asin(math.max(-1.0, math.min(1.0, math.sin(th) / Mc)))
+      val phi = phiFromSinBeta(math.sin(th) / Mc)
       val cosTh = math.cos(th)
       val lam =
         if (cosTh < 1e-12) l0
@@ -1222,7 +1258,8 @@ object CRS {
           d("lon_0", 0), d("x_0", 0), d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
       case "eqearth" =>
-        val p = EqualEarth(kv.get("R").map(_.toDouble).getOrElse(ell.a),
+        // +R pins the spherical form; +ellps gives PROJ's authalic form
+        val p = EqualEarth(ell, kv.get("R").map(_.toDouble),
           d("lon_0", 0), d("x_0", 0), d("y_0", 0))
         ((p.forward _).tupled, (p.inverse _).tupled)
       case other => throw new IllegalArgumentException(
@@ -1292,7 +1329,7 @@ object CRS {
     "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
   registerProj4("ESRI:54009", // World Mollweide (spherical on WGS84 a)
     "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
-  registerProj4("ESRI:54035", // Equal Earth (spherical on WGS84 a)
+  registerProj4("ESRI:54035", // Equal Earth (ellipsoidal/authalic, PROJ-matching)
     "+proj=eqearth +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
 
   /**

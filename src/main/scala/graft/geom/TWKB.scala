@@ -123,7 +123,15 @@ object TWKB {
     try { if (bytes == null || bytes.length < 2) null else read(new Reader(bytes)) }
     catch { case _: Exception => null }
 
-  private def read(in: Reader): Geometry = {
+  // Collection nesting is explicitly depth-bounded: each nested collection
+  // header costs ~2 bytes, so an unbounded recursion would let a crafted
+  // blob throw StackOverflowError — an Error, which escapes readOrNull's
+  // Exception catch and fails the task instead of yielding SQL NULL.
+  private val MaxDepth = 32
+
+  private def read(in: Reader, depth: Int = 0): Geometry = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(s"TWKB collection nesting > $MaxDepth")
     val h = in.bytes(in.pos) & 0xff; in.pos += 1
     val typeId = h & 0x0f
     val precision = unzigzag((h >> 4).toLong).toInt
@@ -195,7 +203,7 @@ object TWKB {
       case 7 =>
         val n = bounded(in.uvarint(), 1)
         if (hasIds) { var i = 0; while (i < n) { in.svarint(); i += 1 } }
-        GeometryCollection(Array.fill(n)(read(in)))
+        GeometryCollection(Array.fill(n)(read(in, depth + 1)))
       case t => throw new IllegalArgumentException(s"bad TWKB type $t")
     }
   }

@@ -45,7 +45,15 @@ object WKB {
     n
   }
 
-  private def readGeom(buf: ByteBuffer): Geometry = {
+  // Nesting is depth-bounded: each nested header costs only ~9 bytes, so a
+  // crafted blob of stacked GeometryCollection headers would otherwise drive
+  // readGeom into StackOverflowError — an Error, which escapes readOrNull's
+  // Exception catch and kills the task instead of yielding SQL NULL.
+  private final val MaxDepth = 32
+
+  private def readGeom(buf: ByteBuffer, depth: Int = 0): Geometry = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(s"WKB nesting deeper than $MaxDepth")
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val rawType = buf.getInt()
@@ -68,16 +76,16 @@ object WKB {
       case PolyT  => readPolygonBody(buf)
       case MPointT =>
         val n = checkedCount(buf, 21) // 1 + 4 + 16 bytes per point
-        MultiPoint(Array.fill(n)(readGeom(buf).asInstanceOf[Point]))
+        MultiPoint(Array.fill(n)(readGeom(buf, depth + 1).asInstanceOf[Point]))
       case MLineT =>
         val n = checkedCount(buf, 9) // header + count of an empty line
-        MultiLineString(Array.fill(n)(readGeom(buf).asInstanceOf[LineString]))
+        MultiLineString(Array.fill(n)(readGeom(buf, depth + 1).asInstanceOf[LineString]))
       case MPolyT =>
         val n = checkedCount(buf, 9)
-        MultiPolygon(Array.fill(n)(readGeom(buf).asInstanceOf[Polygon]))
+        MultiPolygon(Array.fill(n)(readGeom(buf, depth + 1).asInstanceOf[Polygon]))
       case CollT =>
         val n = checkedCount(buf, 9)
-        GeometryCollection(Array.fill(n)(readGeom(buf)))
+        GeometryCollection(Array.fill(n)(readGeom(buf, depth + 1)))
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
   }
@@ -110,7 +118,9 @@ object WKB {
     readGeomF(ByteBuffer.wrap(bytes))
   }
 
-  private def readGeomF(buf: ByteBuffer): Geometry = {
+  private def readGeomF(buf: ByteBuffer, depth: Int = 0): Geometry = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(s"WKB nesting deeper than $MaxDepth")
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val rawType = buf.getInt()
@@ -143,16 +153,16 @@ object WKB {
         Polygon(Array.fill(nRings)(coords()))
       case MPointT =>
         val n = checkedCount(buf, 21)
-        MultiPoint(Array.fill(n)(readGeomF(buf).asInstanceOf[Point]))
+        MultiPoint(Array.fill(n)(readGeomF(buf, depth + 1).asInstanceOf[Point]))
       case MLineT =>
         val n = checkedCount(buf, 9)
-        MultiLineString(Array.fill(n)(readGeomF(buf).asInstanceOf[LineString]))
+        MultiLineString(Array.fill(n)(readGeomF(buf, depth + 1).asInstanceOf[LineString]))
       case MPolyT =>
         val n = checkedCount(buf, 9)
-        MultiPolygon(Array.fill(n)(readGeomF(buf).asInstanceOf[Polygon]))
+        MultiPolygon(Array.fill(n)(readGeomF(buf, depth + 1).asInstanceOf[Polygon]))
       case CollT =>
         val n = checkedCount(buf, 9)
-        GeometryCollection(Array.fill(n)(readGeomF(buf)))
+        GeometryCollection(Array.fill(n)(readGeomF(buf, depth + 1)))
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
   }

@@ -305,6 +305,13 @@ object AsOfJoin {
     }, payloadSchema)
 
     val probeCol = lookup(leftKey.cast("long"), leftTime.cast("long"))
+    // withColumn REPLACES a same-named left column silently; the join-based
+    // fallback path keeps both sides, so a collision here would change
+    // semantics depending on which path dispatch picked. Fail loud instead.
+    val clash = payloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"as-of payload columns ${clash.mkString(", ")} collide with left-side " +
+        "columns; rename or drop them on one side before the join")
     val withPayload = left.withColumn("__p", probeCol)
     payloadCols.foldLeft(withPayload) { (df, nm) =>
         df.withColumn(nm, col("__p").getField(nm))

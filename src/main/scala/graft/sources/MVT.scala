@@ -264,10 +264,37 @@ object MVT {
         val ls = parts.map(LineString(_)).toArray
         if (ls.length == 1) ls(0) else MultiLineString(ls)
       case 3 =>
-        // rings in order; first ring of each polygon is the exterior (CW in
-        // y-down space); group consecutive rings into one polygon here
-        // (single-polygon-per-feature callers get exactly their rings back)
-        Polygon(parts.toArray)
+        // Rings arrive in order: each polygon = one exterior ring followed by
+        // its holes (vector-tile-spec 2.1 §4.3.3.3 — exterior and interior
+        // rings wind OPPOSITE ways). Group by orientation: a ring whose
+        // signed area matches the FIRST ring's sign starts a new polygon,
+        // opposite-sign rings are holes of the current one. A decoded
+        // MultiPolygon therefore keeps its parts separate instead of
+        // conflating extra exteriors into one polygon's hole list.
+        def signedArea2(r: Array[Double]): Double = {
+          var a = 0.0; var j = 0
+          val np = r.length / 2
+          while (j < np - 1) {
+            a += r(2 * j) * r(2 * j + 3) - r(2 * j + 2) * r(2 * j + 1)
+            j += 1
+          }
+          a
+        }
+        val polys = scala.collection.mutable.ArrayBuffer[Polygon]()
+        var group = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        var extSign = 0.0
+        parts.foreach { r =>
+          val s = math.signum(signedArea2(r))
+          if (group.isEmpty) { extSign = s; group += r }
+          else if (s == extSign || s == 0.0) {
+            // same winding as the running exterior (or degenerate): if the
+            // exterior sign is defined, this starts the next polygon
+            if (s != 0.0) { polys += Polygon(group.toArray); group = scala.collection.mutable.ArrayBuffer(r) }
+            else group += r
+          } else group += r
+        }
+        if (group.nonEmpty) polys += Polygon(group.toArray)
+        if (polys.length == 1) polys(0) else MultiPolygon(polys.toArray)
       case t => throw new IllegalArgumentException(s"bad geom type $t")
     }
   }

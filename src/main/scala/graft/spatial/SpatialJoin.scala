@@ -399,8 +399,19 @@ object SpatialJoin {
     // are unchanged (left-outer null-fill happens in stitch from the
     // full left side). Costs one narrow scan of the right side + a
     // <=8B-per-cell broadcast; disable with graft.gridjoin.pruneMaxCells=0.
+    // Default gate: the probe (one narrow right-side scan + a count job) only
+    // pays off when the right side is big enough that shuffling un-pruned
+    // left rows would dominate it. When the optimizer estimates the right
+    // side under the broadcast threshold the whole join is already small —
+    // skip the probe (a measured ~2x overhead on sf0.1-sized joins). An
+    // EXPLICIT graft.gridjoin.pruneMaxCells setting always wins, both ways.
     val pruneMax = spark.conf.getOption("graft.gridjoin.pruneMaxCells")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse {
+        val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+        val rightSmall = thr > 0 &&
+          right.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+        if (rightSmall) 0L else 4000000L
+      }
     // Hot-cell salting is OPT-IN (0 = off): its detection needs per-cell
     // counts of BOTH sides — one extra decode pass over each cell
     // expansion — which is worth paying when a profile (tools/SkewBench)
