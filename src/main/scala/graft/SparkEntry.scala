@@ -404,6 +404,22 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // DEEP BPE training — 256 exact sequential merges over the customer
+    // name vocabulary (1500 distinct words, heavy count ties exercising
+    // the lexicographic tie-break). Runs on the driver-incremental exact
+    // path (cap-probed vocabulary collect, incremental pair-count deltas
+    // + inverted pair->word index — the classic tokenizer-trainer
+    // algorithm): O(1) Spark jobs for all 256 merges instead of one full
+    // recount per merge, bit-equal to the distributed sequential loop
+    // (PipelineSpec pins parity). The oracle replays all 256 rounds as
+    // unrolled MATERIALIZED CTEs.
+    "q307_bpe_deep" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val txt = s.read.parquet(s"$dir/customer.parquet")
+        .select(concat_ws(" ", col("c_name"), col("c_mktsegment")).as("text"))
+      Bpe.bpeMerges(txt, "text", rounds = 256).orderBy("round")
+    }),
+
     // Cross-source n-gram LEAKAGE matrix — which sources share phrasing
     // (the between-source view of contamination, q108's within-corpus
     // shape): distinct (source, 8-gram) sets, pair overlap by one
@@ -5838,11 +5854,16 @@ object SparkEntry {
        |  FROM adcarr)""".stripMargin
   }
 
-  /** BPE training replay for the q227/q228 oracles: vocabulary reduction
-    * + `rounds` unrolled merge rounds. Each m$r is the argmax pair
-    * (weighted count desc, pair asc); each w$r applies the literal
-    * space-bounded replace exactly like [[graft.pipeline.Bpe.bpeMerges]]. */
-  private def bpeTrainCtes(rounds: Int): String = {
+  /** BPE training replay for the q227/q228/q307 oracles: vocabulary
+    * reduction + `rounds` unrolled merge rounds. Each m$r is the argmax
+    * pair (weighted count desc, pair asc); each w$r applies the literal
+    * space-bounded replace exactly like [[graft.pipeline.Bpe.bpeMerges]].
+    * MATERIALIZED is load-bearing at deep round counts: without it DuckDB
+    * re-inlines each w$r chain per reference (multiplicative plan blowup,
+    * and one parquet open per inlined scan — 256 rounds exhausted the fd
+    * limit before it exhausted the optimizer). */
+  private def bpeTrainCtes(rounds: Int, from: String = "documents",
+      textExpr: String = "text"): String = {
     val round = (1 to rounds).map { r =>
       s"""p$r AS (SELECT pair, cast(sum(cnt) as bigint) AS f FROM (
          |  SELECT cnt, unnest(CASE WHEN len(s) >= 2
@@ -5850,15 +5871,15 @@ object SparkEntry {
          |      ELSE [] END) AS pair
          |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS s FROM w${r - 1}))
          |  GROUP BY pair),
-         |m$r AS (SELECT pair, f FROM p$r ORDER BY f DESC, pair LIMIT 1),
-         |w$r AS (SELECT word, cnt, replace(sym, (SELECT ' ' || pair || ' ' FROM m$r),
+         |m$r AS MATERIALIZED (SELECT pair, f FROM p$r ORDER BY f DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, cnt, replace(sym, (SELECT ' ' || pair || ' ' FROM m$r),
          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)) AS sym
          |  FROM w${r - 1})""".stripMargin
     }.mkString(",\n")
-    s"""wc AS (SELECT word, count(*) AS cnt FROM (
-       |    SELECT unnest(regexp_extract_all(trim(text), '\\S+')) AS word FROM documents)
+    s"""wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(trim($textExpr), '\\S+')) AS word FROM $from)
        |  GROUP BY word),
-       |w0 AS (SELECT word, cnt,
+       |w0 AS MATERIALIZED (SELECT word, cnt,
        |    ' ' || array_to_string(list_transform(range(length(word)),
        |        i -> word[i + 1 : i + 1]), ' ') || ' ' AS sym
        |  FROM wc),
@@ -7415,6 +7436,17 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // full 256-round unrolled replay (MATERIALIZED CTE per round) over
+    // the customer-name vocabulary
+    "q307_bpe_deep" ->
+      s"""WITH ${bpeTrainCtes(256,
+            "(SELECT c_name || ' ' || c_mktsegment AS text FROM customer)", "text")}
+         |SELECT round, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, f AS freq
+         |FROM (${(1 to 256).map(r => s"SELECT $r AS round, pair, f FROM m$r")
+        .mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin,
 
     // engine twin gram construction (list_transform + inclusive slices)
     "q306_cross_source_leakage" ->

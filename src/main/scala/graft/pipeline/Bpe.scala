@@ -54,6 +54,11 @@ object Bpe {
    * from sequential order when a merge would have changed the counts of a
    * later pick in the same batch, which is the documented approximation.
    */
+  /** Vocabulary cap for the driver-incremental exact path: (word, cnt)
+    * pairs collected to the driver. ~60 MB at the default; override with
+    * spark conf `graft.bpe.maxDriverVocab` (0 disables the driver path). */
+  private val DefaultMaxDriverVocab = 2000000L
+
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int,
       batchK: Int = 1): DataFrame = {
     val spark = df.sparkSession
@@ -62,6 +67,29 @@ object Bpe {
     val words = df
       .select(explode(filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+    // Exact-and-fast dispatch (batchK <= 1 = the sequential-semantics
+    // contract): after the ONE corpus-sized shuffle reduces to (word, cnt),
+    // probe whether the vocabulary fits the driver cap (cap+1 limit — the
+    // AsOfJoin discipline, never an unguarded collect). If it fits, run the
+    // classic incremental-pair-count merge loop in driver memory: bit-equal
+    // to the distributed sequential loop (BpeSpec pins parity) at ZERO Spark
+    // jobs per merge instead of one full recount each — the 32k-merge train
+    // becomes 2 jobs + driver compute. Oversized vocabularies fall through
+    // to the distributed sequential loop below (exact, 1 job/merge).
+    if (batchK <= 1) {
+      val cap = spark.conf.getOption("graft.bpe.maxDriverVocab")
+        .map(_.toLong).getOrElse(DefaultMaxDriverVocab)
+      if (cap > 0) {
+        val probeCap = math.min(cap, (Int.MaxValue - 2).toLong).toInt
+        val probe = words.limit(probeCap + 1).collect()
+        if (probe.length <= probeCap) {
+          val vocab = probe.map(r => (r.getString(0), r.getLong(1)))
+          val merges = mergesInMemory(vocab, rounds)
+          return spark.createDataset(merges).toDF("round", "lhs", "rhs", "freq")
+        }
+      }
+    }
     // ' c h a r s ' — leading/trailing sentinels make every adjacency a
     // bounded ' a b ' pattern for the literal replace
     var syms = words.select($"word", $"cnt",
@@ -127,6 +155,101 @@ object Bpe {
       }
     }
     spark.createDataset(out.toSeq).toDF("round", "lhs", "rhs", "freq")
+  }
+
+  /**
+   * Driver-memory exact BPE merge loop over a collected (word, cnt)
+   * vocabulary — the classic incremental algorithm (maintain pair counts
+   * and an inverted pair -> words index; a merge touches ONLY the words
+   * containing its pair), which is what reference tokenizer trainers do.
+   * Semantics are IDENTICAL to the distributed sequential loop: same
+   * ` a b ` -> ` ab ` literal non-rescanning replace (java.lang.String
+   * .replace and Spark's replace share it), same (count desc, pair asc)
+   * total order, counts maintained by per-word delta recount (subtract the
+   * word's old pair multiset, add its new one) — exact by construction,
+   * even for the self-overlap corner where a replaced word still contains
+   * the pair (` a b a b ` -> ` ab a b `).
+   */
+  private[pipeline] def mergesInMemory(
+      vocab: Array[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    // code-point split (matches Spark's split(word, '') and DuckDB slicing)
+    def symForm(w: String): String = {
+      val sb = new StringBuilder(" ")
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendAll(Character.toChars(cp)); sb.append(' ')
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    def wordPairs(sym: String): mutable.HashMap[String, Int] = {
+      val toks = sym.trim.split(" ")
+      val m = mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i < toks.length - 1) {
+        val p = toks(i) + " " + toks(i + 1)
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    val n = vocab.length
+    val syms = new Array[String](n)
+    val cnts = new Array[Long](n)
+    val pairF = mutable.HashMap.empty[String, Long]
+    val pairWords = mutable.HashMap.empty[String, mutable.HashSet[Int]]
+    var i = 0
+    while (i < n) {
+      syms(i) = symForm(vocab(i)._1); cnts(i) = vocab(i)._2
+      wordPairs(syms(i)).foreach { case (p, m) =>
+        pairF.update(p, pairF.getOrElse(p, 0L) + m * cnts(i))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    // argmax structure: head = (max f, lexicographically smallest pair)
+    val heap = mutable.TreeSet.empty[(Long, String)](Ordering.fromLessThan {
+      (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    })
+    pairF.foreach { case (p, f) => heap += ((f, p)) }
+    def bump(p: String, delta: Long): Unit = {
+      val old = pairF.getOrElse(p, 0L)
+      if (old != 0L) heap -= ((old, p))
+      val neu = old + delta
+      if (neu != 0L) { pairF.update(p, neu); heap += ((neu, p)) }
+      else pairF.remove(p)
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= rounds && heap.nonEmpty) {
+      val (f, pair) = heap.head
+      val Array(a, b) = pair.split(" ", 2)
+      out += ((r, a, b, f))
+      val affected = pairWords.getOrElse(pair, mutable.HashSet.empty).toArray
+      val pat = s" $a $b "; val rep = s" $a$b "
+      affected.foreach { w =>
+        val old = syms(w)
+        val neu = old.replace(pat, rep)
+        if (neu != old) {
+          val oldP = wordPairs(old); val newP = wordPairs(neu)
+          (oldP.keySet ++ newP.keySet).foreach { p =>
+            val d = newP.getOrElse(p, 0) - oldP.getOrElse(p, 0)
+            if (d != 0) bump(p, d.toLong * cnts(w))
+            val had = oldP.contains(p); val has = newP.contains(p)
+            if (has && !had) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+            else if (had && !has) {
+              val s = pairWords(p); s -= w
+              if (s.isEmpty) pairWords.remove(p)
+            }
+          }
+          syms(w) = neu
+        }
+      }
+      r += 1
+    }
+    out.toSeq
   }
 
   /**

@@ -279,6 +279,54 @@ class PipelineSpec extends AnyFunSuite {
       (1, 0, "aa"), (1, 1, "a"), (1, 2, "a")))
   }
 
+  test("driver-exact BPE == distributed sequential BPE (unicode, runs, re-pickable pairs)") {
+    // corner inventory: astral-plane code points (surrogate pairs), a
+    // same-symbol run ('aaaa' — the non-rescanning replace corner), and
+    // ' a b a b ' words where the merged pair SURVIVES its own merge
+    // (' ab a b ') and may be re-picked in a later round
+    val tricky = Seq(
+      "abab abab abab cd cd", "aaaa aaaa baaa", "x𝄞x x𝄞x y",
+      "the quick brown fox", "the quick brown cat", "ababab cdcd",
+      "mississippi banana bandana", "", "  spaced   out  ").toDF("text")
+    val fast = Bpe.bpeMerges(tricky, "text", rounds = 30)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    spark.conf.set("graft.bpe.maxDriverVocab", "0") // force the distributed loop
+    val slow =
+      try Bpe.bpeMerges(tricky, "text", rounds = 30)
+        .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+      finally spark.conf.unset("graft.bpe.maxDriverVocab")
+    assert(fast == slow, s"driver path diverged:\n  fast=$fast\n  slow=$slow")
+    assert(fast.nonEmpty)
+  }
+
+  test("driver-exact BPE: 256 merges at O(1) Spark jobs") {
+    val chars = (0 until 512).map(i => (0x4E00 + i).toChar)
+    val words = (0 until 256).map { i =>
+      val a = chars(2 * i); val b = chars(2 * i + 1); s"$a$b$a$b$a$b"
+    }
+    val docs = words.grouped(16).map(_.mkString(" ")).toSeq.toDF("text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try {
+        val m = Bpe.bpeMerges(docs, "text", rounds = 256) // batchK=1: exact path
+          .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+        val deadline = System.currentTimeMillis + 5000
+        var last = -1
+        while (System.currentTimeMillis < deadline && jobs != last) {
+          last = jobs; Thread.sleep(200)
+        }
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(merges.length == 256)
+    assert(merges.map(_._1) == (1 to 256), "merge numbering stays sequential")
+    assert(jobs <= 6, s"driver-exact path used $jobs jobs; sequential needs 256")
+  }
+
   test("batched BPE: 256 merges in >=10x fewer driver rounds than sequential") {
     // 256 designed-disjoint pairs over 512 distinct symbols: every round's
     // greedy symbol-disjoint filter can take a full batch, so the loop
