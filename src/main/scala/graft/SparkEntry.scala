@@ -488,29 +488,53 @@ object SparkEntry {
            |FROM pts ORDER BY c_custkey""".stripMargin)
     }),
 
+    // nProbe CALIBRATION for the IVF family (the guardrail q267 showed is
+    // needed: recall ~0.5 at the tight nProbe=2 default is silent): ONE
+    // corpus scan scores every (sample query, row) pair, the exact top-k
+    // per query (self excluded) joins each hit's cell to its rank in the
+    // query's centroid preference order, and every candidate budget's
+    // recall reads off that table — no per-budget re-search. `chosen`
+    // marks the smallest budget reaching the 0.9 target.
+    "q308_nprobe_calibration" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.calibrateNProbe(emb, "vec_id", "embedding", cents,
+          k = 10, targetRecall = 0.9, nQueries = 8)
+        .orderBy("n_probe")
+    }),
+
     // Mutual-best matching AT SCALE: q302's reciprocal-NN assignment
     // through ONE shared IVF cell space (centroids trained on the union)
     // — both directions bound candidates to nProbe probed cells, so the
     // pair table grows with cell occupancy, never with the product of
-    // the sides. The approximate twin whose recall the cell budget
-    // controls (q267's knob); q302 remains the exact verifier.
+    // the sides. The probe budget is no longer a guessed constant: the
+    // q308 calibration picks the smallest nProbe reaching 0.9 sample
+    // recall@10, and the output carries (n_probe, cal_recall) so the
+    // approximation is LOUD. q302 remains the exact verifier.
     "q304_mutual_best_ivf" -> ((s: SparkSession, dir: String) => {
       init(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val sel = Similarity.calibrateNProbe(emb, "vec_id", "embedding", cents,
+          k = 10, targetRecall = 0.9, nQueries = 8)
+        .filter(col("chosen")).select("n_probe", "recall").collect()(0)
+      val nSel = sel.getInt(0); val calRecall = sel.getDouble(1)
       val a = emb.where(col("label") === 0)
         .select(col("vec_id").as("aid"), col("embedding").as("av"))
       val b = emb.where(col("label") === 1)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val ab = Similarity.ivfKnnJoin(a, "aid", "av", b, "bid", "bv",
-          kCells = 8, nProbe = 2, k = 1, centroids = Some(cents))
+          kCells = 8, nProbe = nSel, k = 1, centroids = Some(cents))
         .select(col("lid").as("aid"), col("rid").as("ab_bid"), col("cos").as("ab_cos"))
       val ba = Similarity.ivfKnnJoin(b, "bid", "bv", a, "aid", "av",
-          kCells = 8, nProbe = 2, k = 1, centroids = Some(cents))
+          kCells = 8, nProbe = nSel, k = 1, centroids = Some(cents))
         .select(col("lid").as("bid"), col("rid").as("ba_aid"))
       ab.join(ba, ab("ab_bid") === ba("bid") && ab("aid") === ba("ba_aid"))
         .select(col("aid").cast("long").as("aid"), col("bid").cast("long").as("bid"),
           (round(col("ab_cos"), 6) + 0.0).as("cosine"))
+        .withColumn("n_probe", lit(nSel))
+        .withColumn("cal_recall", lit(calRecall))
         .orderBy("aid")
     }),
 
@@ -5810,6 +5834,38 @@ object SparkEntry {
        |  LEFT JOIN m$k m ON m.c = c.c AND m.d = d.d
        |  GROUP BY c.c)""".stripMargin
 
+  /** nProbe-calibration replay (Similarity.calibrateNProbe): sample = the
+    * `nQueries` smallest ids; `crank` = each query's centroid preference
+    * order; exact top-`k` per query EXCLUDING the query row itself; then
+    * every candidate budget's recall off the same table. Emits CTEs up to
+    * `calrec(n_probe, hits, recall)` and `calsel(nsel, recall)` (the
+    * smallest budget reaching `target`, else kCells). Expects `v` and a
+    * trained `c2` in scope (annInit/annLloyd). */
+  private def annCalCtes(kCells: Int, k: Int, target: Double, nQueries: Int): String =
+    s"""calq AS (SELECT vec_id AS qid, v AS qv FROM v ORDER BY vec_id LIMIT $nQueries),
+       |calcr AS (SELECT qid, cell, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cell) AS crank FROM (
+       |  SELECT q.qid, cc.c AS cell,
+       |    list_dot_product(q.qv, cc.v) /
+       |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cc.v, cc.v))) AS cos
+       |  FROM calq q CROSS JOIN c2 cc) x),
+       |caltop AS (SELECT qid, vec_id, c FROM (
+       |  SELECT q.qid, a.vec_id, a.c, row_number() OVER (PARTITION BY q.qid ORDER BY
+       |    list_dot_product(a.v, q.qv) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |    a.vec_id) AS rn
+       |  FROM af a CROSS JOIN calq q WHERE a.vec_id != q.qid) x WHERE rn <= $k),
+       |calbr AS (SELECT cr.crank, count(*) AS c FROM caltop t
+       |  JOIN calcr cr ON cr.qid = t.qid AND cr.cell = t.c GROUP BY cr.crank),
+       |calrec AS (SELECT n.n AS n_probe, cast(coalesce(sum(b.c), 0) as bigint) AS hits,
+       |    round(cast(coalesce(sum(b.c), 0) as double) / ${nQueries * k}.0, 6) + 0.0 AS recall
+       |  FROM range(1, ${kCells + 1}) n(n) LEFT JOIN calbr b ON b.crank <= n.n
+       |  GROUP BY n.n),
+       |calsel AS (SELECT coalesce((SELECT min(n_probe) FROM calrec WHERE recall >= $target),
+       |    $kCells) AS nsel,
+       |  (SELECT recall FROM calrec WHERE n_probe = coalesce(
+       |    (SELECT min(n_probe) FROM calrec WHERE recall >= $target), $kCells)) AS recall)""".stripMargin
+
   /** PQ codebook training (m=8 subspaces x k=16 x 8 dims, 2 Lloyd rounds)
     * + per-subspace code assignment `enc` + ADC partial sums `adc(vec_id,
     * dotsum, normsum)` — dl/nl folded in explicit j order so the sums add
@@ -7484,8 +7540,21 @@ object SparkEntry {
         |  CAST('1.0' AS DOUBLE) AS area_ratio
         |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
 
-    // one shared Lloyd chain; per-side top-2 probes; within-cell argmax
-    // both directions; reciprocal join
+    // calibration replay: one scored table, per-query exact top-10 (self
+    // excluded), per-budget cumulative hit counts
+    "q308_nprobe_calibration" ->
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |${annInit(8)},
+         |${annLloyd(1)},
+         |${annLloyd(2)},
+         |${annAssign("af", "c2")},
+         |${annCalCtes(kCells = 8, k = 10, target = 0.9, nQueries = 8)}
+         |SELECT cast(n_probe as int) AS n_probe, hits, recall,
+         |  n_probe = (SELECT nsel FROM calsel) AS chosen
+         |FROM calrec ORDER BY n_probe""".stripMargin,
+
+    // one shared Lloyd chain; CALIBRATED per-side probe budget (the q308
+    // chain picks nsel); within-cell argmax both directions; reciprocal join
     "q304_mutual_best_ivf" -> {
       def cosSql(x: String, y: String) =
         s"""list_dot_product($x, $y) /
@@ -7495,7 +7564,7 @@ object SparkEntry {
            |  SELECT p.vec_id, p.vv, cc.c, row_number() OVER (PARTITION BY p.vec_id
            |    ORDER BY ${cosSql("p.vv", "cc.v")} DESC, cc.c) AS rn
            |  FROM (SELECT vec_id, v AS vv FROM v WHERE label = $lbl) p
-           |  CROSS JOIN c2 cc) x WHERE rn <= 2)""".stripMargin
+           |  CROSS JOIN c2 cc) x WHERE rn <= (SELECT nsel FROM calsel))""".stripMargin
       def side(out: String, lbl: Int, idAs: String, vAs: String) =
         s"""$out AS (SELECT af.vec_id AS $idAs, af.v AS $vAs, af.c
            |  FROM af JOIN v vv ON vv.vec_id = af.vec_id WHERE vv.label = $lbl)""".stripMargin
@@ -7511,6 +7580,7 @@ object SparkEntry {
          |${annLloyd(1)},
          |${annLloyd(2)},
          |${annAssign("af", "c2")},
+         |${annCalCtes(kCells = 8, k = 10, target = 0.9, nQueries = 8)},
          |${side("bf", 1, "bid", "bv")},
          |${side("afd", 0, "aid", "av")},
          |${probes("ap", 0, "aid", "av")},
@@ -7518,7 +7588,9 @@ object SparkEntry {
          |${best("ab", "ap", "bf", "aid", "av", "bid", "bv")},
          |${best("ba", "bp", "afd", "bid", "bv", "aid", "av")}
          |SELECT cast(ab.aid as bigint) AS aid, cast(ab.bid as bigint) AS bid,
-         |  round(ab.cos, 6) + 0.0 AS cosine
+         |  round(ab.cos, 6) + 0.0 AS cosine,
+         |  cast((SELECT nsel FROM calsel) as int) AS n_probe,
+         |  (SELECT recall FROM calsel) AS cal_recall
          |FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid
          |ORDER BY aid""".stripMargin
     },

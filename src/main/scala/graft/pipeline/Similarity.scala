@@ -601,6 +601,80 @@ object Similarity {
   }
 
   /**
+   * Recall-targeted probe-budget CALIBRATION for the IVF family — the
+   * missing guardrail around nProbe: a tight default silently buys speed
+   * with recall (measured ~0.5 single-direction at nProbe=2/kCells=8,
+   * q267). This measures recall@k on a deterministic query sample and
+   * reports every candidate budget so callers pick the smallest nProbe
+   * meeting a target instead of guessing.
+   *
+   * Deterministic and cheap by construction: the sample is the `nQueries`
+   * smallest ids (collected bounded, codebook discipline); ONE corpus
+   * scan scores every (sample query, row) pair — queries ride along as a
+   * broadcast literal table — and a per-query window takes the exact
+   * brute-force top-k. A top-k row is retrieved at budget n iff the rank
+   * of its cell in the query's centroid preference order is <= n, so the
+   * recall of ALL kCells candidate budgets reads off that one scan: no
+   * per-budget re-search. At 100 TB this costs one pass over the corpus —
+   * the price of ONE brute-force query batch — amortized over the life of
+   * the index.
+   *
+   * @return one row per candidate budget: (n_probe, hits, recall,
+   *         chosen) — `chosen` marks the smallest budget whose sample
+   *         recall reaches `targetRecall` (the full sweep if none does,
+   *         i.e. n_probe = kCells: exact search over all cells).
+   */
+  def calibrateNProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      targetRecall: Double,
+      nQueries: Int = 8): DataFrame = {
+    require(nQueries >= 1 && k >= 1 && centroids.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kCells = centroids.length
+    val qs: Seq[(Long, Array[Double])] = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol))
+      .orderBy("id").limit(nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray)).toSeq
+    // (qid, cell, crank): the query's centroid preference order (cos desc,
+    // cell asc — exactly selectProbes), 1-based
+    val rankDf = broadcast(qs.flatMap { case (qid, qv) =>
+      centroids.indices.sortBy(c => (-cosVec(qv, centroids(c)), c)).zipWithIndex
+        .map { case (cell, r) => (qid, cell, r + 1) }
+    }.toDF("qid", "cell", "crank"))
+    val qdf = broadcast(qs.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qv"))
+    // the query row itself is dropped (id != qid): sample queries come
+    // from the corpus, and the guaranteed self-hit (cos 1.0, crank 1)
+    // would inflate every budget's recall — held-out-query semantics
+    val scored = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        exprColumn(NearestCentroid(columnExpr(col(vecCol)), centroids)).as("cell"))
+      .crossJoin(qdf)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("cell"),
+        cosineCols(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("id"))
+    val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .join(rankDf, Seq("qid", "cell"))
+    val byRank = topk.groupBy("crank").agg(count(lit(1)).as("c"))
+    val denom = (qs.length.toLong * k).toDouble
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spark.range(1, kCells + 1).toDF("n_probe")
+      .join(byRank, col("crank") <= col("n_probe"), "left")
+      .groupBy("n_probe").agg(coalesce(sum("c"), lit(0L)).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / denom, 6) + lit(0.0))
+      .withColumn("chosen", col("n_probe") === coalesce(
+        min(when(col("recall") >= targetRecall, col("n_probe"))).over(wAll),
+        lit(kCells.toLong)))
+      .select(col("n_probe").cast("int").as("n_probe"), col("hits"),
+        col("recall"), col("chosen"))
+  }
+
+  /**
    * Greedy k-center diverse-subset selection (Gonzalez 2-approximation) —
    * the coreset/curation primitive for "pick k maximally-spread exemplars"
    * over an embedding column. Seed = smallest id; each round picks the

@@ -223,6 +223,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(one == exact) // clustered data: the query's own cell holds the top-k
   }
 
+  test("calibrateNProbe: full sweep reaches 1.0, chosen is the smallest budget over target") {
+    // 3 tight clusters (same synth as the IVF test): a query's own cell
+    // holds most of its true top-k, so recall must be high at nProbe=1
+    // and EXACTLY 1.0 at nProbe=3 (probing every cell is exhaustive)
+    val vecs = (0 until 60).map { i =>
+      val base = i % 3 match {
+        case 0 => Array(1.0f, 0f, 0f, 0f)
+        case 1 => Array(0f, 1.0f, 0f, 0f)
+        case _ => Array(0f, 0f, 1.0f, 0f)
+      }
+      (i.toLong, base.map(v => v + (i % 5) * 0.02f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val cal = Similarity.calibrateNProbe(vecs, "vec_id", "embedding", cents,
+        k = 5, targetRecall = 0.99, nQueries = 6)
+      .orderBy("n_probe")
+      .as[(Int, Long, Double, Boolean)].collect().toSeq
+    assert(cal.map(_._1) == Seq(1, 2, 3))
+    assert(cal.last._3 == 1.0, s"full sweep must be exact: $cal")
+    // recall is monotone in the budget
+    assert(cal.sliding(2).forall(p => p.head._3 <= p.last._3))
+    // exactly one chosen row, and it is the smallest budget >= target
+    val chosen = cal.filter(_._4)
+    assert(chosen.length == 1)
+    assert(chosen.head._1 == cal.find(_._3 >= 0.99).map(_._1).getOrElse(3))
+    // determinism across partitionings
+    val again = Similarity.calibrateNProbe(vecs.repartition(7), "vec_id", "embedding",
+        cents, k = 5, targetRecall = 0.99, nQueries = 6)
+      .orderBy("n_probe").as[(Int, Long, Double, Boolean)].collect().toSeq
+    assert(again == cal)
+  }
+
   test("Corpus.clean composes quality floor, lang filter, exact dedup") {
     val corpus = Seq(
       (1L, ("the quick brown fox is in the house and it was fine " * 5).trim), // en, long
