@@ -241,6 +241,43 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // GeoArrow MULTIPOLYGON twin (q245's discipline at the fourth list
+    // level, reference geoseries.py:109-138): a deterministic 2-part
+    // multipolygon per customer — part 1 = the standard envelope with a
+    // quarter-side square hole, part 2 = a disjoint half-side square —
+    // measured BOTH ways: st_area/st_length on the WKB geometry AND the
+    // st_partsdump List<List<List<Struct{x,y}>>> encoding through the
+    // codegen part kernels. All four columns hash-match the closed form
+    // (coordinates sit on a 0.25 grid, so every shoelace product is
+    // exact), proving the nested encoding keeps part boundaries straight
+    // (a flattened ringdump would subtract part-2's exterior as a hole).
+    "q309_geoarrow_multipolygon" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      import graft.functions.GeoArrow
+      val x0 = custX; val y0 = custY; val sd = custSide
+      // ring helper: axis-aligned square (x, y, size) as a WKT ring
+      def ring(x: String, y: String, size: String) =
+        s"concat('(', $x, ' ', $y, ', ', $x + ($size), ' ', $y, ', ', " +
+          s"$x + ($size), ' ', $y + ($size), ', ', $x, ' ', $y + ($size), ', ', $x, ' ', $y, ')')"
+      val wkt =
+        s"""concat('MULTIPOLYGON ((',
+           |  ${ring(x0, y0, sd)}, ', ',
+           |  ${ring(s"$x0 + $sd * 0.25", s"$y0 + $sd * 0.25", s"$sd * 0.25")}, '), (',
+           |  ${ring(s"$x0 + 2.0 * $sd", y0, s"$sd * 0.5")}, '))')""".stripMargin
+      val df = s.sql(
+        s"""SELECT c_custkey, st_geomfromtext($wkt) AS g FROM customer""")
+      df.select(col("c_custkey"),
+          expr("st_area(g)").as("area_wkb"),
+          // st_perimeter, not st_length: the length surface counts
+          // exterior rings only (the reference's areal-length semantic),
+          // while perimeter = all rings = the struct kernel's contract
+          expr("st_perimeter(g)").as("perim_wkb"),
+          GeoArrow.multiPolygonArea(expr("st_partsdump(g)")).as("area_struct"),
+          GeoArrow.multiPolygonPerimeter(expr("st_partsdump(g)")).as("perim_struct"))
+        .orderBy("c_custkey")
+    }),
+
     "q13_geo_distance" -> sqlQuery(Seq("customer"),
       s"""SELECT c_custkey,
          |  st_distance($custPt, st_point(0.0, 0.0)) AS dist_origin
@@ -6082,6 +6119,18 @@ object SparkEntry {
          |  2.0 * $oCustX + 10.0 AS ax,
          |  sqrt($oCustX * $oCustX + $oCustY * $oCustY) AS dist_origin,
          |  $oSide * $oSide AS area, 4.0 * $oSide AS perimeter
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // closed form on the 0.25 grid: exterior - hole + part2 areas;
+    // perimeters 4s + s + 2s; WKB and struct paths emit the same values
+    "q309_geoarrow_multipolygon" ->
+      s"""SELECT c_custkey,
+         |  $oSide * $oSide - ($oSide * 0.25) * ($oSide * 0.25)
+         |    + ($oSide * 0.5) * ($oSide * 0.5) AS area_wkb,
+         |  4.0 * $oSide + 4.0 * ($oSide * 0.25) + 4.0 * ($oSide * 0.5) AS perim_wkb,
+         |  $oSide * $oSide - ($oSide * 0.25) * ($oSide * 0.25)
+         |    + ($oSide * 0.5) * ($oSide * 0.5) AS area_struct,
+         |  4.0 * $oSide + 4.0 * ($oSide * 0.25) + 4.0 * ($oSide * 0.5) AS perim_struct
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q14_geo_centroid" ->

@@ -96,4 +96,17 @@ object GeoArrow {
   /** Perimeter over all rings (closed chains). */
   def polygonPerimeter(rings: Column): Column =
     exprColumn(NestedGeomExpr("st_rings_perimeter", columnExpr(rings)))
+
+  /** Total length over an st_linedump encoding (MultiLineString level). */
+  def multiLineLength(chains: Column): Column =
+    exprColumn(NestedGeomExpr("st_chains_length", columnExpr(chains)))
+
+  /** Area over an st_partsdump encoding (the GeoArrow MultiPolygon
+    * fourth list level: parts -> rings -> vertices). */
+  def multiPolygonArea(parts: Column): Column =
+    exprColumn(NestedGeomExpr("st_parts_area", columnExpr(parts)))
+
+  /** Perimeter over an st_partsdump encoding. */
+  def multiPolygonPerimeter(parts: Column): Column =
+    exprColumn(NestedGeomExpr("st_parts_perimeter", columnExpr(parts)))
 }

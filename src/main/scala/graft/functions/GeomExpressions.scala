@@ -197,9 +197,9 @@ object GeomKernels {
     // (closed, exterior first). POLYGON ONLY — a MultiPolygon dumps to
     // null, because this two-level encoding cannot mark part boundaries
     // and a flattened dump would make GeoArrow.polygonArea subtract other
-    // parts' exteriors as if they were holes (GeoArrow's MultiPolygon
-    // encoding is the three-level List<List<List<Struct>>>; add that
-    // encoding before widening this dump). Pair with GeoArrow.* HOF
+    // parts' exteriors as if they were holes; MultiPolygon's own encoding
+    // is st_partsdump below (the GeoArrow fourth list level). Pair with
+    // GeoArrow.* HOF
     // kernels to run area/perimeter/affine chains entirely inside
     // whole-stage codegen, no per-op WKB decode (the reference's own
     // WKB-vs-struct bench motivation, geopolars/benches/affine.rs:16-34).
@@ -209,16 +209,58 @@ object GeomKernels {
         StructField("y", DoubleType, nullable = false))), containsNull = false),
         containsNull = false),
       g => {
-        def ringData(r: Array[Double]): GenericArrayData =
-          new GenericArrayData(Array.tabulate[Any](r.length / 2)(i =>
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](r(2 * i), r(2 * i + 1)))))
         g match {
-          case p: Polygon => new GenericArrayData(p.rings.map(ringData(_): Any))
+          case p: Polygon => new GenericArrayData(p.rings.map(ringStructs(_): Any))
+          case _ => null
+        }
+      }),
+    // GeoArrow MultiLineString encoding (List<List<Struct{x,y}>> with
+    // CHAIN semantics — same physical level as st_ringdump, no closure):
+    // reference read direction geoseries.py:170-214 declares all six
+    // layouts; this is the line-family list level. LineString dumps as a
+    // single chain so the encoding is total over the line family.
+    "st_linedump"     -> U(
+      ArrayType(ArrayType(StructType(Seq(
+        StructField("x", DoubleType, nullable = false),
+        StructField("y", DoubleType, nullable = false))), containsNull = false),
+        containsNull = false),
+      g => {
+        g match {
+          case l: LineString => new GenericArrayData(Array(ringStructs(l.coords): Any))
+          case ml: MultiLineString =>
+            new GenericArrayData(ml.geoms.map(l => ringStructs(l.coords): Any))
+          case _ => null
+        }
+      }),
+    // GeoArrow MultiPolygon encoding — the FOURTH list level
+    // (List<List<List<Struct{x,y}>>>, reference geoseries.py:109-138):
+    // parts -> rings (closed, exterior first) -> vertex structs. The part
+    // boundary staying explicit is the point: a flattened ringdump would
+    // subtract other parts' exteriors as if they were holes. Polygon
+    // dumps as one part so the encoding is total over the areal family.
+    "st_partsdump"    -> U(
+      ArrayType(ArrayType(ArrayType(StructType(Seq(
+        StructField("x", DoubleType, nullable = false),
+        StructField("y", DoubleType, nullable = false))), containsNull = false),
+        containsNull = false), containsNull = false),
+      g => {
+        def polyData(p: Polygon): GenericArrayData =
+          new GenericArrayData(p.rings.map(ringStructs(_): Any))
+        g match {
+          case p: Polygon => new GenericArrayData(Array(polyData(p): Any))
+          case mp: MultiPolygon =>
+            new GenericArrayData(mp.geoms.map(polyData(_): Any))
           case _ => null
         }
       })
   )
+
+  /** One coordinate ring/chain as an array of struct<x,y> rows (shared by
+    * the st_ringdump / st_linedump / st_partsdump encodings). */
+  private def ringStructs(r: Array[Double]): GenericArrayData =
+    new GenericArrayData(Array.tabulate[Any](r.length / 2)(i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](r(2 * i), r(2 * i + 1)))))
 
   /** Binary geometry op (row-aligned two-column semantics, geoseries.rs:141-146). */
   final case class B(out: DataType, fn: (Geom, Geom) => Any)

@@ -78,19 +78,56 @@ object NestedKernels {
     s
   }
 
+  /** Total length over an array of chains — the MultiLineString level
+    * (List<List<Struct>> with chain semantics instead of ring semantics). */
+  def chainsLength(chains: ArrayData): Double = {
+    val n = chains.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += chainLength(chains.getArray(i)); i += 1 }
+    s
+  }
+
+  /** Area over the GeoArrow MultiPolygon level List<List<List<Struct>>>:
+    * each part is a ringdump (exterior first), parts sum. Keeping the
+    * part boundary explicit is exactly why this fourth list level exists —
+    * a flattened ringdump would subtract other parts' exteriors as holes. */
+  def partsArea(parts: ArrayData): Double = {
+    val n = parts.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += ringsArea(parts.getArray(i)); i += 1 }
+    s
+  }
+
+  /** Perimeter over all parts of a MultiPolygon dump. */
+  def partsPerimeter(parts: ArrayData): Double = {
+    val n = parts.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += ringsPerimeter(parts.getArray(i)); i += 1 }
+    s
+  }
+
   val xyStruct: DataType = StructType(Seq(
     StructField("x", DoubleType, nullable = false),
     StructField("y", DoubleType, nullable = false)))
   val chainType: DataType = ArrayType(xyStruct, containsNull = false)
   val ringsType: DataType = ArrayType(ArrayType(xyStruct, containsNull = false),
     containsNull = false)
+  val partsType: DataType = ArrayType(
+    ArrayType(ArrayType(xyStruct, containsNull = false), containsNull = false),
+    containsNull = false)
 
-  /** name -> (expects rings?, kernel). */
-  val kernels: Map[String, (Boolean, ArrayData => Double)] = Map(
-    "st_chain_length" -> ((false, chainLength _)),
-    "st_ring_signed_area" -> ((false, ringSignedArea _)),
-    "st_rings_area" -> ((true, ringsArea _)),
-    "st_rings_perimeter" -> ((true, ringsPerimeter _))
+  /** name -> (expected input type, kernel). */
+  val kernels: Map[String, (DataType, ArrayData => Double)] = Map(
+    "st_chain_length" -> ((chainType, chainLength _)),
+    "st_ring_signed_area" -> ((chainType, ringSignedArea _)),
+    "st_rings_area" -> ((ringsType, ringsArea _)),
+    "st_rings_perimeter" -> ((ringsType, ringsPerimeter _)),
+    "st_chains_length" -> ((ringsType, chainsLength _)),
+    "st_parts_area" -> ((partsType, partsArea _)),
+    "st_parts_perimeter" -> ((partsType, partsPerimeter _))
   )
   def names: Seq[String] = kernels.keys.toSeq
 }
@@ -98,7 +135,6 @@ object NestedKernels {
 /** Double-valued kernel over a nested-encoding column; stays inside
   * whole-stage codegen via a direct static-call doGenCode. */
 case class NestedGeomExpr(name: String, child: Expression) extends UnaryExpression {
-  @transient private lazy val wantsRings = NestedKernels.kernels(name)._1
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = name
@@ -112,7 +148,7 @@ case class NestedGeomExpr(name: String, child: Expression) extends UnaryExpressi
     case (a, b) => a == b
   }
   override def checkInputDataTypes(): TypeCheckResult = {
-    val want = if (wantsRings) NestedKernels.ringsType else NestedKernels.chainType
+    val want = NestedKernels.kernels(name)._1
     if (child.dataType == NullType || compatible(child.dataType, want))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -131,6 +167,9 @@ case class NestedGeomExpr(name: String, child: Expression) extends UnaryExpressi
       case "st_ring_signed_area" => "ringSignedArea"
       case "st_rings_area" => "ringsArea"
       case "st_rings_perimeter" => "ringsPerimeter"
+      case "st_chains_length" => "chainsLength"
+      case "st_parts_area" => "partsArea"
+      case "st_parts_perimeter" => "partsPerimeter"
     }
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.NestedKernels.$fn($c);")

@@ -72,4 +72,59 @@ class GeoArrowSpec extends AnyFunSuite {
         expr("st_length(g)").as("l0")).collect()(0)
     assert(r.getDouble(0) == 11.0 && r.getDouble(0) == r.getDouble(1))
   }
+
+  test("st_partsdump fourth list level: multipolygon area/perimeter keep part boundaries") {
+    setup()
+    // part 1: 10x10 with a 2x2 hole; part 2: disjoint 4x4.
+    // flattening to a ringdump would subtract part 2's exterior as a hole
+    // (100 - 4 - 16 = 80); the parts encoding must give 100 - 4 + 16 = 112.
+    val mp = "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(4 4, 4 6, 6 6, 6 4, 4 4)), ((20 0, 24 0, 24 4, 20 4, 20 0)))"
+    val r = Seq(mp).toDF("w").selectExpr("st_geomfromtext(w) AS g")
+      .select(
+        GeoArrow.multiPolygonArea(expr("st_partsdump(g)")).as("a"),
+        GeoArrow.multiPolygonPerimeter(expr("st_partsdump(g)")).as("p"),
+        expr("st_area(g)").as("a0"),
+        expr("st_perimeter(g)").as("p0"),
+        expr("size(st_partsdump(g))").as("nparts"),
+        expr("size(st_partsdump(g)[0])").as("nrings0"))
+      .collect()(0)
+    assert(r.getDouble(0) == 112.0 && r.getDouble(0) == r.getDouble(2))
+    assert(r.getDouble(1) == 64.0 && r.getDouble(1) == r.getDouble(3)) // 40 + 8 + 16
+    assert(r.getInt(4) == 2 && r.getInt(5) == 2)
+    // a plain Polygon dumps as one part (the encoding is total over the
+    // areal family), and its parts-area equals the ringdump area
+    val p = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))"
+    val r2 = Seq(p).toDF("w").selectExpr("st_geomfromtext(w) AS g")
+      .select(
+        GeoArrow.multiPolygonArea(expr("st_partsdump(g)")).as("a"),
+        GeoArrow.polygonArea(expr("st_ringdump(g)")).as("ar"),
+        expr("size(st_partsdump(g))").as("np"))
+      .collect()(0)
+    assert(r2.getDouble(0) == 96.0 && r2.getDouble(0) == r2.getDouble(1))
+    assert(r2.getInt(2) == 1)
+  }
+
+  test("st_linedump chains: multilinestring total length, linestring as one chain") {
+    setup()
+    val ml = "MULTILINESTRING ((0 0, 3 4), (10 0, 10 6))"
+    val r = Seq(ml).toDF("w").selectExpr("st_geomfromtext(w) AS g")
+      .select(
+        GeoArrow.multiLineLength(expr("st_linedump(g)")).as("l"),
+        expr("st_length(g)").as("l0"),
+        expr("size(st_linedump(g))").as("n"))
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(0) == r.getDouble(1))
+    assert(r.getInt(2) == 2)
+    val r2 = Seq("LINESTRING (0 0, 3 4, 3 10)").toDF("w")
+      .selectExpr("st_geomfromtext(w) AS g")
+      .select(GeoArrow.multiLineLength(expr("st_linedump(g)")).as("l"),
+        expr("size(st_linedump(g))").as("n"))
+      .collect()(0)
+    assert(r2.getDouble(0) == 11.0 && r2.getInt(1) == 1)
+    // a polygon is not a line-family geometry: dumps to SQL NULL
+    val r3 = Seq("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))").toDF("w")
+      .selectExpr("st_linedump(st_geomfromtext(w)) AS d").collect()(0)
+    assert(r3.isNullAt(0))
+  }
 }
