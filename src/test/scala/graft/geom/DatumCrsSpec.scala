@@ -65,6 +65,24 @@ class DatumCrsSpec extends AnyFunSuite {
     assert(math.abs(geo.x - glon) < 1e-9 && math.abs(geo.y - glat) < 1e-9)
   }
 
+  test("EPSG:27700 documented accuracy envelope: single Helmert within 5 m of the OSTN truth") {
+    // OS 'A guide to coordinate systems in Great Britain' worked example:
+    // ETRS89 52deg 39' 28.8282" N, 1deg 42' 57.8663" E corresponds to
+    // OSTN-grid-corrected British National Grid E 651409.792 N 313177.448.
+    // The README documents the single-Helmert path as grid-approximate:
+    // ~2 m typical, ~3.5 m at the national extremes (the OS's stated
+    // envelope for the single national Helmert). This point sits in East
+    // Anglia near the worst case — measured 3.46 m here. The assertion
+    // pins the envelope (< 5 m) AND that the datum leg actually runs
+    // (> 0.1 m from truth would also hold for OSTN itself, but a
+    // datum-less path is ~100 m off and fails loudly).
+    val lat = 52.0 + 39.0 / 60 + 28.8282 / 3600
+    val lon = 1.0 + 42.0 / 60 + 57.8663 / 3600
+    val bng = CRS.transform(Point(lon, lat), "EPSG:4326", "EPSG:27700").asInstanceOf[Point]
+    val err = math.hypot(bng.x - 651409.792, bng.y - 313177.448)
+    assert(err < 5.0, s"single-Helmert error $err m vs OSTN truth (documented ~2 m typical / ~3.5 m worst)")
+  }
+
   test("ellipsoidal Mercator: atanh identity, sphere routing, lat_ts") {
     // Snyder's log form equals y = a (atanh(sin phi) - e atanh(e sin phi))
     val m = Mercator(WGS84E, 0, 1.0, 0, 0, 0)
