@@ -441,6 +441,82 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // HLL CUBE — distinct l_orderkey per (returnflag, linestatus) plus
+    // both rollup levels, derived by MERGING the leaf sketch state
+    // (max rank per bucket), never re-scanning: the 100 TB pattern for
+    // multi-granularity distinct counts is ONE scan building leaf
+    // sketches + metadata-sized merges upward, where per-level
+    // count(DISTINCT) would be one expand-shuffle scan per level. The
+    // estimates are hash-exact cross-engine (portable md5 layout), and
+    // rollup(x) == merge(leaves(x)) exactly because the state fold is
+    // max — the mergeability property itself is what this query pins.
+    "q310_hll_cube" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      import graft.pipeline.Sketch
+      // leaf state: <= groups x 256 rows; checkpointed so the three
+      // levels read the materialized state, not three corpus scans
+      val leaf = Sketch.hllBuckets(li, "l_orderkey",
+        Seq("l_returnflag", "l_linestatus")).localCheckpoint()
+      val l0 = Sketch.hllFromBuckets(leaf, Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag").as("grp_flag"), col("l_linestatus").as("grp_status"),
+          col("hll_estimate"), col("n_buckets_used"))
+      val m1 = leaf.groupBy(col("l_returnflag"), col("__b"))
+        .agg(max(col("__rmax")).as("__rmax"))
+      val l1 = Sketch.hllFromBuckets(m1, Seq("l_returnflag"))
+        .select(col("l_returnflag").as("grp_flag"), lit("ALL").as("grp_status"),
+          col("hll_estimate"), col("n_buckets_used"))
+      val m2 = leaf.groupBy(col("__b")).agg(max(col("__rmax")).as("__rmax"))
+        .withColumn("__g", lit("ALL"))
+      val l2 = Sketch.hllFromBuckets(m2, Seq("__g"))
+        .select(col("__g").as("grp_flag"), lit("ALL").as("grp_status"),
+          col("hll_estimate"), col("n_buckets_used"))
+      l0.unionByName(l1).unionByName(l2).orderBy("grp_flag", "grp_status")
+    }),
+
+    // Multilingual TEMPERATURE-RESAMPLING mixture (the mC4/XLM-R recipe,
+    // alpha = 0.3): per-language char mass p_l, resampling weight
+    // q_l = p_l^alpha / sum(p^alpha), upsample factor q/p, and the
+    // expected document budget at 100k sampled docs. One aggregation +
+    // a broadcast of the (tiny) per-language table; the arithmetic is
+    // the published closed form, so both engines replay it exactly.
+    "q311_temperature_mixture" -> sqlQuery(Seq("documents"),
+      """WITH bylang AS (
+        |  SELECT lang, cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(n_chars) as bigint) AS chars
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT cast(sum(chars) as double) AS tc,
+        |               cast(sum(pow(chars, 0.3)) as double) AS tq FROM bylang)
+        |SELECT b.lang, b.n_docs, b.chars,
+        |  round(b.chars / t.tc, 6) + 0.0 AS p,
+        |  round(pow(b.chars, 0.3) / t.tq, 6) + 0.0 AS q,
+        |  round((pow(b.chars, 0.3) / t.tq) / (b.chars / t.tc), 6) + 0.0 AS upsample,
+        |  cast(round(pow(b.chars, 0.3) / t.tq * 100000, 0) as bigint) AS budget_docs
+        |FROM bylang b CROSS JOIN tot t
+        |ORDER BY b.lang""".stripMargin),
+
+    // Vocabulary COVERAGE curve — what share of all token occurrences the
+    // top-N words cover (the tokenizer-sizing diagnostic): rank words by
+    // frequency (count desc, word asc), cumulative share at N in {10,
+    // 100, 1000}. The rank window is the exact small-scale path; at
+    // 100 TB the same curve comes off a frequency histogram.
+    "q312_vocab_coverage" -> sqlQuery(Seq("documents"),
+      """WITH w AS (
+        |  SELECT word, cast(count(*) as bigint) AS f FROM (
+        |    SELECT explode(filter(split(trim(text), '\\s+'), x -> x != '')) AS word
+        |    FROM documents) GROUP BY word),
+        |r AS (SELECT word, f,
+        |    row_number() OVER (ORDER BY f DESC, word) AS rk,
+        |    sum(f) OVER (ORDER BY f DESC, word
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(f) OVER () AS tot
+        |  FROM w)
+        |SELECT cast(n.n as int) AS top_n,
+        |  cast(coalesce(max(CASE WHEN rk <= n.n THEN rk END), 0) as bigint) AS words_present,
+        |  round(coalesce(max(CASE WHEN rk <= n.n THEN cum END), 0) / max(cast(tot as double)), 6) + 0.0 AS coverage
+        |FROM r CROSS JOIN (SELECT explode(array(10, 100, 1000)) AS n) n
+        |GROUP BY n.n ORDER BY top_n""".stripMargin),
+
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
     // the lexicographic tie-break). Runs on the driver-incremental exact
@@ -7541,6 +7617,65 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // leaf state once (hllBucketStateSql), rollup levels by max-merge
+    // over the state — the same merge the Spark side does
+    "q310_hll_cube" -> {
+      import graft.pipeline.Sketch
+      s"""WITH leaf AS (${Sketch.hllBucketStateSql("lineitem", "l_orderkey",
+            "l_returnflag, l_linestatus")}),
+         |leafg AS (SELECT l_returnflag || '|' || l_linestatus AS g,
+         |    l_returnflag, l_linestatus, bucket, rmax FROM leaf),
+         |l0 AS (SELECT split_part(g, '|', 1) AS grp_flag,
+         |    split_part(g, '|', 2) AS grp_status, hll_estimate, n_buckets_used
+         |  FROM (${Sketch.hllEstimateSql("leafg", "g")}) x),
+         |m1 AS (SELECT l_returnflag AS g, bucket, max(rmax) AS rmax
+         |  FROM leafg GROUP BY 1, 2),
+         |l1 AS (SELECT g AS grp_flag, 'ALL' AS grp_status, hll_estimate,
+         |    n_buckets_used FROM (${Sketch.hllEstimateSql("m1", "g")}) x),
+         |m2 AS (SELECT 'ALL' AS g, bucket, max(rmax) AS rmax
+         |  FROM leafg GROUP BY 1, 2),
+         |l2 AS (SELECT g AS grp_flag, 'ALL' AS grp_status, hll_estimate,
+         |    n_buckets_used FROM (${Sketch.hllEstimateSql("m2", "g")}) x)
+         |SELECT * FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         |  UNION ALL SELECT * FROM l2)
+         |ORDER BY grp_flag, grp_status""".stripMargin
+    },
+
+    // identical closed-form arithmetic (pow alpha=0.3, same division
+    // order); unnest-free — plain grouped aggregation
+    "q311_temperature_mixture" ->
+      """WITH bylang AS (
+        |  SELECT lang, cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(n_chars) as bigint) AS chars
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT cast(sum(chars) as double) AS tc,
+        |               cast(sum(pow(chars, 0.3)) as double) AS tq FROM bylang)
+        |SELECT b.lang, b.n_docs, b.chars,
+        |  round(b.chars / t.tc, 6) + 0.0 AS p,
+        |  round(pow(b.chars, 0.3) / t.tq, 6) + 0.0 AS q,
+        |  round((pow(b.chars, 0.3) / t.tq) / (b.chars / t.tc), 6) + 0.0 AS upsample,
+        |  cast(round(pow(b.chars, 0.3) / t.tq * 100000, 0) as bigint) AS budget_docs
+        |FROM bylang b CROSS JOIN tot t
+        |ORDER BY b.lang""".stripMargin,
+
+    // same rank/cumulative windows over the word counts
+    "q312_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT word, cast(count(*) as bigint) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS word
+        |    FROM documents) GROUP BY word),
+        |r AS (SELECT word, f,
+        |    row_number() OVER (ORDER BY f DESC, word) AS rk,
+        |    sum(f) OVER (ORDER BY f DESC, word
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(f) OVER () AS tot
+        |  FROM w)
+        |SELECT cast(n.n as int) AS top_n,
+        |  cast(coalesce(max(CASE WHEN rk <= n.n THEN rk END), 0) as bigint) AS words_present,
+        |  round(coalesce(max(CASE WHEN rk <= n.n THEN cum END), 0) / max(cast(tot as double)), 6) + 0.0 AS coverage
+        |FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS n) n
+        |GROUP BY n.n ORDER BY top_n""".stripMargin,
 
     // full 256-round unrolled replay (MATERIALIZED CTE per round) over
     // the customer-name vocabulary
