@@ -441,6 +441,28 @@ object SparkEntry {
         |  st_contains(b, p) AS ctr_inside
         |FROM buf ORDER BY c_custkey""".stripMargin),
 
+    // k-CORE membership (Matula-Beck peeling as fixed parallel rounds):
+    // per round ONE degree aggregation + two semi-joins dropping sub-k
+    // vertices; the converged flag (no edge dropped in the last round)
+    // proves the fixed-round replay reached the true core. Completes the
+    // graph family (CC, triangles, PageRank, BFS, Bellman-Ford, LPA)
+    // with the density-periphery decomposition used for community
+    // kernels and spam filtering.
+    "q313_kcore" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 60 AS src, (c_custkey + 13) % 60 AS dst FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 40, (c_custkey * 3 + 1) % 40 FROM customer""".stripMargin)
+      graft.relational.Graph.kCore(edges, "src", "dst", k = 4, rounds = 6)
+        .select(col("node").cast("long").as("node"),
+          col("core_deg"), col("converged"))
+        .orderBy("node")
+    }),
+
     // HLL CUBE — distinct l_orderkey per (returnflag, linestatus) plus
     // both rollup levels, derived by MERGING the leaf sketch state
     // (max rank per bucket), never re-scanning: the 100 TB pattern for
@@ -7617,6 +7639,31 @@ object SparkEntry {
       """SELECT c_custkey, 33 AS nv,
         |  100000.0 AS dmin, 100000.0 AS dmax, true AS ctr_inside
         |FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey""".stripMargin,
+
+    // identical unrolled peel rounds; converged = |e5| == |e6|
+    "q313_kcore" -> {
+      val k = 4; val rounds = 6
+      val peel = (1 to rounds).map { r =>
+        s"""d$r AS (SELECT n, cast(count(*) as bigint) AS d FROM (
+           |  SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) x GROUP BY n),
+           |k$r AS (SELECT n FROM d$r WHERE d >= $k),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN k$r a ON a.n = e.u JOIN k$r b ON b.n = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT c_custkey % 60 AS src, (c_custkey + 13) % 60 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey % 40, (c_custkey * 3 + 1) % 40 FROM customer),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw WHERE src != dst),
+         |$peel
+         |SELECT cast(node as bigint) AS node, cast(count(*) as bigint) AS core_deg,
+         |  (SELECT count(*) FROM e${rounds - 1}) = (SELECT count(*) FROM e$rounds) AS converged
+         |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) x
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
 
     // leaf state once (hllBucketStateSql), rollup levels by max-merge
     // over the state — the same merge the Spark side does

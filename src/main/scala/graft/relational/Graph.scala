@@ -219,4 +219,56 @@ object Graph {
     }
     rank.select(col("node"), col("r").cast("double").as("pagerank"))
   }
+
+  /**
+   * k-CORE membership by iterated degree peeling (Matula-Beck re-expressed
+   * as parallel rounds): each round computes current degrees (one
+   * map-side-combined aggregation) and drops every vertex below `k` with
+   * two semi-joins on the edge list — a vertex whose neighbors all peel
+   * away disappears with its last edge, exactly the k-core recurrence.
+   * `rounds` is FIXED so the replay is engine-portable (the oracle unrolls
+   * the same rounds); the `converged` column (no edge dropped in the last
+   * round) makes a non-fixpoint result loud instead of silently partial —
+   * raise `rounds` when it reads false. Peeling removes at least one
+   * vertex per non-converged round, so `rounds` >= the peel depth (far
+   * below the vertex count in practice) reaches the true k-core.
+   *
+   * At scale: per round one degree aggregation + two semi-joins, edges
+   * localCheckpointed every other round (flat lineage, the
+   * bellmanFord/labelPropagation discipline); no vertex state on the
+   * driver.
+   *
+   * @return (node, core_deg, converged): surviving vertices with their
+   *         degree inside the core.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    var e = und.localCheckpoint()
+    var prevEdges = -1L
+    var lastEdges = -1L
+    var it = 0
+    while (it < rounds) {
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      val e2 = e
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+      it += 1
+      e = if (it % 2 == 0 || it == rounds) e2.localCheckpoint() else e2
+      if (it == rounds - 1) prevEdges = e.count()
+      if (it == rounds) lastEdges = e.count()
+    }
+    // rounds == 1: convergence means the single peel dropped nothing
+    if (prevEdges < 0) prevEdges = und.count()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    deg.withColumn("converged", lit(prevEdges == lastEdges))
+  }
 }

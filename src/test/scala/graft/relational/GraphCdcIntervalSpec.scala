@@ -139,4 +139,35 @@ class GraphCdcIntervalSpec extends AnyFunSuite {
     } tri += 1
     assert(row == ((nodes.size.toLong, und.size.toLong, tri)))
   }
+
+  test("kCore matches the sequential peeling fixpoint and reports convergence") {
+    // LCG graph on 40 nodes, plus a planted K6 clique so the 5-core is
+    // non-trivially smaller than the graph
+    val clique = for { i <- 100L to 105L; j <- 100L to 105L if i < j } yield (i, j)
+    val rand = lcg(7).take(120).toSeq.map(x =>
+      (math.floorMod(x, 40L), math.floorMod(x >> 13, 40L))).filter(p => p._1 != p._2)
+    val edges = (clique ++ rand).toDF("src", "dst")
+    val out = Graph.kCore(edges, "src", "dst", k = 5, rounds = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.forall(_._3), "must converge within 12 rounds on 46 nodes")
+    // sequential reference peeling
+    var und = (clique ++ rand).map(p => (p._1 min p._2, p._1 max p._2)).distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 5).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    val refDeg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => (n, xs.size.toLong) }
+    assert(out.map(t => (t._1, t._2)).toMap == refDeg)
+    // the planted clique survives (every K6 vertex has degree >= 5)
+    assert((100L to 105L).forall(n => refDeg.contains(n)))
+    // a 1-round budget on a graph needing more peels reports non-convergence
+    val shallow = Graph.kCore(edges, "src", "dst", k = 5, rounds = 1).collect()
+    if (shallow.nonEmpty && refDeg.size != shallow.length)
+      assert(shallow.forall(!_.getBoolean(2)), "partial peel must be loud")
+  }
 }
