@@ -463,6 +463,40 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Inter-annotator agreement — the labeled-data acceptance gate:
+    // pairwise Cohen's kappa (per-pair marginals over jointly rated
+    // items) + panel Fleiss' kappa, every sum an exact BIGINT with ONE
+    // double division per statistic (cross-engine bit-identical). Three
+    // synthetic raters over orders with controlled disagreement
+    // (base priority digit; rater b flips on multiples of 5, rater c
+    // shifts on multiples of 3).
+    "q314_annotator_agreement" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "orders")
+      val ann = s.sql(
+        """SELECT o_orderkey AS item, 'a' AS rater,
+          |  substring(o_orderpriority, 1, 1) AS label FROM orders
+          |UNION ALL
+          |SELECT o_orderkey, 'b', CASE WHEN o_orderkey % 5 = 0
+          |  THEN cast(cast(substring(o_orderpriority, 1, 1) as int) % 5 + 1 as string)
+          |  ELSE substring(o_orderpriority, 1, 1) END FROM orders
+          |UNION ALL
+          |SELECT o_orderkey, 'c', CASE WHEN o_orderkey % 3 = 0
+          |  THEN cast((cast(substring(o_orderpriority, 1, 1) as int) + 1) % 5 + 1 as string)
+          |  ELSE substring(o_orderpriority, 1, 1) END FROM orders""".stripMargin)
+      val cohen = graft.pipeline.Agreement.cohenKappa(ann, "item", "rater", "label")
+        .select(col("r1"), col("r2"), col("n_items"),
+          (round(col("po"), 6) + 0.0).as("po"),
+          (round(col("pe"), 6) + 0.0).as("pe"),
+          (round(col("kappa"), 6) + 0.0).as("kappa"))
+      val fleiss = graft.pipeline.Agreement.fleissKappa(ann, "item", "label")
+        .select(lit("panel").as("r1"), lit("fleiss").as("r2"), col("n_items"),
+          (round(col("p_bar"), 6) + 0.0).as("po"),
+          (round(col("p_e"), 6) + 0.0).as("pe"),
+          (round(col("kappa"), 6) + 0.0).as("kappa"))
+      cohen.unionAll(fleiss).orderBy("r1", "r2")
+    }),
+
     // HLL CUBE — distinct l_orderkey per (returnflag, linestatus) plus
     // both rollup levels, derived by MERGING the leaf sketch state
     // (max rank per bucket), never re-scanning: the 100 TB pattern for
@@ -7664,6 +7698,56 @@ object SparkEntry {
          |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) x
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    // same integer sums, one double division per statistic; kappa from
+    // the UNROUNDED po/pe in both engines
+    "q314_annotator_agreement" ->
+      """WITH ann AS MATERIALIZED (
+        |  SELECT o_orderkey AS item, 'a' AS rater,
+        |    substring(o_orderpriority, 1, 1) AS label FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'b', CASE WHEN o_orderkey % 5 = 0
+        |    THEN cast(cast(substring(o_orderpriority, 1, 1) as int) % 5 + 1 as varchar)
+        |    ELSE substring(o_orderpriority, 1, 1) END FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'c', CASE WHEN o_orderkey % 3 = 0
+        |    THEN cast((cast(substring(o_orderpriority, 1, 1) as int) + 1) % 5 + 1 as varchar)
+        |    ELSE substring(o_orderpriority, 1, 1) END FROM orders),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.rater AS r1, b.rater AS r2, a.label AS l1, b.label AS l2
+        |  FROM ann a JOIN ann b ON a.item = b.item AND a.rater < b.rater),
+        |joint AS (SELECT r1, r2, cast(count(*) as bigint) AS n_items,
+        |  cast(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) as bigint) AS agree
+        |  FROM pairs GROUP BY r1, r2),
+        |m1 AS (SELECT r1, r2, l1 AS l, cast(count(*) as bigint) AS c1
+        |  FROM pairs GROUP BY r1, r2, l1),
+        |m2 AS (SELECT r1, r2, l2 AS l, cast(count(*) as bigint) AS c2
+        |  FROM pairs GROUP BY r1, r2, l2),
+        |pen AS (SELECT m1.r1, m1.r2, sum(c1 * c2) AS pe_num
+        |  FROM m1 JOIN m2 ON m1.r1 = m2.r1 AND m1.r2 = m2.r2 AND m1.l = m2.l
+        |  GROUP BY m1.r1, m1.r2),
+        |craw AS (SELECT j.r1, j.r2, j.n_items,
+        |  cast(agree as double) / n_items AS po_raw,
+        |  cast(pe_num as double) / (n_items * n_items) AS pe_raw
+        |  FROM joint j JOIN pen p ON j.r1 = p.r1 AND j.r2 = p.r2),
+        |cell AS (SELECT item, label, cast(count(*) as bigint) AS nij
+        |  FROM ann GROUP BY item, label),
+        |tot AS (SELECT cast(sum(nij * nij) as bigint) AS ss,
+        |  cast((SELECT count(DISTINCT item) FROM ann) as bigint) AS big_n FROM cell),
+        |lab AS (SELECT cast(sum(cj * cj) as bigint) AS cs FROM (
+        |  SELECT sum(nij) AS cj FROM cell GROUP BY label) x),
+        |fraw AS (SELECT big_n AS n_items,
+        |  cast(ss - big_n * 3 as double) / cast(big_n * 3 * 2 as double) AS po_raw,
+        |  cast(cs as double) / (cast(big_n * 3 as double) * cast(big_n * 3 as double)) AS pe_raw
+        |  FROM tot, lab)
+        |SELECT r1, r2, n_items, round(po_raw, 6) + 0.0 AS po,
+        |  round(pe_raw, 6) + 0.0 AS pe,
+        |  round((po_raw - pe_raw) / (1.0 - pe_raw), 6) + 0.0 AS kappa
+        |FROM (
+        |  SELECT r1, r2, n_items, po_raw, pe_raw FROM craw
+        |  UNION ALL
+        |  SELECT 'panel', 'fleiss', n_items, po_raw, pe_raw FROM fraw) u
+        |ORDER BY r1, r2""".stripMargin,
 
     // leaf state once (hllBucketStateSql), rollup levels by max-merge
     // over the state — the same merge the Spark side does
