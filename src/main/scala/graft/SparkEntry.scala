@@ -497,6 +497,24 @@ object SparkEntry {
       cohen.unionAll(fleiss).orderBy("r1", "r2")
     }),
 
+    // Betweenness centrality (Brandes as level-synchronous rounds, all
+    // BFS sources concurrent through the same joins): forward sigma is
+    // exact BIGINT; backward deltas use the pageRank decimal discipline
+    // (per-term round-9 double, decimal(28,9) order-independent sum).
+    // The complete flag proves the depth budget exhausted every BFS.
+    "q315_betweenness" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 48 AS src, (c_custkey * 5 + 7) % 48 AS dst FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 48, (c_custkey * 11 + 3) % 48 FROM customer""".stripMargin)
+      graft.relational.Graph.betweenness(edges, "src", "dst", maxDepth = 7)
+        .select(col("node").cast("long").as("node"),
+          (round(col("bc"), 6) + 0.0).as("bc"), col("complete"))
+        .orderBy("node")
+    }),
+
     // HLL CUBE — distinct l_orderkey per (returnflag, linestatus) plus
     // both rollup levels, derived by MERGING the leaf sketch state
     // (max rank per bucket), never re-scanning: the 100 TB pattern for
@@ -7748,6 +7766,60 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'panel', 'fleiss', n_items, po_raw, pe_raw FROM fraw) u
         |ORDER BY r1, r2""".stripMargin,
+
+    // identical unrolled forward levels (BIGINT sigma) + backward delta
+    // levels (round-9 terms summed as decimal(28,9)); complete = the
+    // depth-7 frontier is empty
+    "q315_betweenness" -> {
+      val maxD = 7
+      val fwd = (1 to maxD).map { d =>
+        s"""f$d AS MATERIALIZED (SELECT f.src, a.v AS node,
+           |  cast(sum(f.sigma) as bigint) AS sigma
+           |  FROM f${d - 1} f JOIN adj a ON a.u = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM s${d - 1} s
+           |    WHERE s.src = f.src AND s.node = a.v)
+           |  GROUP BY f.src, a.v),
+           |s$d AS MATERIALIZED (SELECT src, node FROM s${d - 1}
+           |  UNION ALL SELECT src, node FROM f$d)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (maxD - 1 to 1 by -1).map { d =>
+        val dw = if (d == maxD - 1) s"cast(cast(0 as decimal(28,9)) as double)"
+          else s"cast(coalesce(dd.delta, cast(0 as decimal(28,9))) as double)"
+        val ddJoin = if (d == maxD - 1) ""
+          else s"LEFT JOIN g${d + 1} dd ON dd.src = fv.src AND dd.vn = a.v"
+        s"""g$d AS MATERIALIZED (SELECT fv.src, fv.node AS vn,
+           |  cast(sum(cast(round(cast(fv.sigma as double) / cast(fw.sigma as double)
+           |    * (1.0 + $dw), 9) as decimal(28,9))) as decimal(28,9)) AS delta
+           |  FROM f$d fv JOIN adj a ON a.u = fv.node
+           |  JOIN f${d + 1} fw ON fw.src = fv.src AND fw.node = a.v
+           |  $ddJoin
+           |  GROUP BY fv.src, fv.node)""".stripMargin
+      }.mkString(",\n")
+      val gUnion = (1 to maxD - 1)
+        .map(d => s"SELECT src, vn, delta FROM g$d").mkString(" UNION ALL ")
+      s"""WITH raw AS (
+         |  SELECT c_custkey % 48 AS src, (c_custkey * 5 + 7) % 48 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey % 48, (c_custkey * 11 + 3) % 48 FROM customer),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM raw WHERE src != dst),
+         |adj AS MATERIALIZED (SELECT u, v FROM e0
+         |  UNION ALL SELECT v AS u, u AS v FROM e0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+         |f0 AS MATERIALIZED (SELECT node AS src, node,
+         |  cast(1 as bigint) AS sigma FROM nodes),
+         |s0 AS MATERIALIZED (SELECT src, node FROM f0),
+         |$fwd,
+         |$bwd,
+         |bc AS (SELECT vn AS node, sum(delta) AS sd
+         |  FROM ($gUnion) g WHERE vn != src GROUP BY vn)
+         |SELECT cast(n.node as bigint) AS node,
+         |  round(cast(coalesce(bc.sd, cast(0 as decimal(28,9))) as double) / 2.0, 6)
+         |    + 0.0 AS bc,
+         |  ((SELECT count(*) FROM f$maxD) = 0) AS complete
+         |FROM nodes n LEFT JOIN bc ON bc.node = n.node
+         |ORDER BY node""".stripMargin
+    },
 
     // leaf state once (hllBucketStateSql), rollup levels by max-merge
     // over the state — the same merge the Spark side does

@@ -271,4 +271,100 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
     deg.withColumn("converged", lit(prevEdges == lastEdges))
   }
+
+  /**
+   * Betweenness centrality (Brandes 2001) re-expressed as level-
+   * synchronous parallel rounds keyed by BFS source, so ALL sources run
+   * concurrently through the same joins — the multi-source formulation
+   * that distributes (per round: one frontier⋈adjacency join + one
+   * not-yet-seen anti-join + one sum; never per-source driver loops).
+   *
+   * Forward: path counts sigma are exact BIGINT sums. Backward: the
+   * dependency delta(v) = Σ_w sigma(v)/sigma(w)·(1+delta(w)) over
+   * level-(d+1) successors, accumulated with the pageRank decimal
+   * discipline — each term rounded to 9 decimals in double, summed as
+   * decimal(28,9) so the fold is order-independent and engine-portable.
+   *
+   * Truncation is explicit: exploration stops at `maxDepth` levels and
+   * the `complete` flag reports whether every BFS exhausted first (an
+   * empty frontier before the budget). With `complete=true` the result
+   * is EXACT Brandes; otherwise paths longer than maxDepth are ignored
+   * — raise the budget when it reads false.
+   *
+   * `sources` (optional) restricts the BFS roots — the standard
+   * sampled-approximation path at scale (pass a deterministic hash-mod
+   * sample; centrality then estimates rather than counts). Undirected:
+   * each geodesic is seen from both endpoints, so the final sum halves.
+   *
+   * @return (node, bc, complete) for every non-isolated vertex.
+   */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int, sources: Option[DataFrame] = None): DataFrame = {
+    require(maxDepth >= 2, "maxDepth >= 2")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    val nodes = adj.select(col("u").as("node")).distinct().localCheckpoint()
+    val roots = sources.map(_.select(col("node"))).getOrElse(nodes)
+    // forward sweep: levels(d) = (src, node, sigma) at distance d
+    val f0 = roots.select(col("node").as("src"))
+      .withColumn("node", col("src")).withColumn("sigma", lit(1L))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(f0)
+    var seen = f0.select(col("src"), col("node")).localCheckpoint()
+    var exhausted = false
+    while (levels.size <= maxDepth && !exhausted) {
+      val cur = levels.last
+      val nxt = cur.join(adj, cur("node") === adj("u"))
+        .select(col("src"), adj("v").as("node"), col("sigma"))
+        .join(seen, Seq("src", "node"), "left_anti")
+        .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      if (nxt.isEmpty) exhausted = true
+      else {
+        levels += nxt
+        seen = seen.unionAll(nxt.select(col("src"), col("node"))).localCheckpoint()
+      }
+    }
+    val maxD = levels.size - 1
+    // backward sweep: deltas(d) for nodes at level d, deepest first
+    val dec = "decimal(28,9)"
+    var deltaAbove: Option[DataFrame] = None
+    val perLevel = (maxD - 1 to 1 by -1).map { d =>
+      val fv = levels(d).select(col("src"), col("node").as("vn"), col("sigma").as("sv"))
+      val fw = levels(d + 1).select(col("src"), col("node").as("wn"), col("sigma").as("sw"))
+      val wd = (deltaAbove match {
+        case Some(dd) => fw.join(dd.select(col("src"), col("vn").as("wn"),
+            col("delta").as("dw")), Seq("src", "wn"), "left")
+          .select(col("src"), col("wn"), col("sw"),
+            coalesce(col("dw"), lit(0).cast(dec)).as("dw"))
+        case None => fw.select(col("src"), col("wn"), col("sw"),
+          lit(0).cast(dec).as("dw"))
+      }).withColumnRenamed("src", "wsrc")
+      val g = fv.join(adj, fv("vn") === adj("u"))
+        .join(wd, col("wsrc") === fv("src") && col("wn") === adj("v"))
+        .select(fv("src"), col("vn"),
+          round(col("sv").cast("double") / col("sw").cast("double") *
+            (lit(1.0) + col("dw").cast("double")), 9).cast(dec).as("t"))
+        .groupBy("src", "vn").agg(sum(col("t")).cast(dec).as("delta"))
+        .localCheckpoint()
+      deltaAbove = Some(g)
+      g
+    }
+    val allDelta =
+      if (perLevel.isEmpty) f0.select(col("src"), col("node").as("vn"),
+        lit(0).cast(dec).as("delta")).limit(0)
+      else perLevel.reduce(_ unionAll _)
+    val bc = allDelta.filter(col("vn") =!= col("src"))
+      .groupBy(col("vn").as("node")).agg(sum(col("delta")).as("sd"))
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("sd"), lit(0).cast(dec)).cast("double") / 2.0).as("bc"),
+        lit(exhausted).as("complete"))
+  }
 }
