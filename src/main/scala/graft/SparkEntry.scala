@@ -497,6 +497,23 @@ object SparkEntry {
       cohen.unionAll(fleiss).orderBy("r1", "r2")
     }),
 
+    // WordPiece tokenizer training (likelihood-scored merges,
+    // count(ab)/(count(a)*count(b)) — the BERT vocabulary learner) on
+    // the same two-tier machinery as q307's BPE: cap-probed
+    // driver-incremental path at O(1) Spark jobs, distributed
+    // sequential fallback. The score is one IEEE division over exact
+    // BIGINT counts, so pick order replays bit-identically in the
+    // oracle's unrolled rounds.
+    "q316_wordpiece" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val docs = s.sql("SELECT concat(c_name, ' ', c_mktsegment) AS text FROM customer")
+      graft.pipeline.Bpe.wordPieceMerges(docs, "text", rounds = 64)
+        .select(col("round"), col("lhs"), col("rhs"), col("freq"),
+          (round(col("score"), 9) + 0.0).as("score"))
+        .orderBy("round")
+    }),
+
     // Betweenness centrality (Brandes as level-synchronous rounds, all
     // BFS sources concurrent through the same joins): forward sigma is
     // exact BIGINT; backward deltas use the pageRank decimal discipline
@@ -6129,6 +6146,42 @@ object SparkEntry {
        |$round""".stripMargin
   }
 
+  /** WordPiece train rounds as unrolled CTEs: the q307 BPE chain plus a
+    * per-round symbol-count table; the pick maximizes
+    * f/(sf(lhs)*sf(rhs)), ties on the pair string. */
+  private def wordPieceTrainCtes(rounds: Int, from: String,
+      textExpr: String): String = {
+    val round = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pair, cast(sum(cnt) as bigint) AS f FROM (
+         |  SELECT cnt, unnest(CASE WHEN len(s) >= 2
+         |      THEN list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])
+         |      ELSE [] END) AS pair
+         |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS s FROM w${r - 1}))
+         |  GROUP BY pair),
+         |u$r AS (SELECT s AS sym, cast(sum(cnt) as bigint) AS sf FROM (
+         |  SELECT cnt, unnest(string_split(trim(sym), ' ')) AS s FROM w${r - 1})
+         |  GROUP BY s),
+         |m$r AS MATERIALIZED (SELECT pair, f, score FROM (
+         |  SELECT p.pair, p.f,
+         |    cast(p.f as double) / (cast(ua.sf as double) * cast(ub.sf as double)) AS score
+         |  FROM p$r p
+         |  JOIN u$r ua ON ua.sym = split_part(p.pair, ' ', 1)
+         |  JOIN u$r ub ON ub.sym = split_part(p.pair, ' ', 2))
+         |  ORDER BY score DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, cnt, replace(sym, (SELECT ' ' || pair || ' ' FROM m$r),
+         |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)) AS sym
+         |  FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(trim($textExpr), '\\S+')) AS word FROM $from)
+       |  GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT word, cnt,
+       |    ' ' || array_to_string(list_transform(range(length(word)),
+       |        i -> word[i + 1 : i + 1]), ' ') || ' ' AS sym
+       |  FROM wc),
+       |$round""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -7766,6 +7819,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'panel', 'fleiss', n_items, po_raw, pe_raw FROM fraw) u
         |ORDER BY r1, r2""".stripMargin,
+
+    // unrolled likelihood-scored rounds; score replayed term-for-term
+    "q316_wordpiece" ->
+      s"""WITH ${wordPieceTrainCtes(64,
+            "(SELECT c_name || ' ' || c_mktsegment AS text FROM customer)", "text")}
+         |SELECT round, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, f AS freq,
+         |  round(score, 9) + 0.0 AS score
+         |FROM (${(1 to 64).map(r => s"SELECT $r AS round, pair, f, score FROM m$r")
+        .mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin,
 
     // identical unrolled forward levels (BIGINT sigma) + backward delta
     // levels (round-9 terms summed as decimal(28,9)); complete = the

@@ -253,6 +253,193 @@ object Bpe {
   }
 
   /**
+   * WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+   * vocabulary learner): identical merge mechanics to BPE, but each
+   * round picks the pair maximizing the LIKELIHOOD score
+   * count(ab) / (count(a)·count(b)) — the pair whose merge most
+   * increases a unigram LM's corpus likelihood — instead of raw
+   * frequency. Ties break on the pair string, a total engine-portable
+   * order; the score itself is one IEEE double division over exact
+   * BIGINT counts, so ordering replays bit-identically cross-engine.
+   *
+   * Same two-tier execution as [[bpeMerges]]: a cap-probed
+   * driver-incremental path (pair counts AND symbol counts maintained by
+   * per-word deltas; argmax is a linear scan per round — O(1) Spark
+   * jobs for the whole train), falling back to the distributed
+   * sequential loop (one pair-count + one symbol-count aggregation per
+   * round) when the vocabulary exceeds `graft.bpe.maxDriverVocab`.
+   * Encoding a corpus with the learned table is [[bpeEncode]] — the
+   * replace chain is representation-identical (the ## continuation
+   * prefix some WordPiece vocab files display is a serialization
+   * convention, not a training difference).
+   *
+   * @return (round, lhs, rhs, freq, score): merge number (1-based), the
+   *         merged pair, its weighted count and its likelihood score at
+   *         pick time (raw double — round at the consumer).
+   */
+  def wordPieceMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, "need rounds >= 1")
+    val words = df
+      .select(explode(filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val cap = spark.conf.getOption("graft.bpe.maxDriverVocab")
+      .map(_.toLong).getOrElse(DefaultMaxDriverVocab)
+    if (cap > 0) {
+      val probeCap = math.min(cap, (Int.MaxValue - 2).toLong).toInt
+      val probe = words.limit(probeCap + 1).collect()
+      if (probe.length <= probeCap) {
+        val vocab = probe.map(r => (r.getString(0), r.getLong(1)))
+        val merges = wordPieceInMemory(vocab, rounds)
+        return spark.createDataset(merges).toDF("round", "lhs", "rhs", "freq", "score")
+      }
+    }
+    var syms = words.select($"word", $"cnt",
+      concat(lit(" "), array_join(filter(split($"word", ""), c => c =!= ""), " "), lit(" ")).as("sym"))
+    val pairsCol = {
+      val s = split(trim($"sym"), " ")
+      when(size(s) >= 2,
+        transform(sequence(lit(1), size(s) - 1),
+          i => concat(element_at(s, i), lit(" "), element_at(s, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var r = 1
+    while (r <= rounds) {
+      val symF = syms.select($"cnt", explode(split(trim($"sym"), " ")).as("s"))
+        .groupBy("s").agg(sum($"cnt").as("sf"))
+      val top = syms.select($"cnt", explode(pairsCol).as("pair"))
+        .groupBy("pair").agg(sum($"cnt").as("pf"))
+        .withColumn("a", split($"pair", " ").getItem(0))
+        .withColumn("b", split($"pair", " ").getItem(1))
+        .join(symF.select($"s".as("a"), $"sf".as("fa")), Seq("a"))
+        .join(symF.select($"s".as("b"), $"sf".as("fb")), Seq("b"))
+        .withColumn("score",
+          $"pf".cast("double") / ($"fa".cast("double") * $"fb".cast("double")))
+        .orderBy(desc("score"), asc("pair")).limit(1)
+        .select($"pair", $"pf", $"score")
+        .collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        out += ((r, a, b, top(0).getLong(1), top(0).getDouble(2)))
+        syms = syms.withColumn("sym",
+          replace($"sym", lit(s" $a $b "), lit(s" $a$b ")))
+      }
+      r += 1
+    }
+    spark.createDataset(out.toSeq).toDF("round", "lhs", "rhs", "freq", "score")
+  }
+
+  /**
+   * Driver-memory WordPiece loop — [[mergesInMemory]]'s incremental
+   * delta maintenance extended with a symbol-count table (a merge
+   * changes count(a), count(b) and count(ab), which shifts the scores
+   * of every pair touching those symbols — so the argmax is a linear
+   * scan over the live pair table per round rather than a heap, exact
+   * and O(rounds·|pairs|)). Score arithmetic is the identical
+   * double-division expression as the distributed path.
+   */
+  private[pipeline] def wordPieceInMemory(
+      vocab: Array[(String, Long)], rounds: Int): Seq[(Int, String, String, Long, Double)] = {
+    import scala.collection.mutable
+    def symForm(w: String): String = {
+      val sb = new StringBuilder(" ")
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendAll(Character.toChars(cp)); sb.append(' ')
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    def wordPairs(sym: String): mutable.HashMap[String, Int] = {
+      val toks = sym.trim.split(" ")
+      val m = mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i < toks.length - 1) {
+        val p = toks(i) + " " + toks(i + 1)
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    def wordSyms(sym: String): mutable.HashMap[String, Int] = {
+      val m = mutable.HashMap.empty[String, Int]
+      sym.trim.split(" ").foreach(s => m.update(s, m.getOrElse(s, 0) + 1))
+      m
+    }
+    val n = vocab.length
+    val syms = new Array[String](n)
+    val cnts = new Array[Long](n)
+    val pairF = mutable.HashMap.empty[String, Long]
+    val symF = mutable.HashMap.empty[String, Long]
+    val pairWords = mutable.HashMap.empty[String, mutable.HashSet[Int]]
+    var i = 0
+    while (i < n) {
+      syms(i) = symForm(vocab(i)._1); cnts(i) = vocab(i)._2
+      wordPairs(syms(i)).foreach { case (p, m) =>
+        pairF.update(p, pairF.getOrElse(p, 0L) + m * cnts(i))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      wordSyms(syms(i)).foreach { case (s, m) =>
+        symF.update(s, symF.getOrElse(s, 0L) + m * cnts(i))
+      }
+      i += 1
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var r = 1
+    while (r <= rounds && pairF.nonEmpty) {
+      // linear-scan argmax: score desc, pair asc
+      var bestP: String = null; var bestS = -1.0; var bestF = 0L
+      pairF.foreach { case (p, f) =>
+        val sp = p.indexOf(' ')
+        val s = f.toDouble /
+          (symF(p.substring(0, sp)).toDouble * symF(p.substring(sp + 1)).toDouble)
+        if (s > bestS || (s == bestS && (bestP == null || p < bestP))) {
+          bestP = p; bestS = s; bestF = f
+        }
+      }
+      val Array(a, b) = bestP.split(" ", 2)
+      out += ((r, a, b, bestF, bestS))
+      val affected = pairWords.getOrElse(bestP, mutable.HashSet.empty).toArray
+      val pat = s" $a $b "; val rep = s" $a$b "
+      affected.foreach { w =>
+        val old = syms(w)
+        val neu = old.replace(pat, rep)
+        if (neu != old) {
+          val oldP = wordPairs(old); val newP = wordPairs(neu)
+          (oldP.keySet ++ newP.keySet).foreach { p =>
+            val d = newP.getOrElse(p, 0) - oldP.getOrElse(p, 0)
+            if (d != 0) {
+              val neuF = pairF.getOrElse(p, 0L) + d.toLong * cnts(w)
+              if (neuF != 0L) pairF.update(p, neuF) else pairF.remove(p)
+            }
+            val had = oldP.contains(p); val has = newP.contains(p)
+            if (has && !had) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+            else if (had && !has) {
+              val s = pairWords(p); s -= w
+              if (s.isEmpty) pairWords.remove(p)
+            }
+          }
+          val oldS = wordSyms(old); val newS = wordSyms(neu)
+          (oldS.keySet ++ newS.keySet).foreach { s =>
+            val d = newS.getOrElse(s, 0) - oldS.getOrElse(s, 0)
+            if (d != 0) {
+              val neuF = symF.getOrElse(s, 0L) + d.toLong * cnts(w)
+              if (neuF != 0L) symF.update(s, neuF) else symF.remove(s)
+            }
+          }
+          syms(w) = neu
+        }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /**
    * Encode `textCol` words with a learned merge table: apply the merges
    * in round order (same literal replace), then explode one row per
    * (word occurrence position, symbol). The encode side is a pure

@@ -359,6 +359,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(jobs <= 6, s"driver-exact path used $jobs jobs; sequential needs 256")
   }
 
+  test("WordPiece picks by likelihood, not frequency") {
+    // 't h'/'h e' have freq 10 but common symbols (score 10/100);
+    // 'q u' has freq 2 but q and u appear ONLY together (score 2/4) —
+    // WordPiece must take 'q u' first where BPE takes 'h e'
+    val docs = (Seq.fill(10)("the") ++ Seq.fill(2)("qu")).toDF("text")
+    val wp = Bpe.wordPieceMerges(docs, "text", rounds = 1)
+      .select("lhs", "rhs", "freq").as[(String, String, Long)].head()
+    assert(wp == (("q", "u", 2L)))
+    val bpe = Bpe.bpeMerges(docs, "text", rounds = 1)
+      .select("lhs", "rhs", "freq").as[(String, String, Long)].head()
+    assert(bpe == (("h", "e", 10L)))
+  }
+
+  test("driver-exact WordPiece == distributed sequential WordPiece") {
+    val tricky = Seq(
+      "abab abab abab cd cd", "aaaa aaaa baaa", "x𝄞x x𝄞x y",
+      "the quick brown fox", "the quick brown cat", "ababab cdcd",
+      "mississippi banana bandana", "", "  spaced   out  ").toDF("text")
+    val fast = Bpe.wordPieceMerges(tricky, "text", rounds = 25)
+      .orderBy("round").as[(Int, String, String, Long, Double)].collect().toSeq
+    spark.conf.set("graft.bpe.maxDriverVocab", "0") // force the distributed loop
+    val slow =
+      try Bpe.wordPieceMerges(tricky, "text", rounds = 25)
+        .orderBy("round").as[(Int, String, String, Long, Double)].collect().toSeq
+      finally spark.conf.unset("graft.bpe.maxDriverVocab")
+    // exact equality including the double score — both paths must do the
+    // same IEEE division over the same integer counts
+    assert(fast == slow, s"driver path diverged:\n  fast=$fast\n  slow=$slow")
+    assert(fast.nonEmpty)
+  }
+
   test("batched BPE: 256 merges in >=10x fewer driver rounds than sequential") {
     // 256 designed-disjoint pairs over 512 distinct symbols: every round's
     // greedy symbol-disjoint filter can take a full batch, so the loop
