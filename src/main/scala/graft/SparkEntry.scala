@@ -497,6 +497,24 @@ object SparkEntry {
       cohen.unionAll(fleiss).orderBy("r1", "r2")
     }),
 
+    // Distance-based centralities (reach, eccentricity, classic
+    // closeness, harmonic) from ONE multi-source level-synchronous BFS
+    // over the q315 fixture graph — exact INT distances, round-9
+    // decimal harmonic fold, loud depth budget.
+    "q317_closeness" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 48 AS src, (c_custkey * 5 + 7) % 48 AS dst FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 48, (c_custkey * 11 + 3) % 48 FROM customer""".stripMargin)
+      graft.relational.Graph.closenessStats(edges, "src", "dst", maxDepth = 7)
+        .select(col("node").cast("long").as("node"), col("reach"), col("ecc"),
+          (round(col("closeness"), 6) + 0.0).as("closeness"),
+          (round(col("harmonic"), 6) + 0.0).as("harmonic"), col("complete"))
+        .orderBy("node")
+    }),
+
     // WordPiece tokenizer training (likelihood-scored merges,
     // count(ab)/(count(a)*count(b)) — the BERT vocabulary learner) on
     // the same two-tier machinery as q307's BPE: cap-probed
@@ -7819,6 +7837,50 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'panel', 'fleiss', n_items, po_raw, pe_raw FROM fraw) u
         |ORDER BY r1, r2""".stripMargin,
+
+    // forward-only unroll of the q315 levels; per-level dist literals,
+    // round-9 decimal harmonic fold
+    "q317_closeness" -> {
+      val maxD = 7
+      val fwd = (1 to maxD).map { d =>
+        s"""f$d AS MATERIALIZED (SELECT DISTINCT f.src, a.v AS node
+           |  FROM f${d - 1} f JOIN adj a ON a.u = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM s${d - 1} s
+           |    WHERE s.src = f.src AND s.node = a.v)),
+           |s$d AS MATERIALIZED (SELECT src, node FROM s${d - 1}
+           |  UNION ALL SELECT src, node FROM f$d)""".stripMargin
+      }.mkString(",\n")
+      val distUnion = (1 to maxD)
+        .map(d => s"SELECT src, node, $d AS dist FROM f$d").mkString(" UNION ALL ")
+      s"""WITH raw AS (
+         |  SELECT c_custkey % 48 AS src, (c_custkey * 5 + 7) % 48 AS dst FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey % 48, (c_custkey * 11 + 3) % 48 FROM customer),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM raw WHERE src != dst),
+         |adj AS MATERIALIZED (SELECT u, v FROM e0
+         |  UNION ALL SELECT v AS u, u AS v FROM e0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+         |f0 AS MATERIALIZED (SELECT node AS src, node FROM nodes),
+         |s0 AS MATERIALIZED (SELECT src, node FROM f0),
+         |$fwd,
+         |st AS (SELECT node, cast(count(*) as bigint) AS reach,
+         |  cast(max(dist) as int) AS ecc,
+         |  cast(sum(cast(dist as bigint)) as bigint) AS td,
+         |  cast(sum(cast(round(1.0 / cast(dist as double), 9) as decimal(28,9)))
+         |    as decimal(28,9)) AS hm
+         |  FROM ($distUnion) b GROUP BY node)
+         |SELECT cast(n.node as bigint) AS node,
+         |  coalesce(st.reach, 0) AS reach, coalesce(st.ecc, 0) AS ecc,
+         |  round(CASE WHEN st.td IS NOT NULL
+         |    THEN cast(st.reach as double) / cast(st.td as double)
+         |    ELSE 0.0 END, 6) + 0.0 AS closeness,
+         |  round(cast(coalesce(st.hm, cast(0 as decimal(28,9))) as double), 6)
+         |    + 0.0 AS harmonic,
+         |  ((SELECT count(*) FROM f$maxD) = 0) AS complete
+         |FROM nodes n LEFT JOIN st ON st.node = n.node
+         |ORDER BY node""".stripMargin
+    },
 
     // unrolled likelihood-scored rounds; score replayed term-for-term
     "q316_wordpiece" ->

@@ -367,4 +367,72 @@ object Graph {
         (coalesce(col("sd"), lit(0).cast(dec)).cast("double") / 2.0).as("bc"),
         lit(exhausted).as("complete"))
   }
+
+  /**
+   * Distance-based centralities from ONE multi-source BFS: per node the
+   * reachable-source count, eccentricity (max geodesic), classic
+   * closeness reach/Σd (the component-local normalization that stays
+   * meaningful on disconnected graphs) and harmonic centrality Σ 1/d
+   * (Boldi-Vigna's robust variant). Level-synchronous like
+   * [[betweenness]]'s forward sweep — per round one frontier⋈adjacency
+   * join + one seen anti-join; distances are exact INTs, the harmonic
+   * fold is round-9 decimal terms (order-independent, engine-portable).
+   *
+   * `maxDepth` truncates exploration; `complete` reports whether every
+   * BFS exhausted inside the budget (true = exact values). `sources`
+   * optionally restricts roots (sampled estimation at scale); the
+   * per-node stats then aggregate over the sampled sources only.
+   *
+   * @return (node, reach, ecc, closeness, harmonic, complete).
+   */
+  def closenessStats(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int, sources: Option[DataFrame] = None): DataFrame = {
+    require(maxDepth >= 1, "maxDepth >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    val nodes = adj.select(col("u").as("node")).distinct().localCheckpoint()
+    val roots = sources.map(_.select(col("node"))).getOrElse(nodes)
+    var frontier = roots.select(col("node").as("src"))
+      .withColumn("node", col("src")).withColumn("dist", lit(0))
+      .localCheckpoint()
+    var bfs = frontier
+    var d = 0
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
+      val cur = frontier
+      val nxt = cur.join(adj, cur("node") === adj("u"))
+        .select(col("src"), adj("v").as("node")).distinct()
+        .join(bfs.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(d + 1))
+        .localCheckpoint()
+      if (nxt.isEmpty) exhausted = true
+      else {
+        frontier = nxt
+        bfs = bfs.unionAll(nxt).localCheckpoint()
+      }
+      d += 1
+    }
+    val dec = "decimal(28,9)"
+    val stats = bfs.filter(col("dist") > 0)
+      .groupBy("node").agg(
+        count(lit(1)).as("reach"),
+        max(col("dist")).as("ecc"),
+        sum(col("dist").cast("long")).as("td"),
+        sum(round(lit(1.0) / col("dist").cast("double"), 9).cast(dec)).cast(dec).as("hm"))
+    nodes.join(stats, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("reach"), lit(0L)).as("reach"),
+        coalesce(col("ecc"), lit(0)).as("ecc"),
+        when(col("td").isNotNull,
+          col("reach").cast("double") / col("td").cast("double"))
+          .otherwise(lit(0.0)).as("closeness"),
+        coalesce(col("hm"), lit(0).cast(dec)).cast("double").as("harmonic"),
+        lit(exhausted).as("complete"))
+  }
 }

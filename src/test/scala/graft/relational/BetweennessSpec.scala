@@ -75,6 +75,33 @@ class BetweennessSpec extends AnyFunSuite {
     assert(cut.forall(!_._2._2), "depth-3 budget on P9 must report incomplete")
   }
 
+  test("closenessStats: P4 closed forms (reach/ecc/closeness/harmonic)") {
+    val out = Graph.closenessStats(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"), "src", "dst", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.forall(_._2._5))
+    // endpoints: dists 1,2,3
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3)
+    assert(math.abs(out(1L)._3 - 0.5) < 1e-12)
+    assert(math.abs(out(1L)._4 - (1.0 + 0.5 + round9(1.0 / 3))) < 1e-9)
+    // interior: dists 1,1,2
+    assert(out(2L)._1 == 3L && out(2L)._2 == 2)
+    assert(math.abs(out(2L)._3 - 0.75) < 1e-12)
+    assert(math.abs(out(2L)._4 - 2.5) < 1e-12)
+  }
+
+  private def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+
+  test("closenessStats: disconnected components stay component-local") {
+    val out = Graph.closenessStats(
+        Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("src", "dst"), "src", "dst", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1.0)        // one neighbor at d=1
+    assert(out(11L)._1 == 2L && out(11L)._2 == 1.0)      // center of P3
+    assert(out(10L)._1 == 2L && math.abs(out(10L)._2 - 2.0 / 3) < 1e-12)
+  }
+
   test("sampled sources approximate and stay keyed (no cross-source bleed)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val roots = Seq(1L).toDF("node")
