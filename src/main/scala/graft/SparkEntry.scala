@@ -88,6 +88,14 @@ object SparkEntry {
     "CASE WHEN (length(text) - length(replace(text, ' ', ''))) >= 25 THEN 1.0E0 ELSE 0.0E0 END"
   private val qcWhere = "text IS NOT NULL AND n_chars IS NOT NULL"
 
+  // q318 sparse doc-term matrix: portable SQL (identical text runs on
+  // Spark and DuckDB — concat coerces ints, the decimal sum is exact).
+  private val nmfVSql =
+    """SELECT concat('d', l_orderkey % 60) AS doc,
+      |  concat('t', l_partkey % 25) AS term,
+      |  cast(sum(cast(l_quantity as decimal(20,2))) as double) AS val
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== relational surface (inherited ops: scan/filter/agg/join/window/sort/setop)
@@ -625,6 +633,50 @@ object SparkEntry {
         |  round(coalesce(max(CASE WHEN rk <= n.n THEN cum END), 0) / max(cast(tot as double)), 6) + 0.0 AS coverage
         |FROM r CROSS JOIN (SELECT explode(array(10, 100, 1000)) AS n) n
         |GROUP BY n.n ORDER BY top_n""".stripMargin),
+
+    // TOPIC FACTORIZATION by NMF (Lee & Seung multiplicative updates)
+    // over a sparse doc-term matrix synthesized from lineitem (doc =
+    // orderkey bucket, term = partkey bucket, val = decimal-exact
+    // quantity mass). Every matrix is exploded to scalar rows, so each
+    // update is joins + aggregations: the k x k Grams are tiny
+    // aggregation outputs joined back (never driver state) and the
+    // corpus-sized work per iteration is two V-sized joins — the
+    // textbook distributed-NMF shape. The oracle replays init + both
+    // iterations as one unrolled MATERIALIZED-CTE chain built from the
+    // SAME step builders (TopicModel.chainSql), term for term.
+    "q318_nmf_topics" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "lineitem")
+      val v = s.sql(nmfVSql)
+      graft.pipeline.TopicModel.nmf(v, "doc", "term", "val", k = 2, iters = 2)
+        .selectExpr("matrix", "id", "j", "round(value, 6) + 0.0 AS value")
+        .orderBy("matrix", "id", "j")
+    }),
+
+    // CLOSED-FORM OLS — the continuous-response model beside the
+    // logistic classifier: ONE map-side-combined aggregation builds the
+    // decimal-folded normal-equation sums; the 3x3 Cramer solve and R^2
+    // are metadata-sized scalar algebra. The SQL is portable — the
+    // identical text runs on DuckDB, so betas match term for term.
+    "q319_ols_regression" -> sqlQuery(Seq("lineitem"),
+      graft.pipeline.Regression.olsSql("lineitem",
+        "cast(l_quantity as double)", "cast(l_discount as double)",
+        "cast(l_extendedprice as double) / 1000.0")),
+
+    // GRADIENT-BOOSTED STUMPS (squared loss, depth-1): each round is ONE
+    // map-side-combined per-(feature, bin) residual aggregation + tiny
+    // cumulative windows picking the best variance-reduction split; the
+    // chosen stump is a 1-row relation cross-joined into the next
+    // round's residual expression, so predictions are never materialized
+    // per row. The oracle replays all rounds as unrolled MATERIALIZED
+    // CTEs from the same Boost step builders.
+    "q320_boosted_stumps" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      graft.pipeline.Boost.trainStumps(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("cast(l_quantity as double)", "cast(l_discount as double)"),
+        "cast(l_extendedprice as double) / 1000.0", rounds = 3, lr = 0.5)
+    }),
 
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
@@ -8005,6 +8057,28 @@ object SparkEntry {
         |  round(coalesce(max(CASE WHEN rk <= n.n THEN cum END), 0) / max(cast(tot as double)), 6) + 0.0 AS coverage
         |FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS n) n
         |GROUP BY n.n ORDER BY top_n""".stripMargin,
+
+    // the identical portable text (decimal folds + Cramer scalars)
+    "q319_ols_regression" ->
+      graft.pipeline.Regression.olsSql("lineitem",
+        "cast(l_quantity as double)", "cast(l_discount as double)",
+        "cast(l_extendedprice as double) / 1000.0"),
+
+    // identical round builders, unrolled (duck MATERIALIZED CTE chain)
+    "q320_boosted_stumps" ->
+      graft.pipeline.Boost.chainSql("lineitem",
+        Seq("cast(l_quantity as double)", "cast(l_discount as double)"),
+        "cast(l_extendedprice as double) / 1000.0", rounds = 3, lr = 0.5),
+
+    // identical init + 2 H/W update rounds, unrolled as MATERIALIZED
+    // CTEs from the same TopicModel step builders (duck dialect)
+    "q318_nmf_topics" ->
+      s"""WITH v AS MATERIALIZED ($nmfVSql),
+         |${graft.pipeline.TopicModel.chainSql("v", k = 2, iters = 2)}
+         |SELECT 'w' AS matrix, doc AS id, j, round(w, 6) + 0.0 AS value FROM w2
+         |UNION ALL
+         |SELECT 'h', term, j, round(h, 6) + 0.0 FROM h2
+         |ORDER BY matrix, id, j""".stripMargin,
 
     // full 256-round unrolled replay (MATERIALIZED CTE per round) over
     // the customer-name vocabulary
