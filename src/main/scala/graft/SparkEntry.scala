@@ -88,6 +88,111 @@ object SparkEntry {
     "CASE WHEN (length(text) - length(replace(text, ' ', ''))) >= 25 THEN 1.0E0 ELSE 0.0E0 END"
   private val qcWhere = "text IS NOT NULL AND n_chars IS NOT NULL"
 
+  // q323 shared readability core: `base` must expose (doc_id, w, s, y)
+  // punctuation-free text (e.g. token streams) counts as ONE sentence —
+  // greatest(1, s) keeps the scores defined instead of dropping the doc
+  private val readabilityCore =
+    """SELECT doc_id, w AS n_words, greatest(1, s) AS n_sentences, y AS n_syllables,
+      |  round(206.835 - 1.015 * (cast(w as double) / greatest(1, s))
+      |    - 84.6 * (cast(y as double) / w), 6) + 0.0 AS flesch,
+      |  round(0.39 * (cast(w as double) / greatest(1, s))
+      |    + 11.8 * (cast(y as double) / w) - 15.59, 6) + 0.0 AS fk_grade
+      |FROM base WHERE w > 0 ORDER BY doc_id""".stripMargin
+
+  // q325 differentially-private counts: deterministic Laplace noise by
+  // inverse-CDF over the shared md5-60bit uniform (TopicModel.Dialect
+  // supplies the engine spelling). eps = 1, sensitivity 1 (counts).
+  // true_n is emitted ONLY because this is an oracle-verified catalog —
+  // a production release would drop it.
+  private def dpCountsSql(d: graft.pipeline.TopicModel.Dialect): String = {
+    val key = d.cat(Seq("l_returnflag", "':'", "l_linestatus"))
+    s"""WITH g AS (
+       |  SELECT l_returnflag, l_linestatus, cast(count(*) as bigint) AS n,
+       |    cast(${d.md5Int(key)} % 1000000 as double) AS m
+       |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+       |u AS (SELECT *, (m + 0.5) / 1000001.0 - 0.5 AS uu FROM g)
+       |SELECT l_returnflag, l_linestatus, n AS true_n,
+       |  round((CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END)
+       |    * ln(1.0 - 2.0 * abs(uu)), 6) + 0.0 AS noise,
+       |  round(n + (CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END)
+       |    * ln(1.0 - 2.0 * abs(uu)), 6) + 0.0 AS noisy_n
+       |FROM u ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // q327 multi-touch attribution: first/last/linear click credit per
+  // purchase within a 7-day lookback, aggregated by click hour-of-day.
+  // `micros` is the engine spelling (unix_micros vs epoch_us).
+  private def attributionSql(micros: String => String): String =
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS cid, user_id, ts FROM events WHERE event_type = 'click'),
+       |pc AS (
+       |  SELECT p.event_id, c.cid, c.ts AS cts
+       |  FROM p JOIN c ON c.user_id = p.user_id
+       |  WHERE c.ts < p.ts
+       |    AND ${micros("p.ts")} - ${micros("c.ts")} <= 604800000000),
+       |r AS (
+       |  SELECT event_id, cid, cts,
+       |    row_number() OVER (PARTITION BY event_id ORDER BY cts ASC, cid) AS rk_first,
+       |    row_number() OVER (PARTITION BY event_id ORDER BY cts DESC, cid) AS rk_last,
+       |    count(*) OVER (PARTITION BY event_id) AS n
+       |  FROM pc)
+       |SELECT cast(hour(cts) as int) AS click_hour,
+       |  cast(sum(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) as bigint) AS first_touch,
+       |  cast(sum(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) as bigint) AS last_touch,
+       |  round(cast(sum(cast(round(cast(1.0 as double) / n, 9) as decimal(20,9))) as double), 6) + 0.0 AS linear_credit
+       |FROM r GROUP BY hour(cts) ORDER BY click_hour""".stripMargin
+
+  // q328 simple exponential smoothing (alpha = 0.3) over daily event
+  // counts via the closed form S_t = sum_i w(i,t) y_i — the raw stream
+  // reduces to a metadata-sized daily table first, then the triangular
+  // day-pair join is days^2 (tiny at any corpus scale). `dayNum` is the
+  // engine spelling of the integer day number.
+  private def expSmoothSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS t,
+       |               count(*) OVER () AS tn FROM daily),
+       |lvl AS (
+       |  SELECT a.t, a.d, a.y,
+       |    sum(cast(round(
+       |      CASE WHEN b.t = 1 THEN power(cast(0.7 as double), a.t - 1) * b.y
+       |           ELSE cast(0.3 as double)
+       |             * power(cast(0.7 as double), a.t - b.t) * b.y END, 9)
+       |      as decimal(25,9))) AS s
+       |  FROM idx a JOIN idx b ON b.t <= a.t
+       |  WHERE a.t > a.tn - 5
+       |  GROUP BY a.t, a.d, a.y)
+       |SELECT cast(t as bigint) AS t, cast(d as bigint) AS day_num, y,
+       |  round(cast(s as double), 6) + 0.0 AS level
+       |FROM lvl ORDER BY t""".stripMargin
+
+  // q326 IDW: portable text (identical on both engines); weights and
+  // weighted values fold as round-9 decimals before the final ratio
+  private val idwSql =
+    """WITH t AS (
+      |  SELECT n_nationkey AS tid,
+      |    cast((n_nationkey * 29) % 360 - 180 as double) + 0.5 AS tx,
+      |    cast((n_nationkey * 13) % 160 - 80 as double) + 0.5 AS ty
+      |  FROM nation),
+      |pts AS (
+      |  SELECT cast(c_custkey % 360 - 180 as double) AS px,
+      |    cast((c_custkey * 7) % 160 - 80 as double) AS py,
+      |    cast(c_acctbal as double) AS v
+      |  FROM customer),
+      |nb AS (
+      |  SELECT t.tid, t.tx, t.ty, p.v,
+      |    (p.px - t.tx) * (p.px - t.tx) + (p.py - t.ty) * (p.py - t.ty) AS d2
+      |  FROM t JOIN pts p
+      |    ON p.px BETWEEN t.tx - 20.0 AND t.tx + 20.0
+      |   AND p.py BETWEEN t.ty - 20.0 AND t.ty + 20.0)
+      |SELECT tid, round(tx, 1) + 0.0 AS tx, round(ty, 1) + 0.0 AS ty,
+      |  cast(count(*) as bigint) AS n_nb,
+      |  round(cast(sum(cast(round(v / (1.0 + d2), 9) as decimal(25,9))) as double)
+      |      / cast(sum(cast(round(cast(1.0 as double) / (1.0 + d2), 9) as decimal(25,9))) as double),
+      |    6) + 0.0 AS idw
+      |FROM nb GROUP BY tid, tx, ty ORDER BY tid""".stripMargin
+
   // q318 sparse doc-term matrix: portable SQL (identical text runs on
   // Spark and DuckDB — concat coerces ints, the decimal sum is exact).
   private val nmfVSql =
@@ -677,6 +782,78 @@ object SparkEntry {
         Seq("cast(l_quantity as double)", "cast(l_discount as double)"),
         "cast(l_extendedprice as double) / 1000.0", rounds = 3, lr = 0.5)
     }),
+
+    // MULTINOMIAL NAIVE BAYES language classifier (add-1 smoothing),
+    // trained and resubstitution-scored in one SQL chain: the model is
+    // two aggregations of the token stream; scoring fans tokens over
+    // |classes| (a small constant) and equi-joins counts on
+    // (class, word). Log-likelihoods fold round-9 decimal terms. Only
+    // the tokenizer is engine-specific (TextClassify.sparkTok/duckTok);
+    // the whole scoring core is one shared text.
+    "q321_naive_bayes" -> sqlQuery(Seq("documents"),
+      graft.pipeline.TextClassify.naiveBayesSql(graft.pipeline.TextClassify.sparkTok)),
+
+    // CHI-SQUARED term-class selection over document presence: exact
+    // bigint contingency counts, one deterministic double statistic,
+    // top-5 per class by (rounded chi2 DESC, word).
+    "q322_chi2_terms" -> sqlQuery(Seq("documents"),
+      graft.pipeline.TextClassify.chi2Sql(graft.pipeline.TextClassify.sparkTok, k = 5)),
+
+    // READABILITY scoring (Flesch reading ease + Flesch-Kincaid grade):
+    // one codegen scan — vowel-group syllable approximation, [.!?]+
+    // sentence runs, whitespace words; the quality-signal family's
+    // classic composite. Engine-specific count spellings, shared formula.
+    "q323_readability" -> sqlQuery(Seq("documents"),
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    cast(size(filter(split(trim(text), '\\\\s+'), x -> x != '')) as bigint) AS w,
+         |    cast(regexp_count(text, '[.!?]+') as bigint) AS s,
+         |    cast(regexp_count(lower(text), '[aeiouy]+') as bigint) AS y
+         |  FROM documents WHERE text IS NOT NULL)
+         |$readabilityCore""".stripMargin),
+
+    // ADAMIC-ADAR link prediction over the q313 fixture graph: wedge
+    // enumeration at common neighbors (sum(deg^2) fan-out — the
+    // standard bound), 1/ln(deg) folds as round-9 decimals, existing
+    // edges anti-joined away, top-20 by (score DESC, u, v).
+    "q324_adamic_adar" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 60 AS src, (c_custkey + 13) % 60 AS dst FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 40, (c_custkey * 3 + 1) % 40 FROM customer""".stripMargin)
+      graft.relational.Graph.adamicAdar(edges, "src", "dst", topK = 20)
+        .selectExpr("cast(u as bigint) AS u", "cast(v as bigint) AS v", "aa_score")
+    }),
+
+    // DIFFERENTIALLY-PRIVATE count release (Laplace, eps = 1): noise by
+    // inverse-CDF over the md5-60bit uniform — deterministic, so the
+    // oracle replays it; one aggregation, noise is per-group scalar math.
+    "q325_dp_release" -> sqlQuery(Seq("lineitem"),
+      dpCountsSql(graft.pipeline.TopicModel.sparkDialect)),
+
+    // INVERSE-DISTANCE-WEIGHTED interpolation at 25 target sites from
+    // customer points within a +/-20 box: the 25-row build side plans as
+    // a broadcast nested-loop (the intentional tiny-build pattern); at
+    // production target counts this becomes the grid join
+    // (SpatialJoin.gridJoin) with the same weighted-fold core.
+    "q326_idw_interpolation" -> sqlQuery(Seq("nation", "customer"), idwSql),
+
+    // MULTI-TOUCH ATTRIBUTION (first/last/linear) of purchases to
+    // clicks in a 7-day lookback: per-user equi-join bounded by user
+    // activity; credits fold exactly (bigint / round-9 decimal).
+    "q327_attribution" -> sqlQuery(Seq("events"),
+      attributionSql(e => s"unix_micros($e)")),
+
+    // EXPONENTIAL SMOOTHING (closed form, alpha = 0.3): raw events
+    // reduce to daily counts first; the triangular day-pair join is
+    // metadata-sized at any scale. Last-5-day levels; S_t is also the
+    // one-step forecast for t+1.
+    "q328_exp_smoothing" -> sqlQuery(Seq("events"),
+      expSmoothSql(e => s"unix_micros($e) div 86400000000")),
 
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
@@ -8063,6 +8240,66 @@ object SparkEntry {
       graft.pipeline.Regression.olsSql("lineitem",
         "cast(l_quantity as double)", "cast(l_discount as double)",
         "cast(l_extendedprice as double) / 1000.0"),
+
+    // duck md5 spelling, same inverse-CDF Laplace
+    "q325_dp_release" ->
+      dpCountsSql(graft.pipeline.TopicModel.duckDialect),
+
+    // identical portable text
+    "q326_idw_interpolation" -> idwSql,
+
+    // epoch_us spelling, same credit core
+    "q327_attribution" ->
+      attributionSql(e => s"epoch_us($e)"),
+
+    // duck integer division spelling, same closed form
+    "q328_exp_smoothing" ->
+      expSmoothSql(e => s"epoch_us($e) // 86400000000"),
+
+    // same scoring core over the duck tokenizer
+    "q321_naive_bayes" ->
+      graft.pipeline.TextClassify.naiveBayesSql(graft.pipeline.TextClassify.duckTok),
+
+    "q322_chi2_terms" ->
+      graft.pipeline.TextClassify.chi2Sql(graft.pipeline.TextClassify.duckTok, k = 5),
+
+    // duck count spellings, shared formula core
+    "q323_readability" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    cast(len(regexp_extract_all(trim(text), '\\S+')) as bigint) AS w,
+         |    cast(len(regexp_extract_all(text, '[.!?]+')) as bigint) AS s,
+         |    cast(len(regexp_extract_all(lower(text), '[aeiouy]+')) as bigint) AS y
+         |  FROM documents WHERE text IS NOT NULL)
+         |$readabilityCore""".stripMargin,
+
+    // wedge enumeration + anti-join mirror of Graph.adamicAdar
+    "q324_adamic_adar" ->
+      """WITH raw AS (
+        |  SELECT c_custkey % 60 AS src, (c_custkey + 13) % 60 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey % 40, (c_custkey * 3 + 1) % 40 FROM customer),
+        |ed AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src != dst),
+        |adj AS MATERIALIZED (SELECT u AS n, v AS nb FROM ed UNION ALL SELECT v, u FROM ed),
+        |deg AS (SELECT n AS z, cast(count(*) as bigint) AS d FROM adj GROUP BY n),
+        |wedge AS (
+        |  SELECT a.n AS wu, b.n AS wv, a.nb AS z
+        |  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n),
+        |aa AS (
+        |  SELECT w.wu, w.wv,
+        |    sum(cast(round(1.0 / ln(cast(d.d as double)), 9) as decimal(20,9))) AS s
+        |  FROM wedge w JOIN deg d ON d.z = w.z WHERE d.d > 1
+        |  GROUP BY w.wu, w.wv),
+        |cand AS (
+        |  SELECT aa.wu AS u, aa.wv AS v,
+        |    round(cast(aa.s as double), 6) + 0.0 AS aa_score
+        |  FROM aa LEFT JOIN ed e ON e.u = aa.wu AND e.v = aa.wv
+        |  WHERE e.u IS NULL)
+        |SELECT cast(u as bigint) AS u, cast(v as bigint) AS v, aa_score
+        |FROM cand ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin,
 
     // identical round builders, unrolled (duck MATERIALIZED CTE chain)
     "q320_boosted_stumps" ->

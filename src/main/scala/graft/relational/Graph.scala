@@ -93,6 +93,39 @@ object Graph {
    * round k does not replay rounds 1..k-1 (the q178 BFS discipline). The
    * distance table is bounded by |V|; nothing lands on the driver.
    */
+  /**
+   * Adamic-Adar link prediction: for each non-adjacent pair (u, v),
+   * score = sum over common neighbors z of 1/ln(deg(z)). Wedge
+   * enumeration at each common neighbor — the shuffle fan-out is
+   * sum(deg^2), the standard wedge bound (cap degrees upstream for
+   * power-law graphs). Scores fold round-9 decimal terms, so any
+   * partitioning produces identical scores; ties rank (score DESC, u, v).
+   */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val adj = und.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy(col("n").as("z")).agg(count(lit(1)).as("d"))
+    val wedges = adj.as("a").join(adj.as("b"),
+        col("a.nb") === col("b.nb") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("wu"), col("b.n").as("wv"), col("a.nb").as("z"))
+    val scored = wedges.join(deg, Seq("z"))
+      .filter(col("d") > 1)
+      .groupBy(col("wu"), col("wv"))
+      .agg(sum(expr("cast(round(1.0 / ln(cast(d as double)), 9) as decimal(20,9))"))
+        .as("s"))
+    scored
+      .join(und, scored("wu") === und("u") && scored("wv") === und("v"), "left_anti")
+      .select(col("wu").as("u"), col("wv").as("v"),
+        expr("round(cast(s as double), 6) + 0.0").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   def bellmanFord(
       edges: DataFrame,
       srcCol: String,
