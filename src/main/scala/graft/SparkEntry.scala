@@ -193,6 +193,102 @@ object SparkEntry {
       |    6) + 0.0 AS idw
       |FROM nb GROUP BY tid, tx, ty ORDER BY tid""".stripMargin
 
+  // q331 Gini: portable text
+  private val giniSql =
+    """WITH sp AS (
+      |  SELECT o_custkey AS k,
+      |    cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+      |    count(*) OVER () AS n
+      |  FROM sp),
+      |s AS (
+      |  SELECT max(n) AS n,
+      |    cast(sum(cast(round(i * x, 6) as decimal(30,6))) as double) AS six,
+      |    cast(sum(cast(round(x, 6) as decimal(30,6))) as double) AS sx
+      |  FROM r)
+      |SELECT cast(n as bigint) AS n,
+      |  round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) + 0.0 AS gini
+      |FROM s""".stripMargin
+
+  // q332 Spearman: portable text (word count via the space-count proxy)
+  private val spearmanSql =
+    """WITH base AS (
+      |  SELECT doc_id, cast(n_chars as double) AS x,
+      |    cast(length(text) - length(replace(text, ' ', '')) + 1 as double) AS y
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |rk AS (
+      |  SELECT doc_id, x, y,
+      |    rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / cast(2.0 as double) AS rx,
+      |    rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / cast(2.0 as double) AS ry
+      |  FROM base),
+      |s AS (
+      |  SELECT cast(count(*) as double) AS n,
+      |    cast(sum(cast(round(rx, 6) as decimal(30,6))) as double) AS sx,
+      |    cast(sum(cast(round(ry, 6) as decimal(30,6))) as double) AS sy,
+      |    cast(sum(cast(round(rx * ry, 6) as decimal(30,6))) as double) AS sxy,
+      |    cast(sum(cast(round(rx * rx, 6) as decimal(30,6))) as double) AS sxx,
+      |    cast(sum(cast(round(ry * ry, 6) as decimal(30,6))) as double) AS syy
+      |  FROM rk)
+      |SELECT cast(n as bigint) AS n,
+      |  round((n * sxy - sx * sy)
+      |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 AS rho
+      |FROM s""".stripMargin
+
+  // q333 A-Res weighted sample: key = u^(1/w), top-10 by (key DESC, id)
+  private def aresSql(d: graft.pipeline.TopicModel.Dialect): String = {
+    val key = d.cat(Seq("'ares:'", d.strCast("c_custkey")))
+    s"""WITH w AS (
+       |  SELECT c_custkey,
+       |    greatest(cast(0.01 as double), cast(c_acctbal as double)) AS wt,
+       |    (cast(${d.md5Int(key)} % 1000000 as double) + 0.5) / 1000000.0 AS u
+       |  FROM customer)
+       |SELECT c_custkey, round(wt, 2) + 0.0 AS wt,
+       |  round(power(u, cast(1.0 as double) / wt), 9) + 0.0 AS ares_key
+       |FROM w
+       |ORDER BY ares_key DESC, c_custkey LIMIT 10""".stripMargin
+  }
+
+  // q329 HITS oracle: unrolled rounds sharing Graph.hits' arithmetic
+  private def hitsOracleSql(iters: Int): String = {
+    val dec = "decimal(28,9)"
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.v AS node, sum(h) AS am
+         |  FROM e JOIN h${k - 1} ON e.s = h${k - 1}.node GROUP BY e.v),
+         |an$k AS (SELECT nodes.node, cast(coalesce(ar$k.am, 0) as $dec) AS a
+         |  FROM nodes LEFT JOIN ar$k USING (node)),
+         |a$k AS MATERIALIZED (SELECT node,
+         |  cast(round(cast(a as double)
+         |    / cast((SELECT sum(a) FROM an$k) as double), 9) as $dec) AS a
+         |  FROM an$k),
+         |hr$k AS (SELECT e.s AS node, sum(a) AS hm
+         |  FROM e JOIN a$k ON e.v = a$k.node GROUP BY e.s),
+         |hn$k AS (SELECT nodes.node, cast(coalesce(hr$k.hm, 0) as $dec) AS h
+         |  FROM nodes LEFT JOIN hr$k USING (node)),
+         |h$k AS MATERIALIZED (SELECT node,
+         |  cast(round(cast(h as double)
+         |    / cast((SELECT sum(h) FROM hn$k) as double), 9) as $dec) AS h
+         |  FROM hn$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT c_custkey % 60 AS s, (c_custkey + 13) % 60 AS v FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer),
+       |e AS (SELECT DISTINCT s, v FROM eraw WHERE s <> v),
+       |nodes AS (SELECT DISTINCT s AS node FROM e
+       |          UNION SELECT DISTINCT v AS node FROM e),
+       |h0 AS (SELECT node, cast(1.0 as $dec) AS h FROM nodes),
+       |$rounds
+       |SELECT cast(n2.node as bigint) AS node,
+       |  round(cast(h.h as double), 6) + 0.0 AS hub,
+       |  round(cast(a.a as double), 6) + 0.0 AS authority
+       |FROM nodes n2
+       |JOIN h$iters h ON h.node = n2.node
+       |JOIN a$iters a ON a.node = n2.node
+       |ORDER BY node""".stripMargin
+  }
+
   // q318 sparse doc-term matrix: portable SQL (identical text runs on
   // Spark and DuckDB — concat coerces ints, the decimal sum is exact).
   private val nmfVSql =
@@ -854,6 +950,49 @@ object SparkEntry {
     // one-step forecast for t+1.
     "q328_exp_smoothing" -> sqlQuery(Seq("events"),
       expSmoothSql(e => s"unix_micros($e) div 86400000000")),
+
+    // HITS hubs/authorities (4 rounds) over the q218 directed fixture:
+    // per round two frontier joins + two L1 normalizations (totals are
+    // 1-row aggregates joined back); round-9 decimal folds replay as
+    // unrolled CTEs.
+    "q329_hits" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 60 AS s, (c_custkey + 13) % 60 AS v FROM customer
+          |UNION ALL
+          |SELECT c_custkey % 60, (c_custkey * 7 + 3) % 60 FROM customer""".stripMargin)
+      graft.relational.Graph.hits(edges, "s", "v", iters = 4)
+        .selectExpr("cast(node as bigint) AS node", "hub", "authority")
+        .orderBy("node")
+    }),
+
+    // RAKE keyword extraction: stopword-split candidate phrases (one
+    // running-count window), word deg/freq stats, phrase scores as
+    // round-9 decimal folds. Engine-specific positional tokenizer and
+    // ordered phrase-agg; one shared scoring core.
+    "q330_rake_keywords" -> sqlQuery(Seq("documents"),
+      graft.pipeline.TextClassify.rakeSql(
+        graft.pipeline.TextClassify.sparkTokPos,
+        graft.pipeline.TextClassify.sparkPhraseAgg)),
+
+    // GINI concentration of customer spend: one aggregation to
+    // per-customer totals, one ordered window for the rank form
+    // G = 2*sum(i*x)/(n*sum(x)) - (n+1)/n. The global sort is the exact
+    // small-scale path; at 100 TB the same statistic comes off a value
+    // histogram (q312-style cumulative shares).
+    "q331_gini" -> sqlQuery(Seq("orders"), giniSql),
+
+    // SPEARMAN rank correlation (tie-corrected average ranks) between
+    // doc length and word count: ranks via min-rank + group size
+    // windows; Pearson on ranks via decimal-folded sums.
+    "q332_spearman" -> sqlQuery(Seq("documents"), spearmanSql),
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-Spirakis A-Res):
+    // key = u^(1/w) with the md5-60bit uniform — deterministic, exactly
+    // replayable; top-k by key is one TakeOrdered pass, no global sort.
+    "q333_ares_sample" -> sqlQuery(Seq("customer"),
+      aresSql(graft.pipeline.TopicModel.sparkDialect)),
 
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
@@ -8240,6 +8379,23 @@ object SparkEntry {
       graft.pipeline.Regression.olsSql("lineitem",
         "cast(l_quantity as double)", "cast(l_discount as double)",
         "cast(l_extendedprice as double) / 1000.0"),
+
+    // unrolled rounds sharing Graph.hits' arithmetic
+    "q329_hits" -> hitsOracleSql(4),
+
+    // duck positional tokenizer + ordered string_agg, same scoring core
+    "q330_rake_keywords" ->
+      graft.pipeline.TextClassify.rakeSql(
+        graft.pipeline.TextClassify.duckTokPos,
+        graft.pipeline.TextClassify.duckPhraseAgg),
+
+    // identical portable texts
+    "q331_gini" -> giniSql,
+    "q332_spearman" -> spearmanSql,
+
+    // duck md5 spelling, same A-Res key
+    "q333_ares_sample" ->
+      aresSql(graft.pipeline.TopicModel.duckDialect),
 
     // duck md5 spelling, same inverse-CDF Laplace
     "q325_dp_release" ->

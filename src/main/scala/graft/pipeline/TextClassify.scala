@@ -76,6 +76,72 @@ object TextClassify {
        |GROUP BY true_lang, pred_lang
        |ORDER BY true_lang, pred_lang""".stripMargin
 
+  /** Spark positional tokenizer (1-based pos, matching duck subscripts). */
+  val sparkTokPos: String =
+    """SELECT doc_id, p.pos + 1 AS pos, p.word
+      |FROM documents
+      |LATERAL VIEW posexplode(filter(split(lower(trim(text)), '\\s+'), x -> x != '')) p AS pos, word
+      |WHERE text IS NOT NULL""".stripMargin
+
+  /** DuckDB positional tokenizer (generate_subscripts; 1.0 lacks WITH ORDINALITY). */
+  val duckTokPos: String =
+    """SELECT doc_id, generate_subscripts(l, 1) AS pos, l[generate_subscripts(l, 1)] AS word
+      |FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS l
+      |      FROM documents WHERE text IS NOT NULL) t""".stripMargin
+
+  /** Spark phrase-text aggregation (order restored via array_sort on (pos, word) structs). */
+  val sparkPhraseAgg: String =
+    """SELECT doc_id, pid,
+      |  array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ') AS phrase
+      |FROM phw GROUP BY doc_id, pid""".stripMargin
+
+  /** DuckDB phrase-text aggregation. */
+  val duckPhraseAgg: String =
+    "SELECT doc_id, pid, string_agg(word, ' ' ORDER BY pos) AS phrase FROM phw GROUP BY doc_id, pid"
+
+  /**
+   * RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+   * maximal stopword-free token runs (phrase id = running stopword
+   * count — one window); word scores deg/freq aggregate over phrase
+   * members; phrase score sums member word scores as round-9 decimals.
+   * Top phrases by (score DESC, phrase). The heavy joins are word- and
+   * (doc, phrase)-keyed equi-joins — linear in the token stream.
+   */
+  def rakeSql(tokposCte: String, phraseAggSql: String,
+      stopwords: Seq[String] = Seq("a", "the", "of", "and", "in", "to"),
+      topK: Int = 15): String = {
+    val stop = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tokpos AS ($tokposCte),
+       |flag AS (
+       |  SELECT doc_id, pos, word,
+       |    CASE WHEN word IN ($stop) THEN 1 ELSE 0 END AS stp
+       |  FROM tokpos),
+       |ph AS (
+       |  SELECT doc_id, pos, word, stp,
+       |    sum(stp) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+       |  FROM flag),
+       |phw AS (SELECT doc_id, pid, pos, word FROM ph WHERE stp = 0),
+       |plen AS (SELECT doc_id, pid, cast(count(*) as bigint) AS len
+       |  FROM phw GROUP BY doc_id, pid),
+       |wstat AS (
+       |  SELECT word, cast(count(*) as bigint) AS freq,
+       |    cast(sum(len) as bigint) AS deg
+       |  FROM phw JOIN plen USING (doc_id, pid) GROUP BY word),
+       |ptext AS ($phraseAggSql),
+       |pscore AS (
+       |  SELECT p.doc_id, p.pid, t.phrase,
+       |    sum(cast(round(cast(w.deg as double) / w.freq, 9) as decimal(20,9))) AS sc
+       |  FROM phw p
+       |  JOIN wstat w ON w.word = p.word
+       |  JOIN ptext t ON t.doc_id = p.doc_id AND t.pid = p.pid
+       |  GROUP BY p.doc_id, p.pid, t.phrase)
+       |SELECT phrase, cast(count(*) as bigint) AS n_occurrences,
+       |  round(cast(max(sc) as double), 6) + 0.0 AS rake_score
+       |FROM pscore GROUP BY phrase
+       |ORDER BY rake_score DESC, phrase LIMIT $topK""".stripMargin
+  }
+
   /**
    * Chi-squared term-class association over document presence; top-`k`
    * terms per class by (chi2 DESC, word). Returns

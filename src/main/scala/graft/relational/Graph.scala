@@ -254,6 +254,55 @@ object Graph {
   }
 
   /**
+   * HITS hubs-and-authorities (Kleinberg) as fixed parallel rounds, the
+   * directed-endorsement sibling of [[pageRank]]: each round is two
+   * edge-joins (authority pull, hub push) + two L1 normalizations whose
+   * totals are tiny aggregation outputs joined back. Scores fold
+   * round-9 decimals (order-independent, oracle-replayable); static
+   * edge sides are partitioned once and materialized, so per-round
+   * shuffles move only the score frontier.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("v"))
+      .filter(col("s").isNotNull && col("v").isNotNull && col("s") =!= col("v"))
+      .distinct()
+      .repartition(col("s"))
+      .localCheckpoint()
+    val nodes = e.select(col("s").as("node")).unionAll(e.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val dec = "decimal(28,9)"
+    def l1norm(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c)).as("tot"))
+      df.crossJoin(tot).select(col("node"),
+        expr(s"cast(round(cast($c as double) / cast(tot as double), 9) as $dec)").as(c))
+    }
+    var hub = nodes.withColumn("h", expr(s"cast(1.0 as $dec)"))
+    var auth = nodes.withColumn("a", expr(s"cast(1.0 as $dec)"))
+    var it = 0
+    while (it < iters) {
+      val aRaw = e.join(hub.select(col("node").as("s"), col("h")), Seq("s"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("h")).as("am"))
+      auth = l1norm(nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), expr(s"cast(coalesce(am, 0) as $dec)").as("a")), "a")
+        .localCheckpoint()
+      val hRaw = e.join(auth.select(col("node").as("v"), col("a")), Seq("v"))
+        .groupBy(col("s").as("node"))
+        .agg(sum(col("a")).as("hm"))
+      hub = l1norm(nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), expr(s"cast(coalesce(hm, 0) as $dec)").as("h")), "h")
+        .localCheckpoint()
+      it += 1
+    }
+    nodes.join(hub, Seq("node")).join(auth, Seq("node"))
+      .select(col("node"),
+        expr("round(cast(h as double), 6) + 0.0").as("hub"),
+        expr("round(cast(a as double), 6) + 0.0").as("authority"))
+  }
+
+  /**
    * k-CORE membership by iterated degree peeling (Matula-Beck re-expressed
    * as parallel rounds): each round computes current degrees (one
    * map-side-combined aggregation) and drops every vertex below `k` with
