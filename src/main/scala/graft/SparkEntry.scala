@@ -250,6 +250,130 @@ object SparkEntry {
        |ORDER BY ares_key DESC, c_custkey LIMIT 10""".stripMargin
   }
 
+  // q334 feature hashing (the hashing-trick vectorizer): dim and sign
+  // from the shared md5-60bit hash; per-dim corpus totals
+  private def featureHashSql(tok: String, d: graft.pipeline.TopicModel.Dialect): String =
+    s"""WITH tok AS ($tok),
+       |h AS (
+       |  SELECT word,
+       |    cast(${d.md5Int(d.cat(Seq("'fh:'", "word")))} % 512 as int) AS dim,
+       |    CASE WHEN ${d.md5Int(d.cat(Seq("'fs:'", "word")))} % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT DISTINCT word FROM tok) w),
+       |m AS (
+       |  SELECT t.word, h.dim, h.sgn, cast(count(*) as bigint) AS c
+       |  FROM tok t JOIN h ON h.word = t.word GROUP BY t.word, h.dim, h.sgn)
+       |SELECT dim, cast(sum(sgn * c) as bigint) AS signed_mass,
+       |  cast(count(*) as bigint) AS n_words,
+       |  cast(sum(c) as bigint) AS n_tokens
+       |FROM m GROUP BY dim ORDER BY n_tokens DESC, dim LIMIT 20""".stripMargin
+
+  // q335 leave-fold-out target encoding (smoothing m = 10 toward the
+  // global mean): category/fold sums are exact decimals; the encoding
+  // is metadata-sized scalar algebra
+  private def targetEncodingSql(d: graft.pipeline.TopicModel.Dialect): String =
+    s"""WITH b AS (
+       |  SELECT o_orderpriority AS cat,
+       |    cast(${d.md5Int(d.cat(Seq("'tf:'", d.strCast("o_orderkey"))))} % 5 as int) AS fold,
+       |    cast(o_totalprice as double) AS y
+       |  FROM orders),
+       |cf AS (SELECT cat, fold, cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(y, 6) as decimal(30,6))) as decimal(38,6)) AS s
+       |  FROM b GROUP BY cat, fold),
+       |ct AS (SELECT cat, cast(sum(n) as bigint) AS nc,
+       |    cast(sum(s) as decimal(38,6)) AS sc FROM cf GROUP BY cat),
+       |g AS (SELECT cast(sum(n) as bigint) AS ng,
+       |    cast(sum(s) as decimal(38,6)) AS sg FROM cf)
+       |SELECT cf.cat, cf.fold, cf.n AS fold_n,
+       |  round((cast(ct.sc as double) - cast(cf.s as double)
+       |       + (cast(g.sg as double) / g.ng) * cast(10.0 as double))
+       |      / (ct.nc - cf.n + cast(10.0 as double)), 6) + 0.0 AS enc
+       |FROM cf JOIN ct ON ct.cat = cf.cat CROSS JOIN g
+       |ORDER BY cf.cat, cf.fold""".stripMargin
+
+  // q336 permutation test (20 deterministic md5 label shuffles) for the
+  // click-vs-view mean difference; the 20x fan-out is a constant
+  private def permTestSql(d: graft.pipeline.TopicModel.Dialect): String = {
+    def meanOf(flagExpr: String, v: String = "v") =
+      s"""cast(sum(CASE WHEN $flagExpr THEN cast(round($v, 6) as decimal(30,6))
+         |  ELSE cast(0 as decimal(30,6)) END) as double)
+         |  / sum(CASE WHEN $flagExpr THEN 1 ELSE 0 END)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT event_id, cast(value as double) AS v,
+       |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+       |obs AS (SELECT ${meanOf("grp = 1")} - ${meanOf("grp = 0")} AS d_obs,
+       |  cast(sum(grp) as bigint) AS n1,
+       |  cast(sum(1 - grp) as bigint) AS n2 FROM base),
+       |pids AS (SELECT n_nationkey AS pid FROM nation WHERE n_nationkey < 20),
+       |perm AS (
+       |  SELECT p.pid, b.v,
+       |    CASE WHEN ${d.md5Int(d.cat(Seq("'pm:'", d.strCast("b.event_id"),
+              "':'", d.strCast("p.pid"))))} % 2 = 0 THEN 1 ELSE 0 END AS pg
+       |  FROM base b CROSS JOIN pids p),
+       |pd AS (SELECT pid, ${meanOf("pg = 1")} - ${meanOf("pg = 0")} AS dp
+       |  FROM perm GROUP BY pid)
+       |SELECT o.n1, o.n2, round(o.d_obs, 6) + 0.0 AS d_obs,
+       |  cast(sum(CASE WHEN abs(pd.dp) >= abs(o.d_obs) THEN 1 ELSE 0 END) as bigint)
+       |    AS n_extreme,
+       |  round(sum(CASE WHEN abs(pd.dp) >= abs(o.d_obs) THEN 1 ELSE 0 END)
+       |    / cast(20.0 as double), 6) + 0.0 AS p_value
+       |FROM pd CROSS JOIN obs o
+       |GROUP BY o.n1, o.n2, o.d_obs""".stripMargin
+  }
+
+  // q337 Mann-Whitney U with tie-corrected normal approximation:
+  // one rank window + exact tie-group cubes; portable text
+  private val mannWhitneySql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |rk AS (
+      |  SELECT v, g,
+      |    rank() OVER (ORDER BY v)
+      |      + (count(*) OVER (PARTITION BY v) - 1) / cast(2.0 as double) AS r
+      |  FROM base),
+      |ties AS (
+      |  SELECT cast(sum(tc * tc * tc - tc) as double) AS t3
+      |  FROM (SELECT cast(count(*) as bigint) AS tc FROM base GROUP BY v) z),
+      |s AS (
+      |  SELECT cast(sum(g) as bigint) AS n1,
+      |    cast(sum(1 - g) as bigint) AS n2,
+      |    cast(sum(CASE WHEN g = 1 THEN cast(round(r, 6) as decimal(30,6))
+      |      ELSE cast(0 as decimal(30,6)) END) as double) AS r1
+      |  FROM rk)
+      |SELECT s.n1, s.n2,
+      |  round(s.r1 - s.n1 * (s.n1 + 1) / cast(2.0 as double), 6) + 0.0 AS u,
+      |  round((s.r1 - s.n1 * (s.n1 + 1) / cast(2.0 as double)
+      |       - s.n1 * s.n2 / cast(2.0 as double))
+      |    / sqrt((s.n1 * s.n2 / cast(12.0 as double))
+      |        * ((s.n1 + s.n2 + 1)
+      |           - t.t3 / (cast(s.n1 + s.n2 as double) * (s.n1 + s.n2 - 1)))),
+      |    6) + 0.0 AS z
+      |FROM s CROSS JOIN ties t""".stripMargin
+
+  // q338 Benford first-digit test: digit via decimal-string prefix (no
+  // libm), exact counts, chi2 contributions in one deterministic tree
+  private val benfordSql =
+    """WITH d AS (
+      |  SELECT cast(substring(cast(cast(o_totalprice as decimal(18,2)) as string), 1, 1) as int) AS dig
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |c AS (SELECT dig, cast(count(*) as bigint) AS n FROM d GROUP BY dig),
+      |t AS (SELECT cast(sum(n) as bigint) AS tot FROM c)
+      |SELECT c.dig, c.n,
+      |  round(ln(1.0 + cast(1.0 as double) / c.dig) / ln(10.0), 6) + 0.0 AS expected_p,
+      |  round(cast(c.n as double) / t.tot, 6) + 0.0 AS observed_p,
+      |  round((cast(c.n as double) / t.tot
+      |       - ln(1.0 + cast(1.0 as double) / c.dig) / ln(10.0))
+      |      * (cast(c.n as double) / t.tot
+      |       - ln(1.0 + cast(1.0 as double) / c.dig) / ln(10.0))
+      |      / (ln(1.0 + cast(1.0 as double) / c.dig) / ln(10.0)) * t.tot,
+      |    6) + 0.0 AS chi2_term
+      |FROM c CROSS JOIN t ORDER BY c.dig""".stripMargin
+
   // q329 HITS oracle: unrolled rounds sharing Graph.hits' arithmetic
   private def hitsOracleSql(iters: Int): String = {
     val dec = "decimal(28,9)"
@@ -993,6 +1117,31 @@ object SparkEntry {
     // replayable; top-k by key is one TakeOrdered pass, no global sort.
     "q333_ares_sample" -> sqlQuery(Seq("customer"),
       aresSql(graft.pipeline.TopicModel.sparkDialect)),
+
+    // FEATURE HASHING (hashing-trick vectorizer): md5-hashed dim + sign
+    // per distinct word, then corpus totals per dimension — the
+    // fixed-width featurizer for the classifier family.
+    "q334_feature_hash" -> sqlQuery(Seq("documents"),
+      featureHashSql(graft.pipeline.TextClassify.sparkTok,
+        graft.pipeline.TopicModel.sparkDialect)),
+
+    // LEAVE-FOLD-OUT TARGET ENCODING with prior smoothing: per
+    // (category, fold) the encoding uses every OTHER fold's decimal-
+    // exact sums — the leakage-safe categorical feature.
+    "q335_target_encoding" -> sqlQuery(Seq("orders"),
+      targetEncodingSql(graft.pipeline.TopicModel.sparkDialect)),
+
+    // PERMUTATION TEST (20 deterministic md5 shuffles) on the
+    // click-vs-view mean difference.
+    "q336_permutation_test" -> sqlQuery(Seq("events", "nation"),
+      permTestSql(graft.pipeline.TopicModel.sparkDialect)),
+
+    // MANN-WHITNEY U (tie-corrected z) between click and view values.
+    "q337_mann_whitney" -> sqlQuery(Seq("events"), mannWhitneySql),
+
+    // BENFORD first-digit audit of order totals (digit via the exact
+    // decimal-string prefix — no libm in the digit path).
+    "q338_benford" -> sqlQuery(Seq("orders"), benfordSql),
 
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
@@ -8382,6 +8531,21 @@ object SparkEntry {
 
     // unrolled rounds sharing Graph.hits' arithmetic
     "q329_hits" -> hitsOracleSql(4),
+
+    // duck tokenizer + md5 spelling, same hashing core
+    "q334_feature_hash" ->
+      featureHashSql(graft.pipeline.TextClassify.duckTok,
+        graft.pipeline.TopicModel.duckDialect),
+
+    "q335_target_encoding" ->
+      targetEncodingSql(graft.pipeline.TopicModel.duckDialect),
+
+    "q336_permutation_test" ->
+      permTestSql(graft.pipeline.TopicModel.duckDialect),
+
+    // identical portable texts
+    "q337_mann_whitney" -> mannWhitneySql,
+    "q338_benford" -> benfordSql,
 
     // duck positional tokenizer + ordered string_agg, same scoring core
     "q330_rake_keywords" ->
