@@ -374,6 +374,174 @@ object SparkEntry {
       |    6) + 0.0 AS chi2_term
       |FROM c CROSS JOIN t ORDER BY c.dig""".stripMargin
 
+  // q339 Welch's t-test (click vs view values): the whole test reduces to
+  // TWO 1-row group summaries — per-group n / sum / sum-of-squares fold as
+  // round-9 decimals (order-independent on both engines); mean, variance,
+  // t, and the Welch-Satterthwaite df are scalar double algebra after.
+  // At 100 TB this is ONE map-side-combined aggregation over the scan.
+  private val welchSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |s AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) AS s1,
+      |    cast(sum(cast(round(v * v, 9) as decimal(30,9))) as double) AS s2
+      |  FROM base GROUP BY g),
+      |m AS (
+      |  SELECT g, n, s1 / n AS mu,
+      |    (s2 - s1 * s1 / n) / (n - 1.0) AS vr
+      |  FROM s),
+      |p AS (
+      |  SELECT
+      |    max(CASE WHEN g = 1 THEN n END) AS n1,
+      |    max(CASE WHEN g = 0 THEN n END) AS n2,
+      |    max(CASE WHEN g = 1 THEN mu END) AS mu1,
+      |    max(CASE WHEN g = 0 THEN mu END) AS mu2,
+      |    max(CASE WHEN g = 1 THEN vr END) AS v1,
+      |    max(CASE WHEN g = 0 THEN vr END) AS v2
+      |  FROM m)
+      |SELECT n1, n2,
+      |  round(mu1 - mu2, 6) + 0.0 AS mean_diff,
+      |  round((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2), 6) + 0.0 AS t,
+      |  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+      |      / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+      |       + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 6) + 0.0 AS df
+      |FROM p""".stripMargin
+
+  // q340 autocorrelation (lags 1-7) of the daily event-count series: the
+  // raw stream reduces to the metadata-sized daily table first, so the
+  // lag join is days x 7 regardless of corpus size. Counts are exact
+  // integers, so the round-4 decimal folds lose nothing; Pearson r comes
+  // from the five folded sums. `dayNum` is the engine spelling of the
+  // integer day number (same contract as expSmoothSql).
+  private def acfSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(lg)),
+       |pr AS (
+       |  SELECT l.lg, a.y AS x, b.y AS y
+       |  FROM lags l JOIN daily a ON 1 = 1
+       |  JOIN daily b ON b.d = a.d + l.lg),
+       |st AS (
+       |  SELECT lg, cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(x, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 4) as decimal(25,4))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 4) as decimal(25,4))) as double) AS sxx,
+       |    cast(sum(cast(round(y * y, 4) as decimal(25,4))) as double) AS syy
+       |  FROM pr GROUP BY lg)
+       |SELECT cast(lg as int) AS lg, n,
+       |  round((n * sxy - sx * sy)
+       |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS acf
+       |FROM st ORDER BY lg""".stripMargin
+
+  // q341 Markov chain over per-user event sequences: transition counts
+  // come from ONE lead() window (ts + event_id deterministic order), the
+  // row-normalized matrix P is |states|^2 = 25 cells, and the stationary
+  // vector is `iters` unrolled power-iteration rounds over those 25 cells
+  // — every round a states-sized join, with round-9 decimal pins making
+  // the iteration bit-exact cross-engine. At 100 TB the corpus-sized work
+  // is the window + count; everything after is metadata-sized.
+  private def markovSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""v$k AS (
+         |  SELECT st.s,
+         |    cast(round(cast(coalesce(m.nv, 0) as double), 9) as decimal(20,9)) AS v
+         |  FROM states st LEFT JOIN (
+         |    SELECT p.s2 AS s,
+         |      sum(cast(round(cast(v${k - 1}.v as double) * cast(p.p as double), 12)
+         |        as decimal(25,12))) AS nv
+         |    FROM v${k - 1} JOIN p ON p.s = v${k - 1}.s GROUP BY p.s2) m
+         |  ON m.s = st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS s,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+       |  FROM events),
+       |tr AS (
+       |  SELECT s, s2, cast(count(*) as bigint) AS c
+       |  FROM seq WHERE s2 IS NOT NULL GROUP BY s, s2),
+       |tot AS (SELECT s, cast(sum(c) as bigint) AS n FROM tr GROUP BY s),
+       |p AS (
+       |  SELECT tr.s, tr.s2,
+       |    cast(round(cast(tr.c as double) / tot.n, 9) as decimal(20,9)) AS p
+       |  FROM tr JOIN tot ON tot.s = tr.s),
+       |states AS (SELECT s FROM tot),
+       |v0 AS (SELECT s, cast(0.2 as decimal(20,9)) AS v FROM states),
+       |$rounds
+       |SELECT v$iters.s AS state,
+       |  round(cast(v$iters.v as double), 6) + 0.0 AS pi
+       |FROM v$iters ORDER BY state""".stripMargin
+  }
+
+  // q342 one-way ANOVA (event value by event_type): per-group decimal
+  // sums stay decimal through the grand totals (5-group double addition
+  // would be order-dependent), SSB/SSW fold as round-6 decimals, and the
+  // F statistic is scalar algebra. ONE scan at any corpus size.
+  private val anovaSql =
+    """WITH base AS (
+      |  SELECT event_type AS g, cast(value as double) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |s AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    sum(cast(round(v, 9) as decimal(30,9))) AS s1,
+      |    sum(cast(round(v * v, 9) as decimal(30,9))) AS s2
+      |  FROM base GROUP BY g),
+      |gr AS (
+      |  SELECT cast(sum(n) as bigint) AS nt, cast(count(*) as bigint) AS k,
+      |    cast(sum(s1) as double) AS st
+      |  FROM s),
+      |parts AS (
+      |  SELECT
+      |    sum(cast(round(cast(s.s2 as double)
+      |        - cast(s.s1 as double) * cast(s.s1 as double) / s.n, 6)
+      |      as decimal(30,6))) AS ssw,
+      |    sum(cast(round(s.n * (cast(s.s1 as double) / s.n - gr.st / gr.nt)
+      |        * (cast(s.s1 as double) / s.n - gr.st / gr.nt), 6)
+      |      as decimal(30,6))) AS ssb,
+      |    max(gr.k) AS k, max(gr.nt) AS nt
+      |  FROM s CROSS JOIN gr)
+      |SELECT cast(k as bigint) AS k, nt AS n,
+      |  round(cast(ssb as double), 4) + 0.0 AS ss_between,
+      |  round(cast(ssw as double), 4) + 0.0 AS ss_within,
+      |  round((cast(ssb as double) / (k - 1))
+      |      / (cast(ssw as double) / (nt - k)), 6) + 0.0 AS f_stat
+      |FROM parts""".stripMargin
+
+  // q343 two-sample Kolmogorov-Smirnov (click vs view): the ECDF gap is
+  // evaluated with INTEGER cumulative counts (|c1*n2 - c2*n1| max), so D
+  // is exact — no floating comparison anywhere until the final scalar
+  // division. The default RANGE window frame makes tied values peers on
+  // both engines. The global sort is the scale cost; at 100 TB the same
+  // statistic comes off value histograms (the q312/q331 guidance).
+  private val ksSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |n AS (
+      |  SELECT cast(sum(g) as bigint) AS n1,
+      |    cast(sum(1 - g) as bigint) AS n2
+      |  FROM base),
+      |cum AS (
+      |  SELECT v,
+      |    sum(g) OVER (ORDER BY v) AS c1,
+      |    sum(1 - g) OVER (ORDER BY v) AS c2
+      |  FROM base),
+      |d AS (
+      |  SELECT max(abs(c1 * n.n2 - c2 * n.n1)) AS dnum
+      |  FROM cum CROSS JOIN n)
+      |SELECT n.n1, n.n2,
+      |  round(cast(d.dnum as double) / (n.n1 * n.n2), 6) + 0.0 AS ks_d,
+      |  round(sqrt(cast(n.n1 as double) * n.n2 / (n.n1 + n.n2))
+      |      * (cast(d.dnum as double) / (n.n1 * n.n2)), 6) + 0.0 AS ks_stat
+      |FROM d CROSS JOIN n""".stripMargin
+
   // q329 HITS oracle: unrolled rounds sharing Graph.hits' arithmetic
   private def hitsOracleSql(iters: Int): String = {
     val dec = "decimal(28,9)"
@@ -1142,6 +1310,25 @@ object SparkEntry {
     // BENFORD first-digit audit of order totals (digit via the exact
     // decimal-string prefix — no libm in the digit path).
     "q338_benford" -> sqlQuery(Seq("orders"), benfordSql),
+
+    // WELCH's t-test (unequal-variance two-sample) between click and view
+    // values: one map-side-combined aggregation, then scalar algebra.
+    "q339_welch_ttest" -> sqlQuery(Seq("events"), welchSql),
+
+    // AUTOCORRELATION of the daily event-count series at lags 1-7: the
+    // stream reduces to a days-sized table before the lag join.
+    "q340_acf" -> sqlQuery(Seq("events"),
+      acfSql(e => s"unix_micros($e) div 86400000000")),
+
+    // MARKOV transition matrix + stationary distribution (4 unrolled
+    // power-iteration rounds over the 25-cell matrix).
+    "q341_markov_stationary" -> sqlQuery(Seq("events"), markovSql(4)),
+
+    // One-way ANOVA F across the five event types.
+    "q342_anova" -> sqlQuery(Seq("events"), anovaSql),
+
+    // Two-sample KOLMOGOROV-SMIRNOV D via exact integer ECDF gaps.
+    "q343_ks_test" -> sqlQuery(Seq("events"), ksSql),
 
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
@@ -8546,6 +8733,13 @@ object SparkEntry {
     // identical portable texts
     "q337_mann_whitney" -> mannWhitneySql,
     "q338_benford" -> benfordSql,
+    "q339_welch_ttest" -> welchSql,
+    "q341_markov_stationary" -> markovSql(4),
+    "q342_anova" -> anovaSql,
+    "q343_ks_test" -> ksSql,
+
+    // duck integer-division spelling, same Pearson folds
+    "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck positional tokenizer + ordered string_agg, same scoring core
     "q330_rake_keywords" ->
