@@ -542,6 +542,172 @@ object SparkEntry {
       |      * (cast(d.dnum as double) / (n.n1 * n.n2)), 6) + 0.0 AS ks_stat
       |FROM d CROSS JOIN n""".stripMargin
 
+  // q344 Benjamini-Hochberg FDR step-up over per-nation deviation scores:
+  // one aggregation produces the 25 p-values (p = exp(-|z|), a monotone
+  // map of the decimal-folded z — deterministic and oracle-replayable);
+  // the BH cutoff is a single window max over the suffix condition. The
+  // multiple-testing machinery is metadata-sized at any corpus scale.
+  private val bhFdrSql =
+    """WITH cust AS (
+      |  SELECT c_nationkey AS nk, cast(c_acctbal as double) AS x FROM customer),
+      |g AS (
+      |  SELECT nk, cast(count(*) as bigint) AS n,
+      |    sum(cast(round(x, 6) as decimal(30,6))) AS s1,
+      |    sum(cast(round(x * x, 6) as decimal(30,6))) AS s2
+      |  FROM cust GROUP BY nk),
+      |tot AS (
+      |  SELECT cast(sum(n) as bigint) AS nt,
+      |    cast(sum(s1) as double) AS st,
+      |    cast(sum(s2) as double) AS st2
+      |  FROM g),
+      |pv AS (
+      |  SELECT g.nk,
+      |    round(exp(-abs((cast(g.s1 as double) / g.n - t.st / t.nt)
+      |      * sqrt(cast(g.n as double))
+      |      / sqrt(t.st2 / t.nt - (t.st / t.nt) * (t.st / t.nt)))), 9) + 0.0 AS p
+      |  FROM g CROSS JOIN tot t),
+      |ranked AS (
+      |  SELECT nk, p, row_number() OVER (ORDER BY p, nk) AS i,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |cut AS (
+      |  SELECT coalesce(max(CASE WHEN p <= i * cast(0.20 as double) / m
+      |    THEN i END), 0) AS kmax FROM ranked)
+      |SELECT n.n_name, round(r.p, 6) + 0.0 AS p_value,
+      |  cast(r.i as bigint) AS rk,
+      |  CASE WHEN r.i <= c.kmax THEN 1 ELSE 0 END AS rejected
+      |FROM ranked r CROSS JOIN cut c
+      |JOIN nation n ON n.n_nationkey = r.nk
+      |ORDER BY r.i""".stripMargin
+
+  // q345 pointwise mutual information over token co-occurrence: the pair
+  // space is bounded by a deterministic top-50 vocabulary cap (df-ranked,
+  // word tie-break) BEFORE the within-doc pair join — at 100 TB the
+  // vocabulary cap, not the corpus, bounds the quadratic term. `tokCte`
+  // is the engine tokenizer (same contract as naiveBayesSql).
+  private def pmiSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
+       |dt AS (SELECT DISTINCT doc_id, word FROM tok WHERE length(word) >= 4),
+       |df AS (SELECT word, cast(count(*) as bigint) AS c FROM dt GROUP BY word),
+       |top AS (SELECT word, c FROM df ORDER BY c DESC, word LIMIT 50),
+       |fd AS (SELECT dt.doc_id, dt.word, t.c
+       |  FROM dt JOIN top t ON t.word = dt.word),
+       |nd AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS n FROM dt),
+       |pairs AS (
+       |  SELECT a.word AS w1, b.word AS w2, a.c AS c1, b.c AS c2,
+       |    cast(count(*) as bigint) AS cab
+       |  FROM fd a JOIN fd b ON b.doc_id = a.doc_id AND a.word < b.word
+       |  GROUP BY a.word, b.word, a.c, b.c)
+       |SELECT w1, w2, cab,
+       |  round(ln(cast(cab as double) * n.n / (cast(c1 as double) * c2)), 6)
+       |    + 0.0 AS pmi
+       |FROM pairs CROSS JOIN nd n
+       |WHERE cab >= 3
+       |ORDER BY cab DESC, w1, w2
+       |LIMIT 40""".stripMargin
+
+  // q346 weight-of-evidence / information-value encoding of the price
+  // bucket against the F-status label: integer counts per bucket, 0.5
+  // Laplace guard, round-9 decimal fold for the IV total. ONE scan.
+  private val woeSql =
+    """WITH b AS (
+      |  SELECT cast(floor(o_totalprice / 50000) as bigint) AS bucket,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      |  FROM orders),
+      |c AS (
+      |  SELECT bucket, cast(sum(1 - bad) as bigint) AS good,
+      |    cast(sum(bad) as bigint) AS bad
+      |  FROM b GROUP BY bucket),
+      |t AS (
+      |  SELECT cast(sum(good) as bigint) AS gt, cast(sum(bad) as bigint) AS bt
+      |  FROM c),
+      |w AS (
+      |  SELECT c.bucket, c.good, c.bad,
+      |    round(ln(((c.good + cast(0.5 as double)) / (t.gt + cast(0.5 as double)))
+      |      / ((c.bad + cast(0.5 as double)) / (t.bt + cast(0.5 as double)))),
+      |      6) + 0.0 AS woe,
+      |    round(((c.good + cast(0.5 as double)) / (t.gt + cast(0.5 as double))
+      |        - (c.bad + cast(0.5 as double)) / (t.bt + cast(0.5 as double)))
+      |      * ln(((c.good + cast(0.5 as double)) / (t.gt + cast(0.5 as double)))
+      |        / ((c.bad + cast(0.5 as double)) / (t.bt + cast(0.5 as double)))),
+      |      9) AS ivt
+      |  FROM c CROSS JOIN t)
+      |SELECT bucket, good, bad, woe,
+      |  round(cast(sum(cast(ivt as decimal(20,9))) OVER () as double), 6) + 0.0
+      |    AS iv_total
+      |FROM w ORDER BY bucket""".stripMargin
+
+  // q347 Jensen-Shannon divergence between two sources' token
+  // distributions: counts reduce per word in one aggregation; the two KL
+  // halves fold as round-9 decimals over the union vocabulary (absent
+  // words contribute zero by the CASE guard). `tokCte` yields
+  // (source, word) in the engine's tokenizer spelling.
+  private def jsDivergenceSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
+       |cnt AS (
+       |  SELECT word,
+       |    cast(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) as bigint) AS ca,
+       |    cast(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) as bigint) AS cb
+       |  FROM tok WHERE source IN ('src0', 'src1') GROUP BY word),
+       |t AS (
+       |  SELECT cast(sum(ca) as bigint) AS na, cast(sum(cb) as bigint) AS nb,
+       |    cast(count(*) as bigint) AS vocab
+       |  FROM cnt),
+       |terms AS (
+       |  SELECT
+       |    sum(cast(round(CASE WHEN ca > 0 THEN
+       |      (cast(ca as double) / t.na)
+       |        * ln((cast(ca as double) / t.na)
+       |          / ((cast(ca as double) / t.na + cast(cb as double) / t.nb) / 2))
+       |      ELSE 0 END, 9) as decimal(20,9))) AS kla,
+       |    sum(cast(round(CASE WHEN cb > 0 THEN
+       |      (cast(cb as double) / t.nb)
+       |        * ln((cast(cb as double) / t.nb)
+       |          / ((cast(ca as double) / t.na + cast(cb as double) / t.nb) / 2))
+       |      ELSE 0 END, 9) as decimal(20,9))) AS klb,
+       |    max(t.na) AS na, max(t.nb) AS nb, max(t.vocab) AS vocab
+       |  FROM cnt CROSS JOIN t)
+       |SELECT na, nb, vocab,
+       |  round(cast(kla as double) / 2 + cast(klb as double) / 2, 6) + 0.0 AS js
+       |FROM terms""".stripMargin
+
+  // q348 winnowing oracle (DuckDB): replays pipeline.Winnow's selection —
+  // 8-char k-gram md5 hashes, rightmost-min in every 4-window, then the
+  // bucket-capped shared-fingerprint pair join — as pure list algebra.
+  // (The Spark side lives in pipeline/Winnow.scala; its localCheckpoint
+  // barrier has no SQL spelling, which is why this text is duck-only.)
+  private def winnowOracleSql: String = {
+    val md5i = (e: String) => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(text) AS s,
+       |    length(text) - 7 AS n
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 11),
+       |hs AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(1, n), i -> ${md5i("substring(s, i, 8)")}) AS h
+       |  FROM base),
+       |arr AS (
+       |  SELECT doc_id, h,
+       |    list_distinct(list_transform(generate_series(4, n), q ->
+       |      list_max(list_filter(generate_series(q - 3, q), p ->
+       |        h[p] = list_min(list_slice(h, q - 3, q)))))) AS sel
+       |  FROM hs),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, h[p] AS fph
+       |  FROM (SELECT doc_id, h, unnest(sel) AS p FROM arr) z),
+       |bkt AS (
+       |  SELECT fph FROM fp GROUP BY fph
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |pr AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, cast(count(*) as bigint) AS shared
+       |  FROM fp a JOIN bkt ON bkt.fph = a.fph
+       |  JOIN fp b ON b.fph = a.fph AND b.doc_id > a.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT da, db, shared FROM pr
+       |ORDER BY shared DESC, da, db
+       |LIMIT 30""".stripMargin
+  }
+
   // q329 HITS oracle: unrolled rounds sharing Graph.hits' arithmetic
   private def hitsOracleSql(iters: Int): String = {
     val dec = "decimal(28,9)"
@@ -1329,6 +1495,35 @@ object SparkEntry {
 
     // Two-sample KOLMOGOROV-SMIRNOV D via exact integer ECDF gaps.
     "q343_ks_test" -> sqlQuery(Seq("events"), ksSql),
+
+    // BENJAMINI-HOCHBERG FDR step-up over per-nation deviation p-values.
+    "q344_bh_fdr" -> sqlQuery(Seq("customer", "nation"), bhFdrSql),
+
+    // PMI token co-occurrence under a deterministic top-50 vocabulary cap.
+    "q345_pmi" -> sqlQuery(Seq("documents"),
+      pmiSql(graft.pipeline.TextClassify.sparkTok)),
+
+    // WEIGHT-OF-EVIDENCE / INFORMATION-VALUE bucket encoding.
+    "q346_woe_iv" -> sqlQuery(Seq("orders"), woeSql),
+
+    // JENSEN-SHANNON divergence between two sources' token distributions.
+    "q347_js_divergence" -> sqlQuery(Seq("documents"), jsDivergenceSql(
+      """SELECT source, explode(filter(split(lower(trim(text)), '\\s+'), x -> x != '')) AS word
+        |FROM documents WHERE text IS NOT NULL AND source IS NOT NULL""".stripMargin)),
+
+    // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
+    // Spark side is the pipeline operator (localCheckpoint-materialized
+    // fingerprints — see Winnow's planner note on why the pure-SQL form
+    // degenerates); the oracle replays the identical selection in DuckDB
+    // array algebra.
+    "q348_winnowing" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val fp = graft.pipeline.Winnow.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      graft.pipeline.Winnow.sharedPairs(fp, "doc_id", minBucket = 2, maxBucket = 50)
+        .orderBy(desc("shared"), col("da"), col("db"))
+        .limit(30)
+    }),
 
     // DEEP BPE training — 256 exact sequential merges over the customer
     // name vocabulary (1500 distinct words, heavy count ties exercising
@@ -8737,9 +8932,20 @@ object SparkEntry {
     "q341_markov_stationary" -> markovSql(4),
     "q342_anova" -> anovaSql,
     "q343_ks_test" -> ksSql,
+    "q344_bh_fdr" -> bhFdrSql,
+    "q346_woe_iv" -> woeSql,
 
     // duck integer-division spelling, same Pearson folds
     "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),
+
+    // duck tokenizer spellings, same PMI / JS cores
+    "q345_pmi" -> pmiSql(graft.pipeline.TextClassify.duckTok),
+    "q347_js_divergence" -> jsDivergenceSql(
+      """SELECT source, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS word
+        |FROM documents WHERE text IS NOT NULL AND source IS NOT NULL""".stripMargin),
+
+    // duck array-primitive spellings, same winnowing selection
+    "q348_winnowing" -> winnowOracleSql,
 
     // duck positional tokenizer + ordered string_agg, same scoring core
     "q330_rake_keywords" ->
