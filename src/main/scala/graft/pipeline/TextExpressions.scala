@@ -301,6 +301,41 @@ object TextKernels {
     min
   }
 
+  /**
+   * Full winnowing fingerprint SET (Schleimer et al. 2003): md5Hash60 over
+   * every lowercased k-char gram, rightmost-min selection in each window of
+   * `w` consecutive gram hashes, distinct selected hash values. One tight
+   * pass with a reused digest — the codegen-friendly kernel behind
+   * pipeline.Winnow (the HOF spelling of the same selection pays ~50x in
+   * interpreted lambda dispatch + per-window array allocation).
+   * Oracle twin: the list-algebra CTE chain in SparkEntry.winnowOracleSql.
+   */
+  def winnowFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val t = text.toLowerCase
+    val n = t.length - (k - 1)
+    if (n < w) return Array.emptyLongArray
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = md5Hash60(t.substring(i, i + k)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var q = w - 1
+    while (q < n) {
+      // rightmost min of h[q-w+1 .. q] (<= keeps the later position on ties
+      // — the oracle's max-p-with-h[p]=min)
+      var m = Long.MaxValue
+      var sel = -1
+      var p = q - (w - 1)
+      while (p <= q) { if (h(p) <= m) { m = h(p); sel = p }; p += 1 }
+      seen.add(h(sel))
+      q += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   /** Exact n-gram Jaccard between two texts (word n-grams). */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
     val sa = wordShingles(a, n).toSet
@@ -391,6 +426,8 @@ object TextRowEval {
     TextKernels.aHash60(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   def fingerprintMd5(t: UTF8String, n: Int): Long =
     TextKernels.fingerprintMd5(t.toString, n)
+  def winnowFingerprints(t: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(TextKernels.winnowFingerprints(t.toString, k, w))
   /** Kept tokens (positions not in the SORTED covered-index array) joined
     * with single spaces — one merge walk, O(tokens + covered). */
   def scrubPositions(tokens: ArrayData, covered: ArrayData): UTF8String = {
@@ -527,6 +564,25 @@ case class FingerprintMd5(left: Expression, right: Expression) extends BinaryExp
       s"${ev.value} = graft.pipeline.TextRowEval.fingerprintMd5($t, (int)$n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FingerprintMd5 =
     copy(l, r)
+}
+
+/** winnow_fingerprints(text, k, w) -> array<bigint>: distinct winnowing-
+  * selected md5Hash60 gram hashes (see TextKernels.winnowFingerprints). */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    TextRowEval.winnowFingerprints(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Number].intValue(), w.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (t, k, w) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.winnowFingerprints($t, (int)$k, (int)$w);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprints = copy(f, s, t)
 }
 
 /** hash64(text, seed) -> bigint — the pipeline's stable string hash. */
@@ -671,6 +727,8 @@ object TextRegistry {
     reg("scrub_positions", exprs => ScrubPositions(exprs.head, exprs(1)))
     reg("image_ahash", exprs => ImageAhash(exprs.head))
     reg("fingerprint_md5", exprs => FingerprintMd5(exprs.head, exprs(1)))
+    reg("winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs.head, exprs(1), exprs(2)))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
     reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),

@@ -13,21 +13,21 @@ import org.apache.spark.sql.functions._
  * the fingerprint density at ~2/(w+1) — the standard local fingerprinting
  * scheme for copy detection.
  *
- * Scale/planner notes — why this is NOT a pure-SQL pipeline:
- * the k-gram hash array `h` and the per-document selection are plain array
- * algebra (one linear scan, no shuffle), but if `h` stays a projected
- * EXPRESSION the optimizer works against us twice: CollapseProject inlines
- * the whole md5 transform into every nested-lambda reference, and — much
- * worse — the downstream self-join's inferred `isnotnull(fingerprint)`
- * predicate is pushed back below any exchange, rewriting the attribute to
- * its defining expression and turning the filter into O(n^2 * w) md5
- * evaluations per document, re-run once per CTE reference. The
- * `localCheckpoint` after the hash/selection step is therefore
- * load-bearing: it materializes fingerprints exactly once and is a hard
- * optimizer barrier (nothing is pushed into, or inlined out of, a
- * LogicalRDD). At 100 TB that is also the plan you want — fingerprints are
- * the reusable artifact (like persisted LSH bands), computed in one linear
- * pass and shared by the bucket-count and pair-join consumers.
+ * Execution notes. The per-document hash+selection runs as ONE native
+ * Catalyst expression (`winnow_fingerprints`, TextKernels) — a tight
+ * single-pass kernel with a reused md5 digest. The equivalent SQL
+ * higher-order-function spelling is not just slower (~50x interpreted
+ * lambda dispatch): it is a planner hazard — CollapseProject inlines the
+ * gram-hash transform into every nested-lambda reference, and the
+ * downstream self-join's inferred `isnotnull(fingerprint)` predicate gets
+ * pushed below any exchange and rewritten back to the defining expression,
+ * turning a filter into O(n^2 * w) md5 evaluations per document per CTE
+ * reference. An opaque expression has neither failure mode.
+ *
+ * The localCheckpoint in [[sharedPairs]] is still load-bearing: the
+ * fingerprint relation feeds three consumers (bucket counts + both join
+ * sides), and materializing it once is also the right 100-TB plan —
+ * fingerprints are the reusable artifact, like persisted LSH bands.
  *
  * The md5-low-60-bit gram hash is the engine-portable spelling the DuckDB
  * oracle replays exactly (same contract as MinHash/Dedup).
@@ -41,23 +41,11 @@ object Winnow {
       textCol: String,
       k: Int = 8,
       w: Int = 4): DataFrame = {
-    val md5i = (e: String) =>
-      s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
-    val base = docs
+    TextRegistry.register(docs.sparkSession)
+    docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= k + w - 1)
-      .select(col(idCol), lower(col(textCol)).as("s"),
-        (length(col(textCol)) - (k - 1)).as("n"))
-    val hs = base.selectExpr(idCol, "n",
-      s"transform(sequence(1, n), i -> ${md5i(s"substring(s, i, $k)")}) AS h")
-    // Materialize h + cut lineage: see the planner note in the scaladoc.
-    val cut = hs.localCheckpoint()
-    cut
-      .selectExpr(idCol, "h",
-        s"""explode(array_distinct(transform(sequence($w, n), q ->
-           |  array_max(filter(sequence(q - ${w - 1}, q), p ->
-           |    element_at(h, p) = array_min(slice(h, q - ${w - 1}, $w))))))) AS p"""
-          .stripMargin)
-      .select(col(idCol), expr("element_at(h, p)").as("fph"))
+      .select(col(idCol),
+        explode(expr(s"winnow_fingerprints($textCol, $k, $w)")).as("fph"))
       .distinct()
   }
 

@@ -17,6 +17,54 @@ class PipelineSpec extends AnyFunSuite {
     (5L, "")
   ).toDF("doc_id", "text")
 
+  test("winnowing: kernel matches a naive reference; density guarantee holds") {
+    // naive reference of the same selection rule
+    def ref(text: String, k: Int, w: Int): Set[Long] = {
+      val t = text.toLowerCase
+      val n = t.length - (k - 1)
+      if (n < w) return Set.empty
+      val h = (0 until n).map(i => TextKernels.md5Hash60(t.substring(i, i + k)))
+      (w - 1 until n).map { q =>
+        val win = (q - (w - 1)) to q
+        val m = win.map(h).min
+        h(win.filter(p => h(p) == m).max) // rightmost min
+      }.toSet
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away",
+      "aaaaaaaaaaaaaaaaaaaaaa", // heavy hash ties exercise the rightmost rule
+      "abcabcabcabcabcabcabc", // periodic text: repeated gram hashes
+      "short", // below k + w - 1: no fingerprints
+      "exactly11ch") // boundary: exactly k + w - 1 chars -> one window
+    for (s <- texts) {
+      val got = TextKernels.winnowFingerprints(s, 8, 4)
+      assert(got.toSet == ref(s, 8, 4), s"mismatch for '$s'")
+      assert(got.length == got.distinct.length, "kernel output must be distinct")
+    }
+    // density guarantee: any window of w consecutive grams contains a
+    // selected gram, so a doc with n >= w grams fingerprints non-empty
+    assert(TextKernels.winnowFingerprints("exactly11ch", 8, 4).nonEmpty)
+    // shared-substring guarantee: two docs sharing a long substring share
+    // at least one fingerprint
+    val core = "this exact shared passage is long enough to fingerprint"
+    val f1 = TextKernels.winnowFingerprints("prefix one " + core, 8, 4).toSet
+    val f2 = TextKernels.winnowFingerprints(core + " suffix two", 8, 4).toSet
+    assert(f1.intersect(f2).nonEmpty)
+  }
+
+  test("winnowing: Winnow.fingerprints + sharedPairs find the near-dup pair") {
+    val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    val pairs = Winnow.sharedPairs(fp, "doc_id", minBucket = 2, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1 and 4 are identical -> share every fingerprint; 1-2 and 2-4
+    // share the common-prefix fingerprints
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.isDefined, s"exact-dup pair missing from $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    val fp1 = fp.filter(col("doc_id") === 1L).count()
+    assert(exact.get._3 == fp1, "identical docs must share all fingerprints")
+  }
+
   test("exact dedup keeps min-id representative") {
     val out = Dedup.exact(docs, "doc_id", "text")
     assert(out.count() == 4) // row 4 deduped
