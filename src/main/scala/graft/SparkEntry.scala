@@ -446,7 +446,7 @@ object SparkEntry {
   // — every round a states-sized join, with round-9 decimal pins making
   // the iteration bit-exact cross-engine. At 100 TB the corpus-sized work
   // is the window + count; everything after is metadata-sized.
-  private def markovSql(iters: Int): String = {
+  private def markovCore(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""v$k AS (
          |  SELECT st.s,
@@ -458,7 +458,7 @@ object SparkEntry {
          |    FROM v${k - 1} JOIN p ON p.s = v${k - 1}.s GROUP BY p.s2) m
          |  ON m.s = st.s)""".stripMargin
     }.mkString(",\n")
-    s"""WITH seq AS (
+    s"""seq AS (
        |  SELECT event_type AS s,
        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
        |  FROM events),
@@ -472,11 +472,33 @@ object SparkEntry {
        |  FROM tr JOIN tot ON tot.s = tr.s),
        |states AS (SELECT s FROM tot),
        |v0 AS (SELECT s, cast(0.2 as decimal(20,9)) AS v FROM states),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def markovSql(iters: Int): String =
+    s"""WITH ${markovCore(iters)}
        |SELECT v$iters.s AS state,
        |  round(cast(v$iters.v as double), 6) + 0.0 AS pi
        |FROM v$iters ORDER BY state""".stripMargin
-  }
+
+  // q353 per-state next-event entropy + the chain's entropy rate
+  // (stationary-weighted): both come straight off the q341 transition
+  // CTEs — the corpus-sized work is shared, the entropy algebra is
+  // 25-cell metadata.
+  private def markovEntropySql(iters: Int): String =
+    s"""WITH ${markovCore(iters)},
+       |hs AS (
+       |  SELECT s,
+       |    cast(sum(cast(round(-cast(p as double) * ln(cast(p as double)), 9)
+       |      as decimal(20,9))) as double) AS h
+       |  FROM p GROUP BY s)
+       |SELECT hs.s AS state,
+       |  round(hs.h, 6) + 0.0 AS h_next,
+       |  round(cast(v$iters.v as double), 6) + 0.0 AS pi,
+       |  round(cast(sum(cast(round(cast(v$iters.v as double) * hs.h, 9)
+       |      as decimal(20,9))) OVER () as double), 6) + 0.0 AS entropy_rate
+       |FROM hs JOIN v$iters ON v$iters.s = hs.s
+       |ORDER BY state""".stripMargin
 
   // q342 one-way ANOVA (event value by event_type): per-group decimal
   // sums stay decimal through the grand totals (5-group double addition
@@ -706,6 +728,122 @@ object SparkEntry {
        |SELECT da, db, shared FROM pr
        |ORDER BY shared DESC, da, db
        |LIMIT 30""".stripMargin
+  }
+
+  // q349 item-item collaborative filtering: co-occurrence counts from the
+  // within-order pair join (fan-out bounded by basket size — cap baskets
+  // upstream at power-law scale, the Assoc.maxBasketSize guidance), cosine
+  // over order-frequency, deterministic top-3 neighbors per item (rounded
+  // cosine, then count, then key). The output sample (pa % 97) keeps the
+  // catalog row count bounded without changing any per-item ranking.
+  private val itemCooccurSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cf AS (SELECT p, cast(count(*) as bigint) AS c FROM b GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b2.p AS pb, cast(count(*) as bigint) AS cab
+      |  FROM b a JOIN b b2 ON b2.o = a.o AND b2.p <> a.p
+      |  GROUP BY a.p, b2.p),
+      |sim AS (
+      |  SELECT pa, pb, cab,
+      |    round(cast(cab as double) / sqrt(cast(ca.c as double) * cb.c), 6)
+      |      + 0.0 AS cosine
+      |  FROM pairs JOIN cf ca ON ca.p = pairs.pa JOIN cf cb ON cb.p = pairs.pb),
+      |rk AS (
+      |  SELECT pa, pb, cab, cosine,
+      |    row_number() OVER (PARTITION BY pa
+      |                       ORDER BY cosine DESC, cab DESC, pb) AS rnk
+      |  FROM sim)
+      |SELECT pa, pb, cab, cosine, cast(rnk as bigint) AS rnk
+      |FROM rk WHERE rnk <= 3 AND pa % 97 = 0
+      |ORDER BY pa, rnk""".stripMargin
+
+  // q350 sequential patterns (a occurs before b, per user): the stream
+  // reduces to one (user, type) min/max-ts row first, so the pattern join
+  // is |types|^2 per user — never event x event.
+  private val seqPatternsSql =
+    """WITH ft AS (
+      |  SELECT user_id, event_type, min(ts) AS fts, max(ts) AS lts
+      |  FROM events GROUP BY user_id, event_type),
+      |u AS (SELECT cast(count(DISTINCT user_id) as bigint) AS nu FROM events),
+      |sup AS (
+      |  SELECT a.event_type AS sa, b.event_type AS sb,
+      |    cast(count(*) as bigint) AS c
+      |  FROM ft a JOIN ft b ON b.user_id = a.user_id
+      |    AND b.event_type <> a.event_type AND a.fts < b.lts
+      |  GROUP BY a.event_type, b.event_type)
+      |SELECT sa, sb, c, round(cast(c as double) / u.nu, 6) + 0.0 AS support
+      |FROM sup CROSS JOIN u ORDER BY sa, sb""".stripMargin
+
+  // q351 mutual information between order priority and status: joint and
+  // marginal counts from ONE scan, MI folded as round-9 decimals.
+  private val mutualInfoSql =
+    """WITH j AS (
+      |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+      |    cast(count(*) as bigint) AS c
+      |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+      |t AS (SELECT cast(sum(c) as bigint) AS n FROM j),
+      |mx AS (SELECT x, cast(sum(c) as bigint) AS cx FROM j GROUP BY x),
+      |my AS (SELECT y, cast(sum(c) as bigint) AS cy FROM j GROUP BY y)
+      |SELECT
+      |  cast(count(*) as bigint) AS cells,
+      |  round(cast(sum(cast(round(
+      |    (cast(j.c as double) / t.n)
+      |      * ln(cast(j.c as double) * t.n / (cast(mx.cx as double) * my.cy)), 9)
+      |    as decimal(20,9))) as double), 6) + 0.0 AS mi
+      |FROM j JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y CROSS JOIN t""".stripMargin
+
+  // q352 Cramer's V association strength (priority x status): the chi-2
+  // runs over the FULL marginal cross product (absent cells contribute
+  // their expectation), decimal-folded; V is scalar algebra after.
+  private val cramersVSql =
+    """WITH j AS (
+      |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+      |    cast(count(*) as bigint) AS c
+      |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+      |t AS (SELECT cast(sum(c) as bigint) AS n FROM j),
+      |mx AS (SELECT x, cast(sum(c) as bigint) AS cx FROM j GROUP BY x),
+      |my AS (SELECT y, cast(sum(c) as bigint) AS cy FROM j GROUP BY y),
+      |rc AS (SELECT cast(count(*) as bigint) AS r FROM mx),
+      |cc AS (SELECT cast(count(*) as bigint) AS cls FROM my),
+      |cells AS (
+      |  SELECT cast(coalesce(j.c, 0) as double) AS c,
+      |    cast(mx.cx as double) * my.cy / t.n AS e
+      |  FROM mx CROSS JOIN my CROSS JOIN t
+      |  LEFT JOIN j ON j.x = mx.x AND j.y = my.y),
+      |st AS (
+      |  SELECT cast(sum(cast(round((c - e) * (c - e) / e, 9)
+      |    as decimal(25,9))) as double) AS chi2
+      |  FROM cells)
+      |SELECT rc.r, cc.cls AS cols, t.n,
+      |  round(st.chi2, 4) + 0.0 AS chi2,
+      |  round(sqrt(st.chi2 / (t.n * least(rc.r - 1, cc.cls - 1))), 6) + 0.0
+      |    AS cramers_v
+      |FROM st CROSS JOIN rc CROSS JOIN cc CROSS JOIN t""".stripMargin
+
+  // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
+  // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
+  private def katzOracleSql(iters: Int): String = {
+    val dec = "decimal(28,9)"
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.v AS node, sum(x) AS m
+         |  FROM e JOIN x${k - 1} ON e.s = x${k - 1}.node GROUP BY e.v),
+         |x$k AS (SELECT nodes.node,
+         |  cast(round(cast(0.1 as double) * cast(coalesce(m$k.m, 0) as double)
+         |    + cast(1.0 as double), 9) as $dec) AS x
+         |  FROM nodes LEFT JOIN m$k USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT c_custkey % 60 AS s, (c_custkey * 7 + 3) % 60 AS v FROM customer
+       |  UNION ALL
+       |  SELECT (c_custkey * 3) % 60 AS s, (c_custkey * 11 + 5) % 60 AS v FROM customer),
+       |e AS (SELECT DISTINCT s, v FROM eraw WHERE s <> v),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT s AS node FROM e UNION ALL SELECT v AS node FROM e) z),
+       |x0 AS (SELECT node, cast(1.0 as $dec) AS x FROM nodes),
+       |$rounds
+       |SELECT node, round(cast(x as double), 6) + 0.0 AS katz
+       |FROM x$iters ORDER BY node""".stripMargin
   }
 
   // q329 HITS oracle: unrolled rounds sharing Graph.hits' arithmetic
@@ -1510,6 +1648,38 @@ object SparkEntry {
     "q347_js_divergence" -> sqlQuery(Seq("documents"), jsDivergenceSql(
       """SELECT source, explode(filter(split(lower(trim(text)), '\\s+'), x -> x != '')) AS word
         |FROM documents WHERE text IS NOT NULL AND source IS NOT NULL""".stripMargin)),
+
+    // ITEM-ITEM collaborative filtering: co-ordered-parts cosine, top-3
+    // neighbors per item (rounded-score ranking, deterministic ties).
+    "q349_item_cooccurrence" -> sqlQuery(Seq("lineitem"), itemCooccurSql),
+
+    // SEQUENTIAL patterns: per-user "a before b" support over the
+    // (user, type) min/max-ts reduction.
+    "q350_seq_patterns" -> sqlQuery(Seq("events"), seqPatternsSql),
+
+    // MUTUAL INFORMATION between order priority and status.
+    "q351_mutual_info" -> sqlQuery(Seq("orders"), mutualInfoSql),
+
+    // CRAMER'S V association strength over the full contingency table.
+    "q352_cramers_v" -> sqlQuery(Seq("orders"), cramersVSql),
+
+    // MARKOV next-event entropy per state + stationary entropy rate
+    // (shares q341's transition CTEs).
+    "q353_markov_entropy" -> sqlQuery(Seq("events"), markovEntropySql(4)),
+
+    // KATZ centrality, 4 decimal-pinned rounds (Graph.katz; oracle
+    // unrolls the identical recurrence).
+    "q354_katz_centrality" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      view(s, dir, "customer")
+      val edges = s.sql(
+        """SELECT c_custkey % 60 AS s, (c_custkey * 7 + 3) % 60 AS v FROM customer
+          |UNION ALL
+          |SELECT (c_custkey * 3) % 60 AS s, (c_custkey * 11 + 5) % 60 AS v FROM customer""".stripMargin)
+      graft.relational.Graph.katz(edges, "s", "v", alpha = 0.1, iters = 4)
+        .selectExpr("cast(node as bigint) AS node", "katz")
+        .orderBy("node")
+    }),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -8934,6 +9104,14 @@ object SparkEntry {
     "q343_ks_test" -> ksSql,
     "q344_bh_fdr" -> bhFdrSql,
     "q346_woe_iv" -> woeSql,
+    "q349_item_cooccurrence" -> itemCooccurSql,
+    "q350_seq_patterns" -> seqPatternsSql,
+    "q351_mutual_info" -> mutualInfoSql,
+    "q352_cramers_v" -> cramersVSql,
+    "q353_markov_entropy" -> markovEntropySql(4),
+
+    // unrolled Katz recurrence, Graph.katz's arithmetic
+    "q354_katz_centrality" -> katzOracleSql(4),
 
     // duck integer-division spelling, same Pearson folds
     "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),

@@ -262,6 +262,41 @@ object Graph {
    * edge sides are partitioned once and materialized, so per-round
    * shuffles move only the score frontier.
    */
+  /**
+   * Katz centrality, fixed rounds: x_{k+1}(v) = alpha * sum_{(s,v)} x_k(s)
+   * + 1, with decimal(28,9) state and a round-9 pin per round so the
+   * iteration is bit-exact against an unrolled SQL oracle. Same scale
+   * shape as [[hits]]: static edges partitioned once on the join key,
+   * per round one frontier equi-join + aggregation; the node-state
+   * relation is the only thing that re-shuffles.
+   */
+  def katz(edges: DataFrame, srcCol: String, dstCol: String,
+      alpha: Double, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("v"))
+      .filter(col("s").isNotNull && col("v").isNotNull && col("s") =!= col("v"))
+      .distinct()
+      .repartition(col("s"))
+      .localCheckpoint()
+    val nodes = e.select(col("s").as("node")).unionAll(e.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val dec = "decimal(28,9)"
+    var x = nodes.withColumn("x", expr(s"cast(1.0 as $dec)"))
+    var it = 0
+    while (it < iters) {
+      val m = e.join(x.select(col("node").as("s"), col("x")), Seq("s"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("x")).as("m"))
+      x = nodes.join(m, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"cast(round(cast($alpha as double) * cast(coalesce(m, 0) as double) " +
+            s"+ cast(1.0 as double), 9) as $dec)").as("x"))
+        .localCheckpoint()
+      it += 1
+    }
+    x.select(col("node"), expr("round(cast(x as double), 6) + 0.0").as("katz"))
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("v"))
