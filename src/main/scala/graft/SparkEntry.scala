@@ -820,6 +820,199 @@ object SparkEntry {
       |    AS cramers_v
       |FROM st CROSS JOIN rc CROSS JOIN cc CROSS JOIN t""".stripMargin
 
+  // q355 Local Outlier Factor (k=5) over the embedding corpus: kNN by
+  // round-9-pinned squared euclidean (three dot products, the proven
+  // cross-engine vector arithmetic), reach-distance, lrd, LOF — every
+  // aggregation decimal-folded, every ranking tie-broken by id. This is
+  // the exact all-pairs twin (the q51/q302 precedent); the at-scale
+  // sibling runs the same reach-dist/lrd algebra over IVF-candidate
+  // neighborhoods (Similarity.ivfKnnJoin) instead of the cross join.
+  private def lofSql(dot: (String, String) => String, vecExpr: String): String =
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, $vecExpr AS v FROM embeddings),
+       |d AS (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    round(${dot("a.v", "a.v")} - 2 * ${dot("a.v", "b.v")}
+       |      + ${dot("b.v", "b.v")}, 9) AS d2
+       |  FROM pts a JOIN pts b ON b.id <> a.id),
+       |nn AS (
+       |  SELECT ia, ib, d2,
+       |    row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+       |  FROM d),
+       |knn AS (SELECT ia, ib, d2 FROM nn WHERE rk <= 5),
+       |kd AS (SELECT ia AS id, max(d2) AS kdist FROM knn GROUP BY ia),
+       |lrd AS (
+       |  SELECT k.ia AS id,
+       |    round(cast(5.0 as double)
+       |      / cast(sum(cast(round(greatest(kd.kdist, k.d2), 9)
+       |          as decimal(25,9))) as double), 9) AS lrd
+       |  FROM knn k JOIN kd ON kd.id = k.ib GROUP BY k.ia),
+       |lof AS (
+       |  SELECT k.ia AS id,
+       |    round(cast(sum(cast(round(lb.lrd, 9) as decimal(25,9))) as double)
+       |      / (5 * la.lrd), 6) + 0.0 AS lof
+       |  FROM knn k
+       |  JOIN lrd la ON la.id = k.ia
+       |  JOIN lrd lb ON lb.id = k.ib
+       |  GROUP BY k.ia, la.lrd)
+       |SELECT id, lof FROM lof ORDER BY lof DESC, id LIMIT 20""".stripMargin
+
+  // q356 isotonic regression (calibration fit) by the minimax closed form
+  // f_j = max_{i<=j} min_{k>=j} weightedAvg(y, i..k) — equivalent to PAV
+  // but join-expressible: the stream reduces to ~100 price bins, prefix
+  // sums give every segment average exactly (integer counts), and the
+  // triangular segment relation is bins^2 — metadata-sized at any corpus
+  // scale. The binned-PAV shape IS the production path (exact PAV over
+  // raw rows is inherently sequential).
+  private val isotonicSql =
+    """WITH b AS (
+      |  SELECT cast(floor(o_totalprice / 5000) as bigint) AS x,
+      |    cast(count(*) as bigint) AS w,
+      |    cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS sy
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT x, w, sy, row_number() OVER (ORDER BY x) AS j FROM b),
+      |pre AS (
+      |  SELECT j, x, w, sy,
+      |    sum(w) OVER (ORDER BY j) AS cw,
+      |    sum(sy) OVER (ORDER BY j) AS cy
+      |  FROM idx),
+      |seg AS (
+      |  SELECT i.j AS i, k.j AS k,
+      |    cast(k.cy - coalesce(p.cy, 0) as double)
+      |      / (k.cw - coalesce(p.cw, 0)) AS m
+      |  FROM pre i JOIN pre k ON k.j >= i.j
+      |  LEFT JOIN pre p ON p.j = i.j - 1),
+      |inner_min AS (
+      |  SELECT s.i, jj.j, min(s.m) AS mn
+      |  FROM seg s JOIN pre jj ON jj.j BETWEEN s.i AND s.k
+      |  GROUP BY s.i, jj.j),
+      |fit AS (
+      |  SELECT j, max(mn) AS f FROM inner_min WHERE i <= j GROUP BY j)
+      |SELECT pre.x, pre.w,
+      |  round(cast(pre.sy as double) / pre.w, 6) + 0.0 AS observed,
+      |  round(fit.f, 6) + 0.0 AS isotonic
+      |FROM fit JOIN pre ON pre.j = fit.j
+      |ORDER BY pre.x""".stripMargin
+
+  // q357 Theil-Sen robust slope over the daily event-count series: all
+  // C(days,2) pairwise slopes (metadata-sized after the daily reduction),
+  // median via the parity-free 2r BETWEEN n AND n+2 middle-row pick, then
+  // the median intercept at the chosen slope.
+  private def theilSenSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |slopes AS (
+       |  SELECT round((b.y - a.y) / (b.d - a.d), 9) AS sl
+       |  FROM daily a JOIN daily b ON b.d > a.d),
+       |rk AS (
+       |  SELECT sl, row_number() OVER (ORDER BY sl) AS r,
+       |    count(*) OVER () AS n
+       |  FROM slopes),
+       |med AS (
+       |  SELECT cast(max(n) as bigint) AS n_pairs,
+       |    round(cast(sum(CASE WHEN 2 * r BETWEEN n AND n + 2
+       |        THEN cast(round(sl, 9) as decimal(25,9))
+       |        ELSE cast(0 as decimal(25,9)) END) as double)
+       |      / sum(CASE WHEN 2 * r BETWEEN n AND n + 2 THEN 1 ELSE 0 END),
+       |      9) AS slope
+       |  FROM rk),
+       |res AS (
+       |  SELECT daily.y - med.slope * daily.d AS b0, med.slope, med.n_pairs
+       |  FROM daily CROSS JOIN med),
+       |rk2 AS (
+       |  SELECT b0, slope, n_pairs, row_number() OVER (ORDER BY b0) AS r,
+       |    count(*) OVER () AS n
+       |  FROM res)
+       |SELECT max(n_pairs) AS n_pairs,
+       |  round(max(slope), 6) + 0.0 AS slope,
+       |  round(cast(sum(CASE WHEN 2 * r BETWEEN n AND n + 2
+       |      THEN cast(round(b0, 9) as decimal(25,9))
+       |      ELSE cast(0 as decimal(25,9)) END) as double)
+       |    / sum(CASE WHEN 2 * r BETWEEN n AND n + 2 THEN 1 ELSE 0 END),
+       |    6) + 0.0 AS intercept
+       |FROM rk2""".stripMargin
+
+  // q358 rolling 7-day OLS slope over daily counts: every window sum
+  // folds as decimals inside the ROWS frame (integer-valued series, so
+  // the round-4 pins are exact) — one window pass, no self-join.
+  private def rollingOlsSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |win AS (
+       |  SELECT d, y,
+       |    count(*) OVER w AS n,
+       |    cast(sum(cast(round(d, 4) as decimal(25,4))) OVER w as double) AS sx,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) OVER w as double) AS sy,
+       |    cast(sum(cast(round(d * y, 4) as decimal(25,4))) OVER w as double) AS sxy,
+       |    cast(sum(cast(round(d * d, 4) as decimal(25,4))) OVER w as double) AS sxx
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT cast(d as bigint) AS d, y,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope
+       |FROM win WHERE n = 7 ORDER BY d""".stripMargin
+
+  // q359 degree assortativity (directed out-in): Pearson over each edge's
+  // (source out-degree, target in-degree) — integer degrees, decimal
+  // folds, one edges-sized join against the two degree tables. The
+  // lineitem-derived graph (orders x parts) has irregular degrees; the
+  // modular customer graph is degree-regular and would zero the variance.
+  private val assortativitySql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey % 300 AS s, l_partkey % 300 AS v
+      |  FROM lineitem WHERE l_orderkey % 300 <> l_partkey % 300),
+      |dout AS (SELECT s, cast(count(*) as bigint) AS ds FROM e GROUP BY s),
+      |din AS (SELECT v, cast(count(*) as bigint) AS dv FROM e GROUP BY v),
+      |j AS (
+      |  SELECT cast(dout.ds as double) AS x, cast(din.dv as double) AS y
+      |  FROM e JOIN dout ON dout.s = e.s JOIN din ON din.v = e.v),
+      |st AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(x as decimal(20,1))) as double) AS sx,
+      |    cast(sum(cast(y as decimal(20,1))) as double) AS sy,
+      |    cast(sum(cast(x * y as decimal(25,1))) as double) AS sxy,
+      |    cast(sum(cast(x * x as decimal(25,1))) as double) AS sxx,
+      |    cast(sum(cast(y * y as decimal(25,1))) as double) AS syy
+      |  FROM j)
+      |SELECT n,
+      |  round((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+      |    AS assortativity
+      |FROM st""".stripMargin
+
+  // q360 modularity of a fixed node partition (c = node % 5) on the same
+  // graph: Q = sum_c (e_c/m - (dout_c/m)(din_c/m)) — three edges-sized
+  // aggregations, then 5-community decimal-folded algebra.
+  private val modularitySql =
+    """WITH eraw AS (
+      |  SELECT c_custkey % 60 AS s, (c_custkey * 7 + 3) % 60 AS v FROM customer
+      |  UNION ALL
+      |  SELECT (c_custkey * 3) % 60 AS s, (c_custkey * 11 + 5) % 60 AS v FROM customer),
+      |e AS (SELECT DISTINCT s, v FROM eraw WHERE s <> v),
+      |m AS (SELECT cast(count(*) as bigint) AS m FROM e),
+      |wc AS (
+      |  SELECT s % 5 AS c, cast(count(*) as bigint) AS ec
+      |  FROM e WHERE s % 5 = v % 5 GROUP BY s % 5),
+      |dc AS (
+      |  SELECT c, cast(sum(dout) as bigint) AS dout,
+      |    cast(sum(din) as bigint) AS din
+      |  FROM (
+      |    SELECT s % 5 AS c, 1 AS dout, 0 AS din FROM e
+      |    UNION ALL
+      |    SELECT v % 5 AS c, 0 AS dout, 1 AS din FROM e) z
+      |  GROUP BY c),
+      |terms AS (
+      |  SELECT dc.c,
+      |    round(cast(coalesce(wc.ec, 0) as double) / m.m
+      |      - (cast(dc.dout as double) / m.m) * (cast(dc.din as double) / m.m),
+      |      9) AS q
+      |  FROM dc LEFT JOIN wc ON wc.c = dc.c CROSS JOIN m)
+      |SELECT cast(c as bigint) AS c, round(q, 6) + 0.0 AS q_c,
+      |  round(cast(sum(cast(q as decimal(20,9))) OVER () as double), 6) + 0.0
+      |    AS modularity
+      |FROM terms ORDER BY c""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -1680,6 +1873,28 @@ object SparkEntry {
         .selectExpr("cast(node as bigint) AS node", "katz")
         .orderBy("node")
     }),
+
+    // LOCAL OUTLIER FACTOR (k=5), exact all-pairs twin (at-scale sibling:
+    // same algebra over IVF-candidate neighborhoods).
+    "q355_lof" -> sqlQuery(Seq("embeddings"),
+      lofSql((a, b) => s"vec_dot($a, $b)", "embedding")),
+
+    // ISOTONIC calibration fit via the minimax (binned-PAV) closed form.
+    "q356_isotonic" -> sqlQuery(Seq("orders"), isotonicSql),
+
+    // THEIL-SEN robust slope + intercept over daily counts.
+    "q357_theil_sen" -> sqlQuery(Seq("events"),
+      theilSenSql(e => s"unix_micros($e) div 86400000000")),
+
+    // ROLLING 7-day OLS slope (one window pass, decimal-folded sums).
+    "q358_rolling_ols" -> sqlQuery(Seq("events"),
+      rollingOlsSql(e => s"unix_micros($e) div 86400000000")),
+
+    // DEGREE ASSORTATIVITY (directed out-in Pearson over edges).
+    "q359_assortativity" -> sqlQuery(Seq("lineitem"), assortativitySql),
+
+    // MODULARITY of the node%5 partition (per-community terms + total).
+    "q360_modularity" -> sqlQuery(Seq("customer"), modularitySql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -9112,6 +9327,17 @@ object SparkEntry {
 
     // unrolled Katz recurrence, Graph.katz's arithmetic
     "q354_katz_centrality" -> katzOracleSql(4),
+
+    // identical portable texts
+    "q356_isotonic" -> isotonicSql,
+    "q359_assortativity" -> assortativitySql,
+    "q360_modularity" -> modularitySql,
+
+    // duck vector / integer-division spellings, same cores
+    "q355_lof" -> lofSql((a, b) => s"list_dot_product($a, $b)",
+      "cast(embedding as double[])"),
+    "q357_theil_sen" -> theilSenSql(e => s"epoch_us($e) // 86400000000"),
+    "q358_rolling_ols" -> rollingOlsSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck integer-division spelling, same Pearson folds
     "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),
