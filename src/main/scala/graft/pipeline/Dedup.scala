@@ -139,6 +139,65 @@ object Dedup {
   }
 
   /**
+   * Streaming WINNOWING alarms: substring-overlap detection on an
+   * unbounded stream — a doc sharing any >= k + w - 1-char passage with
+   * an earlier doc collides on a winnowing fingerprint (the selection's
+   * density guarantee, TextKernels.winnowFingerprints), which Jaccard-
+   * style detectors miss when the shared passage is a small fraction of
+   * both docs (copy-paste chunks, quoted boilerplate). Same state
+   * contract as [[lshStreamingAlarms]]: (first id, last-seen ms) per
+   * occupied fingerprint bucket, EventTimeTimeout-evicted once the
+   * watermark passes last-seen + `horizonSecs`; emits one row per
+   * (incoming doc, colliding fingerprint) naming the first-seen doc.
+   */
+  def winnowStreamingAlarms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String,
+      horizonSecs: Long,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = df.withWatermark(eventTimeCol, delay)
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(eventTimeCol).as("ts"),
+        explode(exprColumn(WinnowFingerprints(columnExpr(col(textCol)),
+          columnExpr(lit(k)), columnExpr(lit(w))))).as("fph"))
+      .select(col("fph"), col("id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val horizonMs = horizonSecs * 1000L
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (fph, rows, state: GroupState[(Long, Long)]) =>
+          if (!rows.hasNext) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            var cur: Option[(Long, Long)] = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            sorted.foreach { case (_, id, ts) =>
+              cur match {
+                case None => cur = Some((id, ts.getTime))
+                case Some((firstId, lastMs)) =>
+                  if (id != firstId) out += ((id, firstId, fph, ts.getTime / 1000))
+                  cur = Some((firstId, math.max(lastMs, ts.getTime)))
+              }
+            }
+            state.update(cur.get)
+            state.setTimeoutTimestamp(
+              math.max(cur.get._2 + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("id", "first_id", "fph", "ts_sec")
+  }
+
+  /**
    * Incremental ingest dedup: keep only incoming docs whose content was
    * NOT in the historical corpus, then exact-dedup within the batch.
    * The bloom filter of historical digests prunes the probe scan BEFORE

@@ -503,4 +503,45 @@ class GeoStreamingSpec extends AnyFunSuite {
         .select("first_id").as[Long].collect().toSet == Set(2L))
     } finally q.stop()
   }
+
+  test("streaming winnowing alarms: shared passages collide, disjoint text stays silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val passage = "this exact shared paragraph is long enough to carry winnowing fingerprints"
+    val docA = "intro words before it. " + passage
+    // same passage inside an otherwise different doc — LOW overall Jaccard,
+    // exactly the case band-LSH under-fires on and substring alarms catch
+    val docB = passage + " then entirely unrelated trailing commentary regarding climate"
+    val other = "completely different text about databases partitioning shuffles and columnar storage"
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "id", "text")
+    val out = graft.pipeline.Dedup.winnowStreamingAlarms(
+      stream, "id", "text", "ts", delay = "10 minutes", horizonSecs = 3600)
+    val q = out.writeStream.format("memory").queryName("winal")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), 1L, docA), (t(2), 2L, other))
+      q.processAllAvailable()
+      assert(spark.table("winal").count() == 0) // first sightings only
+      input.addData((t(3), 3L, docB), (t(4), 4L, "unrelated fresh content about geodesic buffers"))
+      q.processAllAvailable()
+      val rows = spark.table("winal")
+        .select("id", "first_id").as[(Long, Long)].collect().toSet
+      assert(rows.nonEmpty && rows.forall(_ == ((3L, 1L))), s"alarms: $rows")
+      // the density guarantee makes the shared-passage collision certain,
+      // not probabilistic: the passage exceeds k + w - 1 chars
+      val shared = graft.pipeline.TextKernels
+        .winnowFingerprints(docA, 8, 4).toSet
+        .intersect(graft.pipeline.TextKernels.winnowFingerprints(docB, 8, 4).toSet)
+      assert(spark.table("winal").filter($"id" === 3L).count() == shared.size)
+      // an exact repeat alarms on every fingerprint of the doc
+      input.addData((t(5), 5L, other))
+      q.processAllAvailable()
+      val n5 = spark.table("winal").filter($"id" === 5L).count()
+      val fp2 = graft.pipeline.TextKernels.winnowFingerprints(other, 8, 4).length
+      assert(n5 == fp2, s"exact repeat should collide on all $fp2 fingerprints, got $n5")
+    } finally q.stop()
+  }
 }
