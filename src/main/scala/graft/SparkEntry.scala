@@ -1013,6 +1013,220 @@ object SparkEntry {
       |    AS modularity
       |FROM terms ORDER BY c""".stripMargin
 
+  // q361 Huber robust regression, 2 IRLS rounds over the daily series:
+  // round 1 is the decimal-folded OLS, weights w = min(1, c/|r|) with
+  // c = 1.345 * mean|r| (mean-absolute scale — deterministic, no median
+  // sort), round 2 the weighted normal equations under round-9 pins.
+  // Both rounds are ONE aggregation each over the days-sized table.
+  private def huberSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS x, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |s1 AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(x, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 4) as decimal(25,4))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 4) as decimal(25,4))) as double) AS sxx
+       |  FROM daily),
+       |f1 AS (
+       |  SELECT n,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+       |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a1
+       |  FROM s1),
+       |r AS (
+       |  SELECT d.x, d.y, round(d.y - (f1.a1 + f1.b1 * d.x), 9) AS res,
+       |    f1.a1, f1.b1
+       |  FROM daily d CROSS JOIN f1),
+       |sc AS (
+       |  SELECT cast(1.345 as double)
+       |    * cast(sum(cast(round(abs(res), 9) as decimal(25,9))) as double)
+       |    / count(*) AS c
+       |  FROM r),
+       |w AS (
+       |  SELECT r.x, r.y,
+       |    round(CASE WHEN abs(r.res) <= sc.c THEN cast(1.0 as double)
+       |      ELSE sc.c / abs(r.res) END, 9) AS w
+       |  FROM r CROSS JOIN sc),
+       |s2 AS (
+       |  SELECT
+       |    cast(sum(cast(round(w, 9) as decimal(25,9))) as double) AS sw,
+       |    cast(sum(cast(round(w * x, 6) as decimal(25,6))) as double) AS swx,
+       |    cast(sum(cast(round(w * y, 6) as decimal(25,6))) as double) AS swy,
+       |    cast(sum(cast(round(w * x * y, 4) as decimal(25,4))) as double) AS swxy,
+       |    cast(sum(cast(round(w * x * x, 4) as decimal(25,4))) as double) AS swxx
+       |  FROM w)
+       |SELECT f1.n,
+       |  round(f1.b1, 6) + 0.0 AS ols_slope,
+       |  round(f1.a1, 6) + 0.0 AS ols_intercept,
+       |  round((s2.sw * s2.swxy - s2.swx * s2.swy)
+       |      / (s2.sw * s2.swxx - s2.swx * s2.swx), 6) + 0.0 AS huber_slope,
+       |  round((s2.swy - (s2.sw * s2.swxy - s2.swx * s2.swy)
+       |        / (s2.sw * s2.swxx - s2.swx * s2.swx) * s2.swx) / s2.sw, 6) + 0.0
+       |    AS huber_intercept
+       |FROM f1 CROSS JOIN s2""".stripMargin
+
+  // q362 RANSAC line fit over the daily series: 20 DETERMINISTIC trials
+  // (md5-seeded point picks — the q325/q333 uniform), inlier counting at
+  // a data-derived tolerance with round-9 pinned residuals, best trial by
+  // (inliers, trial), then a decimal-folded OLS refit on its inliers.
+  // Everything after the daily reduction is days x 20 — metadata-sized.
+  private def ransacSql(d: graft.pipeline.TopicModel.Dialect,
+      dayNum: String => String): String = {
+    val h = (s: String) => d.md5Int(d.cat(Seq("'ransac:'", d.strCast(s))))
+    val trials = (1 to 20).map(t => s"($t)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS x, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |idx AS (
+       |  SELECT x, y, row_number() OVER (ORDER BY x) AS i,
+       |    count(*) OVER () AS n
+       |  FROM daily),
+       |tol AS (
+       |  SELECT cast(0.15 as double)
+       |    * cast(sum(cast(round(y, 4) as decimal(25,4))) as double) / count(*) AS tol
+       |  FROM daily),
+       |trials AS (SELECT * FROM (VALUES $trials) AS t(tr)),
+       |pick AS (
+       |  SELECT t.tr,
+       |    ${h("t.tr")} % nn.n + 1 AS i1,
+       |    ${h(d.cat(Seq("t.tr", "':b'")))} % (nn.n - 1) + 1 AS i2r
+       |  FROM trials t CROSS JOIN (SELECT max(n) AS n FROM idx) nn),
+       |line AS (
+       |  SELECT p.tr,
+       |    (b.y - a.y) / (b.x - a.x) AS slope,
+       |    a.y - (b.y - a.y) / (b.x - a.x) * a.x AS icpt
+       |  FROM pick p
+       |  JOIN idx a ON a.i = p.i1
+       |  JOIN idx b ON b.i = CASE WHEN p.i2r >= p.i1 THEN p.i2r + 1 ELSE p.i2r END),
+       |inl AS (
+       |  SELECT l.tr, l.slope, l.icpt,
+       |    cast(sum(CASE WHEN round(abs(d2.y - (l.icpt + l.slope * d2.x)), 9)
+       |      <= round(tol.tol, 9) THEN 1 ELSE 0 END) as bigint) AS n_in
+       |  FROM line l CROSS JOIN daily d2 CROSS JOIN tol
+       |  GROUP BY l.tr, l.slope, l.icpt),
+       |best AS (
+       |  SELECT tr, slope, icpt, n_in,
+       |    row_number() OVER (ORDER BY n_in DESC, tr) AS rk
+       |  FROM inl),
+       |fit AS (
+       |  SELECT b.tr, b.n_in,
+       |    cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(d3.x, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(d3.y, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(d3.x * d3.y, 4) as decimal(25,4))) as double) AS sxy,
+       |    cast(sum(cast(round(d3.x * d3.x, 4) as decimal(25,4))) as double) AS sxx
+       |  FROM best b CROSS JOIN daily d3 CROSS JOIN tol
+       |  WHERE b.rk = 1
+       |    AND round(abs(d3.y - (b.icpt + b.slope * d3.x)), 9) <= round(tol.tol, 9)
+       |  GROUP BY b.tr, b.n_in)
+       |SELECT cast(tr as bigint) AS best_trial, n_in AS inliers,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |    + 0.0 AS intercept
+       |FROM fit""".stripMargin
+  }
+
+  // q363 per-user burstiness: Fano factor + Goh-Barabasi B over the fixed
+  // observation span. Zero days contribute nothing to the sums, so no
+  // calendar spine is needed — one (user, day) reduction, one per-user
+  // aggregation, exact integer sums throughout.
+  private def burstinessSql(dayNum: String => String): String =
+    s"""WITH ud AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d, cast(count(*) as bigint) AS c
+       |  FROM events GROUP BY user_id, 2),
+       |span AS (
+       |  SELECT cast(max(d) - min(d) + 1 as bigint) AS days
+       |  FROM (SELECT DISTINCT d FROM ud) z),
+       |u AS (
+       |  SELECT user_id,
+       |    cast(sum(c) as bigint) AS s1,
+       |    cast(sum(c * c) as bigint) AS s2
+       |  FROM ud GROUP BY user_id),
+       |st AS (
+       |  SELECT u.user_id,
+       |    cast(u.s1 as double) / sp.days AS mu,
+       |    (u.s2 - cast(u.s1 as double) * u.s1 / sp.days) / (sp.days - 1) AS v
+       |  FROM u CROSS JOIN span sp)
+       |SELECT user_id,
+       |  round(mu, 6) + 0.0 AS mean_daily,
+       |  round(v / mu, 6) + 0.0 AS fano,
+       |  round((sqrt(v) - mu) / (sqrt(v) + mu), 6) + 0.0 AS burstiness
+       |FROM st ORDER BY round(v / mu, 6) DESC, user_id LIMIT 20""".stripMargin
+
+  // q364 day-of-week uniformity chi-squared: dow = dayNum % 7 (no engine
+  // dow spelling), integer counts, expected n/7.
+  private def dowChi2Sql(dayNum: String => String): String =
+    s"""WITH c AS (
+       |  SELECT ${dayNum("ts")} % 7 AS dow, cast(count(*) as bigint) AS n
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT cast(sum(n) as bigint) AS tot FROM c)
+       |SELECT cast(c.dow as int) AS dow, c.n,
+       |  round((c.n - cast(t.tot as double) / 7)
+       |      * (c.n - cast(t.tot as double) / 7)
+       |      / (cast(t.tot as double) / 7), 6) + 0.0 AS chi2_term,
+       |  round(cast(sum(cast(round(
+       |      (c.n - cast(t.tot as double) / 7)
+       |        * (c.n - cast(t.tot as double) / 7)
+       |        / (cast(t.tot as double) / 7), 9) as decimal(25,9)))
+       |      OVER () as double), 4) + 0.0 AS chi2_total
+       |FROM c CROSS JOIN t ORDER BY dow""".stripMargin
+
+  // q365 moving-average type-token ratio (MATTR, window 20): per-doc
+  // token array, one distinct-count per sliding window — the window
+  // counts are INTEGERS, so the per-doc mean is exact rational
+  // arithmetic, no floating fold at all until the final division.
+  private def mattrSql(spark: Boolean): String = {
+    val toks =
+      if (spark) """filter(split(lower(trim(text)), '\\s+'), x -> x != '')"""
+      else "regexp_extract_all(lower(trim(text)), '\\S+')"
+    val sizeF = if (spark) "size" else "length"
+    // Spark's sequence(20, n) runs DESCENDING when n < 20, and expression
+    // inlining can evaluate this projection on rows the n >= 20 filter
+    // would drop — guard inside the expression rather than relying on
+    // operator order. (DuckDB's generate_series is empty when n < 20.)
+    val winCounts =
+      if (spark)
+        "CASE WHEN n >= 20 THEN transform(sequence(20, n), " +
+          "q -> size(array_distinct(slice(t, q - 19, 20)))) " +
+          "ELSE array() END"
+      else
+        "list_transform(generate_series(20, n), q -> length(list_distinct(list_slice(t, q - 19, q))))"
+    val un = if (spark) "explode(wc) AS c" else "unnest(wc) AS c"
+    s"""WITH arr AS (
+       |  SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL),
+       |sized AS (SELECT doc_id, t, $sizeF(t) AS n FROM arr WHERE $sizeF(t) >= 20),
+       |wins AS (SELECT doc_id, $winCounts AS wc FROM sized),
+       |flat AS (SELECT doc_id, $un FROM wins),
+       |agg AS (
+       |  SELECT doc_id, cast(sum(c) as bigint) AS sc,
+       |    cast(count(*) as bigint) AS nw
+       |  FROM flat GROUP BY doc_id)
+       |SELECT doc_id, nw AS n_windows,
+       |  round(cast(sc as double) / (20 * nw), 6) + 0.0 AS mattr
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  // q366 keyword burst detection: token-by-day counts (synthetic
+  // doc_id%30 day), burst = peak daily share over the uniform baseline
+  // for tokens above a support floor — the Kleinberg-lite ratio test.
+  // `tokCte` yields (doc_id, word).
+  private def keywordBurstSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
+       |td AS (
+       |  SELECT word, doc_id % 30 AS d, cast(count(*) as bigint) AS c
+       |  FROM tok WHERE length(word) >= 4 GROUP BY word, doc_id % 30),
+       |wt AS (SELECT word, cast(sum(c) as bigint) AS tot FROM td GROUP BY word),
+       |mx AS (SELECT word, cast(max(c) as bigint) AS peak FROM td GROUP BY word)
+       |SELECT wt.word, wt.tot, mx.peak,
+       |  round((cast(mx.peak as double) + 1) / (cast(wt.tot as double) / 30 + 1),
+       |    6) + 0.0 AS burst
+       |FROM wt JOIN mx ON mx.word = wt.word
+       |WHERE wt.tot >= 30
+       |ORDER BY round((cast(mx.peak as double) + 1)
+       |  / (cast(wt.tot as double) / 30 + 1), 6) DESC, wt.word
+       |LIMIT 20""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -1895,6 +2109,30 @@ object SparkEntry {
 
     // MODULARITY of the node%5 partition (per-community terms + total).
     "q360_modularity" -> sqlQuery(Seq("customer"), modularitySql),
+
+    // HUBER robust regression (2 IRLS rounds, mean-absolute scale).
+    "q361_huber" -> sqlQuery(Seq("events"),
+      huberSql(e => s"unix_micros($e) div 86400000000")),
+
+    // RANSAC line fit (20 md5-seeded trials, inlier refit).
+    "q362_ransac" -> sqlQuery(Seq("events"),
+      ransacSql(graft.pipeline.TopicModel.sparkDialect,
+        e => s"unix_micros($e) div 86400000000")),
+
+    // PER-USER BURSTINESS (Fano factor + Goh-Barabasi B).
+    "q363_burstiness" -> sqlQuery(Seq("events"),
+      burstinessSql(e => s"unix_micros($e) div 86400000000")),
+
+    // DAY-OF-WEEK uniformity chi-squared.
+    "q364_dow_chi2" -> sqlQuery(Seq("events"),
+      dowChi2Sql(e => s"unix_micros($e) div 86400000000")),
+
+    // MOVING-AVERAGE TYPE-TOKEN RATIO (lexical diversity, window 20).
+    "q365_mattr" -> sqlQuery(Seq("documents"), mattrSql(spark = true)),
+
+    // KEYWORD BURST detection over token-by-day counts.
+    "q366_keyword_burst" -> sqlQuery(Seq("documents"),
+      keywordBurstSql(graft.pipeline.TextClassify.sparkTok)),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -9338,6 +9576,16 @@ object SparkEntry {
       "cast(embedding as double[])"),
     "q357_theil_sen" -> theilSenSql(e => s"epoch_us($e) // 86400000000"),
     "q358_rolling_ols" -> rollingOlsSql(e => s"epoch_us($e) // 86400000000"),
+    "q361_huber" -> huberSql(e => s"epoch_us($e) // 86400000000"),
+    "q362_ransac" -> ransacSql(graft.pipeline.TopicModel.duckDialect,
+      e => s"epoch_us($e) // 86400000000"),
+    "q363_burstiness" -> burstinessSql(e => s"epoch_us($e) // 86400000000"),
+    "q364_dow_chi2" -> dowChi2Sql(e => s"epoch_us($e) // 86400000000"),
+
+    // duck array/tokenizer spellings, same MATTR / burst cores
+    "q365_mattr" -> mattrSql(spark = false),
+    "q366_keyword_burst" ->
+      keywordBurstSql(graft.pipeline.TextClassify.duckTok),
 
     // duck integer-division spelling, same Pearson folds
     "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),
