@@ -1227,6 +1227,153 @@ object SparkEntry {
        |  / (cast(wt.tot as double) / 30 + 1), 6) DESC, wt.word
        |LIMIT 20""".stripMargin
 
+  // q367 Hilbert-curve layout (order 8, 256x256): the classic xy2d loop
+  // unrolled into 8 CASE-arithmetic rounds — pure integer algebra both
+  // engines execute identically (no xor spelling needed: (3*rx)^ry is a
+  // 4-way CASE). Semantic twin of the FlatGeobuf writer's Hilbert sort
+  // (sources/FlatGeobuf.scala:59, bit-twiddled form); vs q259's Z-order,
+  // consecutive Hilbert positions are always spatially adjacent, so
+  // range-sharding by d gives strictly better bbox locality. At scale
+  // the layout op is repartitionByRange on d — one shuffle, like q259.
+  private def hilbertLayoutSql: String = {
+    val rounds = (0 until 8).map { k =>
+      val s = 128 >> k
+      s"""h${k + 1} AS (
+         |  SELECT id, px, py,
+         |    d + ${s * s} * (CASE WHEN (x & $s) > 0 AND (y & $s) > 0 THEN 2
+         |      WHEN (x & $s) > 0 THEN 3
+         |      WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |        CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END
+         |      ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |        CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END
+         |      ELSE y END AS y
+         |  FROM h$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT c_custkey AS id,
+       |    cast(c_custkey % 256 as int) AS px,
+       |    cast((c_custkey * 7) % 256 as int) AS py,
+       |    cast(c_custkey % 256 as int) AS x,
+       |    cast((c_custkey * 7) % 256 as int) AS y,
+       |    0 AS d
+       |  FROM customer),
+       |$rounds
+       |SELECT cast(floor(d / 1024.0) as bigint) AS shard,
+       |  cast(count(*) as bigint) AS n,
+       |  cast(min(d) as bigint) AS d_min, cast(max(d) as bigint) AS d_max,
+       |  min(px) AS x_min, max(px) AS x_max,
+       |  min(py) AS y_min, max(py) AS y_max
+       |FROM h8 GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
+  // q368 contrastive negative sampling: k=4 negatives per document from a
+  // DETERMINISTIC hash bucket of candidates (pool ~N/16 — at 100 TB the
+  // bucket restriction, not the corpus, bounds the pair space), different
+  // source required, ranked by the md5 uniform on the (doc, cand) pair.
+  private def negativeSamplingSql(d: graft.pipeline.TopicModel.Dialect): String = {
+    val h = d.md5Int(d.cat(Seq(d.strCast("a.doc_id"), "':'", d.strCast("c.doc_id"))))
+    s"""WITH pool AS (SELECT doc_id, source FROM documents),
+       |ranked AS (
+       |  SELECT a.doc_id, c.doc_id AS neg_id,
+       |    row_number() OVER (PARTITION BY a.doc_id ORDER BY $h, c.doc_id) AS rk
+       |  FROM pool a JOIN pool c
+       |    ON c.doc_id % 16 = (a.doc_id + 7) % 16
+       |   AND c.source <> a.source)
+       |SELECT doc_id, neg_id, cast(rk as bigint) AS rk
+       |FROM ranked WHERE rk <= 4 AND doc_id % 10 = 0
+       |ORDER BY doc_id, rk""".stripMargin
+  }
+
+  // q369 hard-negative mining: for each query vector, the top-3 most
+  // cosine-similar DIFFERENT-label vectors (the contrastive-training
+  // hard negatives). Exact twin at catalog scale; the at-scale sibling
+  // probes IVF cells exactly like the q43/q278 ANN family.
+  private def hardNegativesSql(dot: (String, String) => String,
+      vecExpr: String): String =
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, $vecExpr AS v, label FROM embeddings),
+       |ranked AS (
+       |  SELECT q.id AS q_id, c.id AS neg_id,
+       |    round(${dot("q.v", "c.v")}
+       |      / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6)
+       |      + 0.0 AS cosine,
+       |    row_number() OVER (PARTITION BY q.id ORDER BY
+       |      ${dot("q.v", "c.v")}
+       |        / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})) DESC,
+       |      c.id) AS rk
+       |  FROM pts q JOIN pts c ON c.label <> q.label
+       |  WHERE q.id < 10)
+       |SELECT q_id, neg_id, cosine, cast(rk as bigint) AS rk
+       |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  // q370 TwoNN intrinsic-dimension estimate (Facco et al. 2017): per
+  // point the ratio of its two nearest-neighbor distances, MLE
+  // d = n / sum(ln mu) — same exact-kNN machinery as q355's LOF, same
+  // at-scale note (IVF-candidate neighborhoods replace the cross join).
+  // Points with a zero first-neighbor distance (exact duplicates) are
+  // excluded from the MLE, per the published estimator.
+  private def twoNNSql(dot: (String, String) => String, vecExpr: String): String =
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, $vecExpr AS v FROM embeddings),
+       |d AS (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    round(${dot("a.v", "a.v")} - 2 * ${dot("a.v", "b.v")}
+       |      + ${dot("b.v", "b.v")}, 9) AS d2
+       |  FROM pts a JOIN pts b ON b.id <> a.id),
+       |nn AS (
+       |  SELECT ia, d2,
+       |    row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rk
+       |  FROM d),
+       |two AS (
+       |  SELECT ia,
+       |    max(CASE WHEN rk = 1 THEN d2 END) AS d1,
+       |    max(CASE WHEN rk = 2 THEN d2 END) AS dd2
+       |  FROM nn WHERE rk <= 2 GROUP BY ia),
+       |mu AS (
+       |  SELECT ia, round(ln(sqrt(dd2 / d1)), 9) AS lnmu
+       |  FROM two WHERE d1 > 0 AND dd2 > 0)
+       |SELECT cast(count(*) as bigint) AS n,
+       |  round(count(*)
+       |    / cast(sum(cast(lnmu as decimal(25,9))) as double), 4) + 0.0
+       |    AS intrinsic_dim
+       |FROM mu""".stripMargin
+
+  // q371 t-closeness (total-variation flavor): per equivalence class the
+  // TV distance between its sensitive-value distribution and the global
+  // one, over the FULL class x value grid (absent values contribute
+  // p_global). Completes the q295 k-anonymity / l-diversity privacy
+  // audit family.
+  private val tClosenessSql =
+    """WITH q AS (
+      |  SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+      |    cast(floor(c.c_acctbal / 1000.0) as bigint) AS bal_bucket,
+      |    o.o_orderpriority AS sensitive
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+      |g AS (SELECT sensitive, cast(count(*) as bigint) AS cg FROM q
+      |  GROUP BY sensitive),
+      |n AS (SELECT cast(sum(cg) as bigint) AS n FROM g),
+      |cls AS (
+      |  SELECT seg, nat, bal_bucket, cast(count(*) as bigint) AS k
+      |  FROM q GROUP BY seg, nat, bal_bucket),
+      |cv AS (
+      |  SELECT seg, nat, bal_bucket, sensitive,
+      |    cast(count(*) as bigint) AS c
+      |  FROM q GROUP BY seg, nat, bal_bucket, sensitive),
+      |tv AS (
+      |  SELECT cls.seg, cls.nat, cls.bal_bucket, cls.k,
+      |    round(cast(sum(cast(round(
+      |      abs(cast(coalesce(cv.c, 0) as double) / cls.k
+      |        - cast(g.cg as double) / n.n) / 2, 9) as decimal(20,9)))
+      |      as double), 6) + 0.0 AS t
+      |  FROM cls CROSS JOIN g CROSS JOIN n
+      |  LEFT JOIN cv ON cv.seg = cls.seg AND cv.nat = cls.nat
+      |    AND cv.bal_bucket = cls.bal_bucket AND cv.sensitive = g.sensitive
+      |  GROUP BY cls.seg, cls.nat, cls.bal_bucket, cls.k)
+      |SELECT seg, cast(nat as bigint) AS nat, bal_bucket, k, t
+      |FROM tv ORDER BY t DESC, seg, nat, bal_bucket LIMIT 15""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -2133,6 +2280,24 @@ object SparkEntry {
     // KEYWORD BURST detection over token-by-day counts.
     "q366_keyword_burst" -> sqlQuery(Seq("documents"),
       keywordBurstSql(graft.pipeline.TextClassify.sparkTok)),
+
+    // HILBERT-curve layout shards (order-8 xy2d, unrolled CASE algebra).
+    "q367_hilbert_layout" -> sqlQuery(Seq("customer"), hilbertLayoutSql),
+
+    // CONTRASTIVE negative sampling (md5-ranked, bucket-bounded pool).
+    "q368_negative_sampling" -> sqlQuery(Seq("documents"),
+      negativeSamplingSql(graft.pipeline.TopicModel.sparkDialect)),
+
+    // HARD-NEGATIVE mining (top-3 cosine among different-label vectors).
+    "q369_hard_negatives" -> sqlQuery(Seq("embeddings"),
+      hardNegativesSql((a, b) => s"vec_dot($a, $b)", "embedding")),
+
+    // TwoNN INTRINSIC DIMENSION of the embedding corpus.
+    "q370_intrinsic_dim" -> sqlQuery(Seq("embeddings"),
+      twoNNSql((a, b) => s"vec_dot($a, $b)", "embedding")),
+
+    // T-CLOSENESS privacy audit (TV distance per equivalence class).
+    "q371_t_closeness" -> sqlQuery(Seq("customer", "orders"), tClosenessSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -9586,6 +9751,18 @@ object SparkEntry {
     "q365_mattr" -> mattrSql(spark = false),
     "q366_keyword_burst" ->
       keywordBurstSql(graft.pipeline.TextClassify.duckTok),
+
+    // identical portable texts
+    "q367_hilbert_layout" -> hilbertLayoutSql,
+    "q371_t_closeness" -> tClosenessSql,
+
+    // duck md5 / vector spellings, same cores
+    "q368_negative_sampling" ->
+      negativeSamplingSql(graft.pipeline.TopicModel.duckDialect),
+    "q369_hard_negatives" -> hardNegativesSql(
+      (a, b) => s"list_dot_product($a, $b)", "cast(embedding as double[])"),
+    "q370_intrinsic_dim" -> twoNNSql(
+      (a, b) => s"list_dot_product($a, $b)", "cast(embedding as double[])"),
 
     // duck integer-division spelling, same Pearson folds
     "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),
