@@ -820,20 +820,33 @@ object SparkEntry {
       |    AS cramers_v
       |FROM st CROSS JOIN rc CROSS JOIN cc CROSS JOIN t""".stripMargin
 
+  // Spark-side barrier for the exact embedding pair queries: materialize
+  // the per-point squared norm behind a tiny exchange so CollapseProject
+  // cannot inline the dot product back into every PAIR reference
+  // (measured 3x on q355/q370: the self-norms were recomputed 4M times
+  // each at sf0.1). The pair distance keeps the exact association
+  // ((n2a - 2ab) + n2b) both engines share.
+  private def ptsBarrier(spark: Boolean): String =
+    if (spark) "(SELECT id, v, n2 FROM ptsn DISTRIBUTE BY id)" else "ptsn"
+
   // q355 Local Outlier Factor (k=5) over the embedding corpus: kNN by
-  // round-9-pinned squared euclidean (three dot products, the proven
-  // cross-engine vector arithmetic), reach-distance, lrd, LOF — every
+  // round-9-pinned squared euclidean (precomputed norms + one dot per
+  // pair, the proven cross-engine vector arithmetic), reach-distance,
+  // lrd, LOF — every
   // aggregation decimal-folded, every ranking tie-broken by id. This is
   // the exact all-pairs twin (the q51/q302 precedent); the at-scale
   // sibling runs the same reach-dist/lrd algebra over IVF-candidate
   // neighborhoods (Similarity.ivfKnnJoin) instead of the cross join.
-  private def lofSql(dot: (String, String) => String, vecExpr: String): String =
-    s"""WITH pts AS (
-       |  SELECT vec_id AS id, $vecExpr AS v FROM embeddings),
+  private def lofSql(dot: (String, String) => String, vecExpr: String,
+      spark: Boolean): String =
+    s"""WITH ptsn AS (
+       |  SELECT vec_id AS id, $vecExpr AS v,
+       |    ${dot(vecExpr, vecExpr)} AS n2
+       |  FROM embeddings),
+       |pts AS (SELECT * FROM ${ptsBarrier(spark)}),
        |d AS (
        |  SELECT a.id AS ia, b.id AS ib,
-       |    round(${dot("a.v", "a.v")} - 2 * ${dot("a.v", "b.v")}
-       |      + ${dot("b.v", "b.v")}, 9) AS d2
+       |    round(a.n2 - 2 * ${dot("a.v", "b.v")} + b.n2, 9) AS d2
        |  FROM pts a JOIN pts b ON b.id <> a.id),
        |nn AS (
        |  SELECT ia, ib, d2,
@@ -1185,16 +1198,23 @@ object SparkEntry {
     // inlining can evaluate this projection on rows the n >= 20 filter
     // would drop — guard inside the expression rather than relying on
     // operator order. (DuckDB's generate_series is empty when n < 20.)
+    // Spark: the native one-pass kernel (window_distinct_counts) — the
+    // HOF spelling pays O(n*w) interpreted array_distinct(slice(...))
+    // per doc (measured ~6x at sf0.1). Counts are exact ints either way.
     val winCounts =
-      if (spark)
-        "CASE WHEN n >= 20 THEN transform(sequence(20, n), " +
-          "q -> size(array_distinct(slice(t, q - 19, 20)))) " +
-          "ELSE array() END"
+      if (spark) "window_distinct_counts(t, 20)"
       else
         "list_transform(generate_series(20, n), q -> length(list_distinct(list_slice(t, q - 19, q))))"
     val un = if (spark) "explode(wc) AS c" else "unnest(wc) AS c"
-    s"""WITH arr AS (
+    // Spark: materialize the token array behind a per-doc exchange, or
+    // CollapseProject re-inlines the split() into EVERY window lambda
+    // reference (measured: the tokenizer ran once per window, 8.5 s ->
+    // 1.4 s at sf0.1 with the barrier).
+    val arrBarrier =
+      if (spark) "(SELECT doc_id, t FROM arr0 DISTRIBUTE BY doc_id)" else "arr0"
+    s"""WITH arr0 AS (
        |  SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL),
+       |arr AS (SELECT * FROM $arrBarrier),
        |sized AS (SELECT doc_id, t, $sizeF(t) AS n FROM arr WHERE $sizeF(t) >= 20),
        |wins AS (SELECT doc_id, $winCounts AS wc FROM sized),
        |flat AS (SELECT doc_id, $un FROM wins),
@@ -1314,13 +1334,16 @@ object SparkEntry {
   // at-scale note (IVF-candidate neighborhoods replace the cross join).
   // Points with a zero first-neighbor distance (exact duplicates) are
   // excluded from the MLE, per the published estimator.
-  private def twoNNSql(dot: (String, String) => String, vecExpr: String): String =
-    s"""WITH pts AS (
-       |  SELECT vec_id AS id, $vecExpr AS v FROM embeddings),
+  private def twoNNSql(dot: (String, String) => String, vecExpr: String,
+      spark: Boolean): String =
+    s"""WITH ptsn AS (
+       |  SELECT vec_id AS id, $vecExpr AS v,
+       |    ${dot(vecExpr, vecExpr)} AS n2
+       |  FROM embeddings),
+       |pts AS (SELECT * FROM ${ptsBarrier(spark)}),
        |d AS (
        |  SELECT a.id AS ia, b.id AS ib,
-       |    round(${dot("a.v", "a.v")} - 2 * ${dot("a.v", "b.v")}
-       |      + ${dot("b.v", "b.v")}, 9) AS d2
+       |    round(a.n2 - 2 * ${dot("a.v", "b.v")} + b.n2, 9) AS d2
        |  FROM pts a JOIN pts b ON b.id <> a.id),
        |nn AS (
        |  SELECT ia, d2,
@@ -2236,9 +2259,15 @@ object SparkEntry {
     }),
 
     // LOCAL OUTLIER FACTOR (k=5), exact all-pairs twin (at-scale sibling:
-    // same algebra over IVF-candidate neighborhoods).
-    "q355_lof" -> sqlQuery(Seq("embeddings"),
-      lofSql((a, b) => s"vec_dot($a, $b)", "embedding")),
+    // same algebra over IVF-candidate neighborhoods). Spark side is the
+    // pipeline operator — the SQL spelling re-runs the 4M-pair kNN
+    // pipeline once per CTE consumer (see Outliers' scaladoc).
+    "q355_lof" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Outliers.lof(emb, "vec_id", "embedding", k = 5)
+        .orderBy(desc("lof"), col("id")).limit(20)
+    }),
 
     // ISOTONIC calibration fit via the minimax (binned-PAV) closed form.
     "q356_isotonic" -> sqlQuery(Seq("orders"), isotonicSql),
@@ -2294,7 +2323,7 @@ object SparkEntry {
 
     // TwoNN INTRINSIC DIMENSION of the embedding corpus.
     "q370_intrinsic_dim" -> sqlQuery(Seq("embeddings"),
-      twoNNSql((a, b) => s"vec_dot($a, $b)", "embedding")),
+      twoNNSql((a, b) => s"vec_dot($a, $b)", "embedding", spark = true)),
 
     // T-CLOSENESS privacy audit (TV distance per equivalence class).
     "q371_t_closeness" -> sqlQuery(Seq("customer", "orders"), tClosenessSql),
@@ -9738,7 +9767,7 @@ object SparkEntry {
 
     // duck vector / integer-division spellings, same cores
     "q355_lof" -> lofSql((a, b) => s"list_dot_product($a, $b)",
-      "cast(embedding as double[])"),
+      "cast(embedding as double[])", spark = false),
     "q357_theil_sen" -> theilSenSql(e => s"epoch_us($e) // 86400000000"),
     "q358_rolling_ols" -> rollingOlsSql(e => s"epoch_us($e) // 86400000000"),
     "q361_huber" -> huberSql(e => s"epoch_us($e) // 86400000000"),
@@ -9762,7 +9791,8 @@ object SparkEntry {
     "q369_hard_negatives" -> hardNegativesSql(
       (a, b) => s"list_dot_product($a, $b)", "cast(embedding as double[])"),
     "q370_intrinsic_dim" -> twoNNSql(
-      (a, b) => s"list_dot_product($a, $b)", "cast(embedding as double[])"),
+      (a, b) => s"list_dot_product($a, $b)", "cast(embedding as double[])",
+      spark = false),
 
     // duck integer-division spelling, same Pearson folds
     "q340_acf" -> acfSql(e => s"epoch_us($e) // 86400000000"),

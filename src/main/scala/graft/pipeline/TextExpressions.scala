@@ -336,6 +336,33 @@ object TextKernels {
     out
   }
 
+  /**
+   * Sliding-window distinct counts: out(i) = |distinct(toks[i..i+w-1])|
+   * for every full window, via ONE pass with an incremental count map —
+   * O(n) instead of the O(n*w) per-window array_distinct(slice(...))
+   * spelling (which also allocates a slice per window). Backs the MATTR
+   * lexical-diversity operator; counts are exact integers, so any
+   * implementation agrees with the oracle's list-algebra spelling.
+   */
+  def windowDistinctCounts(toks: Array[String], w: Int): Array[Int] = {
+    val n = toks.length
+    if (w <= 0 || n < w) return Array.emptyIntArray
+    val counts = new java.util.HashMap[String, Integer]()
+    val out = new Array[Int](n - w + 1)
+    var i = 0
+    while (i < n) {
+      counts.merge(toks(i), 1, (a, b) => a + b)
+      if (i >= w) {
+        val old = toks(i - w)
+        val c = counts.get(old)
+        if (c == 1) counts.remove(old) else counts.put(old, c - 1)
+      }
+      if (i >= w - 1) out(i - w + 1) = counts.size
+      i += 1
+    }
+    out
+  }
+
   /** Exact n-gram Jaccard between two texts (word n-grams). */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
     val sa = wordShingles(a, n).toSet
@@ -428,6 +455,12 @@ object TextRowEval {
     TextKernels.fingerprintMd5(t.toString, n)
   def winnowFingerprints(t: UTF8String, k: Int, w: Int): ArrayData =
     new GenericArrayData(TextKernels.winnowFingerprints(t.toString, k, w))
+  def windowDistinctCounts(arr: ArrayData, w: Int): ArrayData = {
+    val toks = new Array[String](arr.numElements())
+    var i = 0
+    while (i < toks.length) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(TextKernels.windowDistinctCounts(toks, w))
+  }
   /** Kept tokens (positions not in the SORTED covered-index array) joined
     * with single spaces — one merge walk, O(tokens + covered). */
   def scrubPositions(tokens: ArrayData, covered: ArrayData): UTF8String = {
@@ -585,6 +618,24 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
       f: Expression, s: Expression, t: Expression): WinnowFingerprints = copy(f, s, t)
 }
 
+/** window_distinct_counts(tokens, w) -> array<int>: per-full-window
+  * distinct counts, one incremental pass (TextKernels). */
+case class WindowDistinctCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "window_distinct_counts"
+  override protected def nullSafeEval(a: Any, w: Any): Any =
+    TextRowEval.windowDistinctCounts(a.asInstanceOf[ArrayData],
+      w.asInstanceOf[Number].intValue())
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, w) =>
+      s"${ev.value} = graft.pipeline.TextRowEval.windowDistinctCounts($a, (int)$w);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WindowDistinctCounts = copy(l, r)
+}
+
 /** hash64(text, seed) -> bigint — the pipeline's stable string hash. */
 case class Hash64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -729,6 +780,8 @@ object TextRegistry {
     reg("fingerprint_md5", exprs => FingerprintMd5(exprs.head, exprs(1)))
     reg("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs.head, exprs(1), exprs(2)))
+    reg("window_distinct_counts",
+      exprs => WindowDistinctCounts(exprs.head, exprs(1)))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
     reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),

@@ -65,6 +65,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.get._3 == fp1, "identical docs must share all fingerprints")
   }
 
+  test("window_distinct_counts matches the naive per-window distinct") {
+    def ref(toks: Array[String], w: Int): Seq[Int] =
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map(i => toks.slice(i, i + w).distinct.length)
+    val cases = Seq(
+      ("a b a c a b d e".split(" "), 3),
+      ("x x x x x".split(" "), 2),
+      ("a b c d".split(" "), 4), // exactly one window
+      ("a b c".split(" "), 4), // below one window -> empty
+      (Array.empty[String], 3))
+    for ((toks, w) <- cases)
+      assert(TextKernels.windowDistinctCounts(toks, w).toSeq == ref(toks, w),
+        s"toks=${toks.mkString(",")} w=$w")
+  }
+
   test("exact dedup keeps min-id representative") {
     val out = Dedup.exact(docs, "doc_id", "text")
     assert(out.count() == 4) // row 4 deduped
