@@ -1397,6 +1397,160 @@ object SparkEntry {
       |SELECT seg, cast(nat as bigint) AS nat, bal_bucket, k, t
       |FROM tv ORDER BY t DESC, seg, nat, bal_bucket LIMIT 15""".stripMargin
 
+  // q372 split-conformal prediction interval for the daily-count OLS:
+  // train on even days, calibrate on odd days, q_hat = the
+  // ceil((n+1)*0.9)-smallest absolute calibration residual (exact rank
+  // pick — no quantile interpolation), coverage evaluated over all days.
+  // Distribution-free 90% coverage guarantee; everything after the daily
+  // reduction is days-sized.
+  private def conformalSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS x, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |tr AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(x, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 4) as decimal(25,4))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 4) as decimal(25,4))) as double) AS sxx
+       |  FROM daily WHERE cast(x as bigint) % 2 = 0),
+       |fit AS (
+       |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+       |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+       |  FROM tr),
+       |cal AS (
+       |  SELECT round(abs(d.y - (f.a + f.b * d.x)), 9) AS r
+       |  FROM daily d CROSS JOIN fit f
+       |  WHERE cast(d.x as bigint) % 2 = 1),
+       |rk AS (
+       |  SELECT r, row_number() OVER (ORDER BY r) AS i,
+       |    count(*) OVER () AS n
+       |  FROM cal),
+       |qh AS (
+       |  SELECT max(CASE WHEN cast(i as double) >= 0.9 * (n + 1)
+       |      AND cast(i - 1 as double) < 0.9 * (n + 1) THEN r END) AS q_hat,
+       |    max(n) AS n_cal
+       |  FROM rk),
+       |cov AS (
+       |  SELECT cast(count(*) as bigint) AS n_all,
+       |    cast(sum(CASE WHEN round(abs(d.y - (f.a + f.b * d.x)), 9)
+       |      <= q.q_hat THEN 1 ELSE 0 END) as bigint) AS covered
+       |  FROM daily d CROSS JOIN fit f CROSS JOIN qh q)
+       |SELECT qh.n_cal, round(qh.q_hat, 6) + 0.0 AS q_hat,
+       |  round(fit.b, 6) + 0.0 AS slope,
+       |  cov.n_all, cov.covered,
+       |  round(cast(cov.covered as double) / cov.n_all, 6) + 0.0 AS coverage
+       |FROM qh CROSS JOIN fit CROSS JOIN cov""".stripMargin
+
+  // q373 Population Stability Index between the even- and odd-orderkey
+  // "periods": fixed-width price buckets, share ratio terms with an
+  // explicit zero guard, decimal-folded total — the standard model-drift
+  // monitor alongside q95's KL and q347's JS.
+  private val psiSql =
+    """WITH b AS (
+      |  SELECT cast(floor(o_totalprice / 50000) as bigint) AS bucket,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ga
+      |  FROM orders),
+      |c AS (
+      |  SELECT bucket,
+      |    cast(sum(ga) as bigint) AS ca,
+      |    cast(sum(1 - ga) as bigint) AS cb
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT cast(sum(ca) as bigint) AS na, cast(sum(cb) as bigint) AS nb
+      |  FROM c),
+      |w AS (
+      |  SELECT c.bucket, c.ca, c.cb,
+      |    round(CASE WHEN c.ca > 0 AND c.cb > 0 THEN
+      |      (cast(c.ca as double) / t.na - cast(c.cb as double) / t.nb)
+      |        * ln((cast(c.ca as double) / t.na) / (cast(c.cb as double) / t.nb))
+      |      ELSE cast(0 as double) END, 9) AS term
+      |  FROM c CROSS JOIN t)
+      |SELECT bucket, ca, cb, round(term, 6) + 0.0 AS psi_term,
+      |  round(cast(sum(cast(term as decimal(20,9))) OVER () as double), 6) + 0.0
+      |    AS psi_total
+      |FROM w ORDER BY bucket""".stripMargin
+
+  // q374 cumulative gains / lift by score decile (price as the score,
+  // F-status as the positive): ntile over a TOTALLY ordered rank
+  // (score desc, key) so decile assignment is deterministic; cumulative
+  // integer window sums, lift as the final division.
+  private val gainLiftSql =
+    """WITH s AS (
+      |  SELECT o_orderkey AS k, cast(o_totalprice as double) AS score,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      |  FROM orders),
+      |d AS (
+      |  SELECT pos, ntile(10) OVER (ORDER BY score DESC, k) AS decile
+      |  FROM s),
+      |g AS (
+      |  SELECT decile, cast(count(*) as bigint) AS n,
+      |    cast(sum(pos) as bigint) AS npos
+      |  FROM d GROUP BY decile),
+      |c AS (
+      |  SELECT decile, n, npos,
+      |    sum(n) OVER (ORDER BY decile) AS cn,
+      |    sum(npos) OVER (ORDER BY decile) AS cpos,
+      |    sum(n) OVER () AS tn, sum(npos) OVER () AS tpos
+      |  FROM g)
+      |SELECT cast(decile as int) AS decile, n, npos,
+      |  round(cast(cpos as double) / tpos, 6) + 0.0 AS cum_gain,
+      |  round((cast(cpos as double) / cn) / (cast(tpos as double) / tn), 6)
+      |    + 0.0 AS lift
+      |FROM c ORDER BY decile""".stripMargin
+
+  // q375 cohort LTV: signup cohort = the user's first active week,
+  // cumulative purchase revenue per cohort user by account age (weeks).
+  // Revenue folds as round-6 decimals; the cumulative is a window over
+  // the cohort's <= 5 age rows.
+  private def cohortLtvSql(dayNum: String => String): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d, event_type,
+       |    cast(value as double) AS value
+       |  FROM events),
+       |fw AS (
+       |  SELECT user_id, cast(floor(min(d) / 7.0) as bigint) AS w0
+       |  FROM ev GROUP BY user_id),
+       |cs AS (SELECT w0, cast(count(*) as bigint) AS users FROM fw GROUP BY w0),
+       |rev AS (
+       |  SELECT fw.w0, cast(floor(ev.d / 7.0) as bigint) - fw.w0 AS age,
+       |    sum(cast(round(ev.value, 6) as decimal(25,6))) AS r
+       |  FROM ev JOIN fw ON fw.user_id = ev.user_id
+       |  WHERE ev.event_type = 'purchase' AND ev.value IS NOT NULL
+       |  GROUP BY fw.w0, cast(floor(ev.d / 7.0) as bigint) - fw.w0)
+       |SELECT cast(rev.w0 as bigint) AS cohort_week, cast(age as bigint) AS age_weeks,
+       |  cs.users,
+       |  round(cast(sum(rev.r) OVER (PARTITION BY rev.w0 ORDER BY age) as double)
+       |    / cs.users, 6) + 0.0 AS cum_ltv_per_user
+       |FROM rev JOIN cs ON cs.w0 = rev.w0
+       |ORDER BY cohort_week, age_weeks""".stripMargin
+
+  // q376 3-itemset association rules: ordered triples within an order's
+  // distinct part set (fan-out C(basket,3), the Assoc.maxBasketSize cap
+  // guidance applies at power-law scale), support floor, 3-way lift.
+  private val tripleAssocSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS p
+      |  FROM lineitem),
+      |n AS (SELECT cast(count(DISTINCT o) as bigint) AS n FROM b),
+      |f AS (SELECT p, cast(count(*) as bigint) AS c FROM b GROUP BY p),
+      |tri AS (
+      |  SELECT a.p AS pa, b2.p AS pb, c3.p AS pc,
+      |    cast(count(*) as bigint) AS cnt
+      |  FROM b a
+      |  JOIN b b2 ON b2.o = a.o AND b2.p > a.p
+      |  JOIN b c3 ON c3.o = a.o AND c3.p > b2.p
+      |  GROUP BY a.p, b2.p, c3.p)
+      |SELECT tri.pa, tri.pb, tri.pc, tri.cnt,
+      |  round(cast(tri.cnt as double) * n.n * n.n
+      |    / (cast(fa.c as double) * fb.c * fc.c), 6) + 0.0 AS lift3
+      |FROM tri
+      |JOIN f fa ON fa.p = tri.pa
+      |JOIN f fb ON fb.p = tri.pb
+      |JOIN f fc ON fc.p = tri.pc
+      |CROSS JOIN n
+      |WHERE tri.cnt >= 3
+      |ORDER BY tri.cnt DESC, pa, pb, pc
+      |LIMIT 25""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -2327,6 +2481,25 @@ object SparkEntry {
 
     // T-CLOSENESS privacy audit (TV distance per equivalence class).
     "q371_t_closeness" -> sqlQuery(Seq("customer", "orders"), tClosenessSql),
+
+    // SPLIT-CONFORMAL prediction interval (even/odd-day split, exact
+    // rank quantile, coverage check).
+    "q372_conformal" -> sqlQuery(Seq("events"),
+      conformalSql(e => s"unix_micros($e) div 86400000000")),
+
+    // POPULATION STABILITY INDEX between even/odd-key periods.
+    "q373_psi" -> sqlQuery(Seq("orders"), psiSql),
+
+    // CUMULATIVE GAINS / LIFT chart by score decile.
+    "q374_gain_lift" -> sqlQuery(Seq("orders"), gainLiftSql),
+
+    // COHORT LTV (first-active-week cohorts, cumulative purchase
+    // revenue per user by age).
+    "q375_cohort_ltv" -> sqlQuery(Seq("events"),
+      cohortLtvSql(e => s"unix_micros($e) div 86400000000")),
+
+    // 3-ITEMSET association rules (support floor + 3-way lift).
+    "q376_triple_assoc" -> sqlQuery(Seq("lineitem"), tripleAssocSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -9784,6 +9957,13 @@ object SparkEntry {
     // identical portable texts
     "q367_hilbert_layout" -> hilbertLayoutSql,
     "q371_t_closeness" -> tClosenessSql,
+    "q373_psi" -> psiSql,
+    "q374_gain_lift" -> gainLiftSql,
+    "q376_triple_assoc" -> tripleAssocSql,
+
+    // duck integer-division spellings, same cores
+    "q372_conformal" -> conformalSql(e => s"epoch_us($e) // 86400000000"),
+    "q375_cohort_ltv" -> cohortLtvSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck md5 / vector spellings, same cores
     "q368_negative_sampling" ->
