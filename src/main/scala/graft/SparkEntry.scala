@@ -1551,6 +1551,155 @@ object SparkEntry {
       |ORDER BY tri.cnt DESC, pa, pb, pc
       |LIMIT 25""".stripMargin
 
+  // q377 next-event prediction accuracy of the Markov argmax policy:
+  // pred(s) = argmax_j P(s, j) (count ties broken by target name), scored
+  // against every observed transition — the standard sanity eval for the
+  // q341/q353 chain. Transition counts are the only corpus-sized work.
+  private val nextEventAccuracySql =
+    """WITH seq AS (
+      |  SELECT event_type AS s,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+      |  FROM events),
+      |tr AS (
+      |  SELECT s, s2, cast(count(*) as bigint) AS c
+      |  FROM seq WHERE s2 IS NOT NULL GROUP BY s, s2),
+      |pred AS (
+      |  SELECT s, s2 AS p FROM (
+      |    SELECT s, s2, row_number() OVER (PARTITION BY s
+      |      ORDER BY c DESC, s2) AS rk
+      |    FROM tr) z WHERE rk = 1),
+      |sc AS (
+      |  SELECT tr.s, pred.p,
+      |    cast(sum(CASE WHEN tr.s2 = pred.p THEN tr.c ELSE 0 END) as bigint)
+      |      AS correct,
+      |    cast(sum(tr.c) as bigint) AS total
+      |  FROM tr JOIN pred ON pred.s = tr.s
+      |  GROUP BY tr.s, pred.p)
+      |SELECT s AS state, p AS predicted, correct, total,
+      |  round(cast(correct as double) / total, 6) + 0.0 AS accuracy,
+      |  round(cast(sum(correct) OVER () as double)
+      |    / sum(total) OVER (), 6) + 0.0 AS overall_accuracy
+      |FROM sc ORDER BY state""".stripMargin
+
+  // q378 ranking-quality eval (NDCG@10 + MRR): query docs retrieve
+  // candidates by shared-distinct-token overlap (deterministic rank:
+  // score desc, id), relevance = same source. log2 discounts pinned via
+  // ln ratios; IDCG from the query's own relevant count. Completes the
+  // retrieval-eval family next to q266/q303's AUC and q267's recall.
+  private def ndcgSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
+       |dt AS (SELECT DISTINCT doc_id, word FROM tok WHERE length(word) >= 4),
+       |src AS (SELECT doc_id, source FROM documents),
+       |qs AS (SELECT doc_id AS q FROM documents WHERE doc_id < 5),
+       |ov AS (
+       |  SELECT a.doc_id AS q, b.doc_id AS cand, cast(count(*) as bigint) AS score
+       |  FROM qs JOIN dt a ON a.doc_id = qs.q
+       |  JOIN dt b ON b.word = a.word AND b.doc_id <> a.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |rk AS (
+       |  SELECT ov.q, ov.cand, ov.score,
+       |    CASE WHEN sc.source = sq.source THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY ov.q
+       |      ORDER BY ov.score DESC, ov.cand) AS r
+       |  FROM ov
+       |  JOIN src sq ON sq.doc_id = ov.q
+       |  JOIN src sc ON sc.doc_id = ov.cand),
+       |top AS (SELECT * FROM rk WHERE r <= 10),
+       |dcg AS (
+       |  SELECT q,
+       |    cast(sum(cast(round(rel * ln(2.0) / ln(r + 1.0), 9)
+       |      as decimal(20,9))) as double) AS dcg,
+       |    cast(sum(rel) as bigint) AS nrel,
+       |    min(CASE WHEN rel = 1 THEN r END) AS first_rel
+       |  FROM top GROUP BY q),
+       |ideal AS (
+       |  SELECT q,
+       |    cast(sum(CASE WHEN i.i <= least(d.nrel, 10)
+       |      THEN cast(round(ln(2.0) / ln(i.i + 1.0), 9) as decimal(20,9))
+       |      ELSE cast(0 as decimal(20,9)) END) as double) AS idcg
+       |  FROM dcg d CROSS JOIN
+       |    (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) AS t(i)) i
+       |  GROUP BY q, d.nrel)
+       |SELECT d.q, d.nrel,
+       |  round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END, 6) + 0.0
+       |    AS ndcg10,
+       |  round(CASE WHEN d.first_rel IS NOT NULL
+       |    THEN cast(1.0 as double) / d.first_rel ELSE 0 END, 6) + 0.0 AS rr
+       |FROM dcg d JOIN ideal i ON i.q = d.q
+       |ORDER BY d.q""".stripMargin
+
+  // q379 UMass topic coherence over the per-language top-5 df terms:
+  // coherence(c) = sum over ordered top-word pairs of
+  // ln((D(wi, wj) + 1) / D(wj)) — co-document counts bounded by the
+  // |classes| x 5 chosen vocabulary, never the corpus pair space.
+  private def coherenceSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
+       |dt AS (SELECT DISTINCT doc_id, lang, word FROM tok
+       |  WHERE length(word) >= 4),
+       |dfw AS (SELECT word, cast(count(DISTINCT doc_id) as bigint) AS df
+       |  FROM dt GROUP BY word),
+       |topw AS (
+       |  SELECT lang, word, df, rk FROM (
+       |    SELECT dt.lang, dt.word, dfw.df,
+       |      row_number() OVER (PARTITION BY dt.lang
+       |        ORDER BY count(DISTINCT dt.doc_id) DESC, dt.word) AS rk
+       |    FROM dt JOIN dfw ON dfw.word = dt.word
+       |    GROUP BY dt.lang, dt.word, dfw.df) z
+       |  WHERE rk <= 5),
+       |docs AS (SELECT DISTINCT doc_id, word FROM dt),
+       |co AS (
+       |  SELECT a.lang, a.word AS wi, b.word AS wj,
+       |    cast(count(DISTINCT CASE WHEN db.doc_id IS NOT NULL
+       |      THEN da.doc_id END) as bigint) AS dij
+       |  FROM topw a
+       |  JOIN topw b ON b.lang = a.lang AND b.rk < a.rk
+       |  LEFT JOIN docs da ON da.word = a.word
+       |  LEFT JOIN docs db ON db.word = b.word AND db.doc_id = da.doc_id
+       |  GROUP BY a.lang, a.word, b.word)
+       |SELECT co.lang,
+       |  round(cast(sum(cast(round(
+       |    ln((cast(co.dij as double) + 1) / dfw.df), 9) as decimal(20,9)))
+       |    as double), 6) + 0.0 AS coherence
+       |FROM co JOIN dfw ON dfw.word = co.wj
+       |GROUP BY co.lang ORDER BY co.lang""".stripMargin
+
+  // q380 personalized PageRank from node 0 (alpha = 0.85, 4 unrolled
+  // rounds, out-degree-normalized, dangling mass to the seed): the
+  // decimal-pinned recurrence both engines execute identically — the
+  // seed-restart variant of q218's global PageRank.
+  private def pprSql(iters: Int): String = {
+    val dec = "decimal(28,9)"
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT e.v AS node,
+         |    sum(cast(round(cast(x${k - 1}.x as double) / dout.c, 12)
+         |      as decimal(28,12))) AS mass
+         |  FROM e JOIN x${k - 1} ON x${k - 1}.node = e.s
+         |  JOIN dout ON dout.s = e.s
+         |  GROUP BY e.v),
+         |x$k AS (
+         |  SELECT nodes.node,
+         |    cast(round(cast(0.85 as double) * cast(coalesce(m$k.mass, 0) as double)
+         |      + CASE WHEN nodes.node = 0 THEN cast(0.15 as double)
+         |        ELSE cast(0 as double) END, 9) as $dec) AS x
+         |  FROM nodes LEFT JOIN m$k USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT c_custkey % 60 AS s, (c_custkey * 7 + 3) % 60 AS v FROM customer
+       |  UNION ALL
+       |  SELECT (c_custkey * 3) % 60 AS s, (c_custkey * 11 + 5) % 60 AS v FROM customer),
+       |e AS (SELECT DISTINCT s, v FROM eraw WHERE s <> v),
+       |dout AS (SELECT s, cast(count(*) as bigint) AS c FROM e GROUP BY s),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT s AS node FROM e UNION ALL SELECT v AS node FROM e) z),
+       |x0 AS (SELECT node,
+       |  cast(CASE WHEN node = 0 THEN 1.0 ELSE 0.0 END as $dec) AS x FROM nodes),
+       |$rounds
+       |SELECT node, round(cast(x as double), 6) + 0.0 AS ppr
+       |FROM x$iters WHERE cast(x as double) > 0 ORDER BY node""".stripMargin
+  }
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -2500,6 +2649,21 @@ object SparkEntry {
 
     // 3-ITEMSET association rules (support floor + 3-way lift).
     "q376_triple_assoc" -> sqlQuery(Seq("lineitem"), tripleAssocSql),
+
+    // NEXT-EVENT prediction accuracy of the Markov argmax policy.
+    "q377_next_event_accuracy" -> sqlQuery(Seq("events"), nextEventAccuracySql),
+
+    // NDCG@10 + MRR retrieval eval (token-overlap ranker, same-source
+    // relevance).
+    "q378_ndcg" -> sqlQuery(Seq("documents"),
+      ndcgSql(graft.pipeline.TextClassify.sparkTok)),
+
+    // UMASS topic coherence over per-language top terms.
+    "q379_coherence" -> sqlQuery(Seq("documents"),
+      coherenceSql(graft.pipeline.TextClassify.sparkTok)),
+
+    // PERSONALIZED PAGERANK from node 0 (4 decimal-pinned rounds).
+    "q380_ppr" -> sqlQuery(Seq("customer"), pprSql(4)),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -9964,6 +10128,14 @@ object SparkEntry {
     // duck integer-division spellings, same cores
     "q372_conformal" -> conformalSql(e => s"epoch_us($e) // 86400000000"),
     "q375_cohort_ltv" -> cohortLtvSql(e => s"epoch_us($e) // 86400000000"),
+
+    // identical portable texts
+    "q377_next_event_accuracy" -> nextEventAccuracySql,
+    "q380_ppr" -> pprSql(4),
+
+    // duck tokenizer spellings, same ranking/coherence cores
+    "q378_ndcg" -> ndcgSql(graft.pipeline.TextClassify.duckTok),
+    "q379_coherence" -> coherenceSql(graft.pipeline.TextClassify.duckTok),
 
     // duck md5 / vector spellings, same cores
     "q368_negative_sampling" ->
