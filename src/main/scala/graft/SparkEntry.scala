@@ -1700,6 +1700,181 @@ object SparkEntry {
        |FROM x$iters WHERE cast(x as double) > 0 ORDER BY node""".stripMargin
   }
 
+  // q381 seasonal-naive forecast backtest: y_hat(d) = y(d - 7), scored
+  // with MAE / MAPE / sMAPE over every day with a 7-back observation —
+  // the baseline every forecaster must beat, and the natural eval next
+  // to q293's decomposition and q328's smoothing. Days-sized after the
+  // daily reduction.
+  private def snaiveEvalSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |j AS (
+       |  SELECT a.d, a.y, b.y AS yhat
+       |  FROM daily a JOIN daily b ON b.d = a.d - 7)
+       |SELECT cast(count(*) as bigint) AS n,
+       |  round(cast(sum(cast(round(abs(y - yhat), 6) as decimal(25,6)))
+       |    as double) / count(*), 6) + 0.0 AS mae,
+       |  round(cast(sum(cast(round(abs(y - yhat) / y, 9) as decimal(20,9)))
+       |    as double) / count(*), 6) + 0.0 AS mape,
+       |  round(cast(sum(cast(round(2 * abs(y - yhat) / (y + yhat), 9)
+       |    as decimal(20,9))) as double) / count(*), 6) + 0.0 AS smape
+       |FROM j""".stripMargin
+
+  // q382 two-level binary segmentation of the daily series: the split
+  // maximizing the between-segment sum-of-squares gain
+  // G(k) = S_L^2/n_L + S_R^2/n_R (prefix-sum algebra, exact integer
+  // sums), then the best split inside each half — the greedy first two
+  // levels of the standard changepoint tree, complementing q284's CUSUM.
+  private def binarySegSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |idx AS (
+       |  SELECT y, row_number() OVER (ORDER BY d) AS i,
+       |    count(*) OVER () AS n, d
+       |  FROM daily),
+       |pre AS (
+       |  SELECT i, d, n, sum(y) OVER (ORDER BY i) AS cy,
+       |    sum(y) OVER () AS ty
+       |  FROM idx),
+       |gain AS (
+       |  SELECT i, d, n,
+       |    round(cast(cy as double) * cy / i
+       |      + cast(ty - cy as double) * (ty - cy) / (n - i)
+       |      - cast(ty as double) * ty / n, 6) AS g
+       |  FROM pre
+       |  -- minimum segment length 3 per side: a boundary split would
+       |  -- leave one half with no interior level-2 candidates (and
+       |  -- argmax-at-the-edge is the classic binary-seg degeneracy)
+       |  WHERE i BETWEEN 3 AND n - 3),
+       |s1 AS (
+       |  SELECT i AS k1, d AS day1, g AS g1 FROM gain
+       |  ORDER BY g DESC, i LIMIT 1),
+       |gainl AS (
+       |  SELECT p.i, p.d,
+       |    round(cast(p.cy as double) * p.cy / p.i
+       |      + (cast(pk.cy - p.cy as double)) * (pk.cy - p.cy) / (s1.k1 - p.i)
+       |      - cast(pk.cy as double) * pk.cy / s1.k1, 6) AS g
+       |  FROM pre p CROSS JOIN s1
+       |  JOIN pre pk ON pk.i = s1.k1
+       |  WHERE p.i < s1.k1),
+       |gainr AS (
+       |  SELECT p.i, p.d,
+       |    round((cast(p.cy - pk.cy as double)) * (p.cy - pk.cy) / (p.i - s1.k1)
+       |      + (cast(pr.ty - p.cy as double)) * (pr.ty - p.cy) / (pr.n - p.i)
+       |      - (cast(pr.ty - pk.cy as double)) * (pr.ty - pk.cy) / (pr.n - s1.k1),
+       |      6) AS g
+       |  FROM pre p CROSS JOIN s1
+       |  JOIN pre pk ON pk.i = s1.k1
+       |  JOIN (SELECT max(n) AS n, max(ty) AS ty FROM pre) pr ON 1 = 1
+       |  WHERE p.i > s1.k1 AND p.i < pr.n),
+       |s2l AS (SELECT d AS day2l, g AS g2l FROM gainl ORDER BY g DESC, i LIMIT 1),
+       |s2r AS (SELECT d AS day2r, g AS g2r FROM gainr ORDER BY g DESC, i LIMIT 1)
+       |SELECT cast(s1.day1 as bigint) AS split1_day, round(s1.g1, 4) + 0.0 AS gain1,
+       |  cast(s2l.day2l as bigint) AS split2_left_day, round(s2l.g2l, 4) + 0.0 AS gain2_left,
+       |  cast(s2r.day2r as bigint) AS split2_right_day, round(s2r.g2r, 4) + 0.0 AS gain2_right
+       |FROM s1 CROSS JOIN s2l CROSS JOIN s2r""".stripMargin
+
+  // q383 sequential probability ratio test (Wald SPRT): the LLR walk over
+  // the event stream in (ts, event_id) order — the cumulative sum folds
+  // as ordered decimals, the stopping step is the first |LLR| crossing of
+  // ln((1-beta)/alpha). The design constants (p0=0.30 vs p1=0.35,
+  // alpha=beta=0.05) are pinned doubles.
+  private val sprtSql =
+    """WITH s AS (
+      |  SELECT event_id, ts,
+      |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS succ
+      |  FROM events WHERE value IS NOT NULL),
+      |walk AS (
+      |  SELECT event_id, succ,
+      |    row_number() OVER (ORDER BY ts, event_id) AS step,
+      |    sum(CASE WHEN succ = 1
+      |      THEN cast(round(ln(cast(0.35 as double) / cast(0.30 as double)), 9)
+      |        as decimal(20,9))
+      |      ELSE cast(round(ln(cast(0.65 as double) / cast(0.70 as double)), 9)
+      |        as decimal(20,9)) END)
+      |      OVER (ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+      |  FROM s),
+      |bound AS (SELECT round(ln(cast(19.0 as double)), 9) AS b),
+      |crossing AS (
+      |  SELECT min(step) AS stop_step
+      |  FROM walk CROSS JOIN bound
+      |  WHERE abs(cast(llr as double)) >= bound.b),
+      |verdict AS (
+      |  SELECT w.step, cast(w.llr as double) AS llr
+      |  FROM walk w JOIN crossing c ON w.step = c.stop_step)
+      |SELECT c.stop_step,
+      |  round(v.llr, 6) + 0.0 AS llr_at_stop,
+      |  CASE WHEN v.llr > 0 THEN 'accept_p1' ELSE 'accept_p0' END AS decision,
+      |  round(b.b, 6) + 0.0 AS bound
+      |FROM crossing c JOIN verdict v ON 1 = 1 CROSS JOIN bound b""".stripMargin
+
+  // q384 TextRank keywords: weighted PageRank over the within-doc
+  // co-occurrence graph of the deterministic top-50 vocabulary (q345's
+  // cap bounds the graph at any corpus size), 4 decimal-pinned rounds,
+  // top-10 words. `tokCte` yields (doc_id, word).
+  private def textRankSql(tokCte: String, iters: Int): String = {
+    val dec = "decimal(20,9)"
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT e.wb AS word,
+         |    sum(cast(round(cast(x${k - 1}.x as double) * e.w / ow.tw, 12)
+         |      as decimal(25,12))) AS mass
+         |  FROM e JOIN x${k - 1} ON x${k - 1}.word = e.wa
+         |  JOIN ow ON ow.word = e.wa
+         |  GROUP BY e.wb),
+         |x$k AS (
+         |  SELECT v.word,
+         |    cast(round(cast(0.15 as double)
+         |      + cast(0.85 as double) * cast(coalesce(m$k.mass, 0) as double), 9)
+         |      as $dec) AS x
+         |  FROM v LEFT JOIN m$k ON m$k.word = v.word)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS ($tokCte),
+       |dt AS (SELECT DISTINCT doc_id, word FROM tok WHERE length(word) >= 4),
+       |df AS (SELECT word, cast(count(*) as bigint) AS c FROM dt GROUP BY word),
+       |v AS (SELECT word FROM df ORDER BY c DESC, word LIMIT 50),
+       |fd AS (SELECT dt.doc_id, dt.word FROM dt JOIN v ON v.word = dt.word),
+       |pairs AS (
+       |  SELECT a.word AS wa, b.word AS wb, cast(count(*) as bigint) AS w
+       |  FROM fd a JOIN fd b ON b.doc_id = a.doc_id AND b.word <> a.word
+       |  GROUP BY a.word, b.word),
+       |e AS (SELECT wa, wb, w FROM pairs WHERE w >= 2),
+       |ow AS (SELECT wa AS word, cast(sum(w) as bigint) AS tw FROM e GROUP BY wa),
+       |x0 AS (SELECT word, cast(1.0 as $dec) AS x FROM v),
+       |$rounds
+       |SELECT word, round(cast(x as double), 6) + 0.0 AS score
+       |FROM x$iters ORDER BY round(cast(x as double), 6) DESC, word
+       |LIMIT 10""".stripMargin
+  }
+
+  // q385 Neyman stratified-sampling allocation: per-stratum N_h and
+  // sd_h from decimal-folded sums, n_h = round(500 * N_h sd_h / total),
+  // against the proportional allocation — the survey-sampling design
+  // table for the q83 stratified sampler.
+  private val neymanSql =
+    """WITH s AS (
+      |  SELECT c_mktsegment AS h, cast(count(*) as bigint) AS nh,
+      |    cast(sum(cast(round(cast(c_acctbal as double), 6)
+      |      as decimal(30,6))) as double) AS s1,
+      |    cast(sum(cast(round(cast(c_acctbal as double)
+      |      * cast(c_acctbal as double), 6) as decimal(30,6))) as double) AS s2
+      |  FROM customer GROUP BY c_mktsegment),
+      |sd AS (
+      |  SELECT h, nh,
+      |    sqrt((s2 - s1 * s1 / nh) / (nh - 1.0)) AS sig
+      |  FROM s),
+      |t AS (
+      |  SELECT cast(sum(nh) as bigint) AS n,
+      |    cast(sum(cast(round(nh * sig, 6) as decimal(30,6))) as double) AS tot
+      |  FROM sd)
+      |SELECT sd.h, sd.nh, round(sd.sig, 6) + 0.0 AS sigma,
+      |  cast(round(500 * sd.nh * sd.sig / t.tot, 0) as bigint) AS neyman_n,
+      |  cast(round(500.0 * sd.nh / t.n, 0) as bigint) AS proportional_n
+      |FROM sd CROSS JOIN t ORDER BY sd.h""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -2664,6 +2839,24 @@ object SparkEntry {
 
     // PERSONALIZED PAGERANK from node 0 (4 decimal-pinned rounds).
     "q380_ppr" -> sqlQuery(Seq("customer"), pprSql(4)),
+
+    // SEASONAL-NAIVE forecast backtest (MAE/MAPE/sMAPE at lag 7).
+    "q381_snaive_eval" -> sqlQuery(Seq("events"),
+      snaiveEvalSql(e => s"unix_micros($e) div 86400000000")),
+
+    // Two-level BINARY SEGMENTATION changepoints (prefix-sum SSE gain).
+    "q382_binary_seg" -> sqlQuery(Seq("events"),
+      binarySegSql(e => s"unix_micros($e) div 86400000000")),
+
+    // WALD SPRT sequential test over the ordered event stream.
+    "q383_sprt" -> sqlQuery(Seq("events"), sprtSql),
+
+    // TEXTRANK keywords (weighted PageRank on the co-occurrence graph).
+    "q384_textrank" -> sqlQuery(Seq("documents"),
+      textRankSql(graft.pipeline.TextClassify.sparkTok, iters = 4)),
+
+    // NEYMAN stratified-sampling allocation vs proportional.
+    "q385_neyman" -> sqlQuery(Seq("customer"), neymanSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -10136,6 +10329,15 @@ object SparkEntry {
     // duck tokenizer spellings, same ranking/coherence cores
     "q378_ndcg" -> ndcgSql(graft.pipeline.TextClassify.duckTok),
     "q379_coherence" -> coherenceSql(graft.pipeline.TextClassify.duckTok),
+    "q384_textrank" -> textRankSql(graft.pipeline.TextClassify.duckTok, iters = 4),
+
+    // identical portable texts
+    "q383_sprt" -> sprtSql,
+    "q385_neyman" -> neymanSql,
+
+    // duck integer-division spellings, same cores
+    "q381_snaive_eval" -> snaiveEvalSql(e => s"epoch_us($e) // 86400000000"),
+    "q382_binary_seg" -> binarySegSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck md5 / vector spellings, same cores
     "q368_negative_sampling" ->
