@@ -1875,6 +1875,187 @@ object SparkEntry {
       |  cast(round(500.0 * sd.nh / t.n, 0) as bigint) AS proportional_n
       |FROM sd CROSS JOIN t ORDER BY sd.h""".stripMargin
 
+  // q386 Krippendorff's alpha (nominal, complete data): the q314 rater
+  // panel, disagreement from per-item label counts o_uc, expectation
+  // from the global label totals — exact integer counts, the alpha is
+  // one scalar division. Completes the agreement family (Cohen, Fleiss).
+  private val krippendorffSql =
+    """WITH ann AS (
+      |  SELECT o_orderkey AS item,
+      |    substring(o_orderpriority, 1, 1) AS label FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0
+      |    THEN cast(cast(substring(o_orderpriority, 1, 1) as int) % 5 + 1 as string)
+      |    ELSE substring(o_orderpriority, 1, 1) END FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0
+      |    THEN cast((cast(substring(o_orderpriority, 1, 1) as int) + 1) % 5 + 1 as string)
+      |    ELSE substring(o_orderpriority, 1, 1) END FROM orders),
+      |o AS (
+      |  SELECT item, label, cast(count(*) as bigint) AS ouc
+      |  FROM ann GROUP BY item, label),
+      |du AS (
+      |  SELECT item, cast(sum(ouc * (3 - ouc)) as bigint) AS dis
+      |  FROM o GROUP BY item),
+      |tot AS (
+      |  SELECT cast(count(*) as bigint) AS n_items,
+      |    cast(sum(dis) as bigint) AS sdis
+      |  FROM du),
+      |lc AS (SELECT label, cast(sum(ouc) as bigint) AS nc FROM o GROUP BY label),
+      |de AS (
+      |  SELECT cast(sum(nc * (t.n_items * 3 - nc)) as bigint) AS sde,
+      |    max(t.n_items * 3) AS ntot
+      |  FROM lc CROSS JOIN tot t)
+      |SELECT tot.n_items,
+      |  round(cast(tot.sdis as double) / (tot.n_items * 3 * 2), 6) + 0.0 AS d_obs,
+      |  round(cast(de.sde as double) / (de.ntot * (de.ntot - 1)), 6) + 0.0 AS d_exp,
+      |  round(1 - (cast(tot.sdis as double) / (tot.n_items * 3 * 2))
+      |    / (cast(de.sde as double) / (de.ntot * (de.ntot - 1))), 6) + 0.0
+      |    AS alpha
+      |FROM tot CROSS JOIN de""".stripMargin
+
+  // q387 Bradley-Terry strengths by 3 unrolled MM rounds over basket
+  // quantity duels (higher l_quantity wins, ties dropped): the item set
+  // is the 15-bucket part space, so every round is 15x15 algebra; the
+  // corpus-sized work is the one duel-count aggregation.
+  private def bradleyTerrySql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""raw$k AS (
+         |  SELECT w.i, w.wins,
+         |    cast(round(cast(w.wins as double)
+         |      / cast(sum(cast(round(cast(nij.n as double)
+         |        / (cast(pa.p as double) + pb.p), 12) as decimal(25,12)))
+         |        as double), 9) as decimal(20,9)) AS raw
+         |  FROM w
+         |  JOIN nij ON nij.i = w.i
+         |  JOIN p${k - 1} pa ON pa.i = w.i
+         |  JOIN p${k - 1} pb ON pb.i = nij.j
+         |  GROUP BY w.i, w.wins),
+         |p$k AS (
+         |  SELECT i, cast(round(cast(raw as double)
+         |    / cast(sum(raw) OVER () as double), 9) as decimal(20,9)) AS p
+         |  FROM raw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS o, l_partkey % 15 AS i,
+       |    cast(sum(l_quantity) as double) AS q
+       |  FROM lineitem GROUP BY l_orderkey, l_partkey % 15),
+       |duel AS (
+       |  SELECT a.i AS wi, b.i AS li
+       |  FROM li a JOIN li b ON b.o = a.o AND b.i <> a.i AND a.q > b.q),
+       |w AS (SELECT wi AS i, cast(count(*) as bigint) AS wins FROM duel GROUP BY wi),
+       |nij AS (
+       |  SELECT i, j, cast(sum(n) as bigint) AS n FROM (
+       |    SELECT wi AS i, li AS j, count(*) AS n FROM duel GROUP BY wi, li
+       |    UNION ALL
+       |    SELECT li AS i, wi AS j, count(*) AS n FROM duel GROUP BY li, wi) z
+       |  GROUP BY i, j),
+       |p0 AS (SELECT DISTINCT i, cast(round(1.0 / 15, 9) as decimal(20,9)) AS p
+       |  FROM nij),
+       |$rounds
+       |SELECT cast(i as bigint) AS item,
+       |  round(cast(p as double), 6) + 0.0 AS strength
+       |FROM p$iters ORDER BY item""".stripMargin
+  }
+
+  // q388 hierarchical group imputation for a synthetically masked value
+  // (event_id % 13 = 0 plays "missing"): coalesce down the
+  // (user, type) -> type -> global mean ladder, every mean decimal-
+  // folded from the UNMASKED rows only. The fill levels report which
+  // rung each hole used — the standard data-repair audit.
+  private val groupImputeSql =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL
+      |      ELSE cast(value as double) END AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |ug AS (
+      |  SELECT user_id, event_type,
+      |    cast(sum(cast(round(v, 6) as decimal(25,6))) as double)
+      |      / count(v) AS m
+      |  FROM base WHERE v IS NOT NULL GROUP BY user_id, event_type),
+      |tg AS (
+      |  SELECT event_type,
+      |    cast(sum(cast(round(v, 6) as decimal(25,6))) as double)
+      |      / count(v) AS m
+      |  FROM base WHERE v IS NOT NULL GROUP BY event_type),
+      |gg AS (
+      |  SELECT cast(sum(cast(round(v, 6) as decimal(25,6))) as double)
+      |    / count(v) AS m
+      |  FROM base WHERE v IS NOT NULL),
+      |fill AS (
+      |  SELECT b.event_type,
+      |    CASE WHEN ug.m IS NOT NULL THEN 'user_type'
+      |      WHEN tg.m IS NOT NULL THEN 'type' ELSE 'global' END AS level,
+      |    coalesce(ug.m, tg.m, gg.m) AS imputed
+      |  FROM base b
+      |  LEFT JOIN ug ON ug.user_id = b.user_id AND ug.event_type = b.event_type
+      |  LEFT JOIN tg ON tg.event_type = b.event_type
+      |  CROSS JOIN gg
+      |  WHERE b.v IS NULL)
+      |SELECT event_type, level, cast(count(*) as bigint) AS n_filled,
+      |  round(cast(sum(cast(round(imputed, 6) as decimal(25,6))) as double), 4)
+      |    + 0.0 AS imputed_sum
+      |FROM fill GROUP BY event_type, level
+      |ORDER BY event_type, level""".stripMargin
+
+  // q389 two-sample power analysis from the observed click/view effect:
+  // pooled variance, observed delta, n-per-arm for 80% power at
+  // alpha=0.05 (z constants pinned as literals) — the planning
+  // counterpart of q339's test.
+  private val powerAnalysisSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |s AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) AS s1,
+      |    cast(sum(cast(round(v * v, 9) as decimal(30,9))) as double) AS s2
+      |  FROM base GROUP BY g),
+      |m AS (
+      |  SELECT g, n, s1 / n AS mu, (s2 - s1 * s1 / n) / (n - 1.0) AS vr
+      |  FROM s),
+      |p AS (
+      |  SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+      |    max(CASE WHEN g = 0 THEN n END) AS n2,
+      |    max(CASE WHEN g = 1 THEN mu END) AS mu1,
+      |    max(CASE WHEN g = 0 THEN mu END) AS mu2,
+      |    max(CASE WHEN g = 1 THEN vr END) AS v1,
+      |    max(CASE WHEN g = 0 THEN vr END) AS v2
+      |  FROM m)
+      |SELECT
+      |  round(abs(mu1 - mu2), 6) + 0.0 AS delta,
+      |  round(sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2.0)), 6)
+      |    + 0.0 AS sd_pooled,
+      |  cast(ceil(2 * (cast(1.959964 as double) + cast(0.841621 as double))
+      |      * (cast(1.959964 as double) + cast(0.841621 as double))
+      |      * (((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2.0))
+      |      / ((mu1 - mu2) * (mu1 - mu2))) as bigint) AS n_per_arm
+      |FROM p""".stripMargin
+
+  // q390 Lorenz curve deciles of customer spend (the curve behind
+  // q331's Gini): ntile over the total (spend, key) order, cumulative
+  // decimal-folded spend share per decile.
+  private val lorenzSql =
+    """WITH sp AS (
+      |  SELECT o_custkey AS k,
+      |    cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |d AS (
+      |  SELECT x, ntile(10) OVER (ORDER BY x, k) AS decile FROM sp),
+      |g AS (
+      |  SELECT decile, cast(count(*) as bigint) AS n,
+      |    sum(cast(round(x, 2) as decimal(25,2))) AS s
+      |  FROM d GROUP BY decile)
+      |SELECT cast(decile as int) AS decile, n,
+      |  round(cast(sum(n) OVER (ORDER BY decile) as double)
+      |    / sum(n) OVER (), 6) + 0.0 AS cum_pop_share,
+      |  round(cast(sum(s) OVER (ORDER BY decile) as double)
+      |    / cast(sum(s) OVER () as double), 6) + 0.0 AS cum_spend_share
+      |FROM g ORDER BY decile""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -2857,6 +3038,21 @@ object SparkEntry {
 
     // NEYMAN stratified-sampling allocation vs proportional.
     "q385_neyman" -> sqlQuery(Seq("customer"), neymanSql),
+
+    // KRIPPENDORFF'S ALPHA (nominal) over the q314 rater panel.
+    "q386_krippendorff" -> sqlQuery(Seq("orders"), krippendorffSql),
+
+    // BRADLEY-TERRY strengths (3 MM rounds over quantity duels).
+    "q387_bradley_terry" -> sqlQuery(Seq("lineitem"), bradleyTerrySql(3)),
+
+    // HIERARCHICAL GROUP IMPUTATION with fill-level audit.
+    "q388_group_imputation" -> sqlQuery(Seq("events"), groupImputeSql),
+
+    // POWER ANALYSIS (n per arm, 80% power) from the observed effect.
+    "q389_power_analysis" -> sqlQuery(Seq("events"), powerAnalysisSql),
+
+    // LORENZ curve deciles (the curve behind q331's Gini).
+    "q390_lorenz" -> sqlQuery(Seq("orders"), lorenzSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -10334,6 +10530,11 @@ object SparkEntry {
     // identical portable texts
     "q383_sprt" -> sprtSql,
     "q385_neyman" -> neymanSql,
+    "q386_krippendorff" -> krippendorffSql,
+    "q387_bradley_terry" -> bradleyTerrySql(3),
+    "q388_group_imputation" -> groupImputeSql,
+    "q389_power_analysis" -> powerAnalysisSql,
+    "q390_lorenz" -> lorenzSql,
 
     // duck integer-division spellings, same cores
     "q381_snaive_eval" -> snaiveEvalSql(e => s"epoch_us($e) // 86400000000"),
