@@ -698,9 +698,11 @@ object SparkEntry {
   // bucket-capped shared-fingerprint pair join — as pure list algebra.
   // (The Spark side lives in pipeline/Winnow.scala; its localCheckpoint
   // barrier has no SQL spelling, which is why this text is duck-only.)
-  private def winnowOracleSql: String = {
+  /** DuckDB CTE chain computing the per-doc winnowing fingerprint set
+    * (base -> hs -> arr -> fp), shared by the q348 and q391 oracles. */
+  private def winnowFpCtes: String = {
     val md5i = (e: String) => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, lower(text) AS s,
        |    length(text) - 7 AS n
        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 11),
@@ -716,7 +718,11 @@ object SparkEntry {
        |  FROM hs),
        |fp AS (
        |  SELECT DISTINCT doc_id, h[p] AS fph
-       |  FROM (SELECT doc_id, h, unnest(sel) AS p FROM arr) z),
+       |  FROM (SELECT doc_id, h, unnest(sel) AS p FROM arr) z)""".stripMargin
+  }
+
+  private def winnowOracleSql: String = {
+    s"""WITH $winnowFpCtes,
        |bkt AS (
        |  SELECT fph FROM fp GROUP BY fph
        |  HAVING count(*) BETWEEN 2 AND 50),
@@ -2056,6 +2062,256 @@ object SparkEntry {
       |    / cast(sum(s) OVER () as double), 6) + 0.0 AS cum_spend_share
       |FROM g ORDER BY decile""".stripMargin
 
+  // q391 sample-ratio-mismatch check: user-level assignment counts vs
+  // the designed 50/50, one-df chi-squared against the 3.841 critical
+  // value — the first gate of any experiment readout.
+  private val srmSql =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |c AS (
+      |  SELECT cast(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) as bigint) AS na,
+      |    cast(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) as bigint) AS nb
+      |  FROM u)
+      |SELECT na, nb,
+      |  round((na - (na + nb) / cast(2.0 as double))
+      |      * (na - (na + nb) / cast(2.0 as double))
+      |      / ((na + nb) / cast(2.0 as double))
+      |    + (nb - (na + nb) / cast(2.0 as double))
+      |      * (nb - (na + nb) / cast(2.0 as double))
+      |      / ((na + nb) / cast(2.0 as double)), 6) + 0.0 AS chi2,
+      |  CASE WHEN (na - (na + nb) / cast(2.0 as double))
+      |      * (na - (na + nb) / cast(2.0 as double))
+      |      / ((na + nb) / cast(2.0 as double))
+      |    + (nb - (na + nb) / cast(2.0 as double))
+      |      * (nb - (na + nb) / cast(2.0 as double))
+      |      / ((na + nb) / cast(2.0 as double)) > cast(3.841 as double)
+      |    THEN 1 ELSE 0 END AS srm_flag
+      |FROM c""".stripMargin
+
+  // q392 CUPED variance reduction: per-user pre-period (days < 15) and
+  // post-period value sums, theta = cov(pre, post)/var(pre), adjusted
+  // variance = var(post) - theta^2 var(pre) (equivalently (1 - rho^2)) —
+  // every moment decimal-folded.
+  private def cupedSql(dayNum: String => String): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d, cast(value as double) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |d0 AS (SELECT min(d) AS d0 FROM ev),
+       |u AS (
+       |  SELECT user_id,
+       |    cast(sum(CASE WHEN d < d0.d0 + 15
+       |      THEN cast(round(v, 6) as decimal(25,6))
+       |      ELSE cast(0 as decimal(25,6)) END) as double) AS pre,
+       |    cast(sum(CASE WHEN d >= d0.d0 + 15
+       |      THEN cast(round(v, 6) as decimal(25,6))
+       |      ELSE cast(0 as decimal(25,6)) END) as double) AS post
+       |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(pre, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(post, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(pre * post, 2) as decimal(28,2))) as double) AS sxy,
+       |    cast(sum(cast(round(pre * pre, 2) as decimal(28,2))) as double) AS sxx,
+       |    cast(sum(cast(round(post * post, 2) as decimal(28,2))) as double) AS syy
+       |  FROM u)
+       |SELECT n,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS theta,
+       |  round((n * syy - sy * sy) / (cast(n as double) * n), 4) + 0.0 AS var_post,
+       |  round(((n * syy - sy * sy)
+       |    - (n * sxy - sx * sy) * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+       |    / (cast(n as double) * n), 4) + 0.0 AS var_adjusted,
+       |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+       |    AS variance_reduction
+       |FROM m""".stripMargin
+
+  // q393 quantile treatment effects: exact type-1 rank quantiles per
+  // group at p25/p50/p75 (smallest value with rank >= ceil(p*n), ties
+  // by construction deterministic), group difference per quantile.
+  private val qteSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |rk AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM base),
+      |ps AS (SELECT * FROM (VALUES (25), (50), (75)) AS t(p)),
+      |qv AS (
+      |  SELECT ps.p, rk.g, min(rk.v) AS q
+      |  FROM ps JOIN rk
+      |    ON rk.r >= ceil(ps.p * rk.n / cast(100.0 as double))
+      |  GROUP BY ps.p, rk.g)
+      |SELECT cast(a.p as int) AS p,
+      |  round(a.q, 6) + 0.0 AS q_click,
+      |  round(b.q, 6) + 0.0 AS q_view,
+      |  round(a.q - b.q, 6) + 0.0 AS qte
+      |FROM qv a JOIN qv b ON b.p = a.p AND b.g = 0
+      |WHERE a.g = 1 ORDER BY p""".stripMargin
+
+  // q394 reciprocity + global clustering coefficient of the lineitem
+  // graph: reciprocity from one self-join on reversed keys; clustering
+  // = 3*triangles/wedges on the undirected reduction (wedges from
+  // degrees, triangles from the ordered two-hop join).
+  private val reciprocityClusteringSql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey % 300 AS s, l_partkey % 300 AS v
+      |  FROM lineitem WHERE l_orderkey % 300 <> l_partkey % 300),
+      |rec AS (
+      |  SELECT cast(count(*) as bigint) AS m,
+      |    cast(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+      |      AS recip
+      |  FROM e LEFT JOIN e r ON r.s = e.v AND r.v = e.s),
+      |und AS (
+      |  SELECT DISTINCT least(s, v) AS a, greatest(s, v) AS b FROM e),
+      |deg AS (
+      |  SELECT node, cast(count(*) as bigint) AS d FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) z
+      |  GROUP BY node),
+      |wed AS (SELECT cast(sum(d * (d - 1) / 2) as bigint) AS wedges FROM deg),
+      |tri AS (
+      |  SELECT cast(count(*) as bigint) AS triangles
+      |  FROM und ab
+      |  JOIN und bc ON bc.a = ab.b
+      |  JOIN und ac ON ac.a = ab.a AND ac.b = bc.b)
+      |SELECT rec.m, rec.recip,
+      |  round(cast(rec.recip as double) / rec.m, 6) + 0.0 AS reciprocity,
+      |  wed.wedges, tri.triangles,
+      |  round(cast(3.0 as double) * tri.triangles / wed.wedges, 6) + 0.0
+      |    AS clustering
+      |FROM rec CROSS JOIN wed CROSS JOIN tri""".stripMargin
+
+  // q395 power-law fit of the degree distribution: log-log OLS slope +
+  // R^2 over (ln deg, ln count) for deg >= 2 — the quick-look tail
+  // exponent (alpha ~ -slope) with the fit quality alongside.
+  private val powerlawFitSql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey % 300 AS s, l_partkey % 300 AS v
+      |  FROM lineitem WHERE l_orderkey % 300 <> l_partkey % 300),
+      |und AS (
+      |  SELECT DISTINCT least(s, v) AS a, greatest(s, v) AS b FROM e),
+      |deg AS (
+      |  SELECT node, cast(count(*) as bigint) AS d FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) z
+      |  GROUP BY node),
+      |dist AS (
+      |  SELECT d, cast(count(*) as bigint) AS c FROM deg
+      |  WHERE d >= 2 GROUP BY d),
+      |pts AS (
+      |  SELECT round(ln(cast(d as double)), 9) AS x,
+      |    round(ln(cast(c as double)), 9) AS y
+      |  FROM dist),
+      |st AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 9) as decimal(20,9))) as double) AS sx,
+      |    cast(sum(cast(round(y, 9) as decimal(20,9))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 9) as decimal(20,9))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 9) as decimal(20,9))) as double) AS sxx,
+      |    cast(sum(cast(round(y * y, 9) as decimal(20,9))) as double) AS syy
+      |  FROM pts)
+      |SELECT n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+      |FROM st""".stripMargin
+
+  // q397 Brier score + Murphy decomposition for a deterministic
+  // logistic "model" (price z-score vs F-status): reliability /
+  // resolution / uncertainty over 10 equal-width probability bins,
+  // every mean decimal-folded. Completes the calibration family
+  // (q273 reliability curve, q291 calibration fix).
+  private val brierSql =
+    """WITH g AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(cast(o_totalprice as double), 2)
+      |      as decimal(25,2))) as double) AS s1,
+      |    cast(sum(cast(round(cast(o_totalprice as double)
+      |      * o_totalprice, 0) as decimal(30,0))) as double) AS s2
+      |  FROM orders),
+      |sc AS (
+      |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |    round(cast(1.0 as double)
+      |      / (1 + exp(-(cast(o_totalprice as double) - g.s1 / g.n)
+      |        / sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1.0)))), 9) AS p
+      |  FROM orders CROSS JOIN g),
+      |b AS (
+      |  SELECT least(cast(floor(p * 10) as bigint), 9) AS bin, y, p FROM sc),
+      |bins AS (
+      |  SELECT bin, cast(count(*) as bigint) AS nk,
+      |    cast(sum(cast(round(p, 9) as decimal(20,9))) as double) AS sp,
+      |    cast(sum(y) as bigint) AS sy
+      |  FROM b GROUP BY bin),
+      |tot AS (
+      |  SELECT cast(sum(nk) as bigint) AS n, cast(sum(sy) as bigint) AS ny
+      |  FROM bins),
+      |parts AS (
+      |  SELECT
+      |    cast(sum(cast(round(nk * (sp / nk - cast(sy as double) / nk)
+      |      * (sp / nk - cast(sy as double) / nk), 9) as decimal(25,9)))
+      |      as double) AS rel,
+      |    cast(sum(cast(round(nk * (cast(sy as double) / nk
+      |        - cast(t.ny as double) / t.n)
+      |      * (cast(sy as double) / nk - cast(t.ny as double) / t.n), 9)
+      |      as decimal(25,9))) as double) AS res,
+      |    max(t.n) AS n, max(t.ny) AS ny
+      |  FROM bins CROSS JOIN tot t),
+      |brier AS (
+      |  SELECT cast(sum(cast(round((p - y) * (p - y), 9) as decimal(20,9)))
+      |    as double) AS sb
+      |  FROM sc)
+      |SELECT
+      |  round(brier.sb / parts.n, 6) + 0.0 AS brier,
+      |  round(parts.rel / parts.n, 6) + 0.0 AS reliability,
+      |  round(parts.res / parts.n, 6) + 0.0 AS resolution,
+      |  round((cast(parts.ny as double) / parts.n)
+      |    * (1 - cast(parts.ny as double) / parts.n), 6) + 0.0 AS uncertainty
+      |FROM parts CROSS JOIN brier""".stripMargin
+
+  // q396 dedup-detector evaluation: precision/recall/F1 of the winnowing
+  // shared-fingerprint pairs (predicted, shared >= 3) against a
+  // prefix-duplication ground truth (same 40-char lowercased prefix —
+  // the corpus has no full-text dups). The eval harness every dedup
+  // pipeline needs before trusting its candidate generator.
+  private def dedupEvalOracleSql: String =
+    s"""WITH $winnowFpCtes,
+       |bkt AS (
+       |  SELECT fph FROM fp GROUP BY fph
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |pred AS (
+       |  SELECT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db,
+       |      cast(count(*) as bigint) AS shared
+       |    FROM fp a JOIN bkt ON bkt.fph = a.fph
+       |    JOIN fp b ON b.fph = a.fph AND b.doc_id > a.doc_id
+       |    GROUP BY a.doc_id, b.doc_id) z
+       |  WHERE shared >= 3),
+       |pk AS (
+       |  SELECT doc_id, substring(lower(text), 1, 40) AS k
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 40),
+       |truth AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM pk a JOIN pk b ON b.k = a.k AND b.doc_id > a.doc_id),
+       |tp AS (
+       |  SELECT cast(count(*) as bigint) AS tp
+       |  FROM pred JOIN truth ON truth.da = pred.da AND truth.db = pred.db),
+       |c AS (
+       |  SELECT (SELECT cast(count(*) as bigint) FROM pred) AS n_pred,
+       |    (SELECT cast(count(*) as bigint) FROM truth) AS n_truth,
+       |    tp.tp
+       |  FROM tp)
+       |SELECT n_pred, n_truth, tp,
+       |  round(CASE WHEN n_pred > 0 THEN cast(tp as double) / n_pred
+       |    ELSE 0 END, 6) + 0.0 AS precision,
+       |  round(CASE WHEN n_truth > 0 THEN cast(tp as double) / n_truth
+       |    ELSE 0 END, 6) + 0.0 AS recall,
+       |  round(CASE WHEN tp > 0 THEN
+       |    2 * (cast(tp as double) / n_pred) * (cast(tp as double) / n_truth)
+       |      / (cast(tp as double) / n_pred + cast(tp as double) / n_truth)
+       |    ELSE 0 END, 6) + 0.0 AS f1
+       |FROM c""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -3053,6 +3309,64 @@ object SparkEntry {
 
     // LORENZ curve deciles (the curve behind q331's Gini).
     "q390_lorenz" -> sqlQuery(Seq("orders"), lorenzSql),
+
+    // SAMPLE-RATIO-MISMATCH gate (1-df chi2 on user assignment).
+    "q391_srm" -> sqlQuery(Seq("events"), srmSql),
+
+    // CUPED variance reduction (pre-period covariate adjustment).
+    "q392_cuped" -> sqlQuery(Seq("events"),
+      cupedSql(e => s"unix_micros($e) div 86400000000")),
+
+    // QUANTILE treatment effects at p25/p50/p75 (exact rank quantiles).
+    "q393_qte" -> sqlQuery(Seq("events"), qteSql),
+
+    // RECIPROCITY + global clustering coefficient.
+    "q394_reciprocity_clustering" -> sqlQuery(Seq("lineitem"),
+      reciprocityClusteringSql),
+
+    // POWER-LAW degree-distribution fit (log-log OLS + R^2).
+    "q395_powerlaw_fit" -> sqlQuery(Seq("lineitem"), powerlawFitSql),
+
+    // DEDUP-DETECTOR EVAL: winnowing pairs vs prefix-dup ground truth.
+    "q396_dedup_eval" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val fp = graft.pipeline.Winnow.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      val pred = graft.pipeline.Winnow.sharedPairs(fp, "doc_id", minBucket = 2, maxBucket = 50)
+        .filter(col("shared") >= 3).select("da", "db").localCheckpoint()
+      val pk = docs.filter(col("text").isNotNull && length(col("text")) >= 40)
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("k"))
+      val truth = pk.as("a").join(pk.as("b"),
+          col("b.k") === col("a.k") && col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .localCheckpoint()
+      pred.createOrReplaceTempView("__dedup_pred")
+      truth.createOrReplaceTempView("__dedup_truth")
+      // same final arithmetic as the oracle text (see dedupEvalOracleSql)
+      s.sql(
+        """WITH tp AS (
+          |  SELECT cast(count(*) as bigint) AS tp
+          |  FROM __dedup_pred p JOIN __dedup_truth t
+          |    ON t.da = p.da AND t.db = p.db),
+          |c AS (
+          |  SELECT (SELECT cast(count(*) as bigint) FROM __dedup_pred) AS n_pred,
+          |    (SELECT cast(count(*) as bigint) FROM __dedup_truth) AS n_truth,
+          |    tp.tp
+          |  FROM tp)
+          |SELECT n_pred, n_truth, tp,
+          |  round(CASE WHEN n_pred > 0 THEN cast(tp as double) / n_pred
+          |    ELSE 0 END, 6) + 0.0 AS precision,
+          |  round(CASE WHEN n_truth > 0 THEN cast(tp as double) / n_truth
+          |    ELSE 0 END, 6) + 0.0 AS recall,
+          |  round(CASE WHEN tp > 0 THEN
+          |    2 * (cast(tp as double) / n_pred) * (cast(tp as double) / n_truth)
+          |      / (cast(tp as double) / n_pred + cast(tp as double) / n_truth)
+          |    ELSE 0 END, 6) + 0.0 AS f1
+          |FROM c""".stripMargin)
+    }),
+
+    // BRIER score + Murphy decomposition for the logistic price model.
+    "q397_brier" -> sqlQuery(Seq("orders"), brierSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -10535,6 +10849,17 @@ object SparkEntry {
     "q388_group_imputation" -> groupImputeSql,
     "q389_power_analysis" -> powerAnalysisSql,
     "q390_lorenz" -> lorenzSql,
+    "q391_srm" -> srmSql,
+    "q393_qte" -> qteSql,
+    "q394_reciprocity_clustering" -> reciprocityClusteringSql,
+    "q395_powerlaw_fit" -> powerlawFitSql,
+    "q397_brier" -> brierSql,
+
+    // duck integer-division spelling, same CUPED moments
+    "q392_cuped" -> cupedSql(e => s"epoch_us($e) // 86400000000"),
+
+    // duck winnowing fp CTEs + the shared final arithmetic
+    "q396_dedup_eval" -> dedupEvalOracleSql,
 
     // duck integer-division spellings, same cores
     "q381_snaive_eval" -> snaiveEvalSql(e => s"epoch_us($e) // 86400000000"),
