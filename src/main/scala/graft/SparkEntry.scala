@@ -2312,6 +2312,195 @@ object SparkEntry {
        |    ELSE 0 END, 6) + 0.0 AS f1
        |FROM c""".stripMargin
 
+  // q398 stratified ATE (standardization): treatment = user parity,
+  // strata = activity quintiles (deterministic ntile), effect = the
+  // stratum-size-weighted difference of within-stratum outcome means —
+  // the simplest confounder-adjusted estimate, next to q392's CUPED.
+  private val stratifiedAteSql =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS t,
+      |    cast(count(*) as bigint) AS activity,
+      |    cast(sum(cast(round(cast(value as double), 6) as decimal(25,6)))
+      |      as double) / count(value) AS y
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |s AS (
+      |  SELECT t, y, ntile(5) OVER (ORDER BY activity, user_id) AS h
+      |  FROM u),
+      |g AS (
+      |  SELECT h, t, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(y, 6) as decimal(25,6))) as double) AS sy
+      |  FROM s GROUP BY h, t),
+      |hh AS (
+      |  SELECT h,
+      |    max(CASE WHEN t = 1 THEN sy / n END)
+      |      - max(CASE WHEN t = 0 THEN sy / n END) AS diff,
+      |    cast(sum(n) as bigint) AS nh
+      |  FROM g GROUP BY h),
+      |tot AS (SELECT cast(sum(nh) as bigint) AS n FROM hh)
+      |SELECT cast(hh.h as int) AS stratum, hh.nh,
+      |  round(hh.diff, 6) + 0.0 AS stratum_effect,
+      |  round(cast(sum(cast(round(hh.diff * hh.nh, 6) as decimal(25,6)))
+      |    OVER () as double) / tot.n, 6) + 0.0 AS ate
+      |FROM hh CROSS JOIN tot ORDER BY stratum""".stripMargin
+
+  // q399 McNemar's test comparing two deterministic F-status
+  // "classifiers" (price rule vs priority rule) on paired predictions:
+  // the discordant counts b/c and the (b-c)^2/(b+c) statistic — the
+  // correct paired comparison where two independent accuracies mislead.
+  private val mcnemarSql =
+    """WITH p AS (
+      |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END AS ma,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS mb
+      |  FROM orders),
+      |c AS (
+      |  SELECT
+      |    cast(sum(CASE WHEN ma = y AND mb <> y THEN 1 ELSE 0 END) as bigint) AS b,
+      |    cast(sum(CASE WHEN ma <> y AND mb = y THEN 1 ELSE 0 END) as bigint) AS c,
+      |    cast(sum(CASE WHEN ma = y THEN 1 ELSE 0 END) as bigint) AS a_right,
+      |    cast(sum(CASE WHEN mb = y THEN 1 ELSE 0 END) as bigint) AS b_right,
+      |    cast(count(*) as bigint) AS n
+      |  FROM p)
+      |SELECT n, a_right, b_right, b, c,
+      |  round((cast(b as double) - c) * (cast(b as double) - c)
+      |    / (b + c), 6) + 0.0 AS mcnemar_chi2
+      |FROM c""".stripMargin
+
+  // q400 partial correlation r_xy.z of (chars, words | 'a'-count —
+  // the corpus's punctuation counts are constant, which would zero a
+  // variance):
+  // three Pearson coefficients from ONE decimal-folded scan, combined by
+  // the closed form — the "is the association direct or mediated" check.
+  private val partialCorrSql =
+    """WITH f AS (
+      |  SELECT cast(n_chars as double) AS x,
+      |    cast(length(text) - length(replace(text, ' ', '')) as double) AS y,
+      |    cast(length(text) - length(replace(text, 'a', '')) as double) AS z
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |st AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(round(y, 2) as decimal(25,2))) as double) AS sy,
+      |    cast(sum(cast(round(z, 2) as decimal(25,2))) as double) AS sz,
+      |    cast(sum(cast(round(x * y, 2) as decimal(28,2))) as double) AS sxy,
+      |    cast(sum(cast(round(x * z, 2) as decimal(28,2))) as double) AS sxz,
+      |    cast(sum(cast(round(y * z, 2) as decimal(28,2))) as double) AS syz,
+      |    cast(sum(cast(round(x * x, 2) as decimal(28,2))) as double) AS sxx,
+      |    cast(sum(cast(round(y * y, 2) as decimal(28,2))) as double) AS syy,
+      |    cast(sum(cast(round(z * z, 2) as decimal(28,2))) as double) AS szz
+      |  FROM f),
+      |r AS (
+      |  SELECT n,
+      |    (n * sxy - sx * sy)
+      |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+      |    (n * sxz - sx * sz)
+      |      / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+      |    (n * syz - sy * sz)
+      |      / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+      |  FROM st)
+      |SELECT n, round(rxy, 6) + 0.0 AS r_xy,
+      |  round(rxz, 6) + 0.0 AS r_xz, round(ryz, 6) + 0.0 AS r_yz,
+      |  round((rxy - rxz * ryz)
+      |    / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) + 0.0 AS r_xy_given_z
+      |FROM r""".stripMargin
+
+  // q401 Cook's distance for the daily-count OLS: closed-form leverage
+  // h_i = 1/n + (x-xbar)^2/Sxx (simple regression), D_i =
+  // e^2 h / (2 MSE (1-h)^2), top-5 influential days — the regression
+  // diagnostic behind q361's robust refit.
+  private def cooksDistanceSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS x, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |st AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(x, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 4) as decimal(25,4))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 4) as decimal(25,4))) as double) AS sxx
+       |  FROM daily),
+       |f AS (
+       |  SELECT n, sx / n AS xb,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+       |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a,
+       |    (n * sxx - sx * sx) / n AS ssx
+       |  FROM st),
+       |r AS (
+       |  SELECT d.x, round(d.y - (f.a + f.b * d.x), 9) AS e,
+       |    cast(1.0 as double) / f.n
+       |      + (d.x - f.xb) * (d.x - f.xb) / f.ssx AS h,
+       |    f.n
+       |  FROM daily d CROSS JOIN f),
+       |mse AS (
+       |  SELECT cast(sum(cast(round(e * e, 6) as decimal(25,6))) as double)
+       |    / (max(n) - 2.0) AS mse
+       |  FROM r)
+       |SELECT cast(r.x as bigint) AS day, round(r.e, 4) + 0.0 AS residual,
+       |  round(r.h, 6) + 0.0 AS leverage,
+       |  round(r.e * r.e * r.h / (2 * m.mse * (1 - r.h) * (1 - r.h)), 6)
+       |    + 0.0 AS cooks_d
+       |FROM r CROSS JOIN mse m
+       |ORDER BY round(r.e * r.e * r.h / (2 * m.mse * (1 - r.h) * (1 - r.h)), 6)
+       |  DESC, day
+       |LIMIT 5""".stripMargin
+
+  // q402 Herfindahl-Hirschman concentration: customer-spend shares
+  // within each nation, HHI = sum(share^2) per nation + the
+  // equivalent-competitor count 1/HHI — the market-structure audit.
+  private val hhiSql =
+    """WITH sp AS (
+      |  SELECT c.c_nationkey AS nat, o.o_custkey AS k,
+      |    cast(sum(cast(o.o_totalprice as decimal(20,2))) as double) AS x
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_nationkey, o.o_custkey),
+      |t AS (
+      |  SELECT nat, cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS tot,
+      |    cast(count(*) as bigint) AS n_firms
+      |  FROM sp GROUP BY nat),
+      |h AS (
+      |  SELECT sp.nat, t.n_firms,
+      |    cast(sum(cast(round((sp.x / t.tot) * (sp.x / t.tot), 9)
+      |      as decimal(20,9))) as double) AS hhi
+      |  FROM sp JOIN t ON t.nat = sp.nat
+      |  GROUP BY sp.nat, t.n_firms)
+      |SELECT cast(nat as bigint) AS nat, n_firms,
+      |  round(hhi, 6) + 0.0 AS hhi,
+      |  round(cast(1.0 as double) / hhi, 2) + 0.0 AS effective_firms
+      |FROM h ORDER BY nat""".stripMargin
+
+  // q403 Wald-Wolfowitz runs test on the daily up/down move sequence:
+  // runs counted by one lag() window, expectation/variance closed-form
+  // from the plus/minus counts — the nonparametric randomness check on
+  // the series q293/q328 model.
+  private def runsTestSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |mv AS (
+       |  SELECT d, y - lag(y) OVER (ORDER BY d) AS diff
+       |  FROM daily),
+       |sgn AS (
+       |  SELECT d, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+       |  FROM mv WHERE diff IS NOT NULL AND diff <> 0),
+       |runs AS (
+       |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+       |      OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS new_run
+       |  FROM sgn),
+       |c AS (
+       |  SELECT cast(sum(new_run) as bigint) AS r,
+       |    cast(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) as bigint) AS n1,
+       |    cast(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) as bigint) AS n2
+       |  FROM runs)
+       |SELECT r AS runs, n1, n2,
+       |  round(1 + cast(2.0 as double) * n1 * n2 / (n1 + n2), 6) + 0.0
+       |    AS expected_runs,
+       |  round((r - (1 + cast(2.0 as double) * n1 * n2 / (n1 + n2)))
+       |    / sqrt(cast(2.0 as double) * n1 * n2
+       |        * (cast(2.0 as double) * n1 * n2 - n1 - n2)
+       |      / (cast(n1 + n2 as double) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+       |    + 0.0 AS z
+       |FROM c""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -3367,6 +3556,26 @@ object SparkEntry {
 
     // BRIER score + Murphy decomposition for the logistic price model.
     "q397_brier" -> sqlQuery(Seq("orders"), brierSql),
+
+    // STRATIFIED ATE (activity-quintile standardization).
+    "q398_stratified_ate" -> sqlQuery(Seq("events"), stratifiedAteSql),
+
+    // MCNEMAR paired classifier comparison.
+    "q399_mcnemar" -> sqlQuery(Seq("orders"), mcnemarSql),
+
+    // PARTIAL CORRELATION r_xy.z from one folded scan.
+    "q400_partial_corr" -> sqlQuery(Seq("documents"), partialCorrSql),
+
+    // COOK'S DISTANCE regression diagnostics (top-5 influential days).
+    "q401_cooks_distance" -> sqlQuery(Seq("events"),
+      cooksDistanceSql(e => s"unix_micros($e) div 86400000000")),
+
+    // HERFINDAHL-HIRSCHMAN concentration per nation.
+    "q402_hhi" -> sqlQuery(Seq("orders", "customer"), hhiSql),
+
+    // WALD-WOLFOWITZ runs test on daily moves.
+    "q403_runs_test" -> sqlQuery(Seq("events"),
+      runsTestSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -10857,6 +11066,17 @@ object SparkEntry {
 
     // duck integer-division spelling, same CUPED moments
     "q392_cuped" -> cupedSql(e => s"epoch_us($e) // 86400000000"),
+
+    // identical portable texts
+    "q398_stratified_ate" -> stratifiedAteSql,
+    "q399_mcnemar" -> mcnemarSql,
+    "q400_partial_corr" -> partialCorrSql,
+    "q402_hhi" -> hhiSql,
+
+    // duck integer-division spellings, same cores
+    "q401_cooks_distance" ->
+      cooksDistanceSql(e => s"epoch_us($e) // 86400000000"),
+    "q403_runs_test" -> runsTestSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck winnowing fp CTEs + the shared final arithmetic
     "q396_dedup_eval" -> dedupEvalOracleSql,
