@@ -2501,6 +2501,141 @@ object SparkEntry {
        |    + 0.0 AS z
        |FROM c""".stripMargin
 
+  // q404 Gumbel extreme-value fit on weekly block maxima of the daily
+  // count series: method-of-moments parameters (beta = s*sqrt(6)/pi,
+  // mu = mean - gamma*beta, constants pinned), plus the 10-block return
+  // level mu - beta*ln(-ln(1 - 1/10)) — the capacity-planning tail
+  // estimate.
+  private def gumbelSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |wk AS (
+       |  SELECT cast(floor(d / 7.0) as bigint) AS w, max(y) AS mx
+       |  FROM daily GROUP BY 1),
+       |st AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(mx, 4) as decimal(25,4))) as double) AS s1,
+       |    cast(sum(cast(round(mx * mx, 4) as decimal(25,4))) as double) AS s2
+       |  FROM wk),
+       |p AS (
+       |  SELECT n, s1 / n AS m,
+       |    sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+       |      * sqrt(cast(6.0 as double)) / cast(3.14159265358979 as double) AS beta
+       |  FROM st)
+       |SELECT n AS n_blocks,
+       |  round(m - cast(0.5772156649 as double) * beta, 6) + 0.0 AS mu,
+       |  round(beta, 6) + 0.0 AS beta,
+       |  round(m - cast(0.5772156649 as double) * beta
+       |    - beta * ln(-ln(1 - cast(1.0 as double) / 10)), 6) + 0.0
+       |    AS return_level_10
+       |FROM p""".stripMargin
+
+  // q405 newsvendor service-level quantity: critical fractile
+  // cu/(cu+co), order quantity = that exact rank quantile of daily
+  // demand — the inventory-planning quantile read straight off the
+  // demand distribution.
+  private def newsvendorSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |rk AS (
+       |  SELECT y, row_number() OVER (ORDER BY y, d) AS r,
+       |    count(*) OVER () AS n
+       |  FROM daily),
+       |frac AS (
+       |  SELECT cast(9.0 as double) / (cast(9.0 as double) + cast(3.0 as double))
+       |    AS cf)
+       |SELECT frac.cf AS critical_fractile,
+       |  cast(min(CASE WHEN r >= ceil(frac.cf * n) THEN y END) as bigint)
+       |    AS order_quantity,
+       |  cast(max(n) as bigint) AS n_days
+       |FROM rk CROSS JOIN frac
+       |GROUP BY frac.cf""".stripMargin
+
+  // q406 ABC (Pareto) classification of parts by revenue: cumulative
+  // revenue share over the deterministic (revenue desc, key) order,
+  // A < 0.8 <= B < 0.95 <= C, class rollup.
+  private val abcSql =
+    """WITH rev AS (
+      |  SELECT l_partkey AS p,
+      |    cast(sum(cast(l_extendedprice as decimal(20,2))) as double) AS r
+      |  FROM lineitem GROUP BY l_partkey),
+      |rk AS (
+      |  SELECT p, r,
+      |    cast(sum(cast(round(r, 2) as decimal(25,2)))
+      |      OVER (ORDER BY r DESC, p) as double) AS cum,
+      |    cast(sum(cast(round(r, 2) as decimal(25,2))) OVER () as double) AS tot
+      |  FROM rev),
+      |cls AS (
+      |  SELECT p, r,
+      |    CASE WHEN cum / tot < cast(0.8 as double) THEN 'A'
+      |      WHEN cum / tot < cast(0.95 as double) THEN 'B'
+      |      ELSE 'C' END AS abc
+      |  FROM rk)
+      |SELECT abc, cast(count(*) as bigint) AS n_parts,
+      |  round(cast(sum(cast(round(r, 2) as decimal(25,2))) as double), 2) + 0.0
+      |    AS revenue
+      |FROM cls GROUP BY abc ORDER BY abc""".stripMargin
+
+  // q407 1-D earth mover's distance between the click and view value
+  // distributions: EMD = integral |CDF_a - CDF_b| = sum over sorted
+  // support gaps of |cumulative-count difference| x gap / (na*nb-scaled)
+  // — the mass-transport metric where q343's KS takes the max.
+  private val emdSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |n AS (
+      |  SELECT cast(sum(g) as bigint) AS na,
+      |    cast(sum(1 - g) as bigint) AS nb
+      |  FROM base),
+      |cum AS (
+      |  SELECT v,
+      |    sum(g) OVER (ORDER BY v) AS ca,
+      |    sum(1 - g) OVER (ORDER BY v) AS cb,
+      |    lead(v) OVER (ORDER BY v) AS nxt
+      |  FROM (SELECT DISTINCT v, g FROM base) z),
+      |gaps AS (
+      |  SELECT v, nxt,
+      |    abs(cast(ca as double) / n.na - cast(cb as double) / n.nb) AS gap_h
+      |  FROM cum CROSS JOIN n WHERE nxt IS NOT NULL)
+      |SELECT cast(count(*) as bigint) AS support_points,
+      |  round(cast(sum(cast(round(gap_h * (nxt - v), 9) as decimal(25,9)))
+      |    as double), 6) + 0.0 AS emd
+      |FROM gaps""".stripMargin
+
+  // q408 Kendall's tau-b between daily click and view counts: exact
+  // concordant/discordant/tie counts from the C(days,2) pair join
+  // (metadata-sized after the daily reduction), the tie-corrected
+  // denominator — completing the rank-correlation family next to
+  // q332's Spearman.
+  private def kendallSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d,
+       |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS x,
+       |    cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |pairs AS (
+       |  SELECT
+       |    cast(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+       |      as bigint) AS con,
+       |    cast(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+       |      as bigint) AS dis,
+       |    cast(sum(CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END)
+       |      as bigint) AS tx,
+       |    cast(sum(CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END)
+       |      as bigint) AS ty,
+       |    cast(count(*) as bigint) AS np
+       |  FROM daily a JOIN daily b ON b.d > a.d)
+       |SELECT con, dis, tx, ty,
+       |  round((cast(con as double) - dis)
+       |    / sqrt((cast(con + dis + tx as double)) * (con + dis + ty)), 6)
+       |    + 0.0 AS tau_b
+       |FROM pairs""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -3576,6 +3711,24 @@ object SparkEntry {
     // WALD-WOLFOWITZ runs test on daily moves.
     "q403_runs_test" -> sqlQuery(Seq("events"),
       runsTestSql(e => s"unix_micros($e) div 86400000000")),
+
+    // GUMBEL block-maxima fit + 10-block return level.
+    "q404_gumbel" -> sqlQuery(Seq("events"),
+      gumbelSql(e => s"unix_micros($e) div 86400000000")),
+
+    // NEWSVENDOR service-level order quantity (critical fractile).
+    "q405_newsvendor" -> sqlQuery(Seq("events"),
+      newsvendorSql(e => s"unix_micros($e) div 86400000000")),
+
+    // ABC / Pareto classification of parts by revenue.
+    "q406_abc" -> sqlQuery(Seq("lineitem"), abcSql),
+
+    // 1-D EARTH MOVER'S DISTANCE between click and view values.
+    "q407_emd" -> sqlQuery(Seq("events"), emdSql),
+
+    // KENDALL'S TAU-B between daily click and view counts.
+    "q408_kendall" -> sqlQuery(Seq("events"),
+      kendallSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -11077,6 +11230,13 @@ object SparkEntry {
     "q401_cooks_distance" ->
       cooksDistanceSql(e => s"epoch_us($e) // 86400000000"),
     "q403_runs_test" -> runsTestSql(e => s"epoch_us($e) // 86400000000"),
+    "q404_gumbel" -> gumbelSql(e => s"epoch_us($e) // 86400000000"),
+    "q405_newsvendor" -> newsvendorSql(e => s"epoch_us($e) // 86400000000"),
+    "q408_kendall" -> kendallSql(e => s"epoch_us($e) // 86400000000"),
+
+    // identical portable texts
+    "q406_abc" -> abcSql,
+    "q407_emd" -> emdSql,
 
     // duck winnowing fp CTEs + the shared final arithmetic
     "q396_dedup_eval" -> dedupEvalOracleSql,
