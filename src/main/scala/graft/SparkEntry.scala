@@ -2636,6 +2636,140 @@ object SparkEntry {
        |    + 0.0 AS tau_b
        |FROM pairs""".stripMargin
 
+  // q409 log-log price elasticity across parts: per-part quantity-
+  // weighted unit price and total quantity, elasticity = the OLS slope
+  // of ln q on ln p (decimal-folded log moments), with R^2.
+  private val elasticitySql =
+    """WITH pp AS (
+      |  SELECT l_partkey AS p,
+      |    cast(sum(cast(round(cast(l_extendedprice as double), 2)
+      |      as decimal(25,2))) as double)
+      |      / cast(sum(cast(round(cast(l_quantity as double), 2)
+      |        as decimal(25,2))) as double) AS price,
+      |    cast(sum(cast(round(cast(l_quantity as double), 2)
+      |      as decimal(25,2))) as double) AS qty
+      |  FROM lineitem GROUP BY l_partkey),
+      |lg AS (
+      |  SELECT round(ln(price), 9) AS x, round(ln(qty), 9) AS y
+      |  FROM pp WHERE price > 0 AND qty > 0),
+      |st AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 9) as decimal(20,9))) as double) AS sx,
+      |    cast(sum(cast(round(y, 9) as decimal(20,9))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 9) as decimal(20,9))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 9) as decimal(20,9))) as double) AS sxx,
+      |    cast(sum(cast(round(y * y, 9) as decimal(20,9))) as double) AS syy
+      |  FROM lg)
+      |SELECT n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS elasticity,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+      |FROM st""".stripMargin
+
+  // q410 discrete-time churn hazard by relative order quarter: at-risk =
+  // customers whose LAST order is at or after the quarter, churned =
+  // last order IN the quarter (the final observed quarter is censored
+  // and excluded) — the life-table companion to q287's Kaplan-Meier.
+  // (The events stream is too dense for user-level churn — every user is
+  // active in the final week; the multi-year orders table carries the
+  // real lifetime signal.) `qNum` is the engine spelling of the integer
+  // 90-day-quarter number of o_orderdate.
+  private def churnHazardSql(qNum: String => String): String =
+    s"""WITH lifeq AS (
+       |  SELECT o_custkey, max(${qNum("o_orderdate")}) AS lq
+       |  FROM orders GROUP BY o_custkey),
+       |b AS (SELECT min(lq) AS q0, max(lq) AS qmax FROM lifeq),
+       |lastq AS (
+       |  SELECT o_custkey, lifeq.lq - b.q0 AS lw, b.qmax - b.q0 AS wlast
+       |  FROM lifeq CROSS JOIN b),
+       |wk AS (
+       |  SELECT DISTINCT lw AS w FROM lastq WHERE lw < wlast),
+       |haz AS (
+       |  SELECT wk.w,
+       |    (SELECT cast(count(*) as bigint) FROM lastq WHERE lastq.lw >= wk.w)
+       |      AS at_risk,
+       |    (SELECT cast(count(*) as bigint) FROM lastq WHERE lastq.lw = wk.w)
+       |      AS churned
+       |  FROM wk)
+       |SELECT cast(w as bigint) AS quarter, at_risk, churned,
+       |  round(cast(churned as double) / at_risk, 6) + 0.0 AS hazard
+       |FROM haz ORDER BY quarter""".stripMargin
+
+  // q411 empirical-Bayes (beta-binomial) shrinkage of per-user CTR:
+  // method-of-moments alpha/beta from the raw-rate distribution (users
+  // with >= 5 exposures), shrunken rate = (clicks + a)/(n + a + b); the
+  // summary reports the prior and the shrinkage it buys.
+  private val ebShrinkageSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint)
+      |      AS c,
+      |    cast(sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+      |      as bigint) AS n
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id, c, n, cast(c as double) / n AS rate
+      |  FROM u WHERE n >= 5),
+      |m AS (
+      |  SELECT cast(count(*) as bigint) AS k,
+      |    cast(sum(cast(round(rate, 9) as decimal(20,9))) as double) AS s1,
+      |    cast(sum(cast(round(rate * rate, 9) as decimal(20,9))) as double) AS s2
+      |  FROM r),
+      |ab AS (
+      |  SELECT k, s1 / k AS mu,
+      |    (s1 / k) * ((s1 / k) * (1 - s1 / k)
+      |      / ((s2 - s1 * s1 / k) / (k - 1.0)) - 1) AS alpha,
+      |    (1 - s1 / k) * ((s1 / k) * (1 - s1 / k)
+      |      / ((s2 - s1 * s1 / k) / (k - 1.0)) - 1) AS beta
+      |  FROM m),
+      |sh AS (
+      |  SELECT r.user_id, r.rate,
+      |    (r.c + ab.alpha) / (r.n + ab.alpha + ab.beta) AS shrunk
+      |  FROM r CROSS JOIN ab)
+      |SELECT ab.k AS n_users,
+      |  round(ab.mu, 6) + 0.0 AS mean_rate,
+      |  round(ab.alpha, 6) + 0.0 AS alpha,
+      |  round(ab.beta, 6) + 0.0 AS beta,
+      |  round(cast((SELECT sum(cast(round(abs(rate - shrunk), 9)
+      |      as decimal(20,9))) FROM sh) as double) / ab.k, 6) + 0.0
+      |    AS mean_abs_shrinkage
+      |FROM ab""".stripMargin
+
+  // q412 fairness audit of the price classifier across market segments:
+  // per-group positive rate / TPR / FPR (exact integer ratios), plus the
+  // demographic-parity ratio (min/max positive rate) and the largest
+  // equalized-odds gap — the pre-deployment disparity report.
+  private val fairnessAuditSql =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS grp,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN o.o_totalprice < 150000 THEN 1 ELSE 0 END AS pred
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |g AS (
+      |  SELECT grp,
+      |    cast(count(*) as bigint) AS n,
+      |    cast(sum(pred) as bigint) AS npos,
+      |    cast(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) as bigint) AS tp,
+      |    cast(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) as bigint) AS np1,
+      |    cast(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) as bigint) AS fp,
+      |    cast(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) as bigint) AS np0
+      |  FROM j GROUP BY grp),
+      |rates AS (
+      |  SELECT grp, n,
+      |    cast(npos as double) / n AS pos_rate,
+      |    cast(tp as double) / np1 AS tpr,
+      |    cast(fp as double) / np0 AS fpr
+      |  FROM g)
+      |SELECT grp, n,
+      |  round(pos_rate, 6) + 0.0 AS pos_rate,
+      |  round(tpr, 6) + 0.0 AS tpr,
+      |  round(fpr, 6) + 0.0 AS fpr,
+      |  round(min(pos_rate) OVER () / max(pos_rate) OVER (), 6) + 0.0
+      |    AS dp_ratio,
+      |  round(greatest(max(tpr) OVER () - min(tpr) OVER (),
+      |    max(fpr) OVER () - min(fpr) OVER ()), 6) + 0.0 AS eo_gap
+      |FROM rates ORDER BY grp""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -3729,6 +3863,21 @@ object SparkEntry {
     // KENDALL'S TAU-B between daily click and view counts.
     "q408_kendall" -> sqlQuery(Seq("events"),
       kendallSql(e => s"unix_micros($e) div 86400000000")),
+
+    // LOG-LOG PRICE ELASTICITY across parts.
+    "q409_elasticity" -> sqlQuery(Seq("lineitem"), elasticitySql),
+
+    // DISCRETE-TIME CHURN HAZARD by relative order quarter.
+    "q410_churn_hazard" -> sqlQuery(Seq("orders"),
+      churnHazardSql(e =>
+        s"unix_micros(cast($e as timestamp)) div 7776000000000")),
+
+    // EMPIRICAL-BAYES beta-binomial CTR shrinkage.
+    "q411_eb_shrinkage" -> sqlQuery(Seq("events"), ebShrinkageSql),
+
+    // FAIRNESS AUDIT (demographic parity + equalized odds).
+    "q412_fairness_audit" -> sqlQuery(Seq("orders", "customer"),
+      fairnessAuditSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -11237,6 +11386,13 @@ object SparkEntry {
     // identical portable texts
     "q406_abc" -> abcSql,
     "q407_emd" -> emdSql,
+    "q409_elasticity" -> elasticitySql,
+    "q411_eb_shrinkage" -> ebShrinkageSql,
+    "q412_fairness_audit" -> fairnessAuditSql,
+
+    // duck integer-division spelling, same hazard table
+    "q410_churn_hazard" ->
+      churnHazardSql(e => s"epoch_us($e) // 7776000000000"),
 
     // duck winnowing fp CTEs + the shared final arithmetic
     "q396_dedup_eval" -> dedupEvalOracleSql,
