@@ -2770,6 +2770,158 @@ object SparkEntry {
       |    max(fpr) OVER () - min(fpr) OVER ()), 6) + 0.0 AS eo_gap
       |FROM rates ORDER BY grp""".stripMargin
 
+  // q413 Hill tail-index estimator over the top-k order totals:
+  // hill = mean ln(x_(i)/x_(k+1)) over the k largest values (exact rank
+  // pick, deterministic ties), with the implied Pareto alpha = 1/hill —
+  // the heavy-tail diagnostic behind q395's power-law fit.
+  private val hillTailSql =
+    """WITH rk AS (
+      |  SELECT cast(o_totalprice as double) AS x,
+      |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+      |  FROM orders),
+      |k AS (SELECT cast(200 as bigint) AS k),
+      |thr AS (
+      |  SELECT rk.x AS xk FROM rk CROSS JOIN k WHERE rk.r = k.k + 1),
+      |top AS (
+      |  SELECT round(ln(rk.x / thr.xk), 9) AS lr
+      |  FROM rk CROSS JOIN k CROSS JOIN thr WHERE rk.r <= k.k)
+      |SELECT max(k.k) AS k,
+      |  round(cast(sum(cast(lr as decimal(20,9))) as double) / max(k.k), 6)
+      |    + 0.0 AS hill,
+      |  round(max(k.k) / cast(sum(cast(lr as decimal(20,9))) as double), 6)
+      |    + 0.0 AS alpha
+      |FROM top CROSS JOIN k""".stripMargin
+
+  // q414 two-proportion z-test on per-user conversion (a high-value
+  // purchase — every user makes SOME purchase in this dense stream, so
+  // the plain definition degenerates to p=1) between assignment arms:
+  // pooled-variance z, integer counts until the final scalar algebra.
+  private val twoProportionSql =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 150
+      |      THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT arm, cast(count(*) as bigint) AS n,
+      |    cast(sum(conv) as bigint) AS c
+      |  FROM u GROUP BY arm),
+      |p AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+      |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+      |    max(CASE WHEN arm = 0 THEN c END) AS c0,
+      |    max(CASE WHEN arm = 1 THEN c END) AS c1
+      |  FROM g)
+      |SELECT n0, n1, c0, c1,
+      |  round(cast(c1 as double) / n1 - cast(c0 as double) / n0, 6) + 0.0
+      |    AS rate_diff,
+      |  round((cast(c1 as double) / n1 - cast(c0 as double) / n0)
+      |    / sqrt((cast(c0 + c1 as double) / (n0 + n1))
+      |      * (1 - cast(c0 + c1 as double) / (n0 + n1))
+      |      * (cast(1.0 as double) / n0 + cast(1.0 as double) / n1)), 6) + 0.0
+      |    AS z
+      |FROM p""".stripMargin
+
+  // q415 Jarque-Bera normality test on event values: skewness and
+  // excess kurtosis from the first four decimal-folded central moments,
+  // JB = n/6 (S^2 + K^2/4) — the moment-based normality gate.
+  private val jarqueBeraSql =
+    """WITH v AS (
+      |  SELECT cast(value as double) AS x FROM events WHERE value IS NOT NULL),
+      |m1 AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 6) as decimal(30,6))) as double) AS s1
+      |  FROM v),
+      |c AS (
+      |  SELECT m1.n,
+      |    cast(sum(cast(round((x - m1.s1 / m1.n) * (x - m1.s1 / m1.n), 6)
+      |      as decimal(30,6))) as double) AS m2,
+      |    cast(sum(cast(round((x - m1.s1 / m1.n) * (x - m1.s1 / m1.n)
+      |      * (x - m1.s1 / m1.n), 3) as decimal(30,3))) as double) AS m3,
+      |    cast(sum(cast(round((x - m1.s1 / m1.n) * (x - m1.s1 / m1.n)
+      |      * (x - m1.s1 / m1.n) * (x - m1.s1 / m1.n), 0) as decimal(38,0)))
+      |      as double) AS m4
+      |  FROM v CROSS JOIN m1 GROUP BY m1.n),
+      |sk AS (
+      |  SELECT n,
+      |    (m3 / n) / power(m2 / n, cast(1.5 as double)) AS s,
+      |    (m4 / n) / ((m2 / n) * (m2 / n)) - 3 AS k
+      |  FROM c)
+      |SELECT n, round(s, 6) + 0.0 AS skewness,
+      |  round(k, 6) + 0.0 AS excess_kurtosis,
+      |  round(n / cast(6.0 as double) * (s * s + k * k / 4), 4) + 0.0 AS jb
+      |FROM sk""".stripMargin
+
+  // q416 Durbin-Watson autocorrelation test on the daily-count OLS
+  // residuals: DW = sum (e_t - e_{t-1})^2 / sum e^2 via one lag window —
+  // the serial-correlation check that decides whether q358's rolling
+  // fits can be trusted pointwise.
+  private def durbinWatsonSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS x, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |st AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(x, 4) as decimal(25,4))) as double) AS sx,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 4) as decimal(25,4))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 4) as decimal(25,4))) as double) AS sxx
+       |  FROM daily),
+       |f AS (
+       |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+       |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+       |  FROM st),
+       |r AS (
+       |  SELECT d.x, round(d.y - (f.a + f.b * d.x), 9) AS e
+       |  FROM daily d CROSS JOIN f),
+       |lagd AS (
+       |  SELECT e, e - lag(e) OVER (ORDER BY x) AS de FROM r)
+       |SELECT
+       |  round(cast(sum(cast(round(de * de, 9) as decimal(25,9))) as double)
+       |    / cast(sum(cast(round(e * e, 9) as decimal(25,9))) as double), 6)
+       |    + 0.0 AS durbin_watson
+       |FROM lagd""".stripMargin
+
+  // q417 two-predictor OLS by the correlation closed form (y = chars,
+  // x1 = words, x2 = 'a'-count): standardized betas from the three
+  // Pearson r (one folded scan — the q400 moments), R^2 and the
+  // predictor VIF = 1/(1 - r12^2).
+  private val multiOls2Sql =
+    """WITH f AS (
+      |  SELECT cast(n_chars as double) AS y,
+      |    cast(length(text) - length(replace(text, ' ', '')) as double) AS x1,
+      |    cast(length(text) - length(replace(text, 'a', '')) as double) AS x2
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |st AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(y, 2) as decimal(25,2))) as double) AS sy,
+      |    cast(sum(cast(round(x1, 2) as decimal(25,2))) as double) AS s1,
+      |    cast(sum(cast(round(x2, 2) as decimal(25,2))) as double) AS s2,
+      |    cast(sum(cast(round(y * x1, 2) as decimal(28,2))) as double) AS sy1,
+      |    cast(sum(cast(round(y * x2, 2) as decimal(28,2))) as double) AS sy2,
+      |    cast(sum(cast(round(x1 * x2, 2) as decimal(28,2))) as double) AS s12,
+      |    cast(sum(cast(round(y * y, 2) as decimal(28,2))) as double) AS syy,
+      |    cast(sum(cast(round(x1 * x1, 2) as decimal(28,2))) as double) AS s11,
+      |    cast(sum(cast(round(x2 * x2, 2) as decimal(28,2))) as double) AS s22
+      |  FROM f),
+      |r AS (
+      |  SELECT n,
+      |    (n * sy1 - sy * s1)
+      |      / sqrt((n * syy - sy * sy) * (n * s11 - s1 * s1)) AS ry1,
+      |    (n * sy2 - sy * s2)
+      |      / sqrt((n * syy - sy * sy) * (n * s22 - s2 * s2)) AS ry2,
+      |    (n * s12 - s1 * s2)
+      |      / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) AS r12
+      |  FROM st)
+      |SELECT n,
+      |  round((ry1 - ry2 * r12) / (1 - r12 * r12), 6) + 0.0 AS beta1_std,
+      |  round((ry2 - ry1 * r12) / (1 - r12 * r12), 6) + 0.0 AS beta2_std,
+      |  round((ry1 * ry1 + ry2 * ry2 - 2 * ry1 * ry2 * r12)
+      |    / (1 - r12 * r12), 6) + 0.0 AS r2,
+      |  round(cast(1.0 as double) / (1 - r12 * r12), 6) + 0.0 AS vif
+      |FROM r""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -3878,6 +4030,22 @@ object SparkEntry {
     // FAIRNESS AUDIT (demographic parity + equalized odds).
     "q412_fairness_audit" -> sqlQuery(Seq("orders", "customer"),
       fairnessAuditSql),
+
+    // HILL tail-index estimator (top-200 order totals).
+    "q413_hill_tail" -> sqlQuery(Seq("orders"), hillTailSql),
+
+    // TWO-PROPORTION z-test on per-user conversion by arm.
+    "q414_two_proportion_z" -> sqlQuery(Seq("events"), twoProportionSql),
+
+    // JARQUE-BERA normality test (moment-based).
+    "q415_jarque_bera" -> sqlQuery(Seq("events"), jarqueBeraSql),
+
+    // DURBIN-WATSON serial-correlation test on OLS residuals.
+    "q416_durbin_watson" -> sqlQuery(Seq("events"),
+      durbinWatsonSql(e => s"unix_micros($e) div 86400000000")),
+
+    // TWO-PREDICTOR OLS (standardized betas, R^2, VIF).
+    "q417_multi_ols2" -> sqlQuery(Seq("documents"), multiOls2Sql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -11393,6 +11561,16 @@ object SparkEntry {
     // duck integer-division spelling, same hazard table
     "q410_churn_hazard" ->
       churnHazardSql(e => s"epoch_us($e) // 7776000000000"),
+
+    // identical portable texts
+    "q413_hill_tail" -> hillTailSql,
+    "q414_two_proportion_z" -> twoProportionSql,
+    "q415_jarque_bera" -> jarqueBeraSql,
+    "q417_multi_ols2" -> multiOls2Sql,
+
+    // duck integer-division spelling, same DW residual walk
+    "q416_durbin_watson" ->
+      durbinWatsonSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck winnowing fp CTEs + the shared final arithmetic
     "q396_dedup_eval" -> dedupEvalOracleSql,
