@@ -2922,6 +2922,156 @@ object SparkEntry {
       |  round(cast(1.0 as double) / (1 - r12 * r12), 6) + 0.0 AS vif
       |FROM r""".stripMargin
 
+  // q418 recommender holdout evaluation: leave-LAST-order-out per
+  // customer, score candidates by co-occurrence counts learned from
+  // TRAIN orders only (no leakage), top-10 per customer (deterministic
+  // rank), hit-rate against the held-out basket — the offline eval
+  // behind the q349 item-item recommender.
+  private val recHoldoutSql =
+    """WITH b AS (
+      |  SELECT DISTINCT o.o_orderkey AS ok, o.o_custkey AS c,
+      |    l.l_partkey % 200 AS p, o.o_orderdate AS dt
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |lastord AS (
+      |  SELECT ok, c FROM (
+      |    SELECT ok, c, row_number() OVER (PARTITION BY c
+      |      ORDER BY dt DESC, ok DESC) AS rk
+      |    FROM (SELECT DISTINCT ok, c, dt FROM b) z) w
+      |  WHERE rk = 1),
+      |train AS (
+      |  SELECT b.c, b.ok, b.p FROM b
+      |  LEFT JOIN lastord lo ON lo.ok = b.ok
+      |  WHERE lo.ok IS NULL),
+      |test AS (
+      |  SELECT b.c, b.p FROM b JOIN lastord lo ON lo.ok = b.ok),
+      |pairs AS (
+      |  SELECT a.p AS pa, b2.p AS pb, cast(count(*) as bigint) AS w
+      |  FROM train a JOIN train b2 ON b2.ok = a.ok AND b2.p <> a.p
+      |  GROUP BY a.p, b2.p),
+      |ti AS (SELECT DISTINCT c, p FROM train),
+      |score AS (
+      |  SELECT ti.c, pr.pb AS cand, cast(sum(pr.w) as bigint) AS s
+      |  FROM ti JOIN pairs pr ON pr.pa = ti.p
+      |  LEFT JOIN ti own ON own.c = ti.c AND own.p = pr.pb
+      |  WHERE own.p IS NULL
+      |  GROUP BY ti.c, pr.pb),
+      |top AS (
+      |  SELECT c, cand FROM (
+      |    SELECT c, cand, row_number() OVER (PARTITION BY c
+      |      ORDER BY s DESC, cand) AS rk
+      |    FROM score) z WHERE rk <= 10),
+      |eval AS (
+      |  SELECT t.c,
+      |    max(CASE WHEN tp.cand IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      |  FROM test t
+      |  LEFT JOIN top tp ON tp.c = t.c AND tp.cand = t.p
+      |  WHERE t.c IN (SELECT DISTINCT c FROM train)
+      |  GROUP BY t.c)
+      |SELECT cast(count(*) as bigint) AS n_customers,
+      |  cast(sum(hit) as bigint) AS hits,
+      |  round(cast(sum(hit) as double) / count(*), 6) + 0.0 AS hit_rate_at_10
+      |FROM eval""".stripMargin
+
+  // q419 COPOD-flavored ECDF outlier score over three document
+  // features: per-dimension two-sided tail probability from the
+  // peer-inclusive empirical CDF (pure ranks — deterministic, no
+  // distributional fit), score = -sum of log tails, top-10 outliers.
+  private val copodSql =
+    """WITH f AS (
+      |  SELECT doc_id, cast(n_chars as double) AS x1,
+      |    cast(length(text) - length(replace(text, ' ', '')) as double) AS x2,
+      |    cast(length(text) - length(replace(text, 'a', '')) as double) AS x3
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |n AS (SELECT cast(count(*) as bigint) AS n FROM f),
+      |cdf AS (
+      |  SELECT doc_id,
+      |    cast(count(*) OVER (ORDER BY x1) as double) / n.n AS f1,
+      |    cast(count(*) OVER (ORDER BY x2) as double) / n.n AS f2,
+      |    cast(count(*) OVER (ORDER BY x3) as double) / n.n AS f3,
+      |    n.n
+      |  FROM f CROSS JOIN n),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round(-(ln(greatest(least(f1, 1 - f1), cast(1.0 as double) / n))
+      |      + ln(greatest(least(f2, 1 - f2), cast(1.0 as double) / n))
+      |      + ln(greatest(least(f3, 1 - f3), cast(1.0 as double) / n))), 6)
+      |      AS score
+      |  FROM cdf)
+      |SELECT doc_id, score + 0.0 AS copod_score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // q420 Simpson's-paradox detector: pooled Pearson of (quantity, unit
+  // price) vs the within-returnflag coefficients — a sign flip between
+  // the pooled and every stratum is the aggregation trap worth an
+  // automated alarm.
+  private val simpsonFlipSql =
+    """WITH f AS (
+      |  SELECT l_returnflag AS g, cast(l_quantity as double) AS x,
+      |    cast(l_extendedprice as double) / l_quantity AS y
+      |  FROM lineitem WHERE l_quantity > 0),
+      |st AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(round(y, 2) as decimal(25,2))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 2) as decimal(28,2))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 2) as decimal(28,2))) as double) AS sxx,
+      |    cast(sum(cast(round(y * y, 2) as decimal(28,2))) as double) AS syy
+      |  FROM f GROUP BY g),
+      |tot AS (
+      |  SELECT cast(sum(n) as bigint) AS n,
+      |    cast(sum(cast(round(sx, 2) as decimal(28,2))) as double) AS sx,
+      |    cast(sum(cast(round(sy, 2) as decimal(28,2))) as double) AS sy,
+      |    cast(sum(cast(round(sxy, 2) as decimal(28,2))) as double) AS sxy,
+      |    cast(sum(cast(round(sxx, 2) as decimal(28,2))) as double) AS sxx,
+      |    cast(sum(cast(round(syy, 2) as decimal(28,2))) as double) AS syy
+      |  FROM st),
+      |rg AS (
+      |  SELECT g, n,
+      |    (n * sxy - sx * sy)
+      |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+      |  FROM st),
+      |rp AS (
+      |  SELECT (n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+      |  FROM tot)
+      |SELECT rg.g, rg.n,
+      |  round(rg.r, 6) + 0.0 AS group_r,
+      |  round(rp.r, 6) + 0.0 AS pooled_r,
+      |  CASE WHEN (rg.r > 0) <> (rp.r > 0) THEN 1 ELSE 0 END AS sign_flip
+      |FROM rg CROSS JOIN rp ORDER BY rg.g""".stripMargin
+
+  // q421 ROUGE-1 (multiset-clipped unigram precision/recall/F1) between
+  // the prefix-duplication document pairs (the q396 ground truth): per-
+  // doc token counts join on word, clipped overlap = sum least(c1, c2).
+  // `tokCte` yields (doc_id, word).
+  private def rougeSql(tokCte: String): String =
+    s"""WITH tok AS ($tokCte),
+       |tc AS (SELECT doc_id, word, cast(count(*) as bigint) AS c
+       |  FROM tok GROUP BY doc_id, word),
+       |tl AS (SELECT doc_id, cast(sum(c) as bigint) AS len FROM tc
+       |  GROUP BY doc_id),
+       |pk AS (
+       |  SELECT doc_id, substring(lower(text), 1, 40) AS k
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 40),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM pk a JOIN pk b ON b.k = a.k AND b.doc_id > a.doc_id),
+       |ov AS (
+       |  SELECT p.da, p.db, cast(sum(least(ca.c, cb.c)) as bigint) AS clip
+       |  FROM pairs p
+       |  JOIN tc ca ON ca.doc_id = p.da
+       |  JOIN tc cb ON cb.doc_id = p.db AND cb.word = ca.word
+       |  GROUP BY p.da, p.db)
+       |SELECT ov.da, ov.db, ov.clip,
+       |  round(cast(ov.clip as double) / lb.len, 6) + 0.0 AS rouge1_p,
+       |  round(cast(ov.clip as double) / la.len, 6) + 0.0 AS rouge1_r,
+       |  round(cast(2.0 as double) * ov.clip / (la.len + lb.len), 6) + 0.0
+       |    AS rouge1_f
+       |FROM ov
+       |JOIN tl la ON la.doc_id = ov.da
+       |JOIN tl lb ON lb.doc_id = ov.db
+       |ORDER BY ov.da, ov.db""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -4046,6 +4196,19 @@ object SparkEntry {
 
     // TWO-PREDICTOR OLS (standardized betas, R^2, VIF).
     "q417_multi_ols2" -> sqlQuery(Seq("documents"), multiOls2Sql),
+
+    // RECOMMENDER HOLDOUT EVAL (leave-last-order-out hit-rate@10).
+    "q418_rec_holdout" -> sqlQuery(Seq("lineitem", "orders"), recHoldoutSql),
+
+    // COPOD-flavored ECDF outlier score (top-10 documents).
+    "q419_copod" -> sqlQuery(Seq("documents"), copodSql),
+
+    // SIMPSON'S-PARADOX sign-flip detector.
+    "q420_simpson_flip" -> sqlQuery(Seq("lineitem"), simpsonFlipSql),
+
+    // ROUGE-1 between prefix-duplication pairs.
+    "q421_rouge" -> sqlQuery(Seq("documents"),
+      rougeSql(graft.pipeline.TextClassify.sparkTok)),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -11567,6 +11730,12 @@ object SparkEntry {
     "q414_two_proportion_z" -> twoProportionSql,
     "q415_jarque_bera" -> jarqueBeraSql,
     "q417_multi_ols2" -> multiOls2Sql,
+    "q418_rec_holdout" -> recHoldoutSql,
+    "q419_copod" -> copodSql,
+    "q420_simpson_flip" -> simpsonFlipSql,
+
+    // duck tokenizer spelling, same ROUGE clipping
+    "q421_rouge" -> rougeSql(graft.pipeline.TextClassify.duckTok),
 
     // duck integer-division spelling, same DW residual walk
     "q416_durbin_watson" ->
