@@ -3072,6 +3072,160 @@ object SparkEntry {
        |JOIN tl lb ON lb.doc_id = ov.db
        |ORDER BY ov.da, ov.db""".stripMargin
 
+  // q422 BLEU (1+2-gram, multiset-clipped, brevity penalty) between the
+  // prefix-duplication pairs — the precision-side counterpart of q421's
+  // ROUGE. Bigrams come from the positional tokenizer (pos, word) by an
+  // adjacent self-join; clipped counts per n-gram order, geometric mean,
+  // BP = exp(1 - ref/cand) when cand is shorter.
+  private def bleuSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |uni AS (SELECT doc_id, word, cast(count(*) as bigint) AS c
+       |  FROM tokp GROUP BY doc_id, word),
+       |big AS (
+       |  SELECT a.doc_id, a.word AS w1, b.word AS w2,
+       |    cast(count(*) as bigint) AS c
+       |  FROM tokp a JOIN tokp b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id, a.word, b.word),
+       |len1 AS (SELECT doc_id, cast(sum(c) as bigint) AS n FROM uni
+       |  GROUP BY doc_id),
+       |len2 AS (SELECT doc_id, cast(sum(c) as bigint) AS n FROM big
+       |  GROUP BY doc_id),
+       |pk AS (
+       |  SELECT doc_id, substring(lower(text), 1, 40) AS k
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 40),
+       |pairs AS (
+       |  SELECT a.doc_id AS cand, b.doc_id AS ref
+       |  FROM pk a JOIN pk b ON b.k = a.k AND b.doc_id > a.doc_id),
+       |clip1 AS (
+       |  SELECT p.cand, p.ref, cast(sum(least(ca.c, cb.c)) as bigint) AS clip
+       |  FROM pairs p
+       |  JOIN uni ca ON ca.doc_id = p.cand
+       |  JOIN uni cb ON cb.doc_id = p.ref AND cb.word = ca.word
+       |  GROUP BY p.cand, p.ref),
+       |clip2 AS (
+       |  SELECT p.cand, p.ref, cast(sum(least(ca.c, cb.c)) as bigint) AS clip
+       |  FROM pairs p
+       |  JOIN big ca ON ca.doc_id = p.cand
+       |  JOIN big cb ON cb.doc_id = p.ref AND cb.w1 = ca.w1 AND cb.w2 = ca.w2
+       |  GROUP BY p.cand, p.ref)
+       |SELECT p.cand, p.ref,
+       |  round(cast(c1.clip as double) / l1c.n, 6) + 0.0 AS p1,
+       |  round(cast(coalesce(c2.clip, 0) as double) / l2c.n, 6) + 0.0 AS p2,
+       |  round(CASE WHEN l1c.n >= l1r.n THEN cast(1.0 as double)
+       |    ELSE exp(1 - cast(l1r.n as double) / l1c.n) END, 6) + 0.0 AS bp,
+       |  round(CASE WHEN coalesce(c2.clip, 0) > 0 THEN
+       |    (CASE WHEN l1c.n >= l1r.n THEN cast(1.0 as double)
+       |      ELSE exp(1 - cast(l1r.n as double) / l1c.n) END)
+       |    * sqrt((cast(c1.clip as double) / l1c.n)
+       |         * (cast(c2.clip as double) / l2c.n))
+       |    ELSE cast(0 as double) END, 6) + 0.0 AS bleu2
+       |FROM pairs p
+       |JOIN clip1 c1 ON c1.cand = p.cand AND c1.ref = p.ref
+       |LEFT JOIN clip2 c2 ON c2.cand = p.cand AND c2.ref = p.ref
+       |JOIN len1 l1c ON l1c.doc_id = p.cand
+       |JOIN len1 l1r ON l1r.doc_id = p.ref
+       |JOIN len2 l2c ON l2c.doc_id = p.cand
+       |ORDER BY p.cand, p.ref""".stripMargin
+
+  // q423 price-volume-mix decomposition of revenue change between the
+  // 1995-1997 and 1998-2001 order periods, per part then totaled:
+  // dR = sum (qB-qA) pA  (volume)  +  sum (pB-pA) qA  (price)
+  //    + sum (pB-pA)(qB-qA)  (mix) — the Laspeyres bridge, exact
+  // decimal folds end-to-end.
+  private def priceVolumeSql(yearNum: String => String): String =
+    s"""WITH li AS (
+       |  SELECT l.l_partkey AS p,
+       |    CASE WHEN ${yearNum("o.o_orderdate")} < 1998 THEN 'A' ELSE 'B' END
+       |      AS period,
+       |    cast(l.l_quantity as double) AS q,
+       |    cast(l.l_extendedprice as double) AS r
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |pp AS (
+       |  SELECT p, period,
+       |    cast(sum(cast(round(q, 2) as decimal(25,2))) as double) AS q,
+       |    cast(sum(cast(round(r, 2) as decimal(25,2))) as double) AS r
+       |  FROM li GROUP BY p, period),
+       |w AS (
+       |  SELECT coalesce(a.p, b.p) AS p,
+       |    coalesce(a.q, 0) AS qa, coalesce(b.q, 0) AS qb,
+       |    CASE WHEN coalesce(a.q, 0) > 0 THEN a.r / a.q ELSE 0 END AS pa,
+       |    CASE WHEN coalesce(b.q, 0) > 0 THEN b.r / b.q ELSE 0 END AS pb
+       |  FROM (SELECT * FROM pp WHERE period = 'A') a
+       |  FULL OUTER JOIN (SELECT * FROM pp WHERE period = 'B') b
+       |    ON b.p = a.p),
+       |parts AS (
+       |  SELECT
+       |    cast(sum(cast(round((qb - qa) * pa, 4) as decimal(28,4)))
+       |      as double) AS volume_effect,
+       |    cast(sum(cast(round((pb - pa) * qa, 4) as decimal(28,4)))
+       |      as double) AS price_effect,
+       |    cast(sum(cast(round((pb - pa) * (qb - qa), 4) as decimal(28,4)))
+       |      as double) AS mix_effect
+       |  FROM w WHERE qa > 0 AND qb > 0)
+       |SELECT round(volume_effect, 2) + 0.0 AS volume_effect,
+       |  round(price_effect, 2) + 0.0 AS price_effect,
+       |  round(mix_effect, 2) + 0.0 AS mix_effect,
+       |  round(volume_effect + price_effect + mix_effect, 2) + 0.0
+       |    AS total_change_matched_parts
+       |FROM parts""".stripMargin
+
+  // q424 distinct-n generation-diversity metrics per source: distinct
+  // unigram and bigram counts over total — the mode-collapse alarm for
+  // generated corpora. Bigrams from the positional tokenizer.
+  private def distinctNSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents),
+       |t AS (
+       |  SELECT s.source, tp.doc_id, tp.pos, tp.word
+       |  FROM tokp tp JOIN src s ON s.doc_id = tp.doc_id),
+       |uni AS (
+       |  SELECT source, cast(count(*) as bigint) AS total,
+       |    cast(count(DISTINCT word) as bigint) AS uniq
+       |  FROM t GROUP BY source),
+       |big AS (
+       |  SELECT a.source, cast(count(*) as bigint) AS total,
+       |    cast(count(DISTINCT concat(a.word, ' ', b.word)) as bigint) AS uniq
+       |  FROM t a JOIN t b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.source = a.source
+       |  GROUP BY a.source)
+       |SELECT uni.source,
+       |  round(cast(uni.uniq as double) / uni.total, 6) + 0.0 AS distinct_1,
+       |  round(cast(big.uniq as double) / big.total, 6) + 0.0 AS distinct_2
+       |FROM uni JOIN big ON big.source = uni.source
+       |ORDER BY uni.source""".stripMargin
+
+  // q425 self-overlap (self-BLEU-lite) per source: the fraction of each
+  // document's bigram OCCURRENCES that also occur in OTHER documents of
+  // the same source (multiset: other-count = source-count - own-count) —
+  // high overlap flags template-generated near-clones. One bigram
+  // reduction, one source rollup; never a doc x doc join.
+  private def selfOverlapSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents),
+       |bg AS (
+       |  SELECT s.source, a.doc_id, concat(a.word, ' ', b.word) AS g,
+       |    cast(count(*) as bigint) AS c
+       |  FROM tokp a JOIN tokp b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN src s ON s.doc_id = a.doc_id
+       |  GROUP BY s.source, a.doc_id, concat(a.word, ' ', b.word)),
+       |sg AS (
+       |  SELECT source, g, cast(sum(c) as bigint) AS tc FROM bg
+       |  GROUP BY source, g),
+       |ov AS (
+       |  SELECT bg.source, bg.doc_id,
+       |    cast(sum(CASE WHEN sg.tc > bg.c THEN bg.c ELSE 0 END) as bigint)
+       |      AS shared,
+       |    cast(sum(bg.c) as bigint) AS total
+       |  FROM bg JOIN sg ON sg.source = bg.source AND sg.g = bg.g
+       |  GROUP BY bg.source, bg.doc_id)
+       |SELECT source,
+       |  cast(count(*) as bigint) AS n_docs,
+       |  round(cast(sum(shared) as double) / sum(total), 6) + 0.0
+       |    AS self_overlap
+       |FROM ov GROUP BY source ORDER BY source""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -4209,6 +4363,22 @@ object SparkEntry {
     // ROUGE-1 between prefix-duplication pairs.
     "q421_rouge" -> sqlQuery(Seq("documents"),
       rougeSql(graft.pipeline.TextClassify.sparkTok)),
+
+    // BLEU-2 with brevity penalty between prefix-duplication pairs.
+    "q422_bleu" -> sqlQuery(Seq("documents"),
+      bleuSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // PRICE-VOLUME-MIX decomposition between order periods.
+    "q423_price_volume" -> sqlQuery(Seq("lineitem", "orders"),
+      priceVolumeSql(e => s"year(cast($e as timestamp))")),
+
+    // DISTINCT-N generation-diversity metrics per source.
+    "q424_distinct_n" -> sqlQuery(Seq("documents"),
+      distinctNSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // SELF-OVERLAP (self-BLEU-lite) per source.
+    "q425_self_overlap" -> sqlQuery(Seq("documents"),
+      selfOverlapSql(graft.pipeline.TextClassify.sparkTokPos)),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -11736,6 +11906,15 @@ object SparkEntry {
 
     // duck tokenizer spelling, same ROUGE clipping
     "q421_rouge" -> rougeSql(graft.pipeline.TextClassify.duckTok),
+
+    // duck positional tokenizer, same BLEU / diversity cores
+    "q422_bleu" -> bleuSql(graft.pipeline.TextClassify.duckTokPos),
+    "q424_distinct_n" -> distinctNSql(graft.pipeline.TextClassify.duckTokPos),
+    "q425_self_overlap" ->
+      selfOverlapSql(graft.pipeline.TextClassify.duckTokPos),
+
+    // duck year spelling, same Laspeyres bridge
+    "q423_price_volume" -> priceVolumeSql(e => s"year($e)"),
 
     // duck integer-division spelling, same DW residual walk
     "q416_durbin_watson" ->
