@@ -3226,6 +3226,200 @@ object SparkEntry {
        |    AS self_overlap
        |FROM ov GROUP BY source ORDER BY source""".stripMargin
 
+  // q426 permutation entropy (order 3) of the daily series: ordinal
+  // pattern of (y_t, y_t+1, y_t+2) via two lead() windows (rank ties
+  // broken by position, the standard convention), Shannon entropy of the
+  // 6-pattern distribution normalized by ln 6 — the model-free
+  // complexity measure for the q293/q328 series.
+  private def permEntropySql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT y AS a,
+       |    lead(y, 1) OVER (ORDER BY d) AS b,
+       |    lead(y, 2) OVER (ORDER BY d) AS c
+       |  FROM daily),
+       |pat AS (
+       |  -- ordinal pattern = the per-position ranks (stable ties: an
+       |  -- earlier position outranks an equal later one)
+       |  SELECT concat(
+       |    cast((CASE WHEN b < a THEN 1 ELSE 0 END)
+       |       + (CASE WHEN c < a THEN 1 ELSE 0 END) as string),
+       |    cast((CASE WHEN a <= b THEN 1 ELSE 0 END)
+       |       + (CASE WHEN c < b THEN 1 ELSE 0 END) as string),
+       |    cast((CASE WHEN a <= c THEN 1 ELSE 0 END)
+       |       + (CASE WHEN b <= c THEN 1 ELSE 0 END) as string)) AS p
+       |  FROM w WHERE b IS NOT NULL AND c IS NOT NULL),
+       |c AS (SELECT p, cast(count(*) as bigint) AS n FROM pat GROUP BY p),
+       |t AS (SELECT cast(sum(n) as bigint) AS tot FROM c)
+       |SELECT cast(count(*) as bigint) AS patterns_seen, max(t.tot) AS windows,
+       |  round(cast(sum(cast(round(
+       |    -(cast(c.n as double) / t.tot) * ln(cast(c.n as double) / t.tot), 9)
+       |    as decimal(20,9))) as double) / ln(cast(6.0 as double)), 6) + 0.0
+       |    AS perm_entropy
+       |FROM c CROSS JOIN t""".stripMargin
+
+  // q427 Hurst exponent by rescaled-range over block sizes {5, 10, 15}:
+  // per block the range of cumulative mean-deviations over the block
+  // std, averaged per size, H = the log-log OLS slope across the three
+  // sizes — the long-memory diagnostic.
+  private def hurstSql(dayNum: String => String): String = {
+    def blocks(w: Int): String =
+      s"""SELECT $w AS w, cast(floor(i / $w.0) as bigint) AS blk, i, y
+         |  FROM idx WHERE i < cast(floor(n / $w.0) as bigint) * $w""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |idx AS (
+       |  SELECT y, row_number() OVER (ORDER BY d) - 1 AS i,
+       |    count(*) OVER () AS n
+       |  FROM daily),
+       |bl AS (
+       |  ${blocks(5)}
+       |  UNION ALL
+       |  ${blocks(10)}
+       |  UNION ALL
+       |  ${blocks(15)}),
+       |bm AS (
+       |  SELECT w, blk, cast(count(*) as bigint) AS m,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS s1,
+       |    cast(sum(cast(round(y * y, 4) as decimal(25,4))) as double) AS s2
+       |  FROM bl GROUP BY w, blk),
+       |dev AS (
+       |  SELECT bl.w, bl.blk, bl.i,
+       |    sum(cast(round(bl.y - bm.s1 / bm.m, 6) as decimal(25,6)))
+       |      OVER (PARTITION BY bl.w, bl.blk ORDER BY bl.i) AS cum
+       |  FROM bl JOIN bm ON bm.w = bl.w AND bm.blk = bl.blk),
+       |rs AS (
+       |  SELECT d.w, d.blk,
+       |    (max(cast(d.cum as double)) - min(cast(d.cum as double)))
+       |      / sqrt((bm.s2 - bm.s1 * bm.s1 / bm.m) / bm.m) AS rs
+       |  FROM dev d JOIN bm ON bm.w = d.w AND bm.blk = d.blk
+       |  WHERE (bm.s2 - bm.s1 * bm.s1 / bm.m) > 0
+       |  GROUP BY d.w, d.blk, bm.s1, bm.s2, bm.m),
+       |avg_rs AS (
+       |  SELECT w, round(ln(cast(w as double)), 9) AS x,
+       |    round(ln(cast(sum(cast(round(rs, 9) as decimal(20,9))) as double)
+       |      / count(*)), 9) AS y
+       |  FROM rs GROUP BY w),
+       |st AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(x, 9) as decimal(20,9))) as double) AS sx,
+       |    cast(sum(cast(round(y, 9) as decimal(20,9))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 9) as decimal(20,9))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 9) as decimal(20,9))) as double) AS sxx
+       |  FROM avg_rs)
+       |SELECT n AS n_sizes,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS hurst
+       |FROM st""".stripMargin
+  }
+
+  // q428 periodogram over candidate periods 2-10 days: spectral power
+  // P(p) = C^2 + S^2 with C = sum y cos(2 pi d / p) (mean-removed,
+  // round-6 pinned trig folds); the argmax should recover the weekly
+  // cycle q293 decomposes.
+  private def periodogramSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |m AS (SELECT cast(sum(cast(round(y, 4) as decimal(25,4))) as double)
+       |    / count(*) AS mu FROM daily),
+       |ps AS (SELECT * FROM (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
+       |  AS t(p)),
+       |tr AS (
+       |  SELECT ps.p,
+       |    cast(sum(cast(round((d2.y - m.mu)
+       |      * cos(2 * cast(3.14159265358979 as double) * d2.d / ps.p), 6)
+       |      as decimal(25,6))) as double) AS c,
+       |    cast(sum(cast(round((d2.y - m.mu)
+       |      * sin(2 * cast(3.14159265358979 as double) * d2.d / ps.p), 6)
+       |      as decimal(25,6))) as double) AS s
+       |  FROM ps CROSS JOIN daily d2 CROSS JOIN m
+       |  GROUP BY ps.p),
+       |sel AS (
+       |  SELECT p, round(c * c + s * s, 2) AS pw,
+       |    row_number() OVER (ORDER BY round(c * c + s * s, 2) DESC, p) AS rk
+       |  FROM tr),
+       |dom AS (SELECT p AS dp FROM sel WHERE rk = 1)
+       |SELECT cast(sel.p as int) AS period, sel.pw + 0.0 AS power,
+       |  cast(dom.dp as int) AS dominant_period
+       |FROM sel CROSS JOIN dom ORDER BY period""".stripMargin
+
+  // q429 TOST equivalence test (margin delta = 5) on the click/view
+  // means: both one-sided Welch t statistics must clear +-1.645 — the
+  // "are they the SAME" complement of q339's difference test.
+  private val tostSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |s AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) AS s1,
+      |    cast(sum(cast(round(v * v, 9) as decimal(30,9))) as double) AS s2
+      |  FROM base GROUP BY g),
+      |m AS (
+      |  SELECT g, n, s1 / n AS mu, (s2 - s1 * s1 / n) / (n - 1.0) AS vr
+      |  FROM s),
+      |p AS (
+      |  SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+      |    max(CASE WHEN g = 0 THEN n END) AS n2,
+      |    max(CASE WHEN g = 1 THEN mu END) AS mu1,
+      |    max(CASE WHEN g = 0 THEN mu END) AS mu2,
+      |    max(CASE WHEN g = 1 THEN vr END) AS v1,
+      |    max(CASE WHEN g = 0 THEN vr END) AS v2
+      |  FROM m),
+      |t AS (
+      |  SELECT n1, n2,
+      |    (mu1 - mu2 + cast(5.0 as double)) / sqrt(v1 / n1 + v2 / n2) AS t_low,
+      |    (mu1 - mu2 - cast(5.0 as double)) / sqrt(v1 / n1 + v2 / n2) AS t_high
+      |  FROM p)
+      |SELECT n1, n2,
+      |  round(t_low, 6) + 0.0 AS t_lower,
+      |  round(t_high, 6) + 0.0 AS t_upper,
+      |  CASE WHEN t_low > cast(1.645 as double)
+      |    AND t_high < cast(-1.645 as double) THEN 1 ELSE 0 END AS equivalent
+      |FROM t""".stripMargin
+
+  // q430 recommender aggregate diversity: catalog coverage of the q349
+  // top-3 neighbor lists plus the Gini concentration of how often items
+  // are recommended — popularity-bias audit for the item-item CF.
+  private val recCoverageSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cf AS (SELECT p, cast(count(*) as bigint) AS c FROM b GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b2.p AS pb, cast(count(*) as bigint) AS cab
+      |  FROM b a JOIN b b2 ON b2.o = a.o AND b2.p <> a.p
+      |  GROUP BY a.p, b2.p),
+      |sim AS (
+      |  SELECT pa, pb, cab,
+      |    round(cast(cab as double) / sqrt(cast(ca.c as double) * cb.c), 6)
+      |      + 0.0 AS cosine
+      |  FROM pairs JOIN cf ca ON ca.p = pairs.pa JOIN cf cb ON cb.p = pairs.pb),
+      |rk AS (
+      |  SELECT pa, pb,
+      |    row_number() OVER (PARTITION BY pa
+      |                       ORDER BY cosine DESC, cab DESC, pb) AS rnk
+      |  FROM sim),
+      |recs AS (SELECT pb FROM rk WHERE rnk <= 3),
+      |rc AS (SELECT pb, cast(count(*) as bigint) AS n FROM recs GROUP BY pb),
+      |cat AS (SELECT cast(count(*) as bigint) AS n_items FROM cf),
+      |gini AS (
+      |  SELECT cast(count(*) as bigint) AS k,
+      |    cast(sum(cast(round(cast(i as double) * n, 2) as decimal(25,2)))
+      |      as double) AS six,
+      |    cast(sum(n) as bigint) AS sn
+      |  FROM (SELECT n, row_number() OVER (ORDER BY n, pb) AS i FROM rc) z)
+      |SELECT cat.n_items,
+      |  gini.k AS items_recommended,
+      |  round(cast(gini.k as double) / cat.n_items, 6) + 0.0 AS coverage,
+      |  round(cast(2.0 as double) * gini.six
+      |      / (gini.k * cast(gini.sn as double))
+      |    - (gini.k + cast(1.0 as double)) / gini.k, 6) + 0.0 AS rec_gini
+      |FROM cat CROSS JOIN gini""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -4379,6 +4573,24 @@ object SparkEntry {
     // SELF-OVERLAP (self-BLEU-lite) per source.
     "q425_self_overlap" -> sqlQuery(Seq("documents"),
       selfOverlapSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // PERMUTATION ENTROPY (order 3) of the daily series.
+    "q426_perm_entropy" -> sqlQuery(Seq("events"),
+      permEntropySql(e => s"unix_micros($e) div 86400000000")),
+
+    // HURST exponent by rescaled range over block sizes 5/10/15.
+    "q427_hurst" -> sqlQuery(Seq("events"),
+      hurstSql(e => s"unix_micros($e) div 86400000000")),
+
+    // PERIODOGRAM over periods 2-10 (should recover the weekly cycle).
+    "q428_periodogram" -> sqlQuery(Seq("events"),
+      periodogramSql(e => s"unix_micros($e) div 86400000000")),
+
+    // TOST equivalence test (margin 5) on click vs view means.
+    "q429_tost" -> sqlQuery(Seq("events"), tostSql),
+
+    // RECOMMENDER aggregate diversity (coverage + rec-count Gini).
+    "q430_rec_coverage" -> sqlQuery(Seq("lineitem"), recCoverageSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -11915,6 +12127,17 @@ object SparkEntry {
 
     // duck year spelling, same Laspeyres bridge
     "q423_price_volume" -> priceVolumeSql(e => s"year($e)"),
+
+    // identical portable texts
+    "q429_tost" -> tostSql,
+    "q430_rec_coverage" -> recCoverageSql,
+
+    // duck integer-division spellings, same series cores
+    "q426_perm_entropy" ->
+      permEntropySql(e => s"epoch_us($e) // 86400000000"),
+    "q427_hurst" -> hurstSql(e => s"epoch_us($e) // 86400000000"),
+    "q428_periodogram" ->
+      periodogramSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck integer-division spelling, same DW residual walk
     "q416_durbin_watson" ->
