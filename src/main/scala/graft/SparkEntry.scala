@@ -3420,6 +3420,218 @@ object SparkEntry {
       |    - (gini.k + cast(1.0 as double)) / gini.k, 6) + 0.0 AS rec_gini
       |FROM cat CROSS JOIN gini""".stripMargin
 
+  // q431 Yule-Walker AR(2) fit on the daily count series: biased
+  // autocovariances c0/c1/c2 (decimal-pinned folds), r_k = c_k/c0,
+  // phi via the 2x2 Yule-Walker closed form, then the in-sample
+  // one-step-ahead RMSE at the pinned coefficients.
+  private def yuleWalkerSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(y as bigint)) as double) / count(*) AS mu
+       |  FROM daily),
+       |x AS (
+       |  SELECT daily.d, daily.y, daily.y - m.mu AS x,
+       |    lag(daily.y - m.mu, 1) OVER (ORDER BY daily.d) AS x1,
+       |    lag(daily.y - m.mu, 2) OVER (ORDER BY daily.d) AS x2
+       |  FROM daily CROSS JOIN m),
+       |cv AS (
+       |  SELECT
+       |    cast(sum(cast(round(x * x, 6) as decimal(25,6))) as double) AS c0,
+       |    cast(sum(cast(round(CASE WHEN x1 IS NOT NULL THEN x * x1 ELSE 0.0E0 END, 6)
+       |      as decimal(25,6))) as double) AS c1,
+       |    cast(sum(cast(round(CASE WHEN x2 IS NOT NULL THEN x * x2 ELSE 0.0E0 END, 6)
+       |      as decimal(25,6))) as double) AS c2
+       |  FROM x),
+       |co AS (
+       |  SELECT round(c1 / c0, 9) AS r1, round(c2 / c0, 9) AS r2,
+       |    round((c1 / c0) * (1 - round(c2 / c0, 9))
+       |      / (1 - round(c1 / c0, 9) * round(c1 / c0, 9)), 9) AS phi1,
+       |    round((round(c2 / c0, 9) - round(c1 / c0, 9) * round(c1 / c0, 9))
+       |      / (1 - round(c1 / c0, 9) * round(c1 / c0, 9)), 9) AS phi2
+       |  FROM cv),
+       |er AS (
+       |  SELECT x.y, m.mu + co.phi1 * x.x1 + co.phi2 * x.x2 AS pred
+       |  FROM x CROSS JOIN co CROSS JOIN m
+       |  WHERE x.x1 IS NOT NULL AND x.x2 IS NOT NULL),
+       |rm AS (
+       |  SELECT cast(count(*) as bigint) AS m_pred,
+       |    cast(sum(cast(round((y - pred) * (y - pred), 6) as decimal(25,6)))
+       |      as double) AS sse
+       |  FROM er)
+       |SELECT m.n AS n_days, co.r1 + 0.0 AS r1, co.r2 + 0.0 AS r2,
+       |  co.phi1 + 0.0 AS phi1, co.phi2 + 0.0 AS phi2,
+       |  round(sqrt(rm.sse / rm.m_pred), 6) + 0.0 AS rmse
+       |FROM co CROSS JOIN rm CROSS JOIN m""".stripMargin
+
+  // q432 maximum drawdown of the cumulative daily purchase revenue:
+  // decimal-exact running sum + running max, trough = argmax(runmax-cum)
+  // (earliest on ties), peak = earliest day attaining that running max.
+  private def drawdownSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d,
+       |    sum(cast(round(value, 4) as decimal(25,4))) AS rev
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY 1),
+       |c AS (SELECT d, sum(rev) OVER (ORDER BY d) AS cum FROM daily),
+       |dd AS (
+       |  SELECT d, cum, max(cum) OVER (ORDER BY d) AS runmax
+       |  FROM c),
+       |t AS (
+       |  SELECT d AS trough_day, runmax, runmax - cum AS maxdd,
+       |    row_number() OVER (ORDER BY runmax - cum DESC, d) AS rk
+       |  FROM dd),
+       |tr AS (SELECT trough_day, runmax, maxdd FROM t WHERE rk = 1),
+       |pk AS (
+       |  SELECT min(dd.d) AS peak_day
+       |  FROM dd CROSS JOIN tr
+       |  WHERE dd.cum = tr.runmax AND dd.d <= tr.trough_day)
+       |SELECT cast(pk.peak_day as bigint) AS peak_day,
+       |  cast(tr.trough_day as bigint) AS trough_day,
+       |  cast(tr.trough_day - pk.peak_day as bigint) AS dd_days,
+       |  round(cast(tr.maxdd as double), 4) + 0.0 AS max_drawdown
+       |FROM tr CROSS JOIN pk""".stripMargin
+
+  // q433 Nelson-Aalen cumulative hazard over the q287 signup->purchase
+  // durations (hour granularity, censoring at last activity): cum sum of
+  // d/n_risk plus the d/n^2 variance estimator; na_survival = exp(-H).
+  private def nelsonAalenSql(micros: String => String, idiv: String): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t1
+       |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       |mx AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+       |dur AS (
+       |  SELECT s.user_id,
+       |    CASE WHEN p.t1 IS NOT NULL
+       |      THEN (${micros("p.t1")} - ${micros("s.t0")}) $idiv 3600000000
+       |      ELSE (${micros("mx.tmax")} - ${micros("s.t0")}) $idiv 3600000000 END AS hrs,
+       |    (p.t1 IS NOT NULL) AS observed
+       |  FROM s JOIN mx ON s.user_id = mx.user_id
+       |  LEFT JOIN p ON s.user_id = p.user_id),
+       |ev AS (
+       |  SELECT hrs, cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+       |    cast(count(*) as bigint) AS leaving
+       |  FROM dur GROUP BY hrs),
+       |rk AS (
+       |  SELECT hrs, d, sum(leaving) OVER (ORDER BY hrs DESC) AS n_risk
+       |  FROM ev),
+       |na AS (
+       |  SELECT hrs, d, n_risk,
+       |    sum(cast(round(cast(d as double) / n_risk, 9) as decimal(20,9)))
+       |      OVER (ORDER BY hrs) AS ch,
+       |    sum(cast(round(cast(d as double) / (cast(n_risk as double) * n_risk), 9)
+       |      as decimal(20,9))) OVER (ORDER BY hrs) AS vr
+       |  FROM rk)
+       |SELECT cast(hrs as bigint) AS hrs, d, cast(n_risk as bigint) AS n_risk,
+       |  round(cast(ch as double), 6) + 0.0 AS cum_hazard,
+       |  round(exp(-cast(ch as double)), 6) + 0.0 AS na_survival,
+       |  round(cast(vr as double), 9) + 0.0 AS var_hazard
+       |FROM na WHERE d > 0 ORDER BY hrs""".stripMargin
+
+  // q434 sequential max-|z| outlier peeling (the generalized-ESD shape
+  // with a fixed z threshold instead of the t-quantile lambda): each
+  // round recomputes mean/sd over the remaining days from exact integer
+  // sums, removes the argmax-|z| day, and reports its R statistic.
+  private def esdPeelSql(dayNum: String => String, rounds: Int = 3): String = {
+    val head =
+      s"WITH rem0 AS (\n  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y\n" +
+        "  FROM events GROUP BY 1)"
+    val steps = (1 to rounds).map { i =>
+      val prev = s"rem${i - 1}"
+      s""",
+st$i AS (
+  SELECT cast(count(*) as bigint) AS n,
+    cast(sum(y) as double) AS s1, cast(sum(y * y) as double) AS s2
+  FROM $prev),
+z$i AS (
+  SELECT r.d, r.y,
+    abs(r.y - s.s1 / s.n) / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS r_stat
+  FROM $prev r CROSS JOIN st$i s),
+pick$i AS (
+  SELECT $i AS peel_round, d, y, round(r_stat, 6) AS r_stat
+  FROM z$i ORDER BY r_stat DESC, d LIMIT 1),
+rem$i AS (
+  SELECT r.d, r.y FROM $prev r
+  WHERE r.d NOT IN (SELECT d FROM pick$i))"""
+    }.mkString
+    val union = (1 to rounds).map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")
+    head + steps +
+      s"""
+SELECT cast(peel_round as int) AS peel_round, cast(d as bigint) AS day_id,
+  y AS daily_count, r_stat + 0.0 AS r_stat,
+  CASE WHEN r_stat > 3.0 THEN 1 ELSE 0 END AS flagged
+FROM ($union) ORDER BY peel_round"""
+  }
+
+  // q435 DTW (Spark side): per-event-type day-of-week activity-share
+  // profiles compared to the 'click' reference via the native
+  // dtw_distance kernel — the distributed shape (one codegen'd DP per
+  // row) that scales to a per-entity profile comparison.
+  private def dtwSparkSql(dayNum: String => String): String =
+    s"""WITH c AS (
+       |  SELECT event_type, cast((${dayNum("ts")}) % 7 as int) AS dow,
+       |    cast(count(*) as bigint) AS c
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type,
+       |    map_from_entries(collect_list(struct(dow, c))) AS m,
+       |    cast(sum(c) as double) AS tot
+       |  FROM c GROUP BY event_type),
+       |prof AS (
+       |  SELECT event_type,
+       |    transform(sequence(0, 6),
+       |      i -> round(cast(coalesce(m[i], 0) as double) / tot, 6)) AS p
+       |  FROM t),
+       |r AS (SELECT p AS pr FROM prof WHERE event_type = 'click')
+       |SELECT prof.event_type, round(dtw_distance(prof.p, r.pr), 6) + 0.0 AS dtw
+       |FROM prof CROSS JOIN r ORDER BY event_type""".stripMargin
+
+  // q435 DTW oracle: the 7x7 DP fully unrolled as lateral-alias columns
+  // (row-major, same accumulation order as VectorKernels.dtw — doubles
+  // stay bit-equal).
+  private def dtwOracleSql(dayNum: String => String): String = {
+    val pivCols = (0 until 7).map(j =>
+      s"coalesce(max(CASE WHEN dow = $j THEN s END), 0.0) AS a$j").mkString(",\n    ")
+    val r0cols = (0 until 7).map { j =>
+      if (j == 0) "abs(a0 - b0) AS d0_0"
+      else s"d0_${j - 1} + abs(a0 - b$j) AS d0_$j"
+    }.mkString(",\n    ")
+    val rows = (1 until 7).map { i =>
+      val cols = (0 until 7).map { j =>
+        if (j == 0) s"d${i - 1}_0 + abs(a$i - b0) AS d${i}_0"
+        else s"abs(a$i - b$j) + least(d${i - 1}_$j, d${i - 1}_${j - 1}, d${i}_${j - 1}) AS d${i}_$j"
+      }.mkString(",\n    ")
+      s"r$i AS (SELECT *,\n    $cols\n  FROM r${i - 1})"
+    }.mkString(",\n")
+    s"""WITH c AS (
+  SELECT event_type, cast((${dayNum("ts")}) % 7 as int) AS dow,
+    cast(count(*) as bigint) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, cast(sum(c) as double) AS tot FROM c GROUP BY 1),
+sh AS (
+  SELECT c.event_type, c.dow, round(cast(c.c as double) / t.tot, 6) AS s
+  FROM c JOIN tot t ON t.event_type = c.event_type),
+piv AS (
+  SELECT event_type,
+    $pivCols
+  FROM sh GROUP BY event_type),
+ref AS (SELECT ${(0 until 7).map(j => s"a$j AS b$j").mkString(", ")}
+  FROM piv WHERE event_type = 'click'),
+base AS (SELECT p.*, ${(0 until 7).map(j => s"r.b$j").mkString(", ")}
+  FROM piv p CROSS JOIN ref r),
+r0 AS (SELECT *,
+    $r0cols
+  FROM base),
+$rows
+SELECT event_type, round(d6_6, 6) + 0.0 AS dtw FROM r6 ORDER BY event_type"""
+  }
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -4591,6 +4803,26 @@ object SparkEntry {
 
     // RECOMMENDER aggregate diversity (coverage + rec-count Gini).
     "q430_rec_coverage" -> sqlQuery(Seq("lineitem"), recCoverageSql),
+
+    // YULE-WALKER AR(2) fit + in-sample one-step RMSE.
+    "q431_yule_walker" -> sqlQuery(Seq("events"),
+      yuleWalkerSql(e => s"unix_micros($e) div 86400000000")),
+
+    // MAXIMUM DRAWDOWN of cumulative daily purchase revenue.
+    "q432_max_drawdown" -> sqlQuery(Seq("events"),
+      drawdownSql(e => s"unix_micros($e) div 86400000000")),
+
+    // NELSON-AALEN cumulative hazard (q287 Kaplan-Meier companion).
+    "q433_nelson_aalen" -> sqlQuery(Seq("events"),
+      nelsonAalenSql(e => s"unix_micros($e)", "div")),
+
+    // SEQUENTIAL max-|z| (ESD-style) outlier peeling, 3 rounds.
+    "q434_esd_peel" -> sqlQuery(Seq("events"),
+      esdPeelSql(e => s"unix_micros($e) div 86400000000")),
+
+    // DTW distance between day-of-week profiles (native codegen kernel).
+    "q435_dtw_profiles" -> sqlQuery(Seq("events"),
+      dtwSparkSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -12133,6 +12365,15 @@ object SparkEntry {
     "q430_rec_coverage" -> recCoverageSql,
 
     // duck integer-division spellings, same series cores
+    "q431_yule_walker" ->
+      yuleWalkerSql(e => s"epoch_us($e) // 86400000000"),
+    "q432_max_drawdown" ->
+      drawdownSql(e => s"epoch_us($e) // 86400000000"),
+    "q433_nelson_aalen" -> nelsonAalenSql(e => s"epoch_us($e)", "//"),
+    "q434_esd_peel" -> esdPeelSql(e => s"epoch_us($e) // 86400000000"),
+    // duck twin is the fully-unrolled 7x7 lateral-alias DP
+    "q435_dtw_profiles" ->
+      dtwOracleSql(e => s"epoch_us($e) // 86400000000"),
     "q426_perm_entropy" ->
       permEntropySql(e => s"epoch_us($e) // 86400000000"),
     "q427_hurst" -> hurstSql(e => s"epoch_us($e) // 86400000000"),

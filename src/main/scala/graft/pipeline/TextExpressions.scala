@@ -787,6 +787,7 @@ object TextRegistry {
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),
       StringType))
     reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
+    reg("dtw_distance", exprs => DtwDistance(exprs.head, exprs(1)))
     reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
     reg("hll_distinct", HllDistinctAgg.builder)
     reg("kmv_sketch", KmvSketchAgg.builder)

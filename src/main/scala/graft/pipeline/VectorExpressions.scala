@@ -126,6 +126,44 @@ object VectorKernels {
       java.util.Arrays.copyOf(bestC, filled).map(Int.box))
   }
 
+  /** Dynamic-time-warping distance (classic O(n·m) DP, |a_i - b_j| local
+    * cost, unit steps) over two fixed-length numeric series packed as
+    * arrays. Rolling two-row buffer — no n×m allocation — so the
+    * expression is safe per-row over millions of rows (profile-vs-reference
+    * comparisons at corpus scale). Row-major accumulation order is the
+    * canonical one (row 0 left-to-right, then each row i from j=0), which
+    * the unrolled SQL oracle replays term-for-term — doubles stay
+    * bit-equal across engines. An empty input on either side has no
+    * alignment; we define the distance as 0.0 (documented degenerate
+    * case — callers gate on non-empty profiles). */
+  def dtw(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0.0
+    def av(i: Int): Double = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    def bv(j: Int): Double = if (bFloat) b.getFloat(j).toDouble else b.getDouble(j)
+    var prev = new Array[Double](m)
+    var cur = new Array[Double](m)
+    // row 0: cumulative cost along b
+    prev(0) = math.abs(av(0) - bv(0))
+    var j = 1
+    while (j < m) { prev(j) = prev(j - 1) + math.abs(av(0) - bv(j)); j += 1 }
+    var i = 1
+    while (i < n) {
+      val ai = av(i)
+      cur(0) = prev(0) + math.abs(ai - bv(0))
+      j = 1
+      while (j < m) {
+        val c = math.abs(ai - bv(j))
+        val best = math.min(math.min(prev(j), prev(j - 1)), cur(j - 1))
+        cur(j) = c + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m - 1)
+  }
+
   def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -157,6 +195,29 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.pipeline.VectorKernels.cosine($a, $b, $aF, $bF);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(l, r)
+}
+
+/** dtw_distance(a, b) -> double: dynamic-time-warping alignment cost
+  * between two numeric series (arrays), |x-y| local cost, unit steps.
+  * Codegen'd via the rolling-buffer kernel — one call per row keeps DTW
+  * usable as a distributed per-row comparator (every entity's profile vs
+  * a broadcast reference series) instead of a driver loop. */
+case class DtwDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dtw_distance"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorKernels.checkVec(prettyName, left.dataType)
+    if (l.isFailure) l else VectorKernels.checkVec(prettyName, right.dataType)
+  }
+  private def aF = VectorKernels.isFloatArray(left.dataType)
+  private def bF = VectorKernels.isFloatArray(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dtw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.VectorKernels.dtw($a, $b, $aF, $bF);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DtwDistance =
     copy(l, r)
 }
 

@@ -264,6 +264,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == 0.0)
   }
 
+  test("dtw_distance matches a full-matrix reference, is symmetric, zero on identity") {
+    def refDtw(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length; val m = b.length
+      val dp = Array.fill(n, m)(0.0)
+      for (i <- 0 until n; j <- 0 until m) {
+        val c = math.abs(a(i) - b(j))
+        dp(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0.0
+          case (0, _) => dp(0)(j - 1)
+          case (_, 0) => dp(i - 1)(0)
+          case _      => math.min(math.min(dp(i - 1)(j), dp(i - 1)(j - 1)), dp(i)(j - 1))
+        })
+      }
+      dp(n - 1)(m - 1)
+    }
+    val a = Array(0.1, 0.5, 0.9, 0.4, 0.2)
+    val b = Array(0.2, 0.2, 0.8, 0.9, 0.1, 0.3)
+    TextRegistry.register(spark)
+    val rows = Seq((1L, a, b), (2L, b, a), (3L, a, a),
+      (4L, Array.empty[Double], b)).toDF("id", "a", "b")
+    val out = rows.selectExpr("id", "dtw_distance(a, b) AS d").as[(Long, Double)].collect().toMap
+    assert(out(1L) == refDtw(a, b))       // rolling buffer == full matrix, bit-equal
+    assert(out(2L) == out(1L))            // |.| cost is symmetric
+    assert(out(3L) == 0.0)                // perfect alignment
+    assert(out(4L) == 0.0)                // documented empty-input degenerate case
+    // warping beats lockstep on a shifted series: DTW(a, shift(a)) < L1(a, shift(a))
+    val shifted = Array(0.1, 0.1, 0.5, 0.9, 0.4)
+    val l1 = a.zip(shifted).map { case (x, y) => math.abs(x - y) }.sum
+    assert(refDtw(a, shifted) < l1)
+  }
+
   test("ivf: train + probe-all equals brute force; fewer probes stays subset-consistent") {
     val vecs = (0 until 60).map { i =>
       val base = i % 3 match {
