@@ -3632,6 +3632,191 @@ $rows
 SELECT event_type, round(d6_6, 6) + 0.0 AS dtw FROM r6 ORDER BY event_type"""
   }
 
+  // q436 frequent 3-itemsets, faithful Apriori: L1 -> L2 -> candidate
+  // triples by joining L2 pairs on a shared prefix with the third-pair
+  // prune (every 2-subset frequent) -> support count by basket join.
+  // Same minsup across levels (the textbook algorithm); the candidate
+  // join is the distributed shape (no basket self-join at the 3-level).
+  private val aprioriTriplesSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS i FROM lineitem),
+      |f1 AS (SELECT i FROM b GROUP BY i HAVING count(*) >= 15),
+      |p2 AS (
+      |  SELECT a.i AS i1, b2.i AS i2, cast(count(*) as bigint) AS s
+      |  FROM b a JOIN b b2 ON b2.o = a.o AND b2.i > a.i
+      |  JOIN f1 fa ON fa.i = a.i JOIN f1 fb ON fb.i = b2.i
+      |  GROUP BY a.i, b2.i HAVING count(*) >= 15),
+      |cand AS (
+      |  SELECT x.i1, x.i2, y.i2 AS i3
+      |  FROM p2 x JOIN p2 y ON y.i1 = x.i1 AND y.i2 > x.i2
+      |  JOIN p2 z ON z.i1 = x.i2 AND z.i2 = y.i2),
+      |t3 AS (
+      |  SELECT c.i1, c.i2, c.i3, cast(count(*) as bigint) AS s
+      |  FROM cand c
+      |  JOIN b a ON a.i = c.i1
+      |  JOIN b x ON x.o = a.o AND x.i = c.i2
+      |  JOIN b y ON y.o = a.o AND y.i = c.i3
+      |  GROUP BY c.i1, c.i2, c.i3 HAVING count(*) >= 15)
+      |SELECT t3.i1, t3.i2, t3.i3, t3.s AS support,
+      |  round(cast(t3.s as double) / p.s, 6) + 0.0 AS conf_12_to_3
+      |FROM t3 JOIN p2 p ON p.i1 = t3.i1 AND p.i2 = t3.i2
+      |ORDER BY t3.i1, t3.i2, t3.i3""".stripMargin
+
+  // q437 Shapley-value channel attribution over (user, day) journeys:
+  // coalition value v(S) = purchase rate of journeys whose exact touch
+  // set is S; exact 3-player Shapley via the closed-form subset weights
+  // (1/3, 1/6, 1/6, 1/3). Missing coalitions contribute v = 0.
+  private def shapleySql(dayNum: String => String): String = {
+    val vCells = for (tv <- 0 to 1; tc <- 0 to 1; tg <- 0 to 1) yield
+      s"coalesce(max(CASE WHEN tv=$tv AND tc=$tc AND tg=$tg THEN v END), 0.0) AS v$tv$tc$tg"
+    s"""WITH u AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d,
+       |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS tv,
+       |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS tc,
+       |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS tg,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id, ${dayNum("ts")}),
+       |r AS (
+       |  SELECT tv, tc, tg, round(cast(sum(conv) as double) / count(*), 9) AS v
+       |  FROM u GROUP BY tv, tc, tg),
+       |p AS (SELECT
+       |  ${vCells.mkString(",\n       |  ")}
+       |FROM r)
+       |SELECT channel, shapley FROM (
+       |  SELECT 'view' AS channel,
+       |    round((v100 - v000) / 3.0 + (v110 - v010) / 6.0
+       |        + (v101 - v001) / 6.0 + (v111 - v011) / 3.0, 6) + 0.0 AS shapley
+       |  FROM p
+       |  UNION ALL
+       |  SELECT 'click' AS channel,
+       |    round((v010 - v000) / 3.0 + (v110 - v100) / 6.0
+       |        + (v011 - v001) / 6.0 + (v111 - v101) / 3.0, 6) + 0.0
+       |  FROM p
+       |  UNION ALL
+       |  SELECT 'signup' AS channel,
+       |    round((v001 - v000) / 3.0 + (v101 - v100) / 6.0
+       |        + (v011 - v010) / 6.0 + (v111 - v110) / 3.0, 6) + 0.0
+       |  FROM p)
+       |ORDER BY channel""".stripMargin
+  }
+
+  // q438 difference-in-differences: synthetic assignment (even user_id =
+  // treated), post = day >= d0+15, outcome = mean click value; DiD plus
+  // a pre-period placebo split at d0+7 as the parallel-trends check.
+  private def didSql(dayNum: String => String): String =
+    s"""WITH base AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d, value AS v
+       |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+       |rng AS (SELECT min(d) AS d0 FROM base),
+       |cells AS (
+       |  SELECT CASE WHEN b.user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+       |    CASE WHEN b.d >= r.d0 + 15 THEN 1 ELSE 0 END AS post,
+       |    CASE WHEN b.d < r.d0 + 15 AND b.d >= r.d0 + 7 THEN 1 ELSE 0 END AS prelate,
+       |    b.v
+       |  FROM base b CROSS JOIN rng r),
+       |agg AS (
+       |  SELECT treated, post, cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) / count(*) AS mu
+       |  FROM cells GROUP BY treated, post),
+       |px AS (SELECT
+       |    max(CASE WHEN treated = 1 AND post = 1 THEN mu END) AS t_post,
+       |    max(CASE WHEN treated = 1 AND post = 0 THEN mu END) AS t_pre,
+       |    max(CASE WHEN treated = 0 AND post = 1 THEN mu END) AS c_post,
+       |    max(CASE WHEN treated = 0 AND post = 0 THEN mu END) AS c_pre,
+       |    cast(sum(n) as bigint) AS n_obs
+       |  FROM agg),
+       |pagg AS (
+       |  SELECT treated, prelate, cast(sum(cast(round(v, 9) as decimal(30,9))) as double)
+       |      / count(*) AS mu
+       |  FROM cells WHERE post = 0 GROUP BY treated, prelate),
+       |pp AS (SELECT
+       |    max(CASE WHEN treated = 1 AND prelate = 1 THEN mu END) AS pt_post,
+       |    max(CASE WHEN treated = 1 AND prelate = 0 THEN mu END) AS pt_pre,
+       |    max(CASE WHEN treated = 0 AND prelate = 1 THEN mu END) AS pc_post,
+       |    max(CASE WHEN treated = 0 AND prelate = 0 THEN mu END) AS pc_pre
+       |  FROM pagg)
+       |SELECT px.n_obs,
+       |  round(px.t_pre, 6) + 0.0 AS treated_pre,
+       |  round(px.t_post, 6) + 0.0 AS treated_post,
+       |  round(px.c_pre, 6) + 0.0 AS control_pre,
+       |  round(px.c_post, 6) + 0.0 AS control_post,
+       |  round((px.t_post - px.t_pre) - (px.c_post - px.c_pre), 6) + 0.0 AS did,
+       |  round((pp.pt_post - pp.pt_pre) - (pp.pc_post - pp.pc_pre), 6) + 0.0
+       |    AS placebo_did
+       |FROM px CROSS JOIN pp""".stripMargin
+
+  // q439 raking / iterative proportional fitting, `iters` row+column
+  // half-step pairs unrolled: a biased subsample (custkey % 3 = 0) is
+  // reweighted to the full customer table's margins over
+  // (nationkey % 5, mktsegment). Each half-step re-pins weights at
+  // round-6 and folds margin sums through decimals — order-independent.
+  private def rakingSql(iters: Int = 3): String = {
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "w0" else s"c${k - 1}"
+      s""",
+rs$k AS (
+  SELECT a, cast(sum(cast(w as decimal(25,6))) as double) AS s
+  FROM $prev GROUP BY a),
+r$k AS (
+  SELECT w.a, w.b, round(w.w * ta.t / rs$k.s, 6) AS w
+  FROM $prev w JOIN ta ON ta.a = w.a JOIN rs$k ON rs$k.a = w.a),
+cs$k AS (
+  SELECT b, cast(sum(cast(w as decimal(25,6))) as double) AS s
+  FROM r$k GROUP BY b),
+c$k AS (
+  SELECT w.a, w.b, round(w.w * tb.t / cs$k.s, 6) AS w
+  FROM r$k w JOIN tb ON tb.b = w.b JOIN cs$k ON cs$k.b = w.b)"""
+    }.mkString
+    s"""WITH samp AS (
+  SELECT c_nationkey % 5 AS a, c_mktsegment AS b
+  FROM customer WHERE c_custkey % 3 = 0),
+full_t AS (SELECT c_nationkey % 5 AS a, c_mktsegment AS b FROM customer),
+ta AS (SELECT a, cast(count(*) as double) AS t FROM full_t GROUP BY a),
+tb AS (SELECT b, cast(count(*) as double) AS t FROM full_t GROUP BY b),
+w0 AS (
+  SELECT a, b, cast(count(*) as double) AS w
+  FROM samp GROUP BY a, b)$steps
+SELECT w.a AS nation_grp, w.b AS segment,
+  cast(w0.w as bigint) AS n_sample, w.w + 0.0 AS weight,
+  round(w.w / w0.w, 6) + 0.0 AS expansion
+FROM c$iters w JOIN w0 ON w0.a = w.a AND w0.b = w.b
+ORDER BY nation_grp, segment"""
+  }
+
+  // q440 SCD2 interval reconstruction from the event change log:
+  // consecutive same-status rows compressed (lag gap test), validity
+  // [ts, next-change ts); snapshot membership at 2024-01-15 plus the
+  // open-interval (current) census per status.
+  private val scd2Sql =
+    """WITH dedup AS (
+      |  SELECT user_id, ts, event_type FROM (
+      |    SELECT user_id, ts, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS pv
+      |    FROM events) z
+      |  WHERE pv IS NULL OR pv <> event_type),
+      |scd AS (
+      |  SELECT user_id, event_type AS status, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+      |  FROM dedup),
+      |snap AS (
+      |  SELECT status, cast(count(*) as bigint) AS n_at_snapshot
+      |  FROM scd
+      |  WHERE valid_from <= timestamp '2024-01-15 00:00:00'
+      |    AND (valid_to IS NULL OR valid_to > timestamp '2024-01-15 00:00:00')
+      |  GROUP BY status),
+      |cur AS (
+      |  SELECT status, cast(count(*) as bigint) AS n_current
+      |  FROM scd WHERE valid_to IS NULL GROUP BY status),
+      |vers AS (
+      |  SELECT status, cast(count(*) as bigint) AS n_versions
+      |  FROM scd GROUP BY status)
+      |SELECT v.status, v.n_versions,
+      |  coalesce(s.n_at_snapshot, 0) AS n_at_snapshot,
+      |  coalesce(c.n_current, 0) AS n_current
+      |FROM vers v
+      |LEFT JOIN snap s ON s.status = v.status
+      |LEFT JOIN cur c ON c.status = v.status
+      |ORDER BY v.status""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -4823,6 +5008,23 @@ SELECT event_type, round(d6_6, 6) + 0.0 AS dtw FROM r6 ORDER BY event_type"""
     // DTW distance between day-of-week profiles (native codegen kernel).
     "q435_dtw_profiles" -> sqlQuery(Seq("events"),
       dtwSparkSql(e => s"unix_micros($e) div 86400000000")),
+
+    // APRIORI frequent triples with prefix-join candidate generation.
+    "q436_apriori_triples" -> sqlQuery(Seq("lineitem"), aprioriTriplesSql),
+
+    // SHAPLEY-value channel attribution over (user, day) journeys.
+    "q437_shapley_attribution" -> sqlQuery(Seq("events"),
+      shapleySql(e => s"unix_micros($e) div 86400000000")),
+
+    // DIFFERENCE-IN-DIFFERENCES with pre-period placebo.
+    "q438_diff_in_diff" -> sqlQuery(Seq("events"),
+      didSql(e => s"unix_micros($e) div 86400000000")),
+
+    // RAKING (iterative proportional fitting), 3 unrolled iterations.
+    "q439_raking" -> sqlQuery(Seq("customer"), rakingSql(3)),
+
+    // SCD2 validity-interval reconstruction + snapshot census.
+    "q440_scd2_snapshot" -> sqlQuery(Seq("events"), scd2Sql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -12363,6 +12565,16 @@ SELECT event_type, round(d6_6, 6) + 0.0 AS dtw FROM r6 ORDER BY event_type"""
     // identical portable texts
     "q429_tost" -> tostSql,
     "q430_rec_coverage" -> recCoverageSql,
+
+    // identical portable texts
+    "q436_apriori_triples" -> aprioriTriplesSql,
+    "q439_raking" -> rakingSql(3),
+    "q440_scd2_snapshot" -> scd2Sql,
+
+    // duck integer-division spellings, same journey/series cores
+    "q437_shapley_attribution" ->
+      shapleySql(e => s"epoch_us($e) // 86400000000"),
+    "q438_diff_in_diff" -> didSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck integer-division spellings, same series cores
     "q431_yule_walker" ->
