@@ -3817,6 +3817,163 @@ ORDER BY nation_grp, segment"""
       |LEFT JOIN cur c ON c.status = v.status
       |ORDER BY v.status""".stripMargin
 
+  // q441 absorbing Markov chain: expected steps to 'purchase' from each
+  // transient state, t_{k+1} = 1 + Q t_k unrolled `rounds` times over the
+  // round-9-pinned transient transition matrix (fixed-iteration contract,
+  // same discipline as q341's stationary power iteration). `mat` injects
+  // DuckDB's MATERIALIZED hint on the shared CTEs for the oracle twin —
+  // without it DuckDB re-inlines qq/tot into every unrolled round and the
+  // optimizer blows up at depth 40 (the bpeTrainCtes lesson); Spark CTEs
+  // take no hint (its optimizer handles the linear chain fine).
+  private def absorbingSql(rounds: Int, mat: String): String = {
+    val steps = (1 to rounds).map { k =>
+      s""",
+t$k AS$mat (
+  SELECT tot.cur AS s,
+    round(1.0 + cast(coalesce(sum(cast(round(qq.p * p2.t, 12) as decimal(24,12))),
+      0) as double), 9) AS t
+  FROM tot
+  LEFT JOIN qq ON qq.cur = tot.cur
+  LEFT JOIN t${k - 1} p2 ON p2.s = qq.nxt
+  GROUP BY tot.cur)"""
+    }.mkString
+    s"""WITH seq AS (
+  SELECT user_id, event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+tr AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL AND cur <> 'purchase'),
+tot AS$mat (SELECT cur, cast(count(*) as bigint) AS n FROM tr GROUP BY cur),
+q AS (
+  SELECT t.cur, t.nxt, round(cast(count(*) as double) / tot.n, 9) AS p
+  FROM tr t JOIN tot ON tot.cur = t.cur GROUP BY t.cur, t.nxt, tot.n),
+qq AS$mat (SELECT cur, nxt, p FROM q WHERE nxt <> 'purchase'),
+t0 AS (SELECT cur AS s, cast(0.0 as double) AS t FROM tot)$steps
+SELECT s AS state, round(t, 6) + 0.0 AS expected_steps
+FROM t$rounds ORDER BY s"""
+  }
+
+  // q442 oracle: BPE train on the %7<>3 slice (bpeTrainCtes replay),
+  // then the encode replace-chain applied to the held-out vocabulary —
+  // fertility (tokens/word) + chars/token per source.
+  private def bpeFertilitySql(rounds: Int): String = {
+    val encSteps = (1 to rounds).map { r =>
+      s""",
+e$r AS MATERIALIZED (SELECT source, word, cnt,
+  replace(sym, (SELECT ' ' || pair || ' ' FROM m$r),
+    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)) AS sym
+  FROM e${r - 1})"""
+    }.mkString
+    s"""WITH ${bpeTrainCtes(rounds, "(SELECT text FROM documents WHERE doc_id % 7 <> 3)")},
+hw AS (
+  SELECT source, word, cast(count(*) as bigint) AS cnt FROM (
+    SELECT source, unnest(regexp_extract_all(trim(text), '\\S+')) AS word
+    FROM documents WHERE doc_id % 7 = 3)
+  GROUP BY source, word),
+e0 AS (SELECT source, word, cnt,
+  ' ' || array_to_string(list_transform(range(length(word)),
+      i -> word[i + 1 : i + 1]), ' ') || ' ' AS sym
+  FROM hw)$encSteps,
+fin AS (
+  SELECT source, cnt, length(word) AS wlen,
+    len(string_split(trim(sym), ' ')) AS ntok
+  FROM e$rounds)
+SELECT source,
+  cast(sum(cnt) as bigint) AS n_words,
+  cast(sum(cnt * ntok) as bigint) AS n_tokens,
+  round(cast(sum(cnt * ntok) as double) / sum(cnt), 6) + 0.0 AS fertility,
+  round(cast(sum(cnt * wlen) as double) / sum(cnt * ntok), 6) + 0.0 AS chars_per_token
+FROM fin GROUP BY source ORDER BY source"""
+  }
+
+  // q443 cross-source shared n-gram ladder: gram sizes 4/8/16 built by
+  // doubling (g4 = g2⋈g2, g8 = g4⋈g4, g16 = g8⋈g8 — log n equi-joins,
+  // never an n-way join), shared-gram counts per source pair from the
+  // DISTINCT (source, gram) sets (fan-out bounded by source count, the
+  // q306 discipline).
+  private def ngramLadderSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |g2 AS (
+       |  SELECT a.doc_id, a.pos, concat(a.word, ' ', b.word) AS g
+       |  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+       |g4 AS (
+       |  SELECT a.doc_id, a.pos, concat(a.g, ' ', b.g) AS g
+       |  FROM g2 a JOIN g2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
+       |g8 AS (
+       |  SELECT a.doc_id, a.pos, concat(a.g, ' ', b.g) AS g
+       |  FROM g4 a JOIN g4 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 4),
+       |g16 AS (
+       |  SELECT a.doc_id, a.pos, concat(a.g, ' ', b.g) AS g
+       |  FROM g8 a JOIN g8 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 8),
+       |lv AS (
+       |  SELECT 4 AS n, s.source, g.g FROM g4 g JOIN src s ON s.doc_id = g.doc_id
+       |  UNION ALL
+       |  SELECT 8 AS n, s.source, g.g FROM g8 g JOIN src s ON s.doc_id = g.doc_id
+       |  UNION ALL
+       |  SELECT 16 AS n, s.source, g.g FROM g16 g JOIN src s ON s.doc_id = g.doc_id),
+       |d AS (SELECT DISTINCT n, source, g FROM lv),
+       |sh AS (
+       |  SELECT a.n, a.source AS src_a, b.source AS src_b,
+       |    cast(count(*) as bigint) AS shared_grams
+       |  FROM d a JOIN d b ON b.n = a.n AND b.g = a.g AND b.source > a.source
+       |  GROUP BY a.n, a.source, b.source),
+       |pairs AS (
+       |  SELECT DISTINCT a.source AS src_a, b.source AS src_b
+       |  FROM src a JOIN src b ON b.source > a.source),
+       |lvl AS (SELECT 4 AS n UNION ALL SELECT 8 UNION ALL SELECT 16)
+       |SELECT p.src_a, p.src_b, cast(l.n as int) AS gram_n,
+       |  coalesce(sh.shared_grams, 0) AS shared_grams
+       |FROM pairs p CROSS JOIN lvl l
+       |LEFT JOIN sh ON sh.src_a = p.src_a AND sh.src_b = p.src_b AND sh.n = l.n
+       |ORDER BY p.src_a, p.src_b, gram_n""".stripMargin
+
+  // q444 Cochran-Armitage trend test: ordered priority scores 1..5,
+  // outcome = finished order; Z from exact integer score/event sums.
+  private val cochranArmitageSql =
+    """WITH g AS (
+      |  SELECT cast(substring(o_orderpriority, 1, 1) as int) AS s,
+      |    cast(count(*) as bigint) AS n,
+      |    cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS r
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT cast(sum(n) as bigint) AS nn, cast(sum(r) as bigint) AS rr,
+      |    cast(sum(s * n) as bigint) AS sn, cast(sum(s * s * n) as bigint) AS ssn,
+      |    cast(sum(s * r) as bigint) AS sr
+      |  FROM g)
+      |SELECT nn AS n_total, rr AS n_events,
+      |  round((cast(sr as double) - cast(sn as double) * rr / nn)
+      |    / sqrt((cast(rr as double) / nn) * (1 - cast(rr as double) / nn)
+      |         * (cast(ssn as double) - cast(sn as double) * sn / nn)), 6) + 0.0
+      |    AS ca_z
+      |FROM t""".stripMargin
+
+  // q445 Kendall's W concordance of three nation rankings (customer
+  // count, account-balance sum, order count) over the common item set;
+  // deterministic rank ties on nation key, decimal-pinned square fold.
+  private val kendallWSql =
+    """WITH cc AS (SELECT c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM customer GROUP BY 1),
+      |ab AS (SELECT c_nationkey AS nk,
+      |    sum(cast(round(c_acctbal, 2) as decimal(20,2))) AS v
+      |  FROM customer GROUP BY 1),
+      |oc AS (SELECT c.c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1),
+      |r1 AS (SELECT cc.nk, row_number() OVER (ORDER BY cc.v DESC, cc.nk) AS r
+      |  FROM cc JOIN oc ON oc.nk = cc.nk),
+      |r2 AS (SELECT ab.nk, row_number() OVER (ORDER BY ab.v DESC, ab.nk) AS r
+      |  FROM ab JOIN oc ON oc.nk = ab.nk),
+      |r3 AS (SELECT nk, row_number() OVER (ORDER BY v DESC, nk) AS r FROM oc),
+      |s AS (
+      |  SELECT r1.nk, r1.r + r2.r + r3.r AS rsum
+      |  FROM r1 JOIN r2 ON r2.nk = r1.nk JOIN r3 ON r3.nk = r1.nk),
+      |k AS (SELECT cast(count(*) as bigint) AS k FROM s)
+      |SELECT k.k AS n_items, 3 AS n_rankers,
+      |  round(12.0 * cast(sum(cast(round(
+      |      (rsum - 3.0 * (k.k + 1) / 2) * (rsum - 3.0 * (k.k + 1) / 2), 4)
+      |      as decimal(20,4))) as double)
+      |    / (9.0 * (cast(k.k as double) * k.k * k.k - k.k)), 6) + 0.0 AS kendall_w
+      |FROM s CROSS JOIN k GROUP BY k.k""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -5025,6 +5182,44 @@ ORDER BY nation_grp, segment"""
 
     // SCD2 validity-interval reconstruction + snapshot census.
     "q440_scd2_snapshot" -> sqlQuery(Seq("events"), scd2Sql),
+
+    // ABSORBING-CHAIN expected steps to purchase (40 pinned rounds).
+    "q441_absorbing_steps" -> sqlQuery(Seq("events"), absorbingSql(40, "")),
+
+    // BPE FERTILITY: train 48 merges on the %7<>3 slice, encode the
+    // held-out slice, tokens/word + chars/token per source. The train
+    // is the driver-incremental exact path (2 jobs); the encode is a
+    // pure per-row replace chain (no shuffle).
+    "q442_bpe_fertility" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.pipeline.Bpe
+        .bpeMerges(docs.filter(col("doc_id") % 7 =!= 3), "text", rounds = 48)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val held = docs.filter(col("doc_id") % 7 === 3)
+      val perWord = graft.pipeline.Bpe.bpeEncode(held, "doc_id", "text", merges)
+        .groupBy(col("doc_id"), col("word_pos"), col("word"))
+        .agg(count(lit(1)).as("ntok"))
+      perWord.join(held.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_words"),
+          sum("ntok").cast("bigint").as("n_tokens"),
+          (round(sum("ntok").cast("double") / count(lit(1)), 6) + lit(0.0)).as("fertility"),
+          (round(sum(length(col("word"))).cast("double") / sum("ntok"), 6) + lit(0.0))
+            .as("chars_per_token"))
+        .orderBy("source")
+    }),
+
+    // SHARED n-GRAM LADDER (4/8/16 by doubling joins) per source pair.
+    "q443_ngram_ladder" -> sqlQuery(Seq("documents"),
+      ngramLadderSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // COCHRAN-ARMITAGE trend test over priority-ordered finish rates.
+    "q444_cochran_armitage" -> sqlQuery(Seq("orders"), cochranArmitageSql),
+
+    // KENDALL'S W concordance across three nation rankings.
+    "q445_kendall_w" -> sqlQuery(Seq("customer", "orders"), kendallWSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -12570,6 +12765,15 @@ ORDER BY nation_grp, segment"""
     "q436_apriori_triples" -> aprioriTriplesSql,
     "q439_raking" -> rakingSql(3),
     "q440_scd2_snapshot" -> scd2Sql,
+    "q441_absorbing_steps" -> absorbingSql(40, " MATERIALIZED"),
+    "q444_cochran_armitage" -> cochranArmitageSql,
+    "q445_kendall_w" -> kendallWSql,
+
+    // duck replay: train CTEs + encode replace-chain
+    "q442_bpe_fertility" -> bpeFertilitySql(48),
+    // duck positional tokenizer, same doubling-join ladder
+    "q443_ngram_ladder" ->
+      ngramLadderSql(graft.pipeline.TextClassify.duckTokPos),
 
     // duck integer-division spellings, same journey/series cores
     "q437_shapley_attribution" ->
