@@ -3974,6 +3974,144 @@ FROM fin GROUP BY source ORDER BY source"""
       |    / (9.0 * (cast(k.k as double) * k.k * k.k - k.k)), 6) + 0.0 AS kendall_w
       |FROM s CROSS JOIN k GROUP BY k.k""".stripMargin
 
+  // q446 Holt-Winters additive (alpha=.3, beta=.1, gamma=.2, m=7) over
+  // the first 28 days, classic week-1/week-2 initialization, the 21
+  // update steps fully unrolled as lateral-alias CTE columns with
+  // round-9-pinned state (one metadata-sized row flows through the
+  // chain; the day pivot is the only aggregation).
+  private def holtWintersSql(dayNum: String => String): String = {
+    val pivCols = (1 to 28).map(i => s"max(CASE WHEN rn = $i THEN y END) AS y$i").mkString(",\n    ")
+    val sum17 = (1 to 7).map(i => s"y$i").mkString(" + ")
+    val sum814 = (8 to 14).map(i => s"y$i").mkString(" + ")
+    val initSeas = (1 to 7).map(j => s"round(y$j - l7, 9) AS s7_$j").mkString(",\n    ")
+    val steps = (8 to 28).map { t =>
+      val k = ((t - 1) % 7) + 1
+      val p = t - 1
+      val carryY = (t + 1 to 28).map(i => s"y$i")
+      val carry = if (carryY.isEmpty) "" else carryY.mkString(", ") + ","
+      val sNew = (1 to 7).map { j =>
+        if (j == k) s"round(0.2E0 * (y$t - l$t) + 0.8E0 * s${p}_$j, 9) AS s${t}_$j"
+        else s"s${p}_$j AS s${t}_$j"
+      }.mkString(",\n    ")
+      s""",
+st$t AS (
+  SELECT $carry
+    round(0.3E0 * (y$t - s${p}_$k) + 0.7E0 * (l$p + b$p), 9) AS l$t,
+    round(0.1E0 * (l$t - l$p) + 0.9E0 * b$p, 9) AS b$t,
+    $sNew,
+    round(sse$p + round((y$t - (l$p + b$p + s${p}_$k))
+      * (y$t - (l$p + b$p + s${p}_$k)), 9), 9) AS sse$t
+  FROM st$p)"""
+    }.mkString
+    s"""WITH daily AS (
+  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+  FROM events GROUP BY 1),
+idx AS (SELECT y, row_number() OVER (ORDER BY d) AS rn FROM daily),
+piv AS (
+  SELECT
+    $pivCols
+  FROM idx WHERE rn <= 28),
+st7 AS (
+  SELECT ${(8 to 28).map(i => s"y$i").mkString(", ")},
+    round(($sum17) / 7.0E0, 9) AS l7,
+    round((($sum814) - ($sum17)) / 49.0E0, 9) AS b7,
+    $initSeas,
+    cast(0.0 as double) AS sse7
+  FROM piv)$steps
+SELECT 28 AS n_days,
+  round(l28, 6) + 0.0 AS level,
+  round(b28, 6) + 0.0 AS trend,
+  round(sqrt(sse28 / 21.0E0), 6) + 0.0 AS rmse,
+  round(l28 + b28 + s28_1, 6) + 0.0 AS forecast_29
+FROM st28"""
+  }
+
+  // q447 G-test (log-likelihood-ratio independence) over the
+  // priority x status contingency table.
+  private val gTestSql =
+    """WITH ct AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |    cast(count(*) as bigint) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT a, cast(sum(o) as bigint) AS ra FROM ct GROUP BY a),
+      |cl AS (SELECT b, cast(sum(o) as bigint) AS cb FROM ct GROUP BY b),
+      |n AS (SELECT cast(sum(o) as bigint) AS n FROM ct),
+      |dims AS (SELECT (SELECT count(*) FROM rt) AS r, (SELECT count(*) FROM cl) AS c),
+      |g AS (
+      |  SELECT round(2.0 * cast(sum(cast(round(
+      |      ct.o * ln(cast(ct.o as double) * n.n / (rt.ra * cast(cl.cb as double))),
+      |      9) as decimal(25,9))) as double), 6) + 0.0 AS g_stat
+      |  FROM ct JOIN rt ON rt.a = ct.a JOIN cl ON cl.b = ct.b CROSS JOIN n)
+      |SELECT cast((dims.r - 1) * (dims.c - 1) as int) AS dof, g.g_stat
+      |FROM g CROSS JOIN dims""".stripMargin
+
+  // q448 forecast-accuracy scorecard for the seasonal-naive(7) forecast:
+  // MAE vs the naive(1) scale (MASE) and Theil's U2, shared t>7 window.
+  private def maseSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |lagged AS (
+       |  SELECT y,
+       |    lag(y, 1) OVER (ORDER BY d) AS y1,
+       |    lag(y, 7) OVER (ORDER BY d) AS y7
+       |  FROM daily),
+       |w AS (SELECT y, y1, y7 FROM lagged WHERE y7 IS NOT NULL),
+       |s AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(abs(y - y1) as decimal(25,4))) as double) AS sae1,
+       |    cast(sum(cast(abs(y - y7) as decimal(25,4))) as double) AS sae7,
+       |    cast(sum(cast(round((y7 - y) * (y7 - y) / (y1 * y1), 9)
+       |      as decimal(25,9))) as double) AS num,
+       |    cast(sum(cast(round((y - y1) * (y - y1) / (y1 * y1), 9)
+       |      as decimal(25,9))) as double) AS den
+       |  FROM w)
+       |SELECT n AS n_obs,
+       |  round(sae1 / n, 6) + 0.0 AS mae_naive1,
+       |  round(sae7 / n, 6) + 0.0 AS mae_snaive7,
+       |  round(sae7 / sae1, 6) + 0.0 AS mase,
+       |  round(sqrt(num / den), 6) + 0.0 AS theil_u2
+       |FROM s""".stripMargin
+
+  // q449 Cliff's delta (ordinal dominance effect size) for click vs
+  // view values via midranks — the rank-sum route, never an all-pairs
+  // comparison.
+  private val cliffsDeltaSql =
+    """WITH base AS (
+      |  SELECT cast(value as double) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |vals AS (
+      |  SELECT v, cast(count(*) as bigint) AS c, cast(sum(g) as bigint) AS c1
+      |  FROM base GROUP BY v),
+      |rk AS (
+      |  SELECT v, c, c1, sum(c) OVER (ORDER BY v) - c AS below
+      |  FROM vals),
+      |s AS (
+      |  SELECT
+      |    cast(sum(cast(round(c1 * (below + (c + 1) / 2.0E0), 4)
+      |      as decimal(25,4))) as double) AS r1,
+      |    cast(sum(c1) as bigint) AS n1,
+      |    cast(sum(c - c1) as bigint) AS n2
+      |  FROM rk)
+      |SELECT n1, n2,
+      |  round((2.0 * (r1 - n1 * (n1 + 1) / 2.0E0) - cast(n1 as double) * n2)
+      |    / (cast(n1 as double) * n2), 6) + 0.0 AS cliffs_delta
+      |FROM s""".stripMargin
+
+  // q450 Atkinson inequality index (epsilon = 1/2) over order values.
+  private val atkinsonSql =
+    """WITH s AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(o_totalprice, 2) as decimal(25,2))) as double) AS s1,
+      |    cast(sum(cast(round(sqrt(o_totalprice), 6) as decimal(25,6))) as double) AS sq
+      |  FROM orders WHERE o_totalprice > 0)
+      |SELECT n AS n_orders,
+      |  round(s1 / n, 4) + 0.0 AS mean_value,
+      |  round(1.0 - (sq / n) * (sq / n) / (s1 / n), 6) + 0.0 AS atkinson_05
+      |FROM s""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -5220,6 +5358,23 @@ FROM fin GROUP BY source ORDER BY source"""
 
     // KENDALL'S W concordance across three nation rankings.
     "q445_kendall_w" -> sqlQuery(Seq("customer", "orders"), kendallWSql),
+
+    // HOLT-WINTERS additive fit (28-day unroll, pinned state).
+    "q446_holt_winters" -> sqlQuery(Seq("events"),
+      holtWintersSql(e => s"unix_micros($e) div 86400000000")),
+
+    // G-TEST log-likelihood-ratio independence.
+    "q447_g_test" -> sqlQuery(Seq("orders"), gTestSql),
+
+    // MASE + THEIL'S U2 for the seasonal-naive forecast.
+    "q448_mase_theil" -> sqlQuery(Seq("events"),
+      maseSql(e => s"unix_micros($e) div 86400000000")),
+
+    // CLIFF'S DELTA effect size via midranks.
+    "q449_cliffs_delta" -> sqlQuery(Seq("events"), cliffsDeltaSql),
+
+    // ATKINSON inequality index (epsilon = 0.5).
+    "q450_atkinson" -> sqlQuery(Seq("orders"), atkinsonSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -12768,6 +12923,14 @@ FROM fin GROUP BY source ORDER BY source"""
     "q441_absorbing_steps" -> absorbingSql(40, " MATERIALIZED"),
     "q444_cochran_armitage" -> cochranArmitageSql,
     "q445_kendall_w" -> kendallWSql,
+    "q447_g_test" -> gTestSql,
+    "q449_cliffs_delta" -> cliffsDeltaSql,
+    "q450_atkinson" -> atkinsonSql,
+
+    // duck integer-division spellings, same unrolled/window cores
+    "q446_holt_winters" ->
+      holtWintersSql(e => s"epoch_us($e) // 86400000000"),
+    "q448_mase_theil" -> maseSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck replay: train CTEs + encode replace-chain
     "q442_bpe_fertility" -> bpeFertilitySql(48),
