@@ -303,6 +303,68 @@ object GeoStreaming {
       .toDF(keyCol, "ts_sec", "value", "z", "is_anomaly")
   }
 
+  /**
+   * Streaming SCD2 (slowly-changing-dimension type 2) maintenance: per
+   * business key, hold the open version (status, since) plus a pending
+   * buffer of not-yet-final events; once the watermark passes an event it
+   * is applied in event-time order (later-arriving earlier events are
+   * dropped by withWatermark, so the order is final at that point). A
+   * status change CLOSES the open version and emits it as
+   * (key, status, valid_from_sec, valid_to_sec); consecutive same-status
+   * events compress away — the append-mode streaming twin of the q440
+   * batch reconstruction. State per key = one open version + the
+   * watermark-bounded pending buffer, so state size is delay-bounded and
+   * independent of history length.
+   */
+  def scd2Stream(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      statusCol: String,
+      watermarkDelay: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val wm = stream.withWatermark(tsCol, watermarkDelay)
+    val kIdx = stream.schema.fieldIndex(keyCol)
+    val tIdx = stream.schema.fieldIndex(tsCol)
+    val sIdx = stream.schema.fieldIndex(statusCol)
+    wm.groupByKey(_.getString(kIdx))
+      .flatMapGroupsWithState[(List[(Long, String)], Option[(String, Long)]),
+        (String, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Row],
+         state: GroupState[(List[(Long, String)], Option[(String, Long)])]) =>
+          var (pending, open) = state.getOption
+            .getOrElse((Nil: List[(Long, String)], None: Option[(String, Long)]))
+          rows.foreach { r =>
+            pending = (r.getTimestamp(tIdx).getTime, r.getString(sIdx)) :: pending
+          }
+          // events strictly below the watermark are final (an equal-ts
+          // straggler may still arrive, so those stay buffered)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, hold) = pending.partition(_._1 < wmMs)
+          val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long, Long)]
+          ready.sortBy(identity).foreach { case (t, st) =>
+            open match {
+              case Some((cur, since)) if cur != st =>
+                out += ((key, cur, since / 1000, t / 1000))
+                open = Some((st, t))
+              case Some(_) => // same status: SCD2 compression, no new version
+              case None => open = Some((st, t))
+            }
+          }
+          if (hold.isEmpty && open.isEmpty) state.remove()
+          else {
+            state.update((hold, open))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(hold.map(_._1).min + 1, wmMs + 1))
+          }
+          out.iterator
+      }
+      .toDF(keyCol, "status", "valid_from", "valid_to")
+  }
+
   def sessionize(
       stream: DataFrame,
       keyCol: String,

@@ -345,6 +345,41 @@ class GeoStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2: out-of-order change log closes versions in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(String, Timestamp, String)]
+    val scd = GeoStreaming.scd2Stream(
+      input.toDF().toDF("uid", "ts", "status"), "uid", "ts", "status",
+      watermarkDelay = "250 seconds")
+    val q = scd.writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    try {
+      // u1 arrives OUT OF ORDER across batches: bronze@100, gold@300
+      input.addData(("u1", ts(300), "gold"), ("u1", ts(100), "bronze"))
+      q.processAllAvailable()
+      // silver@200 lands between them, admissible under the 250s delay (wm=50)
+      input.addData(("u1", ts(200), "silver"),
+        ("u1", ts(310), "gold")) // same-status repeat: must compress away
+      q.processAllAvailable()
+      // advance the watermark far past everything so all changes finalize
+      input.addData(("zz", ts(1000), "x"))
+      q.processAllAvailable()
+      input.addData(("zz", ts(2000), "x"))
+      q.processAllAvailable()
+      val got = spark.table("scd2s")
+        .selectExpr("uid", "status", "valid_from", "valid_to").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // event-time ordering restored: bronze [100,200), silver [200,300);
+      // gold stays OPEN (never emitted in append mode), repeat compressed
+      assert(got.contains(("u1", "bronze", 100L, 200L)), s"bronze version: $got")
+      assert(got.contains(("u1", "silver", 200L, 300L)), s"silver version: $got")
+      assert(!got.exists(r => r._1 == "u1" && r._2 == "gold"), s"gold must stay open: $got")
+      assert(got.count(_._1 == "u1") == 2, s"exactly two closed u1 versions: $got")
+    } finally q.stop()
+  }
+
   test("event-time sessionization: gap split, watermark timeout close, state freed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
