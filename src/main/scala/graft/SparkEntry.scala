@@ -4112,6 +4112,148 @@ FROM st28"""
       |  round(1.0 - (sq / n) * (sq / n) / (s1 / n), 6) + 0.0 AS atkinson_05
       |FROM s""".stripMargin
 
+  // q451 Wilson 95% score intervals for per-nation order-finish rates
+  // (the binomial interval that behaves at small n / extreme p).
+  private val wilsonSql =
+    """WITH s AS (
+      |  SELECT c.c_nationkey AS nk, cast(count(*) as bigint) AS n,
+      |    cast(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS x
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |m AS (SELECT nk, n, x, cast(x as double) / n AS p FROM s)
+      |SELECT cast(nk as int) AS nation, n, x, round(p, 6) + 0.0 AS p_hat,
+      |  round((p + 3.8416E0 / (2 * n)
+      |      - 1.96E0 * sqrt(p * (1 - p) / n + 3.8416E0 / (4.0 * n * n)))
+      |    / (1 + 3.8416E0 / n), 6) + 0.0 AS wilson_lo,
+      |  round((p + 3.8416E0 / (2 * n)
+      |      + 1.96E0 * sqrt(p * (1 - p) / n + 3.8416E0 / (4.0 * n * n)))
+      |    / (1 + 3.8416E0 / n), 6) + 0.0 AS wilson_hi
+      |FROM m ORDER BY nation""".stripMargin
+
+  // q452 oracle: blocked fuzzy matching (first-token block, levenshtein
+  // <= 3) then min-label connected components via WITH RECURSIVE — the
+  // q58 closure pattern over the match graph.
+  private val entityResolutionOracleSql =
+    """WITH RECURSIVE
+      |p AS (SELECT p_partkey AS id, p_name,
+      |        split_part(p_name, ' ', 1) AS blk
+      |      FROM part WHERE p_partkey < 600),
+      |m AS (SELECT a.id AS src, b.id AS dst
+      |      FROM p a JOIN p b ON b.blk = a.blk AND b.id > a.id
+      |      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      |e AS (SELECT src, dst FROM m UNION ALL SELECT dst, src FROM m),
+      |cc(id, lbl) AS (
+      |  SELECT id, id FROM p
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+      |)
+      |SELECT cast(id as bigint) AS p_partkey, cast(min(lbl) as bigint) AS component
+      |FROM cc GROUP BY id ORDER BY p_partkey""".stripMargin
+
+  // q453 second-order Markov next-event backtest: (prev2, prev1) -> argmax
+  // next trained on the first 20 days, top-1 accuracy on the rest, with
+  // the first-order baseline in the same row (context-miss counts wrong).
+  private def markov2Sql(dayNum: String => String): String =
+    s"""WITH seq AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d, event_type AS e,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+       |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+       |  FROM events),
+       |rng AS (SELECT min(${dayNum("ts")}) AS d0 FROM events),
+       |tr AS (
+       |  SELECT s.p2, s.p1, s.e, s.d, r.d0 FROM seq s CROSS JOIN rng r
+       |  WHERE s.p2 IS NOT NULL),
+       |tn2 AS (
+       |  SELECT p2, p1, e, cast(count(*) as bigint) AS n
+       |  FROM tr WHERE d < d0 + 20 GROUP BY p2, p1, e),
+       |pred2 AS (
+       |  SELECT p2, p1, e AS pe FROM (
+       |    SELECT p2, p1, e,
+       |      row_number() OVER (PARTITION BY p2, p1 ORDER BY n DESC, e) AS rk
+       |    FROM tn2) z WHERE rk = 1),
+       |tn1 AS (
+       |  SELECT p1, e, cast(count(*) as bigint) AS n
+       |  FROM tr WHERE d < d0 + 20 GROUP BY p1, e),
+       |pred1 AS (
+       |  SELECT p1, e AS pe FROM (
+       |    SELECT p1, e,
+       |      row_number() OVER (PARTITION BY p1 ORDER BY n DESC, e) AS rk
+       |    FROM tn1) z WHERE rk = 1),
+       |test AS (SELECT p2, p1, e FROM tr WHERE d >= d0 + 20)
+       |SELECT cast(count(*) as bigint) AS n_test,
+       |  cast(sum(CASE WHEN pred2.pe = test.e THEN 1 ELSE 0 END) as bigint) AS hit2,
+       |  round(cast(sum(CASE WHEN pred2.pe = test.e THEN 1 ELSE 0 END) as double)
+       |    / count(*), 6) + 0.0 AS acc_order2,
+       |  round(cast(sum(CASE WHEN pred1.pe = test.e THEN 1 ELSE 0 END) as double)
+       |    / count(*), 6) + 0.0 AS acc_order1
+       |FROM test
+       |LEFT JOIN pred2 ON pred2.p2 = test.p2 AND pred2.p1 = test.p1
+       |LEFT JOIN pred1 ON pred1.p1 = test.p1""".stripMargin
+
+  // q454 overdispersion audit of the per-type daily counts: index of
+  // dispersion (variance/mean, Poisson => 1) + the (n-1)·D chi-square.
+  private def overdispersionSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type, cast(count(*) as bigint) AS n,
+       |    cast(sum(y) as bigint) AS s1, cast(sum(y * y) as bigint) AS s2
+       |  FROM daily GROUP BY 1)
+       |SELECT event_type, n AS n_days,
+       |  round(cast(s1 as double) / n, 6) + 0.0 AS mean_count,
+       |  round((cast(s2 as double) - cast(s1 as double) * s1 / n) / (n - 1), 6)
+       |    + 0.0 AS var_count,
+       |  round(((cast(s2 as double) - cast(s1 as double) * s1 / n) / (n - 1))
+       |    / (cast(s1 as double) / n), 6) + 0.0 AS dispersion,
+       |  round((n - 1) * ((cast(s2 as double) - cast(s1 as double) * s1 / n) / (n - 1))
+       |    / (cast(s1 as double) / n), 6) + 0.0 AS chi2_stat
+       |FROM s ORDER BY event_type""".stripMargin
+
+  // q455 Qini curve by targeting-score decile: score = pre-period click
+  // count, treatment = the q438 parity assignment, outcome = post-period
+  // purchases; cumulative incremental purchases vs the random-targeting
+  // diagonal (exact integer folds up to the final division).
+  private def qiniSql(dayNum: String => String): String =
+    s"""WITH rng AS (SELECT min(${dayNum("ts")}) AS d0 FROM events),
+       |u AS (
+       |  SELECT e.user_id,
+       |    CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+       |    cast(sum(CASE WHEN e.event_type = 'click'
+       |      AND ${dayNum("e.ts")} < r.d0 + 15 THEN 1 ELSE 0 END) as bigint) AS score,
+       |    cast(sum(CASE WHEN e.event_type = 'purchase'
+       |      AND ${dayNum("e.ts")} >= r.d0 + 15 THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events e CROSS JOIN rng r
+       |  GROUP BY e.user_id),
+       |rk AS (
+       |  SELECT treated, y,
+       |    ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+       |  FROM u),
+       |d AS (
+       |  SELECT decile,
+       |    cast(sum(treated) as bigint) AS nt,
+       |    cast(sum(1 - treated) as bigint) AS nc,
+       |    cast(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) as bigint) AS yt,
+       |    cast(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) as bigint) AS yc
+       |  FROM rk GROUP BY decile),
+       |c AS (
+       |  SELECT decile,
+       |    sum(nt) OVER (ORDER BY decile) AS cnt,
+       |    sum(nc) OVER (ORDER BY decile) AS cnc,
+       |    sum(yt) OVER (ORDER BY decile) AS cyt,
+       |    sum(yc) OVER (ORDER BY decile) AS cyc
+       |  FROM d),
+       |tot AS (
+       |  SELECT cast(max(cnt) as double) AS tnt, cast(max(cnc) as double) AS tnc,
+       |    cast(max(cyt) as double) AS tyt, cast(max(cyc) as double) AS tyc
+       |  FROM c)
+       |SELECT cast(c.decile as int) AS decile,
+       |  cast(c.cnt as bigint) AS n_treated, cast(c.cnc as bigint) AS n_control,
+       |  round(c.cyt - c.cyc * cast(c.cnt as double) / c.cnc, 6) + 0.0 AS cum_qini,
+       |  round((tot.tyt - tot.tyc * tot.tnt / tot.tnc) * c.decile / 10.0, 6) + 0.0
+       |    AS random_line
+       |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -5375,6 +5517,39 @@ FROM st28"""
 
     // ATKINSON inequality index (epsilon = 0.5).
     "q450_atkinson" -> sqlQuery(Seq("orders"), atkinsonSql),
+
+    // WILSON 95% score intervals per nation.
+    "q451_wilson_interval" -> sqlQuery(Seq("orders", "customer"), wilsonSql),
+
+    // ENTITY RESOLUTION: first-token blocking + levenshtein<=3 matching
+    // + distributed connected components (blocked pairs only — the
+    // block join bounds candidate fan-out; never a corpus self-join).
+    "q452_entity_resolution" -> ((s: SparkSession, dir: String) => {
+      init(s)
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_partkey") < 600)
+        .select(col("p_partkey").as("id"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val pairs = parts.as("a").join(parts.as("b"),
+          col("b.blk") === col("a.blk") && col("b.id") > col("a.id"))
+        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      graft.pipeline.Dedup.assignComponents(
+          parts.select(col("id").as("p_partkey")), "p_partkey", pairs)
+        .orderBy("p_partkey")
+    }),
+
+    // SECOND-ORDER Markov next-event backtest vs first-order baseline.
+    "q453_markov2_backtest" -> sqlQuery(Seq("events"),
+      markov2Sql(e => s"unix_micros($e) div 86400000000")),
+
+    // OVERDISPERSION (variance/mean) audit per event type.
+    "q454_overdispersion" -> sqlQuery(Seq("events"),
+      overdispersionSql(e => s"unix_micros($e) div 86400000000")),
+
+    // QINI uplift curve by targeting decile.
+    "q455_qini" -> sqlQuery(Seq("events"),
+      qiniSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -12926,6 +13101,16 @@ FROM st28"""
     "q447_g_test" -> gTestSql,
     "q449_cliffs_delta" -> cliffsDeltaSql,
     "q450_atkinson" -> atkinsonSql,
+    "q451_wilson_interval" -> wilsonSql,
+    // recursive min-label closure over the same blocked match graph
+    "q452_entity_resolution" -> entityResolutionOracleSql,
+
+    // duck integer-division spellings, same backtest/uplift cores
+    "q453_markov2_backtest" ->
+      markov2Sql(e => s"epoch_us($e) // 86400000000"),
+    "q454_overdispersion" ->
+      overdispersionSql(e => s"epoch_us($e) // 86400000000"),
+    "q455_qini" -> qiniSql(e => s"epoch_us($e) // 86400000000"),
 
     // duck integer-division spellings, same unrolled/window cores
     "q446_holt_winters" ->
