@@ -4254,6 +4254,167 @@ FROM st28"""
        |    AS random_line
        |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin
 
+  // q456 Hosmer-Lemeshow calibration test: per-priority finish rates
+  // fit on even order keys, chi-square of observed vs expected on odd
+  // keys across the 5 priority groups.
+  private val hosmerLemeshowSql =
+    """WITH tr AS (
+      |  SELECT o_orderpriority AS g,
+      |    round(cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as double)
+      |      / count(*), 9) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |te AS (
+      |  SELECT o_orderpriority AS g, cast(count(*) as bigint) AS n,
+      |    cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS o
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+      |SELECT cast(count(*) as int) AS n_groups,
+      |  cast(sum(te.n) as bigint) AS n_test,
+      |  round(cast(sum(cast(round(
+      |    (te.o - te.n * tr.p) * (te.o - te.n * tr.p) / (te.n * tr.p * (1 - tr.p)),
+      |    9) as decimal(25,9))) as double), 6) + 0.0 AS hl_chi2
+      |FROM te JOIN tr ON tr.g = te.g""".stripMargin
+
+  // q457 CRPS of the trailing-7-day empirical ensemble forecast for the
+  // daily count: CRPS_t = mean|x_i - y| - mean|x_i - x_j|/2, the pair
+  // sum fully unrolled (21 pairs over exact integer counts).
+  private def crpsSql(dayNum: String => String): String = {
+    val t1 = (1 to 7).map(i => s"abs(m$i - y)").mkString(" + ")
+    val pairs = (for (i <- 1 to 7; j <- i + 1 to 7) yield s"abs(m$i - m$j)").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |lagged AS (
+       |  SELECT y, ${(1 to 7).map(i => s"lag(y, $i) OVER (ORDER BY d) AS m$i").mkString(",\n       |    ")}
+       |  FROM daily),
+       |w AS (SELECT * FROM lagged WHERE m7 IS NOT NULL),
+       |per AS (
+       |  SELECT y,
+       |    ($t1) / 7.0E0 AS term1,
+       |    ($pairs) / 49.0E0 AS term2,
+       |    (m1 + m2 + m3 + m4 + m5 + m6 + m7) / 7.0E0 AS ens_mean
+       |  FROM w)
+       |SELECT cast(count(*) as bigint) AS n_days,
+       |  round(cast(sum(cast(round(term1 - term2 / 2.0E0, 9) as decimal(25,9)))
+       |    as double) / count(*), 6) + 0.0 AS crps,
+       |  round(cast(sum(cast(round(abs(ens_mean - y), 9) as decimal(25,9)))
+       |    as double) / count(*), 6) + 0.0 AS mae_ens_mean
+       |FROM per""".stripMargin
+  }
+
+  // q458 lexical-richness spectrum per source: Yule's K and Simpson's D
+  // from exact integer frequency-spectrum sums.
+  private def yuleKSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |wc AS (
+       |  SELECT s.source, t.word, cast(count(*) as bigint) AS c
+       |  FROM tokp t JOIN src s ON s.doc_id = t.doc_id
+       |  GROUP BY s.source, t.word),
+       |agg AS (
+       |  SELECT source, cast(sum(c) as bigint) AS n,
+       |    cast(count(*) as bigint) AS v,
+       |    cast(sum(c * c) as bigint) AS s2,
+       |    cast(sum(c * (c - 1)) as bigint) AS s11
+       |  FROM wc GROUP BY source)
+       |SELECT source, n AS n_tokens, v AS vocab,
+       |  round(10000.0E0 * (cast(s2 as double) - n) / (cast(n as double) * n), 6)
+       |    + 0.0 AS yule_k,
+       |  round(cast(s11 as double) / (cast(n as double) * (n - 1)), 9) + 0.0
+       |    AS simpson_d
+       |FROM agg ORDER BY source""".stripMargin
+
+  // q459 Burrows' Delta stylometry distance between sources: top-30
+  // corpus words (count desc, word asc), per-source relative frequencies
+  // z-scored across sources (sample sd), Delta = mean |z_a - z_b|.
+  private def burrowsDeltaSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |tok AS (
+       |  SELECT s.source, t.word FROM tokp t JOIN src s ON s.doc_id = t.doc_id),
+       |top AS (
+       |  SELECT word FROM (
+       |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+       |    FROM tok GROUP BY word) z WHERE rk <= 30),
+       |stot AS (SELECT source, cast(count(*) as bigint) AS n FROM tok GROUP BY source),
+       |f AS (
+       |  SELECT st.source, tp.word,
+       |    round(cast(coalesce(c.c, 0) as double) / st.n, 9) AS fr
+       |  FROM stot st CROSS JOIN top tp
+       |  LEFT JOIN (
+       |    SELECT source, word, cast(count(*) as bigint) AS c
+       |    FROM tok GROUP BY source, word) c
+       |    ON c.source = st.source AND c.word = tp.word),
+       |mz AS (
+       |  SELECT word, cast(count(*) as bigint) AS ns,
+       |    cast(sum(cast(fr as decimal(20,9))) as double) AS s1,
+       |    cast(sum(cast(round(fr * fr, 15) as decimal(25,15))) as double) AS s2
+       |  FROM f GROUP BY word),
+       |z AS (
+       |  SELECT f.source, f.word,
+       |    round((f.fr - mz.s1 / mz.ns)
+       |      / sqrt((mz.s2 - mz.s1 * mz.s1 / mz.ns) / (mz.ns - 1)), 9) AS z
+       |  FROM f JOIN mz ON mz.word = f.word
+       |  WHERE (mz.s2 - mz.s1 * mz.s1 / mz.ns) > 0)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  cast(count(*) as bigint) AS n_words,
+       |  round(cast(sum(cast(abs(a.z - b.z) as decimal(20,9))) as double)
+       |    / count(*), 6) + 0.0 AS burrows_delta
+       |FROM z a JOIN z b ON b.word = a.word AND b.source > a.source
+       |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
+
+  // q460 rich-club coefficient over the category co-purchase graph:
+  // phi(k) = 2 E_k / (n_k (n_k - 1)) for k in {5, 10, 15}.
+  private val richClubSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS i FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.i AS u, b2.i AS v
+      |  FROM b a JOIN b b2 ON b2.o = a.o AND b2.i > a.i),
+      |deg AS (
+      |  SELECT n, cast(count(*) as bigint) AS d FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) z
+      |  GROUP BY n),
+      |ks AS (SELECT 5 AS k UNION ALL SELECT 10 UNION ALL SELECT 15),
+      |club AS (
+      |  SELECT ks.k, deg.n FROM ks JOIN deg ON deg.d > ks.k),
+      |nk AS (SELECT k, cast(count(*) as bigint) AS n_k FROM club GROUP BY k),
+      |ek AS (
+      |  SELECT cu.k, cast(count(*) as bigint) AS e_k
+      |  FROM e JOIN club cu ON cu.n = e.u
+      |  JOIN club cv ON cv.n = e.v AND cv.k = cu.k
+      |  GROUP BY cu.k)
+      |SELECT nk.k AS k, nk.n_k AS n_nodes, coalesce(ek.e_k, 0) AS n_edges,
+      |  round(2.0 * coalesce(ek.e_k, 0)
+      |    / (cast(nk.n_k as double) * (nk.n_k - 1)), 6) + 0.0 AS rich_club
+      |FROM nk LEFT JOIN ek ON ek.k = nk.k
+      |WHERE nk.n_k > 1 ORDER BY k""".stripMargin
+
+  // q461 delete-one-group jackknife variance of the mean order value
+  // over 10 md5-hash groups (the q61 portable bucketing; grpExpr is the
+  // engine spelling of the 60-bit md5 prefix mod 10).
+  private def jackknifeSql(grpExpr: String): String =
+    s"""WITH g AS (
+      |  SELECT $grpExpr AS grp,
+      |    cast(round(o_totalprice, 2) as decimal(25,2)) AS v
+      |  FROM orders),
+      |pg AS (
+      |  SELECT grp, cast(count(*) as bigint) AS n, sum(v) AS s
+      |  FROM g GROUP BY grp),
+      |tot AS (SELECT cast(sum(n) as bigint) AS nn, cast(sum(s) as decimal(30,2)) AS ss FROM pg),
+      |loo AS (
+      |  SELECT pg.grp,
+      |    round(cast(tot.ss - pg.s as double) / (tot.nn - pg.n), 9) AS theta_i
+      |  FROM pg CROSS JOIN tot),
+      |jk AS (
+      |  SELECT cast(count(*) as bigint) AS gcnt,
+      |    cast(sum(cast(theta_i as decimal(20,9))) as double) AS s1,
+      |    cast(sum(cast(round(theta_i * theta_i, 9) as decimal(25,9))) as double) AS s2
+      |  FROM loo)
+      |SELECT tot.nn AS n_orders, jk.gcnt AS n_groups,
+      |  round(cast(tot.ss as double) / tot.nn, 6) + 0.0 AS mean_value,
+      |  round(sqrt((jk.gcnt - 1.0) / jk.gcnt
+      |    * (jk.s2 - jk.s1 * jk.s1 / jk.gcnt)), 6) + 0.0 AS jackknife_se
+      |FROM jk CROSS JOIN tot""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -5550,6 +5711,28 @@ FROM st28"""
     // QINI uplift curve by targeting decile.
     "q455_qini" -> sqlQuery(Seq("events"),
       qiniSql(e => s"unix_micros($e) div 86400000000")),
+
+    // HOSMER-LEMESHOW calibration chi-square (train/test key split).
+    "q456_hosmer_lemeshow" -> sqlQuery(Seq("orders"), hosmerLemeshowSql),
+
+    // CRPS of the trailing-7-day empirical ensemble forecast.
+    "q457_crps" -> sqlQuery(Seq("events"),
+      crpsSql(e => s"unix_micros($e) div 86400000000")),
+
+    // YULE'S K + Simpson's D lexical richness per source.
+    "q458_yule_k" -> sqlQuery(Seq("documents"),
+      yuleKSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // BURROWS' DELTA stylometry distance between sources.
+    "q459_burrows_delta" -> sqlQuery(Seq("documents"),
+      burrowsDeltaSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // RICH-CLUB coefficient of the category co-purchase graph.
+    "q460_rich_club" -> sqlQuery(Seq("lineitem"), richClubSql),
+
+    // JACKKNIFE (delete-one-group) SE of the mean order value.
+    "q461_jackknife" -> sqlQuery(Seq("orders"), jackknifeSql(
+      "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) as bigint) % 10")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -13102,8 +13285,20 @@ FROM st28"""
     "q449_cliffs_delta" -> cliffsDeltaSql,
     "q450_atkinson" -> atkinsonSql,
     "q451_wilson_interval" -> wilsonSql,
+    "q456_hosmer_lemeshow" -> hosmerLemeshowSql,
+    "q460_rich_club" -> richClubSql,
     // recursive min-label closure over the same blocked match graph
     "q452_entity_resolution" -> entityResolutionOracleSql,
+    // duck md5-prefix bucket spelling, same jackknife folds
+    "q461_jackknife" -> jackknifeSql(
+      "('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 15))::BIGINT % 10"),
+    // duck integer-division spelling, same ensemble core
+    "q457_crps" -> crpsSql(e => s"epoch_us($e) // 86400000000"),
+    // duck positional tokenizer, same lexical/stylometry cores
+    "q458_yule_k" ->
+      yuleKSql(graft.pipeline.TextClassify.duckTokPos),
+    "q459_burrows_delta" ->
+      burrowsDeltaSql(graft.pipeline.TextClassify.duckTokPos),
 
     // duck integer-division spellings, same backtest/uplift cores
     "q453_markov2_backtest" ->
