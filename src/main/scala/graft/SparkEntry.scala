@@ -4415,6 +4415,209 @@ FROM st28"""
       |    * (jk.s2 - jk.s1 * jk.s1 / jk.gcnt)), 6) + 0.0 AS jackknife_se
       |FROM jk CROSS JOIN tot""".stripMargin
 
+  // q462 Mood's median test across event types: exact lower-median by
+  // rank, 2xg contingency chi-square on above/at-or-below counts.
+  private val moodsMedianSql =
+    """WITH base AS (
+      |  SELECT event_type AS g, cast(value as double) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT v AS m FROM (
+      |    SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+      |    FROM base) z
+      |  WHERE rn = cast(floor((n + 1) / 2.0E0) as bigint)),
+      |ct AS (
+      |  SELECT b.g,
+      |    cast(sum(CASE WHEN b.v > med.m THEN 1 ELSE 0 END) as bigint) AS a,
+      |    cast(sum(CASE WHEN b.v <= med.m THEN 1 ELSE 0 END) as bigint) AS b
+      |  FROM base b CROSS JOIN med GROUP BY b.g),
+      |tot AS (
+      |  SELECT cast(sum(a) as bigint) AS ta, cast(sum(b) as bigint) AS tb,
+      |    cast(sum(a + b) as bigint) AS n, cast(count(*) as bigint) AS gcnt
+      |  FROM ct)
+      |SELECT tot.gcnt AS n_groups, cast(tot.gcnt - 1 as int) AS dof,
+      |  round(cast(sum(cast(round(
+      |      (ct.a - (ct.a + ct.b) * cast(tot.ta as double) / tot.n)
+      |        * (ct.a - (ct.a + ct.b) * cast(tot.ta as double) / tot.n)
+      |        / ((ct.a + ct.b) * cast(tot.ta as double) / tot.n)
+      |    + (ct.b - (ct.a + ct.b) * cast(tot.tb as double) / tot.n)
+      |        * (ct.b - (ct.a + ct.b) * cast(tot.tb as double) / tot.n)
+      |        / ((ct.a + ct.b) * cast(tot.tb as double) / tot.n), 9)
+      |    as decimal(25,9))) as double), 6) + 0.0 AS chi2
+      |FROM ct CROSS JOIN tot GROUP BY tot.gcnt""".stripMargin
+
+  // q463 Levene's test (mean-centered): one-way ANOVA F on |x - mean_g|,
+  // group means from decimal-pinned folds.
+  private val leveneSql =
+    """WITH base AS (
+      |  SELECT event_type AS g, cast(value as double) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |gm AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) / count(*) AS mu
+      |  FROM base GROUP BY g),
+      |z AS (
+      |  SELECT b.g, abs(b.v - gm.mu) AS z
+      |  FROM base b JOIN gm ON gm.g = b.g),
+      |gz AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(z, 9) as decimal(30,9))) as double) AS s1,
+      |    cast(sum(cast(round(z * z, 9) as decimal(30,9))) as double) AS s2
+      |  FROM z GROUP BY g),
+      |tot AS (
+      |  SELECT cast(sum(n) as bigint) AS nn, cast(count(*) as bigint) AS k,
+      |    cast(sum(cast(round(s1, 9) as decimal(30,9))) as double) AS ts1
+      |  FROM gz),
+      |parts AS (
+      |  SELECT
+      |    cast(sum(cast(round(gz.n * (gz.s1 / gz.n - tot.ts1 / tot.nn)
+      |      * (gz.s1 / gz.n - tot.ts1 / tot.nn), 9) as decimal(30,9))) as double) AS ssb,
+      |    cast(sum(cast(round(gz.s2 - gz.s1 * gz.s1 / gz.n, 9)
+      |      as decimal(30,9))) as double) AS ssw,
+      |    max(tot.nn) AS nn, max(tot.k) AS k
+      |  FROM gz CROSS JOIN tot)
+      |SELECT cast(k as int) AS n_groups, nn AS n_obs,
+      |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) + 0.0 AS levene_f
+      |FROM parts""".stripMargin
+
+  // q464 PACF at lags 1-3 by the Durbin-Levinson closed form over the
+  // q431-style biased autocovariances (round-9 pinned intermediates).
+  private def pacfSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(y as bigint)) as double) / count(*) AS mu
+       |  FROM daily),
+       |x AS (
+       |  SELECT daily.y - m.mu AS x,
+       |    lag(daily.y - m.mu, 1) OVER (ORDER BY daily.d) AS x1,
+       |    lag(daily.y - m.mu, 2) OVER (ORDER BY daily.d) AS x2,
+       |    lag(daily.y - m.mu, 3) OVER (ORDER BY daily.d) AS x3
+       |  FROM daily CROSS JOIN m),
+       |cv AS (
+       |  SELECT
+       |    cast(sum(cast(round(x * x, 6) as decimal(25,6))) as double) AS c0,
+       |    cast(sum(cast(round(CASE WHEN x1 IS NOT NULL THEN x * x1 ELSE 0.0E0 END, 6)
+       |      as decimal(25,6))) as double) AS c1,
+       |    cast(sum(cast(round(CASE WHEN x2 IS NOT NULL THEN x * x2 ELSE 0.0E0 END, 6)
+       |      as decimal(25,6))) as double) AS c2,
+       |    cast(sum(cast(round(CASE WHEN x3 IS NOT NULL THEN x * x3 ELSE 0.0E0 END, 6)
+       |      as decimal(25,6))) as double) AS c3
+       |  FROM x),
+       |r AS (
+       |  SELECT round(c1 / c0, 9) AS r1, round(c2 / c0, 9) AS r2,
+       |    round(c3 / c0, 9) AS r3
+       |  FROM cv),
+       |p2 AS (
+       |  SELECT r1, r2, r3,
+       |    round((r2 - r1 * r1) / (1 - r1 * r1), 9) AS phi22
+       |  FROM r),
+       |p2b AS (
+       |  SELECT r1, r2, r3, phi22,
+       |    round(r1 * (1 - phi22), 9) AS phi21
+       |  FROM p2)
+       |SELECT r1 + 0.0 AS pacf1, phi22 + 0.0 AS pacf2,
+       |  round((r3 - phi21 * r2 - phi22 * r1)
+       |    / (1 - phi21 * r1 - phi22 * r2), 6) + 0.0 AS pacf3
+       |FROM p2b""".stripMargin
+
+  // q465 STL-lite decomposition strengths: 7-day centered-MA trend,
+  // day-of-week seasonal means on the detrended interior, and the
+  // Hyndman trend/seasonal strength statistics from pinned variances.
+  private def stlStrengthSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |ma AS (
+       |  SELECT d, y, cast(d % 7 as int) AS dow,
+       |    avg(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tr,
+       |    count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+       |  FROM daily),
+       |dt AS (SELECT d, dow, y, tr, y - tr AS det FROM ma WHERE w = 7),
+       |sea AS (
+       |  SELECT dow,
+       |    round(cast(sum(cast(round(det, 9) as decimal(25,9))) as double)
+       |      / count(*), 9) AS s
+       |  FROM dt GROUP BY dow),
+       |r AS (
+       |  SELECT dt.det, dt.det - sea.s AS rem, sea.s
+       |  FROM dt JOIN sea ON sea.dow = dt.dow),
+       |v AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(rem, 9) as decimal(25,9))) as double) AS sr,
+       |    cast(sum(cast(round(rem * rem, 9) as decimal(25,9))) as double) AS srr,
+       |    cast(sum(cast(round(det, 9) as decimal(25,9))) as double) AS sd,
+       |    cast(sum(cast(round(det * det, 9) as decimal(25,9))) as double) AS sdd,
+       |    cast(sum(cast(round(s + rem, 9) as decimal(25,9))) as double) AS ssr,
+       |    cast(sum(cast(round((s + rem) * (s + rem), 9) as decimal(25,9))) as double) AS ssrr
+       |  FROM r)
+       |SELECT n AS n_interior,
+       |  round(greatest(0.0E0, 1 - (srr / n - (sr / n) * (sr / n))
+       |    / (sdd / n - (sd / n) * (sd / n))), 6) + 0.0 AS seasonal_strength,
+       |  round(greatest(0.0E0, 1 - (srr / n - (sr / n) * (sr / n))
+       |    / (ssrr / n - (ssr / n) * (ssr / n))), 6) + 0.0 AS trend_strength,
+       |  round(srr / n - (sr / n) * (sr / n), 6) + 0.0 AS var_remainder
+       |FROM v""".stripMargin
+
+  // q466 Otsu's threshold over a 50-bin order-value histogram: maximize
+  // between-class variance from exact cumulative sums (tie -> lower bin).
+  private val otsuSql =
+    """WITH rng AS (
+      |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |h AS (
+      |  SELECT cast(least(floor((o.o_totalprice - r.mn) / (r.mx - r.mn) * 50.0E0),
+      |    49.0E0) as int) AS b,
+      |    cast(count(*) as bigint) AS c,
+      |    sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) AS s
+      |  FROM orders o CROSS JOIN rng r GROUP BY 1),
+      |cum AS (
+      |  SELECT b,
+      |    sum(c) OVER (ORDER BY b) AS w0,
+      |    sum(s) OVER (ORDER BY b) AS s0
+      |  FROM h),
+      |tot AS (SELECT cast(sum(c) as bigint) AS n, sum(s) AS st FROM h),
+      |bv AS (
+      |  SELECT cum.b,
+      |    round(cast(cum.w0 as double) * (tot.n - cum.w0)
+      |      * (cast(cum.s0 as double) / cum.w0
+      |         - cast(tot.st - cum.s0 as double) / (tot.n - cum.w0))
+      |      * (cast(cum.s0 as double) / cum.w0
+      |         - cast(tot.st - cum.s0 as double) / (tot.n - cum.w0))
+      |      / (cast(tot.n as double) * tot.n), 4) AS v
+      |  FROM cum CROSS JOIN tot WHERE cum.w0 > 0 AND cum.w0 < tot.n),
+      |pick AS (
+      |  SELECT b, v, row_number() OVER (ORDER BY v DESC, b) AS rk FROM bv)
+      |SELECT pick.b AS threshold_bin,
+      |  round(r.mn + (pick.b + 1) * (r.mx - r.mn) / 50.0E0, 4) + 0.0
+      |    AS threshold_value,
+      |  pick.v + 0.0 AS between_var
+      |FROM pick CROSS JOIN rng r WHERE pick.rk = 1""".stripMargin
+
+  // q467 Borda-count rank aggregation of the q445 nation rankings:
+  // consensus = sum of (k - rank) points, ties on nation key.
+  private val bordaSql =
+    """WITH cc AS (SELECT c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM customer GROUP BY 1),
+      |ab AS (SELECT c_nationkey AS nk,
+      |    sum(cast(round(c_acctbal, 2) as decimal(20,2))) AS v
+      |  FROM customer GROUP BY 1),
+      |oc AS (SELECT c.c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1),
+      |r1 AS (SELECT cc.nk, row_number() OVER (ORDER BY cc.v DESC, cc.nk) AS r
+      |  FROM cc JOIN oc ON oc.nk = cc.nk),
+      |r2 AS (SELECT ab.nk, row_number() OVER (ORDER BY ab.v DESC, ab.nk) AS r
+      |  FROM ab JOIN oc ON oc.nk = ab.nk),
+      |r3 AS (SELECT nk, row_number() OVER (ORDER BY v DESC, nk) AS r FROM oc),
+      |k AS (SELECT cast(count(*) as bigint) AS k FROM r3),
+      |s AS (
+      |  SELECT r1.nk, 3 * k.k - r1.r - r2.r - r3.r AS borda
+      |  FROM r1 JOIN r2 ON r2.nk = r1.nk JOIN r3 ON r3.nk = r1.nk CROSS JOIN k)
+      |SELECT cast(nk as int) AS nation, cast(borda as bigint) AS borda_score,
+      |  cast(row_number() OVER (ORDER BY borda DESC, nk) as int) AS consensus_rank
+      |FROM s ORDER BY consensus_rank""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -5733,6 +5936,26 @@ FROM st28"""
     // JACKKNIFE (delete-one-group) SE of the mean order value.
     "q461_jackknife" -> sqlQuery(Seq("orders"), jackknifeSql(
       "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) as bigint) % 10")),
+
+    // MOOD'S MEDIAN test across event types.
+    "q462_moods_median" -> sqlQuery(Seq("events"), moodsMedianSql),
+
+    // LEVENE'S variance-homogeneity F.
+    "q463_levene" -> sqlQuery(Seq("events"), leveneSql),
+
+    // PACF lags 1-3 by Durbin-Levinson.
+    "q464_pacf" -> sqlQuery(Seq("events"),
+      pacfSql(e => s"unix_micros($e) div 86400000000")),
+
+    // STL-LITE trend/seasonal strength diagnostics.
+    "q465_stl_strength" -> sqlQuery(Seq("events"),
+      stlStrengthSql(e => s"unix_micros($e) div 86400000000")),
+
+    // OTSU threshold over the order-value histogram.
+    "q466_otsu" -> sqlQuery(Seq("orders"), otsuSql),
+
+    // BORDA-COUNT consensus ranking.
+    "q467_borda" -> sqlQuery(Seq("customer", "orders"), bordaSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -13287,6 +13510,15 @@ FROM st28"""
     "q451_wilson_interval" -> wilsonSql,
     "q456_hosmer_lemeshow" -> hosmerLemeshowSql,
     "q460_rich_club" -> richClubSql,
+    "q462_moods_median" -> moodsMedianSql,
+    "q463_levene" -> leveneSql,
+    "q466_otsu" -> otsuSql,
+    "q467_borda" -> bordaSql,
+
+    // duck integer-division spellings, same series cores (PACF/STL)
+    "q464_pacf" -> pacfSql(e => s"epoch_us($e) // 86400000000"),
+    "q465_stl_strength" ->
+      stlStrengthSql(e => s"epoch_us($e) // 86400000000"),
     // recursive min-label closure over the same blocked match graph
     "q452_entity_resolution" -> entityResolutionOracleSql,
     // duck md5-prefix bucket spelling, same jackknife folds
