@@ -4618,6 +4618,194 @@ FROM st28"""
       |  cast(row_number() OVER (ORDER BY borda DESC, nk) as int) AS consensus_rank
       |FROM s ORDER BY consensus_rank""".stripMargin
 
+  // q468 3-truss peeling over the category co-purchase graph: edge
+  // support = common-neighbor count; edges with support 0 peel off, two
+  // bounded rounds unrolled (the full fixpoint is iteration of the same
+  // step; counts per round expose the convergence trajectory).
+  private def trussSql(rounds: Int = 2): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s""",
+s$r AS (SELECT u AS x, v AS y FROM $prev UNION ALL SELECT v AS x, u AS y FROM $prev),
+sup$r AS (
+  SELECT e.u, e.v, cast(count(b.y) as bigint) AS sup
+  FROM $prev e
+  LEFT JOIN s$r a ON a.x = e.u
+  LEFT JOIN s$r b ON b.x = e.v AND b.y = a.y
+  GROUP BY e.u, e.v),
+e$r AS (SELECT u, v FROM sup$r WHERE sup >= 1)"""
+    }.mkString
+    val unions = (1 to rounds).map(r =>
+      s"SELECT $r AS round, cast(count(*) as bigint) AS n_edges FROM e$r").mkString(" UNION ALL ")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS i FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.i AS u, b2.i AS v
+  FROM b a JOIN b b2 ON b2.o = a.o AND b2.i > a.i)$steps,
+base AS (SELECT 0 AS round, cast(count(*) as bigint) AS n_edges FROM e0)
+SELECT round, n_edges FROM (SELECT * FROM base UNION ALL $unions) z
+ORDER BY round"""
+  }
+
+  // q469 renewal-process diagnostics of inter-purchase gaps: pooled
+  // per-user gap mean/CV (CV = 1 under Poisson) + exact rank quantiles.
+  private def renewalSql(micros: String => String, idiv: String): String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       |g AS (
+       |  SELECT (${micros("ts")} - ${micros("prev")}) $idiv 3600000000 AS hrs
+       |  FROM (
+       |    SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+       |    FROM p) z
+       |  WHERE prev IS NOT NULL),
+       |s AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(hrs) as bigint) AS s1,
+       |    cast(sum(hrs * hrs) as bigint) AS s2
+       |  FROM g),
+       |q AS (
+       |  SELECT
+       |    max(CASE WHEN rn = cast(floor((n + 1) / 2.0E0) as bigint) THEN hrs END) AS p50,
+       |    max(CASE WHEN rn = cast(floor((n * 9 + 9) / 10.0E0) as bigint) THEN hrs END) AS p90
+       |  FROM (SELECT hrs, row_number() OVER (ORDER BY hrs) AS rn,
+       |          count(*) OVER () AS n FROM g) z)
+       |SELECT s.n AS n_gaps,
+       |  round(cast(s.s1 as double) / s.n, 6) + 0.0 AS mean_hrs,
+       |  round(sqrt((cast(s.s2 as double) - cast(s.s1 as double) * s.s1 / s.n)
+       |    / (s.n - 1)) / (cast(s.s1 as double) / s.n), 6) + 0.0 AS cv,
+       |  cast(q.p50 as bigint) AS p50_hrs, cast(q.p90 as bigint) AS p90_hrs
+       |FROM s CROSS JOIN q""".stripMargin
+
+  // q470 Weibull fit by median-rank regression over the observed
+  // signup->purchase durations: OLS of ln(-ln(1-F_i)) on ln t_i with
+  // Bernard's approximation F_i = (i-0.3)/(n+0.4); shape = slope,
+  // scale = exp(-intercept/shape).
+  private def weibullSql(micros: String => String, idiv: String): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t1
+       |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       |dur AS (
+       |  SELECT (${micros("p.t1")} - ${micros("s.t0")}) $idiv 3600000000 AS hrs
+       |  FROM p JOIN s ON s.user_id = p.user_id),
+       |rk AS (
+       |  SELECT cast(hrs as double) AS t,
+       |    row_number() OVER (ORDER BY hrs) AS i, count(*) OVER () AS n
+       |  FROM dur WHERE hrs > 0),
+       |xy AS (
+       |  SELECT round(ln(t), 9) AS x,
+       |    round(ln(-ln(1 - (i - 0.3E0) / (n + 0.4E0))), 9) AS y
+       |  FROM rk),
+       |f AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(x as decimal(20,9))) as double) AS sx,
+       |    cast(sum(cast(y as decimal(20,9))) as double) AS sy,
+       |    cast(sum(cast(round(x * y, 9) as decimal(25,9))) as double) AS sxy,
+       |    cast(sum(cast(round(x * x, 9) as decimal(25,9))) as double) AS sxx
+       |  FROM xy),
+       |co AS (
+       |  SELECT n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS shape,
+       |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) AS icpt
+       |  FROM f)
+       |SELECT n AS n_obs, shape + 0.0 AS weibull_shape,
+       |  round(exp(-icpt / shape), 6) + 0.0 AS weibull_scale_hrs
+       |FROM co""".stripMargin
+
+  // q471 XmR (individuals + moving range) control chart over daily
+  // counts: UCL/LCL = mean +- 2.66 * mean moving range, out-of-control
+  // census from exact integer folds.
+  private def xmrSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |mr AS (
+       |  SELECT d, y, abs(y - lag(y) OVER (ORDER BY d)) AS r
+       |  FROM daily),
+       |s AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(y) as bigint) AS sy,
+       |    cast(sum(r) as bigint) AS sr,
+       |    cast(count(r) as bigint) AS nr
+       |  FROM mr),
+       |lim AS (
+       |  SELECT n, cast(sy as double) / n AS ybar,
+       |    cast(sr as double) / nr AS mrbar,
+       |    cast(sy as double) / n + 2.66E0 * cast(sr as double) / nr AS ucl,
+       |    cast(sy as double) / n - 2.66E0 * cast(sr as double) / nr AS lcl
+       |  FROM s)
+       |SELECT lim.n AS n_days,
+       |  round(lim.ybar, 6) + 0.0 AS center,
+       |  round(lim.mrbar, 6) + 0.0 AS mr_bar,
+       |  round(lim.ucl, 6) + 0.0 AS ucl,
+       |  round(lim.lcl, 6) + 0.0 AS lcl,
+       |  cast(sum(CASE WHEN daily.y > lim.ucl OR daily.y < lim.lcl
+       |    THEN 1 ELSE 0 END) as bigint) AS n_out_of_control
+       |FROM daily CROSS JOIN lim
+       |GROUP BY lim.n, lim.ybar, lim.mrbar, lim.ucl, lim.lcl""".stripMargin
+
+  // q472 restricted mean survival time at tau = 336 h (14 d): the
+  // step-function integral of the q287 Kaplan-Meier curve, segment
+  // products decimal-pinned.
+  private def rmstSql(micros: String => String, idiv: String): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t1
+       |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       |mx AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+       |dur AS (
+       |  SELECT s.user_id,
+       |    CASE WHEN p.t1 IS NOT NULL
+       |      THEN (${micros("p.t1")} - ${micros("s.t0")}) $idiv 3600000000
+       |      ELSE (${micros("mx.tmax")} - ${micros("s.t0")}) $idiv 3600000000 END AS hrs,
+       |    (p.t1 IS NOT NULL) AS observed
+       |  FROM s JOIN mx ON s.user_id = mx.user_id
+       |  LEFT JOIN p ON s.user_id = p.user_id),
+       |ev AS (
+       |  SELECT hrs,
+       |    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+       |    cast(count(*) as bigint) AS leaving
+       |  FROM dur GROUP BY hrs),
+       |rk AS (
+       |  SELECT hrs, d, sum(leaving) OVER (ORDER BY hrs DESC) AS n_risk
+       |  FROM ev),
+       |km AS (
+       |  SELECT hrs, d, n_risk,
+       |    sum(CASE WHEN d > 0 AND d < n_risk
+       |      THEN cast(round(ln(1.0 - cast(d as double) / n_risk), 9) as decimal(20,9))
+       |      ELSE cast(0 as decimal(20,9)) END)
+       |      OVER (ORDER BY hrs) AS logs,
+       |    max(CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY hrs) AS extinct
+       |  FROM rk),
+       |curve AS (
+       |  SELECT hrs,
+       |    round(CASE WHEN extinct = 1 THEN 0.0
+       |      ELSE exp(cast(logs as double)) END, 9) AS surv
+       |  FROM km WHERE d > 0),
+       |seg AS (
+       |  SELECT hrs, surv,
+       |    coalesce(lag(hrs) OVER (ORDER BY hrs), 0) AS ph,
+       |    coalesce(lag(surv) OVER (ORDER BY hrs), 1.0E0) AS ps
+       |  FROM curve),
+       |body AS (
+       |  SELECT cast(sum(cast(round(
+       |      ps * (least(cast(hrs as double), 336.0E0) - least(cast(ph as double), 336.0E0)),
+       |      9) as decimal(25,9))) as double) AS area
+       |  FROM seg),
+       |tail AS (
+       |  SELECT round(surv * (336.0E0 - least(cast(hrs as double), 336.0E0)), 9) AS t
+       |  FROM (SELECT hrs, surv,
+       |          row_number() OVER (ORDER BY hrs DESC) AS rk FROM curve) z
+       |  WHERE rk = 1)
+       |SELECT 336 AS tau_hrs,
+       |  round(body.area + tail.t, 6) + 0.0 AS rmst_hrs
+       |FROM body CROSS JOIN tail""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -5956,6 +6144,25 @@ FROM st28"""
 
     // BORDA-COUNT consensus ranking.
     "q467_borda" -> sqlQuery(Seq("customer", "orders"), bordaSql),
+
+    // 3-TRUSS support peeling (2 bounded rounds).
+    "q468_truss_peel" -> sqlQuery(Seq("lineitem"), trussSql(2)),
+
+    // RENEWAL diagnostics of inter-purchase gaps (CV = 1 under Poisson).
+    "q469_renewal" -> sqlQuery(Seq("events"),
+      renewalSql(e => s"unix_micros($e)", "div")),
+
+    // WEIBULL median-rank regression fit of conversion durations.
+    "q470_weibull" -> sqlQuery(Seq("events"),
+      weibullSql(e => s"unix_micros($e)", "div")),
+
+    // XmR (individuals/moving-range) control chart summary.
+    "q471_xmr_chart" -> sqlQuery(Seq("events"),
+      xmrSql(e => s"unix_micros($e) div 86400000000")),
+
+    // RESTRICTED MEAN SURVIVAL TIME at 14 days over the KM curve.
+    "q472_rmst" -> sqlQuery(Seq("events"),
+      rmstSql(e => s"unix_micros($e)", "div")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -13519,6 +13726,11 @@ FROM st28"""
     "q464_pacf" -> pacfSql(e => s"epoch_us($e) // 86400000000"),
     "q465_stl_strength" ->
       stlStrengthSql(e => s"epoch_us($e) // 86400000000"),
+    "q468_truss_peel" -> trussSql(2),
+    "q469_renewal" -> renewalSql(e => s"epoch_us($e)", "//"),
+    "q470_weibull" -> weibullSql(e => s"epoch_us($e)", "//"),
+    "q471_xmr_chart" -> xmrSql(e => s"epoch_us($e) // 86400000000"),
+    "q472_rmst" -> rmstSql(e => s"epoch_us($e)", "//"),
     // recursive min-label closure over the same blocked match graph
     "q452_entity_resolution" -> entityResolutionOracleSql,
     // duck md5-prefix bucket spelling, same jackknife folds
