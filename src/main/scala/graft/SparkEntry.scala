@@ -4806,6 +4806,133 @@ ORDER BY round"""
        |  round(body.area + tail.t, 6) + 0.0 AS rmst_hrs
        |FROM body CROSS JOIN tail""".stripMargin
 
+  // q473 unseen-vocabulary estimators per source: Chao1 richness
+  // (singleton/doubleton) and the Good-Turing unseen probability mass.
+  private def chao1Sql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |wc AS (
+       |  SELECT s.source, t.word, cast(count(*) as bigint) AS c
+       |  FROM tokp t JOIN src s ON s.doc_id = t.doc_id
+       |  GROUP BY s.source, t.word),
+       |agg AS (
+       |  SELECT source, cast(count(*) as bigint) AS v,
+       |    cast(sum(c) as bigint) AS n,
+       |    cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS f1,
+       |    cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) as bigint) AS f2
+       |  FROM wc GROUP BY source)
+       |SELECT source, v AS vocab, n AS n_tokens, f1, f2,
+       |  round(CASE WHEN f2 > 0
+       |    THEN v + cast(f1 as double) * f1 / (2.0E0 * f2)
+       |    ELSE v + cast(f1 as double) * (f1 - 1) / 2.0E0 END, 4) + 0.0 AS chao1,
+       |  round(cast(f1 as double) / n, 6) + 0.0 AS gt_unseen_mass
+       |FROM agg ORDER BY source""".stripMargin
+
+  // q474 Chapman capture-recapture estimate of total vocabulary from
+  // two word samples (even vs odd doc ids) — the mark-recapture twin of
+  // q473's Chao1.
+  private def chapmanSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |a AS (SELECT DISTINCT word FROM tokp WHERE doc_id % 2 = 0),
+       |b AS (SELECT DISTINCT word FROM tokp WHERE doc_id % 2 = 1),
+       |m AS (SELECT cast(count(*) as bigint) AS m
+       |      FROM a JOIN b ON b.word = a.word),
+       |s AS (
+       |  SELECT (SELECT cast(count(*) as bigint) FROM a) AS n1,
+       |    (SELECT cast(count(*) as bigint) FROM b) AS n2,
+       |    m.m FROM m)
+       |SELECT n1, n2, m AS n_recaptured,
+       |  round((n1 + 1.0E0) * (n2 + 1.0E0) / (m + 1.0E0) - 1, 4) + 0.0
+       |    AS chapman_vocab,
+       |  round(sqrt((n1 + 1.0E0) * (n2 + 1.0E0) * (n1 - m) * (n2 - m)
+       |    / ((m + 1.0E0) * (m + 1.0E0) * (m + 2.0E0))), 4) + 0.0 AS chapman_se
+       |FROM s""".stripMargin
+
+  // q475 one-way random-effects ICC(1,1) of per-(user, day) activity:
+  // MSB/MSW from exact integer folds, unbalanced k0 correction.
+  private def iccSql(dayNum: String => String): String =
+    s"""WITH m AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT user_id, cast(count(*) as bigint) AS n,
+       |    cast(sum(y) as bigint) AS s1, cast(sum(y * y) as bigint) AS s2
+       |  FROM m GROUP BY user_id),
+       |tot AS (
+       |  SELECT cast(sum(n) as bigint) AS nn, cast(count(*) as bigint) AS gc,
+       |    cast(sum(s1) as bigint) AS ts1, cast(sum(s2) as bigint) AS ts2,
+       |    cast(sum(n * n) as bigint) AS sn2
+       |  FROM g),
+       |ss AS (
+       |  SELECT tot.nn, tot.gc,
+       |    cast(sum(cast(round(cast(g.s1 as double) * g.s1 / g.n, 9)
+       |      as decimal(30,9))) as double)
+       |      - cast(tot.ts1 as double) * tot.ts1 / tot.nn AS ssb,
+       |    cast(tot.ts2 as double)
+       |      - cast(sum(cast(round(cast(g.s1 as double) * g.s1 / g.n, 9)
+       |        as decimal(30,9))) as double) AS ssw,
+       |    (tot.nn - cast(tot.sn2 as double) / tot.nn) / (tot.gc - 1) AS k0
+       |  FROM g CROSS JOIN tot GROUP BY tot.nn, tot.gc, tot.ts1, tot.ts2, tot.sn2)
+       |SELECT gc AS n_users, nn AS n_measurements,
+       |  round(k0, 6) + 0.0 AS k0,
+       |  round((ssb / (gc - 1) - ssw / (nn - gc))
+       |    / (ssb / (gc - 1) + (k0 - 1) * (ssw / (nn - gc))), 6) + 0.0 AS icc_1_1
+       |FROM ss""".stripMargin
+
+  // q476 seasonal Mann-Kendall trend test over daily counts by
+  // day-of-week season: exact pair sign sums, tie-corrected variance,
+  // continuity-corrected Z.
+  private def seasonalMkSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(${dayNum("ts")} % 7 as int) AS dow,
+       |    cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.dow,
+       |    cast(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+       |      as bigint) AS s
+       |  FROM daily a JOIN daily b ON b.dow = a.dow AND b.d > a.d
+       |  GROUP BY a.dow),
+       |ns AS (SELECT dow, cast(count(*) as bigint) AS n FROM daily GROUP BY dow),
+       |ties AS (
+       |  SELECT dow, cast(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) as bigint) AS tc
+       |  FROM (SELECT dow, y, cast(count(*) as bigint) AS t
+       |        FROM daily GROUP BY dow, y) z
+       |  WHERE t > 1 GROUP BY dow),
+       |agg AS (
+       |  SELECT cast(sum(p.s) as bigint) AS s,
+       |    cast(sum(ns.n * (ns.n - 1) * (2 * ns.n + 5) - coalesce(t.tc, 0)) as double)
+       |      / 18.0E0 AS var_s
+       |  FROM pairs p JOIN ns ON ns.dow = p.dow
+       |  LEFT JOIN ties t ON t.dow = p.dow)
+       |SELECT s AS mk_s, round(var_s, 6) + 0.0 AS var_s,
+       |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+       |             WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+       |             ELSE 0.0E0 END, 6) + 0.0 AS mk_z
+       |FROM agg""".stripMargin
+
+  // q477 turning-point randomness test: strict local extrema census,
+  // E = 2(n-2)/3, Var = (16n-29)/90.
+  private def turningPointSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT y,
+       |    lag(y) OVER (ORDER BY d) AS yp,
+       |    lead(y) OVER (ORDER BY d) AS yn
+       |  FROM daily),
+       |s AS (
+       |  SELECT cast(count(*) as bigint) + 2 AS n,
+       |    cast(sum(CASE WHEN (y - yp) * (y - yn) > 0 THEN 1 ELSE 0 END)
+       |      as bigint) AS tp
+       |  FROM w WHERE yp IS NOT NULL AND yn IS NOT NULL)
+       |SELECT n AS n_days, tp AS turning_points,
+       |  round(2.0E0 * (n - 2) / 3.0E0, 6) + 0.0 AS expected_tp,
+       |  round((tp - 2.0E0 * (n - 2) / 3.0E0)
+       |    / sqrt((16.0E0 * n - 29) / 90.0E0), 6) + 0.0 AS tp_z
+       |FROM s""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -6163,6 +6290,26 @@ ORDER BY round"""
     // RESTRICTED MEAN SURVIVAL TIME at 14 days over the KM curve.
     "q472_rmst" -> sqlQuery(Seq("events"),
       rmstSql(e => s"unix_micros($e)", "div")),
+
+    // CHAO1 + Good-Turing unseen-vocabulary estimators per source.
+    "q473_chao1" -> sqlQuery(Seq("documents"),
+      chao1Sql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // CHAPMAN capture-recapture vocabulary estimate.
+    "q474_chapman" -> sqlQuery(Seq("documents"),
+      chapmanSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // ICC(1,1) of per-(user, day) activity.
+    "q475_icc" -> sqlQuery(Seq("events"),
+      iccSql(e => s"unix_micros($e) div 86400000000")),
+
+    // SEASONAL Mann-Kendall trend test (tie-corrected).
+    "q476_seasonal_mk" -> sqlQuery(Seq("events"),
+      seasonalMkSql(e => s"unix_micros($e) div 86400000000")),
+
+    // TURNING-POINT randomness test.
+    "q477_turning_point" -> sqlQuery(Seq("events"),
+      turningPointSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -13731,6 +13878,16 @@ ORDER BY round"""
     "q470_weibull" -> weibullSql(e => s"epoch_us($e)", "//"),
     "q471_xmr_chart" -> xmrSql(e => s"epoch_us($e) // 86400000000"),
     "q472_rmst" -> rmstSql(e => s"epoch_us($e)", "//"),
+    "q475_icc" -> iccSql(e => s"epoch_us($e) // 86400000000"),
+    "q476_seasonal_mk" ->
+      seasonalMkSql(e => s"epoch_us($e) // 86400000000"),
+    "q477_turning_point" ->
+      turningPointSql(e => s"epoch_us($e) // 86400000000"),
+
+    // duck positional tokenizer, same estimator cores
+    "q473_chao1" -> chao1Sql(graft.pipeline.TextClassify.duckTokPos),
+    "q474_chapman" ->
+      chapmanSql(graft.pipeline.TextClassify.duckTokPos),
     // recursive min-label closure over the same blocked match graph
     "q452_entity_resolution" -> entityResolutionOracleSql,
     // duck md5-prefix bucket spelling, same jackknife folds
