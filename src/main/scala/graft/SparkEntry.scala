@@ -4933,6 +4933,203 @@ ORDER BY round"""
        |    / sqrt((16.0E0 * n - 29) / 90.0E0), 6) + 0.0 AS tp_z
        |FROM s""".stripMargin
 
+  // q478 Spiegelhalter's calibration Z on the q456 split: grouped exact
+  // folds of (y - p)(1 - 2p) against the null variance.
+  private val spiegelhalterSql =
+    """WITH tr AS (
+      |  SELECT o_orderpriority AS g,
+      |    round(cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as double)
+      |      / count(*), 9) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |te AS (
+      |  SELECT o_orderpriority AS g, cast(count(*) as bigint) AS n,
+      |    cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS o
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+      |f AS (
+      |  SELECT
+      |    cast(sum(cast(round((te.o - te.n * tr.p) * (1 - 2 * tr.p), 9)
+      |      as decimal(25,9))) as double) AS num,
+      |    cast(sum(cast(round(te.n * (1 - 2 * tr.p) * (1 - 2 * tr.p)
+      |      * tr.p * (1 - tr.p), 9) as decimal(25,9))) as double) AS den,
+      |    cast(sum(te.n) as bigint) AS n_test
+      |  FROM te JOIN tr ON tr.g = te.g)
+      |SELECT n_test, round(num / sqrt(den), 6) + 0.0 AS spiegelhalter_z
+      |FROM f""".stripMargin
+
+  // q479 distance correlation between day index and daily count: doubly
+  // centered distance matrices over the full n^2 pair table (n = days —
+  // metadata-sized; the pair table never touches raw events).
+  private def dcorSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |pts AS (
+       |  SELECT cast(row_number() OVER (ORDER BY d) as bigint) AS i, y FROM daily),
+       |pr AS (
+       |  SELECT a.i AS j, b.i AS k,
+       |    cast(abs(a.i - b.i) as double) AS da,
+       |    cast(abs(a.y - b.y) as double) AS db
+       |  FROM pts a CROSS JOIN pts b),
+       |rm AS (
+       |  SELECT j, cast(sum(cast(da as decimal(20,4))) as double) / count(*) AS ra,
+       |    cast(sum(cast(db as decimal(20,4))) as double) / count(*) AS rb
+       |  FROM pr GROUP BY j),
+       |gm AS (
+       |  SELECT cast(sum(cast(da as decimal(25,4))) as double) / count(*) AS ga,
+       |    cast(sum(cast(db as decimal(25,4))) as double) / count(*) AS gb
+       |  FROM pr),
+       |cen AS (
+       |  SELECT round(pr.da - rj.ra - rk.ra + gm.ga, 9) AS ca,
+       |    round(pr.db - rj.rb - rk.rb + gm.gb, 9) AS cb
+       |  FROM pr JOIN rm rj ON rj.j = pr.j JOIN rm rk ON rk.j = pr.k
+       |  CROSS JOIN gm),
+       |mom AS (
+       |  SELECT cast(count(*) as bigint) AS n2,
+       |    cast(sum(cast(round(ca * cb, 9) as decimal(25,9))) as double) AS sxy,
+       |    cast(sum(cast(round(ca * ca, 9) as decimal(25,9))) as double) AS sxx,
+       |    cast(sum(cast(round(cb * cb, 9) as decimal(25,9))) as double) AS syy
+       |  FROM cen)
+       |SELECT n2 AS n_pairs,
+       |  round(sqrt(greatest(sxy, 0.0E0) / sqrt(sxx * syy)), 6) + 0.0 AS dcor
+       |FROM mom""".stripMargin
+
+  // q480 log-rank test between even/odd user cohorts over the q287
+  // durations: per pooled event time, hypergeometric O-E and variance
+  // from at-risk counts (range join over the metadata-sized time list).
+  private def logRankSql(micros: String => String, idiv: String): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t1
+       |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       |mx AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+       |dur AS (
+       |  SELECT s.user_id, cast(s.user_id % 2 as int) AS grp,
+       |    CASE WHEN p.t1 IS NOT NULL
+       |      THEN (${micros("p.t1")} - ${micros("s.t0")}) $idiv 3600000000
+       |      ELSE (${micros("mx.tmax")} - ${micros("s.t0")}) $idiv 3600000000 END AS hrs,
+       |    (p.t1 IS NOT NULL) AS observed
+       |  FROM s JOIN mx ON s.user_id = mx.user_id
+       |  LEFT JOIN p ON s.user_id = p.user_id),
+       |ev AS (
+       |  SELECT hrs, grp,
+       |    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+       |    cast(count(*) as bigint) AS leaving
+       |  FROM dur GROUP BY hrs, grp),
+       |times AS (
+       |  SELECT hrs, cast(sum(d) as bigint) AS dt
+       |  FROM ev GROUP BY hrs HAVING sum(d) > 0),
+       |risk AS (
+       |  SELECT t.hrs, t.dt,
+       |    cast(sum(ev.leaving) as bigint) AS nt,
+       |    cast(sum(CASE WHEN ev.grp = 1 THEN ev.leaving ELSE 0 END) as bigint) AS n1,
+       |    cast(sum(CASE WHEN ev.grp = 1 AND ev.hrs = t.hrs THEN ev.d ELSE 0 END)
+       |      as bigint) AS d1
+       |  FROM times t JOIN ev ON ev.hrs >= t.hrs
+       |  GROUP BY t.hrs, t.dt),
+       |f AS (
+       |  SELECT
+       |    cast(sum(d1) as bigint) AS o1,
+       |    cast(sum(cast(round(dt * cast(n1 as double) / nt, 9)
+       |      as decimal(25,9))) as double) AS e1,
+       |    cast(sum(cast(round(CASE WHEN nt > 1
+       |      THEN dt * (cast(n1 as double) / nt) * (1 - cast(n1 as double) / nt)
+       |        * (nt - dt) / (nt - 1.0E0) ELSE 0.0E0 END, 9)
+       |      as decimal(25,9))) as double) AS v
+       |  FROM risk)
+       |SELECT o1 AS observed_g1, round(e1, 6) + 0.0 AS expected_g1,
+       |  round((o1 - e1) * (o1 - e1) / v, 6) + 0.0 AS logrank_chi2
+       |FROM f""".stripMargin
+
+  // q481 seasonal-hybrid ESD: the q465 STL-lite residual (7-day MA trend
+  // + dow seasonal means) peeled by two unrolled max-|z| rounds.
+  private def shEsdSql(dayNum: String => String, rounds: Int = 2): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = s"rem${i - 1}"
+      s""",
+st$i AS (
+  SELECT cast(count(*) as bigint) AS n,
+    cast(sum(cast(round(rr, 9) as decimal(25,9))) as double) AS s1,
+    cast(sum(cast(round(rr * rr, 9) as decimal(25,9))) as double) AS s2
+  FROM $prev),
+z$i AS (
+  SELECT r.d, r.rr,
+    abs(r.rr - s.s1 / s.n) / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS r_stat
+  FROM $prev r CROSS JOIN st$i s),
+pick$i AS (
+  SELECT $i AS peel_round, d, round(rr, 6) AS residual, round(r_stat, 6) AS r_stat
+  FROM z$i ORDER BY r_stat DESC, d LIMIT 1),
+rem$i AS (
+  SELECT r.d, r.rr FROM $prev r
+  WHERE r.d NOT IN (SELECT d FROM pick$i))"""
+    }.mkString
+    val union = (1 to rounds).map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")
+    s"""WITH daily AS (
+  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+  FROM events GROUP BY 1),
+ma AS (
+  SELECT d, y, cast(d % 7 as int) AS dow,
+    avg(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tr,
+    count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+  FROM daily),
+dt AS (SELECT d, dow, y - tr AS det FROM ma WHERE w = 7),
+sea AS (
+  SELECT dow,
+    round(cast(sum(cast(round(det, 9) as decimal(25,9))) as double)
+      / count(*), 9) AS s
+  FROM dt GROUP BY dow),
+rem0 AS (
+  SELECT dt.d, round(dt.det - sea.s, 9) AS rr
+  FROM dt JOIN sea ON sea.dow = dt.dow)$steps
+SELECT cast(peel_round as int) AS peel_round, cast(d as bigint) AS day_id,
+  residual + 0.0 AS residual, r_stat + 0.0 AS r_stat
+FROM ($union) z ORDER BY peel_round"""
+  }
+
+  // q482 synthetic-control-lite lift for nation 0: donor weights
+  // inverse-distance on pre-period (1995-1997) yearly revenue, synthetic
+  // post = weighted donor average, lift = actual - synthetic.
+  private def synthControlSql(year: String => String): String =
+    s"""WITH rev AS (
+       |  SELECT c.c_nationkey AS nk, ${year("o.o_orderdate")} AS yr,
+       |    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double) AS r
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1, 2),
+       |pre AS (SELECT nk, yr, r FROM rev WHERE yr < 1998),
+       |post AS (
+       |  SELECT nk, cast(sum(cast(round(r, 2) as decimal(25,2))) as double) AS r
+       |  FROM rev WHERE yr >= 1998 GROUP BY nk),
+       |t_pre AS (SELECT yr, r FROM pre WHERE nk = 0),
+       |dist AS (
+       |  SELECT p.nk,
+       |    cast(sum(cast(round((p.r - t.r) * (p.r - t.r), 2) as decimal(30,2)))
+       |      as double) AS d2
+       |  FROM pre p JOIN t_pre t ON t.yr = p.yr
+       |  WHERE p.nk <> 0 GROUP BY p.nk),
+       |w AS (
+       |  SELECT nk, round(1.0E0 / (1.0E0 + sqrt(d2)), 12) AS w FROM dist),
+       |wn AS (
+       |  SELECT w.nk, round(w.w / t.sw, 12) AS w
+       |  FROM w CROSS JOIN (
+       |    SELECT cast(sum(cast(w as decimal(25,12))) as double) AS sw FROM w) t),
+       |syn AS (
+       |  SELECT cast(sum(cast(round(wn.w * post.r, 6) as decimal(30,6))) as double)
+       |    AS synthetic
+       |  FROM wn JOIN post ON post.nk = wn.nk),
+       |act AS (SELECT r FROM post WHERE nk = 0),
+       |topw AS (
+       |  SELECT nk, w FROM (
+       |    SELECT nk, w, row_number() OVER (ORDER BY w DESC, nk) AS rk FROM wn) z
+       |  WHERE rk = 1)
+       |SELECT round(act.r, 2) + 0.0 AS actual_post,
+       |  round(syn.synthetic, 2) + 0.0 AS synthetic_post,
+       |  round(act.r - syn.synthetic, 2) + 0.0 AS lift,
+       |  cast(topw.nk as int) AS top_donor,
+       |  round(topw.w, 6) + 0.0 AS top_donor_weight
+       |FROM act CROSS JOIN syn CROSS JOIN topw""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -6310,6 +6507,25 @@ ORDER BY round"""
     // TURNING-POINT randomness test.
     "q477_turning_point" -> sqlQuery(Seq("events"),
       turningPointSql(e => s"unix_micros($e) div 86400000000")),
+
+    // SPIEGELHALTER calibration Z.
+    "q478_spiegelhalter" -> sqlQuery(Seq("orders"), spiegelhalterSql),
+
+    // DISTANCE CORRELATION (day index vs daily count).
+    "q479_distance_corr" -> sqlQuery(Seq("events"),
+      dcorSql(e => s"unix_micros($e) div 86400000000")),
+
+    // LOG-RANK test between even/odd user cohorts.
+    "q480_logrank" -> sqlQuery(Seq("events"),
+      logRankSql(e => s"unix_micros($e)", "div")),
+
+    // SEASONAL-HYBRID ESD anomaly peeling on STL-lite residuals.
+    "q481_sh_esd" -> sqlQuery(Seq("events"),
+      shEsdSql(e => s"unix_micros($e) div 86400000000")),
+
+    // SYNTHETIC-CONTROL-LITE lift for nation 0.
+    "q482_synth_control" -> sqlQuery(Seq("orders", "customer"),
+      synthControlSql(e => s"year($e)")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -13888,6 +14104,13 @@ ORDER BY round"""
     "q473_chao1" -> chao1Sql(graft.pipeline.TextClassify.duckTokPos),
     "q474_chapman" ->
       chapmanSql(graft.pipeline.TextClassify.duckTokPos),
+
+    // identical portable text / duck spellings (calibration + survival)
+    "q478_spiegelhalter" -> spiegelhalterSql,
+    "q479_distance_corr" -> dcorSql(e => s"epoch_us($e) // 86400000000"),
+    "q480_logrank" -> logRankSql(e => s"epoch_us($e)", "//"),
+    "q481_sh_esd" -> shEsdSql(e => s"epoch_us($e) // 86400000000"),
+    "q482_synth_control" -> synthControlSql(e => s"year($e)"),
     // recursive min-label closure over the same blocked match graph
     "q452_entity_resolution" -> entityResolutionOracleSql,
     // duck md5-prefix bucket spelling, same jackknife folds
