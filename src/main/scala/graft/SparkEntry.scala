@@ -5130,6 +5130,132 @@ FROM ($union) z ORDER BY peel_round"""
        |  round(topw.w, 6) + 0.0 AS top_donor_weight
        |FROM act CROSS JOIN syn CROSS JOIN topw""".stripMargin
 
+  // q483 Fellegi-Sunter probabilistic linkage over the q452 blocked
+  // candidates: 3 binary comparison fields (levenshtein<=1, equal
+  // length, same second word), EM for (p, m_k, u_k) unrolled `iters`
+  // rounds from literal starts, every update round-9 pinned. Output =
+  // the 8 agreement patterns with final match probabilities.
+  private def fellegiSunterSql(iters: Int = 2): String = {
+    def mTerm(pp: String) =
+      s"""(CASE WHEN g1 = 1 THEN $pp.m1 ELSE 1 - $pp.m1 END)
+         | * (CASE WHEN g2 = 1 THEN $pp.m2 ELSE 1 - $pp.m2 END)
+         | * (CASE WHEN g3 = 1 THEN $pp.m3 ELSE 1 - $pp.m3 END)""".stripMargin
+    def uTerm(pp: String) =
+      s"""(CASE WHEN g1 = 1 THEN $pp.u1 ELSE 1 - $pp.u1 END)
+         | * (CASE WHEN g2 = 1 THEN $pp.u2 ELSE 1 - $pp.u2 END)
+         | * (CASE WHEN g3 = 1 THEN $pp.u3 ELSE 1 - $pp.u3 END)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val pp = s"par${k - 1}"
+      s""",
+w$k AS (
+  SELECT pat.g1, pat.g2, pat.g3, pat.n,
+    round($pp.p * ${mTerm(pp)}
+      / ($pp.p * ${mTerm(pp)}
+         + (1 - $pp.p) * ${uTerm(pp)}), 9) AS w
+  FROM pat CROSS JOIN $pp),
+par$k AS (
+  SELECT
+    round(cast(sum(cast(round(n * w, 9) as decimal(30,9))) as double)
+      / sum(n), 9) AS p,
+    round(cast(sum(cast(round(n * w * g1, 9) as decimal(30,9))) as double)
+      / cast(sum(cast(round(n * w, 9) as decimal(30,9))) as double), 9) AS m1,
+    round(cast(sum(cast(round(n * w * g2, 9) as decimal(30,9))) as double)
+      / cast(sum(cast(round(n * w, 9) as decimal(30,9))) as double), 9) AS m2,
+    round(cast(sum(cast(round(n * w * g3, 9) as decimal(30,9))) as double)
+      / cast(sum(cast(round(n * w, 9) as decimal(30,9))) as double), 9) AS m3,
+    round(cast(sum(cast(round(n * (1 - w) * g1, 9) as decimal(30,9))) as double)
+      / cast(sum(cast(round(n * (1 - w), 9) as decimal(30,9))) as double), 9) AS u1,
+    round(cast(sum(cast(round(n * (1 - w) * g2, 9) as decimal(30,9))) as double)
+      / cast(sum(cast(round(n * (1 - w), 9) as decimal(30,9))) as double), 9) AS u2,
+    round(cast(sum(cast(round(n * (1 - w) * g3, 9) as decimal(30,9))) as double)
+      / cast(sum(cast(round(n * (1 - w), 9) as decimal(30,9))) as double), 9) AS u3
+  FROM w$k)"""
+    }.mkString
+    s"""WITH p0 AS (
+  SELECT p_partkey AS id, p_name, split_part(p_name, ' ', 1) AS blk,
+    split_part(p_name, ' ', 2) AS w2, length(p_name) AS ln
+  FROM part WHERE p_partkey < 600),
+cand AS (
+  SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 1 THEN 1 ELSE 0 END AS g1,
+    CASE WHEN a.ln = b.ln THEN 1 ELSE 0 END AS g2,
+    CASE WHEN a.w2 = b.w2 THEN 1 ELSE 0 END AS g3
+  FROM p0 a JOIN p0 b ON b.blk = a.blk AND b.id > a.id),
+pat AS (
+  SELECT g1, g2, g3, cast(count(*) as bigint) AS n
+  FROM cand GROUP BY g1, g2, g3),
+par0 AS (SELECT 0.3E0 AS p, 0.8E0 AS m1, 0.8E0 AS m2, 0.8E0 AS m3,
+  0.2E0 AS u1, 0.2E0 AS u2, 0.2E0 AS u3)$steps
+SELECT w.g1, w.g2, w.g3, w.n, w.w + 0.0 AS match_prob,
+  round(par$iters.p, 6) + 0.0 AS em_p,
+  round(par$iters.m1, 6) + 0.0 AS em_m1,
+  round(par$iters.u1, 6) + 0.0 AS em_u1
+FROM w$iters w CROSS JOIN par$iters
+ORDER BY w.g1, w.g2, w.g3"""
+  }
+
+  // q484 rank-biased overlap (p = 0.9, depth 10) between the
+  // customer-count and order-count nation rankings, prefix-normalized.
+  private val rboSql = {
+    val ds = (1 to 10).map(d => s"SELECT $d AS d").mkString(" UNION ALL ")
+    s"""WITH cc AS (SELECT c_nationkey AS nk, cast(count(*) as bigint) AS v
+       |  FROM customer GROUP BY 1),
+       |oc AS (SELECT c.c_nationkey AS nk, cast(count(*) as bigint) AS v
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1),
+       |r1 AS (SELECT cc.nk, row_number() OVER (ORDER BY cc.v DESC, cc.nk) AS ra
+       |  FROM cc JOIN oc ON oc.nk = cc.nk),
+       |r2 AS (SELECT nk, row_number() OVER (ORDER BY v DESC, nk) AS rb FROM oc),
+       |j AS (SELECT r1.nk, r1.ra, r2.rb FROM r1 JOIN r2 ON r2.nk = r1.nk),
+       |ds AS ($ds),
+       |ov AS (
+       |  SELECT ds.d,
+       |    round(cast(sum(CASE WHEN j.ra <= ds.d AND j.rb <= ds.d
+       |      THEN 1 ELSE 0 END) as double) / ds.d, 9) AS a_d
+       |  FROM ds CROSS JOIN j GROUP BY ds.d)
+       |SELECT 10 AS depth,
+       |  round(cast(sum(cast(round(0.1E0 * power(0.9E0, d - 1) * a_d, 12)
+       |    as decimal(20,12))) as double) / (1 - power(0.9E0, 10)), 6) + 0.0
+       |    AS rbo
+       |FROM ov""".stripMargin
+  }
+
+  // q485 Kemeny (Kendall) distance from the q467 Borda consensus to each
+  // input ranking: discordant-pair census over the common item set.
+  private val kemenySql =
+    """WITH cc AS (SELECT c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM customer GROUP BY 1),
+      |ab AS (SELECT c_nationkey AS nk,
+      |    sum(cast(round(c_acctbal, 2) as decimal(20,2))) AS v
+      |  FROM customer GROUP BY 1),
+      |oc AS (SELECT c.c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1),
+      |r1 AS (SELECT cc.nk, row_number() OVER (ORDER BY cc.v DESC, cc.nk) AS r
+      |  FROM cc JOIN oc ON oc.nk = cc.nk),
+      |r2 AS (SELECT ab.nk, row_number() OVER (ORDER BY ab.v DESC, ab.nk) AS r
+      |  FROM ab JOIN oc ON oc.nk = ab.nk),
+      |r3 AS (SELECT nk, row_number() OVER (ORDER BY v DESC, nk) AS r FROM oc),
+      |k AS (SELECT cast(count(*) as bigint) AS k FROM r3),
+      |con AS (
+      |  SELECT r1.nk,
+      |    row_number() OVER (ORDER BY (3 * k.k - r1.r - r2.r - r3.r) DESC, r1.nk)
+      |      AS r
+      |  FROM r1 JOIN r2 ON r2.nk = r1.nk JOIN r3 ON r3.nk = r1.nk CROSS JOIN k),
+      |all_r AS (
+      |  SELECT 'cust_count' AS ranker, nk, r FROM r1
+      |  UNION ALL SELECT 'acctbal', nk, r FROM r2
+      |  UNION ALL SELECT 'order_count', nk, r FROM r3),
+      |dist AS (
+      |  SELECT x.ranker,
+      |    cast(sum(CASE WHEN (ca.r < cb.r) <> (x.r < y.r) THEN 1 ELSE 0 END)
+      |      as bigint) AS d,
+      |    cast(count(*) as bigint) AS n_pairs
+      |  FROM con ca JOIN con cb ON cb.nk > ca.nk
+      |  JOIN all_r x ON x.nk = ca.nk
+      |  JOIN all_r y ON y.nk = cb.nk AND y.ranker = x.ranker
+      |  GROUP BY x.ranker)
+      |SELECT ranker, d AS kendall_distance, n_pairs,
+      |  round(cast(d as double) / n_pairs, 6) + 0.0 AS normalized
+      |FROM dist ORDER BY ranker""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -6526,6 +6652,15 @@ FROM ($union) z ORDER BY peel_round"""
     // SYNTHETIC-CONTROL-LITE lift for nation 0.
     "q482_synth_control" -> sqlQuery(Seq("orders", "customer"),
       synthControlSql(e => s"year($e)")),
+
+    // FELLEGI-SUNTER EM linkage weights (2 unrolled iterations).
+    "q483_fellegi_sunter" -> sqlQuery(Seq("part"), fellegiSunterSql(2)),
+
+    // RANK-BIASED OVERLAP between two nation rankings.
+    "q484_rbo" -> sqlQuery(Seq("customer", "orders"), rboSql),
+
+    // KEMENY distance from the Borda consensus to each input ranking.
+    "q485_kemeny" -> sqlQuery(Seq("customer", "orders"), kemenySql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -14104,6 +14239,11 @@ FROM ($union) z ORDER BY peel_round"""
     "q473_chao1" -> chao1Sql(graft.pipeline.TextClassify.duckTokPos),
     "q474_chapman" ->
       chapmanSql(graft.pipeline.TextClassify.duckTokPos),
+
+    // identical portable texts (linkage + ranking agreement)
+    "q483_fellegi_sunter" -> fellegiSunterSql(2),
+    "q484_rbo" -> rboSql,
+    "q485_kemeny" -> kemenySql,
 
     // identical portable text / duck spellings (calibration + survival)
     "q478_spiegelhalter" -> spiegelhalterSql,
