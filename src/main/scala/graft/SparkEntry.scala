@@ -5256,6 +5256,58 @@ ORDER BY w.g1, w.g2, w.g3"""
       |  round(cast(d as double) / n_pairs, 6) + 0.0 AS normalized
       |FROM dist ORDER BY ranker""".stripMargin
 
+  // q486 LCS between the dominant-event-type sequences of days 1-12 and
+  // 15-26 (Spark side: the native lcs_length kernel on per-day modal
+  // types; one codegen'd DP per row — usable per-entity at scale).
+  private def lcsSparkSql(dayNum: String => String): String =
+    s"""WITH c AS (
+       |  SELECT ${dayNum("ts")} AS d, event_type, cast(count(*) as bigint) AS c
+       |  FROM events GROUP BY 1, 2),
+       |dom AS (
+       |  SELECT d, event_type AS et FROM (
+       |    SELECT d, event_type,
+       |      row_number() OVER (PARTITION BY d ORDER BY c DESC, event_type) AS rk
+       |    FROM c) z WHERE rk = 1),
+       |idx AS (SELECT et, row_number() OVER (ORDER BY d) AS rn FROM dom),
+       |mp AS (SELECT map_from_entries(collect_list(struct(rn, et))) AS m FROM idx),
+       |arrs AS (
+       |  SELECT transform(sequence(1, 12), i -> m[i]) AS a,
+       |    transform(sequence(15, 26), i -> m[i]) AS b
+       |  FROM mp)
+       |SELECT 12 AS seq_len, lcs_length(a, b) AS lcs FROM arrs""".stripMargin
+
+  // q486 oracle: the 12x12 LCS DP unrolled as lateral-alias integer
+  // columns (implicit zero border), replaying the kernel exactly.
+  private def lcsOracleSql(dayNum: String => String): String = {
+    val aCols = (1 to 12).map(i => s"max(CASE WHEN rn = $i THEN et END) AS a$i").mkString(",\n    ")
+    val bCols = (1 to 12).map(i => s"max(CASE WHEN rn = ${i + 14} THEN et END) AS b$i").mkString(",\n    ")
+    val rows = (1 to 12).map { i =>
+      val cols = (1 to 12).map { j =>
+        val diag = if (i == 1 || j == 1) "0" else s"l${i - 1}_${j - 1}"
+        val up = if (i == 1) "0" else s"l${i - 1}_$j"
+        val lf = if (j == 1) "0" else s"l${i}_${j - 1}"
+        s"CASE WHEN a$i = b$j THEN $diag + 1 ELSE greatest($up, $lf) END AS l${i}_$j"
+      }.mkString(",\n    ")
+      s"r$i AS (SELECT *,\n    $cols\n  FROM r${i - 1})"
+    }.mkString(",\n")
+    s"""WITH c AS (
+  SELECT ${dayNum("ts")} AS d, event_type, cast(count(*) as bigint) AS c
+  FROM events GROUP BY 1, 2),
+dom AS (
+  SELECT d, event_type AS et FROM (
+    SELECT d, event_type,
+      row_number() OVER (PARTITION BY d ORDER BY c DESC, event_type) AS rk
+    FROM c) z WHERE rk = 1),
+idx AS (SELECT et, row_number() OVER (ORDER BY d) AS rn FROM dom),
+r0 AS (
+  SELECT
+    $aCols,
+    $bCols
+  FROM idx),
+$rows
+SELECT 12 AS seq_len, cast(l12_12 as int) AS lcs FROM r12"""
+  }
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -6661,6 +6713,10 @@ ORDER BY w.g1, w.g2, w.g3"""
 
     // KEMENY distance from the Borda consensus to each input ranking.
     "q485_kemeny" -> sqlQuery(Seq("customer", "orders"), kemenySql),
+
+    // LCS between dominant-type day sequences (native kernel).
+    "q486_lcs_sequences" -> sqlQuery(Seq("events"),
+      lcsSparkSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -14242,6 +14298,9 @@ ORDER BY w.g1, w.g2, w.g3"""
 
     // identical portable texts (linkage + ranking agreement)
     "q483_fellegi_sunter" -> fellegiSunterSql(2),
+    // duck twin is the fully-unrolled 12x12 lateral-alias LCS DP
+    "q486_lcs_sequences" ->
+      lcsOracleSql(e => s"epoch_us($e) // 86400000000"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -143,6 +143,64 @@ object StringSimEval {
     while (l < max && s(l) == t(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
+
+  /** LCS length between two string arrays: classic DP with a rolling
+    * one-row int buffer (O(min-side) memory). Null elements never match
+    * anything (SQL null semantics). Empty either side -> 0. */
+  def lcsLen(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    val as = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { as(i) = if (a.isNullAt(i)) null else a.getUTF8String(i); i += 1 }
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    val row = new Array[Int](m + 1)
+    i = 1
+    while (i <= n) {
+      var diag = 0 // L[i-1][j-1]
+      j = 1
+      while (j <= m) {
+        val up = row(j) // L[i-1][j]
+        row(j) =
+          if (as(i - 1) != null && as(i - 1).equals(bs(j - 1))) diag + 1
+          else math.max(up, row(j - 1))
+        diag = up
+        j += 1
+      }
+      i += 1
+    }
+    row(m)
+  }
+}
+
+/** lcs_length(a, b) -> int: longest-common-subsequence length between two
+  * string arrays (classic DP, rolling one-row buffer — no n×m matrix), a
+  * per-row sequence comparator for event/type sequences at corpus scale.
+  * Row-major accumulation replayed exactly by the unrolled SQL oracle. */
+case class LcsLength(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lcs_length"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lcs_length expects (array<string>, array<string>), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSimEval.lcsLen(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.StringSimEval.lcsLen($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLength =
+    copy(l, r)
 }
 
 case class DamerauLevenshtein(left: Expression, right: Expression) extends BinaryExpression {

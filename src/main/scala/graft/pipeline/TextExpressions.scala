@@ -795,5 +795,6 @@ object TextRegistry {
     reg("hamming_dist", exprs => HammingDist(exprs.head, exprs(1)))
     reg("char_jaccard", exprs => CharJaccard(exprs.head, exprs(1)))
     reg("jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)))
+    reg("lcs_length", exprs => LcsLength(exprs.head, exprs(1)))
   }
 }

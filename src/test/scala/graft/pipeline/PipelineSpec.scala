@@ -295,6 +295,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(refDtw(a, shifted) < l1)
   }
 
+  test("lcs_length matches a full-matrix reference; empty and null-element cases") {
+    def refLcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.fill(a.length + 1, b.length + 1)(0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val a = Seq("v", "c", "p", "v", "s", "c")
+    val b = Seq("c", "v", "p", "s", "v")
+    TextRegistry.register(spark)
+    val rows = Seq((1L, a, b), (2L, a, a), (3L, Seq.empty[String], b)).toDF("id", "a", "b")
+    val out = rows.selectExpr("id", "lcs_length(a, b) AS l").as[(Long, Int)].collect().toMap
+    assert(out(1L) == refLcs(a, b))
+    assert(out(2L) == a.length)
+    assert(out(3L) == 0)
+    // null elements never match (SQL semantics)
+    val withNull = spark.sql(
+      "SELECT lcs_length(array('x', cast(null as string), 'y'), array('x', 'y')) AS l")
+      .as[Int].head()
+    assert(withNull == 2)
+  }
+
   test("ivf: train + probe-all equals brute force; fewer probes stays subset-consistent") {
     val vecs = (0 until 60).map { i =>
       val base = i % 3 match {
