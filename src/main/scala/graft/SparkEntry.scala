@@ -5308,6 +5308,144 @@ $rows
 SELECT 12 AS seq_len, cast(l12_12 as int) AS lcs FROM r12"""
   }
 
+  // q487 Theil-T inequality with exact between/within decomposition over
+  // nations (order values): the additively decomposable entropy index.
+  private val theilSql =
+    """WITH base AS (
+      |  SELECT c.c_nationkey AS nk, cast(o.o_totalprice as double) AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE o.o_totalprice > 0),
+      |tot AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(y, 2) as decimal(30,2))) as double) AS s
+      |  FROM base),
+      |g AS (
+      |  SELECT nk, cast(count(*) as bigint) AS ng,
+      |    cast(sum(cast(round(y, 2) as decimal(30,2))) as double) AS sg
+      |  FROM base GROUP BY nk),
+      |tt AS (
+      |  SELECT round(cast(sum(cast(round(
+      |      (b.y / (t.s / t.n)) * ln(b.y / (t.s / t.n)), 9) as decimal(30,9)))
+      |      as double) / max(t.n), 9) AS theil_total
+      |  FROM base b CROSS JOIN tot t),
+      |tb AS (
+      |  SELECT round(cast(sum(cast(round(
+      |      (cast(g.ng as double) / t.n) * ((g.sg / g.ng) / (t.s / t.n))
+      |        * ln((g.sg / g.ng) / (t.s / t.n)), 9) as decimal(30,9)))
+      |      as double), 9) AS theil_between
+      |  FROM g CROSS JOIN tot t)
+      |SELECT round(tt.theil_total, 6) + 0.0 AS theil_total,
+      |  round(tb.theil_between, 6) + 0.0 AS theil_between,
+      |  round(tt.theil_total - tb.theil_between, 6) + 0.0 AS theil_within
+      |FROM tt CROSS JOIN tb""".stripMargin
+
+  // q488 Oaxaca-Blinder two-fold decomposition of the BUILDING vs
+  // MACHINERY mean order-value gap: per-segment one-regressor OLS on
+  // customer account balance, endowment vs coefficient parts (reference
+  // = MACHINERY).
+  private val oaxacaSql =
+    """WITH cust AS (
+      |  SELECT c.c_custkey, c.c_mktsegment AS seg, cast(c.c_acctbal as double) AS x,
+      |    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      |      / count(*) AS y
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |  GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal),
+      |s AS (
+      |  SELECT seg, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(round(y, 6) as decimal(25,6))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 4) as decimal(30,4))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 4) as decimal(30,4))) as double) AS sxx
+      |  FROM cust GROUP BY seg),
+      |co AS (
+      |  SELECT seg, sx / n AS mx, sy / n AS my,
+      |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS b
+      |  FROM s),
+      |px AS (SELECT
+      |    max(CASE WHEN seg = 'BUILDING' THEN mx END) AS mxa,
+      |    max(CASE WHEN seg = 'BUILDING' THEN my END) AS mya,
+      |    max(CASE WHEN seg = 'BUILDING' THEN b END) AS ba,
+      |    max(CASE WHEN seg = 'MACHINERY' THEN mx END) AS mxb,
+      |    max(CASE WHEN seg = 'MACHINERY' THEN my END) AS myb,
+      |    max(CASE WHEN seg = 'MACHINERY' THEN b END) AS bb
+      |  FROM co)
+      |SELECT round(mya - myb, 6) + 0.0 AS gap,
+      |  round(bb * (mxa - mxb), 6) + 0.0 AS endowment_part,
+      |  round((mya - myb) - bb * (mxa - mxb), 6) + 0.0 AS coefficient_part,
+      |  round(ba, 9) + 0.0 AS slope_building,
+      |  round(bb, 9) + 0.0 AS slope_machinery
+      |FROM px""".stripMargin
+
+  // q489 Markov data-driven attribution: first-order chain with
+  // purchase/drop absorbing states; per-channel REMOVAL EFFECT = 1 -
+  // conv(without channel)/conv(full), absorption probabilities by
+  // `rounds` pinned iterations per scenario (q441's discipline; the duck
+  // twin needs MATERIALIZED on every shared/per-round CTE).
+  private def markovAttributionSql(rounds: Int, mat: String): String = {
+    val channels = Seq("view", "click", "signup", "error")
+    val scenarios = "none" +: channels
+    def scen(x: String): String = {
+      val tag = if (x == "none") "n" else x.take(2)
+      val filt = if (x == "none") "" else s" AND cur <> '$x' AND nxt <> '$x'"
+      val stFilt = if (x == "none") "" else s" WHERE cur <> '$x'"
+      val steps = (1 to rounds).map { k =>
+        s""",
+a${tag}$k AS$mat (
+  SELECT st.cur AS s,
+    round(coalesce(pa.p, 0) + cast(coalesce(sum(cast(round(qq.p * pv.t, 12)
+      as decimal(24,12))), 0) as double), 9) AS t
+  FROM st$tag st
+  LEFT JOIN pabs pa ON pa.cur = st.cur
+  LEFT JOIN qq$tag qq ON qq.cur = st.cur
+  LEFT JOIN a${tag}${k - 1} pv ON pv.s = qq.nxt
+  GROUP BY st.cur, pa.p)"""
+      }.mkString
+      s""",
+st$tag AS$mat (SELECT cur FROM tot$stFilt),
+qq$tag AS$mat (SELECT cur, nxt, p FROM q
+  WHERE nxt NOT IN ('purchase', 'drop')$filt),
+a${tag}0 AS (SELECT cur AS s, cast(0.0 as double) AS t FROM st$tag)$steps,
+conv$tag AS$mat (
+  SELECT cast(sum(cast(round(pi.share * CASE
+      WHEN pi.s = 'purchase' THEN 1.0E0
+      ${if (x == "none") "" else s"WHEN pi.s = '$x' THEN 0.0E0"}
+      ELSE coalesce(a.t, 0.0E0) END, 12) as decimal(24,12))) as double) AS c
+  FROM pi LEFT JOIN a${tag}$rounds a ON a.s = pi.s)"""
+    }
+    val res = channels.map { c =>
+      val tag = c.take(2)
+      s"""SELECT '$c' AS channel,
+  round(1 - conv$tag.c / convn.c, 6) + 0.0 AS removal_effect
+FROM conv$tag CROSS JOIN convn"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH seq AS (
+  SELECT user_id, event_type AS cur,
+    coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      'drop') AS nxt
+  FROM events),
+tr AS (SELECT cur, nxt FROM seq WHERE cur <> 'purchase'),
+tot AS$mat (SELECT cur, cast(count(*) as bigint) AS n FROM tr GROUP BY cur),
+q AS$mat (
+  SELECT t.cur, t.nxt, round(cast(count(*) as double) / tot.n, 9) AS p
+  FROM tr t JOIN tot ON tot.cur = t.cur GROUP BY t.cur, t.nxt, tot.n),
+pabs AS$mat (SELECT cur, p FROM q WHERE nxt = 'purchase'),
+fe AS (
+  SELECT user_id, event_type AS s,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events),
+pi AS$mat (
+  SELECT s, round(cast(count(*) as double)
+    / (SELECT count(DISTINCT user_id) FROM events), 9) AS share
+  FROM fe WHERE rk = 1 GROUP BY s)${scenarios.map(scen).mkString}
+SELECT channel, removal_effect,
+  round(removal_effect / (SELECT sum(removal_effect) FROM (
+    $res) z), 6) + 0.0 AS attribution_share
+FROM (
+  $res) out
+ORDER BY channel"""
+  }
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -6717,6 +6855,16 @@ SELECT 12 AS seq_len, cast(l12_12 as int) AS lcs FROM r12"""
     // LCS between dominant-type day sequences (native kernel).
     "q486_lcs_sequences" -> sqlQuery(Seq("events"),
       lcsSparkSql(e => s"unix_micros($e) div 86400000000")),
+
+    // THEIL-T inequality with between/within decomposition.
+    "q487_theil" -> sqlQuery(Seq("orders", "customer"), theilSql),
+
+    // OAXACA-BLINDER two-fold gap decomposition.
+    "q488_oaxaca" -> sqlQuery(Seq("orders", "customer"), oaxacaSql),
+
+    // MARKOV removal-effect attribution (24 pinned rounds/scenario).
+    "q489_markov_attribution" -> sqlQuery(Seq("events"),
+      markovAttributionSql(24, "")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -14301,6 +14449,11 @@ SELECT 12 AS seq_len, cast(l12_12 as int) AS lcs FROM r12"""
     // duck twin is the fully-unrolled 12x12 lateral-alias LCS DP
     "q486_lcs_sequences" ->
       lcsOracleSql(e => s"epoch_us($e) // 86400000000"),
+    "q487_theil" -> theilSql,
+    "q488_oaxaca" -> oaxacaSql,
+    // duck twin needs MATERIALIZED on shared/per-round CTEs (q441 lesson)
+    "q489_markov_attribution" ->
+      markovAttributionSql(24, " MATERIALIZED"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
