@@ -5446,6 +5446,177 @@ FROM (
 ORDER BY channel"""
   }
 
+  // q490 Expected Reciprocal Rank @10 (cascade click model): nations
+  // ranked by customer count, graded relevance = order-count quartile,
+  // stop probabilities R = (2^g - 1)/8, survival product via a pinned
+  // cumulative log window.
+  private val errSql =
+    """WITH cc AS (SELECT c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM customer GROUP BY 1),
+      |oc AS (SELECT c.c_nationkey AS nk, cast(count(*) as bigint) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1),
+      |grade AS (
+      |  SELECT nk, cast(4 - ntile(4) OVER (ORDER BY v DESC, nk) as int) AS g
+      |  FROM oc),
+      |rk AS (
+      |  SELECT cc.nk, row_number() OVER (ORDER BY cc.v DESC, cc.nk) AS r,
+      |    grade.g
+      |  FROM cc JOIN grade ON grade.nk = cc.nk),
+      |rel AS (
+      |  SELECT r, (power(2.0E0, g) - 1) / 8.0E0 AS rr
+      |  FROM rk WHERE r <= 10),
+      |surv AS (
+      |  SELECT r, rr,
+      |    exp(cast(coalesce(sum(cast(round(ln(1 - rr), 9) as decimal(20,9)))
+      |      OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) as double)) AS pstop
+      |  FROM rel)
+      |SELECT 10 AS depth,
+      |  round(cast(sum(cast(round(pstop * rr / r, 9) as decimal(20,9)))
+      |    as double), 6) + 0.0 AS err_at_10
+      |FROM surv""".stripMargin
+
+  // q491 Kruskal-Wallis k-group rank test with tie correction, midranks
+  // from the q449 grouped-value route (never a row-level sort).
+  private val kruskalWallisSql =
+    """WITH base AS (
+      |  SELECT event_type AS g, cast(value as double) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |vals AS (
+      |  SELECT v, cast(count(*) as bigint) AS c FROM base GROUP BY v),
+      |rkv AS (
+      |  SELECT v, c, sum(c) OVER (ORDER BY v) - c AS below FROM vals),
+      |gr AS (
+      |  SELECT b.g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(r.below + (r.c + 1) / 2.0E0, 4)
+      |      as decimal(25,4))) as double) AS rsum
+      |  FROM base b JOIN rkv r ON r.v = b.v GROUP BY b.g),
+      |tot AS (
+      |  SELECT cast(sum(n) as bigint) AS nn, cast(count(*) as bigint) AS k
+      |  FROM gr),
+      |ties AS (
+      |  SELECT cast(coalesce(sum(c * c * c - c), 0) as double) AS tc
+      |  FROM vals WHERE c > 1),
+      |h AS (
+      |  SELECT tot.nn, tot.k,
+      |    12.0E0 / (cast(tot.nn as double) * (tot.nn + 1))
+      |      * cast(sum(cast(round(gr.rsum * gr.rsum / gr.n, 6)
+      |        as decimal(30,6))) as double)
+      |      - 3.0E0 * (tot.nn + 1) AS h_raw,
+      |    max(ties.tc) AS tc
+      |  FROM gr CROSS JOIN tot CROSS JOIN ties
+      |  GROUP BY tot.nn, tot.k)
+      |SELECT cast(k as int) AS n_groups, nn AS n_obs,
+      |  round(h_raw / (1 - tc / (cast(nn as double) * nn * nn - nn)), 6) + 0.0
+      |    AS kw_h
+      |FROM h""".stripMargin
+
+  // q492 Friedman test: blocks = days, treatments = event types, ranks
+  // of within-day counts (deterministic tie-break on type name is NOT
+  // used — midranks via the grouped route keep the statistic exact).
+  private def friedmanSql(dayNum: String => String): String =
+    s"""WITH cell AS (
+       |  SELECT ${dayNum("ts")} AS d, event_type AS t, cast(count(*) as bigint) AS y
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT d, t,
+       |    rank() OVER (PARTITION BY d ORDER BY y) AS lo,
+       |    cast(count(*) OVER (PARTITION BY d, y) as bigint) AS c
+       |  FROM cell),
+       |mid AS (SELECT d, t, lo + (c - 1) / 2.0E0 AS r FROM rk),
+       |rs AS (
+       |  SELECT t, cast(sum(cast(round(r, 4) as decimal(20,4))) as double) AS rsum
+       |  FROM mid GROUP BY t),
+       |dims AS (
+       |  SELECT cast(count(DISTINCT d) as bigint) AS n,
+       |    cast(count(DISTINCT t) as bigint) AS k
+       |  FROM cell)
+       |SELECT dims.n AS n_blocks, cast(dims.k as int) AS n_treatments,
+       |  round(12.0E0 / (cast(dims.n as double) * dims.k * (dims.k + 1))
+       |    * cast(sum(cast(round(rs.rsum * rs.rsum, 4) as decimal(30,4))) as double)
+       |    - 3.0E0 * dims.n * (dims.k + 1), 6) + 0.0 AS friedman_q
+       |FROM rs CROSS JOIN dims GROUP BY dims.n, dims.k""".stripMargin
+
+  // q493 competing-risks cumulative incidence (Aalen-Johansen): first
+  // post-signup event of purchase vs error, CIF_k(t) = sum S(t-) d_k/n
+  // with S the all-cause KM, censoring at last activity.
+  private def cifSql(micros: String => String, idiv: String): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |fe AS (
+       |  SELECT e.user_id, e.ts, e.event_type,
+       |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rk
+       |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+       |  WHERE e.event_type IN ('purchase', 'error')),
+       |first_ev AS (SELECT user_id, ts, event_type FROM fe WHERE rk = 1),
+       |mx AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+       |dur AS (
+       |  SELECT s.user_id,
+       |    CASE WHEN f.ts IS NOT NULL
+       |      THEN (${micros("f.ts")} - ${micros("s.t0")}) $idiv 3600000000
+       |      ELSE (${micros("mx.tmax")} - ${micros("s.t0")}) $idiv 3600000000 END AS hrs,
+       |    coalesce(f.event_type, 'censored') AS cause
+       |  FROM s JOIN mx ON s.user_id = mx.user_id
+       |  LEFT JOIN first_ev f ON f.user_id = s.user_id),
+       |ev AS (
+       |  SELECT hrs,
+       |    cast(sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) as bigint) AS dp,
+       |    cast(sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) as bigint) AS de,
+       |    cast(count(*) as bigint) AS leaving
+       |  FROM dur GROUP BY hrs),
+       |rk2 AS (
+       |  SELECT hrs, dp, de, sum(leaving) OVER (ORDER BY hrs DESC) AS n_risk
+       |  FROM ev),
+       |km AS (
+       |  SELECT hrs, dp, de, n_risk,
+       |    exp(cast(coalesce(sum(CASE WHEN dp + de > 0 AND dp + de < n_risk
+       |      THEN cast(round(ln(1.0 - cast(dp + de as double) / n_risk), 9)
+       |        as decimal(20,9))
+       |      ELSE cast(0 as decimal(20,9)) END)
+       |      OVER (ORDER BY hrs ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) as double)) AS s_minus
+       |  FROM rk2),
+       |cif AS (
+       |  SELECT hrs,
+       |    sum(cast(round(s_minus * dp / n_risk, 9) as decimal(20,9)))
+       |      OVER (ORDER BY hrs) AS cp,
+       |    sum(cast(round(s_minus * de / n_risk, 9) as decimal(20,9)))
+       |      OVER (ORDER BY hrs) AS ce
+       |  FROM km WHERE dp + de > 0)
+       |SELECT cast(hrs as bigint) AS hrs,
+       |  round(cast(cp as double), 6) + 0.0 AS cif_purchase,
+       |  round(cast(ce as double), 6) + 0.0 AS cif_error
+       |FROM cif
+       |WHERE hrs $idiv 24 < 7 ORDER BY hrs""".stripMargin
+
+  // q494 Church-Gale word burstiness for the top-30 corpus words:
+  // P(word appears again in a doc | it appeared once) = docs with c>=2
+  // over docs with c>=1, against the Poisson-expected repeat rate.
+  private def burstinessSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |top AS (
+       |  SELECT word FROM (
+       |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+       |    FROM tokp GROUP BY word) z WHERE rk <= 30),
+       |dc AS (
+       |  SELECT t.word, t.doc_id, cast(count(*) as bigint) AS c
+       |  FROM tokp t JOIN top ON top.word = t.word
+       |  GROUP BY t.word, t.doc_id),
+       |nd AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS nd FROM tokp),
+       |agg AS (
+       |  SELECT word, cast(count(*) as bigint) AS df,
+       |    cast(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) as bigint) AS df2,
+       |    cast(sum(c) as bigint) AS cf
+       |  FROM dc GROUP BY word)
+       |SELECT a.word, a.df, a.cf,
+       |  round(cast(a.df2 as double) / a.df, 6) + 0.0 AS repeat_rate,
+       |  round(1 - (cast(a.cf as double) / nd.nd)
+       |    * exp(-(cast(a.cf as double) / nd.nd))
+       |    / (1 - exp(-(cast(a.cf as double) / nd.nd))), 6) + 0.0
+       |    AS poisson_repeat_rate
+       |FROM agg a CROSS JOIN nd ORDER BY a.word""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -6865,6 +7036,24 @@ ORDER BY channel"""
     // MARKOV removal-effect attribution (24 pinned rounds/scenario).
     "q489_markov_attribution" -> sqlQuery(Seq("events"),
       markovAttributionSql(24, "")),
+
+    // EXPECTED RECIPROCAL RANK @10 (cascade model).
+    "q490_err" -> sqlQuery(Seq("customer", "orders"), errSql),
+
+    // KRUSKAL-WALLIS k-group rank test (tie-corrected).
+    "q491_kruskal_wallis" -> sqlQuery(Seq("events"), kruskalWallisSql),
+
+    // FRIEDMAN test over day blocks x event types.
+    "q492_friedman" -> sqlQuery(Seq("events"),
+      friedmanSql(e => s"unix_micros($e) div 86400000000")),
+
+    // COMPETING-RISKS cumulative incidence (Aalen-Johansen).
+    "q493_competing_risks" -> sqlQuery(Seq("events"),
+      cifSql(e => s"unix_micros($e)", "div")),
+
+    // CHURCH-GALE word burstiness vs the Poisson repeat rate.
+    "q494_burstiness_cg" -> sqlQuery(Seq("documents"),
+      burstinessSql(graft.pipeline.TextClassify.sparkTokPos)),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -14454,6 +14643,12 @@ ORDER BY channel"""
     // duck twin needs MATERIALIZED on shared/per-round CTEs (q441 lesson)
     "q489_markov_attribution" ->
       markovAttributionSql(24, " MATERIALIZED"),
+    "q490_err" -> errSql,
+    "q491_kruskal_wallis" -> kruskalWallisSql,
+    "q492_friedman" -> friedmanSql(e => s"epoch_us($e) // 86400000000"),
+    "q493_competing_risks" -> cifSql(e => s"epoch_us($e)", "//"),
+    "q494_burstiness_cg" ->
+      burstinessSql(graft.pipeline.TextClassify.duckTokPos),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
