@@ -5617,6 +5617,190 @@ ORDER BY channel"""
        |    AS poisson_repeat_rate
        |FROM agg a CROSS JOIN nd ORDER BY a.word""".stripMargin
 
+  // q495 Cochran's Q over users x {view, click, purchase} participation
+  // in the last 5 days — the k-treatment binary repeated-measures test.
+  private def cochranQSql(dayNum: String => String): String =
+    s"""WITH rng AS (SELECT max(${dayNum("ts")}) AS dmax FROM events),
+       |x AS (
+       |  SELECT e.user_id,
+       |    max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+       |    max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS x2,
+       |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS x3
+       |  FROM events e CROSS JOIN rng r
+       |  WHERE ${dayNum("e.ts")} > r.dmax - 5
+       |  GROUP BY e.user_id),
+       |s AS (
+       |  SELECT cast(count(*) as bigint) AS b,
+       |    cast(sum(x1) as bigint) AS c1, cast(sum(x2) as bigint) AS c2,
+       |    cast(sum(x3) as bigint) AS c3,
+       |    cast(sum(x1 + x2 + x3) as bigint) AS t,
+       |    cast(sum((x1 + x2 + x3) * (x1 + x2 + x3)) as bigint) AS r2
+       |  FROM x)
+       |SELECT b AS n_users, t AS grand_total,
+       |  round(2.0E0 * (3 * (cast(c1 as double) * c1 + cast(c2 as double) * c2
+       |      + cast(c3 as double) * c3) - cast(t as double) * t)
+       |    / (3.0E0 * t - r2), 6) + 0.0 AS cochran_q
+       |FROM s""".stripMargin
+
+  // q496 cluster-sampling design effect for click values clustered by
+  // user: DEFF = 1 + (mbar - 1) * rho with the one-way ANOVA rho.
+  private val deffSql =
+    """WITH base AS (
+      |  SELECT user_id, cast(value as double) AS v
+      |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) AS s1,
+      |    cast(sum(cast(round(v * v, 9) as decimal(30,9))) as double) AS s2
+      |  FROM base GROUP BY user_id),
+      |tot AS (
+      |  SELECT cast(sum(n) as bigint) AS nn, cast(count(*) as bigint) AS gc,
+      |    cast(sum(cast(round(s1, 9) as decimal(30,9))) as double) AS ts1,
+      |    cast(sum(cast(round(s2, 9) as decimal(30,9))) as double) AS ts2,
+      |    cast(sum(n * n) as bigint) AS sn2
+      |  FROM g),
+      |ss AS (
+      |  SELECT tot.nn, tot.gc,
+      |    cast(sum(cast(round(g.s1 * g.s1 / g.n, 9) as decimal(30,9))) as double)
+      |      - tot.ts1 * tot.ts1 / tot.nn AS ssb,
+      |    tot.ts2 - cast(sum(cast(round(g.s1 * g.s1 / g.n, 9)
+      |      as decimal(30,9))) as double) AS ssw,
+      |    (tot.nn - cast(tot.sn2 as double) / tot.nn) / (tot.gc - 1) AS k0
+      |  FROM g CROSS JOIN tot GROUP BY tot.nn, tot.gc, tot.ts1, tot.ts2, tot.sn2),
+      |rho AS (
+      |  SELECT nn, gc, k0,
+      |    round((ssb / (gc - 1) - ssw / (nn - gc))
+      |      / (ssb / (gc - 1) + (k0 - 1) * (ssw / (nn - gc))), 9) AS rho
+      |  FROM ss)
+      |SELECT gc AS n_clusters, nn AS n_obs,
+      |  round(cast(nn as double) / gc, 6) + 0.0 AS mean_cluster_size,
+      |  rho + 0.0 AS rho,
+      |  round(1 + (cast(nn as double) / gc - 1) * rho, 6) + 0.0 AS deff
+      |FROM rho""".stripMargin
+
+  // q497 Yuen's trimmed-mean t (10% trim) for click vs view values:
+  // exact rank trimming + winsorized variance, never a row sort on the
+  // driver — ranks via one window per group.
+  private val yuenSql =
+    """WITH base AS (
+      |  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+      |    cast(value as double) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |rk AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM base),
+      |lim AS (
+      |  SELECT g, max(n) AS n, cast(floor(max(n) * 0.1E0) as bigint) AS tr
+      |  FROM rk GROUP BY g),
+      |bnd AS (
+      |  SELECT l.g, l.n, l.tr,
+      |    max(CASE WHEN r.rn = l.tr + 1 THEN r.v END) AS lo,
+      |    max(CASE WHEN r.rn = l.n - l.tr THEN r.v END) AS hi
+      |  FROM lim l JOIN rk r ON r.g = l.g
+      |  GROUP BY l.g, l.n, l.tr),
+      |tm AS (
+      |  SELECT b.g, b.n, b.tr,
+      |    cast(sum(CASE WHEN r.rn > b.tr AND r.rn <= b.n - b.tr
+      |      THEN cast(round(r.v, 9) as decimal(30,9))
+      |      ELSE cast(0 as decimal(30,9)) END) as double)
+      |      / (b.n - 2 * b.tr) AS tmean,
+      |    cast(sum(cast(round(
+      |      CASE WHEN r.rn <= b.tr THEN b.lo
+      |           WHEN r.rn > b.n - b.tr THEN b.hi ELSE r.v END, 9)
+      |      as decimal(30,9))) as double) AS ws1,
+      |    cast(sum(cast(round(
+      |      (CASE WHEN r.rn <= b.tr THEN b.lo
+      |            WHEN r.rn > b.n - b.tr THEN b.hi ELSE r.v END)
+      |      * (CASE WHEN r.rn <= b.tr THEN b.lo
+      |              WHEN r.rn > b.n - b.tr THEN b.hi ELSE r.v END), 9)
+      |      as decimal(30,9))) as double) AS ws2
+      |  FROM bnd b JOIN rk r ON r.g = b.g
+      |  GROUP BY b.g, b.n, b.tr),
+      |f AS (
+      |  SELECT g, n, tr, tmean,
+      |    (ws2 - ws1 * ws1 / n) / ((n - 2 * tr) * (n - 2.0E0 * tr - 1)) AS dv
+      |  FROM tm),
+      |px AS (SELECT
+      |    max(CASE WHEN g = 1 THEN tmean END) AS m1,
+      |    max(CASE WHEN g = 0 THEN tmean END) AS m0,
+      |    max(CASE WHEN g = 1 THEN dv END) AS d1,
+      |    max(CASE WHEN g = 0 THEN dv END) AS d0,
+      |    max(CASE WHEN g = 1 THEN n - 2 * tr END) AS h1,
+      |    max(CASE WHEN g = 0 THEN n - 2 * tr END) AS h0
+      |  FROM f)
+      |SELECT h1 AS h_click, h0 AS h_view,
+      |  round(m1 - m0, 6) + 0.0 AS trimmed_diff,
+      |  round((m1 - m0) / sqrt(d1 + d0), 6) + 0.0 AS yuen_t
+      |FROM px""".stripMargin
+
+  // q498 O'Brien-Fleming group-sequential monitor: daily cumulative
+  // Welch z of click-vs-view means against the z-boundary
+  // 3.0 / sqrt(t / T); first-crossing census.
+  private def obfSql(dayNum: String => String): String =
+    s"""WITH base AS (
+       |  SELECT ${dayNum("ts")} AS d,
+       |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+       |    cast(value as double) AS v
+       |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+       |days AS (SELECT DISTINCT d FROM base),
+       |nd AS (SELECT cast(count(*) as bigint) AS t_max,
+       |    min(d) AS d0 FROM days),
+       |cum AS (
+       |  SELECT dy.d, b.g, cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(b.v, 9) as decimal(30,9))) as double) AS s1,
+       |    cast(sum(cast(round(b.v * b.v, 9) as decimal(30,9))) as double) AS s2
+       |  FROM days dy JOIN base b ON b.d <= dy.d
+       |  GROUP BY dy.d, b.g),
+       |z AS (
+       |  SELECT a.d,
+       |    (a.s1 / a.n - c.s1 / c.n)
+       |      / sqrt((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+       |           + (c.s2 - c.s1 * c.s1 / c.n) / (c.n - 1) / c.n) AS z
+       |  FROM cum a JOIN cum c ON c.d = a.d AND c.g = 0
+       |  WHERE a.g = 1 AND a.n > 1 AND c.n > 1),
+       |chk AS (
+       |  SELECT z.d, z.z,
+       |    3.0E0 / sqrt((z.d - nd.d0 + 1.0E0) / nd.t_max) AS bound,
+       |    CASE WHEN abs(z.z) > 3.0E0 / sqrt((z.d - nd.d0 + 1.0E0) / nd.t_max)
+       |      THEN 1 ELSE 0 END AS crossed
+       |  FROM z CROSS JOIN nd)
+       |SELECT cast(count(*) as bigint) AS n_looks,
+       |  cast(sum(crossed) as bigint) AS n_crossings,
+       |  cast(coalesce(min(CASE WHEN crossed = 1 THEN d END), -1) as bigint)
+       |    AS first_crossing_day,
+       |  round(max(CASE WHEN rk = 1 THEN z END), 6) + 0.0 AS final_z
+       |FROM (SELECT chk.*, row_number() OVER (ORDER BY d DESC) AS rk FROM chk) q""".stripMargin
+
+  // q499 Page's trend test for ordered alternatives: blocks = day-of-
+  // week, ordered treatments = weeks 1-4, L = sum j * R_j with midranks.
+  private def pageTrendSql(dayNum: String => String): String =
+    s"""WITH rng AS (SELECT min(${dayNum("ts")}) AS d0 FROM events),
+       |daily AS (
+       |  SELECT e.d, cast((e.d - r.d0) % 7 as int) AS dow,
+       |    cast(floor((e.d - r.d0) / 7.0E0) as int) + 1 AS wk, e.y
+       |  FROM (SELECT ${dayNum("ts")} AS d, cast(count(*) as bigint) AS y
+       |        FROM events GROUP BY 1) e
+       |  CROSS JOIN rng r
+       |  WHERE e.d - r.d0 < 28),
+       |rk AS (
+       |  SELECT dow, wk,
+       |    rank() OVER (PARTITION BY dow ORDER BY y) AS lo,
+       |    cast(count(*) OVER (PARTITION BY dow, y) as bigint) AS c
+       |  FROM daily),
+       |mid AS (SELECT dow, wk, lo + (c - 1) / 2.0E0 AS r FROM rk),
+       |rs AS (
+       |  SELECT wk, cast(sum(cast(round(r, 4) as decimal(20,4))) as double) AS rsum
+       |  FROM mid GROUP BY wk),
+       |l AS (
+       |  SELECT cast(sum(cast(round(wk * rsum, 4) as decimal(20,4))) as double) AS l
+       |  FROM rs)
+       |SELECT round(l.l, 4) + 0.0 AS page_l,
+       |  round(7 * 4 * 25.0E0 / 4, 4) + 0.0 AS expected_l,
+       |  round((l.l - 7 * 4 * 25.0E0 / 4)
+       |    / sqrt(7 * 16.0E0 * 5 * 15 / 144), 6) + 0.0 AS page_z
+       |FROM l""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -7054,6 +7238,24 @@ ORDER BY channel"""
     // CHURCH-GALE word burstiness vs the Poisson repeat rate.
     "q494_burstiness_cg" -> sqlQuery(Seq("documents"),
       burstinessSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // COCHRAN'S Q over last-5-day participation.
+    "q495_cochran_q" -> sqlQuery(Seq("events"),
+      cochranQSql(e => s"unix_micros($e) div 86400000000")),
+
+    // CLUSTER-SAMPLING design effect (DEFF).
+    "q496_design_effect" -> sqlQuery(Seq("events"), deffSql),
+
+    // YUEN'S trimmed-mean t (10% trim).
+    "q497_yuen_t" -> sqlQuery(Seq("events"), yuenSql),
+
+    // O'BRIEN-FLEMING sequential boundary monitor.
+    "q498_obf_monitor" -> sqlQuery(Seq("events"),
+      obfSql(e => s"unix_micros($e) div 86400000000")),
+
+    // PAGE'S trend test (weeks ordered within day-of-week blocks).
+    "q499_page_trend" -> sqlQuery(Seq("events"),
+      pageTrendSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -14649,6 +14851,13 @@ ORDER BY channel"""
     "q493_competing_risks" -> cifSql(e => s"epoch_us($e)", "//"),
     "q494_burstiness_cg" ->
       burstinessSql(graft.pipeline.TextClassify.duckTokPos),
+    "q495_cochran_q" ->
+      cochranQSql(e => s"epoch_us($e) // 86400000000"),
+    "q496_design_effect" -> deffSql,
+    "q497_yuen_t" -> yuenSql,
+    "q498_obf_monitor" -> obfSql(e => s"epoch_us($e) // 86400000000"),
+    "q499_page_trend" ->
+      pageTrendSql(e => s"epoch_us($e) // 86400000000"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
