@@ -5801,6 +5801,172 @@ ORDER BY channel"""
        |    / sqrt(7 * 16.0E0 * 5 * 15 / 144), 6) + 0.0 AS page_z
        |FROM l""".stripMargin
 
+  // q500 Tukey HSD post-hoc after the q342 ANOVA: all pairwise
+  // event-type mean differences against the studentized-range interval
+  // (q* = 3.86 for k = 5 at alpha .05, large df — literal by design).
+  private val tukeyHsdSql =
+    """WITH base AS (
+      |  SELECT event_type AS g, cast(value as double) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |gm AS (
+      |  SELECT g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(v, 9) as decimal(30,9))) as double) AS s1,
+      |    cast(sum(cast(round(v * v, 9) as decimal(30,9))) as double) AS s2
+      |  FROM base GROUP BY g),
+      |mse AS (
+      |  SELECT cast(sum(cast(round(s2 - s1 * s1 / n, 9) as decimal(30,9)))
+      |      as double) / (sum(n) - count(*)) AS mse
+      |  FROM gm)
+      |SELECT a.g AS group_a, b.g AS group_b,
+      |  round(a.s1 / a.n - b.s1 / b.n, 6) + 0.0 AS mean_diff,
+      |  round(3.86E0 * sqrt(mse.mse / 2 * (1.0E0 / a.n + 1.0E0 / b.n)), 6) + 0.0
+      |    AS hsd_interval,
+      |  CASE WHEN abs(a.s1 / a.n - b.s1 / b.n)
+      |    > 3.86E0 * sqrt(mse.mse / 2 * (1.0E0 / a.n + 1.0E0 / b.n))
+      |    THEN 1 ELSE 0 END AS significant
+      |FROM gm a JOIN gm b ON b.g > a.g CROSS JOIN mse
+      |ORDER BY group_a, group_b""".stripMargin
+
+  // q501 Dunn's post-hoc after the q491 Kruskal-Wallis: pairwise mean-
+  // rank z with the tie-corrected variance term.
+  private val dunnSql =
+    """WITH base AS (
+      |  SELECT event_type AS g, cast(value as double) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |vals AS (SELECT v, cast(count(*) as bigint) AS c FROM base GROUP BY v),
+      |rkv AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS below FROM vals),
+      |gr AS (
+      |  SELECT b.g, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(r.below + (r.c + 1) / 2.0E0, 4)
+      |      as decimal(25,4))) as double) / count(*) AS mrank
+      |  FROM base b JOIN rkv r ON r.v = b.v GROUP BY b.g),
+      |tot AS (
+      |  SELECT cast(sum(n) as bigint) AS nn FROM gr),
+      |ties AS (
+      |  SELECT cast(coalesce(sum(c * c * c - c), 0) as double) AS tc
+      |  FROM vals WHERE c > 1)
+      |SELECT a.g AS group_a, b.g AS group_b,
+      |  round(a.mrank - b.mrank, 6) + 0.0 AS rank_diff,
+      |  round((a.mrank - b.mrank)
+      |    / sqrt((cast(tot.nn as double) * (tot.nn + 1) / 12.0E0
+      |        - ties.tc / (12.0E0 * (tot.nn - 1)))
+      |      * (1.0E0 / a.n + 1.0E0 / b.n)), 6) + 0.0 AS dunn_z
+      |FROM gr a JOIN gr b ON b.g > a.g CROSS JOIN tot CROSS JOIN ties
+      |ORDER BY group_a, group_b""".stripMargin
+
+  // q502 James-Stein shrinkage of per-nation mean order values toward
+  // the grand mean (positive-part estimator, pooled within variance).
+  private val jamesSteinSql =
+    """WITH base AS (
+      |  SELECT c.c_nationkey AS nk, cast(o.o_totalprice as double) AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |g AS (
+      |  SELECT nk, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(y, 2) as decimal(30,2))) as double) AS s1,
+      |    cast(sum(cast(round(y * y, 2) as decimal(35,2))) as double) AS s2
+      |  FROM base GROUP BY nk),
+      |tot AS (
+      |  SELECT cast(count(*) as bigint) AS k,
+      |    cast(sum(n) as bigint) AS nn,
+      |    cast(sum(cast(round(s1, 2) as decimal(35,2))) as double) AS ts1,
+      |    cast(sum(cast(round(s2 - s1 * s1 / n, 2) as decimal(35,2))) as double)
+      |      AS ssw
+      |  FROM g),
+      |s AS (
+      |  SELECT g.nk, g.n, g.s1 / g.n AS mu, tot.ts1 / tot.nn AS gmu,
+      |    tot.ssw / (tot.nn - tot.k) / g.n AS se2, tot.k
+      |  FROM g CROSS JOIN tot),
+      |dev AS (
+      |  SELECT cast(sum(cast(round((mu - gmu) * (mu - gmu) / se2, 6)
+      |      as decimal(30,6))) as double) AS ss, max(k) AS k
+      |  FROM s)
+      |SELECT cast(s.nk as int) AS nation, s.n,
+      |  round(s.mu, 4) + 0.0 AS raw_mean,
+      |  round(s.gmu + greatest(0.0E0, 1 - (dev.k - 3.0E0) / dev.ss)
+      |    * (s.mu - s.gmu), 4) + 0.0 AS js_mean,
+      |  round(greatest(0.0E0, 1 - (dev.k - 3.0E0) / dev.ss), 6) + 0.0
+      |    AS shrink_keep
+      |FROM s CROSS JOIN dev ORDER BY nation""".stripMargin
+
+  // q503 Box-Cox lambda grid search over order values: profile
+  // log-likelihood at lambda in {-1, -0.5, 0, 0.5, 1}, argmax flagged.
+  private val boxCoxSql = {
+    def yl(l: Double): String =
+      if (l == 0.0) "ln(y)"
+      else s"(power(y, ${l}E0) - 1) / ${l}E0"
+    // two-pass per grid point: pinned mean, then pinned CENTERED squares —
+    // the one-pass s2 - s1^2/n cancels catastrophically at lambda = -1
+    // (transformed values cluster within 1e-3 of 1.0)
+    val gridIdx = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).zipWithIndex
+    val passes = gridIdx.map { case (l, i) =>
+      s""",
+m$i AS (
+  SELECT cast(count(*) as bigint) AS n,
+    round(cast(sum(cast(round(${yl(l)}, 12) as decimal(32,12))) as double)
+      / count(*), 12) AS mu,
+    cast(sum(cast(round(ln(y), 9) as decimal(30,9))) as double) AS slny
+  FROM base),
+v$i AS (
+  SELECT cast(sum(cast(round((${yl(l)} - m$i.mu) * (${yl(l)} - m$i.mu), 12)
+    as decimal(38,12))) as double) AS ss
+  FROM base CROSS JOIN m$i)"""
+    }.mkString
+    val grid = gridIdx.map { case (l, i) =>
+      s"""SELECT ${l}E0 AS lambda, m$i.n,
+  round(-(m$i.n / 2.0E0) * ln(v$i.ss / m$i.n)
+    + (${l}E0 - 1) * m$i.slny, 4) AS loglik
+FROM m$i CROSS JOIN v$i"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+  SELECT cast(o_totalprice as double) AS y FROM orders WHERE o_totalprice > 0)$passes,
+ll AS (
+  SELECT lambda, n, loglik
+  FROM (
+  $grid) g),
+best AS (
+  SELECT lambda AS best_lambda FROM (
+    SELECT lambda, row_number() OVER (ORDER BY loglik DESC, lambda) AS rk
+    FROM ll) z WHERE rk = 1)
+SELECT ll.lambda + 0.0 AS lambda, ll.loglik + 0.0 AS loglik,
+  CASE WHEN ll.lambda = best.best_lambda THEN 1 ELSE 0 END AS is_best
+FROM ll CROSS JOIN best ORDER BY ll.lambda"""
+  }
+
+  // q504 Anderson-Darling goodness-of-fit of inter-purchase gaps to the
+  // exponential with the fitted mean — the tail-weighted complement of
+  // the q343 KS.
+  private def adExpSql(micros: String => String, idiv: String): String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       |g AS (
+       |  SELECT cast((${micros("ts")} - ${micros("prev")}) $idiv 60000000 as double)
+       |    AS mins
+       |  FROM (
+       |    SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+       |    FROM p) z
+       |  WHERE prev IS NOT NULL
+       |    AND (${micros("ts")} - ${micros("prev")}) $idiv 60000000 > 0),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(mins as decimal(25,4))) as double) / count(*) AS mu
+       |  FROM g),
+       |rk AS (
+       |  SELECT mins, row_number() OVER (ORDER BY mins) AS i FROM g),
+       |terms AS (
+       |  SELECT a.i,
+       |    round((2 * a.i - 1)
+       |      * (ln(1 - exp(-(a.mins / m.mu)))
+       |         + (-(b.mins / m.mu))), 9) AS t
+       |  FROM rk a CROSS JOIN m
+       |  JOIN rk b ON b.i = m.n + 1 - a.i),
+       |s AS (
+       |  SELECT m.n,
+       |    cast(sum(cast(t as decimal(25,9))) as double) AS st
+       |  FROM terms CROSS JOIN m GROUP BY m.n)
+       |SELECT n AS n_gaps,
+       |  round(-cast(n as double) - st / n, 6) + 0.0 AS ad_stat
+       |FROM s""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -7256,6 +7422,22 @@ ORDER BY channel"""
     // PAGE'S trend test (weeks ordered within day-of-week blocks).
     "q499_page_trend" -> sqlQuery(Seq("events"),
       pageTrendSql(e => s"unix_micros($e) div 86400000000")),
+
+    // TUKEY HSD post-hoc pairwise comparisons.
+    "q500_tukey_hsd" -> sqlQuery(Seq("events"), tukeyHsdSql),
+
+    // DUNN'S post-hoc pairwise rank z.
+    "q501_dunn" -> sqlQuery(Seq("events"), dunnSql),
+
+    // JAMES-STEIN shrinkage of per-nation means.
+    "q502_james_stein" -> sqlQuery(Seq("orders", "customer"), jamesSteinSql),
+
+    // BOX-COX lambda grid search.
+    "q503_box_cox" -> sqlQuery(Seq("orders"), boxCoxSql),
+
+    // ANDERSON-DARLING exponential fit of purchase gaps.
+    "q504_anderson_darling" -> sqlQuery(Seq("events"),
+      adExpSql(e => s"unix_micros($e)", "div")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -14858,6 +15040,11 @@ ORDER BY channel"""
     "q498_obf_monitor" -> obfSql(e => s"epoch_us($e) // 86400000000"),
     "q499_page_trend" ->
       pageTrendSql(e => s"epoch_us($e) // 86400000000"),
+    "q500_tukey_hsd" -> tukeyHsdSql,
+    "q501_dunn" -> dunnSql,
+    "q502_james_stein" -> jamesSteinSql,
+    "q503_box_cox" -> boxCoxSql,
+    "q504_anderson_darling" -> adExpSql(e => s"epoch_us($e)", "//"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
