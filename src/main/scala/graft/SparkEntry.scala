@@ -5963,6 +5963,170 @@ FROM ll CROSS JOIN best ORDER BY ll.lambda"""
        |  round(-cast(n as double) - st / n, 6) + 0.0 AS ad_stat
        |FROM s""".stripMargin
 
+  // q505 two-component 1-D Gaussian mixture on ln(order value): EM
+  // unrolled `iters` rounds (quartile/half-variance init, round-9-pinned
+  // responsibilities and moments; the 2-pi factor cancels in the
+  // responsibility ratio so phi drops it).
+  private def gmm2Sql(iters: Int = 3): String = {
+    def phi(mu: String, v: String) =
+      s"exp(-(b.y - $mu) * (b.y - $mu) / (2 * $v)) / sqrt($v)"
+    val steps = (1 to iters).map { k =>
+      val pp = s"par${k - 1}"
+      s""",
+e$k AS (
+  SELECT b.y,
+    round($pp.w * ${phi(s"$pp.mu1", s"$pp.v1")}
+      / ($pp.w * ${phi(s"$pp.mu1", s"$pp.v1")}
+         + (1 - $pp.w) * ${phi(s"$pp.mu2", s"$pp.v2")}), 9) AS r
+  FROM base b CROSS JOIN $pp),
+s$k AS (
+  SELECT cast(count(*) as bigint) AS n,
+    cast(sum(cast(round(r, 9) as decimal(25,9))) as double) AS sr,
+    cast(sum(cast(round(r * y, 6) as decimal(25,6))) as double) AS sry,
+    cast(sum(cast(round(r * y * y, 6) as decimal(30,6))) as double) AS sry2,
+    cast(sum(cast(round((1 - r) * y, 6) as decimal(25,6))) as double) AS suy,
+    cast(sum(cast(round((1 - r) * y * y, 6) as decimal(30,6))) as double) AS suy2
+  FROM e$k),
+par$k AS (
+  SELECT round(sr / n, 9) AS w,
+    round(sry / sr, 9) AS mu1, round(suy / (n - sr), 9) AS mu2,
+    round((sry2 - sry * sry / sr) / sr, 9) AS v1,
+    round((suy2 - suy * suy / (n - sr)) / (n - sr), 9) AS v2
+  FROM s$k)"""
+    }.mkString
+    s"""WITH base AS (
+  SELECT ln(cast(o_totalprice as double)) AS y
+  FROM orders WHERE o_totalprice > 0),
+rk AS (
+  SELECT y, row_number() OVER (ORDER BY y) AS i, count(*) OVER () AS n
+  FROM base),
+init AS (
+  SELECT
+    max(CASE WHEN i = cast(floor(n * 0.25E0) as bigint) THEN y END) AS q25,
+    max(CASE WHEN i = cast(floor(n * 0.75E0) as bigint) THEN y END) AS q75
+  FROM rk),
+mom AS (
+  SELECT cast(count(*) as bigint) AS n,
+    cast(sum(cast(round(y, 9) as decimal(25,9))) as double) AS s1,
+    cast(sum(cast(round(y * y, 9) as decimal(30,9))) as double) AS s2
+  FROM base),
+par0 AS (
+  SELECT 0.5E0 AS w, init.q25 AS mu1, init.q75 AS mu2,
+    round((mom.s2 - mom.s1 * mom.s1 / mom.n) / mom.n / 2, 9) AS v1,
+    round((mom.s2 - mom.s1 * mom.s1 / mom.n) / mom.n / 2, 9) AS v2
+  FROM init CROSS JOIN mom)$steps
+SELECT round(w, 6) + 0.0 AS weight1,
+  round(mu1, 6) + 0.0 AS mu1, round(mu2, 6) + 0.0 AS mu2,
+  round(sqrt(v1), 6) + 0.0 AS sigma1, round(sqrt(v2), 6) + 0.0 AS sigma2
+FROM par$iters"""
+  }
+
+  // q506 Monroe-Colaresi-Quinn informative-prior log-odds: src0 vs the
+  // rest over the top-40 corpus words, z = delta / sqrt(1/(y+a) + 1/(y'+a)).
+  private def monroeSql(tokPosCte: String): String =
+    s"""WITH tokp AS ($tokPosCte),
+       |src AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |tok AS (
+       |  SELECT CASE WHEN s.source = 'src0' THEN 1 ELSE 0 END AS grp, t.word
+       |  FROM tokp t JOIN src s ON s.doc_id = t.doc_id),
+       |top AS (
+       |  SELECT word FROM (
+       |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+       |    FROM tok GROUP BY word) z WHERE rk <= 40),
+       |wc AS (
+       |  SELECT t.word, t.grp, cast(count(*) as bigint) AS y
+       |  FROM tok t JOIN top ON top.word = t.word GROUP BY t.word, t.grp),
+       |nt AS (SELECT grp, cast(sum(y) as bigint) AS n FROM wc GROUP BY grp),
+       |px AS (
+       |  SELECT top.word,
+       |    coalesce(max(CASE WHEN wc.grp = 1 THEN wc.y END), 0) AS ya,
+       |    coalesce(max(CASE WHEN wc.grp = 0 THEN wc.y END), 0) AS yb
+       |  FROM top LEFT JOIN wc ON wc.word = top.word GROUP BY top.word),
+       |f AS (
+       |  SELECT px.word, px.ya, px.yb,
+       |    round(ln((px.ya + 0.5E0) / (na.n + 20.0E0 - px.ya - 0.5E0))
+       |      - ln((px.yb + 0.5E0) / (nb.n + 20.0E0 - px.yb - 0.5E0)), 9) AS delta,
+       |    round(1.0E0 / (px.ya + 0.5E0) + 1.0E0 / (px.yb + 0.5E0), 9) AS v
+       |  FROM px
+       |  CROSS JOIN (SELECT n FROM nt WHERE grp = 1) na
+       |  CROSS JOIN (SELECT n FROM nt WHERE grp = 0) nb)
+       |SELECT word, ya AS count_src0, yb AS count_rest,
+       |  round(delta / sqrt(v), 6) + 0.0 AS log_odds_z
+       |FROM f ORDER BY word""".stripMargin
+
+  // q507 Syntetos-Boylan intermittent-demand classification per part
+  // category: ADI (mean inter-demand interval over order dates) and
+  // CV^2 of demand sizes, quadrant cutoffs 1.32 / 0.49.
+  private def syntetosBoylanSql(dayDiff: (String, String) => String): String =
+    s"""WITH d AS (
+      |  SELECT l.l_partkey % 50 AS cat, o.o_orderdate AS dt,
+      |    cast(sum(cast(round(l.l_quantity, 2) as decimal(20,2))) as double) AS q
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2),
+      |iv AS (
+      |  SELECT cat,
+      |    cast(${dayDiff("dt", "lag(dt) OVER (PARTITION BY cat ORDER BY dt)")}
+      |      as double) AS gap
+      |  FROM d),
+      |adi AS (
+      |  SELECT cat,
+      |    cast(sum(cast(round(gap, 0) as decimal(20,0))) as double)
+      |      / count(gap) AS adi
+      |  FROM iv WHERE gap IS NOT NULL GROUP BY cat),
+      |cv AS (
+      |  SELECT cat, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(q, 2) as decimal(25,2))) as double) AS s1,
+      |    cast(sum(cast(round(q * q, 2) as decimal(30,2))) as double) AS s2
+      |  FROM d GROUP BY cat)
+      |SELECT cast(cv.cat as int) AS category, cv.n AS n_demands,
+      |  round(adi.adi, 6) + 0.0 AS adi,
+      |  round(((cv.s2 - cv.s1 * cv.s1 / cv.n) / (cv.n - 1))
+      |    / ((cv.s1 / cv.n) * (cv.s1 / cv.n)), 6) + 0.0 AS cv2,
+      |  CASE
+      |    WHEN adi.adi < 1.32E0 AND ((cv.s2 - cv.s1 * cv.s1 / cv.n) / (cv.n - 1))
+      |      / ((cv.s1 / cv.n) * (cv.s1 / cv.n)) < 0.49E0 THEN 'smooth'
+      |    WHEN adi.adi >= 1.32E0 AND ((cv.s2 - cv.s1 * cv.s1 / cv.n) / (cv.n - 1))
+      |      / ((cv.s1 / cv.n) * (cv.s1 / cv.n)) < 0.49E0 THEN 'intermittent'
+      |    WHEN adi.adi < 1.32E0 THEN 'erratic'
+      |    ELSE 'lumpy' END AS demand_class
+      |FROM cv JOIN adi ON adi.cat = cv.cat
+      |ORDER BY category""".stripMargin
+
+  // q508 Poisson-Gamma empirical-Bayes shrinkage of per-category weekly
+  // demand rates: method-of-moments Gamma prior across categories,
+  // posterior mean (x + alpha) / (t + beta).
+  private def poissonGammaSql(weekExpr: String): String =
+    s"""WITH wk AS (
+       |  SELECT l.l_partkey % 50 AS cat, $weekExpr AS w
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |nts AS (SELECT cast(count(DISTINCT w) as double) AS t FROM wk),
+       |x AS (SELECT cat, cast(count(*) as bigint) AS x FROM wk GROUP BY cat),
+       |r AS (
+       |  SELECT x.cat, x.x, x.x / nts.t AS rate, nts.t
+       |  FROM x CROSS JOIN nts),
+       |mom AS (
+       |  SELECT cast(count(*) as bigint) AS k, max(t) AS t,
+       |    cast(sum(cast(round(rate, 9) as decimal(25,9))) as double) AS s1,
+       |    cast(sum(cast(round(rate * rate, 9) as decimal(30,9))) as double) AS s2
+       |  FROM r),
+       |prior AS (
+       |  -- alpha/beta pinned at 2 decimals: pv sits on a catastrophic
+       |  -- cancellation (between-variance barely above m/t), so the raw
+       |  -- quotient differs in the last double bit across engines
+       |  SELECT t,
+       |    round((s1 / k) * (s1 / k)
+       |      / greatest((s2 - s1 * s1 / k) / (k - 1) - (s1 / k) / t, 1e-9), 2)
+       |      AS alpha,
+       |    round((s1 / k)
+       |      / greatest((s2 - s1 * s1 / k) / (k - 1) - (s1 / k) / t, 1e-9), 2)
+       |      AS beta
+       |  FROM mom)
+       |SELECT cast(r.cat as int) AS category, r.x AS n_demands,
+       |  round(r.rate, 6) + 0.0 AS raw_rate,
+       |  round((r.x + prior.alpha) / (r.t + prior.beta), 6) + 0.0 AS eb_rate,
+       |  round(prior.alpha, 2) + 0.0 AS prior_alpha
+       |FROM r CROSS JOIN prior ORDER BY category""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -7434,6 +7598,21 @@ FROM ll CROSS JOIN best ORDER BY ll.lambda"""
     // ANDERSON-DARLING exponential fit of purchase gaps.
     "q504_anderson_darling" -> sqlQuery(Seq("events"),
       adExpSql(e => s"unix_micros($e)", "div")),
+
+    // TWO-COMPONENT Gaussian mixture via 3 unrolled EM rounds.
+    "q505_gmm2_em" -> sqlQuery(Seq("orders"), gmm2Sql(3)),
+
+    // MONROE log-odds with informative prior (src0 vs rest).
+    "q506_monroe_log_odds" -> sqlQuery(Seq("documents"),
+      monroeSql(graft.pipeline.TextClassify.sparkTokPos)),
+
+    // SYNTETOS-BOYLAN intermittent-demand quadrants.
+    "q507_syntetos_boylan" -> sqlQuery(Seq("lineitem", "orders"),
+      syntetosBoylanSql((a, b) => s"datediff($a, $b)")),
+
+    // POISSON-GAMMA EB shrinkage of weekly demand rates.
+    "q508_poisson_gamma" -> sqlQuery(Seq("lineitem", "orders"),
+      poissonGammaSql("unix_micros(cast(o.o_orderdate as timestamp)) div 604800000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -15041,6 +15220,13 @@ FROM ll CROSS JOIN best ORDER BY ll.lambda"""
     "q502_james_stein" -> jamesSteinSql,
     "q503_box_cox" -> boxCoxSql,
     "q504_anderson_darling" -> adExpSql(e => s"epoch_us($e)", "//"),
+    "q505_gmm2_em" -> gmm2Sql(3),
+    "q506_monroe_log_odds" ->
+      monroeSql(graft.pipeline.TextClassify.duckTokPos),
+    "q507_syntetos_boylan" ->
+      syntetosBoylanSql((a, b) => s"date_diff('day', $b, $a)"),
+    "q508_poisson_gamma" ->
+      poissonGammaSql("epoch_us(o.o_orderdate) // 604800000000"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
