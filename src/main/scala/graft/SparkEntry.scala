@@ -3881,47 +3881,63 @@ SELECT source,
 FROM fin GROUP BY source ORDER BY source"""
   }
 
-  // q443 cross-source shared n-gram ladder: gram sizes 4/8/16 built by
-  // doubling (g4 = g2⋈g2, g8 = g4⋈g4, g16 = g8⋈g8 — log n equi-joins,
-  // never an n-way join), shared-gram counts per source pair from the
-  // DISTINCT (source, gram) sets (fan-out bounded by source count, the
-  // q306 discipline).
-  private def ngramLadderSql(tokPosCte: String): String =
+  // q443 cross-source shared n-gram ladder: gram sizes 4/8/16 from ONE
+  // window pass (15 lead() columns over doc position — one shuffle+sort
+  // per doc, no self-joins; the earlier doubling-join chain was
+  // re-inlined 7x by both optimizers and went 33x at 10x data). Levels
+  // unpivot via a 3-row cross join (still the single pass), and the
+  // dedup/join key is the md5-60bit of the gram — identical on both
+  // engines, 8 bytes instead of a ~100-byte 16-gram string. Shared
+  // counts per source pair come from the DISTINCT (n, source, h) sets
+  // (fan-out bounded by source count, the q306 discipline).
+  private def ngramLadderSql(tokPosCte: String, md5i: String => String): String = {
+    val leads = (1 to 15).map(i => s"lead(word, $i) OVER w AS w$i").mkString(",\n       |    ")
+    def gram(n: Int) = "concat_ws(' ', word, " + (1 until n).map(i => s"w$i").mkString(", ") + ")"
     s"""WITH tokp AS ($tokPosCte),
        |src AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
-       |g2 AS (
-       |  SELECT a.doc_id, a.pos, concat(a.word, ' ', b.word) AS g
-       |  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-       |g4 AS (
-       |  SELECT a.doc_id, a.pos, concat(a.g, ' ', b.g) AS g
-       |  FROM g2 a JOIN g2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
-       |g8 AS (
-       |  SELECT a.doc_id, a.pos, concat(a.g, ' ', b.g) AS g
-       |  FROM g4 a JOIN g4 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 4),
-       |g16 AS (
-       |  SELECT a.doc_id, a.pos, concat(a.g, ' ', b.g) AS g
-       |  FROM g8 a JOIN g8 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 8),
+       |win AS (
+       |  SELECT doc_id, word,
+       |    $leads
+       |  FROM tokp
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |gr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN w3 IS NOT NULL THEN ${md5i(gram(4))} END AS h4,
+       |    CASE WHEN w7 IS NOT NULL THEN ${md5i(gram(8))} END AS h8,
+       |    CASE WHEN w15 IS NOT NULL THEN ${md5i(gram(16))} END AS h16
+       |  FROM win),
+       |lvl3 AS (SELECT 4 AS n UNION ALL SELECT 8 UNION ALL SELECT 16),
        |lv AS (
-       |  SELECT 4 AS n, s.source, g.g FROM g4 g JOIN src s ON s.doc_id = g.doc_id
-       |  UNION ALL
-       |  SELECT 8 AS n, s.source, g.g FROM g8 g JOIN src s ON s.doc_id = g.doc_id
-       |  UNION ALL
-       |  SELECT 16 AS n, s.source, g.g FROM g16 g JOIN src s ON s.doc_id = g.doc_id),
-       |d AS (SELECT DISTINCT n, source, g FROM lv),
+       |  -- BROADCAST(s): without it Spark broadcasts the 2.7M-row
+       |  -- windowed gram table (size stats are unknown past Generate +
+       |  -- Window), duplicated into both self-join sides — measured 170 s
+       |  -- at 10x vs 3 s in an engine that hashes the small side. DuckDB
+       |  -- parses the hint as a plain comment.
+       |  SELECT /*+ BROADCAST(s) */ l.n, s.source,
+       |    CASE l.n WHEN 4 THEN g.h4 WHEN 8 THEN g.h8 ELSE g.h16 END AS h
+       |  FROM gr g JOIN src s ON s.doc_id = g.doc_id CROSS JOIN lvl3 l
+       |  WHERE CASE l.n WHEN 4 THEN g.h4 WHEN 8 THEN g.h8 ELSE g.h16 END
+       |    IS NOT NULL),
+       |d AS (SELECT DISTINCT n, source, h FROM lv),
        |sh AS (
-       |  SELECT a.n, a.source AS src_a, b.source AS src_b,
+       |  SELECT /*+ MERGE(a, b) */ a.n, a.source AS src_a, b.source AS src_b,
        |    cast(count(*) as bigint) AS shared_grams
-       |  FROM d a JOIN d b ON b.n = a.n AND b.g = a.g AND b.source > a.source
+       |  FROM d a JOIN d b ON b.n = a.n AND b.h = a.h AND b.source > a.source
        |  GROUP BY a.n, a.source, b.source),
+       |srcs AS (SELECT DISTINCT source FROM src),
        |pairs AS (
-       |  SELECT DISTINCT a.source AS src_a, b.source AS src_b
-       |  FROM src a JOIN src b ON b.source > a.source),
+       |  -- pair the DISTINCT source list (20 rows), never the doc-level
+       |  -- relation: the doc-level inequality self-join is a nested-loop
+       |  -- over docs^2 (2.5e9 comparisons at 10x — the measured 56x blowup)
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a JOIN srcs b ON b.source > a.source),
        |lvl AS (SELECT 4 AS n UNION ALL SELECT 8 UNION ALL SELECT 16)
        |SELECT p.src_a, p.src_b, cast(l.n as int) AS gram_n,
        |  coalesce(sh.shared_grams, 0) AS shared_grams
        |FROM pairs p CROSS JOIN lvl l
        |LEFT JOIN sh ON sh.src_a = p.src_a AND sh.src_b = p.src_b AND sh.n = l.n
        |ORDER BY p.src_a, p.src_b, gram_n""".stripMargin
+  }
 
   // q444 Cochran-Armitage trend test: ordered priority scores 1..5,
   // outcome = finished order; Z from exact integer score/event sums.
@@ -7366,7 +7382,8 @@ FROM par$iters"""
 
     // SHARED n-GRAM LADDER (4/8/16 by doubling joins) per source pair.
     "q443_ngram_ladder" -> sqlQuery(Seq("documents"),
-      ngramLadderSql(graft.pipeline.TextClassify.sparkTokPos)),
+      ngramLadderSql(graft.pipeline.TextClassify.sparkTokPos,
+        g => s"cast(conv(substring(md5($g), 1, 15), 16, 10) as bigint)")),
 
     // COCHRAN-ARMITAGE trend test over priority-ordered finish rates.
     "q444_cochran_armitage" -> sqlQuery(Seq("orders"), cochranArmitageSql),
@@ -15265,7 +15282,8 @@ FROM par$iters"""
     "q442_bpe_fertility" -> bpeFertilitySql(48),
     // duck positional tokenizer, same doubling-join ladder
     "q443_ngram_ladder" ->
-      ngramLadderSql(graft.pipeline.TextClassify.duckTokPos),
+      ngramLadderSql(graft.pipeline.TextClassify.duckTokPos,
+        g => s"('0x' || substr(md5($g), 1, 15))::BIGINT"),
 
     // duck integer-division spellings, same journey/series cores
     "q437_shapley_attribution" ->
