@@ -6143,6 +6143,229 @@ FROM par$iters"""
        |  round(prior.alpha, 2) + 0.0 AS prior_alpha
        |FROM r CROSS JOIN prior ORDER BY category""".stripMargin
 
+  // q509 propensity-score matching (nearest-neighbor, with replacement):
+  // treated users matched to the nearest control PRE-PERIOD click score
+  // (tie -> lower control score, then lower control id), ATT over
+  // matched pairs. Nearest-neighbor by sorted-scores lag/lead — never a
+  // treated x control cross join.
+  private def psmSql(dayNum: String => String): String =
+    s"""WITH rng AS (SELECT min(${dayNum("ts")}) AS d0 FROM events),
+       |u AS (
+       |  SELECT e.user_id,
+       |    CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+       |    cast(sum(CASE WHEN e.event_type = 'click'
+       |      AND ${dayNum("e.ts")} < r.d0 + 15 THEN 1 ELSE 0 END) as bigint) AS score,
+       |    cast(sum(CASE WHEN e.event_type = 'purchase'
+       |      AND ${dayNum("e.ts")} >= r.d0 + 15 THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events e CROSS JOIN rng r GROUP BY e.user_id),
+       |crep AS (
+       |  SELECT score, y FROM (
+       |    SELECT score, y, row_number() OVER (PARTITION BY score
+       |      ORDER BY user_id) AS rk
+       |    FROM u WHERE treated = 0) z WHERE rk = 1),
+       |sc AS (
+       |  SELECT score AS s, 1 AS is_t FROM (SELECT DISTINCT score FROM u
+       |    WHERE treated = 1) a
+       |  UNION ALL
+       |  SELECT score AS s, 0 AS is_t FROM crep),
+       |near AS (
+       |  SELECT s, is_t,
+       |    max(CASE WHEN is_t = 0 THEN s END)
+       |      OVER (ORDER BY s, is_t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS prev_c,
+       |    min(CASE WHEN is_t = 0 THEN s END)
+       |      OVER (ORDER BY s, is_t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS next_c
+       |  FROM sc),
+       |mt AS (
+       |  SELECT s AS tscore,
+       |    CASE
+       |      WHEN prev_c IS NULL THEN next_c
+       |      WHEN next_c IS NULL THEN prev_c
+       |      WHEN s - prev_c <= next_c - s THEN prev_c
+       |      ELSE next_c END AS mscore
+       |  FROM near WHERE is_t = 1),
+       |att AS (
+       |  SELECT u.user_id, u.y AS yt, c.y AS yc
+       |  FROM u JOIN mt ON mt.tscore = u.score
+       |  JOIN crep c ON c.score = mt.mscore
+       |  WHERE u.treated = 1)
+       |SELECT cast(count(*) as bigint) AS n_matched,
+       |  round(cast(sum(yt - yc) as double) / count(*), 6) + 0.0 AS att,
+       |  round(cast(sum(yt) as double) / count(*), 6) + 0.0 AS mean_treated,
+       |  round(cast(sum(yc) as double) / count(*), 6) + 0.0 AS mean_matched_control
+       |FROM att""".stripMargin
+
+  // q510 sharp regression discontinuity at account balance 0: local
+  // linear fits on both sides of the cutoff (bandwidth 2000), effect =
+  // intercept gap at the cutoff.
+  private val rddSql =
+    """WITH cust AS (
+      |  SELECT c.c_custkey, cast(c.c_acctbal as double) AS x,
+      |    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      |      / count(*) AS y
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_acctbal >= -2000 AND c.c_acctbal < 2000
+      |  GROUP BY c.c_custkey, c.c_acctbal),
+      |s AS (
+      |  SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+      |    cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(round(y, 6) as decimal(25,6))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 4) as decimal(30,4))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 4) as decimal(30,4))) as double) AS sxx
+      |  FROM cust GROUP BY 1),
+      |co AS (
+      |  SELECT side, n,
+      |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS b,
+      |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) AS a
+      |  FROM s),
+      |px AS (SELECT
+      |    max(CASE WHEN side = 1 THEN a END) AS ar,
+      |    max(CASE WHEN side = 0 THEN a END) AS al,
+      |    max(CASE WHEN side = 1 THEN b END) AS br,
+      |    max(CASE WHEN side = 0 THEN b END) AS bl,
+      |    max(CASE WHEN side = 1 THEN n END) AS nr,
+      |    max(CASE WHEN side = 0 THEN n END) AS nl
+      |  FROM co)
+      |SELECT nl AS n_left, nr AS n_right,
+      |  round(ar - al, 6) + 0.0 AS rdd_effect,
+      |  round(bl, 9) + 0.0 AS slope_left, round(br, 9) + 0.0 AS slope_right
+      |FROM px""".stripMargin
+
+  // q511 Wald instrumental-variable estimator: instrument = user parity,
+  // exposure = click count, outcome = purchase count; the first-stage
+  // difference is reported so a weak instrument is visible.
+  private val waldIvSql =
+    """WITH u AS (
+      |  SELECT user_id, cast(user_id % 2 as int) AS z,
+      |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS x,
+      |    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS y
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT z, cast(count(*) as bigint) AS n,
+      |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy
+      |  FROM u GROUP BY z),
+      |px AS (SELECT
+      |    max(CASE WHEN z = 1 THEN cast(sx as double) / n END) AS x1,
+      |    max(CASE WHEN z = 0 THEN cast(sx as double) / n END) AS x0,
+      |    max(CASE WHEN z = 1 THEN cast(sy as double) / n END) AS y1,
+      |    max(CASE WHEN z = 0 THEN cast(sy as double) / n END) AS y0,
+      |    cast(sum(n) as bigint) AS n
+      |  FROM s)
+      |SELECT n AS n_users,
+      |  round(y1 - y0, 6) + 0.0 AS reduced_form,
+      |  round(x1 - x0, 6) + 0.0 AS first_stage,
+      |  round((y1 - y0) / (x1 - x0), 6) + 0.0 AS wald_iv
+      |FROM px""".stripMargin
+
+  // q512 event study around each user's first purchase: mean daily click
+  // count by relative day in [-5, +5], plus the delta against the r=-1
+  // anchor (the pre-trend row a reviewer reads first).
+  private def eventStudySql(dayNum: String => String): String =
+    s"""WITH fp AS (
+       |  SELECT user_id, min(${dayNum("ts")}) AS d_adopt
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |clicks AS (
+       |  SELECT e.user_id, ${dayNum("ts")} AS d, cast(count(*) as bigint) AS c
+       |  FROM events e WHERE e.event_type = 'click'
+       |  GROUP BY e.user_id, ${dayNum("ts")}),
+       |rel AS (
+       |  SELECT cast(c.d - f.d_adopt as bigint) AS r, c.c
+       |  FROM clicks c JOIN fp f ON f.user_id = c.user_id
+       |  WHERE c.d - f.d_adopt BETWEEN -5 AND 5),
+       |per AS (
+       |  SELECT r, cast(count(*) as bigint) AS n,
+       |    round(cast(sum(c) as double) / count(*), 9) AS avg_clicks
+       |  FROM rel GROUP BY r),
+       |anchor AS (SELECT avg_clicks AS a FROM per WHERE r = -1)
+       |SELECT cast(per.r as int) AS rel_day, per.n,
+       |  round(per.avg_clicks, 6) + 0.0 AS avg_clicks,
+       |  round(per.avg_clicks - anchor.a, 6) + 0.0 AS delta_vs_pre
+       |FROM per CROSS JOIN anchor ORDER BY rel_day""".stripMargin
+
+  // q513 Breusch-Pagan heteroskedasticity LM test on the acctbal ->
+  // mean-order-value regression: n * R^2 of e^2 on x.
+  private val breuschPaganSql =
+    """WITH cust AS (
+      |  SELECT cast(c.c_acctbal as double) AS x,
+      |    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      |      / count(*) AS y
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, c.c_acctbal),
+      |s AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(round(y, 6) as decimal(25,6))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 4) as decimal(30,4))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 4) as decimal(30,4))) as double) AS sxx
+      |  FROM cust),
+      |co AS (
+      |  SELECT n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS b,
+      |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) AS a
+      |  FROM s),
+      |e2 AS (
+      |  SELECT cust.x,
+      |    round((cust.y - co.a - co.b * cust.x) * (cust.y - co.a - co.b * cust.x), 6)
+      |      AS e2
+      |  FROM cust CROSS JOIN co),
+      |aux AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(e2 as decimal(30,6))) as double) AS se,
+      |    cast(sum(cast(round(x * e2, 2) as decimal(35,2))) as double) AS sxe,
+      |    cast(sum(cast(round(x * x, 4) as decimal(30,4))) as double) AS sxx,
+      |    cast(sum(cast(round(e2 * e2, 2) as decimal(38,2))) as double) AS see
+      |  FROM e2)
+      |SELECT n AS n_obs,
+      |  round(cast(n as double)
+      |    * ((n * sxe - sx * se) * (n * sxe - sx * se))
+      |    / ((n * sxx - sx * sx) * (n * see - se * se)), 6) + 0.0 AS bp_lm
+      |FROM aux""".stripMargin
+
+  // q514 heteroskedasticity-robust (HC0) standard error for the same
+  // slope, reported against the classical OLS SE.
+  private val hc0Sql =
+    """WITH cust AS (
+      |  SELECT cast(c.c_acctbal as double) AS x,
+      |    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      |      / count(*) AS y
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, c.c_acctbal),
+      |s AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+      |    cast(sum(cast(round(y, 6) as decimal(25,6))) as double) AS sy,
+      |    cast(sum(cast(round(x * y, 4) as decimal(30,4))) as double) AS sxy,
+      |    cast(sum(cast(round(x * x, 4) as decimal(30,4))) as double) AS sxx
+      |  FROM cust),
+      |co AS (
+      |  SELECT n, sx / n AS mx,
+      |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS b,
+      |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) AS a
+      |  FROM s),
+      |terms AS (
+      |  SELECT (cust.x - co.mx) * (cust.x - co.mx) AS xt2,
+      |    round((cust.x - co.mx) * (cust.x - co.mx)
+      |      * (cust.y - co.a - co.b * cust.x) * (cust.y - co.a - co.b * cust.x), 2)
+      |      AS xt2e2,
+      |    round((cust.y - co.a - co.b * cust.x)
+      |      * (cust.y - co.a - co.b * cust.x), 6) AS e2
+      |  FROM cust CROSS JOIN co),
+      |agg AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(xt2, 2) as decimal(30,2))) as double) AS sxx,
+      |    cast(sum(cast(xt2e2 as decimal(38,2))) as double) AS sxxee,
+      |    cast(sum(cast(e2 as decimal(30,6))) as double) AS sse
+      |  FROM terms)
+      |SELECT n AS n_obs,
+      |  round((SELECT b FROM co), 9) + 0.0 AS slope,
+      |  round(sqrt(sse / (n - 2) / sxx), 9) + 0.0 AS se_classic,
+      |  round(sqrt(sxxee / (sxx * sxx)), 9) + 0.0 AS se_hc0,
+      |  round(sqrt(sxxee / (sxx * sxx)) / sqrt(sse / (n - 2) / sxx), 6) + 0.0
+      |    AS robust_ratio
+      |FROM agg""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -7630,6 +7853,26 @@ FROM par$iters"""
     // POISSON-GAMMA EB shrinkage of weekly demand rates.
     "q508_poisson_gamma" -> sqlQuery(Seq("lineitem", "orders"),
       poissonGammaSql("unix_micros(cast(o.o_orderdate as timestamp)) div 604800000000")),
+
+    // PROPENSITY-SCORE nearest-neighbor matching ATT.
+    "q509_psm" -> sqlQuery(Seq("events"),
+      psmSql(e => s"unix_micros($e) div 86400000000")),
+
+    // REGRESSION DISCONTINUITY at acctbal = 0.
+    "q510_rdd" -> sqlQuery(Seq("orders", "customer"), rddSql),
+
+    // WALD instrumental-variable estimator.
+    "q511_wald_iv" -> sqlQuery(Seq("events"), waldIvSql),
+
+    // EVENT STUDY around first purchase.
+    "q512_event_study" -> sqlQuery(Seq("events"),
+      eventStudySql(e => s"unix_micros($e) div 86400000000")),
+
+    // BREUSCH-PAGAN heteroskedasticity LM.
+    "q513_breusch_pagan" -> sqlQuery(Seq("orders", "customer"), breuschPaganSql),
+
+    // HC0 robust standard error vs classical.
+    "q514_hc0" -> sqlQuery(Seq("orders", "customer"), hc0Sql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -15244,6 +15487,13 @@ FROM par$iters"""
       syntetosBoylanSql((a, b) => s"date_diff('day', $b, $a)"),
     "q508_poisson_gamma" ->
       poissonGammaSql("epoch_us(o.o_orderdate) // 604800000000"),
+    "q509_psm" -> psmSql(e => s"epoch_us($e) // 86400000000"),
+    "q510_rdd" -> rddSql,
+    "q511_wald_iv" -> waldIvSql,
+    "q512_event_study" ->
+      eventStudySql(e => s"epoch_us($e) // 86400000000"),
+    "q513_breusch_pagan" -> breuschPaganSql,
+    "q514_hc0" -> hc0Sql,
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
