@@ -6366,6 +6366,143 @@ FROM par$iters"""
       |    AS robust_ratio
       |FROM agg""".stripMargin
 
+  // q515 panel fixed-effects (within) estimator over the (user, day)
+  // panel: clicks -> purchases with user effects demeaned away; within
+  // R^2 and the FE-consistent slope.
+  private def fixedEffectsSql(dayNum: String => String): String =
+    s"""WITH panel AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d,
+       |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS x,
+       |    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events GROUP BY user_id, ${dayNum("ts")}),
+       |um AS (
+       |  SELECT user_id, cast(count(*) as bigint) AS t,
+       |    round(cast(sum(x) as double) / count(*), 9) AS mx,
+       |    round(cast(sum(y) as double) / count(*), 9) AS my
+       |  FROM panel GROUP BY user_id),
+       |w AS (
+       |  SELECT p.x - um.mx AS xt, p.y - um.my AS yt
+       |  FROM panel p JOIN um ON um.user_id = p.user_id),
+       |agg AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(round(xt * yt, 6) as decimal(30,6))) as double) AS sxy,
+       |    cast(sum(cast(round(xt * xt, 6) as decimal(30,6))) as double) AS sxx,
+       |    cast(sum(cast(round(yt * yt, 6) as decimal(30,6))) as double) AS syy
+       |  FROM w),
+       |g AS (SELECT cast(count(*) as bigint) AS g FROM um)
+       |SELECT agg.n AS n_obs, g.g AS n_users,
+       |  round(sxy / sxx, 9) + 0.0 AS fe_slope,
+       |  round((sxy / sxx) * (sxy / sxx) * sxx / syy, 6) + 0.0 AS r2_within
+       |FROM agg CROSS JOIN g""".stripMargin
+
+  // q516 cluster-robust (by user) standard error for the q515 within
+  // slope: sqrt(sum_g (sum_i xt*e)^2) / sum xt^2 (no small-sample
+  // factor — documented).
+  private def clusteredSeSql(dayNum: String => String): String =
+    s"""WITH panel AS (
+       |  SELECT user_id, ${dayNum("ts")} AS d,
+       |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS x,
+       |    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events GROUP BY user_id, ${dayNum("ts")}),
+       |um AS (
+       |  SELECT user_id, round(cast(sum(x) as double) / count(*), 9) AS mx,
+       |    round(cast(sum(y) as double) / count(*), 9) AS my
+       |  FROM panel GROUP BY user_id),
+       |w AS (
+       |  SELECT p.user_id, p.x - um.mx AS xt, p.y - um.my AS yt
+       |  FROM panel p JOIN um ON um.user_id = p.user_id),
+       |bb AS (
+       |  SELECT round(
+       |    cast(sum(cast(round(xt * yt, 6) as decimal(30,6))) as double)
+       |    / cast(sum(cast(round(xt * xt, 6) as decimal(30,6))) as double), 12) AS b,
+       |    cast(sum(cast(round(xt * xt, 6) as decimal(30,6))) as double) AS sxx
+       |  FROM w),
+       |cl AS (
+       |  SELECT w.user_id,
+       |    cast(sum(cast(round(w.xt * (w.yt - bb.b * w.xt), 6) as decimal(30,6)))
+       |      as double) AS score
+       |  FROM w CROSS JOIN bb GROUP BY w.user_id),
+       |meat AS (
+       |  SELECT cast(sum(cast(round(score * score, 6) as decimal(35,6)))
+       |    as double) AS m, cast(count(*) as bigint) AS g
+       |  FROM cl)
+       |SELECT meat.g AS n_clusters,
+       |  round(bb.b, 9) + 0.0 AS fe_slope,
+       |  round(sqrt(meat.m) / bb.sxx, 9) + 0.0 AS se_clustered
+       |FROM meat CROSS JOIN bb""".stripMargin
+
+  // q517 Gaussian kernel density of ln(order value) at a fixed 9-point
+  // grid (h = 0.75): one scan, per-point pinned folds.
+  private val kdeSql = {
+    val pts = (0 until 9).map(i => 7.0 + 0.75 * i)
+    val grid = pts.map(p => s"SELECT ${p}E0 AS g").mkString(" UNION ALL ")
+    s"""WITH base AS (
+  SELECT ln(cast(o_totalprice as double)) AS y
+  FROM orders WHERE o_totalprice > 0),
+grid AS ($grid),
+n AS (SELECT cast(count(*) as bigint) AS n FROM base)
+SELECT grid.g + 0.0 AS grid_point,
+  round(cast(sum(cast(round(
+      exp(-(base.y - grid.g) * (base.y - grid.g) / (2 * 0.75E0 * 0.75E0)), 12)
+    as decimal(25,12))) as double)
+    / (max(n.n) * 0.75E0 * sqrt(2 * 3.14159265358979E0)), 9) + 0.0 AS density
+FROM grid CROSS JOIN base CROSS JOIN n
+GROUP BY grid.g ORDER BY grid_point"""
+  }
+
+  // q518 Nadaraya-Watson kernel regression of mean order value on
+  // account balance at a fixed grid (Gaussian h = 1000).
+  private val nadarayaWatsonSql = {
+    val grid = (0 to 8).map(i => s"SELECT ${i * 1000}.0E0 AS g").mkString(" UNION ALL ")
+    s"""WITH cust AS (
+  SELECT cast(c.c_acctbal as double) AS x,
+    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      / count(*) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal),
+grid AS ($grid)
+SELECT grid.g + 0.0 AS grid_point,
+  round(cast(sum(cast(round(
+      exp(-(cust.x - grid.g) * (cust.x - grid.g) / (2 * 1000.0E0 * 1000.0E0))
+      * cust.y, 6) as decimal(30,6))) as double)
+    / cast(sum(cast(round(
+      exp(-(cust.x - grid.g) * (cust.x - grid.g) / (2 * 1000.0E0 * 1000.0E0)),
+      12) as decimal(25,12))) as double), 6) + 0.0 AS nw_fit
+FROM grid CROSS JOIN cust
+GROUP BY grid.g ORDER BY grid_point"""
+  }
+
+  // q519 LOESS-lite: local LINEAR fit with tricube weights (h = 2000)
+  // at the same grid — the smoother that tracks slopes where NW flattens.
+  private val loessSql = {
+    val grid = (0 to 8).map(i => s"SELECT ${i * 1000}.0E0 AS g").mkString(" UNION ALL ")
+    s"""WITH cust AS (
+  SELECT cast(c.c_acctbal as double) AS x,
+    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      / count(*) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal),
+grid AS ($grid),
+wts AS (
+  SELECT grid.g, cust.x, cust.y,
+    round(power(1 - power(abs(cust.x - grid.g) / 2000.0E0, 3), 3), 12) AS w
+  FROM grid CROSS JOIN cust
+  WHERE abs(cust.x - grid.g) < 2000.0E0),
+agg AS (
+  SELECT g, cast(count(*) as bigint) AS n_local,
+    cast(sum(cast(round(w, 12) as decimal(25,12))) as double) AS sw,
+    cast(sum(cast(round(w * x, 6) as decimal(30,6))) as double) AS swx,
+    cast(sum(cast(round(w * y, 6) as decimal(30,6))) as double) AS swy,
+    cast(sum(cast(round(w * x * x, 2) as decimal(35,2))) as double) AS swxx,
+    cast(sum(cast(round(w * x * y, 2) as decimal(35,2))) as double) AS swxy
+  FROM wts GROUP BY g)
+SELECT g + 0.0 AS grid_point, n_local,
+  round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx) / sw
+    + (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * g, 6) + 0.0
+    AS loess_fit
+FROM agg ORDER BY grid_point"""
+  }
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -7873,6 +8010,24 @@ FROM par$iters"""
 
     // HC0 robust standard error vs classical.
     "q514_hc0" -> sqlQuery(Seq("orders", "customer"), hc0Sql),
+
+    // PANEL fixed-effects within estimator.
+    "q515_fixed_effects" -> sqlQuery(Seq("events"),
+      fixedEffectsSql(e => s"unix_micros($e) div 86400000000")),
+
+    // CLUSTER-ROBUST SE for the within slope.
+    "q516_clustered_se" -> sqlQuery(Seq("events"),
+      clusteredSeSql(e => s"unix_micros($e) div 86400000000")),
+
+    // GAUSSIAN KDE at a fixed grid.
+    "q517_kde" -> sqlQuery(Seq("orders"), kdeSql),
+
+    // NADARAYA-WATSON kernel regression at a fixed grid.
+    "q518_nadaraya_watson" -> sqlQuery(Seq("orders", "customer"),
+      nadarayaWatsonSql),
+
+    // LOESS-LITE local linear with tricube weights.
+    "q519_loess" -> sqlQuery(Seq("orders", "customer"), loessSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -15494,6 +15649,13 @@ FROM par$iters"""
       eventStudySql(e => s"epoch_us($e) // 86400000000"),
     "q513_breusch_pagan" -> breuschPaganSql,
     "q514_hc0" -> hc0Sql,
+    "q515_fixed_effects" ->
+      fixedEffectsSql(e => s"epoch_us($e) // 86400000000"),
+    "q516_clustered_se" ->
+      clusteredSeSql(e => s"epoch_us($e) // 86400000000"),
+    "q517_kde" -> kdeSql,
+    "q518_nadaraya_watson" -> nadarayaWatsonSql,
+    "q519_loess" -> loessSql,
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
