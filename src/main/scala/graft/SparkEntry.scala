@@ -6503,6 +6503,256 @@ SELECT g + 0.0 AS grid_point, n_local,
 FROM agg ORDER BY grid_point"""
   }
 
+  // q520 median (LAD) regression by 3 unrolled IRLS rounds: weights
+  // 1/max(|e|, 0.001), weighted-OLS closed form re-pinned each round.
+  private def ladSql(rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { k =>
+      val pp = s"par${k - 1}"
+      s""",
+w$k AS (
+  SELECT c.x, c.y,
+    round(1.0E0 / greatest(abs(c.y - $pp.a - $pp.b * c.x), 0.001E0), 9) AS w
+  FROM cust c CROSS JOIN $pp),
+s$k AS (
+  SELECT
+    cast(sum(cast(round(w, 9) as decimal(30,9))) as double) AS sw,
+    cast(sum(cast(round(w * x, 4) as decimal(35,4))) as double) AS swx,
+    cast(sum(cast(round(w * y, 4) as decimal(35,4))) as double) AS swy,
+    cast(sum(cast(round(w * x * x, 2) as decimal(38,2))) as double) AS swxx,
+    cast(sum(cast(round(w * x * y, 2) as decimal(38,2))) as double) AS swxy
+  FROM w$k),
+par$k AS (
+  SELECT round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 12) AS b,
+    round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+      / sw, 9) AS a
+  FROM s$k)"""
+    }.mkString
+    s"""WITH cust AS (
+  SELECT cast(c.c_acctbal as double) AS x,
+    cast(sum(cast(round(o.o_totalprice, 2) as decimal(25,2))) as double)
+      / count(*) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal),
+s0 AS (
+  SELECT cast(count(*) as bigint) AS n,
+    cast(sum(cast(round(x, 2) as decimal(25,2))) as double) AS sx,
+    cast(sum(cast(round(y, 6) as decimal(25,6))) as double) AS sy,
+    cast(sum(cast(round(x * y, 4) as decimal(30,4))) as double) AS sxy,
+    cast(sum(cast(round(x * x, 4) as decimal(30,4))) as double) AS sxx
+  FROM cust),
+par0 AS (
+  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS b,
+    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) AS a
+  FROM s0)$steps,
+mae AS (
+  SELECT cast(sum(cast(round(abs(c.y - p.a - p.b * c.x), 4) as decimal(30,4)))
+    as double) / count(*) AS mae
+  FROM cust c CROSS JOIN par$rounds p)
+SELECT round(par$rounds.a, 6) + 0.0 AS lad_intercept,
+  round(par$rounds.b, 9) + 0.0 AS lad_slope,
+  round(mae.mae, 6) + 0.0 AS mean_abs_error
+FROM par$rounds CROSS JOIN mae"""
+  }
+
+  // q521 Poisson GLM (log link, intercept + clicks) on the (user, day)
+  // panel: 3 unrolled Newton rounds, closed-form 2x2 solve, pinned state.
+  private def poissonGlmSql(dayNum: String => String, rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { k =>
+      val pp = s"par${k - 1}"
+      s""",
+m$k AS (
+  SELECT p.x, p.y, exp($pp.a + $pp.b * p.x) AS mu
+  FROM panel p CROSS JOIN $pp),
+g$k AS (
+  SELECT
+    cast(sum(cast(round(y - mu, 9) as decimal(30,9))) as double) AS g1,
+    cast(sum(cast(round(x * (y - mu), 9) as decimal(30,9))) as double) AS g2,
+    cast(sum(cast(round(mu, 9) as decimal(30,9))) as double) AS h11,
+    cast(sum(cast(round(x * mu, 9) as decimal(30,9))) as double) AS h12,
+    cast(sum(cast(round(x * x * mu, 6) as decimal(35,6))) as double) AS h22
+  FROM m$k),
+par$k AS (
+  SELECT round($pp.a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), 9) AS a,
+    round($pp.b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), 9) AS b
+  FROM g$k CROSS JOIN $pp)"""
+    }.mkString
+    s"""WITH panel AS (
+  SELECT user_id, ${dayNum("ts")} AS d,
+    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as double) AS x,
+    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as double) AS y
+  FROM events GROUP BY user_id, ${dayNum("ts")}),
+init AS (
+  SELECT round(ln(cast(sum(cast(y as decimal(20,1))) as double) / count(*)), 9)
+    AS a0
+  FROM panel),
+par0 AS (SELECT a0 AS a, cast(0.0 as double) AS b FROM init)$steps
+SELECT round(par$rounds.a, 6) + 0.0 AS glm_intercept,
+  round(par$rounds.b, 6) + 0.0 AS glm_click_coef,
+  round(exp(par$rounds.b), 6) + 0.0 AS rate_ratio_per_click
+FROM par$rounds"""
+  }
+
+  // q522 Cox proportional hazards (one binary covariate = user parity,
+  // Breslow ties): the per-event-time risk sums reduce to closed forms
+  // in (n1, n, d1, d) for a binary covariate; 3 unrolled Newton rounds
+  // over the metadata-sized risk table.
+  private def coxPhSql(micros: String => String, idiv: String, rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { k =>
+      val pp = s"b${k - 1}"
+      s""",
+u$k AS (
+  SELECT
+    cast(sum(cast(round(
+      r.d1 - r.d * (r.n1 * exp($pp.b)) / (r.n0 + r.n1 * exp($pp.b)), 9)
+      as decimal(25,9))) as double) AS u,
+    cast(sum(cast(round(
+      r.d * ((r.n1 * exp($pp.b)) / (r.n0 + r.n1 * exp($pp.b)))
+        * (1 - (r.n1 * exp($pp.b)) / (r.n0 + r.n1 * exp($pp.b))), 9)
+      as decimal(25,9))) as double) AS i
+  FROM risk r CROSS JOIN $pp),
+b$k AS (SELECT round($pp.b + u$k.u / u$k.i, 9) AS b FROM u$k CROSS JOIN $pp)"""
+    }.mkString
+    s"""WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+mx AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+dur AS (
+  SELECT s.user_id, cast(s.user_id % 2 as int) AS grp,
+    CASE WHEN p.t1 IS NOT NULL
+      THEN (${micros("p.t1")} - ${micros("s.t0")}) $idiv 3600000000
+      ELSE (${micros("mx.tmax")} - ${micros("s.t0")}) $idiv 3600000000 END AS hrs,
+    (p.t1 IS NOT NULL) AS observed
+  FROM s JOIN mx ON s.user_id = mx.user_id
+  LEFT JOIN p ON s.user_id = p.user_id),
+ev AS (
+  SELECT hrs, grp,
+    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+    cast(count(*) as bigint) AS leaving
+  FROM dur GROUP BY hrs, grp),
+times AS (
+  SELECT hrs, cast(sum(d) as bigint) AS dt FROM ev GROUP BY hrs
+  HAVING sum(d) > 0),
+risk AS (
+  SELECT t.hrs, t.dt AS d,
+    cast(sum(CASE WHEN ev.grp = 1 AND ev.hrs = t.hrs THEN ev.d ELSE 0 END)
+      as bigint) AS d1,
+    cast(sum(CASE WHEN ev.grp = 1 THEN ev.leaving ELSE 0 END) as double) AS n1,
+    cast(sum(CASE WHEN ev.grp = 0 THEN ev.leaving ELSE 0 END) as double) AS n0
+  FROM times t JOIN ev ON ev.hrs >= t.hrs
+  GROUP BY t.hrs, t.dt),
+b0 AS (SELECT cast(0.0 as double) AS b)$steps
+SELECT round(b$rounds.b, 6) + 0.0 AS cox_log_hr,
+  round(exp(b$rounds.b), 6) + 0.0 AS hazard_ratio
+FROM b$rounds"""
+  }
+
+  // q523 information-criteria table: mean-only vs AR(1) vs AR(2) on the
+  // common t >= 3 sample, conditional-LS RSS via correlation closed
+  // forms, Gaussian loglik -> AIC/BIC.
+  private def aicTableSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |lagd AS (
+       |  SELECT y,
+       |    lag(y, 1) OVER (ORDER BY d) AS y1,
+       |    lag(y, 2) OVER (ORDER BY d) AS y2
+       |  FROM daily),
+       |w AS (SELECT y, y1, y2 FROM lagd WHERE y2 IS NOT NULL),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(y as decimal(20,1))) as double) AS sy,
+       |    cast(sum(cast(y1 as decimal(20,1))) as double) AS sy1,
+       |    cast(sum(cast(y2 as decimal(20,1))) as double) AS sy2,
+       |    cast(sum(cast(round(y * y, 2) as decimal(25,2))) as double) AS syy,
+       |    cast(sum(cast(round(y1 * y1, 2) as decimal(25,2))) as double) AS s11,
+       |    cast(sum(cast(round(y2 * y2, 2) as decimal(25,2))) as double) AS s22,
+       |    cast(sum(cast(round(y * y1, 2) as decimal(25,2))) as double) AS sy_1,
+       |    cast(sum(cast(round(y * y2, 2) as decimal(25,2))) as double) AS sy_2,
+       |    cast(sum(cast(round(y1 * y2, 2) as decimal(25,2))) as double) AS s12
+       |  FROM w),
+       |r AS (
+       |  SELECT n,
+       |    syy - sy * sy / n AS vy,
+       |    round((sy_1 - sy * sy1 / n)
+       |      / sqrt((syy - sy * sy / n) * (s11 - sy1 * sy1 / n)), 9) AS r1,
+       |    round((sy_2 - sy * sy2 / n)
+       |      / sqrt((syy - sy * sy / n) * (s22 - sy2 * sy2 / n)), 9) AS r2,
+       |    round((s12 - sy1 * sy2 / n)
+       |      / sqrt((s11 - sy1 * sy1 / n) * (s22 - sy2 * sy2 / n)), 9) AS r12
+       |  FROM m),
+       |mod AS (
+       |  SELECT 'M0_mean' AS model, 1 AS k, n, round(vy, 6) AS rss FROM r
+       |  UNION ALL
+       |  SELECT 'M1_ar1', 2, n, round(vy * (1 - r1 * r1), 6) FROM r
+       |  UNION ALL
+       |  SELECT 'M2_ar2', 3, n,
+       |    round(vy * (1 - (r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12)
+       |      / (1 - r12 * r12)), 6)
+       |  FROM r),
+       |ll AS (
+       |  SELECT model, k, n,
+       |    round(-(n / 2.0E0) * (ln(2 * 3.14159265358979E0 * rss / n) + 1), 6)
+       |      AS loglik
+       |  FROM mod)
+       |SELECT model, cast(k as int) AS n_params,
+       |  loglik + 0.0 AS loglik,
+       |  round(2.0E0 * k - 2 * loglik, 6) + 0.0 AS aic,
+       |  round(k * ln(cast(n as double)) - 2 * loglik, 6) + 0.0 AS bic
+       |FROM ll ORDER BY model""".stripMargin
+
+  // q524 Granger causality (lag 1): does yesterday's click count improve
+  // the purchase-count forecast beyond its own lag? F-test of the
+  // two-predictor vs one-predictor conditional-LS fits.
+  private def grangerSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d,
+       |    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      as double) AS y,
+       |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      as double) AS x
+       |  FROM events GROUP BY 1),
+       |lagd AS (
+       |  SELECT y,
+       |    lag(y, 1) OVER (ORDER BY d) AS y1,
+       |    lag(x, 1) OVER (ORDER BY d) AS x1
+       |  FROM daily),
+       |w AS (SELECT y, y1, x1 FROM lagd WHERE y1 IS NOT NULL),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(y as decimal(20,1))) as double) AS sy,
+       |    cast(sum(cast(y1 as decimal(20,1))) as double) AS sy1,
+       |    cast(sum(cast(x1 as decimal(20,1))) as double) AS sx1,
+       |    cast(sum(cast(round(y * y, 2) as decimal(25,2))) as double) AS syy,
+       |    cast(sum(cast(round(y1 * y1, 2) as decimal(25,2))) as double) AS s11,
+       |    cast(sum(cast(round(x1 * x1, 2) as decimal(25,2))) as double) AS sxx,
+       |    cast(sum(cast(round(y * y1, 2) as decimal(25,2))) as double) AS sy_1,
+       |    cast(sum(cast(round(y * x1, 2) as decimal(25,2))) as double) AS sy_x,
+       |    cast(sum(cast(round(y1 * x1, 2) as decimal(25,2))) as double) AS s1x
+       |  FROM w),
+       |r AS (
+       |  SELECT n,
+       |    round((sy_1 - sy * sy1 / n)
+       |      / sqrt((syy - sy * sy / n) * (s11 - sy1 * sy1 / n)), 9) AS r1,
+       |    round((sy_x - sy * sx1 / n)
+       |      / sqrt((syy - sy * sy / n) * (sxx - sx1 * sx1 / n)), 9) AS rx,
+       |    round((s1x - sy1 * sx1 / n)
+       |      / sqrt((s11 - sy1 * sy1 / n) * (sxx - sx1 * sx1 / n)), 9) AS r1x
+       |  FROM m),
+       |f AS (
+       |  SELECT n, r1 * r1 AS r2r,
+       |    (r1 * r1 + rx * rx - 2 * r1 * rx * r1x) / (1 - r1x * r1x) AS r2u
+       |  FROM r)
+       |SELECT n AS n_obs,
+       |  round(r2r, 6) + 0.0 AS r2_restricted,
+       |  round(r2u, 6) + 0.0 AS r2_unrestricted,
+       |  round((r2u - r2r) / (1 - r2u) * (n - 3), 6) + 0.0 AS granger_f
+       |FROM f""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -8028,6 +8278,25 @@ FROM agg ORDER BY grid_point"""
 
     // LOESS-LITE local linear with tricube weights.
     "q519_loess" -> sqlQuery(Seq("orders", "customer"), loessSql),
+
+    // MEDIAN (LAD) regression via 3 IRLS rounds.
+    "q520_lad_regression" -> sqlQuery(Seq("orders", "customer"), ladSql(3)),
+
+    // POISSON GLM (log link) via 3 Newton rounds.
+    "q521_poisson_glm" -> sqlQuery(Seq("events"),
+      poissonGlmSql(e => s"unix_micros($e) div 86400000000")),
+
+    // COX proportional hazards (binary covariate, Breslow ties).
+    "q522_cox_ph" -> sqlQuery(Seq("events"),
+      coxPhSql(e => s"unix_micros($e)", "div")),
+
+    // AIC/BIC table: mean vs AR(1) vs AR(2).
+    "q523_aic_table" -> sqlQuery(Seq("events"),
+      aicTableSql(e => s"unix_micros($e) div 86400000000")),
+
+    // GRANGER causality (lag 1, clicks -> purchases).
+    "q524_granger" -> sqlQuery(Seq("events"),
+      grangerSql(e => s"unix_micros($e) div 86400000000")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -15656,6 +15925,12 @@ FROM agg ORDER BY grid_point"""
     "q517_kde" -> kdeSql,
     "q518_nadaraya_watson" -> nadarayaWatsonSql,
     "q519_loess" -> loessSql,
+    "q520_lad_regression" -> ladSql(3),
+    "q521_poisson_glm" ->
+      poissonGlmSql(e => s"epoch_us($e) // 86400000000"),
+    "q522_cox_ph" -> coxPhSql(e => s"epoch_us($e)", "//"),
+    "q523_aic_table" -> aicTableSql(e => s"epoch_us($e) // 86400000000"),
+    "q524_granger" -> grangerSql(e => s"epoch_us($e) // 86400000000"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
