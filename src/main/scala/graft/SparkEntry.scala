@@ -6753,6 +6753,211 @@ FROM b$rounds"""
        |  round((r2u - r2r) / (1 - r2u) * (n - 3), 6) + 0.0 AS granger_f
        |FROM f""".stripMargin
 
+  // q525 Engle ARCH(1) LM test: AR(1) conditional-LS residuals, then
+  // n*R^2 of e^2 on lagged e^2.
+  private def archSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |lagd AS (
+       |  SELECT d, y, lag(y, 1) OVER (ORDER BY d) AS y1 FROM daily),
+       |w AS (SELECT d, y, y1 FROM lagd WHERE y1 IS NOT NULL),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(y as decimal(20,1))) as double) AS sy,
+       |    cast(sum(cast(y1 as decimal(20,1))) as double) AS sy1,
+       |    cast(sum(cast(round(y * y1, 2) as decimal(25,2))) as double) AS syy1,
+       |    cast(sum(cast(round(y1 * y1, 2) as decimal(25,2))) as double) AS s11
+       |  FROM w),
+       |co AS (
+       |  SELECT round((n * syy1 - sy * sy1) / (n * s11 - sy1 * sy1), 12) AS b,
+       |    round((sy - (n * syy1 - sy * sy1) / (n * s11 - sy1 * sy1) * sy1)
+       |      / n, 9) AS a
+       |  FROM m),
+       |e2 AS (
+       |  SELECT w.d,
+       |    round((w.y - co.a - co.b * w.y1) * (w.y - co.a - co.b * w.y1), 6) AS e2
+       |  FROM w CROSS JOIN co),
+       |le AS (
+       |  SELECT e2, lag(e2) OVER (ORDER BY d) AS e2l FROM e2),
+       |w2 AS (SELECT e2, e2l FROM le WHERE e2l IS NOT NULL),
+       |aux AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(e2 as decimal(30,6))) as double) AS s1,
+       |    cast(sum(cast(e2l as decimal(30,6))) as double) AS sl,
+       |    cast(sum(cast(round(e2 * e2l, 2) as decimal(38,2))) as double) AS slx,
+       |    cast(sum(cast(round(e2 * e2, 2) as decimal(38,2))) as double) AS s2,
+       |    cast(sum(cast(round(e2l * e2l, 2) as decimal(38,2))) as double) AS sl2
+       |  FROM w2)
+       |SELECT n AS n_obs,
+       |  round(cast(n as double) * ((n * slx - s1 * sl) * (n * slx - s1 * sl))
+       |    / ((n * sl2 - sl * sl) * (n * s2 - s1 * s1)), 6) + 0.0 AS arch_lm
+       |FROM aux""".stripMargin
+
+  // q526 Ljung-Box portmanteau (lags 1-5) on the AR(1) residuals:
+  // Q = n(n+2) sum r_k^2 / (n-k), pinned residual autocovariances.
+  private def ljungBoxSql(dayNum: String => String): String = {
+    val lagCols = (1 to 5).map(k => s"lag(e, $k) OVER (ORDER BY d) AS e$k").mkString(",\n       |    ")
+    val covs = (1 to 5).map(k =>
+      s"""cast(sum(cast(round(CASE WHEN e$k IS NOT NULL THEN e * e$k ELSE 0.0E0 END, 6)
+         |      as decimal(30,6))) as double) AS c$k""".stripMargin).mkString(",\n       |    ")
+    val terms = (1 to 5).map(k =>
+      s"round((c$k / c0) * (c$k / c0), 9) / (n - $k)").mkString("\n       |    + ")
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |lagd AS (
+       |  SELECT d, y, lag(y, 1) OVER (ORDER BY d) AS y1 FROM daily),
+       |w AS (SELECT d, y, y1 FROM lagd WHERE y1 IS NOT NULL),
+       |m AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(y as decimal(20,1))) as double) AS sy,
+       |    cast(sum(cast(y1 as decimal(20,1))) as double) AS sy1,
+       |    cast(sum(cast(round(y * y1, 2) as decimal(25,2))) as double) AS syy1,
+       |    cast(sum(cast(round(y1 * y1, 2) as decimal(25,2))) as double) AS s11
+       |  FROM w),
+       |co AS (
+       |  SELECT round((n * syy1 - sy * sy1) / (n * s11 - sy1 * sy1), 12) AS b,
+       |    round((sy - (n * syy1 - sy * sy1) / (n * s11 - sy1 * sy1) * sy1)
+       |      / n, 9) AS a
+       |  FROM m),
+       |res AS (
+       |  SELECT w.d, round(w.y - co.a - co.b * w.y1, 6) AS e
+       |  FROM w CROSS JOIN co),
+       |dm AS (
+       |  SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(cast(e as decimal(25,6))) as double) / count(*) AS mu
+       |  FROM res),
+       |ctr AS (
+       |  SELECT res.d, res.e - dm.mu AS e FROM res CROSS JOIN dm),
+       |lags AS (
+       |  SELECT d, e,
+       |    $lagCols
+       |  FROM ctr),
+       |cv AS (
+       |  SELECT
+       |    cast(sum(cast(round(e * e, 6) as decimal(30,6))) as double) AS c0,
+       |    $covs
+       |  FROM lags),
+       |f AS (SELECT dm.n, cv.* FROM cv CROSS JOIN dm)
+       |SELECT n AS n_obs,
+       |  round(n * (n + 2.0E0) * (
+       |    $terms), 6) + 0.0 AS ljung_box_q
+       |FROM f""".stripMargin
+  }
+
+  // q527 local clustering coefficients + global transitivity of the
+  // category co-purchase graph (common-neighbor counting over the
+  // symmetric adjacency, never an enumeration of triangles per row).
+  private val clusteringCoefSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS i FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.i AS u, b2.i AS v
+      |  FROM b a JOIN b b2 ON b2.o = a.o AND b2.i > a.i),
+      |sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT x AS n, cast(count(*) as bigint) AS d FROM sym GROUP BY x),
+      |tri AS (
+      |  SELECT e.u, e.v, cast(count(*) as bigint) AS cn
+      |  FROM e
+      |  JOIN sym a ON a.x = e.u
+      |  JOIN sym bb ON bb.x = e.v AND bb.y = a.y
+      |  GROUP BY e.u, e.v),
+      |nodetri AS (
+      |  SELECT n, cast(sum(cn) as bigint) AS t FROM (
+      |    SELECT u AS n, cn FROM tri UNION ALL SELECT v AS n, cn FROM tri) z
+      |  GROUP BY n),
+      |loc AS (
+      |  SELECT deg.n, deg.d, coalesce(nodetri.t, 0) AS t2,
+      |    CASE WHEN deg.d >= 2
+      |      THEN round(cast(coalesce(nodetri.t, 0) as double)
+      |        / (cast(deg.d as double) * (deg.d - 1)), 9)
+      |      ELSE 0.0E0 END AS c
+      |  FROM deg LEFT JOIN nodetri ON nodetri.n = deg.n)
+      |SELECT cast(count(*) as bigint) AS n_nodes,
+      |  round(cast(sum(cast(round(c, 9) as decimal(20,9))) as double)
+      |    / count(*), 6) + 0.0 AS avg_clustering,
+      |  round(cast(sum(t2) as double)
+      |    / sum(cast(d as double) * (d - 1)), 6) + 0.0 AS transitivity
+      |FROM loc""".stripMargin
+
+  // q528 Little's law audit: lambda (signup arrivals/hr) and W (mean
+  // episode duration) measured directly; L measured INDEPENDENTLY as
+  // time-averaged concurrency over an hour spine (interval range join) —
+  // the ratio L/(lambda W) exposes edge effects, it is not circular.
+  private def littlesLawSql(micros: String => String, idiv: String,
+      seq1000: String): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t1
+       |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       |mx AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+       |ep AS (
+       |  SELECT ${micros("s.t0")} $idiv 3600000000 AS h0,
+       |    CASE WHEN p.t1 IS NOT NULL
+       |      THEN ${micros("p.t1")} $idiv 3600000000
+       |      ELSE ${micros("mx.tmax")} $idiv 3600000000 END AS h1
+       |  FROM s JOIN mx ON mx.user_id = s.user_id
+       |  LEFT JOIN p ON p.user_id = s.user_id),
+       |rng AS (SELECT min(h0) AS hmin, max(h1) AS hmax FROM ep),
+       |lam AS (
+       |  SELECT cast(count(*) as bigint) AS arrivals,
+       |    cast(max(r.hmax) - min(r.hmin) + 1 as double) AS period
+       |  FROM ep CROSS JOIN rng r),
+       |wbar AS (
+       |  SELECT cast(sum(h1 - h0) as double) / count(*) AS w FROM ep),
+       |spine AS (
+       |  SELECT r.hmin + sp.i AS h
+       |  FROM rng r CROSS JOIN ($seq1000) sp
+       |  WHERE r.hmin + sp.i <= r.hmax),
+       |conc AS (
+       |  SELECT spine.h, cast(count(ep.h0) as bigint) AS l
+       |  FROM spine LEFT JOIN ep ON spine.h >= ep.h0 AND spine.h < ep.h1
+       |  GROUP BY spine.h)
+       |SELECT lam.arrivals,
+       |  round(lam.arrivals / lam.period, 6) + 0.0 AS lambda_per_hr,
+       |  round(wbar.w, 6) + 0.0 AS w_mean_hrs,
+       |  round(cast(sum(conc.l) as double) / count(*), 6) + 0.0 AS l_measured,
+       |  round((cast(sum(conc.l) as double) / count(*))
+       |    / (lam.arrivals / lam.period * wbar.w), 6) + 0.0 AS littles_ratio
+       |FROM conc CROSS JOIN lam CROSS JOIN wbar
+       |GROUP BY lam.arrivals, lam.period, wbar.w""".stripMargin
+
+  // q529 Matthews correlation + balanced accuracy / F1 for the q456
+  // priority-rate classifier at threshold 0.5 on the odd-key half.
+  private val mccSql =
+    """WITH tr AS (
+      |  SELECT o_orderpriority AS g,
+      |    round(cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as double)
+      |      / count(*), 9) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |thr AS (
+      |  -- threshold at the train prevalence: a 0.5 cut puts every
+      |  -- priority (rates ~0.33) in one class and MCC degenerates
+      |  SELECT round(cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    as double) / count(*), 9) AS t
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |te AS (
+      |  SELECT o.o_orderpriority AS g,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders o WHERE o.o_orderkey % 2 = 1),
+      |cm AS (
+      |  SELECT
+      |    cast(sum(CASE WHEN tr.p > thr.t AND te.y = 1 THEN 1 ELSE 0 END) as double) AS tp,
+      |    cast(sum(CASE WHEN tr.p > thr.t AND te.y = 0 THEN 1 ELSE 0 END) as double) AS fp,
+      |    cast(sum(CASE WHEN tr.p <= thr.t AND te.y = 1 THEN 1 ELSE 0 END) as double) AS fn,
+      |    cast(sum(CASE WHEN tr.p <= thr.t AND te.y = 0 THEN 1 ELSE 0 END) as double) AS tn
+      |  FROM te JOIN tr ON tr.g = te.g CROSS JOIN thr)
+      |SELECT cast(tp as bigint) AS tp, cast(fp as bigint) AS fp,
+      |  cast(fn as bigint) AS fn, cast(tn as bigint) AS tn,
+      |  round((tp * tn - fp * fn)
+      |    / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 6) + 0.0 AS mcc,
+      |  round((tp / (tp + fn) + tn / (tn + fp)) / 2, 6) + 0.0 AS balanced_acc,
+      |  round(2 * tp / (2 * tp + fp + fn), 6) + 0.0 AS f1
+      |FROM cm""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -8297,6 +8502,25 @@ FROM b$rounds"""
     // GRANGER causality (lag 1, clicks -> purchases).
     "q524_granger" -> sqlQuery(Seq("events"),
       grangerSql(e => s"unix_micros($e) div 86400000000")),
+
+    // ENGLE ARCH(1) LM test.
+    "q525_arch_lm" -> sqlQuery(Seq("events"),
+      archSql(e => s"unix_micros($e) div 86400000000")),
+
+    // LJUNG-BOX portmanteau (lags 1-5) on AR(1) residuals.
+    "q526_ljung_box" -> sqlQuery(Seq("events"),
+      ljungBoxSql(e => s"unix_micros($e) div 86400000000")),
+
+    // LOCAL clustering coefficient + transitivity.
+    "q527_clustering_coef" -> sqlQuery(Seq("lineitem"), clusteringCoefSql),
+
+    // LITTLE'S LAW audit (L vs lambda W, independent L).
+    "q528_littles_law" -> sqlQuery(Seq("events"),
+      littlesLawSql(e => s"unix_micros($e)", "div",
+        "SELECT explode(sequence(0, 1000)) AS i")),
+
+    // MCC / balanced accuracy / F1 for the priority model.
+    "q529_mcc" -> sqlQuery(Seq("orders"), mccSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -15931,6 +16155,12 @@ FROM b$rounds"""
     "q522_cox_ph" -> coxPhSql(e => s"epoch_us($e)", "//"),
     "q523_aic_table" -> aicTableSql(e => s"epoch_us($e) // 86400000000"),
     "q524_granger" -> grangerSql(e => s"epoch_us($e) // 86400000000"),
+    "q525_arch_lm" -> archSql(e => s"epoch_us($e) // 86400000000"),
+    "q526_ljung_box" -> ljungBoxSql(e => s"epoch_us($e) // 86400000000"),
+    "q527_clustering_coef" -> clusteringCoefSql,
+    "q528_littles_law" -> littlesLawSql(e => s"epoch_us($e)", "//",
+      "SELECT unnest(generate_series(0, 1000)) AS i"),
+    "q529_mcc" -> mccSql,
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
