@@ -6958,6 +6958,165 @@ FROM b$rounds"""
       |  round(2 * tp / (2 * tp + fp + fn), 6) + 0.0 AS f1
       |FROM cm""".stripMargin
 
+  // q530 Clayton copula dependence between daily clicks and purchases:
+  // exact pair-sign Kendall tau over the day pairs, theta = 2 tau / (1 - tau).
+  private def claytonSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d,
+       |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS x,
+       |    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events GROUP BY 1),
+       |pr AS (
+       |  SELECT
+       |    cast(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+       |      as bigint) AS conc,
+       |    cast(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+       |      as bigint) AS disc,
+       |    cast(count(*) as bigint) AS np
+       |  FROM daily a JOIN daily b ON b.d > a.d)
+       |SELECT np AS n_pairs,
+       |  round(cast(conc - disc as double) / np, 6) + 0.0 AS kendall_tau_a,
+       |  round(2.0E0 * (cast(conc - disc as double) / np)
+       |    / (1 - cast(conc - disc as double) / np), 6) + 0.0 AS clayton_theta
+       |FROM pr""".stripMargin
+
+  // q531 peaks-over-threshold GPD fit (method of moments) for order
+  // values above the exact-rank p90: xi = (1 - m^2/s^2)/2,
+  // sigma = m (1 + m^2/s^2)/2 — the tail model between Hill (q413) and
+  // Gumbel block maxima (q404).
+  private val gpdPotSql =
+    """WITH rk AS (
+      |  SELECT cast(o_totalprice as double) AS v,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS i,
+      |    count(*) OVER () AS n
+      |  FROM orders),
+      |thr AS (SELECT v AS u FROM rk WHERE i = cast(floor(n * 0.9E0) as bigint)),
+      |exc AS (
+      |  SELECT rk.v - thr.u AS e FROM rk CROSS JOIN thr WHERE rk.v > thr.u),
+      |m AS (
+      |  SELECT cast(count(*) as bigint) AS k,
+      |    cast(sum(cast(round(e, 2) as decimal(30,2))) as double) AS s1,
+      |    cast(sum(cast(round(e * e, 2) as decimal(38,2))) as double) AS s2
+      |  FROM exc),
+      |f AS (
+      |  SELECT k, s1 / k AS mean_exc,
+      |    (s2 - s1 * s1 / k) / (k - 1) AS var_exc
+      |  FROM m)
+      |SELECT k AS n_exceedances,
+      |  round(mean_exc, 4) + 0.0 AS mean_excess,
+      |  round((1 - mean_exc * mean_exc / var_exc) / 2, 6) + 0.0 AS gpd_xi,
+      |  round(mean_exc * (1 + mean_exc * mean_exc / var_exc) / 2, 4) + 0.0
+      |    AS gpd_sigma
+      |FROM f""".stripMargin
+
+  // q532 recommendation novelty: mean self-information -log2(popularity)
+  // of the q349-style top-3 recommended items, against the catalog mean.
+  private val recNoveltySql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |nb AS (SELECT cast(count(DISTINCT o) as bigint) AS nb FROM b),
+      |cf AS (SELECT p, cast(count(*) as bigint) AS c FROM b GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b2.p AS pb, cast(count(*) as bigint) AS cab
+      |  FROM b a JOIN b b2 ON b2.o = a.o AND b2.p <> a.p
+      |  GROUP BY a.p, b2.p),
+      |sim AS (
+      |  SELECT pa, pb, cab,
+      |    round(cast(cab as double) / sqrt(cast(ca.c as double) * cb.c), 6)
+      |      + 0.0 AS cosine
+      |  FROM pairs JOIN cf ca ON ca.p = pairs.pa JOIN cf cb ON cb.p = pairs.pb),
+      |recs AS (
+      |  SELECT pb FROM (
+      |    SELECT pa, pb,
+      |      row_number() OVER (PARTITION BY pa
+      |                         ORDER BY cosine DESC, cab DESC, pb) AS rnk
+      |    FROM sim) z WHERE rnk <= 3),
+      |rnov AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(-ln(cast(cf.c as double) / nb.nb) / ln(2.0E0), 9)
+      |      as decimal(25,9))) as double) AS s
+      |  FROM recs JOIN cf ON cf.p = recs.pb CROSS JOIN nb),
+      |cnov AS (
+      |  SELECT cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(-ln(cast(cf.c as double) / nb.nb) / ln(2.0E0), 9)
+      |      as decimal(25,9))) as double) AS s
+      |  FROM cf CROSS JOIN nb)
+      |SELECT rnov.n AS n_recommendations,
+      |  round(rnov.s / rnov.n, 6) + 0.0 AS mean_novelty_bits,
+      |  round(cnov.s / cnov.n, 6) + 0.0 AS catalog_novelty_bits,
+      |  round(rnov.s / rnov.n - cnov.s / cnov.n, 6) + 0.0 AS novelty_gap
+      |FROM rnov CROSS JOIN cnov""".stripMargin
+
+  // q533 top conversion paths: the 3-event-type window immediately
+  // preceding each purchase, ranked by frequency (top 10, deterministic
+  // ties on the path string).
+  private val conversionPathsSql =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+      |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p3
+      |  FROM events),
+      |paths AS (
+      |  SELECT concat(p3, ' > ', p2, ' > ', p1) AS path
+      |  FROM seq
+      |  WHERE event_type = 'purchase' AND p3 IS NOT NULL),
+      |agg AS (
+      |  SELECT path, cast(count(*) as bigint) AS n FROM paths GROUP BY path),
+      |tot AS (SELECT cast(sum(n) as bigint) AS t FROM agg)
+      |SELECT z.path, z.n,
+      |  round(cast(z.n as double) / tot.t, 6) + 0.0 AS share
+      |FROM (
+      |  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+      |  FROM agg) z CROSS JOIN tot
+      |WHERE z.rk <= 10 ORDER BY z.n DESC, z.path""".stripMargin
+
+  // q534 law-of-one-price dispersion: per-part price CV across line
+  // items, distribution summary + the 5 most dispersed parts.
+  private val priceDispersionSql =
+    """WITH pp AS (
+      |  SELECT l_partkey AS p, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(l_extendedprice / l_quantity, 4)
+      |      as decimal(25,4))) as double) AS s1,
+      |    cast(sum(cast(round((l_extendedprice / l_quantity)
+      |      * (l_extendedprice / l_quantity), 2) as decimal(35,2))) as double) AS s2
+      |  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey
+      |  HAVING count(*) >= 5),
+      |cv AS (
+      |  SELECT p, n,
+      |    round(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0E0))
+      |      / (s1 / n), 9) AS cv
+      |  FROM pp)
+      |SELECT cast(z.p as bigint) AS partkey, z.n AS n_sales,
+      |  round(z.cv, 6) + 0.0 AS price_cv,
+      |  round(m.avg_cv, 6) + 0.0 AS catalog_avg_cv
+      |FROM (
+      |  SELECT p, n, cv, row_number() OVER (ORDER BY cv DESC, p) AS rk
+      |  FROM cv) z
+      |CROSS JOIN (
+      |  SELECT cast(sum(cast(round(cv, 9) as decimal(20,9))) as double)
+      |    / count(*) AS avg_cv FROM cv) m
+      |WHERE z.rk <= 5 ORDER BY z.rk""".stripMargin
+
+  // q535 duplicate-payment audit: same customer, identical order total,
+  // order dates within 3 days — the classic AP double-pay heuristic
+  // (equi-join on (customer, amount) first; the date window only
+  // filters inside those tiny groups).
+  private def dupPaymentSql(dayDiff: (String, String) => String): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_custkey AS c,
+       |    cast(round(o_totalprice, 2) as decimal(20,2)) AS amt,
+       |    o_orderdate AS dt
+       |  FROM orders),
+       |dup AS (
+       |  SELECT a.c, a.amt, a.k AS k1, b.k AS k2,
+       |    ${dayDiff("b.dt", "a.dt")} AS gap
+       |  FROM o a JOIN o b ON b.c = a.c AND b.amt = a.amt AND b.k > a.k
+       |  WHERE ${dayDiff("b.dt", "a.dt")} BETWEEN -3 AND 3)
+       |SELECT cast(count(*) as bigint) AS n_suspect_pairs,
+       |  cast(count(DISTINCT c) as bigint) AS n_customers,
+       |  round(cast(sum(amt) as double), 2) + 0.0 AS suspect_value
+       |FROM dup""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -8521,6 +8680,26 @@ FROM b$rounds"""
 
     // MCC / balanced accuracy / F1 for the priority model.
     "q529_mcc" -> sqlQuery(Seq("orders"), mccSql),
+
+    // CLAYTON copula theta from exact Kendall tau.
+    "q530_clayton_copula" -> sqlQuery(Seq("events"),
+      claytonSql(e => s"unix_micros($e) div 86400000000")),
+
+    // GPD peaks-over-threshold MoM fit.
+    "q531_gpd_pot" -> sqlQuery(Seq("orders"), gpdPotSql),
+
+    // RECOMMENDATION novelty (self-information of rec'd items).
+    "q532_rec_novelty" -> sqlQuery(Seq("lineitem"), recNoveltySql),
+
+    // TOP conversion paths (3-step pre-purchase windows).
+    "q533_conversion_paths" -> sqlQuery(Seq("events"), conversionPathsSql),
+
+    // PRICE dispersion (law-of-one-price CV).
+    "q534_price_dispersion" -> sqlQuery(Seq("lineitem"), priceDispersionSql),
+
+    // DUPLICATE-payment audit (same cust+amount within 3 days).
+    "q535_dup_payments" -> sqlQuery(Seq("orders"),
+      dupPaymentSql((a, b) => s"datediff($a, $b)")),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -16161,6 +16340,14 @@ FROM b$rounds"""
     "q528_littles_law" -> littlesLawSql(e => s"epoch_us($e)", "//",
       "SELECT unnest(generate_series(0, 1000)) AS i"),
     "q529_mcc" -> mccSql,
+    "q530_clayton_copula" ->
+      claytonSql(e => s"epoch_us($e) // 86400000000"),
+    "q531_gpd_pot" -> gpdPotSql,
+    "q532_rec_novelty" -> recNoveltySql,
+    "q533_conversion_paths" -> conversionPathsSql,
+    "q534_price_dispersion" -> priceDispersionSql,
+    "q535_dup_payments" ->
+      dupPaymentSql((a, b) => s"date_diff('day', $b, $a)"),
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
