@@ -7117,6 +7117,245 @@ FROM b$rounds"""
        |  round(cast(sum(amt) as double), 2) + 0.0 AS suspect_value
        |FROM dup""".stripMargin
 
+  // q536 Wasserstein-1 distance between the URGENT and LOW order-value
+  // distributions, computed exactly as the CDF-difference integral over
+  // the merged distinct value grid: W1 = sum |Fa(v) - Fb(v)| * (v' - v).
+  // The grid is built by ONE groupBy (value histogram first — the same
+  // reduce-then-algebra shape every stats query here uses), so at 100 TB
+  // the windowed pass runs over distinct prices, not rows.
+  private val wassersteinSql =
+    """WITH pts AS (
+      |  SELECT cast(round(o_totalprice, 2) as decimal(20,2)) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |tot AS (SELECT cast(sum(ga) as double) AS na,
+      |    cast(sum(1 - ga) as double) AS nb FROM pts),
+      |grid AS (SELECT v, sum(ga) AS ca, sum(1 - ga) AS cb FROM pts GROUP BY v),
+      |cdf AS (
+      |  SELECT v,
+      |    sum(ca) OVER (ORDER BY v) AS cuma,
+      |    sum(cb) OVER (ORDER BY v) AS cumb,
+      |    lead(v) OVER (ORDER BY v) AS nv
+      |  FROM grid)
+      |SELECT
+      |  round(cast(sum(cast(round(abs(cuma / tot.na - cumb / tot.nb)
+      |      * cast(nv - v as double), 9) as decimal(28,9))) as double), 6) + 0.0
+      |    AS w1_distance,
+      |  cast(count(*) as bigint) AS n_grid_segments,
+      |  cast(max(tot.na) as bigint) AS n_urgent,
+      |  cast(max(tot.nb) as bigint) AS n_low
+      |FROM cdf CROSS JOIN tot WHERE nv IS NOT NULL""".stripMargin
+
+  // q537 EWMA control chart on daily event counts. lambda = 0.5 is chosen
+  // so every smoothing weight is an exact power of two: pow(0.5, k) is
+  // bit-identical in any IEEE engine, count * 2^-k is exact, and the
+  // decimal fold makes the sum order-independent. Closed form of the
+  // recursion e_t = 0.5 x_t + 0.5 e_{t-1}, e_0 = mu: a (t, s<=t) day-pair
+  // join — days^2 rows, metadata-sized at any corpus scale. Control
+  // width: 3 sigma sqrt(lambda/(2-lambda) (1 - (1-lambda)^(2t))).
+  private def ewmaChartSql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT ${dayNum("ts")} AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |d2 AS (SELECT row_number() OVER (ORDER BY d) AS t, y FROM daily),
+       |m AS (
+       |  SELECT cast(count(*) as double) AS n,
+       |    cast(sum(cast(round(y, 4) as decimal(25,4))) as double) AS s1,
+       |    cast(sum(cast(round(y * y, 2) as decimal(25,2))) as double) AS s2
+       |  FROM daily),
+       |mv AS (SELECT s1 / n AS mu,
+       |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma FROM m),
+       |ew AS (
+       |  SELECT a.t,
+       |    cast(sum(cast(round(b.y
+       |        * pow(cast(0.5 as double), a.t - b.t + 1), 9)
+       |      as decimal(28,9))) as double)
+       |      + pow(cast(0.5 as double), a.t) * mv.mu AS e
+       |  FROM d2 a JOIN d2 b ON b.t <= a.t CROSS JOIN mv
+       |  GROUP BY a.t, mv.mu),
+       |z AS (
+       |  SELECT t, e,
+       |    3 * mv.sigma * sqrt((1 - pow(cast(0.25 as double), t))
+       |      / cast(3 as double)) AS lim,
+       |    mv.mu AS mu
+       |  FROM ew CROSS JOIN mv)
+       |SELECT cast(t as bigint) AS day_index,
+       |  round(e, 6) + 0.0 AS ewma,
+       |  round(mu, 6) + 0.0 AS center,
+       |  round(lim, 6) + 0.0 AS limit_width,
+       |  CASE WHEN abs(e - mu) > lim THEN 1 ELSE 0 END AS flagged
+       |FROM (
+       |  SELECT t, e, lim, mu,
+       |    row_number() OVER (ORDER BY round(abs(e - mu) / lim, 6) DESC, t) AS rk
+       |  FROM z) q
+       |WHERE rk <= 5 ORDER BY day_index""".stripMargin
+
+  // q538 Croston intermittent-demand forecast. Demand = high-quantity
+  // spike days (l_quantity >= 48 — regular shipments are dense at every
+  // SF, spikes are genuinely intermittent). Per part with 4-10 demand
+  // days: SES(alpha=0.5, init = first obs) over demand sizes and over
+  // inter-demand intervals, closed-form via exact power-of-two weights;
+  // forecast rate = size_hat / interval_hat. The corpus-sized input
+  // reduces to (part, day) demand rows first.
+  private def crostonSql(dayNum: String => String): String =
+    s"""WITH dd AS (
+       |  SELECT l_partkey AS p, ${dayNum("l_shipdate")} AS d,
+       |    cast(sum(cast(round(l_quantity, 2) as decimal(20,2))) as double) AS z
+       |  FROM lineitem WHERE l_quantity >= 48 GROUP BY 1, 2),
+       |k AS (SELECT p, count(*) AS k FROM dd GROUP BY p
+       |  HAVING count(*) BETWEEN 4 AND 10),
+       |seq AS (
+       |  SELECT dd.p, k.k, z,
+       |    row_number() OVER (PARTITION BY dd.p ORDER BY d) AS i,
+       |    cast(d - lag(d) OVER (PARTITION BY dd.p ORDER BY d) as double) AS gap
+       |  FROM dd JOIN k USING (p)),
+       |zh AS (
+       |  SELECT p, k,
+       |    cast(sum(cast(round(z * pow(cast(0.5 as double),
+       |        CASE WHEN i = 1 THEN k - 1 ELSE k - i + 1 END), 9)
+       |      as decimal(28,9))) as double) AS zhat
+       |  FROM seq GROUP BY p, k),
+       |ph AS (
+       |  SELECT p,
+       |    cast(sum(cast(round(gap * pow(cast(0.5 as double),
+       |        CASE WHEN i = 2 THEN k - 2 ELSE k - i + 1 END), 9)
+       |      as decimal(28,9))) as double) AS phat
+       |  FROM seq WHERE i >= 2 GROUP BY p)
+       |SELECT cast(z.p as bigint) AS partkey, cast(z.k as bigint) AS n_demand_days,
+       |  round(z.zhat, 6) + 0.0 AS demand_size_hat,
+       |  round(ph.phat, 6) + 0.0 AS interval_hat,
+       |  round(z.zhat / ph.phat, 6) + 0.0 AS croston_rate
+       |FROM zh z JOIN ph ON z.p = ph.p
+       |ORDER BY round(z.zhat / ph.phat, 6) DESC, partkey LIMIT 5""".stripMargin
+
+  // q539 spectral entropy + flatness of the daily count series: the
+  // q428 periodogram powers over periods 2-10, normalized to a
+  // distribution; H = -sum p ln p / ln(9), flatness = geomean/mean.
+  private def spectralEntropySql(dayNum: String => String): String =
+    s"""WITH daily AS (
+       |  SELECT cast(${dayNum("ts")} as double) AS d, cast(count(*) as double) AS y
+       |  FROM events GROUP BY 1),
+       |m AS (SELECT cast(sum(cast(round(y, 4) as decimal(25,4))) as double)
+       |    / count(*) AS mu FROM daily),
+       |ps AS (SELECT * FROM (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10))
+       |  AS t(p)),
+       |tr AS (
+       |  SELECT ps.p,
+       |    cast(sum(cast(round((d2.y - m.mu)
+       |      * cos(2 * cast(3.14159265358979 as double) * d2.d / ps.p), 6)
+       |      as decimal(25,6))) as double) AS c,
+       |    cast(sum(cast(round((d2.y - m.mu)
+       |      * sin(2 * cast(3.14159265358979 as double) * d2.d / ps.p), 6)
+       |      as decimal(25,6))) as double) AS s
+       |  FROM ps CROSS JOIN daily d2 CROSS JOIN m
+       |  GROUP BY ps.p),
+       |pw AS (SELECT p, round(c * c + s * s, 2) AS pw FROM tr WHERE
+       |  round(c * c + s * s, 2) > 0),
+       |tot AS (SELECT cast(sum(cast(pw as decimal(25,2))) as double) AS tp,
+       |    cast(count(*) as double) AS mcnt FROM pw),
+       |ent AS (
+       |  SELECT
+       |    cast(sum(cast(round(-(pw / tot.tp) * ln(pw / tot.tp), 9)
+       |      as decimal(28,9))) as double) AS h,
+       |    cast(sum(cast(round(ln(pw), 9) as decimal(28,9))) as double) AS sl
+       |  FROM pw CROSS JOIN tot),
+       |dom AS (SELECT p FROM (
+       |  SELECT p, row_number() OVER (ORDER BY pw DESC, p) AS rk FROM pw)
+       |  WHERE rk = 1)
+       |SELECT
+       |  round(ent.h / ln(tot.mcnt), 6) + 0.0 AS spectral_entropy,
+       |  round(exp(ent.sl / tot.mcnt) / (tot.tp / tot.mcnt), 6) + 0.0
+       |    AS spectral_flatness,
+       |  cast(dom.p as int) AS dominant_period
+       |FROM ent CROSS JOIN tot CROSS JOIN dom""".stripMargin
+
+  // q540 Herfindahl-Hirschman concentration of supplier revenue within
+  // each region: HHI = sum share^2, effective supplier count = 1/HHI.
+  // One aggregation to (region, supplier) revenue; dims broadcast.
+  private val herfindahlSql =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey AS nk, l_suppkey AS sk,
+      |    sum(cast(round(l_extendedprice * (1 - l_discount), 4)
+      |      as decimal(25,4))) AS r
+      |  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT n_nationkey AS nk, r_name
+      |  FROM nation JOIN region ON r_regionkey = n_regionkey),
+      |byreg AS (
+      |  SELECT r_name, sk, cast(sum(r) as double) AS r
+      |  FROM rev JOIN reg ON rev.nk = reg.nk GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT r_name,
+      |    cast(sum(cast(round(r, 4) as decimal(25,4))) as double) AS t,
+      |    cast(count(*) as bigint) AS ns,
+      |    max(round(r, 4)) AS topr
+      |  FROM byreg GROUP BY 1),
+      |hhi AS (
+      |  SELECT b.r_name,
+      |    cast(sum(cast(round((b.r / t.t) * (b.r / t.t), 12)
+      |      as decimal(28,12))) as double) AS hhi
+      |  FROM byreg b JOIN tot t ON b.r_name = t.r_name
+      |  GROUP BY b.r_name)
+      |SELECT h.r_name AS region, t.ns AS n_suppliers,
+      |  round(h.hhi, 6) + 0.0 AS hhi,
+      |  round(1.0 / h.hhi, 4) + 0.0 AS effective_suppliers,
+      |  round(cast(t.topr as double) / t.t, 6) + 0.0 AS top_share
+      |FROM hhi h JOIN tot t ON h.r_name = t.r_name ORDER BY region""".stripMargin
+
+  // q541 energy distance between the URGENT and LOW order-value samples.
+  // 1-D closed forms — never an all-pairs join: within-sample
+  // sum|x_i - x_j| = 2 sum_r (2r - 1 - n) x_(r) off a per-group rank;
+  // cross-sample sum|x - y| off merged cumulative counts/sums of the
+  // other sample. V-statistics; D = sqrt(2 E|X-Y| - E|X-X'| - E|Y-Y'|).
+  private val energyDistanceSql =
+    """WITH pts AS (
+      |  SELECT cast(round(o_totalprice, 2) as decimal(20,2)) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |tot AS (
+      |  SELECT cast(sum(ga) as double) AS na, cast(sum(1 - ga) as double) AS nb,
+      |    cast(sum(CASE WHEN ga = 0 THEN v END) as double) AS sby
+      |  FROM pts),
+      |w AS (
+      |  SELECT ga, cast(v as double) AS vd,
+      |    row_number() OVER (PARTITION BY ga ORDER BY v) AS rg,
+      |    cast(sum(CASE WHEN ga = 0 THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY v) as double) AS cb,
+      |    cast(sum(CASE WHEN ga = 0 THEN v END)
+      |      OVER (ORDER BY v) as double) AS sb
+      |  FROM pts),
+      |sxy AS (
+      |  SELECT cast(sum(cast(round(
+      |      vd * cb - coalesce(sb, cast(0 as double))
+      |      + (tot.sby - coalesce(sb, cast(0 as double)))
+      |      - vd * (tot.nb - cb), 4)
+      |    as decimal(30,4))) as double) AS s
+      |  FROM w CROSS JOIN tot WHERE ga = 1),
+      |sww AS (
+      |  SELECT ga,
+      |    cast(sum(cast(round((2 * rg - 1 - cnt) * vd, 4)
+      |      as decimal(30,4))) as double) AS s
+      |  FROM (SELECT ga, vd, rg,
+      |      count(*) OVER (PARTITION BY ga) AS cnt FROM w) z
+      |  GROUP BY ga),
+      |e AS (
+      |  SELECT sxy.s / (tot.na * tot.nb) AS exy,
+      |    2 * max(CASE WHEN sww.ga = 1 THEN sww.s END)
+      |      / (tot.na * tot.na) AS exx,
+      |    2 * max(CASE WHEN sww.ga = 0 THEN sww.s END)
+      |      / (tot.nb * tot.nb) AS eyy,
+      |    cast(max(tot.na) as bigint) AS n_urgent,
+      |    cast(max(tot.nb) as bigint) AS n_low
+      |  FROM sww CROSS JOIN sxy CROSS JOIN tot
+      |  GROUP BY sxy.s, tot.na, tot.nb)
+      |SELECT round(exy, 6) + 0.0 AS e_cross,
+      |  round(exx, 6) + 0.0 AS e_within_urgent,
+      |  round(eyy, 6) + 0.0 AS e_within_low,
+      |  round(sqrt(greatest(2 * exy - exx - eyy, cast(0 as double))), 6) + 0.0
+      |    AS energy_distance,
+      |  n_urgent, n_low
+      |FROM e""".stripMargin
+
   // q354 Katz centrality oracle: unrolled rounds sharing Graph.katz's
   // arithmetic (x_{k+1} = round(alpha * A^T x_k + 1, 9), decimal state).
   private def katzOracleSql(iters: Int): String = {
@@ -8700,6 +8939,29 @@ FROM b$rounds"""
     // DUPLICATE-payment audit (same cust+amount within 3 days).
     "q535_dup_payments" -> sqlQuery(Seq("orders"),
       dupPaymentSql((a, b) => s"datediff($a, $b)")),
+
+    // WASSERSTEIN-1 distance between priority-class value distributions.
+    "q536_wasserstein" -> sqlQuery(Seq("orders"), wassersteinSql),
+
+    // EWMA control chart on daily event counts (exact 2^-k weights).
+    "q537_ewma_chart" -> sqlQuery(Seq("events"),
+      ewmaChartSql(e => s"unix_micros($e) div 86400000000")),
+
+    // CROSTON intermittent-demand forecast for slow-moving parts.
+    // l_shipdate is TIMESTAMP_NTZ: day-number via date diff (TZ-free).
+    "q538_croston" -> sqlQuery(Seq("lineitem"),
+      crostonSql(e => s"datediff(cast($e as date), DATE '1970-01-01')")),
+
+    // SPECTRAL entropy + flatness of the daily count periodogram.
+    "q539_spectral_entropy" -> sqlQuery(Seq("events"),
+      spectralEntropySql(e => s"unix_micros($e) div 86400000000")),
+
+    // HERFINDAHL supplier-revenue concentration per region.
+    "q540_herfindahl" -> sqlQuery(
+      Seq("lineitem", "supplier", "nation", "region"), herfindahlSql),
+
+    // ENERGY distance between priority-class value samples (rank closed forms).
+    "q541_energy_distance" -> sqlQuery(Seq("orders"), energyDistanceSql),
 
     // WINNOWING fingerprints + shared-fingerprint near-dup pairs. The
     // Spark side is the pipeline operator (localCheckpoint-materialized
@@ -16348,6 +16610,15 @@ FROM b$rounds"""
     "q534_price_dispersion" -> priceDispersionSql,
     "q535_dup_payments" ->
       dupPaymentSql((a, b) => s"date_diff('day', $b, $a)"),
+    "q536_wasserstein" -> wassersteinSql,
+    "q537_ewma_chart" ->
+      ewmaChartSql(e => s"epoch_us($e) // 86400000000"),
+    "q538_croston" ->
+      crostonSql(e => s"date_diff('day', DATE '1970-01-01', cast($e as date))"),
+    "q539_spectral_entropy" ->
+      spectralEntropySql(e => s"epoch_us($e) // 86400000000"),
+    "q540_herfindahl" -> herfindahlSql,
+    "q541_energy_distance" -> energyDistanceSql,
     "q484_rbo" -> rboSql,
     "q485_kemeny" -> kemenySql,
 
