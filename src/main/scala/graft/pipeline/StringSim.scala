@@ -174,6 +174,41 @@ object StringSimEval {
     }
     row(m)
   }
+
+  /** Needleman-Wunsch global alignment score (match +1, mismatch -1,
+    * gap -1), rolling one-row DP like lcsLen. Null elements never match. */
+  def nwScore(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0) return -m
+    if (m == 0) return -n
+    val as = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { as(i) = if (a.isNullAt(i)) null else a.getUTF8String(i); i += 1 }
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    val row = new Array[Int](m + 1)
+    j = 0
+    while (j <= m) { row(j) = -j; j += 1 }
+    i = 1
+    while (i <= n) {
+      var diag = row(0) // D[i-1][0]
+      row(0) = -i
+      j = 1
+      while (j <= m) {
+        val up = row(j) // D[i-1][j]
+        val sub =
+          if (as(i - 1) != null && as(i - 1).equals(bs(j - 1))) diag + 1
+          else diag - 1
+        row(j) = math.max(sub, math.max(up - 1, row(j - 1) - 1))
+        diag = up
+        j += 1
+      }
+      i += 1
+    }
+    row(m)
+  }
 }
 
 /** lcs_length(a, b) -> int: longest-common-subsequence length between two
@@ -200,6 +235,32 @@ case class LcsLength(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.pipeline.StringSimEval.lcsLen($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLength =
+    copy(l, r)
+}
+
+/** nw_score(a, b) -> int: Needleman-Wunsch global alignment score between
+  * two string arrays (match +1, mismatch -1, gap -1) — the gap-penalized
+  * sibling of lcs_length, same rolling-row DP, same codegen shape. */
+case class NwScore(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nw_score"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nw_score expects (array<string>, array<string>), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSimEval.nwScore(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.StringSimEval.nwScore($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NwScore =
     copy(l, r)
 }
 

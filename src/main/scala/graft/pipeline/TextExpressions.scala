@@ -796,5 +796,6 @@ object TextRegistry {
     reg("char_jaccard", exprs => CharJaccard(exprs.head, exprs(1)))
     reg("jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)))
     reg("lcs_length", exprs => LcsLength(exprs.head, exprs(1)))
+    reg("nw_score", exprs => NwScore(exprs.head, exprs(1)))
   }
 }

@@ -57,6 +57,30 @@ class StringSimSpec extends AnyFunSuite {
       StringSimEval.jaroWinkler(u("information"), u("informant")) - 0.9414141414141414) < 1e-15)
   }
 
+  test("nw_score: Needleman-Wunsch global alignment") {
+    def arr(xs: String*): org.apache.spark.sql.catalyst.util.ArrayData =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        xs.map(x => if (x == null) null else u(x)).toArray)
+    // identical sequences: all matches
+    assert(StringSimEval.nwScore(arr("a", "b", "c"), arr("a", "b", "c")) == 3)
+    // empty vs non-empty: pure gaps
+    assert(StringSimEval.nwScore(arr(), arr("a", "b")) == -2)
+    assert(StringSimEval.nwScore(arr("a"), arr()) == -1)
+    // classic: align (a,b,c) vs (a,c) -> match, gap, match = 1
+    assert(StringSimEval.nwScore(arr("a", "b", "c"), arr("a", "c")) == 1)
+    // all-mismatch same length: substitution (-1 each) beats double gaps
+    assert(StringSimEval.nwScore(arr("a", "b"), arr("x", "y")) == -2)
+    // null elements never match (mismatch, not crash)
+    assert(StringSimEval.nwScore(arr(null, "b"), arr(null, "b")) == 0)
+    // SQL + codegen path
+    val s = TestSpark.spark
+    val r = s.sql(
+      """SELECT nw_score(array('a','b','c','d'), array('a','c','d')) AS s1,
+        |       nw_score(array('x'), array('y')) AS s2""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == -1)
+  }
+
   test("SQL registration and codegen path") {
     val s = TestSpark.spark
     val r = s.sql(
