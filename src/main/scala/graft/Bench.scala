@@ -34,13 +34,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    // best of two runs per query: the first run pays Janino/JIT compilation
-    // of that query's generated code plus any ambient GC pause; the min is
-    // the steady-state figure a warmed cluster would see.
+    // best of two runs per query for the HEADLINE set (numeric prefix <= 48,
+    // the BASELINE.md comparison set): the first run pays Janino/JIT
+    // compilation plus any ambient GC pause; the min is the steady-state
+    // figure a warmed cluster would see. The long-tail catalog gets ONE run —
+    // at 600+ queries a second pass doubles total wall-clock for queries
+    // whose individual figure is not baseline-compared, and the round-5
+    // timeout showed total wall IS the binding budget. SPARK_GRAFT_RUNS
+    // overrides both.
     // optional args: restrict to the named queries (debug/profiling aid)
     val selected = if (args.isEmpty) SparkEntry.queries
                    else SparkEntry.queries.filter(kv => args.contains(kv._1))
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val runsEnv = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)
+    def isHeadline(name: String): Boolean =
+      "^q(\\d+)".r.findFirstMatchIn(name).exists(_.group(1).toInt <= 48)
+    def runsFor(name: String): Int = runsEnv.getOrElse(if (isHeadline(name)) 2 else 1)
     // Broadcast blocks are only released when their driver-side references
     // are GC'd (ContextCleaner is GC-triggered); across 200+ queries in one
     // JVM the default 30min periodic GC never fires and accumulated
@@ -50,29 +58,39 @@ object Bench {
     // measurement (a timer-based periodic GC landed mid-run and doubled
     // the long queries).
     var sinceGc = 0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = selected.toSeq.sortBy(_._1)
+    // A killed run (rc=124) must still leave a diagnosable trail: cumulative
+    // progress on stderr every 25 queries, and bench_out.json rewritten
+    // incrementally with a partial flag.
+    def writeJson(line: String): Unit =
+      try { val w = new java.io.PrintWriter("bench_out.json"); w.println(line); w.close() }
+      catch { case _: Throwable => () }
+    def queriesJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    var done = List.empty[(String, Double)]
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       sinceGc += 1
       if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
-      val ts = Seq.fill(runs)(once(name, fn))
+      val ts = Seq.fill(runsFor(name))(once(name, fn))
       System.err.println(s"[bench] $name " +
         ts.zipWithIndex.map { case (t, i) => f"run${i + 1}=$t%.2f" }.mkString(" "))
+      done = (name -> ts.min) :: done
+      if ((idx + 1) % 25 == 0 || idx + 1 == ordered.size) {
+        val cum = done.map(_._2).sum
+        System.err.println(f"[bench] progress ${idx + 1}/${ordered.size} cumulative=$cum%.1f s")
+        writeJson(f"""{"metric":"total","value":$cum%.3f,"unit":"sec","n":${idx + 1},"partial":${idx + 1 != ordered.size},"queries":${queriesJson(done.reverse)},"sf":"$sfDir"}""")
+      }
       name -> ts.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Full-precision, full-catalog artifact (the per-query map for 300+
-    // queries is ~8 KB — too long for the driver's 2000-char stdout tail).
-    try {
-      val w = new java.io.PrintWriter("bench_out.json"); w.println(fullLine); w.close()
-    } catch { case _: Throwable => () }
+    // Full-precision, full-catalog artifact (the per-query map for 600+
+    // queries is too long for the driver's 2000-char stdout tail).
+    writeJson(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"partial":false,"queries":${queriesJson(results)},"sf":"$sfDir"}""")
     // The FINAL stdout line must fit the driver's 2000-char tail capture or
     // BENCH_r{N}.json records parsed:null (rounds 1-4 did). Print totals plus
     // the headline round-1 subset (numeric prefix <= 48, the BASELINE.md
     // comparison set) at 2 decimals; the complete map lives in bench_out.json.
-    val headline = results.filter { case (k, _) =>
-      "^q(\\d+)".r.findFirstMatchIn(k).exists(_.group(1).toInt <= 48)
-    }
+    val headline = results.filter { case (k, _) => isHeadline(k) }
     val hq = headline.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$hq,"sf":"$sfDir","full":"bench_out.json"}"""
     println(if (compact.length <= 1900) compact

@@ -144,6 +144,9 @@ object GeomKernels {
     "st_y"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.y; case _ => null }),
     "st_isempty"      -> U(BooleanType, g => g.isEmpty),
     "st_isring"       -> U(BooleanType, g => Algos.isRing(g)),
+    // GEOS is_simple: no anomalous self-intersection (lines revisit no
+    // point except closure; multipoints have no repeats)
+    "st_issimple"     -> U(BooleanType, g => Algos.isSimple(g)),
     "st_geometrytype" -> U(StringType, g => utf8(g.typeName)),
     "st_geomtypeid"   -> U(IntegerType, g => g.typeId),
     "st_numpoints"    -> U(IntegerType, g => g.numPoints),
@@ -507,6 +510,12 @@ object GeomKernels {
       // (geomA, geomB-wkb, dist) — geomB arrives as raw WKB bytes
       val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
       if (b == null) null else Algos.distance(g, b) <= d(a(1))
+    }),
+    // structural per-ordinate-tolerance equality (JTS equalsExact /
+    // geopandas geom_equals_exact); same shape as st_dwithin
+    "st_equalsexact" -> W(BooleanType, Set(2), (g, a) => {
+      val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
+      if (b == null) null else Algos.equalsExact(g, b, d(a(1)))
     }),
     // n-th vertex of a LineString, 1-based, negative from the end
     "st_pointn" -> W(BinaryType, Set(1), (g, a) =>

@@ -46,6 +46,9 @@ object st {
   def overlaps(a: Column, b: Column): Column  = call_function("st_overlaps", a, b)
   def stEquals(a: Column, b: Column): Column  = call_function("st_equals", a, b)
   def disjoint(a: Column, b: Column): Column  = call_function("st_disjoint", a, b)
+  def isSimple(g: Column): Column = call_function("st_issimple", g)
+  def equalsExact(a: Column, b: Column, tol: Column): Column =
+    call_function("st_equalsexact", a, b, tol)
 
   // transforms
   def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)

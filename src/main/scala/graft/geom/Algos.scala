@@ -1584,6 +1584,175 @@ object Algos {
     geomDim(a) == geomDim(b) && coversX(a, b) && coversX(b, a)
   }
 
+  // ------------------------------------------------------------- is_simple
+
+  /** Packed segments of a coordinate array, zero-length segments dropped
+    * (consecutive duplicate vertices don't make a line non-simple). */
+  private def packedSegments(cs: Array[Double]): Array[Double] = {
+    val out = ArrayBuffer.empty[Double]
+    var i = 0
+    while (i + 3 < cs.length) {
+      if (cs(i) != cs(i + 2) || cs(i + 1) != cs(i + 3)) {
+        out += cs(i); out += cs(i + 1); out += cs(i + 2); out += cs(i + 3)
+      }
+      i += 2
+    }
+    out.toArray
+  }
+
+  /**
+   * Segment-pair contact classification shared by the is_simple checks:
+   * returns null when the pair properly crosses or meets at >= 2 points
+   * (collinear overlap — two contact points on straight segments imply a
+   * shared collinear piece), Some(point) for exactly one touch point,
+   * None for no contact. Segments are (packed) quadruples at offsets a, b.
+   */
+  private def segContact(s: Array[Double], a: Int, t: Array[Double], b: Int):
+      Option[Option[(Double, Double)]] = {
+    val ax1 = s(a); val ay1 = s(a + 1); val ax2 = s(a + 2); val ay2 = s(a + 3)
+    val bx1 = t(b); val by1 = t(b + 1); val bx2 = t(b + 2); val by2 = t(b + 3)
+    if (segmentsCross(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return null
+    val pts = ArrayBuffer.empty[(Double, Double)]
+    def add(px: Double, py: Double, x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      if (onSegment(px, py, x1, y1, x2, y2) && !pts.contains((px, py))) pts += ((px, py))
+    add(bx1, by1, ax1, ay1, ax2, ay2); add(bx2, by2, ax1, ay1, ax2, ay2)
+    add(ax1, ay1, bx1, by1, bx2, by2); add(ax2, ay2, bx1, by1, bx2, by2)
+    if (pts.length >= 2) null
+    else Some(pts.headOption)
+  }
+
+  /** Is the single closed/open coordinate chain simple — no self-contact
+    * except consecutive-segment shared vertices and (for closed chains) the
+    * closure vertex? O(n^2) segment sweep (isValid precedent: a data-quality
+    * scan, not a hot path). */
+  private def chainIsSimple(csRaw: Array[Double], closed: Boolean): Boolean = {
+    val s = packedSegments(csRaw)
+    val m = s.length / 4
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        segContact(s, 4 * i, s, 4 * j) match {
+          case null => return false
+          case Some(Some((px, py))) =>
+            val consec = j == i + 1 &&
+              px == s(4 * i + 2) && py == s(4 * i + 3) &&
+              px == s(4 * j) && py == s(4 * j + 1)
+            val closure = closed && i == 0 && j == m - 1 &&
+              px == s(0) && py == s(1) &&
+              px == s(4 * j + 2) && py == s(4 * j + 3)
+            if (!consec && !closure) return false
+          case _ =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** The whole-geometry boundary endpoints of an OPEN line (for the
+    * MultiLineString element-contact rule); closed lines have an empty
+    * boundary so they may touch nothing. */
+  private def openEndpoints(l: LineString): Set[(Double, Double)] =
+    if (l.isEmpty || l.isClosed) Set.empty
+    else Set((l.coords(0), l.coords(1)),
+      (l.coords(l.coords.length - 2), l.coords(l.coords.length - 1)))
+
+  /**
+   * OGC/GEOS `is_simple`: no anomalous self-intersection. Points are always
+   * simple; a MultiPoint is simple iff no coordinate repeats; a line is
+   * simple iff it passes through no point twice except a shared start/end
+   * closure; MultiLineString elements may additionally meet only at points
+   * on BOTH elements' boundaries (open-line endpoints); areal geometry is
+   * simple iff every ring is a simple closed chain (the JTS convention — the
+   * ring-nesting questions belong to isValid); a collection is simple iff
+   * every element is. Empty geometry is simple.
+   * Reference: the reserved predicate block of
+   * py-geopolars/docs/source/reference/geoseries.rst:33-52 (is_simple),
+   * behavior pinned to GEOS.
+   */
+  def isSimple(g: Geometry): Boolean = g match {
+    case null => true
+    case _: Point => true
+    case mp: MultiPoint =>
+      val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+      mp.geoms.forall(p => p.isEmpty || seen.add((p.x, p.y)))
+    case l: LineString => l.isEmpty || chainIsSimple(l.coords, l.isClosed)
+    case ml: MultiLineString =>
+      val ls = ml.geoms.filterNot(_.isEmpty)
+      ls.forall(l => chainIsSimple(l.coords, l.isClosed)) && {
+        var i = 0
+        var ok = true
+        while (ok && i < ls.length) {
+          val bi = openEndpoints(ls(i))
+          val si = packedSegments(ls(i).coords)
+          var j = i + 1
+          while (ok && j < ls.length) {
+            val allowed = bi intersect openEndpoints(ls(j))
+            val sj = packedSegments(ls(j).coords)
+            var u = 0
+            while (ok && u < si.length) {
+              var v = 0
+              while (ok && v < sj.length) {
+                segContact(si, u, sj, v) match {
+                  case null => ok = false
+                  case Some(Some(p)) => if (!allowed.contains(p)) ok = false
+                  case _ =>
+                }
+                v += 4
+              }
+              u += 4
+            }
+            j += 1
+          }
+          i += 1
+        }
+        ok
+      }
+    case p: Polygon => p.isEmpty || p.rings.forall(r => chainIsSimple(r, closed = true))
+    case mp: MultiPolygon => mp.geoms.forall(isSimple)
+    case gc: GeometryCollection => gc.geoms.forall(isSimple)
+  }
+
+  /**
+   * Structural equality within a per-ordinate tolerance (JTS
+   * Geometry.equalsExact(other, tolerance): same type, same component and
+   * vertex ordering, |dx| <= tol AND |dy| <= tol per vertex — NOT
+   * topological equality; use equalsTop for that). Both-empty operands of
+   * the same type compare true.
+   * Reference: the reserved predicate block of
+   * py-geopolars/docs/source/reference/geoseries.rst:33-52
+   * (geom_equals_exact / geom_almost_equals).
+   */
+  def equalsExact(a: Geometry, b: Geometry, tol: Double): Boolean = {
+    def eq(x: Double, y: Double): Boolean = math.abs(x - y) <= tol
+    def eqc(ca: Array[Double], cb: Array[Double]): Boolean =
+      ca.length == cb.length && ca.indices.forall(i => eq(ca(i), cb(i)))
+    (a, b) match {
+      case (p: Point, q: Point) =>
+        (p.isEmpty && q.isEmpty) ||
+          (!p.isEmpty && !q.isEmpty && eq(p.x, q.x) && eq(p.y, q.y))
+      case (p: LineString, q: LineString) => eqc(p.coords, q.coords)
+      case (p: Polygon, q: Polygon) =>
+        p.rings.length == q.rings.length &&
+          p.rings.indices.forall(i => eqc(p.rings(i), q.rings(i)))
+      case (p: MultiPoint, q: MultiPoint) =>
+        p.geoms.length == q.geoms.length &&
+          p.geoms.indices.forall(i => equalsExact(p.geoms(i), q.geoms(i), tol))
+      case (p: MultiLineString, q: MultiLineString) =>
+        p.geoms.length == q.geoms.length &&
+          p.geoms.indices.forall(i => equalsExact(p.geoms(i), q.geoms(i), tol))
+      case (p: MultiPolygon, q: MultiPolygon) =>
+        p.geoms.length == q.geoms.length &&
+          p.geoms.indices.forall(i => equalsExact(p.geoms(i), q.geoms(i), tol))
+      case (p: GeometryCollection, q: GeometryCollection) =>
+        p.geoms.length == q.geoms.length &&
+          p.geoms.indices.forall(i => equalsExact(p.geoms(i), q.geoms(i), tol))
+      case _ => false
+    }
+  }
+
   // -------------------------------------------------------- geometry hygiene
 
   /** Collapse consecutive vertices within `tol` (Euclidean, 0 = exact
