@@ -761,41 +761,49 @@ object TextRegistry {
   /** Idempotent per session (avoids a WARN per function per re-register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    def reg(name: String, b: Seq[Expression] => Expression): Unit =
+    // arity = -1: variable (the expression validates its own children).
+    // A fixed-arity mismatch raises a named analysis-time error instead of
+    // the registration lambda's raw IndexOutOfBoundsException.
+    def reg(name: String, arity: Int, b: Seq[Expression] => Expression): Unit =
       if (!r.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        r.createOrReplaceTempFunction(name, b, "built-in")
-    reg("minhash_sig", exprs => MinHashSig(exprs))
-    reg("simhash64", exprs => SimHash64(exprs.head))
-    reg("simhash_md5", exprs => SimHashMd5(exprs.head))
-    reg("ngram_jaccard", exprs => NgramJaccard(exprs))
-    reg("lang_id", exprs => LangId(exprs.head))
-    reg("doc_fingerprint", exprs => DocFingerprint(exprs.head, exprs(1)))
-    reg("hash64", exprs => Hash64(exprs.head, exprs(1)))
-    reg("text_stats", exprs => TextStats(exprs.head))
-    reg("normalize_text", exprs => NormalizeText(exprs.head))
-    reg("md5_hash60", exprs => Md5Hash60(exprs.head))
-    reg("word_shingles", exprs => WordShingles(exprs.head, exprs(1)))
-    reg("scrub_positions", exprs => ScrubPositions(exprs.head, exprs(1)))
-    reg("image_ahash", exprs => ImageAhash(exprs.head))
-    reg("fingerprint_md5", exprs => FingerprintMd5(exprs.head, exprs(1)))
-    reg("winnow_fingerprints",
+        r.createOrReplaceTempFunction(name, exprs => {
+          if (arity >= 0 && exprs.length != arity)
+            throw new IllegalArgumentException(
+              s"function $name expects $arity argument(s), got ${exprs.length}")
+          b(exprs)
+        }, "built-in")
+    reg("minhash_sig", -1, exprs => MinHashSig(exprs))
+    reg("simhash64", 1, exprs => SimHash64(exprs.head))
+    reg("simhash_md5", 1, exprs => SimHashMd5(exprs.head))
+    reg("ngram_jaccard", -1, exprs => NgramJaccard(exprs))
+    reg("lang_id", 1, exprs => LangId(exprs.head))
+    reg("doc_fingerprint", 2, exprs => DocFingerprint(exprs.head, exprs(1)))
+    reg("hash64", 2, exprs => Hash64(exprs.head, exprs(1)))
+    reg("text_stats", 1, exprs => TextStats(exprs.head))
+    reg("normalize_text", 1, exprs => NormalizeText(exprs.head))
+    reg("md5_hash60", 1, exprs => Md5Hash60(exprs.head))
+    reg("word_shingles", 2, exprs => WordShingles(exprs.head, exprs(1)))
+    reg("scrub_positions", 2, exprs => ScrubPositions(exprs.head, exprs(1)))
+    reg("image_ahash", 1, exprs => ImageAhash(exprs.head))
+    reg("fingerprint_md5", 2, exprs => FingerprintMd5(exprs.head, exprs(1)))
+    reg("winnow_fingerprints", 3,
       exprs => WinnowFingerprints(exprs.head, exprs(1), exprs(2)))
-    reg("window_distinct_counts",
+    reg("window_distinct_counts", 2,
       exprs => WindowDistinctCounts(exprs.head, exprs(1)))
     // §2.9 version export (reference api.rs:8-11): engine + Spark version
-    reg("graft_version", _ => org.apache.spark.sql.catalyst.expressions.Literal(
+    reg("graft_version", 0, _ => org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(graft.BuildInfo.versionString),
       StringType))
-    reg("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
-    reg("dtw_distance", exprs => DtwDistance(exprs.head, exprs(1)))
-    reg("vec_dot", exprs => VecDot(exprs.head, exprs(1)))
-    reg("hll_distinct", HllDistinctAgg.builder)
-    reg("kmv_sketch", KmvSketchAgg.builder)
-    reg("damerau_levenshtein", exprs => DamerauLevenshtein(exprs.head, exprs(1)))
-    reg("hamming_dist", exprs => HammingDist(exprs.head, exprs(1)))
-    reg("char_jaccard", exprs => CharJaccard(exprs.head, exprs(1)))
-    reg("jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)))
-    reg("lcs_length", exprs => LcsLength(exprs.head, exprs(1)))
-    reg("nw_score", exprs => NwScore(exprs.head, exprs(1)))
+    reg("cosine_sim", 2, exprs => CosineSim(exprs.head, exprs(1)))
+    reg("dtw_distance", 2, exprs => DtwDistance(exprs.head, exprs(1)))
+    reg("vec_dot", 2, exprs => VecDot(exprs.head, exprs(1)))
+    reg("hll_distinct", -1, HllDistinctAgg.builder)
+    reg("kmv_sketch", -1, KmvSketchAgg.builder)
+    reg("damerau_levenshtein", 2, exprs => DamerauLevenshtein(exprs.head, exprs(1)))
+    reg("hamming_dist", 2, exprs => HammingDist(exprs.head, exprs(1)))
+    reg("char_jaccard", 2, exprs => CharJaccard(exprs.head, exprs(1)))
+    reg("jaro_winkler", 2, exprs => JaroWinkler(exprs.head, exprs(1)))
+    reg("lcs_length", 2, exprs => LcsLength(exprs.head, exprs(1)))
+    reg("nw_score", 2, exprs => NwScore(exprs.head, exprs(1)))
   }
 }

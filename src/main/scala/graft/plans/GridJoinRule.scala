@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LocalLimit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.internal.SQLConf
@@ -36,22 +37,64 @@ import graft.spatial.SpatialJoin
  * for Inner joins. st_dwithin pads the left side's cells and the reference
  * point by the distance.
  *
- * Cell size comes from `spark.graft.grid.cellSize` (default 1.0, in
- * coordinate units): pick ~the median geometry extent so most rows land in
- * O(1) cells; AQE's skew-join split handles residual BYTE-heavy hot cells
- * (measured: tools/SkewBench, split fires and the straggler spreads).
- * Caveat proven by the same harness: AQE's skew detection is byte-based,
- * so a byte-LIGHT cell with quadratic candidate work (both sides dense in
- * one cell) will not split — for dense-core datasets size cellSize to the
- * dense region's density, which shrinks candidate pairs quadratically
- * (BASELINE.md round-4 skew proof: 2.7x at 20x finer cells).
+ * Cell size: `spark.graft.grid.cellSize` (coordinate units) when set to a
+ * number; the default "auto" derives it at plan time from a bounded sample
+ * of each side's envelopes — median geometry extent when the data has
+ * extended geometries (so most rows land in O(1) cells), the sample's
+ * uniform-spacing estimate 4*sqrt(bbox_area/n) for (near-)point data, and
+ * never below a dwithin pad. AQE's skew-join split handles residual
+ * BYTE-heavy hot cells (measured: tools/SkewBench, split fires and the
+ * straggler spreads). Caveat proven by the same harness: AQE's skew
+ * detection is byte-based, so a byte-LIGHT cell with quadratic candidate
+ * work (both sides dense in one cell) will not split — the auto default
+ * exists exactly for that dense-core case: sizing to the sampled density
+ * shrinks candidate pairs quadratically (BASELINE.md round-4 skew proof:
+ * 2.7x at 20x finer cells).
  */
 class GridJoinRule extends Rule[LogicalPlan] {
 
   import SpatialJoinStrategy.{extractSpatial, splitConjuncts, SpatialPred}
 
-  private def cellSize: Double =
-    SQLConf.get.getConfString("spark.graft.grid.cellSize", "1.0").toDouble
+  /** Explicit numeric override; "auto" (default) => sampled derivation. */
+  private def configuredCellSize: Option[Double] =
+    SQLConf.get.getConfString("spark.graft.grid.cellSize", "auto") match {
+      case "auto" => None
+      case v      => Some(v.toDouble)
+    }
+
+  private def sampleSize: Int =
+    SQLConf.get.getConfString("spark.graft.grid.autoSampleSize", "1024").toInt
+
+  /** Up to n envelopes of `key` over a LocalLimit'd slice of `child` —
+    * one bounded driver-side probe per grid-join plan (executeTake stops
+    * after the first partitions that fill the limit). */
+  private def sampleEnvs(child: LogicalPlan, key: Expression, n: Int): Array[graft.geom.Envelope] = {
+    val spark = SparkSession.active
+    val plan = LocalLimit(Literal(n),
+      Project(Seq(Alias(key, "__graft_sample_geom")()), child))
+    spark.sessionState.executePlan(plan).executedPlan.executeTake(n).flatMap { r =>
+      if (r.isNullAt(0)) None
+      else Option(WKB.readOrNull(r.getBinary(0))).map(_.envelope).filterNot(_.isEmpty)
+    }
+  }
+
+  private def cellSizeFor(left: LogicalPlan, right: LogicalPlan,
+      lKey: Expression, rKey: Expression, pad: Double): Double =
+    configuredCellSize.getOrElse {
+      try {
+        val n = sampleSize
+        val base = math.max(
+          GridJoinRule.autoCellSize(sampleEnvs(left, lKey, n)),
+          GridJoinRule.autoCellSize(sampleEnvs(right, rKey, n)))
+        val cell = math.min(math.max(math.max(base, pad), 1e-9), 1e9)
+        logInfo(s"graft grid join: auto cellSize=$cell (pad=$pad)")
+        cell
+      } catch {
+        case e: Exception =>
+          logWarning(s"graft grid join: auto cell sizing failed (${e.getMessage}); using 1.0")
+          1.0
+      }
+    }
 
   private def bothLarge(j: Join): Boolean = {
     val threshold = SQLConf.get.autoBroadcastJoinThreshold
@@ -66,11 +109,11 @@ class GridJoinRule extends Rule[LogicalPlan] {
         .map(c => extractSpatial(c, left, right)).collectFirst { case Some(s) => s }
       spatial match {
         case Some((lKey, rKey, pred)) =>
-          val cs = cellSize
           val pad = pred match {
             case SpatialPred.DWithin(d) => math.abs(d)
             case _                      => 0.0
           }
+          val cs = cellSizeFor(left, right, lKey, rKey, pad)
           val cellL = AttributeReference("__graft_cell_l", LongType, nullable = false)()
           val cellR = AttributeReference("__graft_cell_r", LongType, nullable = false)()
           val lGen = Generate(Explode(GridCells(lKey, cs, pad)),
@@ -89,6 +132,26 @@ class GridJoinRule extends Rule[LogicalPlan] {
 }
 
 object GridJoinRule {
+
+  /**
+   * Cell-size heuristic from one side's sampled envelopes: the median
+   * max-extent when at least half the sample has positive extent (each
+   * geometry then touches O(1) cells); otherwise — (near-)point data —
+   * the uniform-spacing estimate 4 * sqrt(sample_bbox_area / n), so a cell
+   * holds a handful of points even when the data is densely clustered far
+   * below the old fixed 1.0 default. Empty sample => 1.0.
+   */
+  def autoCellSize(envs: Array[graft.geom.Envelope]): Double = {
+    if (envs.isEmpty) return 1.0
+    val exts = envs.map(e => math.max(e.maxX - e.minX, e.maxY - e.minY))
+      .filter(_ > 0).sorted
+    if (exts.length * 2 >= envs.length) exts(exts.length / 2)
+    else {
+      val w = math.max(envs.map(_.maxX).max - envs.map(_.minX).min, 1e-12)
+      val h = math.max(envs.map(_.maxY).max - envs.map(_.minY).min, 1e-12)
+      4.0 * math.sqrt(w * h / envs.length)
+    }
+  }
 
   /** Cells covered by the (padded) envelope; null for null/invalid/empty
     * geometry — explode(null) then drops the row, matching the false

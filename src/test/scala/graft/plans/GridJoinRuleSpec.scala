@@ -100,6 +100,59 @@ class GridJoinRuleSpec extends AnyFunSuite {
     assert(grid == reference)
   }
 
+  test("auto cell sizing: dense-core data gets a density-matched cell that beats the fixed 1.0") {
+    setupViews()
+    // dense core: 3000 points + 3000 tiny boxes all inside [0, 1] x [0, 1] —
+    // the byte-light hot-cell shape AQE's byte-based skew split cannot fix
+    spark.range(3000).selectExpr(
+      "id AS pid",
+      "st_point(cast(id % 97 as double) / 97.0, cast((id * 31) % 89 as double) / 89.0) AS pgeom")
+      .createOrReplaceTempView("dense_pts")
+    spark.range(3000).selectExpr(
+      "id AS bid",
+      "st_makeenvelope(cast(id % 101 as double) / 101.0, cast((id * 17) % 103 as double) / 103.0, " +
+        "cast(id % 101 as double) / 101.0 + 0.02, cast((id * 17) % 103 as double) / 103.0 + 0.02) AS bgeom")
+      .createOrReplaceTempView("dense_boxes")
+    // heuristic picks the sampled scale, not the fixed 1.0 that would put
+    // EVERY row in O(1) shared cells (quadratic candidate pairs)
+    val boxEnvs = spark.table("dense_boxes").limit(1024).collect()
+      .map(r => graft.geom.WKB.read(r.getAs[Array[Byte]]("bgeom")).envelope)
+    val ptEnvs = spark.table("dense_pts").limit(1024).collect()
+      .map(r => graft.geom.WKB.read(r.getAs[Array[Byte]]("pgeom")).envelope)
+    val autoBox = GridJoinRule.autoCellSize(boxEnvs)
+    val autoPt = GridJoinRule.autoCellSize(ptEnvs)
+    assert(math.abs(autoBox - 0.02) < 1e-9, s"median box extent expected, got $autoBox")
+    assert(autoPt > 0 && autoPt < 0.3, s"point spacing estimate out of range: $autoPt")
+    // candidate-pair audit: pairs sharing a cell at the auto size vs at the
+    // old fixed default — the quadratic-work reduction the rule targets
+    def candidatePairs(cell: Double): Long = {
+      val boxCells = boxEnvs.flatMap { e =>
+        val c = GridJoinRule.cells(graft.geom.WKB.write(
+          graft.geom.Polygon(Array(Array(e.minX, e.minY, e.maxX, e.minY,
+            e.maxX, e.maxY, e.minX, e.maxY, e.minX, e.minY)))), cell, 0.0)
+        c.toLongArray()
+      }.groupBy(identity).view.mapValues(_.length.toLong)
+      val ptCells = ptEnvs.map(e => graft.spatial.SpatialJoin.cellId(
+        math.floor(e.minX / cell).toLong, math.floor(e.minY / cell).toLong))
+        .groupBy(identity).view.mapValues(_.length.toLong)
+      boxCells.map { case (c, nb) => nb * ptCells.getOrElse(c, 0L) }.sum
+    }
+    val cellAuto = math.max(autoBox, autoPt)
+    assert(candidatePairs(cellAuto) * 10 < candidatePairs(1.0),
+      s"auto cell $cellAuto should cut candidate pairs >=10x vs fixed 1.0: " +
+        s"${candidatePairs(cellAuto)} vs ${candidatePairs(1.0)}")
+    // end-to-end: default (auto) conf, forced large-large => same answer as
+    // the broadcast reference
+    val sql =
+      """SELECT cast(count(*) as bigint) AS n
+        |FROM dense_pts JOIN dense_boxes ON st_intersects(pgeom, bgeom)""".stripMargin
+    val reference = spark.sql(sql).collect().head.getLong(0)
+    val grid = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql(sql).collect().head.getLong(0)
+    }
+    assert(grid == reference && grid > 0)
+  }
+
   test("residual conjuncts survive the rewrite") {
     setupViews()
     val sql =
