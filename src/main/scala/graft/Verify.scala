@@ -8,7 +8,11 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to the named queries (local iteration)
     val only: Set[String] = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default raised 4 -> 16: the full 680-query sf0.01 dump is the driver's
+    // correctness wall-clock (857 s at local[4]); every query is
+    // partition-count-agnostic by construction (decimal sums, pinned
+    // orders), so more cores only shorten the wall
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
