@@ -47,6 +47,17 @@ final case class GeoDataFrame(df: DataFrame, geometryColumn: String = GeoDataFra
       df.withColumn(geometryColumn, expr(s"st_transform($geometryColumn, '$from', '$to')")),
       geometryColumn).withCrs(to)
 
+  /** Reproject with a resolution-options object (reference
+    * to_crs_with_options + ProjOptions, geoseries.rs:253-266 /
+    * proj.rs:12-31): the options' search paths are scanned for custom CRS
+    * definition files (`<TAG>.proj4` / `<TAG>.projjson`) and registered
+    * before transforming — the offline analog of PROJ resource dirs. */
+  def toCrsWithOptions(from: String, to: String,
+      options: graft.geom.CRS.ProjOptions): GeoDataFrame = {
+    graft.geom.CRS.registerSearchPaths(options)
+    toCrs(from, to)
+  }
+
   /** Spatial join (reference spatial_join, spatial_index.rs:37-204). */
   def spatialJoin(
       other: GeoDataFrame,

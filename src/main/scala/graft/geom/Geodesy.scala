@@ -1292,6 +1292,40 @@ object CRS {
     register(tag, "EPSG:4326", inv)
   }
 
+  /**
+   * Options object for CRS resolution — the analog of the reference's
+   * `ProjOptions { search_paths }` (geopolars-geo/src/ops/proj.rs:12-31),
+   * which points PROJ at extra resource directories. An offline engine has
+   * no proj.db; here a search path is a directory of custom CRS definition
+   * files that get registered before transforming:
+   *   `<TAG>.proj4`    — a proj4 string (TAG's first '_' becomes ':', so
+   *                      `EPSG_32633.proj4` registers "EPSG:32633")
+   *   `<TAG>.projjson` — a PROJJSON document
+   */
+  final case class ProjOptions(searchPaths: Seq[String] = Nil)
+
+  /** Scan the option's search paths and register every definition found;
+    * returns the registered tags (idempotent — re-registration replaces). */
+  def registerSearchPaths(options: ProjOptions): Seq[String] =
+    options.searchPaths.flatMap { dir =>
+      val d = new java.io.File(dir)
+      val files = Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      files.toSeq.flatMap { f =>
+        val name = f.getName
+        def tag(stem: String): String = stem.replaceFirst("_", ":")
+        def text: String =
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        if (name.endsWith(".proj4")) {
+          val t = tag(name.stripSuffix(".proj4"))
+          registerProj4(t, text); Some(t)
+        } else if (name.endsWith(".projjson")) {
+          val t = tag(name.stripSuffix(".projjson"))
+          registerProjJson(t, text); Some(t)
+        } else None
+      }
+    }
+
   // Built-in national grids on non-WGS84 datums — the first real-world CRSs
   // a Helmert-less registry breaks on. Parameters are the published EPSG
   // proj4 definitions; accuracy is single-Helmert (~2 m vs the OSTN/NTv2

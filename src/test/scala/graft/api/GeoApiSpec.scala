@@ -30,6 +30,24 @@ class GeoApiSpec extends AnyFunSuite {
     assert(math.abs(x - 6378137.0 * math.toRadians(10.0)) < 1e-6)
   }
 
+  test("toCrsWithOptions registers definitions from search paths (ProjOptions analog)") {
+    // a custom Mercator clone under a private tag, provided as a search-path
+    // file the way PROJ resource dirs supply definitions
+    val dir = Files.createTempDirectory("graft_proj").toFile
+    val f = new java.io.File(dir, "TEST_99901.proj4")
+    Files.write(f.toPath,
+      "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m".getBytes)
+    val g = spark.sql("SELECT st_point(10.0, 0.0) AS geometry").geo.withCrs("EPSG:4326")
+    val out = g.toCrsWithOptions("EPSG:4326", "TEST:99901",
+      graft.geom.CRS.ProjOptions(searchPaths = Seq(dir.getAbsolutePath)))
+    assert(out.crs.contains("TEST:99901"))
+    val x = out.df.selectExpr("st_x(geometry)").collect()(0).getDouble(0)
+    assert(math.abs(x - 6378137.0 * math.toRadians(10.0)) < 1e-6)
+    // unknown extension files are ignored; missing dirs are a no-op
+    assert(graft.geom.CRS.registerSearchPaths(
+      graft.geom.CRS.ProjOptions(Seq("/nonexistent"))).isEmpty)
+  }
+
   test("spatialJoin through the wrapper matches reference shapes") {
     val pts = spark.range(9).selectExpr("id", "st_point(cast(id as double), 0.5) AS geometry").geo
     val box = spark.sql("SELECT st_makeenvelope(1.5, 0.0, 4.5, 1.0) AS geometry, 'b' AS tag").geo
