@@ -62,9 +62,16 @@ object Bench {
     // A killed run (rc=124) must still leave a diagnosable trail: cumulative
     // progress on stderr every 25 queries, and bench_out.json rewritten
     // incrementally with a partial flag.
+    // atomic: write a tmp file and rename, so a kill mid-checkpoint cannot
+    // truncate the previous valid partial snapshot
     def writeJson(line: String): Unit =
-      try { val w = new java.io.PrintWriter("bench_out.json"); w.println(line); w.close() }
-      catch { case _: Throwable => () }
+      try {
+        val tmp = new java.io.File("bench_out.json.tmp")
+        val w = new java.io.PrintWriter(tmp); w.println(line); w.close()
+        java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get("bench_out.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     var done = List.empty[(String, Double)]

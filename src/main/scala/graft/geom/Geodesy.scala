@@ -1305,24 +1305,32 @@ object CRS {
   final case class ProjOptions(searchPaths: Seq[String] = Nil)
 
   /** Scan the option's search paths and register every definition found;
-    * returns the registered tags (idempotent — re-registration replaces). */
+    * returns the registered tags (idempotent — re-registration replaces).
+    * Unreadable/invalid entries are skipped, not fatal — one bad file must
+    * not abort the rest of the directory. NOTE: the registry is a
+    * driver-JVM static; like registerProj4/registerProjJson, custom tags
+    * registered here are visible to local-mode executors (this project's
+    * deployment target) but a multi-JVM cluster would need the
+    * registration replayed on executors (e.g. from a static init). */
   def registerSearchPaths(options: ProjOptions): Seq[String] =
     options.searchPaths.flatMap { dir =>
       val d = new java.io.File(dir)
       val files = Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-      files.toSeq.flatMap { f =>
+      files.toSeq.filter(_.isFile).flatMap { f =>
         val name = f.getName
         def tag(stem: String): String = stem.replaceFirst("_", ":")
-        def text: String =
-          new String(java.nio.file.Files.readAllBytes(f.toPath),
+        val attempt = scala.util.Try {
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8).trim
-        if (name.endsWith(".proj4")) {
-          val t = tag(name.stripSuffix(".proj4"))
-          registerProj4(t, text); Some(t)
-        } else if (name.endsWith(".projjson")) {
-          val t = tag(name.stripSuffix(".projjson"))
-          registerProjJson(t, text); Some(t)
-        } else None
+          if (name.endsWith(".proj4")) {
+            val t = tag(name.stripSuffix(".proj4"))
+            registerProj4(t, text); Some(t)
+          } else if (name.endsWith(".projjson")) {
+            val t = tag(name.stripSuffix(".projjson"))
+            registerProjJson(t, text); Some(t)
+          } else None
+        }
+        attempt.getOrElse(None)
       }
     }
 

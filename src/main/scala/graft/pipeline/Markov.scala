@@ -52,11 +52,15 @@ object Markov {
     * ignores NULLs), empty/all-NULL sums coalesce to 0. */
   private def sumTerms(terms: Iterable[(Double, Option[Double])]): Double = {
     var acc = JBigDecimal.ZERO
-    var any = false
     terms.foreach { case (p, t) =>
-      t.foreach { tv => acc = acc.add(dec12(rnd(p * tv, 12))); any = true }
+      t.foreach { tv =>
+        val r = rnd(p * tv, 12)
+        // Spark cast(NaN/Inf as decimal) is NULL (non-ANSI) and sum skips
+        // NULLs — mirror that instead of letting BigDecimal throw
+        if (!r.isNaN && !r.isInfinite) acc = acc.add(dec12(r))
+      }
     }
-    if (any) acc.doubleValue else 0.0
+    acc.doubleValue
   }
 
   private def result(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
@@ -129,7 +133,8 @@ object Markov {
           if (s == "purchase") 1.0
           else if (ch.contains(s)) 0.0
           else a.getOrElse(s, 0.0)
-        acc = acc.add(dec12(rnd(share * v, 12)))
+        val r = rnd(share * v, 12)
+        if (!r.isNaN && !r.isInfinite) acc = acc.add(dec12(r))
       }
       acc.doubleValue
     }

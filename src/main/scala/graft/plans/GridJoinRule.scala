@@ -82,13 +82,30 @@ class GridJoinRule extends Rule[LogicalPlan] {
       lKey: Expression, rKey: Expression, pad: Double): Double =
     configuredCellSize.getOrElse {
       try {
-        val n = sampleSize
-        val base = math.max(
-          GridJoinRule.autoCellSize(sampleEnvs(left, lKey, n)),
-          GridJoinRule.autoCellSize(sampleEnvs(right, rKey, n)))
-        val cell = math.min(math.max(math.max(base, pad), 1e-9), 1e9)
-        logInfo(s"graft grid join: auto cellSize=$cell (pad=$pad)")
-        cell
+        // keyed by the canonicalized plan/key shapes: re-planning the same
+        // join (best-of-N bench runs, explain(), AQE re-optimization) must
+        // not re-run the sampling probe — for a join over subquery inputs
+        // the probe executes those inputs' shuffle stages
+        val key = (left.canonicalized.hashCode(), right.canonicalized.hashCode(),
+          lKey.semanticHash(), rKey.semanticHash(), pad)
+        GridJoinRule.autoCellCache.computeIfAbsent(key, _ => {
+          val n = sampleSize
+          val envsL = sampleEnvs(left, lKey, n)
+          val envsR = sampleEnvs(right, rKey, n)
+          val base = math.max(
+            GridJoinRule.autoCellSize(envsL), GridJoinRule.autoCellSize(envsR))
+          // lower bound: the LARGEST sampled extent may not be the largest in
+          // the data (executeTake reads leading partitions); keep it to <=256
+          // cells per axis so even a 16x-bigger unsampled outlier stays far
+          // inside the 2^24 cells() guard that a point-dominant sample would
+          // otherwise trip (old fixed-1.0 behavior never failed this way)
+          val maxExt = (envsL ++ envsR)
+            .map(e => math.max(e.maxX - e.minX, e.maxY - e.minY))
+            .foldLeft(0.0)(math.max)
+          val cell = math.min(math.max(math.max(math.max(base, maxExt / 256), pad), 1e-9), 1e9)
+          logInfo(s"graft grid join: auto cellSize=$cell (pad=$pad)")
+          java.lang.Double.valueOf(cell)
+        }).doubleValue()
       } catch {
         case e: Exception =>
           logWarning(s"graft grid join: auto cell sizing failed (${e.getMessage}); using 1.0")
@@ -132,6 +149,17 @@ class GridJoinRule extends Rule[LogicalPlan] {
 }
 
 object GridJoinRule {
+
+  /** Auto cell per canonicalized (left, right, keys, pad) shape — bounded;
+    * cleared wholesale if it ever grows past a sanity cap. */
+  private[plans] val autoCellCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int, Double), java.lang.Double]() {
+      override def computeIfAbsent(k: (Int, Int, Int, Int, Double),
+          f: java.util.function.Function[_ >: (Int, Int, Int, Int, Double), _ <: java.lang.Double]): java.lang.Double = {
+        if (size() > 1024) clear()
+        super.computeIfAbsent(k, f)
+      }
+    }
 
   /**
    * Cell-size heuristic from one side's sampled envelopes: the median
