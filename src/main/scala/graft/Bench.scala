@@ -23,6 +23,7 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.init(spark) // fully populate registries before workers start
 
     // one warmup to amortize JVM/codegen startup out of the first measurement
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -57,7 +58,6 @@ object Bench {
     // BETWEEN timed regions reclaims them without ever pausing a
     // measurement (a timer-based periodic GC landed mid-run and doubled
     // the long queries).
-    var sinceGc = 0
     val ordered = selected.toSeq.sortBy(_._1)
     // A killed run (rc=124) must still leave a diagnosable trail: cumulative
     // progress on stderr every 25 queries, and bench_out.json rewritten
@@ -74,34 +74,79 @@ object Bench {
       } catch { case _: Throwable => () }
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+    // Phase split: the headline set runs SEQUENTIALLY (clean best-of-2
+    // figures, directly comparable with BASELINE.md), then the long tail
+    // runs on a small worker pool. Total wall is the binding driver budget
+    // (round-5 rc=124) and the tail is scheduling-gap-bound, not core-bound:
+    // a median tail query leaves most of local[32] idle between short
+    // stages, so 4 overlapped queries cut wall ~2-3x while each still
+    // completes correctly (results discarded through noop; per-query times
+    // are then contended and mildly inflated — totals and headline figures
+    // are the comparable numbers). q56 mutates session confs during its
+    // planning window and stays in the sequential phase.
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "4").toInt
+    val (seqQs, poolQs) =
+      if (poolSize <= 1) (ordered, Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      else ordered.partition { case (n, _) => isHeadline(n) || n == "q56_sql_grid_join" }
+
+    val lock = new Object
     var done = List.empty[(String, Double)]
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+    var sinceGc = 0
+    val total = ordered.size
+    def record(name: String, t: Double): Unit = lock.synchronized {
+      done = (name -> t) :: done
       sinceGc += 1
       if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
+      val n = done.size
+      if (n % 25 == 0 || n == total) {
+        val cum = done.map(_._2).sum
+        System.err.println(f"[bench] progress $n/$total cumulative=$cum%.1f s")
+        writeJson(f"""{"metric":"total","value":$cum%.3f,"unit":"sec","n":$n,"partial":${n != total},"pool":$poolSize,"queries":${queriesJson(done.reverse)},"sf":"$sfDir"}""")
+      }
+    }
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val ts = Seq.fill(runsFor(name))(once(name, fn))
       System.err.println(s"[bench] $name " +
         ts.zipWithIndex.map { case (t, i) => f"run${i + 1}=$t%.2f" }.mkString(" "))
-      done = (name -> ts.min) :: done
-      if ((idx + 1) % 25 == 0 || idx + 1 == ordered.size) {
-        val cum = done.map(_._2).sum
-        System.err.println(f"[bench] progress ${idx + 1}/${ordered.size} cumulative=$cum%.1f s")
-        writeJson(f"""{"metric":"total","value":$cum%.3f,"unit":"sec","n":${idx + 1},"partial":${idx + 1 != ordered.size},"queries":${queriesJson(done.reverse)},"sf":"$sfDir"}""")
-      }
-      name -> ts.min
+      record(name, ts.min)
     }
-    val total = results.map(_._2).sum
+
+    seqQs.foreach { case (name, fn) => runOne(name, fn) }
+    // deterministic interleave: catalog neighbors are thematic families with
+    // correlated cost (q318-q321 are all iteration-bound); hashing the queue
+    // order keeps two heavy siblings from monopolizing the pool together
+    val poolQueue = poolQs.sortBy { case (n, _) => (n.hashCode * 2654435761L) & 0xffffffffL }
+    if (poolQueue.nonEmpty) {
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to poolSize).map { _ =>
+        val t = new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i < poolQueue.size) {
+            val (name, fn) = poolQueue(i)
+            runOne(name, fn)
+            i = next.getAndIncrement()
+          }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+    }
+
+    val results = done.reverse
+    val totalSec = results.map(_._2).sum
     // Full-precision, full-catalog artifact (the per-query map for 600+
     // queries is too long for the driver's 2000-char stdout tail).
-    writeJson(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"partial":false,"queries":${queriesJson(results)},"sf":"$sfDir"}""")
+    writeJson(f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","n":${results.size},"partial":false,"pool":$poolSize,"queries":${queriesJson(results)},"sf":"$sfDir"}""")
     // The FINAL stdout line must fit the driver's 2000-char tail capture or
     // BENCH_r{N}.json records parsed:null (rounds 1-4 did). Print totals plus
     // the headline round-1 subset (numeric prefix <= 48, the BASELINE.md
     // comparison set) at 2 decimals; the complete map lives in bench_out.json.
     val headline = results.filter { case (k, _) => isHeadline(k) }
     val hq = headline.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$hq,"sf":"$sfDir","full":"bench_out.json"}"""
+    val compact = f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","n":${results.size},"queries":$hq,"sf":"$sfDir","full":"bench_out.json"}"""
     println(if (compact.length <= 1900) compact
-            else f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir","full":"bench_out.json"}""")
+            else f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -22,15 +22,47 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    SparkEntry.init(spark) // fully populate registries before workers start
+
+    def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    // q56 temporarily mutates session confs (broadcast threshold, grid cell)
+    // during its planning window; run it alone so no concurrently-planning
+    // query sees the altered confs.
+    val (confMut, pooled) = selected.partition(_._1 == "q56_sql_grid_join")
+
+    // The full dump is scheduling-gap-bound, not core-bound: a median query
+    // leaves most of local[16] idle between its short stages. A small worker
+    // pool overlaps those gaps (wall ~2-3x shorter); results are unaffected —
+    // every query writes its own output dir, table views are identical
+    // per (session, dir), and query-private temp view names are unique
+    // per query. SPARK_GRAFT_POOL=1 restores fully sequential behavior.
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "4").toInt
+    if (poolSize <= 1) pooled.foreach { case (n, f) => dump(n, f) }
+    else {
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to poolSize).map { _ =>
+        val t = new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i < pooled.size) {
+            val (n, f) = pooled(i)
+            dump(n, f)
+            i = next.getAndIncrement()
+          }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
     }
+    confMut.foreach { case (n, f) => dump(n, f) }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
