@@ -26,11 +26,19 @@ package graft.pipeline
 object TextClassify {
 
   /** Spark tok CTE body over `documents`. */
-  val sparkTok: String =
-    """SELECT doc_id, lang, word FROM (
-      |  SELECT doc_id, lang,
-      |    explode(filter(split(lower(trim(text)), '\\s+'), x -> x != '')) AS word
-      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)""".stripMargin
+  val sparkTok: String = sparkTokFrom("documents")
+
+  /** Spark tok CTE over an arbitrary relation (e.g. a REPARTITION-hinted
+    * derived table — the explode+split is the CPU-heavy per-row stage and
+    * single-row-group test parquet otherwise runs it in one task). */
+  def sparkTokFrom(rel: String): String =
+    // NOTE quadruple backslash: the s-interpolator processes \\ -> \ (a
+    // plain triple-quoted string does not), and the SQL literal must
+    // carry \\s+ for the regex \s+
+    s"""SELECT doc_id, lang, word FROM (
+       |  SELECT doc_id, lang,
+       |    explode(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) AS word
+       |  FROM $rel WHERE text IS NOT NULL AND lang IS NOT NULL)""".stripMargin
 
   /** DuckDB tok CTE body over `documents`. */
   val duckTok: String =

@@ -1,6 +1,7 @@
 #!/bin/bash
 # Run a graft main (graft.Verify / graft.Bench / tools) directly with java,
-# bypassing sbt (same JVM flags as build.sbt's javaOptions).
+# bypassing sbt (same JVM flags as build.sbt's javaOptions). Extra JVM flags
+# can be passed via GRAFT_JAVA_FLAGS.
 MAIN=$1; shift
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -9,5 +10,5 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC $GRAFT_JAVA_FLAGS \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
