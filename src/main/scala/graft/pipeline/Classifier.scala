@@ -74,6 +74,10 @@ object Classifier {
           label.cast("double").as("__y"): _*)
       .na.drop("any")
       .localCheckpoint()
+    // widenIfNarrow: each iteration is one per-row gradient aggregation
+    // over this frame; a 1-partition checkpoint would run every round on
+    // one core
+    val projW = PlanUtil.widenIfNarrow(proj)
     val fs = (0 until n).map(i => s"__f$i")
     val w = Array.fill(n + 1)(0.0) // last slot = bias
     var it = 0
@@ -81,7 +85,7 @@ object Classifier {
       val sig = sigText(zText(w.init.toSeq.map(dlit), fs, dlit(w.last)))
       val aggs = (fs :+ "1.0E0").map(f => sum(expr(gradTermText(sig, "__y", f)))) :+
         count(lit(1))
-      val row = proj.agg(aggs.head, aggs.tail: _*).head()
+      val row = projW.agg(aggs.head, aggs.tail: _*).head()
       val cnt = row.getLong(n + 1).toDouble
       require(cnt > 0, "no non-null training rows")
       var j = 0

@@ -582,10 +582,11 @@ object Dedup {
     // The set column feeds three plan branches (posting + both verify
     // sides); checkpoint so an expensive upstream set construction (e.g.
     // shingling) evaluates once, not three times.
-    val docs = df.select(col(idCol).cast("long").as("id"),
-        array_distinct(col(setCol)).as("toks"))
-      .filter(size($"toks") > 0)
-      .localCheckpoint()
+    val docs = PlanUtil.widenIfNarrow(
+      df.select(col(idCol).cast("long").as("id"),
+          array_distinct(col(setCol)).as("toks"))
+        .filter(size($"toks") > 0)
+        .localCheckpoint())
 
     // Candidate generation runs entirely on 8-byte token hashes: df
     // counting, the global order, and the prefix equi-join never shuffle

@@ -26,13 +26,13 @@ object Outliers {
 
   def lof(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame = {
     TextRegistry.register(emb.sparkSession)
-    val pts = emb.selectExpr(s"$idCol AS id", s"$vecCol AS v",
-      s"vec_dot($vecCol, $vecCol) AS n2")
-      .localCheckpoint() // materialize norms once (and stop inlining)
-      // widen the streamed side of the pair join: a single-row-group
-      // parquet checkpoint is 1 partition, which would compute all
-      // n^2 pair distances in one task (measured 5.5 s of the query)
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    // widenIfNarrow: a single-row-group parquet checkpoint is 1 partition,
+    // which would compute all n^2 pair distances in one task (measured
+    // 5.5 s of the query's 6.3 s); wide inputs pass through untouched
+    val pts = PlanUtil.widenIfNarrow(
+      emb.selectExpr(s"$idCol AS id", s"$vecCol AS v",
+          s"vec_dot($vecCol, $vecCol) AS n2")
+        .localCheckpoint()) // materialize norms once (and stop inlining)
     val d = pts.as("a").join(pts.as("b"), col("b.id") =!= col("a.id"))
       .selectExpr("a.id AS ia", "b.id AS ib",
         "round(a.n2 - 2 * vec_dot(a.v, b.v) + b.n2, 9) AS d2")

@@ -62,7 +62,9 @@ object Winnow {
       maxBucket: Int = 50): DataFrame = {
     // One materialization feeds all three references (bucket counts +
     // both join sides); without it each reference recomputes the scan.
-    val f = fp.localCheckpoint()
+    // widenIfNarrow: the bucket self-join fans out quadratically per
+    // bucket — never run it above a 1-partition checkpoint.
+    val f = PlanUtil.widenIfNarrow(fp.localCheckpoint())
     val bkt = f.groupBy("fph").count()
       .filter(col("count").between(minBucket, maxBucket))
       .select("fph")

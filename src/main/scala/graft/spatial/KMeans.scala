@@ -30,10 +30,11 @@ object KMeans {
       k: Int,
       iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
-    val pts = df.select(col(idCol).cast("long").as("__id"),
-        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
-      .localCheckpoint()
+    val pts = graft.pipeline.PlanUtil.widenIfNarrow(
+      df.select(col(idCol).cast("long").as("__id"),
+          col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull)
+        .localCheckpoint())
     var cents: Array[(Double, Double)] = pts.orderBy("__id").limit(k)
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
     require(cents.length == k, s"need at least $k rows to seed $k clusters")
