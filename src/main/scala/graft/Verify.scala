@@ -5,6 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Environment-proofing: the ORC/Avro writers and some JDK formatting
+    // paths read the JVM-GLOBAL default TimeZone/Locale (session.timeZone
+    // does not govern them), so a non-UTC / non-ROOT driver host would
+    // produce a different artifact than every local replica. Pin both.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to the named queries (local iteration)
     val only: Set[String] = args.drop(2).toSet
@@ -33,10 +39,9 @@ object Verify {
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    // q56 temporarily mutates session confs (broadcast threshold, grid cell)
-    // during its planning window; run it alone so no concurrently-planning
-    // query sees the altered confs.
-    val (confMut, pooled) = selected.partition(_._1 == "q56_sql_grid_join")
+    // conf-mutating queries (SparkEntry.confMutating, the single source of
+    // truth) run alone so no concurrently-planning query sees altered confs
+    val (confMut, pooled) = selected.partition(kv => SparkEntry.confMutating(kv._1))
 
     // The full dump is scheduling-gap-bound, not core-bound: a median query
     // leaves most of local[16] idle between its short stages. A small worker

@@ -142,6 +142,11 @@ object GeomKernels {
     "st_isvalid"      -> U(BooleanType, g => Algos.isValid(g)),
     "st_x"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.x; case _ => null }),
     "st_y"            -> U(DoubleType, { case p: Point if !p.isEmpty => p.y; case _ => null }),
+    // the data model is strictly 2D (reference writes WKB CoordDimensions::xy
+    // and force_2d's on read — py-geopolars geoseries.rst:29,41 reserves
+    // these): z is NULL and has_z false for every geometry, by contract
+    "st_z"            -> U(DoubleType, _ => null),
+    "st_hasz"         -> U(BooleanType, _ => false),
     "st_isempty"      -> U(BooleanType, g => g.isEmpty),
     "st_isring"       -> U(BooleanType, g => Algos.isRing(g)),
     // GEOS is_simple: no anomalous self-intersection (lines revisit no
@@ -516,6 +521,14 @@ object GeomKernels {
     "st_equalsexact" -> W(BooleanType, Set(2), (g, a) => {
       val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
       if (b == null) null else Algos.equalsExact(g, b, d(a(1)))
+    }),
+    // geopandas geom_almost_equals(other, decimal=6): equalsExact with
+    // tolerance 0.5 * 10^-decimal — a decimal-places alias over the same
+    // structural kernel
+    "st_almostequals" -> W(BooleanType, Set(1, 2), (g, a) => {
+      val b = WKB.readOrNull(a(0).asInstanceOf[Array[Byte]])
+      val dec = if (a.length < 2 || a(1) == null) 6 else d(a(1)).toInt
+      if (b == null) null else Algos.equalsExact(g, b, 0.5 * math.pow(10.0, -dec))
     }),
     // n-th vertex of a LineString, 1-based, negative from the end
     "st_pointn" -> W(BinaryType, Set(1), (g, a) =>

@@ -49,6 +49,12 @@ object st {
   def isSimple(g: Column): Column = call_function("st_issimple", g)
   def equalsExact(a: Column, b: Column, tol: Column): Column =
     call_function("st_equalsexact", a, b, tol)
+  def almostEquals(a: Column, b: Column): Column =
+    call_function("st_almostequals", a, b)
+  def almostEquals(a: Column, b: Column, decimal: Column): Column =
+    call_function("st_almostequals", a, b, decimal)
+  def z(g: Column): Column = call_function("st_z", g)
+  def hasZ(g: Column): Column = call_function("st_hasz", g)
 
   // transforms
   def simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)

@@ -167,12 +167,21 @@ object Classifier {
     * the DuckDB oracle so every double op has the identical shape.
     * AUC via the tie-aware Mann-Whitney rank statistic (average ranks
     * are exact dyadic halves, so the double sum is order-independent);
-    * Brier through the decimal fold. */
+    * Brier through the decimal fold. The global rank is DECOMPOSED
+    * (binned-rank discipline): scores are 6-decimal-rounded, so
+    * floor(score*1000) is an exact, engine-identical bin key; rank =
+    * cumulative count of strictly-lower bins (a <=1001-row window) plus a
+    * PARTITIONed within-bin rank — no corpus-cardinality single-partition
+    * WindowExec at any scale. Ties share a score, hence a bin, so rank()
+    * semantics are preserved exactly. */
   val evalSelectSql: String =
-    """WITH r AS (SELECT score, y,
-      |    rank() OVER (ORDER BY score) AS rk,
-      |    count(*) OVER (PARTITION BY score) AS cs
-      |  FROM scored),
+    """WITH sb AS (SELECT score, y, floor(score * 1000) AS sbin FROM scored),
+      |sbc AS (SELECT sbin, cast(count(*) as bigint) AS c FROM sb GROUP BY sbin),
+      |sbo AS (SELECT sbin, sum(c) OVER (ORDER BY sbin) - c AS base FROM sbc),
+      |r AS (SELECT sb.score, sb.y,
+      |    sbo.base + rank() OVER (PARTITION BY sb.sbin ORDER BY sb.score) AS rk,
+      |    count(*) OVER (PARTITION BY sb.score) AS cs
+      |  FROM sb JOIN sbo ON sbo.sbin = sb.sbin),
       |agg AS (SELECT
       |    sum(CASE WHEN y = 1.0 THEN (2 * rk + cs - 1) / 2.0 ELSE 0.0 END) AS sr,
       |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS p,
@@ -279,13 +288,22 @@ object Classifier {
    * per HELD-OUT document, scored by the model trained on the other
    * folds) and emits one metric row per fold — same tie-aware rank AUC /
    * confusion / decimal-folded Brier, windows and groups partitioned by
-   * fold. Shared verbatim by both engines.
+   * fold. Shared verbatim by both engines. Rank decomposed per
+   * [[evalSelectSql]]: a fold is still corpus/k rows, so the per-fold
+   * rank runs PARTITIONed by (fold, score-bin) plus a bins-sized
+   * cumulative offset window.
    */
   val cvEvalSelectSql: String =
-    """r AS (SELECT fold, score, y,
-      |    rank() OVER (PARTITION BY fold ORDER BY score) AS rk,
-      |    count(*) OVER (PARTITION BY fold, score) AS cs
-      |  FROM scored_all),
+    """sb AS (SELECT fold, score, y, floor(score * 1000) AS sbin FROM scored_all),
+      |sbc AS (SELECT fold, sbin, cast(count(*) as bigint) AS c
+      |  FROM sb GROUP BY fold, sbin),
+      |sbo AS (SELECT fold, sbin,
+      |    sum(c) OVER (PARTITION BY fold ORDER BY sbin) - c AS base FROM sbc),
+      |r AS (SELECT sb.fold, sb.score, sb.y,
+      |    sbo.base + rank() OVER (PARTITION BY sb.fold, sb.sbin
+      |      ORDER BY sb.score) AS rk,
+      |    count(*) OVER (PARTITION BY sb.fold, sb.score) AS cs
+      |  FROM sb JOIN sbo ON sbo.fold = sb.fold AND sbo.sbin = sb.sbin),
       |agg AS (SELECT fold,
       |    sum(CASE WHEN y = 1.0 THEN (2 * rk + cs - 1) / 2.0 ELSE 0.0 END) AS sr,
       |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS p,

@@ -26,7 +26,9 @@ class PlanUtilSpec extends AnyFunSuite {
   test("widenIfNarrow no-op threshold is half the default parallelism") {
     val p = spark.sparkContext.defaultParallelism
     assume(p >= 2)
-    val half = (1 to 100).toDF("x").repartition(math.max(p / 2, 1)).localCheckpoint()
+    // ceil(p/2): with ODD p, floor(p/2)*2 < p sits BELOW the documented
+    // no-op condition (numPartitions*2 >= p) and would legitimately widen
+    val half = (1 to 100).toDF("x").repartition((p + 1) / 2).localCheckpoint()
     assert(PlanUtil.widenIfNarrow(half) eq half)
   }
 }
