@@ -35,29 +35,43 @@ object WindowAudit {
     graft.SparkEntry.init(spark)
 
     // unwrap AQE / query-stage shells so WindowExec children are reachable
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val here = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec        => walk(q.plan)
-        case other                    => Seq(other)
-      }
-      here ++ here.flatMap(_.children.flatMap(walk))
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case other                    => other +: other.children.flatMap(walk)
     }
     def rowsOf(p: SparkPlan): Long =
       p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    // WindowExec/SortExec define no numOutputRows; descend (unwrapping AQE
+    // shells) to the nearest descendant that does — that row count is what
+    // flowed INTO the window's single partition
+    def rowsBelow(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => rowsBelow(a.executedPlan)
+      case q: QueryStageExec        => rowsBelow(q.plan)
+      case other =>
+        val r = rowsOf(other)
+        if (r >= 0) r
+        else other.children.map(rowsBelow).foldLeft(-1L)(math.max)
+    }
 
     var flagged = List.empty[(String, Long)]
+    val only = args.drop(2).toSet // optional: restrict to named queries
     val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     for ((name, fn) <- names) {
       try {
         val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        val plans = walk(df.queryExecution.executedPlan).distinct
+        // execute THIS QueryExecution (df.write would plan a separate copy
+        // whose metrics stay zero) so AQE finalizes and metrics populate
+        val qe = df.queryExecution
+        qe.toRdd.count()
+        val plans = walk(qe.executedPlan).distinct
+        if (sys.env.contains("GRAFT_AUDIT_DEBUG"))
+          System.err.println(s"[window-audit][debug] $name nodes: " +
+            plans.map(_.getClass.getSimpleName).distinct.mkString(", "))
         val bad = plans.collect {
           case w: WindowExec if w.partitionSpec.isEmpty =>
-            // the row count that entered the single partition
-            val childRows = w.children.map(rowsOf).max
-            math.max(childRows, rowsOf(w))
+            w.children.map(rowsBelow).max
         }.filter(_ >= threshold)
         if (bad.nonEmpty) {
           val worst = bad.max
