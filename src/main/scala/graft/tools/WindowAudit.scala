@@ -44,10 +44,17 @@ object WindowAudit {
       p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
     // WindowExec/SortExec define no numOutputRows; descend (unwrapping AQE
     // shells) to the nearest descendant that does — that row count is what
-    // flowed INTO the window's single partition
+    // flowed INTO the window's single partition. Row-REDUCING operators
+    // without the metric (limits, top-k) cap the count at their limit:
+    // descending past them would charge the window for rows the limit
+    // already dropped.
     def rowsBelow(p: SparkPlan): Long = p match {
       case a: AdaptiveSparkPlanExec => rowsBelow(a.executedPlan)
       case q: QueryStageExec        => rowsBelow(q.plan)
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        t.limit
+      case g: org.apache.spark.sql.execution.GlobalLimitExec => g.limit
+      case l: org.apache.spark.sql.execution.LocalLimitExec  => l.limit
       case other =>
         val r = rowsOf(other)
         if (r >= 0) r
