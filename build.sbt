@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ChaosVerifySpec mutates the JVM-GLOBAL default TimeZone/Locale for the
+// duration of a full-catalog pass; under sbt's intra-JVM parallel suite
+// execution any concurrent spec touching ORC/date/formatter paths could
+// flake nondeterministically. Isolate it in its own forked JVM.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (chaos, rest) = tests.partition(_.name.contains("ChaosVerifySpec"))
+  Seq(
+    Tests.Group("chaos-isolated", chaos, Tests.SubProcess(opts)),
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Pass forked-run output through verbatim: sbt's default logger prefixes
 // every line with [info]/[error], which breaks machine parsing of the one
 // JSON line Bench/Verify print (BENCH_r01.json recorded "parsed": null).

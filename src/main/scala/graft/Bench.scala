@@ -155,6 +155,11 @@ object Bench {
     // genuine >5 s steady query burns two extra runs; a burst victim drops
     // back to its real cost. ~1-2 min of bounded extra wall total.
     val retryCap = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "5.0").toDouble
+    // retry provenance: every sample of every re-run query is recorded in
+    // the full artifact ("retried": {name: [run1, run2, ...]}), so a
+    // consumer can tell a measured figure from a min-filtered one and see
+    // the spread that motivated the retry
+    val retrySamples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     if (runsEnv.isEmpty && retryCap > 0) {
       val fnMap = ordered.toMap
       val byName = scala.collection.mutable.LinkedHashMap(done.reverse: _*)
@@ -165,11 +170,14 @@ object Bench {
       }
       for (name <- suspects) {
         var best = byName(name); var tries = 0
+        var samples = List(byName(name))
         while (tries < 2 && best > retryCap) {
           val r = once(name, fnMap(name))
           System.err.println(f"[bench] retry $name run=$r%.2f (was $best%.2f)")
+          samples = samples :+ r
           best = math.min(best, r); tries += 1
         }
+        retrySamples(name) = samples
         byName(name) = best
       }
       lock.synchronized { done = byName.toList.reverse }
@@ -177,9 +185,12 @@ object Bench {
 
     val results = done.reverse
     val totalSec = results.map(_._2).sum
+    val retriedJson = retrySamples.map { case (n, ss) =>
+      "\"" + n + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // Full-precision, full-catalog artifact (the per-query map for 600+
     // queries is too long for the driver's 2000-char stdout tail).
-    writeJson(f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","n":${results.size},"partial":false,"pool":$poolSize,"queries":${queriesJson(results)},"sf":"$sfDir"}""")
+    writeJson(f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","n":${results.size},"partial":false,"pool":$poolSize,"retried":$retriedJson,"queries":${queriesJson(results)},"sf":"$sfDir"}""")
     // The FINAL stdout line must fit the driver's 2000-char tail capture or
     // BENCH_r{N}.json records parsed:null (rounds 1-4 did). Print totals plus
     // the headline round-1 subset (numeric prefix <= 48, the BASELINE.md

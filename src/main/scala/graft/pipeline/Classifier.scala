@@ -168,14 +168,17 @@ object Classifier {
     * AUC via the tie-aware Mann-Whitney rank statistic (average ranks
     * are exact dyadic halves, so the double sum is order-independent);
     * Brier through the decimal fold. The global rank is DECOMPOSED
-    * (binned-rank discipline): scores are 6-decimal-rounded, so
-    * floor(score*1000) is an exact, engine-identical bin key; rank =
+    * (binned-rank discipline): scores are 6-decimal-rounded, so binning
+    * on the DECIMAL score (never the raw double product, whose
+    * boundary-landing values are the q676-class cross-engine flip
+    * surface) is an exact, engine-identical bin key; rank =
     * cumulative count of strictly-lower bins (a <=1001-row window) plus a
     * PARTITIONed within-bin rank — no corpus-cardinality single-partition
     * WindowExec at any scale. Ties share a score, hence a bin, so rank()
     * semantics are preserved exactly. */
   val evalSelectSql: String =
-    """WITH sb AS (SELECT score, y, floor(score * 1000) AS sbin FROM scored),
+    """WITH sb AS (SELECT score, y,
+      |    floor(cast(score as decimal(10,6)) * 1000) AS sbin FROM scored),
       |sbc AS (SELECT sbin, cast(count(*) as bigint) AS c FROM sb GROUP BY sbin),
       |sbo AS (SELECT sbin, sum(c) OVER (ORDER BY sbin) - c AS base FROM sbc),
       |r AS (SELECT sb.score, sb.y,
@@ -197,7 +200,7 @@ object Classifier {
       |  round((sr - cast(p as double) * (p + 1) / 2.0) / (cast(p as double) * nn), 6) + 0.0 AS auc,
       |  tp, fp, tn, fn,
       |  round((tp + tn) / cast(n as double), 6) + 0.0 AS accuracy,
-      |  round(cast(bs as double) / n, 6) + 0.0 AS brier
+      |  (cast(((2 * cast(bs * 1000000000000 as bigint) + (1000000 * n)) - ((2 * cast(bs * 1000000000000 as bigint) + (1000000 * n)) % (2 * (1000000 * n)))) / (2 * (1000000 * n)) as bigint) / cast(1000000 as double)) + 0.0 AS brier
       |FROM agg""".stripMargin
 
   /**
@@ -272,12 +275,11 @@ object Classifier {
        |    sum(s6) AS ssum,
        |    cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as bigint) AS pos
        |  FROM b GROUP BY bin),
-       |e AS (SELECT round(sum(abs(cast(ssum as double) / n - cast(pos as double) / n) * n)
-       |    / sum(n), 6) + 0.0 AS ece FROM g)
+       |e AS (SELECT (cast(((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + sum(n)) - ((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + sum(n)) % (2 * sum(n)))) / (2 * sum(n)) as bigint) / cast(1000000 as double)) + 0.0 AS ece FROM g)
        |SELECT bin, n,
-       |  round(cast(ssum as double) / n, 6) + 0.0 AS mean_score,
-       |  round(cast(pos as double) / n, 6) + 0.0 AS pos_rate,
-       |  round(abs(cast(ssum as double) / n - cast(pos as double) / n), 6) + 0.0 AS gap,
+       |  (cast(((2 * cast(ssum * 1000000 as bigint) + n) - ((2 * cast(ssum * 1000000 as bigint) + n) % (2 * n))) / (2 * n) as bigint) / cast(1000000 as double)) + 0.0 AS mean_score,
+       |  (cast(((2 * pos * 1000000 + n) - ((2 * pos * 1000000 + n) % (2 * n))) / (2 * n) as bigint) / cast(1000000 as double)) + 0.0 AS pos_rate,
+       |  (cast(((2 * cast(abs(ssum - pos) * 1000000 as bigint) + n) - ((2 * cast(abs(ssum - pos) * 1000000 as bigint) + n) % (2 * n))) / (2 * n) as bigint) / cast(1000000 as double)) + 0.0 AS gap,
        |  e.ece AS ece
        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
   }
@@ -294,7 +296,8 @@ object Classifier {
    * cumulative offset window.
    */
   val cvEvalSelectSql: String =
-    """sb AS (SELECT fold, score, y, floor(score * 1000) AS sbin FROM scored_all),
+    """sb AS (SELECT fold, score, y,
+      |    floor(cast(score as decimal(10,6)) * 1000) AS sbin FROM scored_all),
       |sbc AS (SELECT fold, sbin, cast(count(*) as bigint) AS c
       |  FROM sb GROUP BY fold, sbin),
       |sbo AS (SELECT fold, sbin,
@@ -319,7 +322,7 @@ object Classifier {
       |  round((sr - cast(p as double) * (p + 1) / 2.0) / (cast(p as double) * nn), 6) + 0.0 AS auc,
       |  tp, fp, tn, fn,
       |  round((tp + tn) / cast(n as double), 6) + 0.0 AS accuracy,
-      |  round(cast(bs as double) / n, 6) + 0.0 AS brier
+      |  (cast(((2 * cast(bs * 1000000000000 as bigint) + (1000000 * n)) - ((2 * cast(bs * 1000000000000 as bigint) + (1000000 * n)) % (2 * (1000000 * n)))) / (2 * (1000000 * n)) as bigint) / cast(1000000 as double)) + 0.0 AS brier
       |FROM agg ORDER BY fold""".stripMargin
 
   /**
@@ -376,8 +379,7 @@ object Classifier {
        |    cast(round(score, 6) as decimal(18,6)) AS s6, y
        |  FROM cal_scored CROSS JOIN cuts),
        |map0 AS (SELECT bin,
-       |    round(cast(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) as double)
-       |      / count(*), 6) AS calib
+       |    (cast(((2 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * 1000000 + count(*)) - ((2 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * 1000000 + count(*)) % (2 * count(*)))) / (2 * count(*)) as bigint) / cast(1000000 as double)) AS calib
        |  FROM binned WHERE fold = 0 GROUP BY bin),
        |ev AS (SELECT b.bin, b.s6, b.y,
        |    cast(coalesce(m.calib, 0.5) as decimal(18,6)) AS cal
@@ -392,12 +394,10 @@ object Classifier {
        |      as decimal(27,12))) AS bs_cal
        |  FROM ev GROUP BY bin)
        |SELECT cast(sum(n) as bigint) AS n_eval,
-       |  round(sum(abs(cast(ssum as double) / n - cast(pos as double) / n) * n)
-       |    / sum(n), 6) + 0.0 AS ece_raw,
-       |  round(sum(abs(cast(csum as double) / n - cast(pos as double) / n) * n)
-       |    / sum(n), 6) + 0.0 AS ece_cal,
-       |  round(cast(sum(bs_raw) as double) / sum(n), 6) + 0.0 AS brier_raw,
-       |  round(cast(sum(bs_cal) as double) / sum(n), 6) + 0.0 AS brier_cal
+       |  (cast(((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS ece_raw,
+       |  (cast(((2 * cast(sum(abs(csum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(abs(csum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS ece_cal,
+       |  (cast(((2 * cast(sum(bs_raw) * 1000000000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(bs_raw) * 1000000000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS brier_raw,
+       |  (cast(((2 * cast(sum(bs_cal) * 1000000000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(bs_cal) * 1000000000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS brier_cal
        |FROM g""".stripMargin
   }
 

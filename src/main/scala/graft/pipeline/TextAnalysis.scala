@@ -291,8 +291,20 @@ object TextAnalysis {
              log(col("__rc") + 1) + log(col("__nr") + buckets)), 6)
           .cast("decimal(24,6)")).as("__s"),
         sum(col("__occ")).as("n_tokens"))
+      // exact half-up scaled-integer ratio (round-8 float discipline,
+      // sign-split for negative log-ratio sums) — mirrors the oracle SQL
+      // term for term so no round(double) sits on the emitted value
+      .withColumn("__si",
+        when(col("__s") >= 0, (col("__s") * 1000000).cast("long"))
+          .otherwise(((-col("__s")) * 1000000).cast("long")))
+      .withColumn("__d", col("n_tokens") * 100L)
+      .withColumn("__q",
+        (((col("__si") * 2 + col("__d")) -
+          ((col("__si") * 2 + col("__d")) % (col("__d") * 2))) /
+          (col("__d") * 2)).cast("long"))
       .withColumn("dsir_weight",
-        round(col("__s").cast("double") / col("n_tokens"), 4) + lit(0.0))
+        (when(col("__s") >= 0, col("__q")).otherwise(-col("__q"))
+          .cast("double") / 10000.0) + lit(0.0))
       .select(id, col("n_tokens"), col("dsir_weight"))
   }
 

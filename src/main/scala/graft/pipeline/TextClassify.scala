@@ -139,7 +139,7 @@ object TextClassify {
        |ptext AS ($phraseAggSql),
        |pscore AS (
        |  SELECT p.doc_id, p.pid, t.phrase,
-       |    sum(cast(round(cast(w.deg as double) / w.freq, 9) as decimal(20,9))) AS sc
+       |    sum(cast((cast(((2 * w.deg * 1000000000 + w.freq) - ((2 * w.deg * 1000000000 + w.freq) % (2 * w.freq))) / (2 * w.freq) as bigint) / cast(1000000000 as double)) as decimal(20,9))) AS sc
        |  FROM phw p
        |  JOIN wstat w ON w.word = p.word
        |  JOIN ptext t ON t.doc_id = p.doc_id AND t.pid = p.pid

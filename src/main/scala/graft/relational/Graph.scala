@@ -232,19 +232,28 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    val r0 = math.rint(1.0 / n * 1e9) / 1e9
-    val base = math.rint((1.0 - damping) * r0 * 1e9) / 1e9
-    var rank = nodes.withColumn("r", round(lit(r0), 9).cast("decimal(28,9)"))
+    // pinned 9-decimal constants as EXACT decimals (never double literals
+    // re-rounded downstream — the round-8 float discipline)
+    val r0Dec = java.math.BigDecimal.valueOf(math.rint(1.0 / n * 1e9).toLong, 9)
+    val baseDec = java.math.BigDecimal.valueOf(
+      math.rint((1.0 - damping) * r0Dec.doubleValue * 1e9).toLong, 9)
+    val dampDec = java.math.BigDecimal.valueOf(damping)
+    var rank = nodes.withColumn("r", lit(r0Dec).cast("decimal(28,9)"))
     var it = 0
     while (it < iters) {
       val contribs = e.join(rank.select(col("node").as("s"), col("r")), Seq("s"))
         .join(outDeg, Seq("s"))
         .select(col("v").as("node"),
-          round(col("r").cast("double") / col("deg"), 9).cast("decimal(28,9)").as("c"))
+          // exact half-up nano-unit ratio r/deg — mirrors the unrolled
+          // SQL oracle term for term (round-8 float discipline)
+          expr("cast((cast(((2 * cast(r * 1000000000 as bigint) + deg)" +
+            " - ((2 * cast(r * 1000000000 as bigint) + deg) % (2 * deg)))" +
+            " / (2 * deg) as bigint)) * 0.000000001 as decimal(28,9))").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       rank = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          round(lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0)).cast("double"), 9)
+          round(lit(baseDec) + lit(dampDec)
+              * coalesce(col("in_mass"), lit(0)).cast("decimal(18,9)"), 9)
             .cast("decimal(28,9)").as("r"))
       it += 1
       // lineage cut every other iteration (same rationale as bellmanFord)

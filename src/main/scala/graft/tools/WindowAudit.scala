@@ -22,7 +22,11 @@ object WindowAudit {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val threshold = args.drop(1).headOption.map(_.toLong).getOrElse(10000L)
+    // args(1) is the threshold only when numeric; a non-numeric token there
+    // starts the query-name list (WindowAudit <sfDir> q123 must not crash)
+    val thresholdArg = args.drop(1).headOption
+      .flatMap(a => scala.util.Try(a.toLong).toOption)
+    val threshold = thresholdArg.getOrElse(10000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +66,9 @@ object WindowAudit {
     }
 
     var flagged = List.empty[(String, Long)]
-    val only = args.drop(2).toSet // optional: restrict to named queries
+    // optional: restrict to named queries (start at arg 1 when no
+    // numeric threshold was given there)
+    val only = args.drop(if (thresholdArg.isDefined) 2 else 1).toSet
     val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     for ((name, fn) <- names) {
