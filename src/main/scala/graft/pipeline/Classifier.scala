@@ -394,8 +394,8 @@ object Classifier {
        |      as decimal(27,12))) AS bs_cal
        |  FROM ev GROUP BY bin)
        |SELECT cast(sum(n) as bigint) AS n_eval,
-       |  (cast(((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS ece_raw,
-       |  (cast(((2 * cast(sum(abs(csum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(abs(csum - pos)) * 1000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS ece_cal,
+       |  (cast(((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + sum(n)) - ((2 * cast(sum(abs(ssum - pos)) * 1000000 as bigint) + sum(n)) % (2 * sum(n)))) / (2 * sum(n)) as bigint) / cast(1000000 as double)) + 0.0 AS ece_raw,
+       |  (cast(((2 * cast(sum(abs(csum - pos)) * 1000000 as bigint) + sum(n)) - ((2 * cast(sum(abs(csum - pos)) * 1000000 as bigint) + sum(n)) % (2 * sum(n)))) / (2 * sum(n)) as bigint) / cast(1000000 as double)) + 0.0 AS ece_cal,
        |  (cast(((2 * cast(sum(bs_raw) * 1000000000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(bs_raw) * 1000000000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS brier_raw,
        |  (cast(((2 * cast(sum(bs_cal) * 1000000000000 as bigint) + (1000000 * sum(n))) - ((2 * cast(sum(bs_cal) * 1000000000000 as bigint) + (1000000 * sum(n))) % (2 * (1000000 * sum(n))))) / (2 * (1000000 * sum(n))) as bigint) / cast(1000000 as double)) + 0.0 AS brier_cal
        |FROM g""".stripMargin
