@@ -52,12 +52,17 @@ class FloatLintSpec extends AnyFunSuite {
     val r1 = """round\(cast\([A-Za-z_0-9.]+ as double\)\s*/\s*[A-Za-z_0-9.]+\s*,\s*[0-9]\)""".r
     val r2 = """round\([A-Za-z_0-9.]+\s*/\s*cast\([A-Za-z_0-9.]+ as double\)\s*,\s*[0-9]\)""".r
     val r3 = """OVER\s*\([^)]{0,200}ORDER BY round\(""".r
+    // plain re-round of a cast identifier: for DECIMAL sources this
+    // re-rounds through a double (the boundary-flip class); round the
+    // decimal itself and cast after — cast(round(x, k) as double)
+    val r5 = """round\(cast\([A-Za-z_0-9.]+ as double\)\s*,\s*[0-9]\)""".r
     val aggStart = """round\(cast\((sum|count)\(""".r
     sqls.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val hits = Seq.newBuilder[(String, String)]
       r1.findAllIn(sql).foreach(m => hits += ((name, m)))
       r2.findAllIn(sql).foreach(m => hits += ((name, m)))
       r3.findAllIn(sql).foreach(m => hits += ((name, m.takeRight(60))))
+      r5.findAllIn(sql).foreach(m => hits += ((name, m)))
       // aggregate-ratio shape with provably-integer numerator
       for (m <- aggStart.findAllMatchIn(sql)) {
         val aggOpen = sql.indexOf('(', m.start(1))
