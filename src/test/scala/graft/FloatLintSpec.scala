@@ -56,6 +56,23 @@ class FloatLintSpec extends AnyFunSuite {
     // re-rounds through a double (the boundary-flip class); round the
     // decimal itself and cast after — cast(round(x, k) as double)
     val r5 = """round\(cast\([A-Za-z_0-9.]+ as double\)\s*,\s*[0-9]\)""".r
+    // window/aggregate denominators: round(cast(n as double) / sum(n)
+    // OVER (..), k) — the q676 integer-ratio class with a denominator the
+    // simple-identifier r1 pattern cannot see
+    val r6 = """round\(cast\([A-Za-z_0-9.]+ as double\)\s*/\s*(sum|count|min|max|avg)\(""".r
+    // ratio of two window aggregates: round(min(x) OVER () / max(x) OVER (), k)
+    val r7 = """round\((min|max|sum|count)\([A-Za-z_0-9.]+\)\s*OVER\s*\(\)\s*/""".r
+    // windowed-sum re-round through double: round(cast(sum(x) OVER (..) as
+    // double) / .., k) — decimal/integer window sums are exact; the double
+    // cast before the divide re-introduces the boundary class
+    val r8 = """round\(cast\(sum\([A-Za-z_0-9.]+\)\s*OVER\s*""".r
+    // avg() emissions: avg over integer/decimal/indicator columns is a
+    // small-denominator rational — the boundary class in aggregate form.
+    // (avg over genuinely continuous inputs gets a named allowlist entry.)
+    val r9 = """round\(avg\(""".r
+    // rank-ratio emissions: cume_dist = k/n, percent_rank = (r-1)/(n-1) —
+    // integer ratios; emit via the exact half-up count macro instead
+    val r10 = """round\((cume_dist|percent_rank)\(\)""".r
     val aggStart = """round\(cast\((sum|count)\(""".r
     sqls.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val hits = Seq.newBuilder[(String, String)]
@@ -63,6 +80,11 @@ class FloatLintSpec extends AnyFunSuite {
       r2.findAllIn(sql).foreach(m => hits += ((name, m)))
       r3.findAllIn(sql).foreach(m => hits += ((name, m.takeRight(60))))
       r5.findAllIn(sql).foreach(m => hits += ((name, m)))
+      r6.findAllIn(sql).foreach(m => hits += ((name, m)))
+      r7.findAllIn(sql).foreach(m => hits += ((name, m)))
+      r8.findAllIn(sql).foreach(m => hits += ((name, m)))
+      r9.findAllIn(sql).foreach(m => hits += ((name, m)))
+      r10.findAllIn(sql).foreach(m => hits += ((name, m)))
       // aggregate-ratio shape with provably-integer numerator
       for (m <- aggStart.findAllMatchIn(sql)) {
         val aggOpen = sql.indexOf('(', m.start(1))
@@ -92,9 +114,11 @@ class FloatLintSpec extends AnyFunSuite {
     ("q402_hhi", "hhi"),
     // top_share: topr = max(round(r, 4)) of a continuous revenue ratio
     ("q540_herfindahl", "topr"),
-    // top-k picks over continuous scores (ORDER BY round(score) DESC,
-    // tie-broken by unique keys): z-scores, cosine ratios, trig sums
-    ("*", "ORDER BY round(")
+    // periodogram rank key: c, s are cos/sin-folded sums — continuous
+    // (trig irrationality), boundary landings measure-zero
+    ("q428_periodogram", "ORDER BY round(c * c + s * s"),
+    // ewma rank key: lim has a sqrt factor — continuous denominator
+    ("q537_ewma_chart", "ORDER BY round(abs(e - mu) / lim")
   )
 
   private def allowed(name: String, snippet: String): Boolean =
