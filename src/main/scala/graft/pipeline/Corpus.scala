@@ -111,11 +111,15 @@ object Corpus {
     * quality — one partial-aggregating scan (the kernels are codegen
     * expressions, the agg is map-side-combined). */
   def stats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    // avg_quality is the exact half-up 6-decimal mean of the integer
+    // deciscore (= mean qualityScore): no double on the emission path
     df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"),
-      sum(length(col(textCol)).cast("long")).as("n_chars"),
-      avg(TextAnalysis.qualityScore(col(textCol))).as("avg_quality"))
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(TextAnalysis.qualityDeciscore(col(textCol))).as("__sd"))
+      .withColumn("avg_quality", TextAnalysis.exactRatio6("__sd", "10 * n_docs"))
+      .drop("__sd")
 
   // ------------------------------------------------------------ PII scrub
 

@@ -51,6 +51,39 @@ object TextAnalysis {
     (wordScore * 0.4 + lenScore * 0.2 + punctScore * 0.2 + upperScore * 0.2)
   }
 
+  /**
+   * Integer deci-unit quality score (qualityScore * 10, 0..10): every
+   * weight is a whole deci-unit, so aggregate means over this column can
+   * use exact integer arithmetic end to end — no float on the emission
+   * path (the round(avg(double)) boundary-flip class). Band comparisons
+   * are on correctly-rounded double ratios, identical in every IEEE
+   * engine.
+   */
+  def qualityDeciscore(text: Column): Column = {
+    val st = stats(text)
+    val nChars = length(text).cast("double")
+    val words = st.getField("n_tokens").cast("double")
+    val meanWordLen = when(words > 0, nChars / words).otherwise(lit(0.0))
+    val punct = st.getField("n_punct").cast("double")
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val upper = st.getField("n_upper").cast("double")
+    val upperRatio = when(nChars > 0, upper / nChars).otherwise(lit(0.0))
+
+    val wordScore = when(words >= 50 && words <= 100000, lit(4L))
+      .when(words >= 10, lit(2L)).otherwise(lit(0L))
+    val lenScore = when(meanWordLen >= 3 && meanWordLen <= 10, lit(2L)).otherwise(lit(1L))
+    val punctScore = when(punctRatio <= 0.1, lit(2L)).otherwise(lit(1L))
+    val upperScore = when(upperRatio <= 0.3, lit(2L)).otherwise(lit(1L))
+    wordScore + lenScore + punctScore + upperScore
+  }
+
+  /** Exact half-up 6-decimal ratio of two non-negative integer SQL
+    * expressions, emitted as double — the shared scaled-integer macro
+    * (same text the SQL catalog inlines), for DataFrame-side emissions. */
+  private[pipeline] def exactRatio6(n: String, d: String): Column =
+    expr(s"(cast(((2 * ($n) * 1000000 + ($d)) - ((2 * ($n) * 1000000 + ($d))" +
+      s" % (2 * ($d)))) / (2 * ($d)) as bigint) / cast(1000000 as double)) + 0.0")
+
   /** Heuristic language id (stopword-profile Catalyst expression). */
   def langId(text: Column): Column = exprColumn(LangId(columnExpr(text)))
 
@@ -382,10 +415,15 @@ object TextAnalysis {
    */
   def healthReport(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val src = col(sourceCol)
+    // avg_quality and dup_frac are small-denominator integer ratios —
+    // emitted via the exact half-up scaled-integer macro, never through
+    // round(<double>) (the q676 boundary-flip class)
     val base = df.groupBy(src).agg(
-      count(lit(1)).as("n_docs"),
-      (round(avg(qualityScore(col(textCol))), 6) + lit(0.0)).as("avg_quality"),
-      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        count(lit(1)).as("n_docs"),
+        sum(qualityDeciscore(col(textCol))).as("__sd"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("avg_quality", exactRatio6("__sd", "10 * n_docs"))
+      .select(src, col("n_docs"), col("avg_quality"), col("n_tokens"))
     val topLang = df.groupBy(src, langId(col(textCol)).as("top_lang"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__rn", row_number().over(
@@ -393,8 +431,10 @@ object TextAnalysis {
           .orderBy(desc("__c"), col("top_lang"))))
       .filter(col("__rn") === 1).select(src, col("top_lang"))
     val dupFrac = df.groupBy(src).agg(
-      (round(lit(1.0) - countDistinct(col(textCol)).cast("double") / count(lit(1)), 6)
-        + lit(0.0)).as("dup_frac"))
+        count(lit(1)).as("__n"),
+        countDistinct(col(textCol)).as("__nd"))
+      .withColumn("dup_frac", exactRatio6("__n - __nd", "__n"))
+      .select(src, col("dup_frac"))
     base.join(topLang, Seq(sourceCol)).join(dupFrac, Seq(sourceCol))
   }
 

@@ -51,7 +51,11 @@ class FloatLintSpec extends AnyFunSuite {
   private def scan(sqls: Map[String, String]): Seq[(String, String)] = {
     val r1 = """round\(cast\([A-Za-z_0-9.]+ as double\)\s*/\s*[A-Za-z_0-9.]+\s*,\s*[0-9]\)""".r
     val r2 = """round\([A-Za-z_0-9.]+\s*/\s*cast\([A-Za-z_0-9.]+ as double\)\s*,\s*[0-9]\)""".r
-    val r3 = """OVER\s*\([^)]{0,200}ORDER BY round\(""".r
+    // capture past "round(" so named allowlist entries can match the
+    // ranked expression itself (a snippet ending at "round(" made every
+    // window-rank hit look alike — and a wildcard allowlist on that
+    // common prefix silently disabled this rule in the first cut)
+    val r3 = """OVER\s*\([^)]{0,200}ORDER BY round\([^,)]{0,80}""".r
     // plain re-round of a cast identifier: for DECIMAL sources this
     // re-rounds through a double (the boundary-flip class); round the
     // decimal itself and cast after — cast(round(x, k) as double)
@@ -118,7 +122,7 @@ class FloatLintSpec extends AnyFunSuite {
     // (trig irrationality), boundary landings measure-zero
     ("q428_periodogram", "ORDER BY round(c * c + s * s"),
     // ewma rank key: lim has a sqrt factor — continuous denominator
-    ("q537_ewma_chart", "ORDER BY round(abs(e - mu) / lim")
+    ("q537_ewma_chart", "ORDER BY round(abs(e - mu")
   )
 
   private def allowed(name: String, snippet: String): Boolean =
