@@ -265,7 +265,9 @@ object Classifier {
    * shared verbatim by both engines.
    */
   def reliabilitySelectSql(cutsSelect: String): String = {
-    val binExpr = (1 to 9).map(j => s"(CASE WHEN score > c$j THEN 1 ELSE 0 END)")
+    // compare in exact micro-units against the integer cuts
+    val binExpr = (1 to 9).map(j =>
+        s"(CASE WHEN cast(round(score * 1000000) as bigint) > c$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""cuts AS ($cutsSelect),
        |b AS (SELECT cast($binExpr as int) AS bin,
@@ -370,9 +372,10 @@ object Classifier {
    * decimal-folded.
    */
   def calibrationFixSelectSql(percentileFn: String): String = {
-    val cuts = (1 to 9).map(j => s"round($percentileFn(score, cast(0.$j as double)), 6) AS c$j")
+    val cuts = (1 to 9).map(j => exactCutSql(percentileFn, j))
       .mkString("SELECT ", ", ", " FROM cal_scored WHERE fold = 0")
-    val binExpr = (1 to 9).map(j => s"(CASE WHEN score > c$j THEN 1 ELSE 0 END)")
+    val binExpr = (1 to 9).map(j =>
+        s"(CASE WHEN cast(round(score * 1000000) as bigint) > c$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""cuts AS ($cuts),
        |binned AS (SELECT fold, cast($binExpr as int) AS bin,
@@ -426,12 +429,25 @@ object Classifier {
       calibrationFixSelectSql("quantile_cont")
   }
 
-  /** Decile-cut CTE bodies for [[reliabilitySelectSql]]. */
+  /** Exact integer micro-unit decile cut: scores are round-6 doubles, so
+    * the interpolated quantile is a 7-decimal rational that can land
+    * EXACTLY on a 6-decimal half-boundary (the q676 flip class, here as a
+    * bin EDGE — a 1-ulp engine difference moves boundary scores across
+    * bins). Interpolating over 10x-micro integers makes the quantile
+    * integer-valued (deci-fraction times a multiple of 10), and the final
+    * half-up /10 is exact integer arithmetic. */
+  private def exactCutSql(fn: String, j: Int): String = {
+    val p = s"cast(round($fn(cast(round(score * 1000000) as bigint) * 10," +
+      s" cast(0.$j as double))) as bigint)"
+    s"cast(((2 * $p + 10) - ((2 * $p + 10) % 20)) / 20 as bigint) AS c$j"
+  }
+
+  /** Decile-cut CTE bodies for [[reliabilitySelectSql]] (micro-unit ints). */
   val sparkCutsSelect: String =
-    (1 to 9).map(j => s"round(percentile(score, 0.${j}), 6) AS c$j")
+    (1 to 9).map(j => exactCutSql("percentile", j))
       .mkString("SELECT ", ", ", " FROM scored")
   val duckdbCutsSelect: String =
-    (1 to 9).map(j => s"round(quantile_cont(score, 0.${j}), 6) AS c$j")
+    (1 to 9).map(j => exactCutSql("quantile_cont", j))
       .mkString("SELECT ", ", ", " FROM scored")
 
   /** Full DuckDB oracle for classifier EVALUATION: replays training via
