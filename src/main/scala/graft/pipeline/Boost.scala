@@ -42,10 +42,15 @@ object Boost {
    */
   private[pipeline] def statsCte(rel: String, xs: Seq[String],
       mat: String): String = {
-    val arms = xs.zipWithIndex.map { case (x, i) =>
-      s"SELECT $i AS f, cast(min($x) as double) AS mn, cast(max($x) as double) AS mx FROM $rel"
-    }
-    s"bstats AS $mat (${arms.mkString(" UNION ALL ")})"
+    // one scan for every feature's (min, max) — a per-feature UNION ALL
+    // of full-scan arms costs |xs| passes over the data; the 1-row bmm
+    // fold then unpivots for free
+    val aggs = xs.zipWithIndex.map { case (x, i) =>
+      s"cast(min($x) as double) AS mn$i, cast(max($x) as double) AS mx$i"
+    }.mkString(", ")
+    val arms = xs.indices.map(i =>
+      s"SELECT $i AS f, mn$i AS mn, mx$i AS mx FROM bmm")
+    s"bmm AS (SELECT $aggs FROM $rel),\nbstats AS $mat (${arms.mkString(" UNION ALL ")})"
   }
 
   /** Residual expression after the stumps chosen in rounds 1..r (each
@@ -81,11 +86,19 @@ object Boost {
     def binExpr(x: String) =
       s"""CASE WHEN s.mx <= s.mn THEN 0 ELSE least($Bins - 1,
          |    greatest(0, cast(floor((($x) - s.mn) / ((s.mx - s.mn) / $Bins)) as int))) END""".stripMargin
-    val armSelects = xs.zipWithIndex.map { case (x, i) =>
-      s"""SELECT s.f, ${binExpr(x)} AS b,
+    // ONE pass per round: cross-join the |xs|-row bstats relation and pick
+    // the matching feature's bin by s.f — a per-feature UNION ALL of
+    // full-scan arms would read (and, on Spark, re-shuffle) the data |xs|
+    // times per round for the identical (f, b, res) multiset
+    val binArms = xs.zipWithIndex.map { case (x, i) =>
+      s"WHEN $i THEN ${binExpr(x)}"
+    }.mkString("\n      ")
+    val armSelects =
+      s"""SELECT s.f, CASE s.f
+         |      $binArms
+         |      END AS b,
          |      cast(round($res, 12) as $dec) AS res
-         |    FROM $rel$joins CROSS JOIN (SELECT * FROM bstats WHERE f = $i) s""".stripMargin
-    }.mkString("\n    UNION ALL\n    ")
+         |    FROM $rel$joins CROSS JOIN bstats s""".stripMargin
     val p = s"r${r}_"
     // counts stay bigint and residual sums stay decimal through the
     // GROUP BY and window folds (exact, order-independent on both
