@@ -44,6 +44,17 @@ def main(sfdir, outdir):
             else: n_pass += 1
             continue
         try:
+            # Type probe BEFORE fetchall: DuckDB widens integer aggregates to
+            # HUGEINT (int128), which Python's == canonicalizes away but a
+            # representation-sensitive hash (pandas/Arrow export) does not —
+            # this was the root cause of the q383/q606/q676 driver-only hash
+            # FAILs in rounds 6-8. Flag any HUGEINT output column as a FAIL so
+            # the local replica catches the class.
+            rel = con.sql(oracle[name])
+            hug = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
+            if hug:
+                results[name] = f"HUGEINT-ORACLE-COLS {hug} (cast to BIGINT in oracle SQL)"
+                n_fail += 1; continue
             exp = con.execute(oracle[name])
             exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as e:
