@@ -78,11 +78,31 @@ object TextAnalysis {
   }
 
   /** Exact half-up 6-decimal ratio of two non-negative integer SQL
-    * expressions, emitted as double — the shared scaled-integer macro
-    * (same text the SQL catalog inlines), for DataFrame-side emissions. */
-  private[pipeline] def exactRatio6(n: String, d: String): Column =
-    expr(s"(cast(((2 * ($n) * 1000000 + ($d)) - ((2 * ($n) * 1000000 + ($d))" +
-      s" % (2 * ($d)))) / (2 * ($d)) as bigint) / cast(1000000 as double)) + 0.0")
+    * expressions, emitted as double, for DataFrame-side emissions.
+    *
+    * The single-shot macro `(2n*10^6 + d) div (2d)` is exact only while
+    * its dividend stays under 2^53 (the `/` is a double division in every
+    * engine) — n < ~4.5e9, violated by corpus-scale counts/sums at 100 TB.
+    * This form peels the x10^6 scaling into three x100 steps with exact
+    * integer remainders (the q390_lorenz fix pattern): every dividend is
+    * an exact multiple q*d with q <= 100*max(1, n/d), so for ratios <= 1
+    * it is exact while d < 2^53/100 (~9e13) — 4 orders of magnitude more
+    * headroom, enough for 10^12-document corpora. */
+  private[pipeline] def exactRatio6(n: String, d: String): Column = {
+    val dd = s"($d)"
+    val t1 = s"(($n) * 100)"
+    val r1 = s"($t1 % $dd)"
+    val q1 = s"cast(($t1 - $r1) / $dd as bigint)"
+    val t2 = s"($r1 * 100)"
+    val r2 = s"($t2 % $dd)"
+    val q2 = s"cast(($t2 - $r2) / $dd as bigint)"
+    val t3 = s"($r2 * 100)"
+    val r3 = s"($t3 % $dd)"
+    val q3 = s"cast(($t3 - $r3) / $dd as bigint)"
+    expr(s"(cast($q1 * 10000 + $q2 * 100 + $q3" +
+      s" + (CASE WHEN 2 * $r3 >= $dd THEN 1 ELSE 0 END) as bigint)" +
+      s" / cast(1000000 as double)) + 0.0")
+  }
 
   /** Heuristic language id (stopword-profile Catalyst expression). */
   def langId(text: Column): Column = exprColumn(LangId(columnExpr(text)))
