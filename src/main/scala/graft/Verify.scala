@@ -68,6 +68,32 @@ object Verify {
     }
     confMut.foreach { case (n, f) => dump(n, f) }
 
+    // Diagnostic row dump (off by default): SPARK_GRAFT_DUMP=q1,q2 prints
+    // the named queries' FULL Spark-side rows (schema + values, one line
+    // per row) into stdout, so a driver-side artifact tail shows the
+    // actual values behind any hash mismatch instead of just a flag.
+    // The r06-r08 q383/q606/q676 hash FAILs took four blind rewrite
+    // rounds precisely because no artifact carried the differing values
+    // (root cause landed r09: DuckDB HUGEINT widening, see tools/
+    // check_oracle.py). Kept as permanent cheap insurance.
+    sys.env.get("SPARK_GRAFT_DUMP").foreach { names =>
+      names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        SparkEntry.queries.get(n) match {
+          case Some(f) =>
+            try {
+              val df = f(spark, sfDir)
+              println(s"[dump] $n schema=${df.schema.map(x => x.name + ":" + x.dataType.simpleString).mkString(",")}")
+              df.collect().zipWithIndex.foreach { case (r, i) =>
+                println(s"[dump] $n row$i=${r.toString}")
+              }
+            } catch { case e: Throwable =>
+              println(s"[dump] $n failed: ${e.getMessage}")
+            }
+          case None => println(s"[dump] unknown query: $n")
+        }
+      }
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

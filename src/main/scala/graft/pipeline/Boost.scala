@@ -50,7 +50,10 @@ object Boost {
     }.mkString(", ")
     val arms = xs.indices.map(i =>
       s"SELECT $i AS f, mn$i AS mn, mx$i AS mx FROM bmm")
-    s"bmm AS (SELECT $aggs FROM $rel),\nbstats AS $mat (${arms.mkString(" UNION ALL ")})"
+    // bmm carries the materialization hint too (ADVICE r08): an oracle
+    // engine that inlines plain CTEs would otherwise re-run the corpus
+    // min/max fold once per unpivot arm, defeating the one-scan intent.
+    s"bmm AS $mat (SELECT $aggs FROM $rel),\nbstats AS $mat (${arms.mkString(" UNION ALL ")})"
   }
 
   /** Residual expression after the stumps chosen in rounds 1..r (each
