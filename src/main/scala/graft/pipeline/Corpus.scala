@@ -379,7 +379,11 @@ object Corpus {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
     val thr = least(lit(PrefixMax),
       ceil(lit(PrefixMax.toDouble) * slack * n / col("__cnt")).cast("long"))
+    // pruned is ~slack*n rows per stratum and feeds both the per-stratum
+    // feasibility count and the kept branch — inlined, each reference
+    // re-ran the corpus scan + join. Materialize the small survivor set.
     val pruned = df.join(broadcast(counts), Seq(strataCol)).filter(b < thr)
+      .localCheckpoint()
     val ok = pruned.groupBy(col(strataCol)).agg(count(lit(1)).as("__c2"))
       .filter(col("__c2") >= n).select(col(strataCol))
     val safe = pruned.join(broadcast(ok), Seq(strataCol)).select(outCols: _*)

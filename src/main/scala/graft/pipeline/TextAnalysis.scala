@@ -180,15 +180,23 @@ object TextAnalysis {
     val id = col(idCol)
     val arr = split(
       regexp_replace(lower(col(textCol)), "^[^a-z]+|[^a-z]+$", ""), "[^a-z]+")
+    // docs feeds both the bigram explode and the unigram counts, and
+    // bigrams feeds both the count table and the scoring join — inlined,
+    // each reference re-ran the corpus scan + tokenize (census: 10
+    // inlined scans). One tokenize pass, one zip-explode pass; uni is
+    // Zipf-bounded and read three times (total + two key joins).
     val docs = df.select(id, arr.as("__arr"))
       .filter(size(col("__arr")) >= 2 && col("__arr").getItem(0) =!= "")
+      .localCheckpoint()
     val bigrams = docs
       .withColumn("__a1", slice(col("__arr"), lit(1), size(col("__arr")) - 1))
       .withColumn("__a2", slice(col("__arr"), lit(2), size(col("__arr")) - 1))
       .select(id, explode(arrays_zip(col("__a1"), col("__a2"))).as("__z"))
       .select(id, col("__z.__a1").as("__w1"), col("__z.__a2").as("__w2"))
+      .localCheckpoint()
     val uni = docs.select(explode(col("__arr")).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__cu"))
+      .localCheckpoint()
     val total = uni.agg(sum(col("__cu")).as("__nn"))
     val big = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
     bigrams
@@ -233,16 +241,21 @@ object TextAnalysis {
     val id = col(idCol)
     val arr = split(
       regexp_replace(lower(col(textCol)), "^[^a-z]+|[^a-z]+$", ""), "[^a-z]+")
+    // same staging as bigramLogProb; big additionally feeds all three
+    // continuation tables plus the scoring join (4 references).
     val docs = df.select(id, arr.as("__arr"))
       .filter(size(col("__arr")) >= 2 && col("__arr").getItem(0) =!= "")
+      .localCheckpoint()
     val bigrams = docs
       .withColumn("__a1", slice(col("__arr"), lit(1), size(col("__arr")) - 1))
       .withColumn("__a2", slice(col("__arr"), lit(2), size(col("__arr")) - 1))
       .select(id, explode(arrays_zip(col("__a1"), col("__a2"))).as("__z"))
       .select(id, col("__z.__a1").as("__w1"), col("__z.__a2").as("__w2"))
+      .localCheckpoint()
     val uni = docs.select(explode(col("__arr")).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__cu"))
     val big = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
     // continuation statistics: each `big` row is one bigram TYPE
     val fert = big.groupBy("__w1").agg(count(lit(1)).as("__n1f"))   // N1+(w1,.)
     val cont = big.groupBy("__w2").agg(count(lit(1)).as("__n1p"))   // N1+(.,w2)

@@ -175,13 +175,22 @@ object Unigram {
     val spark = df.sparkSession
     // per-call view name: a second train()/encode() must not rebind the
     // relation under an earlier call's still-lazy result
-    val wordsRel = s"uni_words_${viewSeq.incrementAndGet()}"
+    val seq = viewSeq.incrementAndGet()
+    val wordsRel = s"uni_words_$seq"
+    // localCheckpoint: the words relation is referenced by seedraw and
+    // every round's cand$k — inlined, each reference re-ran the corpus
+    // explode+aggregate (census: 28 inlined scans). One pass, Zipf-bounded
+    // output. seed/cnt$k are each referenced twice (body + their 1-row
+    // total subquery); the cut-point staging pins the whole EM chain to
+    // one execution per round (guide §1.2/§2.4).
     df.filter(col(textCol).isNotNull)
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .localCheckpoint()
       .createOrReplaceTempView(wordsRel)
-    spark.sql("WITH " + coreSql(rounds, seedSize, topK, wordsRel))
+    graft.SqlStaging.run(spark, "WITH " + coreSql(rounds, seedSize, topK, wordsRel),
+      "seed" +: (1 to rounds).map(k => s"cnt$k"), s"uni_t$seq")
   }
 
   /** Tokenize a corpus with a freshly-trained vocabulary: per-doc word
@@ -196,10 +205,16 @@ object Unigram {
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
+    // same staging as train; best$rounds gains a second consumer (seg),
+    // so it joins the cut set. doc_words stays a lazy view: single
+    // reference, one corpus pass at its only consumer.
     words.groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .localCheckpoint()
       .createOrReplaceTempView(wordsRel)
     words.createOrReplaceTempView(docWordsRel)
-    spark.sql("WITH " + encodeCoreSql(rounds, seedSize, wordsRel, docWordsRel))
+    graft.SqlStaging.run(spark,
+      "WITH " + encodeCoreSql(rounds, seedSize, wordsRel, docWordsRel),
+      Seq("seed") ++ (1 to rounds).map(k => s"cnt$k") :+ s"best$rounds", s"uni_e$n")
   }
 
   private def duckdbWordsCte(table: String, textCol: String): String =

@@ -43,7 +43,7 @@ object Assoc {
       maxBasketSize: Int = 0): (DataFrame, DataFrame) = {
     val items0 = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val sizes = items0.groupBy("__b").agg(count(lit(1)).as("n_items"))
-    val (items, audit) =
+    val (items1, audit) =
       if (maxBasketSize <= 0)
         (items0, sizes.filter(lit(false)).select(col("__b").as(basketCol), col("n_items")))
       else {
@@ -53,6 +53,10 @@ object Assoc {
         (items0.join(over.select("__b"), Seq("__b"), "left_anti"),
           over.select(col("__b").as(basketCol), col("n_items")))
       }
+    // items feeds nb, itemCnt and BOTH self-join sides — inlined, each
+    // reference re-ran the source scan + distinct (4 corpus passes).
+    // One materialized pass; the self-join then reads checkpoint blocks.
+    val items = items1.localCheckpoint()
     val nb = broadcast(items.agg(countDistinct(col("__b")).as("__nb")))
     val itemCnt = items.groupBy("__i").agg(count(lit(1)).as("__ci"))
     val a = items.select(col("__b"), col("__i").as("__x"))
