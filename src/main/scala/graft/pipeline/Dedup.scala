@@ -211,7 +211,12 @@ object Dedup {
       history: DataFrame,
       idCol: String,
       contentCol: String): DataFrame = {
+    // hist feeds both the bloom build and the exact anti-join, and withH
+    // feeds both the miss and hit branches — inlined, each reference
+    // re-ran its corpus scan (+ the md5/bloom probe for withH). One
+    // materialized pass each (census q97: 12 -> 4 inlined scans).
     val hist = history.select(md5(col(contentCol)).as("__h")).distinct()
+      .localCheckpoint()
     val words = Sketch.bloomBits(hist, "__h")
     val inCols = incoming.columns.map(col).toSeq
     // materialize ONE bloom verdict column (not two predicate copies);
@@ -221,6 +226,7 @@ object Dedup {
     val withH = incoming.withColumn("__h", md5(col(contentCol)))
       .withColumn("__in_bloom",
         coalesce(Sketch.bloomContains(col("__h"), words), lit(false)))
+      .localCheckpoint()
     // definitely-new rows (bloom miss) skip the join entirely; only
     // possible-members join against the historical digest set. Project
     // both branches back to the incoming schema — the using-join would
